@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over a testdata scale-factor directory.
+  *
+  * Replaces the reference's Hive-metastore + `MSCK REPAIR` catalog
+  * (ASVSP `load_hourly.py:87-105`) with a catalog-free registry: each
+  * parquet file becomes a DataFrame and (on demand) a temp view. At
+  * cluster scale the same API would point at partitioned parquet roots;
+  * partition pruning and predicate pushdown work identically because
+  * the scan is declared, not materialized.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** Register every table as a temp view named after the file. Idempotent. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      load(spark, dir, n).createOrReplaceTempView(n)
+    }
+}
