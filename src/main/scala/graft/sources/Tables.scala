@@ -18,8 +18,23 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table carries a TIMESTAMP(NANOS) column, which Spark's
+    // parquet reader only admits as a raw long (SPARK-40819). Read it
+    // that way and rebuild a proper timestamp with integer division
+    // (`DIV`, not `/` — double division would lose precision on
+    // ~1.7e18 nanosecond values).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path(dir, name))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case _ => raw
+      }
+    } else spark.read.parquet(path(dir, name))
+  }
 
   /** Register every table as a temp view named after the file. Idempotent. */
   def registerAll(spark: SparkSession, dir: String): Unit =
