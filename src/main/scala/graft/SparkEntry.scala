@@ -17,11 +17,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Analytics.queries ++
+      graft.queries.Expressions.queries ++
       graft.queries.PyramidQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Analytics.oracles ++
+      graft.queries.Expressions.oracles ++
       graft.queries.PyramidQueries.oracles
 }
