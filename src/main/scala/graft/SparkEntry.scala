@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Expressions.queries ++
+      graft.queries.StreamingQueries.queries ++
       graft.queries.PyramidQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Analytics.oracles ++
       graft.queries.Expressions.oracles ++
+      graft.queries.StreamingQueries.oracles ++
       graft.queries.PyramidQueries.oracles
 }

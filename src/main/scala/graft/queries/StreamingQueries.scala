@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+import graft.operators.Pyramid
+import graft.streaming.StreamJobs
+import graft.sources.Tables
+
+/** Oracle-checkable instantiations of the [[graft.streaming.StreamJobs]]
+  * transforms on the batch events table.
+  *
+  * Because every stream job is a pure transform that also accepts a batch
+  * frame, running it over the whole events table reproduces exactly what
+  * the reference's trigger-once consumers computed over a fully drained
+  * topic (one micro-batch = the whole table — SURVEY.md §2.7 T5). The
+  * DuckDB oracles model the tumbling window as `time_bucket` and the
+  * sliding window as an explicit 3-way window-start expansion.
+  */
+object StreamingQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  private def baselines(spark: SparkSession, dir: String): DataFrame =
+    Pyramid.baselines(events(spark, dir), col("event_type"), col("ts"), col("value"))
+
+  private def epoch(c: Column): Column = unix_timestamp(c)
+
+  /** q16 = SQ1: tumbling-window average vs baseline (stream-static join). */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    StreamJobs.sq1VsBaseline(events(spark, dir), baselines(spark, dir))
+      .select(
+        col("entity"), epoch(col("window_start")).as("window_start"),
+        col("n_events"),
+        gf.dround(col("avg_value"), 3).as("avg_value"),
+        gf.dround(col("baseline_avg"), 3).as("baseline_avg"),
+        gf.dround(col("pct_of_baseline"), 2).as("pct_of_baseline"))
+      .orderBy(col("entity"), col("window_start"))
+
+  /** q17 = SQ2: sliding-window averages + trend classification. */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    StreamJobs.sq2TrendAnalyze(StreamJobs.slidingWindowAvg(events(spark, dir)))
+      .select(
+        col("entity"), epoch(col("window_start")).as("window_start"),
+        col("n_events"),
+        gf.dround(col("avg_value"), 3).as("avg_value"),
+        gf.dround(col("prev_avg"), 3).as("prev_avg"),
+        col("trend"))
+      .orderBy(col("entity"), col("window_start"))
+
+  /** q18 = SQ3: per-window top-5 users by average value (dense_rank). */
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    StreamJobs.sq3TopUsers(events(spark, dir), 5)
+      .select(
+        epoch(col("window_start")).as("window_start"), col("user_id"),
+        gf.dround(col("avg_value"), 3).as("avg_value"),
+        col("n_events"), col("rnk"))
+      .orderBy(col("window_start"), col("rnk"), col("user_id"))
+
+  /** q19 = SQ4: demux two logical streams, window join, classify. */
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    StreamJobs.sq4DemuxJoin(events(spark, dir))
+      .select(
+        epoch(col("window_start")).as("window_start"),
+        gf.dround(col("activity_avg"), 3).as("activity_avg"),
+        col("n_activity"),
+        gf.dround(col("signal_avg"), 3).as("signal_avg"),
+        col("n_signal"),
+        gf.dround(col("score"), 3).as("score"),
+        col("above_signal"), col("status"))
+      .orderBy(col("window_start"))
+
+  /** q20 = SQ5: current vs historical entity ranking, anomaly flag. */
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    StreamJobs.sq5RankAnomaly(events(spark, dir), baselines(spark, dir))
+      .select(
+        col("entity"), epoch(col("window_start")).as("window_start"),
+        gf.dround(col("avg_value"), 3).as("avg_value"),
+        col("current_rank"), col("hist_rank"),
+        col("rank_gap"), col("is_anomaly"))
+      .orderBy(col("entity"), col("window_start"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_window_vs_baseline" -> q16,
+    "q17_sliding_trend" -> q17,
+    "q18_window_topk" -> q18,
+    "q19_demux_window_join" -> q19,
+    "q20_rank_anomaly" -> q20)
+
+  private val vCents = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+
+  /** Baseline CTE shared by q16/q20 — identical to the q24 oracle. */
+  private val baselineCte =
+    s"""bl AS (
+       |  SELECT event_type AS entity,
+       |    CAST(month(ts) AS INT) AS month,
+       |    CAST(hour(ts) AS INT) AS hour,
+       |    dayofweek(CAST(ts AS DATE)) IN (0, 6) AS is_weekend,
+       |    CAST(sum($vCents) AS DOUBLE) / count(*) / 100.0 AS baseline_avg
+       |  FROM events GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private val hourlyCte =
+    s"""win AS (
+       |  SELECT event_type AS entity,
+       |    time_bucket(INTERVAL '1 hour', ts) AS w,
+       |    CAST(sum($vCents) AS DOUBLE) / count(*) / 100.0 AS avg_value,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q16_window_vs_baseline" ->
+      s"""WITH $hourlyCte,
+         |$baselineCte
+         |SELECT win.entity AS entity, CAST(epoch(w) AS BIGINT) AS window_start,
+         |  n_events,
+         |  round(avg_value, 3) AS avg_value,
+         |  round(baseline_avg, 3) AS baseline_avg,
+         |  round(avg_value / baseline_avg * 100, 2) AS pct_of_baseline
+         |FROM win
+         |LEFT JOIN bl ON win.entity = bl.entity
+         |  AND CAST(month(w) AS INT) = bl.month
+         |  AND CAST(hour(w) AS INT) = bl.hour
+         |  AND (dayofweek(CAST(w AS DATE)) IN (0, 6)) = bl.is_weekend
+         |ORDER BY win.entity, window_start""".stripMargin,
+    "q17_sliding_trend" ->
+      s"""WITH slid AS (
+         |  SELECT event_type AS entity,
+         |    time_bucket(INTERVAL '1 hour', ts) - k.k * INTERVAL '1 hour' AS w,
+         |    CAST(sum($vCents) AS DOUBLE) / count(*) / 100.0 AS avg_value,
+         |    count(*) AS n_events
+         |  FROM events CROSS JOIN (VALUES (0), (1), (2)) k(k)
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT *, lag(avg_value) OVER (PARTITION BY entity ORDER BY w) AS prev_avg
+         |  FROM slid)
+         |SELECT entity, CAST(epoch(w) AS BIGINT) AS window_start, n_events,
+         |  round(avg_value, 3) AS avg_value,
+         |  round(prev_avg, 3) AS prev_avg,
+         |  CASE WHEN prev_avg IS NULL THEN 'stable'
+         |       WHEN avg_value > prev_avg * 1.1 THEN 'rising'
+         |       WHEN avg_value < prev_avg * 0.9 THEN 'falling'
+         |       ELSE 'stable' END AS trend
+         |FROM t ORDER BY entity, window_start""".stripMargin,
+    "q18_window_topk" ->
+      s"""WITH uw AS (
+         |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS w,
+         |    CAST(sum($vCents) AS DOUBLE) / count(*) / 100.0 AS avg_value,
+         |    count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, CAST(dense_rank() OVER (PARTITION BY w
+         |    ORDER BY avg_value DESC, user_id) AS INT) AS rnk
+         |  FROM uw)
+         |SELECT CAST(epoch(w) AS BIGINT) AS window_start, user_id,
+         |  round(avg_value, 3) AS avg_value, n_events, rnk
+         |FROM r WHERE rnk <= 5
+         |ORDER BY window_start, rnk, user_id""".stripMargin,
+    "q19_demux_window_join" ->
+      s"""WITH act AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+         |    CAST(sum($vCents) AS DOUBLE) / count(*) / 100.0 AS activity_avg,
+         |    count(*) AS n_activity
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+         |sig AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+         |    CAST(sum($vCents) AS DOUBLE) / count(*) / 100.0 AS signal_avg,
+         |    count(*) AS n_signal
+         |  FROM events WHERE event_type = 'error' GROUP BY 1),
+         |j AS (
+         |  SELECT act.w, activity_avg, n_activity, signal_avg, n_signal,
+         |    activity_avg * (1.0 + n_signal / 100.0) AS score,
+         |    activity_avg > signal_avg AS above_signal
+         |  FROM act JOIN sig ON act.w = sig.w)
+         |SELECT CAST(epoch(w) AS BIGINT) AS window_start,
+         |  round(activity_avg, 3) AS activity_avg, n_activity,
+         |  round(signal_avg, 3) AS signal_avg, n_signal,
+         |  round(score, 3) AS score, above_signal,
+         |  CASE WHEN score > 30.0 AND above_signal THEN 'surging'
+         |       WHEN score > 30.0 THEN 'active'
+         |       WHEN score < 15.0 AND NOT above_signal THEN 'quiet_low'
+         |       WHEN score < 15.0 THEN 'quiet'
+         |       ELSE 'neutral' END AS status
+         |FROM j ORDER BY window_start""".stripMargin,
+    "q20_rank_anomaly" ->
+      s"""WITH $hourlyCte,
+         |$baselineCte,
+         |hist AS (
+         |  SELECT entity, month, hour, is_weekend,
+         |    CAST(dense_rank() OVER (PARTITION BY month, hour, is_weekend
+         |      ORDER BY baseline_avg DESC, entity) AS INT) AS hist_rank
+         |  FROM bl),
+         |cur AS (
+         |  SELECT *, CAST(dense_rank() OVER (PARTITION BY w
+         |    ORDER BY avg_value DESC, entity) AS INT) AS current_rank
+         |  FROM win)
+         |SELECT cur.entity AS entity, CAST(epoch(w) AS BIGINT) AS window_start,
+         |  round(avg_value, 3) AS avg_value,
+         |  current_rank, hist_rank,
+         |  abs(current_rank - hist_rank) AS rank_gap,
+         |  abs(current_rank - hist_rank) > 2 AS is_anomaly
+         |FROM cur
+         |LEFT JOIN hist ON cur.entity = hist.entity
+         |  AND CAST(month(w) AS INT) = hist.month
+         |  AND CAST(hour(w) AS INT) = hist.hour
+         |  AND (dayofweek(CAST(w AS DATE)) IN (0, 6)) = hist.is_weekend
+         |ORDER BY cur.entity, window_start""".stripMargin)
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka streaming sources (SURVEY.md §2.1 S5–S7).
+  *
+  * Builder API mirrors the reference's consumers: subscribe one topic
+  * (`consumer1.py:38-43`) or several with later demux on the `topic`
+  * column (`consumer4.py:51-61`), then JSON-decode the value. The decode
+  * step ([[parseJson]]) is a pure transform shared with tests — it runs
+  * identically on a batch frame of raw strings, so the parsing contract
+  * is verified without a broker (the spark-sql-kafka connector jar is an
+  * add-on at deploy time).
+  */
+object KafkaSource {
+
+  /** Event payload schema for the JSON stream (hand-declared like the
+    * reference's `consumer1.py:14-27` — no inference on streams).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  /** S5/S6: subscribe to one or more topics from the earliest offset. */
+  def readStream(spark: SparkSession, bootstrap: String, topics: Seq[String]): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** S7: decode the Kafka `value` bytes as JSON and flatten; keeps
+    * `topic` for multi-topic demux. Works on any frame with
+    * (`value`, `topic`) columns — batch or streaming.
+    */
+  def parseJson(raw: DataFrame, schema: StructType = eventSchema): DataFrame = {
+    val parsed = raw.withColumn("d", from_json(col("value").cast("string"), schema))
+    if (raw.columns.contains("topic")) parsed.select(col("topic"), col("d.*"))
+    else parsed.select(col("d.*"))
+  }
+}

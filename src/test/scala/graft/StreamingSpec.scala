@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pyramid
+import graft.sources.KafkaSource
+import graft.streaming.{Sinks, StreamJobs}
+
+case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+/** Structured Streaming fidelity tests (SURVEY.md §2.7): the same
+  * StreamJobs transform, driven as a real stream (MemoryStream →
+  * watermark → windowed agg → foreachBatch, Trigger.AvailableNow), must
+  * produce exactly the batch answer — the reference's trigger-once
+  * "whole topic in one micro-batch" semantics (T5/T7).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("streaming-spec")
+
+  def mkEvents: Seq[Ev] = {
+    // deterministic synthetic stream: 3 entities × 6 hours × several events
+    val types = Seq("click", "view", "error")
+    for {
+      h <- 0 until 6
+      t <- types
+      i <- 0 until 4
+    } yield Ev(
+      Timestamp.valueOf(f"2024-03-0${1 + h / 24}%s ${h % 24}%02d:${i * 11}%02d:00"),
+      t, (h * 7 + i) % 10, ((h * 13 + i * 29) % 100) / 2.0 + 1.0)
+  }
+
+  test("sq1 streamed == sq1 batch (AvailableNow drains to same result)") {
+    import spark.implicits._
+    val rows = mkEvents
+    val batchDf = rows.toDF()
+    val baselines = Pyramid.baselines(batchDf, col("event_type"), col("ts"), col("value"))
+      .cache()
+    val expected = StreamJobs.sq1VsBaseline(batchDf, baselines)
+      .select("entity", "window_start", "n_events", "avg_value", "baseline_avg")
+      .collect().toSet
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val collected = scala.collection.mutable.ArrayBuffer[Row]()
+    val ckpt = Files.createTempDirectory("ckpt-sq1").toString
+    Sinks.runAvailableNow(
+      StreamJobs.sq1VsBaseline(mem.toDF(), baselines), ckpt)(identity) { df =>
+      collected ++= df.select("entity", "window_start", "n_events",
+        "avg_value", "baseline_avg").collect()
+    }
+    assert(collected.toSet == expected)
+    assert(collected.size == expected.size) // update mode, single drain: no dupes
+  }
+
+  test("sq2 sliding agg streamed + trend analyzed in foreachBatch") {
+    import spark.implicits._
+    val rows = mkEvents
+    val expected = StreamJobs.sq2TrendAnalyze(
+        StreamJobs.slidingWindowAvg(rows.toDF()))
+      .select("entity", "window_start", "avg_value", "trend")
+      .collect().toSet
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val collected = scala.collection.mutable.ArrayBuffer[Row]()
+    val ckpt = Files.createTempDirectory("ckpt-sq2").toString
+    // rank/lag can't run incrementally (reference defers them to the
+    // micro-batch, consumer2.py:98-114) — analyze inside foreachBatch.
+    Sinks.runAvailableNow(
+      StreamJobs.slidingWindowAvg(mem.toDF()), ckpt)(StreamJobs.sq2TrendAnalyze) { df =>
+      collected ++= df.select("entity", "window_start", "avg_value", "trend").collect()
+    }
+    assert(collected.toSet == expected)
+  }
+
+  test("watermark does not drop data under AvailableNow single drain (T7)") {
+    import spark.implicits._
+    // one very late event (3 days before the rest): with a 2h watermark a
+    // continuous run would drop it, but a single AvailableNow drain sees
+    // all offsets in one batch — reference fidelity point.
+    val rows = mkEvents :+ Ev(Timestamp.valueOf("2024-02-27 00:00:00"), "click", 1L, 5.0)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val collected = scala.collection.mutable.ArrayBuffer[Row]()
+    val ckpt = Files.createTempDirectory("ckpt-late").toString
+    Sinks.runAvailableNow(
+      StreamJobs.hourlyWindowAvg(mem.toDF()), ckpt)(identity) { df =>
+      collected ++= df.collect()
+    }
+    val lateWindow = collected.filter(_.getAs[Timestamp]("window_start") ==
+      Timestamp.valueOf("2024-02-27 00:00:00"))
+    assert(lateWindow.size == 1)
+  }
+
+  test("kafka-shaped json payloads parse through the shared schema (S7)") {
+    import spark.implicits._
+    val raw = Seq(
+      ("""{"ts":"2024-03-01T10:15:00Z","event_type":"click","user_id":7,"value":3.25}""", "t1"),
+      ("""not json at all""", "t1")
+    ).toDF("value", "topic")
+    val parsed = KafkaSource.parseJson(raw).collect()
+    assert(parsed.length == 2)
+    val ok = parsed.find(r => !r.isNullAt(r.fieldIndex("event_type"))).get
+    assert(ok.getAs[String]("topic") == "t1")
+    assert(ok.getAs[String]("event_type") == "click")
+    assert(ok.getAs[Double]("value") == 3.25)
+    assert(ok.getAs[Timestamp]("ts") == Timestamp.valueOf("2024-03-01 10:15:00"))
+    // malformed → null-filled struct, stream keeps flowing (no exception)
+    val bad = parsed.find(r => r.isNullAt(r.fieldIndex("event_type"))).get
+    assert(bad.getAs[String]("topic") == "t1")
+  }
+}
