@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Hive-compatible (non-ANSI) semantics: null on divide-by-zero,
+      // wrapping long arithmetic (the hash mixers rely on it). The
+      // reference runs Spark 3.0 where this was the only behavior.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
   }
 

@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.Expressions.queries ++
       graft.queries.StreamingQueries.queries ++
+      graft.queries.DataOps.queries ++
       graft.queries.PyramidQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.Analytics.oracles ++
       graft.queries.Expressions.oracles ++
       graft.queries.StreamingQueries.oracles ++
+      graft.queries.DataOps.oracles ++
       graft.queries.PyramidQueries.oracles
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus-scale pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *   - exact dedup is one shuffle on the fingerprint — the survivor is
+  *     chosen by `row_number` over (fingerprint, id) so the result is
+  *     deterministic at any parallelism (unlike `dropDuplicates`, which
+  *     keeps an arbitrary first row);
+  *   - MinHash/LSH turns the O(n²) near-dup problem into an
+  *     equi-join on band hashes: signatures are computed scan-side with
+  *     array higher-order functions (codegen'd, no UDF), then candidates
+  *     come from a groupBy on (band, bandHash) whose fan-out is bounded
+  *     by bucket size — the only quadratic work left is within-bucket;
+  *   - SimHash gives a constant-width bit fingerprint; near-dups are
+  *     pairs with small Hamming distance, pre-filtered by exact match on
+  *     16-bit chunks (any pair within distance 3 must agree on ≥1 of 4
+  *     chunks — pigeonhole), again an equi-join instead of a cross join.
+  */
+object Dedup {
+
+  /** Deterministic exact dedup: one survivor per fingerprint (smallest
+    * `idCol`), plus the group size. Input: any frame with an id and a
+    * fingerprint column.
+    */
+  def exact(df: DataFrame, id: Column, fingerprint: Column): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col("__id"))
+    df.withColumn("__fp", fingerprint).withColumn("__id", id)
+      .withColumn("dup_group_size", count(lit(1)).over(Window.partitionBy(col("__fp"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__fp", "__id")
+  }
+
+  /** Exact Jaccard similarity of two distinct-shingle array columns:
+    * |A∩B| / |A∪B| as a deterministic integer ratio.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    inter.cast("double") / union
+  }
+
+  // --- MinHash --------------------------------------------------------
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer) of a long column —
+    * the base hash for shingles and the per-permutation remix. Pure
+    * arithmetic on longs → codegen'd, identical on every run.
+    */
+  def mix64(c: Column): Column = {
+    val z1 = (c + lit(-7046029254386353131L))
+    val z2 = (z1.bitwiseXOR(shiftrightunsigned(z1, 30))) * lit(-4658895280553007687L)
+    val z3 = (z2.bitwiseXOR(shiftrightunsigned(z2, 27))) * lit(-7723592293110705685L)
+    z3.bitwiseXOR(shiftrightunsigned(z3, 31))
+  }
+
+  /** MinHash signature (`numHashes` longs) over a distinct-shingle array.
+    * Each permutation i remixes the shingle's xxhash64 with a distinct
+    * seed and takes the min — all inside array HOFs, scan-side.
+    */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val base = transform(shingleArr, s => xxhash64(s))
+    array((0 until numHashes).map { i =>
+      array_min(transform(base, h => mix64(h + lit(i * -5840758589994634535L))))
+    }: _*)
+  }
+
+  /** LSH band keys from a signature: `numBands` hashes, each over
+    * `rowsPerBand` consecutive signature entries. Two docs share a band
+    * key iff that slice matches exactly.
+    */
+  def lshBandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      xxhash64(
+        concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>")),
+        lit(b))
+    }: _*)
+
+  /** Candidate near-dup pairs via LSH: explode band keys, self-join on
+    * (band position is folded into the key), dedup pairs. Input needs
+    * (`id`, `sig`) columns. Output: (id_a, id_b) with id_a < id_b.
+    */
+  def lshCandidatePairs(df: DataFrame, id: Column, sig: Column,
+                        numBands: Int, rowsPerBand: Int): DataFrame = {
+    val keyed = df.select(id.as("__id"), sig.as("__sig"))
+      .withColumn("band_key",
+        explode(lshBandKeys(col("__sig"), numBands, rowsPerBand)))
+      .select(col("__id"), col("band_key"))
+    val a = keyed.withColumnRenamed("__id", "id_a")
+    val b = keyed.withColumnRenamed("__id", "id_b")
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * positions.
+    */
+  def minHashEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+
+  // --- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over a token array: per-bit majority vote of token
+    * xxhash64 values, assembled bit-by-bit (statically unrolled — Spark's
+    * shift functions take literal shift amounts) — pure long arithmetic.
+    */
+  def simHash(tokenArr: Column): Column = {
+    val hashes = transform(tokenArr, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0),
+        (a, h) => a + when(shiftrightunsigned(h, bit).bitwiseAND(lit(1L)) === 1, 1)
+          .otherwise(-1))
+      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: match on any of the 4 16-bit chunks
+    * (pigeonhole: Hamming ≤ 3 ⇒ ≥1 identical chunk), then verify the
+    * distance bound.
+    */
+  def simHashPairs(df: DataFrame, id: Column, sim: Column, maxDist: Int): DataFrame = {
+    val keyed = df.select(id.as("__id"), sim.as("__sim"))
+      .withColumn("chunk", explode(array((0 until 4).map(i =>
+        concat_ws(":", lit(i),
+          shiftrightunsigned(col("__sim"), i * 16).bitwiseAND(lit(0xFFFFL))
+            .cast("string"))): _*)))
+    val a = keyed.select(col("__id").as("id_a"), col("__sim").as("sim_a"), col("chunk"))
+    val b = keyed.select(col("__id").as("id_b"), col("__sim").as("sim_b"), col("chunk"))
+    a.join(b, Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sim_a"), col("sim_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Numerics: embeddings are quantized to integer micro-units once
+  * ([[fixedVec]]); dot products and norms are then exact 64-bit integer
+  * sums (dim 64 × 1e6-scale components fits comfortably), and cosine is
+  * a deterministic double expression of exact integers — the same
+  * bit-for-bit result at any parallelism or engine. All vector math uses
+  * `zip_with`/`aggregate`/`transform` higher-order functions: codegen'd
+  * columnar expressions, no UDF, no driver-side loops.
+  *
+  * Scale paths:
+  *   - [[bruteForceTopK]] is the exact baseline: queries × candidates
+  *     via broadcast of the (small) query set — O(|Q|·n) with no
+  *     shuffle of the candidate side beyond the scan;
+  *   - [[hyperplaneLshTopK]] is the approximate path: sign-pattern
+  *     bucketing against `numPlanes` deterministic hyperplanes turns the
+  *     candidate set into an equi-join on bucket prefix, trading recall
+  *     for a ~2^planes reduction in pairs scored. The same re-rank code
+  *     runs after either candidate generator.
+  */
+object Similarity {
+
+  val Scale = 1000000.0
+
+  /** Quantize a float-array column to exact micro-unit longs. */
+  def fixedVec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * Scale + 0.5d).cast("long"))
+
+  /** Exact integer dot product of two fixed vectors. */
+  def dotFixed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared norm of a fixed vector. */
+  def normSqFixed(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from exact integer dot and squared norms — one deterministic
+    * double expression: dot / sqrt(na) / sqrt(nb).
+    */
+  def cosineFromFixed(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") / sqrt(normSqA.cast("double")) / sqrt(normSqB.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `queries`/`candidates`: frames with (`id`, `vec` array<float>).
+    * Output: query_id, cand_id, cosine, rnk (1..k), self-pairs excluded,
+    * ties broken by cand_id.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), fixedVec(col("vec")).as("qv"))
+      .withColumn("qn", normSqFixed(col("qv")))
+    val c = candidates.select(col("id").as("cand_id"), fixedVec(col("vec")).as("cv"))
+      .withColumn("cn", normSqFixed(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        cosineFromFixed(dotFixed(col("qv"), col("cv")), col("qn"), col("cn")))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a zero-mean long derived from a splitmix-style mix — no RNG state,
+    * same planes on every executor and every run.
+    */
+  private def planeComponent(plane: Int, d: Int): Long = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z >> 32 // keep magnitudes small; sign pattern is what matters
+  }
+
+  /** Sign-pattern LSH bucket of a fixed vector against `numPlanes`
+    * deterministic hyperplanes: bit i = sign(v · plane_i).
+    */
+  def lshBucket(fv: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val dot = (0 until dim).map { d =>
+        element_at(fv, d + 1) * lit(planeComponent(p, d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * then exact cosine re-rank. Recall is tunable via `numPlanes`
+    * (fewer planes → bigger buckets → higher recall, more work).
+    */
+  def hyperplaneLshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                        dim: Int, numPlanes: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), fixedVec(col("vec")).as("qv"))
+      .withColumn("qn", normSqFixed(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv"), dim, numPlanes))
+    val c = candidates.select(col("id").as("cand_id"), fixedVec(col("vec")).as("cv"))
+      .withColumn("cn", normSqFixed(col("cv")))
+      .withColumn("bucket", lshBucket(col("cv"), dim, numPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        cosineFromFixed(dotFixed(col("qv"), col("cv")), col("qn"), col("cn")))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk"))
+  }
+}

@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.Tables
+
+/** Training-data pipeline queries: dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), text analysis (tokens / quality / lang-ID /
+  * fingerprints), embedding similarity search, and multimodal binary
+  * plumbing — over the documents and embeddings testdata.
+  *
+  * Oracle policy: everything expressible in DuckDB SQL carries an exact
+  * oracle (including the mapPartitions multimodal path, validated via
+  * `octet_length`, and exact shingle Jaccard via list comprehensions).
+  * MinHash/SimHash/LSH rely on xxhash64 and are checked rows-only here +
+  * semantically in ScalaTest (known-duplicate fixtures, recall vs brute
+  * force).
+  *
+  * The dedup queries plant deterministic duplicates (exact copies for
+  * d01, tail-truncated mutants for d02/d03/d04) so the operators
+  * demonstrably FIND something, with recovery counted per language.
+  */
+object DataOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private def norm(c: Column): Column = TextOps.normalize(c)
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** documents ∪ exact copies of every 5th doc (ids offset by 1e6). */
+  private def withExactCopies(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"), col("text")))
+
+  /** d01 — deterministic exact dedup over normalized-text fingerprints. */
+  def d01(spark: SparkSession, dir: String): DataFrame = {
+    val all = withExactCopies(docs(spark, dir))
+    val survivors = Dedup.exact(all, col("doc_id"), TextOps.fingerprint(norm(col("text"))))
+    survivors.groupBy(col("lang"))
+      .agg(
+        sum(col("dup_group_size")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("dup_group_size") > 1, 1).otherwise(0)).as("n_dup_groups"))
+      .orderBy(col("lang"))
+  }
+
+  /** d04 — exact 5-gram Jaccard of each doc vs its tail-truncated mutant
+    * (the verification kernel of fuzzy dedup, oracle-checkable).
+    */
+  def d04(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("norm", norm(col("text")))
+      .withColumn("mut", col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))))
+    d.select(
+        col("doc_id"), col("lang"),
+        gf.dround(Dedup.jaccard(
+          TextOps.shingles(col("norm"), 5), TextOps.shingles(col("mut"), 5)), 4)
+          .as("jaccard"))
+      .withColumn("is_near_dup", col("jaccard") >= 0.7)
+      .orderBy(col("doc_id"))
+  }
+
+  /** d02 — MinHash(32) + LSH(8 bands × 4) near-dup discovery over docs ∪
+    * tail-truncated mutants; recovery rate per language. Rows-only check
+    * (xxhash64-based); semantics tested in DedupSpec.
+    */
+  def d02(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).withColumn("norm", norm(col("text")))
+    val all = base.select(col("doc_id"), col("lang"), col("norm"))
+      .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+        col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
+    val sigs = all
+      .withColumn("sig", Dedup.minHashSignature(TextOps.shingles(col("norm"), 5), 32))
+    val pairs = Dedup.lshCandidatePairs(sigs, col("doc_id"), col("sig"), 8, 4)
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("lang")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", Dedup.minHashEstimate(col("sig_a"), col("sig_b")))
+    est.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("id_b") === col("id_a") + 1000000, 1).otherwise(0))
+          .as("n_recovered_mutants"),
+        gf.dround(sum(gf.fixed(col("est_jaccard"), 10000.0)).cast("double") /
+          count(lit(1)) / 10000.0, 4).as("avg_est_jaccard"))
+      .orderBy(col("lang"))
+  }
+
+  /** d03 — SimHash(64) + 16-bit-chunk blocking near-dup discovery;
+    * rows-only check, semantics in DedupSpec.
+    */
+  def d03(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).withColumn("norm", norm(col("text")))
+    val all = base.select(col("doc_id"), col("lang"), col("norm"))
+      .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+        col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
+    val hashed = all.withColumn("sim", Dedup.simHash(TextOps.tokens(col("norm"))))
+    val pairs = Dedup.simHashPairs(hashed, col("doc_id"), col("sim"), maxDist = 3)
+    pairs
+      .join(hashed.select(col("doc_id").as("id_a"), col("lang")), Seq("id_a"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("id_b") === col("id_a") + 1000000, 1).otherwise(0))
+          .as("n_recovered_mutants"),
+        gf.dround(sum(col("dist")).cast("double") / count(lit(1)), 3).as("avg_dist"))
+      .orderBy(col("lang"))
+  }
+
+  /** t01 — token statistics per language (whitespace + BPE-ish counts). */
+  def t01(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).as("toks"),
+        TextOps.subwordCount(col("text")).as("subs"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        gf.dround(sum(col("toks")).cast("double") / count(lit(1)), 3).as("avg_tokens"),
+        gf.dround(sum(col("subs")).cast("double") / count(lit(1)), 3).as("avg_subwords"),
+        max(col("toks")).as("max_tokens"))
+      .orderBy(col("lang"))
+
+  /** t02 — quality scoring: integer-ratio features → composite score →
+    * class distribution per language.
+    */
+  def t02(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("norm", norm(col("text")))
+      .withColumn("n_chars_t", length(col("text")))
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
+      .withColumn("n_stop", TextOps.wordSetCount(TextOps.tokens(col("norm")), TextOps.EnStop))
+      .withColumn("n_punct", TextOps.punctCount(col("text")))
+      .withColumn("score", TextOps.qualityScore(
+        col("n_chars_t"), col("n_toks"), col("n_stop"), col("n_punct")))
+      .withColumn("quality_class",
+        when(col("score") >= 80, "high").when(col("score") >= 50, "medium")
+          .otherwise("low"))
+    d.groupBy(col("lang"), col("quality_class"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        gf.dround(sum(gf.fixed(col("score"), 100.0)).cast("double") /
+          count(lit(1)) / 100.0, 2).as("avg_score"))
+      .orderBy(col("lang"), col("quality_class"))
+  }
+
+  /** t03 — marker-word language ID vs the labeled language (confusion
+    * matrix counts). Ties resolve in profile order (P18 tie rule).
+    */
+  def t03(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(norm(col("text")))
+    val scored = docs(spark, dir).withColumn("toks", toks)
+    val withScores = TextOps.LangMarkers.foldLeft(scored) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", TextOps.wordSetCount(col("toks"), words))
+    }
+    val predicted = withScores.withColumn("predicted_lang",
+      TextOps.predictLang(TextOps.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+    predicted.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  /** t04 — document fingerprints: md5 whole-doc + min-shingle locality
+    * fingerprint (1-permutation MinHash, oracle-checkable).
+    */
+  def t04(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("norm", norm(col("text")))
+      .select(
+        col("doc_id"),
+        TextOps.fingerprint(col("norm")).as("fp_md5"),
+        substring(TextOps.fingerprint(col("norm")), 1, 8).as("fp_prefix"),
+        TextOps.minShingleMd5(col("norm"), 8).as("min_shingle_md5"))
+      .orderBy(col("doc_id"))
+
+  /** s01 — exact brute-force top-5 cosine neighbors for every 50th
+    * vector (fixed-point integer dot products — oracle-exact).
+    */
+  def s01(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 50 === 0)
+    Similarity.bruteForceTopK(q, e, 5)
+      .select(col("query_id"), col("cand_id"),
+        gf.dround(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** s02 — hyperplane-LSH approximate top-5 (the scale path: bucket
+    * equi-join instead of cross join). Rows-only; recall vs s01 tested
+    * in SimilaritySpec.
+    */
+  def s02(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 50 === 0)
+    Similarity.hyperplaneLshTopK(q, e, 5, dim = 64, numPlanes = 4)
+      .select(col("query_id"), col("cand_id"),
+        gf.dround(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** m01 — multimodal binary plumbing: documents → binary payloads →
+    * mapPartitions feature extraction; byte_len is oracle-checked
+    * against `octet_length`, checksum/histogram in MultimodalSpec.
+    */
+  def m01(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromDocuments(spark, docs(spark, dir))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("byte_len"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> d01,
+    "d02_minhash_lsh" -> d02,
+    "d03_simhash" -> d03,
+    "d04_ngram_jaccard" -> d04,
+    "t01_token_stats" -> t01,
+    "t02_quality_score" -> t02,
+    "t03_langid" -> t03,
+    "t04_fingerprint" -> t04,
+    "s01_cosine_topk" -> s01,
+    "s02_lsh_ann" -> s02,
+    "m01_media_features" -> m01)
+
+  private val shingleSql =
+    s"list_distinct([substr(norm, i, 5) FOR i IN range(1, greatest(length(norm) - 3, 2))])"
+  private val shingleMutSql =
+    s"list_distinct([substr(mut, i, 5) FOR i IN range(1, greatest(length(mut) - 3, 2))])"
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 5 = 0),
+         |fp AS (
+         |  SELECT lang, md5($normSql) AS f, count(*) AS sz
+         |  FROM all_docs GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(sz) AS BIGINT) AS n_docs, count(*) AS n_groups,
+         |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+         |FROM fp GROUP BY 1 ORDER BY lang""".stripMargin,
+    "d04_ngram_jaccard" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, lang, $normSql AS norm FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, norm,
+         |    substr(norm, 1, greatest(length(norm) - 15, 1)) AS mut
+         |  FROM n),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    $shingleSql AS sa,
+         |    $shingleMutSql AS sb
+         |  FROM m),
+         |j AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+         |      / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jac
+         |  FROM s)
+         |SELECT doc_id, lang, round(jac, 4) AS jaccard,
+         |  round(jac, 4) >= 0.7 AS is_near_dup
+         |FROM j ORDER BY doc_id""".stripMargin,
+    "t01_token_stats" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\S+')) AS toks,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS subs
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(toks) AS DOUBLE) / count(*), 3) AS avg_tokens,
+        |  round(CAST(sum(subs) AS DOUBLE) / count(*), 3) AS avg_subwords,
+        |  CAST(max(toks) AS INT) AS max_tokens
+        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+    "t02_quality_score" ->
+      s"""WITH f AS (
+         |  SELECT lang,
+         |    length(text) AS n_chars_t,
+         |    len(regexp_extract_all(text, '\\S+')) AS n_toks,
+         |    len(list_filter(string_split($normSql, ' '),
+         |      t -> list_contains(['the','a','an','and','or','of','to','in','is','are'], t)))
+         |      AS n_stop,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+         |  FROM documents),
+         |sc AS (
+         |  SELECT lang,
+         |    (CASE WHEN n_chars_t >= 200 AND n_chars_t <= 2000 THEN 40.0
+         |          WHEN n_chars_t >= 50 THEN 20.0 ELSE 0.0 END
+         |     + CASE WHEN CAST(n_chars_t AS DOUBLE) / n_toks >= 3.0
+         |            AND CAST(n_chars_t AS DOUBLE) / n_toks <= 10.0 THEN 30.0 ELSE 10.0 END
+         |     + CASE WHEN CAST(n_stop AS DOUBLE) / n_toks >= 0.05 THEN 20.0 ELSE 5.0 END
+         |     + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_t <= 0.1 THEN 10.0 ELSE 0.0 END)
+         |      AS score
+         |  FROM f),
+         |c AS (
+         |  SELECT lang, score,
+         |    CASE WHEN score >= 80 THEN 'high' WHEN score >= 50 THEN 'medium'
+         |         ELSE 'low' END AS quality_class
+         |  FROM sc)
+         |SELECT lang, quality_class, count(*) AS n_docs,
+         |  round(CAST(sum(CAST(floor(score * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 100.0, 2) AS avg_score
+         |FROM c GROUP BY 1, 2 ORDER BY lang, quality_class""".stripMargin,
+    "t03_langid" ->
+      s"""WITH tk AS (
+         |  SELECT lang, string_split($normSql, ' ') AS toks FROM documents),
+         |sc AS (
+         |  SELECT lang,
+         |    len(list_filter(toks, t -> list_contains(['the','and','of','is','to'], t))) AS s_en,
+         |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+         |    len(list_filter(toks, t -> list_contains(['el','la','de','y','es'], t))) AS s_es,
+         |    len(list_filter(toks, t -> list_contains(['le','la','et','de','est'], t))) AS s_fr
+         |  FROM tk),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+         |              AND s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |         WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+         |              AND s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |         WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+         |              AND s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |         WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+         |              AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+         |         ELSE 'und' END AS predicted_lang
+         |  FROM sc)
+         |SELECT lang, predicted_lang, count(*) AS n_docs
+         |FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+    "t04_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, $normSql AS norm FROM documents)
+         |SELECT doc_id,
+         |  md5(norm) AS fp_md5,
+         |  substr(md5(norm), 1, 8) AS fp_prefix,
+         |  list_min([md5(substr(norm, i, 8)) FOR i IN range(1, greatest(length(norm) - 6, 2))])
+         |    AS min_shingle_md5
+         |FROM n ORDER BY doc_id""".stripMargin,
+    "s01_cosine_topk" ->
+      """WITH f AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS fv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, fv,
+        |    CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM f),
+        |q AS (SELECT vec_id AS query_id, fv AS qv, nsq AS qn FROM n WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id,
+        |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.fv),
+        |      x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(q.qn AS DOUBLE)) / sqrt(CAST(c.nsq AS DOUBLE)) AS cosine
+        |  FROM q CROSS JOIN n c WHERE c.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, cand_id) AS INT) AS rnk
+        |  FROM s)
+        |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+    "m01_media_features" ->
+      """SELECT doc_id AS media_id, 'text/utf-8' AS kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin)
+}
