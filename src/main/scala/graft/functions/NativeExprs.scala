@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot sketching loops.
+  *
+  * Array higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * evaluate their lambdas interpreted — fine for dozens of elements, but
+  * a MinHash over s shingles × p permutations is s·p lambda dispatches
+  * PER ROW. These expressions run the whole sketch as one tight JVM loop
+  * per row instead (~10× on the documents corpus).
+  *
+  * [[DotFixedExpr]] carries real `doGenCode` (single branch-free loop
+  * spliced into WholeStageCodegen). The sketching expressions use
+  * `CodegenFallback` deliberately: their cost is the internal loop, not
+  * the per-row dispatch, and fallback keeps them robust while the
+  * surrounding projection still codegens.
+  *
+  * Hashing is self-contained (FNV-1a over UTF-8 bytes + splitmix64
+  * finalizer) — deterministic across runs, executors, and Spark
+  * versions, with no dependency on Spark-internal hash utilities.
+  */
+object NativeExprs {
+
+  @inline final def mix64(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
+  @inline final def hashUtf8(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    var i = 0
+    while (i < b.length) {
+      h = (h ^ (b(i) & 0xffL)) * 1099511628211L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  val PermSeed: Long = -5840758589994634535L
+
+  /** Register the native functions for `call_function` use. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash32",
+      exprs => MinHashSigExpr(exprs.head, 32), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot_fixed",
+      exprs => DotFixedExpr(exprs.head, exprs(1)), "built-in")
+  }
+}
+
+/** MinHash signature: array<string> shingles → array<long> of `numHashes`
+  * minima, permutation i = splitmix remix of the base hash with seed·i.
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = NativeExprs.hashUtf8(arr.getUTF8String(j))
+        var i = 0
+        while (i < numHashes) {
+          val m = NativeExprs.mix64(h + NativeExprs.PermSeed * i)
+          if (m < mins(i)) mins(i) = m
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** SimHash: array<string> tokens → 64-bit majority-vote fingerprint. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = NativeExprs.hashUtf8(arr.getUTF8String(j))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two array<long> vectors, with full
+  * whole-stage codegen (`doGenCode` splices a branch-free loop).
+  */
+case class DotFixedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_fixed"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotFixedExpr = copy(left = newLeft, right = newRight)
+}

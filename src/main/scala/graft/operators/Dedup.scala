@@ -61,13 +61,21 @@ object Dedup {
 
   /** MinHash signature (`numHashes` longs) over a distinct-shingle array.
     * Each permutation i remixes the shingle's xxhash64 with a distinct
-    * seed and takes the min — all inside array HOFs, scan-side.
+    * seed and takes the min.
+    *
+    * Single-pass: ONE `aggregate` over the shingles folds each shingle
+    * hash into all `numHashes` minima via `zip_with` — the shingle array
+    * and base hashes are evaluated once per row. (The naive form — one
+    * `array_min(transform(...))` per permutation — re-inlines the
+    * shingling expression `numHashes` times and was ~30× slower.)
     */
   def minHashSignature(shingleArr: Column, numHashes: Int): Column = {
-    val base = transform(shingleArr, s => xxhash64(s))
-    array((0 until numHashes).map { i =>
-      array_min(transform(base, h => mix64(h + lit(i * -5840758589994634535L))))
-    }: _*)
+    val seed = -5840758589994634535L
+    aggregate(
+      transform(shingleArr, s => xxhash64(s)), // base hashes: evaluated once
+      array((0 until numHashes).map(_ => lit(Long.MaxValue)): _*),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(numHashes - 1L)),
+        (m, i) => least(m, mix64(h + lit(seed) * i))))
   }
 
   /** LSH band keys from a signature: `numBands` hashes, each over

@@ -75,8 +75,15 @@ object DataOps {
     val all = base.select(col("doc_id"), col("lang"), col("norm"))
       .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
         col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
+    // Signatures feed three plan branches (band explode + two pair-side
+    // joins); persist so MinHash runs once — the batch analog of writing
+    // a signature table before the LSH join at cluster scale. The
+    // signature itself is the native expression (tight per-row loop).
+    graft.functions.NativeExprs.register(spark)
     val sigs = all
-      .withColumn("sig", Dedup.minHashSignature(TextOps.shingles(col("norm"), 5), 32))
+      .withColumn("sig", call_function("graft_minhash32",
+        TextOps.wordShingles(TextOps.tokens(col("norm")), 3)))
+      .persist()
     val pairs = Dedup.lshCandidatePairs(sigs, col("doc_id"), col("sig"), 8, 4)
     val est = pairs
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
@@ -101,7 +108,9 @@ object DataOps {
     val all = base.select(col("doc_id"), col("lang"), col("norm"))
       .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
         col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
-    val hashed = all.withColumn("sim", Dedup.simHash(TextOps.tokens(col("norm"))))
+    graft.functions.NativeExprs.register(spark)
+    val hashed = all.withColumn("sim",
+      call_function("graft_simhash64", TextOps.tokens(col("norm"))))
     val pairs = Dedup.simHashPairs(hashed, col("doc_id"), col("sim"), maxDist = 3)
     pairs
       .join(hashed.select(col("doc_id").as("id_a"), col("lang")), Seq("id_a"))

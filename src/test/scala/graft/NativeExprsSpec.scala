@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.NativeExprs
+import graft.operators.{Dedup, Similarity, TextOps}
+
+class NativeExprsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.local("native-exprs-spec")
+    NativeExprs.register(s)
+    s
+  }
+
+  test("native minhash estimate approximates true jaccard") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home today"
+    val mut = base.dropRight(12)
+    val df = Seq((1L, base), (2L, mut)).toDF("id", "t")
+      .withColumn("sh", TextOps.shingles(TextOps.normalize(col("t")), 5))
+      .withColumn("sig", call_function("graft_minhash32", col("sh")))
+    val row = df.agg(
+      Dedup.minHashEstimate(first(when(col("id") === 1, col("sig")), true),
+        first(when(col("id") === 2, col("sig")), true)).as("est"),
+      Dedup.jaccard(first(when(col("id") === 1, col("sh")), true),
+        first(when(col("id") === 2, col("sh")), true)).as("true_j")).head
+    assert(row.getDouble(1) > 0.7)
+    assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 0.3)
+  }
+
+  test("native minhash is deterministic and identical-input-identical-sig") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")).toDF("id", "t")
+      .withColumn("sig", call_function("graft_minhash32",
+        TextOps.shingles(TextOps.normalize(col("t")), 5)))
+    val sigs = df.select("sig").collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 32)
+  }
+
+  test("native simhash: identical 0-dist, near small, far large") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (4L, "totally unrelated words about weather forecasts rain snow wind sun")
+    ).toDF("id", "t")
+      .withColumn("sim", call_function("graft_simhash64",
+        TextOps.tokens(TextOps.normalize(col("t")))))
+    val sims = df.orderBy("id").collect().map(_.getAs[Long]("sim"))
+    assert(sims(0) == sims(1))
+    assert(java.lang.Long.bitCount(sims(0) ^ sims(2)) <= 12)
+    assert(java.lang.Long.bitCount(sims(0) ^ sims(3)) > 12)
+  }
+
+  test("native dot (codegen) equals HOF dot on fixed vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(0.5f, -0.25f, 0.75f), Seq(0.4f, 0.3f, -0.2f))).toDF("a", "b")
+      .withColumn("fa", Similarity.fixedVec(col("a")))
+      .withColumn("fb", Similarity.fixedVec(col("b")))
+    val row = df.select(
+      call_function("graft_dot_fixed", col("fa"), col("fb")).as("native"),
+      Similarity.dotFixed(col("fa"), col("fb")).as("hof")).head
+    assert(row.getLong(0) == row.getLong(1))
+  }
+}
