@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pyramid
+import graft.sources.MeasurementIngest
+
+/** The minimum end-to-end slice (SURVEY.md §7.3): EPA-shaped raw CSV →
+  * ingest (P1–P6) → daily aggregation → weekend-effect answer, on the
+  * FIXTURES.md A1 fixture shape.
+  */
+class MeasurementIngestSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("ingest-spec")
+
+  /** EPA-shaped CSV: truncated state name, PM25 + NO2 (÷1000 case),
+    * weekend (2024-01-06/07) + weekday dates, ppb units on NO2.
+    */
+  def writeFixture(): (String, String) = {
+    val dir = Files.createTempDirectory("epa-fixture")
+    val header = "State Code,County Code,Site Num,State Name,Date Local,Time Local,Sample Measurement,Units of Measure"
+    val pm25 = Seq(
+      "06,001,0001,Californi,2024-01-05,01:00,10.0,Micrograms/cubic meter (LC)",
+      "06,001,0001,Californi,2024-01-05,02:00,20.0,Micrograms/cubic meter (LC)",
+      "06,001,0001,Californi,2024-01-06,01:00,40.0,Micrograms/cubic meter (LC)",
+      "36,005,0002,New York,2024-01-06,13:00,8.0,Micrograms/cubic meter (LC)")
+    val no2 = Seq(
+      "06,001,0001,Californi,2024-01-05,01:00,50.0,Parts per billion",
+      "36,005,0002,New York,2024-01-06,13:00,30.0,Parts per billion")
+    val pPm = dir.resolve("hourly_PM25_2024.csv")
+    val pNo = dir.resolve("hourly_NO2_2024.csv")
+    Files.writeString(pPm, (header +: pm25).mkString("\n"))
+    Files.writeString(pNo, (header +: no2).mkString("\n"))
+    (pPm.toString, pNo.toString)
+  }
+
+  lazy val ingested = {
+    val (pm, no) = writeFixture()
+    MeasurementIngest.ingestAll(spark, Seq("PM25" -> pm, "NO2" -> no)).cache()
+  }
+
+  test("P1/P2: renamed+cast 9-column schema") {
+    assert(ingested.columns.toSeq == Seq("state_code", "county_code", "site_num",
+      "state_name", "pollutant", "date_local", "hour_local", "measurement", "units"))
+    val r = ingested.filter(col("pollutant") === "PM25" && col("hour_local") === 2).head
+    assert(r.getAs[Int]("state_code") == 6)
+    assert(r.getAs[Double]("measurement") == 20.0)
+  }
+
+  test("P5: truncated state names repaired via the 18-entry map") {
+    val states = ingested.select("state_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(states == Set("California", "New York"))
+  }
+
+  test("P3: hour extracted from HH:MM") {
+    val hours = ingested.filter(col("state_name") === "New York")
+      .select("hour_local").distinct().collect().map(_.getInt(0)).toSet
+    assert(hours == Set(13))
+  }
+
+  test("P4/P6: NO2 measurements /1000 with ppb->ppm label rewrite") {
+    val no2 = ingested.filter(col("pollutant") === "NO2" &&
+      col("state_name") === "California").head
+    assert(no2.getAs[Double]("measurement") == 0.05)
+    assert(no2.getAs[String]("units") == "Parts per million")
+    // PM25 units untouched
+    val pm = ingested.filter(col("pollutant") === "PM25").head
+    assert(pm.getAs[String]("units") == "Micrograms/cubic meter (LC)")
+  }
+
+  test("S2: partitioned parquet round-trip preserves layout and rows") {
+    val out = Files.createTempDirectory("epa-out").toString
+    MeasurementIngest.writePartitioned(ingested, out)
+    assert(new java.io.File(s"$out/pollutant=PM25").exists())
+    val back = spark.read.parquet(out)
+    assert(back.count() == ingested.count())
+    // partition-column filter prunes to the PM25 directory
+    assert(back.filter(col("pollutant") === "NO2").count() == 2)
+  }
+
+  test("end-to-end slice: ingest -> daily pyramid -> weekend effect") {
+    val pm = ingested.filter(col("pollutant") === "PM25" &&
+      col("state_name") === "California")
+    val daily = Pyramid.daily(pm,
+      col("state_name"),
+      // daily() expects a timestamp-like; date works for to_date
+      col("date_local"), col("measurement"))
+    val rows = daily.orderBy("date_local").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("daily_avg") == 15.0) // Fri: (10+20)/2
+    assert(!rows(0).getAs[Boolean]("is_weekend"))
+    assert(rows(1).getAs[Double]("daily_avg") == 40.0) // Sat
+    assert(rows(1).getAs[Boolean]("is_weekend"))
+    // weekend effect ratio: 40 / 15
+    val we = daily.agg(
+      (sum(when(col("is_weekend"), col("daily_avg"))) /
+        sum(when(!col("is_weekend"), col("daily_avg")))).as("ratio")).head
+    assert(math.abs(we.getDouble(0) - 40.0 / 15.0) < 1e-12)
+  }
+}
