@@ -16,6 +16,7 @@ object GraftSession {
       math.max(2, Runtime.getRuntime.availableProcessors()).toString)
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
