@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** Spark-SQL twins of representative DataFrame queries (SURVEY.md §7.1:
+  * each query as BOTH a SQL string and a DataFrame implementation,
+  * hash-matched against each other; §2.1 S10: the `spark.sql` entry
+  * point). The twins run over [[Tables.registerAll]] temp views and are
+  * asserted row-identical to their DataFrame counterparts in
+  * SqlTwinsSpec — proving the engine's surface is reachable from pure
+  * SQL text exactly like the reference's Hue/SQL-file path.
+  */
+object SqlTwins {
+
+  def run(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(sql(name))
+  }
+
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(floor(l_quantity * 100.0 + 0.5D) AS LONG)) AS qty_f,
+        |    sum(CAST(floor(l_extendedprice * 100.0 + 0.5D) AS LONG)) AS price_f,
+        |    sum(CAST(floor((l_extendedprice * (1.0D - l_discount)) * 10000.0 + 0.5D) AS LONG)) AS disc_price_f,
+        |    sum(CAST(floor(l_discount * 100.0 + 0.5D) AS LONG)) AS disc_f,
+        |    count(*) AS count_order
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(signum(qty_f) * floor(abs(CAST(qty_f AS DOUBLE) / 100.0) * 100.0 + 0.5D) / 100.0 AS DOUBLE) AS sum_qty,
+        |  CAST(signum(price_f) * floor(abs(CAST(price_f AS DOUBLE) / 100.0) * 100.0 + 0.5D) / 100.0 AS DOUBLE) AS sum_base_price,
+        |  CAST(signum(disc_price_f) * floor(abs(CAST(disc_price_f AS DOUBLE) / 10000.0) * 100.0 + 0.5D) / 100.0 AS DOUBLE) AS sum_disc_price,
+        |  CAST(signum(qty_f) * floor(abs(CAST(qty_f AS DOUBLE) / count_order / 100.0) * 100.0 + 0.5D) / 100.0 AS DOUBLE) AS avg_qty,
+        |  CAST(signum(disc_f) * floor(abs(CAST(disc_f AS DOUBLE) / count_order / 100.0) * 10000.0 + 0.5D) / 10000.0 AS DOUBLE) AS avg_disc,
+        |  count_order
+        |FROM a
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q08_streaks" ->
+      """WITH onat AS (
+        |  SELECT o.*, n.n_name
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |mc AS (
+        |  SELECT n_name, year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |         count(*) AS cnt
+        |  FROM onat GROUP BY 1, 2),
+        |f AS (
+        |  SELECT *, CASE WHEN cnt > lag(cnt) OVER (PARTITION BY n_name ORDER BY ym)
+        |         THEN 1 ELSE 0 END AS improved
+        |  FROM mc),
+        |g AS (
+        |  SELECT *, sum(CASE WHEN improved = 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY n_name ORDER BY ym
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f),
+        |s AS (
+        |  SELECT n_name, grp, count(*) AS streak_len, min(ym) AS streak_start
+        |  FROM g WHERE improved = 1 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT n_name, streak_len, streak_start,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY streak_len DESC, streak_start) AS rn
+        |  FROM s)
+        |SELECT n_name, streak_len, streak_start
+        |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin)
+}
