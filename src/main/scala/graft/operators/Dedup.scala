@@ -27,14 +27,20 @@ object Dedup {
   /** Deterministic exact dedup: one survivor per fingerprint (smallest
     * `idCol`), plus the group size. Input: any frame with an id and a
     * fingerprint column.
+    *
+    * Implemented as ONE hash aggregation (`min_by` on the id over the
+    * whole row) — a single shuffle with map-side partial combine and no
+    * sort, vs. the window formulation (shuffle + per-partition sort).
+    * Deterministic because ids are unique within a group.
     */
   def exact(df: DataFrame, id: Column, fingerprint: Column): DataFrame = {
-    val w = Window.partitionBy(col("__fp")).orderBy(col("__id"))
+    val cols = df.columns.toSeq
     df.withColumn("__fp", fingerprint).withColumn("__id", id)
-      .withColumn("dup_group_size", count(lit(1)).over(Window.partitionBy(col("__fp"))))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__fp", "__id")
+      .groupBy(col("__fp"))
+      .agg(
+        min_by(struct(cols.map(col): _*), col("__id")).as("__row"),
+        count(lit(1)).as("dup_group_size"))
+      .select(col("__row.*") +: Seq(col("dup_group_size")): _*)
   }
 
   /** Exact Jaccard similarity of two distinct-shingle array columns:

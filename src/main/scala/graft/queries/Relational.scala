@@ -51,8 +51,62 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** q25 — the big fact-fact join: lineitem ⋈ orders ⋈ customer ⋈ nation
+    * ⋈ region with a region filter (TPC-H Q5 shape). lineitem⋈orders is
+    * a genuine shuffle join on o_orderkey (both sides large at scale);
+    * AQE decides broadcast vs sort-merge for customer from runtime
+    * stats, nation/region are broadcast. Revenue in exact cents.
+    */
+  def q25RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey",
+      year($"o_orderdate").as("year"))
+    val c = Tables.load(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region").filter($"r_name".isin("ASIA", "EUROPE"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name", $"year")
+      .agg(
+        sum(gf.fixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 10000.0))
+          .as("rev_f"),
+        count(lit(1)).as("n_lineitems"))
+      .select($"r_name", $"n_name", $"year",
+        gf.dround(gf.sumFromFixed($"rev_f", 10000.0), 2).as("revenue"),
+        $"n_lineitems")
+      .orderBy($"r_name", $"n_name", $"year")
+  }
+
+  /** q26 — part-level margin (lineitem ⋈ part): second fact join keyed
+    * differently (l_partkey), demonstrating the reuse of one scan for a
+    * differently-keyed shuffle.
+    */
+  def q26PartMargin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.load(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val p = Tables.load(spark, dir, "part").select($"p_partkey", $"p_type", $"p_retailprice")
+    l.join(p, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type")
+      .agg(
+        sum(gf.fixed($"l_extendedprice", 100.0)).as("rev_f"),
+        sum(gf.fixed($"l_quantity" * $"p_retailprice", 10000.0)).as("retail_f"),
+        count(lit(1)).as("n_lineitems"))
+      .select($"p_type",
+        gf.dround(gf.sumFromFixed($"rev_f", 100.0), 2).as("revenue"),
+        gf.dround(gf.sumFromFixed($"retail_f", 10000.0), 2).as("retail_value"),
+        $"n_lineitems")
+      .orderBy($"p_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> q01PricingSummary
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q25_region_revenue" -> q25RegionRevenue,
+    "q26_part_margin" -> q26PartMargin
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,6 +127,27 @@ object Relational {
         |  round(CAST(disc_f AS DOUBLE) / count_order / 100.0, 4) AS avg_disc,
         |  count_order
         |FROM a
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q25_region_revenue" ->
+      """SELECT r.r_name, n.n_name, CAST(year(o.o_orderdate) AS INT) AS year,
+        |  round(CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY 1, 2, 3
+        |ORDER BY r_name, n_name, year""".stripMargin,
+    "q26_part_margin" ->
+      """SELECT p.p_type,
+        |  round(CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(sum(CAST(floor((l.l_quantity * p.p_retailprice) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS retail_value,
+        |  count(*) AS n_lineitems
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1
+        |ORDER BY p_type""".stripMargin
   )
 }
