@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotFixedExpr, MinHashSigExpr, SimHash64Expr}
+import graft.plans.{CosineFloatExpr, SimilarityJoinRewrite}
 
 /** SparkSessionExtensions entry point: installs graft's native
   * functions into every session built with these extensions — the
@@ -26,5 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_dot_fixed"),
       info("graft_dot_fixed", "_FUNC_(array<long>, array<long>) - exact integer dot product"),
       (exprs: Seq[Expression]) => DotFixedExpr(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "_FUNC_(array<float>, array<float>) - cosine similarity"),
+      (exprs: Seq[Expression]) => CosineFloatExpr(exprs.head, exprs(1))))
+    // Opt-in: with spark.graft.similarityRewrite.planes > 0, cosine-
+    // threshold cross joins become LSH-bucketed equi-joins.
+    e.injectOptimizerRule(_ => SimilarityJoinRewrite())
   }
 }
