@@ -120,6 +120,51 @@ object Dedup {
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
 
+  /** Connected components over near-dup candidate pairs: labels every
+    * id with the MIN id of its component via iterative min-label
+    * propagation. The last step of real corpus dedup — pairs alone
+    * don't dedup; components do (a≈b, b≈c ⇒ {a,b,c} keep one).
+    *
+    * Each iteration is one join + one aggregate; `localCheckpoint`
+    * truncates lineage so the loop doesn't stack plans. Iterations
+    * needed = component diameter (near-dup clusters are shallow; the
+    * cap guards pathological chains). Output: (id, label).
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("label", "old_label"), "id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup dedup end-to-end: keep one representative (the min id)
+    * per connected component of `pairs`, plus every row not in any
+    * pair. Deterministic.
+    */
+  def dedupByPairs(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val labels = clusterPairs(pairs)
+    val losers = labels.filter(col("id") =!= col("label")).select(col("id").as("__loser"))
+    df.join(losers, id === col("__loser"), "left_anti")
+  }
+
   // --- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over a token array: per-bit majority vote of token
