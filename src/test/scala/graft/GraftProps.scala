@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.functions.gf
+import graft.operators.WindowOps
+
+/** ScalaCheck properties for the tricky operators (SURVEY.md §7.4):
+  * gaps-and-islands streaks vs a reference implementation, NTILE bucket
+  * balance, moving-average frame semantics, and the fixed-point /
+  * rounding kernel.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  lazy val spark: SparkSession = GraftSession.local("props")
+
+  /** Reference streaks: lengths of maximal strictly-increasing runs of
+    * length ≥ 2, as (streak_len, start_index_of_first_improved).
+    */
+  private def refStreaks(values: List[Int]): List[(Long, Int)] = {
+    val improved = values.zipWithIndex.drop(1).map { case (v, i) => (v > values(i - 1), i) }
+    val runs = scala.collection.mutable.ListBuffer[(Long, Int)]()
+    var len = 0L
+    var start = -1
+    improved.foreach { case (imp, i) =>
+      if (imp) { if (len == 0) start = i; len += 1 }
+      else if (len > 0) { runs += ((len, start)); len = 0 }
+    }
+    if (len > 0) runs += ((len, start))
+    runs.toList
+  }
+
+  property("growthStreaks matches reference run-length semantics") =
+    forAll(Gen.listOfN(10, Gen.choose(0, 5))) { values =>
+      import spark.implicits._
+      val df = values.zipWithIndex.map { case (v, i) => ("e", i, v) }.toDF("e", "t", "v")
+      val got = WindowOps.growthStreaks(df, Seq(col("e")), col("t"), col("v"))
+        .collect().map(r => (r.getAs[Long]("streak_len"), r.getAs[Int]("streak_start")))
+        .sortBy(_._2).toList
+      got == refStreaks(values)
+    }
+
+  property("ntile(4) bucket sizes differ by at most 1") =
+    forAll(Gen.choose(1, 30)) { n =>
+      import spark.implicits._
+      val df = (1 to n).map(i => (i, i * 37 % 101)).toDF("id", "v")
+      val sizes = df.withColumn("q",
+          ntile(4).over(Window.orderBy(col("v").desc, col("id"))))
+        .groupBy("q").count().collect().map(_.getLong(1))
+      sizes.max - sizes.min <= 1
+    }
+
+  property("movingMeanFixed equals mean of the last <=k rows") =
+    forAll(Gen.listOfN(12, Gen.choose(0L, 10000L)), Gen.choose(2, 5)) { (cents, k) =>
+      import spark.implicits._
+      val df = cents.zipWithIndex.map { case (c, i) => ("e", i, c) }.toDF("e", "t", "vf")
+      val got = df.withColumn("m",
+          WindowOps.movingMeanFixed(col("vf"), Seq(col("e")), Seq(col("t")), k, 100.0))
+        .orderBy("t").collect().map(_.getAs[Double]("m"))
+      val exp = cents.indices.map { i =>
+        val frame = cents.slice(math.max(0, i - k + 1), i + 1)
+        frame.sum.toDouble / frame.size / 100.0
+      }
+      got.toSeq == exp
+    }
+
+  property("dround is scaled-binary rounding and idempotent") =
+    forAll(Gen.choose(-1e6, 1e6), Gen.choose(0, 4)) { (x, n) =>
+      import spark.implicits._
+      val Seq(r1, r2) = Seq(x).toDF("x")
+        .select(gf.dround(col("x"), n).as("a"),
+          gf.dround(gf.dround(col("x"), n), n).as("b"))
+        .collect().flatMap(r => Seq(r.getDouble(0), r.getDouble(1))).toSeq
+      val s = math.pow(10, n)
+      val exp = math.signum(x) * math.floor(math.abs(x) * s + 0.5d) / s
+      r1 == exp && r2 == r1
+    }
+
+  property("fixed-point mean is exact for 2-decimal inputs") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 99999))) { centsInts =>
+      import spark.implicits._
+      val doubles = centsInts.map(_ / 100.0)
+      val df = doubles.toDF("v")
+      val got = df.agg(
+        gf.meanFromFixed(sum(gf.fixed(col("v"), 100.0)), count(lit(1)), 100.0)).head.getDouble(0)
+      val exp = centsInts.map(_.toLong).sum.toDouble / centsInts.size / 100.0
+      got == exp
+    }
+}
