@@ -38,6 +38,18 @@ object EpaDemo {
     EpaQueries.q01StateRankingYoy(annual).show(6, false)
     println("== Q10 consecutive improvement ==")
     EpaQueries.q10ConsecutiveImprovement(monthly).show(false)
+
+    // SQ1 consumer over Kafka-shaped JSON (batch = trigger-once answer)
+    val aqRaw = Seq(
+      """{"timestamp":"2024-03-01T10:05:00Z","city":"LA","state":"CA","aqi":50,"aqi_category":"M","dominant_pollutant":"pm25","pm25":12.0,"pm10":1,"o3":1,"no2":1,"so2":1,"co":1}""",
+      """{"timestamp":"2024-03-01T10:35:00Z","city":"SF","state":"CA","aqi":50,"aqi_category":"M","dominant_pollutant":"pm25","pm25":13.0,"pm10":1,"o3":1,"no2":1,"so2":1,"co":1}""")
+      .toDF("value")
+    val bl = Seq(("CA", 10, 3, false, 10.0))
+      .toDF("state_name", "bl_hour", "bl_month", "bl_is_weekend", "baseline_avg")
+    println("== SQ1 vs baseline ==")
+    graft.streaming.EpaConsumers.sq1VsBaseline(
+      graft.streaming.EpaConsumers.parse(aqRaw, graft.streaming.EpaConsumers.aqSchema),
+      bl).show(false)
     spark.stop()
   }
 }
