@@ -38,10 +38,14 @@ object DataOps {
       .unionByName(d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("lang"), col("text")))
 
-  /** d01 — deterministic exact dedup over normalized-text fingerprints. */
+  /** d01 — deterministic exact dedup over normalized-text fingerprints,
+    * scoped per language (cross-language identical texts are distinct
+    * documents; at larger SFs the synthetic corpus does contain them).
+    */
   def d01(spark: SparkSession, dir: String): DataFrame = {
     val all = withExactCopies(docs(spark, dir))
-    val survivors = Dedup.exact(all, col("doc_id"), TextOps.fingerprint(norm(col("text"))))
+    val survivors = Dedup.exact(all, col("doc_id"),
+      concat(col("lang"), lit("|"), TextOps.fingerprint(norm(col("text")))))
     survivors.groupBy(col("lang"))
       .agg(
         sum(col("dup_group_size")).as("n_docs"),
