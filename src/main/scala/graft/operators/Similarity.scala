@@ -91,6 +91,48 @@ object Similarity {
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) approximate top-k: candidates are coarse-
+    * quantized to their nearest centroid once (the "inverted lists");
+    * each query probes only its `nprobe` nearest centroids' lists and
+    * exact-re-ranks within them. Centroids are a deterministic sample
+    * (first `numCentroids` by id) — no RNG, so lists are reproducible;
+    * a production variant would swap in k-means centroids without
+    * changing the plan shape. Assignment is one broadcast join against
+    * the centroid set; probing is an equi-join on centroid_id — at
+    * corpus scale the cross join never materializes.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              numCentroids: Int, nprobe: Int): DataFrame = {
+    val cand = candidates.select(col("id").as("cand_id"), fixedVec(col("vec")).as("cv"))
+      .withColumn("cn", normSqFixed(col("cv")))
+    val cents = candidates.orderBy(col("id")).limit(numCentroids)
+      .select(col("id").as("centroid_id"), fixedVec(col("vec")).as("centv"))
+      .withColumn("centn", normSqFixed(col("centv")))
+    def nearestCentroids(side: DataFrame, idCol: String, v: String, n: String,
+                         keep: Int): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .withColumn("c_cos", cosineFromFixed(dotFixed(col(v), col("centv")),
+          col(n), col("centn")))
+        .withColumn("c_rnk", row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("c_cos").desc, col("centroid_id"))))
+        .filter(col("c_rnk") <= keep)
+        .drop("centv", "centn", "c_cos", "c_rnk")
+    val lists = nearestCentroids(cand, "cand_id", "cv", "cn", 1)
+    val q = queries.select(col("id").as("query_id"), fixedVec(col("vec")).as("qv"))
+      .withColumn("qn", normSqFixed(col("qv")))
+    val probes = nearestCentroids(q, "query_id", "qv", "qn", nprobe)
+    val scored = probes.join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        cosineFromFixed(dotFixed(col("qv"), col("cv")), col("qn"), col("cn")))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk"))
+      .distinct()
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine re-rank. Recall is tunable via `numPlanes`
     * (fewer planes → bigger buckets → higher recall, more work).

@@ -232,8 +232,22 @@ object DataOps {
       .orderBy(col("media_id"))
   }
 
+  /** s03 — IVF ANN (coarse-quantize to inverted lists, probe 4 of 16
+    * centroids, exact re-rank). Rows-only; recall vs s01 in DataOpsSpec.
+    */
+  def s03(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 50 === 0)
+    Similarity.ivfTopK(q, e, 5, numCentroids = 16, nprobe = 4)
+      .select(col("query_id"), col("cand_id"),
+        gf.dround(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01,
+    "s03_ivf_ann" -> s03,
     "d02_minhash_lsh" -> d02,
     "d03_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,

@@ -103,10 +103,38 @@ object Relational {
       .orderBy($"p_type")
   }
 
+  /** q27 — ROLLUP + exact DISTINCT aggregates (beyond the reference's
+    * operator set; standard OLAP surface). Subtotal rows are labeled
+    * 'ALL' via coalesce so no sort key is null (Spark and DuckDB order
+    * nulls differently).
+    */
+  def q27RollupDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = Tables.load(spark, dir, "nation").select("n_nationkey", "n_regionkey")
+    val r = Tables.load(spark, dir, "region")
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", year($"o_orderdate").as("year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"),
+        sum(gf.fixed($"o_totalprice", 100.0)).as("rev_f"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("r_name"),
+        coalesce($"year", lit(-1)).as("year"),
+        $"n_orders", $"n_customers",
+        gf.dround(gf.sumFromFixed($"rev_f", 100.0), 2).as("revenue"))
+      .orderBy($"r_name", $"year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q25_region_revenue" -> q25RegionRevenue,
-    "q26_part_margin" -> q26PartMargin
+    "q26_part_margin" -> q26PartMargin,
+    "q27_rollup_distinct" -> q27RollupDistinct
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,6 +176,18 @@ object Relational {
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1
-        |ORDER BY p_type""".stripMargin
+        |ORDER BY p_type""".stripMargin,
+    "q27_rollup_distinct" ->
+      """SELECT coalesce(r.r_name, 'ALL') AS r_name,
+        |  coalesce(CAST(year(o.o_orderdate) AS INT), -1) AS year,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o.o_custkey) AS n_customers,
+        |  round(CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, year(o.o_orderdate))
+        |ORDER BY r_name, year""".stripMargin
   )
 }

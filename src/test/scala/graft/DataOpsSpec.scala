@@ -107,6 +107,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (qid, cid) => qid != cid })
   }
 
+  test("ivf ann achieves decent recall of brute-force top-5 neighbors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val vecs = (0L until 240L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq)
+    }.toDF("id", "vec")
+    val q = vecs.filter(col("id") % 24 === 0)
+    val exact = Similarity.bruteForceTopK(q, vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, vecs, 5, numCentroids = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.5, s"recall=$recall")
+    assert(ivf.forall { case (qid, cid) => qid != cid })
+  }
+
   test("multimodal feature stub: histogram + checksum match a reference impl") {
     import spark.implicits._
     val recs = Seq(Multimodal.MediaRecord(1L, "text/utf-8",
