@@ -51,6 +51,42 @@ object Multimodal {
     }
   }
 
+  /** Deterministic fake "resize": metadata updated for real, content
+    * transformed by a stub (proportional byte resampling).
+    * ??? REPLACE WITH REAL CODEC ??? — a real decoder/encoder pair goes
+    * here; the schema flow and per-partition batching are the real part.
+    */
+  def resize(records: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val scale = if (r.width > 0 && r.height > 0)
+          (targetW.toLong * targetH) / math.max(1L, r.width.toLong * r.height)
+        else 1L
+        val newLen = math.max(1, (r.content.length * math.max(1L, scale)).toInt
+          .min(r.content.length))
+        r.copy(content = r.content.take(newLen), width = targetW, height = targetH)
+      }
+    }
+  }
+
+  /** Frame sampling for video-kind payloads: emit every `everyN`-th
+    * fixed-size frame slice with its index — the real plumbing (schema,
+    * per-record fan-out, ordering column) around a stubbed frame
+    * decoder. ??? REPLACE WITH REAL CODEC ???
+    */
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  def frameSample(records: Dataset[MediaRecord], frameSize: Int, everyN: Int): Dataset[Frame] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val nFrames = math.max(1, r.content.length / math.max(1, frameSize))
+      (0 until nFrames by everyN).map { i =>
+        Frame(r.media_id, i, r.content.slice(i * frameSize, (i + 1) * frameSize))
+      }
+    }
+  }
+
   /** Wrap a text table into media records (UTF-8 bytes as the payload) —
     * lets the binary pipeline be driven by the documents testdata.
     */

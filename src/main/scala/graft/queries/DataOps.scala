@@ -127,6 +127,30 @@ object DataOps {
       .orderBy(col("lang"))
   }
 
+  /** d05 — winnowing-fingerprint near-dup discovery: docs sharing any
+    * winnow fingerprint with their tail-truncated mutant (the SIGMOD'03
+    * guarantee: shared substrings ≥ w+k−1 chars ⇒ shared fingerprint).
+    * Candidate generation is an equi-join on exploded fingerprints —
+    * the third blocking scheme next to MinHash bands and SimHash chunks.
+    */
+  def d05(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.register(spark)
+    val base = docs(spark, dir).withColumn("norm", norm(col("text")))
+    val all = base.select(col("doc_id"), col("lang"), col("norm"))
+      .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+        col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
+    val fps = all.select(col("doc_id"), col("lang"),
+        explode(call_function("graft_winnow", col("norm"))).as("fp"))
+    val a = fps.select(col("doc_id").as("id_a"), col("lang"), col("fp"))
+    val b = fps.select(col("doc_id").as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_b") === col("id_a") + 1000000) // original↔mutant pairs
+      .select(col("id_a"), col("id_b"), col("lang")).distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_recovered_mutants"))
+      .orderBy(col("lang"))
+  }
+
   /** t01 — token statistics per language (whitespace + BPE-ish counts). */
   def t01(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -251,6 +275,7 @@ object DataOps {
     "d02_minhash_lsh" -> d02,
     "d03_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
+    "d05_winnow_dedup" -> d05,
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
     "t03_langid" -> t03,

@@ -139,6 +139,20 @@ class DataOpsSpec extends AnyFunSuite {
     assert(f.histogram.toSeq == hist.toSeq)
   }
 
+  test("multimodal resize + frame sampling keep typed metadata coherent") {
+    import spark.implicits._
+    val recs = Seq(Multimodal.MediaRecord(1L, "video/fake",
+      Array.tabulate(100)(_.toByte), 640, 480, 0)).toDS()
+    val resized = Multimodal.resize(recs, 320, 240).head()
+    assert(resized.width == 320 && resized.height == 240)
+    assert(resized.content.length <= 100)
+    val frames = Multimodal.frameSample(recs, frameSize = 10, everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.head.frame_bytes.toSeq == (0 until 10).map(_.toByte))
+    assert(frames(1).frame_bytes.toSeq == (20 until 30).map(_.toByte))
+  }
+
   test("langid tie resolves to first profile in marker order") {
     import spark.implicits._
     val df = Seq("la de").toDF("text") // hits es(la,de→2? de not in es set: el,la,de,y,es → la+de=2) and fr(le,la,et,de,est → la+de=2)

@@ -55,6 +55,22 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sims(0) ^ sims(3)) > 12)
   }
 
+  test("winnowing: deterministic, and shared substrings share fingerprints") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "INTRO TEXT " + a + " APPENDED TAIL" // contains a verbatim
+    val c = "completely different content with no overlap whatsoever in any form"
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "t")
+      .withColumn("fp", call_function("graft_winnow", col("t")))
+    val fps = df.orderBy("id").collect().map(_.getSeq[Long](2).toSet)
+    assert(fps(0) == fps(1)) // deterministic
+    assert(fps(0).nonEmpty && fps(0).size < a.length) // compressed
+    // winnowing guarantee: long shared substring ⇒ shared fingerprints
+    val overlap = (fps(0) & fps(2)).size.toDouble / fps(0).size
+    assert(overlap > 0.5, s"overlap=$overlap")
+    assert((fps(0) & fps(3)).isEmpty)
+  }
+
   test("native dot (codegen) equals HOF dot on fixed vectors") {
     import spark.implicits._
     val df = Seq((Seq(0.5f, -0.25f, 0.75f), Seq(0.4f, 0.3f, -0.2f))).toDF("a", "b")
