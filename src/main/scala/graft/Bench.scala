@@ -14,7 +14,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen and parquet footers so the first timed
     // query doesn't absorb session startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").sum("v").collect() // shuffle + hash-agg machinery
     try graft.sources.Tables.names.foreach { n =>
       spark.read.parquet(graft.sources.Tables.path(sfDir, n)).limit(1).count()
     } catch { case _: Throwable => () }
