@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-past) join: for each left row, attach the single
+  * right row with the greatest `rightTime <= leftTime` per key — the
+  * time-series join Spark lacks natively (the guide's canonical custom
+  * operator), here composed from built-ins per the preference order:
+  *
+  * union the tagged sides, then one running `last(_, ignoreNulls)` over
+  * (key, time, side) — each left row sees the most recent right payload
+  * at or before its timestamp. ONE shuffle on the key, no range-join
+  * row explosion (a naive `l.time >= r.time` join is O(|L|·|R|) per
+  * key), no per-key state: the plan is sort-within-partition + window,
+  * which scales to arbitrarily long histories. Ties at equal time
+  * resolve right-before-left (a right row AT the left timestamp
+  * matches), mirroring SQL ASOF JOIN's `>=`.
+  *
+  * `payload` columns must not collide with left's columns (alias on the
+  * right side first).
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = payload.foldLeft(
+      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
+      (df, p) => df.withColumn(p, lit(null))
+    }
+    val r = leftCols.filterNot(c => c == key)
+      .foldLeft(right.select((key +: rightTime +: payload).map(col): _*)
+        .withColumnRenamed(rightTime, "__t")
+        .withColumn("__side", lit(0))) {
+        (df, c) => df.withColumn(c, lit(null))
+      }
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.select((leftCols ++ Seq("__t", "__side") ++ payload).map(col): _*)
+      .unionByName(r.select((leftCols ++ Seq("__t", "__side") ++ payload).map(col): _*))
+    payload.foldLeft(joined) { (df, p) =>
+        df.withColumn(s"asof_$p", last(col(p), ignoreNulls = true).over(w))
+      }
+      .filter(col("__side") === 1)
+      .drop((Seq("__t", "__side") ++ payload): _*)
+  }
+}

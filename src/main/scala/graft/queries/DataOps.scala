@@ -269,9 +269,32 @@ object DataOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** q28 — as-of join: each click event joined to the most recent error
+    * event of the same user at-or-before it (oracle: DuckDB's native
+    * ASOF LEFT JOIN). Epochs floored on both sides (DuckDB `epoch` is
+    * fractional and CAST rounds; Spark `unix_timestamp` floors).
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"), col("value").as("e_value"))
+      .withColumn("e_epoch", unix_timestamp(col("e_ts"))) // floored, output only
+    graft.operators.AsOfJoin.asOf(clicks, errors, "user_id", "ts", "e_ts",
+        Seq("e_value", "e_epoch"))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts"),
+        col("asof_e_value").as("last_error_value"),
+        (unix_timestamp(col("ts")) - col("asof_e_epoch")).as("secs_since_error"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01,
     "s03_ivf_ann" -> s03,
+    "q28_asof_join" -> q28,
     "d02_minhash_lsh" -> d02,
     "d03_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
@@ -422,5 +445,19 @@ object DataOps {
     "m01_media_features" ->
       """SELECT doc_id AS media_id, 'text/utf-8' AS kind,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q28_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |errors AS (
+        |  SELECT user_id AS e_user, ts AS e_ts, value AS e_value
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS ts,
+        |  e.e_value AS last_error_value,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(e.e_ts)) AS BIGINT)
+        |    AS secs_since_error
+        |FROM clicks c
+        |ASOF LEFT JOIN errors e ON c.user_id = e.e_user AND c.ts >= e.e_ts
+        |ORDER BY event_id""".stripMargin)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("asof-spec")
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asOf: nearest-past match, at-timestamp tie, no-prior null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // before any right row → null
+      (2L, 10L, ts("2024-01-01 12:00:00")), // between r1 and r2 → r1
+      (3L, 10L, ts("2024-01-01 13:00:00")), // exactly at r2 → r2 (>= semantics)
+      (4L, 10L, ts("2024-01-01 23:00:00")), // after all → r2
+      (5L, 20L, ts("2024-01-01 12:00:00"))  // other key, own history → r3
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 11:00:00"), "r1"),
+      (10L, ts("2024-01-01 13:00:00"), "r2"),
+      (20L, ts("2024-01-01 11:30:00"), "r3")
+    ).toDF("k", "rt", "payload")
+    val got = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("asof_payload"))))
+    assert(got.toSeq == Seq(
+      1L -> None, 2L -> Some("r1"), 3L -> Some("r2"),
+      4L -> Some("r2"), 5L -> Some("r3")))
+  }
+
+  test("asOf: left rows and columns preserved exactly") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), "extra"))
+      .toDF("id", "k", "t", "other")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 42.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))
+    assert(out.columns.toSeq == Seq("id", "k", "t", "other", "asof_v"))
+    val r = out.head
+    assert(r.getAs[String]("other") == "extra" && r.getAs[Double]("asof_v") == 42.0)
+  }
+}
