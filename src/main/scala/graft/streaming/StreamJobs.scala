@@ -141,6 +141,19 @@ object StreamJobs {
           .otherwise("neutral"))
   }
 
+  /** In-flight stream deduplication: drop repeated events by key within
+    * the watermark horizon (`dropDuplicatesWithinWatermark` keeps state
+    * only until the watermark passes — bounded memory, unlike plain
+    * `dropDuplicates` on a stream which keeps ALL keys forever). On a
+    * batch frame it degrades to exact dedup on the keys. The streaming
+    * entry point of the corpus-dedup story (exact-first, sketches
+    * downstream).
+    */
+  def dedupEvents(events: DataFrame, keys: Seq[String]): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   /** SQ5 (W14/P19): current per-window entity ranking vs the historical
     * ranking derived from baselines; rank-gap anomaly flag. Mirrors
     * `consumer5.py:63-95`.

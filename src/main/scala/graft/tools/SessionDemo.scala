@@ -26,6 +26,10 @@ object SessionDemo {
     println("DEDUPED=" + Dedup.dedupByPairs(
       Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id"), col("doc_id"), pairs)
       .collect().map(_.getLong(0)).sorted.toList)
+    val dup = Event(Timestamp.valueOf("2024-03-01 10:00:00"), "c", 1L, 2.0)
+    println("STREAM_DEDUP=" + graft.streaming.StreamJobs
+      .dedupEvents(Seq(dup, dup, dup, evs.collect()(2)).toDS().toDF(),
+        Seq("user_id", "event_type", "ts")).count())
     spark.stop()
   }
 }

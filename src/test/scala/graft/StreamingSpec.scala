@@ -99,6 +99,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(lateWindow.size == 1)
   }
 
+  test("streamed dedup drops watermark-window duplicates (bounded state)") {
+    import spark.implicits._
+    val e1 = Ev(Timestamp.valueOf("2024-03-01 10:00:00"), "click", 1L, 5.0)
+    val rows = Seq(e1, e1, e1, // exact duplicates (e.g. producer retries)
+      Ev(Timestamp.valueOf("2024-03-01 10:30:00"), "click", 1L, 6.0),
+      Ev(Timestamp.valueOf("2024-03-01 11:00:00"), "view", 2L, 7.0))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val collected = scala.collection.mutable.ArrayBuffer[Row]()
+    val ckpt = Files.createTempDirectory("ckpt-dedup").toString
+    Sinks.runAvailableNow(
+      StreamJobs.dedupEvents(mem.toDF(), Seq("user_id", "event_type", "ts")),
+      ckpt, outputMode = "append")(identity) { df => collected ++= df.collect() }
+    assert(collected.size == 3) // 5 inputs, 2 dropped duplicates
+    assert(collected.map(_.getAs[Timestamp]("ts")).distinct.size == 3)
+  }
+
   test("kafka-shaped json payloads parse through the shared schema (S7)") {
     import spark.implicits._
     val raw = Seq(
