@@ -100,17 +100,25 @@ object Dedup {
     * (`id`, `sig`) columns. Output: (id_a, id_b) with id_a < id_b.
     */
   def lshCandidatePairs(df: DataFrame, id: Column, sig: Column,
-                        numBands: Int, rowsPerBand: Int): DataFrame = {
+                        numBands: Int, rowsPerBand: Int): DataFrame =
+    lshCandidatePairsWithSigs(df, id, sig, numBands, rowsPerBand)
+      .select(col("id_a"), col("id_b"))
+
+  /** Same, carrying both signatures through the self-join so the
+    * verification stage needs no extra joins back to the signature
+    * table (at scale that's two fewer shuffles).
+    */
+  def lshCandidatePairsWithSigs(df: DataFrame, id: Column, sig: Column,
+                                numBands: Int, rowsPerBand: Int): DataFrame = {
     val keyed = df.select(id.as("__id"), sig.as("__sig"))
       .withColumn("band_key",
         explode(lshBandKeys(col("__sig"), numBands, rowsPerBand)))
-      .select(col("__id"), col("band_key"))
-    val a = keyed.withColumnRenamed("__id", "id_a")
-    val b = keyed.withColumnRenamed("__id", "id_b")
+    val a = keyed.select(col("band_key"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = keyed.select(col("band_key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
     a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing

@@ -88,11 +88,9 @@ object DataOps {
       .withColumn("sig", call_function("graft_minhash32",
         TextOps.wordShingles(TextOps.tokens(col("norm")), 3)))
       .persist()
-    val pairs = Dedup.lshCandidatePairs(sigs, col("doc_id"), col("sig"), 8, 4)
+    val pairs = Dedup.lshCandidatePairsWithSigs(sigs, col("doc_id"), col("sig"), 8, 4)
     val est = pairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-        col("lang")), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigs.select(col("doc_id").as("id_a"), col("lang")), Seq("id_a"))
       .withColumn("est_jaccard", Dedup.minHashEstimate(col("sig_a"), col("sig_b")))
     est.groupBy(col("lang"))
       .agg(
@@ -291,10 +289,45 @@ object DataOps {
       .orderBy(col("event_id"))
   }
 
+  /** e01 — embedding-cosine near-dup dedup end-to-end: plant scaled
+    * copies (cosine-invariant ×1.001 → near-1 similarity after
+    * quantization), find pairs ≥ 0.999 by exact fixed-point cosine,
+    * cluster into connected components, keep the min-id representative.
+    * The oracle recomputes the components independently with a DuckDB
+    * recursive CTE — validating [[Dedup.clusterPairs]] against a second
+    * implementation.
+    */
+  def e01(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val base = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+    val all = base.unionByName(base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("ve"), x => x * 1.001).as("ve")))
+    val f = all.select(col("vec_id"), Similarity.fixedVec(col("ve")).as("fv"))
+      .withColumn("nsq", Similarity.normSqFixed(col("fv")))
+    val a = f.select(col("vec_id").as("ia"), col("fv").as("fa"), col("nsq").as("na"))
+    val b = f.select(col("vec_id").as("ib"), col("fv").as("fb"), col("nsq").as("nb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(Similarity.cosineFromFixed(
+        Similarity.dotFixed(col("fa"), col("fb")), col("na"), col("nb")) >= 0.999)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    val labels = Dedup.clusterPairs(pairs)
+    val isolated = f.select(col("vec_id").as("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    labels.unionByName(isolated)
+      .groupBy(col("label").as("vec_id"))
+      .agg(count(lit(1)).as("component_size"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01,
     "s03_ivf_ann" -> s03,
     "q28_asof_join" -> q28,
+    "e01_embedding_dedup" -> e01,
     "d02_minhash_lsh" -> d02,
     "d03_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
@@ -446,6 +479,38 @@ object DataOps {
       """SELECT doc_id AS media_id, 'text/utf-8' AS kind,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "e01_embedding_dedup" ->
+      """WITH RECURSIVE
+        |sub AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |f AS (
+        |  SELECT vec_id,
+        |    list_transform(ve, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS fv
+        |  FROM sub),
+        |n AS (
+        |  SELECT vec_id, fv,
+        |    CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM f),
+        |e0 AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE CAST(CAST(list_sum(list_transform(list_zip(a.fv, b.fv),
+        |          x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+        |        / sqrt(CAST(a.nsq AS DOUBLE)) / sqrt(CAST(b.nsq AS DOUBLE)) >= 0.999),
+        |edges AS (SELECT ia AS s, ib AS d FROM e0
+        |          UNION ALL SELECT ib, ia FROM e0),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS lab FROM n
+        |  UNION
+        |  SELECT e.d, reach.lab FROM reach JOIN edges e ON reach.id = e.s),
+        |lab AS (SELECT id, min(lab) AS label FROM reach GROUP BY id)
+        |SELECT label AS vec_id, count(*) AS component_size
+        |FROM lab GROUP BY 1 ORDER BY vec_id""".stripMargin,
     "q28_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
