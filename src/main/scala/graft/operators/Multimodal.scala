@@ -60,11 +60,11 @@ object Multimodal {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.map { r =>
-        val scale = if (r.width > 0 && r.height > 0)
-          (targetW.toLong * targetH) / math.max(1L, r.width.toLong * r.height)
-        else 1L
-        val newLen = math.max(1, (r.content.length * math.max(1L, scale)).toInt
-          .min(r.content.length))
+        val ratio = if (r.width > 0 && r.height > 0)
+          (targetW.toDouble * targetH) / (r.width.toDouble * r.height)
+        else 1.0
+        val newLen = math.max(1, math.min(r.content.length,
+          math.round(r.content.length * ratio).toInt))
         r.copy(content = r.content.take(newLen), width = targetW, height = targetH)
       }
     }
