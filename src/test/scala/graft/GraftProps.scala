@@ -82,6 +82,37 @@ object GraftProps extends Properties("graft") {
       r1 == exp && r2 == r1
     }
 
+  property("asOf join matches reference nearest-past semantics") =
+    forAll(Gen.listOfN(8, Gen.choose(0, 100)), Gen.listOfN(5, Gen.choose(0, 100))) {
+      (leftTimes, rightTimes) =>
+        import spark.implicits._
+        val left = leftTimes.distinct.zipWithIndex.map { case (t, i) => (i.toLong, 1L, t) }
+        val right = rightTimes.distinct.map(t => (1L, t, s"p$t"))
+        val l = left.toDF("id", "k", "t")
+        val r = right.toDF("k", "rt", "payload")
+        val got = graft.operators.AsOfJoin.asOf(l, r, "k", "t", "rt", Seq("payload"))
+          .collect().map(x => x.getLong(0) -> Option(x.getAs[String]("asof_payload"))).toMap
+        val expected = left.map { case (id, _, t) =>
+          id -> right.filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3)
+        }.toMap
+        got == expected
+    }
+
+  property("exact dedup keeps exactly min-id survivor per fingerprint") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0, 5)))) { rows =>
+      import spark.implicits._
+      val distinctRows = rows.distinct // (id, groupKey); ids unique per group
+      val df = distinctRows.map { case (id, g) => (id, s"g$g") }.distinct.toDF("id", "fp")
+      val got = graft.operators.Dedup.exact(df, col("id"), col("fp"))
+        .collect().map(r => (r.getAs[String]("fp"), r.getAs[Long]("id"),
+          r.getAs[Long]("dup_group_size"))).toSet
+      val expected = distinctRows.map { case (id, g) => (s"g$g", id) }.distinct
+        .groupBy(_._1).map { case (fp, xs) =>
+          (fp, xs.map(_._2).min, xs.map(_._2).distinct.size.toLong)
+        }.toSet
+      got == expected
+    }
+
   property("fixed-point mean is exact for 2-decimal inputs") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 99999))) { centsInts =>
       import spark.implicits._
