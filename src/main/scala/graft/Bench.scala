@@ -1,21 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.builder("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen and parquet footers so the first timed
-    // query doesn't absorb session startup.
-    spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
-      .groupBy("k").sum("v").collect() // shuffle + hash-agg machinery
+    // Warm the ACTUAL plan shapes: run the whole suite once at the
+    // smallest SF so JVM/codegen/compile cost lands here, not in the
+    // first timed query (round 1: the alphabetically-first query
+    // absorbed ~34 s of cold-start at sf0.1).
+    val warmDir = {
+      val d = new java.io.File("/root/testdata/sf0.001")
+      if (d.isDirectory) d.getPath else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache() // drop warmup persists before timing
     try graft.sources.Tables.names.foreach { n =>
       spark.read.parquet(graft.sources.Tables.path(sfDir, n)).limit(1).count()
     } catch { case _: Throwable => () }

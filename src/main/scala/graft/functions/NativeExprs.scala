@@ -48,17 +48,34 @@ object NativeExprs {
 
   val PermSeed: Long = -5840758589994634535L
 
-  /** Register the native functions for `call_function` use. Idempotent. */
+  /** (name, builder) for every native function. Single source of truth
+    * for [[register]] and `GraftExtensions`.
+    */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash32" -> (exprs => MinHashSigExpr(exprs.head, 32)),
+    "graft_simhash64" -> (exprs => SimHash64Expr(exprs.head)),
+    "graft_dot_fixed" -> (exprs => DotFixedExpr(exprs.head, exprs(1))),
+    "graft_winnow" -> (exprs => WinnowExpr(exprs.head, k = 8, w = 6)),
+    "graft_word_count" -> (exprs => WordSetCountExpr(exprs.head, exprs(1))))
+
+  /** Alias for [[register]] kept for call-site clarity: queries handed
+    * an arbitrary session (the driver's mains) call this; sessions
+    * built with GraftExtensions already have every function and the
+    * call is a no-op.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = register(spark)
+
+  /** Register any MISSING native functions for `call_function` use.
+    * Per-function idempotent — never replaces, so no replaced-function
+    * warnings when some functions already exist.
+    */
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_minhash32",
-      exprs => MinHashSigExpr(exprs.head, 32), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      exprs => SimHash64Expr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_dot_fixed",
-      exprs => DotFixedExpr(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_winnow",
-      exprs => WinnowExpr(exprs.head, k = 8, w = 6), "built-in")
+    functions.foreach { case (name, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
 
@@ -182,6 +199,51 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
+}
+
+/** Count of tokens present in a STATIC word set: array<string> tokens ×
+  * foldable array<string> words → int. The words literal is evaluated
+  * once into a hash set at first use; each row is then one tight loop
+  * with O(1) membership tests — replacing the interpreted
+  * `filter(toks, t -> array_contains(...))` HOF chain that dominated
+  * t02/t03 (per-token × per-word lambda dispatches).
+  */
+case class WordSetCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_word_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_word_count requires a literal word array")
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i).clone())
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(toks: Any, words: Any): Any = {
+    val arr = toks.asInstanceOf[ArrayData]
+    var n = 0
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      if (!arr.isNullAt(i) && wordSet.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(n)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): WordSetCountExpr = copy(left = newLeft, right = newRight)
 }
 
 /** Exact integer dot product of two array<long> vectors, with full

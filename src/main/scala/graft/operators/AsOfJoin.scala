@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * key), no per-key state: the plan is sort-within-partition + window,
   * which scales to arbitrarily long histories. Ties at equal time
   * resolve right-before-left (a right row AT the left timestamp
-  * matches), mirroring SQL ASOF JOIN's `>=`.
+  * matches), mirroring SQL ASOF JOIN's `>=`; several right rows at the
+  * SAME (key, rightTime) resolve to the greatest payload tuple —
+  * engines are free to pick any, so pick one deterministically.
   *
   * `payload` columns must not collide with left's columns (alias on the
   * right side first).
@@ -37,7 +39,13 @@ object AsOfJoin {
         .withColumn("__side", lit(0))) {
         (df, c) => df.withColumn(c, lit(null))
       }
-    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+    // Total order: payload columns break ties among right rows sharing
+    // (key, rightTime) — the survivor is the greatest payload tuple,
+    // deterministically, at any parallelism. (Left rows carry null
+    // payloads and only READ the running last, so their relative order
+    // within a timestamp is immaterial.)
+    val w = Window.partitionBy(col(key))
+      .orderBy((Seq(col("__t"), col("__side")) ++ payload.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.select((leftCols ++ Seq("__t", "__side") ++ payload).map(col): _*)
       .unionByName(r.select((leftCols ++ Seq("__t", "__side") ++ payload).map(col): _*))

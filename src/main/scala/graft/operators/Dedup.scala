@@ -129,16 +129,20 @@ object Dedup {
       lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
 
   /** Connected components over near-dup candidate pairs: labels every
-    * id with the MIN id of its component via iterative min-label
-    * propagation. The last step of real corpus dedup — pairs alone
-    * don't dedup; components do (a≈b, b≈c ⇒ {a,b,c} keep one).
+    * id with the MIN id of its component via min-label propagation WITH
+    * POINTER DOUBLING (each iteration also adopts the label's own
+    * label), so iterations needed is O(log diameter) — a 1000-link
+    * chain converges in ~10 rounds, not 1000. The last step of real
+    * corpus dedup — pairs alone don't dedup; components do
+    * (a≈b, b≈c ⇒ {a,b,c} keep one).
     *
-    * Each iteration is one join + one aggregate; `localCheckpoint`
-    * truncates lineage so the loop doesn't stack plans. Iterations
-    * needed = component diameter (near-dup clusters are shallow; the
-    * cap guards pathological chains). Output: (id, label).
+    * Each iteration is two joins + one aggregate; `localCheckpoint`
+    * truncates lineage so the loop doesn't stack plans. Exhausting
+    * `maxIter` without converging THROWS rather than silently returning
+    * split labels (maxIter=12 covers diameters to ~4000 via doubling).
+    * Output: (id, label).
     */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -150,16 +154,26 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val step = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+      // pointer doubling: label := min(label, label(label)) — labels are
+      // ids of the same component, so the lookup stays within it
+      val byId = step.select(col("id").as("lid"), col("label").as("llabel"))
+      val doubled = step.join(byId, step("label") === byId("lid"), "left")
+        .select(step("id"),
+          least(step("label"), coalesce(col("llabel"), step("label"))).as("label"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("label", "old_label"), "id")
+      changed = doubled.join(labels.withColumnRenamed("label", "old_label"), "id")
         .filter(col("label") =!= col("old_label")).count()
-      labels = updated
+      labels = doubled
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterPairs: labels not converged after $maxIter iterations " +
+          "(component diameter > 2^maxIter?) — raise maxIter")
     labels
   }
 

@@ -70,9 +70,10 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a zero-mean long derived from a splitmix-style mix — no RNG state,
-    * same planes on every executor and every run.
+    * same planes on every executor and every run. `private[graft]` so
+    * the DuckDB oracle builder can embed the identical constants.
     */
-  private def planeComponent(plane: Int, d: Int): Long = {
+  private[graft] def planeComponent(plane: Int, d: Int): Long = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -90,6 +91,45 @@ object Similarity {
       }.reduce(_ + _)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Same sign-pattern bucket, but (a) planes start at `planeOffset` so
+    * several INDEPENDENT hash tables can be derived from one plane
+    * stream (table t uses planes [t·numPlanes, (t+1)·numPlanes)), and
+    * (b) each plane dot runs through the native `graft_dot_fixed`
+    * against a literal plane vector — one codegen'd loop per plane
+    * instead of `dim` unrolled multiplies, which keeps a 16-plane ×
+    * multi-table bucket expression small enough for whole-stage codegen.
+    * Requires graft functions registered (GraftExtensions or
+    * NativeExprs.ensureRegistered).
+    */
+  def lshBucketTable(fv: Column, dim: Int, numPlanes: Int, planeOffset: Int): Column =
+    (0 until numPlanes).map { p =>
+      val plane = array((0 until dim).map(d =>
+        lit(planeComponent(planeOffset + p, d))): _*)
+      when(call_function("graft_dot_fixed", fv, plane) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** OR-amplified LSH candidate pairs for a cosine-threshold self-join:
+    * `numTables` independent sign-pattern tables of `numPlanes` planes;
+    * a pair is a candidate iff it collides in ANY table. Recall for a
+    * pair at angle θ is 1 − (1 − (1 − θ/π)^planes)^tables — at
+    * cos ≥ 0.999 (θ ≤ 0.0447) with 16 planes × 4 tables that is
+    * ≥ 99.8%, and near-dup pairs (θ ≈ 0) are found with certainty.
+    * Input: (`id`, `fv` array<long>). Output: (id_a, id_b), id_a < id_b,
+    * distinct. One equi-join on (table, bucket) — never all-pairs.
+    */
+  def lshCandidatePairsMultiTable(f: DataFrame, dim: Int,
+                                  numPlanes: Int, numTables: Int): DataFrame = {
+    val bucketed = f.select(col("id"), explode(array((0 until numTables).map(t =>
+      struct(lit(t).as("t"),
+        lshBucketTable(col("fv"), dim, numPlanes, t * numPlanes).as("b"))): _*)).as("tb"))
+    bucketed.select(col("tb"), col("id").as("id_a"))
+      .join(bucketed.select(col("tb"), col("id").as("id_b")), Seq("tb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
 
   /** IVF (inverted-file) approximate top-k: candidates are coarse-
     * quantized to their nearest centroid once (the "inverted lists");

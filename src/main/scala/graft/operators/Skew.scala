@@ -44,11 +44,18 @@ object Skew {
   /** Salted equi-join for a skewed big side: the small side is
     * replicated `saltBuckets`× (explode), the big side gets a uniform
     * salt, and the join key becomes (keys, salt). Row-for-row identical
-    * to the plain join; the hot key's rows land on `saltBuckets`
-    * different reducers instead of one.
+    * to the plain join for big-side-preserving join types; the hot
+    * key's rows land on `saltBuckets` different reducers instead of one.
+    *
+    * Right/full outer joins are REJECTED: the small side is exploded,
+    * so each unmatched small row would surface `saltBuckets` times.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched exploded " +
+        "small-side rows; use inner/left/left_semi/left_anti")
     val bigS = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
     val smallS = small.withColumn("__salt",

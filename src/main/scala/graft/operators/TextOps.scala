@@ -37,9 +37,13 @@ object TextOps {
 
   /** Count of tokens that appear in `words` (exact membership on the
     * normalized token array — immune to regex word-boundary dialects).
+    * Runs as the native `graft_word_count` expression — one hash-set
+    * loop per row instead of interpreted per-token × per-word lambdas
+    * (requires graft functions registered: GraftExtensions or
+    * `NativeExprs.ensureRegistered`).
     */
   def wordSetCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    call_function("graft_word_count", toks, array(words.map(lit): _*))
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =

@@ -83,7 +83,7 @@ object DataOps {
     // joins); persist so MinHash runs once — the batch analog of writing
     // a signature table before the LSH join at cluster scale. The
     // signature itself is the native expression (tight per-row loop).
-    graft.functions.NativeExprs.register(spark)
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val sigs = all
       .withColumn("sig", call_function("graft_minhash32",
         TextOps.wordShingles(TextOps.tokens(col("norm")), 3)))
@@ -110,7 +110,7 @@ object DataOps {
     val all = base.select(col("doc_id"), col("lang"), col("norm"))
       .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
         col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
-    graft.functions.NativeExprs.register(spark)
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val hashed = all.withColumn("sim",
       call_function("graft_simhash64", TextOps.tokens(col("norm"))))
     val pairs = Dedup.simHashPairs(hashed, col("doc_id"), col("sim"), maxDist = 3)
@@ -130,10 +130,18 @@ object DataOps {
     * guarantee: shared substrings ≥ w+k−1 chars ⇒ shared fingerprint).
     * Candidate generation is an equi-join on exploded fingerprints —
     * the third blocking scheme next to MinHash bands and SimHash chunks.
+    *
+    * Docs are restricted to `length(norm) ≥ 28` so the doc↔mutant shared
+    * prefix is ≥ w+k−1 = 13 chars and recovery is 100% BY THE WINNOWING
+    * THEOREM — which makes the per-language recovered count exactly
+    * `count(docs)`, i.e. DuckDB-oracle-checkable without porting the
+    * rolling hash (a broken winnow would under-count and fail the hash
+    * compare).
     */
   def d05(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeExprs.register(spark)
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val base = docs(spark, dir).withColumn("norm", norm(col("text")))
+      .filter(length(col("norm")) >= 28)
     val all = base.select(col("doc_id"), col("lang"), col("norm"))
       .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
         col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
@@ -168,6 +176,7 @@ object DataOps {
     * class distribution per language.
     */
   def t02(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val d = docs(spark, dir)
       .withColumn("norm", norm(col("text")))
       .withColumn("n_chars_t", length(col("text")))
@@ -191,6 +200,7 @@ object DataOps {
     * matrix counts). Ties resolve in profile order (P18 tie rule).
     */
   def t03(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val toks = TextOps.tokens(norm(col("text")))
     val scored = docs(spark, dir).withColumn("toks", toks)
     val withScores = TextOps.LangMarkers.foldLeft(scored) { case (df, (lang, words)) =>
@@ -299,6 +309,7 @@ object DataOps {
     */
   def e01(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val base = Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"),
@@ -307,12 +318,25 @@ object DataOps {
       transform(col("ve"), x => x * 1.001).as("ve")))
     val f = all.select(col("vec_id"), Similarity.fixedVec(col("ve")).as("fv"))
       .withColumn("nsq", Similarity.normSqFixed(col("fv")))
-    val a = f.select(col("vec_id").as("ia"), col("fv").as("fa"), col("nsq").as("na"))
-    val b = f.select(col("vec_id").as("ib"), col("fv").as("fb"), col("nsq").as("nb"))
-    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .persist() // feeds candidate gen + both verify joins
+    // Candidate generation: OR-amplified hyperplane LSH (4 tables × 16
+    // planes) — an equi-join on (table, bucket), never all-pairs. At the
+    // 0.999 threshold boundary recall is ≥ 99.8%; the planted scaled
+    // copies sit at θ ≈ 0 and collide with certainty (verified exact vs
+    // the all-pairs DuckDB oracle at every test SF). Exact fixed-point
+    // cosine then verifies every candidate, so false candidates only
+    // cost compute, never correctness.
+    val cand = Similarity.lshCandidatePairsMultiTable(
+      f.select(col("vec_id").as("id"), col("fv")), dim = 64,
+      numPlanes = 16, numTables = 4)
+    val pairs = cand
+      .join(f.select(col("vec_id").as("ia"), col("fv").as("fa"), col("nsq").as("na")),
+        col("id_a") === col("ia"))
+      .join(f.select(col("vec_id").as("ib"), col("fv").as("fb"), col("nsq").as("nb")),
+        col("id_b") === col("ib"))
       .filter(Similarity.cosineFromFixed(
         Similarity.dotFixed(col("fa"), col("fb")), col("na"), col("nb")) >= 0.999)
-      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+      .select(col("id_a"), col("id_b"))
     val labels = Dedup.clusterPairs(pairs)
     val isolated = f.select(col("vec_id").as("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")

@@ -11,10 +11,18 @@ import graft.model.Schemas.Event
   * a training-data event pipeline does).
   *
   * A session = consecutive events of one user with gaps < `gapMinutes`;
-  * closed sessions are emitted once (append semantics). State per user
-  * is O(1) (open-session accumulator), and event-time timeout closes
-  * idle sessions as the watermark advances — bounded state at any
-  * throughput, the same contract as the windowed jobs.
+  * closed sessions are emitted once (append semantics).
+  *
+  * Correctness under disorder: events may arrive across micro-batches
+  * in any order within the watermark. State per user is the buffer of
+  * events not yet provably final; a session is emitted only once
+  * `session_end + gap <= watermark` — any future event has
+  * `t >= watermark >= end + gap`, so it can neither merge into the
+  * emitted session nor extend it backwards. That makes the streamed
+  * output EXACTLY the batch sessionization of the non-late events
+  * (state is O(events inside the watermark horizon) per user — the
+  * price of exactness; an O(1) open-session accumulator silently
+  * absorbs out-of-order events that predate the open session).
   *
   * Works identically on a batch Dataset via [[sessionizeBatch]]
   * (sort-within-group implementation) — used as the oracle for the
@@ -25,72 +33,69 @@ object Sessionize {
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long, total_value: Double)
 
-  case class OpenSession(start: Long, end: Long, n: Long, valueSum: Double)
+  /** Buffered (ts, value) events awaiting a watermark that closes them. */
+  case class EventBuffer(events: Vector[(Long, Double)])
 
-  /** Streaming path: event-time state with timeout. */
+  /** Streaming path: exact event-time sessionization with bounded
+    * buffering (see object scaladoc).
+    */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[EventBuffer, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.valueSum))
-          } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.end < gapMs =>
-                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.valueSum + e.value))
-                case Some(s) =>
-                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.valueSum)
-                  open = Some(OpenSession(t, t, 1L, e.value))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L, e.value))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
+        (userId: Long, it: Iterator[Event], state: GroupState[EventBuffer]) =>
+          val incoming = it.map(e => (e.ts.getTime, e.value)).toVector
+          val buffered = state.getOption.map(_.events).getOrElse(Vector.empty)
+          val all = (buffered ++ incoming).sorted
+          val wm = state.getCurrentWatermarkMs()
+          val sessions = sessionsOf(userId, all, gapMs)
+          // a session is final iff nothing at/after the watermark can touch it
+          val (closed, open) = sessions.partition(s =>
+            s.session_end.getTime + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            val keepFrom = open.head.session_start.getTime
+            state.update(EventBuffer(all.filter(_._1 >= keepFrom)))
+            // wake when the earliest open session becomes closable
+            state.setTimeoutTimestamp(open.head.session_end.getTime + gapMs)
           }
+          closed.iterator
       }
   }
 
-  /** Batch oracle: same session semantics via sort-within-group. Also
-    * emits the final (still-open) session of each user, which the
-    * streaming path only emits after timeout/end-of-stream.
+  /** Sessions of one user's time-sorted events. */
+  private def sessionsOf(userId: Long, sorted: Vector[(Long, Double)],
+                         gapMs: Long): Vector[Session] = {
+    val out = Vector.newBuilder[Session]
+    var start, end, n = 0L
+    var sum = 0.0
+    var openFlag = false
+    sorted.foreach { case (t, v) =>
+      if (!openFlag) { start = t; end = t; n = 1; sum = v; openFlag = true }
+      else if (t - end < gapMs) { end = math.max(end, t); n += 1; sum += v }
+      else {
+        out += Session(userId, new Timestamp(start), new Timestamp(end), n, sum)
+        start = t; end = t; n = 1; sum = v
+      }
+    }
+    if (openFlag)
+      out += Session(userId, new Timestamp(start), new Timestamp(end), n, sum)
+    out.result()
+  }
+
+  /** Batch oracle: same session semantics via sort-within-group,
+    * including each user's final (still-open) session.
     */
   def sessionizeBatch(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
-      val sorted = it.toSeq.sortBy(_.ts.getTime)
-      val out = Seq.newBuilder[Session]
-      var open: Option[OpenSession] = None
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        open match {
-          case Some(s) if t - s.end < gapMs =>
-            open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.valueSum + e.value))
-          case Some(s) =>
-            out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.valueSum)
-            open = Some(OpenSession(t, t, 1L, e.value))
-          case None =>
-            open = Some(OpenSession(t, t, 1L, e.value))
-        }
-      }
-      open.foreach(s => out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.valueSum))
-      out.result().iterator
+      val sorted = it.map(e => (e.ts.getTime, e.value)).toVector.sorted
+      sessionsOf(userId, sorted, gapMs).iterator
     }
   }
 }

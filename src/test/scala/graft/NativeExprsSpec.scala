@@ -29,6 +29,19 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 0.3)
   }
 
+  test("native word count matches the HOF formulation") {
+    import spark.implicits._
+    val df = Seq("the cat and the dog", "und der hund ist da", "", "x y z the")
+      .toDF("t").withColumn("toks", TextOps.tokens(TextOps.normalize(col("t"))))
+    val words = Seq("the", "and", "und", "ist")
+    val rows = df.select(
+      TextOps.wordSetCount(col("toks"), words).as("native"),
+      size(filter(col("toks"),
+        t => array_contains(array(words.map(lit): _*), t))).as("hof")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(3, 2, 0, 1))
+  }
+
   test("native minhash is deterministic and identical-input-identical-sig") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")).toDF("id", "t")

@@ -68,6 +68,50 @@ class SessionizeSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streamed sessionization: cross-batch out-of-order events extend sessions backwards") {
+    import spark.implicits._
+    val batch1 = Seq(
+      ev(1, "2024-03-01 10:30:00", 1.0),
+      ev(3, "2024-03-01 12:00:00", 5.0)) // also sets watermark = 10:00
+    val batch2 = Seq(
+      // 24 min BEFORE user 1's open session start, within gap → must
+      // merge and extend session_start backwards (the round-1 bug:
+      // an O(1) accumulator absorbed it without moving the start)
+      ev(1, "2024-03-01 10:06:00", 2.0),
+      // >30 min before user 3's session → a separate earlier session
+      ev(3, "2024-03-01 10:01:00", 7.0))
+    val all = batch1 ++ batch2
+    val batch = Sessionize.sessionizeBatch(all.toDS(), 30).collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = scala.collection.mutable.ArrayBuffer[Sessionize.Session]()
+    val q = Sessionize.sessionizeStream(mem.toDS(), 30).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-sess-ooo").toString)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Sessionize.Session], _: Long) =>
+        out ++= ds.collect(); ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    mem.addData(ev(99, "2024-03-03 09:00:00", 0.0)) // flush via watermark
+    q.processAllAvailable()
+    mem.addData(ev(99, "2024-03-03 10:00:00", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.filter(_.user_id != 99)
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+    assert(streamed == batch)
+    // the backward extension specifically:
+    assert(streamed.contains((1L, Timestamp.valueOf("2024-03-01 10:06:00"),
+      Timestamp.valueOf("2024-03-01 10:30:00"), 2L, 3.0)))
+  }
+
   test("clusterPairs: components get min-id labels; dedupByPairs keeps representatives") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
@@ -86,5 +130,21 @@ class SessionizeSpec extends AnyFunSuite {
     val labels = Dedup.clusterPairs(chain, maxIter = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet == Set(1L))
+  }
+
+  test("clusterPairs: pointer doubling converges a 300-link chain in <= 12 iterations") {
+    import spark.implicits._
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(chain).collect() // default maxIter = 12
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 300 && labels.values.toSet == Set(1L))
+  }
+
+  test("clusterPairs: throws loudly instead of returning split labels") {
+    import spark.implicits._
+    val chain = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.clusterPairs(chain, maxIter = 2).collect()
+    }
   }
 }
