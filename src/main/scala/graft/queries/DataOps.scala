@@ -11,12 +11,14 @@ import graft.sources.Tables
   * fingerprints), embedding similarity search, and multimodal binary
   * plumbing — over the documents and embeddings testdata.
   *
-  * Oracle policy: everything expressible in DuckDB SQL carries an exact
-  * oracle (including the mapPartitions multimodal path, validated via
-  * `octet_length`, and exact shingle Jaccard via list comprehensions).
-  * MinHash/SimHash/LSH rely on xxhash64 and are checked rows-only here +
-  * semantically in ScalaTest (known-duplicate fixtures, recall vs brute
-  * force).
+  * Oracle policy: EVERY query carries an exact DuckDB oracle. The
+  * relational/text ones are plain SQL; the sketch queries
+  * (d02/d03/s02/s03) are hash-checked via [[DuckSketchSql]], which
+  * replicates the FNV-1a + splitmix64 native expressions and the
+  * hyperplane constants in single-statement SQL; d05's oracle is the
+  * winnowing theorem (100% recovery for norm length ≥ 28). ScalaTest
+  * adds semantic checks (known-duplicate fixtures, recall vs brute
+  * force) on top.
   *
   * The dedup queries plant deterministic duplicates (exact copies for
   * d01, tail-truncated mutants for d02/d03/d04) so the operators
@@ -71,8 +73,9 @@ object DataOps {
   }
 
   /** d02 — MinHash(32) + LSH(8 bands × 4) near-dup discovery over docs ∪
-    * tail-truncated mutants; recovery rate per language. Rows-only check
-    * (xxhash64-based); semantics tested in DedupSpec.
+    * tail-truncated mutants; recovery rate per language. Hash-checked
+    * against [[DuckSketchSql.d02]]'s exact SQL port of the signature
+    * math; semantics also tested in DedupSpec.
     */
   def d02(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).withColumn("norm", norm(col("text")))
@@ -103,7 +106,7 @@ object DataOps {
   }
 
   /** d03 — SimHash(64) + 16-bit-chunk blocking near-dup discovery;
-    * rows-only check, semantics in DedupSpec.
+    * hash-checked against [[DuckSketchSql.d03]], semantics in DedupSpec.
     */
   def d03(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).withColumn("norm", norm(col("text")))
@@ -240,8 +243,9 @@ object DataOps {
   }
 
   /** s02 — hyperplane-LSH approximate top-5 (the scale path: bucket
-    * equi-join instead of cross join). Rows-only; recall vs s01 tested
-    * in SimilaritySpec.
+    * equi-join instead of cross join). Hash-checked against
+    * [[DuckSketchSql.s02]] (identical plane constants embedded);
+    * recall vs s01 tested in SimilaritySpec.
     */
   def s02(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
@@ -265,7 +269,8 @@ object DataOps {
   }
 
   /** s03 — IVF ANN (coarse-quantize to inverted lists, probe 4 of 16
-    * centroids, exact re-rank). Rows-only; recall vs s01 in DataOpsSpec.
+    * centroids, exact re-rank). Hash-checked against
+    * [[DuckSketchSql.s03]]; recall vs s01 in DataOpsSpec.
     */
   def s03(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
@@ -370,6 +375,11 @@ object DataOps {
     s"list_distinct([substr(mut, i, 5) FOR i IN range(1, greatest(length(mut) - 3, 2))])"
 
   val oracles: Map[String, String] = Map(
+    "d02_minhash_lsh" -> DuckSketchSql.d02,
+    "d03_simhash" -> DuckSketchSql.d03,
+    "d05_winnow_dedup" -> DuckSketchSql.d05,
+    "s02_lsh_ann" -> DuckSketchSql.s02,
+    "s03_ivf_ann" -> DuckSketchSql.s03,
     "d01_exact_dedup" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, lang, text FROM documents

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.operators.Similarity
+
+/** DuckDB-SQL builders that replicate graft's native sketch math —
+  * FNV-1a-64 over UTF-8 bytes + the splitmix64 finalizer
+  * (`NativeExprs.hashUtf8`/`mix64`) and the deterministic hyperplane
+  * constants (`Similarity.planeComponent`) — in pure SINGLE-STATEMENT
+  * SQL, so the driver's DuckDB compare can hash-check the sketch
+  * queries (d02/d03/s02/s03) exactly instead of rows-only.
+  *
+  * Mechanics of the port:
+  *   - 64-bit wrapping arithmetic runs in HUGEINT with explicit
+  *     `% 2^64`; wrapping multiply is split into 32-bit limbs
+  *     (`mulmod64`) because a 64×64-bit product can overflow HUGEINT;
+  *   - logical shift-right is integer division (values are kept
+  *     unsigned in [0, 2^64)); signed views for comparisons/rendering
+  *     subtract 2^64 above 2^63 (`toSigned`);
+  *   - each splitmix stage is its own chained CTE so the per-row hash
+  *     state is computed once per stage (no textual re-expansion);
+  *   - FNV iterates `ord(substr(s,i,1))`, which equals the UTF-8 byte
+  *     ONLY for ASCII text — asserted fine for the synthetic corpus
+  *     (0 non-ASCII docs at every SF); a non-ASCII corpus would need a
+  *     bytes-of-BLOB unnest instead.
+  */
+object DuckSketchSql {
+
+  private val M = "18446744073709551616::HUGEINT" // 2^64
+  private def u(x: Long): BigInt = BigInt(x) & ((BigInt(1) << 64) - 1)
+
+  private val FnvBasis = u(-3750763034362895579L) // 0xCBF29CE484222325
+  private val FnvPrime = 1099511628211L // 0x100000001B3 (fits: state*prime < 2^104)
+  private val MixA = u(-7046029254386353131L) // 0x9E3779B97F4A7C15
+  private val MixB = u(-4658895280553007687L) // 0xBF58476D1CE4E5B9
+  private val MixC = u(-7723592293110705685L) // 0x94D049BB133111EB
+  private val PermSeedU = u(graft.functions.NativeExprs.PermSeed)
+
+  /** Low 64 bits of z*c via 32-bit limbs (z a HUGEINT expr in [0,2^64)). */
+  private def mulmod64(z: String, c: BigInt): String =
+    s"((($z) % 4294967296) * $c::HUGEINT + ((($z) // 4294967296) * $c::HUGEINT % 4294967296) * 4294967296) % $M"
+
+  /** HUGEINT in [0,2^64) → the same 64-bit pattern as signed BIGINT. */
+  private def toSigned(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808::HUGEINT THEN ($x) - $M ELSE ($x) END AS BIGINT)"
+
+  /** Raw FNV-1a-64 fold over the (ASCII) chars of string expr `s`. */
+  private def fnvRaw(s: String): String =
+    s"list_reduce(list_prepend($FnvBasis::HUGEINT, " +
+      s"list_transform(range(1, length($s) + 1), fi -> ord(substr($s, fi, 1))::HUGEINT)), " +
+      s"(fa, fb) -> (xor(fa, fb) * $FnvPrime::HUGEINT) % $M)"
+
+  /** Chained CTEs applying the splitmix64 finalizer to column `z`,
+    * carrying `carry` columns through. Returns (cteText, lastCteName);
+    * the final stage exposes the mixed value as column `z`.
+    */
+  private def mix64Ctes(prefix: String, src: String, carry: Seq[String]): (String, String) = {
+    val cs = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
+    val text =
+      s"""${prefix}a AS (SELECT $cs(z + $MixA::HUGEINT) % $M AS z FROM $src),
+         |${prefix}b AS (SELECT $cs${mulmod64("xor(z, z // 1073741824)", MixB)} AS z FROM ${prefix}a),
+         |${prefix}c AS (SELECT $cs${mulmod64("xor(z, z // 134217728)", MixC)} AS z FROM ${prefix}b),
+         |${prefix}d AS (SELECT ${cs}xor(z, z // 2147483648) AS z FROM ${prefix}c)""".stripMargin
+    (text, s"${prefix}d")
+  }
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** documents ∪ tail-truncated mutants — the planted structure shared
+    * by d02/d03 (ids offset by 1e6).
+    */
+  private val mutantDocs =
+    s"""n0 AS (SELECT doc_id, lang, $normSql AS norm FROM documents),
+       |ad AS (SELECT doc_id, lang, norm FROM n0
+       |       UNION ALL
+       |       SELECT doc_id + 1000000, lang, substr(norm, 1, greatest(length(norm) - 15, 1)) FROM n0)""".stripMargin
+
+  /** Per-(doc, token/shingle) hashUtf8 pipeline: unnest CTE `u0(doc_id, s)`
+    * must exist; emits CTEs ending in `hh(doc_id, h)`.
+    */
+  private val hashPipeline: String = {
+    val (mix, last) = mix64Ctes("f", "f0", Seq("doc_id"))
+    s"""f0 AS (SELECT doc_id, ${fnvRaw("s")} AS z FROM u0),
+       |$mix,
+       |hh AS (SELECT doc_id, z AS h FROM $last)""".stripMargin
+  }
+
+  /** d02 — MinHash(32) + LSH(8×4) exactly as `MinHashSigExpr` +
+    * `Dedup.lshCandidatePairsWithSigs` compute it.
+    */
+  val d02: String = {
+    val (permMix, permLast) = mix64Ctes("p", "p0", Seq("doc_id", "i"))
+    s"""WITH $mutantDocs,
+       |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM ad),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |         si -> array_to_string(list_slice(toks, si, si + 2), ' '))) AS shingles FROM tk),
+       |u0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |$hashPipeline,
+       |p0 AS (SELECT doc_id, i, (h + ($PermSeedU::HUGEINT * i) % $M) % $M AS z
+       |       FROM hh, range(0, 32) t(i)),
+       |$permMix,
+       |pv AS (SELECT doc_id, i, ${toSigned("z")} AS v FROM $permLast),
+       |sv AS (SELECT doc_id, i, min(v) AS v FROM pv GROUP BY 1, 2),
+       |sg AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sv GROUP BY 1),
+       |bd AS (SELECT doc_id, b, array_to_string(sig[4*b+1 : 4*b+4], ',') AS bkey
+       |       FROM sg, range(0, 8) t(b)),
+       |pr AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |       FROM bd a JOIN bd b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+       |es AS (SELECT pr.id_a, pr.id_b,
+       |         CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est
+       |       FROM pr JOIN sg sa ON pr.id_a = sa.doc_id JOIN sg sb ON pr.id_b = sb.doc_id),
+       |lg AS (SELECT es.*, ad.lang FROM es JOIN ad ON es.id_a = ad.doc_id)
+       |SELECT lang, count(*) AS n_candidate_pairs,
+       |  CAST(sum(CASE WHEN id_b = id_a + 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered_mutants,
+       |  round(CAST(sum(CAST(floor(est * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 10000.0, 4)
+       |    AS avg_est_jaccard
+       |FROM lg GROUP BY 1 ORDER BY lang""".stripMargin
+  }
+
+  /** d03 — SimHash(64) + 16-bit-chunk pigeonhole pairs exactly as
+    * `SimHash64Expr` + `Dedup.simHashPairs` compute them.
+    */
+  val d03: String = {
+    val pw64 = (0 until 64).map(i => (BigInt(1) << i).toString).mkString("[", ", ", "]::HUGEINT[]")
+    s"""WITH $mutantDocs,
+       |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM ad),
+       |nt AS (SELECT doc_id, len(toks) AS n FROM tk),
+       |u0 AS (SELECT doc_id, unnest(toks) AS s FROM tk),
+       |$hashPipeline,
+       |pw AS (SELECT $pw64 AS p),
+       |vt AS (SELECT doc_id, i, sum(CASE WHEN (h // p[i+1]) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |       FROM hh, range(0, 64) t(i), pw GROUP BY 1, 2),
+       |sm AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN p[i+1] ELSE 0::HUGEINT END) AS sim
+       |       FROM vt, pw GROUP BY 1),
+       |cp AS (SELECT [1, 65536, 4294967296, 281474976710656]::HUGEINT[] AS c),
+       |ch AS (SELECT doc_id, sim, k, CAST((sim // c[k+1]) % 65536 AS INT) AS chunk
+       |       FROM sm, range(0, 4) t(k), cp),
+       |pr AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sim AS sim_a, b2.sim AS sim_b
+       |       FROM ch a JOIN ch b2 ON a.k = b2.k AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+       |ds AS (SELECT id_a, id_b,
+       |         bit_count(xor(${toSigned("sim_a")}, ${toSigned("sim_b")})) AS dist FROM pr),
+       |fin AS (SELECT ds.*, ad.lang FROM ds JOIN ad ON ds.id_a = ad.doc_id WHERE dist <= 3)
+       |SELECT lang, count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN id_b = id_a + 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered_mutants,
+       |  round(CAST(CAST(sum(dist) AS BIGINT) AS DOUBLE) / count(*), 3) AS avg_dist
+       |FROM fin GROUP BY 1 ORDER BY lang""".stripMargin
+  }
+
+  /** d05 — winnowing recovery is 100% BY THEOREM for docs with
+    * norm length ≥ w+k−1+15 = 28 (any shared substring of length
+    * ≥ w+k−1 yields a shared fingerprint, and the doc↔mutant shared
+    * prefix is norm minus 15 tail chars), so the exact per-language
+    * recovered count is simply the qualifying doc count — no rolling-
+    * hash port needed, and a broken winnow under-counts and fails.
+    */
+  val d05: String =
+    s"""WITH n AS (SELECT lang, $normSql AS norm FROM documents)
+       |SELECT lang, count(*) AS n_recovered_mutants
+       |FROM n WHERE length(norm) >= 28 GROUP BY 1 ORDER BY lang""".stripMargin
+
+  private def fixedVecSql(col: String): String =
+    s"list_transform($col, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) AS BIGINT)"
+
+  private def cosineSql(a: String, b: String, na: String, nb: String): String =
+    s"CAST(${dotSql(a, b)} AS DOUBLE) / sqrt(CAST($na AS DOUBLE)) / sqrt(CAST($nb AS DOUBLE))"
+
+  /** s02 — hyperplane-LSH ANN: the 4×64 deterministic plane constants
+    * are embedded literally, so DuckDB derives the identical buckets.
+    */
+  val s02: String = {
+    val planes = (0 until 4).map(p =>
+      (0 until 64).map(d => Similarity.planeComponent(p, d)).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]::BIGINT[][]")
+    s"""WITH f AS (SELECT vec_id, ${fixedVecSql("embedding")} AS fv FROM embeddings),
+       |n AS (SELECT vec_id, fv, CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq FROM f),
+       |pl AS (SELECT $planes AS p),
+       |bk AS (SELECT vec_id, fv, nsq,
+       |         list_sum(list_transform(range(1, 5), pi ->
+       |           CASE WHEN list_sum(list_transform(range(1, 65), d -> fv[d] * p[pi][d])) >= 0
+       |                THEN [1, 2, 4, 8][pi] ELSE 0 END)) AS bucket
+       |       FROM n, pl),
+       |q AS (SELECT vec_id AS query_id, fv AS qv, nsq AS qn, bucket FROM bk WHERE vec_id % 50 = 0),
+       |s AS (SELECT q.query_id, c.vec_id AS cand_id,
+       |        ${cosineSql("q.qv", "c.fv", "q.qn", "c.nsq")} AS cosine
+       |      FROM q JOIN bk c ON q.bucket = c.bucket AND c.vec_id <> q.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM s)
+       |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** s03 — IVF ANN: first-16-by-id centroids, nearest-1 inverted lists,
+    * nprobe-4 probing, exact re-rank — the exact `Similarity.ivfTopK`
+    * dataflow.
+    */
+  val s03: String =
+    s"""WITH f AS (SELECT vec_id, ${fixedVecSql("embedding")} AS fv FROM embeddings),
+       |n AS (SELECT vec_id, fv, CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq FROM f),
+       |cents AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn FROM n ORDER BY vec_id LIMIT 16),
+       |ca AS (SELECT c.vec_id AS cand_id, c.fv AS cv, c.nsq AS cn, ct.centroid_id,
+       |         ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} AS c_cos
+       |       FROM n c CROSS JOIN cents ct),
+       |lists AS (SELECT cand_id, cv, cn, centroid_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY cand_id
+       |           ORDER BY c_cos DESC, centroid_id) AS r FROM ca) WHERE r = 1),
+       |qa AS (SELECT q.vec_id AS query_id, q.fv AS qv, q.nsq AS qn, ct.centroid_id,
+       |         ${cosineSql("q.fv", "ct.centv", "q.nsq", "ct.centn")} AS c_cos
+       |       FROM (SELECT * FROM n WHERE vec_id % 50 = 0) q CROSS JOIN cents ct),
+       |probes AS (SELECT query_id, qv, qn, centroid_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY c_cos DESC, centroid_id) AS r FROM qa) WHERE r <= 4),
+       |s AS (SELECT p.query_id, l.cand_id,
+       |        ${cosineSql("p.qv", "l.cv", "p.qn", "l.cn")} AS cosine
+       |      FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+       |      WHERE l.cand_id <> p.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM s)
+       |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+}
