@@ -90,4 +90,18 @@ object MeasurementIngest {
   /** S2: Hive-style partitioned parquet layout, one commit. */
   def writePartitioned(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).partitionBy("pollutant").parquet(out)
+
+  /** S2/S3: the reference's full partition layout —
+    * `pollutant/year/month` (ASVSP `load_hourly.py:87-105` Hive DDL +
+    * MSCK) — with year/month derived from date_local. Reads filtered on
+    * any prefix of (pollutant, year, month) are partition-PRUNED at the
+    * scan (`PartitionFilters` in the plan; untouched directories are
+    * never listed or opened) — the reference's core I/O optimization,
+    * asserted end-to-end in MeasurementIngestSpec.
+    */
+  def writePartitionedByMonth(df: DataFrame, out: String,
+                              mode: String = "overwrite"): Unit =
+    df.withColumn("year", year(col("date_local")))
+      .withColumn("month", month(col("date_local")))
+      .write.mode(mode).partitionBy("pollutant", "year", "month").parquet(out)
 }

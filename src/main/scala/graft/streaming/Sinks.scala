@@ -49,13 +49,28 @@ object Sinks {
   }
 
   /** S8: JDBC batch sink, overwrite per run like the reference's export
-    * (`export_to_postgres.py:28-36`). Compiles against the built-in JDBC
-    * source; needs a reachable database + driver at runtime.
+    * (`export_to_postgres.py:28-36`). Driver-checkable without a server
+    * via embedded Derby (ships in Spark's jars) — see JdbcSinkSpec's
+    * round trip; on a cluster, point `url`/`driver` at Postgres with no
+    * code change.
     */
   def jdbcOverwrite(df: DataFrame, url: String, table: String,
-                    user: String, password: String): Unit =
-    df.write.format("jdbc")
+                    user: String = "", password: String = "",
+                    driver: String = ""): Unit = {
+    val w = df.write.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("user", user).option("password", password)
+    (if (driver.nonEmpty) w.option("driver", driver) else w)
       .mode("overwrite").save()
+  }
+
+  /** S8 read side: load a JDBC table back (the export verification the
+    * reference does by querying Postgres).
+    */
+  def jdbcRead(spark: SparkSession, url: String, table: String,
+               driver: String = ""): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    (if (driver.nonEmpty) r.option("driver", driver) else r).load()
+  }
 }

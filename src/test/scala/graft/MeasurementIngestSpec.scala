@@ -80,6 +80,37 @@ class MeasurementIngestSpec extends AnyFunSuite {
     assert(back.filter(col("pollutant") === "NO2").count() == 2)
   }
 
+  test("S3: pollutant/year/month layout is partition-pruned at the scan") {
+    val out = Files.createTempDirectory("epa-part").toString
+    MeasurementIngest.writePartitionedByMonth(ingested, out)
+    assert(new java.io.File(s"$out/pollutant=PM25/year=2024/month=1").exists())
+    val filtered = spark.read.parquet(out)
+      .filter(col("pollutant") === "PM25" && col("year") === 2024)
+      .select("state_name", "measurement")
+    // plan-level: the filter became a PartitionFilters entry, not a scan filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("(pollutant#") || plan.contains("pollutant ="),
+      s"pollutant filter not in PartitionFilters:\n$plan")
+    // file-level: the executed scan reads strictly fewer files than the
+    // full layout holds (NO2 directories are never opened)
+    // execute THIS queryExecution (count() would build its own) so the
+    // scan metrics below reflect the pruned run
+    assert(filtered.collect().length == 4) // all PM25 fixture rows
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(scans.nonEmpty)
+    val read = scans.map(_.metrics("numFiles").value).sum
+    assert(read > 0 && read < totalFiles,
+      s"expected pruned scan: read $read of $totalFiles files")
+  }
+
   test("end-to-end slice: ingest -> daily pyramid -> weekend effect") {
     val pm = ingested.filter(col("pollutant") === "PM25" &&
       col("state_name") === "California")

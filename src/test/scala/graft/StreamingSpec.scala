@@ -134,4 +134,58 @@ class StreamingSpec extends AnyFunSuite {
     val bad = parsed.find(r => r.isNullAt(r.fieldIndex("event_type"))).get
     assert(bad.getAs[String]("topic") == "t1")
   }
+
+  /** T6: the contract Kafka-source wiring would rely on (offsets +
+    * commit log in the checkpoint; a committed batch is never
+    * re-delivered, an uncommitted one is): crash AFTER batch 0 commits
+    * and DURING batch 1, restart from the same checkpoint, and assert
+    * exactly-once delivery of every source row. Uses the file source so
+    * the checkpoint (not driver memory) carries all progress across
+    * the restart — the same recovery path as `startingOffsets`/
+    * checkpoint recovery on a real broker (ASVSP
+    * `consumer1.py:106-113`).
+    */
+  test("checkpoint restart: crash mid-stream resumes exactly-once (T6)") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("ckpt-src").toString
+    val ckpt = Files.createTempDirectory("ckpt-restart").toString
+    val fileA = mkEvents.take(10)
+    val fileB = mkEvents.slice(10, 20)
+    fileA.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    fileB.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+
+    def stream = spark.readStream
+      .schema(fileA.toDF().schema)
+      .option("maxFilesPerTrigger", "1") // force 2 batches
+      .parquet(srcDir)
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+
+    // run 1: commit batch 0, crash inside batch 1 (before its commit)
+    val q1 = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        if (id == 0) { out ++= df.collect(); () }
+        else throw new RuntimeException("injected crash in batch 1")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(out.size == 10) // exactly batch 0
+
+    // run 2: same checkpoint — batch 0 must NOT re-deliver, batch 1 must
+    val q2 = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) => out ++= df.collect(); () }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+
+    val expected = (fileA ++ fileB).map(e => (e.ts, e.event_type, e.user_id, e.value))
+    val got = out.map(r => (r.getAs[Timestamp]("ts"), r.getAs[String]("event_type"),
+      r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+    assert(got.size == expected.size, s"expected exactly-once: ${got.size} rows")
+    assert(got.sortBy(_.toString) == expected.sortBy(_.toString))
+  }
 }
