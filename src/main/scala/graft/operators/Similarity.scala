@@ -131,23 +131,60 @@ object Similarity {
       .distinct()
   }
 
+  /** Deterministic fixed-point Lloyd k-means for IVF coarse
+    * quantization: seeds are the first `k` vectors by id (no RNG),
+    * followed by `iters` iterations of (a) assignment by EXACT integer
+    * cosine with centroid-id tiebreak, (b) centroid update as the
+    * elementwise `floor(mean)` of member vectors — exact integer in,
+    * exact integer out, so the result is bit-identical at any
+    * parallelism AND replicable in a DuckDB oracle (each iteration is
+    * one broadcast-assign + one aggregation; `posexplode` +
+    * ordered re-collect keeps the update a plain shuffle aggregation).
+    * Empty clusters keep their previous centroid. `cand` needs columns
+    * (cand_id, cv array<long>, cn long); output (centroid_id = seed's
+    * cand_id, centv, centn).
+    */
+  def kmeansCentroidsFixed(cand: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = cand.orderBy(col("cand_id")).limit(k)
+      .select(col("cand_id").as("centroid_id"), col("cv").as("centv"), col("cn").as("centn"))
+    for (_ <- 0 until iters) {
+      val assigned = cand.crossJoin(broadcast(cents))
+        .withColumn("c_cos", cosineFromFixed(dotFixed(col("cv"), col("centv")),
+          col("cn"), col("centn")))
+        .withColumn("r", row_number().over(Window.partitionBy(col("cand_id"))
+          .orderBy(col("c_cos").desc, col("centroid_id"))))
+        .filter(col("r") === 1)
+      val dims = assigned.select(col("centroid_id"), posexplode(col("cv")).as(Seq("d", "v")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .withColumn("nv", floor(col("s").cast("double") / col("c")).cast("long"))
+      val updated = dims.groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("nv")))),
+          e => e.getField("nv")).as("newv"))
+      cents = cents.join(updated, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("newv"), col("centv")).as("centv"))
+        .withColumn("centn", normSqFixed(col("centv")))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: candidates are coarse-
     * quantized to their nearest centroid once (the "inverted lists");
     * each query probes only its `nprobe` nearest centroids' lists and
-    * exact-re-ranks within them. Centroids are a deterministic sample
-    * (first `numCentroids` by id) — no RNG, so lists are reproducible;
-    * a production variant would swap in k-means centroids without
-    * changing the plan shape. Assignment is one broadcast join against
-    * the centroid set; probing is an equi-join on centroid_id — at
-    * corpus scale the cross join never materializes.
+    * exact-re-ranks within them. Centroids come from
+    * [[kmeansCentroidsFixed]] (deterministic seeded Lloyd iterations in
+    * exact integer arithmetic — reproducible lists, no RNG). Assignment
+    * is one broadcast join against the centroid set; probing is an
+    * equi-join on centroid_id — at corpus scale the cross join never
+    * materializes.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              numCentroids: Int, nprobe: Int): DataFrame = {
+              numCentroids: Int, nprobe: Int,
+              kmeansIters: Int = 2): DataFrame = {
     val cand = candidates.select(col("id").as("cand_id"), fixedVec(col("vec")).as("cv"))
       .withColumn("cn", normSqFixed(col("cv")))
-    val cents = candidates.orderBy(col("id")).limit(numCentroids)
-      .select(col("id").as("centroid_id"), fixedVec(col("vec")).as("centv"))
-      .withColumn("centn", normSqFixed(col("centv")))
+    val cents = kmeansCentroidsFixed(cand, numCentroids, kmeansIters)
     def nearestCentroids(side: DataFrame, idCol: String, v: String, n: String,
                          keep: Int): DataFrame =
       side.crossJoin(broadcast(cents))

@@ -192,23 +192,51 @@ object DuckSketchSql {
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** s03 — IVF ANN: first-16-by-id centroids, nearest-1 inverted lists,
-    * nprobe-4 probing, exact re-rank — the exact `Similarity.ivfTopK`
-    * dataflow.
+  /** One Lloyd iteration as chained CTEs (exact mirror of
+    * `Similarity.kmeansCentroidsFixed`): assign-by-cosine (centroid_id
+    * tiebreak), elementwise floor(mean) update, empty clusters keep the
+    * previous centroid. Returns (cteText, finalCteName).
     */
-  val s03: String =
+  private def kmeansIterCtes(i: Int, prev: String): (String, String) = {
+    val text =
+      s"""ka$i AS (SELECT c.vec_id AS cand_id, c.fv, ct.centroid_id,
+         |         ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} AS c_cos
+         |       FROM n c CROSS JOIN $prev ct),
+         |kr$i AS (SELECT cand_id, fv, centroid_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY cand_id
+         |           ORDER BY c_cos DESC, centroid_id) AS r FROM ka$i) WHERE r = 1),
+         |ks$i AS (SELECT centroid_id, di,
+         |           CAST(floor(CAST(CAST(sum(fv[di]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS nv
+         |         FROM kr$i, range(1, 65) d(di) GROUP BY 1, 2),
+         |ku$i AS (SELECT centroid_id, list(nv ORDER BY di) AS newv FROM ks$i GROUP BY 1),
+         |kc$i AS (SELECT p.centroid_id, COALESCE(u.newv, p.centv) AS centv
+         |         FROM $prev p LEFT JOIN ku$i u ON p.centroid_id = u.centroid_id),
+         |kn$i AS (SELECT centroid_id, centv,
+         |           CAST(list_sum(list_transform(centv, x -> x * x)) AS BIGINT) AS centn FROM kc$i)""".stripMargin
+    (text, s"kn$i")
+  }
+
+  /** s03 — IVF ANN: seeded 2-iteration fixed-point k-means centroids,
+    * nearest-1 inverted lists, nprobe-4 probing, exact re-rank — the
+    * exact `Similarity.ivfTopK` dataflow.
+    */
+  val s03: String = {
+    val (it1, c1) = kmeansIterCtes(1, "cents")
+    val (it2, c2) = kmeansIterCtes(2, c1)
     s"""WITH f AS (SELECT vec_id, ${fixedVecSql("embedding")} AS fv FROM embeddings),
        |n AS (SELECT vec_id, fv, CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq FROM f),
        |cents AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn FROM n ORDER BY vec_id LIMIT 16),
+       |$it1,
+       |$it2,
        |ca AS (SELECT c.vec_id AS cand_id, c.fv AS cv, c.nsq AS cn, ct.centroid_id,
        |         ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} AS c_cos
-       |       FROM n c CROSS JOIN cents ct),
+       |       FROM n c CROSS JOIN $c2 ct),
        |lists AS (SELECT cand_id, cv, cn, centroid_id FROM (
        |         SELECT *, row_number() OVER (PARTITION BY cand_id
        |           ORDER BY c_cos DESC, centroid_id) AS r FROM ca) WHERE r = 1),
        |qa AS (SELECT q.vec_id AS query_id, q.fv AS qv, q.nsq AS qn, ct.centroid_id,
        |         ${cosineSql("q.fv", "ct.centv", "q.nsq", "ct.centn")} AS c_cos
-       |       FROM (SELECT * FROM n WHERE vec_id % 50 = 0) q CROSS JOIN cents ct),
+       |       FROM (SELECT * FROM n WHERE vec_id % 50 = 0) q CROSS JOIN $c2 ct),
        |probes AS (SELECT query_id, qv, qn, centroid_id FROM (
        |         SELECT *, row_number() OVER (PARTITION BY query_id
        |           ORDER BY c_cos DESC, centroid_id) AS r FROM qa) WHERE r <= 4),
@@ -220,4 +248,5 @@ object DuckSketchSql {
        |        ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM s)
        |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
 }
