@@ -111,6 +111,32 @@ class MeasurementIngestSpec extends AnyFunSuite {
       s"expected pruned scan: read $read of $totalFiles files")
   }
 
+  test("S3: Hive-style DDL + MSCK partition discovery over the month layout") {
+    val out = Files.createTempDirectory("epa-ddl").toString
+    MeasurementIngest.writePartitionedByMonth(ingested, out)
+    // the reference's catalog path (load_hourly.py:87-105): external
+    // partitioned table + MSCK REPAIR to discover partition dirs
+    spark.sql("DROP TABLE IF EXISTS epa_hourly")
+    spark.sql(
+      s"""CREATE TABLE epa_hourly (
+         |  state_code INT, county_code INT, site_num INT, state_name STRING,
+         |  date_local DATE, hour_local INT, measurement DOUBLE, units STRING,
+         |  pollutant STRING, year INT, month INT)
+         |USING parquet
+         |PARTITIONED BY (pollutant, year, month)
+         |LOCATION '$out'""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM epa_hourly").head.getLong(0) == 0) // pre-MSCK: no partitions
+    spark.sql("MSCK REPAIR TABLE epa_hourly")
+    val parts = spark.sql("SHOW PARTITIONS epa_hourly").collect().map(_.getString(0))
+    assert(parts.toSet == Set("pollutant=PM25/year=2024/month=1", "pollutant=NO2/year=2024/month=1"))
+    assert(spark.sql("SELECT count(*) FROM epa_hourly").head.getLong(0) == ingested.count())
+    // catalog reads prune on partition columns too
+    val q = spark.sql("SELECT state_name, measurement FROM epa_hourly WHERE pollutant = 'PM25'")
+    assert(q.collect().length == 4)
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    spark.sql("DROP TABLE epa_hourly")
+  }
+
   test("end-to-end slice: ingest -> daily pyramid -> weekend effect") {
     val pm = ingested.filter(col("pollutant") === "PM25" &&
       col("state_name") === "California")

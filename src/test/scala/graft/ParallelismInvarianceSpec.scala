@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB determinism contract, as a permanent test: every result
+  * is BIT-identical at any shuffle parallelism (fixed-point aggregation,
+  * total orderings, exact integer sketches) — which is what keeps
+  * outputs stable under AQE re-planning and arbitrary cluster sizing.
+  * Runs the most numerically-sensitive queries at two shuffle widths
+  * and compares row sets exactly (double bits included, via toString).
+  */
+class ParallelismInvarianceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("par-inv-spec")
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  // double-heavy aggregates, sketches, iterative clustering, k-means
+  private val picks = Seq(
+    "d02_minhash_lsh", "e01_embedding_dedup", "s03_ivf_ann",
+    "q06_moving_avg", "q22_monthly_rollup", "q24_hourly_baselines",
+    "t02_quality_score")
+
+  test("query results are bit-identical across shuffle parallelism") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try picks.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val wide = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val narrow = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      assert(wide == narrow, s"$name output depends on parallelism")
+      assert(wide.nonEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
