@@ -164,8 +164,14 @@ object Dedup {
         .select(step("id"),
           least(step("label"), coalesce(col("llabel"), step("label"))).as("label"))
         .localCheckpoint()
-      changed = doubled.join(labels.withColumnRenamed("label", "old_label"), "id")
-        .filter(col("label") =!= col("old_label")).count()
+      // convergence check every 2nd iteration (and always on the last
+      // permitted one) — halves the extra count jobs; doubling converges
+      // in so few rounds that one possible extra iteration is cheaper
+      // than a count job per round
+      changed =
+        if (iter % 2 == 0 && iter + 2 < maxIter) 1L
+        else doubled.join(labels.withColumnRenamed("label", "old_label"), "id")
+          .filter(col("label") =!= col("old_label")).count()
       labels = doubled
       iter += 1
     }

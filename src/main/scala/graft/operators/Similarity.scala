@@ -165,6 +165,10 @@ object Similarity {
         .select(col("centroid_id"),
           coalesce(col("newv"), col("centv")).as("centv"))
         .withColumn("centn", normSqFixed(col("centv")))
+        // k rows; truncate lineage so each iteration runs ONCE and the
+        // final centroid set is a flat relation for every consumer
+        // (lists + probes both assign against it)
+        .localCheckpoint()
     }
     cents
   }
