@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Expressions.queries ++
       graft.queries.StreamingQueries.queries ++
       graft.queries.DataOps.queries ++
+      graft.queries.Pipeline.queries ++
       graft.queries.PyramidQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Expressions.oracles ++
       graft.queries.StreamingQueries.oracles ++
       graft.queries.DataOps.oracles ++
+      graft.queries.Pipeline.oracles ++
       graft.queries.PyramidQueries.oracles
 }

@@ -85,13 +85,16 @@ object DuckSketchSql {
        |hh AS (SELECT doc_id, z AS h FROM $last)""".stripMargin
   }
 
-  /** d02 — MinHash(32) + LSH(8×4) exactly as `MinHashSigExpr` +
-    * `Dedup.lshCandidatePairsWithSigs` compute it.
+  /** The full MinHash(32)+LSH(8×4) candidate machinery over any source
+    * CTE with (doc_id, norm): word-3-shingles → per-shingle hashUtf8 →
+    * 32-permutation signature (signed-min semantics) → band keys →
+    * distinct candidate pairs. Emits CTEs `tk`/`sh` (token/shingle
+    * arrays, reusable for exact verification), `sg(doc_id, sig)` and
+    * `pr(id_a, id_b)`.
     */
-  val d02: String = {
+  private def minhashCandidateCtes(src: String): String = {
     val (permMix, permLast) = mix64Ctes("p", "p0", Seq("doc_id", "i"))
-    s"""WITH $mutantDocs,
-       |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM ad),
+    s"""tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM $src),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
        |         si -> array_to_string(list_slice(toks, si, si + 2), ' '))) AS shingles FROM tk),
        |u0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -105,7 +108,15 @@ object DuckSketchSql {
        |bd AS (SELECT doc_id, b, array_to_string(sig[4*b+1 : 4*b+4], ',') AS bkey
        |       FROM sg, range(0, 8) t(b)),
        |pr AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-       |       FROM bd a JOIN bd b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+       |       FROM bd a JOIN bd b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)""".stripMargin
+  }
+
+  /** d02 — MinHash(32) + LSH(8×4) exactly as `MinHashSigExpr` +
+    * `Dedup.lshCandidatePairsWithSigs` compute it.
+    */
+  val d02: String = {
+    s"""WITH $mutantDocs,
+       |${minhashCandidateCtes("ad")},
        |es AS (SELECT pr.id_a, pr.id_b,
        |         CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est
        |       FROM pr JOIN sg sa ON pr.id_a = sa.doc_id JOIN sg sb ON pr.id_b = sb.doc_id),
@@ -249,4 +260,76 @@ object DuckSketchSql {
        |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** p01 — the composed corpus-clean pipeline: exact dedup → MinHash-LSH
+    * candidates → EXACT word-shingle Jaccard verify (≥ 0.7) → connected
+    * components → drop non-representatives → quality filter (score ≥ 50)
+    * → language-ID agreement filter → per-language stats. Every stage is
+    * the exact SQL twin of the Spark stage (`Pipeline.p01`).
+    */
+  val p01: String =
+    s"""WITH RECURSIVE
+       |n0 AS (SELECT doc_id, lang, text, $normSql AS norm FROM documents),
+       |ex AS (SELECT doc_id, lang, text, norm FROM (
+       |       SELECT *, row_number() OVER (PARTITION BY lang, md5(norm) ORDER BY doc_id) AS rn
+       |       FROM n0) WHERE rn = 1),
+       |${minhashCandidateCtes("ex")},
+       |vf AS (SELECT pr.id_a, pr.id_b
+       |       FROM pr JOIN sh sa ON pr.id_a = sa.doc_id JOIN sh sb ON pr.id_b = sb.doc_id
+       |            JOIN ex ea ON pr.id_a = ea.doc_id JOIN ex eb ON pr.id_b = eb.doc_id
+       |       WHERE ea.lang = eb.lang
+       |         AND CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+       |             >= 0.7),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vf UNION ALL SELECT id_b, id_a FROM vf),
+       |ids AS (SELECT DISTINCT s AS id FROM edges),
+       |reach AS (SELECT id, id AS lab FROM ids
+       |          UNION
+       |          SELECT e.d, reach.lab FROM reach JOIN edges e ON reach.id = e.s),
+       |lab AS (SELECT id, min(lab) AS label FROM reach GROUP BY id),
+       |losers AS (SELECT id FROM lab WHERE label <> id),
+       |sv2 AS (SELECT ex.* FROM ex LEFT JOIN losers ON ex.doc_id = losers.id
+       |        WHERE losers.id IS NULL),
+       |ft AS (SELECT lang, norm,
+       |         length(text) AS n_chars_t,
+       |         len(regexp_extract_all(text, '\\S+')) AS n_toks,
+       |         len(list_filter(string_split(norm, ' '),
+       |           t -> list_contains(['the','a','an','and','or','of','to','in','is','are'], t)))
+       |           AS n_stop,
+       |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+       |       FROM sv2),
+       |sc AS (SELECT lang, norm, n_toks,
+       |         (CASE WHEN n_chars_t >= 200 AND n_chars_t <= 2000 THEN 40.0
+       |               WHEN n_chars_t >= 50 THEN 20.0 ELSE 0.0 END
+       |          + CASE WHEN CAST(n_chars_t AS DOUBLE) / n_toks >= 3.0
+       |                 AND CAST(n_chars_t AS DOUBLE) / n_toks <= 10.0 THEN 30.0 ELSE 10.0 END
+       |          + CASE WHEN CAST(n_stop AS DOUBLE) / n_toks >= 0.05 THEN 20.0 ELSE 5.0 END
+       |          + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_t <= 0.1 THEN 10.0 ELSE 0.0 END)
+       |           AS score
+       |       FROM ft),
+       |qf AS (SELECT * FROM sc WHERE score >= 50),
+       |tk2 AS (SELECT lang, n_toks, score, string_split(norm, ' ') AS toks FROM qf),
+       |ld AS (SELECT lang, n_toks, score,
+       |         len(list_filter(toks, t -> list_contains(['the','and','of','is','to'], t))) AS s_en,
+       |         len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+       |         len(list_filter(toks, t -> list_contains(['el','la','de','y','es'], t))) AS s_es,
+       |         len(list_filter(toks, t -> list_contains(['le','la','et','de','est'], t))) AS s_fr
+       |       FROM tk2),
+       |pred AS (SELECT lang, n_toks, score,
+       |         CASE WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+       |                   AND s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       |              WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+       |                   AND s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       |              WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+       |                   AND s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       |              WHEN greatest(s_en, s_de, s_es, s_fr) > 0
+       |                   AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+       |              ELSE 'und' END AS predicted_lang
+       |       FROM ld),
+       |kept AS (SELECT * FROM pred WHERE predicted_lang = lang OR predicted_lang = 'und')
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  round(CAST(sum(CAST(floor(score * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 2)
+       |    AS avg_score
+       |FROM kept GROUP BY 1 ORDER BY lang""".stripMargin
 }

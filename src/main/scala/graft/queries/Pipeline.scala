@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** The composed training-data cleaning pipeline — the operators the
+  * rest of the suite verifies individually, chained the way a corpus
+  * run chains them, as ONE declarative plan with ONE exact oracle
+  * ([[DuckSketchSql.p01]]):
+  *
+  *   1. exact dedup (per-language md5 fingerprint, min-id survivor);
+  *   2. near-dup removal: MinHash(32)+LSH(8×4) candidates → EXACT
+  *      word-shingle Jaccard verify ≥ 0.7 → connected components →
+  *      keep the min-id representative;
+  *   3. quality filter (integer-ratio score ≥ 50);
+  *   4. language-ID filter (drop docs whose marker argmax confidently
+  *      disagrees with the label; 'und' passes);
+  *   5. per-language stats (docs, token budget, fixed-point avg score).
+  *
+  * Scale shape: two hash-aggregation shuffles (dedup, final stats), the
+  * LSH band equi-join, and the pair-verification joins — nothing
+  * quadratic, nothing driver-side except clusterPairs' O(log diameter)
+  * loop. Exactly the plan you'd run at corpus scale, minus only
+  * bucketing the intermediate tables.
+  */
+object Pipeline {
+
+  def p01(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("norm", TextOps.normalize(col("text")))
+
+    // 1. exact dedup, scoped per language
+    val exact = Dedup.exact(d, col("doc_id"),
+      concat(col("lang"), lit("|"), TextOps.fingerprint(col("norm"))))
+
+    // 2a. LSH candidates over the exact-dedup survivors
+    val sigs = exact.select(col("doc_id"), col("norm"))
+      .withColumn("sig", call_function("graft_minhash32",
+        TextOps.wordShingles(TextOps.tokens(col("norm")), 3)))
+    val cand = Dedup.lshCandidatePairs(sigs, col("doc_id"), col("sig"), 8, 4)
+
+    // 2b. exact verification of every candidate (sketches only GENERATE);
+    // near-dup dedup is scoped PER LANGUAGE like the exact stage — the
+    // d01 convention: identical text under different language labels is
+    // two distinct documents
+    val shingled = exact.select(col("doc_id"), col("lang"),
+      TextOps.wordShingles(TextOps.tokens(col("norm")), 3).as("sh"))
+    val verified = cand
+      .join(shingled.select(col("doc_id").as("id_a"), col("lang").as("la"), col("sh").as("sa")), Seq("id_a"))
+      .join(shingled.select(col("doc_id").as("id_b"), col("lang").as("lb"), col("sh").as("sb")), Seq("id_b"))
+      .filter(col("la") === col("lb"))
+      .filter(Dedup.jaccard(col("sa"), col("sb")) >= 0.7)
+      .select(col("id_a"), col("id_b"))
+
+    // 2c. components → keep min-id representative per near-dup cluster
+    val survivors = Dedup.dedupByPairs(exact, col("doc_id"), verified)
+
+    // 3. quality scoring + filter (same features as t02)
+    val scored = survivors
+      .withColumn("n_chars_t", length(col("text")))
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
+      .withColumn("n_stop", TextOps.wordSetCount(TextOps.tokens(col("norm")), TextOps.EnStop))
+      .withColumn("n_punct", TextOps.punctCount(col("text")))
+      .withColumn("score", TextOps.qualityScore(
+        col("n_chars_t"), col("n_toks"), col("n_stop"), col("n_punct")))
+      .filter(col("score") >= 50)
+
+    // 4. language-ID filter (same profiles + tie rule as t03): drop only
+    // docs whose marker argmax CONFIDENTLY disagrees with the label —
+    // 'und' (no marker evidence) passes through, as a real cleaning
+    // pipeline would rather keep uncertain docs than lose them
+    val withToks = scored.withColumn("toks", TextOps.tokens(col("norm")))
+    val withScores = TextOps.LangMarkers.foldLeft(withToks) { case (df, (l, words)) =>
+      df.withColumn(s"s_$l", TextOps.wordSetCount(col("toks"), words))
+    }
+    val kept = withScores.withColumn("predicted_lang",
+        TextOps.predictLang(TextOps.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+      .filter(col("predicted_lang") === col("lang") || col("predicted_lang") === "und")
+
+    // 5. per-language stats, fixed-point mean
+    kept.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        gf.dround(sum(gf.fixed(col("score"), 100.0)).cast("double") /
+          count(lit(1)) / 100.0, 2).as("avg_score"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_corpus_clean" -> p01)
+
+  val oracles: Map[String, String] = Map(
+    "p01_corpus_clean" -> DuckSketchSql.p01)
+}
