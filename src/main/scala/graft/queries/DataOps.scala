@@ -268,6 +268,31 @@ object DataOps {
       .orderBy(col("media_id"))
   }
 
+  /** m02 — the resize + frame-sample media path end-to-end: documents →
+    * media records with deterministic fake dims (width = 4 + id % 8,
+    * height = 4) → proportional resize to 4×4 → every-2nd 16-byte frame
+    * slice → per-media stats. The codec is the documented stub; the
+    * lengths/counts it produces are exact integers, so the whole chain
+    * is DuckDB-oracle-checkable.
+    */
+  def m02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(spark, docs(spark, dir))
+      .map(r => r.copy(width = (4 + r.media_id % 8).toInt, height = 4))
+    val resized = Multimodal.resize(media, 4, 4)
+    val frames = Multimodal.frameSample(resized, frameSize = 16, everyN = 2)
+    frames.toDF()
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames_sampled"),
+        sum(length(col("frame_bytes"))).as("frame_bytes_total"))
+      .join(resized.toDF().select(col("media_id"),
+        length(col("content")).as("resized_len")), Seq("media_id"))
+      .select(col("media_id"), col("resized_len"),
+        col("n_frames_sampled"), col("frame_bytes_total"))
+      .orderBy(col("media_id"))
+  }
+
   /** s03 — IVF ANN (coarse-quantize to inverted lists, probe 4 of 16
     * centroids, exact re-rank). Hash-checked against
     * [[DuckSketchSql.s03]]; recall vs s01 in DataOpsSpec.
@@ -367,7 +392,8 @@ object DataOps {
     "t04_fingerprint" -> t04,
     "s01_cosine_topk" -> s01,
     "s02_lsh_ann" -> s02,
-    "m01_media_features" -> m01)
+    "m01_media_features" -> m01,
+    "m02_media_resize_frames" -> m02)
 
   private val shingleSql =
     s"list_distinct([substr(norm, i, 5) FOR i IN range(1, greatest(length(norm) - 3, 2))])"
@@ -513,6 +539,27 @@ object DataOps {
       """SELECT doc_id AS media_id, 'text/utf-8' AS kind,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "m02_media_resize_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len,
+        |    4 + doc_id % 8 AS w
+        |  FROM documents),
+        |rz AS (
+        |  SELECT media_id,
+        |    CAST(greatest(1, least(len,
+        |      CAST(round(len * (16.0 / (w * 4.0))) AS BIGINT))) AS INT) AS resized_len
+        |  FROM m),
+        |fr AS (
+        |  SELECT media_id, resized_len,
+        |    unnest(range(0, greatest(resized_len // 16, 1), 2)) AS i
+        |  FROM rz),
+        |ag AS (
+        |  SELECT media_id, any_value(resized_len) AS resized_len,
+        |    count(*) AS n_frames_sampled,
+        |    CAST(sum(least(16, resized_len - i * 16)) AS BIGINT) AS frame_bytes_total
+        |  FROM fr GROUP BY 1)
+        |SELECT media_id, resized_len, n_frames_sampled, frame_bytes_total
+        |FROM ag ORDER BY media_id""".stripMargin,
     "e01_embedding_dedup" ->
       """WITH RECURSIVE
         |sub AS (
