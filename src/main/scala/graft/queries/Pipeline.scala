@@ -34,9 +34,13 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("text"))
       .withColumn("norm", TextOps.normalize(col("text")))
 
-    // 1. exact dedup, scoped per language
+    // 1. exact dedup, scoped per language — persisted: it feeds the
+    // signature build, the verification shingles, and the survivor
+    // anti-join (at cluster scale this is the staged intermediate table
+    // a corpus run would materialize between stages)
     val exact = Dedup.exact(d, col("doc_id"),
       concat(col("lang"), lit("|"), TextOps.fingerprint(col("norm"))))
+      .persist()
 
     // 2a. LSH candidates over the exact-dedup survivors
     val sigs = exact.select(col("doc_id"), col("norm"))

@@ -32,6 +32,22 @@ class AsOfJoinSpec extends AnyFunSuite {
       4L -> Some("r2"), 5L -> Some("r3")))
   }
 
+  test("asOf: duplicate (key, rightTime) rows resolve deterministically to the greatest payload") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    // three right rows at the SAME instant — engines may pick any; ours
+    // must pick the greatest payload tuple, at any input order
+    val dups = Seq((10L, ts("2024-01-01 11:00:00"), "b"),
+      (10L, ts("2024-01-01 11:00:00"), "c"),
+      (10L, ts("2024-01-01 11:00:00"), "a"))
+    for (perm <- dups.permutations.take(3)) {
+      val right = perm.toDF("k", "rt", "payload").repartition(3)
+      val got = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"))
+        .head.getAs[String]("asof_payload")
+      assert(got == "c", s"order $perm gave $got")
+    }
+  }
+
   test("asOf: left rows and columns preserved exactly") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), "extra"))

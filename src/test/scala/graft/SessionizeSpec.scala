@@ -112,6 +112,51 @@ class SessionizeSpec extends AnyFunSuite {
       Timestamp.valueOf("2024-03-01 10:30:00"), 2L, 3.0)))
   }
 
+  test("streamed == batch under randomized disorder and batch splits (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L) // fixed seed: reproducible
+    for (trial <- 0 until 3) {
+      // events for 3 users inside a 90-min span — all within the 2 h
+      // watermark of the max, so nothing is dropped as late
+      val base = Timestamp.valueOf("2024-03-01 10:00:00").getTime
+      val events = (0 until 24).map { i =>
+        val u = 1L + rnd.nextInt(3)
+        val minute = rnd.nextInt(90)
+        Event(new Timestamp(base + minute * 60000L + i), "click", u, i.toDouble)
+      }
+      val batch = Sessionize.sessionizeBatch(events.toDS(), 10).collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val out = scala.collection.mutable.ArrayBuffer[Sessionize.Session]()
+      val q = Sessionize.sessionizeStream(mem.toDS(), 10).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory(s"ckpt-prop$trial").toString)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Sessionize.Session], _: Long) =>
+          out ++= ds.collect(); ()
+        }
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      // shuffled events across a random number of micro-batches
+      val shuffled = rnd.shuffle(events.toVector)
+      val nSplits = 2 + rnd.nextInt(3)
+      shuffled.grouped(math.max(1, shuffled.size / nSplits)).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // flush: two far-future events advance the watermark past everything
+      mem.addData(ev(99, "2024-03-02 09:00:00", 0.0))
+      q.processAllAvailable()
+      mem.addData(ev(99, "2024-03-02 10:00:00", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = out.filter(_.user_id != 99)
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+      assert(streamed == batch, s"trial $trial: streamed != batch")
+    }
+  }
+
   test("clusterPairs: components get min-id labels; dedupByPairs keeps representatives") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
