@@ -25,13 +25,39 @@ object KafkaSource {
     StructField("user_id", LongType),
     StructField("value", DoubleType)))
 
-  /** S5/S6: subscribe to one or more topics from the earliest offset. */
-  def readStream(spark: SparkSession, bootstrap: String, topics: Seq[String]): DataFrame =
-    spark.readStream.format("kafka")
+  /** The record schema the Kafka connector delivers (fixed by the
+    * spark-sql-kafka contract) — declared here so the downstream
+    * transforms can be driven against connector-shaped frames in tests
+    * without a broker.
+    */
+  val kafkaRecordSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** S5/S6: subscribe to one or more topics. `startingOffsets` governs
+    * FIRST-run position only — afterwards the checkpoint owns progress
+    * (the recovery contract exercised broker-free in StreamingSpec's
+    * crash-restart test). `maxOffsetsPerTrigger` bounds micro-batch
+    * size so a backlogged topic drains in rate-limited batches instead
+    * of one giant one.
+    */
+  def readStream(spark: SparkSession, bootstrap: String, topics: Seq[String],
+                 startingOffsets: String = "earliest",
+                 maxOffsetsPerTrigger: Option[Long] = None,
+                 failOnDataLoss: Boolean = true): DataFrame = {
+    val r = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "earliest")
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", failOnDataLoss.toString)
+    maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
       .load()
+  }
 
   /** S7: decode the Kafka `value` bytes as JSON and flatten; keeps
     * `topic` for multi-topic demux. Works on any frame with

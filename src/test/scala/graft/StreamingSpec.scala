@@ -135,6 +135,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.getAs[String]("topic") == "t1")
   }
 
+  test("S5/S6: connector-shaped records (binary value, topic, partition, offset) parse + demux") {
+    import org.apache.spark.sql.Row
+    // frames exactly as spark-sql-kafka delivers them
+    val rows = Seq(
+      Row("k1".getBytes, """{"ts":"2024-03-01T10:00:00Z","event_type":"click","user_id":1,"value":2.5}""".getBytes,
+        "clicks", 0, 100L, Timestamp.valueOf("2024-03-01 10:00:01"), 0),
+      Row(null, """{"ts":"2024-03-01T10:05:00Z","event_type":"error","user_id":2,"value":0.0}""".getBytes,
+        "errors", 3, 7L, Timestamp.valueOf("2024-03-01 10:05:01"), 0))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), KafkaSource.kafkaRecordSchema)
+    val parsed = KafkaSource.parseJson(raw).collect()
+    assert(parsed.length == 2)
+    val byTopic = parsed.map(r => r.getAs[String]("topic") -> r).toMap
+    assert(byTopic("clicks").getAs[String]("event_type") == "click")
+    assert(byTopic("clicks").getAs[Double]("value") == 2.5)
+    assert(byTopic("errors").getAs[Long]("user_id") == 2L) // null key is fine
+    // demux on the topic column — the consumer4-style split
+    val demux = KafkaSource.parseJson(raw)
+    assert(demux.filter(col("topic") === "clicks").count() == 1)
+    assert(demux.filter(col("topic") === "errors").count() == 1)
+  }
+
   /** T6: the contract Kafka-source wiring would rely on (offsets +
     * commit log in the checkpoint; a committed batch is never
     * re-delivered, an uncommitted one is): crash AFTER batch 0 commits
