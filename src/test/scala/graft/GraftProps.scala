@@ -113,6 +113,18 @@ object GraftProps extends Properties("graft") {
       got == expected
     }
 
+  property("native word count equals reference set-membership count") =
+    forAll(
+      Gen.listOfN(12, Gen.oneOf("the", "cat", "und", "der", "a", "zz", "", "la")),
+      Gen.atLeastOne("the", "und", "la", "a", "missing")) { (toks, words) =>
+      import spark.implicits._
+      val wordSeq = words.toSeq
+      val got = Seq(toks).toDF("toks")
+        .select(graft.operators.TextOps.wordSetCount(col("toks"), wordSeq))
+        .head.getInt(0)
+      got == toks.count(wordSeq.contains(_))
+    }
+
   property("fixed-point mean is exact for 2-decimal inputs") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 99999))) { centsInts =>
       import spark.implicits._
