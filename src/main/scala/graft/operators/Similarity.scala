@@ -121,9 +121,13 @@ object Similarity {
     */
   def lshCandidatePairsMultiTable(f: DataFrame, dim: Int,
                                   numPlanes: Int, numTables: Int): DataFrame = {
+    // persist: both self-join sides read the bucketed rows — the
+    // (numTables × numPlanes)-dot bucket expression must run once per
+    // row, not once per join side (aliasing defeats exchange reuse)
     val bucketed = f.select(col("id"), explode(array((0 until numTables).map(t =>
       struct(lit(t).as("t"),
         lshBucketTable(col("fv"), dim, numPlanes, t * numPlanes).as("b"))): _*)).as("tb"))
+      .persist()
     bucketed.select(col("tb"), col("id").as("id_a"))
       .join(bucketed.select(col("tb"), col("id").as("id_b")), Seq("tb"))
       .filter(col("id_a") < col("id_b"))
