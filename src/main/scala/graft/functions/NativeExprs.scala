@@ -53,6 +53,7 @@ object NativeExprs {
     */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash32" -> (exprs => MinHashSigExpr(exprs.head, 32)),
+    "graft_minhash32_w3" -> (exprs => MinHashShingledExpr(exprs.head, k = 3, numHashes = 32)),
     "graft_simhash64" -> (exprs => SimHash64Expr(exprs.head)),
     "graft_dot_fixed" -> (exprs => DotFixedExpr(exprs.head, exprs(1))),
     "graft_winnow" -> (exprs => WinnowExpr(exprs.head, k = 8, w = 6)),
@@ -108,6 +109,64 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Fused word-shingle MinHash: array<string> tokens → the SAME
+  * signature as `MinHashSigExpr(wordShingles(toks, k))`, computed
+  * without materializing any shingle string — the FNV-1a state streams
+  * over the k member tokens' bytes with a single separator byte between
+  * them, exactly as hashing the space-joined shingle would. Duplicate
+  * shingles can't change a min, so skipping the distinct step is
+  * semantics-neutral. At corpus scale this removes the dominant
+  * allocation cost of signature building (shingle strings existed only
+  * to be hashed).
+  */
+case class MinHashShingledExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_shingled"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val tokBytes = new Array[Array[Byte]](n)
+    var j = 0
+    while (j < n) {
+      tokBytes(j) = if (arr.isNullAt(j)) Array.emptyByteArray
+                    else arr.getUTF8String(j).getBytes
+      j += 1
+    }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val numShingles = math.max(n - (k - 1), 1)
+    var s = 0
+    while (s < numShingles) {
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      val end = math.min(s + k, n)
+      var t = s
+      while (t < end) {
+        if (t > s) h = (h ^ 0x20L) * 1099511628211L // the ' ' joiner
+        val b = tokBytes(t)
+        var i = 0
+        while (i < b.length) {
+          h = (h ^ (b(i) & 0xffL)) * 1099511628211L
+          i += 1
+        }
+        t += 1
+      }
+      val base = NativeExprs.mix64(h)
+      var i = 0
+      while (i < numHashes) {
+        val m = NativeExprs.mix64(base + NativeExprs.PermSeed * i)
+        if (m < mins(i)) mins(i) = m
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingledExpr =
     copy(child = newChild)
 }
 

@@ -84,12 +84,14 @@ object DataOps {
         col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
     // Signatures feed three plan branches (band explode + two pair-side
     // joins); persist so MinHash runs once — the batch analog of writing
-    // a signature table before the LSH join at cluster scale. The
-    // signature itself is the native expression (tight per-row loop).
+    // a signature table before the LSH join at cluster scale. The fused
+    // native expression hashes rolling word-shingles straight from the
+    // token bytes (no shingle strings materialize; signature-identical
+    // to minhash-over-wordShingles, proven in NativeExprsSpec).
     graft.functions.NativeExprs.ensureRegistered(spark)
     val sigs = all
-      .withColumn("sig", call_function("graft_minhash32",
-        TextOps.wordShingles(TextOps.tokens(col("norm")), 3)))
+      .withColumn("sig", call_function("graft_minhash32_w3",
+        TextOps.tokens(col("norm"))))
       .persist()
     val pairs = Dedup.lshCandidatePairsWithSigs(sigs, col("doc_id"), col("sig"), 8, 4)
     val est = pairs
@@ -114,8 +116,11 @@ object DataOps {
       .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
         col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
     graft.functions.NativeExprs.ensureRegistered(spark)
+    // persist: the fingerprint feeds both chunk-join sides + the lang
+    // join (self-join aliasing defeats exchange reuse)
     val hashed = all.withColumn("sim",
       call_function("graft_simhash64", TextOps.tokens(col("norm"))))
+      .persist()
     val pairs = Dedup.simHashPairs(hashed, col("doc_id"), col("sim"), maxDist = 3)
     pairs
       .join(hashed.select(col("doc_id").as("id_a"), col("lang")), Seq("id_a"))
@@ -148,8 +153,10 @@ object DataOps {
     val all = base.select(col("doc_id"), col("lang"), col("norm"))
       .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
         col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm")))
+    // persist: both fingerprint-join sides read the exploded winnow rows
     val fps = all.select(col("doc_id"), col("lang"),
         explode(call_function("graft_winnow", col("norm"))).as("fp"))
+      .persist()
     val a = fps.select(col("doc_id").as("id_a"), col("lang"), col("fp"))
     val b = fps.select(col("doc_id").as("id_b"), col("fp"))
     a.join(b, Seq("fp"))

@@ -42,23 +42,30 @@ object Pipeline {
       concat(col("lang"), lit("|"), TextOps.fingerprint(col("norm"))))
       .persist()
 
-    // 2a. shingle + sign ONCE, persist: this one frame feeds BOTH sides
-    // of the band self-join and both sides of the verification join —
-    // without it the interpreted shingle HOF and the minhash sketch
-    // re-run per consumer (self-join aliasing defeats exchange reuse)
-    val sigs = exact.select(col("doc_id"), col("lang"),
-        TextOps.wordShingles(TextOps.tokens(col("norm")), 3).as("sh"))
-      .withColumn("sig", call_function("graft_minhash32", col("sh")))
+    // 2a. signatures via the FUSED shingle-minhash expression — no
+    // shingle strings materialize at signature time; persisted because
+    // both band self-join sides read it (aliasing defeats exchange
+    // reuse)
+    val sigs = exact.select(col("doc_id"),
+        call_function("graft_minhash32_w3",
+          TextOps.tokens(col("norm"))).as("sig"))
       .persist()
     val cand = Dedup.lshCandidatePairs(sigs, col("doc_id"), col("sig"), 8, 4)
 
-    // 2b. exact verification of every candidate (sketches only GENERATE);
-    // near-dup dedup is scoped PER LANGUAGE like the exact stage — the
-    // d01 convention: identical text under different language labels is
-    // two distinct documents
+    // 2b. exact verification of every candidate (sketches only GENERATE)
+    // — shingle arrays are built ONLY for docs that appear in a
+    // candidate pair (candidates << corpus at scale). Near-dup dedup is
+    // scoped PER LANGUAGE like the exact stage — the d01 convention:
+    // identical text under different language labels is two documents.
+    val candDocs = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      .join(exact.select(col("doc_id"), col("lang"), col("norm")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        TextOps.wordShingles(TextOps.tokens(col("norm")), 3).as("sh"))
+      .persist() // both verification sides
     val verified = cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("lang").as("la"), col("sh").as("sa")), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("lang").as("lb"), col("sh").as("sb")), Seq("id_b"))
+      .join(candDocs.select(col("doc_id").as("id_a"), col("lang").as("la"), col("sh").as("sa")), Seq("id_a"))
+      .join(candDocs.select(col("doc_id").as("id_b"), col("lang").as("lb"), col("sh").as("sb")), Seq("id_b"))
       .filter(col("la") === col("lb"))
       .filter(Dedup.jaccard(col("sa"), col("sb")) >= 0.7)
       .select(col("id_a"), col("id_b"))

@@ -29,6 +29,24 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 0.3)
   }
 
+  test("fused shingle minhash equals minhash over materialized word shingles") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two",          // fewer tokens than k
+      "single",
+      "a  b",             // empty token from double space survives split
+      "der bericht und die zusammenfassung der kosten ist fertig und der plan")
+    val df = docs.toDF("t").withColumn("toks", TextOps.tokens(col("t")))
+    val rows = df.select(
+      call_function("graft_minhash32_w3", col("toks")).as("fused"),
+      call_function("graft_minhash32", TextOps.wordShingles(col("toks"), 3)).as("classic"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("native word count matches the HOF formulation") {
     import spark.implicits._
     val df = Seq("the cat and the dog", "und der hund ist da", "", "x y z the")
