@@ -105,9 +105,63 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** p02 — deterministic token-budget sampling, the curation step after
+    * cleaning: per language, take documents in md5-fingerprint order (a
+    * deterministic, content-keyed "shuffle" — no RNG, stable across
+    * runs/engines) until the running token count would exceed the
+    * budget. Emits per-language sample stats.
+    *
+    * Scale note: this formulation sorts each language partition (one
+    * window). At 100 TB the same semantics run as two passes — aggregate
+    * tokens per hash-PREFIX bucket, pick the boundary bucket by
+    * cumulative sum (tiny), then sort only the boundary bucket — but the
+    * doc-level cutoff below is the semantics both share, and what the
+    * oracle pins.
+    */
+  def p02(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 20000L // tokens per language
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("pick_key"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .withColumn("norm", TextOps.normalize(col("text")))
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_toks"),
+        TextOps.fingerprint(col("norm")).as("pick_key"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= budget)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs_sampled"),
+        sum(col("n_toks")).as("tokens_sampled"),
+        max(col("cum_toks")).as("budget_used"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_corpus_clean" -> p01)
+    "p01_corpus_clean" -> p01,
+    "p02_token_budget" -> p02)
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
-    "p01_corpus_clean" -> DuckSketchSql.p01)
+    "p01_corpus_clean" -> DuckSketchSql.p01,
+    "p02_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '\\S+')) AS n_toks,
+         |    md5($normSql) AS pick_key
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY lang ORDER BY pick_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+         |  FROM d)
+         |SELECT lang, count(*) AS n_docs_sampled,
+         |  CAST(sum(n_toks) AS BIGINT) AS tokens_sampled,
+         |  CAST(max(cum_toks) AS BIGINT) AS budget_used
+         |FROM c WHERE cum_toks <= 20000 GROUP BY 1 ORDER BY lang""".stripMargin)
 }
