@@ -144,13 +144,19 @@ case class MinHashShingledExpr(child: Expression, k: Int, numHashes: Int)
       var h = -3750763034362895579L // FNV-1a 64 offset basis
       val end = math.min(s + k, n)
       var t = s
+      var emitted = false
       while (t < end) {
-        if (t > s) h = (h ^ 0x20L) * 1099511628211L // the ' ' joiner
-        val b = tokBytes(t)
-        var i = 0
-        while (i < b.length) {
-          h = (h ^ (b(i) & 0xffL)) * 1099511628211L
-          i += 1
+        // null tokens are SKIPPED entirely, joiner included — matching
+        // concat_ws, which drops nulls (window positions still advance)
+        if (!arr.isNullAt(t)) {
+          if (emitted) h = (h ^ 0x20L) * 1099511628211L // the ' ' joiner
+          emitted = true
+          val b = tokBytes(t)
+          var i = 0
+          while (i < b.length) {
+            h = (h ^ (b(i) & 0xffL)) * 1099511628211L
+            i += 1
+          }
         }
         t += 1
       }
@@ -272,11 +278,18 @@ case class WordSetCountExpr(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_word_count"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (right.foldable)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      "graft_word_count requires a literal word array")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val strArr = (t: DataType) => t match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (!strArr(left.dataType) || !strArr(right.dataType))
+      TypeCheckFailure("graft_word_count requires (array<string>, array<string>)")
+    else if (!right.foldable)
+      TypeCheckFailure("graft_word_count requires a literal word array")
+    else TypeCheckSuccess
+  }
 
   @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()

@@ -41,9 +41,12 @@ object AsOfJoin {
       }
     // Total order: payload columns break ties among right rows sharing
     // (key, rightTime) — the survivor is the greatest payload tuple,
-    // deterministically, at any parallelism. (Left rows carry null
-    // payloads and only READ the running last, so their relative order
-    // within a timestamp is immaterial.)
+    // deterministically, at any parallelism. Left rows carry null
+    // payloads and sort as equals within their (t, side) group — a
+    // deliberate, safe exception to the no-null-sort-keys rule: left
+    // rows only READ the running last(ignoreNulls), so their relative
+    // order cannot affect any output value. Payload columns must be of
+    // orderable types (no maps).
     val w = Window.partitionBy(col(key))
       .orderBy((Seq(col("__t"), col("__side")) ++ payload.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

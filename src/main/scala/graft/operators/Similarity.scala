@@ -123,16 +123,21 @@ object Similarity {
                                   numPlanes: Int, numTables: Int): DataFrame = {
     // persist: both self-join sides read the bucketed rows — the
     // (numTables × numPlanes)-dot bucket expression must run once per
-    // row, not once per join side (aliasing defeats exchange reuse)
+    // row, not once per join side (aliasing defeats exchange reuse).
+    // The candidate set (small by design) is localCheckpoint-ed so the
+    // cache can be released before returning — no session-lifetime leak.
     val bucketed = f.select(col("id"), explode(array((0 until numTables).map(t =>
       struct(lit(t).as("t"),
         lshBucketTable(col("fv"), dim, numPlanes, t * numPlanes).as("b"))): _*)).as("tb"))
       .persist()
-    bucketed.select(col("tb"), col("id").as("id_a"))
+    val cand = bucketed.select(col("tb"), col("id").as("id_a"))
       .join(bucketed.select(col("tb"), col("id").as("id_b")), Seq("tb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+      .localCheckpoint()
+    bucketed.unpersist()
+    cand
   }
 
   /** Deterministic fixed-point Lloyd k-means for IVF coarse

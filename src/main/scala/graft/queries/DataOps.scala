@@ -553,8 +553,10 @@ object DataOps {
         |  FROM documents),
         |rz AS (
         |  SELECT media_id,
-        |    CAST(greatest(1, least(len,
-        |      CAST(round(len * (16.0 / (w * 4.0))) AS BIGINT))) AS INT) AS resized_len
+        |    -- outer least(len): content.take cannot pad, so an empty
+        |    -- payload stays empty even though newLen is clamped to >= 1
+        |    CAST(least(greatest(1, least(len,
+        |      CAST(round(len * (16.0 / (w * 4.0))) AS BIGINT))), len) AS INT) AS resized_len
         |  FROM m),
         |fr AS (
         |  SELECT media_id, resized_len,

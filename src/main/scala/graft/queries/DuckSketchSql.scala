@@ -135,7 +135,6 @@ object DuckSketchSql {
     val pw64 = (0 until 64).map(i => (BigInt(1) << i).toString).mkString("[", ", ", "]::HUGEINT[]")
     s"""WITH $mutantDocs,
        |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM ad),
-       |nt AS (SELECT doc_id, len(toks) AS n FROM tk),
        |u0 AS (SELECT doc_id, unnest(toks) AS s FROM tk),
        |$hashPipeline,
        |pw AS (SELECT $pw64 AS p),
