@@ -92,6 +92,19 @@ object TextOps {
   /** Whole-document fingerprint: md5 of the normalized text. */
   def fingerprint(norm: Column): Column = md5(norm)
 
+  /** PII scrubbing patterns (dialect-portable subset: no \b, no
+    * lookaround — identical semantics in Java regex and DuckDB's RE2).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** Redact emails then long digit runs — the standard pre-training
+    * scrub pass, as codegen'd regexp_replace chain (order matters:
+    * digits inside an email are consumed by the email redaction first).
+    */
+  def redactPII(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
+
   /** Character k-shingles of the normalized text (distinct). Documents
     * shorter than k yield the whole text as one shingle.
     */

@@ -236,6 +236,30 @@ object DataOps {
         TextOps.minShingleMd5(col("norm"), 8).as("min_shingle_md5"))
       .orderBy(col("doc_id"))
 
+  /** t05 — PII redaction: every 3rd doc gets a deterministic planted
+    * contact line (email + long reference number); the scrub pass must
+    * remove exactly those, counted per language with the exact
+    * character delta. Patterns are dialect-portable (no \b /
+    * lookaround), so the oracle runs the identical regexes.
+    */
+  def t05(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com ref 9911223344"))).otherwise(col("text")))
+    val scrubbed = planted
+      .withColumn("emails_found", regexp_count(col("text"), lit(TextOps.EmailRe)))
+      .withColumn("after_email", regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>"))
+      .withColumn("nums_found", regexp_count(col("after_email"), lit(TextOps.LongNumRe)))
+      .withColumn("clean", TextOps.redactPII(col("text")))
+    scrubbed.groupBy(col("lang"))
+      .agg(
+        sum(col("emails_found")).as("emails_redacted"),
+        sum(col("nums_found")).as("nums_redacted"),
+        sum((length(col("text")) - length(col("clean"))).cast("long")).as("chars_removed"))
+      .orderBy(col("lang"))
+  }
+
   /** s01 — exact brute-force top-5 cosine neighbors for every 50th
     * vector (fixed-point integer dot products — oracle-exact).
     */
@@ -400,7 +424,8 @@ object DataOps {
     "s01_cosine_topk" -> s01,
     "s02_lsh_ann" -> s02,
     "m01_media_features" -> m01,
-    "m02_media_resize_frames" -> m02)
+    "m02_media_resize_frames" -> m02,
+    "t05_pii_redact" -> t05)
 
   private val shingleSql =
     s"list_distinct([substr(norm, i, 5) FOR i IN range(1, greatest(length(norm) - 3, 2))])"
@@ -509,6 +534,28 @@ object DataOps {
          |  FROM sc)
          |SELECT lang, predicted_lang, count(*) AS n_docs
          |FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+    "t05_pii_redact" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || ' contact: user' || doc_id || '@example.com ref 9911223344'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, text,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails_found,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |  FROM p),
+        |c AS (
+        |  SELECT lang, emails_found,
+        |    len(regexp_extract_all(after_email, '[0-9]{6,}')) AS nums_found,
+        |    length(text) - length(regexp_replace(after_email, '[0-9]{6,}', '<NUM>', 'g')) AS delta
+        |  FROM s)
+        |SELECT lang,
+        |  CAST(sum(emails_found) AS BIGINT) AS emails_redacted,
+        |  CAST(sum(nums_found) AS BIGINT) AS nums_redacted,
+        |  CAST(sum(delta) AS BIGINT) AS chars_removed
+        |FROM c GROUP BY 1 ORDER BY lang""".stripMargin,
     "t04_fingerprint" ->
       s"""WITH n AS (
          |  SELECT doc_id, $normSql AS norm FROM documents)
