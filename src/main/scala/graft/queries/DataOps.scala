@@ -360,6 +360,26 @@ object DataOps {
       .orderBy(col("event_id"))
   }
 
+  /** q29 — gap sessionization (30-min) of the events table via
+    * [[graft.streaming.Sessionize.sessionizeBatch]] — the batch twin of
+    * the flatMapGroupsWithState streaming operator, driver-checked
+    * against an independent SQL gaps-and-islands oracle. Output sticks
+    * to exact facts (floored-epoch boundaries + event counts); the
+    * order-sensitive double sum stays out of the hash compare.
+    */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .as[graft.model.Schemas.Event]
+    graft.streaming.Sessionize.sessionizeBatch(ev, 30).toDF()
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("session_start"),
+        unix_timestamp(col("session_end")).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** e01 — embedding-cosine near-dup dedup end-to-end: plant scaled
     * copies (cosine-invariant ×1.001 → near-1 similarity after
     * quantization), find pairs ≥ 0.999 by exact fixed-point cosine,
@@ -425,7 +445,8 @@ object DataOps {
     "s02_lsh_ann" -> s02,
     "m01_media_features" -> m01,
     "m02_media_resize_frames" -> m02,
-    "t05_pii_redact" -> t05)
+    "t05_pii_redact" -> t05,
+    "q29_sessionize" -> q29)
 
   private val shingleSql =
     s"list_distinct([substr(norm, i, 5) FOR i IN range(1, greatest(length(norm) - 3, 2))])"
@@ -648,6 +669,28 @@ object DataOps {
         |lab AS (SELECT id, min(lab) AS label FROM reach GROUP BY id)
         |SELECT label AS vec_id, count(*) AS component_size
         |FROM lab GROUP BY 1 ORDER BY vec_id""".stripMargin,
+    "q29_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL
+        |              OR epoch_ms(ts) - epoch_ms(prev) >= 30 * 60000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q28_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
