@@ -380,6 +380,24 @@ object DataOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q30 — hot-key aggregation through [[graft.operators.Skew.saltedSumAgg]]:
+    * the two-phase salted sum must merge to EXACTLY the plain group-by
+    * result (fixed-point longs re-aggregate losslessly), so the oracle
+    * is simply the unsalted SQL — the driver hash-compare proves salting
+    * is distribution-only.
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("qf", gf.fixed(col("l_quantity"), 100.0))
+      .withColumn("pf", gf.fixed(col("l_extendedprice"), 100.0))
+    graft.operators.Skew.saltedSumAgg(li, Seq(col("l_returnflag")),
+        Seq(col("qf") -> "sum_qty_f", col("pf") -> "sum_price_f"), saltBuckets = 8)
+      .select(col("l_returnflag"),
+        gf.sumFromFixed(col("sum_qty_f"), 100.0).as("sum_qty"),
+        gf.sumFromFixed(col("sum_price_f"), 100.0).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** e01 — embedding-cosine near-dup dedup end-to-end: plant scaled
     * copies (cosine-invariant ×1.001 → near-1 similarity after
     * quantization), find pairs ≥ 0.999 by exact fixed-point cosine,
@@ -446,7 +464,8 @@ object DataOps {
     "m01_media_features" -> m01,
     "m02_media_resize_frames" -> m02,
     "t05_pii_redact" -> t05,
-    "q29_sessionize" -> q29)
+    "q29_sessionize" -> q29,
+    "q30_salted_agg" -> q30)
 
   private val shingleSql =
     s"list_distinct([substr(norm, i, 5) FOR i IN range(1, greatest(length(norm) - 3, 2))])"
@@ -669,6 +688,11 @@ object DataOps {
         |lab AS (SELECT id, min(lab) AS label FROM reach GROUP BY id)
         |SELECT label AS vec_id, count(*) AS component_size
         |FROM lab GROUP BY 1 ORDER BY vec_id""".stripMargin,
+    "q30_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q29_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
