@@ -143,8 +143,14 @@ object Dedup {
     * Output: (id, label).
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // pairs feeds BOTH union directions — materialize once so the
+    // (possibly expensive) candidate-verification lineage upstream
+    // doesn't run twice
+    val p = pairs.localCheckpoint()
+    if (p.isEmpty) // no near-dups: skip the whole propagation loop
+      return p.select(col("id_a").as("id"), col("id_a").as("label")).limit(0)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
