@@ -32,13 +32,18 @@ object Similarity {
   def fixedVec(v: Column): Column =
     transform(v, x => floor(x.cast("double") * Scale + 0.5d).cast("long"))
 
-  /** Exact integer dot product of two fixed vectors. */
+  /** Exact integer dot product of two fixed vectors — the native
+    * `graft_dot_fixed` expression (full `doGenCode`): the dot sits in
+    * the per-candidate-pair hot path of every ANN re-rank, exactly
+    * where interpreted array-HOF lambdas are banned by the repo rule.
+    * Requires graft functions registered (GraftExtensions or
+    * `NativeExprs.ensureRegistered`).
+    */
   def dotFixed(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function("graft_dot_fixed", a, b)
 
   /** Exact integer squared norm of a fixed vector. */
-  def normSqFixed(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+  def normSqFixed(a: Column): Column = dotFixed(a, a)
 
   /** Cosine from exact integer dot and squared norms — one deterministic
     * double expression: dot / sqrt(na) / sqrt(nb).

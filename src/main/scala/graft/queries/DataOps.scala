@@ -264,6 +264,7 @@ object DataOps {
     * vector (fixed-point integer dot products — oracle-exact).
     */
   def s01(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 50 === 0)
@@ -279,6 +280,7 @@ object DataOps {
     * recall vs s01 tested in SimilaritySpec.
     */
   def s02(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 50 === 0)
@@ -329,6 +331,7 @@ object DataOps {
     * [[DuckSketchSql.s03]]; recall vs s01 in DataOpsSpec.
     */
   def s03(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 50 === 0)
