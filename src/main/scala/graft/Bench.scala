@@ -20,7 +20,14 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
-    spark.catalog.clearCache() // drop warmup persists before timing
+    // clearCache releases persisted DataFrames but NOT localCheckpoint
+    // RDD blocks (clusterPairs / k-means iterations) — drop those too or
+    // they accumulate storage memory across the 48-query run.
+    def dropCached(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    dropCached() // drop warmup persists before timing
     try graft.sources.Tables.names.foreach { n =>
       spark.read.parquet(graft.sources.Tables.path(sfDir, n)).limit(1).count()
     } catch { case _: Throwable => () }
@@ -29,8 +36,8 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // each query pays for (and releases) its own persists — no cached
-      // datasets accumulating into later queries' timings
-      spark.catalog.clearCache()
+      // datasets or checkpoint blocks accumulating into later timings
+      dropCached()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

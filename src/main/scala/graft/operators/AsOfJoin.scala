@@ -29,33 +29,40 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = payload.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
-      (df, p) => df.withColumn(p, lit(null))
-    }
-    val r = leftCols.filterNot(c => c == key)
-      .foldLeft(right.select((key +: rightTime +: payload).map(col): _*)
-        .withColumnRenamed(rightTime, "__t")
-        .withColumn("__side", lit(0))) {
-        (df, c) => df.withColumn(c, lit(null))
-      }
-    // Total order: payload columns break ties among right rows sharing
-    // (key, rightTime) — the survivor is the greatest payload tuple,
-    // deterministically, at any parallelism. Left rows carry null
-    // payloads and sort as equals within their (t, side) group — a
-    // deliberate, safe exception to the no-null-sort-keys rule: left
-    // rows only READ the running last(ignoreNulls), so their relative
-    // order cannot affect any output value. Payload columns must be of
-    // orderable types (no maps).
+    // Payload travels as ONE struct column, so the running
+    // last(ignoreNulls) is row-atomic: a right row whose payload
+    // contains nulls still replaces the previous row wholesale (the
+    // struct itself is non-null), never mixing columns from different
+    // right rows — per-column last() would skip the null and leak an
+    // older row's value in.
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(
+        right.select(payload.map(col): _*).schema
+          .foldLeft(new org.apache.spark.sql.types.StructType)((s, f) => s.add(f))))
+    val r = right.select((key +: rightTime +: payload).map(col): _*)
+      .withColumnRenamed(rightTime, "__t")
+      .withColumn("__side", lit(0))
+      .withColumn("__p", struct(payload.map(col): _*))
+    val rAligned = leftCols.filterNot(_ == key)
+      .foldLeft(r.drop(payload: _*)) { (df, c) => df.withColumn(c, lit(null)) }
+    // Total order: the payload struct breaks ties among right rows
+    // sharing (key, rightTime) — struct comparison is lexicographic, so
+    // the survivor is the greatest payload tuple, deterministically, at
+    // any parallelism. Left rows carry a null struct and sort as equals
+    // within their (t, side) group — a deliberate, safe exception to
+    // the no-null-sort-keys rule: left rows only READ the running
+    // last(ignoreNulls), so their relative order cannot affect any
+    // output value. Payload columns must be of orderable types (no maps).
     val w = Window.partitionBy(col(key))
-      .orderBy((Seq(col("__t"), col("__side")) ++ payload.map(col)): _*)
+      .orderBy(col("__t"), col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.select((leftCols ++ Seq("__t", "__side") ++ payload).map(col): _*)
-      .unionByName(r.select((leftCols ++ Seq("__t", "__side") ++ payload).map(col): _*))
-    payload.foldLeft(joined) { (df, p) =>
-        df.withColumn(s"asof_$p", last(col(p), ignoreNulls = true).over(w))
+    val joined = l.select((leftCols ++ Seq("__t", "__side", "__p")).map(col): _*)
+      .unionByName(rAligned.select((leftCols ++ Seq("__t", "__side", "__p")).map(col): _*))
+    val withAsof = joined.withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+    payload.foldLeft(withAsof) { (df, p) =>
+        df.withColumn(s"asof_$p", col("__asof").getField(p))
       }
       .filter(col("__side") === 1)
-      .drop((Seq("__t", "__side") ++ payload): _*)
+      .drop("__t", "__side", "__p", "__asof")
   }
 }

@@ -28,6 +28,17 @@ object Similarity {
 
   val Scale = 1000000.0
 
+  /** Largest |embedding component| for which every integer expression in
+    * this file (dots, norms, plane projections) provably fits in a
+    * signed 64-bit long — see the bound derivation at [[planeComponent]].
+    * Inputs beyond this are a CONTRACT VIOLATION: Spark (non-ANSI)
+    * would silently wrap while the DuckDB oracle throws INT64 overflow,
+    * i.e. a divergence with no error on the Spark side. SimilaritySpec
+    * pins the testdata corpus inside this bound so a future corpus that
+    * breaks the coupling fails loudly in CI rather than hash-mismatching.
+    */
+  val MaxAbsEmbedding = 16.0
+
   /** Quantize a float-array column to exact micro-unit longs. */
   def fixedVec(v: Column): Column =
     transform(v, x => floor(x.cast("double") * Scale + 0.5d).cast("long"))
@@ -77,6 +88,17 @@ object Similarity {
     * a zero-mean long derived from a splitmix-style mix — no RNG state,
     * same planes on every executor and every run. `private[graft]` so
     * the DuckDB oracle builder can embed the identical constants.
+    *
+    * Overflow bound (why `>> 32`, and why [[MaxAbsEmbedding]] exists):
+    * a plane-projection sum is Σ_d fv[d] · planeComponent, with
+    * |fv[d]| ≤ Scale · MaxAbsEmbedding = 2^24 and |planeComponent| < 2^31
+    * (top 32 bits of a mixed long, sign included), so each term is
+    * < 2^55 and a dim-64 sum is < 2^61 — inside int64 with 4 bits to
+    * spare. The same bound covers dots/norms of two fixed vectors
+    * (|fv|² ≤ 2^48 per term, 2^54 summed). Spark sessions here are
+    * non-ANSI (longs wrap silently) while DuckDB throws on overflow, so
+    * this bound is what keeps the two engines equivalent — do not widen
+    * Scale, dim, or MaxAbsEmbedding without redoing the arithmetic.
     */
   private[graft] def planeComponent(plane: Int, d: Int): Long = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL

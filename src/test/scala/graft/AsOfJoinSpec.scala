@@ -48,6 +48,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asOf: payload is row-atomic — a null payload VALUE does not leak an older row's value") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    // the matching (latest) right row carries a null in column a; the
+    // result must be THAT row's (null, "y"), never a mix with the older
+    // row's a=1 — per-column last(ignoreNulls) would leak it
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), Some(1), "x"),
+      (10L, ts("2024-01-01 11:00:00"), None: Option[Int], "y")
+    ).toDF("k", "rt", "a", "b")
+    val r = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("a", "b")).head
+    assert(r.isNullAt(r.fieldIndex("asof_a")))
+    assert(r.getAs[String]("asof_b") == "y")
+  }
+
   test("asOf: left rows and columns preserved exactly") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), "extra"))

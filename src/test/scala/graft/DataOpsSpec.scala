@@ -8,6 +8,19 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 class DataOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local("dataops-spec")
 
+  test("embedding corpus stays inside the fixed-point overflow bound") {
+    // The Spark/DuckDB oracle equivalence of every similarity query
+    // rests on |component| <= Similarity.MaxAbsEmbedding (non-ANSI Spark
+    // would wrap int64 silently where DuckDB throws). Fail loudly here
+    // if a future corpus breaks the coupling.
+    val maxAbs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(max(aggregate(transform(col("embedding"),
+        x => abs(x.cast("double"))), lit(0.0d), (acc, x) => greatest(acc, x))))
+      .head.getDouble(0)
+    assert(maxAbs <= graft.operators.Similarity.MaxAbsEmbedding,
+      s"corpus max |component| $maxAbs exceeds the documented int64-safe bound")
+  }
+
   test("exact dedup keeps smallest id and counts group size") {
     import spark.implicits._
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "t")

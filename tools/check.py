@@ -33,6 +33,18 @@ def main():
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # Sketch oracles (DuckSketchSql) hash ord(char), which equals the
+    # UTF-8 byte only for ASCII — a non-ASCII corpus would silently
+    # diverge from the byte-wise JVM hash. Fail loudly instead.
+    if os.path.exists(f"{sfdir}/documents.parquet"):
+        n_nonascii = con.execute(
+            "SELECT count(*) FROM documents "
+            "WHERE regexp_matches(text, '[^\\x00-\\x7F]')").fetchone()[0]
+        if n_nonascii:
+            sys.exit(f"ABORT: {n_nonascii} non-ASCII documents — the "
+                     "char-ord-based sketch oracles (d02/d03/p01) only "
+                     "match the JVM byte-wise hashes for ASCII corpora. "
+                     "Port the oracles to byte-level hashing first.")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
