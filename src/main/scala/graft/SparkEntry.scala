@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.queries ++
       graft.queries.DataOps.queries ++
       graft.queries.Pipeline.queries ++
-      graft.queries.PyramidQueries.queries
+      graft.queries.PyramidQueries.queries ++
+      graft.queries.RangeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.StreamingQueries.oracles ++
       graft.queries.DataOps.oracles ++
       graft.queries.Pipeline.oracles ++
-      graft.queries.PyramidQueries.oracles
+      graft.queries.PyramidQueries.oracles ++
+      graft.queries.RangeQueries.oracles
 }
