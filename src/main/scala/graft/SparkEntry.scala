@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.DataOps.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.PyramidQueries.queries ++
-      graft.queries.RangeQueries.queries
+      graft.queries.RangeQueries.queries ++
+      graft.queries.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.DataOps.oracles ++
       graft.queries.Pipeline.oracles ++
       graft.queries.PyramidQueries.oracles ++
-      graft.queries.RangeQueries.oracles
+      graft.queries.RangeQueries.oracles ++
+      graft.queries.CorpusOps.oracles
 }
