@@ -123,6 +123,27 @@ object TextOps {
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k)))))
 
+  /** ALL word k-shingles (non-distinct, for occurrence counting), empty
+    * for docs shorter than k tokens — unlike [[wordShingles]]' clamp-to-
+    * one semantics. The `when` guard matters: Spark's `sequence(1, 0)`
+    * would happily generate DESCENDING, not empty.
+    */
+  def wordNgramsAll(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(slice(toks, lit(1), lit(0)))
+
+  /** Within-document n-gram repetition rate: (occurrences − distinct) /
+    * occurrences over [[wordNgramsAll]] output — the Gopher-style
+    * duplicate-n-gram filter signal, computed per ROW (no shuffle).
+    * NULL when the doc has no n-grams.
+    */
+  def dupNgramFrac(grams: Column): Column =
+    when(size(grams) > 0,
+      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+      .otherwise(lit(null).cast("double"))
+
   /** Min-hash-of-one-permutation as a cheap locality fingerprint: the
     * lexicographic min of md5 over all k-shingles. Identical texts agree;
     * near-identical texts agree with probability ≈ Jaccard.

@@ -36,8 +36,44 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** c02 — Gopher-style repetition filters: per doc, the top-token
+    * fraction, top-2-gram token fraction, and within-doc duplicate-
+    * 2-gram rate, plus the composite `keep` verdict. The dup rate is
+    * per-row arithmetic (zero shuffle); the two mode counts are
+    * explode → (doc, gram) count → per-doc max — two narrow hash
+    * aggregations that scale linearly. The tokenized scan is persisted
+    * because three branches consume it (text re-parse is the dominant
+    * cost at corpus scale). Only max COUNTS are taken, never argmax
+    * grams — no tie-break surface.
+    */
+  def c02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
+      .persist()
+    val g2 = TextOps.wordNgramsAll($"toks", 2)
+    val base = docs.select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+      gf.dround(TextOps.dupNgramFrac(g2), 4).as("dup_2gram_frac"))
+    val tokTop = docs.select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_tok"))
+    val g2Top = docs.select($"doc_id", explode(g2).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_g2"))
+    base.join(tokTop, Seq("doc_id")).join(g2Top, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens",
+        gf.dround($"top_tok".cast("double") / $"n_tokens", 4).as("top_token_frac"),
+        gf.dround($"top_g2".cast("double") * 2 / $"n_tokens", 4).as("top_2gram_frac"),
+        $"dup_2gram_frac")
+      .withColumn("keep",
+        $"top_token_frac" <= 0.12 && $"top_2gram_frac" <= 0.15 &&
+          $"dup_2gram_frac" <= 0.08)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c01_decontaminate" -> c01
+    "c01_decontaminate" -> c01,
+    "c02_repetition_filter" -> c02
   )
 
   // wordShingles clamp semantics: a doc shorter than n tokens yields ONE
@@ -66,6 +102,37 @@ object CorpusOps {
          |    AS contaminated_frac,
          |  count(DISTINCT b.bench_id) AS n_bench_docs
          |FROM trainex t JOIN benchex b ON t.ng = b.ng
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "c02_repetition_filter" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, $normSql AS norm FROM documents),
+         |t AS (
+         |  SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tc AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, tok),
+         |ttop AS (SELECT doc_id, max(c) AS top_tok FROM tc GROUP BY 1),
+         |g2e AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+         |  FROM t),
+         |g2c AS (SELECT doc_id, count(*) AS c FROM g2e GROUP BY doc_id, g),
+         |g2top AS (SELECT doc_id, max(c) AS top_g2 FROM g2c GROUP BY 1),
+         |base AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    len([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS tot2,
+         |    len(list_distinct([array_to_string(toks[i:i+1], ' ')
+         |      FOR i IN range(1, len(toks))])) AS dis2
+         |  FROM t),
+         |f AS (
+         |  SELECT b.doc_id, b.n_tokens,
+         |    round(CAST(top_tok AS DOUBLE) / b.n_tokens, 4) AS top_token_frac,
+         |    round(CAST(top_g2 AS DOUBLE) * 2 / b.n_tokens, 4) AS top_2gram_frac,
+         |    round(CASE WHEN tot2 > 0
+         |      THEN CAST(tot2 - dis2 AS DOUBLE) / tot2 END, 4) AS dup_2gram_frac
+         |  FROM base b JOIN ttop USING (doc_id) JOIN g2top USING (doc_id))
+         |SELECT doc_id, n_tokens, top_token_frac, top_2gram_frac, dup_2gram_frac,
+         |  top_token_frac <= 0.12 AND top_2gram_frac <= 0.15
+         |    AND dup_2gram_frac <= 0.08 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -21,6 +21,31 @@ class DataOpsSpec extends AnyFunSuite {
       s"corpus max |component| $maxAbs exceeds the documented int64-safe bound")
   }
 
+  test("wordNgramsAll: occurrence counting semantics, empty below k, no descending-sequence trap") {
+    import spark.implicits._
+    val df = Seq("a b a b a", "a b", "a", "").toDF("t")
+      .select(TextOps.wordNgramsAll(TextOps.tokens(TextOps.normalize(col("t"))), 2).as("g"))
+    val got = df.select(col("g")).as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b", "b a", "a b", "b a")) // non-distinct, ordered
+    assert(got(1) == Seq("a b"))
+    assert(got(2).isEmpty && got(3).isEmpty)
+  }
+
+  test("dupNgramFrac: exact repetition rate, null on empty") {
+    import spark.implicits._
+    val df = Seq("a b a b a", "x y z").toDF("t")
+      .select(TextOps.dupNgramFrac(
+        TextOps.wordNgramsAll(TextOps.tokens(TextOps.normalize(col("t"))), 2)).as("f"))
+    val got = df.collect()
+    assert(got(0).getDouble(0) == 0.5) // 4 grams, 2 distinct
+    assert(got(1).getDouble(0) == 0.0)
+    val empty = Seq("a").toDF("t")
+      .select(TextOps.dupNgramFrac(
+        TextOps.wordNgramsAll(TextOps.tokens(TextOps.normalize(col("t"))), 2)).as("f"))
+      .head
+    assert(empty.isNullAt(0))
+  }
+
   test("exact dedup keeps smallest id and counts group size") {
     import spark.implicits._
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "t")
