@@ -71,9 +71,64 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** c03 — EXACT stratified sampling: within each language stratum,
+    * rank docs by md5(doc_id) (a deterministic, uniform, seed-free
+    * permutation — the p02 trick) and keep the first ceil(25% · |stratum|).
+    * Unlike Bernoulli `sample()`, stratum fractions are hit exactly and
+    * the selection is reproducible on any engine — n·0.25 is exact in
+    * IEEE (0.25 is a power of two), so the cutoff is bit-identical.
+    * One window per stratum = a single sort-shuffle on lang at scale.
+    */
+  def c03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+      .withColumn("sample_rank",
+        row_number().over(w.orderBy($"h", $"doc_id")))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter($"sample_rank" <= ceil($"n" * 0.25))
+      .select($"doc_id", $"lang", $"sample_rank")
+      .orderBy($"lang", $"sample_rank")
+  }
+
+  /** c04 — corpus term statistics: top-5 terms per language with tf,
+    * per-stratum df, and the tf·idf score. One explode feeds a single
+    * (lang, term) aggregation (tf = occurrences, df = distinct docs);
+    * per-lang doc counts broadcast-join back. Ranking uses EXACT integer
+    * keys (tf desc, df asc, term asc) — the repo's total-ordering rule:
+    * `ln` is not correctly-rounded IEEE, so a transcendental sort key
+    * could flip across engines; the displayed score keeps the standard
+    * tf·ln(N/df) form where a last-ulp wobble only risks a 4dp-rounding
+    * boundary (~2^-38), not the row set.
+    */
+  def c04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
+    val terms = docs.select($"lang", $"doc_id", explode($"toks").as("term"))
+    val stats = terms.groupBy($"lang", $"term")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+    val langN = docs.groupBy($"lang").agg(countDistinct($"doc_id").as("n_docs"))
+    stats.join(broadcast(langN), Seq("lang"))
+      .withColumn("rnk", row_number().over(Window.partitionBy($"lang")
+        .orderBy($"tf".desc, $"df".asc, $"term".asc)))
+      .filter($"rnk" <= 5)
+      .select($"lang", $"term", $"tf", $"df",
+        gf.dround($"tf".cast("double") * log($"n_docs".cast("double") / $"df"), 4)
+          .as("tfidf"),
+        $"rnk")
+      .orderBy($"lang", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_decontaminate" -> c01,
-    "c02_repetition_filter" -> c02
+    "c02_repetition_filter" -> c02,
+    "c03_stratified_sample" -> c03,
+    "c04_tfidf_topk" -> c04
   )
 
   // wordShingles clamp semantics: a doc shorter than n tokens yields ONE
@@ -133,6 +188,37 @@ object CorpusOps {
          |SELECT doc_id, n_tokens, top_token_frac, top_2gram_frac, dup_2gram_frac,
          |  top_token_frac <= 0.12 AND top_2gram_frac <= 0.15
          |    AND dup_2gram_frac <= 0.08 AS keep
-         |FROM f ORDER BY doc_id""".stripMargin
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "c03_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hh,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS sample_rank
+        |  FROM h)
+        |SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+        |FROM r WHERE sample_rank <= ceil(n * 0.25)
+        |ORDER BY lang, sample_rank""".stripMargin,
+    "c04_tfidf_topk" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, lang, $normSql AS norm FROM documents),
+         |terms AS (
+         |  SELECT lang, doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+         |stats AS (
+         |  SELECT lang, term, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |  FROM terms GROUP BY 1, 2),
+         |ln_ AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM n GROUP BY 1),
+         |r AS (
+         |  SELECT s.lang, s.term, s.tf, s.df, l.n_docs,
+         |    row_number() OVER (PARTITION BY s.lang
+         |      ORDER BY s.tf DESC, s.df ASC, s.term ASC) AS rnk
+         |  FROM stats s JOIN ln_ l USING (lang))
+         |SELECT lang, term, tf, df,
+         |  round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
+         |  CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 5
+         |ORDER BY lang, rnk""".stripMargin
   )
 }
