@@ -57,7 +57,19 @@ object NativeExprs {
     "graft_simhash64" -> (exprs => SimHash64Expr(exprs.head)),
     "graft_dot_fixed" -> (exprs => DotFixedExpr(exprs.head, exprs(1))),
     "graft_winnow" -> (exprs => WinnowExpr(exprs.head, k = 8, w = 6)),
-    "graft_word_count" -> (exprs => WordSetCountExpr(exprs.head, exprs(1))))
+    "graft_word_count" -> (exprs => WordSetCountExpr(exprs.head, exprs(1))),
+    "graft_word_shingles" -> (exprs => WordNgramsExpr(exprs.head,
+      literalInt(exprs(1)), distinct = true, clampShort = true)),
+    "graft_word_ngrams_all" -> (exprs => WordNgramsExpr(exprs.head,
+      literalInt(exprs(1)), distinct = false, clampShort = false)))
+
+  private def literalInt(e: Expression): Int = {
+    require(e.foldable, s"expected a literal int argument, got $e")
+    e.eval(null) match {
+      case i: Int => i
+      case other => other.toString.toInt
+    }
+  }
 
   /** Alias for [[register]] kept for call-site clarity: queries handed
     * an arbitrary session (the driver's mains) call this; sessions
@@ -316,6 +328,63 @@ case class WordSetCountExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): WordSetCountExpr = copy(left = newLeft, right = newRight)
+}
+
+/** Word k-grams of a token array as one tight loop per row — the native
+  * twin of `TextOps.wordShingles` (distinct=true, clampShort=true: docs
+  * shorter than k yield ONE whole-text shingle, matching the
+  * slice-clamping Column version) and `TextOps.wordNgramsAll`
+  * (distinct=false, clampShort=false: empty below k, occurrence
+  * counting). The interpreted `transform(sequence, i -> concat_ws(" ",
+  * slice(toks, i, k)))` chain dispatches ~4 lambda closures per gram
+  * and dominated c01/p01 wall-clock at sf0.1; here each gram is one
+  * `UTF8String.concatWs` call (which, like `concat_ws`, skips null
+  * tokens while the window still advances). Distinct keeps FIRST
+  * occurrence order — `array_distinct` semantics.
+  */
+case class WordNgramsExpr(child: Expression, k: Int,
+                          distinct: Boolean, clampShort: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val numGrams = if (n >= k) n - k + 1 else if (clampShort) 1 else 0
+    if (numGrams == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    if (distinct) {
+      val out = new java.util.LinkedHashSet[UTF8String]()
+      var s = 0
+      while (s < numGrams) {
+        out.add(UTF8String.concatWs(sep,
+          java.util.Arrays.copyOfRange(toks, s, math.min(s + k, n)): _*))
+        s += 1
+      }
+      new GenericArrayData(out.toArray)
+    } else {
+      val out = new Array[Any](numGrams)
+      var s = 0
+      while (s < numGrams) {
+        out(s) = UTF8String.concatWs(sep,
+          java.util.Arrays.copyOfRange(toks, s, math.min(s + k, n)): _*)
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
 }
 
 /** Exact integer dot product of two array<long> vectors, with full

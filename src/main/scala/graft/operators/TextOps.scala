@@ -113,26 +113,24 @@ object TextOps {
       sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
       i => norm.substr(i, lit(k))))
 
-  /** Word k-shingles over a token array (distinct, space-joined). For
-    * document-level MinHash, word shingles carry as much signal as
-    * character shingles at ~6× fewer elements per document — array HOF
-    * lambdas evaluate interpreted, so shingle count is the unit of cost.
+  /** Word k-shingles over a token array (distinct, space-joined,
+    * first-occurrence order; docs shorter than k yield one whole-text
+    * shingle). Runs as the native `graft_word_shingles` expression —
+    * the interpreted transform/slice/concat_ws chain it replaces cost
+    * ~4 lambda dispatches per gram and dominated c01/p01 (requires
+    * graft functions registered: GraftExtensions or
+    * `NativeExprs.ensureRegistered`).
     */
   def wordShingles(toks: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(k)))))
+    call_function("graft_word_shingles", toks, lit(k))
 
   /** ALL word k-shingles (non-distinct, for occurrence counting), empty
     * for docs shorter than k tokens — unlike [[wordShingles]]' clamp-to-
-    * one semantics. The `when` guard matters: Spark's `sequence(1, 0)`
-    * would happily generate DESCENDING, not empty.
+    * one semantics. Native `graft_word_ngrams_all` expression (requires
+    * graft functions registered).
     */
   def wordNgramsAll(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(slice(toks, lit(1), lit(0)))
+    call_function("graft_word_ngrams_all", toks, lit(k))
 
   /** Within-document n-gram repetition rate: (occurrences − distinct) /
     * occurrences over [[wordNgramsAll]] output — the Gopher-style

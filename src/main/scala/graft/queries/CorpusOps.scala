@@ -26,6 +26,7 @@ object CorpusOps {
     */
   def c01(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id",
         TextOps.wordShingles(TextOps.tokens(TextOps.normalize($"text")), 4).as("ngs"))
@@ -48,6 +49,7 @@ object CorpusOps {
     */
   def c02(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
       .persist()

@@ -47,6 +47,33 @@ class NativeExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("native word ngrams match the interpreted HOF formulations (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff")
+    val rows = (1 to 60).map { i =>
+      val n = rnd.nextInt(8) // includes 0..k-1 token edge cases
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = rows.toDF("id", "t")
+      .withColumn("toks", TextOps.tokens(TextOps.normalize(col("t"))))
+    for (k <- Seq(2, 3, 4)) {
+      // the pre-native Column formulations, verbatim
+      val hofShingles = array_distinct(transform(
+        sequence(lit(1), greatest(size(col("toks")) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+      val hofAll = when(size(col("toks")) >= k,
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+        .otherwise(slice(col("toks"), lit(1), lit(0)))
+      val bad = df.select(col("id"),
+          TextOps.wordShingles(col("toks"), k).as("ns"), hofShingles.as("hs"),
+          TextOps.wordNgramsAll(col("toks"), k).as("na"), hofAll.as("ha"))
+        .filter(not(col("ns") === col("hs")) || not(col("na") === col("ha")))
+      assert(bad.isEmpty, s"k=$k native/HOF ngram divergence: ${bad.head(3).mkString}")
+    }
+  }
+
   test("native word count matches the HOF formulation") {
     import spark.implicits._
     val df = Seq("the cat and the dog", "und der hund ist da", "", "x y z the")
