@@ -253,15 +253,21 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine re-rank. Recall is tunable via `numPlanes`
     * (fewer planes → bigger buckets → higher recall, more work).
+    * Buckets come from [[lshBucketTable]] (planeOffset 0 — bit-identical
+    * to [[lshBucket]], so the embedded-constant DuckDB oracle is
+    * unchanged): the native-dot form keeps the bucket expression a few
+    * codegen'd loops instead of a dim×planes unrolled tree, which keeps
+    * first-compile cost flat when the driver times a cold plan.
+    * Requires graft functions registered.
     */
   def hyperplaneLshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                         dim: Int, numPlanes: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), fixedVec(col("vec")).as("qv"))
       .withColumn("qn", normSqFixed(col("qv")))
-      .withColumn("bucket", lshBucket(col("qv"), dim, numPlanes))
+      .withColumn("bucket", lshBucketTable(col("qv"), dim, numPlanes, 0))
     val c = candidates.select(col("id").as("cand_id"), fixedVec(col("vec")).as("cv"))
       .withColumn("cn", normSqFixed(col("cv")))
-      .withColumn("bucket", lshBucket(col("cv"), dim, numPlanes))
+      .withColumn("bucket", lshBucketTable(col("cv"), dim, numPlanes, 0))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",

@@ -24,7 +24,11 @@ object ProfileQuery {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
-      println(f"[profile] $name%-28s median=${times.sorted.apply(reps / 2)}%.3f " +
+      val sorted = times.sorted
+      val median = // true median: average the two middle samples for even reps
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
+      println(f"[profile] $name%-28s median=$median%.3f " +
         f"min=${times.min}%.3f max=${times.max}%.3f")
     }
     spark.stop()

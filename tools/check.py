@@ -33,19 +33,23 @@ def main():
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # Sketch oracles (DuckSketchSql) hash ord(char), which equals the
     # UTF-8 byte only for ASCII — a non-ASCII corpus would silently
-    # diverge from the byte-wise JVM hash. Fail loudly instead.
-    if os.path.exists(f"{sfdir}/documents.parquet"):
+    # diverge from the byte-wise JVM hash. Fail loudly, but only for
+    # runs that actually verify a char-ord oracle (a DumpOracles
+    # iteration on the q-series shouldn't abort on corpus text).
+    CHAR_ORD_ORACLES = {"d02_minhash_lsh", "d03_simhash", "p01_corpus_clean"}
+    affected = sorted(CHAR_ORD_ORACLES & set(oracle))
+    if affected and os.path.exists(f"{sfdir}/documents.parquet"):
         n_nonascii = con.execute(
             "SELECT count(*) FROM documents "
             "WHERE regexp_matches(text, '[^\\x00-\\x7F]')").fetchone()[0]
         if n_nonascii:
             sys.exit(f"ABORT: {n_nonascii} non-ASCII documents — the "
-                     "char-ord-based sketch oracles (d02/d03/p01) only "
-                     "match the JVM byte-wise hashes for ASCII corpora. "
+                     f"char-ord-based sketch oracles ({', '.join(affected)}) "
+                     "only match the JVM byte-wise hashes for ASCII corpora. "
                      "Port the oracles to byte-level hashing first.")
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
