@@ -130,11 +130,94 @@ object Relational {
       .orderBy($"r_name", $"year")
   }
 
+  /** q31 — CUBE + grouping_id (completes the grouping-sets surface next
+    * to q27's ROLLUP). `grouping_id()` and DuckDB `GROUPING(a, b)` share
+    * the SQL-standard bit order (leftmost column = MSB), so the id is
+    * compared directly; null dims are labeled like q27 so no sort key
+    * is null. One expand + one hash aggregate — the expand multiplies
+    * rows by 4 BEFORE the shuffle, but partial aggregation collapses
+    * them map-side, so shuffle volume stays |groups|-bounded at scale.
+    */
+  def q31CubeGrouping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(gf.fixed($"l_quantity", 100.0)).as("qty_f"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+        $"gid".cast("int").as("gid"),
+        $"n_items",
+        gf.dround(gf.sumFromFixed($"qty_f", 100.0), 2).as("sum_qty"))
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
+  /** q32 — pivot with an EXPLICIT value list: per order-year, order
+    * counts per priority as columns. Passing the values to `pivot`
+    * matters at scale — without them Spark runs an extra distinct-scan
+    * job over the fact table just to learn the column set. The pivot
+    * compiles to a single conditional-aggregation pass (exactly the
+    * CASE-WHEN oracle), not a per-value scan. Output names are
+    * sanitized to parquet-safe identifiers.
+    */
+  def q32PivotPriorities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("n_urgent", "n_high", "n_medium", "n_not_specified", "n_low")
+    val piv = Tables.load(spark, dir, "orders")
+      .groupBy(year($"o_orderdate").as("year"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    prios.zip(names).foldLeft(piv) { case (df, (p, n)) =>
+      df.withColumnRenamed(p, n)
+    }.select($"year" +: names.map(n => coalesce(col(n), lit(0L)).as(n)): _*)
+      .orderBy($"year")
+  }
+
+  /** q33 — EXACT per-group percentiles (p50/p90/p99) via rank/count
+    * windows — the repo's determinism rule applied to quantiles:
+    * interpolating `percentile_cont` mixes doubles (engine-divergent);
+    * the discrete quantile is a row VALUE picked at index
+    * ceil(p·n) computed in INTEGER arithmetic ((p·n + 99) / 100), so
+    * both engines select the identical element. Ties on price are
+    * harmless: any row at the index carries the same value. Single
+    * sort-shuffle per group partition at scale (no global sort).
+    */
+  def q33Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_returnflag")
+    val ranked = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice")
+      .withColumn("rn", row_number().over(w.orderBy($"l_extendedprice")))
+      .withColumn("n", count(lit(1)).over(w))
+    // ceil(p·n/100) in exact integer terms: (n·p + 99) div 100. Spark's
+    // Column `/` is double division — n·p+99 < 2^53 keeps the quotient
+    // exact enough that floor() equals true integer division (error
+    // < 1e-16 relative, nearest non-integer quotient is 0.01 away).
+    def pick(p: Int) = max(when(
+      $"rn".cast("long") === floor(($"n" * p + lit(99)) / lit(100)).cast("long"),
+      $"l_extendedprice"))
+    ranked.groupBy($"l_returnflag")
+      .agg(
+        max($"n").as("n_items"),
+        gf.dround(pick(50), 2).as("p50_price"),
+        gf.dround(pick(90), 2).as("p90_price"),
+        gf.dround(pick(99), 2).as("p99_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q25_region_revenue" -> q25RegionRevenue,
     "q26_part_margin" -> q26PartMargin,
-    "q27_rollup_distinct" -> q27RollupDistinct
+    "q27_rollup_distinct" -> q27RollupDistinct,
+    "q31_cube_grouping" -> q31CubeGrouping,
+    "q32_pivot_priorities" -> q32PivotPriorities,
+    "q33_percentiles" -> q33Percentiles
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +271,35 @@ object Relational {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP(r.r_name, year(o.o_orderdate))
-        |ORDER BY r_name, year""".stripMargin
+        |ORDER BY r_name, year""".stripMargin,
+    "q31_cube_grouping" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n_items,
+        |  round(CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q32_pivot_priorities" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+        |FROM orders
+        |GROUP BY 1 ORDER BY year""".stripMargin,
+    "q33_percentiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(n) AS n_items,
+        |  round(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN l_extendedprice END), 2) AS p50_price,
+        |  round(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN l_extendedprice END), 2) AS p90_price,
+        |  round(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN l_extendedprice END), 2) AS p99_price
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 }
