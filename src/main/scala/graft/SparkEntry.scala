@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Pipeline.queries ++
       graft.queries.PyramidQueries.queries ++
       graft.queries.RangeQueries.queries ++
-      graft.queries.CorpusOps.queries
+      graft.queries.CorpusOps.queries ++
+      graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Pipeline.oracles ++
       graft.queries.PyramidQueries.oracles ++
       graft.queries.RangeQueries.oracles ++
-      graft.queries.CorpusOps.oracles
+      graft.queries.CorpusOps.oracles ++
+      graft.queries.SketchQueries.oracles
 }

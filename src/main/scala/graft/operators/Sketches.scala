@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketching — HyperLogLog (Flajolet, Fusy,
+  * Gandouet, Meunier 2007) re-expressed as two hash aggregations.
+  *
+  * The whole sketch is DECLARATIVE — no UDF, no UDAF, no driver loop:
+  *
+  *   1. per row: register index = top `p` bits of a splitmix64-mixed
+  *      key hash, rho = leading-zero count of the remaining 64−p bits
+  *      plus one (the classic HLL observable);
+  *   2. `groupBy(group, register).agg(max(rho))` — the register table.
+  *      Map-side partial max means shuffle volume is bounded by
+  *      |groups|·m regardless of row count: the 100 TB shape;
+  *   3. `groupBy(group).agg(sum(2^(rhoMax_shift)))` — the harmonic-sum
+  *      fold, carried EXACTLY: each register contributes the integer
+  *      2^(57−rho) (rho ≤ 57 for p=8), summed as decimal(38,0) so the
+  *      worst case (m registers at rho=1 → m·2^56) cannot overflow, and
+  *      empty registers contribute 2^57 each — added as a decimal
+  *      product after the fact.
+  *
+  * Determinism: the hash is the repo's splitmix64 finalizer (same
+  * constants as `NativeExprs.mix64`, here as wrapping Column arithmetic
+  * — non-ANSI Spark longs wrap like the JVM), rho comes from exact
+  * integer/string ops, the harmonic sum is an exact integer, and the
+  * final estimate is a fixed sequence of IEEE double ops on exact
+  * inputs — bit-identical at any parallelism and portable to a DuckDB
+  * oracle (HUGEINT sums + the same double expression).
+  *
+  * The estimate is the RAW HLL estimator alpha_m·m²/Σ2^-M[j]. The
+  * small-range (linear counting) and large-range corrections are
+  * deliberately omitted: both pass through `ln`, which is not
+  * correctly-rounded IEEE and would re-open the cross-engine ulp risk
+  * the repo's numerics rules exist to close. Accuracy is the standard
+  * ~1.04/√m relative error for n ≳ 2.5·m (= 640 at p=8); below that the
+  * raw estimator reads high — callers counting tiny sets should use an
+  * exact countDistinct (at that size it's cheap anyway).
+  */
+object Hll {
+
+  /** Register-index bits: m = 2^p = 256 registers, σ ≈ 6.5%. */
+  val P = 8
+  val M_ = 1 << P // 256
+  private val RhoMax = 64 - P + 1 // 57: w == 0 ⇒ all 64−p bits zero
+
+  /** splitmix64 finalizer as wrapping Column arithmetic (constants =
+    * `NativeExprs.mix64`). Works on any long column; non-ANSI sessions
+    * wrap multiplication exactly like the JVM.
+    */
+  def mix64Col(c: Column): Column = {
+    val z1 = c + lit(-7046029254386353131L)
+    val z2 = z1.bitwiseXOR(shiftrightunsigned(z1, 30)) * lit(-4658895280553007687L)
+    val z3 = z2.bitwiseXOR(shiftrightunsigned(z2, 27)) * lit(-7723592293110705685L)
+    z3.bitwiseXOR(shiftrightunsigned(z3, 31))
+  }
+
+  /** Per-group HLL register table: (groupCols..., j, rho_max).
+    * `key` must be a long column.
+    */
+  def registers(df: DataFrame, key: Column, groupCols: Seq[Column]): DataFrame = {
+    val h = mix64Col(key)
+    val j = shiftrightunsigned(h, 64 - P) // top p bits → register index
+    // low 64−p bits; rho = leading zeros within that window + 1
+    //   = 57 − bit_length(low56). bit_length via conv→binary-string
+    // (exact integer semantics, engine-portable: DuckDB bin() mirrors it);
+    // conv renders 0 as "0" (length 1), so the w=0 case is explicit.
+    val low = h.bitwiseAND(lit((1L << (64 - P)) - 1))
+    val rho = when(low === 0, lit(RhoMax))
+      .otherwise(lit(RhoMax) - length(conv(low, 10, 2)))
+    df.select(groupCols :+ j.as("j") :+ rho.as("rho"): _*)
+      .groupBy(groupCols :+ col("j"): _*)
+      .agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Fold a register table into (groupCols..., hll_estimate,
+    * n_registers_hit). The harmonic sum is exact: Σ 2^(57−rho) over hit
+    * registers (decimal) + 2^57 per empty register.
+    */
+  def estimate(regs: DataFrame, groupCols: Seq[Column]): DataFrame = {
+    // scala shiftleft() only takes a literal shift; the SQL form takes a column
+    val term = expr(s"shiftleft(CAST(1 AS BIGINT), $RhoMax - rho_max)").cast("decimal(38,0)")
+    val emptyTerm = lit(1L << RhoMax).cast("decimal(38,0)") // 2^57
+    val agged = regs.groupBy(groupCols: _*)
+      .agg(sum(term).as("s_hit"), count(lit(1)).as("n_registers_hit"))
+    // alpha_m · m² · 2^57 / S — written in THIS exact literal/op order in
+    // the DuckDB oracle too, so the double math is bit-identical.
+    val s = col("s_hit") +
+      (lit(M_.toLong) - col("n_registers_hit")).cast("decimal(38,0)") * emptyTerm
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M_.toDouble))
+    val est = alpha * lit((M_.toLong * M_.toLong).toDouble) *
+      lit((1L << RhoMax).toDouble) / s.cast("double")
+    agged.select(groupCols :+ est.as("hll_estimate") :+ col("n_registers_hit"): _*)
+  }
+}

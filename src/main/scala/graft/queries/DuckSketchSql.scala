@@ -331,4 +331,40 @@ object DuckSketchSql {
        |  round(CAST(sum(CAST(floor(score * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 2)
        |    AS avg_score
        |FROM kept GROUP BY 1 ORDER BY lang""".stripMargin
+
+  /** h01 — HyperLogLog distinct customers per priority: the exact
+    * splitmix64 mix on the raw key (HUGEINT mod-2^64), register = top 8
+    * bits, rho via bin()-string bit length (mirrors Spark's conv-based
+    * form — both are exact integer/string semantics), harmonic sum as
+    * exact HUGEINT, and the raw-estimator double expression written in
+    * the IDENTICAL literal/op order as `Hll.estimate`.
+    */
+  val h01: String = {
+    val (mix, last) = mix64Ctes("h", "z0", Seq("prio"))
+    val P2_56 = "72057594037927936" // 2^56
+    val P2_57d = "144115188075855872.0" // 2^57 as double literal
+    s"""WITH k AS (SELECT DISTINCT o_orderpriority AS prio, o_custkey AS key FROM orders),
+       |z0 AS (SELECT prio, key::HUGEINT AS z FROM k),
+       |$mix,
+       |r AS (SELECT prio, z // $P2_56 AS j,
+       |        CAST(z % $P2_56 AS BIGINT) AS low FROM $last),
+       |rr AS (SELECT prio, j,
+       |        CASE WHEN low = 0 THEN 57 ELSE 57 - length(bin(low)) END AS rho FROM r),
+       |reg AS (SELECT prio, j, max(rho) AS rho_max FROM rr GROUP BY 1, 2),
+       |ag AS (SELECT prio,
+       |        sum(CAST((1::BIGINT << (57 - rho_max)) AS HUGEINT)) AS s_hit,
+       |        count(*) AS n_hit FROM reg GROUP BY 1),
+       |est AS (SELECT prio, n_hit,
+       |        (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * $P2_57d
+       |          / CAST(s_hit + (256 - n_hit)::HUGEINT * $P2_56::HUGEINT * 2::HUGEINT AS DOUBLE)
+       |          AS e
+       |        FROM ag),
+       |ex AS (SELECT o_orderpriority AS prio, count(DISTINCT o_custkey) AS n_exact
+       |       FROM orders GROUP BY 1)
+       |SELECT est.prio, ex.n_exact, round(est.e, 2) AS hll_estimate,
+       |  round((est.e - ex.n_exact) / ex.n_exact, 4) AS rel_err,
+       |  CAST(est.n_hit AS BIGINT) AS n_registers_hit
+       |FROM est JOIN ex ON est.prio = ex.prio
+       |ORDER BY 1""".stripMargin
+  }
 }

@@ -19,7 +19,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
   private val picks = Seq(
     "d02_minhash_lsh", "e01_embedding_dedup", "s03_ivf_ann",
     "q06_moving_avg", "q22_monthly_rollup", "q24_hourly_baselines",
-    "t02_quality_score", "p01_corpus_clean", "p02_token_budget")
+    "t02_quality_score", "p01_corpus_clean", "p02_token_budget",
+    // h01: decimal harmonic sum must not depend on partial-agg order;
+    // c05: Misra-Gries candidates vary with partitioning, output must not
+    "h01_hll_distinct", "c05_heavy_hitters")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)

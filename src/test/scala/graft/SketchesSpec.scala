@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Frequency, Hll}
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("sketches-spec")
+
+  test("HLL estimate lands inside the standard error envelope") {
+    import spark.implicits._
+    // m=256 → σ ≈ 1.04/√256 = 6.5%; assert 4σ on three cardinalities.
+    // All n ≥ 2.5m = 640: below that the RAW estimator is biased high by
+    // design (the omitted linear-counting correction's domain — see the
+    // Hll scaladoc for why corrections stay out).
+    for (n <- Seq(1000L, 5000L, 200000L)) {
+      val df = spark.range(n).select(lit("g").as("grp"), $"id")
+      val est = Hll.estimate(Hll.registers(df, $"id", Seq($"grp")), Seq($"grp"))
+        .head.getAs[Double]("hll_estimate")
+      val relErr = math.abs(est - n) / n.toDouble
+      assert(relErr < 0.26, s"n=$n est=$est relErr=$relErr exceeds 4σ")
+    }
+  }
+
+  test("HLL registers: rho semantics match Long.numberOfLeadingZeros") {
+    import spark.implicits._
+    // recompute rho on the driver for a sample of keys and compare with
+    // the conv()-string form the operator uses
+    val keys = Seq(0L, 1L, 42L, -1L, Long.MaxValue, Long.MinValue, 123456789L)
+    val got = Hll.registers(keys.toDF("id"), $"id", Seq(lit(1).as("g")))
+      .select($"j", $"rho_max").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val want = keys.map { k =>
+      val h = graft.functions.NativeExprs.mix64(k)
+      val j = h >>> 56
+      val low = h & ((1L << 56) - 1)
+      val rho = if (low == 0L) 57 else java.lang.Long.numberOfLeadingZeros(low) - 8 + 1
+      (j, rho)
+    }.groupBy(_._1).map { case (j, v) => j -> v.map(_._2).max }
+    assert(got == want)
+  }
+
+  test("heavy hitters: exact result, planted skew, partition-invariant") {
+    import spark.implicits._
+    // 10k rows: "hot" 600× (6%), "warm" 80× (0.8%), rest unique fillers
+    val rows = Seq.fill(600)("hot") ++ Seq.fill(80)("warm") ++
+      (0 until 9320).map(i => s"u$i")
+    val expect = Seq(("hot", 600L, 10000L), ("warm", 80L, 10000L))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("item")
+      val got = Frequency.heavyHitters(df, "item", 200) // threshold: >50 occurrences
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("heavy hitters: ties and threshold boundary are exact") {
+    import spark.implicits._
+    // n=1000, k=100 → keep cnt·100 > 1000 ⇔ cnt ≥ 11; plant cnt=10 (out),
+    // cnt=11 (in), and two tied at 20 (order by cnt desc then item asc)
+    val rows = Seq.fill(10)("edge10") ++ Seq.fill(11)("edge11") ++
+      Seq.fill(20)("tie_b") ++ Seq.fill(20)("tie_a") ++
+      (0 until 939).map(i => s"u$i")
+    val got = Frequency.heavyHitters(rows.toDF("item"), "item", 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("tie_a", 20L), ("tie_b", 20L), ("edge11", 11L)))
+  }
+}
