@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.PyramidQueries.queries ++
       graft.queries.RangeQueries.queries ++
       graft.queries.CorpusOps.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++
+      graft.queries.LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.PyramidQueries.oracles ++
       graft.queries.RangeQueries.oracles ++
       graft.queries.CorpusOps.oracles ++
-      graft.queries.SketchQueries.oracles
+      graft.queries.SketchQueries.oracles ++
+      graft.queries.LayoutQueries.oracles
 }

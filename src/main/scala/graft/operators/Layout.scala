@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering for multi-column
+  * data skipping.
+  *
+  * Why this exists at 100 TB: parquet readers prune files/row-groups by
+  * min/max column stats. Sorting by a single column gives tight stats
+  * on that column only; interleaving the bits of TWO filter columns
+  * (the Z-order curve) gives every file a small rectangle in both
+  * dimensions, so point/range predicates on EITHER column skip most
+  * files. The production write path is
+  * `df.repartitionByRange(n, zv).sortWithinPartitions(zv).write...` —
+  * range-partition boundaries are sampled (not reproducible), which is
+  * fine for a LAYOUT (it never changes query answers). The z-value
+  * itself and the bucket-locality audit below are exact and
+  * engine-portable.
+  */
+object Layout {
+
+  /** 32-bit Morton code of two 16-bit dims via the classic
+    * mask-spread (Bit Twiddling Hacks "Interleave bits by Binary Magic
+    * Numbers") — 4 shift/mask rounds per dim, pure long arithmetic,
+    * identical in DuckDB. Inputs are masked to 16 bits; use
+    * [[quantize16]] to map an arbitrary integer domain onto the full
+    * 16-bit space first (raw low-bit keys would otherwise collapse
+    * into one z-range corner).
+    */
+  def zValue(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      val c0 = c.bitwiseAND(lit(0xFFFFL))
+      val c1 = c0.bitwiseOR(shiftleft(c0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val c2 = c1.bitwiseOR(shiftleft(c1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val c3 = c2.bitwiseOR(shiftleft(c2, 2)).bitwiseAND(lit(0x33333333L))
+      c3.bitwiseOR(shiftleft(c3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Affine-quantize an integer column onto [0, 65535] from its
+    * observed [lo, hi] — EXACT integer arithmetic ((x−lo)·65535 div
+    * (hi−lo)), so both engines bucket identically; constant domain
+    * (hi = lo) maps to 0. `lo`/`hi` come from a 1-row aggregate
+    * broadcast-crossed onto the data (no collect, no sampled
+    * boundaries — reproducible at any parallelism, unlike
+    * `repartitionByRange`'s sampler).
+    */
+  def quantize16(x: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, lit(0L))
+      .otherwise(call_function("div", (x - lo) * lit(65535L), hi - lo))
+
+  /** Locality audit: bucket rows by the TOP `bucketBits` bits of their
+    * z-value (fixed z-space splits — the deterministic analog of the
+    * file boundaries a z-sorted write produces) and report each
+    * bucket's row count and per-dimension min/max — the rectangle a
+    * file written in this order would advertise in its parquet stats.
+    * Narrow rectangles ⇒ effective skipping on both dims. No window, no
+    * sort: two aggregates at any scale (domain min/max + the bucket
+    * stats; a global ntile would collapse to a single task — the
+    * anti-pattern).
+    */
+  def zorderStats(df: DataFrame, xCol: String, yCol: String,
+                  bucketBits: Int): DataFrame = {
+    val dom = df.groupBy().agg(
+      min(col(xCol)).as("_xlo"), max(col(xCol)).as("_xhi"),
+      min(col(yCol)).as("_ylo"), max(col(yCol)).as("_yhi"))
+    val z = zValue(
+      quantize16(col(xCol), col("_xlo"), col("_xhi")),
+      quantize16(col(yCol), col("_ylo"), col("_yhi")))
+    df.crossJoin(broadcast(dom))
+      .withColumn("zv", z)
+      .drop("_xlo", "_xhi", "_ylo", "_yhi")
+      .withColumn("bucket", shiftrightunsigned(col("zv"), 32 - bucketBits))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"),
+        min(col("zv")).as("z_min"), max(col("zv")).as("z_max"))
+      .orderBy(col("bucket"))
+  }
+}

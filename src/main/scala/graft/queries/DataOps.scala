@@ -401,6 +401,28 @@ object DataOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q34 — SCD2 intervalization of per-user activity tiers via
+    * [[graft.operators.Scd.intervals]]: each user's event stream is
+    * classified (value thresholds) and collapsed into versioned
+    * validity intervals — the warehouse dimension-history build.
+    * Epochs floored on both sides (the q28 rule); valid_to is null on
+    * each user's open version (not a sort key). Total order inside a
+    * user is (ts, event_id).
+    */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("value") < 100, "low")
+          .when(col("value") < 300, "mid")
+          .otherwise("high").as("tier"))
+    graft.operators.Scd.intervals(ev, "user_id", "ts", "event_id", "tier")
+      .select(col("user_id"), col("version"), col("state").as("tier"),
+        unix_timestamp(col("valid_from")).as("valid_from"),
+        unix_timestamp(col("valid_to")).as("valid_to"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** e01 — embedding-cosine near-dup dedup end-to-end: plant scaled
     * copies (cosine-invariant ×1.001 → near-1 similarity after
     * quantization), find pairs ≥ 0.999 by exact fixed-point cosine,
@@ -468,7 +490,8 @@ object DataOps {
     "m02_media_resize_frames" -> m02,
     "t05_pii_redact" -> t05,
     "q29_sessionize" -> q29,
-    "q30_salted_agg" -> q30)
+    "q30_salted_agg" -> q30,
+    "q34_scd2_intervals" -> q34)
 
   private val shingleSql =
     s"list_distinct([substr(norm, i, 5) FOR i IN range(1, greatest(length(norm) - 3, 2))])"
@@ -731,5 +754,30 @@ object DataOps {
         |    AS secs_since_error
         |FROM clicks c
         |ASOF LEFT JOIN errors e ON c.user_id = e.e_user AND c.ts >= e.e_ts
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q34_scd2_intervals" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN value < 100 THEN 'low'
+        |         WHEN value < 300 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM t),
+        |v AS (
+        |  SELECT user_id, tier, ts,
+        |    sum(CASE WHEN prev IS NULL OR prev <> tier THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, version, min(tier) AS tier, min(ts) AS vf,
+        |    count(*) AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, tier,
+        |  CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
+        |  CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY version))) AS BIGINT)
+        |    AS valid_to,
+        |  n_events
+        |FROM g ORDER BY user_id, version""".stripMargin)
 }

@@ -367,4 +367,43 @@ object DuckSketchSql {
        |FROM est JOIN ex ON est.prio = ex.prio
        |ORDER BY 1""".stripMargin
   }
+
+  /** b01 — Bloom-pruned semi-join: the exact `BloomPrune` dataflow —
+    * one splitmix64 mix per distinct key, three 16-bit position slices,
+    * 32-bit-word bit_or build over the dim keys, all-3-bits probe, then
+    * the exact semi-join and per-year reconciliation (pass vs exact vs
+    * false positives). Shifts stay on non-negative values ≤ 2^31 so
+    * BIGINT shift semantics agree across engines.
+    */
+  val b01: String = {
+    val (mix, last) = mix64Ctes("h", "z0", Seq("key"))
+    s"""WITH dimk AS (SELECT c_custkey AS key FROM customer WHERE c_nationkey = 5),
+       |keys AS (SELECT DISTINCT o_custkey AS key FROM orders
+       |         UNION SELECT key FROM dimk),
+       |z0 AS (SELECT key, key::HUGEINT AS z FROM keys),
+       |$mix,
+       |pos AS (SELECT key, CAST(unnest([z % 65536, (z // 65536) % 65536,
+       |          (z // 4294967296) % 65536]) AS BIGINT) AS pos FROM $last),
+       |bb AS (SELECT p.pos FROM pos p JOIN dimk d ON p.key = d.key),
+       |bloom AS (SELECT pos // 32 AS word,
+       |            bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+       |          FROM bb GROUP BY 1),
+       |pr AS (SELECT p.key FROM pos p
+       |       LEFT JOIN bloom b ON p.pos // 32 = b.word
+       |       GROUP BY p.key
+       |       HAVING min((coalesce(b.bits, 0) >> CAST(p.pos % 32 AS INT)) & 1) = 1),
+       |pass AS (SELECT o.o_custkey, o.o_totalprice,
+       |           CAST(year(o.o_orderdate) AS INT) AS year
+       |         FROM orders o JOIN pr ON o.o_custkey = pr.key),
+       |pa AS (SELECT year, count(*) AS n_bloom_pass FROM pass GROUP BY 1),
+       |ex AS (SELECT year, count(*) AS n_orders,
+       |         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_f
+       |       FROM pass JOIN dimk d ON pass.o_custkey = d.key GROUP BY 1)
+       |SELECT pa.year, coalesce(ex.n_orders, 0) AS n_orders,
+       |  round(CAST(coalesce(ex.rev_f, 0) AS DOUBLE) / 100.0, 2) AS revenue,
+       |  pa.n_bloom_pass,
+       |  pa.n_bloom_pass - coalesce(ex.n_orders, 0) AS n_false_pos
+       |FROM pa LEFT JOIN ex ON pa.year = ex.year
+       |ORDER BY 1""".stripMargin
+  }
 }

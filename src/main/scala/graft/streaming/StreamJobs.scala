@@ -173,4 +173,28 @@ object StreamJobs {
       .withColumn("rank_gap", abs(col("current_rank") - col("hist_rank")))
       .withColumn("is_anomaly", col("rank_gap") > gapThreshold)
   }
+
+  /** SQ6 — stream-STREAM inner join (beyond the reference's stream-
+    * static joins, completing the join surface): each click joined to
+    * every error by the same user within the following hour. Both
+    * sides carry event-time watermarks and the join condition bounds
+    * the time skew — Structured Streaming's requirements for evicting
+    * join state, so buffered state is O(events per watermark horizon),
+    * not unbounded. Append-mode only (rows emit once both watermarks
+    * pass). On batch frames the same code is the plain theta join, which
+    * is how StreamingSpec's batch twin checks the streamed result.
+    */
+  def sq6ClickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = withEventTime(clicks.filter(col("event_type") === "click"))
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val e = withEventTime(errors.filter(col("event_type") === "error"))
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"),
+        col("value").as("error_value"))
+    c.join(e,
+      col("user_id") === col("e_user") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .drop("e_user")
+  }
 }

@@ -117,6 +117,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.map(_.getAs[Timestamp]("ts")).distinct.size == 3)
   }
 
+  test("sq6 stream-stream interval join: streamed == batch twin (append mode)") {
+    import spark.implicits._
+    val rows = mkEvents
+    val batch = rows.toDF()
+    val expected = StreamJobs.sq6ClickErrorJoin(batch, batch)
+      .select("user_id", "click_ts", "click_value", "error_ts", "error_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "fixture must produce click→error pairs")
+
+    implicit val sc = spark.sqlContext
+    val memC = MemoryStream[Ev]
+    val memE = MemoryStream[Ev]
+    memC.addData(rows: _*)
+    memE.addData(rows: _*)
+    val collected = scala.collection.mutable.ArrayBuffer[Row]()
+    val ckpt = Files.createTempDirectory("ckpt-sq6").toString
+    // stream-stream inner joins are append-only: rows emit when both
+    // sides' watermarks pass; AvailableNow drains everything in order
+    Sinks.runAvailableNow(
+      StreamJobs.sq6ClickErrorJoin(memC.toDF(), memE.toDF()), ckpt,
+      outputMode = "append")(identity) { df => collected ++= df.collect() }
+    val got = collected
+      .map(r => Row(r.getAs[Any]("user_id"), r.getAs[Any]("click_ts"),
+        r.getAs[Any]("click_value"), r.getAs[Any]("error_ts"),
+        r.getAs[Any]("error_value")).toString).sorted.toSeq
+    assert(got == expected)
+  }
+
   test("kafka-shaped json payloads parse through the shared schema (S7)") {
     import spark.implicits._
     val raw = Seq(
