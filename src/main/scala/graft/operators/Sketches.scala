@@ -56,6 +56,58 @@ object Hll {
     z3.bitwiseXOR(shiftrightunsigned(z3, 31))
   }
 
+  /** Histogram quantile sketch: per-group fixed-bin counts over an
+    * integer measure, folded into quantile BRACKETS — the scale path
+    * for percentiles. Where the exact form (q33) sort-shuffles every
+    * group, this is one min/max aggregate + one (group, bin) count
+    * aggregate + a cumulative window over ≤ `bins` rows per group —
+    * shuffle volume O(|groups|·bins) regardless of row count, and the
+    * answer comes with a GUARANTEE: the true quantile lies inside the
+    * returned bin's value bounds (width (hi−lo)/bins).
+    *
+    * All arithmetic is exact integers (bin index and bounds via integer
+    * div on the measure's observed [lo, hi]) — engine-portable with no
+    * double mixing anywhere.
+    *
+    * `measure` must be a long column (quantize doubles first, e.g.
+    * `gf.fixed`). `pcts` are integer percentiles (50, 90, 99...).
+    * Output: group..., n_items, then p<q>_lo / p<q>_hi per percentile.
+    */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[Column],
+                         measure: Column, bins: Int,
+                         pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(groupCols :+ measure.as("_m"): _*)
+    val dom = g.groupBy(groupCols: _*)
+      .agg(min(col("_m")).as("_lo"), max(col("_m")).as("_hi"),
+        count(lit(1)).as("n_items"))
+    val groupNames = dom.columns.dropRight(3).toSeq
+    // span = hi−lo+1 keeps hi in the last bin; constant groups → bin 0
+    val binned = g.join(broadcast(dom), groupNames)
+      .withColumn("_bin",
+        call_function("div", (col("_m") - col("_lo")) * lit(bins.toLong),
+          col("_hi") - col("_lo") + lit(1L)))
+      .groupBy(groupNames.map(col) :+ col("_bin"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(groupNames.map(col): _*).orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.withColumn("_cum", sum(col("_c")).over(w))
+      .join(broadcast(dom), groupNames)
+    // per percentile: the first bin whose cumulative count reaches
+    // k = ceil(p·n/100) (exact integer, the q33 rule), reported as the
+    // bin's exact value bounds
+    val span = col("_hi") - col("_lo") + lit(1L)
+    def binLo(b: Column) = col("_lo") + call_function("div", b * span, lit(bins.toLong))
+    val pctCols = pcts.flatMap { p =>
+      val k = floor((col("n_items") * p + lit(99)) / lit(100)).cast("long")
+      Seq(min(when(col("_cum") >= k, binLo(col("_bin")))).as(s"p${p}_lo"),
+        // upper bound: next bin's lower bound − 1 (exact integer split)
+        min(when(col("_cum") >= k, binLo(col("_bin") + 1) - 1)).as(s"p${p}_hi"))
+    }
+    val aggs = max(col("n_items")).as("n_items") +: pctCols
+    cum.groupBy(groupNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-group HLL register table: (groupCols..., j, rho_max).
     * `key` must be a long column.
     */

@@ -210,8 +210,52 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q35 — FULL OUTER join (completes the join-type surface: inner /
+    * left / semi / anti / asof / range / stream-stream exist elsewhere):
+    * urgent-order vs low-order counts per CUSTOMER — with ~2 of each
+    * per customer, a sizable Poisson fraction has only one side at
+    * every SF, so both null branches genuinely fire. Null-side keys
+    * coalesce into the output key (no null sort keys — the q27 rule);
+    * presence is made explicit so the oracle pins which side was
+    * missing.
+    */
+  def q35FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    def side(prio: String, n: String) =
+      o.filter($"o_orderpriority" === prio)
+        .groupBy($"o_custkey".as("custkey"))
+        .agg(count(lit(1)).as(n))
+    val u = side("1-URGENT", "n_urgent")
+    val l = side("5-LOW", "n_low").withColumnRenamed("custkey", "custkey_l")
+    u.join(l, $"custkey" === $"custkey_l", "full_outer")
+      .select(
+        coalesce($"custkey", $"custkey_l").as("custkey"),
+        coalesce($"n_urgent", lit(0L)).as("n_urgent"),
+        coalesce($"n_low", lit(0L)).as("n_low"),
+        when($"custkey".isNull, "low_only")
+          .when($"custkey_l".isNull, "urgent_only")
+          .otherwise("both").as("presence"))
+      .orderBy($"custkey")
+  }
+
+  /** q36 — set operators INTERSECT / EXCEPT (distinct set semantics on
+    * both engines): customers active in both 1995 and 1996 but not in
+    * 1997. Compiles to semi/anti-join shapes — key-only shuffles.
+    */
+  def q36SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    def active(y: Int) =
+      o.filter(year($"o_orderdate") === y).select($"o_custkey")
+    active(1995).intersect(active(1996)).except(active(1997))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
+    "q35_full_outer" -> q35FullOuter,
+    "q36_setops" -> q36SetOps,
     "q25_region_revenue" -> q25RegionRevenue,
     "q26_part_margin" -> q26PartMargin,
     "q27_rollup_distinct" -> q27RollupDistinct,
@@ -300,6 +344,26 @@ object Relational {
         |  round(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN l_extendedprice END), 2) AS p50_price,
         |  round(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN l_extendedprice END), 2) AS p90_price,
         |  round(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN l_extendedprice END), 2) AS p99_price
-        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q35_full_outer" ->
+      """WITH u AS (SELECT o_custkey AS custkey, count(*) AS n_urgent
+        |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |l AS (SELECT o_custkey AS custkey_l, count(*) AS n_low
+        |      FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT coalesce(u.custkey, l.custkey_l) AS custkey,
+        |  coalesce(u.n_urgent, 0) AS n_urgent,
+        |  coalesce(l.n_low, 0) AS n_low,
+        |  CASE WHEN u.custkey IS NULL THEN 'low_only'
+        |       WHEN l.custkey_l IS NULL THEN 'urgent_only'
+        |       ELSE 'both' END AS presence
+        |FROM u FULL OUTER JOIN l ON u.custkey = l.custkey_l
+        |ORDER BY custkey""".stripMargin,
+    "q36_setops" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin
   )
 }

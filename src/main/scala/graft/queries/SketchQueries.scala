@@ -50,8 +50,27 @@ object SketchQueries {
       .withColumnRenamed("item", "token")
   }
 
+  /** h02 — histogram quantile BRACKETS for the same percentiles q33
+    * computes exactly: 1024 bins over price cents per returnflag. The
+    * driver compare proves the bracket math; q33 beside it proves the
+    * true value falls inside (spec-pinned in SketchesSpec). At scale
+    * this replaces q33's per-group sort with two bounded aggregations.
+    */
+  def h02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    Hll.histogramQuantiles(li, Seq($"l_returnflag"),
+        gf.fixed($"l_extendedprice", 100.0), bins = 1024, pcts = Seq(50, 90, 99))
+      .select($"l_returnflag" +: $"n_items" +:
+        Seq(50, 90, 99).flatMap(p => Seq(
+          gf.dround(col(s"p${p}_lo").cast("double") / 100.0, 2).as(s"p${p}_lo"),
+          gf.dround(col(s"p${p}_hi").cast("double") / 100.0, 2).as(s"p${p}_hi"))): _*)
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h01_hll_distinct" -> h01,
+    "h02_histogram_quantiles" -> h02,
     "c05_heavy_hitters" -> c05
   )
 
@@ -60,6 +79,40 @@ object SketchQueries {
 
   val oracles: Map[String, String] = Map(
     "h01_hll_distinct" -> DuckSketchSql.h01,
+    "h02_histogram_quantiles" ->
+      """WITH m AS (SELECT l_returnflag AS g,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+        |       FROM lineitem),
+        |dom AS (SELECT g, min(c) AS lo, max(c) AS hi, count(*) AS n FROM m GROUP BY 1),
+        |b AS (SELECT m.g, ((m.c - d.lo) * 1024) // (d.hi - d.lo + 1) AS bin,
+        |        count(*) AS cnt
+        |      FROM m JOIN dom d ON m.g = d.g GROUP BY 1, 2),
+        |cum AS (SELECT b.g, b.bin, d.lo, d.hi, d.n,
+        |          sum(b.cnt) OVER (PARTITION BY b.g ORDER BY b.bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |        FROM b JOIN dom d ON b.g = d.g),
+        |pick AS (SELECT g, max(n) AS n_items,
+        |    min(CASE WHEN cm >= (n * 50 + 99) // 100
+        |             THEN lo + (bin * (hi - lo + 1)) // 1024 END) AS p50l,
+        |    min(CASE WHEN cm >= (n * 50 + 99) // 100
+        |             THEN lo + ((bin + 1) * (hi - lo + 1)) // 1024 - 1 END) AS p50h,
+        |    min(CASE WHEN cm >= (n * 90 + 99) // 100
+        |             THEN lo + (bin * (hi - lo + 1)) // 1024 END) AS p90l,
+        |    min(CASE WHEN cm >= (n * 90 + 99) // 100
+        |             THEN lo + ((bin + 1) * (hi - lo + 1)) // 1024 - 1 END) AS p90h,
+        |    min(CASE WHEN cm >= (n * 99 + 99) // 100
+        |             THEN lo + (bin * (hi - lo + 1)) // 1024 END) AS p99l,
+        |    min(CASE WHEN cm >= (n * 99 + 99) // 100
+        |             THEN lo + ((bin + 1) * (hi - lo + 1)) // 1024 - 1 END) AS p99h
+        |  FROM cum GROUP BY g)
+        |SELECT g AS l_returnflag, n_items,
+        |  round(CAST(p50l AS DOUBLE) / 100.0, 2) AS p50_lo,
+        |  round(CAST(p50h AS DOUBLE) / 100.0, 2) AS p50_hi,
+        |  round(CAST(p90l AS DOUBLE) / 100.0, 2) AS p90_lo,
+        |  round(CAST(p90h AS DOUBLE) / 100.0, 2) AS p90_hi,
+        |  round(CAST(p99l AS DOUBLE) / 100.0, 2) AS p99_lo,
+        |  round(CAST(p99h AS DOUBLE) / 100.0, 2) AS p99_hi
+        |FROM pick ORDER BY l_returnflag""".stripMargin,
     "c05_heavy_hitters" ->
       s"""WITH n AS (SELECT $normSql AS norm FROM documents),
          |tok AS (SELECT unnest(string_split(norm, ' ')) AS token FROM n),

@@ -41,6 +41,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("histogram quantile brackets contain the exact percentiles") {
+    // h02's guarantee: the true quantile (q33's exact value) lies inside
+    // every returned [p_lo, p_hi] bracket, and brackets are bin-narrow
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val exact = graft.queries.Relational.q33Percentiles(spark, dir).collect()
+        .map(r => r.getString(0) -> r).toMap
+      graft.queries.SketchQueries.h02(spark, dir).collect().foreach { r =>
+        val e = exact(r.getString(0))
+        for (p <- Seq(50, 90, 99)) {
+          val lo = r.getAs[Double](s"p${p}_lo"); val hi = r.getAs[Double](s"p${p}_hi")
+          val ex = e.getAs[Double](s"p${p}_price")
+          assert(lo <= ex && ex <= hi,
+            s"${r.getString(0)} p$p: exact $ex outside bracket [$lo, $hi]")
+          assert(hi - lo < 150.0, s"bracket too wide: [$lo, $hi]") // ~domain/1024
+        }
+      }
+    }
+  }
+
   test("heavy hitters: exact result, planted skew, partition-invariant") {
     import spark.implicits._
     // 10k rows: "hot" 600× (6%), "warm" 80× (0.8%), rest unique fillers
