@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.RangeQueries.queries ++
       graft.queries.CorpusOps.queries ++
       graft.queries.SketchQueries.queries ++
-      graft.queries.LayoutQueries.queries
+      graft.queries.LayoutQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.RangeQueries.oracles ++
       graft.queries.CorpusOps.oracles ++
       graft.queries.SketchQueries.oracles ++
-      graft.queries.LayoutQueries.oracles
+      graft.queries.LayoutQueries.oracles ++
+      graft.queries.GraphQueries.oracles
 }

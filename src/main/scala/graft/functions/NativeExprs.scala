@@ -58,6 +58,7 @@ object NativeExprs {
     "graft_dot_fixed" -> (exprs => DotFixedExpr(exprs.head, exprs(1))),
     "graft_winnow" -> (exprs => WinnowExpr(exprs.head, k = 8, w = 6)),
     "graft_word_count" -> (exprs => WordSetCountExpr(exprs.head, exprs(1))),
+    "graft_hash64" -> (exprs => Hash64Expr(exprs.head)),
     "graft_word_shingles" -> (exprs => WordNgramsExpr(exprs.head,
       literalInt(exprs(1)), distinct = true, clampShort = true)),
     "graft_word_ngrams_all" -> (exprs => WordNgramsExpr(exprs.head,
@@ -390,6 +391,20 @@ case class WordNgramsExpr(child: Expression, k: Int,
 /** Exact integer dot product of two array<long> vectors, with full
   * whole-stage codegen (`doGenCode` splices a branch-free loop).
   */
+/** The repo's canonical string hash (FNV-1a over UTF-8 bytes +
+  * splitmix64 finalizer) as a standalone scalar — the per-occurrence
+  * key for sketch position derivation (Count-Min). Same math the
+  * DuckDB oracle ports (`DuckSketchSql` fnvRaw + mix64 CTEs).
+  */
+case class Hash64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash64"
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(NativeExprs.hashUtf8(input.asInstanceOf[UTF8String]))
+  override protected def withNewChildInternal(newChild: Expression): Hash64Expr =
+    copy(child = newChild)
+}
+
 case class DotFixedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics: PageRank (Brin & Page 1998) in EXACT
+  * fixed-point integer arithmetic.
+  *
+  * Why fixed-point: a double-valued PageRank sums contributions in
+  * shuffle order — results drift across parallelism and engines. Here
+  * rank mass is an integer budget (10^12 micro-units) and every
+  * operation is integer div/mul/sum: bit-identical at any parallelism
+  * AND replicable as unrolled DuckDB CTEs, so a 3-iteration run is
+  * hash-comparable, not just "close". Integer-division dust (≤1 unit
+  * per share) leaks mass slightly — deterministically — which is the
+  * price of exactness; ordering quality is unaffected.
+  *
+  * Shape at scale: per iteration, one join of edges⋈ranks (shuffle on
+  * src — co-partitioned with the degree join) + one sum aggregate on
+  * dst. Ranks are `localCheckpoint`ed each iteration (the repo's
+  * iterative-lineage rule) so iteration i+1 reads a flat relation
+  * instead of re-executing the whole prefix per consumer.
+  *
+  * Overflow bound: rank ≤ 10^12 total mass, rank·dampNum ≤ 8.5·10^13,
+  * and 10^2·deg stays far inside int64 for any realistic degree.
+  */
+object Graph {
+
+  val TotalMass = 1000000000000L // 10^12 micro-units of rank
+
+  /** `edges` must be SYMMETRIC (both directions present, distinct) with
+    * columns (src, dst); every node must appear as a src (true for
+    * symmetric edge sets). Returns (id, rank) after `iters` damped
+    * iterations; rank is the exact integer micro-unit value.
+    */
+  def pageRankFixed(edges: DataFrame, iters: Int,
+                    dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("id")).distinct().persist()
+    val nn = broadcast(nodes.groupBy().agg(count(lit(1)).as("n")))
+    // r0 = total div N; teleport base = (total·(1−d)) div N, same every iter
+    var ranks = nodes.crossJoin(nn)
+      .select(col("id"),
+        call_function("div", lit(TotalMass), col("n")).as("rank"))
+      .localCheckpoint()
+    val base = call_function("div",
+      lit(TotalMass * (dampDen - dampNum) / dampDen), col("n"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          call_function("div", col("rank") * dampNum,
+            col("deg") * dampDen).as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+      ranks = nodes.crossJoin(nn)
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), (base + coalesce(col("inflow"), lit(0L))).as("rank"))
+        .localCheckpoint() // truncate lineage per iteration
+    }
+    e.unpersist()
+    ranks
+  }
+}

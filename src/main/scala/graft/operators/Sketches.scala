@@ -146,3 +146,54 @@ object Hll {
     agged.select(groupCols :+ est.as("hll_estimate") :+ col("n_registers_hit"): _*)
   }
 }
+
+/** Count-Min frequency sketch (Cormode & Muthukrishnan 2005) as two
+  * hash aggregations — the frequency member of the sketch suite
+  * (cardinality: [[Hll]], quantiles: [[Hll.histogramQuantiles]],
+  * membership: [[BloomPrune]], similarity: MinHash/SimHash).
+  *
+  * Counters are a depth×width (3×1024) integer matrix: each occurrence
+  * increments one cell per row, cell = 10-bit slice of the item's
+  * splitmix64'd FNV hash (`graft_hash64` — the repo's canonical string
+  * hash, already ported to DuckDB SQL). Build shuffle volume collapses
+  * to ≤ 3072 cells after map-side combine REGARDLESS of corpus size —
+  * the whole point vs a full-vocabulary count. Estimates are the
+  * classic min-over-rows and are one-sided: never below the true
+  * count (spec-pinned), inflated only by collisions (ε ≈ e/1024 of
+  * total mass per row).
+  *
+  * Everything is exact integer arithmetic on a deterministic hash, so
+  * the sketch itself — not just its qualitative behavior — is
+  * hash-compared against the DuckDB oracle.
+  */
+object CountMin {
+
+  val Width = 1024 // 10-bit column index per row
+  val Depth = 3
+
+  /** The per-row column positions of an item hash: 10-bit slices. */
+  def positions(h: Column): Seq[Column] =
+    (0 until Depth).map(i =>
+      shiftrightunsigned(h, i * 10).bitwiseAND(lit((Width - 1).toLong)))
+
+  /** (row, colm, cell) counter matrix over every item occurrence.
+    * Requires graft functions registered.
+    */
+  def build(items: DataFrame, itemCol: String): DataFrame = {
+    val h = call_function("graft_hash64", col(itemCol))
+    items.select(posexplode(array(positions(h): _*)).as(Seq("row", "colm")))
+      .groupBy(col("row"), col("colm"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
+  /** Point estimates for a key frame: min over rows of the key's
+    * cells; keys hashing into never-touched cells read 0.
+    */
+  def estimate(keys: DataFrame, itemCol: String, counters: DataFrame): DataFrame = {
+    val h = call_function("graft_hash64", col(itemCol))
+    keys.select(col(itemCol), posexplode(array(positions(h): _*)).as(Seq("row", "colm")))
+      .join(counters, Seq("row", "colm"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cell"), lit(0L))).as("cms_est"))
+  }
+}

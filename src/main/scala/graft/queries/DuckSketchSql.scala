@@ -368,6 +368,35 @@ object DuckSketchSql {
        |ORDER BY 1""".stripMargin
   }
 
+  /** h03 — Count-Min: hash each DISTINCT token once (occurrence-
+    * weighted cell sums ≡ per-occurrence increments), 10-bit position
+    * slices, min-over-rows estimates for the exact top-20.
+    */
+  val h03: String = {
+    val (mix, last) = mix64Ctes("f", "f0", Seq("token"))
+    s"""WITH n AS (SELECT $normSql AS norm FROM documents),
+       |tok AS (SELECT unnest(string_split(norm, ' ')) AS token FROM n),
+       |tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+       |f0 AS (SELECT token, ${fnvRaw("token")} AS z FROM tc),
+       |$mix,
+       |pos AS (SELECT token, 0 AS r, CAST(z % 1024 AS BIGINT) AS c FROM $last
+       |        UNION ALL
+       |        SELECT token, 1, CAST((z // 1024) % 1024 AS BIGINT) FROM $last
+       |        UNION ALL
+       |        SELECT token, 2, CAST((z // 1048576) % 1024 AS BIGINT) FROM $last),
+       |cnts AS (SELECT p.r, p.c, CAST(sum(tc.cnt) AS BIGINT) AS cell
+       |         FROM pos p JOIN tc ON p.token = tc.token GROUP BY 1, 2),
+       |top AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 20),
+       |est AS (SELECT p.token, min(coalesce(cn.cell, 0)) AS cms_est
+       |        FROM pos p JOIN top t ON p.token = t.token
+       |        LEFT JOIN cnts cn ON p.r = cn.r AND p.c = cn.c
+       |        GROUP BY 1)
+       |SELECT t.token, t.cnt AS exact_cnt, e.cms_est,
+       |  e.cms_est - t.cnt AS overcount
+       |FROM top t JOIN est e ON t.token = e.token
+       |ORDER BY exact_cnt DESC, t.token""".stripMargin
+  }
+
   /** b01 — Bloom-pruned semi-join: the exact `BloomPrune` dataflow —
     * one splitmix64 mix per distinct key, three 16-bit position slices,
     * 32-bit-word bit_or build over the dim keys, all-3-bits probe, then

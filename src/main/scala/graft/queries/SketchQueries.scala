@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
-import graft.operators.{Frequency, Hll, TextOps}
+import graft.operators.{CountMin, Frequency, Hll, TextOps}
 import graft.sources.Tables
 
 /** Cardinality / frequency sketch queries (h-series + the c05 corpus
@@ -68,9 +68,33 @@ object SketchQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** h03 — Count-Min frequency estimates vs exact counts for the 20
+    * most frequent tokens: the sketch (3×1024 integer cells) is built
+    * over every token occurrence, the top-20 query set comes from an
+    * exact count (`TakeOrderedAndProject`, no global window), and the
+    * output pins estimate, truth, and the realized one-sided overcount
+    * per token. cms_est ≥ exact_cnt ALWAYS (spec-pinned).
+    */
+  def h03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(TextOps.tokens(TextOps.normalize($"text"))).as("token"))
+      .persist() // counters + exact counts both read the tokenized scan
+    val counters = CountMin.build(toks, "token")
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"token").limit(20)
+    val est = CountMin.estimate(top.select($"token"), "token", counters)
+    top.join(est, Seq("token"))
+      .select($"token", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+      .orderBy($"exact_cnt".desc, $"token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h01_hll_distinct" -> h01,
     "h02_histogram_quantiles" -> h02,
+    "h03_countmin_freq" -> h03,
     "c05_heavy_hitters" -> c05
   )
 
@@ -79,6 +103,7 @@ object SketchQueries {
 
   val oracles: Map[String, String] = Map(
     "h01_hll_distinct" -> DuckSketchSql.h01,
+    "h03_countmin_freq" -> DuckSketchSql.h03,
     "h02_histogram_quantiles" ->
       """WITH m AS (SELECT l_returnflag AS g,
         |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c

@@ -21,8 +21,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "q06_moving_avg", "q22_monthly_rollup", "q24_hourly_baselines",
     "t02_quality_score", "p01_corpus_clean", "p02_token_budget",
     // h01: decimal harmonic sum must not depend on partial-agg order;
-    // c05: Misra-Gries candidates vary with partitioning, output must not
-    "h01_hll_distinct", "c05_heavy_hitters")
+    // c05: Misra-Gries candidates vary with partitioning, output must not;
+    // h03: count-min cells are integer sums; g01: iterative integer ranks
+    "h01_hll_distinct", "c05_heavy_hitters", "h03_countmin_freq", "g01_pagerank")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Frequency, Hll}
+import graft.operators.{CountMin, Frequency, Hll}
 
 class SketchesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local("sketches-spec")
@@ -72,6 +72,26 @@ class SketchesSpec extends AnyFunSuite {
       val got = Frequency.heavyHitters(df, "item", 200) // threshold: >50 occurrences
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("count-min: estimates are one-sided (never below truth) and collision-bounded") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    // zipf-ish: item i appears ~3000/i times, 200 distinct items
+    val rows = (1 to 200).flatMap(i => Seq.fill(3000 / i)(s"item_$i"))
+    val items = rows.toDF("item")
+    val counters = CountMin.build(items, "item")
+    val exact = items.groupBy($"item").agg(count(lit(1)).as("cnt"))
+    val est = CountMin.estimate(exact.select($"item"), "item", counters)
+    val joined = exact.join(est, Seq("item"))
+      .select($"item", $"cnt", $"cms_est").collect()
+    assert(joined.length == 200)
+    joined.foreach { r =>
+      val (cnt, e) = (r.getLong(1), r.getLong(2))
+      assert(e >= cnt, s"${r.getString(0)}: est $e below truth $cnt")
+      // ε·N bound with huge slack: width 1024, N≈17.6k → collisions rare
+      assert(e - cnt <= rows.size / 64, s"${r.getString(0)}: overcount ${e - cnt}")
     }
   }
 

@@ -39,7 +39,8 @@ def main():
     # diverge from the byte-wise JVM hash. Fail loudly, but only for
     # runs that actually verify a char-ord oracle (a DumpOracles
     # iteration on the q-series shouldn't abort on corpus text).
-    CHAR_ORD_ORACLES = {"d02_minhash_lsh", "d03_simhash", "p01_corpus_clean"}
+    CHAR_ORD_ORACLES = {"d02_minhash_lsh", "d03_simhash", "p01_corpus_clean",
+                        "h03_countmin_freq"}
     affected = sorted(CHAR_ORD_ORACLES & set(oracle))
     if affected and os.path.exists(f"{sfdir}/documents.parquet"):
         n_nonascii = con.execute(
