@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime row-level filtering: let the optimizer inject a Bloom
+      // filter from a selective build side into the probe-side scan
+      // (the automatic sibling of the explicit BloomPrune operator;
+      // pays off on fact⋈dim at scale, harmless locally)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // Hive-compatible (non-ANSI) semantics: null on divide-by-zero,
       // wrapping long arithmetic (the hash mixers rely on it). The

@@ -423,6 +423,52 @@ object DataOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q37 — CDC changelog apply (last-wins upsert/delete): the events
+    * stream read as a change log per user — 'error' rows are deletes,
+    * everything else upserts value — collapsed to the final snapshot:
+    * the row with the max (ts, event_id) decides each key's fate, and
+    * deleted keys vanish. One argmax window per key (single
+    * sort-shuffle); the warehouse MERGE-apply semantics without a
+    * mutable table.
+    */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        (col("event_type") === "error").as("is_delete"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && !col("is_delete"))
+      .select(col("user_id"),
+        gf.dround(col("value"), 2).as("last_value"),
+        unix_timestamp(col("ts")).as("last_ts"),
+        col("n_changes"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q38 — gap sessionization via the BUILT-IN `session_window`
+    * (dynamic-gap session windows, Spark 3.2+): same 30-minute gap
+    * semantics as the custom flatMapGroupsWithState operator behind
+    * q29, checked against the IDENTICAL independent gaps-and-islands
+    * oracle — the built-in and the custom state machine must agree
+    * row-for-row. (Boundary check: an event exactly 30 min after the
+    * previous does NOT extend its [ts, ts+30m) window — same as q29's
+    * `diff >= 30min` break.)
+    */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        unix_timestamp(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** e01 — embedding-cosine near-dup dedup end-to-end: plant scaled
     * copies (cosine-invariant ×1.001 → near-1 similarity after
     * quantization), find pairs ≥ 0.999 by exact fixed-point cosine,
@@ -491,14 +537,16 @@ object DataOps {
     "t05_pii_redact" -> t05,
     "q29_sessionize" -> q29,
     "q30_salted_agg" -> q30,
-    "q34_scd2_intervals" -> q34)
+    "q34_scd2_intervals" -> q34,
+    "q37_cdc_apply" -> q37,
+    "q38_session_window" -> q38)
 
   private val shingleSql =
     s"list_distinct([substr(norm, i, 5) FOR i IN range(1, greatest(length(norm) - 3, 2))])"
   private val shingleMutSql =
     s"list_distinct([substr(mut, i, 5) FOR i IN range(1, greatest(length(mut) - 3, 2))])"
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "d02_minhash_lsh" -> DuckSketchSql.d02,
     "d03_simhash" -> DuckSketchSql.d03,
     "d05_winnow_dedup" -> DuckSketchSql.d05,
@@ -779,5 +827,23 @@ object DataOps {
         |  CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY version))) AS BIGINT)
         |    AS valid_to,
         |  n_events
-        |FROM g ORDER BY user_id, version""".stripMargin)
+        |FROM g ORDER BY user_id, version""".stripMargin,
+    "q37_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    event_type = 'error' AS is_delete,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, round(value, 2) AS last_value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS last_ts, n_changes
+        |FROM log WHERE rn = 1 AND NOT is_delete
+        |ORDER BY user_id""".stripMargin)
+
+  // q38 reuses q29's independent gaps-and-islands oracle VERBATIM: the
+  // built-in session_window and the custom state machine must both
+  // reproduce it.
+  val oracles: Map[String, String] =
+    baseOracles + ("q38_session_window" -> baseOracles("q29_sessionize"))
 }
