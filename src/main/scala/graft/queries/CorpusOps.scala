@@ -126,11 +126,38 @@ object CorpusOps {
       .orderBy($"lang", $"rnk")
   }
 
+  /** c06 — typo-pair discovery via [[graft.operators.FuzzyJoin]]:
+    * vocabulary (tokens ≥ 4 chars with corpus counts) plus DETERMINISTIC
+    * planted typos (drop the last char of every ≥5-char word not already
+    * a vocab token, cnt 0 — the d-series planted-structure pattern),
+    * then all Levenshtein-1 pairs. The Spark side blocks by deletion
+    * neighborhoods; the ORACLE computes the same pairs by brute-force
+    * `levenshtein` over the (small) vocabulary — hash equality proves
+    * the blocking is COMPLETE, not just plausible (the c01 convention:
+    * oracle on raw semantics, blocking as execution strategy).
+    */
+  def c06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(TextOps.tokens(TextOps.normalize($"text"))).as("token"))
+      .filter(length($"token") >= 4)
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .persist() // plants anti-join + union both read it
+    val plants = vocab.filter(length($"token") >= 5)
+      .select($"token".substr(lit(1), length($"token") - 1).as("token"))
+      .distinct()
+      .join(vocab.select($"token"), Seq("token"), "left_anti")
+      .withColumn("cnt", lit(0L))
+    graft.operators.FuzzyJoin.lev1Pairs(vocab.unionByName(plants))
+      .orderBy($"token_a", $"token_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_decontaminate" -> c01,
     "c02_repetition_filter" -> c02,
     "c03_stratified_sample" -> c03,
-    "c04_tfidf_topk" -> c04
+    "c04_tfidf_topk" -> c04,
+    "c06_typo_pairs" -> c06
   )
 
   // wordShingles clamp semantics: a doc shorter than n tokens yields ONE
@@ -221,6 +248,21 @@ object CorpusOps {
          |  round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
          |  CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5
-         |ORDER BY lang, rnk""".stripMargin
+         |ORDER BY lang, rnk""".stripMargin,
+    "c06_typo_pairs" ->
+      s"""WITH n AS (SELECT $normSql AS norm FROM documents),
+         |tok AS (SELECT unnest(string_split(norm, ' ')) AS token FROM n),
+         |v AS (SELECT token, count(*) AS cnt FROM tok
+         |      WHERE length(token) >= 4 GROUP BY 1),
+         |pl AS (SELECT DISTINCT substr(token, 1, length(token) - 1) AS token
+         |       FROM v WHERE length(token) >= 5),
+         |pl2 AS (SELECT token, CAST(0 AS BIGINT) AS cnt FROM pl
+         |        WHERE token NOT IN (SELECT token FROM v)),
+         |v2 AS (SELECT token, cnt FROM v UNION ALL SELECT token, cnt FROM pl2)
+         |SELECT a.token AS token_a, b.token AS token_b,
+         |  a.cnt AS cnt_a, b.cnt AS cnt_b
+         |FROM v2 a JOIN v2 b
+         |  ON a.token < b.token AND levenshtein(a.token, b.token) = 1
+         |ORDER BY token_a, token_b""".stripMargin
   )
 }

@@ -95,6 +95,37 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy join: deletion-neighborhood blocking is complete vs brute-force lev-1") {
+    import spark.implicits._
+    // 300 base words + planted typos of every edit kind: substitution
+    // (first/middle/last char), deletion, insertion
+    val base = (0 until 300).map(i => f"word${i}%03dtail")
+    val typos = Seq(
+      base(0).updated(0, 'x'), base(1).updated(5, 'x'),
+      base(2).dropRight(1), base(3) + "z",
+      base(4).patch(3, "q", 0))
+    val vocab = (base ++ typos).zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }.toDF("token", "cnt")
+    val got = graft.operators.FuzzyJoin.lev1Pairs(vocab)
+      .select($"token_a", $"token_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // brute force on the driver
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val all = (base ++ typos).distinct
+    val want = (for {
+      a <- all; b <- all if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.size >= 5, "every planted typo kind must produce a pair")
+  }
+
   test("heavy hitters: ties and threshold boundary are exact") {
     import spark.implicits._
     // n=1000, k=100 → keep cnt·100 > 1000 ⇔ cnt ≥ 11; plant cnt=10 (out),
