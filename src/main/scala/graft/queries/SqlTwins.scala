@@ -65,5 +65,37 @@ object SqlTwins {
         |      ORDER BY streak_len DESC, streak_start) AS rn
         |  FROM s)
         |SELECT n_name, streak_len, streak_start
-        |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin)
+        |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin,
+    "q31_cube_grouping" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n_items,
+        |  CAST(signum(sum(CAST(floor(l_quantity * 100.0 + 0.5D) AS LONG)))
+        |    * floor(abs(CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5D) AS LONG)) AS DOUBLE) / 100.0) * 100.0 + 0.5D)
+        |    / 100.0 AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q33_percentiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(n) AS n_items,
+        |  CAST(signum(max(CASE WHEN rn = CAST(floor((n * 50 + 99) / 100) AS LONG) THEN l_extendedprice END))
+        |    * floor(abs(max(CASE WHEN rn = CAST(floor((n * 50 + 99) / 100) AS LONG) THEN l_extendedprice END)) * 100.0 + 0.5D) / 100.0 AS DOUBLE) AS p50_price,
+        |  CAST(signum(max(CASE WHEN rn = CAST(floor((n * 90 + 99) / 100) AS LONG) THEN l_extendedprice END))
+        |    * floor(abs(max(CASE WHEN rn = CAST(floor((n * 90 + 99) / 100) AS LONG) THEN l_extendedprice END)) * 100.0 + 0.5D) / 100.0 AS DOUBLE) AS p90_price,
+        |  CAST(signum(max(CASE WHEN rn = CAST(floor((n * 99 + 99) / 100) AS LONG) THEN l_extendedprice END))
+        |    * floor(abs(max(CASE WHEN rn = CAST(floor((n * 99 + 99) / 100) AS LONG) THEN l_extendedprice END)) * 100.0 + 0.5D) / 100.0 AS DOUBLE) AS p99_price
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q36_setops" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin)
 }
