@@ -23,7 +23,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // h01: decimal harmonic sum must not depend on partial-agg order;
     // c05: Misra-Gries candidates vary with partitioning, output must not;
     // h03: count-min cells are integer sums; g01: iterative integer ranks
-    "h01_hll_distinct", "c05_heavy_hitters", "h03_countmin_freq", "g01_pagerank")
+    "h01_hll_distinct", "c05_heavy_hitters", "h03_countmin_freq", "g01_pagerank",
+    // b01: bloom build/probe bit ops; c06: deletion-blocking candidates
+    "b01_bloom_prune", "c06_typo_pairs")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
