@@ -184,7 +184,22 @@ object StreamJobs {
     * pass). On batch frames the same code is the plain theta join, which
     * is how StreamingSpec's batch twin checks the streamed result.
     */
-  def sq6ClickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+  def sq6ClickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame =
+    clickErrorJoin(clicks, errors, "inner")
+
+  /** SQ7 — the LEFT OUTER stream-stream variant: clicks with no error
+    * within the hour emit with nulls, but only once the error-side
+    * WATERMARK has passed the join window (Structured Streaming can't
+    * rule out a match before then) — which also means the null rows
+    * survive a checkpoint restart: a later run emits the outer rows its
+    * predecessor couldn't yet prove. StreamingSpec drives exactly that
+    * two-run recovery.
+    */
+  def sq7ClickErrorLeftOuter(clicks: DataFrame, errors: DataFrame): DataFrame =
+    clickErrorJoin(clicks, errors, "left_outer")
+
+  private def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+                             joinType: String): DataFrame = {
     val c = withEventTime(clicks.filter(col("event_type") === "click"))
       .select(col("user_id"), col("ts").as("click_ts"),
         col("value").as("click_value"))
@@ -194,7 +209,8 @@ object StreamJobs {
     c.join(e,
       col("user_id") === col("e_user") &&
         col("error_ts") >= col("click_ts") &&
-        col("error_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        col("error_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .drop("e_user")
   }
 }

@@ -145,6 +145,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("sq7 left-outer stream-stream: outer nulls emit after watermark passes, across restart") {
+    import spark.implicits._
+    // day-1 clicks with NO matching errors; a day-3 event far enough
+    // ahead that (after it arrives) the 2h watermark passes day-1+1h
+    // and the unmatched clicks can finally emit with nulls
+    val oldClicks = Seq(
+      Ev(Timestamp.valueOf("2024-03-01 10:00:00"), "click", 1L, 5.0),
+      Ev(Timestamp.valueOf("2024-03-01 11:00:00"), "click", 2L, 6.0))
+    val lateDriver = Ev(Timestamp.valueOf("2024-03-03 12:00:00"), "click", 9L, 1.0)
+
+    implicit val sc = spark.sqlContext
+    val memC = MemoryStream[Ev]
+    val memE = MemoryStream[Ev]
+    val collected = scala.collection.mutable.ArrayBuffer[Row]()
+    val ckpt = Files.createTempDirectory("ckpt-sq7").toString
+    def drain(): Unit = Sinks.runAvailableNow(
+      StreamJobs.sq7ClickErrorLeftOuter(memC.toDF(), memE.toDF()), ckpt,
+      outputMode = "append")(identity) { df => collected ++= df.collect() }
+
+    // run 1: only the old clicks — watermark starts at 0, outer rows
+    // CANNOT emit yet (a matching error could still arrive)
+    memC.addData(oldClicks: _*)
+    drain()
+    assert(collected.isEmpty, "outer rows must not emit before the watermark proves no match")
+
+    // run 2 (same checkpoint): day-3 events on BOTH sides — the join
+    // watermark is min(click side, error side), so the error stream
+    // must advance too. Watermark moves AT BATCH END — eviction happens
+    // in the NEXT batch, so still empty after this run.
+    memC.addData(lateDriver)
+    memE.addData(Ev(Timestamp.valueOf("2024-03-03 12:00:00"), "error", 99L, 1.0))
+    drain()
+    // run 3: any further batch starts with the recovered day-3−2h
+    // watermark; the day-1 clicks are now provably unmatched and emit
+    memC.addData(Ev(Timestamp.valueOf("2024-03-03 13:00:00"), "click", 9L, 1.0))
+    memE.addData(Ev(Timestamp.valueOf("2024-03-03 13:00:00"), "error", 99L, 1.0))
+    drain()
+    val users = collected.map(_.getAs[Long]("user_id")).sorted
+    assert(users == Seq(1L, 2L), s"expected day-1 outer rows, got $collected")
+    collected.foreach(r => assert(r.isNullAt(r.fieldIndex("error_ts"))))
+  }
+
   test("kafka-shaped json payloads parse through the shared schema (S7)") {
     import spark.implicits._
     val raw = Seq(
