@@ -187,6 +187,32 @@ class StreamingSpec extends AnyFunSuite {
     collected.foreach(r => assert(r.isNullAt(r.fieldIndex("error_ts"))))
   }
 
+  test("HLL registers compose with streaming windows (streamed == batch)") {
+    import spark.implicits._
+    import graft.operators.Hll
+    // the register table is a plain windowed groupBy+max — it runs
+    // unchanged on a watermarked stream (bounded state), and a drain
+    // must produce the exact batch registers (max is order-insensitive)
+    val rows = mkEvents
+    def registers(df: org.apache.spark.sql.DataFrame) = {
+      val src = StreamJobs.withEventTime(df)
+        .select(window($"ts", "1 hour").getField("start").as("wnd"), $"user_id")
+      Hll.registers(src, $"user_id", Seq($"wnd"))
+    }
+    val expected = registers(rows.toDF()).collect()
+      .map(_.toString).sorted.toSeq
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val collected = scala.collection.mutable.ArrayBuffer[Row]()
+    val ckpt = Files.createTempDirectory("ckpt-hll").toString
+    Sinks.runAvailableNow(registers(mem.toDF()), ckpt)(identity) { df =>
+      collected ++= df.collect()
+    }
+    assert(collected.map(_.toString).sorted.toSeq == expected)
+  }
+
   test("kafka-shaped json payloads parse through the shared schema (S7)") {
     import spark.implicits._
     val raw = Seq(
