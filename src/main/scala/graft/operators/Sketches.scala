@@ -108,6 +108,73 @@ object Hll {
     cum.groupBy(groupNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** EXACT per-group percentiles by two-pass DISTRIBUTED SELECTION —
+    * the scale-correct form of "value at rank ceil(p·n/100)":
+    *
+    *   pass 1: the [[histogramQuantiles]] machinery locates, per
+    *   (group, percentile), the BIN containing the target rank and the
+    *   cumulative count before it — O(|groups|·bins) shuffle;
+    *   pass 2: only rows landing in a target bin (≈ n/bins of the
+    *   data) are ranked, inside (group, bin) — so the sort that a
+    *   direct window formulation would run over EVERY row of a
+    *   low-cardinality group (3 giant sort tasks for a 3-flag column
+    *   at 100 TB) shrinks to tiny per-bin partitions.
+    *
+    * Output is IDENTICAL to the direct rank/count window form (same
+    * integer index arithmetic, same element) — SketchesSpec pins the
+    * equivalence against q33's oracle-checked formulation.
+    * Returns group..., n_items, p<q> (long measure values).
+    */
+  def exactPercentilesSelect(df: DataFrame, groupCols: Seq[Column],
+                             measure: Column, bins: Int,
+                             pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(groupCols :+ measure.as("_m"): _*)
+    val dom = g.groupBy(groupCols: _*)
+      .agg(min(col("_m")).as("_lo"), max(col("_m")).as("_hi"),
+        count(lit(1)).as("n_items"))
+    val groupNames = dom.columns.dropRight(3).toSeq
+    def binOf(m: Column) = call_function("div",
+      (m - col("_lo")) * lit(bins.toLong), col("_hi") - col("_lo") + lit(1L))
+    val binned = g.join(broadcast(dom), groupNames)
+      .withColumn("_bin", binOf(col("_m")))
+      .groupBy(groupNames.map(col) :+ col("_bin"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val cumW = Window.partitionBy(groupNames.map(col): _*).orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.withColumn("_cum", sum(col("_c")).over(cumW))
+      .join(broadcast(dom), groupNames)
+    // per (group, pct): target bin + how many rows precede it
+    val targets = pcts.map { p =>
+      val k = floor((col("n_items") * p + lit(99)) / lit(100)).cast("long")
+      cum.withColumn("_k", k)
+        .filter(col("_cum") >= col("_k"))
+        .groupBy(groupNames.map(col): _*)
+        .agg(lit(p).as("_p"), min(col("_bin")).as("_tbin"),
+          max(col("_k")).as("_k2"), // constant within group
+          min(col("_cum") - col("_c")).as("_before")) // cum before target bin
+    }.reduce(_.unionByName(_))
+    // pass 2: rank ONLY the rows inside each (group, pct) target bin —
+    // ≈ n/bins rows per window partition, never the whole group
+    val inBin = g.join(broadcast(dom), groupNames)
+      .withColumn("_bin", binOf(col("_m")))
+      .join(broadcast(targets), groupNames)
+      .filter(col("_bin") === col("_tbin"))
+    val rankW = Window.partitionBy(groupNames.map(col) :+ col("_p"): _*)
+      .orderBy(col("_m"))
+    val picked = inBin.withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") === col("_k2") - col("_before"))
+      .select(groupNames.map(col) :+ col("_p") :+ col("_m").as("_val"): _*)
+    val pctAggs = pcts.map(p =>
+      max(when(col("_p") === p, col("_val"))).as(s"p$p"))
+    picked.groupBy(groupNames.map(col): _*)
+      .agg(pctAggs.head, pctAggs.tail: _*)
+      .join(broadcast(dom.select(groupNames.map(col) :+ col("n_items"): _*)),
+        groupNames)
+      .select((groupNames.map(col) :+ col("n_items")) ++
+        pcts.map(p => col(s"p$p")): _*)
+  }
+
   /** Per-group HLL register table: (groupCols..., j, rho_max).
     * `key` must be a long column.
     */

@@ -177,36 +177,27 @@ object Relational {
       .orderBy($"year")
   }
 
-  /** q33 — EXACT per-group percentiles (p50/p90/p99) via rank/count
-    * windows — the repo's determinism rule applied to quantiles:
-    * interpolating `percentile_cont` mixes doubles (engine-divergent);
-    * the discrete quantile is a row VALUE picked at index
-    * ceil(p·n) computed in INTEGER arithmetic ((p·n + 99) / 100), so
-    * both engines select the identical element. Ties on price are
-    * harmless: any row at the index carries the same value. Single
-    * sort-shuffle per group partition at scale (no global sort).
+  /** q33 — EXACT per-group percentiles (p50/p90/p99) by two-pass
+    * distributed SELECTION ([[graft.operators.Hll.exactPercentilesSelect]]):
+    * histogram pass locates each target rank's bin, then only the rows
+    * in that bin (≈ n/1024 of the group) are ranked. A direct
+    * rank/count window over `l_returnflag` would sort EVERY row inside
+    * 3 giant partitions at 100 TB; selection makes the exact answer
+    * scale. Index semantics are the repo's integer form — value at
+    * ceil(p·n/100) computed as (n·p + 99) div 100, so both engines
+    * select the identical element (the oracle keeps the direct window
+    * formulation: two different algorithms, one hash-matched answer).
+    * Prices are exact cents end-to-end; dround only re-renders /100.
     */
   def q33Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"l_returnflag")
-    val ranked = Tables.load(spark, dir, "lineitem")
-      .select($"l_returnflag", $"l_extendedprice")
-      .withColumn("rn", row_number().over(w.orderBy($"l_extendedprice")))
-      .withColumn("n", count(lit(1)).over(w))
-    // ceil(p·n/100) in exact integer terms: (n·p + 99) div 100. Spark's
-    // Column `/` is double division — n·p+99 < 2^53 keeps the quotient
-    // exact enough that floor() equals true integer division (error
-    // < 1e-16 relative, nearest non-integer quotient is 0.01 away).
-    def pick(p: Int) = max(when(
-      $"rn".cast("long") === floor(($"n" * p + lit(99)) / lit(100)).cast("long"),
-      $"l_extendedprice"))
-    ranked.groupBy($"l_returnflag")
-      .agg(
-        max($"n").as("n_items"),
-        gf.dround(pick(50), 2).as("p50_price"),
-        gf.dround(pick(90), 2).as("p90_price"),
-        gf.dround(pick(99), 2).as("p99_price"))
+    val li = Tables.load(spark, dir, "lineitem")
+    graft.operators.Hll.exactPercentilesSelect(li, Seq($"l_returnflag"),
+        gf.fixed($"l_extendedprice", 100.0), bins = 1024, pcts = Seq(50, 90, 99))
+      .select($"l_returnflag", $"n_items",
+        gf.dround($"p50".cast("double") / 100.0, 2).as("p50_price"),
+        gf.dround($"p90".cast("double") / 100.0, 2).as("p90_price"),
+        gf.dround($"p99".cast("double") / 100.0, 2).as("p99_price"))
       .orderBy($"l_returnflag")
   }
 
