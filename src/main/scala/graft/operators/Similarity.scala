@@ -250,6 +250,83 @@ object Similarity {
       .distinct()
   }
 
+  /** Product-quantization (PQ) approximate top-k (Jégou, Douze, Schmid
+    * 2011): vectors split into `m` subvectors, each coarse-quantized
+    * against its own `ksub`-centroid codebook (the deterministic
+    * fixed-point Lloyd of [[kmeansCentroidsFixed]], run per subspace),
+    * so a candidate compresses to `m` small codes. Scoring is
+    * ASYMMETRIC: each query precomputes a distance table of exact
+    * integer dots against every codebook centroid (|Q|·m·ksub rows —
+    * tiny), and a candidate's approximate dot is the sum of `m` table
+    * lookups — an equi-join on (subspace, code) + one sum, no
+    * per-pair vector math. The approx ranking shortlists
+    * `shortlist` candidates per query; exact fixed-point cosine
+    * re-ranks the survivors (generate/decide, as everywhere).
+    *
+    * PQ is an exhaustive CHEAP scan — the pair count is |Q|·|C| but the
+    * per-pair work is m integer adds. At 100 TB you compose it with the
+    * IVF coarse partitioner (IVF-PQ: probe lists, then PQ-score within)
+    * — both halves exist here independently.
+    *
+    * Fully deterministic (seeded codebooks, integer dots, total
+    * orderings) — the s04 oracle replicates codebook training, encoding,
+    * table lookups, and the re-rank in DuckDB SQL.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+             dim: Int, m: Int, ksub: Int, shortlist: Int,
+             kmeansIters: Int = 2): DataFrame = {
+    val sub = dim / m
+    require(sub * m == dim, "dim must divide into m subspaces")
+    val cand = candidates.select(col("id").as("cand_id"), fixedVec(col("vec")).as("cv"))
+      .withColumn("cn", normSqFixed(col("cv")))
+      .persist() // feeds m codebook trainings + m encodings + the re-rank
+    val q = queries.select(col("id").as("query_id"), fixedVec(col("vec")).as("qv"))
+      .withColumn("qn", normSqFixed(col("qv")))
+      .persist() // feeds m distance tables + the re-rank
+    def subv(v: Column, i: Int) = slice(v, i * sub + 1, sub)
+    // per subspace: codebook, candidate codes, query distance table
+    val pieces = (0 until m).map { i =>
+      val csub = cand.select(col("cand_id"), subv(col("cv"), i).as("cv"))
+        .withColumn("cn", normSqFixed(col("cv")))
+      val cents = kmeansCentroidsFixed(csub, ksub, kmeansIters)
+      val codes = csub.crossJoin(broadcast(cents))
+        .withColumn("c_cos", cosineFromFixed(dotFixed(col("cv"), col("centv")),
+          col("cn"), col("centn")))
+        .withColumn("r", row_number().over(Window.partitionBy(col("cand_id"))
+          .orderBy(col("c_cos").desc, col("centroid_id"))))
+        .filter(col("r") === 1)
+        .select(col("cand_id"), lit(i).as("sub"), col("centroid_id").as("code"))
+      val dt = q.select(col("query_id"), subv(col("qv"), i).as("qsub"))
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), lit(i).as("sub"),
+          col("centroid_id").as("code"),
+          dotFixed(col("qsub"), col("centv")).as("partial"))
+      (codes, dt)
+    }
+    val codes = pieces.map(_._1).reduce(_.unionByName(_))
+    val dts = pieces.map(_._2).reduce(_.unionByName(_))
+    // approx dot = sum of m table lookups; m rows per (query, cand)
+    val approx = codes.join(broadcast(dts), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("partial")).as("ad"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(q.select(col("query_id"), col("qn")), Seq("query_id"))
+      .join(cand.select(col("cand_id"), col("cn")), Seq("cand_id"))
+      .withColumn("approx_cos", cosineFromFixed(col("ad"), col("qn"), col("cn")))
+      .withColumn("srnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_cos").desc, col("cand_id"))))
+      .filter(col("srnk") <= shortlist)
+    // exact re-rank of the shortlist
+    approx.select(col("query_id"), col("cand_id"))
+      .join(q, Seq("query_id")).join(cand, Seq("cand_id"))
+      .withColumn("cosine",
+        cosineFromFixed(dotFixed(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine re-rank. Recall is tunable via `numPlanes`
     * (fewer planes → bigger buckets → higher recall, more work).

@@ -341,6 +341,24 @@ object DataOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** s04 — product-quantization ANN ([[Similarity.pqTopK]]): 4
+    * subspaces × 16-centroid codebooks (seeded fixed-point Lloyd),
+    * asymmetric distance tables, approx-dot shortlist of 50, exact
+    * re-rank to top-5 — same output contract as s01/s02/s03, same
+    * exactness: the oracle replicates codebook training, encoding, the
+    * table-lookup scoring, and the re-rank.
+    */
+  def s04(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 50 === 0)
+    Similarity.pqTopK(q, e, 5, dim = 64, m = 4, ksub = 16, shortlist = 50)
+      .select(col("query_id"), col("cand_id"),
+        gf.dround(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** q28 — as-of join: each click event joined to the most recent error
     * event of the same user at-or-before it (oracle: DuckDB's native
     * ASOF LEFT JOIN). Epochs floored on both sides (DuckDB `epoch` is
@@ -520,6 +538,7 @@ object DataOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01,
     "s03_ivf_ann" -> s03,
+    "s04_pq_ann" -> s04,
     "q28_asof_join" -> q28,
     "e01_embedding_dedup" -> e01,
     "d02_minhash_lsh" -> d02,
@@ -552,6 +571,7 @@ object DataOps {
     "d05_winnow_dedup" -> DuckSketchSql.d05,
     "s02_lsh_ann" -> DuckSketchSql.s02,
     "s03_ivf_ann" -> DuckSketchSql.s03,
+    "s04_pq_ann" -> DuckSketchSql.s04,
     "d01_exact_dedup" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, lang, text FROM documents

@@ -202,11 +202,32 @@ object DuckSketchSql {
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** One Lloyd iteration as chained CTEs (exact mirror of
-    * `Similarity.kmeansCentroidsFixed`): assign-by-cosine (centroid_id
-    * tiebreak), elementwise floor(mean) update, empty clusters keep the
-    * previous centroid. Returns (cteText, finalCteName).
+  /** One Lloyd iteration as chained CTEs, parameterized by CTE-name
+    * prefix, source CTE (must expose vec_id, fv, nsq), and dimension —
+    * exact mirror of `Similarity.kmeansCentroidsFixed`: assign-by-cosine
+    * (centroid_id tiebreak), elementwise floor(mean) update, empty
+    * clusters keep the previous centroid. Returns (cteText, finalCte).
     */
+  private def kmeansIterCtesGen(p: String, i: Int, prev: String,
+                                src: String, dim: Int): (String, String) = {
+    val text =
+      s"""${p}a$i AS (SELECT c.vec_id AS cand_id, c.fv, ct.centroid_id,
+         |         ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} AS c_cos
+         |       FROM $src c CROSS JOIN $prev ct),
+         |${p}r$i AS (SELECT cand_id, fv, centroid_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY cand_id
+         |           ORDER BY c_cos DESC, centroid_id) AS r FROM ${p}a$i) WHERE r = 1),
+         |${p}s$i AS (SELECT centroid_id, di,
+         |           CAST(floor(CAST(CAST(sum(fv[di]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS nv
+         |         FROM ${p}r$i, range(1, ${dim + 1}) d(di) GROUP BY 1, 2),
+         |${p}u$i AS (SELECT centroid_id, list(nv ORDER BY di) AS newv FROM ${p}s$i GROUP BY 1),
+         |${p}c$i AS (SELECT pv.centroid_id, COALESCE(u.newv, pv.centv) AS centv
+         |         FROM $prev pv LEFT JOIN ${p}u$i u ON pv.centroid_id = u.centroid_id),
+         |${p}n$i AS (SELECT centroid_id, centv,
+         |           CAST(list_sum(list_transform(centv, x -> x * x)) AS BIGINT) AS centn FROM ${p}c$i)""".stripMargin
+    (text, s"${p}n$i")
+  }
+
   private def kmeansIterCtes(i: Int, prev: String): (String, String) = {
     val text =
       s"""ka$i AS (SELECT c.vec_id AS cand_id, c.fv, ct.centroid_id,
@@ -366,6 +387,62 @@ object DuckSketchSql {
        |  CAST(est.n_hit AS BIGINT) AS n_registers_hit
        |FROM est JOIN ex ON est.prio = ex.prio
        |ORDER BY 1""".stripMargin
+  }
+
+  /** s04 — product quantization: per-subspace codebooks (2 Lloyd
+    * iterations each, seeded first-16-by-id), candidate codes,
+    * per-query distance tables, approx-dot shortlist, exact re-rank —
+    * the full `Similarity.pqTopK` dataflow in one statement.
+    */
+  val s04: String = {
+    val m = 4; val sub = 16; val shortlistN = 50
+    val pieces = (0 until m).map { i =>
+      val lo = i * sub + 1; val hi = (i + 1) * sub
+      val (it1, c1) = kmeansIterCtesGen(s"k$i", 1, s"cs$i", s"ns$i", sub)
+      val (it2, c2) = kmeansIterCtesGen(s"k$i", 2, c1, s"ns$i", sub)
+      val text =
+        s"""ns$i AS (SELECT vec_id, list_slice(fv, $lo, $hi) AS fv,
+           |         CAST(list_sum(list_transform(list_slice(fv, $lo, $hi), x -> x * x)) AS BIGINT) AS nsq
+           |       FROM n),
+           |cs$i AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn
+           |        FROM ns$i ORDER BY vec_id LIMIT 16),
+           |$it1,
+           |$it2,
+           |enc$i AS (SELECT cand_id, $i AS sub, centroid_id AS code FROM (
+           |         SELECT c.vec_id AS cand_id, ct.centroid_id,
+           |           row_number() OVER (PARTITION BY c.vec_id
+           |             ORDER BY ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} DESC,
+           |                      ct.centroid_id) AS r
+           |         FROM ns$i c CROSS JOIN $c2 ct) WHERE r = 1),
+           |dt$i AS (SELECT qq.vec_id AS query_id, $i AS sub, ct.centroid_id AS code,
+           |           ${dotSql("qq.fv", "ct.centv")} AS partial
+           |         FROM (SELECT * FROM ns$i WHERE vec_id % 50 = 0) qq
+           |         CROSS JOIN $c2 ct)""".stripMargin
+      text
+    }
+    s"""WITH f AS (SELECT vec_id, ${fixedVecSql("embedding")} AS fv FROM embeddings),
+       |n AS (SELECT vec_id, fv, CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq FROM f),
+       |${pieces.mkString(",\n")},
+       |enc AS (${(0 until m).map(i => s"SELECT * FROM enc$i").mkString(" UNION ALL ")}),
+       |dts AS (${(0 until m).map(i => s"SELECT * FROM dt$i").mkString(" UNION ALL ")}),
+       |ap AS (SELECT d.query_id, e.cand_id, CAST(sum(d.partial) AS BIGINT) AS ad
+       |       FROM enc e JOIN dts d ON e.sub = d.sub AND e.code = d.code
+       |       WHERE d.query_id <> e.cand_id GROUP BY 1, 2),
+       |sc AS (SELECT ap.query_id, ap.cand_id,
+       |         CAST(ap.ad AS DOUBLE) / sqrt(CAST(qn.nsq AS DOUBLE)) / sqrt(CAST(cn.nsq AS DOUBLE)) AS approx_cos
+       |       FROM ap JOIN n qn ON ap.query_id = qn.vec_id
+       |            JOIN n cn ON ap.cand_id = cn.vec_id),
+       |short AS (SELECT query_id, cand_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_cos DESC, cand_id) AS srnk FROM sc) WHERE srnk <= $shortlistN),
+       |rr AS (SELECT s.query_id, s.cand_id,
+       |         ${cosineSql("qn.fv", "cn.fv", "qn.nsq", "cn.nsq")} AS cosine
+       |       FROM short s JOIN n qn ON s.query_id = qn.vec_id
+       |            JOIN n cn ON s.cand_id = cn.vec_id),
+       |fin AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM rr)
+       |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk
+       |FROM fin WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
   /** h03 — Count-Min: hash each DISTINCT token once (occurrence-

@@ -163,6 +163,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ivf.forall { case (qid, cid) => qid != cid })
   }
 
+  test("pq ann achieves high recall of brute-force top-5 neighbors") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val rng = new scala.util.Random(19)
+    val vecs = (0L until 240L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat).toSeq)
+    }.toDF("id", "vec")
+    val q = vecs.filter(col("id") % 24 === 0)
+    val exact = Similarity.bruteForceTopK(q, vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // generous shortlist relative to |C| → the exact re-rank recovers
+    // nearly everything the coarse codes mis-rank
+    val pq = Similarity.pqTopK(q, vecs, 5, dim = 16, m = 4, ksub = 8,
+        shortlist = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall > 0.6, s"recall=$recall")
+    assert(pq.forall { case (qid, cid) => qid != cid })
+  }
+
   test("multimodal feature stub: histogram + checksum match a reference impl") {
     import spark.implicits._
     val recs = Seq(Multimodal.MediaRecord(1L, "text/utf-8",

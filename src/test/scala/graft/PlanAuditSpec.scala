@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "z01_zorder_layout", // dim domain min/max (1 row)
     "g01_pagerank", // node count (1 row, per iteration)
     "s01_cosine_topk", // broadcast query set — the DOCUMENTED O(|Q|·n) exact baseline
-    "s03_ivf_ann" // broadcast centroid set (k=16) for k-means assignment
+    "s03_ivf_ann", // broadcast centroid set (k=16) for k-means assignment
+    "s04_pq_ann" // broadcast per-subspace codebooks (16 centroids each)
   )
 
   test("no query plans a cartesian product; nested-loop only for 1-row scalars") {
