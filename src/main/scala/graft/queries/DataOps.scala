@@ -353,7 +353,8 @@ object DataOps {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 50 === 0)
-    Similarity.pqTopK(q, e, 5, dim = 64, m = 4, ksub = 16, shortlist = 50)
+    Similarity.pqTopK(q, e, 5, dim = 64, m = 4, ksub = 16, shortlist = 50,
+        kmeansIters = 1)
       .select(col("query_id"), col("cand_id"),
         gf.dround(col("cosine"), 6).as("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))

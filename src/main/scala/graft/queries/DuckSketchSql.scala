@@ -398,8 +398,8 @@ object DuckSketchSql {
     val m = 4; val sub = 16; val shortlistN = 50
     val pieces = (0 until m).map { i =>
       val lo = i * sub + 1; val hi = (i + 1) * sub
-      val (it1, c1) = kmeansIterCtesGen(s"k$i", 1, s"cs$i", s"ns$i", sub)
-      val (it2, c2) = kmeansIterCtesGen(s"k$i", 2, c1, s"ns$i", sub)
+      // ONE Lloyd iteration per codebook — mirrors pqTopK(kmeansIters=1)
+      val (it1, c2) = kmeansIterCtesGen(s"k$i", 1, s"cs$i", s"ns$i", sub)
       val text =
         s"""ns$i AS (SELECT vec_id, list_slice(fv, $lo, $hi) AS fv,
            |         CAST(list_sum(list_transform(list_slice(fv, $lo, $hi), x -> x * x)) AS BIGINT) AS nsq
@@ -407,7 +407,6 @@ object DuckSketchSql {
            |cs$i AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn
            |        FROM ns$i ORDER BY vec_id LIMIT 16),
            |$it1,
-           |$it2,
            |enc$i AS (SELECT cand_id, $i AS sub, centroid_id AS code FROM (
            |         SELECT c.vec_id AS cand_id, ct.centroid_id,
            |           row_number() OVER (PARTITION BY c.vec_id
