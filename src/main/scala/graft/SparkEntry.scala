@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.CorpusOps.queries ++
       graft.queries.SketchQueries.queries ++
       graft.queries.LayoutQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.CorpusOps.oracles ++
       graft.queries.SketchQueries.oracles ++
       graft.queries.LayoutQueries.oracles ++
-      graft.queries.GraphQueries.oracles
+      graft.queries.GraphQueries.oracles ++
+      graft.queries.QualityQueries.oracles
 }
