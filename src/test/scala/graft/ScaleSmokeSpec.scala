@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Frequency, Hll}
+
+/** Scale smoke: the sketch operators on 10^7-row inputs (…two orders
+  * of magnitude past the parquet testdata) with ANALYTICALLY known
+  * answers — evidence the shapes hold as row counts grow, not just on
+  * 60k-row fixtures. Kept to a few aggregate-only jobs so the suite
+  * stays fast.
+  */
+class ScaleSmokeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("scale-smoke-spec")
+
+  test("HLL at 10M distinct keys stays inside 4 sigma") {
+    import spark.implicits._
+    val n = 10000000L
+    val est = Hll.estimate(
+        Hll.registers(spark.range(n).select(lit("g").as("g"), $"id"),
+          $"id", Seq($"g")), Seq($"g"))
+      .head.getAs[Double]("hll_estimate")
+    val relErr = math.abs(est - n) / n.toDouble
+    assert(relErr < 0.26, s"est=$est relErr=$relErr")
+  }
+
+  test("heavy hitters at 5M rows: exact answer on a known skew") {
+    import spark.implicits._
+    // item = id % 1000, except 10% of rows collapse onto item "hot":
+    // hot has ~500k of 5M rows (10%), everything else ~0.09% < 1/k
+    val n = 5000000L
+    val items = spark.range(n).select(
+      when($"id" % 10 === 0, lit("hot"))
+        .otherwise(concat(lit("u"), ($"id" % 1000).cast("string"))).as("item"))
+    val got = Frequency.heavyHitters(items, "item", 200)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == Seq("hot"))
+    assert(got.head._2 == n / 10)
+  }
+
+  test("histogram quantile brackets at 10M rows contain the analytic percentiles") {
+    import spark.implicits._
+    // measure = id over 0..n-1: the k-th smallest is k-1, so the exact
+    // percentile is ceil(p·n/100)−1 — check it falls inside each bracket
+    val n = 10000000L
+    val df = spark.range(n).select(lit("g").as("g"), $"id")
+    val r = Hll.histogramQuantiles(df, Seq($"g"), $"id", bins = 1024,
+      pcts = Seq(50, 90, 99)).head
+    assert(r.getAs[Long]("n_items") == n)
+    for (p <- Seq(50, 90, 99)) {
+      val exact = (n * p + 99) / 100 - 1
+      val lo = r.getAs[Long](s"p${p}_lo"); val hi = r.getAs[Long](s"p${p}_hi")
+      assert(lo <= exact && exact <= hi, s"p$p: $exact outside [$lo, $hi]")
+      assert(hi - lo <= n / 1024 + 1, s"p$p bracket too wide: [$lo, $hi]")
+    }
+  }
+}
