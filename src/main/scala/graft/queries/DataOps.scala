@@ -488,6 +488,41 @@ object DataOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q39 — time-series resample + forward fill: each sampled user's
+    * sparse event stream regularized onto an hourly grid (`sequence` +
+    * explode between the user's first and last observed hour), missing
+    * hours carrying the last observed hourly aggregate forward
+    * (`last(_, ignoreNulls)` over the user-keyed window — ONE
+    * sort-shuffle). Fills carry the exact fixed-point (sum, count)
+    * pair, so filled averages are bit-identical to the source hour's.
+    * The leading grid cell is always observed (grid starts at min ts),
+    * so no null leaks. DuckDB twin: generate_series + last_value
+    * IGNORE NULLS.
+    */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events").filter(col("user_id") % 50 === 0)
+    val hourly = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(gf.fixed(col("value"), 100.0)).as("s_f"), count(lit(1)).as("n_obs"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("observed", col("n_obs").isNotNull)
+      .withColumn("fs", last(col("s_f"), ignoreNulls = true).over(w))
+      .withColumn("fn", last(col("n_obs"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        unix_timestamp(col("hour")).as("hour"),
+        col("observed"),
+        gf.dround(col("fs").cast("double") / col("fn") / lit(100.0), 2)
+          .as("avg_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   /** e01 — embedding-cosine near-dup dedup end-to-end: plant scaled
     * copies (cosine-invariant ×1.001 → near-1 similarity after
     * quantization), find pairs ≥ 0.999 by exact fixed-point cosine,
@@ -559,7 +594,8 @@ object DataOps {
     "q30_salted_agg" -> q30,
     "q34_scd2_intervals" -> q34,
     "q37_cdc_apply" -> q37,
-    "q38_session_window" -> q38)
+    "q38_session_window" -> q38,
+    "q39_resample_ffill" -> q39)
 
   private val shingleSql =
     s"list_distinct([substr(norm, i, 5) FOR i IN range(1, greatest(length(norm) - 3, 2))])"
@@ -860,7 +896,36 @@ object DataOps {
         |SELECT user_id, round(value, 2) AS last_value,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS last_ts, n_changes
         |FROM log WHERE rn = 1 AND NOT is_delete
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "q39_resample_ffill" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id % 50 = 0),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s_f,
+        |    count(*) AS n_obs
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |    date_trunc('hour', max(ts)) AS h1
+        |  FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+        |  FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.hour, h.s_f, h.n_obs
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hour = h.hour),
+        |f AS (
+        |  SELECT user_id, hour, n_obs IS NOT NULL AS observed,
+        |    last_value(s_f IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs,
+        |    last_value(n_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fn
+        |  FROM j)
+        |SELECT user_id, CAST(floor(epoch(hour)) AS BIGINT) AS hour, observed,
+        |  round(CAST(fs AS DOUBLE) / fn / 100.0, 2) AS avg_value
+        |FROM f ORDER BY user_id, hour""".stripMargin)
 
   // q38 reuses q29's independent gaps-and-islands oracle VERBATIM: the
   // built-in session_window and the custom state machine must both
