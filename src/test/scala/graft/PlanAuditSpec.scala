@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "g01_pagerank", // node count (1 row, per iteration)
     "s01_cosine_topk", // broadcast query set — the DOCUMENTED O(|Q|·n) exact baseline
     "s03_ivf_ann", // broadcast centroid set (k=16) for k-means assignment
-    "s04_pq_ann" // broadcast per-subspace codebooks (16 centroids each)
+    "s04_pq_ann", // broadcast per-subspace codebooks (16 centroids each)
+    "dq01_quality_audit" // 1-row violation-count aggregates crossed onto 1-row totals
   )
 
   test("no query plans a cartesian product; nested-loop only for 1-row scalars") {
