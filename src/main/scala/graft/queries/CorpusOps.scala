@@ -80,6 +80,11 @@ object CorpusOps {
     * the selection is reproducible on any engine — n·0.25 is exact in
     * IEEE (0.25 is a power of two), so the cutoff is bit-identical.
     * One window per stratum = a single sort-shuffle on lang at scale.
+    * Scale note: emitting per-row `sample_rank` inherently orders the
+    * kept 25% — when ranks aren't needed downstream, the CUTOFF alone
+    * can be found by the q33 selection trick (hash-prefix bucket
+    * counts → boundary bucket → sort only that bucket) and membership
+    * becomes a filter, no stratum-wide sort.
     */
   def c03(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
