@@ -275,16 +275,75 @@ object Similarity {
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
              dim: Int, m: Int, ksub: Int, shortlist: Int,
              kmeansIters: Int = 2): DataFrame = {
-    val sub = dim / m
-    require(sub * m == dim, "dim must divide into m subspaces")
+    val (cand, q) = fixedSides(queries, candidates)
+    val (codes, dts) = pqCodebooks(cand, q, dim, m, ksub, kmeansIters)
+    // approx dot = sum of m table lookups; m rows per (query, cand)
+    val approx = codes.join(broadcast(dts), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("partial")).as("ad"))
+    pqShortlistRerank(approx, q, cand, shortlist, k)
+  }
+
+  /** IVF-PQ composition ([[ivfTopK]]'s coarse partitioner feeding
+    * [[pqTopK]]'s asymmetric scorer): candidates are bucketed into
+    * `numCentroids` inverted lists (1 Lloyd iteration, full vectors),
+    * each query probes its `nprobe` nearest lists, and ONLY pairs
+    * inside probed lists are PQ-scored (m table lookups each) before
+    * the exact shortlist re-rank. This is the 100 TB ANN shape: the
+    * coarse step cuts the pair count ~numCentroids/nprobe-fold, PQ
+    * makes each surviving pair O(m) integer adds, and the exact kernel
+    * still decides. Deterministic end-to-end; s05's oracle replicates
+    * both quantizers and the composition.
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                dim: Int, m: Int, ksub: Int, shortlist: Int,
+                numCentroids: Int, nprobe: Int): DataFrame = {
+    val (cand, q) = fixedSides(queries, candidates)
+    val coarse = kmeansCentroidsFixed(cand, numCentroids, iters = 1)
+    def nearest(side: DataFrame, idCol: String, v: String, nn: String,
+                keep: Int): DataFrame =
+      side.crossJoin(broadcast(coarse))
+        .withColumn("c_cos", cosineFromFixed(dotFixed(col(v), col("centv")),
+          col(nn), col("centn")))
+        .withColumn("c_rnk", row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("c_cos").desc, col("centroid_id"))))
+        .filter(col("c_rnk") <= keep)
+        .select(col(idCol), col("centroid_id"))
+    val lists = nearest(cand, "cand_id", "cv", "cn", 1)
+    val probes = nearest(q, "query_id", "qv", "qn", nprobe)
+    val pairs = probes.join(lists, Seq("centroid_id"))
+      .select(col("query_id"), col("cand_id"))
+    val (codes, dts) = pqCodebooks(cand, q, dim, m, ksub, kmeansIters = 1)
+    val approx = pairs.join(codes, Seq("cand_id"))
+      .join(broadcast(dts), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("partial")).as("ad"))
+    pqShortlistRerank(approx, q, cand, shortlist, k)
+  }
+
+  /** Quantize + norm + persist both sides of an ANN run (each feeds
+    * codebook training / tables / the exact re-rank).
+    */
+  private def fixedSides(queries: DataFrame,
+                         candidates: DataFrame): (DataFrame, DataFrame) = {
     val cand = candidates.select(col("id").as("cand_id"), fixedVec(col("vec")).as("cv"))
       .withColumn("cn", normSqFixed(col("cv")))
-      .persist() // feeds m codebook trainings + m encodings + the re-rank
+      .persist()
     val q = queries.select(col("id").as("query_id"), fixedVec(col("vec")).as("qv"))
       .withColumn("qn", normSqFixed(col("qv")))
-      .persist() // feeds m distance tables + the re-rank
+      .persist()
+    (cand, q)
+  }
+
+  /** Per-subspace PQ structures: candidate code table (cand_id, sub,
+    * code) and query distance table (query_id, sub, code, partial) —
+    * codebooks from the deterministic fixed-point Lloyd per subspace.
+    */
+  private def pqCodebooks(cand: DataFrame, q: DataFrame, dim: Int, m: Int,
+                          ksub: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
+    val sub = dim / m
+    require(sub * m == dim, "dim must divide into m subspaces")
     def subv(v: Column, i: Int) = slice(v, i * sub + 1, sub)
-    // per subspace: codebook, candidate codes, query distance table
     val pieces = (0 until m).map { i =>
       val csub = cand.select(col("cand_id"), subv(col("cv"), i).as("cv"))
         .withColumn("cn", normSqFixed(col("cv")))
@@ -303,12 +362,18 @@ object Similarity {
           dotFixed(col("qsub"), col("centv")).as("partial"))
       (codes, dt)
     }
-    val codes = pieces.map(_._1).reduce(_.unionByName(_))
-    val dts = pieces.map(_._2).reduce(_.unionByName(_))
-    // approx dot = sum of m table lookups; m rows per (query, cand)
-    val approx = codes.join(broadcast(dts), Seq("sub", "code"))
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("partial")).as("ad"))
+    (pieces.map(_._1).reduce(_.unionByName(_)),
+      pieces.map(_._2).reduce(_.unionByName(_)))
+  }
+
+  /** Approx-score shortlist + exact fixed-point re-rank — the shared
+    * tail of every PQ-scored ANN variant. `approx` needs
+    * (query_id, cand_id, ad).
+    */
+  private def pqShortlistRerank(approx: DataFrame, q: DataFrame,
+                                cand: DataFrame, shortlist: Int,
+                                k: Int): DataFrame = {
+    val short = approx
       .filter(col("query_id") =!= col("cand_id"))
       .join(q.select(col("query_id"), col("qn")), Seq("query_id"))
       .join(cand.select(col("cand_id"), col("cn")), Seq("cand_id"))
@@ -316,8 +381,7 @@ object Similarity {
       .withColumn("srnk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("approx_cos").desc, col("cand_id"))))
       .filter(col("srnk") <= shortlist)
-    // exact re-rank of the shortlist
-    approx.select(col("query_id"), col("cand_id"))
+    short.select(col("query_id"), col("cand_id"))
       .join(q, Seq("query_id")).join(cand, Seq("cand_id"))
       .withColumn("cosine",
         cosineFromFixed(dotFixed(col("qv"), col("cv")), col("qn"), col("cn")))

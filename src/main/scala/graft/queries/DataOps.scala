@@ -360,6 +360,24 @@ object DataOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** s05 — IVF-PQ composed ANN ([[Similarity.ivfPqTopK]]): the coarse
+    * inverted-file partitioner (s03's machinery) feeding the PQ
+    * asymmetric scorer (s04's machinery) — probe 4 of 16 lists, PQ-score
+    * only probed pairs, exact re-rank. The 100 TB ANN shape, oracled
+    * end-to-end like its two halves.
+    */
+  def s05(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 50 === 0)
+    Similarity.ivfPqTopK(q, e, 5, dim = 64, m = 4, ksub = 16, shortlist = 50,
+        numCentroids = 16, nprobe = 4)
+      .select(col("query_id"), col("cand_id"),
+        gf.dround(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** q28 — as-of join: each click event joined to the most recent error
     * event of the same user at-or-before it (oracle: DuckDB's native
     * ASOF LEFT JOIN). Epochs floored on both sides (DuckDB `epoch` is
@@ -575,6 +593,7 @@ object DataOps {
     "d01_exact_dedup" -> d01,
     "s03_ivf_ann" -> s03,
     "s04_pq_ann" -> s04,
+    "s05_ivfpq_ann" -> s05,
     "q28_asof_join" -> q28,
     "e01_embedding_dedup" -> e01,
     "d02_minhash_lsh" -> d02,
@@ -609,6 +628,7 @@ object DataOps {
     "s02_lsh_ann" -> DuckSketchSql.s02,
     "s03_ivf_ann" -> DuckSketchSql.s03,
     "s04_pq_ann" -> DuckSketchSql.s04,
+    "s05_ivfpq_ann" -> DuckSketchSql.s05,
     "d01_exact_dedup" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, lang, text FROM documents

@@ -389,36 +389,38 @@ object DuckSketchSql {
        |ORDER BY 1""".stripMargin
   }
 
-  /** s04 — product quantization: per-subspace codebooks (2 Lloyd
-    * iterations each, seeded first-16-by-id), candidate codes,
-    * per-query distance tables, approx-dot shortlist, exact re-rank —
-    * the full `Similarity.pqTopK` dataflow in one statement.
+  /** One PQ subspace's CTE block: subvector slice, seeded codebook
+    * (1 Lloyd iteration — mirrors `pqTopK(kmeansIters = 1)`), candidate
+    * codes, query distance table. Shared by s04 and s05.
+    */
+  private def pqPieceCtes(i: Int, sub: Int): String = {
+    val lo = i * sub + 1; val hi = (i + 1) * sub
+    val (it1, c2) = kmeansIterCtesGen(s"k$i", 1, s"cs$i", s"ns$i", sub)
+    s"""ns$i AS (SELECT vec_id, list_slice(fv, $lo, $hi) AS fv,
+       |         CAST(list_sum(list_transform(list_slice(fv, $lo, $hi), x -> x * x)) AS BIGINT) AS nsq
+       |       FROM n),
+       |cs$i AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn
+       |        FROM ns$i ORDER BY vec_id LIMIT 16),
+       |$it1,
+       |enc$i AS (SELECT cand_id, $i AS sub, centroid_id AS code FROM (
+       |         SELECT c.vec_id AS cand_id, ct.centroid_id,
+       |           row_number() OVER (PARTITION BY c.vec_id
+       |             ORDER BY ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} DESC,
+       |                      ct.centroid_id) AS r
+       |         FROM ns$i c CROSS JOIN $c2 ct) WHERE r = 1),
+       |dt$i AS (SELECT qq.vec_id AS query_id, $i AS sub, ct.centroid_id AS code,
+       |           ${dotSql("qq.fv", "ct.centv")} AS partial
+       |         FROM (SELECT * FROM ns$i WHERE vec_id % 50 = 0) qq
+       |         CROSS JOIN $c2 ct)""".stripMargin
+  }
+
+  /** s04 — product quantization: per-subspace codebooks, candidate
+    * codes, per-query distance tables, approx-dot shortlist, exact
+    * re-rank — the full `Similarity.pqTopK` dataflow in one statement.
     */
   val s04: String = {
     val m = 4; val sub = 16; val shortlistN = 50
-    val pieces = (0 until m).map { i =>
-      val lo = i * sub + 1; val hi = (i + 1) * sub
-      // ONE Lloyd iteration per codebook — mirrors pqTopK(kmeansIters=1)
-      val (it1, c2) = kmeansIterCtesGen(s"k$i", 1, s"cs$i", s"ns$i", sub)
-      val text =
-        s"""ns$i AS (SELECT vec_id, list_slice(fv, $lo, $hi) AS fv,
-           |         CAST(list_sum(list_transform(list_slice(fv, $lo, $hi), x -> x * x)) AS BIGINT) AS nsq
-           |       FROM n),
-           |cs$i AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn
-           |        FROM ns$i ORDER BY vec_id LIMIT 16),
-           |$it1,
-           |enc$i AS (SELECT cand_id, $i AS sub, centroid_id AS code FROM (
-           |         SELECT c.vec_id AS cand_id, ct.centroid_id,
-           |           row_number() OVER (PARTITION BY c.vec_id
-           |             ORDER BY ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} DESC,
-           |                      ct.centroid_id) AS r
-           |         FROM ns$i c CROSS JOIN $c2 ct) WHERE r = 1),
-           |dt$i AS (SELECT qq.vec_id AS query_id, $i AS sub, ct.centroid_id AS code,
-           |           ${dotSql("qq.fv", "ct.centv")} AS partial
-           |         FROM (SELECT * FROM ns$i WHERE vec_id % 50 = 0) qq
-           |         CROSS JOIN $c2 ct)""".stripMargin
-      text
-    }
+    val pieces = (0 until m).map(i => pqPieceCtes(i, sub))
     s"""WITH f AS (SELECT vec_id, ${fixedVecSql("embedding")} AS fv FROM embeddings),
        |n AS (SELECT vec_id, fv, CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq FROM f),
        |${pieces.mkString(",\n")},
@@ -427,6 +429,60 @@ object DuckSketchSql {
        |ap AS (SELECT d.query_id, e.cand_id, CAST(sum(d.partial) AS BIGINT) AS ad
        |       FROM enc e JOIN dts d ON e.sub = d.sub AND e.code = d.code
        |       WHERE d.query_id <> e.cand_id GROUP BY 1, 2),
+       |sc AS (SELECT ap.query_id, ap.cand_id,
+       |         CAST(ap.ad AS DOUBLE) / sqrt(CAST(qn.nsq AS DOUBLE)) / sqrt(CAST(cn.nsq AS DOUBLE)) AS approx_cos
+       |       FROM ap JOIN n qn ON ap.query_id = qn.vec_id
+       |            JOIN n cn ON ap.cand_id = cn.vec_id),
+       |short AS (SELECT query_id, cand_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_cos DESC, cand_id) AS srnk FROM sc) WHERE srnk <= $shortlistN),
+       |rr AS (SELECT s.query_id, s.cand_id,
+       |         ${cosineSql("qn.fv", "cn.fv", "qn.nsq", "cn.nsq")} AS cosine
+       |       FROM short s JOIN n qn ON s.query_id = qn.vec_id
+       |            JOIN n cn ON s.cand_id = cn.vec_id),
+       |fin AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM rr)
+       |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk
+       |FROM fin WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** s05 — IVF-PQ composition: full-vector coarse quantizer (16
+    * centroids, 1 Lloyd iteration) builds inverted lists; queries probe
+    * their 4 nearest lists; only probed pairs are PQ-scored via the
+    * shared subspace tables; exact re-rank — the exact
+    * `Similarity.ivfPqTopK` dataflow.
+    */
+  val s05: String = {
+    val m = 4; val sub = 16; val shortlistN = 50; val nprobe = 4
+    val pieces = (0 until m).map(i => pqPieceCtes(i, sub))
+    val (cit, ccLast) = kmeansIterCtesGen("cc", 1, "cc0", "n", 64)
+    s"""WITH f AS (SELECT vec_id, ${fixedVecSql("embedding")} AS fv FROM embeddings),
+       |n AS (SELECT vec_id, fv, CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq FROM f),
+       |cc0 AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn
+       |        FROM n ORDER BY vec_id LIMIT 16),
+       |$cit,
+       |la AS (SELECT c.vec_id AS cand_id, ct.centroid_id,
+       |         ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} AS c_cos
+       |       FROM n c CROSS JOIN $ccLast ct),
+       |lists AS (SELECT cand_id, centroid_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY cand_id
+       |           ORDER BY c_cos DESC, centroid_id) AS r FROM la) WHERE r = 1),
+       |qa AS (SELECT qv.vec_id AS query_id, ct.centroid_id,
+       |         ${cosineSql("qv.fv", "ct.centv", "qv.nsq", "ct.centn")} AS c_cos
+       |       FROM (SELECT * FROM n WHERE vec_id % 50 = 0) qv CROSS JOIN $ccLast ct),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY c_cos DESC, centroid_id) AS r FROM qa) WHERE r <= $nprobe),
+       |pairs AS (SELECT p.query_id, l.cand_id
+       |          FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id),
+       |${pieces.mkString(",\n")},
+       |enc AS (${(0 until m).map(i => s"SELECT * FROM enc$i").mkString(" UNION ALL ")}),
+       |dts AS (${(0 until m).map(i => s"SELECT * FROM dt$i").mkString(" UNION ALL ")}),
+       |ap AS (SELECT pr.query_id, pr.cand_id, CAST(sum(d.partial) AS BIGINT) AS ad
+       |       FROM pairs pr
+       |       JOIN enc e ON pr.cand_id = e.cand_id
+       |       JOIN dts d ON d.query_id = pr.query_id AND d.sub = e.sub AND d.code = e.code
+       |       WHERE pr.query_id <> pr.cand_id GROUP BY 1, 2),
        |sc AS (SELECT ap.query_id, ap.cand_id,
        |         CAST(ap.ad AS DOUBLE) / sqrt(CAST(qn.nsq AS DOUBLE)) / sqrt(CAST(cn.nsq AS DOUBLE)) AS approx_cos
        |       FROM ap JOIN n qn ON ap.query_id = qn.vec_id

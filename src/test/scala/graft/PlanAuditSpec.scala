@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "s01_cosine_topk", // broadcast query set — the DOCUMENTED O(|Q|·n) exact baseline
     "s03_ivf_ann", // broadcast centroid set (k=16) for k-means assignment
     "s04_pq_ann", // broadcast per-subspace codebooks (16 centroids each)
+    "s05_ivfpq_ann", // broadcast coarse centroids + per-subspace codebooks
     "dq01_quality_audit" // 1-row violation-count aggregates crossed onto 1-row totals
   )
 
