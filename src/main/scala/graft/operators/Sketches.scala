@@ -95,14 +95,21 @@ object Hll {
       .join(broadcast(dom), groupNames)
     // per percentile: the first bin whose cumulative count reaches
     // k = ceil(p·n/100) (exact integer, the q33 rule), reported as the
-    // bin's exact value bounds
+    // bin's exact value bounds. bin b holds m with
+    // (m−lo)·bins div span ∈ [b, b+1), i.e. m−lo ∈
+    // [ceil(b·span/bins), ceil((b+1)·span/bins) − 1] — the bounds use
+    // CEILING division ((x + bins−1) div bins): floor here would shave
+    // the bin's top value off the bracket (a one-unit containment leak,
+    // loudest when span < bins — SketchesSpec's degenerate-span case).
+    // Occupied bins (the only selectable ones) are always non-empty, so
+    // the bracket is well-formed with no clamping.
     val span = col("_hi") - col("_lo") + lit(1L)
-    def binLo(b: Column) = col("_lo") + call_function("div", b * span, lit(bins.toLong))
+    def binFloor(b: Column) = col("_lo") +
+      call_function("div", b * span + lit((bins - 1).toLong), lit(bins.toLong))
     val pctCols = pcts.flatMap { p =>
       val k = floor((col("n_items") * p + lit(99)) / lit(100)).cast("long")
-      Seq(min(when(col("_cum") >= k, binLo(col("_bin")))).as(s"p${p}_lo"),
-        // upper bound: next bin's lower bound − 1 (exact integer split)
-        min(when(col("_cum") >= k, binLo(col("_bin") + 1) - 1)).as(s"p${p}_hi"))
+      Seq(min(when(col("_cum") >= k, binFloor(col("_bin")))).as(s"p${p}_lo"),
+        min(when(col("_cum") >= k, binFloor(col("_bin") + 1) - 1)).as(s"p${p}_hi"))
     }
     val aggs = max(col("n_items")).as("n_items") +: pctCols
     cum.groupBy(groupNames.map(col): _*).agg(aggs.head, aggs.tail: _*)

@@ -118,17 +118,17 @@ object SketchQueries {
         |        FROM b JOIN dom d ON b.g = d.g),
         |pick AS (SELECT g, max(n) AS n_items,
         |    min(CASE WHEN cm >= (n * 50 + 99) // 100
-        |             THEN lo + (bin * (hi - lo + 1)) // 1024 END) AS p50l,
+        |             THEN lo + (bin * (hi - lo + 1) + 1023) // 1024 END) AS p50l,
         |    min(CASE WHEN cm >= (n * 50 + 99) // 100
-        |             THEN lo + ((bin + 1) * (hi - lo + 1)) // 1024 - 1 END) AS p50h,
+        |             THEN lo + ((bin + 1) * (hi - lo + 1) + 1023) // 1024 - 1 END) AS p50h,
         |    min(CASE WHEN cm >= (n * 90 + 99) // 100
-        |             THEN lo + (bin * (hi - lo + 1)) // 1024 END) AS p90l,
+        |             THEN lo + (bin * (hi - lo + 1) + 1023) // 1024 END) AS p90l,
         |    min(CASE WHEN cm >= (n * 90 + 99) // 100
-        |             THEN lo + ((bin + 1) * (hi - lo + 1)) // 1024 - 1 END) AS p90h,
+        |             THEN lo + ((bin + 1) * (hi - lo + 1) + 1023) // 1024 - 1 END) AS p90h,
         |    min(CASE WHEN cm >= (n * 99 + 99) // 100
-        |             THEN lo + (bin * (hi - lo + 1)) // 1024 END) AS p99l,
+        |             THEN lo + (bin * (hi - lo + 1) + 1023) // 1024 END) AS p99l,
         |    min(CASE WHEN cm >= (n * 99 + 99) // 100
-        |             THEN lo + ((bin + 1) * (hi - lo + 1)) // 1024 - 1 END) AS p99h
+        |             THEN lo + ((bin + 1) * (hi - lo + 1) + 1023) // 1024 - 1 END) AS p99h
         |  FROM cum GROUP BY g)
         |SELECT g AS l_returnflag, n_items,
         |  round(CAST(p50l AS DOUBLE) / 100.0, 2) AS p50_lo,

@@ -75,6 +75,30 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantiles: degenerate spans keep brackets well-formed") {
+    import spark.implicits._
+    // constant group (span 1 < bins) and a 3-value group (span 3):
+    // adjacent binLo values collide — brackets must not invert
+    val df = (Seq.fill(100)(("c", 7L)) ++
+      (0 until 90).map(i => ("t", (i % 3).toLong))).toDF("g", "m")
+    val r = Hll.histogramQuantiles(df, Seq($"g"), $"m", bins = 1024,
+        pcts = Seq(50, 99)).collect()
+      .map(row => row.getString(0) -> row).toMap
+    for ((g, exact) <- Seq("c" -> Map(50 -> 7L, 99 -> 7L),
+                           "t" -> Map(50 -> 1L, 99 -> 2L));
+         (p, ex) <- exact) {
+      val lo = r(g).getAs[Long](s"p${p}_lo"); val hi = r(g).getAs[Long](s"p${p}_hi")
+      assert(lo <= hi, s"$g p$p inverted bracket [$lo, $hi]")
+      assert(lo <= ex && ex <= hi, s"$g p$p: exact $ex outside [$lo, $hi]")
+    }
+    // selection path agrees on the same degenerate inputs
+    val sel = Hll.exactPercentilesSelect(df, Seq($"g"), $"m", bins = 1024,
+        pcts = Seq(50, 99)).collect()
+      .map(row => row.getString(0) -> row).toMap
+    assert(sel("c").getAs[Long]("p50") == 7L && sel("c").getAs[Long]("p99") == 7L)
+    assert(sel("t").getAs[Long]("p50") == 1L && sel("t").getAs[Long]("p99") == 2L)
+  }
+
   test("count-min: estimates are one-sided (never below truth) and collision-bounded") {
     import spark.implicits._
     graft.functions.NativeExprs.ensureRegistered(spark)
