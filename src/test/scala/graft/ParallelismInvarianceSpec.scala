@@ -24,8 +24,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // c05: Misra-Gries candidates vary with partitioning, output must not;
     // h03: count-min cells are integer sums; g01: iterative integer ranks
     "h01_hll_distinct", "c05_heavy_hitters", "h03_countmin_freq", "g01_pagerank",
-    // b01: bloom build/probe bit ops; c06: deletion-blocking candidates
-    "b01_bloom_prune", "c06_typo_pairs")
+    // b01: bloom build/probe bit ops; c06: deletion-blocking candidates;
+    // h02: bin cumsums; s05: two composed quantizers + shortlist
+    "b01_bloom_prune", "c06_typo_pairs", "h02_histogram_quantiles",
+    "s05_ivfpq_ann")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
