@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.SketchQueries.queries ++
       graft.queries.LayoutQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.QualityQueries.queries
+      graft.queries.QualityQueries.queries ++
+      graft.queries.IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.SketchQueries.oracles ++
       graft.queries.LayoutQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
-      graft.queries.QualityQueries.oracles
+      graft.queries.QualityQueries.oracles ++
+      graft.queries.IngestQueries.oracles
 }

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{MeasurementIngest, Tables}
+
+/** Driver-oracled CSV-ingest query (SURVEY.md §2 rows S1/P1/P2/P5).
+  *
+  * The reference's entry job is CSV → cast → state-name repair →
+  * parquet (ASVSP `load_hourly.py:28-84`); [[MeasurementIngest]]
+  * implements it and MeasurementIngestSpec drives it, but until this
+  * query none of the CSV-path rows had a CORRECTNESS entry. q40 closes
+  * that: a deterministic EPA-shaped CSV fixture is derived from the
+  * scale-factor `orders` table at query time, written under a FIXED
+  * path, ingested through the real `readCsv → normalizeColumns →
+  * repairStateName → transform → ingestAll` chain, and the DuckDB
+  * oracle re-reads the SAME csv files via `read_csv` with explicit
+  * casts and the same 18-entry repair CASE.
+  *
+  * Determinism notes (oracle-exactness playbook):
+  *   - `Sample Measurement` is generated as a 3-decimal STRING; both
+  *     engines parse it with correctly-rounded IEEE semantics and the
+  *     ppb→ppm step is a single double division by 1000.0 — one
+  *     correctly-rounded op each side, so bits match without dround;
+  *   - every modulus feeding the fixture is over positive int64 keys;
+  *   - the fixture path is fixed so the oracle SQL (a static string)
+  *     can name it; content is re-derived from the sfDir on every call,
+  *     so Verify-then-check at the same sf always agree.
+  */
+object IngestQueries {
+
+  /** Fixed fixture root — static so the (static) oracle SQL can cite it. */
+  val FixtureRoot = "/root/repo/target/q40_fixture"
+
+  /** Full names that survive repair untouched (the `.otherwise` branch). */
+  val IntactStates: Seq[String] =
+    Seq("Texas", "Ohio", "Utah", "Iowa", "Idaho", "Maine")
+
+  /** Derive the EPA-shaped raw CSVs (one per pollutant) from `orders`.
+    * Columns deliberately carry SPACES (P1's rename target) and are all
+    * strings (S1's no-inference contract). Returns (no2Dir, pm25Dir).
+    */
+  def writeFixture(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val names = MeasurementIngest.StateNameRepairs.map(_._1) ++ IntactStates
+    val nameArr = array(names.map(lit): _*)
+    val raw = Tables.load(spark, dir, "orders")
+      .orderBy("o_orderkey").limit(400)
+      .select(
+        ($"o_orderkey" % 50).cast("string").as("State Code"),
+        ($"o_orderkey" % 997).cast("string").as("County Code"),
+        ($"o_orderkey" % 89).cast("string").as("Site Num"),
+        element_at(nameArr, ($"o_orderkey" % names.size).cast("int") + 1)
+          .as("State Name"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("Date Local"),
+        concat(lpad(($"o_orderkey" % 24).cast("string"), 2, "0"), lit(":00"))
+          .as("Time Local"),
+        concat(($"o_orderkey" % 500).cast("string"), lit("."),
+          lpad(($"o_orderkey" % 997).cast("string"), 3, "0"))
+          .as("Sample Measurement"),
+        when($"o_orderkey" % 2 === 0, lit("Parts per billion"))
+          .otherwise(lit("Micrograms/cubic meter (LC)"))
+          .as("Units of Measure"),
+        ($"o_orderkey" % 2).as("split"))
+    val (no2Dir, pm25Dir) = (s"$FixtureRoot/NO2", s"$FixtureRoot/PM25")
+    raw.filter($"split" === 0).drop("split").coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(no2Dir)
+    raw.filter($"split" === 1).drop("split").coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(pm25Dir)
+    (no2Dir, pm25Dir)
+  }
+
+  /** q40 — the reference's entry-job projection, driver-oracled. */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (no2Dir, pm25Dir) = writeFixture(spark, dir)
+    MeasurementIngest
+      .ingestAll(spark, Seq("NO2" -> no2Dir, "PM25" -> pm25Dir))
+      .orderBy($"pollutant", $"date_local", $"hour_local", $"state_code",
+        $"county_code", $"site_num", $"state_name", $"measurement", $"units")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_csv_ingest" -> q40
+  )
+
+  /** The repair map as a DuckDB CASE chain (P5's 18 entries verbatim). */
+  private val repairCase: String =
+    MeasurementIngest.StateNameRepairs
+      .map { case (bad, good) => s"WHEN '$bad' THEN '$good'" }
+      .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
+
+  val oracles: Map[String, String] = Map(
+    "q40_csv_ingest" ->
+      s"""WITH no2 AS (
+         |  SELECT "State Code", "County Code", "Site Num", "State Name",
+         |         "Date Local", "Time Local", "Sample Measurement",
+         |         "Units of Measure", 'NO2' AS pollutant, true AS is_ppb
+         |  FROM read_csv('$FixtureRoot/NO2/*.csv', header=true, all_varchar=true)),
+         |pm25 AS (
+         |  SELECT "State Code", "County Code", "Site Num", "State Name",
+         |         "Date Local", "Time Local", "Sample Measurement",
+         |         "Units of Measure", 'PM25' AS pollutant, false AS is_ppb
+         |  FROM read_csv('$FixtureRoot/PM25/*.csv', header=true, all_varchar=true)),
+         |raw AS (SELECT * FROM no2 UNION ALL SELECT * FROM pm25)
+         |SELECT CAST("State Code" AS INT) AS state_code,
+         |  CAST("County Code" AS INT) AS county_code,
+         |  CAST("Site Num" AS INT) AS site_num,
+         |  $repairCase AS state_name,
+         |  pollutant,
+         |  CAST("Date Local" AS DATE) AS date_local,
+         |  CAST(substring("Time Local", 1, 2) AS INT) AS hour_local,
+         |  CASE WHEN is_ppb THEN CAST("Sample Measurement" AS DOUBLE) / 1000.0
+         |       ELSE CAST("Sample Measurement" AS DOUBLE) END AS measurement,
+         |  CASE WHEN "Units of Measure" = 'Parts per billion'
+         |       THEN 'Parts per million'
+         |       ELSE "Units of Measure" END AS units
+         |FROM raw
+         |ORDER BY pollutant, date_local, hour_local, state_code,
+         |  county_code, site_num, state_name, measurement, units""".stripMargin
+  )
+}

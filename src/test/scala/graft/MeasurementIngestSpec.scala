@@ -156,4 +156,23 @@ class MeasurementIngestSpec extends AnyFunSuite {
         sum(when(!col("is_weekend"), col("daily_avg")))).as("ratio")).head
     assert(math.abs(we.getDouble(0) - 40.0 / 15.0) < 1e-12)
   }
+
+  test("q40_csv_ingest: repair + ppb conversion hold over the driver fixture") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val out = graft.queries.IngestQueries.q40(spark, "/root/testdata/sf0.001")
+      .cache()
+    try {
+      assert(out.count() == 400)
+      // P5: every truncated name was repaired, none survive
+      val bads = MeasurementIngest.StateNameRepairs.map(_._1).toSet
+      assert(out.filter(col("state_name").isin(bads.toSeq: _*)).count() == 0)
+      assert(out.filter(col("state_name") === "California").count() > 0)
+      // P4/P6: every ppb row became ppm, label included
+      assert(out.filter(col("pollutant") === "NO2" &&
+        col("units") =!= "Parts per million").count() == 0)
+      // NO2 measurements are the /1000 of their 3-decimal source strings
+      assert(out.filter(col("pollutant") === "NO2" &&
+        col("measurement") >= 1.0).count() == 0)
+    } finally out.unpersist()
+  }
 }
