@@ -209,6 +209,55 @@ object Similarity {
     cents
   }
 
+  /** Grouped variant of [[kmeansCentroidsFixed]]: trains an INDEPENDENT
+    * k-centroid codebook for every distinct `sub` value in ONE Lloyd job
+    * chain — the fix for PQ training's wall-clock weak spot, where m
+    * sequential per-subspace loops cost O(m·iters) driver-synchronous
+    * job rounds. Adding `sub` to every key makes each step (seed pick,
+    * assignment window, dimension aggregation, centroid rebuild) a
+    * single grouped job covering all subspaces at once: O(iters) rounds
+    * total, independent of m. Bit-identical to running
+    * [[kmeansCentroidsFixed]] once per subspace: same first-k-by-id
+    * seeds, same cosine + centroid-id tiebreaks, same `floor(mean)`
+    * update, same empty-cluster carry — the s04/s05 oracles (which
+    * replicate per-subspace training) hash unchanged.
+    * `candSub` needs (sub, cand_id, cv array<long>, cn long); output
+    * (sub, centroid_id, centv, centn).
+    */
+  def kmeansCentroidsFixedGrouped(candSub: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = candSub
+      .withColumn("seed_r", row_number().over(Window.partitionBy(col("sub"))
+        .orderBy(col("cand_id"))))
+      .filter(col("seed_r") <= k)
+      .select(col("sub"), col("cand_id").as("centroid_id"),
+        col("cv").as("centv"), col("cn").as("centn"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = candSub.join(broadcast(cents), Seq("sub"))
+        .withColumn("c_cos", cosineFromFixed(dotFixed(col("cv"), col("centv")),
+          col("cn"), col("centn")))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("sub"), col("cand_id"))
+            .orderBy(col("c_cos").desc, col("centroid_id"))))
+        .filter(col("r") === 1)
+      val dims = assigned.select(col("sub"), col("centroid_id"),
+          posexplode(col("cv")).as(Seq("d", "v")))
+        .groupBy(col("sub"), col("centroid_id"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .withColumn("nv", floor(col("s").cast("double") / col("c")).cast("long"))
+      val updated = dims.groupBy(col("sub"), col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("nv")))),
+          e => e.getField("nv")).as("newv"))
+      cents = cents.join(updated, Seq("sub", "centroid_id"), "left")
+        .select(col("sub"), col("centroid_id"),
+          coalesce(col("newv"), col("centv")).as("centv"))
+        .withColumn("centn", normSqFixed(col("centv")))
+        // m·k rows; truncate lineage so each iteration runs ONCE
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: candidates are coarse-
     * quantized to their nearest centroid once (the "inverted lists");
     * each query probes only its `nprobe` nearest centroids' lists and
@@ -336,34 +385,40 @@ object Similarity {
   }
 
   /** Per-subspace PQ structures: candidate code table (cand_id, sub,
-    * code) and query distance table (query_id, sub, code, partial) —
-    * codebooks from the deterministic fixed-point Lloyd per subspace.
+    * code) and query distance table (query_id, sub, code, partial).
+    *
+    * Each side is exploded into (sub, subvector) rows ONCE and all m
+    * codebooks are trained together by [[kmeansCentroidsFixedGrouped]]
+    * — one grouped Lloyd chain instead of m sequential loops, so the
+    * training stage costs O(iters) job rounds regardless of m. Encoding
+    * and distance tables are likewise single broadcast joins on `sub`
+    * over all subspaces at once.
     */
   private def pqCodebooks(cand: DataFrame, q: DataFrame, dim: Int, m: Int,
                           ksub: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
     val sub = dim / m
     require(sub * m == dim, "dim must divide into m subspaces")
-    def subv(v: Column, i: Int) = slice(v, i * sub + 1, sub)
-    val pieces = (0 until m).map { i =>
-      val csub = cand.select(col("cand_id"), subv(col("cv"), i).as("cv"))
-        .withColumn("cn", normSqFixed(col("cv")))
-      val cents = kmeansCentroidsFixed(csub, ksub, kmeansIters)
-      val codes = csub.crossJoin(broadcast(cents))
-        .withColumn("c_cos", cosineFromFixed(dotFixed(col("cv"), col("centv")),
-          col("cn"), col("centn")))
-        .withColumn("r", row_number().over(Window.partitionBy(col("cand_id"))
+    def explodeSubs(df: DataFrame, idCol: String, v: String): DataFrame =
+      df.select(col(idCol), explode(array((0 until m).map(i =>
+          struct(lit(i).as("sub"), slice(col(v), i * sub + 1, sub).as("v"))): _*))
+        .as("sv"))
+        .select(col(idCol), col("sv.sub").as("sub"), col("sv.v").as(v))
+    val candSub = explodeSubs(cand, "cand_id", "cv")
+      .withColumn("cn", normSqFixed(col("cv")))
+    val cents = kmeansCentroidsFixedGrouped(candSub, ksub, kmeansIters)
+    val codes = candSub.join(broadcast(cents), Seq("sub"))
+      .withColumn("c_cos", cosineFromFixed(dotFixed(col("cv"), col("centv")),
+        col("cn"), col("centn")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("sub"), col("cand_id"))
           .orderBy(col("c_cos").desc, col("centroid_id"))))
-        .filter(col("r") === 1)
-        .select(col("cand_id"), lit(i).as("sub"), col("centroid_id").as("code"))
-      val dt = q.select(col("query_id"), subv(col("qv"), i).as("qsub"))
-        .crossJoin(broadcast(cents))
-        .select(col("query_id"), lit(i).as("sub"),
-          col("centroid_id").as("code"),
-          dotFixed(col("qsub"), col("centv")).as("partial"))
-      (codes, dt)
-    }
-    (pieces.map(_._1).reduce(_.unionByName(_)),
-      pieces.map(_._2).reduce(_.unionByName(_)))
+      .filter(col("r") === 1)
+      .select(col("cand_id"), col("sub"), col("centroid_id").as("code"))
+    val dts = explodeSubs(q, "query_id", "qv")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
+        dotFixed(col("qv"), col("centv")).as("partial"))
+    (codes, dts)
   }
 
   /** Approx-score shortlist + exact fixed-point re-rank — the shared
