@@ -36,30 +36,39 @@ object Graph {
   def pageRankFixed(edges: DataFrame, iters: Int,
                     dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
+    // Loop-INVARIANT frames, built once (the round-4 verdict's hygiene
+    // fix — these were re-derived every iteration before):
+    //  - edgeDeg: out-degree pre-joined onto edges, so the loop's only
+    //    src-side join is edges⋈ranks;
+    //  - baseRanks: (id, r0, base) with r0 = total div N and the
+    //    teleport base = (total·(1−d)) div N, checkpointed flat.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("id")).distinct().persist()
+    val edgeDeg = e.join(deg, Seq("src")).persist()
+    val nodes = e.select(col("src").as("id")).distinct()
     val nn = broadcast(nodes.groupBy().agg(count(lit(1)).as("n")))
-    // r0 = total div N; teleport base = (total·(1−d)) div N, same every iter
-    var ranks = nodes.crossJoin(nn)
+    val baseRanks = nodes.crossJoin(nn)
       .select(col("id"),
-        call_function("div", lit(TotalMass), col("n")).as("rank"))
+        call_function("div", lit(TotalMass), col("n")).as("r0"),
+        call_function("div",
+          lit(TotalMass * (dampDen - dampNum) / dampDen), col("n")).as("base"))
       .localCheckpoint()
-    val base = call_function("div",
-      lit(TotalMass * (dampDen - dampNum) / dampDen), col("n"))
+    var ranks = baseRanks.select(col("id"), col("r0").as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      // per iteration: ONE join (edgeDeg⋈ranks) + ONE sum on dst,
+      // then the left join back onto the flat invariant base frame
+      val contrib = edgeDeg
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst"),
           call_function("div", col("rank") * dampNum,
             col("deg") * dampDen).as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
-      ranks = nodes.crossJoin(nn)
+      ranks = baseRanks
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"), (base + coalesce(col("inflow"), lit(0L))).as("rank"))
+        .select(col("id"), (col("base") + coalesce(col("inflow"), lit(0L))).as("rank"))
         .localCheckpoint() // truncate lineage per iteration
     }
     e.unpersist()
+    edgeDeg.unpersist()
     ranks
   }
 }
