@@ -102,14 +102,16 @@ object CorpusOps {
   }
 
   /** c04 — corpus term statistics: top-5 terms per language with tf,
-    * per-stratum df, and the tf·idf score. One explode feeds a single
-    * (lang, term) aggregation (tf = occurrences, df = distinct docs);
-    * per-lang doc counts broadcast-join back. Ranking uses EXACT integer
-    * keys (tf desc, df asc, term asc) — the repo's total-ordering rule:
-    * `ln` is not correctly-rounded IEEE, so a transcendental sort key
-    * could flip across engines; the displayed score keeps the standard
-    * tf·ln(N/df) form where a last-ulp wobble only risks a 4dp-rounding
-    * boundary (~2^-38), not the row set.
+    * per-stratum df, and the per-lang doc count. One explode feeds a
+    * single (lang, term) aggregation (tf = occurrences, df = distinct
+    * docs); per-lang doc counts broadcast-join back. Ranking uses EXACT
+    * integer keys (tf desc, df asc, term asc) — the repo's
+    * total-ordering rule — and the OUTPUT is all-integer too: `ln` is
+    * not correctly-rounded IEEE, so a displayed tf·ln(N/df) could flip
+    * a rounding boundary between engines on some future corpus
+    * (round-4 verdict item). The standard score is exactly derivable
+    * downstream from (tf, df, n_docs); nothing transcendental rides the
+    * hash path.
     */
   def c04(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -124,10 +126,7 @@ object CorpusOps {
       .withColumn("rnk", row_number().over(Window.partitionBy($"lang")
         .orderBy($"tf".desc, $"df".asc, $"term".asc)))
       .filter($"rnk" <= 5)
-      .select($"lang", $"term", $"tf", $"df",
-        gf.dround($"tf".cast("double") * log($"n_docs".cast("double") / $"df"), 4)
-          .as("tfidf"),
-        $"rnk")
+      .select($"lang", $"term", $"tf", $"df", $"n_docs", $"rnk")
       .orderBy($"lang", $"rnk")
   }
 
@@ -249,8 +248,7 @@ object CorpusOps {
          |    row_number() OVER (PARTITION BY s.lang
          |      ORDER BY s.tf DESC, s.df ASC, s.term ASC) AS rnk
          |  FROM stats s JOIN ln_ l USING (lang))
-         |SELECT lang, term, tf, df,
-         |  round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
+         |SELECT lang, term, tf, df, n_docs,
          |  CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin,

@@ -211,33 +211,23 @@ class DataOpsSpec extends AnyFunSuite {
     assert(frames(1).frame_bytes.toSeq == (20 until 30).map(_.toByte))
   }
 
-  test("c04 tfidf values sit clear of their 4dp rounding boundary") {
-    // c04's displayed score is tf·ln(N/df) rounded to 4dp. `ln` is not
-    // correctly-rounded IEEE: Math.log (JVM) and DuckDB's ln can differ
-    // in the last ulp, which flips the rounded value only when the
-    // scaled score sits essentially ON a .5 rounding boundary. Assert a
-    // wide safety margin on the actual corpora so a future corpus that
-    // would trip the latent hash-mismatch fails HERE, loudly, instead.
+  test("c04 output is all-integer: n_docs column replaces the ln() score") {
+    // Round-4 verdict: a displayed tf·ln(N/df) put a non-correctly-
+    // rounded transcendental on the hash path (latent cross-engine
+    // last-ulp risk). The output now carries exact (tf, df, n_docs)
+    // instead — assert the schema holds and n_docs matches the corpus.
     import spark.implicits._
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
-         if new java.io.File(dir).isDirectory) {
-      val out = graft.queries.CorpusOps.c04(spark, dir)
-        .select($"lang", $"term", $"tf", $"df").collect()
-      val nDocs = spark.read.parquet(s"$dir/documents.parquet")
-        .groupBy($"lang").agg(countDistinct($"doc_id").as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // ulp(ln) scaled by tf·1e4 stays < ~1e-6 for tf ≤ 1e6; require 1e-4
-      val margin = 1e-4
-      for (r <- out) {
-        val tf = r.getAs[Long]("tf"); val df = r.getAs[Long]("df")
-        val v = tf.toDouble * math.log(nDocs(r.getString(0)).toDouble / df)
-        val frac = math.abs(v) * 1e4
-        val dist = math.abs(frac - math.floor(frac) - 0.5)
-        assert(dist > margin,
-          s"$dir ${r.getString(0)}/${r.getString(1)}: tfidf=$v is within " +
-            s"$dist of a 4dp round-half boundary — cross-engine ln ulp risk")
-      }
-    }
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val out = graft.queries.CorpusOps.c04(spark, dir)
+    assert(out.schema.fields.map(f => f.name -> f.dataType.typeName).toSeq ==
+      Seq("lang" -> "string", "term" -> "string", "tf" -> "long",
+        "df" -> "long", "n_docs" -> "long", "rnk" -> "integer"))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy($"lang").agg(countDistinct($"doc_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- out.collect())
+      assert(r.getAs[Long]("n_docs") == nDocs(r.getAs[String]("lang")))
   }
 
   test("langid tie resolves to first profile in marker order") {
