@@ -81,12 +81,38 @@ object StreamingQueries {
         col("rank_gap"), col("is_anomaly"))
       .orderBy(col("entity"), col("window_start"))
 
+  /** q41 = SQ6/SQ7's batch twin: the stream-stream INTERVAL join (each
+    * click left-joined to every same-user error in the following hour)
+    * run over the drained events table — the last shipped streaming
+    * operator class to get a driver CORRECTNESS row (round-4 verdict
+    * item 5). `sq7ClickErrorLeftOuter` is the same code the live
+    * watermarked stream runs; on batch frames it is the plain interval
+    * join, which DuckDB reproduces directly. Unmatched clicks carry the
+    * outer nulls (the rows a stream emits only after the error-side
+    * watermark passes). Timestamps output as exact epoch MICROS — raw
+    * event times have sub-second parts, and `unix_micros`/`epoch_us`
+    * are both exact integer conversions (no second-rounding skew).
+    */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    StreamJobs.sq7ClickErrorLeftOuter(ev, ev)
+      .select(
+        col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("click_value"),
+        unix_micros(col("error_ts")).as("error_us"),
+        col("error_value"))
+      .orderBy(col("user_id"), col("click_us"), col("click_value"),
+        asc_nulls_first("error_us"), asc_nulls_first("error_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_window_vs_baseline" -> q16,
     "q17_sliding_trend" -> q17,
     "q18_window_topk" -> q18,
     "q19_demux_window_join" -> q19,
-    "q20_rank_anomaly" -> q20)
+    "q20_rank_anomaly" -> q20,
+    "q41_stream_interval_join" -> q41)
 
   private val vCents = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
 
@@ -204,5 +230,22 @@ object StreamingQueries {
          |  AND CAST(month(w) AS INT) = hist.month
          |  AND CAST(hour(w) AS INT) = hist.hour
          |  AND (dayofweek(CAST(w AS DATE)) IN (0, 6)) = hist.is_weekend
-         |ORDER BY cur.entity, window_start""".stripMargin)
+         |ORDER BY cur.entity, window_start""".stripMargin,
+    "q41_stream_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts, value AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT user_id AS e_user, ts AS error_ts, value AS error_value
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.user_id,
+        |  epoch_us(click_ts) AS click_us,
+        |  click_value,
+        |  epoch_us(error_ts) AS error_us,
+        |  error_value
+        |FROM c LEFT JOIN e ON c.user_id = e.e_user
+        |  AND error_ts >= click_ts
+        |  AND error_ts <= click_ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, click_us, click_value,
+        |  error_us NULLS FIRST, error_value NULLS FIRST""".stripMargin)
 }
