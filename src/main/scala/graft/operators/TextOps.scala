@@ -113,6 +113,22 @@ object TextOps {
       sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
       i => norm.substr(i, lit(k))))
 
+  /** Chunk-start indexes for sliding token-window chunking: 0, stride,
+    * 2·stride, … while the start lies inside the array — so every token
+    * lands in ≥1 chunk and consecutive chunks overlap by (size − stride)
+    * tokens. A doc shorter than one chunk yields exactly one chunk.
+    * Explode this, then [[chunkSlice]] each index.
+    */
+  def chunkIdx(toks: Column, stride: Int): Column =
+    sequence(lit(0L),
+      call_function("div", (size(toks) - 1).cast("long"), lit(stride.toLong)))
+
+  /** The `size`-token chunk starting at chunk index `idx` (clamped at
+    * the tail — the final chunk may be shorter).
+    */
+  def chunkSlice(toks: Column, idx: Column, size: Int, stride: Int): Column =
+    slice(toks, (idx * stride + 1).cast("int"), lit(size))
+
   /** Word k-shingles over a token array (distinct, space-joined,
     * first-occurrence order; docs shorter than k yield one whole-text
     * shingle). Runs as the native `graft_word_shingles` expression —

@@ -74,30 +74,22 @@ object CorpusOps {
   }
 
   /** c03 — EXACT stratified sampling: within each language stratum,
-    * rank docs by md5(doc_id) (a deterministic, uniform, seed-free
-    * permutation — the p02 trick) and keep the first ceil(25% · |stratum|).
+    * keep the first ceil(25% · |stratum|) docs by md5(doc_id) order (a
+    * deterministic, uniform, seed-free permutation — the p02 trick).
     * Unlike Bernoulli `sample()`, stratum fractions are hit exactly and
-    * the selection is reproducible on any engine — n·0.25 is exact in
-    * IEEE (0.25 is a power of two), so the cutoff is bit-identical.
-    * One window per stratum = a single sort-shuffle on lang at scale.
-    * Scale note: emitting per-row `sample_rank` inherently orders the
-    * kept 25% — when ranks aren't needed downstream, the CUTOFF alone
-    * can be found by the q33 selection trick (hash-prefix bucket
-    * counts → boundary bucket → sort only that bucket) and membership
-    * becomes a filter, no stratum-wide sort.
+    * the selection is reproducible on any engine.
+    *
+    * Since round 5 this runs through [[graft.operators.Sampling]]'s
+    * hash-prefix-bucketed selection — per-bucket windows + bucket
+    * offsets instead of one stratum-wide sort (3 giant sort tasks for a
+    * 3-language corpus at 100 TB). The ORACLE keeps the direct
+    * stratum-wide `row_number` form: two algorithms, one hash.
     */
   def c03(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"lang")
-    Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"lang",
-        md5($"doc_id".cast("string").cast("binary")).as("h"))
-      .withColumn("sample_rank",
-        row_number().over(w.orderBy($"h", $"doc_id")))
-      .withColumn("n", count(lit(1)).over(w))
-      .filter($"sample_rank" <= ceil($"n" * 0.25))
-      .select($"doc_id", $"lang", $"sample_rank")
+    graft.operators.Sampling
+      .stratifiedExact(Tables.load(spark, dir, "documents"),
+        stratum = "lang", id = "doc_id", num = 1, den = 4)
       .orderBy($"lang", $"sample_rank")
   }
 
@@ -128,6 +120,51 @@ object CorpusOps {
       .filter($"rnk" <= 5)
       .select($"lang", $"term", $"tf", $"df", $"n_docs", $"rnk")
       .orderBy($"lang", $"rnk")
+  }
+
+  /** c07 — sliding token-window chunking (64-token chunks, stride 48 →
+    * 16-token overlap): the context-window packing primitive every
+    * training pipeline runs between cleaning and tokenization. One
+    * `sequence`-explode per doc + a `slice` per chunk — per-row
+    * arithmetic, zero shuffle before the output sort, and chunk count
+    * scales with Σ n_tokens/stride rather than doc count. Emits the
+    * chunk TEXT itself so the oracle compares content exactly (DuckDB
+    * list-slice clamp semantics mirror `slice`'s tail clamp — the d04
+    * convention). A doc shorter than one chunk yields exactly one
+    * (possibly short) chunk — no data is silently dropped.
+    */
+  def c07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (chunk, stride) = (64, 48)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
+      .select($"doc_id", $"toks",
+        explode(TextOps.chunkIdx($"toks", stride)).as("ci"))
+      .select($"doc_id", $"ci".cast("int").as("chunk_idx"),
+        TextOps.chunkSlice($"toks", $"ci", chunk, stride).as("ctoks"))
+      .select($"doc_id", $"chunk_idx",
+        size($"ctoks").as("n_chunk_tokens"),
+        array_join($"ctoks", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** c08 — weighted systematic (PPS) sampling by token count: 20 picks
+    * laid proportionally along the deterministic hash permutation via
+    * [[graft.operators.Sampling.weightedSystematic]] — "sample docs
+    * proportional to token mass", the data-mixing primitive. All
+    * integer arithmetic (weights, prefix sums, step boundaries), and
+    * the prefix sum runs bucketed (no single-partition window); the
+    * ORACLE computes the same picks with a direct global cumsum window
+    * — two algorithms, one hash, scale shape only on the Spark side.
+    */
+  def c08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weighted = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(TextOps.tokens(TextOps.normalize($"text"))).cast("long")
+          .as("n_tokens"))
+    graft.operators.Sampling.weightedSystematic(weighted, "doc_id", "n_tokens", 20)
+      .orderBy($"pick_k")
   }
 
   /** c06 — typo-pair discovery via [[graft.operators.FuzzyJoin]]:
@@ -161,7 +198,9 @@ object CorpusOps {
     "c02_repetition_filter" -> c02,
     "c03_stratified_sample" -> c03,
     "c04_tfidf_topk" -> c04,
-    "c06_typo_pairs" -> c06
+    "c06_typo_pairs" -> c06,
+    "c07_chunking" -> c07,
+    "c08_weighted_sample" -> c08
   )
 
   // wordShingles clamp semantics: a doc shorter than n tokens yields ONE
@@ -266,6 +305,44 @@ object CorpusOps {
          |  a.cnt AS cnt_a, b.cnt AS cnt_b
          |FROM v2 a JOIN v2 b
          |  ON a.token < b.token AND levenshtein(a.token, b.token) = 1
-         |ORDER BY token_a, token_b""".stripMargin
+         |ORDER BY token_a, token_b""".stripMargin,
+    // chunk_idx ranges over 0..(len-1)//stride; DuckDB list slices clamp
+    // at the tail exactly like Spark `slice` (the d04 convention)
+    "c07_chunking" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |x AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, (len(toks) - 1) // 48 + 1)) AS ci
+         |  FROM n)
+         |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |  CAST(len(toks[ci*48 + 1 : ci*48 + 64]) AS INT) AS n_chunk_tokens,
+         |  array_to_string(toks[ci*48 + 1 : ci*48 + 64], ' ') AS chunk_text
+         |FROM x
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // direct global-cumsum formulation of Sampling.weightedSystematic —
+    // the Spark side computes the same picks bucketed (two algorithms,
+    // one hash). sums CAST to BIGINT (DuckDB sum(BIGINT) → HUGEINT).
+    "c08_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+         |  FROM w),
+         |p AS (
+         |  SELECT doc_id, n_tokens, cum,
+         |    greatest(total // 20, 1) AS step
+         |  FROM c)
+         |SELECT unnest(range((cum - n_tokens) // step + 1,
+         |    least(cum // step, 20) + 1)) AS pick_k,
+         |  doc_id, n_tokens
+         |FROM p
+         |ORDER BY pick_k""".stripMargin
   )
 }
