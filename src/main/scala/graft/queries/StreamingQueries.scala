@@ -106,13 +106,61 @@ object StreamingQueries {
         asc_nulls_first("error_us"), asc_nulls_first("error_value"))
   }
 
+  /** q42 = S7's driver row: JSON decode of Kafka `value` payloads —
+    * valid AND malformed — through the REAL `KafkaSource.parseJson`
+    * transform (the code a live stream runs), driven over a
+    * connector-shaped batch frame derived from events:
+    *
+    *   - each event serializes to a JSON record assembled by string
+    *     concat (ts to the second, doubles via cast — Java's
+    *     shortest-round-trip repr, so decode returns the SAME bits and
+    *     the oracle can read the parquet double directly);
+    *   - the raw `props` column (already a `{"k": N}` JSON object in
+    *     the testdata) embeds verbatim as a NESTED object, decoded via
+    *     a nested struct schema — the oracle re-derives k with a
+    *     regexp so no DuckDB json extension is assumed;
+    *   - every 13th record is TRUNCATED mid-string: from_json's
+    *     PERMISSIVE contract keeps the row with all-null fields, and
+    *     the oracle mirrors it with a CASE on the same modulus;
+    *   - `offset` (= event_id) passes through the flatten via the
+    *     connector-column `keep` hook — the exactly-once-dedup shape.
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = events(spark, dir)
+    val json = concat(
+      lit("{\"ts\":\""), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+      lit("\",\"event_type\":\""), col("event_type"),
+      lit("\",\"user_id\":"), col("user_id").cast("string"),
+      lit(",\"value\":"), col("value").cast("string"),
+      lit(",\"props\":"), col("props"), lit("}"))
+    val raw = ev.select(
+      col("event_id").as("offset"),
+      concat(lit("events-"), pmod(col("event_id"), lit(2)).cast("string")).as("topic"),
+      when(pmod(col("event_id"), lit(13)) === 0, substring(json, 1, 12))
+        .otherwise(json).cast("binary").as("value"))
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("props", StructType(Seq(StructField("k", IntegerType))))))
+    graft.sources.KafkaSource.parseJson(raw, schema, keep = Seq("offset"))
+      .select(col("topic"), col("offset").as("event_id"),
+        epoch(col("ts")).as("ts_s"), col("event_type"), col("user_id"),
+        col("value"), col("props.k").as("prop_k"),
+        col("event_type").isNotNull.as("is_valid"))
+      .orderBy(col("topic"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_window_vs_baseline" -> q16,
     "q17_sliding_trend" -> q17,
     "q18_window_topk" -> q18,
     "q19_demux_window_join" -> q19,
     "q20_rank_anomaly" -> q20,
-    "q41_stream_interval_join" -> q41)
+    "q41_stream_interval_join" -> q41,
+    "q42_json_decode" -> q42)
 
   private val vCents = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
 
@@ -247,5 +295,18 @@ object StreamingQueries {
         |  AND error_ts >= click_ts
         |  AND error_ts <= click_ts + INTERVAL 1 HOUR
         |ORDER BY user_id, click_us, click_value,
-        |  error_us NULLS FIRST, error_value NULLS FIRST""".stripMargin)
+        |  error_us NULLS FIRST, error_value NULLS FIRST""".stripMargin,
+    "q42_json_decode" ->
+      """SELECT concat('events-', CAST(event_id % 2 AS VARCHAR)) AS topic,
+        |  event_id,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE CAST(epoch(date_trunc('second', ts)) AS BIGINT) END AS ts_s,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS event_type,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS user_id,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE CAST(regexp_extract(props, '[0-9]+') AS INT) END AS prop_k,
+        |  event_id % 13 <> 0 AS is_valid
+        |FROM events
+        |ORDER BY topic, event_id""".stripMargin)
 }

@@ -61,11 +61,18 @@ object KafkaSource {
 
   /** S7: decode the Kafka `value` bytes as JSON and flatten; keeps
     * `topic` for multi-topic demux. Works on any frame with
-    * (`value`, `topic`) columns — batch or streaming.
+    * (`value`, `topic`) columns — batch or streaming. `keep` names
+    * additional connector columns to carry through the flatten (e.g.
+    * `offset` for downstream exactly-once dedup, `key` for compaction
+    * semantics). Malformed payloads follow `from_json`'s PERMISSIVE
+    * contract: the row survives with every decoded field null — the
+    * q42 oracle pins that end to end.
     */
-  def parseJson(raw: DataFrame, schema: StructType = eventSchema): DataFrame = {
+  def parseJson(raw: DataFrame, schema: StructType = eventSchema,
+                keep: Seq[String] = Nil): DataFrame = {
     val parsed = raw.withColumn("d", from_json(col("value").cast("string"), schema))
-    if (raw.columns.contains("topic")) parsed.select(col("topic"), col("d.*"))
-    else parsed.select(col("d.*"))
+    val passthrough =
+      (if (raw.columns.contains("topic")) Seq("topic") else Nil) ++ keep
+    parsed.select(passthrough.map(col) :+ col("d.*"): _*)
   }
 }
