@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Graph, Hll, Sampling, Similarity}
+
+/** Boundary-input sweep for the closed-form integer-math operators —
+  * the round-4 verdict's systematization item: the h02 ceiling-division
+  * bug was caught by a degenerate-span UNIT test, not by sf data, so
+  * every operator whose correctness rests on exact integer arithmetic
+  * gets its boundary inputs pinned here (k > n, single subspace,
+  * 1-node graphs, 1-row strata, empty frames). SketchesSpec keeps the
+  * original span<bins histogram case; this spec covers the rest.
+  */
+class DegenerateSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("degenerate-spec")
+
+  private def vecsDf(n: Int) = {
+    import spark.implicits._
+    // deterministic 8-dim unit-ish vectors, pairwise distinct directions
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (1.0f + ((i * 7 + d * 3) % 11)) / 4.0f))
+    }.toDF("id", "vec")
+  }
+
+  test("ANN: k > n returns every non-self pair, ranks still dense") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val side = vecsDf(4)
+    val got = Similarity.bruteForceTopK(side, side, k = 10).collect()
+    // 4 queries × 3 non-self candidates; ranks 1..3 per query, no gaps
+    assert(got.length == 12)
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq == Seq(1, 2, 3), s"query $q")
+    }
+  }
+
+  test("ANN: IVF with more centroids than candidates degrades to exact") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val side = vecsDf(4)
+    val exact = Similarity.bruteForceTopK(side, side, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rnk"))).toSet
+    // numCentroids > n: Lloyd seeds clamp to n; nprobe covers every list
+    val ivf = Similarity.ivfTopK(side, side, k = 3, numCentroids = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rnk"))).toSet
+    assert(ivf == exact)
+  }
+
+  test("ANN: single-subspace PQ (m=1) with full shortlist equals brute force") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val side = vecsDf(5)
+    val exact = Similarity.bruteForceTopK(side, side, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rnk"),
+        r.getAs[Double]("cosine"))).toSet
+    // m=1 → the codebook covers the whole vector; shortlist ≥ n makes
+    // the exact re-rank authoritative regardless of PQ approximation
+    val pq = Similarity.pqTopK(side, side, k = 3, dim = 8, m = 1, ksub = 2,
+        shortlist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rnk"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(pq == exact)
+  }
+
+  test("k-means: k > |candidates| returns |candidates| centroids, all consumed") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val cand = vecsDf(3)
+      .select($"id".as("cand_id"), Similarity.fixedVec($"vec").as("cv"))
+      .withColumn("cn", call_function("graft_dot_fixed", $"cv", $"cv"))
+    val cents = Similarity.kmeansCentroidsFixed(cand, k = 16, iters = 2).collect()
+    assert(cents.length == 3)
+  }
+
+  test("PageRank: 1-node self-loop holds the whole mass exactly") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val e = Seq((1L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRankFixed(e, iters = 5).collect()
+    assert(r.length == 1 && r.head.getLong(1) == Graph.TotalMass)
+  }
+
+  test("PageRank: 2-node symmetric pair sits at the exact fixed point") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRankFixed(e, iters = 4).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    // r = base + 0.85·r is a fixed point at TotalMass/2 per node:
+    // div(10^12·15/100, 2) + div((10^12/2)·85, 100) = 10^12/2 exactly
+    assert(r == Map(1L -> Graph.TotalMass / 2, 2L -> Graph.TotalMass / 2))
+  }
+
+  test("connected components: empty and single-pair inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusterPairs(empty).collect().isEmpty)
+    val one = Seq((7L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(3L -> 3L, 7L -> 3L))
+  }
+
+  test("stratified sampling: 1-row strata survive, empty input yields empty") {
+    import spark.implicits._
+    // strata sizes 1, 2, 4: ceil(n/4) keeps 1 row each — a 1-row stratum
+    // is never silently dropped (the degenerate the verdict called out)
+    val df = (Seq((10L, "solo")) ++ (0 until 2).map(i => (20L + i, "duo")) ++
+      (0 until 4).map(i => (30L + i, "quad"))).toDF("doc_id", "lang")
+    val got = Sampling.stratifiedExact(df, "lang", "doc_id", 1, 4).collect()
+    val perStratum = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perStratum == Map("solo" -> 1, "duo" -> 1, "quad" -> 1))
+    assert(got.forall(_.getAs[Int]("sample_rank") == 1))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Sampling.stratifiedExact(empty, "lang", "doc_id", 1, 4).collect().isEmpty)
+  }
+
+  test("stratified sampling: bucketed selection ≡ stratum-wide sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the c03 equivalence on a frame big enough that buckets matter
+    val df = (0 until 3000).map(i => (i.toLong, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val direct = df
+      .select($"doc_id", $"lang", md5($"doc_id".cast("string").cast("binary")).as("h"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      .filter($"sample_rank" <= ceil($"n" * 0.25))
+      .select($"doc_id", $"lang", $"sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val bucketed = Sampling.stratifiedExact(df, "lang", "doc_id", 1, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(bucketed == direct)
+  }
+
+  test("percentile selection: single-row groups and k > bins stay exact") {
+    import spark.implicits._
+    val df = (Seq(("one", 42L)) ++ (0 until 7).map(i => ("few", i.toLong)))
+      .toDF("g", "m")
+    val sel = Hll.exactPercentilesSelect(df, Seq($"g"), $"m", bins = 1024,
+        pcts = Seq(50, 99)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(sel("one").getAs[Long]("p50") == 42L)
+    assert(sel("one").getAs[Long]("p99") == 42L)
+    // n=7: k50 = ceil(350/100) = 4 → value 3; k99 = ceil(693/100) = 7 → 6
+    assert(sel("few").getAs[Long]("p50") == 3L)
+    assert(sel("few").getAs[Long]("p99") == 6L)
+  }
+}
