@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.LayoutQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.QualityQueries.queries ++
-      graft.queries.IngestQueries.queries
+      graft.queries.IngestQueries.queries ++
+      graft.queries.Behavior.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.LayoutQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
       graft.queries.QualityQueries.oracles ++
-      graft.queries.IngestQueries.oracles
+      graft.queries.IngestQueries.oracles ++
+      graft.queries.Behavior.oracles
 }
