@@ -71,4 +71,45 @@ object Graph {
     edgeDeg.unpersist()
     ranks
   }
+
+  /** Exact triangle enumeration by DEGREE-ORDERED edge orientation
+    * (the "forward" / node-iterator++ algorithm, Schank & Wagner 2005):
+    * orient every undirected edge from its lower-(degree, id) endpoint
+    * to the higher; each triangle {u,v,w} (ordered u<v<w) then appears
+    * exactly once as the wedge u→v, u→w closed by v→w. The orientation
+    * is the scale guarantee: max out-degree is O(√m) on ANY graph, so
+    * the wedge self-join cannot explode on skewed hubs — the naive
+    * wedge count Σ deg² (quadratic in a celebrity node's degree)
+    * becomes Σ outdeg² ≤ m·√m.
+    *
+    * All three steps are equi-joins (degree join, wedge join on src,
+    * closing-edge join on (b, c)); ordering uses exact integer (deg,
+    * id) pairs — no RNG, no doubles, bit-stable everywhere.
+    *
+    * Input: distinct undirected edges (a, b) with a < b, no
+    * self-loops. Output: one row (x, y, z) per triangle, endpoints in
+    * orientation order.
+    */
+  def triangles(edgesAB: DataFrame): DataFrame = {
+    val und = edgesAB.select(col("a"), col("b"))
+      .unionByName(edgesAB.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val aLower = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    val e = edgesAB
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), Seq("b"))
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("src"),
+        when(aLower, col("b")).otherwise(col("a")).as("dst"),
+        when(aLower, col("degb")).otherwise(col("dega")).as("ddeg"))
+      .localCheckpoint() // three consumers below; keep the degree joins single-run
+    val wedges = e.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
+      .join(e.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg")),
+        Seq("src"))
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    wedges.join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))
+  }
 }

@@ -37,8 +37,39 @@ object GraphQueries {
       .limit(25)
   }
 
+  /** g02 — market-basket triangle census: parts adjacent by line
+    * number within an order form a co-occurrence edge (linear in
+    * lineitem, unlike all-pairs-per-order which is quadratic in order
+    * width); [[Graph.triangles]] enumerates all part triples that are
+    * mutually co-adjacent and the query reports the top-25 parts by
+    * triangle participation. The ORACLE counts the same triangles with
+    * the canonical a<b<c three-way self-join — a DIFFERENT algorithm
+    * from the degree-oriented wedge join (two algorithms, one hash),
+    * which proves the orientation logic enumerates each triangle
+    * exactly once.
+    */
+  def g02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
+        $"l_partkey".as("pk"))
+    val x = li.as("x"); val y = li.as("y")
+    val adj = x.join(y, col("x.ok") === col("y.ok") &&
+        col("y.ln") === col("x.ln") + 1)
+      .filter(col("x.pk") =!= col("y.pk"))
+      .select(least(col("x.pk"), col("y.pk")).as("a"),
+        greatest(col("x.pk"), col("y.pk")).as("b"))
+      .distinct()
+    Graph.triangles(adj)
+      .select(explode(array($"x", $"y", $"z")).as("part"))
+      .groupBy($"part").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"n_triangles".desc, $"part")
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g01_pagerank" -> g01
+    "g01_pagerank" -> g01,
+    "g02_triangles" -> g02
   )
 
   /** 3 unrolled PageRank iterations; all arithmetic mirrors
@@ -67,6 +98,26 @@ object GraphQueries {
          |SELECT id AS node_id,
          |  CASE WHEN id >= 1000000 THEN 'part' ELSE 'supplier' END AS node_type,
          |  CAST(rank AS BIGINT) AS rank
-         |FROM r3 ORDER BY rank DESC, node_id LIMIT 25""".stripMargin
+         |FROM r3 ORDER BY rank DESC, node_id LIMIT 25""".stripMargin,
+    "g02_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk
+        |  FROM lineitem),
+        |adj AS (
+        |  SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND y.ln = x.ln + 1
+        |  WHERE x.pk <> y.pk),
+        |tri AS (
+        |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        |  FROM adj ab
+        |  JOIN adj bc ON ab.b = bc.a
+        |  JOIN adj ac ON ac.a = ab.a AND ac.b = bc.b),
+        |n AS (
+        |  SELECT x AS part FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY 1
+        |ORDER BY n_triangles DESC, part LIMIT 25""".stripMargin
   )
 }
