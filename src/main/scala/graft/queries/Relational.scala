@@ -243,10 +243,37 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
+  /** q45 — the remaining analytic-window family in one query, per
+    * nation over customers ordered by exact keys (c_acctbal,
+    * c_custkey): percent_rank and cume_dist (both a single division of
+    * two small exact integers — one correctly-rounded IEEE op each, so
+    * bit-identical across engines with no dround), nth_value(3) and
+    * first/last_value over the FULL frame (value window functions
+    * default to an unbounded-preceding..current frame — the explicit
+    * full frame is the part naive ports get wrong, and both engines
+    * are pinned to it here). One sort-shuffle on the partition key.
+    */
+  def q45WindowFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal", $"c_custkey")
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .withColumn("pct_rank", percent_rank().over(ord))
+      .withColumn("cume", cume_dist().over(ord))
+      .withColumn("third_lowest_bal", nth_value($"c_acctbal", 3).over(full))
+      .withColumn("nation_min_bal", first($"c_acctbal").over(full))
+      .withColumn("nation_max_bal", last($"c_acctbal").over(full))
+      .orderBy($"c_nationkey", $"c_acctbal", $"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q35_full_outer" -> q35FullOuter,
     "q36_setops" -> q36SetOps,
+    "q45_window_family" -> q45WindowFamily,
     "q25_region_revenue" -> q25RegionRevenue,
     "q26_part_margin" -> q26PartMargin,
     "q27_rollup_distinct" -> q27RollupDistinct,
@@ -256,6 +283,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_window_family" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  nth_value(c_acctbal, 3) OVER wf AS third_lowest_bal,
+        |  first_value(c_acctbal) OVER wf AS nation_min_bal,
+        |  last_value(c_acctbal) OVER wf AS nation_max_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+        |  wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin,
     "q01_pricing_summary" ->
       """WITH a AS (
         |  SELECT l_returnflag, l_linestatus,

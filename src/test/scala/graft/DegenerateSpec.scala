@@ -135,6 +135,44 @@ class DegenerateSpec extends AnyFunSuite {
     assert(bucketed == direct)
   }
 
+  test("triangles: K4, star, and pendant graphs count exactly") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    def tri(edges: Seq[(Long, Long)]): Seq[Set[Long]] =
+      Graph.triangles(edges.toDF("a", "b")).collect()
+        .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // K4: every 3-subset is a triangle → 4, each enumerated once
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val k4tri = tri(k4)
+    assert(k4tri.length == 4 && k4tri.toSet.size == 4)
+    // star: hub 0 with 5 leaves — wedges everywhere, zero closures;
+    // also the skew case the degree orientation exists for
+    assert(tri((1L to 5L).map(i => (0L, i))).isEmpty)
+    // one triangle + a pendant edge
+    assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))) == Seq(Set(1L, 2L, 3L)))
+  }
+
+  test("funnel: out-of-order events don't convert; equal timestamps don't chain") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // u1 converts fully; u2 clicked BEFORE viewing (no conversion past
+    // view); u3's click is exactly at the view time (strictly-after ⇒
+    // not counted)
+    val ev = Seq(
+      (1L, t(10), "view"), (1L, t(20), "click"),
+      (2L, t(30), "click"), (2L, t(40), "view"),
+      (3L, t(50), "view"), (3L, t(50), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val f = graft.operators.Funnel
+      .stages(ev, "user_id", "ts", "event_type", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getTimestamp(1), Option(r.getTimestamp(2)))).toMap
+    assert(f(1L) == (t(10), Some(t(20))))
+    assert(f(2L) == (t(40), None))
+    assert(f(3L) == (t(50), None))
+  }
+
   test("percentile selection: single-row groups and k > bins stay exact") {
     import spark.implicits._
     val df = (Seq(("one", 42L)) ++ (0 until 7).map(i => ("few", i.toLong)))
