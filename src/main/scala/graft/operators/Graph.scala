@@ -104,12 +104,14 @@ object Graph {
         when(aLower, col("b")).otherwise(col("a")).as("dst"),
         when(aLower, col("degb")).otherwise(col("dega")).as("ddeg"))
       .localCheckpoint() // three consumers below; keep the degree joins single-run
-    val wedges = e.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
-      .join(e.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg")),
-        Seq("src"))
-      .filter(col("bdeg") < col("cdeg") ||
-        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    // self-join via aliases (NOT per-side renamed projections): both
+    // sides are the identical scan shuffled on src, so ReuseExchange
+    // collapses them to ONE exchange of e
+    val wedges = e.as("l").join(e.as("m"), col("l.src") === col("m.src"))
+      .filter(col("l.ddeg") < col("m.ddeg") ||
+        (col("l.ddeg") === col("m.ddeg") && col("l.dst") < col("m.dst")))
+      .select(col("l.src").as("x"), col("l.dst").as("b"), col("m.dst").as("c"))
     wedges.join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-      .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))
+      .select(col("x"), col("b").as("y"), col("c").as("z"))
   }
 }
