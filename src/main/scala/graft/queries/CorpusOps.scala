@@ -167,6 +167,34 @@ object CorpusOps {
       .orderBy($"pick_k")
   }
 
+  /** c09 — square-root source quotas: cap each source at
+    * ⌊√n_source⌋ docs (the sub-linear "staircase" rule corpus mixing
+    * uses so no crawl domain dominates), keeping the longest docs first
+    * (n_chars desc, doc_id tiebreak). `sqrt` is IEEE-correctly-rounded,
+    * so ⌊√n⌋ of an exact integer is bit-identical across engines — the
+    * one transcendental-adjacent op the numerics rules permit. The
+    * per-source rank is a window over each source's docs; since
+    * cap ≪ n, at 100 TB this becomes the c03 bucketed selection
+    * (rank only the candidate prefix) — same output, and the oracle
+    * (direct window form) would not change.
+    */
+  def c09(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val sizes = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("cap",
+        greatest(floor(sqrt($"n_source".cast("double"))).cast("long"), lit(1L)))
+    docs.join(broadcast(sizes), Seq("source"))
+      .withColumn("rnk", row_number().over(Window.partitionBy($"source")
+        .orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rnk" <= $"cap")
+      .select($"source", $"doc_id", $"n_chars", $"rnk", $"n_source", $"cap")
+      .orderBy($"source", $"rnk")
+  }
+
   /** c06 — typo-pair discovery via [[graft.operators.FuzzyJoin]]:
     * vocabulary (tokens ≥ 4 chars with corpus counts) plus DETERMINISTIC
     * planted typos (drop the last char of every ≥5-char word not already
@@ -200,7 +228,8 @@ object CorpusOps {
     "c04_tfidf_topk" -> c04,
     "c06_typo_pairs" -> c06,
     "c07_chunking" -> c07,
-    "c08_weighted_sample" -> c08
+    "c08_weighted_sample" -> c08,
+    "c09_source_quota" -> c09
   )
 
   // wordShingles clamp semantics: a doc shorter than n tokens yields ONE
@@ -343,6 +372,21 @@ object CorpusOps {
          |    least(cum // step, 20) + 1)) AS pick_k,
          |  doc_id, n_tokens
          |FROM p
-         |ORDER BY pick_k""".stripMargin
+         |ORDER BY pick_k""".stripMargin,
+    "c09_source_quota" ->
+      """WITH sz AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_source,
+        |    greatest(CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
+        |      AS cap
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+        |  FROM documents)
+        |SELECT r.source, r.doc_id, r.n_chars, r.rnk, sz.n_source, sz.cap
+        |FROM r JOIN sz USING (source)
+        |WHERE rnk <= cap
+        |ORDER BY source, rnk""".stripMargin
   )
 }

@@ -279,6 +279,42 @@ object DataOps {
     * [[DuckSketchSql.s02]] (identical plane constants embedded);
     * recall vs s01 tested in SimilaritySpec.
     */
+  /** s06 — kNN majority-vote label classification: every 10th vector is
+    * held out and classified by the majority label of its 10 nearest
+    * labeled neighbors (exact fixed-point cosine, vote ties broken by
+    * smaller label — total ordering as always). The weak-supervision /
+    * semantic-labeling primitive an embedding pipeline runs after ANN:
+    * same broadcast-query scan as s01 plus one (query, label) count
+    * aggregation, so any candidate generator (LSH/IVF/IVF-PQ) slots in
+    * unchanged at scale. Output keeps the vote count and a correctness
+    * flag against the held-out true label.
+    */
+  def s06(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cands = emb.filter(col("vec_id") % 10 =!= 0)
+    val nn = Similarity.bruteForceTopK(q,
+      cands.select(col("vec_id").as("id"), col("embedding").as("vec")), 10)
+    val votes = nn
+      .join(cands.select(col("vec_id").as("cand_id"), col("label").as("nbr_label")),
+        Seq("cand_id"))
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("r", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("nbr_label"))))
+      .filter(col("r") === 1)
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("nbr_label").as("predicted"), col("n_votes"),
+        (col("nbr_label") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   def s02(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeExprs.ensureRegistered(spark)
     val e = Tables.load(spark, dir, "embeddings")
@@ -605,6 +641,7 @@ object DataOps {
     "t03_langid" -> t03,
     "t04_fingerprint" -> t04,
     "s01_cosine_topk" -> s01,
+    "s06_knn_classify" -> s06,
     "s02_lsh_ann" -> s02,
     "m01_media_features" -> m01,
     "m02_media_resize_frames" -> m02,
@@ -756,6 +793,42 @@ object DataOps {
          |  list_min([md5(substr(norm, i, 8)) FOR i IN range(1, greatest(length(norm) - 6, 2))])
          |    AS min_shingle_md5
          |FROM n ORDER BY doc_id""".stripMargin,
+    "s06_knn_classify" ->
+      """WITH f AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS fv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, fv,
+        |    CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM f),
+        |q AS (SELECT vec_id AS query_id, fv AS qv, nsq AS qn
+        |      FROM n WHERE vec_id % 10 = 0),
+        |c AS (SELECT n.vec_id, n.fv, n.nsq, e.label
+        |      FROM n JOIN embeddings e USING (vec_id) WHERE n.vec_id % 10 <> 0),
+        |s AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id, c.label AS nbr_label,
+        |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.fv),
+        |      x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(q.qn AS DOUBLE)) / sqrt(CAST(c.nsq AS DOUBLE)) AS cosine
+        |  FROM q CROSS JOIN c),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM s),
+        |k AS (
+        |  SELECT query_id, nbr_label, CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT query_id, nbr_label, n_votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_votes DESC, nbr_label) AS pr
+        |  FROM k)
+        |SELECT p.query_id, e.label AS true_label, p.nbr_label AS predicted,
+        |  p.n_votes, p.nbr_label = e.label AS correct
+        |FROM p JOIN embeddings e ON e.vec_id = p.query_id
+        |WHERE pr = 1 ORDER BY query_id""".stripMargin,
     "s01_cosine_topk" ->
       """WITH f AS (
         |  SELECT vec_id,

@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "z01_zorder_layout", // dim domain min/max (1 row)
     "g01_pagerank", // node count (1 row, per iteration)
     "s01_cosine_topk", // broadcast query set — the DOCUMENTED O(|Q|·n) exact baseline
+    "s06_knn_classify", // broadcast held-out query set (s01's scan; an ANN generator slots in at scale)
     "s03_ivf_ann", // broadcast centroid set (k=16) for k-means assignment
     "s04_pq_ann", // broadcast per-subspace codebooks (16 centroids each)
     "s05_ivfpq_ann", // broadcast coarse centroids + per-subspace codebooks
