@@ -585,6 +585,59 @@ object DataOps {
     * recursive CTE — validating [[Dedup.clusterPairs]] against a second
     * implementation.
     */
+  /** e02 — SemDeDup (Abbas et al. 2023): CLUSTER the embedding space
+    * first (the deterministic fixed-point k-means of
+    * [[graft.operators.Similarity.kmeansCentroidsFixed]]), then hunt
+    * near-duplicates ONLY within each cluster — the third candidate-
+    * generation family next to e01's LSH tables and d02's MinHash
+    * bands. The within-cluster pair scan is quadratic in CLUSTER size,
+    * not corpus size; at scale k grows with n so members-per-cluster
+    * stays bounded (the published recipe clusters 100M embeddings into
+    * 50k clusters). Same planted scaled-copy corpus as e01, exact
+    * fixed-point verification at 0.999, pointer-doubled components,
+    * per-cluster keep/drop accounting. The oracle replicates every
+    * stage including the k-means training (s03's CTE machinery).
+    */
+  def e02(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val base = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+    val all = base.unionByName(base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("ve"), x => x * 1.001).as("ve")))
+    val cand = all.select(col("vec_id").as("cand_id"),
+        Similarity.fixedVec(col("ve")).as("cv"))
+      .withColumn("cn", Similarity.normSqFixed(col("cv")))
+      .persist()
+    val cents = Similarity.kmeansCentroidsFixed(cand, k = 8, iters = 1)
+    val assigned = cand.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Similarity.cosineFromFixed(
+        Similarity.dotFixed(col("cv"), col("centv")), col("cn"), col("centn")))
+      .withColumn("r", row_number().over(Window.partitionBy(col("cand_id"))
+        .orderBy(col("c_cos").desc, col("centroid_id"))))
+      .filter(col("r") === 1)
+      .select(col("centroid_id"), col("cand_id"), col("cv"), col("cn"))
+      .persist() // both pair sides + the final stats read it
+    val pairs = assigned.as("l").join(assigned.as("m"),
+        col("l.centroid_id") === col("m.centroid_id") &&
+          col("l.cand_id") < col("m.cand_id"))
+      .filter(Similarity.cosineFromFixed(
+        Similarity.dotFixed(col("l.cv"), col("m.cv")),
+        col("l.cn"), col("m.cn")) >= 0.999)
+      .select(col("l.cand_id").as("id_a"), col("m.cand_id").as("id_b"))
+    val dropped = Dedup.clusterPairs(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("cand_id"), lit(1).as("is_drop"))
+    assigned.join(dropped, Seq("cand_id"), "left")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_drop"), lit(0))).as("n_dropped"))
+      .orderBy(col("centroid_id"))
+  }
+
   def e01(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     graft.functions.NativeExprs.ensureRegistered(spark)
@@ -632,6 +685,7 @@ object DataOps {
     "s05_ivfpq_ann" -> s05,
     "q28_asof_join" -> q28,
     "e01_embedding_dedup" -> e01,
+    "e02_semantic_dedup" -> e02,
     "d02_minhash_lsh" -> d02,
     "d03_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
@@ -666,6 +720,7 @@ object DataOps {
     "s03_ivf_ann" -> DuckSketchSql.s03,
     "s04_pq_ann" -> DuckSketchSql.s04,
     "s05_ivfpq_ann" -> DuckSketchSql.s05,
+    "e02_semantic_dedup" -> DuckSketchSql.e02,
     "d01_exact_dedup" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, lang, text FROM documents

@@ -281,6 +281,53 @@ object DuckSketchSql {
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** e02 — SemDeDup: 1-iteration fixed-point k-means (8 clusters over
+    * the planted-copy corpus), nearest-centroid assignment, exact
+    * within-cluster cosine pairs at 0.999, recursive-CTE components,
+    * per-cluster member/dropped counts — the exact `DataOps.e02`
+    * dataflow, every stage replicated.
+    */
+  val e02: String = {
+    val (it1, cfin) = kmeansIterCtesGen("ek", 1, "cents0", "n", 64)
+    s"""WITH RECURSIVE
+       |sub AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings WHERE vec_id % 10 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |f AS (SELECT vec_id, ${fixedVecSql("ve")} AS fv FROM sub),
+       |n AS (SELECT vec_id, fv,
+       |        CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq
+       |      FROM f),
+       |cents0 AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn
+       |           FROM n ORDER BY vec_id LIMIT 8),
+       |$it1,
+       |asg0 AS (SELECT c.vec_id AS cand_id, c.fv, c.nsq, ct.centroid_id,
+       |           ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} AS c_cos
+       |         FROM n c CROSS JOIN $cfin ct),
+       |asg AS (SELECT cand_id, fv, nsq, centroid_id FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY cand_id
+       |            ORDER BY c_cos DESC, centroid_id) AS r FROM asg0) WHERE r = 1),
+       |e0 AS (SELECT a.cand_id AS ia, b.cand_id AS ib
+       |       FROM asg a JOIN asg b
+       |         ON a.centroid_id = b.centroid_id AND a.cand_id < b.cand_id
+       |       WHERE ${cosineSql("a.fv", "b.fv", "a.nsq", "b.nsq")} >= 0.999),
+       |edges AS (SELECT ia AS s, ib AS d FROM e0 UNION ALL SELECT ib, ia FROM e0),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS lab FROM n
+       |  UNION
+       |  SELECT e.d, reach.lab FROM reach JOIN edges e ON reach.id = e.s),
+       |lab AS (SELECT id, min(lab) AS label FROM reach GROUP BY id),
+       |drp AS (SELECT id FROM lab WHERE id <> label)
+       |SELECT asg.centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(CASE WHEN drp.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM asg LEFT JOIN drp ON asg.cand_id = drp.id
+       |GROUP BY 1 ORDER BY centroid_id""".stripMargin
+  }
+
   /** p01 — the composed corpus-clean pipeline: exact dedup → MinHash-LSH
     * candidates → EXACT word-shingle Jaccard verify (≥ 0.7) → connected
     * components → drop non-representatives → quality filter (score ≥ 50)

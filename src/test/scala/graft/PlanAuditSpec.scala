@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "s01_cosine_topk", // broadcast query set — the DOCUMENTED O(|Q|·n) exact baseline
     "s06_knn_classify", // broadcast held-out query set (s01's scan; an ANN generator slots in at scale)
     "s03_ivf_ann", // broadcast centroid set (k=16) for k-means assignment
+    "e02_semantic_dedup", // broadcast centroid set (k=8) for cluster assignment
     "s04_pq_ann", // broadcast per-subspace codebooks (16 centroids each)
     "s05_ivfpq_ann", // broadcast coarse centroids + per-subspace codebooks
     "dq01_quality_audit" // 1-row violation-count aggregates crossed onto 1-row totals
