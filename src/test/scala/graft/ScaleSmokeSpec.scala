@@ -39,6 +39,33 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(got.head._2 == n / 10)
   }
 
+  test("stratified sampling at 10M rows: exact quarter of every stratum, no giant sort") {
+    import spark.implicits._
+    // 4 strata of 2.5M rows each: ceil(n/4) = 625000 kept per stratum,
+    // ranks dense 1..keepN — the bucketed selection must deliver the
+    // exact count without ever sorting a whole stratum
+    val n = 10000000L
+    val df = spark.range(n).select($"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 4).cast("string")).as("lang"))
+    val got = graft.operators.Sampling.stratifiedExact(df, "lang", "doc_id", 1, 4)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"), max($"sample_rank").as("max_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val keep = 625000
+    assert(got == (0 until 4).map(i => (s"s$i", keep.toLong, keep)).toSet)
+  }
+
+  test("PPS sampling at 10M equal-weight rows: every pick lands, one per boundary") {
+    import spark.implicits._
+    // equal weights ⇒ total = n·w, step = n·w/nPicks: exactly nPicks
+    // picks, pick_k dense 1..nPicks (no row can straddle two boundaries)
+    val n = 10000000L
+    val df = spark.range(n).select($"id".as("doc_id"), lit(7L).as("w"))
+    val picks = graft.operators.Sampling.weightedSystematic(df, "doc_id", "w", 100)
+      .select($"pick_k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(picks == (1L to 100L))
+  }
+
   test("histogram quantile brackets at 10M rows contain the analytic percentiles") {
     import spark.implicits._
     // measure = id over 0..n-1: the k-th smallest is k-1, so the exact
