@@ -80,8 +80,40 @@ object IngestQueries {
         $"county_code", $"site_num", $"state_name", $"measurement", $"units")
   }
 
+  /** Fixed fixture root for q46 (static so the oracle can cite it). */
+  val EvolutionRoot = "/root/repo/target/q46_fixture"
+
+  /** q46 — schema evolution on storage: two parquet "eras" of the same
+    * logical table with DIFFERENT physical schemas (era 1 predates the
+    * priority/date columns), merged by `mergeSchema` + hive-partition
+    * discovery — the long-lived-dataset reality every 100 TB lake has.
+    * Old-era rows surface the added columns as nulls; the query groups
+    * by era × coalesced priority so both the null-fill and the merge
+    * are hash-checked. The ORACLE reads the same files with DuckDB's
+    * `union_by_name` + `hive_partitioning` — an independent
+    * implementation of the same merge semantics.
+    */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders").orderBy($"o_orderkey").limit(600)
+    o.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$EvolutionRoot/era=1")
+    o.filter($"o_orderkey" % 2 =!= 0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderpriority", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$EvolutionRoot/era=2")
+    spark.read.option("mergeSchema", "true").parquet(EvolutionRoot)
+      .groupBy($"era", coalesce($"o_orderpriority", lit("<legacy>")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.functions.gf.fixed($"o_totalprice", 100.0)).as("total_cents"),
+        count($"o_orderdate").as("n_with_date"))
+      .orderBy($"era", $"priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q40_csv_ingest" -> q40
+    "q40_csv_ingest" -> q40,
+    "q46_schema_evolution" -> q46
   )
 
   /** The repair map as a DuckDB CASE chain (P5's 18 entries verbatim). */
@@ -117,6 +149,17 @@ object IngestQueries {
          |       ELSE "Units of Measure" END AS units
          |FROM raw
          |ORDER BY pollutant, date_local, hour_local, state_code,
-         |  county_code, site_num, state_name, measurement, units""".stripMargin
+         |  county_code, site_num, state_name, measurement, units""".stripMargin,
+    "q46_schema_evolution" ->
+      s"""SELECT CAST(era AS INT) AS era,
+         |  coalesce(o_orderpriority, '<legacy>') AS priority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS total_cents,
+         |  CAST(count(o_orderdate) AS BIGINT) AS n_with_date
+         |FROM read_parquet('$EvolutionRoot/*/*.parquet',
+         |  union_by_name=true, hive_partitioning=true)
+         |GROUP BY 1, 2
+         |ORDER BY era, priority""".stripMargin
   )
 }

@@ -135,4 +135,58 @@ object GraftProps extends Properties("graft") {
       val exp = centsInts.map(_.toLong).sum.toDouble / centsInts.size / 100.0
       got == exp
     }
+
+  property("stratified sampling keeps exactly ceil(n·num/den) per stratum, ranks dense") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 2)), Gen.choose(1, 4)) { (strata, num) =>
+      import spark.implicits._
+      val df = strata.zipWithIndex
+        .map { case (s, i) => (i.toLong, s"s$s") }.toDF("doc_id", "lang")
+      val got = graft.operators.Sampling.stratifiedExact(df, "lang", "doc_id", num, 4)
+        .collect().map(r => (r.getString(1), r.getInt(2)))
+      val bySt = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val sizes = strata.groupBy(s => s"s$s").view.mapValues(_.size).toMap
+      sizes.forall { case (s, n) =>
+        val keep = (n * num + 3) / 4
+        bySt.getOrElse(s, Seq.empty) == (1 to keep)
+      }
+    }
+
+  property("PPS picks: multiplicity is div-exact in weight over step, total = nPicks") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1L, 50L)), Gen.choose(1, 10)) { (ws, k) =>
+      import spark.implicits._
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "w")
+      val picks = graft.operators.Sampling.weightedSystematic(df, "doc_id", "w", k)
+        .collect().map(_.getLong(0))
+      val total = ws.sum
+      val step = math.max(total / k, 1L)
+      // boundaries step, 2·step, …, k·step ≤ total each land exactly once
+      val expected = (1L to k.toLong).count(_ * step <= total)
+      picks.length == expected && picks.distinct.length == picks.length
+    }
+
+  property("funnel chain times are strictly increasing and stage-minimal") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 40L)))) { evs =>
+      import spark.implicits._
+      import java.sql.Timestamp
+      val names = Seq("a", "b", "c")
+      val df = evs.map { case (k, t) =>
+        (1L, new Timestamp(t * 1000L), names(k)) }.toDF("user_id", "ts", "event_type")
+      val row = graft.operators.Funnel
+        .stages(df, "user_id", "ts", "event_type", names).collect()
+      // reference: greedy strictly-after chain over the sorted event list
+      def chain(prev: Long, k: Int, acc: List[Long]): List[Long] =
+        if (k >= names.length) acc.reverse
+        else evs.collect { case (s, t) if s == k && t * 1000L > prev => t * 1000L }
+          .minOption match {
+          case Some(t) => chain(t, k + 1, t :: acc)
+          case None => acc.reverse
+        }
+      val expect = chain(Long.MinValue, 0, Nil)
+      if (expect.isEmpty) row.isEmpty
+      else {
+        val got = (1 to names.length).map(i => Option(row.head.getTimestamp(i)))
+          .takeWhile(_.isDefined).flatten.map(_.getTime).toList
+        got == expect
+      }
+    }
 }
