@@ -223,8 +223,19 @@ object Similarity {
     * replicate per-subspace training) hash unchanged.
     * `candSub` needs (sub, cand_id, cv array<long>, cn long); output
     * (sub, centroid_id, centv, centn).
+    *
+    * `l2 = true` switches the assignment metric to exact integer
+    * SQUARED EUCLIDEAN distance (|x|² − 2·x·c + |c|², all int64 — no
+    * division anywhere): the metric for RESIDUAL codebooks, where
+    * vectors can be zero-norm and a cosine would divide by zero.
     */
-  def kmeansCentroidsFixedGrouped(candSub: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroidsFixedGrouped(candSub: DataFrame, k: Int, iters: Int,
+                                  l2: Boolean = false): DataFrame = {
+    def assignOrder: Seq[Column] =
+      if (l2) Seq((col("cn") - lit(2L) * dotFixed(col("cv"), col("centv")) +
+        col("centn")).asc, col("centroid_id"))
+      else Seq(cosineFromFixed(dotFixed(col("cv"), col("centv")),
+        col("cn"), col("centn")).desc, col("centroid_id"))
     var cents = candSub
       .withColumn("seed_r", row_number().over(Window.partitionBy(col("sub"))
         .orderBy(col("cand_id"))))
@@ -234,11 +245,9 @@ object Similarity {
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = candSub.join(broadcast(cents), Seq("sub"))
-        .withColumn("c_cos", cosineFromFixed(dotFixed(col("cv"), col("centv")),
-          col("cn"), col("centn")))
         .withColumn("r", row_number().over(
           Window.partitionBy(col("sub"), col("cand_id"))
-            .orderBy(col("c_cos").desc, col("centroid_id"))))
+            .orderBy(assignOrder: _*)))
         .filter(col("r") === 1)
       val dims = assigned.select(col("sub"), col("centroid_id"),
           posexplode(col("cv")).as(Seq("d", "v")))
@@ -367,6 +376,84 @@ object Similarity {
       .join(broadcast(dts), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(sum(col("partial")).as("ad"))
+    pqShortlistRerank(approx, q, cand, shortlist, k)
+  }
+
+  /** RESIDUAL IVF-PQ — the full IVFADC shape (Jégou, Douze, Schmid
+    * 2011 §IV): PQ encodes the residual x − c(x) of each candidate
+    * against its coarse centroid instead of x itself, which
+    * concentrates the codebooks on the (much smaller) within-cell
+    * displacement and is why the industrial implementations encode
+    * residuals. Scoring uses the inner-product decomposition
+    * q·x = q·c(x) + q·r(x): the first term is one exact dot per
+    * (query, probed centroid) (|Q|·nprobe pairs, tiny), the second is
+    * the usual m table lookups of q-subvector · residual-codeword.
+    *
+    * Residual subvectors can be zero (a vector sitting on its
+    * centroid), so codebook training/encoding uses EXACT INTEGER
+    * SQUARED L2 (no division, no zero-norm hazard) via
+    * [[kmeansCentroidsFixedGrouped]]'s `l2` metric; everything else —
+    * seeds, floor-mean updates, total orderings, the exact fixed-point
+    * re-rank — is the established deterministic machinery, so the s07
+    * oracle replicates the whole dataflow.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                        dim: Int, m: Int, ksub: Int, shortlist: Int,
+                        numCentroids: Int, nprobe: Int): DataFrame = {
+    val sub = dim / m
+    require(sub * m == dim, "dim must divide into m subspaces")
+    val (cand, q) = fixedSides(queries, candidates)
+    val coarse = kmeansCentroidsFixed(cand, numCentroids, iters = 1)
+    def nearest(side: DataFrame, idCol: String, v: String, nn: String,
+                keep: Int): DataFrame =
+      side.crossJoin(broadcast(coarse))
+        .withColumn("c_cos", cosineFromFixed(dotFixed(col(v), col("centv")),
+          col(nn), col("centn")))
+        .withColumn("c_rnk", row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("c_cos").desc, col("centroid_id"))))
+        .filter(col("c_rnk") <= keep)
+        .select(col(idCol), col("centroid_id"))
+    val lists = nearest(cand, "cand_id", "cv", "cn", 1)
+    val probes = nearest(q, "query_id", "qv", "qn", nprobe)
+    // residual subvectors, exploded once across all m subspaces
+    val resSub = cand.join(lists, Seq("cand_id"))
+      .join(broadcast(coarse), Seq("centroid_id"))
+      .select(col("cand_id"),
+        zip_with(col("cv"), col("centv"), (a, b) => a - b).as("rv"))
+      .select(col("cand_id"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("sub"), slice(col("rv"), i * sub + 1, sub).as("v"))): _*))
+        .as("sv"))
+      .select(col("cand_id"), col("sv.sub").as("sub"), col("sv.v").as("cv"))
+      .withColumn("cn", normSqFixed(col("cv")))
+    val cents = kmeansCentroidsFixedGrouped(resSub, ksub, iters = 1, l2 = true)
+    val codes = resSub.join(broadcast(cents), Seq("sub"))
+      .withColumn("d2", col("cn") - lit(2L) * dotFixed(col("cv"), col("centv")) +
+        col("centn"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("sub"), col("cand_id"))
+          .orderBy(col("d2").asc, col("centroid_id"))))
+      .filter(col("r") === 1)
+      .select(col("cand_id"), col("sub"), col("centroid_id").as("code"))
+    // query-side tables: raw q subvectors against residual codewords
+    val dts = q.select(col("query_id"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("sub"), slice(col("qv"), i * sub + 1, sub).as("v"))): _*))
+        .as("sv"))
+      .select(col("query_id"), col("sv.sub").as("sub"), col("sv.v").as("qsv"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
+        dotFixed(col("qsv"), col("centv")).as("partial"))
+    // q·c(x) per (query, probed centroid) — the coarse term
+    val qc = probes.join(broadcast(coarse), Seq("centroid_id"))
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .select(col("query_id"), col("centroid_id"),
+        dotFixed(col("qv"), col("centv")).as("qc"))
+    val pairs = probes.join(lists, Seq("centroid_id"))
+    val approx = pairs.join(codes, Seq("cand_id"))
+      .join(broadcast(dts), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("centroid_id"), col("cand_id"))
+      .agg(sum(col("partial")).as("rsum"))
+      .join(broadcast(qc), Seq("query_id", "centroid_id"))
+      .select(col("query_id"), col("cand_id"), (col("qc") + col("rsum")).as("ad"))
     pqShortlistRerank(approx, q, cand, shortlist, k)
   }
 

@@ -414,6 +414,27 @@ object DataOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** s07 — RESIDUAL IVF-PQ (IVFADC): s05's coarse quantizer + probing,
+    * but PQ encodes the residual x − c(x) with integer-L2 codebooks and
+    * scores via the inner-product decomposition q·x = q·c(x) + q·r̂(x)
+    * — the industrially-standard encoding (what FAISS IVFPQ actually
+    * stores), completing the ANN progression exact → LSH → IVF → PQ →
+    * IVF-PQ → residual IVF-PQ. Fully deterministic; the oracle
+    * replicates coarse training, residual computation, L2 codebook
+    * training, encoding, tables, and the re-rank.
+    */
+  def s07(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 50 === 0)
+    Similarity.ivfPqResidualTopK(q, e, 5, dim = 64, m = 4, ksub = 16,
+        shortlist = 50, numCentroids = 16, nprobe = 4)
+      .select(col("query_id"), col("cand_id"),
+        gf.dround(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** q28 — as-of join: each click event joined to the most recent error
     * event of the same user at-or-before it (oracle: DuckDB's native
     * ASOF LEFT JOIN). Epochs floored on both sides (DuckDB `epoch` is
@@ -683,6 +704,7 @@ object DataOps {
     "s03_ivf_ann" -> s03,
     "s04_pq_ann" -> s04,
     "s05_ivfpq_ann" -> s05,
+    "s07_residual_ivfpq" -> s07,
     "q28_asof_join" -> q28,
     "e01_embedding_dedup" -> e01,
     "e02_semantic_dedup" -> e02,
@@ -720,6 +742,7 @@ object DataOps {
     "s03_ivf_ann" -> DuckSketchSql.s03,
     "s04_pq_ann" -> DuckSketchSql.s04,
     "s05_ivfpq_ann" -> DuckSketchSql.s05,
+    "s07_residual_ivfpq" -> DuckSketchSql.s07,
     "e02_semantic_dedup" -> DuckSketchSql.e02,
     "d01_exact_dedup" ->
       s"""WITH all_docs AS (

@@ -207,16 +207,22 @@ object DuckSketchSql {
     * exact mirror of `Similarity.kmeansCentroidsFixed`: assign-by-cosine
     * (centroid_id tiebreak), elementwise floor(mean) update, empty
     * clusters keep the previous centroid. Returns (cteText, finalCte).
+    * `l2 = true` mirrors the grouped trainer's integer-squared-L2
+    * metric (residual codebooks — s07).
     */
   private def kmeansIterCtesGen(p: String, i: Int, prev: String,
-                                src: String, dim: Int): (String, String) = {
+                                src: String, dim: Int,
+                                l2: Boolean = false): (String, String) = {
+    val (key, ord) =
+      if (l2) (s"c.nsq - 2 * ${dotSql("c.fv", "ct.centv")} + ct.centn", "ASC")
+      else (cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn"), "DESC")
     val text =
       s"""${p}a$i AS (SELECT c.vec_id AS cand_id, c.fv, ct.centroid_id,
-         |         ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} AS c_cos
+         |         $key AS c_key
          |       FROM $src c CROSS JOIN $prev ct),
          |${p}r$i AS (SELECT cand_id, fv, centroid_id FROM (
          |         SELECT *, row_number() OVER (PARTITION BY cand_id
-         |           ORDER BY c_cos DESC, centroid_id) AS r FROM ${p}a$i) WHERE r = 1),
+         |           ORDER BY c_key $ord, centroid_id) AS r FROM ${p}a$i) WHERE r = 1),
          |${p}s$i AS (SELECT centroid_id, di,
          |           CAST(floor(CAST(CAST(sum(fv[di]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS nv
          |         FROM ${p}r$i, range(1, ${dim + 1}) d(di) GROUP BY 1, 2),
@@ -530,6 +536,101 @@ object DuckSketchSql {
        |       JOIN enc e ON pr.cand_id = e.cand_id
        |       JOIN dts d ON d.query_id = pr.query_id AND d.sub = e.sub AND d.code = e.code
        |       WHERE pr.query_id <> pr.cand_id GROUP BY 1, 2),
+       |sc AS (SELECT ap.query_id, ap.cand_id,
+       |         CAST(ap.ad AS DOUBLE) / sqrt(CAST(qn.nsq AS DOUBLE)) / sqrt(CAST(cn.nsq AS DOUBLE)) AS approx_cos
+       |       FROM ap JOIN n qn ON ap.query_id = qn.vec_id
+       |            JOIN n cn ON ap.cand_id = cn.vec_id),
+       |short AS (SELECT query_id, cand_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_cos DESC, cand_id) AS srnk FROM sc) WHERE srnk <= $shortlistN),
+       |rr AS (SELECT s.query_id, s.cand_id,
+       |         ${cosineSql("qn.fv", "cn.fv", "qn.nsq", "cn.nsq")} AS cosine
+       |       FROM short s JOIN n qn ON s.query_id = qn.vec_id
+       |            JOIN n cn ON s.cand_id = cn.vec_id),
+       |fin AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM rr)
+       |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk
+       |FROM fin WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** One RESIDUAL PQ subspace: residual slice + norms, seeded L2
+    * codebook (1 Lloyd iteration), L2-encoded candidate codes, and the
+    * query distance table of RAW query subvectors against residual
+    * codewords (the inner-product decomposition needs no query
+    * residual). Mirrors the grouped L2 trainer bit for bit.
+    */
+  private def resPqPieceCtes(i: Int, sub: Int): String = {
+    val lo = i * sub + 1; val hi = (i + 1) * sub
+    val (it1, c2) = kmeansIterCtesGen(s"rk$i", 1, s"rcs$i", s"rs$i", sub, l2 = true)
+    s"""rs$i AS (SELECT cand_id AS vec_id, list_slice(rv, $lo, $hi) AS fv,
+       |         CAST(list_sum(list_transform(list_slice(rv, $lo, $hi), x -> x * x)) AS BIGINT) AS nsq
+       |       FROM res),
+       |rcs$i AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn
+       |        FROM rs$i ORDER BY vec_id LIMIT 16),
+       |$it1,
+       |renc$i AS (SELECT cand_id, $i AS sub, centroid_id AS code FROM (
+       |         SELECT c.vec_id AS cand_id, ct.centroid_id,
+       |           row_number() OVER (PARTITION BY c.vec_id
+       |             ORDER BY c.nsq - 2 * ${dotSql("c.fv", "ct.centv")} + ct.centn ASC,
+       |                      ct.centroid_id) AS r
+       |         FROM rs$i c CROSS JOIN $c2 ct) WHERE r = 1),
+       |rdt$i AS (SELECT qq.vec_id AS query_id, $i AS sub, ct.centroid_id AS code,
+       |           ${dotSql("qq.fv", "ct.centv")} AS partial
+       |         FROM (SELECT vec_id, list_slice(fv, $lo, $hi) AS fv
+       |               FROM n WHERE vec_id % 50 = 0) qq
+       |         CROSS JOIN $c2 ct)""".stripMargin
+  }
+
+  /** s07 — residual IVF-PQ (IVFADC): coarse quantizer + inverted lists
+    * + nprobe probing exactly as s05, then PQ over RESIDUALS with L2
+    * codebooks, scored via q·x = q·c(x) + Σ table lookups, exact
+    * shortlist re-rank — the full `Similarity.ivfPqResidualTopK`
+    * dataflow in one statement.
+    */
+  val s07: String = {
+    val m = 4; val sub = 16; val shortlistN = 50; val nprobe = 4
+    val (cit, ccLast) = kmeansIterCtesGen("cc", 1, "cc0", "n", 64)
+    val pieces = (0 until m).map(i => resPqPieceCtes(i, sub))
+    s"""WITH f AS (SELECT vec_id, ${fixedVecSql("embedding")} AS fv FROM embeddings),
+       |n AS (SELECT vec_id, fv, CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq FROM f),
+       |cc0 AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn
+       |        FROM n ORDER BY vec_id LIMIT 16),
+       |$cit,
+       |la AS (SELECT c.vec_id AS cand_id, ct.centroid_id,
+       |         ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} AS c_cos
+       |       FROM n c CROSS JOIN $ccLast ct),
+       |lists AS (SELECT cand_id, centroid_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY cand_id
+       |           ORDER BY c_cos DESC, centroid_id) AS r FROM la) WHERE r = 1),
+       |qa AS (SELECT qv.vec_id AS query_id, ct.centroid_id,
+       |         ${cosineSql("qv.fv", "ct.centv", "qv.nsq", "ct.centn")} AS c_cos
+       |       FROM (SELECT * FROM n WHERE vec_id % 50 = 0) qv CROSS JOIN $ccLast ct),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY c_cos DESC, centroid_id) AS r FROM qa) WHERE r <= $nprobe),
+       |res AS (SELECT l.cand_id,
+       |          list_transform(list_zip(c.fv, ct.centv), x -> x[1] - x[2]) AS rv
+       |        FROM lists l JOIN n c ON l.cand_id = c.vec_id
+       |        JOIN $ccLast ct ON l.centroid_id = ct.centroid_id),
+       |${pieces.mkString(",\n")},
+       |enc AS (${(0 until m).map(i => s"SELECT * FROM renc$i").mkString(" UNION ALL ")}),
+       |dts AS (${(0 until m).map(i => s"SELECT * FROM rdt$i").mkString(" UNION ALL ")}),
+       |qc AS (SELECT p.query_id, p.centroid_id,
+       |         ${dotSql("qv.fv", "ct.centv")} AS qcv
+       |       FROM probes p JOIN n qv ON p.query_id = qv.vec_id
+       |       JOIN $ccLast ct ON p.centroid_id = ct.centroid_id),
+       |pairs AS (SELECT p.query_id, p.centroid_id, l.cand_id
+       |          FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id),
+       |ap0 AS (SELECT pr.query_id, pr.centroid_id, pr.cand_id,
+       |          CAST(sum(d.partial) AS BIGINT) AS rsum
+       |        FROM pairs pr
+       |        JOIN enc e ON pr.cand_id = e.cand_id
+       |        JOIN dts d ON d.query_id = pr.query_id AND d.sub = e.sub AND d.code = e.code
+       |        GROUP BY 1, 2, 3),
+       |ap AS (SELECT a.query_id, a.cand_id, a.rsum + q.qcv AS ad
+       |       FROM ap0 a JOIN qc q
+       |         ON a.query_id = q.query_id AND a.centroid_id = q.centroid_id
+       |       WHERE a.query_id <> a.cand_id),
        |sc AS (SELECT ap.query_id, ap.cand_id,
        |         CAST(ap.ad AS DOUBLE) / sqrt(CAST(qn.nsq AS DOUBLE)) / sqrt(CAST(cn.nsq AS DOUBLE)) AS approx_cos
        |       FROM ap JOIN n qn ON ap.query_id = qn.vec_id

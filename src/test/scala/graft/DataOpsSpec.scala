@@ -183,6 +183,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pq.forall { case (qid, cid) => qid != cid })
   }
 
+  test("residual ivf-pq recall beats-or-matches raw ivf-pq on clustered data") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    // clustered data is where residual encoding earns its keep: the
+    // coarse centroid absorbs the cluster mean, codebooks only carry
+    // the small displacement
+    val rng = new scala.util.Random(23)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val vecs = (0L until 240L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq)
+    }.toDF("id", "vec")
+    val q = vecs.filter(col("id") % 24 === 0)
+    val exact = Similarity.bruteForceTopK(q, vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val a = ann.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a.forall { case (qid, cid) => qid != cid })
+      (exact & a).size.toDouble / exact.size
+    }
+    val res = recallOf(Similarity.ivfPqResidualTopK(q, vecs, 5, dim = 16,
+      m = 4, ksub = 8, shortlist = 30, numCentroids = 8, nprobe = 3))
+    val raw = recallOf(Similarity.ivfPqTopK(q, vecs, 5, dim = 16,
+      m = 4, ksub = 8, shortlist = 30, numCentroids = 8, nprobe = 3))
+    assert(res > 0.5, s"residual recall=$res")
+    assert(res >= raw - 0.1, s"residual $res well below raw $raw")
+  }
+
   test("multimodal feature stub: histogram + checksum match a reference impl") {
     import spark.implicits._
     val recs = Seq(Multimodal.MediaRecord(1L, "text/utf-8",

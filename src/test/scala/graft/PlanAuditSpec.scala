@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "e02_semantic_dedup", // broadcast centroid set (k=8) for cluster assignment
     "s04_pq_ann", // broadcast per-subspace codebooks (16 centroids each)
     "s05_ivfpq_ann", // broadcast coarse centroids + per-subspace codebooks
+    "s07_residual_ivfpq", // broadcast coarse centroids + residual codebooks
     "dq01_quality_audit" // 1-row violation-count aggregates crossed onto 1-row totals
   )
 
