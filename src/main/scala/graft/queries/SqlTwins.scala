@@ -19,6 +19,35 @@ object SqlTwins {
   }
 
   val sql: Map[String, String] = Map(
+    "q44_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_day FROM events),
+        |sz AS (
+        |  SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+        |m AS (
+        |  SELECT cohort_day, activity_day, count(*) AS n_users
+        |  FROM f JOIN a USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort_day, m.activity_day, n_users, cohort_size,
+        |  CAST(signum(100.0D * n_users / cohort_size)
+        |    * floor(abs(100.0D * n_users / cohort_size) * 100.0 + 0.5D)
+        |    / 100.0 AS DOUBLE) AS retention_pct
+        |FROM m JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, activity_day""".stripMargin,
+    "q45_window_family" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  nth_value(c_acctbal, 3) OVER wf AS third_lowest_bal,
+        |  first_value(c_acctbal) OVER wf AS nation_min_bal,
+        |  last_value(c_acctbal) OVER wf AS nation_max_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+        |  wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin,
     "q01_pricing_summary" ->
       """WITH a AS (
         |  SELECT l_returnflag, l_linestatus,
