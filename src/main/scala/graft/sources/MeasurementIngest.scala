@@ -104,4 +104,18 @@ object MeasurementIngest {
     df.withColumn("year", year(col("date_local")))
       .withColumn("month", month(col("date_local")))
       .write.mode(mode).partitionBy("pollutant", "year", "month").parquet(out)
+
+  /** Idempotent partition backfill: DYNAMIC partition overwrite
+    * replaces ONLY the partitions present in the incoming frame and
+    * leaves every sibling directory untouched — the re-run/backfill
+    * write a daily pipeline needs (static overwrite mode would
+    * truncate the whole table first). Per-writer option, so the
+    * session default stays static for everyone else.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, out: String,
+                                 partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(out)
 }

@@ -175,4 +175,20 @@ class MeasurementIngestSpec extends AnyFunSuite {
         col("measurement") >= 1.0).count() == 0)
     } finally out.unpersist()
   }
+
+  test("S2: dynamic partition overwrite replaces only the incoming partitions") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("dyn-overwrite").toString
+    def frame(rows: Seq[(String, Long)]) = rows.toDF("pollutant", "v")
+    MeasurementIngest.overwritePartitionsDynamic(
+      frame(Seq(("NO2", 1L), ("PM25", 2L), ("SO2", 3L))), out, Seq("pollutant"))
+    // backfill ONLY PM25 with new content
+    MeasurementIngest.overwritePartitionsDynamic(
+      frame(Seq(("PM25", 99L))), out, Seq("pollutant"))
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("pollutant"), r.getAs[Long]("v"))).toSet
+    // NO2/SO2 survive untouched; PM25 fully replaced (a static-mode
+    // overwrite would have truncated the siblings)
+    assert(got == Set(("NO2", 1L), ("SO2", 3L), ("PM25", 99L)))
+  }
 }
