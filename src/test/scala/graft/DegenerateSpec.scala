@@ -173,6 +173,31 @@ class DegenerateSpec extends AnyFunSuite {
     assert(f(3L) == (t(50), None))
   }
 
+  test("chunking: docs shorter than a chunk yield exactly one whole chunk") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val (chunk, stride) = (64, 48)
+    // 1-token, exactly-one-chunk, exactly-stride, and stride+1 docs
+    val df = Seq(
+      (1L, "a"),
+      (2L, Seq.fill(64)("t").mkString(" ")),
+      (3L, Seq.fill(48)("t").mkString(" ")),
+      (4L, Seq.fill(49)("t").mkString(" "))).toDF("doc_id", "text")
+    val got = df
+      .select($"doc_id", graft.operators.TextOps
+        .tokens(graft.operators.TextOps.normalize($"text")).as("toks"))
+      .select($"doc_id", $"toks",
+        explode(graft.operators.TextOps.chunkIdx($"toks", stride)).as("ci"))
+      .select($"doc_id", $"ci",
+        size(graft.operators.TextOps.chunkSlice($"toks", $"ci", chunk, stride)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+    assert(got(1L) == Seq((0L, 1)))   // single token → one 1-token chunk
+    assert(got(2L) == Seq((0L, 64), (1L, 16))) // 64 tokens: full + 16-token tail
+    assert(got(3L) == Seq((0L, 48))) // exactly stride → one chunk, no empty tail
+    assert(got(4L) == Seq((0L, 49), (1L, 1))) // stride+1 → 1-token tail chunk
+  }
+
   test("percentile selection: single-row groups and k > bins stay exact") {
     import spark.implicits._
     val df = (Seq(("one", 42L)) ++ (0 until 7).map(i => ("few", i.toLong)))

@@ -27,7 +27,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // b01: bloom build/probe bit ops; c06: deletion-blocking candidates;
     // h02: bin cumsums; s05: two composed quantizers + shortlist
     "b01_bloom_prune", "c06_typo_pairs", "h02_histogram_quantiles",
-    "s05_ivfpq_ann")
+    "s05_ivfpq_ann",
+    // round-5 additions: s07 residual codebooks (L2 Lloyd + coarse term);
+    // e02 clustered components; c08 bucketed global prefix sums;
+    // g02 degree-oriented wedge enumeration
+    "s07_residual_ivfpq", "e02_semantic_dedup", "c08_weighted_sample",
+    "g02_triangles")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
