@@ -19,6 +19,32 @@ object SqlTwins {
   }
 
   val sql: Map[String, String] = Map(
+    "q43_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t3
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s1.user_id,
+        |  unix_micros(t1) AS signup_us,
+        |  unix_micros(t2) AS view_us,
+        |  unix_micros(t3) AS click_us,
+        |  unix_micros(t4) AS purchase_us
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |LEFT JOIN s4 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q44_cohort_retention" ->
       """WITH f AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
