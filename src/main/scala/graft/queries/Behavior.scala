@@ -62,9 +62,43 @@ object Behavior {
       .orderBy(col("cohort_day"), col("activity_day"))
   }
 
+  /** q47 — rolling z-score anomaly detection with an ALL-INTEGER
+    * decision rule: per event type, each value is flagged against the
+    * mean/stddev of the 24 PRECEDING events (exclusive window — the
+    * point must not pollute its own baseline). The |z| > 2 test is
+    * algebraically cleared of divisions and square roots:
+    *
+    *   (x−μ)² > 4σ²  ⇔  (n·x − S)²·(n−1) > 4·n·(n·Q − S²)
+    *
+    * with S = Σx, Q = Σx² over the window, all in exact cent units —
+    * so the flag is a pure int64 comparison, bit-stable on any engine
+    * (max magnitudes ≈ 2^48, derived in-line). Only full windows are
+    * scored; only anomalies are emitted. One sort-shuffle on the
+    * partition key, the window is a 24-row frame — linear at scale.
+    */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-24, -1)
+    events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        gf.fixed(col("value"), 100.0).as("vc"))
+      .withColumn("n", count(col("vc")).over(w))
+      .withColumn("s", sum(col("vc")).over(w))
+      .withColumn("q", sum(col("vc") * col("vc")).over(w))
+      .filter(col("n") === 24)
+      .withColumn("d", col("n") * col("vc") - col("s"))
+      .filter(col("d") * col("d") * (col("n") - 1) >
+        lit(4L) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("vc"))
+      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_funnel" -> q43,
-    "q44_cohort_retention" -> q44)
+    "q44_cohort_retention" -> q44,
+    "q47_zscore_anomaly" -> q47)
 
   val oracles: Map[String, String] = Map(
     "q43_funnel" ->
@@ -109,5 +143,23 @@ object Behavior {
         |SELECT m.cohort_day, m.activity_day, n_users, cohort_size,
         |  round(100.0 * n_users / cohort_size, 2) AS retention_pct
         |FROM m JOIN sz USING (cohort_day)
-        |ORDER BY cohort_day, activity_day""".stripMargin)
+        |ORDER BY cohort_day, activity_day""".stripMargin,
+    "q47_zscore_anomaly" ->
+      """WITH v AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, ts, event_id, vc,
+        |    CAST(count(vc) OVER win AS BIGINT) AS n,
+        |    CAST(sum(vc) OVER win AS BIGINT) AS s,
+        |    CAST(sum(vc * vc) OVER win AS BIGINT) AS q
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, epoch_us(ts) AS ts_us, event_id, vc
+        |FROM w
+        |WHERE n = 24
+        |  AND (n * vc - s) * (n * vc - s) * (n - 1) > 4 * n * (n * q - s * s)
+        |ORDER BY event_type, ts_us, event_id""".stripMargin)
 }

@@ -195,6 +195,26 @@ object CorpusOps {
       .orderBy($"source", $"rnk")
   }
 
+  /** c10 — inverted-index build (the retrieval primitive RAG-corpus
+    * work needs): per (term, doc) posting with term frequency and the
+    * 1-based FIRST position. One posexplode feeds one hash aggregation
+    * — shuffle volume is the posting count itself, nothing quadratic,
+    * and the index shards naturally by term hash at scale. Restricted
+    * to every 10th doc to keep the driver compare bounded; the plan is
+    * the full-corpus plan. Positions are exact integers (posexplode
+    * 0-based + 1 ≡ DuckDB generate_subscripts' 1-based).
+    */
+  def c10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
+      .select($"doc_id", posexplode($"toks").as(Seq("pos", "term")))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"), (min($"pos") + 1).as("first_pos"))
+      .orderBy($"term", $"doc_id")
+  }
+
   /** c06 — typo-pair discovery via [[graft.operators.FuzzyJoin]]:
     * vocabulary (tokens ≥ 4 chars with corpus counts) plus DETERMINISTIC
     * planted typos (drop the last char of every ≥5-char word not already
@@ -229,7 +249,8 @@ object CorpusOps {
     "c06_typo_pairs" -> c06,
     "c07_chunking" -> c07,
     "c08_weighted_sample" -> c08,
-    "c09_source_quota" -> c09
+    "c09_source_quota" -> c09,
+    "c10_inverted_index" -> c10
   )
 
   // wordShingles clamp semantics: a doc shorter than n tokens yields ONE
@@ -387,6 +408,18 @@ object CorpusOps {
         |SELECT r.source, r.doc_id, r.n_chars, r.rnk, sz.n_source, sz.cap
         |FROM r JOIN sz USING (source)
         |WHERE rnk <= cap
-        |ORDER BY source, rnk""".stripMargin
+        |ORDER BY source, rnk""".stripMargin,
+    "c10_inverted_index" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |e AS (
+         |  SELECT doc_id, unnest(toks) AS term,
+         |    generate_subscripts(toks, 1) AS pos
+         |  FROM n)
+         |SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         |  CAST(min(pos) AS INT) AS first_pos
+         |FROM e GROUP BY 1, 2
+         |ORDER BY term, doc_id""".stripMargin
   )
 }
