@@ -37,9 +37,12 @@ object Behavior {
   /** q44 — daily cohort retention: cohort = calendar day of a user's
     * FIRST event, activity = distinct (user, day) pairs, and the
     * retention matrix counts cohort members active on each later (or
-    * same) day, with pct = 100·n/size (two exact integers, one
-    * multiply + one divide in the same literal order as the oracle,
-    * then dround). Two hash aggregations + one broadcast of the
+    * same) day, with pct = double(100·n)/size — the integer multiply
+    * happens FIRST (exact in int64), then ONE double cast and ONE
+    * divide, so both engines perform the identical single rounding
+    * step (the oracle writes CAST(100*n AS DOUBLE)/size rather than a
+    * 100.0 literal, which DuckDB would type DECIMAL and associate
+    * differently), then dround. Two hash aggregations + one broadcast of the
     * |days|-row cohort-size table — the whole matrix is
     * O(days²) rows regardless of event volume.
     */
@@ -57,7 +60,8 @@ object Behavior {
       .join(broadcast(sizes), Seq("cohort_day"))
       .select(col("cohort_day"), col("activity_day"), col("n_users"),
         col("cohort_size"),
-        gf.dround(lit(100.0) * col("n_users") / col("cohort_size"), 2)
+        gf.dround((lit(100L) * col("n_users")).cast("double")
+            / col("cohort_size"), 2)
           .as("retention_pct"))
       .orderBy(col("cohort_day"), col("activity_day"))
   }
@@ -141,7 +145,8 @@ object Behavior {
         |  SELECT cohort_day, activity_day, CAST(count(*) AS BIGINT) AS n_users
         |  FROM f JOIN a USING (user_id) GROUP BY 1, 2)
         |SELECT m.cohort_day, m.activity_day, n_users, cohort_size,
-        |  round(100.0 * n_users / cohort_size, 2) AS retention_pct
+        |  round(CAST(100 * n_users AS DOUBLE) / cohort_size, 2)
+        |    AS retention_pct
         |FROM m JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, activity_day""".stripMargin,
     "q47_zscore_anomaly" ->

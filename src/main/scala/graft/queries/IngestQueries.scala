@@ -11,8 +11,8 @@ import graft.sources.{MeasurementIngest, Tables}
   * implements it and MeasurementIngestSpec drives it, but until this
   * query none of the CSV-path rows had a CORRECTNESS entry. q40 closes
   * that: a deterministic EPA-shaped CSV fixture is derived from the
-  * scale-factor `orders` table at query time, written under a FIXED
-  * path, ingested through the real `readCsv → normalizeColumns →
+  * scale-factor `orders` table at query time, written under an
+  * sf-keyed path, ingested through the real `readCsv → normalizeColumns →
   * repairStateName → transform → ingestAll` chain, and the DuckDB
   * oracle re-reads the SAME csv files via `read_csv` with explicit
   * casts and the same 18-entry repair CASE.
@@ -23,14 +23,34 @@ import graft.sources.{MeasurementIngest, Tables}
   *     ppb→ppm step is a single double division by 1000.0 — one
   *     correctly-rounded op each side, so bits match without dround;
   *   - every modulus feeding the fixture is over positive int64 keys;
-  *   - the fixture path is fixed so the oracle SQL (a static string)
-  *     can name it; content is re-derived from the sfDir on every call,
-  *     so Verify-then-check at the same sf always agree.
+  *   - the fixture path is keyed by the sf-dir name (see `fixtureTag`)
+  *     and content is re-derived from the sfDir on every call, so
+  *     Verify-then-check at the same sf always agree and runs at
+  *     different sfs never clobber each other.
   */
 object IngestQueries {
 
-  /** Fixed fixture root — static so the (static) oracle SQL can cite it. */
-  val FixtureRoot = "/root/repo/target/q40_fixture"
+  /** Fixture roots are keyed by the SF-DIR NAME so concurrent runs at
+    * different scale factors (ScanAuditSpec driving every query at
+    * sf0.001 while a Verify at sf0.01/sf0.1 is mid-flight) write
+    * DISJOINT paths instead of clobbering the fixture another
+    * process's DuckDB oracle is about to read — the cross-process race
+    * in the project notes. The oracle SQL must cite the same path, so
+    * `oracles` is a `def` that reads the tag of the last query run in
+    * this JVM: Verify runs all queries BEFORE dumping oracle_sql.json,
+    * so the dumped SQL always names the path that run actually wrote.
+    * Plain `DumpOracles` (no Spark pass) defaults to the driver's
+    * sf0.01, matching the CLAUDE.md iteration loop.
+    */
+  @volatile private var fixtureTag: String = "sf0.01"
+
+  private def retag(dir: String): Unit = {
+    val t = new java.io.File(dir).getName
+    if (t.nonEmpty) fixtureTag = t
+  }
+
+  /** sf-keyed fixture root for q40 (cited by the oracle SQL). */
+  def FixtureRoot: String = s"/root/repo/target/q40_fixture-$fixtureTag"
 
   /** Full names that survive repair untouched (the `.otherwise` branch). */
   val IntactStates: Seq[String] =
@@ -42,6 +62,7 @@ object IngestQueries {
     */
   def writeFixture(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
+    retag(dir)
     val names = MeasurementIngest.StateNameRepairs.map(_._1) ++ IntactStates
     val nameArr = array(names.map(lit): _*)
     val raw = Tables.load(spark, dir, "orders")
@@ -80,8 +101,8 @@ object IngestQueries {
         $"county_code", $"site_num", $"state_name", $"measurement", $"units")
   }
 
-  /** Fixed fixture root for q46 (static so the oracle can cite it). */
-  val EvolutionRoot = "/root/repo/target/q46_fixture"
+  /** sf-keyed fixture root for q46 (cited by the oracle SQL). */
+  def EvolutionRoot: String = s"/root/repo/target/q46_fixture-$fixtureTag"
 
   /** q46 — schema evolution on storage: two parquet "eras" of the same
     * logical table with DIFFERENT physical schemas (era 1 predates the
@@ -95,6 +116,7 @@ object IngestQueries {
     */
   def q46(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    retag(dir)
     val o = Tables.load(spark, dir, "orders").orderBy($"o_orderkey").limit(600)
     o.filter($"o_orderkey" % 2 === 0)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
@@ -122,7 +144,7 @@ object IngestQueries {
       .map { case (bad, good) => s"WHEN '$bad' THEN '$good'" }
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q40_csv_ingest" ->
       s"""WITH no2 AS (
          |  SELECT "State Code", "County Code", "Site Num", "State Name",

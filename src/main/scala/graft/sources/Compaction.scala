@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   * Redistribution mode matters at scale:
   *   - `shuffle = false` uses `coalesce`: NO shuffle — upstream
   *     partitions are merged in place. The right default for the
-  *     many-small-files case (compaction's raison d'être);
+  *     many-small-files case (compaction's raison d'être). `coalesce`
+  *     can only MERGE, never split — so when the computed target
+  *     exceeds the scan's partition count (a few oversized files that
+  *     need splitting), the shuffle-free path cannot honour
+  *     `targetBytes` and the code auto-switches to `repartition`;
   *   - `shuffle = true` uses `repartition`: one full shuffle, but the
   *     output files are balanced even when input files are skewed
   *     (coalesce merges neighbors and inherits their imbalance).
@@ -36,7 +40,11 @@ object Compaction {
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inDir)
-    val sized = if (shuffle) df.repartition(parts) else df.coalesce(parts)
+    // coalesce only merges: splitting few-giant-files into `parts`
+    // pieces needs the shuffle path even when the caller didn't ask.
+    val mustSplit = parts > df.rdd.getNumPartitions
+    val sized =
+      if (shuffle || mustSplit) df.repartition(parts) else df.coalesce(parts)
     sized.write.mode("overwrite").parquet(outDir)
     (parts, bytes)
   }

@@ -23,9 +23,19 @@ import graft.model.Schemas.Event
   * if a below-watermark stage-k event were still eligible (ts >
   * t_{k−1}) it would itself be a ≤-watermark candidate and would have
   * finalized; events of LATER stages need ts > t_{j−1} ≥ the stalled
-  * candidate > watermark ≥ ts, a contradiction. So state is the
-  * finalized prefix (≤ |stages| longs) plus only above-watermark
+  * candidate > watermark ≥ ts, a contradiction. So per-user state is
+  * the finalized prefix (≤ |stages| longs) plus only above-watermark
   * events — the same horizon bound as [[Sessionize]].
+  *
+  * Bounded POPULATION: per-user size alone still lets state grow with
+  * the number of ever-seen users — a user who stalls mid-funnel and
+  * goes silent would otherwise be retained forever (no candidate ⇒ no
+  * wake-up ever fires). So whenever the stall leaves NO finalizable
+  * candidate, an abandonment timeout is registered at
+  * `watermark + abandonMs`; if it fires with no progress the funnel is
+  * declared abandoned and its state dropped. Semantics: a user idle
+  * (in event time) longer than the horizon restarts from stage 0 —
+  * the standard funnel-abandonment convention.
   */
 object FunnelStream {
 
@@ -38,8 +48,11 @@ object FunnelStream {
 
   /** Streaming path. `stages` maps `event_type` values to funnel order;
     * events of other types are filtered out before the shuffle.
+    * `abandonMs`: event-time idle horizon after which a stalled funnel's
+    * state is dropped (see population bound in the object scaladoc).
     */
-  def funnelStream(events: Dataset[Event], stages: Seq[String]): Dataset[StageHit] = {
+  def funnelStream(events: Dataset[Event], stages: Seq[String],
+                   abandonMs: Long = 24L * 3600 * 1000): Dataset[StageHit] = {
     import events.sparkSession.implicits._
     val stageIdx = stages.zipWithIndex.toMap
     events.filter(e => stageIdx.contains(e.event_type))
@@ -68,17 +81,29 @@ object FunnelStream {
               case _ => stalled = true
             }
           }
+          val progressed = fin.length > st.finalized.length
           if (fin.length == stages.length) {
             state.remove() // complete chain: nothing can change it
           } else {
             val keep = buf.filter(_._1 > wm) // see scaladoc proof
-            state.update(FunnelState(fin, keep))
             // wake when the next candidate becomes finalizable
             val prev = if (fin.isEmpty) Long.MinValue else fin.last
-            keep.iterator
+            val nextWake = keep.iterator
               .filter(x => x._2 == fin.length && x._1 > prev).map(_._1)
               .minOption
-              .foreach(state.setTimeoutTimestamp)
+            if (nextWake.isEmpty && incoming.isEmpty && !progressed
+                && state.hasTimedOut) {
+              // the abandonment timeout itself fired and nothing moved:
+              // the user is idle past the horizon with no way forward.
+              state.remove()
+            } else {
+              state.update(FunnelState(fin, keep))
+              // a candidate wake always progresses on fire (t ≤ wm then),
+              // so a no-candidate stall can only be woken by events or by
+              // this abandonment fallback — without it, state would be
+              // retained forever for users who go silent mid-funnel.
+              state.setTimeoutTimestamp(nextWake.getOrElse(wm + abandonMs))
+            }
           }
           emitted.result().iterator
       }

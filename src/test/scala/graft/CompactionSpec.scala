@@ -47,4 +47,21 @@ class CompactionSpec extends AnyFunSuite {
     val (parts, _) = Compaction.compact(spark, in, out, Long.MaxValue)
     assert(parts == 1 && parquetFiles(out).length == 1)
   }
+
+  test("split direction: few-giant-files input auto-switches to repartition") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("compact-in3").toString
+    val out = Files.createTempDirectory("compact-out3").toString
+    // ONE oversized file; target a quarter of it → parts > scan partitions,
+    // so coalesce alone could never honour targetBytes
+    spark.range(100000).select($"id", ($"id" % 97).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    assert(parquetFiles(in).length == 1)
+    val inBytes = parquetFiles(in).map(_.length).sum
+    val target = (inBytes + 3) / 4
+    val (parts, _) = Compaction.compact(spark, in, out, target) // shuffle = false
+    assert(parts >= 4)
+    assert(parquetFiles(out).length == parts) // actually split, not 1 big file
+    assert(spark.read.parquet(out).count() == 100000)
+  }
 }

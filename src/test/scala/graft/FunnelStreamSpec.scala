@@ -99,4 +99,45 @@ class FunnelStreamSpec extends AnyFunSuite {
     q.stop()
     assert(out.map(h => (h.user_id, h.stage)).toSeq == Seq((1L, 0)))
   }
+
+  test("abandonment horizon drops stalled state; an idle user restarts from stage 0") {
+    // u1 views, finalizes stage 0, then goes silent with NO stage-1
+    // candidate — so no candidate wake exists and only the abandonment
+    // timeout can release the state. After the horizon passes, a fresh
+    // view must re-open the funnel from stage 0 (second stage-0 hit);
+    // with an effectively-infinite horizon the retained prefix swallows
+    // the second view (stage 0 already finalized) — proving the timeout,
+    // not batch mechanics, is what releases the state.
+    def run(abandonMs: Long): Seq[(Long, Int, Timestamp)] = {
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val out = scala.collection.mutable.ArrayBuffer[FunnelStream.StageHit]()
+      val q = FunnelStream.funnelStream(mem.toDS(), Stages, abandonMs).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("ckpt-funnel3").toString)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[FunnelStream.StageHit], _: Long) =>
+          out ++= ds.collect(); ()
+        }
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      val batches = Seq(
+        Seq(ev(1, "view", "2024-03-01 10:00:00"),
+          ev(99, "view", "2024-03-01 14:00:00")), // wm → 12:00, stage 0 final
+        Seq(ev(99, "view", "2024-03-04 00:00:00")), // wm → 03-03 22:00 > 12:00+24h
+        Seq(ev(99, "view", "2024-03-04 01:00:00")), // timeout fires → state dropped
+        Seq(ev(1, "view", "2024-03-04 02:00:00"),   // fresh chain (if dropped)
+          ev(99, "view", "2024-03-06 00:00:00")),
+        Seq(ev(99, "view", "2024-03-06 01:00:00")))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      out.filter(_.user_id != 99).map(h => (h.user_id, h.stage, h.stage_ts)).toSeq
+    }
+    val dropped = run(24L * 3600 * 1000)
+    assert(dropped == Seq(
+      (1L, 0, Timestamp.valueOf("2024-03-01 10:00:00")),
+      (1L, 0, Timestamp.valueOf("2024-03-04 02:00:00"))))
+    val retained = run(Long.MaxValue / 4)
+    assert(retained == Seq((1L, 0, Timestamp.valueOf("2024-03-01 10:00:00"))))
+  }
 }
