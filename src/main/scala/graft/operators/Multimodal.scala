@@ -1,21 +1,33 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal (binary-column) plumbing for image/audio/video payloads.
+/** Multimodal (binary-column) operators for image/audio/video payloads.
   *
-  * Media are opaque `binary` columns plus typed metadata — the
-  * schema/partitioning/batching layer is real and tested; only the codec
-  * call is stubbed (media libraries are not on this cluster image), with
-  * a deterministic fake so the pipeline shape is exercisable end-to-end.
+  * Media are opaque `binary` columns plus typed metadata. The image path
+  * is a REAL codec: PNG encode/decode via `javax.imageio` (in the JDK —
+  * no external jars), so `extractFeatures` and `resize` operate on true
+  * decoded pixels. PNG is lossless, so decode(encode(img)) == img and
+  * every pixel statistic is an exact integer an independent oracle can
+  * recompute. The video path is rawvideo rgb24 (ffmpeg's `rawvideo`
+  * layout: frames of `w*h*3` bytes, row-major, R,G,B per pixel) — frame
+  * extraction and per-frame channel stats are real decodes of that
+  * format.
   *
   * Scale notes: binary payloads ride the normal columnar path (parquet
-  * byte arrays); per-record feature extraction runs in `mapPartitions`
-  * so a real decoder amortizes init (codec contexts, model weights) once
-  * per partition, the Scala analog of batched `mapInPandas`. Keep media
-  * rows narrow (content + metadata only) and join features back by id
-  * rather than carrying bytes through wide plans.
+  * byte arrays); per-record work runs in `mapPartitions` so decoder
+  * init amortizes once per partition, the Scala analog of batched
+  * `mapInPandas`. Keep media rows narrow (content + metadata only) and
+  * join features back by id rather than carrying bytes through wide
+  * plans. Synthetic-image generation (`pngFromDocuments` /
+  * `rawVideoFromDocuments`) exists to drive the codec path from the
+  * text-only testdata; a production pipeline reads its PNG/raw bytes
+  * straight from the lake and enters at [[extractFeatures]].
   */
 object Multimodal {
 
@@ -23,57 +35,182 @@ object Multimodal {
   case class MediaRecord(media_id: Long, kind: String, content: Array[Byte],
                          width: Int, height: Int, sample_rate: Int)
 
-  /** Extracted features: fixed-width vector + summary stats. */
+  /** Extracted features — all exact integers so the whole row is
+    * hash-checkable: decoded dims, per-channel pixel sums, and a
+    * position-weighted checksum (Σ rgb24 · (y·w + x + 1)) that pins
+    * pixel ORDER, not just totals. For non-image kinds the byte-level
+    * fallback sets dims/channel sums to 0 and checksums raw bytes.
+    */
   case class MediaFeatures(media_id: Long, kind: String, byte_len: Int,
-                           checksum: Long, histogram: Array[Long])
+                           width: Int, height: Int,
+                           r_sum: Long, g_sum: Long, b_sum: Long,
+                           px_checksum: Long)
 
-  /** Deterministic fake "decode + featurize": byte histogram over 16
-    * buckets + additive checksum. ??? REPLACE WITH REAL CODEC ??? — a
-    * real implementation would decode `content` (JPEG/WAV/...) here and
-    * emit model-ready features; everything around this call (schema,
-    * batching, partition amortization) is production-shaped.
+  /** Closed-form deterministic pixel formula — the shared contract
+    * between image GENERATION here and the DuckDB oracle that
+    * recomputes the stats of the decoded pixels (possible only because
+    * PNG is lossless). All terms are nonnegative, so `%` is a true mod.
+    */
+  def pixelR(id: Long, x: Int, y: Int): Int = ((id * 7 + x * 3 + y * 5) % 256).toInt
+  def pixelG(id: Long, x: Int, y: Int): Int = ((id * 11 + x + y * 2) % 256).toInt
+  def pixelB(id: Long, x: Int, y: Int): Int = ((id * 3 + x * y) % 256).toInt
+
+  /** Deterministic media dims derived from the id (kept small so the
+    * oracle's per-pixel enumeration stays cheap at test scale).
+    */
+  def synthWidth(id: Long): Int = (4 + id % 8).toInt
+  def synthHeight(id: Long): Int = (3 + id % 5).toInt
+
+  /** Render the formula image and encode it as a real PNG. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelR(id, x, y) << 16) | (pixelG(id, x, y) << 8) | pixelB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def decodePng(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  val PngKind = "image/png"
+  val RawVideoKind = "video/rgb24"
+
+  /** documents → real PNG media records, one per doc_id, pixels from the
+    * closed-form formula. The text column is deliberately unused — the
+    * id alone determines the image, which is what lets an oracle with
+    * no PNG decoder verify the decoded stats.
+    */
+  def pngFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = (synthWidth(id), synthHeight(id))
+      MediaRecord(id, PngKind, syntheticPng(id, w, h), w, h, 0)
+    }
+  }
+
+  /** documents → rawvideo rgb24 records: `2 + id % 3` frames of
+    * `w*h*3` bytes each, frame f's pixels from the formula with the
+    * frame index folded into the id term (so every frame differs).
+    */
+  def rawVideoFromDocuments(spark: SparkSession, docs: DataFrame,
+                            w: Int, h: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val nFrames = (2 + id % 3).toInt
+      val buf = new Array[Byte](nFrames * w * h * 3)
+      var f = 0
+      while (f < nFrames) {
+        val fid = id + f * 13L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = ((f * h + y) * w + x) * 3
+            buf(o) = pixelR(fid, x, y).toByte
+            buf(o + 1) = pixelG(fid, x, y).toByte
+            buf(o + 2) = pixelB(fid, x, y).toByte
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      MediaRecord(id, RawVideoKind, buf, w, h, 0)
+    }
+  }
+
+  /** REAL decode + featurize: PNG payloads are decoded with `ImageIO`
+    * and summarized as exact integer pixel stats; other kinds fall back
+    * to byte-level stats (dims 0, checksum over raw bytes) so opaque
+    * payloads still fingerprint. Runs in `mapPartitions` — a heavier
+    * decoder (or model weights) would init once per partition here.
     */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       // per-partition init happens HERE once (codec context / weights)
       it.map { r =>
-        val hist = new Array[Long](16)
-        var sum = 0L
-        var i = 0
-        while (i < r.content.length) {
-          hist((r.content(i) & 0xFF) >> 4) += 1
-          sum = sum * 31 + (r.content(i) & 0xFF)
-          i += 1
+        if (r.kind == PngKind) {
+          val img = decodePng(r.content)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (rs, gs, bs, ck) = (0L, 0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y) & 0xFFFFFF
+              rs += (rgb >> 16) & 0xFF
+              gs += (rgb >> 8) & 0xFF
+              bs += rgb & 0xFF
+              ck += rgb.toLong * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(r.media_id, r.kind, r.content.length, w, h, rs, gs, bs, ck)
+        } else {
+          var (ck, i) = (0L, 0)
+          while (i < r.content.length) {
+            ck += (r.content(i) & 0xFF).toLong * (i + 1)
+            i += 1
+          }
+          MediaFeatures(r.media_id, r.kind, r.content.length, 0, 0, 0L, 0L, 0L, ck)
         }
-        MediaFeatures(r.media_id, r.kind, r.content.length, sum, hist)
       }
     }
   }
 
-  /** Deterministic fake "resize": metadata updated for real, content
-    * transformed by a stub (proportional byte resampling).
-    * ??? REPLACE WITH REAL CODEC ??? — a real decoder/encoder pair goes
-    * here; the schema flow and per-partition batching are the real part.
+  /** REAL image resize: decode PNG → nearest-neighbor resample →
+    * re-encode PNG. The sample map is the fully-specified integer form
+    * `src = (dst * srcDim) / dstDim` (floor division) rather than
+    * `Graphics2D` drawing, whose nearest-neighbor rounding is an
+    * implementation detail — this keeps every resized pixel exactly
+    * recomputable by an engine with no JVM. Non-image kinds pass
+    * through untouched (resize is an image operation).
     */
   def resize(records: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    require(targetW > 0 && targetH > 0, "need positive target dims")
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.map { r =>
-        val ratio = if (r.width > 0 && r.height > 0)
-          (targetW.toDouble * targetH) / (r.width.toDouble * r.height)
-        else 1.0
-        val newLen = math.max(1, math.min(r.content.length,
-          math.round(r.content.length * ratio).toInt))
-        r.copy(content = r.content.take(newLen), width = targetW, height = targetH)
+        if (r.kind == PngKind) {
+          val src = decodePng(r.content)
+          val (sw, sh) = (src.getWidth, src.getHeight)
+          val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            val sy = y * sh / targetH
+            var x = 0
+            while (x < targetW) {
+              dst.setRGB(x, y, src.getRGB(x * sw / targetW, sy) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          r.copy(content = encodePng(dst), width = targetW, height = targetH)
+        } else r
       }
     }
   }
 
-  /** Frame sampling for video-kind payloads: emit every `everyN`-th
-    * fixed-size frame slice with its index — the real plumbing (schema,
-    * per-record fan-out, ordering column) around a stubbed frame
-    * decoder. ??? REPLACE WITH REAL CODEC ???
+  /** Frame extraction for rawvideo rgb24 payloads: every `everyN`-th
+    * `frameSize`-byte slice IS a decoded frame in that format (no
+    * container to parse — that's the point of rawvideo). Emits the
+    * frame index so downstream keeps temporal order.
     */
   case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
@@ -83,6 +220,30 @@ object Multimodal {
       val nFrames = math.max(1, r.content.length / math.max(1, frameSize))
       (0 until nFrames by everyN).map { i =>
         Frame(r.media_id, i, r.content.slice(i * frameSize, (i + 1) * frameSize))
+      }
+    }
+  }
+
+  /** Per-frame channel stats: interpret each frame's bytes as rgb24 of
+    * the given dims (real decode of the rawvideo layout) and emit exact
+    * integer channel sums — the frame-level twin of [[extractFeatures]].
+    */
+  case class FrameStats(media_id: Long, frame_idx: Int,
+                        r_sum: Long, g_sum: Long, b_sum: Long)
+
+  def frameChannelStats(frames: Dataset[Frame], w: Int, h: Int): Dataset[FrameStats] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      it.map { fr =>
+        var (rs, gs, bs, i) = (0L, 0L, 0L, 0)
+        val n = math.min(fr.frame_bytes.length, w * h * 3)
+        while (i + 3 <= n) {
+          rs += fr.frame_bytes(i) & 0xFF
+          gs += fr.frame_bytes(i + 1) & 0xFF
+          bs += fr.frame_bytes(i + 2) & 0xFF
+          i += 3
+        }
+        FrameStats(fr.media_id, fr.frame_idx, rs, gs, bs)
       }
     }
   }

@@ -326,40 +326,49 @@ object DataOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** m01 — multimodal binary plumbing: documents → binary payloads →
-    * mapPartitions feature extraction; byte_len is oracle-checked
-    * against `octet_length`, checksum/histogram in MultimodalSpec.
+  /** m01 — REAL image codec end-to-end: per doc_id a real PNG is
+    * rendered from [[Multimodal]]'s closed-form pixel formula
+    * (`ImageIO.write`), then `extractFeatures` DECODES it
+    * (`ImageIO.read`) and emits exact integer pixel stats — dims,
+    * per-channel sums, and a position-weighted rgb24 checksum. PNG is
+    * lossless, so the DuckDB oracle verifies the decoded pixels by
+    * recomputing the formula directly — a genuine encode→decode
+    * roundtrip proof with no image library on the oracle side.
     */
   def m01(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.fromDocuments(spark, docs(spark, dir))
+    val media = Multimodal.pngFromDocuments(spark, docs(spark, dir))
     Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("byte_len"))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("r_sum"), col("g_sum"), col("b_sum"), col("px_checksum"))
       .orderBy(col("media_id"))
   }
 
-  /** m02 — the resize + frame-sample media path end-to-end: documents →
-    * media records with deterministic fake dims (width = 4 + id % 8,
-    * height = 4) → proportional resize to 4×4 → every-2nd 16-byte frame
-    * slice → per-media stats. The codec is the documented stub; the
-    * lengths/counts it produces are exact integers, so the whole chain
-    * is DuckDB-oracle-checkable.
+  /** m02 — REAL image resize: PNG decode → nearest-neighbor resample
+    * to 5×4 (integer sample map `src = dst·srcDim/dstDim`) → PNG
+    * re-encode → decode AGAIN in `extractFeatures`. Two full codec
+    * roundtrips; the oracle recomputes the resample from the formula
+    * with the same floor-division map.
     */
   def m02(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = Multimodal.fromDocuments(spark, docs(spark, dir))
-      .map(r => r.copy(width = (4 + r.media_id % 8).toInt, height = 4))
-    val resized = Multimodal.resize(media, 4, 4)
-    val frames = Multimodal.frameSample(resized, frameSize = 16, everyN = 2)
-    frames.toDF()
-      .groupBy(col("media_id"))
-      .agg(
-        count(lit(1)).as("n_frames_sampled"),
-        sum(length(col("frame_bytes"))).as("frame_bytes_total"))
-      .join(resized.toDF().select(col("media_id"),
-        length(col("content")).as("resized_len")), Seq("media_id"))
-      .select(col("media_id"), col("resized_len"),
-        col("n_frames_sampled"), col("frame_bytes_total"))
+    val media = Multimodal.pngFromDocuments(spark, docs(spark, dir))
+    val resized = Multimodal.resize(media, 5, 4)
+    Multimodal.extractFeatures(resized).toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("r_sum"), col("g_sum"), col("b_sum"), col("px_checksum"))
       .orderBy(col("media_id"))
+  }
+
+  /** m03 — rawvideo rgb24 frame sampling: per doc_id a `2 + id % 3`
+    * frame raw video (6×4, 72-byte frames) is generated from the
+    * formula, every 2nd frame is extracted by [[Multimodal.frameSample]]
+    * and decoded to per-channel sums by `frameChannelStats` — the
+    * frame-granular decode path the oracle recomputes per (frame, x, y).
+    */
+  def m03(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.rawVideoFromDocuments(spark, docs(spark, dir), w = 6, h = 4)
+    val frames = Multimodal.frameSample(media, frameSize = 6 * 4 * 3, everyN = 2)
+    Multimodal.frameChannelStats(frames, 6, 4).toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
   }
 
   /** s03 — IVF ANN (coarse-quantize to inverted lists, probe 4 of 16
@@ -720,7 +729,8 @@ object DataOps {
     "s06_knn_classify" -> s06,
     "s02_lsh_ann" -> s02,
     "m01_media_features" -> m01,
-    "m02_media_resize_frames" -> m02,
+    "m02_media_resize" -> m02,
+    "m03_video_frames" -> m03,
     "t05_pii_redact" -> t05,
     "q29_sessionize" -> q29,
     "q30_salted_agg" -> q30,
@@ -932,32 +942,69 @@ object DataOps {
         |FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
     "m01_media_features" ->
-      """SELECT doc_id AS media_id, 'text/utf-8' AS kind,
-        |  CAST(octet_length(encode(text)) AS INT) AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin,
-    "m02_media_resize_frames" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len,
-        |    4 + doc_id % 8 AS w
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
         |  FROM documents),
-        |rz AS (
-        |  SELECT media_id,
-        |    -- outer least(len): content.take cannot pad, so an empty
-        |    -- payload stays empty even though newLen is clamped to >= 1
-        |    CAST(least(greatest(1, least(len,
-        |      CAST(round(len * (16.0 / (w * 4.0))) AS BIGINT))), len) AS INT) AS resized_len
-        |  FROM m),
-        |fr AS (
-        |  SELECT media_id, resized_len,
-        |    unnest(range(0, greatest(resized_len // 16, 1), 2)) AS i
-        |  FROM rz),
-        |ag AS (
-        |  SELECT media_id, any_value(resized_len) AS resized_len,
-        |    count(*) AS n_frames_sampled,
-        |    CAST(sum(least(16, resized_len - i * 16)) AS BIGINT) AS frame_bytes_total
-        |  FROM fr GROUP BY 1)
-        |SELECT media_id, resized_len, n_frames_sampled, frame_bytes_total
-        |FROM ag ORDER BY media_id""".stripMargin,
+        |ys AS (SELECT media_id, w, h, unnest(range(0, h)) AS y FROM d),
+        |px AS (SELECT media_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+        |v AS (
+        |  SELECT media_id, w, h, x, y,
+        |    (media_id * 7 + x * 3 + y * 5) % 256 AS r,
+        |    (media_id * 11 + x + y * 2) % 256 AS g,
+        |    (media_id * 3 + x * y) % 256 AS b
+        |  FROM px)
+        |SELECT media_id, 'image/png' AS kind,
+        |  CAST(any_value(w) AS INT) AS width, CAST(any_value(h) AS INT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS r_sum,
+        |  CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum,
+        |  CAST(sum((r * 65536 + g * 256 + b) * (y * w + x + 1)) AS BIGINT)
+        |    AS px_checksum
+        |FROM v GROUP BY media_id
+        |ORDER BY media_id""".stripMargin,
+    "m02_media_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+        |  FROM documents),
+        |ys AS (SELECT media_id, w, h, unnest(range(0, 4)) AS y FROM d),
+        |px AS (SELECT media_id, w, h, y, unnest(range(0, 5)) AS x FROM ys),
+        |v AS (
+        |  -- nearest-neighbor sample map: src = (dst * srcDim) // dstDim,
+        |  -- the same fully-specified floor division the Scala side uses
+        |  SELECT media_id, x, y,
+        |    (media_id * 7 + ((x * w) // 5) * 3 + ((y * h) // 4) * 5) % 256 AS r,
+        |    (media_id * 11 + ((x * w) // 5) + ((y * h) // 4) * 2) % 256 AS g,
+        |    (media_id * 3 + ((x * w) // 5) * ((y * h) // 4)) % 256 AS b
+        |  FROM px)
+        |SELECT media_id, 'image/png' AS kind,
+        |  5 AS width, 4 AS height,
+        |  CAST(sum(r) AS BIGINT) AS r_sum,
+        |  CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum,
+        |  CAST(sum((r * 65536 + g * 256 + b) * (y * 5 + x + 1)) AS BIGINT)
+        |    AS px_checksum
+        |FROM v GROUP BY media_id
+        |ORDER BY media_id""".stripMargin,
+    "m03_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, 2 + doc_id % 3 AS nf FROM documents),
+        |fr AS (SELECT media_id, unnest(range(0, nf, 2)) AS f FROM d),
+        |ys AS (SELECT media_id, f, unnest(range(0, 4)) AS y FROM fr),
+        |px AS (SELECT media_id, f, y, unnest(range(0, 6)) AS x FROM ys),
+        |v AS (
+        |  SELECT media_id, f, x, y,
+        |    ((media_id + f * 13) * 7 + x * 3 + y * 5) % 256 AS r,
+        |    ((media_id + f * 13) * 11 + x + y * 2) % 256 AS g,
+        |    ((media_id + f * 13) * 3 + x * y) % 256 AS b
+        |  FROM px)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(sum(r) AS BIGINT) AS r_sum,
+        |  CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM v GROUP BY media_id, f
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "e01_embedding_dedup" ->
       """WITH RECURSIVE
         |sub AS (

@@ -211,32 +211,88 @@ class DataOpsSpec extends AnyFunSuite {
     assert(res >= raw - 0.1, s"residual $res well below raw $raw")
   }
 
-  test("multimodal feature stub: histogram + checksum match a reference impl") {
+  test("multimodal PNG codec: encode→decode roundtrip reproduces the formula pixels") {
     import spark.implicits._
-    val recs = Seq(Multimodal.MediaRecord(1L, "text/utf-8",
+    val ids = Seq(0L, 5L, 12L, 37L)
+    val recs = ids.map { id =>
+      val (w, h) = (Multimodal.synthWidth(id), Multimodal.synthHeight(id))
+      Multimodal.MediaRecord(id, Multimodal.PngKind,
+        Multimodal.syntheticPng(id, w, h), w, h, 0)
+    }.toDS()
+    // the payload really is a PNG (magic bytes), not a fake
+    val png = recs.head().content
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+    val feats = Multimodal.extractFeatures(recs).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == ids.sorted)
+    for (f <- feats) {
+      val id = f.media_id
+      val (w, h) = (Multimodal.synthWidth(id), Multimodal.synthHeight(id))
+      assert(f.width == w && f.height == h) // dims come from the DECODE
+      assert(f.byte_len > 8) // encoded payload, not raw pixels
+      var (rs, gs, bs, ck) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = (Multimodal.pixelR(id, x, y),
+          Multimodal.pixelG(id, x, y), Multimodal.pixelB(id, x, y))
+        rs += r; gs += g; bs += b
+        ck += ((r << 16) | (g << 8) | b).toLong * (y.toLong * w + x + 1)
+      }
+      assert((f.r_sum, f.g_sum, f.b_sum, f.px_checksum) == ((rs, gs, bs, ck)))
+    }
+    // non-image kinds keep the byte-level fingerprint path
+    val txt = Seq(Multimodal.MediaRecord(1L, "text/utf-8",
       "hello world".getBytes("UTF-8"), 0, 0, 0)).toDS()
-    val f = Multimodal.extractFeatures(recs).head()
-    assert(f.byte_len == 11)
-    val bytes = "hello world".getBytes("UTF-8")
-    var sum = 0L
-    val hist = new Array[Long](16)
-    bytes.foreach { b => hist((b & 0xFF) >> 4) += 1; sum = sum * 31 + (b & 0xFF) }
-    assert(f.checksum == sum)
-    assert(f.histogram.toSeq == hist.toSeq)
+    val tf = Multimodal.extractFeatures(txt).head()
+    assert(tf.byte_len == 11 && tf.width == 0 && tf.height == 0)
+    val expCk = "hello world".getBytes("UTF-8").zipWithIndex
+      .map { case (b, i) => (b & 0xFF).toLong * (i + 1) }.sum
+    assert(tf.px_checksum == expCk)
   }
 
-  test("multimodal resize + frame sampling keep typed metadata coherent") {
+  test("multimodal resize: NN resample matches the explicit src-index map") {
     import spark.implicits._
-    val recs = Seq(Multimodal.MediaRecord(1L, "video/fake",
+    val id = 9L
+    val (w, h) = (Multimodal.synthWidth(id), Multimodal.synthHeight(id))
+    val recs = Seq(Multimodal.MediaRecord(id, Multimodal.PngKind,
+      Multimodal.syntheticPng(id, w, h), w, h, 0)).toDS()
+    val resized = Multimodal.resize(recs, 3, 2).head()
+    assert(resized.width == 3 && resized.height == 2)
+    val img = Multimodal.decodePng(resized.content)
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val (sx, sy) = (x * w / 3, y * h / 2)
+      val exp = (Multimodal.pixelR(id, sx, sy) << 16) |
+        (Multimodal.pixelG(id, sx, sy) << 8) | Multimodal.pixelB(id, sx, sy)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == exp, s"pixel ($x,$y)")
+    }
+    // non-image kinds pass through untouched (resize is an image op)
+    val raw = Seq(Multimodal.MediaRecord(2L, "video/rgb24",
       Array.tabulate(100)(_.toByte), 640, 480, 0)).toDS()
-    val resized = Multimodal.resize(recs, 320, 240).head()
-    assert(resized.width == 320 && resized.height == 240)
-    assert(resized.content.length <= 100)
-    val frames = Multimodal.frameSample(recs, frameSize = 10, everyN = 2)
-      .collect().sortBy(_.frame_idx)
-    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6, 8))
-    assert(frames.head.frame_bytes.toSeq == (0 until 10).map(_.toByte))
-    assert(frames(1).frame_bytes.toSeq == (20 until 30).map(_.toByte))
+    val same = Multimodal.resize(raw, 320, 240).head()
+    assert(same.width == 640 && same.content.length == 100)
+  }
+
+  test("rawvideo frame sampling + channel stats decode the frames exactly") {
+    import spark.implicits._
+    val docs = Seq((7L, "x"), (8L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.rawVideoFromDocuments(spark, docs, w = 6, h = 4)
+    // frame slicing: exact frame boundaries, every-2nd sampling
+    val frames = Multimodal.frameSample(media, frameSize = 6 * 4 * 3, everyN = 2)
+    val stats = Multimodal.frameChannelStats(frames, 6, 4)
+      .collect().sortBy(s => (s.media_id, s.frame_idx))
+    // id 7 → 2 + 7%3 = 3 frames → sampled 0,2 ; id 8 → 4 frames → 0,2
+    assert(stats.map(s => (s.media_id, s.frame_idx)).toSeq ==
+      Seq((7L, 0), (7L, 2), (8L, 0), (8L, 2)))
+    for (s <- stats) {
+      val fid = s.media_id + s.frame_idx * 13L
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      for (y <- 0 until 4; x <- 0 until 6) {
+        rs += Multimodal.pixelR(fid, x, y)
+        gs += Multimodal.pixelG(fid, x, y)
+        bs += Multimodal.pixelB(fid, x, y)
+      }
+      assert((s.r_sum, s.g_sum, s.b_sum) == ((rs, gs, bs)))
+    }
   }
 
   test("c04 output is all-integer: n_docs column replaces the ln() score") {
