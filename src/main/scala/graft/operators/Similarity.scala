@@ -167,6 +167,16 @@ object Similarity {
     cand
   }
 
+  /** SemDeDup cluster count derived from the corpus size: k =
+    * max(8, ceil(n / targetClusterSize)), so the within-cluster pair
+    * scan stays O(n · targetClusterSize) instead of O(n²/k) with a
+    * fixed k — the published recipe's shape (Abbas et al. 2023 cluster
+    * 100M embeddings into 50k clusters, i.e. k ∝ n). Integer ceil
+    * division keeps the rule exactly replicable in a SQL oracle.
+    */
+  def semdedupK(n: Long, targetClusterSize: Long = 128): Int =
+    math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+
   /** Deterministic fixed-point Lloyd k-means for IVF coarse
     * quantization: seeds are the first `k` vectors by id (no RNG),
     * followed by `iters` iterations of (a) assignment by EXACT integer

@@ -621,9 +621,12 @@ object DataOps {
     * near-duplicates ONLY within each cluster — the third candidate-
     * generation family next to e01's LSH tables and d02's MinHash
     * bands. The within-cluster pair scan is quadratic in CLUSTER size,
-    * not corpus size; at scale k grows with n so members-per-cluster
-    * stays bounded (the published recipe clusters 100M embeddings into
-    * 50k clusters). Same planted scaled-copy corpus as e01, exact
+    * not corpus size, and k is DERIVED from the input count
+    * ([[Similarity.semdedupK]]: max(8, ceil(n/128))) so members-per-
+    * cluster stays bounded as the corpus grows (the published recipe
+    * clusters 100M embeddings into 50k clusters — k ∝ n; ScaleSmoke
+    * asserts the pair-scan bound). The oracle derives k with the same
+    * integer rule from count(*). Same planted scaled-copy corpus as e01, exact
     * fixed-point verification at 0.999, pointer-doubled components,
     * per-cluster keep/drop accounting. The oracle replicates every
     * stage including the k-means training (s03's CTE machinery).
@@ -642,7 +645,8 @@ object DataOps {
         Similarity.fixedVec(col("ve")).as("cv"))
       .withColumn("cn", Similarity.normSqFixed(col("cv")))
       .persist()
-    val cents = Similarity.kmeansCentroidsFixed(cand, k = 8, iters = 1)
+    val cents = Similarity.kmeansCentroidsFixed(cand,
+      k = Similarity.semdedupK(cand.count()), iters = 1)
     val assigned = cand.crossJoin(broadcast(cents))
       .withColumn("c_cos", Similarity.cosineFromFixed(
         Similarity.dotFixed(col("cv"), col("centv")), col("cn"), col("centn")))

@@ -287,11 +287,14 @@ object DuckSketchSql {
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** e02 — SemDeDup: 1-iteration fixed-point k-means (8 clusters over
-    * the planted-copy corpus), nearest-centroid assignment, exact
-    * within-cluster cosine pairs at 0.999, recursive-CTE components,
-    * per-cluster member/dropped counts — the exact `DataOps.e02`
-    * dataflow, every stage replicated.
+  /** e02 — SemDeDup: 1-iteration fixed-point k-means with k DERIVED
+    * from the corpus size by the same integer rule as
+    * `Similarity.semdedupK` (max(8, ceil-div(count, 128)) — a scalar
+    * subquery, so the one static SQL string adapts to any scale
+    * factor), nearest-centroid assignment, exact within-cluster cosine
+    * pairs at 0.999, recursive-CTE components, per-cluster
+    * member/dropped counts — the exact `DataOps.e02` dataflow, every
+    * stage replicated including the k derivation.
     */
   val e02: String = {
     val (it1, cfin) = kmeansIterCtesGen("ek", 1, "cents0", "n", 64)
@@ -307,8 +310,11 @@ object DuckSketchSql {
        |n AS (SELECT vec_id, fv,
        |        CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq
        |      FROM f),
+       |kk AS (SELECT greatest(8, (count(*) + 127) // 128) AS k FROM n),
        |cents0 AS (SELECT vec_id AS centroid_id, fv AS centv, nsq AS centn
-       |           FROM n ORDER BY vec_id LIMIT 8),
+       |           FROM (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn
+       |                 FROM n) t
+       |           WHERE rn <= (SELECT k FROM kk)),
        |$it1,
        |asg0 AS (SELECT c.vec_id AS cand_id, c.fv, c.nsq, ct.centroid_id,
        |           ${cosineSql("c.fv", "ct.centv", "c.nsq", "ct.centn")} AS c_cos

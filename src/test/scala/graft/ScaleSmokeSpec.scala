@@ -66,6 +66,43 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(picks == (1L to 100L))
   }
 
+  test("SemDeDup derived k bounds the within-cluster pair scan as n grows") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    // the rule itself is pure: k ∝ n (10M → 78125 clusters, never 8)
+    assert(Similarity.semdedupK(1000L) == 8)
+    assert(Similarity.semdedupK(100000L) == 782)
+    assert(Similarity.semdedupK(10000000L) == 78125)
+    // 100k hash-uniform fixed vectors through the REAL e02 clustering
+    // path (same trainer + assignment); the quadratic-killer assertion
+    // is on Σ cᵢ² — the exact number of within-cluster pairs scanned
+    val n = 100000L
+    val cand = spark.range(n).select($"id".as("cand_id"),
+        transform(sequence(lit(0), lit(7)),
+          d => ($"id" * 2654435761L + d.cast("long") * 40503L) % 1000L - 500L)
+          .as("cv"))
+      .withColumn("cn", Similarity.normSqFixed($"cv"))
+      .persist()
+    val k = Similarity.semdedupK(n)
+    val cents = Similarity.kmeansCentroidsFixed(cand, k, iters = 1)
+    val agg = cand.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Similarity.cosineFromFixed(
+        Similarity.dotFixed($"cv", $"centv"), $"cn", $"centn"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cand_id")
+          .orderBy($"c_cos".desc, $"centroid_id")))
+      .filter($"r" === 1)
+      .groupBy($"centroid_id").agg(count(lit(1)).as("c"))
+      .agg(sum($"c").as("n"), sum($"c" * $"c").as("pair_work")).head()
+    cand.unpersist()
+    assert(agg.getLong(0) == n) // every vector assigned exactly once
+    // Σ cᵢ² ≤ n · 32·target: a FIXED k = 8 would give Σ cᵢ² ≈ n²/8 =
+    // n · 12500, three times past this bound — derived k keeps the
+    // pair scan linear in n at constant target cluster size
+    assert(agg.getLong(1) <= n * 32 * 128, s"pair work ${agg.getLong(1)}")
+  }
+
   test("histogram quantile brackets at 10M rows contain the analytic percentiles") {
     import spark.implicits._
     // measure = id over 0..n-1: the k-th smallest is k-1, so the exact
