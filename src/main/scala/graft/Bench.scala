@@ -30,6 +30,7 @@ object Bench {
     // recomputed) can never strand a consumer. Do not hoist query
     // results across iterations without revisiting this.
     def dropCached(): Unit = {
+      QueryCaches.releaseAll() // drain the registry, not just the blocks
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.QueryCaches.CacheOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -474,10 +475,10 @@ object Similarity {
                          candidates: DataFrame): (DataFrame, DataFrame) = {
     val cand = candidates.select(col("id").as("cand_id"), fixedVec(col("vec")).as("cv"))
       .withColumn("cn", normSqFixed(col("cv")))
-      .persist()
+      .persistScoped()
     val q = queries.select(col("id").as("query_id"), fixedVec(col("vec")).as("qv"))
       .withColumn("qn", normSqFixed(col("qv")))
-      .persist()
+      .persistScoped()
     (cand, q)
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryCaches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
@@ -52,7 +53,7 @@ object CorpusOps {
     graft.functions.NativeExprs.ensureRegistered(spark)
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
-      .persist()
+      .persistScoped()
     val g2 = TextOps.wordNgramsAll($"toks", 2)
     val base = docs.select($"doc_id", size($"toks").cast("long").as("n_tokens"),
       gf.dround(TextOps.dupNgramFrac(g2), 4).as("dup_2gram_frac"))
@@ -231,7 +232,7 @@ object CorpusOps {
       .select(explode(TextOps.tokens(TextOps.normalize($"text"))).as("token"))
       .filter(length($"token") >= 4)
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
-      .persist() // plants anti-join + union both read it
+      .persistScoped() // plants anti-join + union both read it
     val plants = vocab.filter(length($"token") >= 5)
       .select($"token".substr(lit(1), length($"token") - 1).as("token"))
       .distinct()

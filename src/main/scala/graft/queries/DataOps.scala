@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryCaches.CacheOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
@@ -92,7 +93,7 @@ object DataOps {
     val sigs = all
       .withColumn("sig", call_function("graft_minhash32_w3",
         TextOps.tokens(col("norm"))))
-      .persist()
+      .persistScoped()
     val pairs = Dedup.lshCandidatePairsWithSigs(sigs, col("doc_id"), col("sig"), 8, 4)
     val est = pairs
       .join(sigs.select(col("doc_id").as("id_a"), col("lang")), Seq("id_a"))
@@ -120,7 +121,7 @@ object DataOps {
     // join (self-join aliasing defeats exchange reuse)
     val hashed = all.withColumn("sim",
       call_function("graft_simhash64", TextOps.tokens(col("norm"))))
-      .persist()
+      .persistScoped()
     val pairs = Dedup.simHashPairs(hashed, col("doc_id"), col("sim"), maxDist = 3)
     pairs
       .join(hashed.select(col("doc_id").as("id_a"), col("lang")), Seq("id_a"))
@@ -156,7 +157,7 @@ object DataOps {
     // persist: both fingerprint-join sides read the exploded winnow rows
     val fps = all.select(col("doc_id"), col("lang"),
         explode(call_function("graft_winnow", col("norm"))).as("fp"))
-      .persist()
+      .persistScoped()
     val a = fps.select(col("doc_id").as("id_a"), col("lang"), col("fp"))
     val b = fps.select(col("doc_id").as("id_b"), col("fp"))
     a.join(b, Seq("fp"))
@@ -644,7 +645,7 @@ object DataOps {
     val cand = all.select(col("vec_id").as("cand_id"),
         Similarity.fixedVec(col("ve")).as("cv"))
       .withColumn("cn", Similarity.normSqFixed(col("cv")))
-      .persist()
+      .persistScoped()
     val cents = Similarity.kmeansCentroidsFixed(cand,
       k = Similarity.semdedupK(cand.count()), iters = 1)
     val assigned = cand.crossJoin(broadcast(cents))
@@ -654,7 +655,7 @@ object DataOps {
         .orderBy(col("c_cos").desc, col("centroid_id"))))
       .filter(col("r") === 1)
       .select(col("centroid_id"), col("cand_id"), col("cv"), col("cn"))
-      .persist() // both pair sides + the final stats read it
+      .persistScoped() // both pair sides + the final stats read it
     val pairs = assigned.as("l").join(assigned.as("m"),
         col("l.centroid_id") === col("m.centroid_id") &&
           col("l.cand_id") < col("m.cand_id"))
@@ -683,7 +684,7 @@ object DataOps {
       transform(col("ve"), x => x * 1.001).as("ve")))
     val f = all.select(col("vec_id"), Similarity.fixedVec(col("ve")).as("fv"))
       .withColumn("nsq", Similarity.normSqFixed(col("fv")))
-      .persist() // feeds candidate gen + both verify joins
+      .persistScoped() // feeds candidate gen + both verify joins
     // Candidate generation: OR-amplified hyperplane LSH (4 tables × 16
     // planes) — an equi-join on (table, bucket), never all-pairs. At the
     // 0.999 threshold boundary recall is ≥ 99.8%; the planted scaled

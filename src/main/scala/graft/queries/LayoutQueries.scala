@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryCaches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
@@ -42,7 +43,7 @@ object LayoutQueries {
     val bloom = BloomPrune.build(cust, "c_custkey")
     val passed = BloomPrune.prune(orders, "o_custkey", bloom)
       .withColumn("year", year($"o_orderdate").cast("int"))
-      .persist() // both the pass-count and the exact branch read it
+      .persistScoped() // both the pass-count and the exact branch read it
     val passAgg = passed.groupBy($"year").agg(count(lit(1)).as("n_bloom_pass"))
     val exact = passed
       .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left_semi")

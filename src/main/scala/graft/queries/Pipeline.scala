@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryCaches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
@@ -40,7 +41,7 @@ object Pipeline {
     // a corpus run would materialize between stages)
     val exact = Dedup.exact(d, col("doc_id"),
       concat(col("lang"), lit("|"), TextOps.fingerprint(col("norm"))))
-      .persist()
+      .persistScoped()
 
     // 2a. signatures via the FUSED shingle-minhash expression — no
     // shingle strings materialize at signature time; persisted because
@@ -49,7 +50,7 @@ object Pipeline {
     val sigs = exact.select(col("doc_id"),
         call_function("graft_minhash32_w3",
           TextOps.tokens(col("norm"))).as("sig"))
-      .persist()
+      .persistScoped()
     val cand = Dedup.lshCandidatePairs(sigs, col("doc_id"), col("sig"), 8, 4)
 
     // 2b. exact verification of every candidate (sketches only GENERATE)
@@ -62,7 +63,7 @@ object Pipeline {
       .join(exact.select(col("doc_id"), col("lang"), col("norm")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
         TextOps.wordShingles(TextOps.tokens(col("norm")), 3).as("sh"))
-      .persist() // both verification sides
+      .persistScoped() // both verification sides
     val verified = cand
       .join(candDocs.select(col("doc_id").as("id_a"), col("lang").as("la"), col("sh").as("sa")), Seq("id_a"))
       .join(candDocs.select(col("doc_id").as("id_b"), col("lang").as("lb"), col("sh").as("sb")), Seq("id_b"))

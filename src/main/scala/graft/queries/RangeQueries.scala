@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryCaches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
@@ -58,7 +59,7 @@ object RangeQueries {
     val sess = graft.streaming.Sessionize.sessionizeBatch(ev, 30).toDF()
       .select($"user_id", unix_timestamp($"session_start").as("lo"),
         unix_timestamp($"session_end").as("hi"))
-      .persist()
+      .persistScoped()
     val a = sess.select($"user_id".as("user_a"), $"lo".as("a_lo"), $"hi".as("a_hi"))
     val b = sess.select($"user_id".as("user_b"), $"lo".as("b_lo"), $"hi".as("b_hi"))
     RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",

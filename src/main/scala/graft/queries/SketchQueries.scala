@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryCaches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
@@ -80,7 +81,7 @@ object SketchQueries {
     graft.functions.NativeExprs.ensureRegistered(spark)
     val toks = Tables.load(spark, dir, "documents")
       .select(explode(TextOps.tokens(TextOps.normalize($"text"))).as("token"))
-      .persist() // counters + exact counts both read the tokenized scan
+      .persistScoped() // counters + exact counts both read the tokenized scan
     val counters = CountMin.build(toks, "token")
     val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
       .orderBy($"exact_cnt".desc, $"token").limit(20)
