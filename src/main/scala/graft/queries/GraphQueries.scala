@@ -50,26 +50,88 @@ object GraphQueries {
     */
   def g02(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.load(spark, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
-        $"l_partkey".as("pk"))
-    val x = li.as("x"); val y = li.as("y")
-    val adj = x.join(y, col("x.ok") === col("y.ok") &&
-        col("y.ln") === col("x.ln") + 1)
-      .filter(col("x.pk") =!= col("y.pk"))
-      .select(least(col("x.pk"), col("y.pk")).as("a"),
-        greatest(col("x.pk"), col("y.pk")).as("b"))
-      .distinct()
-    Graph.triangles(adj)
+    Graph.triangles(partAdjacency(spark, dir))
       .select(explode(array($"x", $"y", $"z")).as("part"))
       .groupBy($"part").agg(count(lit(1)).as("n_triangles"))
       .orderBy($"n_triangles".desc, $"part")
       .limit(25)
   }
 
+  /** The g02/g04 co-occurrence adjacency: parts adjacent by line number
+    * within an order (linear in lineitem), canonical a < b, distinct.
+    */
+  private def partAdjacency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))
+    val x = li.as("x"); val y = li.as("y")
+    x.join(y, col("x.ok") === col("y.ok") &&
+        col("y.ln") === col("x.ln") + 1)
+      .filter(col("x.pk") =!= col("y.pk"))
+      .select(least(col("x.pk"), col("y.pk")).as("a"),
+        greatest(col("x.pk"), col("y.pk")).as("b"))
+      .distinct()
+  }
+
+  /** g03 — connected components DIRECTLY driver-oracled (previously
+    * validated only inside e01/e02): a planted graph of ten ~50-node
+    * chains (diameter ~50, forcing several pointer-doubling rounds —
+    * a single-hop propagation would fail the oracle) plus planted
+    * self-loop isolates (the coalesce-no-neighbor path), labeled by
+    * [[graft.operators.Dedup.clusterPairs]] and hash-checked against a
+    * DuckDB recursive-CTE reachability oracle — two different
+    * algorithms, one hash.
+    */
+  def g03(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.load(spark, dir, "orders")
+      .orderBy(col("o_orderkey")).limit(500)
+      .select(col("o_orderkey").as("id"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+    val chains = ids.withColumn("grp", col("id") % 10)
+      .withColumn("nxt", lead(col("id"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("id").as("id_a"), col("nxt").as("id_b"))
+    val isolates = ids.orderBy(col("id")).limit(20)
+      .select((col("id") + 2000000L).as("id_a"),
+        (col("id") + 2000000L).as("id_b"))
+    graft.operators.Dedup.clusterPairs(chains.unionByName(isolates))
+      .orderBy(col("id"))
+  }
+
+  /** g04 — local clustering coefficient on g02's adjacency: for each
+    * part with degree ≥ 2, coeff = 2·tri / (deg·(deg−1)) — triangle
+    * count from the degree-oriented wedge join ([[Graph.triangles]]),
+    * degree from the symmetric adjacency, both exact integers; the
+    * single double division is one correctly-rounded op in both
+    * engines, then dround(4). Completes the graph family by reusing
+    * the oriented-edge machinery (triangles per node were already
+    * computed for g02 — this grades them against each node's possible
+    * wedge count).
+    */
+  def g04(spark: SparkSession, dir: String): DataFrame = {
+    val adj = partAdjacency(spark, dir).localCheckpoint() // feeds deg + triangles
+    val deg = adj.select(col("a").as("part"))
+      .unionByName(adj.select(col("b").as("part")))
+      .groupBy(col("part")).agg(count(lit(1)).as("deg"))
+    val tri = Graph.triangles(adj)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("part"), "left")
+      .select(col("part"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        graft.functions.gf.dround(
+          (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double")
+            / (col("deg") * (col("deg") - 1)), 4).as("clustering_coeff"))
+      .orderBy(col("part"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> g01,
-    "g02_triangles" -> g02
+    "g02_triangles" -> g02,
+    "g03_components" -> g03,
+    "g04_clustering_coeff" -> g04
   )
 
   /** 3 unrolled PageRank iterations; all arithmetic mirrors
@@ -118,6 +180,54 @@ object GraphQueries {
         |  UNION ALL SELECT z FROM tri)
         |SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1
-        |ORDER BY n_triangles DESC, part LIMIT 25""".stripMargin
+        |ORDER BY n_triangles DESC, part LIMIT 25""".stripMargin,
+    "g03_components" ->
+      """WITH RECURSIVE
+        |o AS (SELECT o_orderkey AS id FROM
+        |        (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500)),
+        |c AS (SELECT id,
+        |        lead(id) OVER (PARTITION BY id % 10 ORDER BY id) AS nxt
+        |      FROM o),
+        |e0 AS (SELECT id AS ia, nxt AS ib FROM c WHERE nxt IS NOT NULL
+        |       UNION ALL
+        |       SELECT id + 2000000, id + 2000000 FROM
+        |         (SELECT id FROM o ORDER BY id LIMIT 20)),
+        |edges AS (SELECT ia AS s, ib AS d FROM e0
+        |          UNION ALL SELECT ib, ia FROM e0),
+        |reach AS (SELECT s AS id, s AS lab FROM edges
+        |          UNION
+        |          SELECT e.d, reach.lab FROM reach JOIN edges e ON reach.id = e.s)
+        |SELECT id, CAST(min(lab) AS BIGINT) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "g04_clustering_coeff" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk
+        |  FROM lineitem),
+        |adj AS (
+        |  SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND y.ln = x.ln + 1
+        |  WHERE x.pk <> y.pk),
+        |deg AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS part FROM adj UNION ALL SELECT b FROM adj)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        |  FROM adj ab
+        |  JOIN adj bc ON ab.b = bc.a
+        |  JOIN adj ac ON ac.a = ab.a AND ac.b = bc.b),
+        |tn AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT x AS part FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.part, d.deg,
+        |  coalesce(tn.n_triangles, 0) AS n_triangles,
+        |  round(CAST(2 * coalesce(tn.n_triangles, 0) AS DOUBLE)
+        |    / (d.deg * (d.deg - 1)), 4) AS clustering_coeff
+        |FROM deg d LEFT JOIN tn ON d.part = tn.part
+        |WHERE d.deg >= 2
+        |ORDER BY d.part""".stripMargin
   )
 }
