@@ -153,6 +153,50 @@ object StreamingQueries {
       .orderBy(col("topic"), col("event_id"))
   }
 
+  /** q48 — the LIVE streaming funnel, driver-oracled: events are
+    * replayed as files through [[graft.streaming.FunnelStream
+    * .funnelStream]] — a REAL `flatMapGroupsWithState` execution
+    * (append mode, event-time timeouts) under `Trigger.AvailableNow`
+    * into a memory sink — and the emitted (user, stage, ts) records
+    * are compared to q43's funnel SQL melted to the same shape. A
+    * far-future sentinel rides a SECOND file (later mod time) with
+    * `maxFilesPerTrigger=1`, so the watermark advances across
+    * micro-batches exactly as on a live stream and the final
+    * no-data batch flushes every candidate-wake timeout; the sentinel
+    * user is filtered from the output. Replay dir is sf-keyed (the
+    * q46 fixture-race lesson).
+    */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.model.Schemas.Event
+    import graft.sources.KafkaSource
+    import graft.streaming.FunnelStream
+    val stages = Seq("signup", "view", "click", "purchase")
+    val ev = events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    val replay = s"/root/repo/target/q48_replay-${new java.io.File(dir).getName}"
+    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    ev.agg(max(col("ts")).as("mx"))
+      .select((col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
+        lit(stages.head).as("event_type"), lit(-1L).as("user_id"),
+        lit(0.0).as("value"))
+      .coalesce(1).write.mode("append").parquet(replay)
+    val stream = spark.readStream.schema(KafkaSource.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(replay).as[Event]
+    val sink = s"q48_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-q48").toString
+    val q = FunnelStream.funnelStream(stream, stages).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("stage"),
+        unix_micros(col("stage_ts")).as("stage_us"))
+      .orderBy(col("user_id"), col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_window_vs_baseline" -> q16,
     "q17_sliding_trend" -> q17,
@@ -160,6 +204,7 @@ object StreamingQueries {
     "q19_demux_window_join" -> q19,
     "q20_rank_anomaly" -> q20,
     "q41_stream_interval_join" -> q41,
+    "q48_funnel_stream" -> q48,
     "q42_json_decode" -> q42)
 
   private val vCents = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
@@ -183,6 +228,29 @@ object StreamingQueries {
        |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q48_funnel_stream" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t3
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |m AS (
+        |  SELECT user_id, 0 AS stage, t1 AS st FROM s1
+        |  UNION ALL SELECT user_id, 1, t2 FROM s2
+        |  UNION ALL SELECT user_id, 2, t3 FROM s3
+        |  UNION ALL SELECT user_id, 3, t4 FROM s4)
+        |SELECT user_id, CAST(stage AS INT) AS stage, epoch_us(st) AS stage_us
+        |FROM m ORDER BY user_id, stage""".stripMargin,
     "q16_window_vs_baseline" ->
       s"""WITH $hourlyCte,
          |$baselineCte

@@ -59,6 +59,64 @@ object KafkaSource {
       .load()
   }
 
+  /** Broker-free behavioral stand-in for the remaining S5 option
+    * surface, driven over connector-shaped parquet records
+    * ([[kafkaRecordSchema]]) — the options previously covered only at
+    * compile level get REAL semantics here:
+    *
+    *   - `failOnDataLoss`: the connector's data-loss contract. A gap
+    *     in a (topic, partition)'s offset sequence means records aged
+    *     out between runs; `true` throws `IllegalStateException`
+    *     naming the first gapped partition BEFORE any batch runs,
+    *     `false` is the connector's log-and-continue mode. The check
+    *     is one tiny aggregate (per-partition min/max/count) — its
+    *     1-row `take` is a scalar result, not a driver-side data loop.
+    *   - `maxOffsetsPerTrigger`: the replay is re-bucketed into files
+    *     of at most `max` records (ordered by topic, partition,
+    *     offset) and streamed with `maxFilesPerTrigger = 1`, so every
+    *     micro-batch carries at most `max` offsets — the connector's
+    *     rate-limit shape, observable batch by batch. The global
+    *     ordering window is emulation-only cost on a bounded replay
+    *     (a real connector slices offset RANGES per partition).
+    *
+    * Returns a STREAMING frame of connector-shaped records; compose
+    * with [[parseJson]] exactly like the broker path.
+    */
+  def replayStream(spark: SparkSession, srcDir: String,
+                   maxOffsetsPerTrigger: Option[Long] = None,
+                   failOnDataLoss: Boolean = true): DataFrame = {
+    val raw = spark.read.schema(kafkaRecordSchema).parquet(srcDir)
+    if (failOnDataLoss) {
+      val gap = raw.groupBy(col("topic"), col("partition"))
+        .agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"),
+          countDistinct(col("offset")).as("n"))
+        .filter(col("hi") - col("lo") + 1 =!= col("n"))
+        .orderBy(col("topic"), col("partition"))
+        .take(1)
+      gap.headOption.foreach { g =>
+        throw new IllegalStateException(
+          s"offset gap in topic=${g.getString(0)} partition=${g.getInt(1)}: " +
+            s"range [${g.getLong(2)}, ${g.getLong(3)}] holds only ${g.getLong(4)} " +
+            "offsets (failOnDataLoss=true)")
+      }
+    }
+    val streamDir = maxOffsetsPerTrigger match {
+      case Some(m) =>
+        require(m > 0, "need maxOffsetsPerTrigger > 0")
+        import org.apache.spark.sql.expressions.Window
+        val sliced = srcDir.stripSuffix("/") + "-sliced"
+        val w = Window.orderBy(col("topic"), col("partition"), col("offset"))
+        raw.withColumn("slice",
+            floor((row_number().over(w) - 1).cast("long") / m))
+          .write.mode("overwrite").partitionBy("slice").parquet(sliced)
+        s"$sliced/slice=*"
+      case None => srcDir
+    }
+    spark.readStream.schema(kafkaRecordSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+  }
+
   /** S7: decode the Kafka `value` bytes as JSON and flatten; keeps
     * `topic` for multi-topic demux. Works on any frame with
     * (`value`, `topic`) columns — batch or streaming. `keep` names

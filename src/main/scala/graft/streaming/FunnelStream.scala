@@ -43,8 +43,20 @@ object FunnelStream {
 
   /** finalized: chosen time per completed stage prefix;
     * pending: (ts, stageIdx) events still above the watermark.
+    * All times are epoch MICROS — `Timestamp.getTime` alone would
+    * truncate sub-millisecond event times and re-emit rounded stage
+    * timestamps (the q48 oracle compares exact micros).
     */
   case class FunnelState(finalized: Vector[Long], pending: Vector[(Long, Int)])
+
+  private def toMicros(t: Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming path. `stages` maps `event_type` values to funnel order;
     * events of other types are filtered out before the shuffle.
@@ -61,9 +73,12 @@ object FunnelStream {
       .flatMapGroupsWithState[FunnelState, StageHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
-          val incoming = it.map(e => (e.ts.getTime, stageIdx(e.event_type))).toVector
+          val incoming = it.map(e => (toMicros(e.ts), stageIdx(e.event_type))).toVector
           val st = state.getOption.getOrElse(FunnelState(Vector.empty, Vector.empty))
-          val wm = state.getCurrentWatermarkMs()
+          val wmMs = state.getCurrentWatermarkMs()
+          // watermark is millis; comparing in micros only DELAYS
+          // finality for a sub-ms sliver (t ≤ wmUs ⇒ t ≤ wm) — sound
+          val wmUs = wmMs * 1000L
           val buf = st.pending ++ incoming
           var fin = st.finalized
           val emitted = Vector.newBuilder[StageHit]
@@ -75,9 +90,9 @@ object FunnelStream {
               .filter(x => x._2 == k && x._1 > prev).map(_._1)
               .minOption
             cand match {
-              case Some(t) if t <= wm =>
+              case Some(t) if t <= wmUs =>
                 fin = fin :+ t
-                emitted += StageHit(userId, k, new Timestamp(t))
+                emitted += StageHit(userId, k, fromMicros(t))
               case _ => stalled = true
             }
           }
@@ -85,7 +100,7 @@ object FunnelStream {
           if (fin.length == stages.length) {
             state.remove() // complete chain: nothing can change it
           } else {
-            val keep = buf.filter(_._1 > wm) // see scaladoc proof
+            val keep = buf.filter(_._1 > wmUs) // see scaladoc proof
             // wake when the next candidate becomes finalizable
             val prev = if (fin.isEmpty) Long.MinValue else fin.last
             val nextWake = keep.iterator
@@ -102,7 +117,10 @@ object FunnelStream {
               // so a no-candidate stall can only be woken by events or by
               // this abandonment fallback — without it, state would be
               // retained forever for users who go silent mid-funnel.
-              state.setTimeoutTimestamp(nextWake.getOrElse(wm + abandonMs))
+              // Ceil micros→millis so the wake is strictly past the
+              // current watermark and covers the candidate when it fires.
+              state.setTimeoutTimestamp(
+                nextWake.map(t => (t + 999L) / 1000L).getOrElse(wmMs + abandonMs))
             }
           }
           emitted.result().iterator

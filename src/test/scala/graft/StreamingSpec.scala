@@ -253,6 +253,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(demux.filter(col("topic") === "errors").count() == 1)
   }
 
+  private def connectorRows(offsets: Seq[Long], topic: String = "clicks",
+                            partition: Int = 0): Seq[org.apache.spark.sql.Row] =
+    offsets.map { o =>
+      org.apache.spark.sql.Row(null,
+        s"""{"ts":"2024-03-01T10:00:00Z","event_type":"click","user_id":$o,"value":1.0}""".getBytes,
+        topic, partition, o, Timestamp.valueOf("2024-03-01 10:00:01"), 0)
+    }
+
+  test("S5: maxOffsetsPerTrigger emulation rate-limits each micro-batch") {
+    val srcDir = Files.createTempDirectory("replay-src").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(connectorRows(0L until 25L)),
+        KafkaSource.kafkaRecordSchema)
+      .write.mode("overwrite").parquet(srcDir)
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = KafkaSource.replayStream(spark, srcDir,
+        maxOffsetsPerTrigger = Some(10L)).writeStream
+      .option("checkpointLocation", Files.createTempDirectory("replay-ck").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches += df.select("offset").collect().map(_.getLong(0)).toSeq; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size == 3, s"expected ceil(25/10)=3 batches: $nonEmpty")
+    assert(nonEmpty.forall(_.size <= 10), "a micro-batch exceeded the offset cap")
+    assert(nonEmpty.flatten.sorted == (0L until 25L)) // nothing lost or duplicated
+  }
+
+  test("S5: failOnDataLoss=true throws naming the offset gap; false proceeds") {
+    val srcDir = Files.createTempDirectory("replay-gap").toString
+    // offsets 0..9 and 15..19: records 10..14 aged out — a data-loss gap
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          connectorRows((0L until 10L) ++ (15L until 20L), partition = 2)),
+        KafkaSource.kafkaRecordSchema)
+      .write.mode("overwrite").parquet(srcDir)
+    val ex = intercept[IllegalStateException] {
+      KafkaSource.replayStream(spark, srcDir, failOnDataLoss = true)
+    }
+    assert(ex.getMessage.contains("clicks") && ex.getMessage.contains("partition=2"))
+    // log-and-continue mode: the surviving 15 records all arrive
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = KafkaSource.replayStream(spark, srcDir, failOnDataLoss = false)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("replay-ck2").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= df.select("offset").collect().map(_.getLong(0)); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(out.sorted.toSeq == ((0L until 10L) ++ (15L until 20L)))
+  }
+
   /** T6: the contract Kafka-source wiring would rely on (offsets +
     * commit log in the checkpoint; a committed batch is never
     * re-delivered, an uncommitted one is): crash AFTER batch 0 commits
