@@ -248,6 +248,48 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average hash (aHash) of a decoded image as a 64-char bit
+    * string: nearest-neighbor downsample to 8×8 (same integer sample
+    * map as [[resize]]), per-pixel gray = r+g+b (division-free), bit =
+    * gray > floor(mean) — the classic perceptual near-dup fingerprint,
+    * here in fully integer form so an oracle with no image library can
+    * recompute it from the source pixels. The bit-string (not a packed
+    * int64) sidesteps sign-bit overflow in SQL engines.
+    */
+  def aHashBits(img: BufferedImage): String = {
+    val gray = new Array[Long](64)
+    var sum = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * img.getHeight / 8
+      var x = 0
+      while (x < 8) {
+        val rgb = img.getRGB(x * img.getWidth / 8, sy) & 0xFFFFFF
+        val g = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        gray(y * 8 + x) = g
+        sum += g
+        x += 1
+      }
+      y += 1
+    }
+    val mean = sum / 64
+    val sb = new StringBuilder(64)
+    gray.foreach(g => sb.append(if (g > mean) '1' else '0'))
+    sb.toString
+  }
+
+  /** Perceptual hashes for PNG media — REAL decode per record, then
+    * [[aHashBits]]. Output: (media_id, ahash). Grouping on the hash is
+    * image-content dedup: byte-identical payloads are unnecessary —
+    * any encodings of the same (or near-same) pixels collide.
+    */
+  def perceptualHash(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map(r => (r.media_id, aHashBits(decodePng(r.content))))
+    }.toDF("media_id", "ahash")
+  }
+
   /** Wrap a text table into media records (UTF-8 bytes as the payload) —
     * lets the binary pipeline be driven by the documents testdata.
     */

@@ -242,7 +242,26 @@ object CorpusOps {
       .orderBy($"token_a", $"token_b")
   }
 
+  /** c11 — training-sequence packing ([[graft.operators.Packing]]):
+    * documents packed next-fit into 128-token context windows across 8
+    * independent shards (doc_id % 8), visiting each shard in
+    * (token-length DESC, doc_id) order. One repartition + one
+    * partition-local sort + a single sequential scan per shard — the
+    * industrial per-worker packing shape. The ORACLE replays the
+    * identical sequential rule as a per-shard recursive CTE (all
+    * shards advance in lockstep), so every (doc → shard, bin, offset)
+    * assignment is hash-checked, not just bin counts.
+    */
+  def c11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokenCount($"text").cast("long").as("n_tokens"))
+    graft.operators.Packing.nextFitPack(d, capacity = 128, numShards = 8)
+      .toDF().orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_sequence_packing" -> c11,
     "c01_decontaminate" -> c01,
     "c02_repetition_filter" -> c02,
     "c03_stratified_sample" -> c03,
@@ -258,6 +277,34 @@ object CorpusOps {
   // whole-text shingle — mirrored by greatest(len(toks)-(n-2), 2) range
   // bounds + DuckDB list-slice clamping (the proven d04 pattern).
   val oracles: Map[String, String] = Map(
+    "c11_sequence_packing" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard
+        |    ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM d),
+        |pk AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS start_tok
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  -- next-fit step: used = start + len of the previous doc; open
+        |  -- a new bin iff the bin is non-empty and this doc overflows
+        |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+        |    CASE WHEN pk.start_tok + pk.n_tokens > 0
+        |              AND pk.start_tok + pk.n_tokens + r.n_tokens > 128
+        |         THEN pk.bin + 1 ELSE pk.bin END,
+        |    CASE WHEN pk.start_tok + pk.n_tokens > 0
+        |              AND pk.start_tok + pk.n_tokens + r.n_tokens > 128
+        |         THEN 0 ELSE pk.start_tok + pk.n_tokens END
+        |  FROM pk JOIN r ON r.shard = pk.shard AND r.rn = pk.rn + 1)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, start_tok, n_tokens
+        |FROM pk ORDER BY doc_id""".stripMargin,
     "c01_decontaminate" ->
       s"""WITH n AS (
          |  SELECT doc_id, $normSql AS norm FROM documents),

@@ -372,6 +372,31 @@ object DataOps {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** m04 — image-content dedup by perceptual hash: PNGs are generated
+    * from the pixel formula keyed on `doc_id % 97` (so ids sharing a
+    * residue render IDENTICAL images — planted duplicate groups),
+    * REALLY decoded, aHashed ([[Multimodal.aHashBits]]: NN 8×8
+    * downsample, integer gray, mean threshold), and grouped on the
+    * hash — dedup on decoded CONTENT, which byte-level fingerprints
+    * cannot do across re-encodings. The oracle recomputes every hash
+    * bit from the formula through the same integer sample map and
+    * groups identically. One hash-agg; at 100 TB this is a scan +
+    * per-row decode + one shuffle on a 64-char key.
+    */
+  def m04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val e = id % 97
+      val (w, h) = (Multimodal.synthWidth(e), Multimodal.synthHeight(e))
+      Multimodal.MediaRecord(id, Multimodal.PngKind,
+        Multimodal.syntheticPng(e, w, h), w, h, 0)
+    }
+    Multimodal.perceptualHash(media)
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_members"), min(col("media_id")).as("rep_id"))
+      .orderBy(col("ahash"))
+  }
+
   /** s03 — IVF ANN (coarse-quantize to inverted lists, probe 4 of 16
     * centroids, exact re-rank). Hash-checked against
     * [[DuckSketchSql.s03]]; recall vs s01 in DataOpsSpec.
@@ -736,6 +761,7 @@ object DataOps {
     "m01_media_features" -> m01,
     "m02_media_resize" -> m02,
     "m03_video_frames" -> m03,
+    "m04_image_dedup" -> m04,
     "t05_pii_redact" -> t05,
     "q29_sessionize" -> q29,
     "q30_salted_agg" -> q30,
@@ -992,6 +1018,29 @@ object DataOps {
         |    AS px_checksum
         |FROM v GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
+    "m04_image_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, doc_id % 97 AS e FROM documents),
+        |dm AS (SELECT media_id, e, 4 + e % 8 AS w, 3 + e % 5 AS h FROM d),
+        |ys AS (SELECT media_id, e, w, h, unnest(range(0, 8)) AS y FROM dm),
+        |px AS (SELECT media_id, e, w, h, y, unnest(range(0, 8)) AS x FROM ys),
+        |g AS (
+        |  -- gray = r+g+b of the formula pixel at the NN 8x8 sample map
+        |  SELECT media_id, x, y,
+        |      (e * 7 + ((x * w) // 8) * 3 + ((y * h) // 8) * 5) % 256
+        |    + (e * 11 + ((x * w) // 8) + ((y * h) // 8) * 2) % 256
+        |    + (e * 3 + ((x * w) // 8) * ((y * h) // 8)) % 256 AS gray
+        |  FROM px),
+        |mn AS (SELECT media_id, CAST(sum(gray) // 64 AS BIGINT) AS mean
+        |       FROM g GROUP BY 1),
+        |b AS (
+        |  SELECT g.media_id,
+        |    string_agg(CASE WHEN gray > mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY y, x) AS ahash
+        |  FROM g JOIN mn ON g.media_id = mn.media_id GROUP BY 1)
+        |SELECT ahash, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(min(media_id) AS BIGINT) AS rep_id
+        |FROM b GROUP BY 1 ORDER BY ahash""".stripMargin,
     "m03_video_frames" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id, 2 + doc_id % 3 AS nf FROM documents),
