@@ -3,6 +3,7 @@ package graft.operators
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -288,6 +289,80 @@ object Multimodal {
     records.mapPartitions { it =>
       it.map(r => (r.media_id, aHashBits(decodePng(r.content))))
     }.toDF("media_id", "ahash")
+  }
+
+  val WavKind = "audio/wav"
+
+  /** Closed-form 16-bit PCM sample formula — the audio analog of the
+    * pixel formula: full-range, nonnegative mod, oracle-replicable.
+    */
+  def sampleAt(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7) % 65536) - 32768).toInt
+
+  /** Render `n` formula samples as a REAL WAV file (RIFF container,
+    * 16-bit signed little-endian mono PCM) via `javax.sound.sampled` —
+    * like `ImageIO`, in the JDK, zero external jars. PCM in a WAV is
+    * lossless, so decoded samples equal the formula exactly.
+    */
+  def syntheticWav(id: Long, n: Int, rate: Float = 8000f): Array[Byte] = {
+    val bytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(id, i)
+      bytes(2 * i) = (s & 0xFF).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** documents → real WAV media records (`400 + id % 100` samples). */
+  def wavFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (400 + id % 100).toInt
+      MediaRecord(id, WavKind, syntheticWav(id, n), 0, 0, 8000)
+    }
+  }
+
+  /** Exact integer stats of a decoded audio payload. */
+  case class AudioFeatures(media_id: Long, n_samples: Long, sample_rate: Int,
+                           s_sum: Long, s_min: Long, s_max: Long,
+                           s_checksum: Long)
+
+  /** REAL audio decode + featurize: `AudioSystem.getAudioInputStream`
+    * parses the RIFF/WAV container (format taken from the DECODE, not
+    * the metadata), samples are reassembled from the little-endian
+    * PCM frames, and the stats are exact integers — sum, min, max,
+    * and a position-weighted checksum that pins sample ORDER
+    * (|Σ s·(i+1)| ≤ 32768·n² ≈ 2^43 at n=500 — safely int64).
+    */
+  def extractAudioFeatures(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.content))
+        val rate = ais.getFormat.getSampleRate.toInt
+        val bytes = ais.readAllBytes()
+        var (sum, ck) = (0L, 0L)
+        var (mn, mx) = (Long.MaxValue, Long.MinValue)
+        val n = bytes.length / 2
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          sum += s
+          ck += s * (i + 1)
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        AudioFeatures(r.media_id, n.toLong, rate, sum, mn, mx, ck)
+      }
+    }
   }
 
   /** Wrap a text table into media records (UTF-8 bytes as the payload) —

@@ -260,8 +260,46 @@ object CorpusOps {
       .toDF().orderBy($"doc_id")
   }
 
+  /** c12 — exact repeated-substring dedup (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * family, complementing the document-level d-series): every
+    * K=24-char window of the normalized text is a join key; a window
+    * occurring in ≥2 DISTINCT docs marks a duplicated span at every
+    * position it covers. Output per doc: window count, duplicated
+    * count, dup fraction, keep verdict. The enumeration IS the
+    * semantics (the oracle enumerates the identical substrings); the
+    * documented scale path swaps the 24-char key for a rolling 8-byte
+    * hash with exact verification of colliding windows only — the
+    * d02 sketch→verify economics — leaving the same one group-by
+    * shuffle as the only data movement.
+    */
+  def c12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 24
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.normalize($"text").as("norm"))
+      .filter(length($"norm") >= K)
+    val wins = d
+      .withColumn("i", explode(sequence(lit(1), length($"norm") - lit(K - 1))))
+      .select($"doc_id", expr(s"substring(norm, i, $K)").as("wkey"))
+    val dupKeys = wins.groupBy($"wkey")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"wkey", lit(1).as("dup"))
+    wins.join(dupKeys, Seq("wkey"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce($"dup", lit(0))).as("n_dup_windows"))
+      .select($"doc_id", $"n_windows", $"n_dup_windows",
+        gf.dround($"n_dup_windows".cast("double") / $"n_windows", 4)
+          .as("dup_frac"))
+      .withColumn("keep", $"dup_frac" < 0.5)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c11_sequence_packing" -> c11,
+    "c12_substring_dedup" -> c12,
     "c01_decontaminate" -> c01,
     "c02_repetition_filter" -> c02,
     "c03_stratified_sample" -> c03,
@@ -277,6 +315,26 @@ object CorpusOps {
   // whole-text shingle — mirrored by greatest(len(toks)-(n-2), 2) range
   // bounds + DuckDB list-slice clamping (the proven d04 pattern).
   val oracles: Map[String, String] = Map(
+    "c12_substring_dedup" ->
+      s"""WITH n0 AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |d AS (SELECT doc_id, norm FROM n0 WHERE length(norm) >= 24),
+         |ws AS (SELECT doc_id, norm,
+         |         unnest(range(1, length(norm) - 22)) AS i
+         |       FROM d),
+         |win AS (SELECT doc_id, substring(norm, CAST(i AS INT), 24) AS wkey
+         |        FROM ws),
+         |dk AS (SELECT wkey FROM (
+         |         SELECT wkey, count(DISTINCT doc_id) AS nd
+         |         FROM win GROUP BY 1) t
+         |       WHERE nd >= 2),
+         |f AS (SELECT win.doc_id,
+         |        CASE WHEN dk.wkey IS NOT NULL THEN 1 ELSE 0 END AS dup
+         |      FROM win LEFT JOIN dk ON win.wkey = dk.wkey)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup_windows,
+         |  round(CAST(sum(dup) AS DOUBLE) / count(*), 4) AS dup_frac,
+         |  round(CAST(sum(dup) AS DOUBLE) / count(*), 4) < 0.5 AS keep
+         |FROM f GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "c11_sequence_packing" ->
       """WITH RECURSIVE
         |d AS (

@@ -397,6 +397,20 @@ object DataOps {
       .orderBy(col("ahash"))
   }
 
+  /** m05 — REAL audio codec end-to-end: per doc_id a real WAV (RIFF,
+    * 16-bit PCM mono) is rendered from the closed-form sample formula
+    * via `javax.sound.sampled` (JDK-only, like ImageIO), then
+    * `extractAudioFeatures` decodes the container — sample rate from
+    * the decoded format, samples from the PCM frames — and emits
+    * exact integer stats. PCM is lossless, so the oracle verifies the
+    * decoded samples by recomputing the formula directly.
+    */
+  def m05(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.wavFromDocuments(spark, docs(spark, dir))
+    Multimodal.extractAudioFeatures(media).toDF()
+      .orderBy(col("media_id"))
+  }
+
   /** s03 — IVF ANN (coarse-quantize to inverted lists, probe 4 of 16
     * centroids, exact re-rank). Hash-checked against
     * [[DuckSketchSql.s03]]; recall vs s01 in DataOpsSpec.
@@ -762,6 +776,7 @@ object DataOps {
     "m02_media_resize" -> m02,
     "m03_video_frames" -> m03,
     "m04_image_dedup" -> m04,
+    "m05_audio_features" -> m05,
     "t05_pii_redact" -> t05,
     "q29_sessionize" -> q29,
     "q30_salted_agg" -> q30,
@@ -1018,6 +1033,21 @@ object DataOps {
         |    AS px_checksum
         |FROM v GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
+    "m05_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, 400 + doc_id % 100 AS n FROM documents),
+        |ss AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (
+        |  SELECT media_id, n, i,
+        |    ((media_id * 31 + i * 7) % 65536) - 32768 AS s
+        |  FROM ss)
+        |SELECT media_id, CAST(any_value(n) AS BIGINT) AS n_samples,
+        |  8000 AS sample_rate,
+        |  CAST(sum(s) AS BIGINT) AS s_sum,
+        |  CAST(min(s) AS BIGINT) AS s_min,
+        |  CAST(max(s) AS BIGINT) AS s_max,
+        |  CAST(sum(s * (i + 1)) AS BIGINT) AS s_checksum
+        |FROM v GROUP BY 1 ORDER BY media_id""".stripMargin,
     "m04_image_dedup" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id, doc_id % 97 AS e FROM documents),

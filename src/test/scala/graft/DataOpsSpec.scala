@@ -272,6 +272,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(same.width == 640 && same.content.length == 100)
   }
 
+  test("WAV codec: encode→decode roundtrip reproduces the PCM formula samples") {
+    import spark.implicits._
+    val docs = Seq((3L, "x"), (11L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.wavFromDocuments(spark, docs).collect()
+    // the payload really is a WAV (RIFF magic), not raw PCM
+    val wav = media.head.content
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val feats = Multimodal.extractAudioFeatures(media.toSeq.toDS())
+      .collect().sortBy(_.media_id)
+    for (f <- feats) {
+      val n = (400 + f.media_id % 100).toInt
+      assert(f.n_samples == n && f.sample_rate == 8000)
+      val samples = (0 until n).map(i => Multimodal.sampleAt(f.media_id, i).toLong)
+      assert(f.s_sum == samples.sum && f.s_min == samples.min && f.s_max == samples.max)
+      assert(f.s_checksum == samples.zipWithIndex.map { case (s, i) => s * (i + 1) }.sum)
+    }
+  }
+
   test("rawvideo frame sampling + channel stats decode the frames exactly") {
     import spark.implicits._
     val docs = Seq((7L, "x"), (8L, "y")).toDF("doc_id", "text")

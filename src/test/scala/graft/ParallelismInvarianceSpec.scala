@@ -32,7 +32,13 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // e02 clustered components; c08 bucketed global prefix sums;
     // g02 degree-oriented wedge enumeration
     "s07_residual_ivfpq", "e02_semantic_dedup", "c08_weighted_sample",
-    "g02_triangles")
+    "g02_triangles",
+    // round-6 additions: c11 sharded sequential packing (the repartition
+    // must make assignments independent of INPUT partitioning); c12
+    // substring-window dup counts; m04 decoded-pixel hashes; g03
+    // pointer-doubled components; g04 coefficient division
+    "c11_sequence_packing", "c12_substring_dedup", "m04_image_dedup",
+    "g03_components", "g04_clustering_coeff")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
