@@ -198,6 +198,36 @@ class DegenerateSpec extends AnyFunSuite {
     assert(got(4L) == Seq((0L, 49), (1L, 1))) // stride+1 → 1-token tail chunk
   }
 
+  test("packing: empty input, all-oversized docs, capacity-exact fits") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(graft.operators.Packing.nextFitPack(empty, 100L, 4).count() == 0)
+    // every doc oversized → one bin each, offsets all zero
+    val big = Seq((1L, 200L), (2L, 300L), (3L, 150L)).toDF("doc_id", "n_tokens")
+    val pb = graft.operators.Packing.nextFitPack(big, 100L, 1).collect()
+    assert(pb.map(_.bin).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(pb.forall(_.start_tok == 0L))
+    // exact fits: 100+100 must occupy two bins (cap is inclusive)
+    val fit = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("doc_id", "n_tokens")
+    val pf = graft.operators.Packing.nextFitPack(fit, 100L, 1).collect()
+    assert(pf.map(_.bin).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(pf.forall(_.start_tok == 0L))
+  }
+
+  test("substring windows: docs shorter than K produce no windows, not errors") {
+    import spark.implicits._
+    val K = 24
+    val d = Seq((1L, "short"), (2L, "x" * 23), (3L, "y" * 24), (4L, "z" * 25))
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.operators.TextOps.normalize($"text").as("norm"))
+      .filter(length($"norm") >= K)
+      .withColumn("i", explode(sequence(lit(1), length($"norm") - lit(K - 1))))
+      .select($"doc_id", expr(s"substring(norm, i, $K)").as("wkey"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(!d.contains(1L) && !d.contains(2L)) // below K: zero windows
+    assert(d(3L) == 1 && d(4L) == 2) // exactly K → 1 window; K+1 → 2
+  }
+
   test("percentile selection: single-row groups and k > bins stay exact") {
     import spark.implicits._
     val df = (Seq(("one", 42L)) ++ (0 until 7).map(i => ("few", i.toLong)))

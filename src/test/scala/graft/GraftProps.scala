@@ -189,4 +189,27 @@ object GraftProps extends Properties("graft") {
         got == expect
       }
     }
+
+  property("next-fit packing equals the sequential reference per shard") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 160L)), Gen.choose(1, 4)) { (lens, shards) =>
+      import spark.implicits._
+      val cap = 100L
+      val docs = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("doc_id", "n_tokens")
+      val got = graft.operators.Packing.nextFitPack(docs, cap, shards)
+        .collect().map(p => p.doc_id -> (p.shard, p.bin, p.start_tok)).toMap
+      // reference: plain sequential next-fit over each shard's visit order
+      val expect = lens.zipWithIndex
+        .map { case (l, i) => (i.toLong, l, i.toLong % shards) }
+        .groupBy(_._3).flatMap { case (shard, ds) =>
+          var bin = 0L; var used = 0L
+          ds.sortBy(d => (-d._2, d._1)).map { case (id, l, _) =>
+            if (used > 0 && used + l > cap) { bin += 1; used = 0 }
+            val start = used
+            used += l
+            id -> (shard, bin, start)
+          }
+        }
+      got == expect
+    }
 }
