@@ -185,10 +185,18 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(replay).as[Event]
     val sink = s"q48_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt-q48").toString
-    val q = FunnelStream.funnelStream(stream, stages).writeStream
-      .format("memory").queryName(sink)
-      .outputMode("append").option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // the stateful stream's cost is per-batch state-store tasks, not
+    // data volume — run it at 8 state partitions instead of the batch
+    // session's 32 (the stream snapshots the conf at start; restored
+    // immediately after so batch queries are unaffected)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try FunnelStream.funnelStream(stream, stages).writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
     q.awaitTermination()
     spark.table(sink)
       .filter(col("user_id") =!= -1L)
