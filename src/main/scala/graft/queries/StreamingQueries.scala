@@ -205,6 +205,48 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("stage"))
   }
 
+  /** q49 — streaming dedup driver-oracled: events plus planted
+    * VERBATIM duplicate rows (every user_id % 7 == 0 event repeated)
+    * replay through the real `dropDuplicatesWithinWatermark` (all
+    * columns) under AvailableNow. Because the planted duplicates are
+    * bitwise-identical rows, whichever arrival survives is the same
+    * row — so the streamed survivor set is deterministic and equals
+    * DISTINCT over the union, which (planted ⊆ events) is DISTINCT
+    * over events itself. Append mode emits rows as processed (state
+    * exists only to suppress future duplicates), so no sentinel is
+    * needed. `value` passes through untouched — no arithmetic, both
+    * engines read the identical parquet double bits (the q42
+    * precedent).
+    */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.model.Schemas.Event
+    import graft.sources.KafkaSource
+    val ev = events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    val replay = s"/root/repo/target/q49_replay-${new java.io.File(dir).getName}"
+    ev.unionByName(ev.filter(col("user_id") % 7 === 0))
+      .coalesce(1).write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema(KafkaSource.eventSchema)
+      .parquet(replay).as[Event]
+    val sink = s"q49_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-q49").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_type"), col("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_window_vs_baseline" -> q16,
     "q17_sliding_trend" -> q17,
@@ -213,6 +255,7 @@ object StreamingQueries {
     "q20_rank_anomaly" -> q20,
     "q41_stream_interval_join" -> q41,
     "q48_funnel_stream" -> q48,
+    "q49_stream_dedup" -> q49,
     "q42_json_decode" -> q42)
 
   private val vCents = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
@@ -236,6 +279,10 @@ object StreamingQueries {
        |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q49_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |ORDER BY user_id, ts_us, event_type, value""".stripMargin,
     "q48_funnel_stream" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
