@@ -329,6 +329,42 @@ object Multimodal {
     }
   }
 
+  /** REAL audio resample by integer decimation: decode the WAV, keep
+    * every `factor`-th sample, re-encode at `rate / factor` — the
+    * sample-domain analog of the image NN resize (the fully-specified
+    * index map `src = dst · factor` instead of an interpolation whose
+    * rounding an oracle couldn't replicate). Non-audio kinds pass
+    * through untouched.
+    */
+  def decimate(records: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    require(factor > 0, "need positive decimation factor")
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        if (r.kind == WavKind) {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.content))
+          val rate = ais.getFormat.getSampleRate
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val m = (n + factor - 1) / factor
+          val out = new Array[Byte](m * 2)
+          var j = 0
+          while (j < m) {
+            out(2 * j) = bytes(2 * j * factor)
+            out(2 * j + 1) = bytes(2 * j * factor + 1)
+            j += 1
+          }
+          val newRate = rate / factor
+          val fmt = new AudioFormat(newRate, 16, 1, true, false)
+          val enc = new AudioInputStream(new ByteArrayInputStream(out), fmt, m.toLong)
+          val bos = new ByteArrayOutputStream()
+          AudioSystem.write(enc, AudioFileFormat.Type.WAVE, bos)
+          r.copy(content = bos.toByteArray, sample_rate = newRate.toInt)
+        } else r
+      }
+    }
+  }
+
   /** Exact integer stats of a decoded audio payload. */
   case class AudioFeatures(media_id: Long, n_samples: Long, sample_rate: Int,
                            s_sum: Long, s_min: Long, s_max: Long,

@@ -411,6 +411,18 @@ object DataOps {
       .orderBy(col("media_id"))
   }
 
+  /** m06 — REAL audio resample roundtrip: WAV decode → every-2nd-sample
+    * decimation → WAV re-encode at half rate → decode AGAIN in
+    * `extractAudioFeatures`. Two full codec roundtrips (the audio twin
+    * of m02); the oracle recomputes the decimated stats from the PCM
+    * formula at stride 2.
+    */
+  def m06(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.wavFromDocuments(spark, docs(spark, dir))
+    Multimodal.extractAudioFeatures(Multimodal.decimate(media, 2)).toDF()
+      .orderBy(col("media_id"))
+  }
+
   /** s03 — IVF ANN (coarse-quantize to inverted lists, probe 4 of 16
     * centroids, exact re-rank). Hash-checked against
     * [[DuckSketchSql.s03]]; recall vs s01 in DataOpsSpec.
@@ -777,6 +789,7 @@ object DataOps {
     "m03_video_frames" -> m03,
     "m04_image_dedup" -> m04,
     "m05_audio_features" -> m05,
+    "m06_audio_resample" -> m06,
     "t05_pii_redact" -> t05,
     "q29_sessionize" -> q29,
     "q30_salted_agg" -> q30,
@@ -1033,6 +1046,22 @@ object DataOps {
         |    AS px_checksum
         |FROM v GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
+    "m06_audio_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, 400 + doc_id % 100 AS n FROM documents),
+        |dm AS (SELECT media_id, n, (n + 1) // 2 AS m FROM d),
+        |ss AS (SELECT media_id, m, unnest(range(0, m)) AS j FROM dm),
+        |v AS (
+        |  SELECT media_id, m, j,
+        |    ((media_id * 31 + (2 * j) * 7) % 65536) - 32768 AS s
+        |  FROM ss)
+        |SELECT media_id, CAST(any_value(m) AS BIGINT) AS n_samples,
+        |  4000 AS sample_rate,
+        |  CAST(sum(s) AS BIGINT) AS s_sum,
+        |  CAST(min(s) AS BIGINT) AS s_min,
+        |  CAST(max(s) AS BIGINT) AS s_max,
+        |  CAST(sum(s * (j + 1)) AS BIGINT) AS s_checksum
+        |FROM v GROUP BY 1 ORDER BY media_id""".stripMargin,
     "m05_audio_features" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id, 400 + doc_id % 100 AS n FROM documents),

@@ -133,9 +133,44 @@ object IngestQueries {
       .orderBy($"era", $"priority")
   }
 
+  /** sf-keyed lake root for q50 (cited by nothing — the oracle reads
+    * from source; the path only needs to be collision-free per sf).
+    */
+  def RefreshRoot: String = s"/root/repo/target/q50_lake-$fixtureTag"
+
+  /** q50 — idempotent partition refresh, S2's dynamic-overwrite row
+    * driver-oracled: a month-partitioned lake is first written with
+    * month 3 CORRUPTED (cents doubled), then ONLY month 3 is recomputed
+    * from source and dynamic-overwritten. The query reads the whole
+    * lake back (hive partition discovery) and aggregates per month; the
+    * oracle computes the same aggregate STRAIGHT from `orders` — so the
+    * hash proves both directions of the overwrite contract: the dirty
+    * partition was fully replaced (else month 3's sums stay doubled)
+    * and the siblings were untouched (else their rows go missing).
+    */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    retag(dir)
+    val full = Tables.load(spark, dir, "orders")
+      .orderBy($"o_orderkey").limit(600)
+      .select($"o_orderkey".as("okey"),
+        ($"o_orderkey" % 12).cast("int").as("month"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val corrupted = full.withColumn("cents",
+      when($"month" === 3, $"cents" * 2).otherwise($"cents"))
+    MeasurementIngest.overwritePartitionsDynamic(corrupted, RefreshRoot, Seq("month"))
+    MeasurementIngest.overwritePartitionsDynamic(
+      full.filter($"month" === 3), RefreshRoot, Seq("month"))
+    spark.read.parquet(RefreshRoot)
+      .groupBy($"month".cast("int").as("month"))
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("total_cents"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
-    "q46_schema_evolution" -> q46
+    "q46_schema_evolution" -> q46,
+    "q50_partition_refresh" -> q50
   )
 
   /** The repair map as a DuckDB CASE chain (P5's 18 entries verbatim). */
@@ -172,6 +207,13 @@ object IngestQueries {
          |FROM raw
          |ORDER BY pollutant, date_local, hour_local, state_code,
          |  county_code, site_num, state_name, measurement, units""".stripMargin,
+    "q50_partition_refresh" ->
+      """SELECT CAST(o_orderkey % 12 AS INT) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 600)
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     "q46_schema_evolution" ->
       s"""SELECT CAST(era AS INT) AS era,
          |  coalesce(o_orderpriority, '<legacy>') AS priority,
