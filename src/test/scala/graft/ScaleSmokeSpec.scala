@@ -103,6 +103,25 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(agg.getLong(1) <= n * 32 * 128, s"pair work ${agg.getLong(1)}")
   }
 
+  test("next-fit packing at 5M uniform docs: analytic bins, no driver materialization") {
+    import spark.implicits._
+    // equal 10-token docs, cap 100 → exactly 10 docs per bin; 8 shards
+    // of 625k docs → 62500 bins each; every offset a multiple of 10.
+    // All assertions are aggregates — nothing rows-sized hits the driver.
+    val n = 5000000L
+    val docs = spark.range(n).select($"id".as("doc_id"), lit(10L).as("n_tokens"))
+    val packed = graft.operators.Packing.nextFitPack(docs, 100L, 8).toDF()
+    val agg = packed.agg(
+      count(lit(1)).as("n"),
+      countDistinct($"shard", $"bin").as("n_bins"),
+      max($"bin").as("max_bin"),
+      sum(($"start_tok" % 10 =!= 0).cast("long")).as("bad_offsets")).head()
+    assert(agg.getLong(0) == n)
+    assert(agg.getLong(1) == n / 10) // 500k bins in total
+    assert(agg.getLong(2) == n / 8 / 10 - 1) // 62499 per shard
+    assert(agg.getLong(3) == 0L)
+  }
+
   test("histogram quantile brackets at 10M rows contain the analytic percentiles") {
     import spark.implicits._
     // measure = id over 0..n-1: the k-th smallest is k-1, so the exact
