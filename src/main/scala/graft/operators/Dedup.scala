@@ -236,4 +236,52 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  // --- Boilerplate segment removal -----------------------------------
+
+  /** Sub-document boilerplate removal (the RefinedWeb / CCNet
+    * line-dedup family): partition each doc's token stream into
+    * NON-OVERLAPPING `segTokens`-token segments; a segment occurring
+    * in ≥ `minDocs` DISTINCT docs is boilerplate (headers, footers,
+    * navigation chrome) and removed from EVERY doc — not keep-one like
+    * [[exact]]: boilerplate has no canonical owner.
+    *
+    * Output per doc: `n_segments`, `n_dup_segments`, `kept_tokens`,
+    * and `kept_fp` — the md5 of the kept segments REASSEMBLED in
+    * segment order, so the fingerprint proves the transform (content
+    * and order), not just the counts.
+    *
+    * Shape at scale: one group-by on segment content (the only
+    * shuffle of segment data — the ≥minDocs test is local to each
+    * reducer) + one hash-agg back to docs. No joins wider than the
+    * duplicated-segment set.
+    */
+  def boilerplateSegments(docs: DataFrame, id: Column, toks: Column,
+                          segTokens: Int, minDocs: Int = 2): DataFrame = {
+    val segs = docs.select(id.as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(TextOps.chunkIdx(col("__toks"), segTokens)).as("si"))
+      .select(col("doc_id"), col("si").cast("int").as("seg_idx"),
+        TextOps.chunkSlice(col("__toks"), col("si"), segTokens, segTokens)
+          .as("ctoks"))
+      .select(col("doc_id"), col("seg_idx"),
+        size(col("ctoks")).as("n_seg_tokens"),
+        array_join(col("ctoks"), " ").as("seg"))
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"), lit(1).as("dup"))
+    segs.join(boiler, Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(coalesce(col("dup"), lit(0))).cast("long").as("n_dup_segments"),
+        coalesce(sum(when(col("dup").isNull, col("n_seg_tokens"))), lit(0))
+          .cast("long").as("kept_tokens"),
+        // collect_list drops the null branch, so only kept segments
+        // survive; sort by (seg_idx, …) restores document order
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("dup").isNull,
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ")).as("kept_fp"))
+  }
 }

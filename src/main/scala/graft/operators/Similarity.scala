@@ -468,6 +468,66 @@ object Similarity {
     pqShortlistRerank(approx, q, cand, shortlist, k)
   }
 
+  /** SQ8 scalar-quantization ANN — the remaining industrial quantizer
+    * next to PQ (FAISS's `SQ8`): each DIMENSION is quantized
+    * independently to an 8-bit code against per-dim [min, max] trained
+    * over the candidate corpus, so the scan representation shrinks 8×
+    * (1 byte/dim vs the 8-byte fixed longs) while scoring stays a
+    * plain dot product — no codebook join, no subspace machinery.
+    *
+    * Exact-integer formulation (what makes it oracle-able): with
+    * per-dim bounds mn_d ≤ x ≤ mx_d over the FIXED (micro-unit) values,
+    *   code_d  = floor((x − mn_d)·255 / (mx_d − mn_d))   ∈ [0, 255]
+    *   r255_d  = mn_d·255 + code_d·(mx_d − mn_d)
+    * r255 is the dequantized value scaled by 255 — kept ×255 so it is
+    * an exact integer; the approximate score q·r255 is then an exact
+    * integer dot (native `graft_dot_fixed`), and the shortlist order
+    * (÷ the norms, a deterministic double) is replicable bit-for-bit
+    * by a SQL oracle. A constant dimension (mx = mn) encodes as code 0
+    * with r255 = mn·255 — no division anywhere near zero.
+    *
+    * Overflow: |r255| ≤ 2^24·255 < 2^32, |q_d| ≤ 2^24, so each term is
+    * < 2^56 and a dim-64 sum < 2^62 — inside int64 (the
+    * [[MaxAbsEmbedding]] contract).
+    *
+    * Shape at scale: training is ONE aggregate over the exploded
+    * candidate set (64 rows out); encoding is a per-row map under a
+    * broadcast 1-row bounds frame; scoring is the same broadcast-query
+    * scan as [[bruteForceTopK]] but over 8× smaller codes — SQ8's
+    * actual production win is scan bandwidth, which is exactly what a
+    * 100 TB Spark scan is bound by. Exact re-rank on the shortlist
+    * only ([[pqShortlistRerank]] economics).
+    */
+  def sq8TopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              shortlist: Int): DataFrame = {
+    val (cand, q) = fixedSides(queries, candidates)
+    // per-dim [mn, mx] training: one tiny agg (dim rows), collapsed to
+    // a single broadcastable row of parallel arrays
+    val mm = cand.select(posexplode(col("cv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val mmArr = mm.select(struct(col("d"), col("mn"), col("mx")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("v"))
+      .select(transform(col("v"), s => s.getField("mn")).as("mnv"),
+        transform(col("v"), s => s.getField("mx")).as("mxv"))
+    // encode: once per candidate ROW (not per pair — fixedVec economics,
+    // interpreted HOF acceptable); floor over a ≤2^33 numerator is exact
+    // in double, so cast-to-long == integer floor on both engines
+    val coded = cand.crossJoin(broadcast(mmArr))
+      .withColumn("rv", transform(col("cv"), (x, i) => {
+        val mn = element_at(col("mnv"), i + 1)
+        val mx = element_at(col("mxv"), i + 1)
+        val code = when(mx > mn, floor((x - mn) * lit(255L) / (mx - mn)))
+          .otherwise(lit(0L))
+        mn * 255 + code * (mx - mn)
+      }))
+      .select(col("cand_id"), col("rv"))
+    // approximate scan: native integer dot against the broadcast queries
+    val approx = coded.crossJoin(broadcast(q.select(col("query_id"), col("qv"))))
+      .select(col("query_id"), col("cand_id"),
+        dotFixed(col("qv"), col("rv")).as("ad"))
+    pqShortlistRerank(approx, q, cand, shortlist, k)
+  }
+
   /** Quantize + norm + persist both sides of an ANN run (each feeds
     * codebook training / tables / the exact re-rank).
     */

@@ -297,9 +297,32 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** c13 — boilerplate segment removal (the RefinedWeb / CCNet
+    * line-dedup family, here over deterministic 8-token segments since
+    * the corpus has no newlines): each doc is partitioned into
+    * NON-OVERLAPPING 8-token segments (c07's chunk machinery with
+    * stride == size); a segment occurring in ≥ 2 distinct docs is
+    * boilerplate and removed from EVERY doc (headers/footers
+    * semantics — not keep-one like the d-series). Output per doc:
+    * segment counts and the REASSEMBLED kept text (in segment order),
+    * fingerprinted — so the hash proves the transform, not just the
+    * scoring. Shape at scale: one segment group-by (the only shuffle
+    * of segment data) + one hash-agg back to docs; segments are
+    * hash-partitioned by content so the ≥2-docs test is local to each
+    * reducer.
+    */
+  def c13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
+    graft.operators.Dedup.boilerplateSegments(d, $"doc_id", $"toks", 8)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c11_sequence_packing" -> c11,
     "c12_substring_dedup" -> c12,
+    "c13_segment_dedup" -> c13,
     "c01_decontaminate" -> c01,
     "c02_repetition_filter" -> c02,
     "c03_stratified_sample" -> c03,
@@ -462,6 +485,38 @@ object CorpusOps {
          |FROM v2 a JOIN v2 b
          |  ON a.token < b.token AND levenshtein(a.token, b.token) = 1
          |ORDER BY token_a, token_b""".stripMargin,
+    // c13: same chunk enumeration as c07 at stride == size == 8; dup
+    // detection on the space-joined segment; reassembly via ordered
+    // string_agg FILTER (empty doc → NULL → coalesce '' = Spark's "")
+    "c13_segment_dedup" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |x AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, (len(toks) - 1) // 8 + 1)) AS si
+         |  FROM n),
+         |s AS (
+         |  SELECT doc_id, CAST(si AS INT) AS seg_idx,
+         |    CAST(len(toks[si*8 + 1 : si*8 + 8]) AS BIGINT) AS n_seg_tokens,
+         |    array_to_string(toks[si*8 + 1 : si*8 + 8], ' ') AS seg
+         |  FROM x),
+         |dk AS (
+         |  SELECT seg FROM (
+         |    SELECT seg, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1) t
+         |  WHERE nd >= 2),
+         |f AS (
+         |  SELECT s.doc_id, s.seg_idx, s.n_seg_tokens, s.seg,
+         |    dk.seg IS NOT NULL AS dup
+         |  FROM s LEFT JOIN dk ON s.seg = dk.seg)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_segments,
+         |  CAST(coalesce(sum(n_seg_tokens) FILTER (WHERE NOT dup), 0)
+         |    AS BIGINT) AS kept_tokens,
+         |  md5(coalesce(
+         |    string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE NOT dup),
+         |    '')) AS kept_fp
+         |FROM f GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // chunk_idx ranges over 0..(len-1)//stride; DuckDB list slices clamp
     // at the tail exactly like Spark `slice` (the d04 convention)
     "c07_chunking" ->

@@ -327,6 +327,25 @@ object DataOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** s08 — SQ8 scalar-quantization ANN ([[Similarity.sq8TopK]]): the
+    * per-dimension 8-bit quantizer completing the ANN progression
+    * (exact → LSH → IVF → PQ → IVF-PQ → residual IVF-PQ → SQ8). The
+    * oracle replicates the per-dim [min,max] training, the integer
+    * code/dequantize formulas, the approximate integer dot, and the
+    * shortlist→exact re-rank — training included, per the sketch-oracle
+    * house rule.
+    */
+  def s08(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 50 === 0)
+    Similarity.sq8TopK(q, e, 5, shortlist = 20)
+      .select(col("query_id"), col("cand_id"),
+        gf.dround(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** m01 — REAL image codec end-to-end: per doc_id a real PNG is
     * rendered from [[Multimodal]]'s closed-form pixel formula
     * (`ImageIO.write`), then `extractFeatures` DECODES it
@@ -770,6 +789,7 @@ object DataOps {
     "s04_pq_ann" -> s04,
     "s05_ivfpq_ann" -> s05,
     "s07_residual_ivfpq" -> s07,
+    "s08_sq8_ann" -> s08,
     "q28_asof_join" -> q28,
     "e01_embedding_dedup" -> e01,
     "e02_semantic_dedup" -> e02,
@@ -976,6 +996,65 @@ object DataOps {
         |  p.n_votes, p.nbr_label = e.label AS correct
         |FROM p JOIN embeddings e ON e.vec_id = p.query_id
         |WHERE pr = 1 ORDER BY query_id""".stripMargin,
+    // s08: the SQ8 pipeline replayed stage by stage — per-dim [mn,mx]
+    // training, integer code floor (nonneg numerator: // == floor),
+    // ×255 dequantized integers, approximate dot, approx-cos shortlist
+    // (ad/√qn/√cn, the pqShortlistRerank expression), exact re-rank
+    "s08_sq8_ann" ->
+      """WITH f AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS fv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, fv,
+        |    CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM f),
+        |dims AS (
+        |  SELECT unnest(range(1, 1 + len(fv))) AS d
+        |  FROM (SELECT fv FROM f ORDER BY vec_id LIMIT 1)),
+        |mm AS (
+        |  SELECT d, min(fv[d]) AS mn, max(fv[d]) AS mx
+        |  FROM f CROSS JOIN dims GROUP BY d),
+        |cd AS (
+        |  SELECT fc.vec_id AS cand_id, mm.d,
+        |    CASE WHEN mm.mx > mm.mn
+        |      THEN mm.mn * 255
+        |        + (((fc.fv[mm.d] - mm.mn) * 255) // (mm.mx - mm.mn))
+        |          * (mm.mx - mm.mn)
+        |      ELSE mm.mn * 255 END AS r255
+        |  FROM f fc CROSS JOIN mm),
+        |q AS (SELECT vec_id AS query_id, fv AS qv, nsq AS qn
+        |      FROM n WHERE vec_id % 50 = 0),
+        |ad AS (
+        |  SELECT q.query_id, cd.cand_id,
+        |    CAST(sum(q.qv[cd.d] * cd.r255) AS BIGINT) AS adot
+        |  FROM q CROSS JOIN cd GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT ad.query_id, ad.cand_id,
+        |    row_number() OVER (PARTITION BY ad.query_id ORDER BY
+        |      CAST(adot AS DOUBLE) / sqrt(CAST(q.qn AS DOUBLE))
+        |        / sqrt(CAST(c.nsq AS DOUBLE)) DESC, ad.cand_id) AS srnk
+        |  FROM ad
+        |  JOIN q ON q.query_id = ad.query_id
+        |  JOIN n c ON c.vec_id = ad.cand_id
+        |  WHERE ad.query_id <> ad.cand_id),
+        |s AS (
+        |  SELECT sl.query_id, sl.cand_id,
+        |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.fv),
+        |      x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(q.qn AS DOUBLE)) / sqrt(CAST(c.nsq AS DOUBLE)) AS cosine
+        |  FROM sl
+        |  JOIN q ON q.query_id = sl.query_id
+        |  JOIN n c ON c.vec_id = sl.cand_id
+        |  WHERE sl.srnk <= 20),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, cand_id) AS INT) AS rnk
+        |  FROM s)
+        |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
     "s01_cosine_topk" ->
       """WITH f AS (
         |  SELECT vec_id,

@@ -167,10 +167,68 @@ object IngestQueries {
       .orderBy($"month")
   }
 
+  /** sf-keyed ORC lake root for q51. */
+  def OrcRoot: String = s"/root/repo/target/q51_orc-$fixtureTag"
+
+  /** q51 — ORC roundtrip: the second columnar format Spark ships a
+    * native vectorized reader for. A subset of `orders` is written as
+    * ORC and read BACK through `spark.read.orc`; the aggregate runs on
+    * the re-read frame while the oracle computes the same aggregate
+    * straight from the parquet source — so the hash proves the
+    * encode→decode roundtrip preserved every value (the q50 proof
+    * shape, applied to a storage format DuckDB cannot read itself).
+    */
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    retag(dir)
+    Tables.load(spark, dir, "orders").orderBy($"o_orderkey").limit(800)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority".as("priority"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .write.mode("overwrite").orc(OrcRoot)
+    spark.read.orc(OrcRoot)
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("total_cents"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
+        countDistinct($"o_custkey").as("n_custs"))
+      .orderBy($"priority")
+  }
+
+  /** sf-keyed JSONL root for q52 (cited by the oracle SQL). */
+  def JsonRoot: String = s"/root/repo/target/q52_json-$fixtureTag"
+
+  /** q52 — JSONL ingest, the q40 pattern for the second text format:
+    * Spark WRITES newline-delimited JSON once per run, then reads the
+    * SAME files back through `spark.read.schema(...).json` (explicit
+    * schema — no inference, the production rule) while the DuckDB
+    * oracle parses the identical bytes with `read_json` — two
+    * independent JSON parsers over one set of files. Payload is
+    * integers and strings only (cents fixed-point, dates preformatted)
+    * so the text roundtrip is exact by construction.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    retag(dir)
+    Tables.load(spark, dir, "orders").orderBy($"o_orderkey").limit(800)
+      .select($"o_orderkey".as("okey"), $"o_custkey".as("ckey"),
+        $"o_orderpriority".as("priority"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("odate"))
+      .coalesce(1).write.mode("overwrite").json(JsonRoot)
+    spark.read
+      .schema("okey BIGINT, ckey BIGINT, priority STRING, cents BIGINT, odate STRING")
+      .json(JsonRoot)
+      .groupBy(substring($"odate", 1, 4).as("oyear"), $"priority")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("total_cents"),
+        max($"okey").as("max_key"))
+      .orderBy($"oyear", $"priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
     "q46_schema_evolution" -> q46,
-    "q50_partition_refresh" -> q50
+    "q50_partition_refresh" -> q50,
+    "q51_orc_roundtrip" -> q51,
+    "q52_jsonl_ingest" -> q52
   )
 
   /** The repair map as a DuckDB CASE chain (P5's 18 entries verbatim). */
@@ -207,6 +265,30 @@ object IngestQueries {
          |FROM raw
          |ORDER BY pollutant, date_local, hour_local, state_code,
          |  county_code, site_num, state_name, measurement, units""".stripMargin,
+    // q51: aggregate straight from source — equality with Spark's
+    // ORC re-read proves the roundtrip (DuckDB has no ORC reader)
+    "q51_orc_roundtrip" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 800)
+        |GROUP BY 1 ORDER BY priority""".stripMargin,
+    // q52: DuckDB parses the SAME jsonl files Spark wrote and reads
+    "q52_jsonl_ingest" ->
+      s"""WITH j AS (
+         |  SELECT * FROM read_json('$JsonRoot/*.json',
+         |    format = 'newline_delimited',
+         |    columns = {okey: 'BIGINT', ckey: 'BIGINT', priority: 'VARCHAR',
+         |               cents: 'BIGINT', odate: 'VARCHAR'}))
+         |SELECT substring(odate, 1, 4) AS oyear, priority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(cents) AS BIGINT) AS total_cents,
+         |  CAST(max(okey) AS BIGINT) AS max_key
+         |FROM j GROUP BY 1, 2 ORDER BY oyear, priority""".stripMargin,
     "q50_partition_refresh" ->
       """SELECT CAST(o_orderkey % 12 AS INT) AS month,
         |  CAST(count(*) AS BIGINT) AS n_orders,

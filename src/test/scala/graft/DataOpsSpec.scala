@@ -211,6 +211,68 @@ class DataOpsSpec extends AnyFunSuite {
     assert(res >= raw - 0.1, s"residual $res well below raw $raw")
   }
 
+  test("sq8 ann achieves high recall of brute-force top-5 neighbors") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val rng = new scala.util.Random(29)
+    val vecs = (0L until 240L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat).toSeq)
+    }.toDF("id", "vec")
+    val q = vecs.filter(col("id") % 24 === 0)
+    val exact = Similarity.bruteForceTopK(q, vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 bits/dim is a FINE quantizer — unlike PQ's 2 bits/dim here, the
+    // approximate order nearly matches the exact one, so a modest
+    // shortlist recovers essentially everything
+    val sq8 = Similarity.sq8TopK(q, vecs, 5, shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sq8).size.toDouble / exact.size
+    assert(recall > 0.8, s"recall=$recall")
+    assert(sq8.forall { case (qid, cid) => qid != cid })
+  }
+
+  test("boilerplate segments are removed from every doc; unique content kept in order") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val header = (1 to 8).map(i => s"nav$i").mkString(" ")
+    val shared = (1 to 8).map(i => s"footer$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$header one two three four five six seven eight"),
+      (3L, s"$header red orange yellow green blue indigo violet umber"),
+      (4L, "lone doc with no shared header at all whatsoever ok"),
+      // duplicated segment in the MIDDLE: kept_fp must join the kept
+      // first and last segments in order
+      (5L, s"a1 a2 a3 a4 a5 a6 a7 a8 $shared z1 z2 z3 z4 z5 z6 z7 z8"),
+      (6L, s"b1 b2 b3 b4 b5 b6 b7 b8 $shared y1 y2 y3 y4 y5 y6 y7 y8")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.tokens(TextOps.normalize(col("text"))).as("toks"))
+    val out = Dedup.boilerplateSegments(docs, col("doc_id"), col("toks"), 8)
+      .orderBy("doc_id").collect()
+    for (i <- 0 to 2) { // docs 1-3: header segment dropped everywhere
+      assert(out(i).getAs[Long]("n_segments") == 2)
+      assert(out(i).getAs[Long]("n_dup_segments") == 1)
+      assert(out(i).getAs[Long]("kept_tokens") == 8)
+    }
+    assert(out(0).getAs[String]("kept_fp") ==
+      md5hex("alpha beta gamma delta epsilon zeta eta theta"))
+    // doc 4: nothing shared, everything kept
+    assert(out(3).getAs[Long]("n_dup_segments") == 0)
+    assert(out(3).getAs[Long]("kept_tokens") == 10)
+    assert(out(3).getAs[String]("kept_fp") ==
+      md5hex("lone doc with no shared header at all whatsoever ok"))
+    // docs 5-6: middle footer dropped, first+last reassembled IN ORDER
+    assert(out(4).getAs[Long]("n_segments") == 3)
+    assert(out(4).getAs[Long]("n_dup_segments") == 1)
+    assert(out(4).getAs[String]("kept_fp") ==
+      md5hex("a1 a2 a3 a4 a5 a6 a7 a8 z1 z2 z3 z4 z5 z6 z7 z8"))
+    assert(out(5).getAs[String]("kept_fp") ==
+      md5hex("b1 b2 b3 b4 b5 b6 b7 b8 y1 y2 y3 y4 y5 y6 y7 y8"))
+  }
+
   test("multimodal PNG codec: encode→decode roundtrip reproduces the formula pixels") {
     import spark.implicits._
     val ids = Seq(0L, 5L, 12L, 37L)
