@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   *
   * Shape at scale: per iteration, one join of edges⋈ranks (shuffle on
   * src — co-partitioned with the degree join) + one sum aggregate on
-  * dst. Ranks are `localCheckpoint`ed every SECOND iteration (and on
+  * dst. Ranks are `localCheckpoint`ed every THIRD iteration (and on
   * the last, so the returned frame is flat and the edge caches can be
   * released eagerly): each checkpoint is an extra eager
-  * materialization of a tiny frame, so halving their count halves
-  * that fixed cost while lineage only ever spans two hops — the
+  * materialization of a tiny frame, so cutting their count cuts that
+  * fixed cost while lineage never spans more than three hops — the
   * convergence math is unchanged.
   *
   * Overflow bound: rank ≤ 10^12 total mass, rank·dampNum ≤ 8.5·10^13,
@@ -68,8 +68,10 @@ object Graph {
       ranks = baseRanks
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"), (col("base") + coalesce(col("inflow"), lit(0L))).as("rank"))
-      if (i % 2 == 0 || i == iters)
-        ranks = ranks.localCheckpoint() // truncate lineage every 2nd hop
+      if (i % 3 == 0 || i == iters)
+        ranks = ranks.localCheckpoint() // truncate lineage every 3rd hop
+      // (the final checkpoint also lets the edge caches release below
+      // without exposing the consumer to an uncached recompute)
     }
     e.unpersist()
     edgeDeg.unpersist()

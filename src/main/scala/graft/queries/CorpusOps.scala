@@ -319,10 +319,47 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** c14 — content-defined chunking (the rolling-hash boundary rule of
+    * storage dedup / RAG splitters, token-level): a chunk boundary
+    * falls AFTER token i whenever the hash of the 3-token window
+    * ending at i lands in 1/16 of the hash space (md5 first hex digit
+    * '0' — the same dialect-portable hash t04 rolls with). Unlike
+    * c07's fixed-stride windows, boundaries are functions of CONTENT:
+    * inserting one token reshapes only the chunks within ±2 tokens of
+    * the edit, which is the property that makes chunk-level dedup
+    * stable under edits. Expected chunk length is 16 tokens.
+    *
+    * Shape at scale: posexplode (no shuffle), ONE per-doc window (the
+    * only shuffle — partitioned by doc_id), and a chunk group-by that
+    * reuses the same doc_id clustering (no second exchange).
+    */
+  def c14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
+      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("p0", "tok")))
+      .select($"doc_id", ($"p0" + 1).as("i"), $"tok",
+        when($"p0" >= 2 && substring(md5(
+            array_join(slice($"toks", $"p0" - 1, lit(3)), " ")), 1, 1) === "0",
+          lit(1)).otherwise(lit(0)).as("b"))
+    val chunked = t.withColumn("chunk_idx",
+      (lit(1) + coalesce(sum($"b").over(
+        Window.partitionBy($"doc_id").orderBy($"i")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0))).cast("int"))
+    chunked.groupBy($"doc_id", $"chunk_idx")
+      .agg(min($"i").as("start_tok"), count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct($"i", $"tok"))),
+          s => s.getField("tok")), " ")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c11_sequence_packing" -> c11,
     "c12_substring_dedup" -> c12,
     "c13_segment_dedup" -> c13,
+    "c14_cdc_chunking" -> c14,
     "c01_decontaminate" -> c01,
     "c02_repetition_filter" -> c02,
     "c03_stratified_sample" -> c03,
@@ -485,6 +522,30 @@ object CorpusOps {
          |FROM v2 a JOIN v2 b
          |  ON a.token < b.token AND levenshtein(a.token, b.token) = 1
          |ORDER BY token_a, token_b""".stripMargin,
+    // c14: identical boundary rule — md5 of the 3-token window ending
+    // at i, first hex digit '0'; chunk id = 1 + boundaries strictly
+    // before i (window sum); reassembly ordered by position
+    "c14_cdc_chunking" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |x AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM n),
+         |t AS (
+         |  SELECT doc_id, i, toks[CAST(i AS INT)] AS tok,
+         |    CASE WHEN i >= 3 AND substr(md5(array_to_string(
+         |        toks[CAST(i - 2 AS INT) : CAST(i AS INT)], ' ')), 1, 1) = '0'
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM x),
+         |c AS (
+         |  SELECT doc_id, i, tok,
+         |    1 + coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+         |  FROM t)
+         |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |  CAST(min(i) AS BIGINT) AS start_tok,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_fp
+         |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin,
     // c13: same chunk enumeration as c07 at stride == size == 8; dup
     // detection on the space-joined segment; reassembly via ordered
     // string_agg FILTER (empty doc → NULL → coalesce '' = Spark's "")

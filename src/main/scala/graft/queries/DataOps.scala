@@ -346,6 +346,55 @@ object DataOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** s09 — sparse all-pairs document similarity (the Bayardo et al.
+    * 2007 "Scaling Up All Pairs Similarity Search" family): cosine
+    * over integer TF-IDF-flavored bigram weights, candidates from an
+    * inverted-index equi-join restricted to DISCRIMINATIVE terms
+    * (2 ≤ df ≤ 50). The df cap is the scale bound: join fan-out per
+    * term is ≤ df² regardless of corpus size — stop-terms (which
+    * carry no signal and ALL the quadratic cost) never enter the
+    * join; the unigram space here is 31 stop-terms deep, which is
+    * exactly why the term space is bigrams. Weight = tf · (10^6 div
+    * df) — integer, idf-monotone, oracle-replicable without ln().
+    * Complements the dense-embedding s-family (same output shape)
+    * and d-family Jaccard (weighted cosine vs set overlap).
+    */
+  def s09(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
+      .select($"doc_id", explode(TextOps.wordNgramsAll($"toks", 2)).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("tf"))
+    val dfc = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df".between(2, 50))
+    // w ≤ tf·5·10^5 < 2^26; wa·wb < 2^52; sums stay far inside int64
+    val w = grams.join(dfc, Seq("gram"))
+      .select($"doc_id", $"gram",
+        ($"tf" * call_function("div", lit(1000000L), $"df")).as("w"))
+      .persistScoped() // feeds the norm agg + both posting-join sides
+    val nsq = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("nsq"))
+    val dots = w.select($"doc_id".as("id_a"), $"gram", $"w".as("wa"))
+      .join(w.select($"doc_id".as("id_b"), $"gram", $"w".as("wb")), Seq("gram"))
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(sum($"wa" * $"wb").as("dot"))
+    val sym = dots.unionByName(
+      dots.select($"id_b".as("id_a"), $"id_a".as("id_b"), $"dot"))
+    sym
+      .join(nsq.select($"doc_id".as("id_a"), $"nsq".as("na")), Seq("id_a"))
+      .join(nsq.select($"doc_id".as("id_b"), $"nsq".as("nb")), Seq("id_b"))
+      .select($"id_a".as("doc_id"), $"id_b".as("nbr_id"),
+        ($"dot".cast("double") / sqrt($"na".cast("double"))
+          / sqrt($"nb".cast("double"))).as("sim"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"sim".desc, $"nbr_id")))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"nbr_id", gf.dround($"sim", 6).as("sim"),
+        $"rnk".cast("int").as("rnk"))
+      .orderBy($"doc_id", $"rnk")
+  }
+
   /** m01 — REAL image codec end-to-end: per doc_id a real PNG is
     * rendered from [[Multimodal]]'s closed-form pixel formula
     * (`ImageIO.write`), then `extractFeatures` DECODES it
@@ -790,6 +839,7 @@ object DataOps {
     "s05_ivfpq_ann" -> s05,
     "s07_residual_ivfpq" -> s07,
     "s08_sq8_ann" -> s08,
+    "s09_sparse_allpairs" -> s09,
     "q28_asof_join" -> q28,
     "e01_embedding_dedup" -> e01,
     "e02_semantic_dedup" -> e02,
@@ -996,6 +1046,51 @@ object DataOps {
         |  p.n_votes, p.nbr_label = e.label AS correct
         |FROM p JOIN embeddings e ON e.vec_id = p.query_id
         |WHERE pr = 1 ORDER BY query_id""".stripMargin,
+    // s09: bigram enumeration (range-unnest, the c-family pattern),
+    // identical integer weight tf·(10^6 // df) over the df-capped term
+    // space, posting self-join, symmetric top-3
+    "s09_sparse_allpairs" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |x AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM n),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS gram
+         |  FROM x),
+         |tg AS (
+         |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+         |  FROM g0 GROUP BY 1, 2),
+         |dfc AS (
+         |  SELECT gram, count(*) AS df FROM tg GROUP BY 1
+         |  HAVING count(*) BETWEEN 2 AND 50),
+         |w AS (
+         |  SELECT doc_id, tg.gram, tf * (1000000 // df) AS w
+         |  FROM tg JOIN dfc ON tg.gram = dfc.gram),
+         |ns AS (
+         |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nsq FROM w GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         |  FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sym AS (
+         |  SELECT id_a, id_b, dot FROM dots
+         |  UNION ALL SELECT id_b, id_a, dot FROM dots),
+         |s AS (
+         |  SELECT sym.id_a AS doc_id, sym.id_b AS nbr_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE))
+         |      / sqrt(CAST(nb.nsq AS DOUBLE)) AS sim
+         |  FROM sym
+         |  JOIN ns na ON na.doc_id = sym.id_a
+         |  JOIN ns nb ON nb.doc_id = sym.id_b),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY sim DESC, nbr_id) AS INT) AS rnk
+         |  FROM s)
+         |SELECT doc_id, nbr_id, round(sim, 6) AS sim, rnk
+         |FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
     // s08: the SQ8 pipeline replayed stage by stage — per-dim [mn,mx]
     // training, integer code floor (nonneg numerator: // == floor),
     // ×255 dequantized integers, approximate dot, approx-cos shortlist
