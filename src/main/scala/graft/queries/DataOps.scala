@@ -692,6 +692,30 @@ object DataOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q55 — DYNAMIC-gap session windows: the gap is a per-event
+    * EXPRESSION (`error` events hold sessions open 60 min, everything
+    * else 15), which changes the merge semantics from q29/q38's
+    * fixed-gap gaps-and-islands to interval union — one long-gap event
+    * can absorb several short-gap successors, so the oracle needs a
+    * running max over window ENDS (exact epoch micros), not a lag of
+    * starts. Checked against that independent formulation; boundary
+    * stays half-open ([ts, ts+gap) — an event AT the end starts a new
+    * session) exactly like the fixed-gap rows.
+    */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "error", lit("60 minutes"))
+          .otherwise(lit("15 minutes"))), col("user_id"))
+      .agg(
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        unix_timestamp(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** q39 — time-series resample + forward fill: each sampled user's
     * sparse event stream regularized onto an hourly grid (`sequence` +
     * explode between the user's first and last observed hour), missing
@@ -866,7 +890,8 @@ object DataOps {
     "q34_scd2_intervals" -> q34,
     "q37_cdc_apply" -> q37,
     "q38_session_window" -> q38,
-    "q39_resample_ffill" -> q39)
+    "q39_resample_ffill" -> q39,
+    "q55_dynamic_gap_sessions" -> q55)
 
   private val shingleSql =
     s"list_distinct([substr(norm, i, 5) FOR i IN range(1, greatest(length(norm) - 3, 2))])"
@@ -1329,6 +1354,35 @@ object DataOps {
         |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q55: interval-union sessionization — running max of window ENDS
+    // in exact micros; break iff this start clears EVERY prior end
+    "q55_dynamic_gap_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) + CASE WHEN event_type = 'error'
+        |      THEN 3600000000 ELSE 900000000 END AS end_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, ts_us, end_us,
+        |    max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, end_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, ts, ts_us, end_us,
+        |    CASE WHEN prev_end IS NULL OR ts_us >= prev_end THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, end_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q29_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,

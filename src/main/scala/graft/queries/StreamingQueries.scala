@@ -247,7 +247,109 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("ts_us"), col("event_type"), col("value"))
   }
 
+  /** q53 — CHAINED stateful aggregation in one streaming query
+    * (multiple-stateful-operator support, SPARK-40925): hourly windowed
+    * aggregates re-aggregated into daily windows by a second
+    * `window(window, "1 day")` stage downstream — the streaming form
+    * of the q21→q22 rollup pyramid, where the wide input never reaches
+    * the second operator (it sees only hourly rows: the map-side-
+    * pyramid economics, in-query). Replayed as files under
+    * AvailableNow; TWO far-future sentinels ride separate files
+    * (maxFilesPerTrigger=1) because each watermark hop finalizes one
+    * stage per micro-batch under the conservative downstream-late-
+    * filtering rule — sentinel 1 flushes the hourly stage, sentinel 2
+    * plus the final no-data batch flush the daily stage. The oracle
+    * computes the daily rollup STRAIGHT from events — matching hashes
+    * prove no window was dropped, double-counted, or mis-nested
+    * across the two stateful stages.
+    */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KafkaSource
+    import graft.model.Schemas.Event
+    val ev = events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    val replay = s"/root/repo/target/q53_replay-${new java.io.File(dir).getName}"
+    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    for (days <- Seq(30, 60))
+      ev.agg(max(col("ts")).as("mx"))
+        .select((col("mx") + expr(s"INTERVAL $days DAYS")).as("ts"),
+          lit("sentinel").as("event_type"), lit(-1L).as("user_id"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(replay)
+    val stream = spark.readStream.schema(KafkaSource.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(replay)
+    val hourly = stream.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(gf.fixed(col("value"), 100.0)).as("cents"))
+    val daily = hourly
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), sum(col("cents")).as("total_cents"))
+    val sink = s"q53_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-q53").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try daily.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    q.awaitTermination()
+    spark.table(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("window.start")).as("day_start"),
+        col("event_type"), col("n_events"), col("total_cents"))
+      .orderBy(col("day_start"), col("event_type"))
+  }
+
+  /** q54 — the NEW arbitrary-state API driver-oracled
+    * ([[graft.streaming.OrdinalStream]], `transformWithState` on the
+    * RocksDB state store): per-user event ordinals assigned by a
+    * `ValueState[Long]` counter. Single replay file ⇒ one micro-batch
+    * ⇒ the processor's per-key (ts, type, value) sort makes ordinals
+    * equal to the batch `row_number` the oracle computes. The provider
+    * conf is snapshotted at `start()` and restored immediately (the
+    * q48 shuffle-partitions pattern).
+    */
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.model.Schemas.Event
+    import graft.sources.KafkaSource
+    import graft.streaming.OrdinalStream
+    val ev = events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    val replay = s"/root/repo/target/q54_replay-${new java.io.File(dir).getName}"
+    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema(KafkaSource.eventSchema)
+      .parquet(replay).as[Event]
+    val sink = s"q54_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-q54").toString
+    val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try OrdinalStream.ordinals(stream).writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeParts)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          beforeProvider)
+      }
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("user_id"), col("seq"), col("ts_us"), col("event_type"),
+        col("value"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_chained_window_agg" -> q53,
+    "q54_ordinals_tws" -> q54,
     "q16_window_vs_baseline" -> q16,
     "q17_sliding_trend" -> q17,
     "q18_window_topk" -> q18,
@@ -279,6 +381,27 @@ object StreamingQueries {
        |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q53: the daily rollup computed in ONE hop from raw events — the
+    // streaming side must arrive at the same numbers through two
+    // chained stateful stages (1 h windows nest exactly in UTC days)
+    "q53_chained_window_agg" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day_start, event_type""".stripMargin,
+    // q54: ordinals == batch row_number under the same per-user total
+    // order (duplicate (ts,type,value) rows are interchangeable, so
+    // the output SET is unaffected by their internal order)
+    "q54_ordinals_tws" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_type, value) AS BIGINT) AS seq,
+        |  epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |ORDER BY user_id, seq""".stripMargin,
     "q49_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us, value
         |FROM events

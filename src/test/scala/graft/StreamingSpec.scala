@@ -362,4 +362,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == expected.size, s"expected exactly-once: ${got.size} rows")
     assert(got.sortBy(_.toString) == expected.sortBy(_.toString))
   }
+
+  test("transformWithState ordinals: in-batch sort + counter persists across batches") {
+    import spark.implicits._
+    import graft.streaming.OrdinalStream
+    implicit val sc = spark.sqlContext
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    val mem = MemoryStream[Ev]
+    val events = mem.toDS()
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .as[graft.model.Schemas.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-tws").toString
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try OrdinalStream.ordinals(events).writeStream
+        .format("memory").queryName("tws_ordinals")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      finally spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        beforeProvider)
+    // batch 1: user 1 arrives out of event-time order; user 2 once
+    mem.addData(Ev(ts(2), "b", 1L, 0.0), Ev(ts(1), "a", 1L, 0.0),
+      Ev(ts(5), "x", 2L, 0.0))
+    q.processAllAvailable()
+    // batch 2: the ValueState counter must continue, not restart
+    mem.addData(Ev(ts(3), "c", 1L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("tws_ordinals").as[OrdinalStream.SeqEvent]
+      .collect().groupBy(_.user_id)
+    assert(byUser(1L).sortBy(_.seq).map(e => (e.seq, e.event_type)).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(byUser(2L).map(_.seq).toSeq == Seq(1L))
+  }
 }
