@@ -347,9 +347,60 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("seq"))
   }
 
+  /** q56 — STREAMING session windows: the same built-in
+    * `session_window(ts, "30 minutes")` as batch q38, but executed as
+    * a real stateful streaming aggregation (merging-session state —
+    * the one streaming state shape q48/q49/q53/q54 don't exercise:
+    * sessions in state MERGE when a bridging event arrives, and only
+    * finalize when the watermark passes `end`). File replay under
+    * AvailableNow; a far-future sentinel rides a second file
+    * (`maxFilesPerTrigger=1`) so the watermark advances past every
+    * real session's end and append mode flushes them all; the
+    * sentinel's own session (user −1) never finalizes and is filtered.
+    * Oracle: q29's independent gaps-and-islands SQL VERBATIM — the
+    * streamed merge state, the batch `session_window`, and the custom
+    * flatMapGroupsWithState machine (q29) must all agree row-for-row.
+    */
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KafkaSource
+    val ev = events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    val replay = s"/root/repo/target/q56_replay-${new java.io.File(dir).getName}"
+    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    ev.agg(max(col("ts")).as("mx"))
+      .select((col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
+        lit("sentinel").as("event_type"), lit(-1L).as("user_id"),
+        lit(0.0).as("value"))
+      .coalesce(1).write.mode("append").parquet(replay)
+    val stream = spark.readStream.schema(KafkaSource.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(replay)
+    val sessions = stream.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        unix_timestamp(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"))
+    val sink = s"q56_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-q56").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    q.awaitTermination()
+    spark.table(sink)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_chained_window_agg" -> q53,
     "q54_ordinals_tws" -> q54,
+    "q56_stream_sessions" -> q56,
     "q16_window_vs_baseline" -> q16,
     "q17_sliding_trend" -> q17,
     "q18_window_topk" -> q18,
@@ -381,6 +432,10 @@ object StreamingQueries {
        |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q56: the q29/q38 gaps-and-islands oracle verbatim — three
+    // implementations (custom state machine, batch session_window,
+    // streamed merge state) pinned to one independent formulation
+    "q56_stream_sessions" -> graft.queries.DataOps.oracles("q29_sessionize"),
     // q53: the daily rollup computed in ONE hop from raw events — the
     // streaming side must arrive at the same numbers through two
     // chained stateful stages (1 h windows nest exactly in UTC days)

@@ -3,8 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 import graft.model.Schemas.Event
 
@@ -64,5 +64,70 @@ object OrdinalStream {
     events.groupByKey(_.user_id)
       .transformWithState(new OrdinalProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  case class UserSummary(user_id: Long, n_events: Long,
+                         first_us: Long, last_us: Long)
+
+  private case class Acc(n: Long, firstUs: Long, lastUs: Long, timerMs: Long)
+
+  /** The EVENT-TIME-TIMER side of the new API (`handleExpiredTimer`,
+    * which [[OrdinalProcessor]] never reaches under `TimeMode.None`):
+    * per-user activity summaries finalized by INACTIVITY — each batch
+    * re-arms a single timer at `last event + gapMs`, deleting the
+    * previous one (`registerTimer`/`deleteTimer`, so exactly one timer
+    * per live key), and when the WATERMARK passes the armed expiry the
+    * summary is emitted from `handleExpiredTimer` and the state
+    * cleared — the timer, not data arrival, drives emission, which is
+    * what distinguishes this from every other stateful operator here.
+    * Micros→ms uses ceil (the [[FunnelStream]] truncation lesson): a
+    * timer must never be armed BEFORE the sub-ms event time it covers.
+    */
+  class InactivityProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, UserSummary] {
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[Acc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[Acc]("acc", Encoders.product[Acc], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[UserSummary] = {
+      val evs = rows.toVector
+      val lo = evs.map(e => toMicros(e.ts)).min
+      val hi = evs.map(e => toMicros(e.ts)).max
+      val prev = if (acc.exists()) Option(acc.get()) else None
+      prev.foreach(a => getHandle.deleteTimer(a.timerMs))
+      val merged = prev match {
+        case Some(a) => Acc(a.n + evs.size, math.min(a.firstUs, lo),
+          math.max(a.lastUs, hi), 0L)
+        case None => Acc(evs.size.toLong, lo, hi, 0L)
+      }
+      val timerMs = (math.max(merged.lastUs, hi) + 999L) / 1000L + gapMs
+      getHandle.registerTimer(timerMs)
+      acc.update(merged.copy(timerMs = timerMs))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[UserSummary] = {
+      val out =
+        if (acc.exists()) {
+          val a = acc.get()
+          Iterator.single(UserSummary(key, a.n, a.firstUs, a.lastUs))
+        } else Iterator.empty
+      acc.clear()
+      out
+    }
+  }
+
+  /** Inactivity-finalized per-user summaries (event-time timers).
+    * Callers must set a watermark on `ts` upstream — the watermark is
+    * what expires timers.
+    */
+  def inactivitySummaries(events: Dataset[Event], gapMs: Long): Dataset[UserSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

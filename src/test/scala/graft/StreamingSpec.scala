@@ -398,4 +398,46 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
     assert(byUser(2L).map(_.seq).toSeq == Seq(1L))
   }
+
+  test("transformWithState event-time timers: inactivity finalizes exactly the idle user") {
+    import spark.implicits._
+    import graft.streaming.OrdinalStream
+    implicit val sc = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[Ev]
+    val events = mem.toDS()
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[graft.model.Schemas.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-tws-timer").toString
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try OrdinalStream.inactivitySummaries(events, 15 * 60 * 1000L).writeStream
+        .format("memory").queryName("tws_inactivity")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      finally spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        beforeProvider)
+    // batch 1: user 1 active 10:00–10:05 → timer armed at 10:20
+    mem.addData(Ev(t(10, 0), "a", 1L, 0.0), Ev(t(10, 5), "b", 1L, 0.0))
+    q.processAllAvailable()
+    // batch 2: user 2 at 12:00 → watermark will advance to 11:00,
+    // past user 1's 10:20 timer but far short of user 2's 12:15
+    mem.addData(Ev(t(12, 0), "x", 2L, 0.0))
+    q.processAllAvailable()
+    // one more batch so the advanced watermark is applied to timers
+    // even if no-data batches are disabled
+    mem.addData(Ev(t(12, 1), "x", 2L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tws_inactivity").as[OrdinalStream.UserSummary].collect()
+    assert(got.length == 1, s"exactly the idle user finalizes: ${got.toSeq}")
+    val s = got.head
+    assert(s.user_id == 1L && s.n_events == 2L)
+    assert(s.first_us == t(10, 0).getTime * 1000L)
+    assert(s.last_us == t(10, 5).getTime * 1000L)
+  }
 }
