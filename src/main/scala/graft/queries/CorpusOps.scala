@@ -355,7 +355,53 @@ object CorpusOps {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** c15 — bigram-LM quality scoring (the CCNet/KenLM filter family,
+    * exact-integer form): a conditional-frequency "language model" is
+    * trained on the 90% split (`doc_id % 10 != 0` — c01's convention)
+    * and EVERY document is scored under it. Each bigram scores
+    * `floor(cnt(w1 w2) · 10^6 / cnt(w1 ·))` — its train-split
+    * conditional probability in parts-per-million; unseen bigrams
+    * score 0 — and a doc's `lm_score` is the floor-average over its
+    * bigrams. Rational integer math end-to-end: no ln/exp ever rides
+    * the hash path (the c04 lesson), yet ranking by `lm_score` orders
+    * documents the way mean per-token likelihood would.
+    *
+    * Scale shape: model building is one explode + hash agg over the
+    * train split; scoring is two shuffled equi-joins (gram→count,
+    * prefix→count) — linear end-to-end, no broadcast assumed (the
+    * bigram model is Zipf-heavy but unbounded at 100 TB; AQE still
+    * picks broadcast when it happens to fit). Docs with fewer than 2
+    * tokens have no bigrams and are out of scope of the filter.
+    */
+  def c15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.wordNgramsAll(
+        TextOps.tokens(TextOps.normalize($"text")), 2).as("g2"))
+      .persistScoped()
+    val model = docs.filter($"doc_id" % 10 =!= 0)
+      .select(explode($"g2").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("c2"))
+      .persistScoped()
+    val prefix = model
+      .groupBy(split($"g", " ").getItem(0).as("w1"))
+      .agg(sum($"c2").as("c1"))
+    docs.select($"doc_id", explode($"g2").as("g"))
+      .join(model, Seq("g"), "left")
+      .withColumn("w1", split($"g", " ").getItem(0))
+      .join(prefix, Seq("w1"), "left")
+      .withColumn("s", coalesce(expr("c2 * 1000000 div c1"), lit(0L)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"s").as("ssum"))
+      .select($"doc_id", $"n_bigrams",
+        expr("ssum div n_bigrams").as("lm_score"))
+      .withColumn("keep", $"lm_score" >= 33000L)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_lm_quality" -> c15,
     "c11_sequence_packing" -> c11,
     "c12_substring_dedup" -> c12,
     "c13_segment_dedup" -> c13,
@@ -375,6 +421,37 @@ object CorpusOps {
   // whole-text shingle — mirrored by greatest(len(toks)-(n-2), 2) range
   // bounds + DuckDB list-slice clamping (the proven d04 pattern).
   val oracles: Map[String, String] = Map(
+    // c15: identical bigram space (c02's list comprehension), identical
+    // integer ppm scores — DuckDB's `//` and Spark's `div` agree on
+    // non-negative operands
+    "c15_lm_quality" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, $normSql AS norm FROM documents),
+         |t AS (
+         |  SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+         |  FROM t),
+         |model AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM g
+         |  WHERE doc_id % 10 <> 0 GROUP BY g),
+         |pfx AS (
+         |  SELECT string_split(g, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+         |  FROM model GROUP BY 1),
+         |sc AS (
+         |  SELECT d.doc_id, COALESCE(m.c2 * 1000000 // p.c1, 0) AS s
+         |  FROM g d
+         |  LEFT JOIN model m USING (g)
+         |  LEFT JOIN pfx p ON string_split(d.g, ' ')[1] = p.w1),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(s) AS BIGINT) AS ssum
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(ssum // n_bigrams AS BIGINT) AS lm_score,
+         |  ssum // n_bigrams >= 33000 AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "c12_substring_dedup" ->
       s"""WITH n0 AS (SELECT doc_id, $normSql AS norm FROM documents),
          |d AS (SELECT doc_id, norm FROM n0 WHERE length(norm) >= 24),
