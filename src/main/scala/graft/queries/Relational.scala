@@ -177,6 +177,33 @@ object Relational {
       .orderBy($"year")
   }
 
+  /** q57 — `unpivot`/melt, the pivot inverse (wide→long reshaping,
+    * Spark 3.4+ `Dataset.unpivot`): per-returnflag fixed-point sums of
+    * four lineitem measures melted to (flag, measure, total_units)
+    * rows. Unpivot is a zero-shuffle per-row expansion (each input row
+    * emits |values| output rows — the plan is a single Expand over the
+    * aggregated frame), so the reshape happens AFTER the aggregation
+    * pinches the data down: melt-then-agg would ×4 the shuffled bytes
+    * for the same answer. Monetary measures carry cents, rates carry
+    * basis points ×100 — the unpivoted value column must be one type,
+    * so everything rides the established fixed-point BIGINT lane.
+    */
+  def q57Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(gf.fixed($"l_quantity", 100.0)).as("qty"),
+        sum(gf.fixed($"l_extendedprice", 100.0)).as("price"),
+        sum(gf.fixed($"l_discount", 10000.0)).as("discount"),
+        sum(gf.fixed($"l_tax", 10000.0)).as("tax"))
+    wide.unpivot(
+        Array($"l_returnflag"),
+        Array($"qty", $"price", $"discount", $"tax"),
+        "measure", "total_units")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
   /** q33 — EXACT per-group percentiles (p50/p90/p99) by two-pass
     * distributed SELECTION ([[graft.operators.Hll.exactPercentilesSelect]]):
     * histogram pass locates each target rank's bin, then only the rows
@@ -279,6 +306,7 @@ object Relational {
     "q27_rollup_distinct" -> q27RollupDistinct,
     "q31_cube_grouping" -> q31CubeGrouping,
     "q32_pivot_priorities" -> q32PivotPriorities,
+    "q57_unpivot_measures" -> q57Unpivot,
     "q33_percentiles" -> q33Percentiles
   )
 
@@ -364,6 +392,22 @@ object Relational {
         |  count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
         |FROM orders
         |GROUP BY 1 ORDER BY year""".stripMargin,
+    // q57: melt via UNION ALL over the same fixed-point sums — the
+    // measure labels keep the mixed scales (cents vs bp×100) explicit
+    "q57_unpivot_measures" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price,
+        |    CAST(sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS discount,
+        |    CAST(sum(CAST(floor(l_tax * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS tax
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, total_units FROM (
+        |  SELECT l_returnflag, 'qty' AS measure, qty AS total_units FROM w
+        |  UNION ALL SELECT l_returnflag, 'price', price FROM w
+        |  UNION ALL SELECT l_returnflag, 'discount', discount FROM w
+        |  UNION ALL SELECT l_returnflag, 'tax', tax FROM w)
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q33_percentiles" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_extendedprice,
