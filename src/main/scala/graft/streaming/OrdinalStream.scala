@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+  StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
+  TimerValues}
 
 import graft.model.Schemas.Event
 
@@ -38,6 +39,19 @@ object OrdinalStream {
   private def toMicros(t: Timestamp): Long =
     t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
+  private def assignOrdinals(key: Long, rows: Iterator[Event],
+      counter: org.apache.spark.sql.streaming.ValueState[Long]): Iterator[SeqEvent] = {
+    val sorted = rows.toVector
+      .sortBy(e => (toMicros(e.ts), e.event_type, e.value))
+    var n = if (counter.exists()) counter.get() else 0L
+    val out = sorted.map { e =>
+      n += 1
+      SeqEvent(key, n, toMicros(e.ts), e.event_type, e.value)
+    }
+    counter.update(n)
+    out.iterator
+  }
+
   class OrdinalProcessor extends StatefulProcessor[Long, Event, SeqEvent] {
     @transient private var counter: org.apache.spark.sql.streaming.ValueState[Long] = _
 
@@ -45,17 +59,44 @@ object OrdinalStream {
       counter = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
-                                 tv: TimerValues): Iterator[SeqEvent] = {
-      val sorted = rows.toVector
-        .sortBy(e => (toMicros(e.ts), e.event_type, e.value))
-      var n = if (counter.exists()) counter.get() else 0L
-      val out = sorted.map { e =>
-        n += 1
-        SeqEvent(key, n, toMicros(e.ts), e.event_type, e.value)
-      }
-      counter.update(n)
-      out.iterator
-    }
+                                 tv: TimerValues): Iterator[SeqEvent] =
+      assignOrdinals(key, rows, counter)
+  }
+
+  /** Warm-start variant ([[StatefulProcessorWithInitialState]]): the
+    * counter is SEEDED from a batch dataset before the first
+    * micro-batch — the state-bootstrap path for migrating a running
+    * pipeline onto this operator without renumbering history (the
+    * streaming analogue of resuming from a batch checkpoint table).
+    * `handleInitialState` runs once per seeded key; unseeded keys
+    * start at 0 as usual.
+    */
+  class SeededOrdinalProcessor
+      extends StatefulProcessorWithInitialState[Long, Event, SeqEvent, Long] {
+    @transient private var counter: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counter = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, seed: Long, tv: TimerValues): Unit =
+      counter.update(seed)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[SeqEvent] =
+      assignOrdinals(key, rows, counter)
+  }
+
+  /** Warm-start ordinals: per-user counters seeded from a batch
+    * `(user_id, last_assigned_seq)` dataset before the first
+    * micro-batch; unseeded users start at 0.
+    */
+  def seededOrdinals(events: Dataset[Event],
+                     seeds: Dataset[(Long, Long)]): Dataset[SeqEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SeededOrdinalProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        seeds.groupByKey(_._1).mapValues(_._2))
   }
 
   /** Streaming (or batch-replayed) per-user ordinal assignment. */

@@ -399,6 +399,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUser(2L).map(_.seq).toSeq == Seq(1L))
   }
 
+  test("transformWithState initial state: seeded counters continue, unseeded start at 1") {
+    import spark.implicits._
+    import graft.streaming.OrdinalStream
+    implicit val sc = spark.sqlContext
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    val mem = MemoryStream[Ev]
+    val events = mem.toDS()
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .as[graft.model.Schemas.Event]
+    // user 1 migrated mid-history: 100 ordinals already assigned by the
+    // batch pipeline; user 2 is brand new
+    val seeds = Seq((1L, 100L)).toDS()
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-tws-seed").toString
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try OrdinalStream.seededOrdinals(events, seeds).writeStream
+        .format("memory").queryName("tws_seeded")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      finally spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        beforeProvider)
+    mem.addData(Ev(ts(2), "b", 1L, 0.0), Ev(ts(1), "a", 1L, 0.0),
+      Ev(ts(5), "x", 2L, 0.0))
+    q.processAllAvailable()
+    // the seeded counter must also persist across batches
+    mem.addData(Ev(ts(3), "c", 1L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("tws_seeded").as[OrdinalStream.SeqEvent]
+      .collect().groupBy(_.user_id)
+    assert(byUser(1L).sortBy(_.seq).map(e => (e.seq, e.event_type)).toSeq ==
+      Seq((101L, "a"), (102L, "b"), (103L, "c")))
+    assert(byUser(2L).map(_.seq).toSeq == Seq(1L))
+  }
+
   test("transformWithState event-time timers: inactivity finalizes exactly the idle user") {
     import spark.implicits._
     import graft.streaming.OrdinalStream
