@@ -296,8 +296,67 @@ object Relational {
       .orderBy($"c_nationkey", $"c_acctbal", $"c_custkey")
   }
 
+  /** q58 — RANGE frames over an event-time axis (the frame surface q45
+    * left out): per-customer trailing-90-day order count and spend.
+    * RANGE differs from ROWS exactly when the order key has ties — all
+    * same-day orders share one frame, so the result is deterministic
+    * with NO tiebreak on the frame key (ROWS would need one). The time
+    * axis is an epoch-day integer (`datediff` from a fixed origin) so
+    * the DataFrame-API `rangeBetween(-90, 0)` — which only accepts
+    * numeric bounds — expresses the calendar interval exactly; one
+    * sort-shuffle on o_custkey, sums over exact cents.
+    */
+  def q58RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate", lit("1992-01-01").cast("date")).as("day"),
+        gf.fixed($"o_totalprice", 100).as("cents"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day").rangeBetween(-90, 0)
+    o.select($"o_custkey", $"o_orderkey", $"day",
+        count(lit(1)).over(w).as("n_90d"),
+        gf.dround(gf.sumFromFixed(sum($"cents").over(w), 100), 2).as("spend_90d"))
+      .orderBy($"o_custkey", $"day", $"o_orderkey")
+  }
+
+  /** q59 — correlated subqueries through the `spark.sql` surface:
+    * a correlated scalar aggregate (nation average balance, fixed-point
+    * cents so the distributed sum is exact) both in SELECT and as a
+    * comparison bound, plus correlated EXISTS / NOT EXISTS. Catalyst
+    * decorrelates all three (RewriteCorrelatedScalarSubquery → join on
+    * the grouped aggregate; [NOT] EXISTS → left-semi/anti join), so the
+    * physical plan is three shuffle-free-able joins, not a per-row
+    * nested loop — the property that makes correlated SQL usable at
+    * scale. The mean is `(sum_cents / n) / 100` with pinned association
+    * ([[gf.meanFromFixed]]); both engines then compare the same IEEE
+    * doubles.
+    */
+  def q59Correlated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+        |  (SELECT CAST(sum(CAST(floor(c2.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |     / count(*) / 100.0
+        |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg_bal
+        |FROM customer c
+        |WHERE c.c_acctbal >
+        |    (SELECT CAST(sum(CAST(floor(c3.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |       / count(*) / 100.0
+        |     FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderpriority = '5-LOW')
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
+    "q58_range_frame" -> q58RangeFrame,
+    "q59_correlated" -> q59Correlated,
     "q35_full_outer" -> q35FullOuter,
     "q36_setops" -> q36SetOps,
     "q45_window_family" -> q45WindowFamily,
@@ -311,6 +370,33 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INT) AS day,
+        |  count(*) OVER w AS n_90d,
+        |  round(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0, 2) AS spend_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+        |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    "q59_correlated" ->
+      """SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+        |  (SELECT CAST(sum(CAST(floor(c2.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |     / count(*) / 100.0
+        |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg_bal
+        |FROM customer c
+        |WHERE c.c_acctbal >
+        |    (SELECT CAST(sum(CAST(floor(c3.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |       / count(*) / 100.0
+        |     FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderpriority = '5-LOW')
+        |ORDER BY c.c_custkey""".stripMargin,
     "q45_window_family" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  percent_rank() OVER w AS pct_rank,
