@@ -78,6 +78,51 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS: minimum hop count from ANY seed, by level-
+    * synchronous frontier expansion — the distributed shortest-path
+    * primitive (influence radius, blast-radius queries, graph-distance
+    * features). Seeds emit hops 0 whether or not they appear in the
+    * edge set.
+    *
+    * Shape at scale: per level, ONE equi-join frontier⋈edges (shuffle
+    * keyed on src) + distinct + LEFT ANTI against the visited set —
+    * each frontier is `localCheckpoint`ed, so the visited set is a
+    * flat union of materialized levels and lineage never grows with
+    * the hop count. Work per level is proportional to the frontier's
+    * edge cut, never the whole graph; the loop stops early on an empty
+    * frontier (one cheap `isEmpty` per level on an already-materialized
+    * frame). Integer hop labels — nothing to drift.
+    *
+    * Input: symmetric directed edge list (src, dst); seeds (id).
+    * Output: (id, hops) for every node within `maxHops` of a seed.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val level0 = seeds.select(col("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    var levels = List(level0)
+    var frontier = level0.select(col("id"))
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val visited = levels.map(_.select(col("id"))).reduce(_ unionByName _)
+      val next = frontier.withColumnRenamed("id", "src")
+        .join(e, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        levels ::= next
+        frontier = next.select(col("id"))
+        h += 1
+      }
+    }
+    e.unpersist()
+    levels.reduce(_ unionByName _)
+  }
+
   /** Exact triangle enumeration by DEGREE-ORDERED edge orientation
     * (the "forward" / node-iterator++ algorithm, Schank & Wagner 2005):
     * orient every undirected edge from its lower-(degree, id) endpoint

@@ -127,11 +127,36 @@ object GraphQueries {
       .orderBy(col("part"))
   }
 
+  /** g05 — supply blast radius: minimum hop count from the nation-0
+    * supplier fleet to every reachable node of the bipartite
+    * supplier↔part graph (hop 1 = their parts, hop 2 = co-suppliers of
+    * those parts, …), via [[Graph.bfsHops]] level-synchronous frontier
+    * expansion capped at 4 hops. The ORACLE recomputes distances with
+    * a depth-bounded recursive CTE + min-aggregate — a different
+    * algorithm (path enumeration vs level sets), one hash.
+    */
+  def g05(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_suppkey", ($"l_partkey" + 1000000L).as("part_node"))
+      .distinct()
+    val edges = li.select($"l_suppkey".as("src"), $"part_node".as("dst"))
+      .unionByName(li.select($"part_node".as("src"), $"l_suppkey".as("dst")))
+    val seeds = Tables.load(spark, dir, "supplier")
+      .filter($"s_nationkey" === 0).select($"s_suppkey".as("id"))
+    Graph.bfsHops(edges, seeds, maxHops = 4)
+      .select($"id".as("node_id"),
+        when($"id" >= 1000000L, "part").otherwise("supplier").as("node_type"),
+        $"hops")
+      .orderBy($"node_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> g01,
     "g02_triangles" -> g02,
     "g03_components" -> g03,
-    "g04_clustering_coeff" -> g04
+    "g04_clustering_coeff" -> g04,
+    "g05_bfs_hops" -> g05
   )
 
   /** 3 unrolled PageRank iterations; all arithmetic mirrors
@@ -199,6 +224,23 @@ object GraphQueries {
         |          SELECT e.d, reach.lab FROM reach JOIN edges e ON reach.id = e.s)
         |SELECT id, CAST(min(lab) AS BIGINT) AS label
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "g05_bfs_hops" ->
+      """WITH RECURSIVE
+        |sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p
+        |       FROM lineitem),
+        |edges AS (SELECT s AS src, p AS dst FROM sp
+        |          UNION ALL SELECT p, s FROM sp),
+        |seeds AS (SELECT DISTINCT s_suppkey AS id FROM supplier
+        |          WHERE s_nationkey = 0),
+        |reach AS (SELECT id, 0 AS d FROM seeds
+        |          UNION
+        |          SELECT e.dst, reach.d + 1 FROM reach
+        |          JOIN edges e ON reach.id = e.src
+        |          WHERE reach.d < 4)
+        |SELECT id AS node_id,
+        |  CASE WHEN id >= 1000000 THEN 'part' ELSE 'supplier' END AS node_type,
+        |  CAST(min(d) AS INT) AS hops
+        |FROM reach GROUP BY id ORDER BY node_id""".stripMargin,
     "g04_clustering_coeff" ->
       """WITH li AS (
         |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk

@@ -135,6 +135,28 @@ class DegenerateSpec extends AnyFunSuite {
     assert(bucketed == direct)
   }
 
+  test("BFS hops: chain distances, maxHops cutoff, disconnected nodes, off-graph seeds") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (symmetric), disconnected pair 10-11
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+    val e = und.toDF("src", "dst")
+      .unionByName(und.map(_.swap).toDF("src", "dst"))
+    def run(maxHops: Int, seeds: Seq[Long]) =
+      Graph.bfsHops(e, seeds.toDF("id"), maxHops).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // single seed: exact chain distances, 10/11 unreachable
+    assert(run(10, Seq(1L)) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4, 6L -> 5))
+    // maxHops truncates the far tail
+    assert(run(2, Seq(1L)) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // multi-source: min over seeds on both components
+    assert(run(10, Seq(1L, 11L)) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4, 6L -> 5,
+        11L -> 0, 10L -> 1))
+    // a seed absent from the graph still reports hops 0
+    assert(run(3, Seq(99L)) == Map(99L -> 0))
+  }
+
   test("triangles: K4, star, and pendant graphs count exactly") {
     import spark.implicits._
     graft.functions.NativeExprs.ensureRegistered(spark)
