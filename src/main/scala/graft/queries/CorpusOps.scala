@@ -400,7 +400,62 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** c16 — BM25-family retrieval over the c10 inverted index (the
+    * query-side half of the RAG/decontamination loop: given a snippet,
+    * rank the corpus): every 100th document's first 8 distinct tokens
+    * form a multi-term query, and all docs are scored
+    * `Σ_t idf(t) · sat(tf, dl)` with textbook BM25 saturation
+    * `tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` at k1=1.2, b=0.75 —
+    * carried as EXACT integer rationals (k1, b, and milli-avgdl are
+    * exact; the whole saturation term collapses to one integer-div of
+    * int64 products in parts-per-million). The log-IDF is deliberately
+    * replaced by the linear-inverse integer form `10^6·N div (df+1)`:
+    * `ln` is not correctly-rounded IEEE and never rides the hash path
+    * (the c04/c15 rule), and per-term monotonicity — all a scorer's
+    * ranking needs from IDF — is preserved. At N beyond ~10^9 docs the
+    * idf·sat product needs decimal(38,0); int64 is exact through every
+    * test SF with big margin.
+    *
+    * Scale shape: postings + df are one explode + two hash aggs (the
+    * c10 build); scoring is equi-joins keyed on term — query terms
+    * fan out to exactly their postings, never the corpus — and the
+    * final top-10 per query is a WindowGroupLimit, not a global sort.
+    */
+  def c16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokens(TextOps.normalize($"text")).as("toks"))
+      .persistScoped() // feeds dl, postings, queries
+    val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
+    val postings = docs.select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val consts = broadcast(
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tokens"))
+        .select($"n_docs", expr("t_tokens * 1000 div n_docs").as("avgdl_m")))
+    val qterms = docs.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("query_id"), explode(slice($"toks", 1, 8)).as("term"))
+      .distinct()
+    qterms.join(postings, Seq("term"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(consts)
+      .withColumn("contrib", expr(
+        """((1000000 * n_docs) div (df + 1)) *
+          |((44 * tf * avgdl_m * 1000000)
+          |  div (20 * tf * avgdl_m + 6 * avgdl_m + 18000 * dl)) div 1000000""".stripMargin))
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"), sum($"contrib").as("score_ppm"))
+      .withColumn("rnk", row_number().over(Window.partitionBy($"query_id")
+        .orderBy($"score_ppm".desc, $"doc_id")))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"rnk", $"doc_id", $"n_terms_matched", $"score_ppm")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_bm25" -> c16,
     "c15_lm_quality" -> c15,
     "c11_sequence_packing" -> c11,
     "c12_substring_dedup" -> c12,
@@ -421,6 +476,48 @@ object CorpusOps {
   // whole-text shingle — mirrored by greatest(len(toks)-(n-2), 2) range
   // bounds + DuckDB list-slice clamping (the proven d04 pattern).
   val oracles: Map[String, String] = Map(
+    // c16: identical integer rationals — DuckDB `//` ≡ Spark `div` on
+    // the non-negative operands here; HUGEINT sums cast back to BIGINT
+    "c16_bm25" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM n),
+         |p AS (SELECT doc_id, unnest(toks) AS term FROM n),
+         |postings AS (
+         |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM p GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM postings GROUP BY 1),
+         |consts AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS avgdl_m
+         |  FROM dl),
+         |q AS (SELECT DISTINCT query_id, term FROM (
+         |    SELECT doc_id AS query_id, unnest(toks[1:8]) AS term
+         |    FROM n WHERE doc_id % 100 = 0)),
+         |sc AS (
+         |  SELECT q.query_id, postings.doc_id,
+         |    ((1000000 * n_docs) // (df + 1)) *
+         |    ((44 * tf * avgdl_m * 1000000)
+         |      // (20 * tf * avgdl_m + 6 * avgdl_m + 18000 * dl)) // 1000000 AS contrib
+         |  FROM q
+         |  JOIN postings USING (term)
+         |  JOIN dfx USING (term)
+         |  JOIN dl ON postings.doc_id = dl.doc_id
+         |  CROSS JOIN consts),
+         |agg AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |    CAST(sum(contrib) AS BIGINT) AS score_ppm
+         |  FROM sc GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id, n_terms_matched, score_ppm,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_ppm DESC, doc_id) AS INT) AS rnk
+         |  FROM agg)
+         |SELECT query_id, rnk, doc_id, n_terms_matched, score_ppm
+         |FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
     // c15: identical bigram space (c02's list comprehension), identical
     // integer ppm scores — DuckDB's `//` and Spark's `div` agree on
     // non-negative operands
