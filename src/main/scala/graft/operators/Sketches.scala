@@ -221,6 +221,56 @@ object Hll {
   }
 }
 
+/** KMV — k-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+  * "bottom-k" ancestor of the Theta sketch): keep the k smallest values
+  * of a 64-bit bijective mix of the key; the k-th smallest, read as a
+  * fraction of the hash space, estimates the distinct count as
+  * `(k−1)·2^64 / U(h_(k))`. What HLL cannot do and KMV can: the
+  * retained keys form a uniform SAMPLE of the distinct set, so sketches
+  * COMPOSE under set algebra — the union sketch is the k smallest of
+  * the merged samples, and counting which union-sample keys belong to
+  * each operand estimates Jaccard and intersection size (the Theta
+  * sketch's whole value proposition, h04's subject).
+  *
+  * Scale shape: distinct → mix → global top-k plans as
+  * TakeOrderedAndProject: per-partition k-heaps merged on the driver's
+  * k rows — no global sort, no single-partition window, shuffle bounded
+  * by partitions·k. mix64 is a BIJECTION on int64, so distinct keys
+  * cannot collide and the hash order is total with no tiebreak column.
+  *
+  * Determinism: `uh` = mixed hash XOR Long.MinValue — signed order ≡
+  * unsigned hash order — and the estimate is a fixed IEEE chain
+  * (long→double, +2^63, one divide) on exact integers, written
+  * operand-for-operand like the DuckDB oracle so results are
+  * bit-identical, not approximately equal.
+  */
+object Kmv {
+
+  /** Default sketch size: σ ≈ 1/√(k−2) ≈ 6.3%. */
+  val K = 256
+
+  /** The sketch: ≤ k rows (key, uh), uh ascending ≡ unsigned hash
+    * order. Keys need not be pre-deduplicated.
+    */
+  def sketch(keys: DataFrame, keyCol: String, k: Int): DataFrame =
+    keys.select(col(keyCol).as("key")).distinct()
+      .select(col("key"),
+        Hll.mix64Col(col("key")).bitwiseXOR(lit(Long.MinValue)).as("uh"))
+      .orderBy(col("uh")).limit(k)
+
+  /** Distinct estimate from a sketch's max `uh` plus the exact key
+    * count when it is at hand (a sketch holding fewer than k keys IS
+    * the exact distinct set — the estimator only applies at ≥ k).
+    * `(k−1)·2^64` is an exact double (255·2^64 needs 8 mantissa bits);
+    * the denominator reconstructs U(h_(k)) = uh + 2^63 in doubles with
+    * the same two ops on both engines.
+    */
+  def estimate(maxUh: Column, n: Column, k: Int): Column =
+    when(n < k, n.cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1.8446744073709552E19) /
+        (maxUh.cast("double") + lit(9.223372036854776E18)))
+}
+
 /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005) as two
   * hash aggregations — the frequency member of the sketch suite
   * (cardinality: [[Hll]], quantiles: [[Hll.histogramQuantiles]],

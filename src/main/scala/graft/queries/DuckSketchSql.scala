@@ -658,6 +658,58 @@ object DuckSketchSql {
     * weighted cell sums ≡ per-occurrence increments), 10-bit position
     * slices, min-over-rows estimates for the exact top-20.
     */
+  /** h04 — KMV set algebra: the exact splitmix64 mix (HUGEINT
+    * mod-2^64) per key set, bottom-256 via ORDER BY z LIMIT, and the
+    * estimate written operand-for-operand like `Kmv.estimate` — the
+    * signed `uh` (z − 2^63 as BIGINT) cast to double then re-offset by
+    * 2^63.0, so both engines perform the IDENTICAL long→double rounding
+    * before the one divide (casting the unsigned HUGEINT directly could
+    * double-round differently).
+    */
+  val h04: String = {
+    val (mixA, lastA) = mix64Ctes("kva", "za0", Seq("key"))
+    val (mixB, lastB) = mix64Ctes("kvb", "zb0", Seq("key"))
+    val (mixU, lastU) = mix64Ctes("kvu", "zu0", Seq("key"))
+    def est(uh: String, n: String) =
+      s"CASE WHEN $n < 256 THEN CAST($n AS DOUBLE) ELSE " +
+        s"(255.0 * 18446744073709551616.0) / (CAST($uh AS DOUBLE) + 9223372036854775808.0) END"
+    s"""WITH a0 AS (SELECT DISTINCT o_custkey AS key FROM orders
+       |            WHERE year(o_orderdate) = 1995),
+       |b0 AS (SELECT DISTINCT o_custkey AS key FROM orders
+       |       WHERE year(o_orderdate) = 1996),
+       |u0 AS (SELECT key FROM a0 UNION SELECT key FROM b0),
+       |za0 AS (SELECT key, key::HUGEINT AS z FROM a0),
+       |zb0 AS (SELECT key, key::HUGEINT AS z FROM b0),
+       |zu0 AS (SELECT key, key::HUGEINT AS z FROM u0),
+       |$mixA,
+       |$mixB,
+       |$mixU,
+       |ska AS (SELECT z FROM $lastA ORDER BY z LIMIT 256),
+       |skb AS (SELECT z FROM $lastB ORDER BY z LIMIT 256),
+       |sku AS (SELECT key, z FROM $lastU ORDER BY z LIMIT 256),
+       |mx AS (SELECT
+       |  (SELECT CAST(max(z) - 9223372036854775808::HUGEINT AS BIGINT) FROM ska) AS uh_a,
+       |  (SELECT CAST(max(z) - 9223372036854775808::HUGEINT AS BIGINT) FROM skb) AS uh_b,
+       |  (SELECT CAST(max(z) - 9223372036854775808::HUGEINT AS BIGINT) FROM sku) AS uh_u,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM a0) AS n_a,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM b0) AS n_b,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM u0) AS n_union,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM a0
+       |     WHERE key IN (SELECT key FROM b0)) AS n_inter,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sku
+       |     WHERE key IN (SELECT key FROM a0)
+       |       AND key IN (SELECT key FROM b0)) AS n_sample_both)
+       |SELECT CAST(256 AS INT) AS k,
+       |  n_a, n_b, n_union, n_inter, n_sample_both,
+       |  round(${est("uh_a", "n_a")}, 2) AS est_a,
+       |  round(${est("uh_b", "n_b")}, 2) AS est_b,
+       |  round(${est("uh_u", "n_union")}, 2) AS est_union,
+       |  round((CAST(n_sample_both AS DOUBLE) * ${est("uh_u", "n_union")}) / 256.0, 2)
+       |    AS est_inter,
+       |  round(CAST(n_sample_both AS DOUBLE) / 256.0, 4) AS jaccard_sample
+       |FROM mx""".stripMargin
+  }
+
   val h03: String = {
     val (mix, last) = mix64Ctes("f", "f0", Seq("token"))
     s"""WITH n AS (SELECT $normSql AS norm FROM documents),

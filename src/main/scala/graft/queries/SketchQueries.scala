@@ -4,7 +4,7 @@ import graft.QueryCaches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
-import graft.operators.{CountMin, Frequency, Hll, TextOps}
+import graft.operators.{CountMin, Frequency, Hll, Kmv, TextOps}
 import graft.sources.Tables
 
 /** Cardinality / frequency sketch queries (h-series + the c05 corpus
@@ -92,10 +92,56 @@ object SketchQueries {
       .orderBy($"exact_cnt".desc, $"token")
   }
 
+  /** h04 — KMV sketch SET ALGEBRA (what [[Hll]] cannot do): the 1995
+    * and 1996 active-customer sets are sketched with k=256 minimum
+    * hash values each, merged into the union sketch, and the union
+    * sample's membership in each operand estimates Jaccard and
+    * intersection size — next to the exact values, so the accuracy
+    * envelope rides the driver row like h01's. Three
+    * TakeOrderedAndProject top-k's + two semi-joins against the 256-row
+    * sample; every estimate is a fixed IEEE chain on exact integers
+    * (oracle-identical), and the exact columns are plain counts.
+    */
+  def h04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = Kmv.K
+    val o = Tables.load(spark, dir, "orders")
+    def keys(y: Int) = o.filter(year($"o_orderdate") === y)
+      .select($"o_custkey".as("key")).distinct()
+    val a = keys(1995).persistScoped() // sketch + membership + exact count
+    val b = keys(1996).persistScoped()
+    val un = a.unionByName(b).distinct()
+    val skU = Kmv.sketch(un, "key", k).localCheckpoint() // ≤256 rows, 3 consumers
+    val nBoth = skU.join(a, Seq("key"), "left_semi")
+      .join(b, Seq("key"), "left_semi")
+      .agg(count(lit(1)).as("n_sample_both"))
+    def sc(df: DataFrame) = broadcast(df) // 1-row scalar frames
+    val estU = Kmv.estimate($"uh_u", $"n_union", k)
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(sc(b.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(sc(un.agg(count(lit(1)).as("n_union"))))
+      .crossJoin(sc(a.join(b, Seq("key"), "left_semi")
+        .agg(count(lit(1)).as("n_inter"))))
+      .crossJoin(sc(Kmv.sketch(a, "key", k).agg(max($"uh").as("uh_a"))))
+      .crossJoin(sc(Kmv.sketch(b, "key", k).agg(max($"uh").as("uh_b"))))
+      .crossJoin(sc(skU.agg(max($"uh").as("uh_u"))))
+      .crossJoin(sc(nBoth))
+      .select(lit(k).as("k"),
+        $"n_a", $"n_b", $"n_union", $"n_inter", $"n_sample_both",
+        gf.dround(Kmv.estimate($"uh_a", $"n_a", k), 2).as("est_a"),
+        gf.dround(Kmv.estimate($"uh_b", $"n_b", k), 2).as("est_b"),
+        gf.dround(estU, 2).as("est_union"),
+        gf.dround($"n_sample_both".cast("double") * estU / k.toDouble, 2)
+          .as("est_inter"),
+        gf.dround($"n_sample_both".cast("double") / k.toDouble, 4)
+          .as("jaccard_sample"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h01_hll_distinct" -> h01,
     "h02_histogram_quantiles" -> h02,
     "h03_countmin_freq" -> h03,
+    "h04_kmv_setops" -> h04,
     "c05_heavy_hitters" -> c05
   )
 
@@ -104,6 +150,7 @@ object SketchQueries {
 
   val oracles: Map[String, String] = Map(
     "h01_hll_distinct" -> DuckSketchSql.h01,
+    "h04_kmv_setops" -> DuckSketchSql.h04,
     "h03_countmin_freq" -> DuckSketchSql.h03,
     "h02_histogram_quantiles" ->
       """WITH m AS (SELECT l_returnflag AS g,

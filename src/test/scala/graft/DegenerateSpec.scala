@@ -135,6 +135,29 @@ class DegenerateSpec extends AnyFunSuite {
     assert(bucketed == direct)
   }
 
+  test("KMV: sub-k sketch is the exact set; estimator within envelope at n >> k") {
+    import spark.implicits._
+    import graft.operators.Kmv
+    // n < k: the sketch IS the distinct set and the estimate is exact
+    val small = (1L to 100L).toDF("key")
+    val skS = Kmv.sketch(small, "key", 256)
+    assert(skS.count() == 100)
+    val estS = skS.agg(max($"uh").as("uh"))
+      .select(Kmv.estimate($"uh", lit(100L), 256).as("e")).head().getDouble(0)
+    assert(estS == 100.0)
+    // n >> k: raw estimator lands within 5σ (σ ≈ 1/√(k−2) ≈ 6.3%)
+    val big = (1L to 50000L).toDF("key")
+    val skB = Kmv.sketch(big, "key", 256)
+    assert(skB.count() == 256)
+    val estB = skB.agg(max($"uh").as("uh"))
+      .select(Kmv.estimate($"uh", lit(50000L), 256).as("e")).head().getDouble(0)
+    assert(math.abs(estB - 50000.0) / 50000.0 < 0.315, s"est $estB")
+    // duplicated input keys do not perturb the sketch (distinct inside)
+    val dup = big.unionByName(big)
+    assert(Kmv.sketch(dup, "key", 256).agg(max($"uh")).head().getLong(0) ==
+      skB.agg(max($"uh")).head().getLong(0))
+  }
+
   test("BFS hops: chain distances, maxHops cutoff, disconnected nodes, off-graph seeds") {
     import spark.implicits._
     // chain 1-2-3-4-5-6 (symmetric), disconnected pair 10-11

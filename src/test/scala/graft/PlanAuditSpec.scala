@@ -37,7 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "s05_ivfpq_ann", // broadcast coarse centroids + per-subspace codebooks
     "s07_residual_ivfpq", // broadcast coarse centroids + residual codebooks
     "s08_sq8_ann", // broadcast 1-row per-dim bounds frame + broadcast query set
-    "dq01_quality_audit" // 1-row violation-count aggregates crossed onto 1-row totals
+    "dq01_quality_audit", // 1-row violation-count aggregates crossed onto 1-row totals
+    "c16_bm25", // 1-row corpus stats (N, milli-avgdl) crossed onto the scored postings
+    "h04_kmv_setops" // 1-row count/max-hash scalar frames crossed into the summary row
   )
 
   test("no query plans a cartesian product; nested-loop only for 1-row scalars") {
