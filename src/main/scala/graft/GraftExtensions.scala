@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.NativeExprs
-import graft.plans.{CosineFloatExpr, SimilarityJoinRewrite}
+import graft.plans.{AsOfMergeStrategy, CosineFloatExpr, SimilarityJoinRewrite}
 
 /** SparkSessionExtensions entry point: installs graft's native
   * functions into every session built with these extensions — the
@@ -30,5 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in: with spark.graft.similarityRewrite.planes > 0, cosine-
     // threshold cross joins become LSH-bucketed equi-joins.
     e.injectOptimizerRule(_ => SimilarityJoinRewrite())
+    // Physical operator for AsOfJoin.asOfMerge's logical node.
+    e.injectPlannerStrategy(_ => AsOfMergeStrategy())
   }
 }

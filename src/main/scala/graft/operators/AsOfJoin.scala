@@ -65,4 +65,33 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__t", "__side", "__p", "__asof")
   }
+
+  /** The same as-of semantics through the custom PHYSICAL operator
+    * ([[graft.plans.AsOfMergeJoinExec]] via the injected planner
+    * strategy): one hash shuffle per side + partition-local sorts + a
+    * linear two-pointer merge. Spec-pinned row-identical to [[asOf]];
+    * output payload columns keep their right-side names.
+    *
+    * Both inputs are re-aliased column-by-column first: fresh exprIds
+    * keep the analyzer's self-join deduplication away from the
+    * attribute references the custom plan node carries (both sides of
+    * an as-of join typically read the same table).
+    */
+  def asOfMerge(left: DataFrame, right: DataFrame, key: String,
+                leftTime: String, rightTime: String,
+                payload: Seq[String]): DataFrame = {
+    def fresh(df: DataFrame) =
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+        .queryExecution.analyzed
+    val l = fresh(left)
+    val r = fresh(right.select((key +: rightTime +: payload).map(col): _*))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfMergeJoinPlan(l, r,
+        attr(l, key), attr(r, key), attr(l, leftTime), attr(r, rightTime),
+        payload.map(attr(r, _))))
+  }
 }

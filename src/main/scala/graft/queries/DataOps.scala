@@ -586,6 +586,30 @@ object DataOps {
       .orderBy(col("event_id"))
   }
 
+  /** q60 — q28's exact semantics through the custom PHYSICAL operator
+    * ([[graft.operators.AsOfJoin.asOfMerge]] →
+    * [[graft.plans.AsOfMergeJoinExec]]): same oracle, different
+    * executor — DuckDB's native ASOF LEFT JOIN arbitrates between the
+    * composed window form (q28) and the two-pointer merge exec, so the
+    * custom-plan tier is driver-hash-verified, not just spec-verified.
+    */
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"), col("value").as("e_value"))
+      .withColumn("e_epoch", unix_timestamp(col("e_ts")))
+    graft.operators.AsOfJoin.asOfMerge(clicks, errors, "user_id", "ts", "e_ts",
+        Seq("e_value", "e_epoch"))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts"),
+        col("e_value").as("last_error_value"),
+        (unix_timestamp(col("ts")) - col("e_epoch")).as("secs_since_error"))
+      .orderBy(col("event_id"))
+  }
+
   /** q29 — gap sessionization (30-min) of the events table via
     * [[graft.streaming.Sessionize.sessionizeBatch]] — the batch twin of
     * the flatMapGroupsWithState streaming operator, driver-checked
@@ -865,6 +889,7 @@ object DataOps {
     "s08_sq8_ann" -> s08,
     "s09_sparse_allpairs" -> s09,
     "q28_asof_join" -> q28,
+    "q60_asof_exec" -> q60,
     "e01_embedding_dedup" -> e01,
     "e02_semantic_dedup" -> e02,
     "d02_minhash_lsh" -> d02,
@@ -1406,6 +1431,22 @@ object DataOps {
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q28_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |errors AS (
+        |  SELECT user_id AS e_user, ts AS e_ts, value AS e_value
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS ts,
+        |  e.e_value AS last_error_value,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(e.e_ts)) AS BIGINT)
+        |    AS secs_since_error
+        |FROM clicks c
+        |ASOF LEFT JOIN errors e ON c.user_id = e.e_user AND c.ts >= e.e_ts
+        |ORDER BY event_id""".stripMargin,
+    // q60: q28's oracle verbatim — the custom physical operator must
+    // reproduce the composed form's answer bit-for-bit
+    "q60_asof_exec" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |errors AS (

@@ -127,13 +127,15 @@ object GraphQueries {
       .orderBy(col("part"))
   }
 
-  /** g05 — supply blast radius: minimum hop count from the nation-0
-    * supplier fleet to every reachable node of the bipartite
-    * supplier↔part graph (hop 1 = their parts, hop 2 = co-suppliers of
-    * those parts, …), via [[Graph.bfsHops]] level-synchronous frontier
-    * expansion capped at 4 hops. The ORACLE recomputes distances with
-    * a depth-bounded recursive CTE + min-aggregate — a different
-    * algorithm (path enumeration vs level sets), one hash.
+  /** g05 — supply blast radius: minimum hop count from one nation's
+    * supplier fleet (the LOWEST nation key with suppliers — present at
+    * every SF, unlike a hardcoded nation) to every reachable node of
+    * the bipartite supplier↔part graph (hop 1 = their parts, hop 2 =
+    * co-suppliers of those parts, …), via [[Graph.bfsHops]]
+    * level-synchronous frontier expansion capped at 4 hops. The ORACLE
+    * recomputes distances with a depth-bounded recursive CTE +
+    * min-aggregate — a different algorithm (path enumeration vs level
+    * sets), one hash.
     */
   def g05(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -142,8 +144,11 @@ object GraphQueries {
       .distinct()
     val edges = li.select($"l_suppkey".as("src"), $"part_node".as("dst"))
       .unionByName(li.select($"part_node".as("src"), $"l_suppkey".as("dst")))
-    val seeds = Tables.load(spark, dir, "supplier")
-      .filter($"s_nationkey" === 0).select($"s_suppkey".as("id"))
+    val sup = Tables.load(spark, dir, "supplier")
+    val seeds = sup
+      .join(broadcast(sup.agg(min($"s_nationkey").as("mn"))),
+        $"s_nationkey" === $"mn")
+      .select($"s_suppkey".as("id"))
     Graph.bfsHops(edges, seeds, maxHops = 4)
       .select($"id".as("node_id"),
         when($"id" >= 1000000L, "part").otherwise("supplier").as("node_type"),
@@ -231,7 +236,7 @@ object GraphQueries {
         |edges AS (SELECT s AS src, p AS dst FROM sp
         |          UNION ALL SELECT p, s FROM sp),
         |seeds AS (SELECT DISTINCT s_suppkey AS id FROM supplier
-        |          WHERE s_nationkey = 0),
+        |          WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
         |reach AS (SELECT id, 0 AS d FROM seeds
         |          UNION
         |          SELECT e.dst, reach.d + 1 FROM reach

@@ -63,6 +63,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.getAs[String]("asof_b") == "y")
   }
 
+  test("asOfMerge: physical operator plans AsOfMergeJoinExec and matches asOf row-for-row") {
+    import spark.implicits._
+    // deterministic pseudo-random history: 40 users × ~50 left rows and
+    // ~25 right rows with engineered ties and sparse keys on each side
+    def t0(m: Long) = new Timestamp(1704100000000L + m * 60000L)
+    val left = (0 until 2000).map { i =>
+      (i.toLong, (i * 7 % 40).toLong, t0((i * 31 % 997).toLong))
+    }.toDF("id", "k", "t")
+    val right = (0 until 1000).map { i =>
+      ((i * 11 % 45).toLong, t0((i * 53 % 997).toLong), i.toLong % 13, s"p$i")
+    }.toDF("k", "rt", "v", "s")
+    val viaExec = AsOfJoin.asOfMerge(left, right, "k", "t", "rt", Seq("v", "s"))
+    assert(viaExec.queryExecution.executedPlan.toString
+      .contains("AsOfMergeJoin"), "custom exec not planned")
+    val viaWindow = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v", "s"))
+      .withColumnRenamed("asof_v", "v").withColumnRenamed("asof_s", "s")
+    val a = viaExec.orderBy($"id").collect().map(_.toSeq).toSeq
+    val b = viaWindow.orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(a == b, "exec and composed as-of disagree")
+  }
+
+  test("asOfMerge: at-timestamp match, no-prior null, same-instant ties pick greatest payload") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // before any right row → null
+      (2L, 10L, ts("2024-01-01 13:00:00")), // exactly at r2 → r2
+      (3L, 20L, ts("2024-01-01 12:00:00"))  // tie instant → greatest payload
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 11:00:00"), "r1"),
+      (10L, ts("2024-01-01 13:00:00"), "r2"),
+      (20L, ts("2024-01-01 11:30:00"), "b"),
+      (20L, ts("2024-01-01 11:30:00"), "c"),
+      (20L, ts("2024-01-01 11:30:00"), "a")
+    ).toDF("k", "rt", "payload").repartition(3)
+    val got = AsOfJoin.asOfMerge(left, right, "k", "t", "rt", Seq("payload"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("payload"))))
+    assert(got.toSeq == Seq(1L -> None, 2L -> Some("r2"), 3L -> Some("c")))
+  }
+
   test("asOf: left rows and columns preserved exactly") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), "extra"))
