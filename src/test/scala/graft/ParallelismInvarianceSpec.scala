@@ -38,7 +38,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // substring-window dup counts; m04 decoded-pixel hashes; g03
     // pointer-doubled components; g04 coefficient division
     "c11_sequence_packing", "c12_substring_dedup", "m04_image_dedup",
-    "g03_components", "g04_clustering_coeff")
+    "g03_components", "g04_clustering_coeff",
+    // round-6 batch 3: g05 level-sync BFS frontiers; c16 integer BM25
+    // (postings/df aggs + grouped top-10); h04 bottom-k under partial
+    // TakeOrdered merges + IEEE estimate chain; q60 the custom merge
+    // exec (held-row state must not depend on partition boundaries)
+    "g05_bfs_hops", "c16_bm25", "h04_kmv_setops", "q60_asof_exec")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
