@@ -197,7 +197,55 @@ object Analytics {
       .orderBy(col("n_name"))
   }
 
+  /** q61 — the regression-aggregate family (`regr_slope` /
+    * `regr_intercept` / `regr_r2` / `corr`) computed the DETERMINISTIC
+    * way: Spark's built-ins sum doubles in shuffle order (results drift
+    * across parallelism and engines), so the query aggregates EXACT
+    * integer moments instead — n, Σx, Σy, Σx², Σxy, Σy² over quantized
+    * centi-units, summed as decimal(38,0) (HUGEINT in the oracle; Σy²
+    * alone would overflow int64 at sf ≥ 0.1) — and derives
+    *
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),
+    *   intercept = (Σy − slope·Σx)/n,  r² = num²/(denx·deny)
+    *
+    * as a fixed chain of IEEE ops on the exact moments, identical
+    * operand-for-operand in both engines. The ×100 quantization cancels
+    * in slope/r² (both axes scaled); intercept unscales by /100. Same
+    * map-side-combine shape as any hash aggregate — one narrow shuffle
+    * of six moment columns per group, the 100 TB regression shape.
+    */
+  def q61Regression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag",
+        gf.fixed($"l_quantity", 100).as("x"),
+        gf.fixed($"l_extendedprice", 100).as("y"))
+    li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum(($"x" * $"x").cast(dec)).as("sxx"),
+        sum(($"x" * $"y").cast(dec)).as("sxy"),
+        sum(($"y".cast(dec) * $"y".cast(dec))).as("syy"))
+      .select($"l_returnflag", $"n",
+        ($"n".cast(dec) * $"sxy" - $"sx" * $"sy").as("num"),
+        ($"n".cast(dec) * $"sxx" - $"sx" * $"sx").as("denx"),
+        ($"n".cast(dec) * $"syy" - $"sy" * $"sy").as("deny"),
+        $"sx", $"sy")
+      .select($"l_returnflag", $"n",
+        ($"num".cast("double") / $"denx".cast("double")).as("slope_raw"),
+        $"num", $"denx", $"deny", $"sx", $"sy")
+      .select($"l_returnflag", $"n",
+        gf.dround($"slope_raw", 6).as("slope"),
+        gf.dround(($"sy".cast("double") - $"slope_raw" * $"sx".cast("double"))
+          / $"n".cast("double") / 100.0, 6).as("intercept"),
+        gf.dround(($"num".cast("double") * $"num".cast("double"))
+          / ($"denx".cast("double") * $"deny".cast("double")), 6).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_regression" -> q61Regression,
     "q02_yearly_rank_lag" -> q02YearlyRankLag,
     "q03_topn_join" -> q03TopNJoin,
     "q04_conditional_agg" -> q04ConditionalAgg,
@@ -209,6 +257,39 @@ object Analytics {
   private val centsSql = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // q61: HUGEINT moments ≡ Spark decimal(38,0); the double chain is
+    // operand-for-operand identical (cast → multiply/divide → dround)
+    "q61_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS HUGEINT)) AS sx,
+        |    sum(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS HUGEINT)) AS sy,
+        |    sum(CAST(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS HUGEINT)) AS sxx,
+        |    sum(CAST(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS HUGEINT)) AS sxy,
+        |    sum(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS HUGEINT)) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS denx,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS deny,
+        |    sx, sy
+        |  FROM m),
+        |s AS (
+        |  SELECT l_returnflag, n, num, denx, deny, sx, sy,
+        |    CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS slope_raw
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |  round(slope_raw, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+        |  round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+        |    / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q02_yearly_rank_lag" ->
       s"""WITH $onatCte,
          |rev AS (
