@@ -123,6 +123,49 @@ object Graph {
     levels.reduce(_ unionByName _)
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * Batagelj-Zaveršnik distributed variant): repeatedly drop nodes of
+    * degree < k together with their edges until the fixpoint — the
+    * surviving subgraph is the UNIQUE maximal subgraph with every
+    * degree ≥ k (peeling is confluent, so round structure cannot change
+    * the answer — what makes a fixed-unroll oracle valid). The standard
+    * "dense cohesive region" extractor for community/spam analysis.
+    *
+    * Shape at scale: per round ONE degree aggregate + two semi-joins of
+    * the edge set against the survivor ids — all equi-joins keyed on
+    * node id; the edge frame is checkpointed per round so lineage stays
+    * flat and the convergence check is a count on materialized data.
+    * Rounds are bounded by the degeneracy ordering depth — small on
+    * real graphs — and `maxRounds` throws rather than silently
+    * mis-converging (the clusterPairs rule).
+    *
+    * Input: distinct undirected edges (a, b), a < b, no self-loops.
+    * Output: (id, core_deg) for every node of the k-core, with its
+    * within-core degree.
+    */
+  def kCore(edgesAB: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    var e = edgesAB.select(col("a"), col("b")).localCheckpoint()
+    var n = e.count()
+    var converged = false
+    var round = 0
+    def degrees(edges: DataFrame) =
+      edges.select(col("a").as("id"))
+        .unionByName(edges.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    while (!converged && round < maxRounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
+      val e2 = e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n2 = e2.count()
+      converged = n2 == n
+      e = e2; n = n2; round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"k-core did not converge in $maxRounds rounds")
+    degrees(e).withColumnRenamed("deg", "core_deg")
+  }
+
   /** Exact triangle enumeration by DEGREE-ORDERED edge orientation
     * (the "forward" / node-iterator++ algorithm, Schank & Wagner 2005):
     * orient every undirected edge from its lower-(degree, id) endpoint

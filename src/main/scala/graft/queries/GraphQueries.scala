@@ -156,13 +156,63 @@ object GraphQueries {
       .orderBy($"node_id")
   }
 
+  /** g06 — 4-core by iterative peeling ([[Graph.kCore]]) over a PLANTED
+    * graph (the g03 convention — the real co-occurrence graph is no
+    * test: its 3-core is the whole graph and its core transition is so
+    * sharp that any fixed higher k empties it at some SF): the 24
+    * lowest orderkeys become, by rank, a K6 clique (the core that must
+    * survive), an 8-node STAIRCASE band — each band node linked to the
+    * 3 preceding ranks, so under k=4 exactly ONE node peels per round,
+    * an 8-round domino that a single-pass degree filter cannot
+    * reproduce — and 5 leaf pairs (all gone in round 1). `maxRounds=12`
+    * matches the oracle's unroll; peeling is confluent so the oracle's
+    * rounds past the fixpoint are no-ops, and deeper-than-12 graphs
+    * throw on the Spark side rather than silently diverge.
+    */
+  def g06(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.load(spark, dir, "orders")
+      .orderBy(col("o_orderkey")).limit(24)
+      .select(col("o_orderkey").as("id"))
+      .withColumn("idx", row_number().over(Window.orderBy(col("id"))))
+    val x = ids.as("x"); val y = ids.as("y")
+    val edges = x.join(y,
+        // clique K6: every rank pair ≤ 6
+        (col("x.idx") < col("y.idx") && col("y.idx") <= 6) ||
+        // staircase: ranks 7..14 each link to the 3 preceding ranks
+        (col("y.idx") >= 7 && col("y.idx") <= 14 &&
+          col("y.idx") - col("x.idx") <= 3 && col("x.idx") < col("y.idx")) ||
+        // leaf pairs: (15,16), (17,18), ..., (23,24)
+        (col("x.idx") >= 15 && col("x.idx") % 2 === 1 &&
+          col("y.idx") === col("x.idx") + 1))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    Graph.kCore(edges, k = 4, maxRounds = 12)
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> g01,
     "g02_triangles" -> g02,
     "g03_components" -> g03,
     "g04_clustering_coeff" -> g04,
-    "g05_bfs_hops" -> g05
+    "g05_bfs_hops" -> g05,
+    "g06_kcore" -> g06
   )
+
+  /** One peeling round: degrees of `prev`, survivors with deg ≥ 3,
+    * surviving edges — mirrors one `Graph.kCore` iteration exactly.
+    * Each round's edge CTE is MATERIALIZED: DuckDB inlines plain CTEs
+    * per reference, and with 3 references per round a 12-round unroll
+    * would otherwise expand exponentially (observed as an fd explosion
+    * re-opening the parquet 3^12 times).
+    */
+  private def kcoreRound(i: Int, prev: String, k: Int): String =
+    s"""kd$i AS (SELECT id, count(*) AS deg FROM (
+       |    SELECT a AS id FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY 1),
+       |kk$i AS (SELECT id FROM kd$i WHERE deg >= $k),
+       |ke$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+       |         JOIN kk$i ka ON e.a = ka.id
+       |         JOIN kk$i kb ON e.b = kb.id)""".stripMargin
 
   /** 3 unrolled PageRank iterations; all arithmetic mirrors
     * `Graph.pageRankFixed` exactly (integer div, damping 85/100).
@@ -229,6 +279,23 @@ object GraphQueries {
         |          SELECT e.d, reach.lab FROM reach JOIN edges e ON reach.id = e.s)
         |SELECT id, CAST(min(lab) AS BIGINT) AS label
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "g06_kcore" -> {
+      val rounds = (1 to 12).map(i => kcoreRound(i, s"ke${i - 1}", 4)).mkString(",\n")
+      s"""WITH ids AS MATERIALIZED (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS idx
+         |  FROM (SELECT o_orderkey AS id FROM orders
+         |        ORDER BY o_orderkey LIMIT 24)),
+         |ke0 AS MATERIALIZED (
+         |  SELECT x.id AS a, y.id AS b FROM ids x JOIN ids y ON
+         |    (x.idx < y.idx AND y.idx <= 6) OR
+         |    (y.idx >= 7 AND y.idx <= 14
+         |      AND y.idx - x.idx <= 3 AND x.idx < y.idx) OR
+         |    (x.idx >= 15 AND x.idx % 2 = 1 AND y.idx = x.idx + 1)),
+         |$rounds
+         |SELECT id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT a AS id FROM ke12 UNION ALL SELECT b FROM ke12)
+         |GROUP BY 1 ORDER BY id""".stripMargin
+    },
     "g05_bfs_hops" ->
       """WITH RECURSIVE
         |sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p

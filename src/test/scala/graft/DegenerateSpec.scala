@@ -135,6 +135,31 @@ class DegenerateSpec extends AnyFunSuite {
     assert(bucketed == direct)
   }
 
+  test("k-core: clique survives, staircase cascades one round per node, K_k-1 empties") {
+    import spark.implicits._
+    // K4 + pendant chain: 4-clique survives k=3; chain gone round 1
+    val k4 = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)) ++
+      Seq((3L, 10L), (10L, 11L))
+    val core3 = Graph.kCore(k4.toDF("a", "b"), k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3))
+    // K3 under k=3: every node has deg 2 → empty core, converges fast
+    val k3 = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("a", "b")
+    assert(Graph.kCore(k3, k = 3).collect().isEmpty)
+    // staircase: band nodes 5..9 each link to the 3 previous nodes of
+    // {2,3,4}∪band; under k=4 the tail peels ONE node per round (the
+    // domino the maxRounds bound must cover), leaving the K5 seed
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val band = (5L to 9L).flatMap(j => Seq((j - 3, j), (j - 2, j), (j - 1, j)))
+    val core4 = Graph.kCore((k5 ++ band).toDF("a", "b"), k = 4).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(core4 == Seq(0L, 1L, 2L, 3L, 4L))
+    // too-low maxRounds throws instead of silently mis-converging
+    intercept[IllegalStateException] {
+      Graph.kCore((k5 ++ band).toDF("a", "b"), k = 4, maxRounds = 2).collect()
+    }
+  }
+
   test("KMV: sub-k sketch is the exact set; estimator within envelope at n >> k") {
     import spark.implicits._
     import graft.operators.Kmv

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "s08_sq8_ann", // broadcast 1-row per-dim bounds frame + broadcast query set
     "dq01_quality_audit", // 1-row violation-count aggregates crossed onto 1-row totals
     "c16_bm25", // 1-row corpus stats (N, milli-avgdl) crossed onto the scored postings
-    "h04_kmv_setops" // 1-row count/max-hash scalar frames crossed into the summary row
+    "h04_kmv_setops", // 1-row count/max-hash scalar frames crossed into the summary row
+    "g06_kcore" // planted-graph build: 24-row rank frame self-joined on rank arithmetic
   )
 
   test("no query plans a cartesian product; nested-loop only for 1-row scalars") {
