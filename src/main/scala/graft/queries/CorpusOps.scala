@@ -454,8 +454,49 @@ object CorpusOps {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** c17 — GPT-style concat-and-chunk packing (the OTHER packing
+    * discipline next to c11's next-fit bins): documents are laid out in
+    * a deterministic global SHUFFLE order (md5 of doc_id — the
+    * decorrelated training order every pretraining run wants), token
+    * counts (+1 EOS separator each) are prefix-summed into global
+    * stream offsets, and each doc reports the fixed-size 256-token
+    * blocks it spans — docs CROSS block boundaries by design (no
+    * padding waste), unlike next-fit.
+    *
+    * The global running total uses the c08 bucketed scale path: 256
+    * md5-prefix buckets → per-bucket sums → cumulative offsets over the
+    * ≤256-row bucket TABLE → within-bucket windows. One narrow shuffle
+    * + a broadcast of 256 offsets; no single-partition window anywhere,
+    * which is what makes a corpus-wide prefix sum admissible at 100 TB.
+    */
+  def c17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        (TextOps.tokenCount($"text") + 1).cast("long").as("n_tok"),
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+      .withColumn("bkt", conv(substring($"h", 1, 2), 16, 10).cast("int"))
+    val counts = d.groupBy($"bkt").agg(sum($"n_tok").as("bw"))
+    val wPrefix = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // ≤256 rows: unpartitioned window over the bucket TABLE (c08 rule)
+    val offsets = counts
+      .withColumn("off", coalesce(sum($"bw").over(wPrefix), lit(0L)))
+      .select($"bkt", $"off")
+    val wBkt = Window.partitionBy($"bkt").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("end_off", $"off" + sum($"n_tok").over(wBkt))
+      .select($"doc_id", $"n_tok", ($"end_off" - $"n_tok").as("start_off"),
+        expr("(end_off - n_tok) div 256").as("first_block"),
+        expr("(end_off - 1) div 256").as("last_block"))
+      .withColumn("n_blocks", $"last_block" - $"first_block" + 1)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c16_bm25" -> c16,
+    "c17_concat_chunks" -> c17,
     "c15_lm_quality" -> c15,
     "c11_sequence_packing" -> c11,
     "c12_substring_dedup" -> c12,
@@ -476,6 +517,27 @@ object CorpusOps {
   // whole-text shingle — mirrored by greatest(len(toks)-(n-2), 2) range
   // bounds + DuckDB list-slice clamping (the proven d04 pattern).
   val oracles: Map[String, String] = Map(
+    // c17: the oracle takes the single-node shortcut the Spark side
+    // can't — ONE global window over (md5, doc_id); block math is
+    // integer `//` on non-negative offsets
+    "c17_concat_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) + 1 AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+        |  FROM d)
+        |SELECT doc_id, n_tok,
+        |  CAST(end_off - n_tok AS BIGINT) AS start_off,
+        |  CAST((end_off - n_tok) // 256 AS BIGINT) AS first_block,
+        |  CAST((end_off - 1) // 256 AS BIGINT) AS last_block,
+        |  CAST((end_off - 1) // 256 - (end_off - n_tok) // 256 + 1 AS BIGINT)
+        |    AS n_blocks
+        |FROM c ORDER BY doc_id""".stripMargin,
     // c16: identical integer rationals — DuckDB `//` ≡ Spark `div` on
     // the non-negative operands here; HUGEINT sums cast back to BIGINT
     "c16_bm25" ->
