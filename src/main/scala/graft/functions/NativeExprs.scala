@@ -59,6 +59,7 @@ object NativeExprs {
     "graft_winnow" -> (exprs => WinnowExpr(exprs.head, k = 8, w = 6)),
     "graft_word_count" -> (exprs => WordSetCountExpr(exprs.head, exprs(1))),
     "graft_hash64" -> (exprs => Hash64Expr(exprs.head)),
+    "graft_hilbert_d2" -> (exprs => HilbertD2Expr(exprs.head, exprs(1))),
     "graft_word_shingles" -> (exprs => WordNgramsExpr(exprs.head,
       literalInt(exprs(1)), distinct = true, clampShort = true)),
     "graft_word_ngrams_all" -> (exprs => WordNgramsExpr(exprs.head,
@@ -403,6 +404,70 @@ case class Hash64Expr(child: Expression) extends UnaryExpression with CodegenFal
     java.lang.Long.valueOf(NativeExprs.hashUtf8(input.asInstanceOf[UTF8String]))
   override protected def withNewChildInternal(newChild: Expression): Hash64Expr =
     copy(child = newChild)
+}
+
+/** 2-D Hilbert curve index of two 16-bit coordinates (order-16 xy2d,
+  * the classic rotate-and-accumulate loop; Hamilton's convention as in
+  * the Wikipedia reference implementation). Why a NATIVE expression and
+  * not Column arithmetic: the per-level rotation rebinds BOTH
+  * coordinates from both previous coordinates, so an unrolled Column
+  * fold duplicates the operand trees ~3× per level — 3^16 nodes by
+  * level 16 — where this loop is 16 iterations of flat long math
+  * (spliced into whole-stage codegen below). The DuckDB oracle carries
+  * (x, y, d) through 16 chained CTEs instead — linear there, because
+  * each stage references the previous CTE's COLUMNS, not its
+  * expressions.
+  */
+case class HilbertD2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert_d2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[Long] & 0xFFFFL
+    var y = b.asInstanceOf[Long] & 0xFFFFL
+    var d = 0L
+    var s = 1L << 15
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) { // rotate quadrant
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    java.lang.Long.valueOf(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("hx")
+      val y = ctx.freshName("hy")
+      val d = ctx.freshName("hd")
+      val s = ctx.freshName("hs")
+      val rx = ctx.freshName("hrx")
+      val ry = ctx.freshName("hry")
+      val t = ctx.freshName("ht")
+      s"""
+         |long $x = $a & 0xFFFFL; long $y = $b & 0xFFFFL;
+         |long $d = 0L;
+         |for (long $s = 1L << 15; $s > 0; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = $s - 1 - $x; $y = $s - 1 - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HilbertD2Expr = copy(left = newLeft, right = newRight)
 }
 
 case class DotFixedExpr(left: Expression, right: Expression)

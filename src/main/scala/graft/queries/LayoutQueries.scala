@@ -59,10 +59,43 @@ object LayoutQueries {
       .orderBy($"year")
   }
 
+  /** z02 — Hilbert-curve locality audit over the same (l_partkey,
+    * l_suppkey) plane as z01, so the two curves' bucket rectangles are
+    * directly comparable. The 16 rotate-and-accumulate levels run as
+    * ONE native codegen'd expression per row ([[graft.functions.HilbertD2Expr]]);
+    * the oracle unrolls the identical 16 levels as chained CTEs
+    * carrying (x, y, d).
+    */
+  def z02(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    Layout.hilbertStats(l, "l_partkey", "l_suppkey", bucketBits = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z01_zorder_layout" -> z01,
+    "z02_hilbert_layout" -> z02,
     "b01_bloom_prune" -> b01
   )
+
+  /** One Hilbert level (s = 2^(15−i)): the xy2d rotate-and-accumulate
+    * step on the previous stage's (x, y, d) columns — linear SQL text,
+    * each stage referencing the previous CTE once.
+    */
+  private def hilbertLevel(i: Int, prev: String): String = {
+    val s = 1L << (15 - i)
+    s"""hb$i AS (SELECT l_partkey, l_suppkey,
+       |  CASE WHEN (y & $s) = 0
+       |       THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END)
+       |       ELSE x END AS x,
+       |  CASE WHEN (y & $s) = 0
+       |       THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END)
+       |       ELSE y END AS y,
+       |  d + ${s * s}::BIGINT * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+       |                     (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END))::BIGINT AS d
+       |  FROM $prev)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "z01_zorder_layout" ->
@@ -88,6 +121,24 @@ object LayoutQueries {
         |  min(l_suppkey) AS y_min, max(l_suppkey) AS y_max,
         |  min(zv) AS z_min, max(zv) AS z_max
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "z02_hilbert_layout" -> {
+      val levels = (0 to 15).map(i =>
+        hilbertLevel(i, if (i == 0) "s0" else s"hb${i - 1}")).mkString(",\n")
+      s"""WITH dom AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+         |         min(l_suppkey) AS ylo, max(l_suppkey) AS yhi FROM lineitem),
+         |s0 AS (SELECT
+         |         (CASE WHEN xhi = xlo THEN 0
+         |               ELSE ((l_partkey - xlo) * 65535) // (xhi - xlo) END) & 65535 AS x,
+         |         (CASE WHEN yhi = ylo THEN 0
+         |               ELSE ((l_suppkey - ylo) * 65535) // (yhi - ylo) END) & 65535 AS y,
+         |         0::BIGINT AS d, l_partkey, l_suppkey FROM lineitem, dom),
+         |$levels
+         |SELECT d // 134217728 AS bucket, count(*) AS n_rows,
+         |  min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+         |  min(l_suppkey) AS y_min, max(l_suppkey) AS y_max,
+         |  min(d) AS h_min, max(d) AS h_max
+         |FROM hb15 GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
     "b01_bloom_prune" -> DuckSketchSql.b01
   )
 }
