@@ -301,6 +301,53 @@ object StreamingQueries {
       .orderBy(col("day_start"), col("event_type"))
   }
 
+  /** q62 — [[graft.streaming.ProfileStream]] driver-oracled: the
+    * MapState/ListState half of the arbitrary-state API (q54 covers
+    * ValueState). Single replay file ⇒ one micro-batch ⇒ each user's
+    * one emitted profile carries the full history: per-type MapState
+    * counts, the 5-slot ListState recent ring, dominant type with the
+    * lexicographic tie rule. The oracle recomputes every field
+    * relationally — per-type counts, rank-1 type, and the span of the
+    * top-5 event-time multiset.
+    */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.model.Schemas.Event
+    import graft.sources.KafkaSource
+    import graft.streaming.ProfileStream
+    val ev = events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    val replay = s"/root/repo/target/q62_replay-${new java.io.File(dir).getName}"
+    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema(KafkaSource.eventSchema)
+      .parquet(replay).as[Event]
+    val sink = s"q62_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-q62").toString
+    val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try ProfileStream.profiles(stream).writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeParts)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          beforeProvider)
+      }
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("user_id"), col("total_events"), col("n_types"),
+        col("top_type"), col("top_count"), col("recent_n"),
+        col("recent_span_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** q54 — the NEW arbitrary-state API driver-oracled
     * ([[graft.streaming.OrdinalStream]], `transformWithState` on the
     * RocksDB state store): per-user event ordinals assigned by a
@@ -400,6 +447,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_chained_window_agg" -> q53,
     "q54_ordinals_tws" -> q54,
+    "q62_profile_tws" -> q62,
     "q56_stream_sessions" -> q56,
     "q16_window_vs_baseline" -> q16,
     "q17_sliding_trend" -> q17,
@@ -450,6 +498,33 @@ object StreamingQueries {
     // q54: ordinals == batch row_number under the same per-user total
     // order (duplicate (ts,type,value) rows are interchangeable, so
     // the output SET is unaffected by their internal order)
+    // q62: n_types/total as BIGINT; the top-5 recent ring is the ts
+    // multiset's 5 largest values — row_number over equal ts picks
+    // arbitrarily but the VALUE at rank 5 is well-defined
+    "q62_profile_tws" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, event_type AS top_type, cnt AS top_count,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cnt DESC, event_type) AS rk,
+        |    CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS total_events,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types
+        |  FROM c),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events),
+        |ring AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS recent_n,
+        |    max(us) - min(us) AS recent_span_us
+        |  FROM r WHERE rn <= 5 GROUP BY 1)
+        |SELECT t.user_id, t.total_events, t.n_types, t.top_type,
+        |  t.top_count, ring.recent_n, ring.recent_span_us
+        |FROM t JOIN ring ON t.user_id = ring.user_id
+        |WHERE t.rk = 1
+        |ORDER BY t.user_id""".stripMargin,
     "q54_ordinals_tws" ->
       """SELECT user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id

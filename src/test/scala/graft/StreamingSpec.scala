@@ -437,6 +437,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUser(2L).map(_.seq).toSeq == Seq(1L))
   }
 
+  test("transformWithState MapState/ListState: per-entry counts accumulate, recent ring trims") {
+    import spark.implicits._
+    import graft.streaming.ProfileStream
+    implicit val sc = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val mem = MemoryStream[Ev]
+    val events = mem.toDS()
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .as[graft.model.Schemas.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-tws-map").toString
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try ProfileStream.profiles(events).writeStream
+        .format("memory").queryName("tws_profiles")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      finally spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        beforeProvider)
+    // batch 1: user 1 gets 2 clicks + 1 view
+    mem.addData(Ev(ts(0), "click", 1L, 0.0), Ev(ts(1), "click", 1L, 0.0),
+      Ev(ts(2), "view", 1L, 0.0))
+    q.processAllAvailable()
+    // batch 2: 2 more views + 4 scrolls — scroll takes the lead and
+    // the 9 cumulative events overflow the 5-slot recent ring
+    mem.addData(Ev(ts(3), "view", 1L, 0.0), Ev(ts(4), "view", 1L, 0.0),
+      Ev(ts(5), "scroll", 1L, 0.0), Ev(ts(6), "scroll", 1L, 0.0),
+      Ev(ts(7), "scroll", 1L, 0.0), Ev(ts(8), "scroll", 1L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tws_profiles").as[ProfileStream.UserProfile]
+      .collect().sortBy(_.total_events)
+    assert(rows.length == 2)
+    val b1 = rows.head
+    assert(b1.total_events == 3 && b1.n_types == 2 &&
+      b1.top_type == "click" && b1.top_count == 2 && b1.recent_n == 3)
+    val b2 = rows.last
+    assert(b2.total_events == 9 && b2.n_types == 3)
+    // scroll now dominates with 4
+    assert(b2.top_type == "scroll" && b2.top_count == 4)
+    // ring keeps only the latest 5 events: 10:04..10:08 → span 4 min
+    assert(b2.recent_n == 5 && b2.recent_span_us == 4L * 60 * 1000000)
+  }
+
   test("transformWithState event-time timers: inactivity finalizes exactly the idle user") {
     import spark.implicits._
     import graft.streaming.OrdinalStream
