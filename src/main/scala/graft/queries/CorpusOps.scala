@@ -494,9 +494,56 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** c18 — deterministic negative-pair mining (contrastive/embedding
+    * training needs N negatives per anchor; RANDOM sampling is
+    * irreproducible and self-collision-prone): documents are ranked on
+    * the md5 ring (c17's shuffle order, same bucketed global-rank
+    * machinery — no single-partition window), and each anchor's 3
+    * negatives sit at large data-independent ring offsets
+    * `1 + (n·a) div b` for (a,b) = (1,7), (1,3), (2,5) — far from the
+    * anchor in hash space (no topical correlation), never the anchor
+    * itself (offsets in [1, n)), and exactly reproducible at any
+    * parallelism. Tiny corpora may collapse two offsets onto one
+    * document — duplicate negatives are legal and deterministic.
+    *
+    * Scale shape: two narrow shuffles (bucket counts, rank equi-join);
+    * the ring-target join is a plain equi-join on the target rank.
+    */
+  def c18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id", md5($"doc_id".cast("string").cast("binary")).as("h"))
+      .withColumn("bkt", conv(substring($"h", 1, 2), 16, 10).cast("int"))
+    val counts = d.groupBy($"bkt").agg(count(lit(1)).as("bn"))
+    val wPrefix = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // ≤256 rows: window over the bucket TABLE (c08 rule)
+    val offsets = counts
+      .withColumn("off", coalesce(sum($"bn").over(wPrefix), lit(0L)))
+      .select($"bkt", $"off")
+    val wBkt = Window.partitionBy($"bkt").orderBy($"h", $"doc_id")
+    val ranks = d.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("r", $"off" + row_number().over(wBkt) - 1)
+      .select($"doc_id", $"r")
+      .persistScoped() // anchors + ring targets both read it
+    val n = broadcast(ranks.agg(count(lit(1)).as("n")))
+    val targets = ranks.crossJoin(n)
+      .select($"doc_id", $"r", $"n",
+        posexplode(array(
+          lit(1) + expr("n div 7"),
+          lit(1) + expr("n div 3"),
+          lit(1) + expr("(2 * n) div 5"))).as(Seq("k", "o")))
+      .select($"doc_id", ($"k" + 1).as("k"), (($"r" + $"o") % $"n").as("tr"))
+    targets
+      .join(ranks.select($"r".as("tr"), $"doc_id".as("neg_id")), Seq("tr"))
+      .select($"doc_id", $"k", $"neg_id")
+      .orderBy($"doc_id", $"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c16_bm25" -> c16,
     "c17_concat_chunks" -> c17,
+    "c18_negative_pairs" -> c18,
     "c15_lm_quality" -> c15,
     "c11_sequence_packing" -> c11,
     "c12_substring_dedup" -> c12,
@@ -538,6 +585,23 @@ object CorpusOps {
         |  CAST((end_off - 1) // 256 - (end_off - n_tok) // 256 + 1 AS BIGINT)
         |    AS n_blocks
         |FROM c ORDER BY doc_id""".stripMargin,
+    // c18: the oracle ranks with ONE global window (single-node
+    // shortcut); ring arithmetic is `//` ≡ `div` on non-negatives
+    "c18_negative_pairs" ->
+      """WITH r0 AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS r,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM r0),
+        |t AS (
+        |  SELECT doc_id, r, n, unnest([1, 2, 3]) AS k,
+        |    unnest([1 + n // 7, 1 + n // 3, 1 + (2 * n) // 5]) AS o
+        |  FROM r)
+        |SELECT t.doc_id, CAST(t.k AS INT) AS k, rr.doc_id AS neg_id
+        |FROM t JOIN r rr ON (t.r + t.o) % t.n = rr.r
+        |ORDER BY t.doc_id, k""".stripMargin,
     // c16: identical integer rationals — DuckDB `//` ≡ Spark `div` on
     // the non-negative operands here; HUGEINT sums cast back to BIGINT
     "c16_bm25" ->
