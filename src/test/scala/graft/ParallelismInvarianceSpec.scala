@@ -43,7 +43,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // (postings/df aggs + grouped top-10); h04 bottom-k under partial
     // TakeOrdered merges + IEEE estimate chain; q60 the custom merge
     // exec (held-row state must not depend on partition boundaries)
-    "g05_bfs_hops", "c16_bm25", "h04_kmv_setops", "q60_asof_exec")
+    "g05_bfs_hops", "c16_bm25", "h04_kmv_setops", "q60_asof_exec",
+    // c17/c18 bucketed global prefix-sums/ranks; q61 decimal moments;
+    // g06 peeling fixpoint; z02 native hilbert codegen
+    "c17_concat_chunks", "c18_negative_pairs", "q61_regression",
+    "g06_kcore", "z02_hilbert_layout")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
