@@ -4,7 +4,7 @@ import graft.QueryCaches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
-import graft.operators.{Decontam, TextOps}
+import graft.operators.{Decontam, Hll, TextOps}
 import graft.sources.Tables
 
 /** Corpus-hygiene queries (c-series): the pre-training pipeline passes
@@ -540,10 +540,44 @@ object CorpusOps {
       .orderBy($"doc_id", $"k")
   }
 
+  /** c19 — T5-style span-corruption masks, deterministically (the
+    * pretraining objective's data prep: ~15% of each doc's tokens
+    * masked in mean-length-3 spans; RANDOM spans are irreproducible
+    * across re-runs and engines): span count and lengths come from
+    * exact integer arithmetic (`n_mask = 15n div 100`, remainder spread
+    * over the first spans), non-overlap is BY CONSTRUCTION — span j
+    * lives inside the j-th of n_spans equal segments — and the offset
+    * within its segment is the doc+span splitmix64 hash mod the
+    * segment's slack. Per-row arithmetic only (one small sequence
+    * explode per doc, zero shuffle before the output sort); docs under
+    * 7 tokens have n_mask = 0 and emit no spans.
+    */
+  def c19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokenCount($"text").cast("long").as("n"))
+      .withColumn("n_mask", expr("n * 15 div 100"))
+      .filter($"n_mask" >= 1)
+      .withColumn("n_spans", greatest(lit(1L), expr("n_mask div 3")))
+      .select($"doc_id", $"n", $"n_mask", $"n_spans",
+        explode(sequence(lit(0L), $"n_spans" - 1)).as("j"))
+      .withColumn("len", expr("n_mask div n_spans") +
+        when($"j" < expr("n_mask % n_spans"), 1L).otherwise(0L))
+      .withColumn("seg_start", expr("(n * j) div n_spans"))
+      .withColumn("room",
+        expr("(n * (j + 1)) div n_spans") - $"seg_start" - $"len" + 1)
+      .withColumn("off",
+        shiftrightunsigned(Hll.mix64Col($"doc_id" * 31 + $"j"), 1) % $"room")
+      .select($"doc_id", ($"j" + 1).as("span_k"),
+        ($"seg_start" + $"off" + 1).as("start"), $"len")
+      .orderBy($"doc_id", $"span_k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c16_bm25" -> c16,
     "c17_concat_chunks" -> c17,
     "c18_negative_pairs" -> c18,
+    "c19_span_corruption" -> c19,
     "c15_lm_quality" -> c15,
     "c11_sequence_packing" -> c11,
     "c12_substring_dedup" -> c12,
@@ -585,6 +619,7 @@ object CorpusOps {
         |  CAST((end_off - 1) // 256 - (end_off - n_tok) // 256 + 1 AS BIGINT)
         |    AS n_blocks
         |FROM c ORDER BY doc_id""".stripMargin,
+    "c19_span_corruption" -> DuckSketchSql.c19,
     // c18: the oracle ranks with ONE global window (single-node
     // shortcut); ring arithmetic is `//` ≡ `div` on non-negatives
     "c18_negative_pairs" ->

@@ -658,6 +658,49 @@ object DuckSketchSql {
     * weighted cell sums ≡ per-occurrence increments), 10-bit position
     * slices, min-over-rows estimates for the exact top-20.
     */
+  /** c19 — span-corruption masks: identical integer span/segment
+    * arithmetic, identical splitmix64 offset hash ((z // 2) % slack ≡
+    * Spark's (mix >>> 1) % room on the unsigned value). Span index j
+    * comes from `unnest(range(0, n_spans, 1))` (the lateral-range
+    * column-bound gotcha).
+    */
+  val c19: String = {
+    val carry = Seq("doc_id", "n", "n_mask", "n_spans", "j")
+    val (mix, last) = mix64Ctes("sc", "c19z0", carry)
+    s"""WITH c19b AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+       |  FROM documents),
+       |c19p AS (
+       |  SELECT doc_id, n, n * 15 // 100 AS n_mask FROM c19b
+       |  WHERE n * 15 // 100 >= 1),
+       |c19s AS (
+       |  SELECT doc_id, n, n_mask, greatest(1, n_mask // 3) AS n_spans
+       |  FROM c19p),
+       |c19j AS (
+       |  SELECT doc_id, n, n_mask, n_spans,
+       |    unnest(range(0, n_spans, 1)) AS j
+       |  FROM c19s),
+       |c19z0 AS (
+       |  SELECT doc_id, n, n_mask, n_spans, j,
+       |    (doc_id * 31 + j)::HUGEINT AS z
+       |  FROM c19j),
+       |$mix,
+       |c19f AS (
+       |  SELECT doc_id, n, n_spans, j, z,
+       |    n_mask // n_spans
+       |      + CASE WHEN j < n_mask % n_spans THEN 1 ELSE 0 END AS len,
+       |    (n * j) // n_spans AS seg_start,
+       |    (n * (j + 1)) // n_spans AS seg_end
+       |  FROM $last)
+       |SELECT doc_id, CAST(j + 1 AS BIGINT) AS span_k,
+       |  CAST(seg_start
+       |    + CAST((z // 2) % (seg_end - seg_start - len + 1)::HUGEINT AS BIGINT)
+       |    + 1 AS BIGINT) AS start,
+       |  CAST(len AS BIGINT) AS len
+       |FROM c19f ORDER BY doc_id, span_k""".stripMargin
+  }
+
   /** h04 — KMV set algebra: the exact splitmix64 mix (HUGEINT
     * mod-2^64) per key set, bottom-256 via ORDER BY z LIMIT, and the
     * estimate written operand-for-operand like `Kmv.estimate` — the
