@@ -223,12 +223,43 @@ object IngestQueries {
       .orderBy($"oyear", $"priority")
   }
 
+  /** q64 — the Spark 4 VARIANT type (semi-structured ingestion without
+    * a declared schema — the modern complement of q42's rigid
+    * `from_json`/`q52`'s explicit-schema JSONL): JSON payloads built
+    * with `format_string` (printf-identical in the oracle) are parsed
+    * to VARIANT's shredded binary encoding and fields come back out
+    * through typed `variant_get` paths — including a nested object
+    * path — then filter/aggregate run on the extracted values. Exact
+    * integers end-to-end (cents fixed-point), so the variant decode
+    * path is hash-verified against DuckDB's `json_extract` over the
+    * same payload text.
+    */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select(format_string(
+        """{"key":%d,"prio":"%s","amt":%d,"cust":{"id":%d}}""",
+        $"o_orderkey", $"o_orderpriority",
+        graft.functions.gf.fixed($"o_totalprice", 100.0), $"o_custkey").as("js"))
+      .select(parse_json($"js").as("v"))
+      .select(
+        variant_get($"v", "$.prio", "string").as("prio"),
+        variant_get($"v", "$.amt", "long").as("amt"),
+        variant_get($"v", "$.cust.id", "long").as("cust_id"))
+      .filter($"amt" >= 1000000L)
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n_big"), sum($"amt").as("total_cents"),
+        countDistinct($"cust_id").as("n_cust"))
+      .orderBy($"prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
     "q46_schema_evolution" -> q46,
     "q50_partition_refresh" -> q50,
     "q51_orc_roundtrip" -> q51,
-    "q52_jsonl_ingest" -> q52
+    "q52_jsonl_ingest" -> q52,
+    "q64_variant_decode" -> q64
   )
 
   /** The repair map as a DuckDB CASE chain (P5's 18 entries verbatim). */
@@ -238,6 +269,22 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q64_variant_decode" ->
+      """WITH j AS (
+        |  SELECT printf('{"key":%d,"prio":"%s","amt":%d,"cust":{"id":%d}}',
+        |    o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT), o_custkey) AS js
+        |  FROM orders),
+        |x AS (
+        |  SELECT json_extract_string(js, '$.prio') AS prio,
+        |    CAST(json_extract(js, '$.amt') AS BIGINT) AS amt,
+        |    CAST(json_extract(js, '$.cust.id') AS BIGINT) AS cust_id
+        |  FROM j)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_big,
+        |  CAST(sum(amt) AS BIGINT) AS total_cents,
+        |  CAST(count(DISTINCT cust_id) AS BIGINT) AS n_cust
+        |FROM x WHERE amt >= 1000000
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
     "q40_csv_ingest" ->
       s"""WITH no2 AS (
          |  SELECT "State Code", "County Code", "Site Num", "State Name",

@@ -353,10 +353,41 @@ object Relational {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  /** q63 — windowed DISTINCT aggregation (trailing-90-day distinct
+    * customers per priority): Spark has no `count(DISTINCT)` window
+    * function, so the idiom is `size(array_distinct(flatten(
+    * collect_list(per-day sets))))` — and crucially the window runs
+    * over the PER-DAY AGGREGATED table (one hash-agg collapses orders
+    * to ≤ |days| rows per priority carrying their distinct-custkey
+    * sets), not over raw orders — the c08 "window over the small
+    * derived table" rule. The ORACLE uses DuckDB's native
+    * `count(DISTINCT) OVER RANGE` on raw rows — two different
+    * formulations, one hash. Scale note: at 100 TB the per-day sets
+    * themselves get wide; the sketch path is h04's KMV union (exact
+    * sets swap for mergeable sketches, same plan shape).
+    */
+  def q63WindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("prio"),
+        datediff($"o_orderdate", lit("1992-01-01").cast("date")).as("day"),
+        $"o_custkey")
+      .groupBy($"prio", $"day")
+      .agg(collect_set($"o_custkey").as("cs"), count(lit(1)).as("n_day"))
+    val w = Window.partitionBy($"prio").orderBy($"day").rangeBetween(-90, 0)
+    daily.select($"prio", $"day",
+        sum($"n_day").over(w).as("n_orders_90d"),
+        size(array_distinct(flatten(collect_list($"cs").over(w))))
+          .cast("long").as("n_cust_90d"))
+      .orderBy($"prio", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q58_range_frame" -> q58RangeFrame,
     "q59_correlated" -> q59Correlated,
+    "q63_windowed_distinct" -> q63WindowedDistinct,
     "q35_full_outer" -> q35FullOuter,
     "q36_setops" -> q36SetOps,
     "q45_window_family" -> q45WindowFamily,
@@ -380,6 +411,21 @@ object Relational {
         |  ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
         |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    "q63_windowed_distinct" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INT) AS day,
+        |    o_custkey
+        |  FROM orders),
+        |d AS (
+        |  SELECT prio, day,
+        |    CAST(count(*) OVER w90 AS BIGINT) AS n_orders_90d,
+        |    CAST(count(DISTINCT o_custkey) OVER w90 AS BIGINT) AS n_cust_90d
+        |  FROM o
+        |  WINDOW w90 AS (PARTITION BY prio ORDER BY day
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW))
+        |SELECT DISTINCT prio, day, n_orders_90d, n_cust_90d
+        |FROM d ORDER BY prio, day""".stripMargin,
     "q59_correlated" ->
       """SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
         |  (SELECT CAST(sum(CAST(floor(c2.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
