@@ -383,11 +383,80 @@ object Relational {
       .orderBy($"prio", $"day")
   }
 
+  /** q65 — RECURSIVE CTEs (new in Spark 4.0): hop distances along g03's
+    * planted chains, with BOTH engines executing the SAME
+    * `WITH RECURSIVE` text — Spark's recursive execution (UnionLoop
+    * iterations) is the unit under test, arbitrated against DuckDB's.
+    * The planted chains are DIRECTED and acyclic, so UNION ALL
+    * recursion terminates naturally and visits each node exactly once
+    * (on a cyclic graph this needs the g05 depth-bound-plus-min form).
+    */
+  def q65RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(recursiveChainSql)
+  }
+
+  private[queries] val recursiveChainSql: String =
+    """WITH RECURSIVE
+      |o AS (SELECT o_orderkey AS id FROM
+      |        (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500)),
+      |c AS (SELECT id, id % 10 AS grp,
+      |        lead(id) OVER (PARTITION BY id % 10 ORDER BY id) AS nxt
+      |      FROM o),
+      |e AS (SELECT id AS src, nxt AS dst FROM c WHERE nxt IS NOT NULL),
+      |heads AS (SELECT min(id) AS id FROM c GROUP BY grp),
+      |reach(id, hops) AS (
+      |  SELECT id, 0 FROM heads
+      |  UNION ALL
+      |  SELECT e.dst, reach.hops + 1 FROM reach JOIN e ON reach.id = e.src)
+      |SELECT id, CAST(hops AS INT) AS hops FROM reach ORDER BY id""".stripMargin
+
+  /** q66 — SQL PIPE syntax (Spark 4.0's `|>` operators): the q26
+    * margin aggregation restated as a linear pipeline — FROM …
+    * |> WHERE |> EXTEND (computed fixed-point columns) |> AGGREGATE …
+    * GROUP BY |> SELECT |> ORDER BY. Same fixed-point cents math; the
+    * oracle is the classic-SQL formulation, so the pipe FRONTEND is
+    * what the hash verifies.
+    */
+  def q66PipeSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """FROM lineitem
+        ||> WHERE l_quantity >= 10
+        ||> EXTEND CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c
+        ||> EXTEND CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS disc_bp
+        ||> AGGREGATE count(*) AS n_items, sum(price_c) AS price_cents,
+        |     sum(disc_bp) AS disc_bp_sum GROUP BY l_returnflag, l_linestatus
+        ||> SELECT l_returnflag, l_linestatus, n_items, price_cents, disc_bp_sum
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** q67 — parameterized SQL (named parameter markers, the
+    * injection-safe production calling convention): top-N customers of
+    * one segment by exact balance cents, with BOTH the segment and N
+    * arriving as `:params` through `spark.sql(text, args)` — never
+    * string-spliced. The oracle inlines the same constants.
+    */
+  def q67ParamSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_mktsegment = :segment AND c_acctbal > :minBal
+        |ORDER BY bal_cents DESC, c_custkey
+        |LIMIT :topN""".stripMargin,
+      Map("segment" -> "BUILDING", "minBal" -> 0, "topN" -> 50))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q58_range_frame" -> q58RangeFrame,
     "q59_correlated" -> q59Correlated,
     "q63_windowed_distinct" -> q63WindowedDistinct,
+    "q65_recursive_cte" -> q65RecursiveCte,
+    "q66_pipe_sql" -> q66PipeSql,
+    "q67_param_sql" -> q67ParamSql,
     "q35_full_outer" -> q35FullOuter,
     "q36_setops" -> q36SetOps,
     "q45_window_family" -> q45WindowFamily,
@@ -411,6 +480,24 @@ object Relational {
         |  ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
         |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    // q65: the oracle is the IDENTICAL recursive SQL text
+    "q65_recursive_cte" -> recursiveChainSql,
+    "q66_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS disc_bp_sum
+        |FROM lineitem
+        |WHERE l_quantity >= 10
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q67_param_sql" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+        |ORDER BY bal_cents DESC, c_custkey
+        |LIMIT 50""".stripMargin,
     "q63_windowed_distinct" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS prio,
