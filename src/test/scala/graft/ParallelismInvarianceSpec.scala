@@ -47,7 +47,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // c17/c18 bucketed global prefix-sums/ranks; q61 decimal moments;
     // g06 peeling fixpoint; z02 native hilbert codegen
     "c17_concat_chunks", "c18_negative_pairs", "q61_regression",
-    "g06_kcore", "z02_hilbert_layout")
+    "g06_kcore", "z02_hilbert_layout",
+    // q63: collect_set arrival order varies with partitioning — the
+    // array_distinct size must not; q65: recursive UnionLoop batches
+    "q63_windowed_distinct", "q65_recursive_cte")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
