@@ -390,6 +390,9 @@ object Relational {
     * The planted chains are DIRECTED and acyclic, so UNION ALL
     * recursion terminates naturally and visits each node exactly once
     * (on a cyclic graph this needs the g05 depth-bound-plus-min form).
+    * 50 chains of ~10 hops: each recursive ITERATION is a sequential
+    * micro-job, so depth (not node count) is the local-mode cost —
+    * ~10 rounds keeps the row honest while still multi-hop.
     */
   def q65RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -400,8 +403,8 @@ object Relational {
     """WITH RECURSIVE
       |o AS (SELECT o_orderkey AS id FROM
       |        (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500)),
-      |c AS (SELECT id, id % 10 AS grp,
-      |        lead(id) OVER (PARTITION BY id % 10 ORDER BY id) AS nxt
+      |c AS (SELECT id, id % 50 AS grp,
+      |        lead(id) OVER (PARTITION BY id % 50 ORDER BY id) AS nxt
       |      FROM o),
       |e AS (SELECT id AS src, nxt AS dst FROM c WHERE nxt IS NOT NULL),
       |heads AS (SELECT min(id) AS id FROM c GROUP BY grp),
