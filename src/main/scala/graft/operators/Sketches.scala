@@ -258,6 +258,15 @@ object Kmv {
         Hll.mix64Col(col("key")).bitwiseXOR(lit(Long.MinValue)).as("uh"))
       .orderBy(col("uh")).limit(k)
 
+  /** Union of two SKETCHES without revisiting the base data: keys in
+    * both operands carry the same bijective hash twice, so the merge
+    * MUST dedup before taking the bottom k — skipping the distinct
+    * reaches the k-th row after fewer distinct hashes and overestimates
+    * (~40% high at 50% overlap, smoke-pinned).
+    */
+  def merge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b).distinct().orderBy(col("uh")).limit(k)
+
   /** Distinct estimate from a sketch's max `uh` plus the exact key
     * count when it is at hand (a sketch holding fewer than k keys IS
     * the exact distinct set — the estimator only applies at ≥ k).

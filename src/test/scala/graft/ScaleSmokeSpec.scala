@@ -103,6 +103,65 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(agg.getLong(1) <= n * 32 * 128, s"pair work ${agg.getLong(1)}")
   }
 
+  test("KMV at 10M distinct keys stays inside the envelope; union sketch merges cheaply") {
+    import spark.implicits._
+    import graft.operators.Kmv
+    val n = 10000000L
+    val sk = Kmv.sketch(spark.range(n).select($"id".as("key")), "key", 256)
+    val est = sk.agg(max($"uh").as("uh"))
+      .select(Kmv.estimate($"uh", lit(n), 256).as("e")).head.getDouble(0)
+    val relErr = math.abs(est - n) / n.toDouble
+    assert(relErr < 0.26, s"est=$est relErr=$relErr") // 4σ at σ≈1/√254
+    // union with a 50%-overlapping set: merge operates on ≤512 rows;
+    // Kmv.merge dedups the shared keys' duplicate hashes first
+    val other = Kmv.sketch(
+      spark.range(n / 2, n + n / 2).select($"id".as("key")), "key", 256)
+    val merged = Kmv.merge(sk, other, 256)
+    val estU = merged.agg(max($"uh").as("uh"))
+      .select(Kmv.estimate($"uh", lit(n + n / 2), 256).as("e")).head.getDouble(0)
+    assert(math.abs(estU - 1.5 * n) / (1.5 * n) < 0.26, s"union est=$estU")
+  }
+
+  test("concat-chunk offsets at 5M uniform docs: analytic global layout, bucketed prefix sums") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 5M docs of exactly 7 tokens (+1 EOS = 8): total stream = 40M
+    // tokens; every start offset is a multiple of 8 and the LAST doc's
+    // end equals the analytic total — proof the 256-bucket prefix-sum
+    // reconstruction is globally consistent without any full sort
+    val n = 5000000L
+    val d = spark.range(n).select($"id".as("doc_id"), lit(8L).as("n_tok"),
+        md5($"id".cast("string").cast("binary")).as("h"))
+      .withColumn("bkt", conv(substring($"h", 1, 2), 16, 10).cast("int"))
+    val counts = d.groupBy($"bkt").agg(sum($"n_tok").as("bw"))
+    val wPrefix = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum($"bw").over(wPrefix), lit(0L)))
+      .select($"bkt", $"off")
+    val wBkt = Window.partitionBy($"bkt").orderBy($"h", $"doc_id")
+    val ends = d.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("end_off", $"off" + sum($"n_tok").over(
+        wBkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agg = ends.agg(max($"end_off").as("mx"),
+      sum(when($"end_off" % 8 === 0, 0L).otherwise(1L)).as("misaligned")).head
+    assert(agg.getLong(0) == 8L * n)
+    assert(agg.getLong(1) == 0L)
+  }
+
+  test("BFS at a 2M-edge graph: frontier costs stay per-level, distances analytic") {
+    import spark.implicits._
+    // ring of 1M nodes (2M directed edges): BFS from node 0 to depth 3
+    // must discover exactly {0, ±1, ±2, ±3} — frontier work is the
+    // 6-node edge cut, NOT the million-node graph, at every level
+    val n = 1000000L
+    val fwd = spark.range(n).select($"id".as("src"), (($"id" + 1) % n).as("dst"))
+    val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val got = graft.operators.Graph.bfsHops(edges, Seq(0L).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, (n - 1) -> 1, 2L -> 2, (n - 2) -> 2,
+      3L -> 3, (n - 3) -> 3))
+  }
+
   test("next-fit packing at 5M uniform docs: analytic bins, no driver materialization") {
     import spark.implicits._
     // equal 10-token docs, cap 100 → exactly 10 docs per bin; 8 shards
