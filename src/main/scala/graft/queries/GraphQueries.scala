@@ -190,13 +190,42 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** g07 — TrustRank ([[Graph.pageRankPersonalizedFixed]]): trust
+    * seeded at the g05 supplier fleet (lowest nation key — SF-proof)
+    * propagates through the bipartite supply graph; ALL teleport mass
+    * returns to the seeds, so rank is seed-proximity-weighted rather
+    * than global importance (compare g01 on the same graph). 3 exact
+    * integer iterations, top-25.
+    */
+  def g07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_suppkey", ($"l_partkey" + 1000000L).as("part_node"))
+      .distinct()
+    val edges = li.select($"l_suppkey".as("src"), $"part_node".as("dst"))
+      .unionByName(li.select($"part_node".as("src"), $"l_suppkey".as("dst")))
+    val sup = Tables.load(spark, dir, "supplier")
+    val seeds = sup
+      .join(broadcast(sup.agg(min($"s_nationkey").as("mn"))),
+        $"s_nationkey" === $"mn")
+      .select($"s_suppkey".as("id"))
+    Graph.pageRankPersonalizedFixed(edges, seeds, iters = 3)
+      .select(
+        $"id".as("node_id"),
+        when($"id" >= 1000000L, "part").otherwise("supplier").as("node_type"),
+        $"rank")
+      .orderBy($"rank".desc, $"node_id")
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> g01,
     "g02_triangles" -> g02,
     "g03_components" -> g03,
     "g04_clustering_coeff" -> g04,
     "g05_bfs_hops" -> g05,
-    "g06_kcore" -> g06
+    "g06_kcore" -> g06,
+    "g07_trustrank" -> g07
   )
 
   /** One peeling round: degrees of `prev`, survivors with deg ≥ 3,
@@ -224,7 +253,41 @@ object GraphQueries {
        |r$i AS (SELECT n.id, (150000000000 // nn.n) + coalesce(c$i.inflow, 0) AS rank
        |        FROM nodes n CROSS JOIN nn LEFT JOIN c$i ON n.id = c$i.dst)""".stripMargin
 
+  /** 3 unrolled TrustRank iterations: g01's arithmetic with the
+    * teleport base read from the seed-aware `b0` frame.
+    */
+  private def trustIterCte(i: Int, prev: String): String =
+    s"""tc$i AS (SELECT e.dst, sum((r.rank * 85) // (d.deg * 100)) AS inflow
+       |        FROM edges e JOIN $prev r ON e.src = r.id
+       |        JOIN deg d ON e.src = d.src GROUP BY 1),
+       |tr$i AS (SELECT b0.id, b0.base + coalesce(tc$i.inflow, 0) AS rank
+       |        FROM b0 LEFT JOIN tc$i ON b0.id = tc$i.dst)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "g07_trustrank" ->
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p
+         |           FROM lineitem),
+         |edges AS (SELECT s AS src, p AS dst FROM sp
+         |          UNION ALL SELECT p, s FROM sp),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |seeds AS (SELECT DISTINCT s_suppkey AS id FROM supplier
+         |          WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
+         |sn AS (SELECT count(*) AS s FROM seeds),
+         |b0 AS (SELECT n.id,
+         |         CASE WHEN sd.id IS NOT NULL
+         |              THEN 1000000000000 // sn.s ELSE 0 END AS r0,
+         |         CASE WHEN sd.id IS NOT NULL
+         |              THEN 150000000000 // sn.s ELSE 0 END AS base
+         |       FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id CROSS JOIN sn),
+         |tr0 AS (SELECT id, r0 AS rank FROM b0),
+         |${trustIterCte(1, "tr0")},
+         |${trustIterCte(2, "tr1")},
+         |${trustIterCte(3, "tr2")}
+         |SELECT id AS node_id,
+         |  CASE WHEN id >= 1000000 THEN 'part' ELSE 'supplier' END AS node_type,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM tr3 ORDER BY rank DESC, node_id LIMIT 25""".stripMargin,
     "g01_pagerank" ->
       s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p
          |           FROM lineitem),

@@ -93,6 +93,18 @@ class DegenerateSpec extends AnyFunSuite {
     assert(r == Map(1L -> Graph.TotalMass / 2, 2L -> Graph.TotalMass / 2))
   }
 
+  test("TrustRank: seed self-loop holds all mass; unreachable components hold none") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    // component A: seed 1 with a self-loop; component B: 2↔3, no seed
+    val e = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRankPersonalizedFixed(e, Seq(1L).toDF("id"), iters = 4)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    // all teleport returns to the seed: its self-loop keeps TotalMass
+    // exactly, and trust NEVER reaches the disconnected pair
+    assert(r == Map(1L -> Graph.TotalMass, 2L -> 0L, 3L -> 0L))
+  }
+
   test("connected components: empty and single-pair inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
