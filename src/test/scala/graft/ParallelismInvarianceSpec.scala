@@ -49,8 +49,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "c17_concat_chunks", "c18_negative_pairs", "q61_regression",
     "g06_kcore", "z02_hilbert_layout",
     // q63: collect_set arrival order varies with partitioning — the
-    // array_distinct size must not; q65: recursive UnionLoop batches
-    "q63_windowed_distinct", "q65_recursive_cte")
+    // array_distinct size must not; q65: recursive UnionLoop batches;
+    // g07: seed-teleport integer iteration
+    "q63_windowed_distinct", "q65_recursive_cte", "g07_trustrank")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
