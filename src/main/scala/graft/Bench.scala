@@ -38,20 +38,24 @@ object Bench {
     try graft.sources.Tables.names.foreach { n =>
       spark.read.parquet(graft.sources.Tables.path(sfDir, n)).limit(1).count()
     } catch { case _: Throwable => () }
-    // Two timed reps per query, report the min: a single local[32] run
-    // shares the machine with whatever else is scheduled, and one
+    // Three timed reps per query, report the MEDIAN: a single local[32]
+    // run shares the machine with whatever else is scheduled, and one
     // descheduling blip can inflate one query 10×+ (BENCH_r03 showed
-    // s02 at 17 s vs a 1.1 s quiet-run median). Min-of-2 measures the
-    // plan, not the scheduler; each rep still pays its own persists.
+    // s02 at 17 s vs a 1.1 s quiet-run median; the r05→r06 driver runs
+    // differed 16% wholesale and 2× on z01 with byte-identical code).
+    // The median rejects a single outlier in EITHER direction — min
+    // could still reward one lucky fully-cached pass — so round-over-
+    // round deltas are attributable to code, not load. Each rep still
+    // pays its own persists (dropCached between reps).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dt = (1 to 2).map { _ =>
+      val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
         dropCached()
         t
-      }.min
-      name -> dt
+      }.sorted
+      name -> reps(1) // median of 3
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

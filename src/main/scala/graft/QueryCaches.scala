@@ -23,6 +23,17 @@ import org.apache.spark.sql.DataFrame
   * them. At 100 TB these frames are the ones a production pipeline
   * would stage as tables between jobs; in-session caching is the
   * single-job analog.
+  *
+  * CONCURRENCY CONTRACT: the registry is ONE process-global queue, so
+  * build→run→releaseAll cycles must not overlap within a JVM — a
+  * concurrent runner's releaseAll() would unpersist frames another
+  * query is still computing over (silent recompute, not wrong
+  * answers). Every current runner honors this: Verify and Bench are
+  * strictly sequential, and sbt's forked test JVM runs suites (and the
+  * query-driving loops inside them) sequentially — no two
+  * build→release cycles ever overlap.
+  * If a future runner needs intra-JVM parallelism, hand each run its
+  * own scope (a token carrying its own queue) instead of this object.
   */
 object QueryCaches {
 

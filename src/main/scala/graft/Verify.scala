@@ -41,6 +41,11 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Record which sf this output came from, so a later standalone
+    // DumpOracles re-dump (the oracle-iteration loop) keys fixture
+    // paths to THIS run's sf instead of the JVM default.
+    Files.writeString(Paths.get(s"$outDir/fixture_tag.txt"),
+      new java.io.File(sfDir).getName)
     spark.stop()
   }
 }

@@ -123,13 +123,17 @@ object Graph {
     * edge set.
     *
     * Shape at scale: per level, ONE equi-join frontier⋈edges (shuffle
-    * keyed on src) + distinct + LEFT ANTI against the visited set —
-    * each frontier is `localCheckpoint`ed, so the visited set is a
-    * flat union of materialized levels and lineage never grows with
-    * the hop count. Work per level is proportional to the frontier's
-    * edge cut, never the whole graph; the loop stops early on an empty
-    * frontier (one cheap `isEmpty` per level on an already-materialized
-    * frame). Integer hop labels — nothing to drift.
+    * keyed on src) + distinct + LEFT ANTI against ONE accumulated
+    * `visited` frame that is unioned incrementally and
+    * `localCheckpoint`ed each level — lineage stays flat and the
+    * per-level anti-join scans the visited set ONCE, not once per
+    * prior level (the round-6 rebuild re-scanned every checkpointed
+    * level each round: O(V·depth) total anti-join input on deep
+    * graphs). Per-level cost is frontier edge cut + |visited| — the
+    * anti-join term is inherent to level-synchronous BFS; the loop
+    * stops early on an empty frontier (one cheap `isEmpty` per level
+    * on an already-materialized frame). Integer hop labels — nothing
+    * to drift.
     *
     * Input: symmetric directed edge list (src, dst); seeds (id).
     * Output: (id, hops) for every node within `maxHops` of a seed.
@@ -138,27 +142,29 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).persist()
     val level0 = seeds.select(col("id")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint()
-    var levels = List(level0)
+    // `visited` carries hops too, so it doubles as the accumulated
+    // RESULT — checkpointing it per level materializes exactly the
+    // rows the final answer needs, nothing extra.
+    var visited = level0
     var frontier = level0.select(col("id"))
     var h = 1
     var done = false
     while (h <= maxHops && !done) {
-      val visited = levels.map(_.select(col("id"))).reduce(_ unionByName _)
       val next = frontier.withColumnRenamed("id", "src")
         .join(e, Seq("src"))
         .select(col("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        levels ::= next
+        visited = visited.unionByName(next).localCheckpoint()
         frontier = next.select(col("id"))
         h += 1
       }
     }
     e.unpersist()
-    levels.reduce(_ unionByName _)
+    visited
   }
 
   /** k-core decomposition by iterative peeling (Seidman 1983; the

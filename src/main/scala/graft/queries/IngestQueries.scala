@@ -39,12 +39,15 @@ object IngestQueries {
     * `oracles` is a `def` that reads the tag of the last query run in
     * this JVM: Verify runs all queries BEFORE dumping oracle_sql.json,
     * so the dumped SQL always names the path that run actually wrote.
-    * Plain `DumpOracles` (no Spark pass) defaults to the driver's
-    * sf0.01, matching the CLAUDE.md iteration loop.
+    * Plain `DumpOracles` (no Spark pass) reads the `fixture_tag.txt`
+    * Verify leaves next to oracle_sql.json (or an explicit sfDir
+    * argument) and falls back to the driver's sf0.01 — so iterating
+    * oracle SQL against a sf0.1 Verify output cites the path that run
+    * actually wrote, not a last-writer-wins JVM default.
     */
   @volatile private var fixtureTag: String = "sf0.01"
 
-  private def retag(dir: String): Unit = {
+  private[graft] def retag(dir: String): Unit = {
     val t = new java.io.File(dir).getName
     if (t.nonEmpty) fixtureTag = t
   }

@@ -104,7 +104,11 @@ object KafkaSource {
       case Some(m) =>
         require(m > 0, "need maxOffsetsPerTrigger > 0")
         import org.apache.spark.sql.expressions.Window
-        val sliced = srcDir.stripSuffix("/") + "-sliced"
+        // Per-invocation dir (the memory sinks' UUID convention): two
+        // concurrent streams over the same srcDir must not clobber each
+        // other's slice files mid-read.
+        val sliced = srcDir.stripSuffix("/") + "-sliced-" +
+          java.util.UUID.randomUUID().toString.take(8)
         val w = Window.orderBy(col("topic"), col("partition"), col("offset"))
         raw.withColumn("slice",
             floor((row_number().over(w) - 1).cast("long") / m))

@@ -162,6 +162,25 @@ class ScaleSmokeSpec extends AnyFunSuite {
       3L -> 3, (n - 3) -> 3))
   }
 
+  test("deep BFS (25 hops) on a 200k-edge ring: accumulated-visited frame stays flat") {
+    import spark.implicits._
+    // ring of 100k nodes, depth 25: per-level work must be the ~2-node
+    // frontier plus ONE scan of the accumulated visited frame — the
+    // round-6 shape re-scanned every prior level each round, O(V·depth)
+    // on exactly this kind of deep graph. Distances are analytic:
+    // hops(k) = min(k, n−k) capped at 25, so the result is precisely
+    // {0} ∪ {±1..±25} with hops = |offset|.
+    val n = 100000L
+    val depth = 25
+    val fwd = spark.range(n).select($"id".as("src"), (($"id" + 1) % n).as("dst"))
+    val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val got = graft.operators.Graph.bfsHops(edges, Seq(0L).toDF("id"), maxHops = depth)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = (0 to depth).flatMap(h =>
+      if (h == 0) Seq(0L -> 0) else Seq(h.toLong -> h, (n - h) -> h)).toMap
+    assert(got == want)
+  }
+
   test("next-fit packing at 5M uniform docs: analytic bins, no driver materialization") {
     import spark.implicits._
     // equal 10-token docs, cap 100 → exactly 10 docs per bin; 8 shards
