@@ -112,4 +112,53 @@ object Layout {
         min(col("hv")).as("h_min"), max(col("hv")).as("h_max"))
       .orderBy(col("bucket"))
   }
+
+  /** Driver-side mirror of `graft_hilbert_d2`
+    * ([[graft.functions.HilbertD2Expr]]): the order-16 xy2d
+    * rotate-and-accumulate loop on two 16-bit coordinates. This runs on
+    * PLANNER CONSTANTS only (bucket-corner points when translating a
+    * box predicate into curve ranges — [[hilbertBucketsForBox]]), never
+    * per row; LayoutSpec pins it value-for-value against the native
+    * expression so the planner and the data path can never disagree.
+    */
+  def hilbertD2(xIn: Long, yIn: Long): Long = {
+    var x = xIn & 0xFFFFL
+    var y = yIn & 0xFFFFL
+    var d = 0L
+    var s = 1L << 15
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Curve-range planning: the level-`levels` Hilbert buckets whose
+    * grid cell intersects the quantized box [qx0,qx1]×[qy0,qy1] — the
+    * IN-list a pruned scan of a Hilbert-clustered table needs. Works
+    * because the top 2·levels bits of an order-16 Hilbert index
+    * identify the level-`levels` grid cell (each level's 2 d-bits pick
+    * a quadrant, recursively), and the curve visits each cell
+    * CONTIGUOUSLY — so `cell index = d(corner) >> (32 − 2·levels)` for
+    * any point in the cell. Cost is the box's cell count — pure
+    * integer arithmetic on planner constants, O(1) in data size (the
+    * Z-range planning every curve-clustered lake scan does before
+    * touching a file).
+    */
+  def hilbertBucketsForBox(qx0: Long, qx1: Long, qy0: Long, qy1: Long,
+                           levels: Int): Seq[Long] = {
+    require(levels >= 1 && levels <= 16, s"levels out of range: $levels")
+    val side = 1L << (16 - levels)
+    val shift = 32 - 2 * levels
+    (for {
+      cx <- (qx0 / side) to (qx1 / side)
+      cy <- (qy0 / side) to (qy1 / side)
+    } yield hilbertD2(cx * side, cy * side) >>> shift).distinct.sorted
+  }
 }

@@ -43,6 +43,70 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-side hilbertD2 mirrors the native expression value-for-value") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L)) ++
+      Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("x", "y")
+      .select(call_function("graft_hilbert_d2", $"x", $"y").as("d"))
+      .as[Long].collect().toSeq
+    assert(got == pairs.map { case (x, y) => Layout.hilbertD2(x, y) })
+  }
+
+  test("hilbertBucketsForBox covers exactly the data buckets intersecting the box") {
+    // exhaustive over the full 16-bit grid SAMPLED on a lattice: every
+    // sampled point inside the box must land in an eligible bucket,
+    // and every eligible bucket must contain at least one box cell
+    // corner — the planner can neither miss data nor over-read wildly.
+    val (bx0, bx1, by0, by1) = (4000L, 20000L, 9000L, 17000L)
+    val elig = Layout.hilbertBucketsForBox(bx0, bx1, by0, by1, levels = 3).toSet
+    assert(elig.size == 6) // 3x2 grid cells at level 3
+    for (x <- bx0 to bx1 by 997; y <- by0 to by1 by 499) {
+      val b = Layout.hilbertD2(x, y) >>> 26
+      assert(elig.contains(b), s"in-box point ($x,$y) in unplanned bucket $b")
+    }
+  }
+
+  test("z03: executed scan reads files_read files, < 1/3 of total; layout never changes answers") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val out = graft.queries.LayoutQueries.z03(spark, sfDir).collect()
+    val filesTotal = out.head.getAs[Long]("files_total")
+    val filesRead = out.head.getAs[Long]("files_read")
+    assert(filesRead == out.length.toLong) // one output row per read bucket
+    assert(filesRead * 3 < filesTotal,
+      s"pruning too weak: read $filesRead of $filesTotal")
+    // the EXECUTED plan touched exactly files_read parquet files: count
+    // part-files via the scan's selected partitions, not inputFiles
+    // (which ignores partition pruning)
+    val (bx0, bx1, by0, by1) = (4000L, 20000L, 9000L, 17000L)
+    val eligible = Layout.hilbertBucketsForBox(bx0, bx1, by0, by1, levels = 3)
+    val root = graft.queries.LayoutQueries.z03Root(sfDir)
+    val pruned = spark.read.parquet(root).filter($"bucket".isin(eligible: _*))
+    pruned.collect() // collect() runs the dataset's OWN QueryExecution, so
+    // the scan metrics below belong to the executed plan (count() would
+    // build and execute a separate aggregate plan, leaving these at 0)
+    val scans = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(numFiles == filesRead,
+      s"scan touched $numFiles files, planner said $filesRead")
+    // on-disk file census: one file per bucket dir, files_total dirs
+    val partFiles = new java.io.File(root).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(d => d.listFiles().count(f => f.getName.endsWith(".parquet")))
+    assert(partFiles.length.toLong == filesTotal)
+    assert(partFiles.forall(_ == 1), "expected exactly one file per bucket dir")
+    // layout invariance: in-box rows equal a straight unclustered scan
+    val straight = spark.read.parquet(root) // full scan, no bucket pruning
+      .filter($"qx".between(bx0, bx1) && $"qy".between(by0, by1)).count()
+    assert(out.map(_.getAs[Long]("n_rows_box")).sum == straight)
+  }
+
   test("bloom prune: zero false negatives, any partitioning") {
     import spark.implicits._
     val dim = (0 until 400).map(i => i * 7L).toDF("key")
