@@ -63,7 +63,8 @@ object NativeExprs {
     "graft_word_shingles" -> (exprs => WordNgramsExpr(exprs.head,
       literalInt(exprs(1)), distinct = true, clampShort = true)),
     "graft_word_ngrams_all" -> (exprs => WordNgramsExpr(exprs.head,
-      literalInt(exprs(1)), distinct = false, clampShort = false)))
+      literalInt(exprs(1)), distinct = false, clampShort = false)),
+    "graft_bpe_merge" -> (exprs => BpeMergeExpr(exprs.head, exprs(1), exprs(2))))
 
   private def literalInt(e: Expression): Int = {
     require(e.foldable, s"expected a literal int argument, got $e")
@@ -392,6 +393,47 @@ case class WordNgramsExpr(child: Expression, k: Int,
 /** Exact integer dot product of two array<long> vectors, with full
   * whole-stage codegen (`doGenCode` splices a branch-free loop).
   */
+/** One BPE merge round applied to a symbol sequence: greedy
+  * left-to-right replacement of every non-overlapping adjacent
+  * (lhs, rhs) occurrence with the concatenation lhs||rhs — Sennrich et
+  * al. 2016's per-word merge step as one tight loop per row (the scan
+  * reads ORIGINAL positions; a merge consumes i and i+1 and resumes at
+  * i+2, so in a run of consecutive match positions exactly the
+  * even-offset ones merge — the closed form the DuckDB oracle's
+  * gaps-and-islands replay uses). Per-row and allocation-light: the
+  * whole corpus rewrite per training round is map-side, zero shuffle.
+  */
+case class BpeMergeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge"
+
+  override def nullSafeEval(arrA: Any, lA: Any, rA: Any): Any = {
+    val arr = arrA.asInstanceOf[ArrayData]
+    val l = lA.asInstanceOf[UTF8String]
+    val r = rA.asInstanceOf[UTF8String]
+    val n = arr.numElements()
+    val merged = UTF8String.concat(l, r)
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && l.equals(arr.getUTF8String(i)) &&
+          r.equals(arr.getUTF8String(i + 1))) {
+        out.add(merged); i += 2
+      } else {
+        out.add(arr.getUTF8String(i)); i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): BpeMergeExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** The repo's canonical string hash (FNV-1a over UTF-8 bytes +
   * splitmix64 finalizer) as a standalone scalar — the per-occurrence
   * key for sketch position derivation (Count-Min). Same math the

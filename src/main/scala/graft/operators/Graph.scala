@@ -252,4 +252,61 @@ object Graph {
     wedges.join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
       .select(col("x"), col("b").as("y"), col("c").as("z"))
   }
+
+  /** Weighted single/multi-source shortest paths by distributed
+    * Bellman-Ford rounds (relax-to-fixpoint): per round, ONE equi-join
+    * of the current distance frame against the edge list (shuffle keyed
+    * on src) producing candidate `dist + w` labels, then one min
+    * aggregate over (old ∪ candidates) — the weighted generalization of
+    * [[bfsHops]]'s level expansion (BFS is the w≡1 special case whose
+    * anti-join can prune; with weights a settled node can still
+    * improve, so the min-agg IS the frontier logic). Distances are
+    * exact INTEGER weights — no float accumulation, bit-stable at any
+    * parallelism, and replicable by a path-enumerating recursive CTE
+    * with a min aggregate (the g05 oracle pattern + weights).
+    *
+    * Shape at scale: each round touches |dist| + |edges| rows in
+    * equi-joins only; the frame is `localCheckpoint`ed per round (flat
+    * lineage — the iterative-loop rule) and convergence is ONE
+    * left-anti join on the materialized frames (no change ⇒ fixpoint).
+    * Rounds are bounded by the hop count of the deepest shortest path;
+    * `maxRounds` throws rather than silently returning unconverged
+    * distances (the clusterPairs rule). Negative edges are rejected up
+    * front — with non-negative weights Bellman-Ford converges in ≤ |V|
+    * rounds and the fixpoint is the unique shortest-path labeling.
+    *
+    * Input: directed weighted edges (src, dst, w: long ≥ 0); seeds
+    * (id). Output: (id, dist) for every node reachable from any seed.
+    */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame,
+                   maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist()
+    if (e.filter(col("w") < 0).limit(1).count() > 0) {
+      e.unpersist()
+      throw new IllegalArgumentException("ssspWeighted: negative edge weight")
+    }
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val cand = dist.withColumnRenamed("id", "src")
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(cand)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // fixpoint ⇔ no (id, dist) row changed: `next` is pointwise ≤
+      // `dist` and can only add ids, so anti-join emptiness decides
+      converged = next.join(dist, Seq("id", "dist"), "left_anti").isEmpty
+      dist = next
+      round += 1
+    }
+    e.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"ssspWeighted did not converge in $maxRounds rounds")
+    dist
+  }
 }

@@ -573,7 +573,40 @@ object CorpusOps {
       .orderBy($"doc_id", $"span_k")
   }
 
+  /** Merge count for c20 — the oracle unrolls exactly this many rounds. */
+  val BpeMerges = 10
+
+  /** c20 — BPE pair-merge trainer ([[graft.operators.Bpe]]): 10 merges
+    * trained on the corpus's lowercase-alpha word-frequency table
+    * (`^[a-z]+$` — the classic character-alphabet restriction, which
+    * also pins both engines to pure-ASCII symbols so substring/compare
+    * semantics cannot diverge). Output is the merge table: per step the
+    * merged pair, its weighted adjacent-occurrence count at merge time,
+    * and the post-merge distinct-symbol vocabulary size. Ties break
+    * (count DESC, lhs, rhs) — a total order, so the whole training
+    * trajectory is deterministic and the ORACLE replays it exactly:
+    * 10 unrolled rounds of pair-count → top-1 → gaps-and-islands greedy
+    * merge in one DuckDB statement (per-round CTEs MATERIALIZED — the
+    * g06 lesson; each is referenced twice). A different merge engine —
+    * relational window replay vs the native per-row loop — agreeing on
+    * every step's argmax AND the downstream vocabulary is a strong
+    * whole-trajectory check, same doctrine as the k-means/PQ oracles.
+    */
+  def c20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(TextOps.tokens(TextOps.normalize($"text"))).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    val (steps, _) = graft.operators.Bpe.train(words, BpeMerges)
+    spark.createDataFrame(steps)
+      .select($"step", $"lhs", $"rhs", concat($"lhs", $"rhs").as("merged"),
+        $"pair_freq", $"vocab_size")
+      .orderBy($"step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_bpe_merges" -> c20,
     "c16_bm25" -> c16,
     "c17_concat_chunks" -> c17,
     "c18_negative_pairs" -> c18,
@@ -598,6 +631,7 @@ object CorpusOps {
   // whole-text shingle — mirrored by greatest(len(toks)-(n-2), 2) range
   // bounds + DuckDB list-slice clamping (the proven d04 pattern).
   val oracles: Map[String, String] = Map(
+    "c20_bpe_merges" -> DuckSketchSql.c20(BpeMerges),
     // c17: the oracle takes the single-node shortcut the Spark side
     // can't — ONE global window over (md5, doc_id); block math is
     // integer `//` on non-negative offsets

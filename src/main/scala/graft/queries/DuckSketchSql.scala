@@ -753,6 +753,109 @@ object DuckSketchSql {
        |FROM mx""".stripMargin
   }
 
+  /** q68 — KMV windowed distinct: per-(prio, day) bottom-256 of the
+    * splitmix64-mixed distinct custkeys (mix once per distinct key,
+    * join back, `row_number ≤ k`), per-day sketch lists merged over the
+    * trailing-90-day RANGE window (`flatten` of the frame's lists →
+    * `list_distinct` → `list_sort`), estimate written exactly like
+    * h04's (signed view of the k-th hash → double → re-offset 2^63.0 →
+    * one divide) so both engines round identically.
+    */
+  val q68: String = {
+    val (mix, last) = mix64Ctes("kw", "zk0", Seq("key"))
+    val uhK = "CAST(mg[256] - 9223372036854775808::HUGEINT AS BIGINT)"
+    s"""WITH ok AS (SELECT o_orderpriority AS prio,
+       |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INT) AS day,
+       |    o_custkey AS key FROM orders),
+       |dk AS (SELECT DISTINCT prio, day, key FROM ok),
+       |nd AS (SELECT prio, day, count(*) AS n_day FROM ok GROUP BY 1, 2),
+       |ky AS (SELECT DISTINCT key FROM dk),
+       |zk0 AS (SELECT key, key::HUGEINT AS z FROM ky),
+       |$mix,
+       |hj AS (SELECT dk.prio, dk.day, m.z FROM dk JOIN $last m ON dk.key = m.key),
+       |rk AS (SELECT prio, day, z,
+       |         row_number() OVER (PARTITION BY prio, day ORDER BY z) AS rn FROM hj),
+       |dl AS (SELECT prio, day, list(z ORDER BY z) AS sk
+       |       FROM rk WHERE rn <= 256 GROUP BY 1, 2),
+       |wl AS (SELECT d.prio, d.day, n.n_day, d.sk
+       |       FROM dl d JOIN nd n ON d.prio = n.prio AND d.day = n.day),
+       |wv AS (SELECT prio, day,
+       |         CAST(sum(n_day) OVER w AS BIGINT) AS n_orders_90d,
+       |         flatten(list(sk) OVER w) AS mg0
+       |       FROM wl
+       |       WINDOW w AS (PARTITION BY prio ORDER BY day
+       |         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)),
+       |mgx AS (SELECT prio, day, n_orders_90d,
+       |          list_sort(list_distinct(mg0)) AS mg FROM wv)
+       |SELECT prio, day, n_orders_90d,
+       |  CAST(least(len(mg), 256) AS BIGINT) AS n_sk,
+       |  round(CASE WHEN len(mg) < 256 THEN CAST(len(mg) AS DOUBLE)
+       |    ELSE (255.0 * 18446744073709551616.0)
+       |      / (CAST($uhK AS DOUBLE) + 9223372036854775808.0) END, 2)
+       |    AS est_cust_90d
+       |FROM mgx ORDER BY prio, day""".stripMargin
+  }
+
+  /** c20 — BPE merge-trainer replay: `numMerges` unrolled rounds, each
+    * = pair-count over adjacent positions → deterministic top-1
+    * (count DESC, lhs, rhs) → greedy left-to-right merge via
+    * gaps-and-islands (in a maximal run of consecutive match positions
+    * the even-offset matches merge — the closed form of the Spark
+    * side's sequential scan, proven equivalent in BpeSpec). Every
+    * per-round CTE that is referenced twice (`sy`, `km`, `tp`, `w{r}`)
+    * is MATERIALIZED — the g06 exponential-inlining lesson. All symbol
+    * strings are `[a-z]+` concatenations, so VARCHAR binary collation
+    * and Spark UTF8String ordering agree on the tie-break.
+    */
+  def c20(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      val p = s"w${r - 1}"
+      s"""px$r AS (SELECT freq, unnest(range(1, len(s)::BIGINT)) AS i, s FROM $p),
+         |pr$r AS (SELECT s[i] AS l, s[i + 1] AS r2,
+         |    CAST(sum(freq) AS BIGINT) AS cnt FROM px$r GROUP BY 1, 2),
+         |tp$r AS MATERIALIZED (SELECT l, r2, cnt FROM pr$r
+         |  ORDER BY cnt DESC, l, r2 LIMIT 1),
+         |ex$r AS (SELECT w, freq, unnest(range(1, len(s)::BIGINT + 1)) AS i, s FROM $p),
+         |sy$r AS MATERIALIZED (SELECT w, freq, i, s[i] AS sym,
+         |    CASE WHEN i < len(s) AND s[i] = (SELECT l FROM tp$r)
+         |          AND s[i + 1] = (SELECT r2 FROM tp$r) THEN 1 ELSE 0 END AS m
+         |  FROM ex$r),
+         |im$r AS (SELECT w, i,
+         |    i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+         |  FROM sy$r WHERE m = 1),
+         |km$r AS MATERIALIZED (SELECT w, i FROM (
+         |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn
+         |    FROM im$r) u$r
+         |  WHERE (rn - 1) % 2 = 0),
+         |rb$r AS (SELECT y.w, y.freq, y.i,
+         |    CASE WHEN k1.i IS NOT NULL THEN y.sym || (SELECT r2 FROM tp$r)
+         |         ELSE y.sym END AS sym2,
+         |    CASE WHEN k2.i IS NOT NULL THEN 0 ELSE 1 END AS emit
+         |  FROM sy$r y
+         |  LEFT JOIN km$r k1 ON y.w = k1.w AND y.i = k1.i
+         |  LEFT JOIN km$r k2 ON y.w = k2.w AND y.i = k2.i + 1),
+         |w$r AS MATERIALIZED (SELECT w, freq, list(sym2 ORDER BY i) AS s
+         |  FROM rb$r WHERE emit = 1 GROUP BY w, freq),
+         |vz$r AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS v
+         |  FROM (SELECT unnest(s) AS sym FROM w$r) q$r),
+         |mg$r AS (SELECT $r AS step, l AS lhs, r2 AS rhs, l || r2 AS merged,
+         |  cnt AS pair_freq, (SELECT v FROM vz$r) AS vocab_size FROM tp$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions =
+      (1 to numMerges).map(r => s"SELECT * FROM mg$r").mkString(" UNION ALL ")
+    s"""WITH nc AS (SELECT $normSql AS norm FROM documents),
+       |tk AS (SELECT unnest(string_split(norm, ' ')) AS word FROM nc),
+       |wf AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS freq FROM tk
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       |cx AS (SELECT w, freq, unnest(range(1, len(w)::BIGINT + 1)) AS i FROM wf),
+       |w0 AS MATERIALIZED (SELECT w, freq,
+       |    list(substring(w, i::INT, 1) ORDER BY i) AS s
+       |  FROM cx GROUP BY w, freq),
+       |$rounds
+       |$unions ORDER BY step""".stripMargin
+  }
+
   val h03: String = {
     val (mix, last) = mix64Ctes("f", "f0", Seq("token"))
     s"""WITH n AS (SELECT $normSql AS norm FROM documents),

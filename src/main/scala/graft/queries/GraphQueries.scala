@@ -218,6 +218,42 @@ object GraphQueries {
       .limit(25)
   }
 
+  /** g08 — weighted shortest paths ([[Graph.ssspWeighted]] Bellman-Ford
+    * rounds) over a PLANTED weighted DAG (the g06 convention — planted
+    * because relaxation structure must be guaranteed, not hoped for):
+    * the 20 lowest orderkeys ranked 1..20 carry chain edges idx→idx+1
+    * (w=3), skip edges idx→idx+3 (w=5 — beats the 3-hop chain's 9, so
+    * optimal paths alternate edge types), and heavy shortcuts
+    * idx→idx+2 (w=9, every 4th rank) that the 2-hop chain (3+3=6)
+    * BEATS — a first-round label via the heavy edge is provably
+    * improved in a later round, the non-trivial relaxation Dijkstra
+    * prunes and Bellman-Ford must re-visit. Multi-source: seeds at
+    * ranks 1 and 15 (dist = min over seeds). Exact integer weights;
+    * the ORACLE enumerates all paths with a depth-bounded recursive
+    * CTE + min aggregate (g05's pattern + weights) — a different
+    * algorithm, one hash.
+    */
+  def g08(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.load(spark, dir, "orders")
+      .orderBy(col("o_orderkey")).limit(20)
+      .select(col("o_orderkey").as("id"))
+      .withColumn("idx", row_number().over(Window.orderBy(col("id"))))
+    val x = ids.as("x"); val y = ids.as("y")
+    val edges = x.join(y,
+        (col("y.idx") === col("x.idx") + 1) ||
+        (col("y.idx") === col("x.idx") + 3) ||
+        (col("y.idx") === col("x.idx") + 2 && col("x.idx") % 4 === 1))
+      .select(col("x.id").as("src"), col("y.id").as("dst"),
+        when(col("y.idx") === col("x.idx") + 1, 3L)
+          .when(col("y.idx") === col("x.idx") + 3, 5L)
+          .otherwise(9L).as("w"))
+    val seeds = ids.filter(col("idx").isin(1, 15)).select(col("id"))
+    Graph.ssspWeighted(edges, seeds, maxRounds = 16)
+      .select(col("id").as("node_id"), col("dist"))
+      .orderBy(col("node_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> g01,
     "g02_triangles" -> g02,
@@ -225,7 +261,8 @@ object GraphQueries {
     "g04_clustering_coeff" -> g04,
     "g05_bfs_hops" -> g05,
     "g06_kcore" -> g06,
-    "g07_trustrank" -> g07
+    "g07_trustrank" -> g07,
+    "g08_sssp_weighted" -> g08
   )
 
   /** One peeling round: degrees of `prev`, survivors with deg ≥ 3,
@@ -359,6 +396,27 @@ object GraphQueries {
          |  SELECT a AS id FROM ke12 UNION ALL SELECT b FROM ke12)
          |GROUP BY 1 ORDER BY id""".stripMargin
     },
+    "g08_sssp_weighted" ->
+      """WITH RECURSIVE
+        |o AS (SELECT o_orderkey AS id FROM
+        |        (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20)),
+        |ix AS (SELECT id, row_number() OVER (ORDER BY id) AS idx FROM o),
+        |e AS (SELECT x.id AS src, y.id AS dst,
+        |        CASE WHEN y.idx = x.idx + 1 THEN 3
+        |             WHEN y.idx = x.idx + 3 THEN 5
+        |             ELSE 9 END AS w
+        |      FROM ix x JOIN ix y ON
+        |        (y.idx = x.idx + 1) OR (y.idx = x.idx + 3)
+        |        OR (y.idx = x.idx + 2 AND x.idx % 4 = 1)),
+        |seeds AS (SELECT id FROM ix WHERE idx IN (1, 15)),
+        |reach(id, d, hops) AS (
+        |  SELECT id, 0, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, reach.d + e.w, reach.hops + 1
+        |  FROM reach JOIN e ON reach.id = e.src
+        |  WHERE reach.hops < 19)
+        |SELECT id AS node_id, CAST(min(d) AS BIGINT) AS dist
+        |FROM reach GROUP BY id ORDER BY node_id""".stripMargin,
     "g05_bfs_hops" ->
       """WITH RECURSIVE
         |sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p

@@ -137,11 +137,56 @@ object SketchQueries {
           .as("jaccard_sample"))
   }
 
+  /** q68 — KMV WINDOWED distinct (q63's documented scale swap made a
+    * driver row): per-day bottom-k sketches of the distinct-customer
+    * hashes, merged over the trailing-90-day window, estimate per
+    * (prio, day). Where q63's exact form carries each day's FULL
+    * distinct-customer set through the window (sets get wide at
+    * 100 TB), this carries ≤ k=256 longs per day — window work is
+    * bounded by 91·k regardless of daily cardinality, and a merged
+    * sketch holding < k hashes IS the exact answer (operand sketches
+    * are subsets, so all were exact). Per-day bottom-k via
+    * `row_number ≤ k` (plans as WindowGroupLimit — no full sort), merge
+    * via flatten+distinct+sort of ≤ 91 sorted k-arrays. The ORACLE
+    * replays the identical splitmix64 mix + bottom-k + window merge in
+    * DuckDB (h04's HUGEINT machinery + a RANGE window) — one hash.
+    * SketchesSpec pins the estimate inside the k-envelope of q63's
+    * exact counts.
+    */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = Kmv.K
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("prio"),
+        datediff($"o_orderdate", lit("1992-01-01").cast("date")).as("day"),
+        $"o_custkey")
+    val nDay = o.groupBy($"prio", $"day").agg(count(lit(1)).as("n_day"))
+    val rw = Window.partitionBy($"prio", $"day").orderBy($"uh")
+    val daySk = o.distinct()
+      .select($"prio", $"day",
+        Hll.mix64Col($"o_custkey").bitwiseXOR(lit(Long.MinValue)).as("uh"))
+      .withColumn("rn", row_number().over(rw)).filter($"rn" <= k)
+      .groupBy($"prio", $"day")
+      .agg(sort_array(collect_list($"uh")).as("sk"))
+      .join(nDay, Seq("prio", "day"))
+    val w = Window.partitionBy($"prio").orderBy($"day").rangeBetween(-90, 0)
+    daySk.select($"prio", $"day",
+        sum($"n_day").over(w).as("n_orders_90d"),
+        array_sort(array_distinct(flatten(collect_list($"sk").over(w)))).as("mg"))
+      .select($"prio", $"day", $"n_orders_90d",
+        least(size($"mg"), lit(k)).cast("long").as("n_sk"),
+        gf.dround(Kmv.estimate(element_at($"mg", k), size($"mg"), k), 2)
+          .as("est_cust_90d"))
+      .orderBy($"prio", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h01_hll_distinct" -> h01,
     "h02_histogram_quantiles" -> h02,
     "h03_countmin_freq" -> h03,
     "h04_kmv_setops" -> h04,
+    "q68_kmv_windowed_distinct" -> q68,
     "c05_heavy_hitters" -> c05
   )
 
@@ -151,6 +196,7 @@ object SketchQueries {
   val oracles: Map[String, String] = Map(
     "h01_hll_distinct" -> DuckSketchSql.h01,
     "h04_kmv_setops" -> DuckSketchSql.h04,
+    "q68_kmv_windowed_distinct" -> DuckSketchSql.q68,
     "h03_countmin_freq" -> DuckSketchSql.h03,
     "h02_histogram_quantiles" ->
       """WITH m AS (SELECT l_returnflag AS g,

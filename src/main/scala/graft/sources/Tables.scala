@@ -19,11 +19,17 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table carries a TIMESTAMP(NANOS) column, which Spark's
-    // parquet reader only admits as a raw long (SPARK-40819). Read it
-    // that way and rebuild a proper timestamp with integer division
-    // (`DIV`, not `/` — double division would lose precision on
-    // ~1.7e18 nanosecond values).
+    // The events table's `ts` arrives in generator-dependent physical
+    // forms; normalize every one to a session-TZ TIMESTAMP so downstream
+    // `unix_micros`/watermarks see one type:
+    //  - TIMESTAMP(NANOS): Spark's parquet reader only admits it as a
+    //    raw long (SPARK-40819) — read that way, rebuild with integer
+    //    division (`DIV`, not `/` — double division would lose precision
+    //    on ~1.7e18 nanosecond values);
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: cast
+    //    to TIMESTAMP. The session TZ is pinned UTC (GraftSession), so
+    //    the cast is the exact identity on epoch micros — the same
+    //    interpretation DuckDB applies to a naive parquet timestamp.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path(dir, name))
@@ -31,6 +37,9 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", org.apache.spark.sql.functions
             .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
     } else spark.read.parquet(path(dir, name))

@@ -217,6 +217,29 @@ class DegenerateSpec extends AnyFunSuite {
     assert(run(3, Seq(99L)) == Map(99L -> 0))
   }
 
+  test("SSSP: 2-hop relaxation beats 1-hop edge; multi-seed min; guards throw") {
+    import spark.implicits._
+    // 1→2 direct w=10 relaxed by 1→3→2 (2+3=5); 2→4 extends the
+    // improved label; 10→11 a disconnected seeded component
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L), (2L, 4L, 1L),
+      (10L, 11L, 7L)).toDF("src", "dst", "w")
+    def run(seeds: Seq[Long], maxRounds: Int = 16) =
+      Graph.ssspWeighted(e, seeds.toDF("id"), maxRounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Seq(1L)) == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L))
+    // multi-source: label is the min over seeds; unreachable 10/11 join in
+    assert(run(Seq(1L, 10L)) ==
+      Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L, 10L -> 0L, 11L -> 7L))
+    // zero-weight edges are legal; negative ones throw up front
+    assert(run(Seq(3L)) == Map(3L -> 0L, 2L -> 3L, 4L -> 4L))
+    intercept[IllegalArgumentException] {
+      Graph.ssspWeighted(Seq((1L, 2L, -1L)).toDF("src", "dst", "w"),
+        Seq(1L).toDF("id"), 4).collect()
+    }
+    // a round budget below the fixpoint depth throws, never mis-converges
+    intercept[IllegalStateException] { run(Seq(1L), maxRounds = 1) }
+  }
+
   test("triangles: K4, star, and pendant graphs count exactly") {
     import spark.implicits._
     graft.functions.NativeExprs.ensureRegistered(spark)

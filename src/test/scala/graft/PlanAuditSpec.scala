@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "c05_heavy_hitters", // corpus token total (1 row)
     "z01_zorder_layout", // dim domain min/max (1 row)
     "z02_hilbert_layout", // dim domain min/max (1 row)
+    "z03_clustered_prune", // dim domain min/max + files_total/files_read (all 1-row)
     "g01_pagerank", // node count (1 row, per iteration)
     "s01_cosine_topk", // broadcast query set — the DOCUMENTED O(|Q|·n) exact baseline
     "s06_knn_classify", // broadcast held-out query set (s01's scan; an ANN generator slots in at scale)

@@ -61,6 +61,35 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV windowed distinct: estimate inside the k-envelope of q63's exact counts") {
+    // q68's sketch estimate vs q63's exact windowed distinct, joined on
+    // (prio, day): a merged sketch below k IS exact (bit-equal), and at
+    // ≥ k the estimate must sit within 4σ ≈ 4/√(k−2) ≈ 25% of exact.
+    // sf0.01's windows never reach k=256 distinct customers (every row
+    // exercises only the exact branch); sf0.1 saturates nearly every
+    // window, so that's where the estimator envelope is actually tested.
+    var sketched = 0
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val exact = graft.queries.Relational.q63WindowedDistinct(spark, dir)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+      val rows = graft.queries.SketchQueries.q68(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val ex = exact((r.getString(0), r.getInt(1)))
+        val nSk = r.getLong(3); val est = r.getDouble(4)
+        if (nSk < graft.operators.Kmv.K)
+          assert(est == ex.toDouble, s"sub-k sketch not exact: $r vs $ex")
+        else {
+          sketched += 1
+          val relErr = math.abs(est - ex) / ex.toDouble
+          assert(relErr < 0.26, s"$r: exact $ex relErr $relErr exceeds 4σ")
+        }
+      }
+    }
+    assert(sketched > 0, "no window ever saturated k — envelope untested")
+  }
+
   test("heavy hitters: exact result, planted skew, partition-invariant") {
     import spark.implicits._
     // 10k rows: "hot" 600× (6%), "warm" 80× (0.8%), rest unique fillers
