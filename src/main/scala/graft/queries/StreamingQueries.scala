@@ -394,26 +394,91 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("seq"))
   }
 
-  /** q56 — STREAMING session windows: the same built-in
-    * `session_window(ts, "30 minutes")` as batch q38, but executed as
-    * a real stateful streaming aggregation (merging-session state —
-    * the one streaming state shape q48/q49/q53/q54 don't exercise:
-    * sessions in state MERGE when a bridging event arrives, and only
-    * finalize when the watermark passes `end`). File replay under
-    * AvailableNow; a far-future sentinel rides a second file
-    * (`maxFilesPerTrigger=1`) so the watermark advances past every
-    * real session's end and append mode flushes them all; the
-    * sentinel's own session (user −1) never finalizes and is filtered.
-    * Oracle: q29's independent gaps-and-islands SQL VERBATIM — the
-    * streamed merge state, the batch `session_window`, and the custom
-    * flatMapGroupsWithState machine (q29) must all agree row-for-row.
+  /** Executed micro-batch count of the most recent [[q56]] run in this
+    * JVM — observability hook for the multi-batch merge spec (the
+    * memory-sink result alone can't show how many batches built it).
+    */
+  @volatile private[graft] var q56Batches: Int = -1
+
+  /** The (cut1, cut2) epoch-micros boundaries the most recent [[q56]]
+    * run staggered its replay on — the merge spec re-derives its
+    * witness from raw events against these.
+    */
+  @volatile private[graft] var q56Cuts: (Long, Long) = (-1L, -1L)
+
+  /** q56 — STREAMING session windows ACROSS micro-batches: the same
+    * built-in `session_window(ts, "30 minutes")` as batch q38, but
+    * executed as a real stateful streaming aggregation (merging-session
+    * state — the one streaming state shape q48/q49/q53/q54 don't
+    * exercise: sessions in state MERGE when a bridging event arrives,
+    * and only finalize when the watermark passes `end`). The replay is
+    * STAGGERED over four files drained one per micro-batch
+    * (`maxFilesPerTrigger=1`): two data-derived cuts (see below) each
+    * DEFER the slice (cut−40 min, cut−20 min] into the NEXT file —
+    * those bridge events are within the 2-hour watermark when they
+    * arrive late, and the cut placement guarantees a user with events
+    * on both sides of the slice at < 30-min gaps lands in state as TWO
+    * sessions that the deferred event then MERGES, the cross-batch
+    * merge path a single-file drain never runs. A far-future sentinel
+    * rides the last file so the watermark passes every real session's
+    * end and append mode flushes them all; the sentinel's own session
+    * (user −1) never finalizes and is filtered. Oracle: q29's
+    * independent gaps-and-islands SQL VERBATIM — the streamed merge
+    * state, the batch `session_window`, and the custom
+    * flatMapGroupsWithState machine (q29) must all agree row-for-row,
+    * proving the staggered delivery changed nothing.
     */
   def q56(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.KafkaSource
     val ev = events(spark, dir)
       .select(col("ts"), col("event_type"), col("user_id"), col("value"))
     val replay = s"/root/repo/target/q56_replay-${new java.io.File(dir).getName}"
-    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    // DATA-DERIVED cuts: find a "bridge triple" — consecutive per-user
+    // events a < b < c with b−a < 30 m, c−b < 30 m, c−a ≥ 30 m — and
+    // place the cut so b falls in the deferred slice (cut−40 m,
+    // cut−20 m] while a and c stay in the earlier file. Any cut in
+    // [max(c, a+40m, b+20m), min(b+40m, c+20m)) does it, and that
+    // interval is provably nonempty for every qualifying triple; the
+    // midpoint keeps integer-micros slack on both sides. This
+    // GUARANTEES the batch holding b merges two sessions already in
+    // state, instead of hoping a fixed time-thirds boundary lands on
+    // one. All comparisons in exact epoch micros.
+    val uu = expr("unix_micros(ts)")
+    val G = 1800000000L // 30 min, micros
+    val (m20, m40) = (1200000000L, 2400000000L)
+    val wju = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("u")
+    val tris = ev.select(col("user_id"), uu.as("u"))
+      .select(col("user_id"), col("u"),
+        lag(col("u"), 1).over(wju).as("a"), lead(col("u"), 1).over(wju).as("c"))
+      .filter(col("a").isNotNull && col("c").isNotNull &&
+        col("u") - col("a") < G && col("c") - col("u") < G &&
+        col("c") - col("a") >= G)
+      .orderBy(col("u"), col("a"), col("user_id"))
+      .limit(64).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3))) // (a, b, c)
+    def cutFor(t: (Long, Long, Long)): Long = {
+      val (a, b, c) = t
+      val lo = math.max(c, math.max(a + m40, b + m20))
+      val hi = math.min(b + m40, c + m20)
+      lo + (hi - lo) / 2
+    }
+    val bs = ev.agg(expr("min(unix_micros(ts))").as("mn"),
+      expr("max(unix_micros(ts))").as("mx")).head()
+    val (mnUs, mxUs) = (bs.getLong(0), bs.getLong(1))
+    val cut1 = tris.headOption.map(cutFor)
+      .getOrElse(mnUs + (mxUs - mnUs) / 3)
+    val cut2 = tris.find(_._1 > cut1).map(cutFor)
+      .getOrElse(math.max(cut1 + 1L, (cut1 + mxUs) / 2))
+    q56Cuts = (cut1, cut2)
+    def deferCond(cutUs: Long) = uu > cutUs - m40 && uu <= cutUs - m20
+    // priority partition (file3 first) keeps the three filters disjoint
+    // even when a fallback cut2 lands within 40 min of cut1
+    val inF3 = deferCond(cut2) || uu >= cut2
+    val inF2 = !inF3 && (deferCond(cut1) || uu >= cut1)
+    ev.filter(!inF3 && !inF2).coalesce(1).write.mode("overwrite").parquet(replay)
+    ev.filter(inF2).coalesce(1).write.mode("append").parquet(replay)
+    ev.filter(inF3).coalesce(1).write.mode("append").parquet(replay)
     ev.agg(max(col("ts")).as("mx"))
       .select((col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
         lit("sentinel").as("event_type"), lit(-1L).as("user_id"),
@@ -437,6 +502,7 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", before)
     q.awaitTermination()
+    q56Batches = q.recentProgress.length
     spark.table(sink)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"), col("session_start"), col("session_end"),

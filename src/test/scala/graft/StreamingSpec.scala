@@ -524,4 +524,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.first_us == t(10, 0).getTime * 1000L)
     assert(s.last_us == t(10, 5).getTime * 1000L)
   }
+
+  test("q56: staggered replay merges sessions ACROSS micro-batches, batch-equal") {
+    import graft.queries.StreamingQueries
+    import graft.sources.Tables
+    val G = 1800L * 1000000L // 30-min session gap, micros
+    var witness = false
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val res = StreamingQueries.q56(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(StreamingQueries.q56Batches >= 4,
+        s"$dir: expected >= 4 micro-batches, got ${StreamingQueries.q56Batches}")
+      // the staggered drain must equal the one-shot batch session_window
+      val ev = Tables.load(spark, dir, "events")
+      val batch = ev
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(unix_timestamp(min(col("ts"))).as("session_start"),
+          unix_timestamp(max(col("ts"))).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(res == batch, s"$dir: staggered stream diverged from batch")
+      // merge WITNESS against the cuts the run actually used: a user
+      // with a last pre-slice event `a` and a first post-slice event
+      // `c` at >= 30-min separation, bridged (< 30 min each side) by a
+      // DEFERRED event `b`, necessarily sat in state as TWO sessions
+      // after the earlier batch and merged when b arrived a batch later.
+      val cuts = Seq(StreamingQueries.q56Cuts._1, StreamingQueries.q56Cuts._2)
+      assert(cuts.forall(_ > 0), "q56 did not record its replay cuts")
+      val byUser = ev.select(col("user_id"), expr("unix_micros(ts)").as("u"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+      for (cutU <- cuts; (_, ts) <- byUser if !witness) {
+        val defLo = cutU - 2400000000L
+        val defHi = cutU - 1200000000L
+        val aOpt = ts.filter(_ <= defLo).lastOption
+        val cOpt = ts.find(t => t > defHi && t < cutU)
+        (aOpt, cOpt) match {
+          case (Some(a), Some(c)) if c - a >= G =>
+            witness = witness || ts.exists(b => b > defLo && b <= defHi &&
+              b - a < G && c - b < G)
+          case _ =>
+        }
+      }
+    }
+    assert(witness,
+      "no cross-batch merge witness at any tested sf — the staggered replay is vacuous")
+  }
 }
