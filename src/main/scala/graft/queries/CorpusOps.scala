@@ -592,21 +592,50 @@ object CorpusOps {
     * every step's argmax AND the downstream vocabulary is a strong
     * whole-trajectory check, same doctrine as the k-means/PQ oracles.
     */
-  def c20(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus word-frequency table c20/c21 train on: lowercase-alpha
+    * whitespace tokens with occurrence counts.
+    */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents")
       .select(explode(TextOps.tokens(TextOps.normalize($"text"))).as("word"))
       .filter($"word".rlike("^[a-z]+$"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-    val (steps, _) = graft.operators.Bpe.train(words, BpeMerges)
+  }
+
+  def c20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (steps, _) = graft.operators.Bpe.train(bpeWords(spark, dir), BpeMerges)
     spark.createDataFrame(steps)
       .select($"step", $"lhs", $"rhs", concat($"lhs", $"rhs").as("merged"),
         $"pair_freq", $"vocab_size")
       .orderBy($"step")
   }
 
+  /** c21 — the trained BPE vocabulary APPLIED corpus-wide: after c20's
+    * 10 merges, every word's final symbol sequence is exploded into
+    * per-token stats — distinct words containing the token and
+    * freq-weighted total occurrences — top-25 by occurrences (token
+    * tiebreak). The train→apply round trip BpeSpec pins per-word is
+    * here pinned corpus-wide against the oracle's independent
+    * relational replay of the same trajectory. Apply is the scale
+    * story: tokenizing with a TRAINED vocabulary is a pure map-side
+    * projection; the only shuffle is the final token aggregate.
+    */
+  def c21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, seqs) = graft.operators.Bpe.train(bpeWords(spark, dir), BpeMerges)
+    seqs.select($"word", $"freq", explode($"s").as("token"))
+      .groupBy($"token")
+      .agg(countDistinct($"word").as("n_words"),
+        sum($"freq").as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), $"token")
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c20_bpe_merges" -> c20,
+    "c21_bpe_tokenize" -> c21,
     "c16_bm25" -> c16,
     "c17_concat_chunks" -> c17,
     "c18_negative_pairs" -> c18,
@@ -632,6 +661,7 @@ object CorpusOps {
   // bounds + DuckDB list-slice clamping (the proven d04 pattern).
   val oracles: Map[String, String] = Map(
     "c20_bpe_merges" -> DuckSketchSql.c20(BpeMerges),
+    "c21_bpe_tokenize" -> DuckSketchSql.c21(BpeMerges),
     // c17: the oracle takes the single-node shortcut the Spark side
     // can't — ONE global window over (md5, doc_id); block math is
     // integer `//` on non-negative offsets

@@ -807,7 +807,30 @@ object DuckSketchSql {
     * strings are `[a-z]+` concatenations, so VARCHAR binary collation
     * and Spark UTF8String ordering agree on the tie-break.
     */
-  def c20(numMerges: Int): String = {
+  def c20(numMerges: Int): String =
+    s"""${bpeCtes(numMerges)}
+       |${(1 to numMerges).map(r => s"SELECT * FROM mg$r").mkString(" UNION ALL ")}
+       |ORDER BY step""".stripMargin
+
+  /** c21 — the trained tokenizer APPLIED: same `numMerges` replay as
+    * [[c20]], then the final symbol table exploded into per-token
+    * corpus stats (words containing, freq-weighted occurrences),
+    * top-25 by occurrences with the token as tiebreak.
+    */
+  def c21(numMerges: Int): String =
+    s"""${bpeCtes(numMerges)},
+       |tokx AS (SELECT w, freq, unnest(s) AS token FROM w$numMerges),
+       |tagg AS (SELECT token, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+       |    CAST(sum(freq) AS BIGINT) AS n_occurrences FROM tokx GROUP BY 1)
+       |SELECT token, n_words, n_occurrences FROM tagg
+       |ORDER BY n_occurrences DESC, token LIMIT 25""".stripMargin
+
+  /** Shared c20/c21 trainer replay: WITH-chain from the corpus
+    * word-frequency table through `numMerges` merge rounds, ending at
+    * CTE `w<numMerges>` (word, freq, s) plus per-round `mg<r>` merge
+    * rows. See [[c20]] for the algorithm notes.
+    */
+  private def bpeCtes(numMerges: Int): String = {
     val rounds = (1 to numMerges).map { r =>
       val p = s"w${r - 1}"
       s"""px$r AS (SELECT freq, unnest(range(1, len(s)::BIGINT)) AS i, s FROM $p),
@@ -842,8 +865,6 @@ object DuckSketchSql {
          |  cnt AS pair_freq, (SELECT v FROM vz$r) AS vocab_size FROM tp$r)"""
         .stripMargin
     }.mkString(",\n")
-    val unions =
-      (1 to numMerges).map(r => s"SELECT * FROM mg$r").mkString(" UNION ALL ")
     s"""WITH nc AS (SELECT $normSql AS norm FROM documents),
        |tk AS (SELECT unnest(string_split(norm, ' ')) AS word FROM nc),
        |wf AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS freq FROM tk
@@ -852,8 +873,7 @@ object DuckSketchSql {
        |w0 AS MATERIALIZED (SELECT w, freq,
        |    list(substring(w, i::INT, 1) ORDER BY i) AS s
        |  FROM cx GROUP BY w, freq),
-       |$rounds
-       |$unions ORDER BY step""".stripMargin
+       |$rounds""".stripMargin
   }
 
   val h03: String = {

@@ -181,6 +181,28 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("weighted SSSP: 2M-edge background, work tracks the reachable set") {
+    import spark.implicits._
+    // Bellman-Ford must converge fully (unlike bfsHops there is no
+    // depth cap), so scale pressure and convergence are split: a 2M-edge
+    // ring component UNREACHABLE from the seed (every round's equi-join
+    // probes the full edge frame, but the distance frame stays 5 rows —
+    // the work-∝-reachable-labels claim), plus a planted component with
+    // a guaranteed relaxation: 0→4 direct w=9 is labeled in round 1 and
+    // IMPROVED to 7 via 0→2 (shortcut w=3) →3→4 discovered in round 3.
+    val n = 1000000L
+    val ring = spark.range(n).select(($"id" + 10).as("src"),
+      ((($"id" + 1) % n) + 10).as("dst"), lit(1L).as("w"))
+    val back = ring.unionByName(
+      ring.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val planted = Seq((0L, 1L, 2L), (1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L),
+      (0L, 2L, 3L), (0L, 4L, 9L)).toDF("src", "dst", "w")
+    val got = graft.operators.Graph.ssspWeighted(
+        back.unionByName(planted), Seq(0L).toDF("id"), maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 2L, 2L -> 3L, 3L -> 5L, 4L -> 7L))
+  }
+
   test("next-fit packing at 5M uniform docs: analytic bins, no driver materialization") {
     import spark.implicits._
     // equal 10-token docs, cap 100 → exactly 10 docs per bin; 8 shards
