@@ -51,7 +51,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // q63: collect_set arrival order varies with partitioning — the
     // array_distinct size must not; q65: recursive UnionLoop batches;
     // g07: seed-teleport integer iteration
-    "q63_windowed_distinct", "q65_recursive_cte", "g07_trustrank")
+    "q63_windowed_distinct", "q65_recursive_cte", "g07_trustrank",
+    // round-7: g08 Bellman-Ford min-agg fixpoint; q68 bottom-k window
+    // merges under partial TakeOrdered/WindowGroupLimit; c20/c21 the
+    // per-round pair-count argmax must not depend on agg merge order
+    "g08_sssp_weighted", "q68_kmv_windowed_distinct", "c20_bpe_merges",
+    "c21_bpe_tokenize", "z03_clustered_prune")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
