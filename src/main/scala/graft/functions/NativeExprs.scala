@@ -64,7 +64,8 @@ object NativeExprs {
       literalInt(exprs(1)), distinct = true, clampShort = true)),
     "graft_word_ngrams_all" -> (exprs => WordNgramsExpr(exprs.head,
       literalInt(exprs(1)), distinct = false, clampShort = false)),
-    "graft_bpe_merge" -> (exprs => BpeMergeExpr(exprs.head, exprs(1), exprs(2))))
+    "graft_bpe_merge" -> (exprs => BpeMergeExpr(exprs.head, exprs(1), exprs(2))),
+    "graft_bpe_apply" -> (exprs => BpeApplyExpr(exprs.head, exprs(1), exprs(2))))
 
   private def literalInt(e: Expression): Int = {
     require(e.foldable, s"expected a literal int argument, got $e")
@@ -431,6 +432,126 @@ case class BpeMergeExpr(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): BpeMergeExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** A FULL trained BPE merge table applied to a symbol sequence in ONE
+  * expression: (symbols array<string>, lhs array<string> literal,
+  * rhs array<string> literal) → tokenized array<string>. Array index =
+  * merge priority (training order).
+  *
+  * Why this exists: folding [[BpeMergeExpr]] once per merge builds a
+  * plan whose depth is the vocabulary size — fine at 10 merges,
+  * analyzer-fatal at a production 32k–50k-merge vocabulary. Here the
+  * whole table is two broadcast-once array literals and the plan depth
+  * is O(1) regardless of vocab size; tokenization stays a narrow
+  * map-side projection.
+  *
+  * Semantics are EXACTLY the fold's (BpeSpec pins it): repeatedly find
+  * the minimum-rank pair present in the sequence and run one greedy
+  * left-to-right non-overlapping pass for it. Equivalence argument: a
+  * single greedy pass visits every surviving position, so no (lhs,rhs)
+  * adjacency survives it, and merging rank r can only create new
+  * adjacencies involving its output symbol lhs||rhs — a symbol that
+  * first exists after round r in training, so every table pair
+  * containing it has rank > r. Lower ranks therefore never reappear,
+  * and processing ranks in ascending-present order replays the
+  * training-order fold verbatim. Per-row cost is O(L²) hash-map probes
+  * for a word of L symbols — independent of table size.
+  */
+case class BpeApplyExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val strArr = (t: DataType) => t match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (!strArr(first.dataType) || !strArr(second.dataType) || !strArr(third.dataType))
+      TypeCheckFailure("graft_bpe_apply requires (array<string>, array<string>, array<string>)")
+    else if (!second.foldable || !third.foldable)
+      TypeCheckFailure("graft_bpe_apply requires literal lhs/rhs merge arrays")
+    else TypeCheckSuccess
+  }
+
+  /** rank lookup (lhs → rhs → rank) + per-rank (lhs, rhs, merged),
+    * built once from the literal arrays. Nested maps avoid a tuple
+    * allocation per probe in the scan loop.
+    */
+  @transient private lazy val (ranks, lhsByRank, rhsByRank, mergedByRank) = {
+    val lhsA = second.eval(null).asInstanceOf[ArrayData]
+    val rhsA = third.eval(null).asInstanceOf[ArrayData]
+    require(lhsA.numElements() == rhsA.numElements(),
+      s"graft_bpe_apply: lhs/rhs merge arrays differ in length " +
+        s"(${lhsA.numElements()} vs ${rhsA.numElements()})")
+    val n = lhsA.numElements()
+    val rk = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]]()
+    val ls = new Array[UTF8String](n)
+    val rs = new Array[UTF8String](n)
+    val ms = new Array[UTF8String](n)
+    var r = 0
+    while (r < n) {
+      val l = lhsA.getUTF8String(r).clone()
+      val rt = rhsA.getUTF8String(r).clone()
+      ls(r) = l; rs(r) = rt; ms(r) = UTF8String.concat(l, rt)
+      var inner = rk.get(l)
+      if (inner == null) { inner = new java.util.HashMap(); rk.put(l, inner) }
+      if (!inner.containsKey(rt)) inner.put(rt, Integer.valueOf(r))
+      r += 1
+    }
+    (rk, ls, rs, ms)
+  }
+
+  override def nullSafeEval(symsA: Any, lA: Any, rA: Any): Any = {
+    val arr = symsA.asInstanceOf[ArrayData]
+    var n = arr.numElements()
+    val cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = arr.getUTF8String(i); i += 1 }
+    var done = n <= 1
+    while (!done) {
+      // lowest rank among pairs present in the current sequence
+      var best = Int.MaxValue
+      i = 0
+      while (i < n - 1) {
+        val inner = ranks.get(cur(i))
+        if (inner != null) {
+          val rk = inner.get(cur(i + 1))
+          if (rk != null && rk.intValue() < best) best = rk.intValue()
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // one greedy left-to-right non-overlapping pass — BpeMergeExpr's loop
+        val l = lhsByRank(best); val rt = rhsByRank(best); val m = mergedByRank(best)
+        var out = 0
+        i = 0
+        while (i < n) {
+          if (i + 1 < n && l.equals(cur(i)) && rt.equals(cur(i + 1))) {
+            cur(out) = m; i += 2
+          } else {
+            cur(out) = cur(i); i += 1
+          }
+          out += 1
+        }
+        n = out
+        done = n <= 1
+      }
+    }
+    val res = new Array[Any](n)
+    i = 0
+    while (i < n) { res(i) = cur(i); i += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): BpeApplyExpr =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 

@@ -63,6 +63,18 @@ object Bpe {
       |         slice(s, 2, greatest(size(s) - 1, 0)),
       |         (a, b) -> named_struct('lhs', a, 'rhs', b))""".stripMargin)
 
+  /** Adjacent pairs PLUS one (sym, null) marker struct per symbol
+    * occurrence — one exploded stream that lets a single aggregation
+    * pass produce both the pair counts (rhs non-null groups) and the
+    * distinct-symbol vocabulary size (rhs-null group count).
+    */
+  private val pairsAndSymbols = expr(
+    """concat(
+      |  zip_with(slice(s, 1, greatest(size(s) - 1, 0)),
+      |           slice(s, 2, greatest(size(s) - 1, 0)),
+      |           (a, b) -> named_struct('lhs', a, 'rhs', b)),
+      |  transform(s, x -> named_struct('lhs', x, 'rhs', cast(null as string))))""".stripMargin)
+
   /** Train `numMerges` BPE merges on a (word: string, freq: numeric)
     * table. Returns the ordered merge steps and the final symbol-
     * sequence frame (word, freq, s: array<string>).
@@ -74,43 +86,60 @@ object Bpe {
       .select(col("word"), col("freq").cast("long").as("freq"),
         charSplit.as("s"))
       .localCheckpoint()
-    val steps = Seq.newBuilder[MergeStep]
+    // (step, lhs, rhs, pair_freq) — vocab sizes attach once known: round
+    // r's combined pass reports the vocabulary BEFORE its merge, i.e.
+    // AFTER merge r-1, so each round finalizes the previous step and the
+    // last step takes one symbols-only pass after the loop. One job per
+    // round total (pair counts + vocab share a single aggregation),
+    // where a per-round countDistinct follow-up job used to double it.
+    val pending = Seq.newBuilder[(Int, String, String, Long)]
+    val vocabs = Seq.newBuilder[Long]
     var round = 1
     while (round <= numMerges) {
-      val top = seqs
-        .select(col("freq"), explode(adjacentPairs).as("p"))
+      val row = seqs
+        .select(col("freq"), explode(pairsAndSymbols).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
-        .limit(1).collect()
-      if (top.isEmpty)
+        .agg(
+          count(when(col("rhs").isNull, 1)).as("vocab"),
+          // total order (cnt DESC, lhs, rhs) as a struct-min over pair rows
+          min(when(col("rhs").isNotNull,
+            struct((-col("cnt")).as("nc"), col("lhs"), col("rhs")))).as("top"))
+        .head()
+      if (round > 1) vocabs += row.getLong(0)
+      if (row.isNullAt(1))
         throw new IllegalStateException(
           s"Bpe.train: no adjacent pairs left before merge $round of $numMerges")
-      val (lhs, rhs, cnt) =
-        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val top = row.getStruct(1)
+      val (cnt, lhs, rhs) = (-top.getLong(0), top.getString(1), top.getString(2))
       seqs = seqs.withColumn("s", mergeCol(col("s"), lhs, rhs))
         .localCheckpoint()
-      val vocab = seqs.select(explode(col("s")).as("sym"))
-        .agg(countDistinct(col("sym"))).head.getLong(0)
-      steps += MergeStep(round, lhs, rhs, cnt, vocab)
+      pending += ((round, lhs, rhs, cnt))
       round += 1
     }
-    (steps.result(), seqs)
+    vocabs += seqs.select(explode(col("s")).as("sym"))
+      .agg(countDistinct(col("sym"))).head().getLong(0)
+    val steps = pending.result().zip(vocabs.result()).map {
+      case ((step, lhs, rhs, cnt), vocab) => MergeStep(step, lhs, rhs, cnt, vocab)
+    }
+    (steps, seqs)
   }
 
   /** Re-apply a trained merge list to a word column: the tokenizer.
-    * Folding the merges in training order over the char split
-    * reproduces training's final symbol sequences exactly (BpeSpec
-    * pins it) — each fold step is the same map-side expression, so
-    * tokenizing a NEW corpus with a trained vocabulary is one narrow
-    * projection, no shuffle at all.
+    * ONE [[graft.functions.BpeApplyExpr]] carries the whole merge table
+    * as two array literals and replays the training-order fold inside a
+    * single evaluation loop, reproducing training's final symbol
+    * sequences exactly (BpeSpec pins it). Plan depth is O(1) in the
+    * vocabulary size — a 32k-merge production vocabulary is the same
+    * narrow map-side projection as a 10-merge test one, no shuffle and
+    * no per-merge plan node (the round-7 scale boundary this replaces:
+    * a fold of one nested expression per merge is analyzer-fatal long
+    * before data size matters).
     */
   def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     graft.functions.NativeExprs.ensureRegistered(words.sparkSession)
-    val init = words.filter(length(col("word")) > 0)
-      .withColumn("s", charSplit)
-    merges.foldLeft(init) { case (df, (lhs, rhs)) =>
-      df.withColumn("s", mergeCol(col("s"), lhs, rhs))
-    }
+    words.filter(length(col("word")) > 0)
+      .withColumn("s", call_function("graft_bpe_apply", charSplit,
+        lit(merges.map(_._1).toArray), lit(merges.map(_._2).toArray)))
   }
 }

@@ -66,7 +66,44 @@ class BpeSpec extends AnyFunSuite {
     assert(seqsOf(reapplied) == seqsOf(trained))
   }
 
+  test("applyMerges equals the per-merge BpeMergeExpr fold on mixed tables") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    // rank order matters: ("b","c") before ("a","b") means "abc" keeps
+    // its "a" — and ("ab","c") only fires once rank 2 has built "ab"
+    val merges = Seq("b" -> "c", "a" -> "b", "ab" -> "c", "a" -> "a", "aa" -> "aa")
+    val words = wordsDf("abc" -> 1L, "abcabc" -> 1L, "aaaa" -> 1L,
+      "aaaaa" -> 1L, "cab" -> 1L, "bcbc" -> 1L, "xyz" -> 1L)
+    val folded = merges.foldLeft(
+      words.withColumn("s",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
+      case (df, (l, r)) =>
+        df.withColumn("s", call_function("graft_bpe_merge", col("s"), lit(l), lit(r)))
+    }
+    assert(seqsOf(Bpe.applyMerges(words, merges)) == seqsOf(folded))
+  }
+
+  test("1000-merge table applies in ONE projection with O(1) plan depth") {
+    // merges: rank 1 = (a,a); rank i>1 = (a^i, a). On "aaaaa": rank 1
+    // → [aa, aa, a]; rank 2 (aa,a): greedy pass → [aa, aaa]; no
+    // further pair is in the table (rhs is always the single "a").
+    val merges = (1 to 1000).map(i => ("a" * i, "a"))
+    val applied = Bpe.applyMerges(wordsDf("aaaaa" -> 1L, "ab" -> 1L), merges)
+    assert(seqsOf(applied) == Map(
+      "aaaaa" -> Seq("aa", "aaa"), "ab" -> Seq("a", "b")))
+    // the whole table rides in two array LITERALS: expression node count
+    // stays small and constant in the merge count (the round-7 fold was
+    // ~4 nodes PER merge — 1000 merges would mean thousands of nodes)
+    // (the ANALYZED plan — the optimizer collapses a literal-input query
+    // to a LocalRelation, which is the analyzer surviving 1000 merges)
+    val nodes = applied.queryExecution.analyzed.expressions
+      .map(_.collect { case e => e }.size).sum
+    assert(nodes < 100, s"expected O(1) plan depth, got $nodes expression nodes")
+    assert(applied.queryExecution.analyzed.toString.contains("graft_bpe_apply"))
+  }
+
   test("c20 runs on sf0.001 with exactly the registered merge count") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     val rows = graft.queries.CorpusOps.c20(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == graft.queries.CorpusOps.BpeMerges)
     assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
