@@ -181,12 +181,88 @@ object SketchQueries {
       .orderBy($"prio", $"day")
   }
 
+  /** Executed micro-batch count of the most recent [[q69]] run in this
+    * JVM — the multi-batch spec's observability hook (q56's pattern).
+    */
+  @volatile private[graft] var q69Batches: Int = -1
+
+  /** q69 — q68's sketch LIVE: the same per-day KMV bottom-k + trailing
+    * 90-day merge, but executed as a real `transformWithState` stream
+    * ([[graft.streaming.SketchStream]]) — per-priority MapState holds
+    * the bounded day sketches, event-time TIMERS emit each day's
+    * window estimate as the watermark passes its end, and the emission
+    * frontier evicts days no future window can reach. The replay is
+    * split on the median order day plus a far-future sentinel
+    * (mtime-stamped slices, one file per micro-batch), so estimates
+    * for early days emit batches BEFORE the late days' data arrives —
+    * real incremental emission, not a drained-topic one-shot. Because
+    * KMV insertion is order-independent and a day only emits once its
+    * watermark passes, the streamed rows are HASH-IDENTICAL to batch
+    * q68 — the oracle is q68's DuckDB replay verbatim, and the stream/
+    * batch estimate share one IEEE chain ([[Kmv.estimate]] applied to
+    * the emitted (mg_size, uh_k) pairs).
+    */
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.{Replay, SketchStream}
+    val k = Kmv.K
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("prio"),
+        datediff($"o_orderdate", lit("1992-01-01").cast("date")).as("day"),
+        $"o_orderdate".cast("timestamp").as("ts"),
+        $"o_custkey".as("cust"))
+    val b = o.agg(min($"day"), max($"day"), max($"ts")).head()
+    val cutDay = b.getInt(0) + (b.getInt(1) - b.getInt(0)) / 2
+    val sentinel = o.sparkSession.range(1)
+      .select(lit("~sentinel").as("prio"), lit(b.getInt(1) + 200).as("day"),
+        (lit(b.getTimestamp(2)) + expr("INTERVAL 200 DAYS")).as("ts"),
+        lit(0L).as("cust"))
+    val replay = s"/root/repo/target/q69_replay-${new java.io.File(dir).getName}"
+    Replay.writeSlices(replay,
+      Seq(o.filter($"day" < cutDay), o.filter($"day" >= cutDay), sentinel))
+    val schema = StructType(Seq(
+      StructField("prio", StringType), StructField("day", IntegerType),
+      StructField("ts", TimestampType), StructField("cust", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(replay)
+      .withWatermark("ts", "1 day").as[SketchStream.OrderArrival]
+    val out = SketchStream.windowedDistinct(stream, k, windowDays = 90)
+    val sink = s"q69_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-q69").toString
+    val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeParts)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          beforeProvider)
+      }
+    q.awaitTermination()
+    q69Batches = q.recentProgress.length
+    spark.table(sink)
+      .filter($"prio" =!= "~sentinel")
+      .select($"prio", $"day", $"n_orders_90d",
+        least($"mg_size", lit(k)).cast("long").as("n_sk"),
+        gf.dround(Kmv.estimate($"uh_k", $"mg_size", k), 2).as("est_cust_90d"))
+      .orderBy($"prio", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h01_hll_distinct" -> h01,
     "h02_histogram_quantiles" -> h02,
     "h03_countmin_freq" -> h03,
     "h04_kmv_setops" -> h04,
     "q68_kmv_windowed_distinct" -> q68,
+    "q69_kmv_stream_distinct" -> q69,
     "c05_heavy_hitters" -> c05
   )
 
@@ -197,6 +273,9 @@ object SketchQueries {
     "h01_hll_distinct" -> DuckSketchSql.h01,
     "h04_kmv_setops" -> DuckSketchSql.h04,
     "q68_kmv_windowed_distinct" -> DuckSketchSql.q68,
+    // q69: the stream must land on the batch sketch exactly — its
+    // oracle IS q68's replay (every real day finalizes via the sentinel)
+    "q69_kmv_stream_distinct" -> DuckSketchSql.q68,
     "h03_countmin_freq" -> DuckSketchSql.h03,
     "h02_histogram_quantiles" ->
       """WITH m AS (SELECT l_returnflag AS g,

@@ -175,12 +175,12 @@ object StreamingQueries {
     val ev = events(spark, dir)
       .select(col("ts"), col("event_type"), col("user_id"), col("value"))
     val replay = s"/root/repo/target/q48_replay-${new java.io.File(dir).getName}"
-    ev.coalesce(1).write.mode("overwrite").parquet(replay)
-    ev.agg(max(col("ts")).as("mx"))
-      .select((col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
-        lit(stages.head).as("event_type"), lit(-1L).as("user_id"),
-        lit(0.0).as("value"))
-      .coalesce(1).write.mode("append").parquet(replay)
+    graft.streaming.Replay.writeSlices(replay, Seq(
+      ev,
+      ev.agg(max(col("ts")).as("mx"))
+        .select((col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
+          lit(stages.head).as("event_type"), lit(-1L).as("user_id"),
+          lit(0.0).as("value"))))
     val stream = spark.readStream.schema(KafkaSource.eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(replay).as[Event]
     val sink = s"q48_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -269,13 +269,11 @@ object StreamingQueries {
     val ev = events(spark, dir)
       .select(col("ts"), col("event_type"), col("user_id"), col("value"))
     val replay = s"/root/repo/target/q53_replay-${new java.io.File(dir).getName}"
-    ev.coalesce(1).write.mode("overwrite").parquet(replay)
-    for (days <- Seq(30, 60))
+    graft.streaming.Replay.writeSlices(replay, ev +: Seq(30, 60).map(days =>
       ev.agg(max(col("ts")).as("mx"))
         .select((col("mx") + expr(s"INTERVAL $days DAYS")).as("ts"),
           lit("sentinel").as("event_type"), lit(-1L).as("user_id"),
-          lit(0.0).as("value"))
-        .coalesce(1).write.mode("append").parquet(replay)
+          lit(0.0).as("value"))))
     val stream = spark.readStream.schema(KafkaSource.eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(replay)
     val hourly = stream.withWatermark("ts", "2 hours")
@@ -476,14 +474,12 @@ object StreamingQueries {
     // even when a fallback cut2 lands within 40 min of cut1
     val inF3 = deferCond(cut2) || uu >= cut2
     val inF2 = !inF3 && (deferCond(cut1) || uu >= cut1)
-    ev.filter(!inF3 && !inF2).coalesce(1).write.mode("overwrite").parquet(replay)
-    ev.filter(inF2).coalesce(1).write.mode("append").parquet(replay)
-    ev.filter(inF3).coalesce(1).write.mode("append").parquet(replay)
-    ev.agg(max(col("ts")).as("mx"))
-      .select((col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
-        lit("sentinel").as("event_type"), lit(-1L).as("user_id"),
-        lit(0.0).as("value"))
-      .coalesce(1).write.mode("append").parquet(replay)
+    graft.streaming.Replay.writeSlices(replay, Seq(
+      ev.filter(!inF3 && !inF2), ev.filter(inF2), ev.filter(inF3),
+      ev.agg(max(col("ts")).as("mx"))
+        .select((col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
+          lit("sentinel").as("event_type"), lit(-1L).as("user_id"),
+          lit(0.0).as("value"))))
     val stream = spark.readStream.schema(KafkaSource.eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(replay)
     val sessions = stream.withWatermark("ts", "2 hours")

@@ -68,6 +68,9 @@ class SketchesSpec extends AnyFunSuite {
     // sf0.01's windows never reach k=256 distinct customers (every row
     // exercises only the exact branch); sf0.1 saturates nearly every
     // window, so that's where the estimator envelope is actually tested.
+    // only sf0.1 saturates k — without it the envelope is untestable,
+    // so skip (not fail) on hosts lacking that testdata
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
     var sketched = 0
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
          if new java.io.File(dir).isDirectory) {

@@ -529,6 +529,10 @@ class StreamingSpec extends AnyFunSuite {
     import graft.queries.StreamingQueries
     import graft.sources.Tables
     val G = 1800L * 1000000L // 30-min session gap, micros
+    // the final witness assertion is vacuously false with no testdata —
+    // skip (not fail) on hosts without it
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory ||
+      new java.io.File("/root/testdata/sf0.01").isDirectory)
     var witness = false
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
          if new java.io.File(dir).isDirectory) {
@@ -573,5 +577,22 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(witness,
       "no cross-batch merge witness at any tested sf — the staggered replay is vacuous")
+  }
+
+  test("q69: streaming KMV sketch equals batch q68 for closed windows") {
+    import graft.queries.SketchQueries
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val dir = "/root/testdata/sf0.001"
+    val batch = SketchQueries.q68(spark, dir).collect().map(_.toSeq).toSet
+    val stream = SketchQueries.q69(spark, dir).collect().map(_.toSeq).toSet
+    // the sentinel closes every real day, so the streamed emissions must
+    // cover q68's full output — row-for-row, estimate bits included
+    assert(stream == batch,
+      s"stream/batch divergence: only-batch=${(batch -- stream).take(3)} " +
+        s"only-stream=${(stream -- batch).take(3)}")
+    // the replay is split on the median day + sentinel, drained one file
+    // per trigger — emissions genuinely span multiple micro-batches
+    assert(SketchQueries.q69Batches >= 3,
+      s"expected >= 3 micro-batches, got ${SketchQueries.q69Batches}")
   }
 }
