@@ -161,4 +161,32 @@ object Layout {
       cy <- (qy0 / side) to (qy1 / side)
     } yield hilbertD2(cx * side, cy * side) >>> shift).distinct.sorted
   }
+
+  /** Curve-range COALESCING: the box's eligible cells merged into
+    * contiguous inclusive [lo, hi] curve-index ranges (sort, merge
+    * adjacent) — the standard curve-range scan predicate. At coarse
+    * levels the IN-list is fine (level 3 ⇒ ≤ 64 cells); at fine levels
+    * the cell count grows with the box AREA while Hilbert contiguity
+    * keeps the run count near the box PERIMETER (every consecutive
+    * curve step is grid-adjacent, so the curve leaves and re-enters the
+    * box far less often than a Morton curve would) — a level-8 box of
+    * thousands of cells collapses to tens of `hv BETWEEN lo AND hi`
+    * disjuncts, which min/max row-group stats and partition pruning
+    * both consume directly.
+    */
+  def hilbertRangesForBox(qx0: Long, qx1: Long, qy0: Long, qy1: Long,
+                          levels: Int): Seq[(Long, Long)] = {
+    val cells = hilbertBucketsForBox(qx0, qx1, qy0, qy1, levels)
+    cells.foldLeft(Vector.empty[(Long, Long)]) {
+      case (init :+ ((lo, hi)), c) if c == hi + 1 => init :+ (lo -> c)
+      case (acc, c) => acc :+ (c -> c)
+    }
+  }
+
+  /** The ranges as one scan predicate on a curve-bucket column. */
+  def rangesPredicate(bucketCol: Column,
+                      ranges: Seq[(Long, Long)]): Column =
+    ranges.map { case (lo, hi) =>
+      if (lo == hi) bucketCol === lit(lo) else bucketCol.between(lo, hi)
+    }.reduce(_ || _)
 }

@@ -127,9 +127,13 @@ object LayoutQueries {
     clustered.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("hv"))
       .write.mode("overwrite").partitionBy("bucket").parquet(root)
-    val eligible = Layout.hilbertBucketsForBox(bx0, bx1, by0, by1, levels = 3)
+    // coalesced curve ranges, not a per-cell IN-list: identical row set
+    // (LayoutSpec pins range-cover ≡ cell-list at every level), but the
+    // predicate count scales with the box perimeter instead of its area
+    // when the plan generalizes to fine levels
+    val ranges = Layout.hilbertRangesForBox(bx0, bx1, by0, by1, levels = 3)
     val tbl = spark.read.parquet(root)
-    val pruned = tbl.filter(col("bucket").isin(eligible: _*))
+    val pruned = tbl.filter(Layout.rangesPredicate(col("bucket"), ranges))
     val inBox = col("qx").between(bx0, bx1) && col("qy").between(by0, by1)
     val totals = broadcast(tbl.groupBy()
       .agg(countDistinct(col("bucket")).as("files_total")))

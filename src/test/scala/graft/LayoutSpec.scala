@@ -69,6 +69,30 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("curve-range coalescing: cover == cell list at every level, ranges << cells when fine") {
+    val (bx0, bx1, by0, by1) = (4000L, 20000L, 9000L, 17000L)
+    for (levels <- Seq(3, 6, 8)) {
+      val cells = Layout.hilbertBucketsForBox(bx0, bx1, by0, by1, levels)
+      val ranges = Layout.hilbertRangesForBox(bx0, bx1, by0, by1, levels)
+      // exact cover: expanding the ranges reproduces the cell list —
+      // range pruning reads the SAME buckets, so identical rows
+      assert(ranges.flatMap { case (lo, hi) => lo to hi } == cells,
+        s"levels=$levels: range cover diverges from the cell list")
+      // ranges are maximal (no two adjacent ranges touch)
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1)
+        case _ =>
+      }
+    }
+    // the scale point: at level 8 the box spans thousands of cells but
+    // Hilbert contiguity collapses them to ~perimeter-many runs
+    val cells8 = Layout.hilbertBucketsForBox(bx0, bx1, by0, by1, levels = 8)
+    val ranges8 = Layout.hilbertRangesForBox(bx0, bx1, by0, by1, levels = 8)
+    assert(cells8.size > 1000, s"expected a dense fine-level box, got ${cells8.size}")
+    assert(ranges8.size * 4 < cells8.size,
+      s"coalescing too weak: ${ranges8.size} ranges for ${cells8.size} cells")
+  }
+
   test("z03: executed scan reads files_read files, < 1/3 of total; layout never changes answers") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
