@@ -309,4 +309,95 @@ object Graph {
         s"ssspWeighted did not converge in $maxRounds rounds")
     dist
   }
+
+  /** [[ssspWeighted]] carrying the ARGMIN PREDECESSOR: each node's row
+    * is the lexicographic minimum of `struct(dist, parent)` over every
+    * relaxation candidate — so ties on distance break to the smallest
+    * predecessor id, a total order making the whole parent forest
+    * deterministic (and therefore oracle-replayable). Seeds are their
+    * own parent. Same loop shape as g08: one equi-join + one min-agg
+    * per round, anti-join fixpoint on the (id, dist, parent) rows.
+    *
+    * Weights must be STRICTLY positive (not just non-negative as in
+    * [[ssspWeighted]]): under zero-weight ties two nodes can each be
+    * the other's argmin predecessor and the parent graph cycles —
+    * rejecting w ≤ 0 guarantees parents strictly decrease `dist`, so
+    * the forest is acyclic and every chain ends at a seed.
+    */
+  def ssspWithParents(edges: DataFrame, seeds: DataFrame,
+                      maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist()
+    if (e.filter(col("w") <= 0).limit(1).count() > 0) {
+      e.unpersist()
+      throw new IllegalArgumentException(
+        "ssspWithParents: edge weights must be > 0 (zero-weight ties can " +
+          "make the argmin-parent graph cyclic)")
+    }
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id"),
+        struct(lit(0L).as("dist"), col("id").as("parent")).as("dp"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val cand = dist
+        .select(col("id").as("src"), col("dp.dist").as("d0"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"),
+          struct((col("d0") + col("w")).as("dist"),
+            col("src").as("parent")).as("dp"))
+      val next = dist.unionByName(cand)
+        .groupBy(col("id")).agg(min(col("dp")).as("dp"))
+        .localCheckpoint()
+      converged = next.join(dist, Seq("id", "dp"), "left_anti").isEmpty
+      dist = next
+      round += 1
+    }
+    e.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"ssspWithParents did not converge in $maxRounds rounds")
+    dist.select(col("id"), col("dp.dist").as("dist"), col("dp.parent").as("parent"))
+  }
+
+  /** Witness-path reconstruction over [[ssspWithParents]]' forest:
+    * every labeled node walks its parent chain to the seed, emitting
+    * (id, dist, parent, path) with `path` the full node sequence from
+    * seed to node. Pointer-FOLLOWING, not doubling, on purpose: chain
+    * length ≤ the relaxation round count, so reconstruction costs the
+    * same O(diameter) supersteps the distance fixpoint already paid —
+    * two node-sized equi-joins per round, nothing wider. Parents
+    * strictly decrease `dist` (w > 0), so chains terminate at seeds.
+    */
+  def ssspPaths(edges: DataFrame, seeds: DataFrame,
+                maxRounds: Int = 30): DataFrame = {
+    val labeled = ssspWithParents(edges, seeds, maxRounds).persist()
+    val parents = labeled.select(col("id").as("pid"), col("parent").as("pp"))
+    var state = labeled
+      .select(col("id"), col("dist"), col("parent"),
+        col("id").as("head"), array(col("id")).as("path"))
+      .localCheckpoint()
+    var open = 1L
+    var round = 0
+    while (open > 0) {
+      if (round > maxRounds) {
+        labeled.unpersist()
+        throw new IllegalStateException(
+          s"ssspPaths: a parent chain exceeds $maxRounds hops")
+      }
+      state = state.join(parents, col("head") === col("pid"))
+        .select(col("id"), col("dist"), col("parent"),
+          when(col("pp") === col("head"), col("head"))
+            .otherwise(col("pp")).as("head"),
+          when(col("pp") === col("head"), col("path"))
+            .otherwise(concat(array(col("pp")), col("path"))).as("path"))
+        .localCheckpoint()
+      open = state.join(parents, col("head") === col("pid"))
+        .filter(col("pp") =!= col("head")).count()
+      round += 1
+    }
+    labeled.unpersist()
+    state.select(col("id"), col("dist"), col("parent"), col("path"))
+  }
 }

@@ -233,7 +233,8 @@ object GraphQueries {
     * CTE + min aggregate (g05's pattern + weights) — a different
     * algorithm, one hash.
     */
-  def g08(spark: SparkSession, dir: String): DataFrame = {
+  /** The g08/g09 planted weighted graph: (edges, seeds). */
+  private def ssspGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val ids = Tables.load(spark, dir, "orders")
       .orderBy(col("o_orderkey")).limit(20)
@@ -249,8 +250,35 @@ object GraphQueries {
           .when(col("y.idx") === col("x.idx") + 3, 5L)
           .otherwise(9L).as("w"))
     val seeds = ids.filter(col("idx").isin(1, 15)).select(col("id"))
+    (edges, seeds)
+  }
+
+  def g08(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, seeds) = ssspGraph(spark, dir)
     Graph.ssspWeighted(edges, seeds, maxRounds = 16)
       .select(col("id").as("node_id"), col("dist"))
+      .orderBy(col("node_id"))
+  }
+
+  /** g09 — g08 plus the WITNESS ([[Graph.ssspPaths]]): per node the
+    * argmin predecessor (ties on distance break to the smallest id —
+    * a total order) and the full seed→node path from following the
+    * parent forest, rendered as an id chain. The ORACLE re-derives
+    * parents relationally — min src over edges satisfying
+    * d(src) + w = d(dst) on the recursive-CTE distances — and walks
+    * the same chain in a second recursive CTE, so both the label AND
+    * the reconstruction are independently replayed. On the planted
+    * graph this pins the interesting witnesses exactly: optimal paths
+    * alternate chain and skip edges, and every heavy-shortcut label
+    * improved in a later round must show its 2-hop chain replacement.
+    */
+  def g09(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, seeds) = ssspGraph(spark, dir)
+    Graph.ssspPaths(edges, seeds, maxRounds = 16)
+      .select(col("id").as("node_id"), col("dist"), col("parent"),
+        (size(col("path")) - 1).as("n_hops"),
+        expr("array_join(transform(path, x -> cast(x as string)), '->')")
+          .as("path"))
       .orderBy(col("node_id"))
   }
 
@@ -262,7 +290,8 @@ object GraphQueries {
     "g05_bfs_hops" -> g05,
     "g06_kcore" -> g06,
     "g07_trustrank" -> g07,
-    "g08_sssp_weighted" -> g08
+    "g08_sssp_weighted" -> g08,
+    "g09_sssp_paths" -> g09
   )
 
   /** One peeling round: degrees of `prev`, survivors with deg ≥ 3,
@@ -417,6 +446,52 @@ object GraphQueries {
         |  WHERE reach.hops < 19)
         |SELECT id AS node_id, CAST(min(d) AS BIGINT) AS dist
         |FROM reach GROUP BY id ORDER BY node_id""".stripMargin,
+    // g09: g08's distance CTE + relational argmin parents (min src over
+    // tight edges d(src) + w = d(dst); seeds self-parent) + a second
+    // recursive CTE walking each parent chain to its seed. The chain is
+    // acyclic because parents strictly decrease dist (w > 0), so the
+    // walk's terminal row (cur's parent = cur) is unique per node.
+    "g09_sssp_paths" ->
+      """WITH RECURSIVE
+        |o AS (SELECT o_orderkey AS id FROM
+        |        (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20)),
+        |ix AS (SELECT id, row_number() OVER (ORDER BY id) AS idx FROM o),
+        |e AS (SELECT x.id AS src, y.id AS dst,
+        |        CASE WHEN y.idx = x.idx + 1 THEN 3
+        |             WHEN y.idx = x.idx + 3 THEN 5
+        |             ELSE 9 END AS w
+        |      FROM ix x JOIN ix y ON
+        |        (y.idx = x.idx + 1) OR (y.idx = x.idx + 3)
+        |        OR (y.idx = x.idx + 2 AND x.idx % 4 = 1)),
+        |seeds AS (SELECT id FROM ix WHERE idx IN (1, 15)),
+        |reach(id, d, hops) AS (
+        |  SELECT id, 0, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, reach.d + e.w, reach.hops + 1
+        |  FROM reach JOIN e ON reach.id = e.src
+        |  WHERE reach.hops < 19),
+        |dd AS (SELECT id, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY id),
+        |preds AS (SELECT e.dst AS id, min(e.src) AS p
+        |          FROM e JOIN dd du ON e.src = du.id JOIN dd dv ON e.dst = dv.id
+        |          WHERE du.dist + e.w = dv.dist GROUP BY e.dst),
+        |par AS (SELECT dd.id,
+        |          CASE WHEN s.id IS NOT NULL THEN dd.id ELSE preds.p END AS p
+        |        FROM dd LEFT JOIN seeds s ON dd.id = s.id
+        |        LEFT JOIN preds ON dd.id = preds.id),
+        |pth(node_id, cur, nh, path) AS (
+        |  SELECT id, id, 0, CAST(id AS VARCHAR) FROM dd
+        |  UNION ALL
+        |  SELECT pth.node_id, par.p, pth.nh + 1,
+        |         CAST(par.p AS VARCHAR) || '->' || pth.path
+        |  FROM pth JOIN par ON pth.cur = par.id
+        |  WHERE par.p <> pth.cur),
+        |term AS (SELECT pth.node_id, pth.nh, pth.path
+        |         FROM pth JOIN par ON pth.cur = par.id
+        |         WHERE par.p = pth.cur)
+        |SELECT dd.id AS node_id, dd.dist, CAST(par.p AS BIGINT) AS parent,
+        |  CAST(term.nh AS INT) AS n_hops, term.path
+        |FROM dd JOIN par ON dd.id = par.id JOIN term ON dd.id = term.node_id
+        |ORDER BY node_id""".stripMargin,
     "g05_bfs_hops" ->
       """WITH RECURSIVE
         |sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p

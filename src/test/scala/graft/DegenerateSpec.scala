@@ -240,6 +240,31 @@ class DegenerateSpec extends AnyFunSuite {
     intercept[IllegalStateException] { run(Seq(1L), maxRounds = 1) }
   }
 
+  test("SSSP paths: relaxed witness reconstructed, ties to smallest parent, w=0 throws") {
+    import spark.implicits._
+    // 1→2 direct w=10 relaxed by 1→3→2 (2+3=5): node 2's witness must
+    // be the 2-hop replacement, not the first-round direct edge. Node 5
+    // is a planted DISTANCE TIE (1→5 w5 vs 1→3→2... 3→5 w3 = 5): the
+    // parent must break to the smaller id 1, and the path follow it.
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L), (2L, 4L, 1L),
+      (1L, 5L, 5L), (3L, 5L, 3L)).toDF("src", "dst", "w")
+    val got = Graph.ssspPaths(e, Seq(1L).toDF("id"), 16).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 1L, Seq(1L))),
+      2L -> ((5L, 3L, Seq(1L, 3L, 2L))),
+      3L -> ((2L, 1L, Seq(1L, 3L))),
+      4L -> ((6L, 2L, Seq(1L, 3L, 2L, 4L))),
+      5L -> ((5L, 1L, Seq(1L, 5L)))))
+    // zero weights are rejected HERE (legal in ssspWeighted): zero-cost
+    // ties can make the argmin-parent graph cyclic
+    intercept[IllegalArgumentException] {
+      Graph.ssspPaths(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        Seq(1L).toDF("id"), 4).collect()
+    }
+  }
+
   test("triangles: K4, star, and pendant graphs count exactly") {
     import spark.implicits._
     graft.functions.NativeExprs.ensureRegistered(spark)
