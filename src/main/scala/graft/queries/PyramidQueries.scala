@@ -127,13 +127,190 @@ object PyramidQueries {
       .orderBy(col("entity"), col("month"), col("hour"), col("is_weekend"))
   }
 
+  /** sf-keyed lake root for q70's materialized pyramid. */
+  def pyramidRoot(dir: String): String =
+    s"/root/repo/target/q70_pyramid-${new java.io.File(dir).getName}"
+
+  /** The (year, month) q70 corrupted and refreshed — the spec checks
+    * rewritten files against it. */
+  @volatile private[graft] var q70Target: (Int, Int) = (0, 0)
+
+  /** Relative data-file paths rewritten by q70's incremental refresh /
+    * carried over untouched — dynamic overwrite writes fresh UUID'd
+    * part files, so set difference on names is an exact rewrite census.
+    */
+  @volatile private[graft] var q70Rewritten: Set[String] = Set.empty
+  @volatile private[graft] var q70Unchanged: Set[String] = Set.empty
+
+  private def lakeFiles(root: String): Set[String] = {
+    val base = java.nio.file.Paths.get(root)
+    val out = Set.newBuilder[String]
+    java.nio.file.Files.walk(base).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+        out += base.relativize(p).toString
+    }
+    out.result()
+  }
+
+  /** q70 — INCREMENTAL pyramid maintenance (the reference recomputes
+    * every layer per run — `daily_aggregation.py:32` reads the whole
+    * hourly table; a 100 TB lake re-aggregates only changed
+    * partitions). The materialized pyramid lives as four
+    * hive-partitioned layers — raw (year, month), daily (year, month),
+    * monthly (year, month), annual (year) — each layer built by
+    * READING the previous layer's lake, so every refresh input is a
+    * partition-PRUNED scan. The run: (1) build the full pyramid from a
+    * STALE source whose busiest month (data-derived, count-majority
+    * with a total-order tiebreak) carries doubled values; (2) the
+    * correction arrives — dynamic-partition-overwrite exactly the
+    * touched partitions layer by layer: raw (y,m) from source, daily
+    * (y,m) from raw (y,m), monthly (y,m) from daily (y,m), annual (y)
+    * from monthly year y. Output is the q23 annual rollup read from
+    * the LAKE (window columns computed over the stored base
+    * aggregates) against q23's straight-from-source oracle: the hash
+    * matches only if the dirty partitions were fully replaced AND
+    * every untouched sibling survived — and PyramidSpec additionally
+    * asserts from the file census that ONLY the touched partition
+    * directories were rewritten.
+    */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.MeasurementIngest
+    val root = pyramidRoot(dir)
+    val src = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("entity"), $"o_orderdate".as("ts"),
+        $"o_totalprice".as("value"))
+    val tgt = src.groupBy(year($"ts").as("y"), month($"ts").as("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), $"y", $"m").limit(1).head()
+    val (ty, tm) = (tgt.getInt(0), tgt.getInt(1))
+    q70Target = (ty, tm)
+    val stale = src.withColumn("value",
+      when(year($"ts") === ty && month($"ts") === tm, $"value" * 2)
+        .otherwise($"value"))
+    def rawOut(df: DataFrame) = df
+      .withColumn("year", year($"ts")).withColumn("month", month($"ts"))
+    def daily(raw: DataFrame) =
+      Pyramid.daily(raw, $"entity", $"ts", $"value")
+        .withColumn("year", year($"date_local"))
+        .withColumn("month", month($"date_local"))
+    // the base aggregates of Pyramid.monthly/annual — window columns
+    // (lags, cumulative) are NOT materialized: they read neighboring
+    // partitions, so they belong to read time, where they reconstruct
+    // bit-identically from the stored fixed-point bases
+    def monthlyBase(d: DataFrame) = d
+      .withColumn("exceeds",
+        Pyramid.thresholdChain($"entity", $"daily_avg", orderThresholds))
+      .groupBy($"entity", $"year", $"month")
+      .agg(sum(gf.fixed($"daily_avg", Pyramid.MeanScale)).as("sum_fixed"),
+        max($"daily_max").as("monthly_max"),
+        count(lit(1)).as("days_with_data"),
+        sum(when($"exceeds", 1).otherwise(0)).as("exceedance_days"))
+      .withColumn("monthly_avg",
+        gf.meanFromFixed($"sum_fixed", $"days_with_data", Pyramid.MeanScale))
+      .drop("sum_fixed")
+    def annualBase(m: DataFrame) = m
+      .groupBy($"entity", $"year")
+      .agg(sum(gf.fixed($"monthly_avg", Pyramid.MeanScale)).as("sum_fixed"),
+        count(lit(1)).as("months_with_data"),
+        max($"monthly_max").as("annual_max"),
+        sum($"exceedance_days").as("total_exceedance_days"))
+      .withColumn("annual_avg",
+        gf.meanFromFixed($"sum_fixed", $"months_with_data", Pyramid.MeanScale))
+      .drop("sum_fixed")
+    def rawLake() = spark.read.parquet(s"$root/raw")
+    def dailyLake() = spark.read.parquet(s"$root/daily")
+    def monthlyLake() = spark.read.parquet(s"$root/monthly")
+    // (1) full build from the STALE source, layer reading layer
+    rawOut(stale).write.mode("overwrite")
+      .partitionBy("year", "month").parquet(s"$root/raw")
+    daily(rawLake()).write.mode("overwrite")
+      .partitionBy("year", "month").parquet(s"$root/daily")
+    monthlyBase(dailyLake()).write.mode("overwrite")
+      .partitionBy("year", "month").parquet(s"$root/monthly")
+    annualBase(monthlyLake()).write.mode("overwrite")
+      .partitionBy("year").parquet(s"$root/annual")
+    val before = lakeFiles(root)
+    // (2) the correction: refresh ONLY the touched partitions
+    MeasurementIngest.overwritePartitionsDynamic(
+      rawOut(src.filter(year($"ts") === ty && month($"ts") === tm)),
+      s"$root/raw", Seq("year", "month"))
+    MeasurementIngest.overwritePartitionsDynamic(
+      daily(rawLake().filter($"year" === ty && $"month" === tm)),
+      s"$root/daily", Seq("year", "month"))
+    MeasurementIngest.overwritePartitionsDynamic(
+      monthlyBase(dailyLake().filter($"year" === ty && $"month" === tm)),
+      s"$root/monthly", Seq("year", "month"))
+    MeasurementIngest.overwritePartitionsDynamic(
+      annualBase(monthlyLake().filter($"year" === ty)),
+      s"$root/annual", Seq("year"))
+    val after = lakeFiles(root)
+    q70Rewritten = after -- before
+    q70Unchanged = after.intersect(before)
+    // read-time windows over the refreshed annual layer — q23's shape
+    val w = Window.partitionBy($"entity").orderBy($"year")
+    spark.read.parquet(s"$root/annual")
+      .withColumn("prev_year_avg", lag($"annual_avg", 1).over(w))
+      .withColumn("yoy_avg_change", $"annual_avg" - $"prev_year_avg")
+      .withColumn("yoy_pct_change",
+        ($"annual_avg" - $"prev_year_avg") / $"prev_year_avg" * 100)
+      .withColumn("cumulative_exceedance_days",
+        sum($"total_exceedance_days")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        $"entity", $"year",
+        gf.dround($"annual_avg", 2).as("annual_avg"),
+        gf.dround($"annual_max", 2).as("annual_max"),
+        $"total_exceedance_days",
+        gf.dround($"prev_year_avg", 2).as("prev_year_avg"),
+        gf.dround($"yoy_avg_change", 3).as("yoy_avg_change"),
+        gf.dround($"yoy_pct_change", 3).as("yoy_pct_change"),
+        $"cumulative_exceedance_days")
+      .orderBy($"entity", $"year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_daily_rollup" -> q21Daily,
     "q22_monthly_rollup" -> q22Monthly,
     "q23_annual_rollup" -> q23Annual,
-    "q24_hourly_baselines" -> q24Baselines)
+    "q24_hourly_baselines" -> q24Baselines,
+    "q70_incremental_pyramid" -> q70)
+
+  /** q23's straight-from-source pyramid SQL — q70's oracle too: the
+    * incrementally-maintained lake must land exactly where a full
+    * recompute lands.
+    */
+  private def annualRollupSql: String =
+    s"""WITH $monthlySqlCte,
+       |a AS (
+       |  SELECT entity, year,
+       |         CAST(sum(CAST(floor(monthly_avg * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |           / count(*) / 1000000.0 AS annual_avg,
+       |         max(monthly_max) AS annual_max,
+       |         CAST(sum(exceedance_days) AS BIGINT) AS total_exceedance_days
+       |  FROM m GROUP BY 1, 2),
+       |w AS (
+       |  SELECT *,
+       |    lag(annual_avg) OVER (PARTITION BY entity ORDER BY year) AS prev_year_avg,
+       |    CAST(sum(total_exceedance_days) OVER (PARTITION BY entity ORDER BY year
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cumulative_exceedance_days
+       |  FROM a)
+       |SELECT entity, year,
+       |  round(annual_avg, 2) AS annual_avg,
+       |  round(annual_max, 2) AS annual_max,
+       |  total_exceedance_days,
+       |  round(prev_year_avg, 2) AS prev_year_avg,
+       |  round(annual_avg - prev_year_avg, 3) AS yoy_avg_change,
+       |  round((annual_avg - prev_year_avg) / prev_year_avg * 100, 3)
+       |    AS yoy_pct_change,
+       |  cumulative_exceedance_days
+       |FROM w ORDER BY entity, year""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q70_incremental_pyramid" -> annualRollupSql,
     "q21_daily_rollup" ->
       """WITH d AS (
         |  SELECT event_type AS entity, CAST(ts AS DATE) AS date_local,
@@ -166,32 +343,7 @@ object PyramidQueries {
          |  round(same_month_prev_year_avg, 2) AS same_month_prev_year_avg,
          |  round(monthly_avg - same_month_prev_year_avg, 3) AS yoy_month_change
          |FROM w ORDER BY entity, year, month""".stripMargin,
-    "q23_annual_rollup" ->
-      s"""WITH $monthlySqlCte,
-         |a AS (
-         |  SELECT entity, year,
-         |         CAST(sum(CAST(floor(monthly_avg * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-         |           / count(*) / 1000000.0 AS annual_avg,
-         |         max(monthly_max) AS annual_max,
-         |         CAST(sum(exceedance_days) AS BIGINT) AS total_exceedance_days
-         |  FROM m GROUP BY 1, 2),
-         |w AS (
-         |  SELECT *,
-         |    lag(annual_avg) OVER (PARTITION BY entity ORDER BY year) AS prev_year_avg,
-         |    CAST(sum(total_exceedance_days) OVER (PARTITION BY entity ORDER BY year
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |      AS cumulative_exceedance_days
-         |  FROM a)
-         |SELECT entity, year,
-         |  round(annual_avg, 2) AS annual_avg,
-         |  round(annual_max, 2) AS annual_max,
-         |  total_exceedance_days,
-         |  round(prev_year_avg, 2) AS prev_year_avg,
-         |  round(annual_avg - prev_year_avg, 3) AS yoy_avg_change,
-         |  round((annual_avg - prev_year_avg) / prev_year_avg * 100, 3)
-         |    AS yoy_pct_change,
-         |  cumulative_exceedance_days
-         |FROM w ORDER BY entity, year""".stripMargin,
+    "q23_annual_rollup" -> annualRollupSql,
     "q24_hourly_baselines" ->
       """WITH b AS (
         |  SELECT event_type AS entity,

@@ -93,6 +93,32 @@ class PyramidSpec extends AnyFunSuite {
     assert(b1.isNullAt(b1.fieldIndex("baseline_stddev")))
   }
 
+  test("q70: incremental refresh rewrites ONLY the touched partitions, equals full recompute") {
+    import graft.queries.PyramidQueries
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val dir = "/root/testdata/sf0.001"
+    val inc = PyramidQueries.q70(spark, dir).collect().map(_.toSeq).toSeq
+    // hash-equality with the full recompute: q23 builds the identical
+    // annual rollup straight from source, no lake in between
+    val full = PyramidQueries.q23Annual(spark, dir).collect().map(_.toSeq).toSeq
+    assert(inc == full, "incrementally maintained pyramid diverged from full recompute")
+    // file census: every rewritten data file lies under a touched
+    // partition directory; untouched siblings survived byte-identical
+    val (ty, tm) = PyramidQueries.q70Target
+    assert(ty > 0 && tm > 0, "q70 did not record its target partition")
+    val allowed = Seq(
+      s"raw/year=$ty/month=$tm/", s"daily/year=$ty/month=$tm/",
+      s"monthly/year=$ty/month=$tm/", s"annual/year=$ty/")
+    val rewritten = PyramidQueries.q70Rewritten
+    assert(rewritten.nonEmpty, "refresh rewrote nothing")
+    val strays = rewritten.filterNot(p => allowed.exists(p.startsWith))
+    assert(strays.isEmpty, s"untouched partitions rewritten: ${strays.take(5)}")
+    assert(PyramidQueries.q70Unchanged.nonEmpty, "no sibling partition survived")
+    // all four layers actually refreshed
+    allowed.foreach(a => assert(rewritten.exists(_.startsWith(a)),
+      s"layer not refreshed: $a"))
+  }
+
   test("dround matches scaled-double rounding, not BigDecimal rendering") {
     import spark.implicits._
     val got = Seq(44418.4005, 0.1235, -2.675, 1.0005)
