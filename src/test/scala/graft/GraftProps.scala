@@ -212,4 +212,65 @@ object GraftProps extends Properties("graft") {
         }
       got == expect
     }
+
+  // ── Sketch-merge algebra ────────────────────────────────────────────
+  // 100 TB tree-aggregation (per-partition sketches folded pairwise in
+  // any order the scheduler picks) is sound only if merge is a lattice
+  // join over the sketch space: partition-invariant, commutative in
+  // effect, idempotent on subsets. q68/q69/h04/h01/h03 all lean on
+  // these laws; the properties pin them over random multiset partitions.
+
+  private def kmvRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  property("KMV merge: partition-invariant, order-invariant, subset-idempotent") =
+    forAll(Gen.listOfN(24, Gen.choose(0L, 40L)), Gen.choose(1, 4)) { (xs, nParts) =>
+      import spark.implicits._
+      import graft.operators.Kmv
+      val k = 8 // small k so random inputs actually saturate the sketch
+      def sk(s: Seq[Long]) = Kmv.sketch(s.toDF("key"), "key", k)
+      val whole = kmvRows(sk(xs))
+      val parts = xs.zipWithIndex.groupBy(_._2 % nParts).toSeq.sortBy(_._1)
+        .map { case (_, p) => sk(p.map(_._1)) }
+      val fwd = kmvRows(parts.reduceLeft((a, b) => Kmv.merge(a, b, k)))
+      val rev = kmvRows(parts.reverse.reduceLeft((a, b) => Kmv.merge(a, b, k)))
+      val sub = kmvRows(Kmv.merge(sk(xs), sk(xs.take(xs.size / 2)), k))
+      fwd == whole && rev == whole && sub == whole
+    }
+
+  property("HLL registers merge by per-register max over any partition") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 100000L)), Gen.choose(1, 4)) { (xs, nParts) =>
+      import spark.implicits._
+      import graft.operators.Hll
+      def regs(s: Seq[Long]): Map[Long, Long] =
+        if (s.isEmpty) Map.empty
+        else Hll.registers(s.toDF("key"), col("key"), Nil).collect()
+          .map(r => r.getAs[Number]("j").longValue ->
+            r.getAs[Number]("rho_max").longValue).toMap
+      val whole = regs(xs)
+      val parts = xs.zipWithIndex.groupBy(_._2 % nParts).values
+        .map(p => regs(p.map(_._1)))
+      val merged = parts.flatten.groupBy(_._1)
+        .map { case (j, vs) => j -> vs.map(_._2).max }
+      merged == whole
+    }
+
+  property("Count-Min counters merge by cell-wise sum over any partition") =
+    forAll(Gen.listOfN(30, Gen.choose(0, 20)), Gen.choose(1, 4)) { (ks, nParts) =>
+      import spark.implicits._
+      import graft.operators.CountMin
+      graft.functions.NativeExprs.ensureRegistered(spark)
+      def cm(s: Seq[Int]): Map[(Long, Long), Long] =
+        if (s.isEmpty) Map.empty
+        else CountMin.build(s.map(i => s"k$i").toDF("item"), "item").collect()
+          .map(r => (r.getAs[Number]("row").longValue,
+            r.getAs[Number]("colm").longValue) ->
+            r.getAs[Number]("cell").longValue).toMap
+      val whole = cm(ks)
+      val parts = ks.zipWithIndex.groupBy(_._2 % nParts).values
+        .map(p => cm(p.map(_._1)))
+      val merged = parts.flatten.groupBy(_._1)
+        .map { case (cell, vs) => cell -> vs.map(_._2).sum }
+      merged == whole
+    }
 }
