@@ -610,6 +610,9 @@ object CorpusOps {
     */
   private val bpeStepsCache =
     new scala.collection.concurrent.TrieMap[(String, Int), Seq[graft.operators.Bpe.MergeStep]]
+
+  /** Test hook: drop memoized trainings so invariance runs retrain. */
+  private[graft] def clearBpeCache(): Unit = bpeStepsCache.clear()
   private def trainedBpeSteps(spark: SparkSession, dir: String): Seq[graft.operators.Bpe.MergeStep] =
     bpeStepsCache.getOrElseUpdate((dir, BpeMerges),
       graft.operators.Bpe.train(bpeWords(spark, dir), BpeMerges)._1)

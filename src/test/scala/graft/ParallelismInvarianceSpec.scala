@@ -56,16 +56,24 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // merges under partial TakeOrdered/WindowGroupLimit; c20/c21 the
     // per-round pair-count argmax must not depend on agg merge order
     "g08_sssp_weighted", "q68_kmv_windowed_distinct", "c20_bpe_merges",
-    "c21_bpe_tokenize", "z03_clustered_prune")
+    "c21_bpe_tokenize", "z03_clustered_prune",
+    // round-8: g09 argmin-parent forest + path-following joins; q70
+    // rebuilds and incrementally refreshes the partitioned pyramid lake
+    // (fixed-point layer math must survive both widths end-to-end)
+    "g09_sssp_paths", "q70_incremental_pyramid")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try picks.foreach { name =>
       val fn = SparkEntry.queries(name)
+      // drop memoized BPE trainings: both widths must RETRAIN, or the
+      // narrow run would just replay the wide run's merge table
       spark.conf.set("spark.sql.shuffle.partitions", "32")
+      graft.queries.CorpusOps.clearBpeCache()
       val wide = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "3")
+      graft.queries.CorpusOps.clearBpeCache()
       val narrow = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
       assert(wide == narrow, s"$name output depends on parallelism")
       assert(wide.nonEmpty)
