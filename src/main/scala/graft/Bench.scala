@@ -33,6 +33,9 @@ object Bench {
       QueryCaches.releaseAll() // drain the registry, not just the blocks
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // memoized BPE trainings would turn c20/c21's later reps into
+      // cache reads — every timed rep must retrain
+      graft.queries.CorpusOps.clearBpeCache()
     }
     dropCached() // drop warmup persists before timing
     try graft.sources.Tables.names.foreach { n =>

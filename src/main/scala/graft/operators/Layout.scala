@@ -162,24 +162,55 @@ object Layout {
     } yield hilbertD2(cx * side, cy * side) >>> shift).distinct.sorted
   }
 
-  /** Curve-range COALESCING: the box's eligible cells merged into
-    * contiguous inclusive [lo, hi] curve-index ranges (sort, merge
-    * adjacent) — the standard curve-range scan predicate. At coarse
-    * levels the IN-list is fine (level 3 ⇒ ≤ 64 cells); at fine levels
+  /** Curve-range COALESCING: contiguous inclusive [lo, hi] curve-index
+    * ranges covering every level-`levels` cell that intersects the
+    * quantized box — the standard curve-range scan predicate. At coarse
+    * levels an IN-list is fine (level 3 ⇒ ≤ 64 cells); at fine levels
     * the cell count grows with the box AREA while Hilbert contiguity
-    * keeps the run count near the box PERIMETER (every consecutive
-    * curve step is grid-adjacent, so the curve leaves and re-enters the
-    * box far less often than a Morton curve would) — a level-8 box of
+    * keeps the run count near the box PERIMETER — a level-8 box of
     * thousands of cells collapses to tens of `hv BETWEEN lo AND hi`
     * disjuncts, which min/max row-group stats and partition pruning
     * both consume directly.
+    *
+    * Planned by QUADTREE DESCENT, not cell enumeration: a quadrant
+    * disjoint from the box is skipped, one fully inside emits its
+    * whole contiguous d-range in O(1), and only boundary quadrants
+    * recurse — O(perimeter · levels) work, so a level-12 box of half a
+    * million cells plans in milliseconds (the round-7 What's-wrong #3
+    * boundary). No orientation bookkeeping: the curve visits every
+    * quadrant contiguously and a quadrant's span divides its
+    * alignment, so `hilbertD2(corner) >> shift` mod-aligned to the
+    * span IS the quadrant's d-range start.
     */
   def hilbertRangesForBox(qx0: Long, qx1: Long, qy0: Long, qy1: Long,
                           levels: Int): Seq[(Long, Long)] = {
-    val cells = hilbertBucketsForBox(qx0, qx1, qy0, qy1, levels)
-    cells.foldLeft(Vector.empty[(Long, Long)]) {
-      case (init :+ ((lo, hi)), c) if c == hi + 1 => init :+ (lo -> c)
-      case (acc, c) => acc :+ (c -> c)
+    require(levels >= 1 && levels <= 16, s"levels out of range: $levels")
+    val shift = 32 - 2 * levels
+    val cellSide = 1L << (16 - levels)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def visit(x0: Long, y0: Long, side: Long): Unit = {
+      val x1 = x0 + side - 1; val y1 = y0 + side - 1
+      if (x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1) () // disjoint
+      else {
+        val cellsPerSide = side / cellSide
+        val dSpan = cellsPerSide * cellsPerSide
+        val d0 = { val d = hilbertD2(x0, y0) >>> shift; d - d % dSpan }
+        if (x0 >= qx0 && x1 <= qx1 && y0 >= qy0 && y1 <= qy1)
+          buf += ((d0, d0 + dSpan - 1)) // fully inside: whole sub-curve
+        else if (side == cellSide)
+          buf += ((d0, d0)) // boundary cell
+        else {
+          val h = side / 2
+          visit(x0, y0, h); visit(x0 + h, y0, h)
+          visit(x0, y0 + h, h); visit(x0 + h, y0 + h, h)
+        }
+      }
+    }
+    visit(0L, 0L, 65536L)
+    buf.sortBy(_._1).foldLeft(Vector.empty[(Long, Long)]) {
+      case (init :+ ((lo, hi)), (l2, h2)) if l2 <= hi + 1 =>
+        init :+ (lo -> math.max(hi, h2))
+      case (acc, r) => acc :+ r
     }
   }
 

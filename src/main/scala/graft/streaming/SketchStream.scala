@@ -97,12 +97,37 @@ object SketchStream {
       val day = (info.getExpiryTimeInMs() / DayMs - EpochDay1992 - 1L).toInt
       if (!days.containsKey(day)) Iterator.empty
       else {
-        val window = days.iterator().toVector
-          .filter { case (d, _) => d >= day - windowDays && d <= day }
-        val mg = window.flatMap(_._2.sk).distinct.sorted
+        // POINT-read exactly the window's ≤ windowDays+1 day entries —
+        // never iterate the whole map: pending-day count can far exceed
+        // the window (a watermark jump expires thousands of timers in
+        // one batch, and map iteration per callback would be quadratic
+        // in it; RocksDB point gets keep each emission O(window · k))
+        val window = (day - windowDays to day).flatMap { d =>
+          if (days.containsKey(d)) Some(days.getValue(d)) else None
+        }
+        // primitive-array merge: only the distinct-hash COUNT and the
+        // k-th smallest are needed — one unboxed sort + one dedup pass
+        // over ≤ (windowDays+1)·k longs, no per-element boxing
+        val merged = new Array[Long](window.iterator.map(_.sk.length).sum)
+        var off = 0
+        window.foreach { w =>
+          System.arraycopy(w.sk, 0, merged, off, w.sk.length)
+          off += w.sk.length
+        }
+        java.util.Arrays.sort(merged)
+        var mgSize = 0L
+        var uhK = 0L
+        var i = 0
+        while (i < merged.length) {
+          if (i == 0 || merged(i) != merged(i - 1)) {
+            mgSize += 1
+            if (mgSize == k) uhK = merged(i)
+          }
+          i += 1
+        }
         if (day > frontier) emittedThrough.update(day)
-        Iterator.single(KmvWindowEmit(key, day, window.map(_._2.n).sum,
-          mg.size.toLong, if (mg.size >= k) mg(k - 1) else 0L))
+        Iterator.single(KmvWindowEmit(key, day, window.iterator.map(_.n).sum,
+          mgSize, if (mgSize >= k) uhK else 0L))
       }
     }
   }

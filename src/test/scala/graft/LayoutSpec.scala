@@ -93,6 +93,29 @@ class LayoutSpec extends AnyFunSuite {
       s"coalescing too weak: ${ranges8.size} ranges for ${cells8.size} cells")
   }
 
+  test("quadtree curve-range planning covers fine levels without cell enumeration") {
+    val (bx0, bx1, by0, by1) = (4000L, 20000L, 9000L, 17000L)
+    // level 12: cell side 16 — the box spans ~10^6 cells; the planner
+    // must cover them all while emitting only perimeter-many ranges
+    val ranges = Layout.hilbertRangesForBox(bx0, bx1, by0, by1, levels = 12)
+    val cells = ranges.map { case (lo, hi) => hi - lo + 1 }.sum
+    assert(cells > 400000, s"cover too small: $cells cells")
+    assert(ranges.size < 5000, s"coalescing failed: ${ranges.size} ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1, "ranges not maximal")
+      case _ =>
+    }
+    def cellOf(x: Long, y: Long) = Layout.hilbertD2(x, y) >>> 8
+    def covered(d: Long) = ranges.exists { case (lo, hi) => d >= lo && d <= hi }
+    // membership: every sampled in-box point's cell is covered…
+    for (x <- bx0 to bx1 by 1499; y <- by0 to by1 by 733)
+      assert(covered(cellOf(x, y)), s"in-box point ($x,$y) uncovered")
+    // …and points a full cell-side outside the box are not
+    for ((x, y) <- Seq((bx0 - 32, by0 - 32), (bx1 + 32, by1 + 32),
+        (100L, 60000L), (60000L, 100L)))
+      assert(!covered(cellOf(x, y)), s"outside point ($x,$y) covered")
+  }
+
   test("z03: executed scan reads files_read files, < 1/3 of total; layout never changes answers") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
