@@ -238,4 +238,25 @@ class ScaleSmokeSpec extends AnyFunSuite {
       assert(hi - lo <= n / 1024 + 1, s"p$p bracket too wide: [$lo, $hi]")
     }
   }
+
+  test("BPE apply at a 32k-merge production vocabulary: one projection, analytic result") {
+    import spark.implicits._
+    // rank 1 = (a,a); ranks 2..32768 = (a^i, a) — a real vocab's size,
+    // riding as two array literals into ONE BpeApplyExpr. Per-row cost
+    // is O(L^2) hash probes, INDEPENDENT of table size; the round-7
+    // fold would have built a 32k-deep expression tree here. The result
+    // is analytic: on a^L, rank 1 pairs to ceil(L/2) tokens, then only
+    // (a^i, a) rules can fire, each gluing one trailing single "a".
+    val merges = (1 to 32768).map(i => ("a" * i, "a"))
+    val words = Seq("a" * 5, "a" * 12, "ab" * 3).map(w => (w, 1L)).toDF("word", "freq")
+    val got = graft.operators.Bpe.applyMerges(words, merges)
+      .select($"word", $"s").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // a^5:  [aa,aa,a] -> rank2 (aa,a) fires on the LAST pair -> [aa,aaa]
+    // a^12: [aa x6] -> no (a^i, a) rule matches (no single "a" left)
+    // ababab: only rank 1 is applicable nowhere (no aa) -> char split
+    assert(got("aaaaa") == Seq("aa", "aaa"))
+    assert(got("aaaaaaaaaaaa") == Seq("aa", "aa", "aa", "aa", "aa", "aa"))
+    assert(got("ababab") == Seq("a", "b", "a", "b", "a", "b"))
+  }
 }
