@@ -554,14 +554,29 @@ object Similarity {
     */
   private def pqCodebooks(cand: DataFrame, q: DataFrame, dim: Int, m: Int,
                           ksub: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
+    val (cents, codes) = pqTrainCodebooks(cand, dim, m, ksub, kmeansIters)
+    (codes, pqDistanceTables(q, cents, dim, m))
+  }
+
+  private def explodeSubs(df: DataFrame, idCol: String, v: String,
+                          dim: Int, m: Int): DataFrame = {
     val sub = dim / m
     require(sub * m == dim, "dim must divide into m subspaces")
-    def explodeSubs(df: DataFrame, idCol: String, v: String): DataFrame =
-      df.select(col(idCol), explode(array((0 until m).map(i =>
-          struct(lit(i).as("sub"), slice(col(v), i * sub + 1, sub).as("v"))): _*))
-        .as("sv"))
-        .select(col(idCol), col("sv.sub").as("sub"), col("sv.v").as(v))
-    val candSub = explodeSubs(cand, "cand_id", "cv")
+    df.select(col(idCol), explode(array((0 until m).map(i =>
+        struct(lit(i).as("sub"), slice(col(v), i * sub + 1, sub).as("v"))): _*))
+      .as("sv"))
+      .select(col(idCol), col("sv.sub").as("sub"), col("sv.v").as(v))
+  }
+
+  /** QUERY-INDEPENDENT half of the PQ machinery: per-subspace codebooks
+    * (sub, centroid_id, centv, centn) and the candidate code table
+    * (cand_id, sub, code) — everything [[pqDistanceTables]] and the
+    * approx scorer need that does not mention queries, i.e. the
+    * persistable index content.
+    */
+  private[graft] def pqTrainCodebooks(cand: DataFrame, dim: Int, m: Int,
+                                      ksub: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
+    val candSub = explodeSubs(cand, "cand_id", "cv", dim, m)
       .withColumn("cn", normSqFixed(col("cv")))
     val cents = kmeansCentroidsFixedGrouped(candSub, ksub, kmeansIters)
     val codes = candSub.join(broadcast(cents), Seq("sub"))
@@ -572,11 +587,79 @@ object Similarity {
           .orderBy(col("c_cos").desc, col("centroid_id"))))
       .filter(col("r") === 1)
       .select(col("cand_id"), col("sub"), col("centroid_id").as("code"))
-    val dts = explodeSubs(q, "query_id", "qv")
+    (cents, codes)
+  }
+
+  /** QUERY-TIME half: asymmetric distance tables (query_id, sub, code,
+    * partial) against a trained codebook table.
+    */
+  private[graft] def pqDistanceTables(q: DataFrame, cents: DataFrame,
+                                      dim: Int, m: Int): DataFrame =
+    explodeSubs(q, "query_id", "qv", dim, m)
       .join(broadcast(cents), Seq("sub"))
       .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
         dotFixed(col("qv"), col("centv")).as("partial"))
-    (codes, dts)
+
+  /** The persistable IVF-PQ index: coarse centroids, inverted-list
+    * assignments, PQ codebooks, candidate codes — four plain tables of
+    * longs/arrays-of-longs, so a parquet roundtrip is EXACT. The
+    * production ANN lifecycle this enables: train once over the corpus,
+    * write the index tables next to the base vectors, and serve every
+    * later query batch from the loaded tables — no retraining on the
+    * query path (which is what s03–s07 do per call). Base vectors stay
+    * in the source table; the exact re-rank reads them there.
+    */
+  case class IvfPqIndex(coarse: DataFrame, lists: DataFrame,
+                        codebooks: DataFrame, codes: DataFrame)
+
+  /** Build [[IvfPqIndex]] from candidates only — bit-identical training
+    * to [[ivfPqTopK]]'s in-line path (same seeds, same floor-mean
+    * Lloyd, same total orders), so searching a written-and-reloaded
+    * index reproduces the in-memory result exactly (q71 pins it against
+    * s05's oracle).
+    */
+  def ivfPqBuildIndex(candidates: DataFrame, dim: Int, m: Int, ksub: Int,
+                      numCentroids: Int): IvfPqIndex = {
+    val cand = candidates
+      .select(col("id").as("cand_id"), fixedVec(col("vec")).as("cv"))
+      .withColumn("cn", normSqFixed(col("cv")))
+      .persistScoped()
+    val coarse = kmeansCentroidsFixed(cand, numCentroids, iters = 1)
+    val lists = cand.crossJoin(broadcast(coarse))
+      .withColumn("c_cos", cosineFromFixed(dotFixed(col("cv"), col("centv")),
+        col("cn"), col("centn")))
+      .withColumn("c_rnk", row_number().over(Window.partitionBy(col("cand_id"))
+        .orderBy(col("c_cos").desc, col("centroid_id"))))
+      .filter(col("c_rnk") <= 1)
+      .select(col("cand_id"), col("centroid_id"))
+    val (cents, codes) = pqTrainCodebooks(cand, dim, m, ksub, kmeansIters = 1)
+    IvfPqIndex(coarse, lists, cents, codes)
+  }
+
+  /** [[ivfPqTopK]]'s query path against a PRE-BUILT (typically
+    * reloaded-from-parquet) index: probe nprobe coarse lists, PQ-score
+    * only pairs inside probed lists via the index's codebooks/codes,
+    * exact shortlist re-rank against the base vectors.
+    */
+  def ivfPqTopKFromIndex(queries: DataFrame, candidates: DataFrame,
+                         idx: IvfPqIndex, k: Int, dim: Int, m: Int,
+                         shortlist: Int, nprobe: Int): DataFrame = {
+    val (cand, q) = fixedSides(queries, candidates)
+    val probes = q.crossJoin(broadcast(idx.coarse))
+      .withColumn("c_cos", cosineFromFixed(dotFixed(col("qv"), col("centv")),
+        col("qn"), col("centn")))
+      .withColumn("c_rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("c_cos").desc, col("centroid_id"))))
+      .filter(col("c_rnk") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val pairs = probes.join(idx.lists, Seq("centroid_id"))
+      .select(col("query_id"), col("cand_id"))
+    val dts = pqDistanceTables(q, idx.codebooks, dim, m)
+    val approx = pairs.join(idx.codes, Seq("cand_id"))
+      .join(broadcast(dts), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("partial")).as("ad"))
+    pqShortlistRerank(approx, q, cand, shortlist, k)
   }
 
   /** Approx-score shortlist + exact fixed-point re-rank — the shared

@@ -543,6 +543,48 @@ object DataOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** sf-keyed lake root for q71's persisted ANN index. */
+  def annIndexRoot(dir: String): String =
+    s"/root/repo/target/q71_annidx-${new java.io.File(dir).getName}"
+
+  /** q71 — PERSISTED ANN index ([[Similarity.ivfPqBuildIndex]] /
+    * `ivfPqTopKFromIndex`): the production lifecycle s03–s07 skip —
+    * train ONCE over the corpus, WRITE the four index tables (coarse
+    * centroids, inverted lists, PQ codebooks, candidate codes — all
+    * longs/arrays-of-longs, so the parquet roundtrip is exact), then
+    * serve the query batch from the RELOADED tables with no training
+    * on the query path. Same parameters and data as s05, and training
+    * is bit-identical by construction, so the oracle is s05's full
+    * DuckDB replay VERBATIM: the hash proves the build/write/read/
+    * search cycle loses nothing. At 100 TB this is the shape that
+    * matters: index build is a once-per-corpus batch job, query
+    * serving reads vocabulary-sized index tables + probed base
+    * vectors only.
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val root = annIndexRoot(dir)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 50 === 0)
+    val built = Similarity.ivfPqBuildIndex(e, dim = 64, m = 4, ksub = 16,
+      numCentroids = 16)
+    built.coarse.write.mode("overwrite").parquet(s"$root/coarse")
+    built.lists.write.mode("overwrite").parquet(s"$root/lists")
+    built.codebooks.write.mode("overwrite").parquet(s"$root/codebooks")
+    built.codes.write.mode("overwrite").parquet(s"$root/codes")
+    val loaded = Similarity.IvfPqIndex(
+      spark.read.parquet(s"$root/coarse"),
+      spark.read.parquet(s"$root/lists"),
+      spark.read.parquet(s"$root/codebooks"),
+      spark.read.parquet(s"$root/codes"))
+    Similarity.ivfPqTopKFromIndex(q, e, loaded, k = 5, dim = 64, m = 4,
+        shortlist = 50, nprobe = 4)
+      .select(col("query_id"), col("cand_id"),
+        gf.dround(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** s07 — RESIDUAL IVF-PQ (IVFADC): s05's coarse quantizer + probing,
     * but PQ encodes the residual x − c(x) with integer-L2 codebooks and
     * scores via the inner-product decomposition q·x = q·c(x) + q·r̂(x)
@@ -885,6 +927,7 @@ object DataOps {
     "s03_ivf_ann" -> s03,
     "s04_pq_ann" -> s04,
     "s05_ivfpq_ann" -> s05,
+    "q71_ann_index_persist" -> q71,
     "s07_residual_ivfpq" -> s07,
     "s08_sq8_ann" -> s08,
     "s09_sparse_allpairs" -> s09,
@@ -931,6 +974,10 @@ object DataOps {
     "s03_ivf_ann" -> DuckSketchSql.s03,
     "s04_pq_ann" -> DuckSketchSql.s04,
     "s05_ivfpq_ann" -> DuckSketchSql.s05,
+    // q71: identical params and data as s05 with the index written and
+    // reloaded in between — the oracle is s05's replay verbatim, so the
+    // hash proves the persistence roundtrip loses nothing
+    "q71_ann_index_persist" -> DuckSketchSql.s05,
     "s07_residual_ivfpq" -> DuckSketchSql.s07,
     "e02_semantic_dedup" -> DuckSketchSql.e02,
     "d01_exact_dedup" ->

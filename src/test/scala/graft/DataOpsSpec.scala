@@ -8,6 +8,19 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 class DataOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local("dataops-spec")
 
+  test("q71: searching the written-and-reloaded IVF-PQ index equals the in-line s05 path") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val dir = "/root/testdata/sf0.001"
+    val inline = graft.queries.DataOps.s05(spark, dir).collect().map(_.toSeq).toSeq
+    val persisted = graft.queries.DataOps.q71(spark, dir).collect().map(_.toSeq).toSeq
+    assert(persisted == inline,
+      "index persistence roundtrip changed the search result")
+    // the index really lives on disk as four plain parquet tables
+    val root = graft.queries.DataOps.annIndexRoot(dir)
+    for (t <- Seq("coarse", "lists", "codebooks", "codes"))
+      assert(new java.io.File(s"$root/$t").isDirectory, s"missing index table $t")
+  }
+
   test("embedding corpus stays inside the fixed-point overflow bound") {
     // The Spark/DuckDB oracle equivalence of every similarity query
     // rests on |component| <= Similarity.MaxAbsEmbedding (non-ANSI Spark
