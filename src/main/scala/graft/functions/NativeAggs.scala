@@ -1,0 +1,139 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native mergeable AGGREGATE functions — the shape 100 TB tree
+  * aggregation actually uses.
+  *
+  * The DataFrame-level sketches in `operators.Sketches` ([[graft.operators.Kmv]])
+  * build a bottom-k sample with `orderBy(...).limit(k)` /
+  * `row_number <= k` — fine for one global sketch or per-window lists,
+  * but a per-GROUP sketch over billions of rows wants the sketch to BE
+  * the aggregation buffer: each task folds its partition's rows into a
+  * bounded buffer, the shuffle carries one ≤ k·8-byte buffer per
+  * (group, task) instead of per-row hashes, and the final merge is a
+  * bounded sorted-set union. That is exactly what
+  * [[TypedImperativeAggregate]] gives: Spark plans it as a two-phase
+  * ObjectHashAggregate (partial → shuffle of serialized buffers →
+  * final merge), i.e. map-side combine of SKETCHES, not rows.
+  *
+  * Correctness hinges on the same property `Kmv.merge` pins: the mixed
+  * hash is a bijection, so equal keys produce EQUAL hashes and the
+  * buffer must dedup on insert — a sorted SET (not a heap of values)
+  * makes update, merge, and duplicate-immunity one mechanism. Insertion
+  * order cannot change the result (bottom-k of a set), so the aggregate
+  * is parallelism- and partitioning-invariant bit-for-bit, which is why
+  * the q72 driver row can be hash-compared against the DuckDB
+  * `row_number() <= k` replay.
+  */
+object NativeAggs
+
+/** Bottom-k distinct-hash (KMV) sketch as a typed imperative aggregate.
+  *
+  * Input: one signed `uh` long per row — the splitmix64-mixed key
+  * XOR'd with Long.MinValue ([[graft.operators.Kmv.sketch]]'s
+  * convention), so ascending SIGNED order ≡ unsigned hash order and the
+  * natural `TreeSet[Long]` ordering is the sketch ordering. Rows need
+  * NOT be pre-deduplicated: duplicate keys carry identical hashes and
+  * the set absorbs them (`add` returns false — nothing is evicted).
+  *
+  * Output: the sketch as an ascending `array<long>` of at most `k`
+  * hashes. A result with fewer than `k` entries IS the group's exact
+  * distinct-hash set; downstream turns it into an estimate with
+  * [[graft.operators.Kmv.estimate]] (`size` + `element_at(-1)`), the
+  * same fixed IEEE chain the DuckDB oracles use.
+  *
+  * Cost: O(log k) per update (one `TreeSet` probe, early-rejected when
+  * the value exceeds the current k-th hash of a full buffer), O(k log k)
+  * per merge with an early break once the remaining donor values can no
+  * longer displace anything. Buffers serialize as `size × 8` bytes.
+  */
+case class KmvAggExpr(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"kmv aggregate needs k > 0, got $k")
+
+  override def prettyName: String = "graft_kmv_agg"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_agg expects a BIGINT uh column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], uh: Long): Unit = {
+    if (buf.size < k) { buf.add(uh); () }
+    else if (uh < buf.last()) {
+      // displaces the current k-th smallest — unless already present
+      if (buf.add(uh)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    var open = true
+    while (open && it.hasNext) {
+      val v = it.next()
+      // donor iterates ascending: once a full buffer rejects one value,
+      // every later donor value is larger and rejects too
+      if (buf.size >= k && v >= buf.last()) open = false
+      else insert(buf, v)
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.size * 8)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) buf.add(bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvAggExpr =
+    copy(child = newChild)
+}

@@ -65,7 +65,8 @@ object NativeExprs {
     "graft_word_ngrams_all" -> (exprs => WordNgramsExpr(exprs.head,
       literalInt(exprs(1)), distinct = false, clampShort = false)),
     "graft_bpe_merge" -> (exprs => BpeMergeExpr(exprs.head, exprs(1), exprs(2))),
-    "graft_bpe_apply" -> (exprs => BpeApplyExpr(exprs.head, exprs(1), exprs(2))))
+    "graft_bpe_apply" -> (exprs => BpeApplyExpr(exprs.head, exprs(1), exprs(2))),
+    "graft_kmv_agg" -> (exprs => KmvAggExpr(exprs.head, literalInt(exprs(1)))))
 
   private def literalInt(e: Expression): Int = {
     require(e.foldable, s"expected a literal int argument, got $e")

@@ -249,14 +249,30 @@ object Kmv {
   /** Default sketch size: σ ≈ 1/√(k−2) ≈ 6.3%. */
   val K = 256
 
+  /** The sketch hash: splitmix64-mixed key, XOR Long.MinValue so signed
+    * ascending order ≡ unsigned hash order (the whole sketch suite's
+    * ordering convention, shared with the DuckDB oracles' HUGEINT mix).
+    */
+  def uhCol(key: Column): Column =
+    Hll.mix64Col(key).bitwiseXOR(lit(Long.MinValue))
+
   /** The sketch: ≤ k rows (key, uh), uh ascending ≡ unsigned hash
     * order. Keys need not be pre-deduplicated.
     */
   def sketch(keys: DataFrame, keyCol: String, k: Int): DataFrame =
     keys.select(col(keyCol).as("key")).distinct()
-      .select(col("key"),
-        Hll.mix64Col(col("key")).bitwiseXOR(lit(Long.MinValue)).as("uh"))
+      .select(col("key"), uhCol(col("key")).as("uh"))
       .orderBy(col("uh")).limit(k)
+
+  /** Per-GROUP sketch as ONE aggregate column
+    * ([[graft.functions.KmvAggExpr]]): `groupBy(...).agg(sketchAgg(uh))`
+    * returns each group's ascending bottom-k hash array. This is the
+    * tree-aggregation form — partial sketches fold map-side and the
+    * shuffle carries ≤ k longs per (group, task), vs [[sketch]]'s
+    * per-row hash shuffle. Callers must `NativeExprs.ensureRegistered`.
+    */
+  def sketchAgg(uh: Column, k: Int): Column =
+    call_function("graft_kmv_agg", uh, lit(k))
 
   /** Union of two SKETCHES without revisiting the base data: keys in
     * both operands carry the same bijective hash twice, so the merge

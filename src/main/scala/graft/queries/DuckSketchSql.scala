@@ -796,6 +796,64 @@ object DuckSketchSql {
        |FROM mgx ORDER BY prio, day""".stripMargin
   }
 
+  /** q72 — the native KMV aggregate's replay: per-priority bottom-256
+    * of the mixed distinct custkeys (mix once per distinct key, join
+    * back per (prio, key), `row_number ≤ k`), k-th hash → the h04/q68
+    * estimate chain (signed view → double → re-offset 2^63.0 → one
+    * divide), beside the exact distinct count and realized relative
+    * error (h01's accuracy-envelope convention). The Spark side
+    * aggregates RAW rows through the sorted-set buffer; sets are
+    * insertion-order-free, so bottom-k-of-distinct here is the same
+    * math.
+    */
+  val q72: String = {
+    val (mix, last) = mix64Ctes("kq", "zk0", Seq("key"))
+    val uhK = "CAST(max(z) - 9223372036854775808::HUGEINT AS BIGINT)"
+    s"""WITH ok AS (SELECT o_orderpriority AS prio, o_custkey AS key FROM orders),
+       |dk AS (SELECT DISTINCT prio, key FROM ok),
+       |ky AS (SELECT DISTINCT key FROM ok),
+       |zk0 AS (SELECT key, key::HUGEINT AS z FROM ky),
+       |$mix,
+       |hj AS (SELECT dk.prio, m.z FROM dk JOIN $last m ON dk.key = m.key),
+       |rk AS (SELECT prio, z,
+       |         row_number() OVER (PARTITION BY prio ORDER BY z) AS rn FROM hj),
+       |sk AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_sk, $uhK AS uh_k
+       |       FROM rk WHERE rn <= 256 GROUP BY 1),
+       |ex AS (SELECT prio, count(DISTINCT key) AS n_exact FROM ok GROUP BY 1),
+       |es AS (SELECT sk.prio, ex.n_exact, sk.n_sk,
+       |         CASE WHEN sk.n_sk < 256 THEN CAST(sk.n_sk AS DOUBLE)
+       |           ELSE (255.0 * 18446744073709551616.0)
+       |             / (CAST(sk.uh_k AS DOUBLE) + 9223372036854775808.0) END AS e
+       |       FROM sk JOIN ex ON sk.prio = ex.prio)
+       |SELECT prio, n_exact, n_sk, round(e, 2) AS est_kmv,
+       |  round((e - n_exact) / n_exact, 4) AS rel_err
+       |FROM es ORDER BY prio""".stripMargin
+  }
+
+  /** q73 — closed-form replay of the `graftgen` DataSource V2 connector
+    * ([[graft.sources.GenSource]]): `range(|orders|)` ids → the mix64
+    * CTE chain → the connector's exact bit slices (`// 256 % 16` ≡
+    * `>>> 8 & 15`, `// 65536 % 65536` ≡ `>>> 16 & 0xffff` on the
+    * unsigned HUGEINT view), filtered to the same middle-half interval
+    * the Spark side pushes into the scan, aggregated per category.
+    */
+  val q73: String = {
+    val (mix, last) = mix64Ctes("gq", "zg0", Seq("id"))
+    s"""WITH nn AS (SELECT count(*) AS n FROM orders),
+       |ids AS (SELECT unnest(range(0, (SELECT n FROM nn), 1)) AS id),
+       |fl AS (SELECT id FROM ids
+       |       WHERE id >= (SELECT n // 4 FROM nn)
+       |         AND id < (SELECT 3 * n // 4 FROM nn)),
+       |zg0 AS (SELECT id, id::HUGEINT AS z FROM fl),
+       |$mix,
+       |rw AS (SELECT id, CAST((z // 256) % 16 AS INT) AS category,
+       |         CAST((z // 65536) % 65536 AS BIGINT) AS value FROM $last)
+       |SELECT category, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(value) AS BIGINT) AS sum_val,
+       |  min(id) AS min_id, max(id) AS max_id
+       |FROM rw GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** c20 — BPE merge-trainer replay: `numMerges` unrolled rounds, each
     * = pair-count over adjacent positions → deterministic top-1
     * (count DESC, lhs, rhs) → greedy left-to-right merge via

@@ -256,13 +256,38 @@ object IngestQueries {
       .orderBy($"prio")
   }
 
+  /** q73 — the DataSource V2 connector ([[graft.sources.GenSource]])
+    * exercised end-to-end: `spark.read.format("graftgen")` generates
+    * `|orders|` deterministic splitmix64 rows across 16 planned slices,
+    * the middle-half id filter PUSHES INTO the connector (the scan
+    * narrows its interval before planning — empty slices are never
+    * tasks, and Catalyst's post-scan Filter disappears because the
+    * source absorbed the predicate), and the aggregate reads only the
+    * pruned columns. The DuckDB oracle replays the generator closed-form
+    * (`range(n)` → mix64 CTE chain → the same bit slices), so the
+    * connector's row CONTENT — not just its shape — is hash-checked.
+    * Plan-level pushdown/pruning claims are pinned in DataSourceV2Spec.
+    */
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "orders").count()
+    spark.read.format("graftgen")
+      .option("rows", n.toString).option("slices", "16").load()
+      .filter($"id" >= n / 4 && $"id" < 3 * n / 4)
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n_rows"), sum($"value").as("sum_val"),
+        min($"id").as("min_id"), max($"id").as("max_id"))
+      .orderBy($"category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
     "q46_schema_evolution" -> q46,
     "q50_partition_refresh" -> q50,
     "q51_orc_roundtrip" -> q51,
     "q52_jsonl_ingest" -> q52,
-    "q64_variant_decode" -> q64
+    "q64_variant_decode" -> q64,
+    "q73_dsv2_source" -> q73
   )
 
   /** The repair map as a DuckDB CASE chain (P5's 18 entries verbatim). */
@@ -272,6 +297,7 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q73_dsv2_source" -> DuckSketchSql.q73,
     "q64_variant_decode" ->
       """WITH j AS (
         |  SELECT printf('{"key":%d,"prio":"%s","amt":%d,"cust":{"id":%d}}',

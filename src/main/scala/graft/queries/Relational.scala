@@ -452,8 +452,35 @@ object Relational {
       Map("segment" -> "BUILDING", "minBal" -> 0, "topN" -> 50))
   }
 
+  /** q74 — LATERAL correlated subquery (the remaining correlated-SQL
+    * surface next to q59): per-nation top-3 customers by exact balance
+    * cents, the per-row-subquery formulation analysts write. BOTH
+    * engines run the IDENTICAL SQL text; what the hash verifies on the
+    * Spark side is the DECORRELATION — Catalyst rewrites the
+    * correlated `ORDER BY … LIMIT 3` lateral into a window-rank over
+    * one equi-join (no per-outer-row re-execution, no nested loop:
+    * PlanAuditSpec's no-CartesianProduct sweep covers this row too), so
+    * the lateral idiom is safe verbatim at warehouse scale.
+    */
+  def q74LateralTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(lateralTopKSql)
+  }
+
+  private[queries] val lateralTopKSql: String =
+    """SELECT n.n_name, t.c_name, t.bal_cents
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY bal_cents DESC, c_name
+      |  LIMIT 3
+      |) t
+      |ORDER BY n.n_name, t.bal_cents DESC, t.c_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
+    "q74_lateral_topk" -> q74LateralTopK,
     "q58_range_frame" -> q58RangeFrame,
     "q59_correlated" -> q59Correlated,
     "q63_windowed_distinct" -> q63WindowedDistinct,
@@ -473,6 +500,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q74_lateral_topk" -> lateralTopKSql,
     "q58_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INT) AS day,

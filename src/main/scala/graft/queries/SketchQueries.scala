@@ -256,6 +256,39 @@ object SketchQueries {
       .orderBy($"prio", $"day")
   }
 
+  /** q72 — the KMV sketch as a NATIVE mergeable aggregate
+    * ([[graft.functions.KmvAggExpr]] via [[Kmv.sketchAgg]]): per-priority
+    * distinct-customer estimates from ONE `groupBy(prio).agg(...)` over
+    * the raw order rows — no pre-distinct, no per-row hash shuffle, no
+    * top-k window. Spark plans the typed aggregate as a two-phase
+    * ObjectHashAggregate: every task folds its rows into a bounded
+    * bottom-256 sorted set, the shuffle carries one ≤ 2 KB serialized
+    * buffer per (prio, task), and the final merge unions sketches — the
+    * map-side-combine shape per-group sketching needs at 100 TB
+    * (NativeAggSpec pins plan shape, duplicate immunity, and equality
+    * with the [[Kmv.sketch]] dataflow). Estimate and accuracy columns
+    * ride the row like h01's; sub-k groups take the exact path
+    * (sf0.001 exercises it, sf≥0.01 saturates the estimator).
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val k = Kmv.K
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("prio"), $"o_custkey")
+    val sk = o.select($"prio", Kmv.uhCol($"o_custkey").as("uh"))
+      .groupBy($"prio").agg(Kmv.sketchAgg($"uh", k).as("sk"))
+      .select($"prio", size($"sk").cast("long").as("n_sk"),
+        element_at($"sk", -1).as("uh_k"))
+    val exact = o.groupBy($"prio").agg(countDistinct($"o_custkey").as("n_exact"))
+    val est = Kmv.estimate($"uh_k", $"n_sk", k)
+    sk.join(exact, Seq("prio"))
+      .select($"prio", $"n_exact", $"n_sk",
+        gf.dround(est, 2).as("est_kmv"),
+        gf.dround((est - $"n_exact") / $"n_exact", 4).as("rel_err"))
+      .orderBy($"prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h01_hll_distinct" -> h01,
     "h02_histogram_quantiles" -> h02,
@@ -263,6 +296,7 @@ object SketchQueries {
     "h04_kmv_setops" -> h04,
     "q68_kmv_windowed_distinct" -> q68,
     "q69_kmv_stream_distinct" -> q69,
+    "q72_kmv_native_agg" -> q72,
     "c05_heavy_hitters" -> c05
   )
 
@@ -276,6 +310,7 @@ object SketchQueries {
     // q69: the stream must land on the batch sketch exactly — its
     // oracle IS q68's replay (every real day finalizes via the sentinel)
     "q69_kmv_stream_distinct" -> DuckSketchSql.q68,
+    "q72_kmv_native_agg" -> DuckSketchSql.q72,
     "h03_countmin_freq" -> DuckSketchSql.h03,
     "h02_histogram_quantiles" ->
       """WITH m AS (SELECT l_returnflag AS g,

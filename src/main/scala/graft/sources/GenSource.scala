@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.functions.NativeExprs
+
+/** `graftgen` — a DataSource V2 table that GENERATES deterministic rows
+  * (the remaining rung of SURVEY §4's extension ladder: expression →
+  * logical plan/strategy/physical operator → CONNECTOR).
+  *
+  * Row `i` of `rows` total carries `h = splitmix64(i)` (the repo's
+  * canonical mixer, ported to DuckDB — so the whole table is
+  * closed-form oracle-able):
+  *
+  *   - `id`       = i
+  *   - `category` = (h >>> 8)  mod 16
+  *   - `value`    = (h >>> 16) mod 65536
+  *
+  * What makes it a real connector rather than a `spark.range` wrapper
+  * is the scan-build contract a 100 TB source lives by, all three
+  * implemented and spec-pinned (DataSourceV2Spec):
+  *
+  *   - **Filter pushdown** ([[SupportsPushDownFilters]]): range/equality
+  *     predicates on `id` narrow the generated interval BEFORE
+  *     planning; fully-absorbed filters return empty from
+  *     `pushFilters`, so Catalyst deletes its post-scan Filter node —
+  *     the v2 equivalent of parquet's `PushedFilters`.
+  *   - **Partition planning**: the narrowed interval splits into
+  *     `slices` contiguous [lo, hi) input partitions, EMPTY SLICES
+  *     NEVER PLANNED — pushdown prunes tasks, not just rows (the
+  *     partition-pruning economics of a sharded remote store).
+  *   - **Column pruning** ([[SupportsPushDownRequiredColumns]]): readers
+  *     materialize only the pruned schema — `select(category)` never
+  *     computes `value`, and `count(*)` reads zero-field rows.
+  *
+  * Statistics ([[SupportsReportStatistics]]) report the POST-pushdown
+  * row count, so the optimizer sizes joins against what the scan will
+  * actually produce (a narrowed scan can broadcast).
+  */
+class GenSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftgen"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GenTable(
+      properties.asScala.getOrElse("rows", "1000").toLong,
+      properties.asScala.getOrElse("slices", "8").toInt)
+}
+
+object GenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("category", IntegerType, nullable = false),
+    StructField("value", LongType, nullable = false)))
+
+  /** One generated row's column value, by field name. */
+  def field(name: String, i: Long): Any = {
+    lazy val h = NativeExprs.mix64(i)
+    name match {
+      case "id" => i
+      case "category" => ((h >>> 8) & 15L).toInt
+      case "value" => (h >>> 16) & 0xffffL
+    }
+  }
+}
+
+class GenTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  require(rows >= 0 && slices > 0, s"graftgen needs rows >= 0 and slices > 0")
+  override def name(): String = s"graftgen($rows)"
+  override def schema(): StructType = GenSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, slices)
+}
+
+class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = GenSource.schema
+
+  /** Absorb what narrows the id interval; everything else stays post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (absorbed, rest) = filters.partition {
+      case EqualTo("id", _: Long) => true
+      case GreaterThan("id", _: Long) => true
+      case GreaterThanOrEqual("id", _: Long) => true
+      case LessThan("id", _: Long) => true
+      case LessThanOrEqual("id", _: Long) => true
+      case IsNotNull("id" | "category" | "value") => true // nothing is ever null
+      case _ => false
+    }
+    absorbed.foreach {
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    accepted = absorbed
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GenScan(rows, math.max(lo, 0L), math.max(hi, lo), slices, required)
+}
+
+class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val planned = planInputPartitions().length
+    s"graftgen range=[$lo,$hi) slices=$planned/$slices cols=[${required.fieldNames.mkString(",")}]"
+  }
+
+  override def toBatch: Batch = this
+
+  /** Shard boundaries are FIXED by the full extent (a remote store's
+    * shards don't move when a query filters); the pushed-down interval
+    * intersects each shard and non-overlapping shards are never planned
+    * as tasks — pruning work, not just rows.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    (0 until slices).iterator.map { s =>
+      val sLo = rows * s / slices
+      val sHi = rows * (s + 1) / slices
+      GenSlice(math.max(sLo, lo), math.min(sHi, hi))
+    }.filter(p => p.hi > p.lo).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required.fieldNames)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(hi - lo, 0L) * 24L)
+    override def numRows(): OptionalLong = OptionalLong.of(math.max(hi - lo, 0L))
+  }
+}
+
+case class GenSlice(lo: Long, hi: Long) extends InputPartition
+
+class GenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenSlice]
+    new PartitionReader[InternalRow] {
+      private var i = p.lo - 1
+      override def next(): Boolean = { i += 1; i < p.hi }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(fields.length)
+        var c = 0
+        while (c < fields.length) {
+          row.update(c, GenSource.field(fields(c), i))
+          c += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

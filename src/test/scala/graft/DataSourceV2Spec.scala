@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.NativeExprs
+
+/** [[graft.sources.GenSource]] — the DataSource V2 connector contract.
+  * Pins the three scan-build behaviors a 100 TB source lives by
+  * (filter pushdown that prunes TASKS, column pruning that reaches the
+  * reader, post-pushdown statistics) plus content correctness against
+  * a driver-side replay of the generator.
+  */
+class DataSourceV2Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("dsv2-spec")
+
+  private def gen(rows: Long, slices: Int) =
+    spark.read.format("graftgen")
+      .option("rows", rows.toString).option("slices", slices.toString).load()
+
+  private def batchScan(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan:\n" +
+        df.queryExecution.executedPlan.toString))
+
+  test("row content matches the driver-side splitmix64 replay") {
+    val got = gen(500, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val want = (0L until 500L).map { i =>
+      val h = NativeExprs.mix64(i)
+      (i, ((h >>> 8) & 15L).toInt, (h >>> 16) & 0xffffL)
+    }
+    assert(got.toSeq == want)
+  }
+
+  private def filterNodes(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.size
+
+  test("id range filter pushes into the scan: shards pruned, Filter node gone") {
+    val df = gen(1000, 10).filter(col("id") >= 420L && col("id") < 580L)
+    df.collect()
+    val scan = batchScan(df)
+    // fixed shards of 100 ids; [420,580) intersects shards 4 and 5 only
+    assert(scan.inputPartitions.size == 2,
+      s"expected 2 surviving shards, scan: ${scan.scan.description()}")
+    assert(scan.scan.description().contains("range=[420,580)"))
+    // the source absorbed the predicates, so no post-scan Filter remains
+    assert(filterNodes(df) == 0, "pushed filter must delete the Filter node")
+    assert(df.count() == 160)
+  }
+
+  test("equality and open-interval predicates narrow correctly") {
+    assert(gen(1000, 10).filter(col("id") === 7L).collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val one = gen(1000, 10).filter(col("id") === 7L)
+    one.collect()
+    assert(batchScan(one).inputPartitions.size == 1)
+    assert(gen(100, 4).filter(col("id") > 97L).count() == 2)
+    assert(gen(100, 4).filter(col("id") <= 1L).count() == 2)
+    // contradictory bounds plan zero tasks and return zero rows
+    val none = gen(100, 4).filter(col("id") >= 90L && col("id") < 10L)
+    assert(none.count() == 0)
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = gen(100, 4).select(col("category"))
+    df.collect()
+    val scan = batchScan(df)
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("category"),
+      s"reader must see only the pruned column, got ${scan.scan.readSchema()}")
+    // count(*) prunes everything: zero-field reader rows still count
+    assert(gen(12345, 7).count() == 12345)
+  }
+
+  test("statistics report the post-pushdown row count") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val df = gen(1000, 10).filter(col("id") >= 420L && col("id") < 580L)
+    df.collect()
+    val stats = batchScan(df).scan.asInstanceOf[SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 160)
+  }
+
+  test("non-id predicates stay post-scan and still evaluate correctly") {
+    val df = gen(1000, 10).filter(col("category") === 3)
+    val got = df.count()
+    val want = (0L until 1000L).count(i => ((NativeExprs.mix64(i) >>> 8) & 15L) == 3L)
+    assert(got == want)
+    df.collect()
+    // the category predicate cannot be absorbed: a Filter node must remain
+    assert(filterNodes(df) >= 1, "unabsorbed predicate needs a post-scan Filter")
+  }
+}

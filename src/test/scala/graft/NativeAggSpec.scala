@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.NativeExprs
+import graft.operators.Kmv
+
+/** [[graft.functions.KmvAggExpr]] — the sketch-as-aggregation-buffer
+  * path. Pins (1) equality with the DataFrame-level [[Kmv.sketch]]
+  * dataflow, (2) duplicate immunity (raw rows ≡ pre-distinct input),
+  * (3) the two-phase ObjectHashAggregate plan (partial sketches fold
+  * map-side; the shuffle carries buffers, not rows), (4) merge-path
+  * correctness under adversarial partitioning, (5) sub-k exactness.
+  */
+class NativeAggSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("native-agg-spec")
+
+  private def sketchOf(rows: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] = {
+    NativeExprs.ensureRegistered(spark)
+    rows.groupBy(col("g")).agg(Kmv.sketchAgg(Kmv.uhCol(col("k")), 256).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+  }
+
+  test("aggregate sketch == Kmv.sketch dataflow, per group") {
+    import spark.implicits._
+    val rows = spark.range(20000)
+      .select((($"id" % 7) < 3).cast("string").as("g"), ($"id" % 3001).as("k"))
+      .localCheckpoint()
+    val got = sketchOf(rows)
+    for (g <- Seq("true", "false")) {
+      val want = Kmv.sketch(rows.filter($"g" === g), "k", 256)
+        .orderBy($"uh").select($"uh").as[Long].collect().toSeq
+      assert(got(g) == want, s"group $g diverges from the dataflow sketch")
+    }
+  }
+
+  test("duplicate rows cannot change the sketch (set semantics)") {
+    import spark.implicits._
+    val base = spark.range(5000).select(lit("g").as("g"), ($"id" % 900).as("k"))
+    val dup = base.union(base).union(base.limit(1234))
+    assert(sketchOf(base)("g") == sketchOf(dup)("g"))
+    // and the sub-k shape: 900 distinct keys > 256 saturates; a narrow set is exact
+    val tiny = spark.range(40).select(lit("g").as("g"), ($"id" % 17).as("k"))
+    val sk = sketchOf(tiny)("g")
+    assert(sk.size == 17 && sk == sk.sorted, "sub-k sketch must be the exact sorted hash set")
+  }
+
+  test("plans as two-phase ObjectHashAggregate (map-side sketch combine)") {
+    import spark.implicits._
+    NativeExprs.ensureRegistered(spark)
+    val df = spark.range(1000).select(($"id" % 5).as("g"), $"id".as("k"))
+      .groupBy($"g").agg(Kmv.sketchAgg(Kmv.uhCol($"k"), 256).as("sk"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val phases = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(phases >= 2, s"expected partial+final ObjectHashAggregate, plan:\n$plan")
+    assert(plan.contains("graft_kmv_agg"), "aggregate must appear under its registered name")
+  }
+
+  test("merge path: result invariant under partitioning, and skewed merges early-break correctly") {
+    import spark.implicits._
+    val rows = spark.range(30000)
+      .select(lit("g").as("g"), ($"id" % 4999).as("k")).localCheckpoint()
+    val one = sketchOf(rows.repartition(1))
+    val wide = sketchOf(rows.repartition(37))
+    // adversarial: one partition holds only large hashes, another only small
+    val sorted = rows.withColumn("uh", Kmv.uhCol($"k")).repartitionByRange(8, $"uh")
+      .drop("uh")
+    assert(one == wide && one == sketchOf(sorted))
+    assert(one("g").size == 256)
+  }
+
+  test("estimate derived from the aggregate sketch tracks truth inside 4 sigma") {
+    import spark.implicits._
+    NativeExprs.ensureRegistered(spark)
+    for (n <- Seq(1000L, 50000L)) {
+      val est = spark.range(n).select(lit("g").as("g"), $"id".as("k"))
+        .groupBy($"g").agg(Kmv.sketchAgg(Kmv.uhCol($"k"), 256).as("sk"))
+        .select(Kmv.estimate(element_at($"sk", -1), size($"sk").cast("long"), 256))
+        .as[Double].head()
+      val relErr = math.abs(est - n) / n.toDouble
+      assert(relErr < 0.26, s"n=$n est=$est relErr=$relErr exceeds 4 sigma (sigma~6.3%)")
+    }
+  }
+}

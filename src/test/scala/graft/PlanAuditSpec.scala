@@ -37,6 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "e02_semantic_dedup", // broadcast centroid set (k=8) for cluster assignment
     "s04_pq_ann", // broadcast per-subspace codebooks (16 centroids each)
     "s05_ivfpq_ann", // broadcast coarse centroids + per-subspace codebooks
+    "q71_ann_index_persist", // s05's broadcast index tables, reloaded from parquet (16 centroids / 4×16 codebooks)
     "s07_residual_ivfpq", // broadcast coarse centroids + residual codebooks
     "s08_sq8_ann", // broadcast 1-row per-dim bounds frame + broadcast query set
     "dq01_quality_audit", // 1-row violation-count aggregates crossed onto 1-row totals
