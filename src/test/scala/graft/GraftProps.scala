@@ -273,4 +273,20 @@ object GraftProps extends Properties("graft") {
         .map { case (cell, vs) => cell -> vs.map(_._2).sum }
       merged == whole
     }
+
+  property("KmvAggExpr equals bottom-k of the distinct mixed hashes, any multiset/partitioning") =
+    forAll(Gen.listOfN(60, Gen.choose(0L, 40L)), Gen.choose(1, 5), Gen.choose(2, 12)) {
+      (xs, nParts, k) =>
+        import spark.implicits._
+        import graft.operators.Kmv
+        graft.functions.NativeExprs.ensureRegistered(spark)
+        val got =
+          if (xs.isEmpty) Nil
+          else xs.toDF("key").repartition(nParts)
+            .agg(Kmv.sketchAgg(Kmv.uhCol(col("key")), k)).head().getSeq[Long](0).toList
+        val want = xs.distinct
+          .map(x => graft.functions.NativeExprs.mix64(x) ^ Long.MinValue)
+          .sorted.take(k)
+        got == want
+    }
 }

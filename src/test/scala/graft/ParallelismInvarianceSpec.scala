@@ -60,7 +60,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // round-8: g09 argmin-parent forest + path-following joins; q70
     // rebuilds and incrementally refreshes the partitioned pyramid lake
     // (fixed-point layer math must survive both widths end-to-end)
-    "g09_sssp_paths", "q70_incremental_pyramid")
+    "g09_sssp_paths", "q70_incremental_pyramid",
+    // q72: the typed-aggregate sketch folds through arbitrary
+    // partial/final merge orders — the serialized-buffer path itself
+    // must be order-free, not just the DataFrame sketch
+    "q72_kmv_native_agg")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
