@@ -854,6 +854,23 @@ object DuckSketchSql {
        |FROM rw GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q75 — [[q73]]'s replay over the FULL generated extent (the
+    * streaming drain consumes every offset, so no interval filter).
+    */
+  val q75: String = {
+    val (mix, last) = mix64Ctes("gs", "zg0", Seq("id"))
+    s"""WITH nn AS (SELECT count(*) AS n FROM orders),
+       |ids AS (SELECT unnest(range(0, (SELECT n FROM nn), 1)) AS id),
+       |zg0 AS (SELECT id, id::HUGEINT AS z FROM ids),
+       |$mix,
+       |rw AS (SELECT id, CAST((z // 256) % 16 AS INT) AS category,
+       |         CAST((z // 65536) % 65536 AS BIGINT) AS value FROM $last)
+       |SELECT category, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(value) AS BIGINT) AS sum_val,
+       |  min(id) AS min_id, max(id) AS max_id
+       |FROM rw GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** c20 — BPE merge-trainer replay: `numMerges` unrolled rounds, each
     * = pair-count over adjacent positions → deterministic top-1
     * (count DESC, lhs, rhs) → greedy left-to-right merge via

@@ -280,8 +280,42 @@ object IngestQueries {
       .orderBy($"category")
   }
 
+  /** q75 — the SAME connector consumed as a STREAM
+    * ([[graft.sources.GenMicroBatchStream]]): `|orders|` generated rows
+    * drained under `Trigger.AvailableNow` with admission control
+    * holding every micro-batch to ≤ ~n/4 rows (≥ 4 real batches), then
+    * aggregated per category from the sink. Offsets are row positions
+    * and the reader is a pure function of them, so the drained content
+    * is BIT-equal to the batch scan — the oracle is q73's closed-form
+    * replay without the interval filter, and the hash proves the
+    * offset/commit/replan cycle loses and duplicates nothing
+    * (restart-resume exactly-once is pinned in DataSourceV2Spec).
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "orders").count()
+    val sink = "q75_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graftgen")
+      .option("rows", n.toString)
+      .option("rowsPerBatch", math.max(1L, n / 4).toString)
+      .option("slices", "8").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-q75").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 4, s"q75 must drain in >=4 admission-limited batches, got $batches")
+    spark.table(sink)
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n_rows"), sum($"value").as("sum_val"),
+        min($"id").as("min_id"), max($"id").as("max_id"))
+      .orderBy($"category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
+    "q75_dsv2_stream" -> q75,
     "q46_schema_evolution" -> q46,
     "q50_partition_refresh" -> q50,
     "q51_orc_roundtrip" -> q51,
@@ -298,6 +332,7 @@ object IngestQueries {
 
   def oracles: Map[String, String] = Map(
     "q73_dsv2_source" -> DuckSketchSql.q73,
+    "q75_dsv2_stream" -> DuckSketchSql.q75,
     "q64_variant_decode" ->
       """WITH j AS (
         |  SELECT printf('{"key":%d,"prio":"%s","amt":%d,"cust":{"id":%d}}',

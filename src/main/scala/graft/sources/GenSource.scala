@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,6 +48,11 @@ import graft.functions.NativeExprs
   * Statistics ([[SupportsReportStatistics]]) report the POST-pushdown
   * row count, so the optimizer sizes joins against what the scan will
   * actually produce (a narrowed scan can broadcast).
+  *
+  * The table is ALSO a micro-batch streaming source
+  * ([[GenMicroBatchStream]]): offsets are row positions, batches are
+  * admission-controlled to `rowsPerBatch` rows, and the reader's
+  * determinism makes replays exactly-once by construction.
   */
 class GenSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftgen"
@@ -60,7 +66,8 @@ class GenSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table =
     new GenTable(
       properties.asScala.getOrElse("rows", "1000").toLong,
-      properties.asScala.getOrElse("slices", "8").toInt)
+      properties.asScala.getOrElse("slices", "8").toInt,
+      properties.asScala.getOrElse("rowsPerBatch", "1000").toLong)
 }
 
 object GenSource {
@@ -80,17 +87,19 @@ object GenSource {
   }
 }
 
-class GenTable(rows: Long, slices: Int) extends Table with SupportsRead {
-  require(rows >= 0 && slices > 0, s"graftgen needs rows >= 0 and slices > 0")
+class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
+  extends Table with SupportsRead {
+  require(rows >= 0 && slices > 0 && rowsPerBatch > 0,
+    "graftgen needs rows >= 0, slices > 0, rowsPerBatch > 0")
   override def name(): String = s"graftgen($rows)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices)
+    new GenScanBuilder(rows, slices, rowsPerBatch)
 }
 
-class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo: Long = 0L
@@ -126,10 +135,11 @@ class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    new GenScan(rows, math.max(lo, 0L), math.max(hi, lo), slices, required)
+    new GenScan(rows, math.max(lo, 0L), math.max(hi, lo), slices, required, rowsPerBatch)
 }
 
-class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType)
+class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType,
+    rowsPerBatch: Long)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -157,6 +167,9 @@ class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType)
   override def createReaderFactory(): PartitionReaderFactory =
     new GenReaderFactory(required.fieldNames)
 
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GenMicroBatchStream(lo, hi, slices, required.fieldNames, rowsPerBatch)
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(hi - lo, 0L) * 24L)
     override def numRows(): OptionalLong = OptionalLong.of(math.max(hi - lo, 0L))
@@ -164,6 +177,57 @@ class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType)
 }
 
 case class GenSlice(lo: Long, hi: Long) extends InputPartition
+
+/** Micro-batch view of the generated interval: an OFFSET is simply the
+  * next unemitted id, so any [start, end) replan regenerates the exact
+  * same rows — exactly-once across restarts falls out of determinism
+  * (the checkpoint stores row positions, the reader is a pure function
+  * of them). Admission control caps each batch at `rowsPerBatch` rows
+  * ([[ReadLimit.maxRows]]), giving real multi-batch pacing under
+  * `Trigger.AvailableNow` without any files or sockets — the same role
+  * rate limits play on a partitioned log at scale (per-trigger work
+  * bounded regardless of backlog).
+  */
+class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    fields: Array[String], rowsPerBatch: Long)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def at(o: Offset): Long = o.asInstanceOf[GenOffset].n
+
+  override def initialOffset(): Offset = GenOffset(lo)
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graftgen is admission-controlled; latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = limit match {
+    case m: ReadMaxRows => GenOffset(math.min(hi, at(start) + m.maxRows()))
+    case _ => GenOffset(hi)
+  }
+  override def reportLatestOffset(): Offset = GenOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = () // extent is static
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (at(start), at(end))
+    val n = e - s
+    val k = math.max(1L, math.min(slices.toLong, n)).toInt
+    (0 until k).iterator.map { i =>
+      GenSlice(s + n * i / k, s + n * (i + 1) / k)
+    }.filter(p => p.hi > p.lo).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(fields)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class GenOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
 
 class GenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -92,4 +92,56 @@ class DataSourceV2Spec extends AnyFunSuite {
     // the category predicate cannot be absorbed: a Filter node must remain
     assert(filterNodes(df) >= 1, "unabsorbed predicate needs a post-scan Filter")
   }
+
+  private def drainStream(rows: Long, rowsPerBatch: Long, ckpt: String,
+      sink: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = spark.readStream.format("graftgen")
+      .option("rows", rows.toString).option("rowsPerBatch", rowsPerBatch.toString)
+      .option("slices", "4").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  test("micro-batch stream: admission-controlled pacing, streamed content == batch content") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-graftgen").toString
+    val sink = "gen_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = drainStream(rows = 1000, rowsPerBatch = 300, ckpt, sink)
+    // 1000 rows at <=300/batch: exactly 4 data batches (300+300+300+100)
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
+    assert(dataBatches.toSeq == Seq(300L, 300L, 300L, 100L),
+      s"admission control must pace 300/300/300/100, got ${dataBatches.mkString(",")}")
+    val streamed = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val batch = gen(1000, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(streamed == batch, "streamed rows must equal the batch read exactly")
+  }
+
+  test("micro-batch stream: restart resumes from the committed offset, exactly-once") {
+    // memory sink can't recover a checkpoint; the parquet sink (file-log
+    // fault tolerance) is the restart-capable counterpart
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-graftgen-rs").toString
+    val out = java.nio.file.Files.createTempDirectory("out-graftgen-rs").toString
+    def drainToFiles(rows: Long): Unit = {
+      val q = spark.readStream.format("graftgen")
+        .option("rows", rows.toString).option("rowsPerBatch", "250")
+        .option("slices", "4").load()
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainToFiles(600)
+    assert(spark.read.parquet(out).count() == 600)
+    // extend the extent and restart on the SAME checkpoint: only the
+    // new interval [600, 1500) is emitted — nothing reprocessed
+    drainToFiles(1500)
+    val resumed = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(resumed == (0L until 1500L).toSeq,
+      s"restart must append exactly [600,1500) once, got ${resumed.size} rows")
+  }
 }
