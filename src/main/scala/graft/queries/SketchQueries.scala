@@ -145,31 +145,29 @@ object SketchQueries {
     * 100 TB), this carries ≤ k=256 longs per day — window work is
     * bounded by 91·k regardless of daily cardinality, and a merged
     * sketch holding < k hashes IS the exact answer (operand sketches
-    * are subsets, so all were exact). Per-day bottom-k via
-    * `row_number ≤ k` (plans as WindowGroupLimit — no full sort), merge
-    * via flatten+distinct+sort of ≤ 91 sorted k-arrays. The ORACLE
+    * are subsets, so all were exact). Per-day bottom-k as ONE
+    * [[Kmv.sketchAgg]] hash aggregation over RAW order rows (the typed
+    * sketch buffer dedups and caps in-place — this fused three jobs of
+    * the original form: the distinct, the `row_number ≤ k` window sort,
+    * and the separate n_day count now riding the same agg), merge via
+    * flatten+distinct+sort of ≤ 91 sorted k-arrays. The ORACLE
     * replays the identical splitmix64 mix + bottom-k + window merge in
-    * DuckDB (h04's HUGEINT machinery + a RANGE window) — one hash.
-    * SketchesSpec pins the estimate inside the k-envelope of q63's
-    * exact counts.
+    * DuckDB (h04's HUGEINT machinery + a RANGE window) — one hash,
+    * unchanged across the sketchAgg swap. SketchesSpec pins the
+    * estimate inside the k-envelope of q63's exact counts.
     */
   def q68(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    graft.functions.NativeExprs.ensureRegistered(spark)
     val k = Kmv.K
     val o = Tables.load(spark, dir, "orders")
       .select($"o_orderpriority".as("prio"),
         datediff($"o_orderdate", lit("1992-01-01").cast("date")).as("day"),
         $"o_custkey")
-    val nDay = o.groupBy($"prio", $"day").agg(count(lit(1)).as("n_day"))
-    val rw = Window.partitionBy($"prio", $"day").orderBy($"uh")
-    val daySk = o.distinct()
-      .select($"prio", $"day",
-        Hll.mix64Col($"o_custkey").bitwiseXOR(lit(Long.MinValue)).as("uh"))
-      .withColumn("rn", row_number().over(rw)).filter($"rn" <= k)
+    val daySk = o.select($"prio", $"day", Kmv.uhCol($"o_custkey").as("uh"))
       .groupBy($"prio", $"day")
-      .agg(sort_array(collect_list($"uh")).as("sk"))
-      .join(nDay, Seq("prio", "day"))
+      .agg(Kmv.sketchAgg($"uh", k).as("sk"), count(lit(1)).as("n_day"))
     val w = Window.partitionBy($"prio").orderBy($"day").rangeBetween(-90, 0)
     daySk.select($"prio", $"day",
         sum($"n_day").over(w).as("n_orders_90d"),
