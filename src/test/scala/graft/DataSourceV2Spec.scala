@@ -144,4 +144,49 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(resumed == (0L until 1500L).toSeq,
       s"restart must append exactly [600,1500) once, got ${resumed.size} rows")
   }
+
+  test("v2 write: sink-required clustering and ordering are planner-enforced") {
+    import graft.sources.ClusteredSink
+    val tag = "w_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // shuffle the write input so neither requirement holds accidentally
+    gen(1000, 4).orderBy(col("value"))
+      .select(col("category"), col("id"), col("value"))
+      .write.format("graftsink")
+      .option("clusterBy", "category").option("sortBy", "id").option("tag", tag)
+      .mode("append").save()
+    val parts = ClusteredSink.committed.get(tag)
+    assert(parts != null && parts.map(_.rows.size).sum == 1000)
+    // clustering: every category value lands in exactly one writer task
+    val catParts = parts.toSeq
+      .flatMap(p => p.rows.map(r => (r.head, p.partitionId))).distinct
+      .groupBy(_._1).map { case (c, ps) => c -> ps.size }
+    assert(catParts.values.forall(_ == 1),
+      s"each category must hit one task, got $catParts")
+    assert(catParts.size == 16)
+    // ordering: ids ascend within every task (the sink never re-sorts)
+    parts.foreach { p =>
+      val ids = p.rows.map(_(1).asInstanceOf[Long])
+      assert(ids == ids.sorted, s"task ${p.partitionId} not sorted by id")
+    }
+    // exact roundtrip: the written multiset is the generated table
+    val written = parts.toSeq.flatMap(_.rows)
+      .map(r => (r(1).asInstanceOf[Long], r.head.asInstanceOf[Int],
+        r(2).asInstanceOf[Long])).sortBy(_._1)
+    val want = gen(1000, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(written == want)
+  }
+
+  test("v2 write: a failing task aborts the job and commits nothing") {
+    import graft.sources.ClusteredSink
+    val tag = "a_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    intercept[Exception] {
+      gen(100, 4).select(col("category"), col("id"), col("value"))
+        .write.format("graftsink")
+        .option("clusterBy", "category").option("sortBy", "id").option("tag", tag)
+        .option("failOnSortValue", "50") // planted writer fault mid-stream
+        .mode("append").save()
+    }
+    assert(!ClusteredSink.committed.containsKey(tag), "aborted write must not commit")
+  }
 }
