@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -67,7 +68,8 @@ class GenSource extends TableProvider with DataSourceRegister {
     new GenTable(
       properties.asScala.getOrElse("rows", "1000").toLong,
       properties.asScala.getOrElse("slices", "8").toInt,
-      properties.asScala.getOrElse("rowsPerBatch", "1000").toLong)
+      properties.asScala.getOrElse("rowsPerBatch", "1000").toLong,
+      properties.asScala.getOrElse("keyGrouped", "false").toBoolean)
 }
 
 object GenSource {
@@ -87,7 +89,7 @@ object GenSource {
   }
 }
 
-class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
+class GenTable(rows: Long, slices: Int, rowsPerBatch: Long, keyGrouped: Boolean)
   extends Table with SupportsRead {
   require(rows >= 0 && slices > 0 && rowsPerBatch > 0,
     "graftgen needs rows >= 0, slices > 0, rowsPerBatch > 0")
@@ -96,10 +98,11 @@ class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices, rowsPerBatch)
+    new GenScanBuilder(rows, slices, rowsPerBatch, keyGrouped)
 }
 
-class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long) extends ScanBuilder
+class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
+    keyGrouped: Boolean = false) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo: Long = 0L
@@ -135,12 +138,14 @@ class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long) extends ScanBu
     required = requiredSchema
 
   override def build(): Scan =
-    new GenScan(rows, math.max(lo, 0L), math.max(hi, lo), slices, required, rowsPerBatch)
+    new GenScan(rows, math.max(lo, 0L), math.max(hi, lo), slices, required,
+      rowsPerBatch, keyGrouped)
 }
 
 class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType,
-    rowsPerBatch: Long)
-  extends Scan with Batch with SupportsReportStatistics {
+    rowsPerBatch: Long, keyGrouped: Boolean = false)
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
 
@@ -155,14 +160,34 @@ class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType,
     * shards don't move when a query filters); the pushed-down interval
     * intersects each shard and non-overlapping shards are never planned
     * as tasks — pruning work, not just rows.
+    *
+    * In `keyGrouped` mode the table is instead exposed as one partition
+    * PER CATEGORY value, each carrying its [[HasPartitionKey]] — the
+    * physical layout contract behind storage-partitioned joins.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    (0 until slices).iterator.map { s =>
+  override def planInputPartitions(): Array[InputPartition] =
+    if (keyGrouped)
+      (0 until 16).map(c => GenKeyedSlice(lo, hi, c): InputPartition).toArray
+    else (0 until slices).iterator.map { s =>
       val sLo = rows * s / slices
       val sHi = rows * (s + 1) / slices
       GenSlice(math.max(sLo, lo), math.min(sHi, hi))
     }.filter(p => p.hi > p.lo).toArray[InputPartition]
-  }
+
+  /** Storage-partitioned-join contract ([[SupportsReportPartitioning]]):
+    * in keyGrouped mode the scan reports [[KeyGroupedPartitioning]] on
+    * `category`, so two such tables equi-joined on it (or an aggregate
+    * grouped by it) need NO shuffle — Spark aligns the key groups
+    * instead (`spark.sql.sources.v2.bucketing.enabled`). Reporting
+    * requires `category` to survive column pruning; otherwise the scan
+    * honestly reports unknown.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (keyGrouped && required.fieldNames.contains("category"))
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("category")),
+        planInputPartitions().length)
+    else new UnknownPartitioning(planInputPartitions().length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GenReaderFactory(required.fieldNames)
@@ -177,6 +202,18 @@ class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType,
 }
 
 case class GenSlice(lo: Long, hi: Long) extends InputPartition
+
+/** One category's rows of the [lo, hi) interval (keyGrouped mode). A
+  * real key-grouped store holds these physically contiguous; the
+  * generator scans the interval and emits its key's rows, which keeps
+  * the CONTRACT exact (every emitted row matches `partitionKey`) at
+  * generator cost O(interval) per key.
+  */
+case class GenKeyedSlice(lo: Long, hi: Long, category: Int)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](category))
+}
 
 /** Micro-batch view of the generated interval: an OFFSET is simply the
   * next unemitted id, so any [start, end) replan regenerates the exact
@@ -230,21 +267,35 @@ case class GenOffset(n: Long) extends Offset {
 }
 
 class GenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GenSlice]
-    new PartitionReader[InternalRow] {
-      private var i = p.lo - 1
-      override def next(): Boolean = { i += 1; i < p.hi }
-      override def get(): InternalRow = {
-        val row = new GenericInternalRow(fields.length)
-        var c = 0
-        while (c < fields.length) {
-          row.update(c, GenSource.field(fields(c), i))
-          c += 1
-        }
-        row
+
+  private abstract class RowReader extends PartitionReader[InternalRow] {
+    protected var i: Long = 0L
+    override def get(): InternalRow = {
+      val row = new GenericInternalRow(fields.length)
+      var c = 0
+      while (c < fields.length) {
+        row.update(c, GenSource.field(fields(c), i))
+        c += 1
       }
-      override def close(): Unit = ()
+      row
     }
+    override def close(): Unit = ()
   }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GenKeyedSlice => new RowReader {
+        i = p.lo - 1
+        override def next(): Boolean = {
+          i += 1
+          while (i < p.hi &&
+            ((NativeExprs.mix64(i) >>> 8) & 15L).toInt != p.category) i += 1
+          i < p.hi
+        }
+      }
+      case p: GenSlice => new RowReader {
+        i = p.lo - 1
+        override def next(): Boolean = { i += 1; i < p.hi }
+      }
+    }
 }

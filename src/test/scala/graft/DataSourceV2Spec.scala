@@ -189,4 +189,45 @@ class DataSourceV2Spec extends AnyFunSuite {
     }
     assert(!ClusteredSink.committed.containsKey(tag), "aborted write must not commit")
   }
+
+  private def finalPlanString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+
+  test("storage-partitioned join: key-grouped scans aggregate and join with ZERO exchanges") {
+    def kg(rows: Long, grouped: Boolean) = spark.read.format("graftgen")
+      .option("rows", rows.toString).option("keyGrouped", grouped.toString).load()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def pipeline(grouped: Boolean) = {
+        val a = kg(2000, grouped).groupBy(col("category"))
+          .agg(sum(col("value")).as("sv"))
+        val b = kg(3000, grouped).groupBy(col("category"))
+          .agg(count(lit(1)).as("n"))
+        a.join(b, "category")
+      }
+      val spj = pipeline(grouped = true)
+      val spjRows = spj.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(!finalPlanString(spj).contains("Exchange"),
+        s"key-grouped join must need no exchange:\n${finalPlanString(spj)}")
+      // the detector isn't vacuous: the ungrouped path shuffles...
+      val base = pipeline(grouped = false)
+      val baseRows = base.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(finalPlanString(base).contains("Exchange"))
+      // ...and both paths compute the same 16 rows
+      assert(spjRows == baseRows && spjRows.size == 16)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
