@@ -478,9 +478,42 @@ object Relational {
       |) t
       |ORDER BY n.n_name, t.bal_cents DESC, t.c_name""".stripMargin
 
+  /** q76 — SQL SCRIPTING (Spark 4.0 `BEGIN … END` compounds,
+    * `spark.sql.scripting.enabled`): session variables, a scalar
+    * `WHILE` loop (halve the corpus-total revenue until it fits a
+    * threshold — exact integer halving, so every iteration is
+    * replayable), and a final SELECT that mixes the loop's scalars into
+    * a grouped aggregate. The script returns its LAST statement's
+    * result. DuckDB has no procedural scripting, so the oracle replays
+    * the loop as a recursive CTE over the same integer arithmetic —
+    * procedural frontend, declarative twin, one hash.
+    */
+  def q76SqlScript(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    spark.sql(
+      """BEGIN
+        |  DECLARE total BIGINT;
+        |  DECLARE x BIGINT;
+        |  DECLARE rounds INT DEFAULT 0;
+        |  SET total = (SELECT sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |               FROM orders);
+        |  SET x = total;
+        |  WHILE x > 1000000 DO
+        |    SET x = x DIV 2;
+        |    SET rounds = rounds + 1;
+        |  END WHILE;
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    total AS total_cents, x AS residual_cents, rounds
+        |  FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;
+        |END""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q74_lateral_topk" -> q74LateralTopK,
+    "q76_sql_script" -> q76SqlScript,
     "q58_range_frame" -> q58RangeFrame,
     "q59_correlated" -> q59Correlated,
     "q63_windowed_distinct" -> q63WindowedDistinct,
@@ -501,6 +534,21 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q74_lateral_topk" -> lateralTopKSql,
+    "q76_sql_script" ->
+      """WITH RECURSIVE
+        |tot AS (SELECT CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS total FROM orders),
+        |halv(x, rounds) AS (
+        |  SELECT total, 0 FROM tot
+        |  UNION ALL
+        |  SELECT x // 2, rounds + 1 FROM halv WHERE x > 1000000
+        |),
+        |fin AS (SELECT x, rounds FROM halv ORDER BY rounds DESC LIMIT 1)
+        |SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |  (SELECT total FROM tot) AS total_cents,
+        |  (SELECT x FROM fin) AS residual_cents,
+        |  (SELECT CAST(rounds AS INT) FROM fin) AS rounds
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q58_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INT) AS day,
