@@ -510,10 +510,28 @@ object Relational {
         |END""".stripMargin)
   }
 
+  /** q77 — EXECUTE IMMEDIATE (Spark 4.0 dynamic SQL): the statement
+    * text arrives as a string with `?` parameter markers bound via
+    * `USING` — the generated-SQL calling convention (BI tools, query
+    * builders) executed injection-safe, completing q67's param-marker
+    * family. The oracle inlines the same constants into the inner SQL.
+    */
+  def q77ExecuteImmediate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_cust,
+        |     sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS bal_cents
+        |   FROM customer WHERE c_nationkey < ? GROUP BY c_mktsegment
+        |   ORDER BY c_mktsegment'
+        |  USING 13""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q74_lateral_topk" -> q74LateralTopK,
     "q76_sql_script" -> q76SqlScript,
+    "q77_execute_immediate" -> q77ExecuteImmediate,
     "q58_range_frame" -> q58RangeFrame,
     "q59_correlated" -> q59Correlated,
     "q63_windowed_distinct" -> q63WindowedDistinct,
@@ -534,6 +552,11 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q74_lateral_topk" -> lateralTopKSql,
+    "q77_execute_immediate" ->
+      """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_nationkey < 13 GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q76_sql_script" ->
       """WITH RECURSIVE
         |tot AS (SELECT CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
