@@ -137,3 +137,75 @@ case class KmvAggExpr(
   override protected def withNewChildInternal(newChild: Expression): KmvAggExpr =
     copy(child = newChild)
 }
+
+/** HyperLogLog register table (m = 256, p = 8) as one typed aggregate.
+  *
+  * Input: the splitmix64-MIXED key hash (`Hll.mix64Col`), one long per
+  * row. Buffer: 256 bytes of per-register rho-max. Update is two bit
+  * ops + a byte max; merge is a bytewise max — the HLL lattice law
+  * GraftProps pins. Output: `array<int>` of 256 rho values (0 = never
+  * hit), which `Hll.registersAgg` explodes back into the (j, rho_max)
+  * register-table shape the existing exact-decimal estimate fold
+  * consumes — h01's IEEE chain and oracle stay byte-identical.
+  *
+  * Why it exists next to the declarative `Hll.registers`: that form
+  * shuffles |groups|·m register ROWS through two aggregations; this
+  * ships ONE 256-byte buffer per (group, task) through a single
+  * ObjectHashAggregate — at 100 TB the register build stops being a
+  * second shuffle entirely.
+  */
+case class HllAggExpr(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  private val P = 8
+  private val M = 1 << P
+  private val RhoMax = 64 - P + 1 // 57
+
+  override def prettyName: String = "graft_hll_agg"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_agg expects the mixed BIGINT hash, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val j = (h >>> (64 - P)).toInt
+      val low = h & ((1L << (64 - P)) - 1)
+      val rho =
+        if (low == 0L) RhoMax
+        else java.lang.Long.numberOfLeadingZeros(low) - P + 1
+      if (rho > buf(j)) buf(j) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(Array.tabulate(M)(i => buf(i).toInt))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllAggExpr =
+    copy(child = newChild)
+}

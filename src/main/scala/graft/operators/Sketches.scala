@@ -200,6 +200,27 @@ object Hll {
       .agg(max(col("rho")).as("rho_max"))
   }
 
+  /** [[registers]] rebuilt on the native aggregate
+    * ([[graft.functions.HllAggExpr]]): same (groupCols..., j, rho_max)
+    * register table, but built by ONE ObjectHashAggregate shipping a
+    * 256-byte buffer per (group, task) instead of shuffling
+    * |groups|·256 register rows through two hash aggregations. The
+    * explode back to rows is |groups|·(hit registers) — driver-frame
+    * sized — and feeds the UNCHANGED [[estimate]] fold, so estimates
+    * stay bit-identical to the declarative form (NativeAggSpec).
+    */
+  def registersAgg(df: DataFrame, key: Column, groupCols: Seq[Column]): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(df.sparkSession)
+    val agged = df.select(groupCols :+ mix64Col(key).as("_h"): _*)
+      .groupBy(groupCols: _*)
+      .agg(call_function("graft_hll_agg", col("_h")).as("_regs"))
+    val keep = agged.columns.filter(_ != "_regs").toSeq
+    agged.select(keep.map(col) :+
+        posexplode(col("_regs")).as(Seq("_j", "rho_max")): _*)
+      .filter(col("rho_max") > 0)
+      .select(keep.map(col) :+ col("_j").cast("long").as("j") :+ col("rho_max"): _*)
+  }
+
   /** Fold a register table into (groupCols..., hll_estimate,
     * n_registers_hit). The harmonic sum is exact: Σ 2^(57−rho) over hit
     * registers (decimal) + 2^57 per empty register.

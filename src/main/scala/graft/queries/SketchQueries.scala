@@ -27,7 +27,11 @@ object SketchQueries {
     import spark.implicits._
     val o = Tables.load(spark, dir, "orders")
       .select($"o_orderpriority".as("prio"), $"o_custkey")
-    val est = Hll.estimate(Hll.registers(o, $"o_custkey", Seq($"prio")), Seq($"prio"))
+    // registersAgg: ONE typed aggregation ships 256-byte buffers where
+    // the declarative registers() shuffled per-register rows twice —
+    // same table, same estimate chain, same oracle (NativeAggSpec pins
+    // the register-table equality)
+    val est = Hll.estimate(Hll.registersAgg(o, $"o_custkey", Seq($"prio")), Seq($"prio"))
     val exact = o.groupBy($"prio").agg(countDistinct($"o_custkey").as("n_exact"))
     est.join(exact, Seq("prio"))
       .select($"prio", $"n_exact",

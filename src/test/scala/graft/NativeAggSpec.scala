@@ -71,6 +71,29 @@ class NativeAggSpec extends AnyFunSuite {
     assert(one("g").size == 256)
   }
 
+  test("HllAggExpr register table == declarative Hll.registers, any partitioning") {
+    import spark.implicits._
+    import graft.operators.Hll
+    val rows = spark.range(40000)
+      .select((($"id" % 3).cast("string")).as("g"), ($"id" % 7211).as("k"))
+      .localCheckpoint()
+    def table(df: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+            Seq[org.apache.spark.sql.Column]) => org.apache.spark.sql.DataFrame) =
+      f(df, col("k"), Seq(col("g"))).collect()
+        .map(r => (r.getString(0), r.getAs[Number]("j").longValue,
+          r.getAs[Number]("rho_max").intValue)).sorted.toSeq
+    val declarative = table(rows, Hll.registers)
+    assert(table(rows, Hll.registersAgg) == declarative)
+    assert(table(rows.repartition(37), Hll.registersAgg) == declarative)
+    // and the full estimate chain lands on identical doubles
+    val e1 = Hll.estimate(Hll.registers(rows, col("k"), Seq(col("g"))), Seq(col("g")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted.toSeq
+    val e2 = Hll.estimate(Hll.registersAgg(rows, col("k"), Seq(col("g"))), Seq(col("g")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted.toSeq
+    assert(e1 == e2)
+  }
+
   test("estimate derived from the aggregate sketch tracks truth inside 4 sigma") {
     import spark.implicits._
     NativeExprs.ensureRegistered(spark)
