@@ -26,6 +26,10 @@ object GraftSession {
       // (the automatic sibling of the explicit BloomPrune operator;
       // pays off on fact⋈dim at scale, harmless locally)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // storage-partitioned joins: honor KeyGroupedPartitioning reported
+      // by V2 scans (graftgen keyGrouped mode, Iceberg-style tables) so
+      // co-partitioned joins/aggregations skip the shuffle entirely
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // Hive-compatible (non-ANSI) semantics: null on divide-by-zero,
       // wrapping long arithmetic (the hash mixers rely on it). The

@@ -871,6 +871,33 @@ object DuckSketchSql {
        |FROM rw GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q78 — dual-generator replay for the storage-partitioned join: one
+    * mix64 chain per table (|orders| and |customer| extents), per-table
+    * per-category aggregates, inner join on category.
+    */
+  val q78: String = {
+    val (mixA, lastA) = mix64Ctes("ja", "za0", Seq("id"))
+    val (mixB, lastB) = mix64Ctes("jb", "zb0", Seq("id"))
+    def rw(last: String) =
+      s"SELECT CAST((z // 256) % 16 AS INT) AS category, " +
+        s"CAST((z // 65536) % 65536 AS BIGINT) AS value FROM $last"
+    s"""WITH ia AS (SELECT unnest(range(0, (SELECT count(*) FROM orders), 1)) AS id),
+       |za0 AS (SELECT id, id::HUGEINT AS z FROM ia),
+       |$mixA,
+       |ib AS (SELECT unnest(range(0, (SELECT count(*) FROM customer), 1)) AS id),
+       |zb0 AS (SELECT id, id::HUGEINT AS z FROM ib),
+       |$mixB,
+       |ra AS (${rw(lastA)}),
+       |rb AS (${rw(lastB)}),
+       |ga AS (SELECT category, CAST(count(*) AS BIGINT) AS n_a,
+       |         CAST(sum(value) AS BIGINT) AS sum_a FROM ra GROUP BY 1),
+       |gb AS (SELECT category, CAST(count(*) AS BIGINT) AS n_b,
+       |         CAST(sum(value) AS BIGINT) AS sum_b FROM rb GROUP BY 1)
+       |SELECT ga.category, n_a, sum_a, n_b, sum_b
+       |FROM ga JOIN gb ON ga.category = gb.category
+       |ORDER BY ga.category""".stripMargin
+  }
+
   /** c20 — BPE merge-trainer replay: `numMerges` unrolled rounds, each
     * = pair-count over adjacent positions → deterministic top-1
     * (count DESC, lhs, rhs) → greedy left-to-right merge via

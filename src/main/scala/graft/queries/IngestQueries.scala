@@ -313,9 +313,37 @@ object IngestQueries {
       .orderBy($"category")
   }
 
+  /** q78 — STORAGE-PARTITIONED JOIN as a correctness row: two
+    * key-grouped `graftgen` tables (|orders| and |customer| rows — so
+    * the generated CONTENT differs per scale factor) each report
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * on `category`, and under `spark.sql.sources.v2.bucketing.enabled`
+    * (GraftSession default) BOTH per-category aggregates run with no
+    * exchange at all — partial and final HashAggregate stack directly
+    * on the key-grouped scan. The join here broadcasts one 16-row
+    * aggregate (the optimizer's right call at this group count);
+    * DataSourceV2Spec separately pins the forced-SMJ variant joining
+    * with ZERO exchanges. This row pins the ANSWER via the dual
+    * closed-form generator replay. The 100 TB reading: a bucketed-lake
+    * join whose sides arrive pre-clustered and never reshuffle.
+    */
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def kg(n: Long) = spark.read.format("graftgen")
+      .option("rows", n.toString).option("keyGrouped", "true").load()
+    val a = kg(Tables.load(spark, dir, "orders").count())
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n_a"), sum($"value").as("sum_a"))
+    val b = kg(Tables.load(spark, dir, "customer").count())
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n_b"), sum($"value").as("sum_b"))
+    a.join(b, Seq("category")).orderBy($"category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
     "q75_dsv2_stream" -> q75,
+    "q78_spj_join" -> q78,
     "q46_schema_evolution" -> q46,
     "q50_partition_refresh" -> q50,
     "q51_orc_roundtrip" -> q51,
@@ -333,6 +361,7 @@ object IngestQueries {
   def oracles: Map[String, String] = Map(
     "q73_dsv2_source" -> DuckSketchSql.q73,
     "q75_dsv2_stream" -> DuckSketchSql.q75,
+    "q78_spj_join" -> DuckSketchSql.q78,
     "q64_variant_decode" ->
       """WITH j AS (
         |  SELECT printf('{"key":%d,"prio":"%s","amt":%d,"cust":{"id":%d}}',
