@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapabi
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,6 +60,15 @@ class ClusteredSink extends TableProvider with DataSourceRegister {
 object ClusteredSink {
   /** tag → the last committed write's per-task row groups. */
   val committed = new java.util.concurrent.ConcurrentHashMap[String, Array[SinkPartData]]()
+
+  /** (tag, epochId) → that micro-batch's committed per-task row groups.
+    * Keyed by epoch so a replayed batch OVERWRITES its own slot instead
+    * of duplicating rows — the idempotent-commit half of the streaming
+    * exactly-once contract (the source's replayable offsets are the
+    * other half).
+    */
+  val committedEpochs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[SinkPartData]]()
 }
 
 /** One writer task's committed rows (values externalized to plain JVM
@@ -76,7 +86,7 @@ class SinkTable(schema: StructType, clusterBy: String, sortBy: String, tag: Stri
   override def name(): String = s"graftsink($tag)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -95,8 +105,37 @@ class SinkTable(schema: StructType, clusterBy: String, sortBy: String, tag: Stri
             ClusteredSink.committed.put(tag, messages.map(_.asInstanceOf[SinkPartData]))
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
+
+        /** Micro-batch half: same writers, but commits land per EPOCH —
+          * re-committing an epoch replaces its slot (idempotent), which
+          * with the source's replayable offsets gives end-to-end
+          * exactly-once.
+          */
+        override def toStreaming: StreamingWrite = new StreamingWrite {
+          private val factory = SinkWriterFactory(info.schema(),
+            failOnSortValue.map(v => (schema.fieldIndex(sortBy), v)))
+          override def createStreamingWriterFactory(
+              pi: PhysicalWriteInfo): StreamingDataWriterFactory =
+            SinkStreamingWriterFactory(factory)
+          override def commit(epochId: Long,
+              messages: Array[WriterCommitMessage]): Unit =
+            ClusteredSink.committedEpochs.put((tag, epochId),
+              messages.map(_.asInstanceOf[SinkPartData]))
+          override def abort(epochId: Long,
+              messages: Array[WriterCommitMessage]): Unit = ()
+        }
       }
     }
+}
+
+/** Streaming adapter over the batch writer factory (top-level so the
+  * serialized closure carries no table/plan outers).
+  */
+case class SinkStreamingWriterFactory(inner: SinkWriterFactory)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    inner.createWriter(partitionId, taskId)
 }
 
 /** `failOn` = (sort-column index, planted value): a writer fault for

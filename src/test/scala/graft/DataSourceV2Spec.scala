@@ -190,6 +190,37 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(!ClusteredSink.committed.containsKey(tag), "aborted write must not commit")
   }
 
+  test("v2 streaming write: per-epoch commits, layout enforced, union exactly-once") {
+    import graft.sources.ClusteredSink
+    val tag = "s_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-graftsink").toString
+    val q = spark.readStream.format("graftgen")
+      .option("rows", "1000").option("rowsPerBatch", "300").option("slices", "4").load()
+      .select(col("category"), col("id"), col("value"))
+      .writeStream.format("graftsink")
+      .option("clusterBy", "category").option("sortBy", "id").option("tag", tag)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val epochs = ClusteredSink.committedEpochs.asScala
+      .collect { case ((t, e), parts) if t == tag => e -> parts }.toMap
+    assert(epochs.size == 4, s"300/300/300/100 pacing => 4 epochs, got ${epochs.keySet}")
+    // layout requirements hold INSIDE each micro-batch's write
+    epochs.values.foreach { parts =>
+      parts.foreach { p =>
+        val ids = p.rows.map(_(1).asInstanceOf[Long])
+        assert(ids == ids.sorted)
+      }
+      val catParts = parts.toSeq.flatMap(p => p.rows.map(r => (r.head, p.partitionId)))
+        .distinct.groupBy(_._1).map { case (c, ps) => c -> ps.size }
+      assert(catParts.values.forall(_ == 1), s"per-epoch clustering violated: $catParts")
+    }
+    // epochs partition the id space: union is exactly [0, 1000)
+    val all = epochs.values.flatten.flatMap(_.rows.map(_(1).asInstanceOf[Long])).toSeq.sorted
+    assert(all == (0L until 1000L).toSeq)
+  }
+
   private def finalPlanString(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
