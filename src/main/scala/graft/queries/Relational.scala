@@ -527,11 +527,42 @@ object Relational {
         |  USING 13""".stripMargin)
   }
 
+  /** q79 — SQL-defined FUNCTIONS (Spark 4.0 `CREATE FUNCTION … RETURN`):
+    * a scalar function (the repo's cents quantization as a named SQL
+    * UDF) and a TABLE function (top-5 customers of a segment), invoked
+    * once per market segment. The point a plan reader should take: SQL
+    * UDFs are NOT black boxes — `ResolveSQLFunctions` inlines the
+    * bodies into the plan, so each TVF call compiles to the same
+    * TakeOrderedAndProject a hand-written top-5 would, and the scalar
+    * stays codegen'd (nothing like a JVM/Python UDF boundary exists).
+    * (A LATERAL-correlated TVF argument mis-resolves in Spark 4.1 —
+    * returned rows from the wrong scope — so the per-segment calls are
+    * spelled out; q74 covers correlated LATERAL via a subquery.)
+    * Oracle: bodies inlined by hand into one DuckDB window query.
+    */
+  def q79SqlFunctions(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+        |RETURNS BIGINT RETURN CAST(floor(x * 100.0 + 0.5) AS BIGINT)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_segtop(seg STRING)
+        |RETURNS TABLE(c_custkey BIGINT, bal_cents BIGINT)
+        |RETURN SELECT c_custkey, graft_cents(c_acctbal) AS bal_cents
+        |  FROM customer WHERE c_mktsegment = seg
+        |  ORDER BY bal_cents DESC, c_custkey LIMIT 5""".stripMargin)
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    spark.sql(
+      segs.map(s => s"SELECT '$s' AS seg, c_custkey, bal_cents FROM graft_segtop('$s')")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY seg, bal_cents DESC, c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q74_lateral_topk" -> q74LateralTopK,
     "q76_sql_script" -> q76SqlScript,
     "q77_execute_immediate" -> q77ExecuteImmediate,
+    "q79_sql_functions" -> q79SqlFunctions,
     "q58_range_frame" -> q58RangeFrame,
     "q59_correlated" -> q59Correlated,
     "q63_windowed_distinct" -> q63WindowedDistinct,
@@ -552,6 +583,16 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q74_lateral_topk" -> lateralTopKSql,
+    "q79_sql_functions" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment AS seg, c_custkey,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) DESC,
+        |        c_custkey) AS rn
+        |  FROM customer)
+        |SELECT seg, c_custkey, bal_cents FROM ranked WHERE rn <= 5
+        |ORDER BY seg, bal_cents DESC, c_custkey""".stripMargin,
     "q77_execute_immediate" ->
       """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
