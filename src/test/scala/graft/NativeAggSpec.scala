@@ -94,6 +94,30 @@ class NativeAggSpec extends AnyFunSuite {
     assert(e1 == e2)
   }
 
+  test("degenerate inputs: empty frames, all-null keys, k=1") {
+    import spark.implicits._
+    NativeExprs.ensureRegistered(spark)
+    // global aggregate over zero rows: one row, empty sketch
+    val empty = spark.range(0).select($"id".as("k"))
+      .agg(Kmv.sketchAgg(Kmv.uhCol($"k"), 8)).head().getSeq[Long](0)
+    assert(empty.isEmpty)
+    // nulls never enter the sketch
+    val withNulls = spark.range(100)
+      .select(when($"id" % 2 === 0, $"id").as("k"))
+    val sk = withNulls.agg(Kmv.sketchAgg(Kmv.uhCol($"k"), 256)).head().getSeq[Long](0)
+    assert(sk.size == 50)
+    // k=1 keeps exactly the global minimum hash
+    val k1 = spark.range(1000).select($"id".as("k"))
+      .agg(Kmv.sketchAgg(Kmv.uhCol($"k"), 1)).head().getSeq[Long](0)
+    val minUh = (0L until 1000L)
+      .map(x => graft.functions.NativeExprs.mix64(x) ^ Long.MinValue).min
+    assert(k1 == Seq(minUh))
+    // HLL: empty input yields the all-zero register array
+    val regs = spark.range(0).select($"id".as("k"))
+      .agg(call_function("graft_hll_agg", $"k")).head().getSeq[Int](0)
+    assert(regs.size == 256 && regs.forall(_ == 0))
+  }
+
   test("estimate derived from the aggregate sketch tracks truth inside 4 sigma") {
     import spark.implicits._
     NativeExprs.ensureRegistered(spark)
