@@ -209,3 +209,87 @@ case class HllAggExpr(
   override protected def withNewChildInternal(newChild: Expression): HllAggExpr =
     copy(child = newChild)
 }
+
+/** Count-Min counter matrix (3 × 1024) as one typed aggregate.
+  *
+  * Input: the `graft_hash64` item hash, one long per OCCURRENCE (CMS
+  * counts multiplicity — unlike the two sketches above there is no
+  * dedup). Each update increments `Depth` cells whose column indices
+  * are the hash's consecutive 10-bit slices ([[graft.operators.CountMin.positions]]
+  * verbatim). Merge is cell-wise addition — the lattice law GraftProps
+  * pins for the declarative build. Output: the flat `array<long>` of
+  * Depth·Width counters, row-major, which [[graft.operators.CountMin.buildAgg]]
+  * explodes back into the (row, colm, cell) table the unchanged
+  * `estimate` fold consumes — h03's min-over-rows and oracle stay
+  * byte-identical.
+  *
+  * Why it exists next to the declarative build: that form explodes
+  * Depth rows per occurrence and shuffles them into a (row, colm)
+  * hash aggregation — 3× the corpus through an Exchange; this folds
+  * every occurrence into a 24 KB buffer map-side and ships ONE buffer
+  * per task. At 100 TB the counter build stops being a corpus-sized
+  * shuffle entirely.
+  */
+case class CmsAggExpr(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  private val Width = graft.operators.CountMin.Width
+  private val Depth = graft.operators.CountMin.Depth
+
+  override def prettyName: String = "graft_cms_agg"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_cms_agg expects the BIGINT item hash, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Depth * Width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var r = 0
+      while (r < Depth) {
+        buf(r * Width + ((h >>> (r * 10)) & (Width - 1)).toInt) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsAggExpr =
+    copy(child = newChild)
+}

@@ -67,7 +67,8 @@ object NativeExprs {
     "graft_bpe_merge" -> (exprs => BpeMergeExpr(exprs.head, exprs(1), exprs(2))),
     "graft_bpe_apply" -> (exprs => BpeApplyExpr(exprs.head, exprs(1), exprs(2))),
     "graft_kmv_agg" -> (exprs => KmvAggExpr(exprs.head, literalInt(exprs(1)))),
-    "graft_hll_agg" -> (exprs => HllAggExpr(exprs.head)))
+    "graft_hll_agg" -> (exprs => HllAggExpr(exprs.head)),
+    "graft_cms_agg" -> (exprs => CmsAggExpr(exprs.head)))
 
   private def literalInt(e: Expression): Int = {
     require(e.foldable, s"expected a literal int argument, got $e")

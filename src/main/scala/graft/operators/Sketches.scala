@@ -356,6 +356,26 @@ object CountMin {
       .agg(count(lit(1)).as("cell"))
   }
 
+  /** [[build]] rebuilt on the native aggregate
+    * ([[graft.functions.CmsAggExpr]]): same touched-cell (row, colm,
+    * cell) table, but built by ONE ObjectHashAggregate folding every
+    * occurrence into a 24 KB counter buffer map-side — the declarative
+    * form explodes Depth rows per occurrence and shuffles 3× the corpus
+    * into a hash aggregation. The explode back to rows is ≤ Depth·Width
+    * = 3072 rows total, and feeds the UNCHANGED [[estimate]] min-fold,
+    * so h03's output stays bit-identical (NativeAggSpec).
+    */
+  def buildAgg(items: DataFrame, itemCol: String): DataFrame = {
+    graft.functions.NativeExprs.ensureRegistered(items.sparkSession)
+    items
+      .select(call_function("graft_hash64", col(itemCol)).as("_h"))
+      .agg(call_function("graft_cms_agg", col("_h")).as("_cells"))
+      .select(posexplode(col("_cells")).as(Seq("_i", "cell")))
+      .filter(col("cell") > 0)
+      .select(floor(col("_i") / lit(Width)).cast("int").as("row"),
+        (col("_i") % lit(Width)).cast("long").as("colm"), col("cell"))
+  }
+
   /** Point estimates for a key frame: min over rows of the key's
     * cells; keys hashing into never-touched cells read 0.
     */

@@ -75,7 +75,9 @@ object SketchQueries {
 
   /** h03 — Count-Min frequency estimates vs exact counts for the 20
     * most frequent tokens: the sketch (3×1024 integer cells) is built
-    * over every token occurrence, the top-20 query set comes from an
+    * over every token occurrence by ONE native [[graft.functions.CmsAggExpr]]
+    * aggregation (occurrences fold into a 24 KB buffer map-side — no
+    * 3×-corpus explode/shuffle), the top-20 query set comes from an
     * exact count (`TakeOrderedAndProject`, no global window), and the
     * output pins estimate, truth, and the realized one-sided overcount
     * per token. cms_est ≥ exact_cnt ALWAYS (spec-pinned).
@@ -86,7 +88,7 @@ object SketchQueries {
     val toks = Tables.load(spark, dir, "documents")
       .select(explode(TextOps.tokens(TextOps.normalize($"text"))).as("token"))
       .persistScoped() // counters + exact counts both read the tokenized scan
-    val counters = CountMin.build(toks, "token")
+    val counters = CountMin.buildAgg(toks, "token")
     val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
       .orderBy($"exact_cnt".desc, $"token").limit(20)
     val est = CountMin.estimate(top.select($"token"), "token", counters)

@@ -118,6 +118,53 @@ class NativeAggSpec extends AnyFunSuite {
     assert(regs.size == 256 && regs.forall(_ == 0))
   }
 
+  test("CmsAggExpr counter table == declarative CountMin.build, any partitioning") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    NativeExprs.ensureRegistered(spark)
+    // multiplicities matter for CMS: id % k gives skewed token frequencies
+    val items = spark.range(25000)
+      .select(concat(lit("tok"), ($"id" % ($"id" % 97 + 1)) % 500).as("token"))
+      .localCheckpoint()
+    def table(df: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame) =
+      f(df, "token").collect()
+        .map(r => (r.getAs[Number]("row").intValue, r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val declarative = table(items, CountMin.build)
+    assert(declarative.nonEmpty)
+    assert(table(items, CountMin.buildAgg) == declarative)
+    assert(table(items.repartition(37), CountMin.buildAgg) == declarative)
+    // total mass per row == input row count (every occurrence hits each row once)
+    val n = items.count()
+    declarative.groupBy(_._1).foreach { case (_, cells) =>
+      assert(cells.map(_._3).sum == n)
+    }
+    // estimates from the aggregate-built counters stay one-sided
+    val truth = items.groupBy($"token").agg(count(lit(1)).as("exact"))
+    val est = CountMin.estimate(truth.select($"token"), "token",
+      CountMin.buildAgg(items, "token"))
+    val joined = truth.join(est, Seq("token"))
+      .select($"exact", $"cms_est").as[(Long, Long)].collect()
+    assert(joined.nonEmpty && joined.forall { case (ex, e) => e >= ex })
+  }
+
+  test("CmsAggExpr plans as two-phase ObjectHashAggregate; empty input is the zero matrix") {
+    import spark.implicits._
+    NativeExprs.ensureRegistered(spark)
+    val df = spark.range(1000)
+      .select(call_function("graft_hash64", concat(lit("t"), $"id" % 50)).as("_h"))
+      .agg(call_function("graft_cms_agg", $"_h").as("cells"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, s"plan:\n$plan")
+    assert(plan.contains("graft_cms_agg"))
+    val zero = spark.range(0)
+      .select(call_function("graft_hash64", $"id".cast("string")).as("_h"))
+      .agg(call_function("graft_cms_agg", $"_h")).head().getSeq[Long](0)
+    assert(zero.size == 3 * 1024 && zero.forall(_ == 0L))
+  }
+
   test("estimate derived from the aggregate sketch tracks truth inside 4 sigma") {
     import spark.implicits._
     NativeExprs.ensureRegistered(spark)
