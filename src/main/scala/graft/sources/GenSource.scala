@@ -7,13 +7,16 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
 import graft.functions.NativeExprs
 
@@ -69,7 +72,9 @@ class GenSource extends TableProvider with DataSourceRegister {
       properties.asScala.getOrElse("rows", "1000").toLong,
       properties.asScala.getOrElse("slices", "8").toInt,
       properties.asScala.getOrElse("rowsPerBatch", "1000").toLong,
-      properties.asScala.getOrElse("keyGrouped", "false").toBoolean)
+      properties.asScala.getOrElse("keyGrouped", "false").toBoolean,
+      properties.asScala.getOrElse("aggPushdown", "false").toBoolean,
+      properties.asScala.getOrElse("columnar", "false").toBoolean)
 }
 
 object GenSource {
@@ -89,7 +94,8 @@ object GenSource {
   }
 }
 
-class GenTable(rows: Long, slices: Int, rowsPerBatch: Long, keyGrouped: Boolean)
+class GenTable(rows: Long, slices: Int, rowsPerBatch: Long, keyGrouped: Boolean,
+    aggPushdown: Boolean = false, columnar: Boolean = false)
   extends Table with SupportsRead {
   require(rows >= 0 && slices > 0 && rowsPerBatch > 0,
     "graftgen needs rows >= 0, slices > 0, rowsPerBatch > 0")
@@ -98,17 +104,126 @@ class GenTable(rows: Long, slices: Int, rowsPerBatch: Long, keyGrouped: Boolean)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices, rowsPerBatch, keyGrouped)
+    new GenScanBuilder(rows, slices, rowsPerBatch, keyGrouped, aggPushdown, columnar)
+}
+
+/** One accepted pushed-down aggregate: `op` ∈ count/min/max/sum, `field`
+  * is the generated column (empty for count(*)).
+  */
+case class GenAggSpec(op: String, field: String) {
+  def outType: org.apache.spark.sql.types.DataType = op match {
+    case "count" | "sum" => LongType
+    case _ => if (field == "category") IntegerType else LongType
+  }
+  override def toString: String = if (op == "count") "COUNT(*)" else s"${op.toUpperCase}($field)"
+}
+
+/** The pushed aggregation: optional group-by-`category` + the specs, in
+  * Spark's requested order.
+  */
+case class GenAggPush(groupByCategory: Boolean, specs: Seq[GenAggSpec]) {
+  /** Scan output schema: grouping columns FIRST, then one column per
+    * aggregate — the order `V2ScanRelationPushDown` rewires its final
+    * aggregation against.
+    */
+  def schema: StructType = StructType(
+    (if (groupByCategory) Seq(StructField("category", IntegerType, nullable = false))
+     else Nil) ++
+      specs.zipWithIndex.map { case (s, i) =>
+        StructField(s"agg_$i", s.outType, nullable = false)
+      })
 }
 
 class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
-    keyGrouped: Boolean = false) extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    keyGrouped: Boolean = false, aggPushdown: Boolean = false,
+    columnar: Boolean = false) extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit with SupportsPushDownTopN
+  with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GenSource.schema
+  private var pushedAgg: Option[GenAggPush] = None
+  private var partialFlag = true
+
+  /** LIMIT n over an arbitrary-order scan: any n generated rows satisfy
+    * it, so truncate the interval to its first n ids — FULLY pushed
+    * (`isPartiallyPushed` false), Spark drops its own limit and the
+    * source never generates a row past it.
+    */
+  override def pushLimit(n: Int): Boolean =
+    if (pushedAgg.nonEmpty) false
+    else {
+      hi = math.min(hi, if (lo > hi - n) hi else lo + n)
+      partialFlag = false
+      true
+    }
+
+  /** ORDER BY id LIMIT n: the id order is the generation order, so the
+    * top-n ids are a PREFIX (ASC) or SUFFIX (DESC) of the interval.
+    * Partially pushed — slices return their n-row window but Spark
+    * keeps the final sort, since cross-slice order is not a scan
+    * guarantee.
+    */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val onId = orders.length == 1 && (orders(0).expression match {
+      case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+      case _ => false
+    })
+    if (pushedAgg.nonEmpty || !onId) false
+    else {
+      if (orders(0).direction == SortDirection.ASCENDING)
+        hi = math.min(hi, if (lo > hi - n) hi else lo + n)
+      else lo = math.max(lo, if (hi < lo + n) lo else hi - n)
+      partialFlag = true
+      true
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = partialFlag
+
+  /** Aggregate pushdown (opt-in via `aggPushdown`): COUNT(*) / MIN /
+    * MAX / non-distinct SUM over generated columns, optionally grouped
+    * by `category`, are absorbed; the scan then emits ≤16 pre-aggregated
+    * rows per task and Spark's FINAL aggregation merges partials
+    * (`supportCompletePushDown` stays false — with multiple slices the
+    * scan output is per-task partials, exactly the map-side-combine
+    * contract). The 100 TB reading: the source computes per-shard
+    * aggregates where the data lives and ships GROUP COUNTS, not rows.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!aggPushdown) return false
+    def fieldOf(e: VExpression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 &&
+        GenSource.schema.fieldNames.contains(f.fieldNames.head) =>
+        Some(f.fieldNames.head)
+      case _ => None
+    }
+    val groupOk = agg.groupByExpressions match {
+      case Array() => Some(false)
+      case Array(g) if fieldOf(g).contains("category") => Some(true)
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GenAggSpec("count", ""))
+      // count(col) over never-null generated columns ≡ count(*)
+      case c: Count if !c.isDistinct => fieldOf(c.column).map(_ => GenAggSpec("count", ""))
+      case m: Min => fieldOf(m.column).map(GenAggSpec("min", _))
+      case m: Max => fieldOf(m.column).map(GenAggSpec("max", _))
+      case s: Sum if !s.isDistinct => fieldOf(s.column).map(GenAggSpec("sum", _))
+      case _ => None
+    }
+    (groupOk, specs.forall(_.isDefined)) match {
+      case (Some(g), true) =>
+        pushedAgg = Some(GenAggPush(g, specs.map(_.get)))
+        true
+      case _ => false
+    }
+  }
 
   /** Absorb what narrows the id interval; everything else stays post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -139,19 +254,65 @@ class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
 
   override def build(): Scan =
     new GenScan(rows, math.max(lo, 0L), math.max(hi, lo), slices, required,
-      rowsPerBatch, keyGrouped)
+      rowsPerBatch, keyGrouped, pushedAgg, columnar)
 }
 
 class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType,
-    rowsPerBatch: Long, keyGrouped: Boolean = false)
+    rowsPerBatch: Long, keyGrouped: Boolean = false,
+    pushedAgg: Option[GenAggPush] = None, columnar: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    pushedAgg.map(_.schema).getOrElse(required)
 
   override def description(): String = {
     val planned = planInputPartitions().length
-    s"graftgen range=[$lo,$hi) slices=$planned/$slices cols=[${required.fieldNames.mkString(",")}]"
+    val agg = pushedAgg.map(a => s" PushedAggregates=[${a.specs.mkString(",")}]" +
+      (if (a.groupByCategory) " PushedGroupBy=[category]" else "")).getOrElse("")
+    val rf = runtimeCats.map(cs => s" runtimeCategories=[${cs.toSeq.sorted.mkString(",")}]")
+      .getOrElse("")
+    s"graftgen range=[$lo,$hi) slices=$planned/$slices cols=[${required.fieldNames.mkString(",")}]$agg$rf"
+  }
+
+  /** Runtime (join-driven) filtering, the DSv2 face of dynamic partition
+    * pruning: in keyGrouped mode the scan offers `category`, and when a
+    * selective join broadcasts its build-side keys Spark hands back an
+    * IN/= predicate BEFORE tasks launch — whole category partitions are
+    * then never planned. Unparseable predicates are ignored (pruning is
+    * an optimization; correctness never depends on it).
+    */
+  @volatile private var runtimeCats: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (keyGrouped) Array(Expressions.column("category")) else Array.empty
+
+  override def filter(predicates: Array[VPredicate]): Unit = {
+    def litInt(e: VExpression): Option[Int] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value() match {
+          case i: java.lang.Integer => Some(i.intValue)
+          case i: java.lang.Long => Some(i.intValue)
+          case _ => None
+        }
+      case _ => None
+    }
+    def isCategory(e: VExpression): Boolean = e match {
+      case f: NamedReference => f.fieldNames.sameElements(Array("category"))
+      case _ => false
+    }
+    val parsed = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && isCategory(kids.head) =>
+          val vals = kids.tail.map(litInt)
+          if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+        case "=" if kids.length == 2 && isCategory(kids.head) =>
+          litInt(kids(1)).map(Set(_))
+        case _ => None
+      }
+    }
+    if (parsed.nonEmpty) runtimeCats = Some(parsed.reduce(_ intersect _))
   }
 
   override def toBatch: Batch = this
@@ -167,7 +328,9 @@ class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType,
     */
   override def planInputPartitions(): Array[InputPartition] =
     if (keyGrouped)
-      (0 until 16).map(c => GenKeyedSlice(lo, hi, c): InputPartition).toArray
+      (0 until 16).iterator
+        .filter(c => runtimeCats.forall(_.contains(c)))
+        .map(c => GenKeyedSlice(lo, hi, c): InputPartition).toArray
     else (0 until slices).iterator.map { s =>
       val sLo = rows * s / slices
       val sHi = rows * (s + 1) / slices
@@ -190,14 +353,22 @@ class GenScan(rows: Long, lo: Long, hi: Long, slices: Int, required: StructType,
     else new UnknownPartitioning(planInputPartitions().length)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GenReaderFactory(required.fieldNames)
+    pushedAgg match {
+      case Some(agg) => new GenAggReaderFactory(agg)
+      case None => new GenReaderFactory(required.fieldNames, columnar)
+    }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GenMicroBatchStream(lo, hi, slices, required.fieldNames, rowsPerBatch)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(hi - lo, 0L) * 24L)
-    override def numRows(): OptionalLong = OptionalLong.of(math.max(hi - lo, 0L))
+    private def outRows: Long = pushedAgg match {
+      case Some(a) =>
+        if (hi <= lo) 0L else if (a.groupByCategory) math.min(16L, hi - lo) else 1L
+      case None => math.max(hi - lo, 0L)
+    }
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(outRows * 24L)
+    override def numRows(): OptionalLong = OptionalLong.of(outRows)
   }
 }
 
@@ -266,7 +437,8 @@ case class GenOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-class GenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+class GenReaderFactory(fields: Array[String], columnar: Boolean = false)
+  extends PartitionReaderFactory {
 
   private abstract class RowReader extends PartitionReader[InternalRow] {
     protected var i: Long = 0L
@@ -298,4 +470,125 @@ class GenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
         override def next(): Boolean = { i += 1; i < p.hi }
       }
     }
+
+  /** Vectorized path (opt-in via `columnar`): rows are generated straight
+    * into on-heap column vectors in 4096-row batches, and the plan gains
+    * a `ColumnarToRow` bridge (or feeds columnar-capable operators
+    * directly) — the generator's analog of parquet's vectorized reader,
+    * where batch-at-a-time beats row-at-a-time on pure iteration cost.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && partition.isInstanceOf[GenSlice]
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GenSlice]
+    val schema = StructType(fields.map(f =>
+      GenSource.schema(GenSource.schema.fieldIndex(f))))
+    new PartitionReader[ColumnarBatch] {
+      private val BatchRows = 4096
+      private var i: Long = p.lo
+      private var batch: ColumnarBatch = _
+      private def closeBatch(): Unit = if (batch != null) { batch.close(); batch = null }
+      override def next(): Boolean = {
+        closeBatch()
+        if (i >= p.hi) return false
+        val n = math.min(BatchRows.toLong, p.hi - i).toInt
+        val vecs = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+          .allocateColumns(n, schema)
+        var r = 0
+        while (r < n) {
+          var c = 0
+          while (c < fields.length) {
+            GenSource.field(fields(c), i + r) match {
+              case v: Long => vecs(c).putLong(r, v)
+              case v: Int => vecs(c).putInt(r, v)
+            }
+            c += 1
+          }
+          r += 1
+        }
+        i += n
+        batch = new ColumnarBatch(vecs.toArray[ColumnVector], n)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = closeBatch()
+    }
+  }
+}
+
+/** Reader for a scan with a PUSHED aggregation: each task folds its
+  * slice into ≤16 (grouped) or 1 (global) accumulator rows and emits
+  * those — the shuffle and Spark's final aggregation see group
+  * partials, never base rows. Count of a group that the slice does not
+  * contain emits nothing (hash-aggregate semantics; Spark's final agg
+  * reconstitutes empty-input results itself).
+  */
+class GenAggReaderFactory(agg: GenAggPush) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (lo, hi, only) = partition match {
+      case p: GenKeyedSlice => (p.lo, p.hi, Some(p.category))
+      case p: GenSlice => (p.lo, p.hi, None)
+    }
+    val nGroups = if (agg.groupByCategory) 16 else 1
+    val counts = new Array[Long](nGroups)
+    val accs = Array.fill(agg.specs.length)(new Array[Long](nGroups))
+    val mins = agg.specs.map(_.op == "min")
+    val maxs = agg.specs.map(_.op == "max")
+    var s = 0
+    while (s < agg.specs.length) {
+      if (mins(s)) java.util.Arrays.fill(accs(s), Long.MaxValue)
+      if (maxs(s)) java.util.Arrays.fill(accs(s), Long.MinValue)
+      s += 1
+    }
+    var i = lo
+    while (i < hi) {
+      val h = NativeExprs.mix64(i)
+      val cat = ((h >>> 8) & 15L).toInt
+      if (only.forall(_ == cat)) {
+        val g = if (agg.groupByCategory) cat else 0
+        counts(g) += 1L
+        var k = 0
+        while (k < agg.specs.length) {
+          val spec = agg.specs(k)
+          if (spec.op != "count") {
+            val v = spec.field match {
+              case "id" => i
+              case "category" => cat.toLong
+              case "value" => (h >>> 16) & 0xffffL
+            }
+            val a = accs(k)
+            spec.op match {
+              case "min" => if (v < a(g)) a(g) = v
+              case "max" => if (v > a(g)) a(g) = v
+              case "sum" => a(g) += v
+            }
+          }
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = (0 until nGroups).filter(counts(_) > 0L).map { g =>
+      val vals = new Array[Any](agg.schema.length)
+      var c = 0
+      if (agg.groupByCategory) { vals(0) = g; c = 1 }
+      var k = 0
+      while (k < agg.specs.length) {
+        val spec = agg.specs(k)
+        val raw = if (spec.op == "count") counts(g) else accs(k)(g)
+        vals(c + k) = if (spec.outType == IntegerType) raw.toInt else raw
+        k += 1
+      }
+      new GenericInternalRow(vals): InternalRow
+    }.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = out.hasNext; if (h) cur = out.next(); h }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }

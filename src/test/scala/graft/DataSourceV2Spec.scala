@@ -19,8 +19,17 @@ class DataSourceV2Spec extends AnyFunSuite {
     spark.read.format("graftgen")
       .option("rows", rows.toString).option("slices", slices.toString).load()
 
+  private def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scansIn)
+    }
+
   private def batchScan(df: org.apache.spark.sql.DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+    scansIn(df.queryExecution.executedPlan).headOption
       .getOrElse(fail("no BatchScanExec in plan:\n" +
         df.queryExecution.executedPlan.toString))
 
@@ -260,5 +269,117 @@ class DataSourceV2Spec extends AnyFunSuite {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("LIMIT pushes fully into the scan: the interval truncates, one shard plans") {
+    val df = gen(1000, 10).limit(37)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == (0L until 37L))
+    val scan = batchScan(df)
+    assert(scan.scan.description().contains("range=[0,37)"),
+      s"limit must truncate the interval: ${scan.scan.description()}")
+    assert(scan.inputPartitions.size == 1, "37 ids intersect exactly one 100-id shard")
+  }
+
+  test("ORDER BY id LIMIT pushes as a prefix/suffix interval; Spark keeps the final sort") {
+    val asc = gen(1000, 10).orderBy(col("id")).limit(5)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+    assert(batchScan(asc).scan.description().contains("range=[0,5)"))
+    val desc = gen(1000, 10).orderBy(col("id").desc).limit(5)
+    assert(desc.collect().map(_.getLong(0)).toSeq == (999L to 995L by -1L))
+    assert(batchScan(desc).scan.description().contains("range=[995,1000)"),
+      s"DESC top-n must keep the interval SUFFIX: ${batchScan(desc).scan.description()}")
+    // top-n on a non-id column cannot push; results stay correct
+    val byValue = gen(1000, 10).orderBy(col("value"), col("id")).limit(3)
+    val want = (0L until 1000L).map(i => (NativeExprs.mix64(i) >>> 16 & 0xffffL, i))
+      .sorted.take(3).map(_._2)
+    assert(byValue.collect().map(_.getLong(0)).toSeq == want)
+    assert(batchScan(byValue).scan.description().contains("range=[0,1000)"))
+  }
+
+  private def aggGen(rows: Long, pushdown: Boolean) =
+    spark.read.format("graftgen")
+      .option("rows", rows.toString).option("slices", "8")
+      .option("aggPushdown", pushdown.toString).load()
+
+  test("aggregate pushdown: scan emits group partials, Spark merges, rows identical") {
+    def pipeline(pushdown: Boolean) =
+      aggGen(4000, pushdown)
+        .filter(col("id") < 3000L)
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          min(col("value")).as("mv"), max(col("id")).as("mx"))
+        .orderBy(col("category"))
+    val pushed = pipeline(pushdown = true)
+    val got = pushed.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val want = pipeline(pushdown = false).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want && got.size == 16)
+    val scan = batchScan(pushed)
+    assert(scan.scan.description().contains("PushedAggregates=[COUNT(*),SUM(value),MIN(value),MAX(id)]"),
+      s"scan must carry the pushed aggregates: ${scan.scan.description()}")
+    assert(scan.scan.description().contains("PushedGroupBy=[category]"))
+    // the scan's output schema IS the aggregation schema: grouping col first
+    val schema = scan.scan.readSchema().fieldNames.toSeq
+    assert(schema.head == "category" && schema.size == 5, s"agg scan schema: $schema")
+    // row economics: ≤16 partial rows per task instead of 3000 base rows
+    val partials = scan.metrics("numOutputRows").value
+    assert(partials <= 16L * scan.inputPartitions.size && partials >= 16L,
+      s"scan emitted $partials rows over ${scan.inputPartitions.size} tasks")
+  }
+
+  test("aggregate pushdown: global (ungrouped) partials and empty intervals") {
+    def agg(pushdown: Boolean, cap: Long) =
+      aggGen(2000, pushdown).filter(col("id") < cap)
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mv"), max(col("value")).as("mx"))
+    for (cap <- Seq(2000L, 700L, 0L)) {
+      val p = agg(pushdown = true, cap).collect().head
+      val b = agg(pushdown = false, cap).collect().head
+      assert(p == b, s"cap=$cap pushed=$p base=$b")
+    }
+    // empty interval: zero partial rows, final agg reconstitutes count=0 + null min/max
+    val empty = agg(pushdown = true, 0L).collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+    val scanned = agg(pushdown = true, 2000L)
+    scanned.collect()
+    assert(batchScan(scanned).scan.description().contains("PushedAggregates=[COUNT(*),MIN(value),MAX(value)]"))
+  }
+
+  test("runtime v2 filtering: a DPP join prunes key-grouped category partitions") {
+    val fact = spark.read.format("graftgen")
+      .option("rows", "4000").option("keyGrouped", "true").load()
+    // the selective predicate must be on a NON-join-key column: a filter
+    // on `category` itself would be statically inferred onto the fact
+    // side (constraint propagation) and leave nothing to prune at
+    // runtime. k=34 → category 2, k=57 → category 9 — knowable only by
+    // executing the dim.
+    val dim = spark.range(0, 160)
+      .select((col("id") % 16).cast("int").as("category"), col("id").as("k"))
+      .filter(col("k") === 34 || col("k") === 57)
+    val joined = fact.join(dim, Seq("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n"))
+      .orderBy(col("category"))
+    val got = joined.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // truth from the driver-side replay
+    val byCat = (0L until 4000L).groupBy(i => ((NativeExprs.mix64(i) >>> 8) & 15L).toInt)
+    assert(got == Seq(2, 9).map(c => (c, byCat(c).size.toLong)))
+    val plan = finalPlanString(joined)
+    assert(plan.contains("runtimeCategories=[2,9]"),
+      s"scan must record the runtime-pruned categories:\n$plan")
+  }
+
+  test("columnar read path: ColumnarToRow in plan, content identical to row reads") {
+    def colGen(columnar: Boolean) = spark.read.format("graftgen")
+      .option("rows", "10000").option("slices", "3")
+      .option("columnar", columnar.toString).load()
+    val vec = colGen(columnar = true).filter(col("id") >= 100L)
+    val got = vec.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val want = colGen(columnar = false).filter(col("id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq && got.length == 9900)
+    val plan = vec.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"vectorized scan must enter the plan behind a ColumnarToRow bridge:\n$plan")
   }
 }
