@@ -898,6 +898,43 @@ object DuckSketchSql {
        |ORDER BY ga.category""".stripMargin
   }
 
+  /** q80 — [[q73]]'s generator replay with the pushed-down shape:
+    * first-two-thirds id filter, per-category count/sum/min/max. The
+    * pushdown is a plan property; the oracle pins the VALUES the
+    * source-side aggregation must reproduce.
+    */
+  val q80: String = {
+    val (mix, last) = mix64Ctes("gp", "zg0", Seq("id"))
+    s"""WITH nn AS (SELECT count(*) AS n FROM lineitem),
+       |ids AS (SELECT unnest(range(0, (SELECT n FROM nn), 1)) AS id),
+       |fl AS (SELECT id FROM ids WHERE id < (SELECT 2 * n // 3 FROM nn)),
+       |zg0 AS (SELECT id, id::HUGEINT AS z FROM fl),
+       |$mix,
+       |rw AS (SELECT id, CAST((z // 256) % 16 AS INT) AS category,
+       |         CAST((z // 65536) % 65536 AS BIGINT) AS value FROM $last)
+       |SELECT category, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(value) AS BIGINT) AS sum_val,
+       |  min(value) AS min_val, max(id) AS max_id
+       |FROM rw GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q81 — the V2 function catalog's `mix64` replayed closed-form:
+    * unsigned top-4-bit bucket (`z // 2^60`) + SIGNED min/max of the
+    * mixed value (`toSigned`), over |customer| ids.
+    */
+  val q81: String = {
+    val (mix, last) = mix64Ctes("fc", "zq0", Seq("id"))
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+       |ids AS (SELECT unnest(range(0, (SELECT n FROM nn), 1)) AS id),
+       |zq0 AS (SELECT id, id::HUGEINT AS z FROM ids),
+       |$mix,
+       |mm AS (SELECT CAST(z // 1152921504606846976 AS INT) AS bucket,
+       |         ${toSigned("z")} AS m FROM $last)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(m) AS min_m, max(m) AS max_m
+       |FROM mm GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** c20 — BPE merge-trainer replay: `numMerges` unrolled rounds, each
     * = pair-count over adjacent positions → deterministic top-1
     * (count DESC, lhs, rhs) → greedy left-to-right merge via

@@ -340,10 +340,111 @@ object IngestQueries {
     a.join(b, Seq("category")).orderBy($"category")
   }
 
+  /** q80 — AGGREGATE PUSHDOWN into the connector
+    * ([[graft.sources.GenScanBuilder.pushAggregation]]): the id filter
+    * narrows the interval first, then the whole
+    * `GROUP BY category: count/sum/min/max` is absorbed by the scan —
+    * each task folds its slice into ≤16 pre-aggregated rows where the
+    * data is generated, Spark's FINAL aggregation merges partials, and
+    * no base row ever crosses the source boundary (the explain carries
+    * `PushedAggregates`; DataSourceV2Spec pins the plan and the
+    * row-count economics). The DuckDB oracle replays the generator
+    * closed-form, so the pushed computation — not just its shape — is
+    * hash-checked. The 100 TB reading: per-shard aggregation at the
+    * storage layer, group counts over the wire instead of rows.
+    */
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "lineitem").count()
+    spark.read.format("graftgen")
+      .option("rows", n.toString).option("slices", "16")
+      .option("aggPushdown", "true").load()
+      .filter($"id" < lit(2L * n / 3))
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n_rows"), sum($"value").as("sum_val"),
+        min($"value").as("min_val"), max($"id").as("max_id"))
+      .orderBy($"category")
+  }
+
+  /** q81 — V2 FUNCTION CATALOG ([[graft.sources.GraftFunctionCatalog]]):
+    * `graft_fns.fns.mix64` resolves through the catalog plugin and binds
+    * via the ScalarFunction MAGIC METHOD, so codegen calls the JVM
+    * mixer directly from the generated loop — no UDF closure, no row
+    * boxing (V2FunctionSpec pins the Invoke plan shape). Top-4-bit
+    * bucketing + signed min/max over the mixed values make the oracle
+    * exercise both the unsigned slice and the signed reading of the
+    * same HUGEINT replay (`toSigned`).
+    */
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val n = Tables.load(spark, dir, "customer").count()
+    spark.sql(
+      s"""SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(m) AS min_m, max(m) AS max_m
+         |FROM (SELECT graft_fns.fns.mix64(id) AS m,
+         |             CAST(shiftrightunsigned(graft_fns.fns.mix64(id), 60) AS INT) AS bucket
+         |      FROM range($n))
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin)
+  }
+
+  /** q82 — the `graftlake` TRANSACTIONAL table lifecycle
+    * ([[graft.sources.GraftLakeCatalog]]) as a correctness row: CREATE
+    * through a v2 catalog plugin, append (v1), `MERGE INTO` upserting
+    * order deltas + ghost inserts (v2, copy-on-write with runtime group
+    * filtering), a string-predicate DELETE that must take the COW path
+    * (v3), a key-range DELETE (v4), then one result frame combining the
+    * final per-segment aggregate with TIME-TRAVEL row counts of every
+    * version. The DuckDB oracle replays the whole mutation history
+    * relationally (left-join merge, filter deletes, per-version counts)
+    * — so the snapshot isolation, the rewrite arithmetic, and the
+    * time-travel reads are all value-checked, not just exercised.
+    * GraftLakeSpec pins the file-census/plan claims (no-rewrite
+    * metadata deletes, group-filtered COW, optimistic commit).
+    */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q82").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.accounts"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT)")
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+      .repartition(4)
+      .writeTo(t).append() // v1
+    val delta = Tables.load(spark, dir, "orders")
+      .filter(year($"o_orderdate") === 1995)
+      .groupBy($"o_custkey")
+      .agg(sum(graft.functions.gf.fixed($"o_totalprice", 100.0)).as("d"))
+      .select($"o_custkey".as("k"), $"d")
+    delta.unionByName(delta.select(($"k" + 10000000L).as("k"), $"d"))
+      .createOrReplaceTempView("q82_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING q82_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET t.bal = t.bal + s.d
+         |WHEN NOT MATCHED THEN INSERT (k, seg, bal) VALUES (s.k, 'ghost', s.d)""".stripMargin) // v2
+    spark.sql(s"DELETE FROM $t WHERE seg = 'FURNITURE'") // v3 (COW: stats cannot decide a string)
+    spark.sql(s"DELETE FROM $t WHERE k >= 10000000") // v4 (drops the ghosts)
+    def cnt(v: Int) = broadcast(spark.sql(
+      s"SELECT CAST(count(*) AS BIGINT) AS v${v}_rows FROM $t VERSION AS OF $v"))
+    spark.table(t).groupBy($"seg")
+      .agg(count(lit(1)).as("n_rows"), sum($"bal").as("sum_bal"))
+      .crossJoin(cnt(1)).crossJoin(cnt(2)).crossJoin(cnt(3)).crossJoin(cnt(4))
+      .orderBy($"seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
+    "q80_agg_pushdown" -> q80,
+    "q81_v2_functions" -> q81,
+    "q82_lake_lifecycle" -> q82,
     "q46_schema_evolution" -> q46,
     "q50_partition_refresh" -> q50,
     "q51_orc_roundtrip" -> q51,
@@ -362,6 +463,35 @@ object IngestQueries {
     "q73_dsv2_source" -> DuckSketchSql.q73,
     "q75_dsv2_stream" -> DuckSketchSql.q75,
     "q78_spj_join" -> DuckSketchSql.q78,
+    "q80_agg_pushdown" -> DuckSketchSql.q80,
+    "q81_v2_functions" -> DuckSketchSql.q81,
+    "q82_lake_lifecycle" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |dl AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |v2 AS (
+        |  SELECT b.k, b.seg, b.bal + coalesce(dl.d, 0) AS bal
+        |  FROM base b LEFT JOIN dl ON b.k = dl.k
+        |  UNION ALL
+        |  SELECT k + 10000000, 'ghost', d FROM dl),
+        |v3 AS (SELECT * FROM v2 WHERE seg <> 'FURNITURE'),
+        |v4 AS (SELECT * FROM v3 WHERE k < 10000000),
+        |h AS (SELECT
+        |  CAST((SELECT count(*) FROM base) AS BIGINT) AS v1_rows,
+        |  CAST((SELECT count(*) FROM v2) AS BIGINT) AS v2_rows,
+        |  CAST((SELECT count(*) FROM v3) AS BIGINT) AS v3_rows,
+        |  CAST((SELECT count(*) FROM v4) AS BIGINT) AS v4_rows)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal,
+        |  v1_rows, v2_rows, v3_rows, v4_rows
+        |FROM v4 CROSS JOIN h
+        |GROUP BY seg, v1_rows, v2_rows, v3_rows, v4_rows
+        |ORDER BY seg""".stripMargin,
     "q64_variant_decode" ->
       """WITH j AS (
         |  SELECT printf('{"key":%d,"prio":"%s","amt":%d,"cust":{"id":%d}}',

@@ -1,0 +1,965 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graftlake` — a minimal TRANSACTIONAL table format + catalog plugin:
+  * the Iceberg/Delta-shaped contract re-derived from the public DSv2
+  * API so every mutation the reference pipeline performs on its lake
+  * (append, overwrite-correct, delete, upsert) has a snapshot-isolated,
+  * time-travelable analog.
+  *
+  * Layout on storage (local FS here; the IO seam is `LakeLog`, which a
+  * cluster deployment would route through the Hadoop FileSystem API —
+  * the protocol below is storage-agnostic):
+  *
+  * {{{
+  *   <warehouse>/<namespace...>/<table>/
+  *     _log/v00000000.json      // FULL snapshot per version: schema + file list + stats
+  *     data/<uuid>.jsonl        // immutable data files (one JSON array per row)
+  * }}}
+  *
+  * The LOG is the table: a reader resolves the highest contiguous
+  * version and plans exactly that snapshot's files (uncommitted data
+  * files are invisible — writers never publish by renaming data, only
+  * by committing a new log version). Commits are OPTIMISTIC: a writer
+  * computes its successor snapshot, then publishes it with an atomic
+  * create-if-absent of `v{N+1}`; losing a race re-reads the head,
+  * revalidates (row-level ops require their scanned files to still be
+  * live), and retries — snapshot isolation without any lock service,
+  * exactly the object-store commit protocol of the production formats.
+  *
+  * Capabilities wired through Spark's own command rewrites
+  * (GraftLakeSpec pins each):
+  *
+  *   - **Catalog plugin** ([[GraftLakeCatalog]]): `CREATE/DROP TABLE`,
+  *     `INSERT INTO`, plus TIME TRAVEL — `VERSION AS OF n` resolves the
+  *     pinned snapshot through `loadTable(ident, version)`.
+  *   - **Scan**: column pruning, per-file min/max STATS SKIPPING on
+  *     numeric predicates (predicates stay post-scan — file skipping is
+  *     an optimization, never a correctness dependency), and a `_file`
+  *     METADATA COLUMN ([[SupportsMetadataColumns]]).
+  *   - **Metadata-only DELETE** ([[SupportsDeleteV2]]): when every live
+  *     file's stats DECIDE the predicate (all-match or none-match),
+  *     `DELETE FROM` drops whole files from the log and rewrites
+  *     nothing (Spark's `OptimizeMetadataOnlyDeleteFromTable` chooses
+  *     this over the row-level rewrite exactly when `canDeleteWhere`
+  *     says so).
+  *   - **Copy-on-write row-level ops** ([[SupportsRowLevelOperations]]):
+  *     `DELETE`/`UPDATE`/`MERGE INTO` plan as ReplaceData — the
+  *     operation's scan reads affected files, Spark computes the
+  *     surviving + changed rows, and commit atomically swaps scanned
+  *     files for rewritten ones. The scan implements
+  *     [[SupportsRuntimeV2Filtering]] on `_file`, so Spark's runtime
+  *     group filtering first finds WHICH files contain matches and the
+  *     rewrite touches only those — at 100 TB an UPDATE of one key
+  *     rewrites one file, not the table.
+  */
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
+
+  private var catName: String = "graftlake"
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.warehouse")))
+    Files.createDirectories(warehouse)
+  }
+  override def name(): String = catName
+
+  private def tableDir(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name()).foldLeft(warehouse)(_.resolve(_))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve("_log")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    LakeLog.currentSnapshot(dir).map(new LakeTable(dir, _, None)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+  }
+
+  /** TIME TRAVEL: `VERSION AS OF n` pins snapshot `n`; the pinned table
+    * is read-only history (writes still go through the head).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val v = version.toLong
+    LakeLog.snapshotAt(dir, v).map(new LakeTable(dir, _, Some(v))).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "graftlake does not support partition transforms")
+    schema.fields.foreach { f =>
+      require(LakeCodec.supported(f.dataType),
+        s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
+          s"got ${f.name}: ${f.dataType.simpleString}")
+    }
+    val dir = tableDir(ident)
+    if (LakeLog.currentSnapshot(dir).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    Files.createDirectories(dir.resolve("data"))
+    LakeLog.commit(dir, expectedVersion = -1L,
+      LakeSnapshot(0L, schema, Seq.empty))
+    new LakeTable(dir, LakeSnapshot(0L, schema, Seq.empty), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graftlake: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!Files.isDirectory(dir)) false
+    else {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graftlake: RENAME TABLE not supported")
+
+  // -- minimal namespace support (directories under the warehouse) --
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator().asScala.filter(Files.isDirectory(_))
+      .filter(p => !Files.isDirectory(p.resolve("_log")))
+      .map(p => Array(p.getFileName.toString)).toArray
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+  override def createNamespace(
+      namespace: Array[String], metadata: java.util.Map[String, String]): Unit =
+    Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_)))
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graftlake: ALTER NAMESPACE not supported")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) false
+    else if (!cascade && Files.list(dir).iterator().asScala.nonEmpty) false
+    else {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      true
+    }
+  }
+
+  // -- stored procedures: CALL <cat>.system.{compact,vacuum,history} --
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      LakeProcedures.Names.map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")) &&
+      LakeProcedures.Names.contains(ident.name),
+      s"graftlake: unknown procedure $ident (have system.{${LakeProcedures.Names.mkString(",")}})")
+    LakeProcedures.load(ident.name, catName, warehouse)
+  }
+}
+
+/** One data file's log entry: path relative to the table dir, row count,
+  * per-numeric-column min/max (the stats metadata deletes and file
+  * skipping decide on), and — for files written by a STREAMING epoch —
+  * the epoch id, so a replayed epoch can replace exactly its own files
+  * (the idempotent-commit half of streaming exactly-once).
+  */
+case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
+    epoch: Option[Long] = None)
+
+/** One committed table version: the schema + the COMPLETE live file
+  * list (full snapshots per version keep reads O(1) log files; a
+  * production format would compact deltas the same way).
+  */
+case class LakeSnapshot(version: Long, schema: StructType, files: Seq[LakeFile])
+
+/** Log IO + the optimistic commit protocol. */
+object LakeLog {
+  private val mapper = new ObjectMapper()
+
+  private def logDir(dir: Path): Path = dir.resolve("_log")
+  private def versionFile(dir: Path, v: Long): Path =
+    logDir(dir).resolve(f"v$v%08d.json")
+
+  def currentVersion(dir: Path): Option[Long] = {
+    val ld = logDir(dir)
+    if (!Files.isDirectory(ld)) None
+    else Files.list(ld).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .maxOption
+  }
+
+  def currentSnapshot(dir: Path): Option[LakeSnapshot] =
+    currentVersion(dir).flatMap(snapshotAt(dir, _))
+
+  def snapshotAt(dir: Path, v: Long): Option[LakeSnapshot] = {
+    val f = versionFile(dir, v)
+    if (!Files.isRegularFile(f)) None
+    else {
+      val root = mapper.readTree(Files.readAllBytes(f))
+      val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
+      val files = root.get("files").elements().asScala.map { fn =>
+        val stats = fn.get("stats").properties().asScala
+          .map(e => e.getKey -> (e.getValue.get(0).asLong, e.getValue.get(1).asLong))
+          .toMap
+        LakeFile(fn.get("path").asText(), fn.get("rows").asLong, stats,
+          Option(fn.get("epoch")).map(_.asLong))
+      }.toSeq
+      Some(LakeSnapshot(v, schema, files))
+    }
+  }
+
+  /** Publish `snapshot` as the successor of `expectedVersion` with an
+    * atomic create-if-absent; returns false when another writer won the
+    * race (caller re-reads the head, revalidates, retries).
+    */
+  def commit(dir: Path, expectedVersion: Long, snapshot: LakeSnapshot): Boolean = {
+    val root = mapper.createObjectNode()
+    root.put("version", snapshot.version)
+    root.put("schema", snapshot.schema.json)
+    val arr = root.putArray("files")
+    snapshot.files.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("path", f.path)
+      fn.put("rows", f.rows)
+      f.epoch.foreach(fn.put("epoch", _))
+      val st = fn.putObject("stats")
+      f.stats.foreach { case (c, (lo, hi)) =>
+        val a = st.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
+    require(snapshot.version == expectedVersion + 1,
+      s"commit must advance the version by one: $expectedVersion -> ${snapshot.version}")
+    Files.createDirectories(logDir(dir))
+    val tmp = Files.createTempFile(logDir(dir), ".commit", ".tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    try {
+      // hard-link the finished tmp into place: link(2) is atomic AND
+      // fails if the target exists — exactly one writer can publish
+      // v{N+1}, and readers never observe a partial file (rename(2)
+      // would silently REPLACE an existing version on POSIX)
+      Files.createLink(versionFile(dir, snapshot.version), tmp)
+      Files.delete(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+}
+
+/** Row <-> JSON-line codec (the storage encoding; schema-driven so the
+  * reader never guesses types from JSON token shapes).
+  */
+object LakeCodec {
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  def write(gen: com.fasterxml.jackson.core.JsonGenerator,
+      row: InternalRow, schema: StructType): Unit = {
+    gen.writeStartArray()
+    var i = 0
+    while (i < schema.length) {
+      if (row.isNullAt(i)) gen.writeNull()
+      else schema(i).dataType match {
+        case LongType => gen.writeNumber(row.getLong(i))
+        case IntegerType => gen.writeNumber(row.getInt(i))
+        case DoubleType => gen.writeNumber(row.getDouble(i))
+        case StringType => gen.writeString(row.getUTF8String(i).toString)
+        case BooleanType => gen.writeBoolean(row.getBoolean(i))
+        case other => throw new IllegalStateException(s"unsupported type $other")
+      }
+      i += 1
+    }
+    gen.writeEndArray()
+  }
+
+  def read(node: JsonNode, i: Int, dt: DataType): Any = {
+    val v = node.get(i)
+    if (v == null || v.isNull) null
+    else dt match {
+      case LongType => v.asLong()
+      case IntegerType => v.asInt()
+      case DoubleType => v.asDouble()
+      case StringType => UTF8String.fromString(v.asText())
+      case BooleanType => v.asBoolean()
+      case other => throw new IllegalStateException(s"unsupported type $other")
+    }
+  }
+}
+
+object LakeTable {
+  /** The `_file` metadata column (relative path of the row's data file). */
+  val FileColumn = "_file"
+}
+
+class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations with SupportsDeleteV2 with SupportsMetadataColumns {
+
+  override def name(): String =
+    s"graftlake.${dir.getFileName}" + pinnedVersion.map(v => s"@v$v").getOrElse("")
+  override def schema(): StructType = snapshot.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = LakeTable.FileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "relative path of the row's data file"
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(dir, snapshot, onPlanned = None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty, "cannot write to a time-travel snapshot")
+    new LakeWriteBuilder(dir, snapshot.schema, info)
+  }
+
+  // ---- metadata-only DELETE --------------------------------------------
+
+  /** True iff every live file's stats DECIDE the conjunction: the delete
+    * can then drop files from the log without reading a row. Undecidable
+    * predicates return false and Spark falls back to the copy-on-write
+    * rewrite below — correctness never depends on stats.
+    */
+  override def canDeleteWhere(predicates: Array[VPredicate]): Boolean =
+    snapshot.files.forall(f => LakeStats.decide(f, predicates) != LakeStats.Mixed)
+
+  override def deleteWhere(predicates: Array[VPredicate]): Unit = {
+    var done = false
+    while (!done) {
+      val cur = LakeLog.currentSnapshot(dir).get
+      val keep = cur.files.filter(f => LakeStats.decide(f, predicates) match {
+        case LakeStats.All => false
+        case LakeStats.None_ => true
+        case LakeStats.Mixed => throw new IllegalStateException(
+          s"deleteWhere on undecidable file ${f.path} (canDeleteWhere was false)")
+      })
+      done = LakeLog.commit(dir, cur.version,
+        LakeSnapshot(cur.version + 1, cur.schema, keep))
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    var done = false
+    while (!done) {
+      val cur = LakeLog.currentSnapshot(dir).get
+      done = LakeLog.commit(dir, cur.version,
+        LakeSnapshot(cur.version + 1, cur.schema, Seq.empty))
+    }
+    true
+  }
+
+  // ---- copy-on-write row-level operations ------------------------------
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty, "cannot mutate a time-travel snapshot")
+    () => new LakeRowLevelOperation(dir, snapshot, info.command())
+  }
+}
+
+/** One DELETE/UPDATE/MERGE execution: the scan half records which files
+  * were ultimately planned (post runtime group filtering); the write
+  * half commits `live − scanned + rewritten` — the copy-on-write swap.
+  */
+class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Files the operation's scan planned — the replacement group set. */
+  @volatile private[sources] var scannedFiles: Seq[String] = snapshot.files.map(_.path)
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graftlake-cow-$cmd"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(LakeTable.FileColumn))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(dir, snapshot, onPlanned = Some(files => scannedFiles = files))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String = s"graftlake-replace-$cmd"
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+            LakeWriterFactory(dir.toString, info.schema(), snapshot.schema.fieldNames)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val written = messages.map(_.asInstanceOf[LakeFileMessage])
+              .filter(_.path.nonEmpty)
+              .map(m => LakeFile(m.path, m.rows, m.stats)).toSeq
+            val replaced = scannedFiles.toSet
+            var done = false
+            while (!done) {
+              val cur = LakeLog.currentSnapshot(dir).get
+              // snapshot-isolation check: every file this op rewrote must
+              // still be live, or a concurrent commit invalidated our read
+              require(replaced.subsetOf(cur.files.map(_.path).toSet),
+                s"concurrent update: files $replaced no longer live at v${cur.version}")
+              done = LakeLog.commit(dir, cur.version, LakeSnapshot(cur.version + 1,
+                cur.schema, cur.files.filterNot(f => replaced(f.path)) ++ written))
+            }
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            LakeWriterFactory.deleteAll(dir.toString, messages)
+        }
+      }
+    }
+}
+
+/** Per-file stats decisions for a predicate conjunction. */
+object LakeStats {
+  sealed trait Decision
+  case object All extends Decision
+  case object None_ extends Decision
+  case object Mixed extends Decision
+
+  private def litLong(e: VExpression): Option[Long] = e match {
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value() match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case i: java.lang.Long => Some(i.longValue)
+      case i: java.lang.Short => Some(i.longValue)
+      case _ => None
+    }
+    case _ => None
+  }
+  private def colName(e: VExpression): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+    case _ => None
+  }
+
+  /** Decide ONE predicate against a file's [lo,hi] stats. */
+  private def decideOne(f: LakeFile, p: VPredicate): Decision = {
+    def withStats(c: String)(eval: (Long, Long) => Decision): Decision =
+      f.stats.get(c).map { case (lo, hi) => eval(lo, hi) }.getOrElse(Mixed)
+    val kids = p.children()
+    p.name() match {
+      case "ALWAYS_TRUE" => All
+      case "ALWAYS_FALSE" => None_
+      case "AND" if kids.length == 2 =>
+        combine(decideOne(f, kids(0).asInstanceOf[VPredicate]),
+          decideOne(f, kids(1).asInstanceOf[VPredicate]))
+      case "=" if kids.length == 2 =>
+        (colName(kids(0)), litLong(kids(1))) match {
+          case (Some(c), Some(v)) => withStats(c) { (lo, hi) =>
+            if (v < lo || v > hi) None_ else if (lo == v && hi == v) All else Mixed
+          }
+          case _ => Mixed
+        }
+      case "<" | "<=" | ">" | ">=" if kids.length == 2 =>
+        (colName(kids(0)), litLong(kids(1))) match {
+          case (Some(c), Some(v)) => withStats(c) { (lo, hi) =>
+            p.name() match {
+              case "<" => if (hi < v) All else if (lo >= v) None_ else Mixed
+              case "<=" => if (hi <= v) All else if (lo > v) None_ else Mixed
+              case ">" => if (lo > v) All else if (hi <= v) None_ else Mixed
+              case ">=" => if (lo >= v) All else if (hi < v) None_ else Mixed
+            }
+          }
+          case _ => Mixed
+        }
+      case "IN" if kids.nonEmpty =>
+        (colName(kids.head), kids.tail.toSeq.map(litLong)) match {
+          case (Some(c), vals) if vals.forall(_.isDefined) =>
+            val set = vals.flatten.toSet
+            withStats(c) { (lo, hi) =>
+              if (set.forall(v => v < lo || v > hi)) None_
+              else if (hi - lo < 4096 && (lo to hi).forall(set.contains)) All
+              else Mixed
+            }
+          case _ => Mixed
+        }
+      case _ => Mixed
+    }
+  }
+
+  private def combine(a: Decision, b: Decision): Decision = (a, b) match {
+    case (None_, _) | (_, None_) => None_ // one conjunct excludes the file
+    case (All, All) => All
+    case _ => Mixed
+  }
+
+  /** Decide the CONJUNCTION of `predicates` against one file. */
+  def decide(f: LakeFile, predicates: Array[VPredicate]): Decision =
+    predicates.map(decideOne(f, _)).foldLeft(All: Decision)(combine)
+}
+
+class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
+    onPlanned: Option[Seq[String] => Unit])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownV2Filters {
+
+  private var required: StructType = snapshot.schema
+  private var skips: Array[VPredicate] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Predicates are used ONLY to skip whole files on stats — every one
+    * is returned as residual, so Spark still evaluates them row-by-row
+    * (stats skipping is a pruning optimization, not an answer).
+    */
+  override def pushPredicates(predicates: Array[VPredicate]): Array[VPredicate] = {
+    skips = predicates
+    predicates
+  }
+  override def pushedPredicates(): Array[VPredicate] = Array.empty
+
+  override def build(): Scan = {
+    val live = snapshot.files.filter(f => LakeStats.decide(f, skips) != LakeStats.None_)
+    new LakeScan(dir, snapshot.schema, live, snapshot.files.size, required, onPlanned)
+  }
+}
+
+class LakeScan(dir: Path, tableSchema: StructType, files: Seq[LakeFile],
+    totalFiles: Int, required: StructType, onPlanned: Option[Seq[String] => Unit])
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
+
+  /** Runtime group filtering for row-level ops: Spark first finds which
+    * `_file`s contain matching rows, then hands them back as an IN
+    * predicate — only those files are re-read and rewritten.
+    */
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (onPlanned.isDefined) Array(Expressions.column(LakeTable.FileColumn))
+    else Array.empty
+
+  override def filter(predicates: Array[VPredicate]): Unit = {
+    def isFileCol(e: VExpression): Boolean = e match {
+      case f: NamedReference => f.fieldNames.sameElements(Array(LakeTable.FileColumn))
+      case _ => false
+    }
+    def litStr(e: VExpression): Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value() match {
+        case s: UTF8String => Some(s.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+      case _ => None
+    }
+    val parsed = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && isFileCol(kids.head) =>
+          val vals = kids.tail.map(litStr)
+          if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+        case "=" if kids.length == 2 && isFileCol(kids.head) =>
+          litStr(kids(1)).map(Set(_))
+        case _ => None
+      }
+    }
+    if (parsed.nonEmpty) runtimeFiles = Some(parsed.reduce(_ intersect _))
+  }
+
+  private def planned: Seq[LakeFile] =
+    files.filter(f => runtimeFiles.forall(_.contains(f.path)))
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graftlake files=${planned.size}/$totalFiles cols=[${required.fieldNames.mkString(",")}]" +
+      runtimeFiles.map(fs => s" runtimeFiles=${fs.size}").getOrElse("")
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ps = planned
+    onPlanned.foreach(_(ps.map(_.path)))
+    ps.map(f => LakeInputFile(dir.toString, f.path): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LakeReaderFactory(tableSchema, required.fields.map(f => f.name -> f.dataType))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = planned.map(_.rows).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * (tableSchema.length * 16L))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+  }
+}
+
+case class LakeInputFile(tableDir: String, path: String) extends InputPartition
+
+case class LakeReaderFactory(tableSchema: StructType,
+    required: Array[(String, DataType)]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LakeInputFile]
+    val mapper = new ObjectMapper()
+    val lines = Files.readAllLines(
+      Paths.get(p.tableDir).resolve(p.path), StandardCharsets.UTF_8)
+    val idx = required.map { case (n, dt) =>
+      if (n == LakeTable.FileColumn) (-1, dt) else (tableSchema.fieldIndex(n), dt)
+    }
+    val filePathValue = UTF8String.fromString(p.path)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < lines.size }
+      override def get(): InternalRow = {
+        val node = mapper.readTree(lines.get(i))
+        val vals = new Array[Any](idx.length)
+        var c = 0
+        while (c < idx.length) {
+          vals(c) =
+            if (idx(c)._1 < 0) filePathValue
+            else LakeCodec.read(node, idx(c)._1, idx(c)._2)
+          c += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Append / truncate-write builder (INSERT INTO, and the overwrite half
+  * of truncate-then-append).
+  */
+class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var truncating = false
+  override def truncate(): WriteBuilder = { truncating = true; this }
+
+  override def build(): Write = new Write {
+    override def description(): String =
+      s"graftlake-${if (truncating) "overwrite" else "append"}"
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+        LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val written = messages.map(_.asInstanceOf[LakeFileMessage])
+          .filter(_.path.nonEmpty)
+          .map(m => LakeFile(m.path, m.rows, m.stats)).toSeq
+        var done = false
+        while (!done) {
+          val cur = LakeLog.currentSnapshot(dir).get
+          val base = if (truncating) Seq.empty else cur.files
+          done = LakeLog.commit(dir, cur.version,
+            LakeSnapshot(cur.version + 1, cur.schema, base ++ written))
+        }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        LakeWriterFactory.deleteAll(dir.toString, messages)
+    }
+
+    /** Streaming half (`writeStream.toTable`): commits land per EPOCH,
+      * and a commit REPLACES any files a previous attempt of the same
+      * epoch published — with the source's replayable offsets that is
+      * end-to-end exactly-once. Files of the superseded attempt become
+      * unreferenced and are reclaimed by `system.vacuum`. Single
+      * streaming writer per table (epoch ids are per-query).
+      */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        private val factory =
+          LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames)
+        override def createStreamingWriterFactory(
+            pi: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+          LakeStreamingWriterFactory(factory)
+        override def commit(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = {
+          val written = messages.map(_.asInstanceOf[LakeFileMessage])
+            .filter(_.path.nonEmpty)
+            .map(m => LakeFile(m.path, m.rows, m.stats, epoch = Some(epochId))).toSeq
+          var done = false
+          while (!done) {
+            val cur = LakeLog.currentSnapshot(dir).get
+            val keep = cur.files.filterNot(_.epoch.contains(epochId))
+            done = LakeLog.commit(dir, cur.version,
+              LakeSnapshot(cur.version + 1, cur.schema, keep ++ written))
+          }
+        }
+        override def abort(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit =
+          LakeWriterFactory.deleteAll(dir.toString, messages)
+      }
+  }
+}
+
+/** Streaming adapter over the batch writer factory (top-level so the
+  * serialized closure carries no table/plan outers).
+  */
+case class LakeStreamingWriterFactory(inner: LakeWriterFactory)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    inner.createWriter(partitionId, taskId)
+}
+
+case class LakeFileMessage(path: String, rows: Long,
+    stats: Map[String, (Long, Long)]) extends WriterCommitMessage
+
+object LakeWriterFactory {
+  def deleteAll(tableDir: String, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LakeFileMessage(p, _, _) =>
+        Files.deleteIfExists(Paths.get(tableDir).resolve(p))
+      case _ => ()
+    }
+}
+
+/** Writes one data file per non-empty task. `keep` lists the TABLE
+  * columns: a row-level operation's write schema may carry metadata
+  * columns after the table columns — only table columns are stored.
+  * Data files are invisible until a log commit references them, so
+  * writers target final names directly; abort deletes them.
+  */
+case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
+    keep: Array[String]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val cols = keep.map(n => writeSchema.fieldIndex(n))
+      private val storedSchema = StructType(cols.map(writeSchema(_)))
+      private val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.jsonl"
+      private var rows = 0L
+      private val mins = new java.util.HashMap[String, Long]()
+      private val maxs = new java.util.HashMap[String, Long]()
+      private var out: java.io.Writer = _
+      private var gen: com.fasterxml.jackson.core.JsonGenerator = _
+      private val factory = new com.fasterxml.jackson.core.JsonFactory()
+      private val proj = new GenericInternalRow(cols.length)
+
+      override def write(row: InternalRow): Unit = {
+        if (out == null) {
+          out = Files.newBufferedWriter(
+            Paths.get(tableDir).resolve(rel), StandardCharsets.UTF_8)
+        }
+        var c = 0
+        while (c < cols.length) {
+          val dt = storedSchema(c).dataType
+          val v = if (row.isNullAt(cols(c))) null else row.get(cols(c), dt)
+          proj.update(c, v)
+          if (v != null) (dt match {
+            case LongType => Some(v.asInstanceOf[Long])
+            case IntegerType => Some(v.asInstanceOf[Int].toLong)
+            case _ => None
+          }).foreach { lv =>
+            val n = storedSchema(c).name
+            mins.merge(n, lv, (a, b) => math.min(a, b))
+            maxs.merge(n, lv, (a, b) => math.max(a, b))
+          }
+          c += 1
+        }
+        if (gen == null) gen = factory.createGenerator(out)
+        LakeCodec.write(gen, proj, storedSchema)
+        gen.flush()
+        out.write("\n")
+        rows += 1L
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (out != null) { gen.close(); out.close() }
+        if (rows == 0L) {
+          Files.deleteIfExists(Paths.get(tableDir).resolve(rel))
+          LakeFileMessage("", 0L, Map.empty)
+        } else {
+          val stats = mins.asScala.map { case (k, lo) => k -> (lo, maxs.get(k)) }.toMap
+          LakeFileMessage(rel, rows, stats)
+        }
+      }
+      override def abort(): Unit = {
+        if (out != null) { gen.close(); out.close() }
+        Files.deleteIfExists(Paths.get(tableDir).resolve(rel))
+      }
+      override def close(): Unit = ()
+    }
+}
+
+/** Maintenance STORED PROCEDURES (`CALL <cat>.system.<proc>(...)`) —
+  * the ops surface a table format needs beside queries, on Spark 4's
+  * DSv2 procedure API:
+  *
+  *   - `compact(table, target_files)` — rewrite the live file set into
+  *     `target_files` files as a DISTRIBUTED Spark job (writers run in
+  *     tasks via the normal [[LakeWriterFactory]]), then ONE atomic
+  *     log commit swaps old files for new. Readers never see doubled
+  *     or missing rows; appends landing mid-compaction survive (only
+  *     the snapshot the compaction READ is swapped out).
+  *   - `vacuum(table, retain_last)` — physically delete data files
+  *     referenced by NO retained version and drop log versions older
+  *     than the retention window (time travel contracts to the window,
+  *     which is the price of reclaiming storage).
+  *   - `history(table)` — the version log as rows.
+  *
+  * Each returns its result as a [[LocalScan]] row set.
+  */
+object LakeProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.LocalScan
+
+  val Names: Array[String] = Array("compact", "vacuum", "history")
+
+  private def out(schema0: StructType, rows0: Seq[InternalRow]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema0
+      override def rows(): Array[InternalRow] = rows0.toArray
+      override def description(): String = "graftlake-procedure-result"
+    }).iterator()
+
+  private def resolve(warehouse: Path, tableRef: String): Path =
+    tableRef.split('.').foldLeft(warehouse)(_.resolve(_))
+
+  def load(name: String, catName: String, warehouse: Path): UnboundProcedure =
+    name match {
+      case "compact" => new UnboundProcedure {
+        override def name(): String = "compact"
+        override def description(): String =
+          "compact(table STRING, target_files INT): rewrite live files into target_files files"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "compact"
+          override def description(): String = "graftlake compaction"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("target_files", IntegerType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val target = math.max(1, input.getInt(1))
+            val spark = org.apache.spark.sql.SparkSession.active
+            val snap = LakeLog.currentSnapshot(dir).get
+            val fqn = s"$catName.${input.getUTF8String(0)}"
+            val dirStr = dir.toString
+            val schema = snap.schema
+            val cols = schema.fieldNames
+            // distributed rewrite: plain table read → repartition →
+            // the SAME task-side writers the write path uses
+            val written = spark.table(fqn).repartition(target)
+              .queryExecution.toRdd
+              .mapPartitionsWithIndex { (pid, it) =>
+                val w = LakeWriterFactory(dirStr, schema, cols).createWriter(pid, 0L)
+                it.foreach(w.write)
+                Iterator(w.commit())
+              }.collect().toSeq
+              .collect { case m: LakeFileMessage if m.path.nonEmpty =>
+                LakeFile(m.path, m.rows, m.stats) }
+            val replaced = snap.files.map(_.path).toSet
+            var done = false
+            while (!done) {
+              val cur = LakeLog.currentSnapshot(dir).get
+              require(replaced.subsetOf(cur.files.map(_.path).toSet),
+                "concurrent rewrite invalidated the compaction's snapshot")
+              done = LakeLog.commit(dir, cur.version, LakeSnapshot(cur.version + 1,
+                cur.schema, cur.files.filterNot(f => replaced(f.path)) ++ written))
+            }
+            out(StructType(Seq(
+              StructField("files_before", IntegerType, nullable = false),
+              StructField("files_after", IntegerType, nullable = false),
+              StructField("rows_rewritten", LongType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](
+                snap.files.size, written.size, written.map(_.rows).sum))))
+          }
+        }
+      }
+
+      case "vacuum" => new UnboundProcedure {
+        override def name(): String = "vacuum"
+        override def description(): String =
+          "vacuum(table STRING, retain_last INT): drop data files + log versions outside the retention window"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "vacuum"
+          override def description(): String = "graftlake vacuum"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("retain_last", IntegerType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val retain = math.max(1, input.getInt(1))
+            val head = LakeLog.currentVersion(dir).get
+            val floor = math.max(0L, head - retain + 1)
+            val referenced = (floor to head)
+              .flatMap(LakeLog.snapshotAt(dir, _)).flatMap(_.files.map(_.path)).toSet
+            val dataDir = dir.resolve("data")
+            val deletable = Files.list(dataDir).iterator().asScala
+              .filter(p => !referenced.contains("data/" + p.getFileName.toString)).toSeq
+            deletable.foreach(Files.delete)
+            val oldLogs = (0L until floor)
+              .map(v => dir.resolve("_log").resolve(f"v$v%08d.json"))
+              .filter(Files.isRegularFile(_))
+            oldLogs.foreach(Files.delete)
+            out(StructType(Seq(
+              StructField("deleted_data_files", IntegerType, nullable = false),
+              StructField("deleted_log_versions", IntegerType, nullable = false),
+              StructField("retained_from_version", LongType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](
+                deletable.size, oldLogs.size, floor))))
+          }
+        }
+      }
+
+      case "history" => new UnboundProcedure {
+        override def name(): String = "history"
+        override def description(): String =
+          "history(table STRING): one row per retained log version"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "history"
+          override def description(): String = "graftlake history"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val head = LakeLog.currentVersion(dir).get
+            val rows0 = (0L to head).flatMap(LakeLog.snapshotAt(dir, _)).map { s =>
+              new GenericInternalRow(Array[Any](
+                s.version, s.files.size, s.files.map(_.rows).sum)): InternalRow
+            }
+            out(StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("n_files", IntegerType, nullable = false),
+              StructField("n_rows", LongType, nullable = false))), rows0)
+          }
+        }
+      }
+    }
+}

@@ -1,0 +1,274 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftLakeCatalog, LakeLog}
+
+/** [[graft.sources.GraftLakeCatalog]] / [[graft.sources.LakeTable]] —
+  * the transactional table format. Pins: catalog DDL + append
+  * visibility, snapshot versioning + time travel, metadata-only DELETE
+  * (file census proves no rewrite), copy-on-write DELETE/UPDATE/MERGE
+  * with runtime group filtering (only files containing matches change
+  * paths), stats-based scan file skipping with post-scan filters, the
+  * optimistic commit protocol, abort cleanliness, and schema rejection.
+  */
+class GraftLakeSpec extends AnyFunSuite {
+
+  private lazy val warehouse: Path = Files.createTempDirectory("graftlake-wh")
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.local("graftlake-spec")
+    s.conf.set("spark.sql.catalog.lake", classOf[GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.lake.warehouse", warehouse.toString)
+    s
+  }
+
+  private def tableDir(name: String): Path = warehouse.resolve("db").resolve(name)
+
+  private def filePaths(name: String): Seq[String] =
+    LakeLog.currentSnapshot(tableDir(name)).get.files.map(_.path).sorted
+
+  /** Create `lake.db.<name>` (id BIGINT, v BIGINT, s STRING) and append
+    * four single-file commits of 25 ids each: [0,25) s='f0', [25,50)
+    * s='f1', [50,75) s='f2', [75,100) s='f3'. Versions 1..4.
+    */
+  private def seeded(name: String): String = {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE lake.db.$name (id BIGINT, v BIGINT, s STRING)")
+    for (b <- 0 until 4) {
+      spark.range(b * 25L, (b + 1) * 25L)
+        .select($"id", ($"id" * 10L).as("v"), lit(s"f$b").as("s"))
+        .coalesce(1)
+        .writeTo(s"lake.db.$name").append()
+    }
+    name
+  }
+
+  private def rows(name: String): Seq[(Long, Long, String)] = {
+    import spark.implicits._
+    spark.table(s"lake.db.$name").as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+  }
+
+  test("create + append: four commits, four files, content exact, versions advance") {
+    val t = seeded("t_base")
+    assert(rows(t) == (0L until 100L).map(i => (i, i * 10L, s"f${i / 25}")))
+    val snap = LakeLog.currentSnapshot(tableDir(t)).get
+    assert(snap.version == 4L && snap.files.size == 4)
+    // per-file stats carry the id ranges the delete/skipping logic uses
+    assert(snap.files.map(_.stats("id")).sortBy(_._1) ==
+      Seq((0L, 24L), (25L, 49L), (50L, 74L), (75L, 99L)))
+  }
+
+  test("time travel: VERSION AS OF replays each snapshot") {
+    val t = seeded("t_history")
+    for (v <- 0 to 4)
+      assert(spark.sql(s"SELECT count(*) FROM lake.db.$t VERSION AS OF $v")
+        .head().getLong(0) == v * 25L)
+    // history is immutable: v2 still reads [0,50) after later appends
+    assert(spark.sql(s"SELECT max(id) FROM lake.db.$t VERSION AS OF 2")
+      .head().getLong(0) == 49L)
+  }
+
+  test("metadata-only delete: aligned predicate drops whole files, survivors keep their paths") {
+    val t = seeded("t_metadel")
+    val before = filePaths(t)
+    spark.sql(s"DELETE FROM lake.db.$t WHERE id < 25")
+    val after = filePaths(t)
+    assert(after.size == 3 && after.forall(before.contains),
+      s"survivors must be the ORIGINAL files (no rewrite): before=$before after=$after")
+    assert(rows(t).map(_._1) == (25L until 100L))
+    // version advanced exactly once
+    assert(LakeLog.currentSnapshot(tableDir(t)).get.version == 5L)
+  }
+
+  test("copy-on-write delete: only files containing matches are replaced") {
+    val t = seeded("t_cowdel")
+    val before = filePaths(t)
+    // string predicate → stats cannot decide → COW path; every f1 row dies
+    spark.sql(s"DELETE FROM lake.db.$t WHERE s = 'f1'")
+    val afterAll = filePaths(t)
+    assert(afterAll.size == 3 && afterAll.forall(before.contains),
+      "deleting ALL rows of one file must leave the other three files untouched " +
+        s"(runtime group filtering): before=$before after=$afterAll")
+    assert(rows(t).map(_._1) == ((0L until 25L) ++ (50L until 100L)))
+    // partial delete: file f2 is rewritten (new path), others untouched
+    spark.sql(s"DELETE FROM lake.db.$t WHERE s = 'f2' AND id < 60")
+    val afterPart = filePaths(t)
+    assert(afterPart.size == 3)
+    val untouched = afterPart.filter(before.contains)
+    assert(untouched.size == 2, s"exactly f0+f3 keep their paths, got $afterPart")
+    assert(rows(t).map(_._1) == ((0L until 25L) ++ (60L until 100L)))
+  }
+
+  test("copy-on-write update: one matching file rewritten, values exact") {
+    val t = seeded("t_update")
+    val before = filePaths(t)
+    spark.sql(s"UPDATE lake.db.$t SET v = v + 1000 WHERE id = 77")
+    val after = filePaths(t)
+    assert(after.size == 4 && after.filter(before.contains).size == 3,
+      s"only the file holding id=77 may change paths: before=$before after=$after")
+    val got = rows(t)
+    assert(got.find(_._1 == 77L).get._2 == 77L * 10L + 1000L)
+    assert(got.filter(_._1 != 77L) ==
+      (0L until 100L).filter(_ != 77L).map(i => (i, i * 10L, s"f${i / 25}")))
+  }
+
+  test("MERGE INTO: upsert updates matched rows in place and appends new ones") {
+    import spark.implicits._
+    val t = seeded("t_merge")
+    val before = filePaths(t)
+    Seq((10L, -1L, "upd"), (40L, -2L, "upd"), (200L, -3L, "new"))
+      .toDF("id", "v", "s").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO lake.db.$t t USING merge_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, s) VALUES (s.id, s.v, s.s)""".stripMargin)
+    val got = rows(t)
+    assert(got.size == 101)
+    assert(got.find(_._1 == 10L).get == ((10L, -1L, "f0")))
+    assert(got.find(_._1 == 40L).get == ((40L, -2L, "f1")))
+    assert(got.find(_._1 == 200L).get == ((200L, -3L, "new")))
+    assert(got.find(_._1 == 60L).get == ((60L, 600L, "f2")))
+    // files f2/f3 hold no matched ids: their paths survive the merge
+    val after = filePaths(t)
+    assert(after.filter(before.contains).size >= 2,
+      s"unmatched files must not be rewritten: before=$before after=$after")
+  }
+
+  test("stats-based file skipping: scan plans only files whose range can match") {
+    val t = seeded("t_skip")
+    val df = spark.table(s"lake.db.$t").filter(col("id") >= 80L)
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (80L until 100L))
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("files=1/4"),
+      s"only the [75,100) file can contain id>=80:\n$scanDesc")
+  }
+
+  test("optimistic commit: create-if-absent race, loser must retry on the new head") {
+    import graft.sources.LakeSnapshot
+    val t = seeded("t_race")
+    val dir = tableDir(t)
+    val cur = LakeLog.currentSnapshot(dir).get
+    val a = LakeSnapshot(cur.version + 1, cur.schema, cur.files.tail)
+    val b = LakeSnapshot(cur.version + 1, cur.schema, cur.files.init)
+    assert(LakeLog.commit(dir, cur.version, a))
+    assert(!LakeLog.commit(dir, cur.version, b), "second writer of v+1 must lose")
+    assert(LakeLog.currentSnapshot(dir).get.files == a.files)
+  }
+
+  test("failed write aborts cleanly: no new version, no orphan data files") {
+    import spark.implicits._
+    val t = seeded("t_abort")
+    val vBefore = LakeLog.currentSnapshot(tableDir(t)).get.version
+    val dataFiles = Files.list(tableDir(t).resolve("data")).count()
+    intercept[Exception] {
+      spark.range(0, 10)
+        .select($"id", expr("CASE WHEN id = 7 THEN raise_error('boom') ELSE id END").as("v"),
+          lit("x").as("s"))
+        .coalesce(1)
+        .writeTo(s"lake.db.$t").append()
+    }
+    assert(LakeLog.currentSnapshot(tableDir(t)).get.version == vBefore,
+      "aborted write must not commit a version")
+    assert(Files.list(tableDir(t).resolve("data")).count() == dataFiles,
+      "aborted write must delete its data files")
+    assert(rows(t).size == 100)
+  }
+
+  test("CALL system.compact: distributed rewrite, atomic swap, rows identical, history intact") {
+    val t = seeded("t_compact")
+    val before = rows(t)
+    val res = spark.sql(s"CALL lake.system.compact('db.$t', 1)").collect().head
+    assert(res.getInt(0) == 4 && res.getInt(1) == 1 && res.getLong(2) == 100L,
+      s"compact must report 4 -> 1 files over 100 rows, got $res")
+    assert(filePaths(t).size == 1)
+    assert(rows(t) == before, "compaction must not change a single row")
+    // one new version; time travel before the compaction still works
+    val snap = LakeLog.currentSnapshot(tableDir(t)).get
+    assert(snap.version == 5L)
+    assert(spark.sql(s"SELECT count(*) FROM lake.db.$t VERSION AS OF 4")
+      .head().getLong(0) == 100L)
+  }
+
+  test("CALL system.history + system.vacuum: retention window enforced, storage reclaimed") {
+    val t = seeded("t_vacuum")
+    spark.sql(s"CALL lake.system.compact('db.$t', 1)") // v5: 1 live file, 4 stale
+    val hist = spark.sql(s"CALL lake.system.history('db.$t')").collect()
+    assert(hist.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((0L, 0), (1L, 1), (2L, 2), (3L, 3), (4L, 4), (5L, 1)))
+    val dataBefore = Files.list(tableDir(t).resolve("data")).count()
+    assert(dataBefore == 5)
+    val res = spark.sql(s"CALL lake.system.vacuum('db.$t', 1)").collect().head
+    assert(res.getInt(0) == 4 && res.getInt(1) == 5 && res.getLong(2) == 5L,
+      s"vacuum(retain 1) must reclaim 4 data files + 5 log versions, got $res")
+    assert(Files.list(tableDir(t).resolve("data")).count() == 1)
+    // the head still reads; history outside the window is gone
+    assert(rows(t).size == 100)
+    intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM lake.db.$t VERSION AS OF 2").collect())
+  }
+
+  test("streaming write into the lake: multi-epoch drain, restart adds nothing, epoch replay replaces") {
+    spark.sql("CREATE TABLE lake.db.t_stream (id BIGINT, category INT, value BIGINT)")
+    val ckpt = Files.createTempDirectory("lake-stream-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftgen")
+        .option("rows", "1000").option("rowsPerBatch", "300").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("lake.db.t_stream")
+      q.awaitTermination()
+    }
+    drain()
+    val got = spark.table("lake.db.t_stream").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 1000L), "streamed content must be the exact extent, once")
+    val epochs = LakeLog.currentSnapshot(tableDir("t_stream")).get.files.flatMap(_.epoch).distinct
+    assert(epochs.size >= 4, s"300-row admission must commit >=4 epochs, got $epochs")
+    // restart on the same checkpoint: everything already committed, nothing duplicates
+    val vBefore = LakeLog.currentSnapshot(tableDir("t_stream")).get.version
+    drain()
+    assert(spark.table("lake.db.t_stream").count() == 1000L)
+    // replay one epoch through the REAL StreamingWrite: its files are REPLACED, not added
+    val dir = tableDir("t_stream")
+    val snap = LakeLog.currentSnapshot(dir).get
+    val e0 = snap.files.flatMap(_.epoch).min
+    val e0Files = snap.files.filter(_.epoch.contains(e0)).map(_.path)
+    import graft.sources.{LakeFileMessage, LakeTable}
+    val table = new graft.sources.GraftLakeCatalog {
+      initialize("lake", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", warehouse.toString)))
+    }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "t_stream")).asInstanceOf[LakeTable]
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "replay-test"
+      override def schema(): org.apache.spark.sql.types.StructType = table.schema()
+      override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())
+    }
+    Files.write(dir.resolve("data/replayed.jsonl"), java.util.Arrays.asList[String]())
+    table.newWriteBuilder(info).build().toStreaming.commit(e0,
+      Array(LakeFileMessage("data/replayed.jsonl", 0L, Map.empty)))
+    val after = LakeLog.currentSnapshot(dir).get.files
+    assert(after.filter(_.epoch.contains(e0)).map(_.path) == Seq("data/replayed.jsonl"))
+    assert(e0Files.forall(p => !after.map(_.path).contains(p)),
+      "the superseded attempt's files must leave the snapshot")
+    assert(vBefore >= 4L)
+  }
+
+  test("DDL surface: list/drop; unsupported column types rejected at create") {
+    seeded("t_ddl")
+    assert(spark.sql("SHOW TABLES IN lake.db").collect()
+      .map(_.getString(1)).contains("t_ddl"))
+    val err = intercept[Exception](
+      spark.sql("CREATE TABLE lake.db.t_bad (id BIGINT, a ARRAY<INT>)"))
+    assert(err.getMessage.contains("graftlake supports"))
+    spark.sql("DROP TABLE lake.db.t_ddl")
+    assert(!Files.isDirectory(tableDir("t_ddl")))
+    intercept[Exception](spark.table("lake.db.t_ddl").collect())
+  }
+}
