@@ -139,7 +139,7 @@ class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
     columnar: Boolean = false) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit with SupportsPushDownTopN
-  with SupportsPushDownAggregates {
+  with SupportsPushDownOffset with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
@@ -183,6 +183,16 @@ class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
   }
 
   override def isPartiallyPushed(): Boolean = partialFlag
+
+  /** OFFSET n: skip any n rows — drop the interval's first n ids.
+    * Fully pushed; Spark removes its own offset operator.
+    */
+  override def pushOffset(n: Int): Boolean =
+    if (pushedAgg.nonEmpty) false
+    else {
+      lo = math.min(hi, lo + n)
+      true
+    }
 
   /** Aggregate pushdown (opt-in via `aggPushdown`): COUNT(*) / MIN /
     * MAX / non-distinct SUM over generated columns, optionally grouped

@@ -297,6 +297,19 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(batchScan(byValue).scan.description().contains("range=[0,1000)"))
   }
 
+  test("OFFSET pushes fully: the interval drops its prefix; LIMIT+OFFSET compose") {
+    val off = gen(1000, 10).offset(990)
+    assert(off.collect().map(_.getLong(0)).sorted.toSeq == (990L until 1000L))
+    assert(batchScan(off).scan.description().contains("range=[990,1000)"),
+      s"offset must drop the prefix: ${batchScan(off).scan.description()}")
+    // LIMIT 5 OFFSET 10 via SQL: rows 10..14, one shard planned
+    gen(1000, 10).createOrReplaceTempView("gen_offset_v")
+    val page = spark.sql("SELECT id FROM gen_offset_v LIMIT 5 OFFSET 10")
+    assert(page.collect().map(_.getLong(0)).sorted.toSeq == (10L until 15L))
+    assert(batchScan(page).scan.description().contains("range=[10,15)"),
+      s"paging must push both bounds: ${batchScan(page).scan.description()}")
+  }
+
   private def aggGen(rows: Long, pushdown: Boolean) =
     spark.read.format("graftgen")
       .option("rows", rows.toString).option("slices", "8")
