@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -532,10 +533,11 @@ object LakeStats {
 class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     onPlanned: Option[Seq[String] => Unit])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownV2Filters {
+  with SupportsPushDownV2Filters with SupportsPushDownAggregates {
 
   private var required: StructType = snapshot.schema
   private var skips: Array[VPredicate] = Array.empty
+  private var metadataCount = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -550,10 +552,38 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
   }
   override def pushedPredicates(): Array[VPredicate] = Array.empty
 
-  override def build(): Scan = {
-    val live = snapshot.files.filter(f => LakeStats.decide(f, skips) != LakeStats.None_)
-    new LakeScan(dir, snapshot.schema, live, snapshot.files.size, required, onPlanned)
-  }
+  /** METADATA-ONLY `count(*)`: the log already knows every file's row
+    * count, so an unfiltered ungrouped count answers from the snapshot
+    * without opening a single data file. COMPLETE pushdown — the scan
+    * returns the final count row. (Spark only attempts this when no
+    * Filter sits above the scan, so the residual-predicate design
+    * can't corrupt it; anything but a bare CountStar is declined.)
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.toSeq.forall(_.isInstanceOf[CountStar]) &&
+      skips.isEmpty && onPlanned.isEmpty
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!supportCompletePushDown(agg)) false
+    else { metadataCount = true; true }
+
+  override def build(): Scan =
+    if (metadataCount) new LakeCountScan(snapshot)
+    else {
+      val live = snapshot.files.filter(f => LakeStats.decide(f, skips) != LakeStats.None_)
+      new LakeScan(dir, snapshot.schema, live, snapshot.files.size, required, onPlanned)
+    }
+}
+
+/** The one-row result of a metadata-only count. */
+class LakeCountScan(snapshot: LakeSnapshot) extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(Array[Any](snapshot.files.map(_.rows).sum)))
+  override def description(): String =
+    s"graftlake metadata-count files=0/${snapshot.files.size}"
 }
 
 class LakeScan(dir: Path, tableSchema: StructType, files: Seq[LakeFile],

@@ -260,6 +260,26 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(vBefore >= 4L)
   }
 
+  test("metadata-only count(*): answered from the log, zero data files read") {
+    val t = seeded("t_metacount")
+    val df = spark.sql(s"SELECT count(*) AS n FROM lake.db.$t")
+    assert(df.head().getLong(0) == 100L)
+    // complete pushdown: the aggregation is GONE — the plan is a
+    // LocalTableScan over the one pre-computed count row (LocalScan
+    // renders as LocalTableScan; no HashAggregate, no BatchScan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan [count(*)") && !plan.contains("HashAggregate"),
+      s"unfiltered count must plan the metadata scan:\n$plan")
+    // a filtered count still reads data and stays correct
+    val filtered = spark.sql(s"SELECT count(*) FROM lake.db.$t WHERE id >= 40")
+    assert(filtered.head().getLong(0) == 60L)
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "a filtered count must read data")
+    // count on a time-travel snapshot is metadata too
+    assert(spark.sql(s"SELECT count(*) FROM lake.db.$t VERSION AS OF 2")
+      .head().getLong(0) == 50L)
+  }
+
   test("concurrent appends: 8 racing writers all land, no version lost, rows exact") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_race8 (id BIGINT, v BIGINT, s STRING)")
