@@ -438,6 +438,49 @@ object IngestQueries {
       .orderBy($"seg")
   }
 
+  /** q83 — CDC over the lake via TIME TRAVEL (the `table_changes`
+    * analog a lakehouse gets for free from versioned snapshots): after
+    * a copy-on-write UPDATE (balances doubled for one segment) and a
+    * COW DELETE (every 7th key), the change set between v1 and the
+    * head is DERIVED by reading both versions — an anti-join finds the
+    * deletes, an equi-join with a value inequality finds the updates,
+    * and per-(segment, change_type) counts + exact cent deltas ride
+    * the row. The oracle replays the mutations relationally and
+    * computes the same diff — so both the mutation arithmetic AND the
+    * time-travel read used to audit it are value-checked.
+    */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q83").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.balances"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT)")
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+      .repartition(4)
+      .writeTo(t).append() // v1
+    spark.sql(s"UPDATE $t SET bal = bal * 2 WHERE seg = 'BUILDING'") // v2 (COW)
+    spark.sql(s"DELETE FROM $t WHERE k % 7 = 0") // v3 (COW: stats cannot decide a modulus)
+    val old = spark.sql(s"SELECT k, seg, bal FROM $t VERSION AS OF 1")
+    val cur = spark.table(t).select($"k", $"bal".as("bal_new"))
+    val deletes = old.join(cur, Seq("k"), "left_anti")
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_rows"), sum(-$"bal").as("delta_cents"))
+      .select($"seg", lit("delete").as("change_type"), $"n_rows", $"delta_cents")
+    val updates = old.join(cur, Seq("k"))
+      .filter($"bal_new" =!= $"bal")
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_rows"), sum($"bal_new" - $"bal").as("delta_cents"))
+      .select($"seg", lit("update").as("change_type"), $"n_rows", $"delta_cents")
+    deletes.unionByName(updates)
+      .select($"seg", $"change_type", $"n_rows", $"delta_cents")
+      .orderBy($"seg", $"change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
     "q75_dsv2_stream" -> q75,
@@ -445,6 +488,7 @@ object IngestQueries {
     "q80_agg_pushdown" -> q80,
     "q81_v2_functions" -> q81,
     "q82_lake_lifecycle" -> q82,
+    "q83_lake_changes" -> q83,
     "q46_schema_evolution" -> q46,
     "q50_partition_refresh" -> q50,
     "q51_orc_roundtrip" -> q51,
@@ -465,6 +509,27 @@ object IngestQueries {
     "q78_spj_join" -> DuckSketchSql.q78,
     "q80_agg_pushdown" -> DuckSketchSql.q80,
     "q81_v2_functions" -> DuckSketchSql.q81,
+    "q83_lake_changes" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |v3 AS (
+        |  SELECT k, seg,
+        |    CASE WHEN seg = 'BUILDING' THEN bal * 2 ELSE bal END AS bal
+        |  FROM base WHERE k % 7 <> 0),
+        |del AS (
+        |  SELECT seg, 'delete' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(-bal) AS BIGINT) AS delta_cents
+        |  FROM base WHERE k % 7 = 0 GROUP BY seg),
+        |upd AS (
+        |  SELECT b.seg, 'update' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(v.bal - b.bal) AS BIGINT) AS delta_cents
+        |  FROM base b JOIN v3 v ON b.k = v.k
+        |  WHERE v.bal <> b.bal GROUP BY b.seg)
+        |SELECT seg, change_type, n_rows, delta_cents
+        |FROM (SELECT * FROM del UNION ALL SELECT * FROM upd)
+        |ORDER BY seg, change_type""".stripMargin,
     "q82_lake_lifecycle" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS seg,

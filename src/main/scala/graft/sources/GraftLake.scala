@@ -127,13 +127,17 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
+    val keep = properties.asScala.view
+      .filterKeys(Set("clusterBy", "sortBy")).toMap
+    keep.values.foreach(c => require(schema.fieldNames.contains(c),
+      s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
     val dir = tableDir(ident)
     if (LakeLog.currentSnapshot(dir).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     Files.createDirectories(dir.resolve("data"))
-    LakeLog.commit(dir, expectedVersion = -1L,
-      LakeSnapshot(0L, schema, Seq.empty))
-    new LakeTable(dir, LakeSnapshot(0L, schema, Seq.empty), None)
+    val s0 = LakeSnapshot(0L, schema, Seq.empty, keep)
+    LakeLog.commit(dir, expectedVersion = -1L, s0)
+    new LakeTable(dir, s0, None)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -207,7 +211,12 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
   * list (full snapshots per version keep reads O(1) log files; a
   * production format would compact deltas the same way).
   */
-case class LakeSnapshot(version: Long, schema: StructType, files: Seq[LakeFile])
+case class LakeSnapshot(version: Long, schema: StructType, files: Seq[LakeFile],
+    props: Map[String, String] = Map.empty) {
+  /** The successor snapshot: version+1, same schema/properties, new files. */
+  def next(newFiles: Seq[LakeFile]): LakeSnapshot =
+    LakeSnapshot(version + 1, schema, newFiles, props)
+}
 
 /** Log IO + the optimistic commit protocol. */
 object LakeLog {
@@ -243,7 +252,9 @@ object LakeLog {
         LakeFile(fn.get("path").asText(), fn.get("rows").asLong, stats,
           Option(fn.get("epoch")).map(_.asLong))
       }.toSeq
-      Some(LakeSnapshot(v, schema, files))
+      val props = Option(root.get("props")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
+      Some(LakeSnapshot(v, schema, files, props))
     }
   }
 
@@ -255,6 +266,8 @@ object LakeLog {
     val root = mapper.createObjectNode()
     root.put("version", snapshot.version)
     root.put("schema", snapshot.schema.json)
+    val pr = root.putObject("props")
+    snapshot.props.foreach { case (k, v) => pr.put(k, v) }
     val arr = root.putArray("files")
     snapshot.files.foreach { f =>
       val fn = arr.addObject()
@@ -340,6 +353,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
   override def name(): String =
     s"graftlake.${dir.getFileName}" + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = snapshot.schema
+  override def properties(): java.util.Map[String, String] = snapshot.props.asJava
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
@@ -357,7 +371,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, "cannot write to a time-travel snapshot")
-    new LakeWriteBuilder(dir, snapshot.schema, info)
+    new LakeWriteBuilder(dir, snapshot.schema, info, snapshot.props)
   }
 
   // ---- metadata-only DELETE --------------------------------------------
@@ -380,8 +394,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
         case LakeStats.Mixed => throw new IllegalStateException(
           s"deleteWhere on undecidable file ${f.path} (canDeleteWhere was false)")
       })
-      done = LakeLog.commit(dir, cur.version,
-        LakeSnapshot(cur.version + 1, cur.schema, keep))
+      done = LakeLog.commit(dir, cur.version, cur.next(keep))
     }
   }
 
@@ -389,8 +402,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     var done = false
     while (!done) {
       val cur = LakeLog.currentSnapshot(dir).get
-      done = LakeLog.commit(dir, cur.version,
-        LakeSnapshot(cur.version + 1, cur.schema, Seq.empty))
+      done = LakeLog.commit(dir, cur.version, cur.next(Seq.empty))
     }
     true
   }
@@ -442,8 +454,8 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
               // still be live, or a concurrent commit invalidated our read
               require(replaced.subsetOf(cur.files.map(_.path).toSet),
                 s"concurrent update: files $replaced no longer live at v${cur.version}")
-              done = LakeLog.commit(dir, cur.version, LakeSnapshot(cur.version + 1,
-                cur.schema, cur.files.filterNot(f => replaced(f.path)) ++ written))
+              done = LakeLog.commit(dir, cur.version,
+                cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written))
             }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -693,13 +705,32 @@ case class LakeReaderFactory(tableSchema: StructType,
 /** Append / truncate-write builder (INSERT INTO, and the overwrite half
   * of truncate-then-append).
   */
-class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInfo)
+class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInfo,
+    props: Map[String, String] = Map.empty)
   extends WriteBuilder with SupportsTruncate {
 
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
 
-  override def build(): Write = new Write {
+  /** When the table declares `clusterBy`/`sortBy`, every write —
+    * batch, COW replace, streaming epoch — demands that layout from
+    * Spark ([[RequiresDistributionAndOrdering]]): the planner inserts
+    * the repartition + in-task sort, writers stay single-pass, each
+    * cluster key lands wholly in one file, and file stats come out
+    * tight enough for metadata deletes and skipping to bite.
+    */
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+    override def requiredDistribution(): Distribution =
+      props.get("clusterBy")
+        .map(c => Distributions.clustered(
+          Array[VExpression](Expressions.identity(c)): Array[VExpression]))
+        .getOrElse(Distributions.unspecified())
+    override def requiredOrdering(): Array[SortOrder] =
+      props.get("sortBy")
+        .map(c => Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+        .getOrElse(Array.empty)
     override def description(): String =
       s"graftlake-${if (truncating) "overwrite" else "append"}"
     override def toBatch: BatchWrite = new BatchWrite {
@@ -713,8 +744,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
         while (!done) {
           val cur = LakeLog.currentSnapshot(dir).get
           val base = if (truncating) Seq.empty else cur.files
-          done = LakeLog.commit(dir, cur.version,
-            LakeSnapshot(cur.version + 1, cur.schema, base ++ written))
+          done = LakeLog.commit(dir, cur.version, cur.next(base ++ written))
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -744,8 +774,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
             val keep = cur.files.filterNot(_.epoch.contains(epochId))
-            done = LakeLog.commit(dir, cur.version,
-              LakeSnapshot(cur.version + 1, cur.schema, keep ++ written))
+            done = LakeLog.commit(dir, cur.version, cur.next(keep ++ written))
           }
         }
         override def abort(epochId: Long,
@@ -918,8 +947,8 @@ object LakeProcedures {
               val cur = LakeLog.currentSnapshot(dir).get
               require(replaced.subsetOf(cur.files.map(_.path).toSet),
                 "concurrent rewrite invalidated the compaction's snapshot")
-              done = LakeLog.commit(dir, cur.version, LakeSnapshot(cur.version + 1,
-                cur.schema, cur.files.filterNot(f => replaced(f.path)) ++ written))
+              done = LakeLog.commit(dir, cur.version,
+                cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written))
             }
             out(StructType(Seq(
               StructField("files_before", IntegerType, nullable = false),

@@ -260,6 +260,47 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(vBefore >= 4L)
   }
 
+  test("clusterBy/sortBy table properties: writes arrive clustered + sorted, stats tighten") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_clustered (id BIGINT, cat BIGINT, s STRING)
+        |TBLPROPERTIES ('clusterBy' = 'cat', 'sortBy' = 'id')""".stripMargin)
+    // adversarial input: round-robin partitioning, descending ids
+    spark.range(0, 400)
+      .select((lit(399L) - $"id").as("id"), ($"id" % 5).as("cat"),
+        concat(lit("r"), $"id").as("s"))
+      .repartition(7)
+      .writeTo("lake.db.t_clustered").append()
+    // every cluster key lands wholly in ONE file...
+    val perCat = spark.table("lake.db.t_clustered")
+      .select($"cat", col("_file"))
+      .groupBy($"cat").agg(countDistinct(col("_file")).as("nf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perCat.size == 5 && perCat.values.forall(_ == 1L),
+      s"each cat must land in exactly one file, got $perCat")
+    // ...and within each file rows are id-ascending (writer saw sorted input)
+    val byFile = spark.table("lake.db.t_clustered")
+      .select(col("_file"), $"id").collect()
+      .groupBy(_.getString(0)).values
+    byFile.foreach { rows =>
+      val ids = rows.map(_.getLong(1)).toSeq
+      assert(ids == ids.sorted, "in-file order must be the required sortBy order")
+    }
+    // clustering scopes a cat-delete to the file(s) holding that cat:
+    // files without cat=3 keep their paths whichever path (metadata
+    // drop or group-filtered COW) the stats allow
+    val untouchable = spark.table("lake.db.t_clustered")
+      .select(col("_file"), $"cat").collect()
+      .groupBy(_.getString(0)).collect {
+        case (f, rs) if !rs.exists(_.getLong(1) == 3L) => f
+      }.toSet
+    spark.sql("DELETE FROM lake.db.t_clustered WHERE cat = 3")
+    val after = filePaths("t_clustered").toSet
+    assert(untouchable.subsetOf(after),
+      s"files without cat=3 must survive untouched: kept=$after expected⊇$untouchable")
+    assert(spark.table("lake.db.t_clustered").count() == 320L)
+  }
+
   test("metadata-only count(*): answered from the log, zero data files read") {
     val t = seeded("t_metacount")
     val df = spark.sql(s"SELECT count(*) AS n FROM lake.db.$t")

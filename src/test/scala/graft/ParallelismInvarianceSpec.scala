@@ -64,7 +64,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // q72: the typed-aggregate sketch folds through arbitrary
     // partial/final merge orders — the serialized-buffer path itself
     // must be order-free, not just the DataFrame sketch
-    "q72_kmv_native_agg")
+    "q72_kmv_native_agg",
+    // round-8 batch 3: q80 source-side partial aggregation merges across
+    // however many slices/tasks; q82 the lake lifecycle — COW rewrite
+    // file boundaries change with write parallelism but row content and
+    // time-travel counts must not
+    "q80_agg_pushdown", "q82_lake_lifecycle")
 
   test("query results are bit-identical across shuffle parallelism") {
     assume(new java.io.File(sfDir).isDirectory)
