@@ -75,7 +75,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     rewrites one file, not the table.
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog with StagingTableCatalog {
 
   private var catName: String = "graftlake"
   private var warehouse: Path = _
@@ -138,6 +138,49 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val s0 = LakeSnapshot(0L, schema, Seq.empty, keep)
     LakeLog.commit(dir, expectedVersion = -1L, s0)
     new LakeTable(dir, s0, None)
+  }
+
+  /** Atomic CTAS / RTAS ([[StagingTableCatalog]]): the staged write
+    * lands data files but publishes NO log version; `commitStagedChanges`
+    * publishes exactly one — so a failed `CREATE TABLE AS SELECT`
+    * leaves no table, and a failed `REPLACE TABLE AS SELECT` leaves
+    * the OLD table byte-identical (the non-staged alternative drops
+    * then recreates, with a window where the table is missing).
+    */
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    staged(ident, schema, partitions, properties, replace = false, orCreate = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    staged(ident, schema, partitions, properties, replace = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    staged(ident, schema, partitions, properties, replace = true, orCreate = true)
+
+  private def staged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String],
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    require(partitions.isEmpty, "graftlake does not support partition transforms")
+    schema.fields.foreach { f =>
+      require(LakeCodec.supported(f.dataType),
+        s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
+          s"got ${f.name}: ${f.dataType.simpleString}")
+    }
+    val keep = properties.asScala.view.filterKeys(Set("clusterBy", "sortBy")).toMap
+    keep.values.foreach(c => require(schema.fieldNames.contains(c),
+      s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
+    new GraftStagedTable(tableDir(ident), ident, schema, keep, replace, orCreate)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -1021,4 +1064,70 @@ object LakeProcedures {
         }
       }
     }
+}
+
+/** The staged half of an atomic CTAS/RTAS: the query's write lands
+  * data files under the (possibly not-yet-published) table dir but the
+  * LOG is untouched until [[commitStagedChanges]] — which publishes
+  * exactly one version: v0 for CREATE (create-if-absent; losing a
+  * concurrent-create race FAILS, it must not overwrite), or the next
+  * successor with ONLY the staged files (+ the staged schema/props)
+  * for REPLACE. [[abortStagedChanges]] deletes the staged files — the
+  * table is either fully the new definition or untouched.
+  */
+class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
+    stagedProps: Map[String, String], replace: Boolean, orCreate: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  @volatile private var stagedFiles: Seq[LakeFile] = Seq.empty
+  @volatile private var stagedMessages: Array[WriterCommitMessage] = Array.empty
+
+  Files.createDirectories(dir.resolve("data"))
+
+  override def name(): String = s"graftlake.${dir.getFileName}(staged)"
+  override def schema(): StructType = stagedSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // replace staging IS a truncate
+      override def build(): Write = new Write {
+        override def description(): String = "graftlake-staged"
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+            LakeWriterFactory(dir.toString, info.schema(), stagedSchema.fieldNames)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            // staged: record only — the LOG moves in commitStagedChanges
+            stagedMessages = messages
+            stagedFiles = messages.map(_.asInstanceOf[LakeFileMessage])
+              .filter(_.path.nonEmpty)
+              .map(m => LakeFile(m.path, m.rows, m.stats)).toSeq
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            LakeWriterFactory.deleteAll(dir.toString, messages)
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val existing = LakeLog.currentSnapshot(dir)
+    existing match {
+      case None =>
+        if (!LakeLog.commit(dir, -1L, LakeSnapshot(0L, stagedSchema, stagedFiles, stagedProps)))
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+      case Some(_) if !replace =>
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+      case Some(_) =>
+        var done = false
+        while (!done) {
+          val cur = LakeLog.currentSnapshot(dir).get
+          done = LakeLog.commit(dir, cur.version,
+            LakeSnapshot(cur.version + 1, stagedSchema, stagedFiles, stagedProps))
+        }
+    }
+  }
+
+  override def abortStagedChanges(): Unit =
+    LakeWriterFactory.deleteAll(dir.toString, stagedMessages)
 }

@@ -344,6 +344,47 @@ class GraftLakeSpec extends AnyFunSuite {
       (0L until 800L))
   }
 
+  test("atomic CTAS/RTAS: staged writes publish one version; failures leave no trace") {
+    import spark.implicits._
+    // CTAS: one commit, data present
+    spark.sql(
+      """CREATE TABLE lake.db.t_ctas AS
+        |SELECT id, id * 3 AS v, concat('c', id) AS s FROM range(50)""".stripMargin)
+    assert(spark.table("lake.db.t_ctas").count() == 50L)
+    assert(LakeLog.currentSnapshot(tableDir("t_ctas")).get.version == 0L,
+      "CTAS must publish exactly ONE log version (v0 with data)")
+    // failed CTAS: no table
+    intercept[Exception](spark.sql(
+      """CREATE TABLE lake.db.t_ctas_fail AS
+        |SELECT id, CASE WHEN id = 7 THEN raise_error('boom') ELSE 'x' END AS s
+        |FROM range(10)""".stripMargin))
+    assert(!spark.catalog.tableExists("lake.db.t_ctas_fail"))
+    assert(LakeLog.currentSnapshot(tableDir("t_ctas_fail")).isEmpty)
+    // RTAS: new definition (different schema!), old versions still readable
+    spark.sql(
+      """REPLACE TABLE lake.db.t_ctas AS
+        |SELECT id AS k, CAST(id AS DOUBLE) / 2 AS half FROM range(20)""".stripMargin)
+    assert(spark.table("lake.db.t_ctas").columns.toSeq == Seq("k", "half"))
+    assert(spark.table("lake.db.t_ctas").count() == 20L)
+    assert(spark.sql("SELECT count(*) FROM lake.db.t_ctas VERSION AS OF 0")
+      .head().getLong(0) == 50L, "pre-replace history must survive with its own schema")
+    // failed RTAS: old content byte-identical
+    val before = rows2(spark.table("lake.db.t_ctas"))
+    intercept[Exception](spark.sql(
+      """REPLACE TABLE lake.db.t_ctas AS
+        |SELECT id AS k, CASE WHEN id = 3 THEN raise_error('kaboom')
+        |  ELSE CAST(id AS DOUBLE) END AS half FROM range(9)""".stripMargin))
+    assert(rows2(spark.table("lake.db.t_ctas")) == before,
+      "a failed REPLACE must leave the old table untouched")
+    // CREATE OR REPLACE on a missing table creates it
+    spark.sql(
+      "CREATE OR REPLACE TABLE lake.db.t_corr AS SELECT id FROM range(5)")
+    assert(spark.table("lake.db.t_corr").count() == 5L)
+  }
+
+  private def rows2(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
