@@ -128,9 +128,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
     val keep = properties.asScala.view
-      .filterKeys(Set("clusterBy", "sortBy")).toMap
-    keep.values.foreach(c => require(schema.fieldNames.contains(c),
-      s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
+      .filterKeys(Set("clusterBy", "sortBy", "mode")).toMap
+    Seq("clusterBy", "sortBy").flatMap(keep.get).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
+    keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
+      s"graftlake mode must be 'cow' or 'mor', got '$m'"))
     val dir = tableDir(ident)
     if (LakeLog.currentSnapshot(dir).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
@@ -177,9 +180,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
-    val keep = properties.asScala.view.filterKeys(Set("clusterBy", "sortBy")).toMap
-    keep.values.foreach(c => require(schema.fieldNames.contains(c),
-      s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
+    val keep = properties.asScala.view.filterKeys(Set("clusterBy", "sortBy", "mode")).toMap
+    Seq("clusterBy", "sortBy").flatMap(keep.get).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
+    keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
+      s"graftlake mode must be 'cow' or 'mor', got '$m'"))
     new GraftStagedTable(tableDir(ident), ident, schema, keep, replace, orCreate)
   }
 
@@ -248,7 +254,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   * (the idempotent-commit half of streaming exactly-once).
   */
 case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
-    epoch: Option[Long] = None)
+    epoch: Option[Long] = None, dv: Option[String] = None, dvRows: Long = 0L) {
+  /** Rows the file contributes after its delete vector. */
+  def liveRows: Long = rows - dvRows
+}
 
 /** One committed table version: the schema + the COMPLETE live file
   * list (full snapshots per version keep reads O(1) log files; a
@@ -293,7 +302,9 @@ object LakeLog {
           .map(e => e.getKey -> (e.getValue.get(0).asLong, e.getValue.get(1).asLong))
           .toMap
         LakeFile(fn.get("path").asText(), fn.get("rows").asLong, stats,
-          Option(fn.get("epoch")).map(_.asLong))
+          Option(fn.get("epoch")).map(_.asLong),
+          Option(fn.get("dv")).map(_.asText()),
+          Option(fn.get("dvRows")).map(_.asLong).getOrElse(0L))
       }.toSeq
       val props = Option(root.get("props")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
@@ -317,6 +328,7 @@ object LakeLog {
       fn.put("path", f.path)
       fn.put("rows", f.rows)
       f.epoch.foreach(fn.put("epoch", _))
+      f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
       val st = fn.putObject("stats")
       f.stats.foreach { case (c, (lo, hi)) =>
         val a = st.putArray(c); a.add(lo); a.add(hi)
@@ -387,6 +399,10 @@ object LakeCodec {
 object LakeTable {
   /** The `_file` metadata column (relative path of the row's data file). */
   val FileColumn = "_file"
+  /** The `_pos` metadata column (physical ordinal within the file —
+    * stable under delete vectors, which SKIP positions, never renumber).
+    */
+  val PosColumn = "_pos"
 }
 
 class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
@@ -407,6 +423,12 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "relative path of the row's data file"
+    },
+    new MetadataColumn {
+      override def name(): String = LakeTable.PosColumn
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "physical row ordinal within the data file"
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -455,7 +477,10 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty, "cannot mutate a time-travel snapshot")
-    () => new LakeRowLevelOperation(dir, snapshot, info.command())
+    if (snapshot.props.get("mode").contains("mor"))
+      () => new LakeDeltaOperation(dir, snapshot, info.command())
+    else
+      () => new LakeRowLevelOperation(dir, snapshot, info.command())
   }
 }
 
@@ -636,7 +661,7 @@ class LakeCountScan(snapshot: LakeSnapshot) extends org.apache.spark.sql.connect
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
   override def rows(): Array[InternalRow] =
-    Array(new GenericInternalRow(Array[Any](snapshot.files.map(_.rows).sum)))
+    Array(new GenericInternalRow(Array[Any](snapshot.files.map(_.liveRows).sum)))
   override def description(): String =
     s"graftlake metadata-count files=0/${snapshot.files.size}"
 }
@@ -697,21 +722,22 @@ class LakeScan(dir: Path, tableSchema: StructType, files: Seq[LakeFile],
   override def planInputPartitions(): Array[InputPartition] = {
     val ps = planned
     onPlanned.foreach(_(ps.map(_.path)))
-    ps.map(f => LakeInputFile(dir.toString, f.path): InputPartition).toArray
+    ps.map(f => LakeInputFile(dir.toString, f.path, f.dv): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     LakeReaderFactory(tableSchema, required.fields.map(f => f.name -> f.dataType))
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = planned.map(_.rows).sum
+    private val n = planned.map(_.liveRows).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(n * (tableSchema.length * 16L))
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
   }
 }
 
-case class LakeInputFile(tableDir: String, path: String) extends InputPartition
+case class LakeInputFile(tableDir: String, path: String,
+    dv: Option[String] = None) extends InputPartition
 
 case class LakeReaderFactory(tableSchema: StructType,
     required: Array[(String, DataType)]) extends PartitionReaderFactory {
@@ -721,20 +747,31 @@ case class LakeReaderFactory(tableSchema: StructType,
     val mapper = new ObjectMapper()
     val lines = Files.readAllLines(
       Paths.get(p.tableDir).resolve(p.path), StandardCharsets.UTF_8)
+    val deleted: java.util.HashSet[Long] = p.dv match {
+      case None => new java.util.HashSet[Long]()
+      case Some(d) => LakeDv.read(Paths.get(p.tableDir), d)
+    }
     val idx = required.map { case (n, dt) =>
-      if (n == LakeTable.FileColumn) (-1, dt) else (tableSchema.fieldIndex(n), dt)
+      if (n == LakeTable.FileColumn) (-1, dt)
+      else if (n == LakeTable.PosColumn) (-2, dt)
+      else (tableSchema.fieldIndex(n), dt)
     }
     val filePathValue = UTF8String.fromString(p.path)
     new PartitionReader[InternalRow] {
       private var i = -1
-      override def next(): Boolean = { i += 1; i < lines.size }
+      override def next(): Boolean = {
+        i += 1
+        while (i < lines.size && deleted.contains(i.toLong)) i += 1
+        i < lines.size
+      }
       override def get(): InternalRow = {
         val node = mapper.readTree(lines.get(i))
         val vals = new Array[Any](idx.length)
         var c = 0
         while (c < idx.length) {
           vals(c) =
-            if (idx(c)._1 < 0) filePathValue
+            if (idx(c)._1 == -1) filePathValue
+            else if (idx(c)._1 == -2) i.toLong
             else LakeCodec.read(node, idx(c)._1, idx(c)._2)
           c += 1
         }
@@ -1020,7 +1057,8 @@ object LakeProcedures {
             val head = LakeLog.currentVersion(dir).get
             val floor = math.max(0L, head - retain + 1)
             val referenced = (floor to head)
-              .flatMap(LakeLog.snapshotAt(dir, _)).flatMap(_.files.map(_.path)).toSet
+              .flatMap(LakeLog.snapshotAt(dir, _))
+              .flatMap(_.files.flatMap(f => f.path +: f.dv.toSeq)).toSet
             val dataDir = dir.resolve("data")
             val deletable = Files.list(dataDir).iterator().asScala
               .filter(p => !referenced.contains("data/" + p.getFileName.toString)).toSeq
@@ -1130,4 +1168,151 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
 
   override def abortStagedChanges(): Unit =
     LakeWriterFactory.deleteAll(dir.toString, stagedMessages)
+}
+
+/** Delete-vector sidecar IO: a dv file is a JSON array of deleted
+  * physical positions for ONE data file, stored under `data/` like any
+  * immutable artifact (referenced by the log, reclaimed by vacuum).
+  */
+object LakeDv {
+  private val mapper = new ObjectMapper()
+
+  def read(tableDir: Path, rel: String): java.util.HashSet[Long] = {
+    val set = new java.util.HashSet[Long]()
+    val node = mapper.readTree(Files.readAllBytes(tableDir.resolve(rel)))
+    node.elements().asScala.foreach(v => set.add(v.asLong()))
+    set
+  }
+
+  def write(tableDir: Path, positions: java.util.HashSet[Long]): String = {
+    val rel = s"data/dv-${java.util.UUID.randomUUID().toString.replace("-", "")}.json"
+    val arr = mapper.createArrayNode()
+    positions.asScala.toSeq.sorted.foreach(arr.add(_))
+    Files.write(tableDir.resolve(rel), mapper.writeValueAsBytes(arr))
+    rel
+  }
+}
+
+/** MERGE-ON-READ row-level operations ([[SupportsDelta]], table
+  * property `mode = 'mor'`): instead of rewriting affected files,
+  * Spark hands the connector per-row DELTAS keyed by the
+  * (`_file`, `_pos`) row id — deletes accumulate into per-file DELETE
+  * VECTOR sidecars, inserts land in new files, and an update is a
+  * delete + insert (`representUpdateAsDeleteAndInsert`). Commit
+  * unions each target file's existing vector with the new positions
+  * and swaps only the dv REFERENCE in the log — a one-key UPDATE
+  * writes a few-byte sidecar and touches NO data file. The read side
+  * pays: every scan of a dv'd file skips its positions. That is
+  * exactly the MOR trade (write-cheap, read-taxed) and `system.compact`
+  * is the repayment path — its table-read applies the vectors, so
+  * compacted files come out clean and dv-free.
+  */
+class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
+    cmd: RowLevelOperation.Command) extends SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graftlake-mor-$cmd"
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(LakeTable.FileColumn),
+    Expressions.column(LakeTable.PosColumn))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(dir, snapshot, onPlanned = Some(_ => ()))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def description(): String = s"graftlake-mor-write-$cmd"
+        override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+          override def createBatchWriterFactory(pi: PhysicalWriteInfo): DeltaWriterFactory =
+            LakeDeltaWriterFactory(dir.toString, info.schema(),
+              snapshot.schema.fieldNames)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val ms = messages.map(_.asInstanceOf[LakeDeltaMessage])
+            val inserts = ms.flatMap(_.inserts).filter(_.path.nonEmpty)
+              .map(m => LakeFile(m.path, m.rows, m.stats)).toSeq
+            val deletes = ms.flatMap(_.deletes.toSeq)
+              .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
+            var done = false
+            while (!done) {
+              val cur = LakeLog.currentSnapshot(dir).get
+              val live = cur.files.map(f => f.path -> f).toMap
+              require(deletes.keySet.subsetOf(live.keySet),
+                s"concurrent change removed delete targets ${deletes.keySet -- live.keySet}")
+              val updated = cur.files.map { f =>
+                deletes.get(f.path) match {
+                  case None => f
+                  case Some(newPos) =>
+                    val union = f.dv.map(LakeDv.read(dir, _))
+                      .getOrElse(new java.util.HashSet[Long]())
+                    newPos.foreach(union.add(_))
+                    require(union.size <= f.rows, s"dv larger than file ${f.path}")
+                    f.copy(dv = Some(LakeDv.write(dir, union)), dvRows = union.size.toLong)
+                }
+              }
+              done = LakeLog.commit(dir, cur.version, cur.next(updated ++ inserts))
+            }
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case m: LakeDeltaMessage => m.inserts.foreach { i =>
+                if (i.path.nonEmpty)
+                  Files.deleteIfExists(Paths.get(dir.toString).resolve(i.path))
+              }
+              case _ => ()
+            }
+        }
+      }
+    }
+}
+
+/** One MOR task's outcome: per-target-file deleted positions + the
+  * files its inserts landed in.
+  */
+case class LakeDeltaMessage(deletes: Map[String, Seq[Long]],
+    inserts: Seq[LakeFileMessage]) extends WriterCommitMessage
+
+case class LakeDeltaWriterFactory(tableDir: String, writeSchema: StructType,
+    keep: Array[String]) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      // rowId arrives as (file STRING, pos BIGINT) in rowId() order
+      private val deletes = scala.collection.mutable.Map[String, ArrayBuffer[Long]]()
+      private var inner: DataWriter[InternalRow] = _
+      private def insertWriter(): DataWriter[InternalRow] = {
+        if (inner == null)
+          inner = LakeWriterFactory(tableDir, writeSchema, keep)
+            .createWriter(partitionId, taskId)
+        inner
+      }
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        deletes.getOrElseUpdate(id.getUTF8String(0).toString, ArrayBuffer.empty) +=
+          id.getLong(1)
+
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        // unreachable with representUpdateAsDeleteAndInsert = true;
+        // kept semantically correct regardless
+        delete(metadata, id)
+        insert(row)
+      }
+
+      override def insert(row: InternalRow): Unit = insertWriter().write(row)
+
+      override def commit(): WriterCommitMessage = {
+        val ins =
+          if (inner == null) Seq.empty
+          else Seq(inner.commit().asInstanceOf[LakeFileMessage])
+        LakeDeltaMessage(deletes.view.mapValues(_.toSeq).toMap, ins)
+      }
+      override def abort(): Unit = if (inner != null) inner.abort()
+      override def close(): Unit = if (inner != null) inner.close()
+    }
 }

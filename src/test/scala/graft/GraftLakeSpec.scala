@@ -385,6 +385,60 @@ class GraftLakeSpec extends AnyFunSuite {
   private def rows2(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
 
+  test("merge-on-read: deletes land as delete vectors, zero data files rewritten") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_mor (id BIGINT, v BIGINT, s STRING)
+        |TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    for (b <- 0 until 4)
+      spark.range(b * 25L, (b + 1) * 25L)
+        .select($"id", ($"id" * 10L).as("v"), lit(s"f$b").as("s"))
+        .coalesce(1).writeTo("lake.db.t_mor").append()
+    val dataBefore = filePaths("t_mor")
+    // a partial delete: dv sidecar, same four data files
+    spark.sql("DELETE FROM lake.db.t_mor WHERE s = 'f1' AND id < 30")
+    val snap1 = LakeLog.currentSnapshot(tableDir("t_mor")).get
+    assert(snap1.files.map(_.path).sorted == dataBefore,
+      "MOR delete must not rewrite or drop any data file")
+    assert(snap1.files.count(_.dv.isDefined) == 1 &&
+      snap1.files.find(_.dv.isDefined).get.dvRows == 5L,
+      s"one file gains a 5-position delete vector: ${snap1.files}")
+    assert(rows("t_mor").map(_._1) == ((0L until 25L) ++ (30L until 100L)))
+    // second delete on the SAME file unions into a fresh vector
+    spark.sql("DELETE FROM lake.db.t_mor WHERE s = 'f1' AND id >= 45")
+    val snap2 = LakeLog.currentSnapshot(tableDir("t_mor")).get
+    assert(snap2.files.find(_.path == snap1.files.find(_.dv.isDefined).get.path)
+      .get.dvRows == 10L, "vectors must union, not replace")
+    assert(rows("t_mor").map(_._1) == ((0L until 25L) ++ (30L until 45L) ++ (50L until 100L)))
+    // UPDATE = dv + insert file; no original file touched
+    spark.sql("UPDATE lake.db.t_mor SET v = -1 WHERE id = 77")
+    val snap3 = LakeLog.currentSnapshot(tableDir("t_mor")).get
+    assert(dataBefore.forall(snap3.files.map(_.path).contains),
+      "MOR update keeps every original data file")
+    assert(snap3.files.size == 5, "the updated row lands in one new insert file")
+    assert(rows("t_mor").find(_._1 == 77L).get == ((77L, -1L, "f3")))
+    // metadata count honors the vectors; time travel predates them
+    assert(spark.sql("SELECT count(*) FROM lake.db.t_mor").head().getLong(0) == 90L)
+    assert(spark.sql("SELECT count(*) FROM lake.db.t_mor VERSION AS OF 4")
+      .head().getLong(0) == 100L)
+    // MERGE upserts through the same delta path
+    Seq((5L, 555L, "m"), (300L, 3L, "m")).toDF("id", "v", "s")
+      .createOrReplaceTempView("mor_src")
+    spark.sql(
+      """MERGE INTO lake.db.t_mor t USING mor_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v, s) VALUES (s.id, s.v, s.s)""".stripMargin)
+    val got = rows("t_mor")
+    assert(got.find(_._1 == 5L).get == ((5L, 555L, "f0")))
+    assert(got.find(_._1 == 300L).get == ((300L, 3L, "m")))
+    assert(got.size == 91)
+    // compaction APPLIES the vectors: clean files, no dvs, rows identical
+    spark.sql("CALL lake.system.compact('db.t_mor', 1)")
+    val snapC = LakeLog.currentSnapshot(tableDir("t_mor")).get
+    assert(snapC.files.size == 1 && snapC.files.forall(_.dv.isEmpty))
+    assert(rows("t_mor") == got, "compaction must not change a row")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
