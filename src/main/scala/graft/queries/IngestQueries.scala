@@ -439,9 +439,10 @@ object IngestQueries {
   }
 
   /** q83 — CDC over the lake via TIME TRAVEL (the `table_changes`
-    * analog a lakehouse gets for free from versioned snapshots): after
-    * a copy-on-write UPDATE (balances doubled for one segment) and a
-    * COW DELETE (every 7th key), the change set between v1 and the
+    * analog a lakehouse gets for free from versioned snapshots), on a
+    * MERGE-ON-READ table: after an UPDATE (balances doubled for one
+    * segment — delete vectors + insert files, no data file rewritten)
+    * and a DELETE (every 7th key), the change set between v1 and the
     * head is DERIVED by reading both versions — an anti-join finds the
     * deletes, an equi-join with a value inequality finds the updates,
     * and per-(segment, change_type) counts + exact cent deltas ride
@@ -457,7 +458,11 @@ object IngestQueries {
       classOf[graft.sources.GraftLakeCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val t = s"$cat.db.balances"
-    spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT)")
+    // MERGE-ON-READ mode: the update + delete below land as delete
+    // vectors + insert files (q82 exercises the copy-on-write mode) —
+    // the unchanged oracle hash proves the dv arithmetic
+    spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
     Tables.load(spark, dir, "customer")
       .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
         graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))

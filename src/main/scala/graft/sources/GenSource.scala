@@ -227,7 +227,7 @@ class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
       case s: Sum if !s.isDistinct => fieldOf(s.column).map(GenAggSpec("sum", _))
       case _ => None
     }
-    (groupOk, specs.forall(_.isDefined)) match {
+    (groupOk, specs.nonEmpty && specs.forall(_.isDefined)) match {
       case (Some(g), true) =>
         pushedAgg = Some(GenAggPush(g, specs.map(_.get)))
         true

@@ -75,7 +75,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     rewrites one file, not the table.
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog with StagingTableCatalog {
+  with ProcedureCatalog with StagingTableCatalog with ViewCatalog {
 
   private var catName: String = "graftlake"
   private var warehouse: Path = _
@@ -231,6 +231,90 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         .iterator().asScala.foreach(Files.delete)
       true
     }
+  }
+
+  // -- persistent SQL VIEWS ([[ViewCatalog]]): definitions stored as
+  //    JSON under <ns>/_views/<name>.json — CREATE/DROP/RENAME/SHOW
+  //    VIEW against this catalog, resolved + inlined by the analyzer --
+  private def viewFile(ident: Identifier): Path =
+    ident.namespace().foldLeft(warehouse)(_.resolve(_))
+      .resolve("_views").resolve(ident.name() + ".json")
+
+  private val viewMapper = new ObjectMapper()
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_)).resolve("_views")
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => Identifier.of(namespace.toArray,
+        p.getFileName.toString.stripSuffix(".json"))).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    Files.isRegularFile(viewFile(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val root = viewMapper.readTree(Files.readAllBytes(f))
+    def arr(k: String): Array[String] =
+      root.get(k).elements().asScala.map(_.asText()).toArray
+    new View {
+      override def name(): String = ident.name()
+      override def query(): String = root.get("sql").asText()
+      override def currentCatalog(): String = root.get("currentCatalog").asText()
+      override def currentNamespace(): Array[String] = arr("currentNamespace")
+      override def schema(): StructType =
+        DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = arr("queryColumnNames")
+      override def columnAliases(): Array[String] = arr("columnAliases")
+      override def columnComments(): Array[String] = arr("columnComments")
+      override def properties(): java.util.Map[String, String] = {
+        val m = new java.util.HashMap[String, String]()
+        root.get("props").properties().asScala
+          .foreach(e => m.put(e.getKey, e.getValue.asText()))
+        m
+      }
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val f = viewFile(info.ident())
+    if (Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
+    Files.createDirectories(f.getParent)
+    val root = viewMapper.createObjectNode()
+    root.put("sql", info.sql())
+    root.put("currentCatalog", info.currentCatalog())
+    root.put("schema", info.schema().json)
+    def put(k: String, vs: Array[String]): Unit = {
+      val a = root.putArray(k); vs.foreach(a.add)
+    }
+    put("currentNamespace", info.currentNamespace())
+    put("queryColumnNames", info.queryColumnNames())
+    put("columnAliases", Option(info.columnAliases()).getOrElse(Array.empty))
+    put("columnComments", Option(info.columnComments()).getOrElse(Array.empty))
+    val pr = root.putObject("props")
+    info.properties().asScala.foreach { case (k, v) => pr.put(k, v) }
+    Files.write(f, viewMapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException("graftlake: ALTER VIEW not supported")
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    Files.createDirectories(viewFile(newIdent).getParent)
+    Files.move(viewFile(oldIdent), viewFile(newIdent))
   }
 
   // -- stored procedures: CALL <cat>.system.{compact,vacuum,history} --
@@ -641,7 +725,11 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.toSeq.forall(_.isInstanceOf[CountStar]) &&
+      // EXACTLY one CountStar: under an outer count() the optimizer can
+      // prune the inner aggregate to ZERO expressions, and a vacuous
+      // forall would accept it while the scan still returns one column
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
       skips.isEmpty && onPlanned.isEmpty
 
   override def pushAggregation(agg: Aggregation): Boolean =

@@ -439,6 +439,41 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(rows("t_mor") == got, "compaction must not change a row")
   }
 
+  test("persistent views: catalog API round-trip (SQL view DDL is not v2-wired in 4.1)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    val t = seeded("t_viewbase")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[graft.sources.GraftLakeCatalog]
+    val ident = Identifier.of(Array("db"), "v_big")
+    val sql = s"SELECT s, count(*) AS n FROM lake.db.$t WHERE id >= 50 GROUP BY s"
+    val schema = spark.sql(sql).schema
+    cat.createView(new ViewInfo(ident, sql, "lake", Array("db"), schema,
+      schema.fieldNames, Array.empty, Array.empty,
+      java.util.Collections.singletonMap("comment", "per-source rollup")))
+    // definition persists: a FRESH catalog instance over the same
+    // warehouse loads it back verbatim
+    val cat2 = new graft.sources.GraftLakeCatalog {
+      initialize("lake", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", warehouse.toString)))
+    }
+    val v = cat2.loadView(ident)
+    assert(v.query() == sql && v.currentCatalog() == "lake" &&
+      v.schema() == schema && v.properties().get("comment") == "per-source rollup")
+    // the stored text executes against the live table (the definition
+    // is metadata, not a materialization)
+    assert(spark.sql(v.query()).collect().map(_.getLong(1)).sum == 50L)
+    assert(cat2.listViews("db").map(_.name).toSeq == Seq("v_big"))
+    // rename + drop + duplicate rejection
+    cat2.renameView(ident, Identifier.of(Array("db"), "v_renamed"))
+    assert(!cat2.viewExists(ident) &&
+      cat2.viewExists(Identifier.of(Array("db"), "v_renamed")))
+    intercept[Exception](cat2.createView(new ViewInfo(
+      Identifier.of(Array("db"), "v_renamed"), sql, "lake", Array("db"), schema,
+      schema.fieldNames, Array.empty, Array.empty, java.util.Collections.emptyMap())))
+    assert(cat2.dropView(Identifier.of(Array("db"), "v_renamed")))
+    assert(cat2.listViews("db").isEmpty)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "c16_bm25", // 1-row corpus stats (N, milli-avgdl) crossed onto the scored postings
     "h04_kmv_setops", // 1-row count/max-hash scalar frames crossed into the summary row
     "g06_kcore", // planted-graph build: 24-row rank frame self-joined on rank arithmetic
-    "c18_negative_pairs" // 1-row corpus count crossed onto the rank ring
+    "c18_negative_pairs", // 1-row corpus count crossed onto the rank ring
+    "q82_lake_lifecycle" // four 1-row time-travel count(*) frames crossed onto the 4-segment aggregate
   )
 
   test("no query plans a cartesian product; nested-loop only for 1-row scalars") {
