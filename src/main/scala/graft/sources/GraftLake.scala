@@ -589,7 +589,21 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        // rewritten files keep the table's declared clustering/order —
+        // a COW rewrite must not silently degrade the layout appends
+        // were forced to satisfy
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+        override def requiredDistribution(): Distribution =
+          snapshot.props.get("clusterBy")
+            .map(c => Distributions.clustered(
+              Array[VExpression](Expressions.identity(c)): Array[VExpression]))
+            .getOrElse(Distributions.unspecified())
+        override def requiredOrdering(): Array[SortOrder] =
+          snapshot.props.get("sortBy")
+            .map(c => Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+            .getOrElse(Array.empty)
         override def description(): String = s"graftlake-replace-$cmd"
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =

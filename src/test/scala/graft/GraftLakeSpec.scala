@@ -299,6 +299,14 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(untouchable.subsetOf(after),
       s"files without cat=3 must survive untouched: kept=$after expected⊇$untouchable")
     assert(spark.table("lake.db.t_clustered").count() == 320L)
+    // a COW rewrite must preserve the declared clustering: every cat
+    // still lands wholly in one file afterwards
+    val perCatAfter = spark.table("lake.db.t_clustered")
+      .select($"cat", col("_file"))
+      .groupBy($"cat").agg(countDistinct(col("_file")).as("nf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perCatAfter.values.forall(_ == 1L),
+      s"rewrite degraded the clustering: $perCatAfter")
   }
 
   test("metadata-only count(*): answered from the log, zero data files read") {

@@ -289,4 +289,30 @@ object GraftProps extends Properties("graft") {
           .sorted.take(k)
         got == want
     }
+
+  property("CmsAggExpr buffer fold: any partitioning/merge order == reference counters") =
+    forAll(Gen.listOfN(50, Gen.choose(0L, 25L)), Gen.choose(1, 5)) { (hs, nParts) =>
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow => GIR}
+      import org.apache.spark.sql.types.LongType
+      val expr = graft.functions.CmsAggExpr(BoundReference(0, LongType, nullable = true))
+      def fold(items: Seq[Long]): Array[Long] =
+        items.foldLeft(expr.createAggregationBuffer()) { (b, h) =>
+          expr.update(b, new GIR(Array[Any](h)))
+        }
+      def cells(buf: Array[Long]): Seq[Long] = buf.toSeq
+      val whole = cells(fold(hs))
+      // reference: 3 increments per hash at the 10-bit slice positions
+      val ref = new Array[Long](3 * 1024)
+      hs.foreach { h =>
+        (0 until 3).foreach(r => ref(r * 1024 + ((h >>> (r * 10)) & 1023L).toInt) += 1L)
+      }
+      val parts = hs.zipWithIndex.groupBy(_._2 % nParts).toSeq.sortBy(_._1)
+        .map { case (_, p) =>
+          // serde round-trip on every partial, like a real shuffle
+          expr.deserialize(expr.serialize(fold(p.map(_._1))))
+        }
+      val fwd = cells(parts.reduceLeft(expr.merge))
+      val rev = cells(parts.reverse.map(_.clone).reduceLeft(expr.merge))
+      whole == ref.toSeq && fwd == whole && rev == whole
+    }
 }
