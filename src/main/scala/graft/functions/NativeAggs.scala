@@ -293,3 +293,80 @@ case class CmsAggExpr(
   override protected def withNewChildInternal(newChild: Expression): CmsAggExpr =
     copy(child = newChild)
 }
+
+/** Fixed-range histogram (bins+2 counters: underflow, `bins` equal-width
+  * bins over [lo, hi), overflow) as one typed aggregate — the
+  * DISTRIBUTION member of the native-aggregate family (KMV =
+  * distinctness, HLL = cardinality, CMS = frequency). Bin assignment is
+  * exact integer arithmetic (`(v - lo) * bins / (hi - lo)`), merge is
+  * cell-wise addition, so the whole sketch — and any quantile-edge
+  * read off its cumulative sums — is bit-replayable in the DuckDB
+  * oracle (h05). At 100 TB: one 8·(bins+2)-byte buffer per (group,
+  * task) through ObjectHashAggregate where a percentile_approx would
+  * ship variable-size digests and an exact percentile a full sort.
+  */
+case class HistAggExpr(
+    child: Expression,
+    lo: Long,
+    hi: Long,
+    bins: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(bins > 0 && hi > lo, s"hist aggregate needs bins > 0 and hi > lo, got [$lo,$hi)/$bins")
+
+  override def prettyName: String = "graft_hist_agg"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_hist_agg expects a BIGINT value column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bins + 2)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      val slot =
+        if (x < lo) 0
+        else if (x >= hi) bins + 1
+        else 1 + ((x - lo) * bins / (hi - lo)).toInt
+      buf(slot) += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HistAggExpr =
+    copy(child = newChild)
+}

@@ -68,13 +68,24 @@ object NativeExprs {
     "graft_bpe_apply" -> (exprs => BpeApplyExpr(exprs.head, exprs(1), exprs(2))),
     "graft_kmv_agg" -> (exprs => KmvAggExpr(exprs.head, literalInt(exprs(1)))),
     "graft_hll_agg" -> (exprs => HllAggExpr(exprs.head)),
-    "graft_cms_agg" -> (exprs => CmsAggExpr(exprs.head)))
+    "graft_cms_agg" -> (exprs => CmsAggExpr(exprs.head)),
+    "graft_hist_agg" -> (exprs => HistAggExpr(exprs.head,
+      literalLong(exprs(1)), literalLong(exprs(2)), literalInt(exprs(3)))))
 
   private def literalInt(e: Expression): Int = {
     require(e.foldable, s"expected a literal int argument, got $e")
     e.eval(null) match {
       case i: Int => i
       case other => other.toString.toInt
+    }
+  }
+
+  private def literalLong(e: Expression): Long = {
+    require(e.foldable, s"expected a literal long argument, got $e")
+    e.eval(null) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => other.toString.toLong
     }
   }
 

@@ -98,6 +98,73 @@ object SketchQueries {
       .orderBy($"exact_cnt".desc, $"token")
   }
 
+  /** h05 — mergeable fixed-range HISTOGRAM as a native aggregate
+    * ([[graft.functions.HistAggExpr]] — the DISTRIBUTION member of the
+    * native family beside KMV/HLL/CMS): per-priority order totals fold
+    * into one 66-slot integer histogram per group (ONE
+    * ObjectHashAggregate, 528-byte buffers), and quantile EDGES are
+    * read off the cumulative sums with exact integer rank arithmetic
+    * (`ceil(n·k/100)`), so p25/p50/p75/p90 are bin lower bounds — pure
+    * longs, bit-replayable. The deliberately-low range cap [0, $320k)
+    * populates the overflow slot, pinning the clamp semantics. The
+    * DuckDB oracle replays bin assignment, cumsums, and the same rank
+    * formula; zero-count slots can't shift the min-edge pick because
+    * cumulative sums are monotone in slot order.
+    */
+  def h05(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val (lo, hi, bins) = (0L, 32000000L, 64)
+    val width = (hi - lo) / bins
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("prio"), gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val hist = o.groupBy($"prio")
+      .agg(call_function("graft_hist_agg", $"cents",
+        lit(lo), lit(hi), lit(bins)).as("hist"))
+    val slots = hist.select($"prio", posexplode($"hist").as(Seq("slot", "cnt")))
+    val byPrio = org.apache.spark.sql.expressions.Window.partitionBy($"prio")
+    val scored = slots
+      .withColumn("cum", sum($"cnt").over(byPrio.orderBy($"slot")))
+      .withColumn("n", sum($"cnt").over(byPrio))
+      .withColumn("edge",
+        when($"slot" === 0, lo).when($"slot" === bins + 1, hi)
+          .otherwise(lit(lo) + ($"slot" - 1) * lit(width)))
+    def pEdge(k: Int) =
+      min(when($"cum" >= expr(s"(n * $k + 99) div 100"), $"edge")).as(s"p${k}_edge")
+    scored.groupBy($"prio")
+      .agg(max($"n").as("n_orders"),
+        pEdge(25), pEdge(50), pEdge(75), pEdge(90),
+        max(when($"slot" === bins + 1, $"cnt")).as("n_overflow"))
+      .orderBy($"prio")
+  }
+
+  private[queries] val h05Oracle: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (
+      |  SELECT prio,
+      |    CASE WHEN cents < 0 THEN 0
+      |         WHEN cents >= 32000000 THEN 65
+      |         ELSE 1 + (cents * 64) // 32000000 END AS slot
+      |  FROM o),
+      |g AS (SELECT prio, slot, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+      |s AS (
+      |  SELECT prio, slot, cnt,
+      |    sum(cnt) OVER (PARTITION BY prio ORDER BY slot) AS cum,
+      |    sum(cnt) OVER (PARTITION BY prio) AS n,
+      |    CASE WHEN slot = 0 THEN 0 WHEN slot = 65 THEN 32000000
+      |         ELSE (slot - 1) * 500000 END AS edge
+      |  FROM g)
+      |SELECT prio, CAST(max(n) AS BIGINT) AS n_orders,
+      |  CAST(min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN edge END) AS BIGINT) AS p25_edge,
+      |  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN edge END) AS BIGINT) AS p50_edge,
+      |  CAST(min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN edge END) AS BIGINT) AS p75_edge,
+      |  CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN edge END) AS BIGINT) AS p90_edge,
+      |  CAST(coalesce(max(CASE WHEN slot = 65 THEN cnt END), 0) AS BIGINT) AS n_overflow
+      |FROM s GROUP BY prio ORDER BY prio""".stripMargin
+
   /** h04 — KMV sketch SET ALGEBRA (what [[Hll]] cannot do): the 1995
     * and 1996 active-customer sets are sketched with k=256 minimum
     * hash values each, merged into the union sketch, and the union
@@ -298,6 +365,7 @@ object SketchQueries {
     "h02_histogram_quantiles" -> h02,
     "h03_countmin_freq" -> h03,
     "h04_kmv_setops" -> h04,
+    "h05_native_histogram" -> h05,
     "q68_kmv_windowed_distinct" -> q68,
     "q69_kmv_stream_distinct" -> q69,
     "q72_kmv_native_agg" -> q72,
@@ -310,6 +378,7 @@ object SketchQueries {
   val oracles: Map[String, String] = Map(
     "h01_hll_distinct" -> DuckSketchSql.h01,
     "h04_kmv_setops" -> DuckSketchSql.h04,
+    "h05_native_histogram" -> h05Oracle,
     "q68_kmv_windowed_distinct" -> DuckSketchSql.q68,
     // q69: the stream must land on the batch sketch exactly — its
     // oracle IS q68's replay (every real day finalizes via the sentinel)

@@ -165,6 +165,43 @@ class NativeAggSpec extends AnyFunSuite {
     assert(zero.size == 3 * 1024 && zero.forall(_ == 0L))
   }
 
+  test("HistAggExpr == declarative binning, any partitioning; clamps pin under/overflow") {
+    import spark.implicits._
+    NativeExprs.ensureRegistered(spark)
+    val (lo, hi, bins) = (100L, 1100L, 10)
+    // values straddling both clamp edges, skewed across groups
+    val rows = spark.range(4000)
+      .select((($"id" % 3).cast("string")).as("g"),
+        (($"id" * 37) % 1500 - 100).as("v"))
+      .localCheckpoint()
+    def native(df: org.apache.spark.sql.DataFrame): Map[(String, Int), Long] =
+      df.groupBy($"g")
+        .agg(call_function("graft_hist_agg", $"v", lit(lo), lit(hi), lit(bins)).as("h"))
+        .select($"g", posexplode($"h").as(Seq("slot", "cnt")))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val declarative = rows
+      .withColumn("slot",
+        when($"v" < lo, 0).when($"v" >= hi, bins + 1)
+          .otherwise((lit(1) + ($"v" - lo) * bins / (hi - lo)).cast("int")))
+      .groupBy($"g", $"slot").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = native(rows)
+    // native emits every slot; declarative only touched ones
+    declarative.foreach { case (k, v) => assert(got(k) == v, s"slot $k") }
+    assert(got.filterNot(e => declarative.contains(e._1)).values.forall(_ == 0L))
+    assert(native(rows.repartition(37)) == got, "partitioning must not matter")
+    // clamp slots are genuinely populated by this input
+    assert(got.exists { case ((_, s), c) => s == 0 && c > 0 })
+    assert(got.exists { case ((_, s), c) => s == bins + 1 && c > 0 })
+    // plan shape: one two-phase ObjectHashAggregate
+    val df = rows.groupBy($"g")
+      .agg(call_function("graft_hist_agg", $"v", lit(lo), lit(hi), lit(bins)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2 &&
+      plan.contains("graft_hist_agg"))
+  }
+
   test("estimate derived from the aggregate sketch tracks truth inside 4 sigma") {
     import spark.implicits._
     NativeExprs.ensureRegistered(spark)
