@@ -1328,6 +1328,11 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
+      // NOTE deliberately NOT RequiresDistributionAndOrdering: a MOR
+      // delta plan mixes DELETE records (row-id only, data columns
+      // null) with INSERT rows — clustering that stream by a data
+      // column would route the deletes arbitrarily. MOR insert files
+      // regain the declared layout at the next `system.compact`.
       override def build(): DeltaWrite = new DeltaWrite {
         override def description(): String = s"graftlake-mor-write-$cmd"
         override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {

@@ -311,7 +311,9 @@ object GraftProps extends Properties("graft") {
           // serde round-trip on every partial, like a real shuffle
           expr.deserialize(expr.serialize(fold(p.map(_._1))))
         }
-      val fwd = cells(parts.reduceLeft(expr.merge))
+      // merge MUTATES its left buffer: clone per direction or the
+      // forward pass taints the partials the reverse pass reads
+      val fwd = cells(parts.map(_.clone).reduceLeft(expr.merge))
       val rev = cells(parts.reverse.map(_.clone).reduceLeft(expr.merge))
       whole == ref.toSeq && fwd == whole && rev == whole
     }
