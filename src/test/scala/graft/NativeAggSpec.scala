@@ -202,6 +202,29 @@ class NativeAggSpec extends AnyFunSuite {
       plan.contains("graft_hist_agg"))
   }
 
+  test("HistAggExpr degenerate inputs: empty, all-null, single-bin, everything clamped") {
+    import spark.implicits._
+    NativeExprs.ensureRegistered(spark)
+    def hist(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long, bins: Int): Seq[Long] =
+      df.agg(call_function("graft_hist_agg", col("v"), lit(lo), lit(hi), lit(bins)))
+        .head().getSeq[Long](0)
+    // global aggregate over zero rows: the zero histogram, right arity
+    assert(hist(spark.range(0).select($"id".as("v")), 0L, 100L, 4) == Seq.fill(6)(0L))
+    // nulls never count
+    val withNulls = spark.range(10).select(when($"id" % 2 === 0, $"id").as("v"))
+    assert(hist(withNulls, 0L, 100L, 1).sum == 5L)
+    // bins = 1: everything in [lo, hi) lands in the single bin
+    assert(hist(spark.range(50).select($"id".as("v")), 0L, 50L, 1) == Seq(0L, 50L, 0L))
+    // a range disjoint from the data: only the clamp slots populate
+    assert(hist(spark.range(20).select(($"id" - 100L).as("v")), 0L, 10L, 3) ==
+      Seq(20L, 0L, 0L, 0L, 0L))
+    assert(hist(spark.range(20).select(($"id" + 100L).as("v")), 0L, 10L, 3) ==
+      Seq(0L, 0L, 0L, 0L, 20L))
+    // hi-1 is the last bin, hi itself overflows (half-open interval)
+    assert(hist(Seq(9L, 10L).toDF("v"), 0L, 10L, 10) ==
+      (Seq.fill(10)(0L) :+ 1L :+ 1L))
+  }
+
   test("estimate derived from the aggregate sketch tracks truth inside 4 sigma") {
     import spark.implicits._
     NativeExprs.ensureRegistered(spark)
