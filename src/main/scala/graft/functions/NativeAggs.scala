@@ -327,6 +327,26 @@ case class HistAggExpr(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](bins + 2)
 
+  /** Bin index for an in-range value. `x - lo` and `hi - lo` are exact
+    * as UNSIGNED 64-bit quantities whenever `lo <= x < hi` holds in
+    * signed order (the wrap is mod 2^64 and the true difference is
+    * < 2^64), so the fast path runs signed only when `hi - lo` did not
+    * wrap AND `off * bins` cannot overflow; otherwise the slot is the
+    * exact 128-bit floor(off * bins / span) over the unsigned values —
+    * a mixed-sign or near-full-range [lo, hi) never wraps into a
+    * negative (ArrayIndexOutOfBounds) or silently wrong bin.
+    */
+  private def slotOf(x: Long): Int = {
+    val off = x - lo
+    val span = hi - lo
+    if (span > 0L && off <= Long.MaxValue / bins) 1 + (off * bins / span).toInt
+    else {
+      import java.math.BigInteger
+      def ub(v: Long) = BigInteger.valueOf(v).and(HistAggExpr.Mask64)
+      1 + ub(off).multiply(BigInteger.valueOf(bins)).divide(ub(span)).intValueExact()
+    }
+  }
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
@@ -334,7 +354,7 @@ case class HistAggExpr(
       val slot =
         if (x < lo) 0
         else if (x >= hi) bins + 1
-        else 1 + ((x - lo) * bins / (hi - lo)).toInt
+        else slotOf(x)
       buf(slot) += 1L
     }
     buf
@@ -369,4 +389,9 @@ case class HistAggExpr(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): HistAggExpr =
     copy(child = newChild)
+}
+
+object HistAggExpr {
+  private[functions] val Mask64 =
+    java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)
 }

@@ -225,6 +225,28 @@ class NativeAggSpec extends AnyFunSuite {
       (Seq.fill(10)(0L) :+ 1L :+ 1L))
   }
 
+  test("HistAggExpr wide ranges: hi-lo and off*bins past Long wrap stay exact") {
+    import spark.implicits._
+    NativeExprs.ensureRegistered(spark)
+    def hist(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long, bins: Int): Seq[Long] =
+      df.agg(call_function("graft_hist_agg", col("v"), lit(lo), lit(hi), lit(bins)))
+        .head().getSeq[Long](0)
+    // full signed range: hi - lo wraps to -1 as a signed Long; every
+    // value must land in a valid bin (never a negative slot)
+    val extremes = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue - 1).toDF("v")
+    assert(hist(extremes, Long.MinValue, Long.MaxValue, 4) ==
+      Seq(0L, 1L, 1L, 2L, 1L, 0L))
+    // mixed-sign range where off * bins overflows signed 64-bit:
+    // off up to ~2^62, bins = 1024 -> product ~2^72
+    val lo = -(1L << 61); val hi = 1L << 61
+    val vals = Seq(lo, -1L, 0L, hi - 1).toDF("v")
+    val got = hist(vals, lo, hi, 1024)
+    assert(got.sum == 4L && got.head == 0L && got.last == 0L)
+    assert(got(1) == 1L && got(512) == 1L && got(513) == 1L && got(1024) == 1L,
+      s"exact bin placement under 128-bit arithmetic, got nonzero at " +
+        got.zipWithIndex.filter(_._1 > 0).map(_._2).mkString(","))
+  }
+
   test("estimate derived from the aggregate sketch tracks truth inside 4 sigma") {
     import spark.implicits._
     NativeExprs.ensureRegistered(spark)
