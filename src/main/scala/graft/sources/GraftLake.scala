@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   <warehouse>/<namespace...>/<table>/
   *     _log/v00000000.json      // FULL snapshot per version: schema + file list + stats
-  *     data/<uuid>.jsonl        // immutable data files (one JSON array per row)
+  *     data/<uuid>.parquet      // immutable parquet data files ([[LakeParquet]])
   * }}}
   *
   * The LOG is the table: a reader resolves the highest contiguous
@@ -332,13 +332,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
 }
 
 /** One data file's log entry: path relative to the table dir, row count,
-  * per-numeric-column min/max (the stats metadata deletes and file
-  * skipping decide on), and — for files written by a STREAMING epoch —
-  * the epoch id, so a replayed epoch can replace exactly its own files
-  * (the idempotent-commit half of streaming exactly-once).
+  * per-integral-column min/max plus per-column NULL counts off the
+  * parquet footer (the stats metadata deletes and file skipping decide
+  * on — a column absent from `nulls` has UNKNOWN null count and every
+  * all-match decision on it degrades to Mixed), and — for files
+  * written by a STREAMING epoch — the (query, epoch) pair, so a
+  * replayed epoch replaces exactly its own query's files (the
+  * idempotent-commit half of streaming exactly-once; epoch ids restart
+  * at 0 per checkpoint, so the epoch alone must never be the key).
   */
 case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
-    epoch: Option[Long] = None, dv: Option[String] = None, dvRows: Long = 0L) {
+    epoch: Option[Long] = None, dv: Option[String] = None, dvRows: Long = 0L,
+    nulls: Map[String, Long] = Map.empty, query: Option[String] = None) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -385,10 +390,14 @@ object LakeLog {
         val stats = fn.get("stats").properties().asScala
           .map(e => e.getKey -> (e.getValue.get(0).asLong, e.getValue.get(1).asLong))
           .toMap
+        val nulls = Option(fn.get("nulls")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty[String, Long])
         LakeFile(fn.get("path").asText(), fn.get("rows").asLong, stats,
           Option(fn.get("epoch")).map(_.asLong),
           Option(fn.get("dv")).map(_.asText()),
-          Option(fn.get("dvRows")).map(_.asLong).getOrElse(0L))
+          Option(fn.get("dvRows")).map(_.asLong).getOrElse(0L),
+          nulls,
+          Option(fn.get("query")).map(_.asText()))
       }.toSeq
       val props = Option(root.get("props")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
@@ -412,11 +421,14 @@ object LakeLog {
       fn.put("path", f.path)
       fn.put("rows", f.rows)
       f.epoch.foreach(fn.put("epoch", _))
+      f.query.foreach(fn.put("query", _))
       f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
       val st = fn.putObject("stats")
       f.stats.foreach { case (c, (lo, hi)) =>
         val a = st.putArray(c); a.add(lo); a.add(hi)
       }
+      val nu = fn.putObject("nulls")
+      f.nulls.foreach { case (c, n) => nu.put(c, n) }
     }
     require(snapshot.version == expectedVersion + 1,
       s"commit must advance the version by one: $expectedVersion -> ${snapshot.version}")
@@ -438,45 +450,13 @@ object LakeLog {
   }
 }
 
-/** Row <-> JSON-line codec (the storage encoding; schema-driven so the
-  * reader never guesses types from JSON token shapes).
+/** Column-type gate for lake tables (the storage encoding itself is
+  * plain parquet through [[LakeParquet]]).
   */
 object LakeCodec {
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType => true
     case _ => false
-  }
-
-  def write(gen: com.fasterxml.jackson.core.JsonGenerator,
-      row: InternalRow, schema: StructType): Unit = {
-    gen.writeStartArray()
-    var i = 0
-    while (i < schema.length) {
-      if (row.isNullAt(i)) gen.writeNull()
-      else schema(i).dataType match {
-        case LongType => gen.writeNumber(row.getLong(i))
-        case IntegerType => gen.writeNumber(row.getInt(i))
-        case DoubleType => gen.writeNumber(row.getDouble(i))
-        case StringType => gen.writeString(row.getUTF8String(i).toString)
-        case BooleanType => gen.writeBoolean(row.getBoolean(i))
-        case other => throw new IllegalStateException(s"unsupported type $other")
-      }
-      i += 1
-    }
-    gen.writeEndArray()
-  }
-
-  def read(node: JsonNode, i: Int, dt: DataType): Any = {
-    val v = node.get(i)
-    if (v == null || v.isNull) null
-    else dt match {
-      case LongType => v.asLong()
-      case IntegerType => v.asInt()
-      case DoubleType => v.asDouble()
-      case StringType => UTF8String.fromString(v.asText())
-      case BooleanType => v.asBoolean()
-      case other => throw new IllegalStateException(s"unsupported type $other")
-    }
   }
 }
 
@@ -611,7 +591,7 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val written = messages.map(_.asInstanceOf[LakeFileMessage])
               .filter(_.path.nonEmpty)
-              .map(m => LakeFile(m.path, m.rows, m.stats)).toSeq
+              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls)).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -652,14 +632,39 @@ object LakeStats {
     case _ => None
   }
 
-  /** Decide ONE predicate against a file's [lo,hi] stats. */
+  /** Decide ONE predicate against a file's [lo,hi] stats. Min/max are
+    * computed over NON-NULL values only, so an all-match verdict from
+    * the range alone would silently sweep up NULL rows the predicate
+    * does not match (NULL compares to nothing): every value-predicate
+    * `All` is gated on the file's null count for that column being
+    * KNOWN ZERO, else it degrades to Mixed — the Iceberg/Delta
+    * nullCount gate. None_ needs no gate (null rows don't match
+    * either, and "no rows match" keeps the file whole).
+    */
   private def decideOne(f: LakeFile, p: VPredicate): Decision = {
     def withStats(c: String)(eval: (Long, Long) => Decision): Decision =
-      f.stats.get(c).map { case (lo, hi) => eval(lo, hi) }.getOrElse(Mixed)
+      f.stats.get(c).map { case (lo, hi) =>
+        eval(lo, hi) match {
+          case All if !f.nulls.get(c).contains(0L) => Mixed
+          case d => d
+        }
+      }.getOrElse(Mixed)
     val kids = p.children()
     p.name() match {
       case "ALWAYS_TRUE" => All
       case "ALWAYS_FALSE" => None_
+      case "IS_NULL" if kids.length == 1 =>
+        colName(kids(0)).flatMap(f.nulls.get) match {
+          case Some(0L) => None_
+          case Some(n) if n == f.rows => All
+          case _ => Mixed
+        }
+      case "IS_NOT_NULL" if kids.length == 1 =>
+        colName(kids(0)).flatMap(f.nulls.get) match {
+          case Some(0L) => All
+          case Some(n) if n == f.rows => None_
+          case _ => Mixed
+        }
       case "AND" if kids.length == 2 =>
         combine(decideOne(f, kids(0).asInstanceOf[VPredicate]),
           decideOne(f, kids(1).asInstanceOf[VPredicate]))
@@ -824,11 +829,25 @@ class LakeScan(dir: Path, tableSchema: StructType, files: Seq[LakeFile],
   override def planInputPartitions(): Array[InputPartition] = {
     val ps = planned
     onPlanned.foreach(_(ps.map(_.path)))
-    ps.map(f => LakeInputFile(dir.toString, f.path, f.dv): InputPartition).toArray
+    ps.map(f => LakeInputFile(dir.toString, f.path, f.rows, f.dv): InputPartition).toArray
   }
 
+  /** COLUMNAR whenever every file is dv-free and no per-row ordinal is
+    * requested: batches flow straight from the vectorized parquet
+    * decoder (with `_file` as a constant appended vector) into Spark's
+    * ColumnarToRow. Delete-vectored files and `_pos` projections take
+    * the row path, where position tracking and dv skipping live.
+    * The answer must be uniform across partitions (Spark plans one
+    * exec for the scan), so one dv'd file de-vectorizes the scan.
+    */
+  private def columnarPossible: Boolean =
+    files.forall(_.dv.isEmpty) &&
+      required.fieldNames.forall(_ != LakeTable.PosColumn) &&
+      required.fieldNames.exists(n => n != LakeTable.FileColumn)
+
   override def createReaderFactory(): PartitionReaderFactory =
-    LakeReaderFactory(tableSchema, required.fields.map(f => f.name -> f.dataType))
+    LakeReaderFactory(tableSchema,
+      required.fields.map(f => f.name -> f.dataType), columnarPossible)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val n = planned.map(_.liveRows).sum
@@ -838,48 +857,121 @@ class LakeScan(dir: Path, tableSchema: StructType, files: Seq[LakeFile],
   }
 }
 
-case class LakeInputFile(tableDir: String, path: String,
+case class LakeInputFile(tableDir: String, path: String, rows: Long,
     dv: Option[String] = None) extends InputPartition
 
+/** Both read paths over one parquet data file.
+  *
+  *   - **Columnar** ([[createColumnarReader]]): the vectorized decoder's
+  *     batches are re-exposed in the scan's column order, with `_file`
+  *     appended as a constant vector via the reader's own
+  *     partition-column mechanism — zero copies, straight into
+  *     whole-stage codegen through ColumnarToRow.
+  *   - **Row** ([[createReader]]): same vectorized decoder iterated
+  *     row-wise, tracking the physical ordinal for `_pos` and skipping
+  *     delete-vector positions with a single merge cursor over the
+  *     SORTED vector (positions arrive in increasing order, so the
+  *     skip is O(1) amortized regardless of dv size). A projection of
+  *     ONLY metadata columns synthesizes rows from the log's row count
+  *     without opening the file at all.
+  */
 case class LakeReaderFactory(tableSchema: StructType,
-    required: Array[(String, DataType)]) extends PartitionReaderFactory {
+    required: Array[(String, DataType)], columnar: Boolean)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  private def dataCols: Array[(String, DataType)] =
+    required.filter { case (n, _) =>
+      n != LakeTable.FileColumn && n != LakeTable.PosColumn }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeInputFile]
-    val mapper = new ObjectMapper()
-    val lines = Files.readAllLines(
-      Paths.get(p.tableDir).resolve(p.path), StandardCharsets.UTF_8)
-    val deleted: java.util.HashSet[Long] = p.dv match {
-      case None => new java.util.HashSet[Long]()
-      case Some(d) => LakeDv.read(Paths.get(p.tableDir), d)
-    }
-    val idx = required.map { case (n, dt) =>
-      if (n == LakeTable.FileColumn) (-1, dt)
-      else if (n == LakeTable.PosColumn) (-2, dt)
-      else (tableSchema.fieldIndex(n), dt)
-    }
+    val dv: Array[Long] = p.dv
+      .map(LakeDv.read(Paths.get(p.tableDir), _))
+      .getOrElse(Array.emptyLongArray)
+    val data = dataCols
+    val reader =
+      if (data.isEmpty) null
+      else LakeParquet.openVectorized(
+        Paths.get(p.tableDir).resolve(p.path), data.map(_._1).toSeq)
     val filePathValue = UTF8String.fromString(p.path)
     new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = {
-        i += 1
-        while (i < lines.size && deleted.contains(i.toLong)) i += 1
-        i < lines.size
+      private var pos = -1L
+      private var dvIdx = 0
+      private def deleted(i: Long): Boolean = {
+        while (dvIdx < dv.length && dv(dvIdx) < i) dvIdx += 1
+        dvIdx < dv.length && dv(dvIdx) == i
       }
+      override def next(): Boolean =
+        if (reader == null) {
+          pos += 1
+          while (pos < p.rows && deleted(pos)) pos += 1
+          pos < p.rows
+        } else {
+          var more = reader.nextKeyValue()
+          while (more) {
+            pos += 1
+            if (!deleted(pos)) return true
+            more = reader.nextKeyValue()
+          }
+          false
+        }
       override def get(): InternalRow = {
-        val node = mapper.readTree(lines.get(i))
-        val vals = new Array[Any](idx.length)
+        val src =
+          if (reader == null) null
+          else reader.getCurrentValue.asInstanceOf[InternalRow]
+        val vals = new Array[Any](required.length)
         var c = 0
-        while (c < idx.length) {
+        var d = 0
+        while (c < required.length) {
+          val (n, dt) = required(c)
           vals(c) =
-            if (idx(c)._1 == -1) filePathValue
-            else if (idx(c)._1 == -2) i.toLong
-            else LakeCodec.read(node, idx(c)._1, idx(c)._2)
+            if (n == LakeTable.FileColumn) filePathValue
+            else if (n == LakeTable.PosColumn) pos
+            else {
+              val v = if (src.isNullAt(d)) null else src.get(d, dt)
+              d += 1
+              v
+            }
           c += 1
         }
         new GenericInternalRow(vals)
       }
-      override def close(): Unit = ()
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[LakeInputFile]
+    require(p.dv.isEmpty, "columnar read path never sees delete-vectored files")
+    val data = dataCols
+    val consts = required.filter(_._1 == LakeTable.FileColumn)
+    val reader = LakeParquet.openVectorized(
+      Paths.get(p.tableDir).resolve(p.path), data.map(_._1).toSeq)
+    reader.initBatch(
+      StructType(consts.map { case (n, dt) => StructField(n, dt, nullable = false) }),
+      new GenericInternalRow(consts.map(_ => UTF8String.fromString(p.path): Any)))
+    reader.enableReturningBatches()
+    val inner = reader.resultBatch()
+    // inner columns are (data ++ consts); re-expose in `required` order
+    val perm: Array[Int] = {
+      var d = 0
+      var c = 0
+      required.map { case (n, _) =>
+        if (n == LakeTable.FileColumn) { val i = data.length + c; c += 1; i }
+        else { val i = d; d += 1; i }
+      }
+    }
+    val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(perm.map(inner.column))
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = reader.nextBatch()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        batch.setNumRows(inner.numRows)
+        batch
+      }
+      override def close(): Unit = reader.close()
     }
   }
 }
@@ -921,7 +1013,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
           .filter(_.path.nonEmpty)
-          .map(m => LakeFile(m.path, m.rows, m.stats)).toSeq
+          .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls)).toSeq
         var done = false
         while (!done) {
           val cur = LakeLog.currentSnapshot(dir).get
@@ -934,16 +1026,21 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
     }
 
     /** Streaming half (`writeStream.toTable`): commits land per EPOCH,
-      * and a commit REPLACES any files a previous attempt of the same
-      * epoch published — with the source's replayable offsets that is
-      * end-to-end exactly-once. Files of the superseded attempt become
-      * unreferenced and are reclaimed by `system.vacuum`. Single
-      * streaming writer per table (epoch ids are per-query).
+      * and a commit REPLACES any files a previous attempt of the SAME
+      * QUERY's same epoch published — with the source's replayable
+      * offsets that is end-to-end exactly-once. Scoping the idempotent
+      * replacement by (queryId, epochId) matters: epoch ids restart at
+      * 0 for every new checkpoint, so keying by epoch alone would let
+      * a second streaming query silently evict an earlier query's
+      * committed files for colliding epoch numbers. Files of a
+      * superseded attempt become unreferenced and are reclaimed by
+      * `system.vacuum`.
       */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         private val factory =
           LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames)
+        private val queryId = info.queryId()
         override def createStreamingWriterFactory(
             pi: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
           LakeStreamingWriterFactory(factory)
@@ -951,11 +1048,13 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             messages: Array[WriterCommitMessage]): Unit = {
           val written = messages.map(_.asInstanceOf[LakeFileMessage])
             .filter(_.path.nonEmpty)
-            .map(m => LakeFile(m.path, m.rows, m.stats, epoch = Some(epochId))).toSeq
+            .map(m => LakeFile(m.path, m.rows, m.stats, epoch = Some(epochId),
+              nulls = m.nulls, query = Some(queryId))).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
-            val keep = cur.files.filterNot(_.epoch.contains(epochId))
+            val keep = cur.files.filterNot(f =>
+              f.epoch.contains(epochId) && f.query.contains(queryId))
             done = LakeLog.commit(dir, cur.version, cur.next(keep ++ written))
           }
         }
@@ -977,22 +1076,28 @@ case class LakeStreamingWriterFactory(inner: LakeWriterFactory)
 }
 
 case class LakeFileMessage(path: String, rows: Long,
-    stats: Map[String, (Long, Long)]) extends WriterCommitMessage
+    stats: Map[String, (Long, Long)],
+    nulls: Map[String, Long] = Map.empty) extends WriterCommitMessage
 
 object LakeWriterFactory {
   def deleteAll(tableDir: String, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LakeFileMessage(p, _, _) =>
+      case LakeFileMessage(p, _, _, _) =>
         Files.deleteIfExists(Paths.get(tableDir).resolve(p))
       case _ => ()
     }
 }
 
-/** Writes one data file per non-empty task. `keep` lists the TABLE
-  * columns: a row-level operation's write schema may carry metadata
-  * columns after the table columns — only table columns are stored.
-  * Data files are invisible until a log commit references them, so
-  * writers target final names directly; abort deletes them.
+/** Writes one parquet data file per non-empty task (through Spark's
+  * own ParquetWriteSupport — [[LakeParquet.createWriter]]). `keep`
+  * lists the TABLE columns: a row-level operation's write schema may
+  * carry metadata columns after the table columns — only table columns
+  * are stored. File statistics (integral min/max + per-column null
+  * counts) are read back off the parquet FOOTER at commit, so the log
+  * stats are exactly what any parquet reader would derive. Data files
+  * are invisible until a log commit references them, so writers target
+  * final names directly; abort deletes them; an empty task creates no
+  * file at all (the writer opens lazily on the first row).
   */
 case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
     keep: Array[String]) extends DataWriterFactory {
@@ -1001,55 +1106,37 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
     new DataWriter[InternalRow] {
       private val cols = keep.map(n => writeSchema.fieldIndex(n))
       private val storedSchema = StructType(cols.map(writeSchema(_)))
-      private val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.jsonl"
+      private val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
       private var rows = 0L
-      private val mins = new java.util.HashMap[String, Long]()
-      private val maxs = new java.util.HashMap[String, Long]()
-      private var out: java.io.Writer = _
-      private var gen: com.fasterxml.jackson.core.JsonGenerator = _
-      private val factory = new com.fasterxml.jackson.core.JsonFactory()
+      private var out: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
       private val proj = new GenericInternalRow(cols.length)
 
       override def write(row: InternalRow): Unit = {
-        if (out == null) {
-          out = Files.newBufferedWriter(
-            Paths.get(tableDir).resolve(rel), StandardCharsets.UTF_8)
-        }
+        if (out == null)
+          out = LakeParquet.createWriter(Paths.get(tableDir).resolve(rel), storedSchema)
         var c = 0
         while (c < cols.length) {
-          val dt = storedSchema(c).dataType
-          val v = if (row.isNullAt(cols(c))) null else row.get(cols(c), dt)
-          proj.update(c, v)
-          if (v != null) (dt match {
-            case LongType => Some(v.asInstanceOf[Long])
-            case IntegerType => Some(v.asInstanceOf[Int].toLong)
-            case _ => None
-          }).foreach { lv =>
-            val n = storedSchema(c).name
-            mins.merge(n, lv, (a, b) => math.min(a, b))
-            maxs.merge(n, lv, (a, b) => math.max(a, b))
-          }
+          proj.update(c,
+            if (row.isNullAt(cols(c))) null
+            else row.get(cols(c), storedSchema(c).dataType))
           c += 1
         }
-        if (gen == null) gen = factory.createGenerator(out)
-        LakeCodec.write(gen, proj, storedSchema)
-        gen.flush()
-        out.write("\n")
+        out.write(proj)
         rows += 1L
       }
 
-      override def commit(): WriterCommitMessage = {
-        if (out != null) { gen.close(); out.close() }
-        if (rows == 0L) {
-          Files.deleteIfExists(Paths.get(tableDir).resolve(rel))
-          LakeFileMessage("", 0L, Map.empty)
-        } else {
-          val stats = mins.asScala.map { case (k, lo) => k -> (lo, maxs.get(k)) }.toMap
-          LakeFileMessage(rel, rows, stats)
+      override def commit(): WriterCommitMessage =
+        if (out == null) LakeFileMessage("", 0L, Map.empty)
+        else {
+          out.close()
+          val st = LakeParquet.footerStats(Paths.get(tableDir).resolve(rel))
+          require(st.rows == rows,
+            s"parquet footer row count ${st.rows} != rows written $rows in $rel")
+          LakeFileMessage(rel, rows, st.stats, st.nulls)
         }
-      }
+
       override def abort(): Unit = {
-        if (out != null) { gen.close(); out.close() }
+        if (out != null) out.close()
         Files.deleteIfExists(Paths.get(tableDir).resolve(rel))
       }
       override def close(): Unit = ()
@@ -1122,7 +1209,7 @@ object LakeProcedures {
                 Iterator(w.commit())
               }.collect().toSeq
               .collect { case m: LakeFileMessage if m.path.nonEmpty =>
-                LakeFile(m.path, m.rows, m.stats) }
+                LakeFile(m.path, m.rows, m.stats, nulls = m.nulls) }
             val replaced = snap.files.map(_.path).toSet
             var done = false
             while (!done) {
@@ -1161,9 +1248,19 @@ object LakeProcedures {
             val referenced = (floor to head)
               .flatMap(LakeLog.snapshotAt(dir, _))
               .flatMap(_.files.flatMap(f => f.path +: f.dv.toSeq)).toSet
+            // age guard: data files land under final names BEFORE the
+            // log references them, so an unreferenced file newer than
+            // the head version's commit may belong to an IN-FLIGHT
+            // write — deleting it would leave the writer's subsequent
+            // commit dangling. Only reclaim files strictly older than
+            // the head commit (Delta's retention-check shape).
+            val headMtime = Files.getLastModifiedTime(
+              dir.resolve("_log").resolve(f"v$head%08d.json")).toMillis
             val dataDir = dir.resolve("data")
             val deletable = Files.list(dataDir).iterator().asScala
-              .filter(p => !referenced.contains("data/" + p.getFileName.toString)).toSeq
+              .filter(p => !referenced.contains("data/" + p.getFileName.toString))
+              .filter(p => Files.getLastModifiedTime(p).toMillis < headMtime)
+              .toSeq
             deletable.foreach(Files.delete)
             val oldLogs = (0L until floor)
               .map(v => dir.resolve("_log").resolve(f"v$v%08d.json"))
@@ -1242,7 +1339,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
             stagedMessages = messages
             stagedFiles = messages.map(_.asInstanceOf[LakeFileMessage])
               .filter(_.path.nonEmpty)
-              .map(m => LakeFile(m.path, m.rows, m.stats)).toSeq
+              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls)).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -1272,26 +1369,53 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
     LakeWriterFactory.deleteAll(dir.toString, stagedMessages)
 }
 
-/** Delete-vector sidecar IO: a dv file is a JSON array of deleted
-  * physical positions for ONE data file, stored under `data/` like any
-  * immutable artifact (referenced by the log, reclaimed by vacuum).
+/** Delete-vector sidecar IO: a dv file is a SORTED array of deleted
+  * physical positions for ONE data file (8 bytes per position,
+  * big-endian longs after a count header), stored under `data/` like
+  * any immutable artifact (referenced by the log, reclaimed by
+  * vacuum). Readers keep the sorted array as-is — the row reader
+  * skips with a merge cursor, point lookups binary-search — so dv
+  * memory is exactly 8·positions with no hash-set boxing/overhead,
+  * and a pathological vector (millions of positions) stays a flat
+  * array instead of a per-entry heap structure.
   */
 object LakeDv {
-  private val mapper = new ObjectMapper()
-
-  def read(tableDir: Path, rel: String): java.util.HashSet[Long] = {
-    val set = new java.util.HashSet[Long]()
-    val node = mapper.readTree(Files.readAllBytes(tableDir.resolve(rel)))
-    node.elements().asScala.foreach(v => set.add(v.asLong()))
-    set
+  def read(tableDir: Path, rel: String): Array[Long] = {
+    val bytes = Files.readAllBytes(tableDir.resolve(rel))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    require(bytes.length == 4 + 8 * n, s"corrupt delete vector $rel")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getLong; i += 1 }
+    out
   }
 
-  def write(tableDir: Path, positions: java.util.HashSet[Long]): String = {
-    val rel = s"data/dv-${java.util.UUID.randomUUID().toString.replace("-", "")}.json"
-    val arr = mapper.createArrayNode()
-    positions.asScala.toSeq.sorted.foreach(arr.add(_))
-    Files.write(tableDir.resolve(rel), mapper.writeValueAsBytes(arr))
+  /** `positions` must be sorted ascending and duplicate-free. */
+  def write(tableDir: Path, positions: Array[Long]): String = {
+    val rel = s"data/dv-${java.util.UUID.randomUUID().toString.replace("-", "")}.bin"
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * positions.length)
+    bb.putInt(positions.length)
+    positions.foreach(bb.putLong)
+    Files.write(tableDir.resolve(rel), bb.array())
     rel
+  }
+
+  /** Sorted-merge union of an existing vector with new positions. */
+  def union(old: Array[Long], add: Iterable[Long]): Array[Long] = {
+    val merged = new Array[Long](old.length + add.size)
+    old.copyToArray(merged)
+    var i = old.length
+    add.foreach { p => merged(i) = p; i += 1 }
+    java.util.Arrays.sort(merged)
+    // in-place dedup pass
+    var w = 0
+    var r = 0
+    while (r < merged.length) {
+      if (w == 0 || merged(r) != merged(w - 1)) { merged(w) = merged(r); w += 1 }
+      r += 1
+    }
+    if (w == merged.length) merged else java.util.Arrays.copyOf(merged, w)
   }
 }
 
@@ -1311,6 +1435,16 @@ object LakeDv {
   */
 class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
     cmd: RowLevelOperation.Command) extends SupportsDelta {
+
+  /** Each file's delete-vector reference AS OF this operation's scan:
+    * commit fails if a concurrent committer moved any target file's
+    * vector in between — without this, two concurrent UPDATEs of the
+    * same row would both land (the dv union is idempotent but BOTH
+    * inserts survive), a lost-update anomaly the COW path's
+    * scanned-files check already rejects.
+    */
+  private[sources] val scanDv: Map[String, Option[String]] =
+    snapshot.files.map(f => f.path -> f.dv).toMap
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graftlake-mor-$cmd"
@@ -1342,7 +1476,7 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ms = messages.map(_.asInstanceOf[LakeDeltaMessage])
             val inserts = ms.flatMap(_.inserts).filter(_.path.nonEmpty)
-              .map(m => LakeFile(m.path, m.rows, m.stats)).toSeq
+              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls)).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false
@@ -1351,15 +1485,21 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
               val live = cur.files.map(f => f.path -> f).toMap
               require(deletes.keySet.subsetOf(live.keySet),
                 s"concurrent change removed delete targets ${deletes.keySet -- live.keySet}")
+              // snapshot-isolation on the ROW level: the target's dv
+              // must be exactly what this operation scanned, or a
+              // concurrent row-level commit landed in between
+              deletes.keySet.foreach { p =>
+                require(live(p).dv == scanDv.getOrElse(p, None),
+                  s"concurrent update: delete vector of $p changed since this operation's scan")
+              }
               val updated = cur.files.map { f =>
                 deletes.get(f.path) match {
                   case None => f
                   case Some(newPos) =>
-                    val union = f.dv.map(LakeDv.read(dir, _))
-                      .getOrElse(new java.util.HashSet[Long]())
-                    newPos.foreach(union.add(_))
-                    require(union.size <= f.rows, s"dv larger than file ${f.path}")
-                    f.copy(dv = Some(LakeDv.write(dir, union)), dvRows = union.size.toLong)
+                    val old = f.dv.map(LakeDv.read(dir, _)).getOrElse(Array.emptyLongArray)
+                    val merged = LakeDv.union(old, newPos)
+                    require(merged.length <= f.rows, s"dv larger than file ${f.path}")
+                    f.copy(dv = Some(LakeDv.write(dir, merged)), dvRows = merged.length.toLong)
                 }
               }
               done = LakeLog.commit(dir, cur.version, cur.next(updated ++ inserts))

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.file.{Path => NioPath}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.{LocalInputFile, LocalOutputFile}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetWriteSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.types._
+
+/** Parquet IO for graftlake data files — the storage layer under
+  * [[LakeWriterFactory]] / [[LakeReaderFactory]].
+  *
+  * Writes go through Spark's own [[ParquetWriteSupport]] (the exact
+  * row→parquet codec every Spark parquet write uses), reads through
+  * Spark's [[VectorizedParquetRecordReader]] (the batched, columnar
+  * decoder behind every Spark parquet scan) — so lake files are
+  * ordinary parquet with ordinary footers, and the scan path is the
+  * same vectorized kernel as the rest of the engine instead of a
+  * per-row JSON parse. File statistics (per-column min/max and NULL
+  * counts) come off the parquet footer after the writer closes; the
+  * null counts are what lets metadata-only DELETE refuse files whose
+  * predicate column holds NULLs the predicate does not match.
+  *
+  * No Hadoop FileSystem in the loop: parquet's `LocalOutputFile` /
+  * `LocalInputFile` bind directly to `java.nio` paths (no `.crc`
+  * sidecars, no FS cache). A cluster deployment would swap these two
+  * constructors for `HadoopOutputFile`/`HadoopInputFile` — the only
+  * storage-coupled seam.
+  */
+object LakeParquet {
+
+  /** `ParquetWriteSupport.init` asserts these SQL keys are present
+    * (a Spark session normally plants them); the lake writer runs in
+    * a bare task, so set them explicitly. Values match the session
+    * defaults used everywhere else in the engine.
+    */
+  private class RowWriteBuilder(out: LocalOutputFile, schema: StructType)
+    extends ParquetWriter.Builder[InternalRow, RowWriteBuilder](out) {
+    override def self(): RowWriteBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] = {
+      ParquetWriteSupport.setSchema(schema, conf)
+      conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+      conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+      conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+      conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+      new ParquetWriteSupport
+    }
+  }
+
+  def createWriter(file: NioPath, schema: StructType): ParquetWriter[InternalRow] =
+    new RowWriteBuilder(new LocalOutputFile(file), schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  /** Footer-derived file statistics: row count, per-column [min,max]
+    * for integral columns (the only stats [[LakeStats]] decides on),
+    * and per-column null counts for EVERY column whose chunks report
+    * them. A column absent from `nulls` has UNKNOWN null count and
+    * metadata deletes must treat its all-match decisions as Mixed.
+    */
+  case class FileStats(rows: Long, stats: Map[String, (Long, Long)],
+      nulls: Map[String, Long])
+
+  def footerStats(file: NioPath): FileStats = {
+    val reader = ParquetFileReader.open(new LocalInputFile(file))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+      val mins = Map.newBuilder[String, (Long, Long)]
+      val nulls = Map.newBuilder[String, Long]
+      byCol.foreach { case (name, chunks) =>
+        val stats = chunks.map(_.getStatistics)
+        if (stats.forall(s => s != null && s.isNumNullsSet))
+          nulls += name -> stats.map(_.getNumNulls).sum
+        val tpe = chunks.head.getPrimitiveType.getPrimitiveTypeName
+        if ((tpe == PrimitiveTypeName.INT64 || tpe == PrimitiveTypeName.INT32) &&
+            stats.forall(s => s != null && s.hasNonNullValue)) {
+          def asLong(v: Any): Long = v match {
+            case i: java.lang.Integer => i.longValue
+            case l: java.lang.Long => l.longValue
+          }
+          val lo = stats.map(s => asLong(s.genericGetMin: Any)).min
+          val hi = stats.map(s => asLong(s.genericGetMax: Any)).max
+          mins += name -> ((lo, hi))
+        }
+      }
+      FileStats(rows, mins.result(), nulls.result())
+    } finally reader.close()
+  }
+
+  /** A vectorized reader positioned over `columns` (which MUST exist
+    * in the file — the caller null-fills absent ones itself).
+    */
+  def openVectorized(file: NioPath, columns: Seq[String]): VectorizedParquetRecordReader = {
+    val r = new VectorizedParquetRecordReader(/* useOffHeap = */ false, /* capacity = */ 4096)
+    r.initialize(file.toString, columns.asJava)
+    r
+  }
+}

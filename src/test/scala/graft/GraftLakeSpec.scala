@@ -233,30 +233,52 @@ class GraftLakeSpec extends AnyFunSuite {
     val vBefore = LakeLog.currentSnapshot(tableDir("t_stream")).get.version
     drain()
     assert(spark.table("lake.db.t_stream").count() == 1000L)
-    // replay one epoch through the REAL StreamingWrite: its files are REPLACED, not added
+    // replay one epoch through the REAL StreamingWrite: the SAME
+    // query's files for that epoch are REPLACED, not added
     val dir = tableDir("t_stream")
     val snap = LakeLog.currentSnapshot(dir).get
     val e0 = snap.files.flatMap(_.epoch).min
+    val e0Entry = snap.files.find(_.epoch.contains(e0)).get
     val e0Files = snap.files.filter(_.epoch.contains(e0)).map(_.path)
-    import graft.sources.{LakeFileMessage, LakeTable}
+    val realQueryId = e0Entry.query.get
+    import graft.sources.{LakeFileMessage, LakeTable, LakeWriterFactory}
     val table = new graft.sources.GraftLakeCatalog {
       initialize("lake", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("warehouse", warehouse.toString)))
     }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("db"), "t_stream")).asInstanceOf[LakeTable]
-    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
-      override def queryId(): String = "replay-test"
+    def infoFor(qid: String) = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = qid
       override def schema(): org.apache.spark.sql.types.StructType = table.schema()
       override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
         new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())
     }
-    Files.write(dir.resolve("data/replayed.jsonl"), java.util.Arrays.asList[String]())
-    table.newWriteBuilder(info).build().toStreaming.commit(e0,
-      Array(LakeFileMessage("data/replayed.jsonl", 0L, Map.empty)))
+    def oneRowFile(): LakeFileMessage = {
+      val w = LakeWriterFactory(dir.toString, table.schema(), table.schema().fieldNames)
+        .createWriter(0, 0L)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](999999L, 0, 0L)))
+      w.commit().asInstanceOf[LakeFileMessage]
+    }
+    // a DIFFERENT query writing the same epoch number must NOT evict
+    // the first query's files (epoch ids restart per checkpoint)
+    val otherMsg = oneRowFile()
+    table.newWriteBuilder(infoFor("other-query")).build().toStreaming
+      .commit(e0, Array(otherMsg))
+    val afterOther = LakeLog.currentSnapshot(dir).get.files
+    assert(e0Files.forall(afterOther.map(_.path).contains),
+      "another query's colliding epoch must not replace committed files")
+    // the SAME query replaying the epoch replaces exactly its own files
+    val replayMsg = oneRowFile()
+    table.newWriteBuilder(infoFor(realQueryId)).build().toStreaming
+      .commit(e0, Array(replayMsg))
     val after = LakeLog.currentSnapshot(dir).get.files
-    assert(after.filter(_.epoch.contains(e0)).map(_.path) == Seq("data/replayed.jsonl"))
+    assert(after.filter(f => f.epoch.contains(e0) && f.query.contains(realQueryId))
+      .map(_.path) == Seq(replayMsg.path))
     assert(e0Files.forall(p => !after.map(_.path).contains(p)),
       "the superseded attempt's files must leave the snapshot")
+    assert(after.map(_.path).contains(otherMsg.path),
+      "the other query's epoch-e0 file stays")
     assert(vBefore >= 4L)
   }
 
@@ -480,6 +502,138 @@ class GraftLakeSpec extends AnyFunSuite {
       schema.fieldNames, Array.empty, Array.empty, java.util.Collections.emptyMap())))
     assert(cat2.dropView(Identifier.of(Array("db"), "v_renamed")))
     assert(cat2.listViews("db").isEmpty)
+  }
+
+  test("vectorized read: plain scans are columnar (ColumnarToRow), _pos and dv'd scans row-based") {
+    import spark.implicits._
+    val t = seeded("t_columnar")
+    val plain = spark.table(s"lake.db.$t").filter($"id" >= 30L)
+    assert(plain.collect().map(_.getLong(0)).sorted.toSeq == (30L until 100L))
+    assert(plain.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"a dv-free scan must ride the vectorized batch path:\n${plain.queryExecution.executedPlan}")
+    // _file is a CONSTANT vector in the batch — still columnar
+    val withFile = spark.table(s"lake.db.$t").select($"id", col("_file"))
+    assert(withFile.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(withFile.collect().length == 100)
+    // _pos needs per-row ordinals — row path
+    val withPos = spark.table(s"lake.db.$t").select($"id", col("_pos"))
+    assert(!withPos.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "_pos projections must take the row path")
+    assert(withPos.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      (0L until 100L).map(i => (i, i % 25)))
+    // a delete-vectored file de-vectorizes the scan but reads exact
+    spark.sql("CREATE TABLE lake.db.t_colmor (id BIGINT, v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    spark.range(0, 50).select($"id", ($"id" * 2L).as("v"), lit("x").as("s"))
+      .coalesce(1).writeTo("lake.db.t_colmor").append()
+    spark.sql("DELETE FROM lake.db.t_colmor WHERE id % 5 = 0")
+    val morScan = spark.table("lake.db.t_colmor")
+    assert(!morScan.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(morScan.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 50L).filter(_ % 5 != 0))
+  }
+
+  test("metadata delete refuses files whose predicate column holds NULLs") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_nullstats (id BIGINT, tag STRING)")
+    // one file: ids 5..9 plus five NULL ids — range [5,9] fully inside
+    // the predicate below, but the NULL rows do NOT match it
+    spark.range(0, 10)
+      .select(when($"id" >= 5, $"id").as("id"), concat(lit("t"), $"id").as("tag"))
+      .coalesce(1).writeTo("lake.db.t_nullstats").append()
+    val before = filePaths("t_nullstats")
+    spark.sql("DELETE FROM lake.db.t_nullstats WHERE id >= 0")
+    // the COW rewrite (not a whole-file drop) must have run: NULL rows survive
+    val left = spark.table("lake.db.t_nullstats").collect()
+    assert(left.length == 5 && left.forall(_.isNullAt(0)),
+      s"rows with NULL id must survive a value-predicate delete, got ${left.length}")
+    assert(!filePaths("t_nullstats").exists(before.contains),
+      "the nulled file must be REWRITTEN (copy-on-write), not dropped from the log")
+    // contrast: a null-free file with the same aligned predicate drops
+    // metadata-only (original path gone, no replacement file written)
+    spark.sql("CREATE TABLE lake.db.t_nonulls (id BIGINT, tag STRING)")
+    spark.range(5, 10).select($"id", lit("x").as("tag"))
+      .coalesce(1).writeTo("lake.db.t_nonulls").append()
+    val dataFiles = Files.list(tableDir("t_nonulls").resolve("data")).count()
+    spark.sql("DELETE FROM lake.db.t_nonulls WHERE id >= 0")
+    assert(spark.table("lake.db.t_nonulls").count() == 0L)
+    assert(Files.list(tableDir("t_nonulls").resolve("data")).count() == dataFiles,
+      "null-free aligned delete must be metadata-only (no rewrite)")
+    // IS NULL / IS NOT NULL decide straight off the footer null counts
+    spark.sql("DELETE FROM lake.db.t_nullstats WHERE id IS NULL")
+    assert(spark.table("lake.db.t_nullstats").count() == 0L)
+  }
+
+  test("vacuum age guard: unreferenced files newer than the head commit survive") {
+    val t = seeded("t_vacguard")
+    spark.sql(s"CALL lake.system.compact('db.$t', 1)")
+    val dataDir = tableDir(t).resolve("data")
+    // an in-flight writer's file: unreferenced, mtime AFTER the head commit
+    val inflight = dataDir.resolve("inflight.parquet")
+    Files.write(inflight, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(inflight,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    val res = spark.sql(s"CALL lake.system.vacuum('db.$t', 1)").collect().head
+    assert(res.getInt(0) == 4, s"the four pre-compaction files reclaim, got $res")
+    assert(Files.exists(inflight),
+      "a file newer than the head commit may belong to an in-flight write")
+    assert(rows(t).size == 100)
+    Files.delete(inflight)
+  }
+
+  test("large delete vector: sorted-array skip stays exact at 10k positions") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_bigdv (id BIGINT, v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    spark.range(0, 30000).select($"id", ($"id" * 3L).as("v"), lit("z").as("s"))
+      .coalesce(1).writeTo("lake.db.t_bigdv").append()
+    spark.sql("DELETE FROM lake.db.t_bigdv WHERE id % 3 = 0")
+    val snap = LakeLog.currentSnapshot(tableDir("t_bigdv")).get
+    val f = snap.files.find(_.dv.isDefined).get
+    assert(f.dvRows == 10000L)
+    val dv = graft.sources.LakeDv.read(tableDir("t_bigdv"), f.dv.get)
+    assert(dv.length == 10000 && dv.sameElements(dv.sorted.distinct),
+      "vector must be stored sorted + deduplicated")
+    assert(spark.table("lake.db.t_bigdv").count() == 20000L)
+    assert(spark.table("lake.db.t_bigdv").agg(sum($"id")).head().getLong(0) ==
+      (0L until 30000L).filter(_ % 3 != 0).sum)
+    // union with a second delete stays exact
+    spark.sql("DELETE FROM lake.db.t_bigdv WHERE id % 3 = 1")
+    assert(spark.table("lake.db.t_bigdv").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 30000L).filter(_ % 3 == 2))
+  }
+
+  test("MOR commit rejects a concurrently moved delete vector (lost-update guard)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_dvrace (id BIGINT, v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    spark.range(0, 20).select($"id", $"id".as("v"), lit("a").as("s"))
+      .coalesce(1).writeTo("lake.db.t_dvrace").append()
+    val dir = tableDir("t_dvrace")
+    val snap = LakeLog.currentSnapshot(dir).get
+    val target = snap.files.head.path
+    // an operation scans NOW (captures dv refs)...
+    val op = new graft.sources.LakeDeltaOperation(dir, snap,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    val write = op.newWriteBuilder(new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "race"
+      override def schema(): org.apache.spark.sql.types.StructType = snap.schema
+      override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())
+    }).build().toBatch
+    // ...a concurrent UPDATE lands first and moves the file's dv...
+    spark.sql("UPDATE lake.db.t_dvrace SET v = -1 WHERE id = 3")
+    // ...so this operation's commit against the SAME row id must fail,
+    // not silently land a second insert for the row
+    val err = intercept[IllegalArgumentException] {
+      write.commit(Array(graft.sources.LakeDeltaMessage(
+        Map(target -> Seq(3L)), Seq.empty)))
+    }
+    assert(err.getMessage.contains("delete vector"), err.getMessage)
+    // content is exactly the first update's outcome
+    assert(spark.table("lake.db.t_dvrace").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      (0L until 20L).map(i => (i, if (i == 3L) -1L else i)))
   }
 
   test("DDL surface: list/drop; unsupported column types rejected at create") {
