@@ -349,8 +349,9 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
 }
 
 /** One committed table version: the schema + the COMPLETE live file
-  * list (full snapshots per version keep reads O(1) log files; a
-  * production format would compact deltas the same way).
+  * list, reconstructed by [[LakeLog]] from the delta log. File order is
+  * append-order for unchanged entries; entries MODIFIED by a commit
+  * (dv moves) re-append — order carries no semantics.
   */
 case class LakeSnapshot(version: Long, schema: StructType, files: Seq[LakeFile],
     props: Map[String, String] = Map.empty) {
@@ -359,88 +360,204 @@ case class LakeSnapshot(version: Long, schema: StructType, files: Seq[LakeFile],
     LakeSnapshot(version + 1, schema, newFiles, props)
 }
 
-/** Log IO + the optimistic commit protocol. */
+/** Log IO + the optimistic commit protocol.
+  *
+  * Each committed version is a DELTA — the schema/props plus `add`
+  * (new or changed file entries) and `remove` (dropped or superseded
+  * paths) — so commit payload is O(changed files), not O(table files):
+  * at millions of live files an append writes a few hundred bytes, not
+  * a multi-megabyte snapshot. Every [[CheckpointInterval]]-th commit
+  * also lands a CHECKPOINT (`c%08d.json`, the full reconstructed
+  * snapshot), bounding any read to one checkpoint + at most
+  * `CheckpointInterval` deltas — the Delta/Iceberg log shape. The
+  * atomic create-if-absent publish (link(2)) is unchanged: exactly one
+  * writer lands `v{N+1}`, losers re-read, revalidate, retry.
+  * Checkpoints are pure read optimization (recomputable from deltas),
+  * so their write is best-effort and idempotent.
+  */
 object LakeLog {
   private val mapper = new ObjectMapper()
+
+  /** One checkpoint per this many commits. */
+  val CheckpointInterval = 10
 
   private def logDir(dir: Path): Path = dir.resolve("_log")
   private def versionFile(dir: Path, v: Long): Path =
     logDir(dir).resolve(f"v$v%08d.json")
+  private def checkpointFile(dir: Path, v: Long): Path =
+    logDir(dir).resolve(f"c$v%08d.json")
 
-  def currentVersion(dir: Path): Option[Long] = {
+  private def listLog(dir: Path, prefix: String): Seq[Long] = {
     val ld = logDir(dir)
-    if (!Files.isDirectory(ld)) None
+    if (!Files.isDirectory(ld)) Seq.empty
     else Files.list(ld).iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .maxOption
+      .collect { case s if s.startsWith(prefix) && s.endsWith(".json") =>
+        s.stripPrefix(prefix).stripSuffix(".json").toLong }
+      .toSeq
   }
+
+  def currentVersion(dir: Path): Option[Long] = listLog(dir, "v").maxOption
 
   def currentSnapshot(dir: Path): Option[LakeSnapshot] =
     currentVersion(dir).flatMap(snapshotAt(dir, _))
 
-  def snapshotAt(dir: Path, v: Long): Option[LakeSnapshot] = {
+  // ---- file-entry (de)serialization, shared by deltas + checkpoints ----
+
+  private def writeEntry(arr: ArrayNode, f: LakeFile): Unit = {
+    val fn = arr.addObject()
+    fn.put("path", f.path)
+    fn.put("rows", f.rows)
+    f.epoch.foreach(fn.put("epoch", _))
+    f.query.foreach(fn.put("query", _))
+    f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
+    val st = fn.putObject("stats")
+    f.stats.foreach { case (c, (lo, hi)) =>
+      val a = st.putArray(c); a.add(lo); a.add(hi)
+    }
+    val nu = fn.putObject("nulls")
+    f.nulls.foreach { case (c, n) => nu.put(c, n) }
+  }
+
+  private def readEntries(root: JsonNode, field: String): Seq[LakeFile] =
+    Option(root.get(field)).map(_.elements().asScala.map { fn =>
+      val stats = fn.get("stats").properties().asScala
+        .map(e => e.getKey -> (e.getValue.get(0).asLong, e.getValue.get(1).asLong))
+        .toMap
+      val nulls = Option(fn.get("nulls")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty[String, Long])
+      LakeFile(fn.get("path").asText(), fn.get("rows").asLong, stats,
+        Option(fn.get("epoch")).map(_.asLong),
+        Option(fn.get("dv")).map(_.asText()),
+        Option(fn.get("dvRows")).map(_.asLong).getOrElse(0L),
+        nulls,
+        Option(fn.get("query")).map(_.asText()))
+    }.toSeq).getOrElse(Seq.empty)
+
+  private def readProps(root: JsonNode): Map[String, String] =
+    Option(root.get("props")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
+
+  private def readSchemaOf(root: JsonNode): StructType =
+    DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
+
+  /** The delta record of ONE committed version (None when pruned). */
+  private def deltaAt(dir: Path, v: Long): Option[(StructType, Map[String, String], Seq[LakeFile], Set[String])] = {
     val f = versionFile(dir, v)
     if (!Files.isRegularFile(f)) None
     else {
       val root = mapper.readTree(Files.readAllBytes(f))
-      val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
-      val files = root.get("files").elements().asScala.map { fn =>
-        val stats = fn.get("stats").properties().asScala
-          .map(e => e.getKey -> (e.getValue.get(0).asLong, e.getValue.get(1).asLong))
-          .toMap
-        val nulls = Option(fn.get("nulls")).map(_.properties().asScala
-          .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty[String, Long])
-        LakeFile(fn.get("path").asText(), fn.get("rows").asLong, stats,
-          Option(fn.get("epoch")).map(_.asLong),
-          Option(fn.get("dv")).map(_.asText()),
-          Option(fn.get("dvRows")).map(_.asLong).getOrElse(0L),
-          nulls,
-          Option(fn.get("query")).map(_.asText()))
-      }.toSeq
-      val props = Option(root.get("props")).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
-      Some(LakeSnapshot(v, schema, files, props))
+      val removes = Option(root.get("remove"))
+        .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
+      Some((readSchemaOf(root), readProps(root), readEntries(root, "add"), removes))
     }
   }
 
+  private def readCheckpoint(dir: Path, v: Long): Option[LakeSnapshot] = {
+    val f = checkpointFile(dir, v)
+    if (!Files.isRegularFile(f)) None
+    else {
+      val root = mapper.readTree(Files.readAllBytes(f))
+      Some(LakeSnapshot(v, readSchemaOf(root), readEntries(root, "files"), readProps(root)))
+    }
+  }
+
+  /** Reconstruct version `v`: nearest checkpoint at or below, then the
+    * delta chain up to `v`. None when the chain is broken (a vacuum
+    * pruned history past its retention window).
+    */
+  def snapshotAt(dir: Path, v: Long): Option[LakeSnapshot] = {
+    val cp = listLog(dir, "c").filter(_ <= v).maxOption
+      .flatMap(readCheckpoint(dir, _))
+    if (cp.exists(_.version == v)) return cp
+    var snap: Option[LakeSnapshot] = cp
+    var i = cp.map(_.version + 1L).getOrElse(0L)
+    while (i <= v) {
+      deltaAt(dir, i) match {
+        case None => return None
+        case Some((schema, props, add, remove)) =>
+          val base = snap.map(_.files).getOrElse(Seq.empty)
+          snap = Some(LakeSnapshot(i, schema,
+            base.filterNot(f => remove(f.path)) ++ add, props))
+      }
+      i += 1
+    }
+    snap
+  }
+
   /** Publish `snapshot` as the successor of `expectedVersion` with an
-    * atomic create-if-absent; returns false when another writer won the
-    * race (caller re-reads the head, revalidates, retries).
+    * atomic create-if-absent of its DELTA vs the parent; returns false
+    * when another writer won the race (caller re-reads the head,
+    * revalidates, retries). Changed entries (a moved delete vector)
+    * ride as remove+add of that entry alone.
     */
   def commit(dir: Path, expectedVersion: Long, snapshot: LakeSnapshot): Boolean = {
+    require(snapshot.version == expectedVersion + 1,
+      s"commit must advance the version by one: $expectedVersion -> ${snapshot.version}")
+    val prevFiles =
+      if (expectedVersion < 0L) Seq.empty
+      else snapshotAt(dir, expectedVersion).getOrElse(throw new IllegalStateException(
+        s"cannot commit v${snapshot.version}: parent v$expectedVersion unreadable")).files
+    val prevByPath = prevFiles.map(f => f.path -> f).toMap
+    val nextByPath = snapshot.files.map(f => f.path -> f).toMap
+    val added = snapshot.files.filter(f => !prevByPath.get(f.path).contains(f))
+    val removed = prevFiles.filter(f => !nextByPath.get(f.path).contains(f)).map(_.path)
+
+    val root = mapper.createObjectNode()
+    root.put("version", snapshot.version)
+    root.put("schema", snapshot.schema.json)
+    val pr = root.putObject("props")
+    snapshot.props.foreach { case (k, v) => pr.put(k, v) }
+    val arr = root.putArray("add")
+    added.foreach(writeEntry(arr, _))
+    val rm = root.putArray("remove")
+    removed.foreach(rm.add)
+
+    Files.createDirectories(logDir(dir))
+    if (publish(dir, versionFile(dir, snapshot.version), root)) {
+      if (snapshot.version > 0L && snapshot.version % CheckpointInterval == 0L)
+        checkpoint(dir, snapshot)
+      true
+    } else false
+  }
+
+  /** Land a full-snapshot checkpoint for `snapshot` (idempotent;
+    * vacuum also calls this at its retention floor so pruned history
+    * below stays unneeded).
+    */
+  def checkpoint(dir: Path, snapshot: LakeSnapshot): Unit = {
     val root = mapper.createObjectNode()
     root.put("version", snapshot.version)
     root.put("schema", snapshot.schema.json)
     val pr = root.putObject("props")
     snapshot.props.foreach { case (k, v) => pr.put(k, v) }
     val arr = root.putArray("files")
-    snapshot.files.foreach { f =>
-      val fn = arr.addObject()
-      fn.put("path", f.path)
-      fn.put("rows", f.rows)
-      f.epoch.foreach(fn.put("epoch", _))
-      f.query.foreach(fn.put("query", _))
-      f.dv.foreach { d => fn.put("dv", d); fn.put("dvRows", f.dvRows) }
-      val st = fn.putObject("stats")
-      f.stats.foreach { case (c, (lo, hi)) =>
-        val a = st.putArray(c); a.add(lo); a.add(hi)
-      }
-      val nu = fn.putObject("nulls")
-      f.nulls.foreach { case (c, n) => nu.put(c, n) }
-    }
-    require(snapshot.version == expectedVersion + 1,
-      s"commit must advance the version by one: $expectedVersion -> ${snapshot.version}")
-    Files.createDirectories(logDir(dir))
+    snapshot.files.foreach(writeEntry(arr, _))
+    publish(dir, checkpointFile(dir, snapshot.version), root)
+    ()
+  }
+
+  /** Delete log records (deltas AND checkpoints) below `floor`;
+    * returns the number of VERSION files removed. The caller must have
+    * checkpointed `floor` first or reads of retained versions break.
+    */
+  def pruneBelow(dir: Path, floor: Long): Int = {
+    val deltas = listLog(dir, "v").filter(_ < floor)
+    deltas.foreach(v => Files.deleteIfExists(versionFile(dir, v)))
+    listLog(dir, "c").filter(_ < floor)
+      .foreach(v => Files.deleteIfExists(checkpointFile(dir, v)))
+    deltas.size
+  }
+
+  private def publish(dir: Path, target: Path, root: ObjectNode): Boolean = {
     val tmp = Files.createTempFile(logDir(dir), ".commit", ".tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     try {
       // hard-link the finished tmp into place: link(2) is atomic AND
       // fails if the target exists — exactly one writer can publish
-      // v{N+1}, and readers never observe a partial file (rename(2)
-      // would silently REPLACE an existing version on POSIX)
-      Files.createLink(versionFile(dir, snapshot.version), tmp)
+      // the record, and readers never observe a partial file (rename(2)
+      // would silently REPLACE an existing target on POSIX)
+      Files.createLink(target, tmp)
       Files.delete(tmp)
       true
     } catch {
@@ -1245,9 +1362,13 @@ object LakeProcedures {
             val retain = math.max(1, input.getInt(1))
             val head = LakeLog.currentVersion(dir).get
             val floor = math.max(0L, head - retain + 1)
-            val referenced = (floor to head)
-              .flatMap(LakeLog.snapshotAt(dir, _))
+            val retained = (floor to head).flatMap(LakeLog.snapshotAt(dir, _))
+            val referenced = retained
               .flatMap(_.files.flatMap(f => f.path +: f.dv.toSeq)).toSet
+            // checkpoint the retention floor BEFORE pruning the delta
+            // chain below it — every retained version must stay
+            // reconstructible from (checkpoint, deltas) afterwards
+            retained.find(_.version == floor).foreach(LakeLog.checkpoint(dir, _))
             // age guard: data files land under final names BEFORE the
             // log references them, so an unreferenced file newer than
             // the head version's commit may belong to an IN-FLIGHT
@@ -1262,16 +1383,13 @@ object LakeProcedures {
               .filter(p => Files.getLastModifiedTime(p).toMillis < headMtime)
               .toSeq
             deletable.foreach(Files.delete)
-            val oldLogs = (0L until floor)
-              .map(v => dir.resolve("_log").resolve(f"v$v%08d.json"))
-              .filter(Files.isRegularFile(_))
-            oldLogs.foreach(Files.delete)
+            val prunedVersions = LakeLog.pruneBelow(dir, floor)
             out(StructType(Seq(
               StructField("deleted_data_files", IntegerType, nullable = false),
               StructField("deleted_log_versions", IntegerType, nullable = false),
               StructField("retained_from_version", LongType, nullable = false))),
               Seq(new GenericInternalRow(Array[Any](
-                deletable.size, oldLogs.size, floor))))
+                deletable.size, prunedVersions, floor))))
           }
         }
       }

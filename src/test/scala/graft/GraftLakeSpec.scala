@@ -636,6 +636,48 @@ class GraftLakeSpec extends AnyFunSuite {
       (0L until 20L).map(i => (i, if (i == 3L) -1L else i)))
   }
 
+  test("delta log: commit payload is O(changed files); checkpoints bound replay") {
+    import org.apache.spark.sql.types._
+    import graft.sources.{LakeFile, LakeLog, LakeSnapshot}
+    val dir = Files.createTempDirectory("lakelog").resolve("t")
+    Files.createDirectories(dir.resolve("data"))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    assert(LakeLog.commit(dir, -1L, LakeSnapshot(0L, schema, Seq.empty)))
+    for (i <- 1 to 30) {
+      val cur = LakeLog.currentSnapshot(dir).get
+      assert(LakeLog.commit(dir, cur.version, cur.next(cur.files :+
+        LakeFile(f"data/f$i%03d.parquet", i.toLong, Map("id" -> ((0L, i.toLong))),
+          nulls = Map("id" -> 0L)))))
+    }
+    val head = LakeLog.currentSnapshot(dir).get
+    assert(head.version == 30L && head.files.size == 30)
+    // the newest commit references ONE added file, not the table
+    val v30 = Files.readString(dir.resolve("_log").resolve("v00000030.json"))
+    assert(!v30.contains("f001") && v30.contains("f030"))
+    val sizes = (21 to 30).map(v =>
+      Files.size(dir.resolve("_log").resolve(f"v$v%08d.json")))
+    assert(sizes.max - sizes.min < 64,
+      s"delta payload must not grow with table size: $sizes")
+    // checkpoints land at the interval and anchor reconstruction
+    assert(Files.exists(dir.resolve("_log").resolve("c00000010.json")))
+    assert(Files.exists(dir.resolve("_log").resolve("c00000030.json")))
+    // time travel below, at, and above a checkpoint
+    assert(LakeLog.snapshotAt(dir, 7L).get.files.size == 7)
+    assert(LakeLog.snapshotAt(dir, 10L).get.files.size == 10)
+    assert(LakeLog.snapshotAt(dir, 25L).get.files.map(_.path)
+      .contains("data/f025.parquet"))
+    // a changed entry (dv move) rides as remove+add of that ONE entry
+    val cur = LakeLog.currentSnapshot(dir).get
+    val changed = cur.files.updated(0,
+      cur.files.head.copy(dv = Some("data/dv-x.bin"), dvRows = 2L))
+    assert(LakeLog.commit(dir, cur.version, cur.next(changed)))
+    val v31 = Files.readString(dir.resolve("_log").resolve("v00000031.json"))
+    assert(v31.contains("f001") && !v31.contains("f030"))
+    val reread = LakeLog.currentSnapshot(dir).get
+    assert(reread.files.size == 30 &&
+      reread.files.find(_.path == "data/f001.parquet").get.dvRows == 2L)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
