@@ -486,8 +486,54 @@ object IngestQueries {
       .orderBy($"seg", $"change_type")
   }
 
+  /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
+    * two eras (a column added mid-history via `ALTER TABLE ADD
+    * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
+    * over stable field ids ([[graft.sources.LakeColIds]]). The final
+    * aggregate reads pre-evolution files through the id mapping (their
+    * parquet column is still physically named `size`), null-fills the
+    * added column for era-1 rows, and rides a TIME-TRAVEL count of the
+    * pre-evolution version. The DuckDB oracle replays the evolution
+    * relationally (era union + NULL casting), so the null-fill
+    * arithmetic and the rename resolution are value-checked.
+    */
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q85").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.parts"
+    spark.sql(s"CREATE TABLE $t (pk BIGINT, name STRING, size BIGINT)")
+    val part = Tables.load(spark, dir, "part")
+    part.filter($"p_partkey" % 3 =!= 0)
+      .select($"p_partkey".as("pk"), $"p_name".as("name"),
+        $"p_size".cast("long").as("size"))
+      .repartition(2).writeTo(t).append() // v1: era-1 files, no retail column
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (retail_cents BIGINT)") // v2
+    part.filter($"p_partkey" % 3 === 0)
+      .select($"p_partkey".as("pk"), $"p_name".as("name"),
+        $"p_size".cast("long").as("size"),
+        graft.functions.gf.fixed($"p_retailprice", 100.0).as("retail_cents"))
+      .repartition(2).writeTo(t).append() // v3: era-2 files carry it
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN size TO psize") // v4
+    spark.sql(s"ALTER TABLE $t DROP COLUMN name") // v5
+    val v1 = broadcast(spark.sql(
+      s"SELECT CAST(count(*) AS BIGINT) AS v1_rows FROM $t VERSION AS OF 1"))
+    spark.table(t)
+      .groupBy(($"pk" % 5).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        count($"retail_cents").as("n_retail"),
+        sum(coalesce($"retail_cents", lit(0L))).as("sum_retail"),
+        sum($"psize").as("sum_psize"))
+      .crossJoin(v1)
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
+    "q85_lake_evolution" -> q85,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -509,6 +555,25 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q85_lake_evolution" ->
+      """WITH e1 AS (
+        |  SELECT p_partkey AS pk, CAST(p_size AS BIGINT) AS psize,
+        |    CAST(NULL AS BIGINT) AS retail_cents
+        |  FROM part WHERE p_partkey % 3 <> 0),
+        |e2 AS (
+        |  SELECT p_partkey AS pk, CAST(p_size AS BIGINT) AS psize,
+        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS retail_cents
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+        |h AS (SELECT CAST((SELECT count(*) FROM e1) AS BIGINT) AS v1_rows)
+        |SELECT pk % 5 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(retail_cents) AS BIGINT) AS n_retail,
+        |  CAST(sum(coalesce(retail_cents, 0)) AS BIGINT) AS sum_retail,
+        |  CAST(sum(psize) AS BIGINT) AS sum_psize,
+        |  v1_rows
+        |FROM u CROSS JOIN h
+        |GROUP BY pk % 5, v1_rows
+        |ORDER BY bucket""".stripMargin,
     "q73_dsv2_source" -> DuckSketchSql.q73,
     "q75_dsv2_stream" -> DuckSketchSql.q75,
     "q78_spj_join" -> DuckSketchSql.q78,

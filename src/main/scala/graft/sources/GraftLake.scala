@@ -138,7 +138,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     if (LakeLog.currentSnapshot(dir).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     Files.createDirectories(dir.resolve("data"))
-    val s0 = LakeSnapshot(0L, schema, Seq.empty, keep)
+    val s0 = LakeSnapshot(0L, schema, Seq.empty, keep ++ LakeColIds.freshProps(schema))
     LakeLog.commit(dir, expectedVersion = -1L, s0)
     new LakeTable(dir, s0, None)
   }
@@ -189,8 +189,78 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     new GraftStagedTable(tableDir(ident), ident, schema, keep, replace, orCreate)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graftlake: ALTER TABLE not supported")
+  /** SCHEMA EVOLUTION: add / rename / drop top-level columns as a pure
+    * METADATA commit — no data file moves. Stable field ids
+    * ([[LakeColIds]]) make it sound: renamed columns keep their id (old
+    * files resolve through it to their write-time physical name),
+    * added columns get a fresh never-reused id (pre-evolution files
+    * read as NULL), dropped columns lose their id (old bytes go dead).
+    * Time travel keeps working — each version carries its own schema
+    * and id list. Same optimistic-commit loop as every other mutation.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    var result: LakeSnapshot = null
+    var done = false
+    while (!done) {
+      val cur = LakeLog.currentSnapshot(dir).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+      var schema = cur.schema
+      var ids = LakeColIds.ids(schema, cur.props)
+      var props = cur.props
+      var maxId = props.get("maxcolid").map(_.toLong)
+        .getOrElse(ids.maxOption.getOrElse(0L))
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "graftlake: nested columns not supported")
+          val name = add.fieldNames.head
+          require(!schema.fieldNames.contains(name),
+            s"graftlake: column $name already exists")
+          require(LakeCodec.supported(add.dataType),
+            s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
+              s"got $name: ${add.dataType.simpleString}")
+          require(add.isNullable,
+            s"graftlake: added column $name must be nullable " +
+              "(pre-evolution files read it as NULL)")
+          schema = schema.add(StructField(name, add.dataType, nullable = true))
+          maxId += 1
+          ids = ids :+ maxId
+        case ren: TableChange.RenameColumn =>
+          require(ren.fieldNames.length == 1,
+            "graftlake: nested columns not supported")
+          val from = ren.fieldNames.head
+          val i = schema.fieldIndex(from)
+          require(!schema.fieldNames.contains(ren.newName),
+            s"graftlake: column ${ren.newName} already exists")
+          schema = StructType(
+            schema.fields.updated(i, schema.fields(i).copy(name = ren.newName)))
+          props = props.map {
+            case (k, v) if (k == "clusterBy" || k == "sortBy") && v == from =>
+              k -> ren.newName
+            case kv => kv
+          }
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            "graftlake: nested columns not supported")
+          val name = del.fieldNames.head
+          val i = schema.fieldIndex(name)
+          require(!props.get("clusterBy").contains(name) &&
+            !props.get("sortBy").contains(name),
+            s"graftlake: cannot drop layout column $name")
+          require(schema.length > 1, "graftlake: cannot drop the last column")
+          schema = StructType(schema.fields.patch(i, Nil, 1))
+          ids = ids.patch(i, Nil, 1)
+        case other => throw new UnsupportedOperationException(
+          s"graftlake: unsupported ALTER TABLE change $other")
+      }
+      props = props + ("colids" -> ids.mkString(",")) +
+        ("maxcolid" -> maxId.toString)
+      result = LakeSnapshot(cur.version + 1, schema, cur.files, props)
+      done = LakeLog.commit(dir, cur.version, result)
+    }
+    new LakeTable(dir, result, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -343,9 +413,51 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   */
 case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     epoch: Option[Long] = None, dv: Option[String] = None, dvRows: Long = 0L,
-    nulls: Map[String, Long] = Map.empty, query: Option[String] = None) {
+    nulls: Map[String, Long] = Map.empty, query: Option[String] = None,
+    cols: Seq[(String, Long)] = Seq.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
+}
+
+/** Stable FIELD IDS — the column-mapping layer under `ALTER TABLE`.
+  *
+  * Every table column gets an id at creation (`colids` in the table
+  * properties, parallel to the schema fields; `maxcolid` is the
+  * allocator high-water mark, never reused). Each data file's log
+  * entry records `(physical column name, id)` pairs as of its write.
+  * Renames touch ONLY the current schema/props — old files keep their
+  * write-time physical names and resolve through the id; drops remove
+  * the id from the schema — old files' column bytes become dead;
+  * adds allocate a fresh id — files written before it resolve to
+  * nothing and read as NULL (and their stats decide `IS NULL` as
+  * all-match / value predicates as none-match, since every value is
+  * null). Exactly Iceberg's field-id design re-derived, minus nested
+  * types.
+  */
+object LakeColIds {
+  def ids(schema: StructType, props: Map[String, String]): Seq[Long] =
+    props.get("colids")
+      .map(_.split(',').iterator.filter(_.nonEmpty).map(_.toLong).toSeq)
+      .getOrElse((1 to schema.length).map(_.toLong))
+
+  /** (column name, id) for the CURRENT schema. */
+  def cols(schema: StructType, props: Map[String, String]): Seq[(String, Long)] =
+    schema.fieldNames.toSeq.zip(ids(schema, props))
+
+  /** The PHYSICAL name of current column `tableCol` inside file `f`:
+    * None when the file predates the column (read as NULL). Entries
+    * without a recorded mapping (log-level tests) resolve by name.
+    */
+  def physicalName(current: Seq[(String, Long)], f: LakeFile,
+      tableCol: String): Option[String] =
+    if (f.cols.isEmpty) Some(tableCol)
+    else current.find(_._1 == tableCol).map(_._2)
+      .flatMap(id => f.cols.find(_._2 == id).map(_._1))
+
+  /** Creation-time property block for a fresh schema. */
+  def freshProps(schema: StructType): Map[String, String] = Map(
+    "colids" -> (1 to schema.length).mkString(","),
+    "maxcolid" -> schema.length.toString)
 }
 
 /** One committed table version: the schema + the COMPLETE live file
@@ -417,6 +529,12 @@ object LakeLog {
     }
     val nu = fn.putObject("nulls")
     f.nulls.foreach { case (c, n) => nu.put(c, n) }
+    if (f.cols.nonEmpty) {
+      val co = fn.putArray("cols")
+      f.cols.foreach { case (n, id) =>
+        val pair = co.addArray(); pair.add(n); pair.add(id)
+      }
+    }
   }
 
   private def readEntries(root: JsonNode, field: String): Seq[LakeFile] =
@@ -426,12 +544,16 @@ object LakeLog {
         .toMap
       val nulls = Option(fn.get("nulls")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty[String, Long])
+      val cols = Option(fn.get("cols")).map(_.elements().asScala
+        .map(p => (p.get(0).asText(), p.get(1).asLong())).toSeq)
+        .getOrElse(Seq.empty[(String, Long)])
       LakeFile(fn.get("path").asText(), fn.get("rows").asLong, stats,
         Option(fn.get("epoch")).map(_.asLong),
         Option(fn.get("dv")).map(_.asText()),
         Option(fn.get("dvRows")).map(_.asLong).getOrElse(0L),
         nulls,
-        Option(fn.get("query")).map(_.asText()))
+        Option(fn.get("query")).map(_.asText()),
+        cols)
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -627,19 +749,25 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     * predicates return false and Spark falls back to the copy-on-write
     * rewrite below — correctness never depends on stats.
     */
-  override def canDeleteWhere(predicates: Array[VPredicate]): Boolean =
-    snapshot.files.forall(f => LakeStats.decide(f, predicates) != LakeStats.Mixed)
+  override def canDeleteWhere(predicates: Array[VPredicate]): Boolean = {
+    val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
+    snapshot.files.forall(f =>
+      LakeStats.decide(f, predicates,
+        LakeColIds.physicalName(cols, f, _)) != LakeStats.Mixed)
+  }
 
   override def deleteWhere(predicates: Array[VPredicate]): Unit = {
     var done = false
     while (!done) {
       val cur = LakeLog.currentSnapshot(dir).get
-      val keep = cur.files.filter(f => LakeStats.decide(f, predicates) match {
-        case LakeStats.All => false
-        case LakeStats.None_ => true
-        case LakeStats.Mixed => throw new IllegalStateException(
-          s"deleteWhere on undecidable file ${f.path} (canDeleteWhere was false)")
-      })
+      val cols = LakeColIds.cols(cur.schema, cur.props)
+      val keep = cur.files.filter(f =>
+        LakeStats.decide(f, predicates, LakeColIds.physicalName(cols, f, _)) match {
+          case LakeStats.All => false
+          case LakeStats.None_ => true
+          case LakeStats.Mixed => throw new IllegalStateException(
+            s"deleteWhere on undecidable file ${f.path} (canDeleteWhere was false)")
+        })
       done = LakeLog.commit(dir, cur.version, cur.next(keep))
     }
   }
@@ -708,7 +836,8 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val written = messages.map(_.asInstanceOf[LakeFileMessage])
               .filter(_.path.nonEmpty)
-              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls)).toSeq
+              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
+                cols = LakeColIds.cols(snapshot.schema, snapshot.props))).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -758,33 +887,49 @@ object LakeStats {
     * nullCount gate. None_ needs no gate (null rows don't match
     * either, and "no rows match" keeps the file whole).
     */
-  private def decideOne(f: LakeFile, p: VPredicate): Decision = {
+  private def decideOne(f: LakeFile, p: VPredicate,
+      resolve: String => Option[String]): Decision = {
+    // `resolve` maps a CURRENT table column to its physical name in
+    // THIS file ([[LakeColIds.physicalName]]). A file that predates the
+    // column (None) holds only NULLs for it: value predicates match
+    // nothing, IS NULL matches everything — decidable without stats.
     def withStats(c: String)(eval: (Long, Long) => Decision): Decision =
-      f.stats.get(c).map { case (lo, hi) =>
-        eval(lo, hi) match {
-          case All if !f.nulls.get(c).contains(0L) => Mixed
-          case d => d
-        }
-      }.getOrElse(Mixed)
+      resolve(c) match {
+        case None => None_
+        case Some(pc) =>
+          f.stats.get(pc).map { case (lo, hi) =>
+            eval(lo, hi) match {
+              case All if !f.nulls.get(pc).contains(0L) => Mixed
+              case d => d
+            }
+          }.getOrElse(Mixed)
+      }
+    def nullCount(c: String): Either[Decision, Option[Long]] =
+      resolve(c) match {
+        case None => Left(All) // every value null; caller flips for IS_NOT_NULL
+        case Some(pc) => Right(f.nulls.get(pc))
+      }
     val kids = p.children()
     p.name() match {
       case "ALWAYS_TRUE" => All
       case "ALWAYS_FALSE" => None_
       case "IS_NULL" if kids.length == 1 =>
-        colName(kids(0)).flatMap(f.nulls.get) match {
-          case Some(0L) => None_
-          case Some(n) if n == f.rows => All
+        colName(kids(0)).map(nullCount) match {
+          case Some(Left(_)) => All
+          case Some(Right(Some(0L))) => None_
+          case Some(Right(Some(n))) if n == f.rows => All
           case _ => Mixed
         }
       case "IS_NOT_NULL" if kids.length == 1 =>
-        colName(kids(0)).flatMap(f.nulls.get) match {
-          case Some(0L) => All
-          case Some(n) if n == f.rows => None_
+        colName(kids(0)).map(nullCount) match {
+          case Some(Left(_)) => None_
+          case Some(Right(Some(0L))) => All
+          case Some(Right(Some(n))) if n == f.rows => None_
           case _ => Mixed
         }
       case "AND" if kids.length == 2 =>
-        combine(decideOne(f, kids(0).asInstanceOf[VPredicate]),
-          decideOne(f, kids(1).asInstanceOf[VPredicate]))
+        combine(decideOne(f, kids(0).asInstanceOf[VPredicate], resolve),
+          decideOne(f, kids(1).asInstanceOf[VPredicate], resolve))
       case "=" if kids.length == 2 =>
         (colName(kids(0)), litLong(kids(1))) match {
           case (Some(c), Some(v)) => withStats(c) { (lo, hi) =>
@@ -825,9 +970,13 @@ object LakeStats {
     case _ => Mixed
   }
 
-  /** Decide the CONJUNCTION of `predicates` against one file. */
-  def decide(f: LakeFile, predicates: Array[VPredicate]): Decision =
-    predicates.map(decideOne(f, _)).foldLeft(All: Decision)(combine)
+  /** Decide the CONJUNCTION of `predicates` against one file.
+    * `resolve` maps current column names to the file's physical names
+    * (identity for un-evolved tables).
+    */
+  def decide(f: LakeFile, predicates: Array[VPredicate],
+      resolve: String => Option[String]): Decision =
+    predicates.map(decideOne(f, _, resolve)).foldLeft(All: Decision)(combine)
 }
 
 class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
@@ -875,8 +1024,12 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
   override def build(): Scan =
     if (metadataCount) new LakeCountScan(snapshot)
     else {
-      val live = snapshot.files.filter(f => LakeStats.decide(f, skips) != LakeStats.None_)
-      new LakeScan(dir, snapshot.schema, live, snapshot.files.size, required, onPlanned)
+      val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
+      val live = snapshot.files.filter(f =>
+        LakeStats.decide(f, skips,
+          LakeColIds.physicalName(cols, f, _)) != LakeStats.None_)
+      new LakeScan(dir, snapshot.schema, cols, live, snapshot.files.size,
+        required, onPlanned)
     }
 }
 
@@ -890,10 +1043,20 @@ class LakeCountScan(snapshot: LakeSnapshot) extends org.apache.spark.sql.connect
     s"graftlake metadata-count files=0/${snapshot.files.size}"
 }
 
-class LakeScan(dir: Path, tableSchema: StructType, files: Seq[LakeFile],
-    totalFiles: Int, required: StructType, onPlanned: Option[Seq[String] => Unit])
+class LakeScan(dir: Path, tableSchema: StructType, curCols: Seq[(String, Long)],
+    files: Seq[LakeFile], totalFiles: Int, required: StructType,
+    onPlanned: Option[Seq[String] => Unit])
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
+
+  /** Required DATA columns resolved to their per-file physical names —
+    * a current column absent from the map predates the file (NULL).
+    */
+  private def renameFor(f: LakeFile): Map[String, String] =
+    required.fieldNames.iterator
+      .filter(n => n != LakeTable.FileColumn && n != LakeTable.PosColumn)
+      .flatMap(n => LakeColIds.physicalName(curCols, f, n).map(n -> _))
+      .toMap
 
   /** Runtime group filtering for row-level ops: Spark first finds which
     * `_file`s contain matching rows, then hands them back as an IN
@@ -946,21 +1109,27 @@ class LakeScan(dir: Path, tableSchema: StructType, files: Seq[LakeFile],
   override def planInputPartitions(): Array[InputPartition] = {
     val ps = planned
     onPlanned.foreach(_(ps.map(_.path)))
-    ps.map(f => LakeInputFile(dir.toString, f.path, f.rows, f.dv): InputPartition).toArray
+    ps.map(f =>
+      LakeInputFile(dir.toString, f.path, f.rows, f.dv, renameFor(f)): InputPartition)
+      .toArray
   }
 
-  /** COLUMNAR whenever every file is dv-free and no per-row ordinal is
-    * requested: batches flow straight from the vectorized parquet
-    * decoder (with `_file` as a constant appended vector) into Spark's
-    * ColumnarToRow. Delete-vectored files and `_pos` projections take
-    * the row path, where position tracking and dv skipping live.
-    * The answer must be uniform across partitions (Spark plans one
-    * exec for the scan), so one dv'd file de-vectorizes the scan.
+  /** COLUMNAR whenever every file is dv-free, no per-row ordinal is
+    * requested, and every file physically holds at least one required
+    * data column (the batch needs a decoded column for row counts;
+    * added columns null-fill as constant vectors): batches flow
+    * straight from the vectorized parquet decoder (with `_file` as a
+    * constant appended vector) into Spark's ColumnarToRow.
+    * Delete-vectored files and `_pos` projections take the row path,
+    * where position tracking and dv skipping live. The answer must be
+    * uniform across partitions (Spark plans one exec for the scan), so
+    * one dv'd file de-vectorizes the scan.
     */
   private def columnarPossible: Boolean =
     files.forall(_.dv.isEmpty) &&
       required.fieldNames.forall(_ != LakeTable.PosColumn) &&
-      required.fieldNames.exists(n => n != LakeTable.FileColumn)
+      required.fieldNames.exists(n => n != LakeTable.FileColumn) &&
+      files.forall(f => renameFor(f).nonEmpty)
 
   override def createReaderFactory(): PartitionReaderFactory =
     LakeReaderFactory(tableSchema,
@@ -975,7 +1144,8 @@ class LakeScan(dir: Path, tableSchema: StructType, files: Seq[LakeFile],
 }
 
 case class LakeInputFile(tableDir: String, path: String, rows: Long,
-    dv: Option[String] = None) extends InputPartition
+    dv: Option[String] = None,
+    rename: Map[String, String] = Map.empty) extends InputPartition
 
 /** Both read paths over one parquet data file.
   *
@@ -1007,11 +1177,23 @@ case class LakeReaderFactory(tableSchema: StructType,
     val dv: Array[Long] = p.dv
       .map(LakeDv.read(Paths.get(p.tableDir), _))
       .getOrElse(Array.emptyLongArray)
-    val data = dataCols
+    // per-required-column codes: -1 = _file, -2 = _pos, -3 = column not
+    // in this file (NULL), else index into the decoded columns
+    val codes = {
+      var pi = 0
+      required.map { case (n, _) =>
+        if (n == LakeTable.FileColumn) -1
+        else if (n == LakeTable.PosColumn) -2
+        else if (!p.rename.contains(n)) -3
+        else { val i = pi; pi += 1; i }
+      }
+    }
+    val physical = required.collect {
+      case (n, _) if p.rename.contains(n) => p.rename(n) }
     val reader =
-      if (data.isEmpty) null
+      if (physical.isEmpty) null
       else LakeParquet.openVectorized(
-        Paths.get(p.tableDir).resolve(p.path), data.map(_._1).toSeq)
+        Paths.get(p.tableDir).resolve(p.path), physical.toSeq)
     val filePathValue = UTF8String.fromString(p.path)
     new PartitionReader[InternalRow] {
       private var pos = -1L
@@ -1040,17 +1222,14 @@ case class LakeReaderFactory(tableSchema: StructType,
           else reader.getCurrentValue.asInstanceOf[InternalRow]
         val vals = new Array[Any](required.length)
         var c = 0
-        var d = 0
         while (c < required.length) {
-          val (n, dt) = required(c)
+          val code = codes(c)
           vals(c) =
-            if (n == LakeTable.FileColumn) filePathValue
-            else if (n == LakeTable.PosColumn) pos
-            else {
-              val v = if (src.isNullAt(d)) null else src.get(d, dt)
-              d += 1
-              v
-            }
+            if (code == -1) filePathValue
+            else if (code == -2) pos
+            else if (code == -3) null
+            else if (src.isNullAt(code)) null
+            else src.get(code, required(c)._2)
           c += 1
         }
         new GenericInternalRow(vals)
@@ -1063,22 +1242,31 @@ case class LakeReaderFactory(tableSchema: StructType,
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[LakeInputFile]
     require(p.dv.isEmpty, "columnar read path never sees delete-vectored files")
-    val data = dataCols
-    val consts = required.filter(_._1 == LakeTable.FileColumn)
+    // decoded columns = required data columns present in the file;
+    // everything else (_file, columns added after this file was
+    // written) becomes a CONSTANT vector via the reader's own
+    // partition-column mechanism (path string / null respectively)
+    val present = dataCols.filter { case (n, _) => p.rename.contains(n) }
+    val consts = required.filter { case (n, _) =>
+      n == LakeTable.FileColumn || (n != LakeTable.PosColumn && !p.rename.contains(n)) }
     val reader = LakeParquet.openVectorized(
-      Paths.get(p.tableDir).resolve(p.path), data.map(_._1).toSeq)
+      Paths.get(p.tableDir).resolve(p.path),
+      present.map(t => p.rename(t._1)).toSeq)
     reader.initBatch(
-      StructType(consts.map { case (n, dt) => StructField(n, dt, nullable = false) }),
-      new GenericInternalRow(consts.map(_ => UTF8String.fromString(p.path): Any)))
+      StructType(consts.map { case (n, dt) =>
+        StructField(n, dt, nullable = n != LakeTable.FileColumn) }),
+      new GenericInternalRow(consts.map { case (n, _) =>
+        if (n == LakeTable.FileColumn) UTF8String.fromString(p.path): Any else null
+      }))
     reader.enableReturningBatches()
     val inner = reader.resultBatch()
-    // inner columns are (data ++ consts); re-expose in `required` order
+    // inner columns are (present ++ consts); re-expose in `required` order
     val perm: Array[Int] = {
-      var d = 0
-      var c = 0
+      var pi = 0
+      var ci = 0
       required.map { case (n, _) =>
-        if (n == LakeTable.FileColumn) { val i = data.length + c; c += 1; i }
-        else { val i = d; d += 1; i }
+        if (n != LakeTable.FileColumn && p.rename.contains(n)) { val i = pi; pi += 1; i }
+        else { val i = present.length + ci; ci += 1; i }
       }
     }
     val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(perm.map(inner.column))
@@ -1130,7 +1318,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
           .filter(_.path.nonEmpty)
-          .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls)).toSeq
+          .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
+            cols = LakeColIds.cols(tableSchema, props))).toSeq
         var done = false
         while (!done) {
           val cur = LakeLog.currentSnapshot(dir).get
@@ -1166,7 +1355,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           val written = messages.map(_.asInstanceOf[LakeFileMessage])
             .filter(_.path.nonEmpty)
             .map(m => LakeFile(m.path, m.rows, m.stats, epoch = Some(epochId),
-              nulls = m.nulls, query = Some(queryId))).toSeq
+              nulls = m.nulls, query = Some(queryId),
+              cols = LakeColIds.cols(tableSchema, props))).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -1326,7 +1516,8 @@ object LakeProcedures {
                 Iterator(w.commit())
               }.collect().toSeq
               .collect { case m: LakeFileMessage if m.path.nonEmpty =>
-                LakeFile(m.path, m.rows, m.stats, nulls = m.nulls) }
+                LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
+                  cols = LakeColIds.cols(snap.schema, snap.props)) }
             val replaced = snap.files.map(_.path).toSet
             var done = false
             while (!done) {
@@ -1437,6 +1628,12 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
   @volatile private var stagedFiles: Seq[LakeFile] = Seq.empty
   @volatile private var stagedMessages: Array[WriterCommitMessage] = Array.empty
 
+  /** Fresh field ids for the staged definition (a REPLACE is a new
+    * schema lineage; old versions keep their own id lists).
+    */
+  private val propsWithIds: Map[String, String] =
+    stagedProps ++ LakeColIds.freshProps(stagedSchema)
+
   Files.createDirectories(dir.resolve("data"))
 
   override def name(): String = s"graftlake.${dir.getFileName}(staged)"
@@ -1457,7 +1654,8 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
             stagedMessages = messages
             stagedFiles = messages.map(_.asInstanceOf[LakeFileMessage])
               .filter(_.path.nonEmpty)
-              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls)).toSeq
+              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
+                cols = LakeColIds.cols(stagedSchema, propsWithIds))).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -1469,7 +1667,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
     val existing = LakeLog.currentSnapshot(dir)
     existing match {
       case None =>
-        if (!LakeLog.commit(dir, -1L, LakeSnapshot(0L, stagedSchema, stagedFiles, stagedProps)))
+        if (!LakeLog.commit(dir, -1L, LakeSnapshot(0L, stagedSchema, stagedFiles, propsWithIds)))
           throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
       case Some(_) if !replace =>
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
@@ -1478,7 +1676,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
         while (!done) {
           val cur = LakeLog.currentSnapshot(dir).get
           done = LakeLog.commit(dir, cur.version,
-            LakeSnapshot(cur.version + 1, stagedSchema, stagedFiles, stagedProps))
+            LakeSnapshot(cur.version + 1, stagedSchema, stagedFiles, propsWithIds))
         }
     }
   }
@@ -1594,7 +1792,8 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ms = messages.map(_.asInstanceOf[LakeDeltaMessage])
             val inserts = ms.flatMap(_.inserts).filter(_.path.nonEmpty)
-              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls)).toSeq
+              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
+              cols = LakeColIds.cols(snapshot.schema, snapshot.props))).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false

@@ -678,6 +678,53 @@ class GraftLakeSpec extends AnyFunSuite {
       reread.files.find(_.path == "data/f001.parquet").get.dvRows == 2L)
   }
 
+  test("schema evolution: add/rename/drop via field ids; old files null-fill and keep stats") {
+    import spark.implicits._
+    val t = seeded("t_evolve")
+    // ADD: pre-evolution files read the new column as NULL
+    spark.sql(s"ALTER TABLE lake.db.$t ADD COLUMNS (w BIGINT)")
+    assert(spark.table(s"lake.db.$t").columns.toSeq == Seq("id", "v", "s", "w"))
+    assert(spark.table(s"lake.db.$t").where($"w".isNull).count() == 100L)
+    // new writes carry it
+    spark.range(100L, 110L)
+      .select($"id", ($"id" * 10L).as("v"), lit("f4").as("s"), ($"id" + 7L).as("w"))
+      .coalesce(1).writeTo(s"lake.db.$t").append()
+    assert(spark.table(s"lake.db.$t").agg(sum($"w")).head().getLong(0) ==
+      (100L until 110L).map(_ + 7L).sum)
+    // RENAME: id -> key; OLD files resolve through the field id (their
+    // parquet column is still physically named "id")
+    spark.sql(s"ALTER TABLE lake.db.$t RENAME COLUMN id TO key")
+    assert(spark.table(s"lake.db.$t").agg(sum($"key")).head().getLong(0) ==
+      (0L until 110L).sum)
+    // stats skipping still bites post-rename (stats stored under "id")
+    val skipped = spark.table(s"lake.db.$t").filter($"key" >= 100L)
+    assert(skipped.collect().map(_.getLong(0)).sorted.toSeq == (100L until 110L))
+    assert(skipped.queryExecution.executedPlan.toString.contains("files=1/5"),
+      s"rename must not break stats skipping:\n${skipped.queryExecution.executedPlan}")
+    // metadata-only delete decides `w IS NULL` entirely off null counts:
+    // pre-evolution files drop whole, the f4 file survives untouched
+    val dataFiles = Files.list(tableDir(t).resolve("data")).count()
+    spark.sql(s"DELETE FROM lake.db.$t WHERE w IS NULL")
+    assert(Files.list(tableDir(t).resolve("data")).count() == dataFiles,
+      "IS NULL delete over evolved files must be metadata-only")
+    assert(spark.table(s"lake.db.$t").collect().map(_.getLong(0)).sorted.toSeq ==
+      (100L until 110L))
+    // DROP: column gone from reads; dropped-name reuse gets a FRESH id
+    spark.sql(s"ALTER TABLE lake.db.$t DROP COLUMN s")
+    assert(spark.table(s"lake.db.$t").columns.toSeq == Seq("key", "v", "w"))
+    spark.sql(s"ALTER TABLE lake.db.$t ADD COLUMNS (s STRING)")
+    assert(spark.table(s"lake.db.$t").where($"s".isNull).count() == 10L,
+      "a re-added name must NOT resurrect the dropped column's bytes")
+    // time travel reads each version under ITS schema
+    assert(spark.sql(s"SELECT * FROM lake.db.$t VERSION AS OF 4").columns.toSeq ==
+      Seq("id", "v", "s"))
+    assert(spark.sql(s"SELECT count(*) FROM lake.db.$t VERSION AS OF 4")
+      .head().getLong(0) == 100L)
+    // guardrails
+    intercept[Exception](spark.sql(s"ALTER TABLE lake.db.$t ADD COLUMNS (v BIGINT)"))
+    intercept[Exception](spark.sql(s"ALTER TABLE lake.db.$t RENAME COLUMN v TO w"))
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
