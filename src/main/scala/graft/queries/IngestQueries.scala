@@ -486,6 +486,58 @@ object IngestQueries {
       .orderBy($"seg", $"change_type")
   }
 
+  /** q84 — STREAMING the lake change feed
+    * ([[graft.sources.LakeChangesTable]]): a MOR table mutates over
+    * four commits (append, UPDATE = dv-delete + insert, DELETE = dv,
+    * second UPDATE), and `readStream.table("...__changes")` streams the
+    * per-version CDC rows — log versions as offsets, one version per
+    * micro-batch (`maxVersionsPerTrigger=1`), Trigger.AvailableNow —
+    * into a parquet sink. The fourth commit lands AFTER the first
+    * drain; a second drain on the SAME checkpoint must resume from the
+    * committed version and emit exactly that commit's changes — a
+    * reprocessed version would double its counts and break the hash.
+    * The DuckDB oracle replays the whole mutation history relationally
+    * (pre-image deletes, post-image inserts, per-commit grouping).
+    */
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q84").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.balances"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+      .repartition(4)
+      .writeTo(t).append() // v1
+    spark.sql(s"UPDATE $t SET bal = bal * 2 WHERE seg = 'BUILDING'") // v2
+    spark.sql(s"DELETE FROM $t WHERE k % 7 = 0") // v3
+    val out = java.nio.file.Files.createTempDirectory("q84-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("q84-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table(s"${t}__changes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // v1..v3, one version per micro-batch
+    spark.sql(s"UPDATE $t SET bal = bal + 5 WHERE k % 10 = 1") // v4, post-drain
+    drain() // resume: ONLY v4
+    spark.read.parquet(out)
+      .groupBy(col("_commit_version").as("commit_v"),
+        col("_change_type").as("change_type"), $"seg")
+      .agg(count(lit(1)).as("n_rows"), sum($"bal").as("sum_bal"))
+      .orderBy($"commit_v", $"change_type", $"seg")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -533,6 +585,7 @@ object IngestQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
+    "q84_lake_feed" -> q84,
     "q85_lake_evolution" -> q85,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
@@ -555,6 +608,38 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q84_lake_feed" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |v1i AS (
+        |  SELECT CAST(1 AS BIGINT) AS commit_v, 'insert' AS change_type, seg, bal
+        |  FROM base),
+        |v2d AS (
+        |  SELECT CAST(2 AS BIGINT), 'delete', seg, bal
+        |  FROM base WHERE seg = 'BUILDING'),
+        |v2i AS (
+        |  SELECT CAST(2 AS BIGINT), 'insert', seg, bal * 2
+        |  FROM base WHERE seg = 'BUILDING'),
+        |s2 AS (
+        |  SELECT k, seg,
+        |    CASE WHEN seg = 'BUILDING' THEN bal * 2 ELSE bal END AS bal
+        |  FROM base),
+        |v3d AS (SELECT CAST(3 AS BIGINT), 'delete', seg, bal FROM s2 WHERE k % 7 = 0),
+        |s3 AS (SELECT * FROM s2 WHERE k % 7 <> 0),
+        |v4d AS (SELECT CAST(4 AS BIGINT), 'delete', seg, bal FROM s3 WHERE k % 10 = 1),
+        |v4i AS (SELECT CAST(4 AS BIGINT), 'insert', seg, bal + 5 FROM s3 WHERE k % 10 = 1),
+        |feed AS (
+        |  SELECT * FROM v1i UNION ALL SELECT * FROM v2d UNION ALL
+        |  SELECT * FROM v2i UNION ALL SELECT * FROM v3d UNION ALL
+        |  SELECT * FROM v4d UNION ALL SELECT * FROM v4i)
+        |SELECT commit_v, change_type, seg,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM feed
+        |GROUP BY commit_v, change_type, seg
+        |ORDER BY commit_v, change_type, seg""".stripMargin,
     "q85_lake_evolution" ->
       """WITH e1 AS (
         |  SELECT p_partkey AS pk, CAST(p_size AS BIGINT) AS psize,

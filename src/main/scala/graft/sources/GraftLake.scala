@@ -101,6 +101,16 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `<table>__changes` resolves to the CHANGE FEED companion of the
+    // base table (batch + streaming CDC over log versions) when no
+    // real table of that name exists
+    if (ident.name().endsWith(LakeChanges.Suffix)) {
+      val base = ident.name().stripSuffix(LakeChanges.Suffix)
+      val baseDir = tableDir(Identifier.of(ident.namespace(), base))
+      if (!Files.isDirectory(tableDir(ident).resolve("_log")) &&
+          LakeLog.currentSnapshot(baseDir).isDefined)
+        return new LakeChangesTable(baseDir, base)
+    }
     val dir = tableDir(ident)
     LakeLog.currentSnapshot(dir).map(new LakeTable(dir, _, None)).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
@@ -1715,6 +1725,19 @@ object LakeDv {
     positions.foreach(bb.putLong)
     Files.write(tableDir.resolve(rel), bb.array())
     rel
+  }
+
+  /** Sorted difference: positions of `a` absent from `b` (both sorted). */
+  def diff(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var i = 0
+    var j = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) out += a(i)
+      i += 1
+    }
+    out.result()
   }
 
   /** Sorted-merge union of an existing vector with new positions. */

@@ -1,0 +1,296 @@
+package graft.sources
+
+import java.nio.file.{Path, Paths}
+import java.util.OptionalLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The lake CHANGE FEED: `<table>__changes` is a read-only companion
+  * table whose rows are the row-level changes BETWEEN log versions —
+  * the `table_changes()` / CDF analog a versioned log gives for free.
+  *
+  * Feed schema = base table schema + `_change_type` STRING
+  * ('insert' | 'delete') + `_commit_version` BIGINT. Per version the
+  * diff of adjacent snapshots derives the changes:
+  *
+  *   - files ADDED → their rows as 'insert'
+  *   - a file's delete vector GROWN → the newly-deleted positions,
+  *     read back from the data file, as 'delete' (an UPDATE on a MOR
+  *     table therefore shows as delete-of-pre-image +
+  *     insert-of-post-image in one commit — CDC shape)
+  *   - files REMOVED with nothing added (metadata-only DELETE,
+  *     TRUNCATE) → their live rows as 'delete'
+  *   - a commit that both removes AND adds files (COW rewrite,
+  *     compaction) is a PHYSICAL rewrite whose logical change set is
+  *     not representable from the log alone: the scan fails unless
+  *     `skipChangeCommits=true`, which skips those versions (Delta's
+  *     streaming-read contract).
+  *
+  * Batch reads take `startingVersion`/`endingVersion` options.
+  * Streaming ([[LakeChangesStream]]) treats LOG VERSIONS as offsets:
+  * resume picks up from the committed version, `maxVersionsPerTrigger`
+  * bounds admission per micro-batch, and Trigger.AvailableNow pins the
+  * head at start ([[SupportsTriggerAvailableNow]]).
+  */
+class LakeChangesTable(dir: Path, baseName: String) extends Table with SupportsRead {
+
+  private val head: LakeSnapshot = LakeLog.currentSnapshot(dir).getOrElse(
+    throw new IllegalStateException(s"graftlake: $baseName has no committed version"))
+
+  /** Current-schema column ids, for per-file physical-name resolution. */
+  private val feedCols: Seq[(String, Long)] =
+    LakeColIds.cols(head.schema, head.props)
+
+  override def name(): String = s"graftlake.$baseName:changes"
+  override def schema(): StructType = head.schema
+    .add(StructField(LakeChanges.TypeColumn, StringType, nullable = false))
+    .add(StructField(LakeChanges.VersionColumn, LongType, nullable = false))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan =
+        new LakeChangesScan(dir, feedCols, required, options)
+    }
+}
+
+object LakeChanges {
+  val TypeColumn = "_change_type"
+  val VersionColumn = "_commit_version"
+  /** Table-name suffix that routes `loadTable` to the feed. */
+  val Suffix = "__changes"
+
+  /** Change partitions for ONE version transition `v-1 -> v`. */
+  def partitionsFor(dir: Path, feedCols: Seq[(String, Long)],
+      required: StructType, v: Long, skipChangeCommits: Boolean): Seq[LakeChangePartition] = {
+    val prev =
+      if (v == 0L) LakeSnapshot(-1L, StructType(Nil), Seq.empty)
+      else LakeLog.snapshotAt(dir, v - 1).getOrElse(throw new IllegalStateException(
+        s"graftlake change feed: version ${v - 1} pruned past retention"))
+    val cur = LakeLog.snapshotAt(dir, v).getOrElse(throw new IllegalStateException(
+      s"graftlake change feed: version $v pruned past retention"))
+    val prevByPath = prev.files.map(f => f.path -> f).toMap
+    val curByPath = cur.files.map(f => f.path -> f).toMap
+    val added = cur.files.filter(f => !prevByPath.contains(f.path))
+    val removed = prev.files.filter(f => !curByPath.contains(f.path))
+    if (added.nonEmpty && removed.nonEmpty) {
+      if (skipChangeCommits) return Seq.empty
+      throw new UnsupportedOperationException(
+        s"graftlake change feed: version $v rewrites files (COW/compaction) — " +
+          "its logical change set is not derivable from the log; " +
+          "set skipChangeCommits=true to skip such commits")
+    }
+    def rename(f: LakeFile): Map[String, String] =
+      required.fieldNames.iterator
+        .filter(n => n != TypeColumn && n != VersionColumn)
+        .flatMap(n => LakeColIds.physicalName(feedCols, f, n).map(n -> _))
+        .toMap
+    def dvOf(f: LakeFile): Array[Long] =
+      f.dv.map(LakeDv.read(dir, _)).getOrElse(Array.emptyLongArray)
+    val inserts = added.map(f => LakeChangePartition(
+      dir.toString, f.path, f.rows, rename(f), "insert", v,
+      include = None, exclude = dvOf(f)))
+    val dvDeletes = cur.files.flatMap { f =>
+      prevByPath.get(f.path) match {
+        case Some(pf) if pf.dv != f.dv =>
+          val newPos = LakeDv.diff(dvOf(f), dvOf(pf))
+          if (newPos.isEmpty) None
+          else Some(LakeChangePartition(dir.toString, f.path, f.rows,
+            rename(f), "delete", v, include = Some(newPos), exclude = Array.emptyLongArray))
+        case _ => None
+      }
+    }
+    val dropDeletes = removed.map(f => LakeChangePartition(
+      dir.toString, f.path, f.rows, rename(f), "delete", v,
+      include = None, exclude = dvOf(f)))
+    inserts ++ dvDeletes ++ dropDeletes
+  }
+}
+
+/** Batch half: all changes in `[startingVersion, endingVersion]`. */
+class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
+    required: StructType, options: CaseInsensitiveStringMap)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private def opt(k: String, dflt: Long): Long =
+    Option(options.get(k)).map(_.toLong).getOrElse(dflt)
+  private val skipChangeCommits: Boolean =
+    Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+
+  override def readSchema(): StructType = required
+  override def description(): String = s"graftlake-changes [${required.fieldNames.mkString(",")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val head = LakeLog.currentVersion(dir).getOrElse(-1L)
+    val from = opt("startingVersion", 1L)
+    val to = math.min(opt("endingVersion", head), head)
+    (from to to).flatMap(v =>
+      LakeChanges.partitionsFor(dir, feedCols, required, v, skipChangeCommits))
+      .map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LakeChangesReaderFactory(required.fields.map(f => f.name -> f.dataType))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeChangesStream(dir, feedCols, required,
+      startingVersion = opt("startingVersion", 1L),
+      maxVersionsPerTrigger = opt("maxVersionsPerTrigger", Long.MaxValue),
+      skipChangeCommits = skipChangeCommits)
+}
+
+/** Streaming half: offsets are LOG VERSIONS; a batch (start, end]
+  * carries the change partitions of each version in the range.
+  */
+class LakeChangesStream(dir: Path, feedCols: Seq[(String, Long)],
+    required: StructType, startingVersion: Long, maxVersionsPerTrigger: Long,
+    skipChangeCommits: Boolean)
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  @volatile private var preparedHead: Option[Long] = None
+
+  private def head: Long = LakeLog.currentVersion(dir).getOrElse(-1L)
+
+  override def initialOffset(): Offset = LakeVersionOffset(startingVersion - 1)
+
+  override def prepareForTriggerAvailableNow(): Unit = preparedHead = Some(head)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val bound = preparedHead.getOrElse(head)
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    LakeVersionOffset(math.min(bound, s + maxVersionsPerTrigger))
+  }
+
+  override def reportLatestOffset(): Offset = LakeVersionOffset(head)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    val e = end.asInstanceOf[LakeVersionOffset].version
+    ((s + 1) to e).flatMap(v =>
+      LakeChanges.partitionsFor(dir, feedCols, required, v, skipChangeCommits))
+      .map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LakeChangesReaderFactory(required.fields.map(f => f.name -> f.dataType))
+
+  override def deserializeOffset(json: String): Offset =
+    LakeVersionOffset(LakeVersionOffset.parse(json))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class LakeVersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object LakeVersionOffset {
+  private val Re = """\{"version":(-?\d+)\}""".r
+  def parse(json: String): Long = json.trim match {
+    case Re(v) => v.toLong
+    case other => throw new IllegalArgumentException(s"bad lake offset: $other")
+  }
+}
+
+/** One change partition: the rows of ONE data file contributing to ONE
+  * version's change set. `include` = exact positions to emit (dv-growth
+  * deletes); otherwise every position except `exclude` (inserts, and
+  * whole-file deletes minus the pre-existing vector).
+  */
+case class LakeChangePartition(tableDir: String, path: String, rows: Long,
+    rename: Map[String, String], changeType: String, version: Long,
+    include: Option[Array[Long]], exclude: Array[Long]) extends InputPartition
+
+case class LakeChangesReaderFactory(
+    required: Array[(String, DataType)]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LakeChangePartition]
+    val codes = {
+      var pi = 0
+      required.map { case (n, _) =>
+        if (n == LakeChanges.TypeColumn) -1
+        else if (n == LakeChanges.VersionColumn) -2
+        else if (!p.rename.contains(n)) -3
+        else { val i = pi; pi += 1; i }
+      }
+    }
+    val physical = required.collect {
+      case (n, _) if p.rename.contains(n) => p.rename(n) }
+    val reader =
+      if (physical.isEmpty) null
+      else LakeParquet.openVectorized(
+        Paths.get(p.tableDir).resolve(p.path), physical.toSeq)
+    val typeValue = UTF8String.fromString(p.changeType)
+    val include = p.include.map { a => java.util.Arrays.sort(a); a }
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      private var cursor = 0
+      private def emit(i: Long): Boolean = include match {
+        case Some(inc) =>
+          while (cursor < inc.length && inc(cursor) < i) cursor += 1
+          cursor < inc.length && inc(cursor) == i
+        case None =>
+          while (cursor < p.exclude.length && p.exclude(cursor) < i) cursor += 1
+          !(cursor < p.exclude.length && p.exclude(cursor) == i)
+      }
+      override def next(): Boolean =
+        if (reader == null) {
+          pos += 1
+          while (pos < p.rows && !emit(pos)) pos += 1
+          pos < p.rows
+        } else {
+          var more = reader.nextKeyValue()
+          while (more) {
+            pos += 1
+            if (emit(pos)) return true
+            more = reader.nextKeyValue()
+          }
+          false
+        }
+      override def get(): InternalRow = {
+        val src =
+          if (reader == null) null
+          else reader.getCurrentValue.asInstanceOf[InternalRow]
+        val vals = new Array[Any](required.length)
+        var c = 0
+        while (c < required.length) {
+          val code = codes(c)
+          vals(c) =
+            if (code == -1) typeValue
+            else if (code == -2) p.version
+            else if (code == -3) null
+            else if (src.isNullAt(code)) null
+            else src.get(code, required(c)._2)
+          c += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+}

@@ -725,6 +725,63 @@ class GraftLakeSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"ALTER TABLE lake.db.$t RENAME COLUMN v TO w"))
   }
 
+  test("change feed: __changes derives per-version CDC; stream resumes from the committed version") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_feed (id BIGINT, v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    spark.range(0, 50).select($"id", ($"id" * 10L).as("v"), lit("a").as("s"))
+      .coalesce(1).writeTo("lake.db.t_feed").append() // v1
+    spark.sql("UPDATE lake.db.t_feed SET v = -1 WHERE id % 10 = 0") // v2: 5 del + 5 ins
+    spark.sql("DELETE FROM lake.db.t_feed WHERE id >= 40") // v3: dv deletes on 2 files
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(4), r.getString(3), r.getLong(0), r.getLong(1))
+    val batchFeed = spark.read.table("lake.db.t_feed__changes")
+      .select($"id", $"v", $"s", col("_change_type"), col("_commit_version"))
+    val rowsAll = batchFeed.collect().map(key).sorted.toSeq
+    val v1 = (0L until 50L).map(i => (1L, "insert", i, i * 10L))
+    val v2 = (0L until 50L by 10L).flatMap(i =>
+      Seq((2L, "delete", i, i * 10L), (2L, "insert", i, -1L)))
+    val v3 = ((41L until 50L).map(i => (3L, "delete", i, i * 10L)) :+
+      ((3L, "delete", 40L, -1L)))
+    assert(rowsAll == (v1 ++ v2 ++ v3).sorted,
+      s"batch change feed must replay the exact mutation history")
+    // STREAM the feed: one version per micro-batch, AvailableNow drains
+    val out = Files.createTempDirectory("feed-out").toString
+    val ckpt = Files.createTempDirectory("feed-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table("lake.db.t_feed__changes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val streamed1 = spark.read.parquet(out)
+      .select($"id", $"v", $"s", col("_change_type"), col("_commit_version"))
+      .collect().map(key).sorted.toSeq
+    assert(streamed1 == rowsAll, "streamed feed must equal the batch feed")
+    // a new commit, then RESUME from the same checkpoint: only v4 lands
+    spark.sql("UPDATE lake.db.t_feed SET v = 777 WHERE id = 7") // v4
+    drain()
+    val streamed2 = spark.read.parquet(out).collect()
+    assert(streamed2.length == rowsAll.size + 2,
+      s"resume must process ONLY the new version (delete+insert), " +
+        s"got ${streamed2.length} vs ${rowsAll.size} + 2")
+    // COW rewrites are not representable: fail hard unless skipped
+    val t2 = seeded("t_feedcow")
+    spark.sql(s"UPDATE lake.db.$t2 SET v = 0 WHERE s = 'f1'") // COW rewrite
+    val err = intercept[Exception](
+      spark.read.table(s"lake.db.${t2}__changes").collect())
+    assert(err.getMessage.contains("skipChangeCommits"), err.getMessage)
+    val skipped = spark.read.option("skipChangeCommits", "true")
+      .table(s"lake.db.${t2}__changes")
+    assert(skipped.where(col("_commit_version") <= 4).count() == 100L,
+      "with skipChangeCommits the appends still stream, rewrites skip")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
