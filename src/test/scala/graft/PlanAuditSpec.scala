@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "h04_kmv_setops", // 1-row count/max-hash scalar frames crossed into the summary row
     "g06_kcore", // planted-graph build: 24-row rank frame self-joined on rank arithmetic
     "c18_negative_pairs", // 1-row corpus count crossed onto the rank ring
-    "q82_lake_lifecycle" // four 1-row time-travel count(*) frames crossed onto the 4-segment aggregate
+    "q82_lake_lifecycle", // four 1-row time-travel count(*) frames crossed onto the 4-segment aggregate
+    "q85_lake_evolution" // one 1-row pre-evolution count(*) frame crossed onto the 5-bucket aggregate
   )
 
   test("no query plans a cartesian product; nested-loop only for 1-row scalars") {
