@@ -583,10 +583,46 @@ object IngestQueries {
       .orderBy($"bucket")
   }
 
+  /** q86 — `CALL system.zorder` as a correctness row: a lake table of
+    * order facts is rewritten in 2-dim Morton order (o_custkey ×
+    * o_orderkey, quantized per [[graft.operators.Layout]]) and a
+    * 2-dim range aggregate reads the CLUSTERED table. The DuckDB
+    * oracle computes the same aggregate from raw `orders` — hash
+    * equality states the clustering rewrite lost and duplicated
+    * nothing at SF scale (the pruning effect itself is pinned by
+    * GraftLakeSpec's planned-file census; layout must be invisible to
+    * semantics). Range bounds derive from 1-row max aggregates so the
+    * row works at any SF.
+    */
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q86").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.orderfacts"
+    spark.sql(s"CREATE TABLE $t (ck BIGINT, ok BIGINT, cents BIGINT)")
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey".as("ck"), $"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .repartition(4)
+      .writeTo(t).append()
+    spark.sql(s"CALL $cat.system.zorder('db.orderfacts', 'ck', 'ok', 6)")
+    val bounds = broadcast(spark.table(t)
+      .agg(expr("max(ck) div 2").as("ckh"), expr("max(ok) div 2").as("okh")))
+    spark.table(t).crossJoin(bounds)
+      .filter($"ck" <= $"ckh" && $"ok" <= $"okh")
+      .groupBy(($"ck" % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sum_cents"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
     "q84_lake_feed" -> q84,
     "q85_lake_evolution" -> q85,
+    "q86_lake_zorder" -> q86,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -608,6 +644,18 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q86_lake_zorder" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT max(ck) // 2 AS ckh, max(ok) // 2 AS okh FROM o)
+        |SELECT ck % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o CROSS JOIN b
+        |WHERE ck <= ckh AND ok <= okh
+        |GROUP BY ck % 8
+        |ORDER BY bucket""".stripMargin,
     "q84_lake_feed" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS seg,

@@ -126,6 +126,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
   }
 
+  /** TIME TRAVEL by wall clock: `TIMESTAMP AS OF t` (micros per the
+    * TableCatalog contract) resolves to the newest version committed
+    * at or before `t` — each delta records its commit time.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    val tsMs = Math.floorDiv(timestamp, 1000L)
+    LakeLog.versionAtTime(dir, tsMs)
+      .flatMap(v => LakeLog.snapshotAt(dir, v).map(new LakeTable(dir, _, Some(v))))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -637,6 +649,7 @@ object LakeLog {
 
     val root = mapper.createObjectNode()
     root.put("version", snapshot.version)
+    root.put("ts", System.currentTimeMillis()) // TIMESTAMP AS OF anchor
     root.put("schema", snapshot.schema.json)
     val pr = root.putObject("props")
     snapshot.props.foreach { case (k, v) => pr.put(k, v) }
@@ -668,6 +681,23 @@ object LakeLog {
     publish(dir, checkpointFile(dir, snapshot.version), root)
     ()
   }
+
+  /** Wall-clock commit time of version `v` (None once pruned). */
+  def commitTimeMs(dir: Path, v: Long): Option[Long] = {
+    val f = versionFile(dir, v)
+    if (!Files.isRegularFile(f)) None
+    else Option(mapper.readTree(Files.readAllBytes(f)).get("ts")).map(_.asLong())
+  }
+
+  /** The newest version committed at or before `tsMs` — the
+    * `TIMESTAMP AS OF` resolution rule. Versions whose delta was
+    * vacuumed carry no timestamp and cannot be selected (time travel
+    * contracts to the retention window, same as version travel).
+    */
+  def versionAtTime(dir: Path, tsMs: Long): Option[Long] =
+    listLog(dir, "v")
+      .filter(v => commitTimeMs(dir, v).exists(_ <= tsMs))
+      .maxOption
 
   /** Delete log records (deltas AND checkpoints) below `floor`;
     * returns the number of VERSION files removed. The caller must have
@@ -1460,6 +1490,18 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
     }
 }
 
+/** Routes a ((bucket, z), row) pair to partition = bucket — the
+  * deterministic z-space split under `system.zorder` (top-level case
+  * class: ships to executors with no procedure outers).
+  */
+case class LakeBucketPartitioner(parts: Int) extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = parts
+  override def getPartition(key: Any): Int = key match {
+    case (zb: Long, _) => math.min(parts - 1, math.max(0, zb.toInt))
+    case other => throw new IllegalArgumentException(s"unexpected key $other")
+  }
+}
+
 /** Maintenance STORED PROCEDURES (`CALL <cat>.system.<proc>(...)`) —
   * the ops surface a table format needs beside queries, on Spark 4's
   * DSv2 procedure API:
@@ -1482,7 +1524,7 @@ object LakeProcedures {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
   import org.apache.spark.sql.connector.read.LocalScan
 
-  val Names: Array[String] = Array("compact", "vacuum", "history")
+  val Names: Array[String] = Array("compact", "zorder", "vacuum", "history")
 
   private def out(schema0: StructType, rows0: Seq[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
@@ -1493,6 +1535,44 @@ object LakeProcedures {
 
   private def resolve(warehouse: Path, tableRef: String): Path =
     tableRef.split('.').foldLeft(warehouse)(_.resolve(_))
+
+  /** Shared rewrite-and-swap: run `arranged` (some re-arrangement of
+    * the live rows of `snap`) through the normal task-side writers,
+    * then atomically swap the snapshot's files for the new set —
+    * readers never see doubled or missing rows, and appends landing
+    * mid-rewrite survive (only the files the rewrite READ are
+    * swapped; a concurrent change to them aborts).
+    */
+  private def swapRewrite(dir: Path, snap: LakeSnapshot,
+      rows: org.apache.spark.rdd.RDD[InternalRow],
+      writeSchema: StructType): Seq[LakeFile] = {
+    val dirStr = dir.toString
+    val cols = snap.schema.fieldNames
+    val written = rows
+      .mapPartitionsWithIndex { (pid, it) =>
+        val w = LakeWriterFactory(dirStr, writeSchema, cols).createWriter(pid, 0L)
+        it.foreach(w.write)
+        Iterator(w.commit())
+      }.collect().toSeq
+      .collect { case m: LakeFileMessage if m.path.nonEmpty =>
+        LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
+          cols = LakeColIds.cols(snap.schema, snap.props)) }
+    val replaced = snap.files.map(_.path).toSet
+    var done = false
+    while (!done) {
+      val cur = LakeLog.currentSnapshot(dir).get
+      require(replaced.subsetOf(cur.files.map(_.path).toSet),
+        "concurrent rewrite invalidated this rewrite's snapshot")
+      done = LakeLog.commit(dir, cur.version,
+        cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written))
+    }
+    written
+  }
+
+  private val rewriteResultSchema = StructType(Seq(
+    StructField("files_before", IntegerType, nullable = false),
+    StructField("files_after", IntegerType, nullable = false),
+    StructField("rows_rewritten", LongType, nullable = false)))
 
   def load(name: String, catName: String, warehouse: Path): UnboundProcedure =
     name match {
@@ -1513,34 +1593,104 @@ object LakeProcedures {
             val spark = org.apache.spark.sql.SparkSession.active
             val snap = LakeLog.currentSnapshot(dir).get
             val fqn = s"$catName.${input.getUTF8String(0)}"
-            val dirStr = dir.toString
-            val schema = snap.schema
-            val cols = schema.fieldNames
             // distributed rewrite: plain table read → repartition →
-            // the SAME task-side writers the write path uses
-            val written = spark.table(fqn).repartition(target)
-              .queryExecution.toRdd
-              .mapPartitionsWithIndex { (pid, it) =>
-                val w = LakeWriterFactory(dirStr, schema, cols).createWriter(pid, 0L)
-                it.foreach(w.write)
-                Iterator(w.commit())
-              }.collect().toSeq
-              .collect { case m: LakeFileMessage if m.path.nonEmpty =>
-                LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
-                  cols = LakeColIds.cols(snap.schema, snap.props)) }
-            val replaced = snap.files.map(_.path).toSet
-            var done = false
-            while (!done) {
-              val cur = LakeLog.currentSnapshot(dir).get
-              require(replaced.subsetOf(cur.files.map(_.path).toSet),
-                "concurrent rewrite invalidated the compaction's snapshot")
-              done = LakeLog.commit(dir, cur.version,
-                cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written))
+            // the SAME task-side writers the write path uses. A table
+            // with a DECLARED layout keeps it: compaction re-clusters
+            // by `clusterBy` and re-sorts within partitions by
+            // `sortBy` — the write path forces this distribution on
+            // every append/COW, and a maintenance rewrite silently
+            // degrading it would un-tighten the very stats metadata
+            // deletes and skipping depend on.
+            import org.apache.spark.sql.functions.{col => fcol}
+            val base = spark.table(fqn)
+            val arranged = (snap.props.get("clusterBy"), snap.props.get("sortBy")) match {
+              case (Some(c), Some(s)) =>
+                base.repartition(target, fcol(c)).sortWithinPartitions(fcol(s))
+              case (Some(c), None) => base.repartition(target, fcol(c))
+              case (None, Some(s)) =>
+                base.repartition(target).sortWithinPartitions(fcol(s))
+              case _ => base.repartition(target)
             }
-            out(StructType(Seq(
-              StructField("files_before", IntegerType, nullable = false),
-              StructField("files_after", IntegerType, nullable = false),
-              StructField("rows_rewritten", LongType, nullable = false))),
+            val written = swapRewrite(dir, snap,
+              arranged.queryExecution.toRdd, snap.schema)
+            out(rewriteResultSchema,
+              Seq(new GenericInternalRow(Array[Any](
+                snap.files.size, written.size, written.map(_.rows).sum))))
+          }
+        }
+      }
+
+      /** Multi-dimensional CLUSTERING: rewrite the live rows in Morton
+        * (z-curve) order of two integral columns, quantized onto the
+        * full 16-bit space from their observed domain
+        * ([[graft.operators.Layout]] — the same interleave the layout
+        * queries z01–z03 verify against DuckDB). Each output file then
+        * advertises a NARROW rectangle in BOTH dimensions in its
+        * footer stats, so 2-dim range predicates skip files the way a
+        * 1-dim sort only allows for its own column. Content-neutral by
+        * construction — the same swap commit as compaction.
+        */
+      case "zorder" => new UnboundProcedure {
+        override def name(): String = "zorder"
+        override def description(): String =
+          "zorder(table STRING, col_x STRING, col_y STRING, target_files INT): " +
+            "rewrite live files in z-order of two integral columns"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "zorder"
+          override def description(): String = "graftlake z-order clustering"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("col_x", StringType).build(),
+            ProcedureParameter.in("col_y", StringType).build(),
+            ProcedureParameter.in("target_files", IntegerType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val cx = input.getUTF8String(1).toString
+            val cy = input.getUTF8String(2).toString
+            val target = math.max(1, input.getInt(3))
+            val spark = org.apache.spark.sql.SparkSession.active
+            val snap = LakeLog.currentSnapshot(dir).get
+            Seq(cx, cy).foreach { c =>
+              val f = snap.schema(snap.schema.fieldIndex(c))
+              require(f.dataType == LongType || f.dataType == IntegerType,
+                s"zorder column $c must be integral, got ${f.dataType.simpleString}")
+            }
+            val fqn = s"$catName.${input.getUTF8String(0)}"
+            import org.apache.spark.sql.functions.{broadcast, col => fcol, max => fmax, min => fmin}
+            val base = spark.table(fqn)
+            // observed per-dim domain as a 1-row broadcast (no collect),
+            // exact-integer quantization onto 16 bits, interleave, then
+            // range-partition + in-task sort by the z value; the helper
+            // column is projected away before the writers see rows
+            val dom = base.agg(
+              fmin(fcol(cx)).cast("long").as("__xlo"), fmax(fcol(cx)).cast("long").as("__xhi"),
+              fmin(fcol(cy)).cast("long").as("__ylo"), fmax(fcol(cy)).cast("long").as("__yhi"))
+            val z = graft.operators.Layout.zValue(
+              graft.operators.Layout.quantize16(
+                fcol(cx).cast("long"), fcol("__xlo"), fcol("__xhi")),
+              graft.operators.Layout.quantize16(
+                fcol(cy).cast("long"), fcol("__ylo"), fcol("__yhi")))
+            // fixed z-space splits, routed by an EXPLICIT partitioner:
+            // file f holds exactly curve range [f, f+1)·2^32/target —
+            // deterministic boundaries (repartitionByRange's sampler
+            // would wobble them run-to-run, splitting or merging
+            // buckets), with an in-partition sort by the full z value.
+            // The helper columns ride ahead of the table columns and
+            // the writers' `keep` projection drops them.
+            import org.apache.spark.sql.functions.{expr => fexpr}
+            val projected = base.crossJoin(broadcast(dom))
+              .withColumn("__z", z)
+              .withColumn("__zb", fexpr(s"__z * $target div ${1L << 32}"))
+              .select((Seq("__zb", "__z") ++ snap.schema.fieldNames)
+                .map(fcol(_)).toIndexedSeq: _*)
+            val writeSchema = projected.schema
+            val rdd = projected.queryExecution.toRdd
+              .mapPartitions(_.map(r => ((r.getLong(0), r.getLong(1)), r.copy())))
+              .repartitionAndSortWithinPartitions(new LakeBucketPartitioner(target))
+              .map(_._2: InternalRow)
+            val written = swapRewrite(dir, snap, rdd, writeSchema)
+            out(rewriteResultSchema,
               Seq(new GenericInternalRow(Array[Any](
                 snap.files.size, written.size, written.map(_.rows).sum))))
           }

@@ -782,6 +782,91 @@ class GraftLakeSpec extends AnyFunSuite {
       "with skipChangeCommits the appends still stream, rewrites skip")
   }
 
+  test("compaction preserves the declared clusterBy/sortBy layout") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_complayout (id BIGINT, cat BIGINT, s STRING)
+        |TBLPROPERTIES ('clusterBy' = 'cat', 'sortBy' = 'id')""".stripMargin)
+    spark.range(0, 400)
+      .select((lit(399L) - $"id").as("id"), ($"id" % 5).as("cat"),
+        concat(lit("r"), $"id").as("s"))
+      .repartition(7)
+      .writeTo("lake.db.t_complayout").append()
+    val before = spark.table("lake.db.t_complayout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    spark.sql("CALL lake.system.compact('db.t_complayout', 3)")
+    // every cluster key still lands wholly in ONE file...
+    val perCat = spark.table("lake.db.t_complayout")
+      .select($"cat", col("_file"))
+      .groupBy($"cat").agg(countDistinct(col("_file")).as("nf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perCat.size == 5 && perCat.values.forall(_ == 1L),
+      s"compaction must re-cluster, got $perCat")
+    // ...rows stay id-sorted within each compacted file...
+    spark.table("lake.db.t_complayout")
+      .select(col("_file"), $"id").collect()
+      .groupBy(_.getString(0)).values.foreach { rows =>
+        val ids = rows.map(_.getLong(1)).toSeq
+        assert(ids == ids.sorted, "compacted files must keep the sortBy order")
+      }
+    // ...and not a row moved
+    assert(spark.table("lake.db.t_complayout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq == before)
+  }
+
+  test("TIMESTAMP AS OF resolves the newest commit at or before the instant") {
+    val t = seeded("t_tstravel") // v0..v4, each a separate job
+    val dir = tableDir(t)
+    def cnt(expr: String): Long =
+      spark.sql(s"SELECT count(*) FROM lake.db.$t TIMESTAMP AS OF $expr")
+        .head().getLong(0)
+    val ts2 = LakeLog.commitTimeMs(dir, 2L).get
+    assert(cnt(s"timestamp_millis(${ts2})") == 50L,
+      "the exact commit instant selects that commit")
+    val ts4 = LakeLog.commitTimeMs(dir, 4L).get
+    assert(cnt(s"timestamp_millis(${ts4 + 60000})") == 100L,
+      "an instant after the head selects the head")
+    val ts3 = LakeLog.commitTimeMs(dir, 3L).get
+    if (ts3 > ts2) // mid-gap instants resolve DOWN to the older commit
+      assert(cnt(s"timestamp_millis(${ts3 - 1})") == 50L)
+    val ts0 = LakeLog.commitTimeMs(dir, 0L).get
+    intercept[Exception](cnt(s"timestamp_millis(${ts0 - 60000})"))
+  }
+
+  test("CALL system.zorder: both dims' file stats tighten; content identical") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_zorder (x BIGINT, y BIGINT, v BIGINT)")
+    // row-major grid: the initial files are y-slabs, so every file
+    // spans the FULL x domain — an x predicate can skip nothing
+    spark.range(0, 4096)
+      .select(($"id" % 64).as("x"), ($"id" / 64).as("y"), $"id".as("v"))
+      .coalesce(4)
+      .writeTo("lake.db.t_zorder").append()
+    val before = spark.table("lake.db.t_zorder")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      val desc = df.queryExecution.executedPlan.toString
+      """files=(\d+)/""".r.findFirstMatchIn(desc).get.group(1).toInt
+    }
+    assert(plannedFiles(spark.table("lake.db.t_zorder").filter($"x" < 32)) == 4,
+      "pre-zorder, x stats are file-wide: an x predicate skips nothing")
+    val res = spark.sql("CALL lake.system.zorder('db.t_zorder', 'x', 'y', 4)")
+      .collect().head
+    assert(res.getInt(0) == 4 && res.getInt(1) == 4 && res.getLong(2) == 4096L)
+    // content-neutral rewrite
+    assert(spark.table("lake.db.t_zorder")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq == before)
+    // a 2-dim range now prunes: with 4 files the deterministic curve
+    // split makes each file exactly one quadrant — the quadrant query
+    // reads ONE file
+    val quadrant = spark.table("lake.db.t_zorder").filter($"x" < 32 && $"y" < 32)
+    assert(plannedFiles(quadrant) == 1,
+      s"z-order must tighten BOTH dims:\n${quadrant.queryExecution.executedPlan}")
+    assert(quadrant.count() == 1024L)
+    // single-dim ranges prune too (each quadrant file is x- AND y-narrow)
+    assert(plannedFiles(spark.table("lake.db.t_zorder").filter($"x" >= 48)) == 2)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
