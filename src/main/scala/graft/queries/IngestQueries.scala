@@ -618,8 +618,50 @@ object IngestQueries {
       .orderBy($"bucket")
   }
 
+  /** q87 — PARTITIONED lake table lifecycle
+    * ([[graft.sources.LakePartitioning]]): `PARTITIONED BY (seg)` so
+    * every data file holds exactly one segment (the write path's
+    * required clustering re-shuffles the 4-way repartitioned input),
+    * then the three partition-level operations a warehouse runs daily:
+    * a DYNAMIC partition overwrite (BUILDING recomputed with doubled
+    * balances — only the touched partition replaces), a STATIC
+    * predicate overwrite (MACHINERY swapped for a 100-row summary
+    * slice), and a whole-partition DELETE (FURNITURE — metadata-only,
+    * the tuple decides the string predicate exactly). The DuckDB
+    * oracle replays all three relationally; the per-segment aggregate
+    * hash-checks that partition replacement touched exactly the named
+    * segments and nothing else.
+    */
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q87").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.accounts"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT) PARTITIONED BY (seg)")
+    def base = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+    base.repartition(4).writeTo(t).append() // v1: one file per segment
+    // v2: DYNAMIC overwrite — recompute ONE segment, doubled
+    base.filter($"seg" === "BUILDING")
+      .select($"k", $"seg", ($"bal" * 2L).as("bal"))
+      .writeTo(t).overwritePartitions()
+    // v3: STATIC overwrite — swap MACHINERY for its top-100 by key
+    base.filter($"seg" === "MACHINERY").orderBy($"k").limit(100)
+      .writeTo(t).overwrite($"seg" === "MACHINERY")
+    // v4: whole-partition delete, metadata-only
+    spark.sql(s"DELETE FROM $t WHERE seg = 'FURNITURE'")
+    spark.table(t).groupBy($"seg")
+      .agg(count(lit(1)).as("n_rows"), sum($"bal").as("sum_bal"))
+      .orderBy($"seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
+    "q87_lake_partitioned" -> q87,
     "q84_lake_feed" -> q84,
     "q85_lake_evolution" -> q85,
     "q86_lake_zorder" -> q86,
@@ -644,6 +686,26 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q87_lake_partitioned" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |building AS (
+        |  SELECT k, seg, bal * 2 AS bal FROM base WHERE seg = 'BUILDING'),
+        |machinery AS (
+        |  SELECT k, seg, bal FROM base WHERE seg = 'MACHINERY'
+        |  ORDER BY k LIMIT 100),
+        |final AS (
+        |  SELECT * FROM base
+        |  WHERE seg NOT IN ('BUILDING', 'MACHINERY', 'FURNITURE')
+        |  UNION ALL SELECT * FROM building
+        |  UNION ALL SELECT * FROM machinery)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM final
+        |GROUP BY seg
+        |ORDER BY seg""".stripMargin,
     "q86_lake_zorder" ->
       """WITH o AS (
         |  SELECT o_custkey AS ck, o_orderkey AS ok,

@@ -143,7 +143,6 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "graftlake does not support partition transforms")
     schema.fields.foreach { f =>
       require(LakeCodec.supported(f.dataType),
         s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
@@ -156,13 +155,34 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
     keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
       s"graftlake mode must be 'cow' or 'mor', got '$m'"))
+    val partProps = partitionProps(schema, partitions)
     val dir = tableDir(ident)
     if (LakeLog.currentSnapshot(dir).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     Files.createDirectories(dir.resolve("data"))
-    val s0 = LakeSnapshot(0L, schema, Seq.empty, keep ++ LakeColIds.freshProps(schema))
+    val s0 = LakeSnapshot(0L, schema, Seq.empty,
+      keep ++ partProps ++ LakeColIds.freshProps(schema))
     LakeLog.commit(dir, expectedVersion = -1L, s0)
     new LakeTable(dir, s0, None)
+  }
+
+  /** Validate + encode `PARTITIONED BY` transforms (identity/bucket).
+    * Identity partitions on DOUBLE are rejected: the partition tuple is
+    * the value's STRING form and pruning compares it against literal
+    * strings — exact for integral/string/boolean, ambiguous for
+    * floating point.
+    */
+  private def partitionProps(schema: StructType,
+      partitions: Array[Transform]): Map[String, String] = {
+    val fields = LakePartitioning.fromTransforms(schema, partitions)
+    fields.foreach {
+      case LakePartitioning.Identity(c) =>
+        require(schema(schema.fieldIndex(c)).dataType != DoubleType,
+          s"graftlake: identity partition on DOUBLE column $c not supported")
+      case _ => ()
+    }
+    if (fields.isEmpty) Map.empty
+    else Map(LakePartitioning.PropKey -> LakePartitioning.encode(fields))
   }
 
   /** Atomic CTAS / RTAS ([[StagingTableCatalog]]): the staged write
@@ -196,7 +216,6 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   private def staged(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String],
       replace: Boolean, orCreate: Boolean): StagedTable = {
-    require(partitions.isEmpty, "graftlake does not support partition transforms")
     schema.fields.foreach { f =>
       require(LakeCodec.supported(f.dataType),
         s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
@@ -208,7 +227,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
     keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
       s"graftlake mode must be 'cow' or 'mor', got '$m'"))
-    new GraftStagedTable(tableDir(ident), ident, schema, keep, replace, orCreate)
+    new GraftStagedTable(tableDir(ident), ident, schema,
+      keep ++ partitionProps(schema, partitions), replace, orCreate)
   }
 
   /** SCHEMA EVOLUTION: add / rename / drop top-level columns as a pure
@@ -260,6 +280,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           props = props.map {
             case (k, v) if (k == "clusterBy" || k == "sortBy") && v == from =>
               k -> ren.newName
+            case (LakePartitioning.PropKey, spec) =>
+              LakePartitioning.PropKey -> LakePartitioning.encode(
+                LakePartitioning.decode(Map(LakePartitioning.PropKey -> spec)).map {
+                  case LakePartitioning.Identity(`from`) =>
+                    LakePartitioning.Identity(ren.newName)
+                  case LakePartitioning.Bucket(`from`, n) =>
+                    LakePartitioning.Bucket(ren.newName, n)
+                  case other => other
+                })
             case kv => kv
           }
         case del: TableChange.DeleteColumn =>
@@ -270,6 +299,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           require(!props.get("clusterBy").contains(name) &&
             !props.get("sortBy").contains(name),
             s"graftlake: cannot drop layout column $name")
+          require(!LakePartitioning.decode(props).exists(_.col == name),
+            s"graftlake: cannot drop partition column $name")
           require(schema.length > 1, "graftlake: cannot drop the last column")
           schema = StructType(schema.fields.patch(i, Nil, 1))
           ids = ids.patch(i, Nil, 1)
@@ -436,7 +467,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
 case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     epoch: Option[Long] = None, dv: Option[String] = None, dvRows: Long = 0L,
     nulls: Map[String, Long] = Map.empty, query: Option[String] = None,
-    cols: Seq[(String, Long)] = Seq.empty) {
+    cols: Seq[(String, Long)] = Seq.empty,
+    part: Seq[Option[String]] = Seq.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -557,6 +589,13 @@ object LakeLog {
         val pair = co.addArray(); pair.add(n); pair.add(id)
       }
     }
+    if (f.part.nonEmpty) {
+      val pa = fn.putArray("part")
+      f.part.foreach {
+        case Some(v) => pa.add(v)
+        case None => pa.addNull()
+      }
+    }
   }
 
   private def readEntries(root: JsonNode, field: String): Seq[LakeFile] =
@@ -569,13 +608,17 @@ object LakeLog {
       val cols = Option(fn.get("cols")).map(_.elements().asScala
         .map(p => (p.get(0).asText(), p.get(1).asLong())).toSeq)
         .getOrElse(Seq.empty[(String, Long)])
+      val part = Option(fn.get("part")).map(_.elements().asScala
+        .map(v => if (v.isNull) None else Some(v.asText())).toSeq)
+        .getOrElse(Seq.empty[Option[String]])
       LakeFile(fn.get("path").asText(), fn.get("rows").asLong, stats,
         Option(fn.get("epoch")).map(_.asLong),
         Option(fn.get("dv")).map(_.asText()),
         Option(fn.get("dvRows")).map(_.asLong).getOrElse(0L),
         nulls,
         Option(fn.get("query")).map(_.asText()),
-        cols)
+        cols,
+        part)
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -756,9 +799,12 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     s"graftlake.${dir.getFileName}" + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = snapshot.schema
   override def properties(): java.util.Map[String, String] = snapshot.props.asJava
+  override def partitioning(): Array[Transform] =
+    LakePartitioning.toTransforms(LakePartitioning.decode(snapshot.props))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
@@ -793,7 +839,8 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
     snapshot.files.forall(f =>
       LakeStats.decide(f, predicates,
-        LakeColIds.physicalName(cols, f, _)) != LakeStats.Mixed)
+        LakeColIds.physicalName(cols, f, _),
+        LakePartitioning.resolver(snapshot.props, f)) != LakeStats.Mixed)
   }
 
   override def deleteWhere(predicates: Array[VPredicate]): Unit = {
@@ -802,7 +849,8 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
       val cur = LakeLog.currentSnapshot(dir).get
       val cols = LakeColIds.cols(cur.schema, cur.props)
       val keep = cur.files.filter(f =>
-        LakeStats.decide(f, predicates, LakeColIds.physicalName(cols, f, _)) match {
+        LakeStats.decide(f, predicates, LakeColIds.physicalName(cols, f, _),
+          LakePartitioning.resolver(cur.props, f)) match {
           case LakeStats.All => false
           case LakeStats.None_ => true
           case LakeStats.Mixed => throw new IllegalStateException(
@@ -872,12 +920,14 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
         override def description(): String = s"graftlake-replace-$cmd"
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-            LakeWriterFactory(dir.toString, info.schema(), snapshot.schema.fieldNames)
+            LakeWriterFactory(dir.toString, info.schema(), snapshot.schema.fieldNames,
+              LakePartitioning.decode(snapshot.props))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val written = messages.map(_.asInstanceOf[LakeFileMessage])
-              .filter(_.path.nonEmpty)
-              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
-                cols = LakeColIds.cols(snapshot.schema, snapshot.props))).toSeq
+              .flatMap(_.files)
+              .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
+                cols = LakeColIds.cols(snapshot.schema, snapshot.props),
+                part = i.part)).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -917,6 +967,11 @@ object LakeStats {
     case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
     case _ => None
   }
+  private def litAny(e: VExpression): Option[Any] = e match {
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      Option(l.value())
+    case _ => None
+  }
 
   /** Decide ONE predicate against a file's [lo,hi] stats. Min/max are
     * computed over NON-NULL values only, so an all-match verdict from
@@ -928,11 +983,15 @@ object LakeStats {
     * either, and "no rows match" keeps the file whole).
     */
   private def decideOne(f: LakeFile, p: VPredicate,
-      resolve: String => Option[String]): Decision = {
+      resolve: String => Option[String],
+      part: LakePartitioning.Resolver): Decision = {
     // `resolve` maps a CURRENT table column to its physical name in
     // THIS file ([[LakeColIds.physicalName]]). A file that predates the
     // column (None) holds only NULLs for it: value predicates match
     // nothing, IS NULL matches everything — decidable without stats.
+    // `part` decides partition-column predicates EXACTLY from the
+    // file's partition tuple (identity equality on ANY column type,
+    // bucket mismatch), ahead of the integral-only min/max stats.
     def withStats(c: String)(eval: (Long, Long) => Decision): Decision =
       resolve(c) match {
         case None => None_
@@ -954,27 +1013,45 @@ object LakeStats {
       case "ALWAYS_TRUE" => All
       case "ALWAYS_FALSE" => None_
       case "IS_NULL" if kids.length == 1 =>
-        colName(kids(0)).map(nullCount) match {
-          case Some(Left(_)) => All
-          case Some(Right(Some(0L))) => None_
-          case Some(Right(Some(n))) if n == f.rows => All
-          case _ => Mixed
+        colName(kids(0)).flatMap(part.isNull) match {
+          case Some(true) => All
+          case Some(false) => None_
+          case None => colName(kids(0)).map(nullCount) match {
+            case Some(Left(_)) => All
+            case Some(Right(Some(0L))) => None_
+            case Some(Right(Some(n))) if n == f.rows => All
+            case _ => Mixed
+          }
         }
       case "IS_NOT_NULL" if kids.length == 1 =>
-        colName(kids(0)).map(nullCount) match {
-          case Some(Left(_)) => None_
-          case Some(Right(Some(0L))) => All
-          case Some(Right(Some(n))) if n == f.rows => None_
-          case _ => Mixed
+        colName(kids(0)).flatMap(part.isNull) match {
+          case Some(true) => None_
+          case Some(false) => All
+          case None => colName(kids(0)).map(nullCount) match {
+            case Some(Left(_)) => None_
+            case Some(Right(Some(0L))) => All
+            case Some(Right(Some(n))) if n == f.rows => None_
+            case _ => Mixed
+          }
         }
       case "AND" if kids.length == 2 =>
-        combine(decideOne(f, kids(0).asInstanceOf[VPredicate], resolve),
-          decideOne(f, kids(1).asInstanceOf[VPredicate], resolve))
+        combine(decideOne(f, kids(0).asInstanceOf[VPredicate], resolve, part),
+          decideOne(f, kids(1).asInstanceOf[VPredicate], resolve, part))
       case "=" if kids.length == 2 =>
-        (colName(kids(0)), litLong(kids(1))) match {
-          case (Some(c), Some(v)) => withStats(c) { (lo, hi) =>
-            if (v < lo || v > hi) None_ else if (lo == v && hi == v) All else Mixed
-          }
+        (colName(kids(0)), litAny(kids(1))) match {
+          case (Some(c), Some(raw)) =>
+            part.eq(c, raw) match {
+              case Some(true) => All // identity file: every row IS this value
+              case Some(false) => None_
+              case None => litLong(kids(1)) match {
+                case Some(v) => withStats(c) { (lo, hi) =>
+                  if (v < lo || v > hi) None_
+                  else if (lo == v && hi == v) All
+                  else Mixed
+                }
+                case None => Mixed
+              }
+            }
           case _ => Mixed
         }
       case "<" | "<=" | ">" | ">=" if kids.length == 2 =>
@@ -990,13 +1067,22 @@ object LakeStats {
           case _ => Mixed
         }
       case "IN" if kids.nonEmpty =>
-        (colName(kids.head), kids.tail.toSeq.map(litLong)) match {
-          case (Some(c), vals) if vals.forall(_.isDefined) =>
-            val set = vals.flatten.toSet
-            withStats(c) { (lo, hi) =>
-              if (set.forall(v => v < lo || v > hi)) None_
-              else if (hi - lo < 4096 && (lo to hi).forall(set.contains)) All
-              else Mixed
+        (colName(kids.head), kids.tail.toSeq.map(litAny)) match {
+          case (Some(c), rawVals) if rawVals.forall(_.isDefined) =>
+            val partDecisions = rawVals.flatten.map(part.eq(c, _))
+            if (partDecisions.exists(_.contains(true))) All // identity: single-valued file
+            else if (partDecisions.nonEmpty && partDecisions.forall(_.contains(false))) None_
+            else {
+              val vals = kids.tail.toSeq.map(litLong)
+              if (!vals.forall(_.isDefined)) Mixed
+              else {
+                val set = vals.flatten.toSet
+                withStats(c) { (lo, hi) =>
+                  if (set.forall(v => v < lo || v > hi)) None_
+                  else if (hi - lo < 4096 && (lo to hi).forall(set.contains)) All
+                  else Mixed
+                }
+              }
             }
           case _ => Mixed
         }
@@ -1012,11 +1098,13 @@ object LakeStats {
 
   /** Decide the CONJUNCTION of `predicates` against one file.
     * `resolve` maps current column names to the file's physical names
-    * (identity for un-evolved tables).
+    * (identity for un-evolved tables); `part` carries the file's
+    * partition tuple when the table is partitioned.
     */
   def decide(f: LakeFile, predicates: Array[VPredicate],
-      resolve: String => Option[String]): Decision =
-    predicates.map(decideOne(f, _, resolve)).foldLeft(All: Decision)(combine)
+      resolve: String => Option[String],
+      part: LakePartitioning.Resolver = LakePartitioning.NoResolver): Decision =
+    predicates.map(decideOne(f, _, resolve, part)).foldLeft(All: Decision)(combine)
 }
 
 class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
@@ -1067,7 +1155,8 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
       val live = snapshot.files.filter(f =>
         LakeStats.decide(f, skips,
-          LakeColIds.physicalName(cols, f, _)) != LakeStats.None_)
+          LakeColIds.physicalName(cols, f, _),
+          LakePartitioning.resolver(snapshot.props, f)) != LakeStats.None_)
       new LakeScan(dir, snapshot.schema, cols, live, snapshot.files.size,
         required, onPlanned)
     }
@@ -1326,44 +1415,98 @@ case class LakeReaderFactory(tableSchema: StructType,
   */
 class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInfo,
     props: Map[String, String] = Map.empty)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with SupportsOverwriteV2 with SupportsDynamicOverwrite {
 
-  private var truncating = false
-  override def truncate(): WriteBuilder = { truncating = true; this }
+  private sealed trait Mode
+  private case object Append extends Mode
+  private case object Truncate extends Mode
+  private case class OverwriteWhere(predicates: Array[VPredicate]) extends Mode
+  private case object DynamicParts extends Mode
 
-  /** When the table declares `clusterBy`/`sortBy`, every write —
-    * batch, COW replace, streaming epoch — demands that layout from
-    * Spark ([[RequiresDistributionAndOrdering]]): the planner inserts
-    * the repartition + in-task sort, writers stay single-pass, each
-    * cluster key lands wholly in one file, and file stats come out
-    * tight enough for metadata deletes and skipping to bite.
+  private var mode: Mode = Append
+
+  override def truncate(): WriteBuilder = { mode = Truncate; this }
+
+  /** `INSERT OVERWRITE` with a static predicate / `replaceWhere`:
+    * files the predicate fully covers are dropped, files it misses
+    * survive, anything UNDECIDABLE at file granularity aborts — the
+    * overwrite boundary must align with partitions (or be otherwise
+    * file-decidable), never split a file.
+    */
+  override def overwrite(predicates: Array[VPredicate]): WriteBuilder = {
+    mode = OverwriteWhere(predicates)
+    this
+  }
+
+  /** Dynamic partition overwrite: exactly the partitions the new data
+    * TOUCHES are replaced (`writeTo(t).overwritePartitions()`,
+    * INSERT OVERWRITE under partitionOverwriteMode=dynamic).
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(LakePartitioning.decode(props).nonEmpty,
+      "graftlake: dynamic partition overwrite needs a partitioned table")
+    mode = DynamicParts
+    this
+  }
+
+  /** When the table declares `clusterBy`/`sortBy` or is PARTITIONED,
+    * every write — batch, COW replace, streaming epoch — demands that
+    * layout from Spark ([[RequiresDistributionAndOrdering]]): the
+    * planner inserts the repartition + in-task sort, writers stay
+    * single-pass with a bounded open-file set (clustering on the
+    * partition source columns keeps each task's tuple count small),
+    * each cluster key lands wholly in one file, and file stats come
+    * out tight enough for metadata deletes and skipping to bite.
     */
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
-    override def requiredDistribution(): Distribution =
-      props.get("clusterBy")
-        .map(c => Distributions.clustered(
-          Array[VExpression](Expressions.identity(c)): Array[VExpression]))
-        .getOrElse(Distributions.unspecified())
+    override def requiredDistribution(): Distribution = {
+      val partCols = LakePartitioning.decode(props).map(_.col)
+      val cluster = (partCols ++ props.get("clusterBy")).distinct
+      if (cluster.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(
+        cluster.map(c => Expressions.identity(c): VExpression).toArray)
+    }
     override def requiredOrdering(): Array[SortOrder] =
       props.get("sortBy")
         .map(c => Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
         .getOrElse(Array.empty)
-    override def description(): String =
-      s"graftlake-${if (truncating) "overwrite" else "append"}"
+    override def description(): String = s"graftlake-$mode"
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-        LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames)
+        LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
+          LakePartitioning.decode(props))
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
-          .filter(_.path.nonEmpty)
-          .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
-            cols = LakeColIds.cols(tableSchema, props))).toSeq
+          .flatMap(_.files)
+          .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
+            cols = LakeColIds.cols(tableSchema, props),
+            part = i.part)).toSeq
         var done = false
         while (!done) {
           val cur = LakeLog.currentSnapshot(dir).get
-          val base = if (truncating) Seq.empty else cur.files
+          val base = mode match {
+            case Append => cur.files
+            case Truncate => Seq.empty
+            case OverwriteWhere(preds) =>
+              val cols = LakeColIds.cols(cur.schema, cur.props)
+              cur.files.filter { f =>
+                LakeStats.decide(f, preds, LakeColIds.physicalName(cols, f, _),
+                  LakePartitioning.resolver(cur.props, f)) match {
+                  case LakeStats.All => false // fully covered: replaced
+                  case LakeStats.None_ => true // untouched: survives
+                  case LakeStats.Mixed => throw new UnsupportedOperationException(
+                    s"graftlake: overwrite predicate does not align with file " +
+                      s"boundaries at ${f.path} — overwrite by partition " +
+                      "(or a file-decidable predicate), or use DELETE + append")
+                }
+              }
+            case DynamicParts =>
+              val replaced = written.map(_.part).toSet
+              cur.files.filterNot(f => replaced.contains(f.part))
+          }
           done = LakeLog.commit(dir, cur.version, cur.next(base ++ written))
         }
       }
@@ -1385,7 +1528,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         private val factory =
-          LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames)
+          LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
+            LakePartitioning.decode(props))
         private val queryId = info.queryId()
         override def createStreamingWriterFactory(
             pi: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -1393,10 +1537,11 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit = {
           val written = messages.map(_.asInstanceOf[LakeFileMessage])
-            .filter(_.path.nonEmpty)
-            .map(m => LakeFile(m.path, m.rows, m.stats, epoch = Some(epochId),
-              nulls = m.nulls, query = Some(queryId),
-              cols = LakeColIds.cols(tableSchema, props))).toSeq
+            .flatMap(_.files)
+            .map(i => LakeFile(i.path, i.rows, i.stats, epoch = Some(epochId),
+              nulls = i.nulls, query = Some(queryId),
+              cols = LakeColIds.cols(tableSchema, props),
+              part = i.part)).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -1422,45 +1567,64 @@ case class LakeStreamingWriterFactory(inner: LakeWriterFactory)
     inner.createWriter(partitionId, taskId)
 }
 
-case class LakeFileMessage(path: String, rows: Long,
-    stats: Map[String, (Long, Long)],
-    nulls: Map[String, Long] = Map.empty) extends WriterCommitMessage
+/** One written data file as reported by a task. */
+case class LakeFileInfo(path: String, rows: Long,
+    stats: Map[String, (Long, Long)], nulls: Map[String, Long],
+    part: Seq[Option[String]] = Seq.empty)
+
+case class LakeFileMessage(files: Seq[LakeFileInfo]) extends WriterCommitMessage
 
 object LakeWriterFactory {
   def deleteAll(tableDir: String, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LakeFileMessage(p, _, _, _) =>
-        Files.deleteIfExists(Paths.get(tableDir).resolve(p))
+      case LakeFileMessage(fs) => fs.foreach(i =>
+        Files.deleteIfExists(Paths.get(tableDir).resolve(i.path)))
       case _ => ()
     }
 }
 
-/** Writes one parquet data file per non-empty task (through Spark's
-  * own ParquetWriteSupport — [[LakeParquet.createWriter]]). `keep`
-  * lists the TABLE columns: a row-level operation's write schema may
-  * carry metadata columns after the table columns — only table columns
-  * are stored. File statistics (integral min/max + per-column null
-  * counts) are read back off the parquet FOOTER at commit, so the log
-  * stats are exactly what any parquet reader would derive. Data files
-  * are invisible until a log commit references them, so writers target
-  * final names directly; abort deletes them; an empty task creates no
-  * file at all (the writer opens lazily on the first row).
+/** Writes parquet data files (through Spark's own ParquetWriteSupport —
+  * [[LakeParquet.createWriter]]): one file per task for an
+  * unpartitioned table, one file per (task, partition tuple) for a
+  * partitioned one ([[LakePartitioning]]) — a file never mixes
+  * tuples, which is what makes partition pruning and partition
+  * overwrite exact. `keep` lists the TABLE columns: a row-level
+  * operation's write schema may carry metadata columns after the
+  * table columns — only table columns are stored. File statistics
+  * (integral min/max + per-column null counts) are read back off the
+  * parquet FOOTER at commit, so the log stats are exactly what any
+  * parquet reader would derive. Data files are invisible until a log
+  * commit references them, so writers target final names directly;
+  * abort deletes them; an empty task creates no file at all (writers
+  * open lazily on the first row of their tuple). Open writers per
+  * task are bounded by the tuples the task sees — the write path's
+  * required clustering on the partition source columns keeps that
+  * small.
   */
 case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
-    keep: Array[String]) extends DataWriterFactory {
+    keep: Array[String],
+    partSpec: Seq[LakePartitioning.Field] = Seq.empty) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val cols = keep.map(n => writeSchema.fieldIndex(n))
       private val storedSchema = StructType(cols.map(writeSchema(_)))
-      private val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
-      private var rows = 0L
-      private var out: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
       private val proj = new GenericInternalRow(cols.length)
+      private val evalTuple =
+        if (partSpec.isEmpty) null
+        else LakePartitioning.evaluator(partSpec, writeSchema)
+      private val noTuple: Seq[Option[String]] = Seq.empty
+
+      private final class OpenFile(val tuple: Seq[Option[String]]) {
+        val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
+        val out = LakeParquet.createWriter(Paths.get(tableDir).resolve(rel), storedSchema)
+        var rows = 0L
+      }
+      private val open = scala.collection.mutable.LinkedHashMap[Seq[Option[String]], OpenFile]()
 
       override def write(row: InternalRow): Unit = {
-        if (out == null)
-          out = LakeParquet.createWriter(Paths.get(tableDir).resolve(rel), storedSchema)
+        val tuple = if (evalTuple == null) noTuple else evalTuple(row)
+        val f = open.getOrElseUpdate(tuple, new OpenFile(tuple))
         var c = 0
         while (c < cols.length) {
           proj.update(c,
@@ -1468,23 +1632,28 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
             else row.get(cols(c), storedSchema(c).dataType))
           c += 1
         }
-        out.write(proj)
-        rows += 1L
+        f.out.write(proj)
+        f.rows += 1L
       }
 
-      override def commit(): WriterCommitMessage =
-        if (out == null) LakeFileMessage("", 0L, Map.empty)
-        else {
-          out.close()
-          val st = LakeParquet.footerStats(Paths.get(tableDir).resolve(rel))
-          require(st.rows == rows,
-            s"parquet footer row count ${st.rows} != rows written $rows in $rel")
-          LakeFileMessage(rel, rows, st.stats, st.nulls)
-        }
+      override def commit(): WriterCommitMessage = {
+        val infos = open.values.map { f =>
+          f.out.close()
+          val st = LakeParquet.footerStats(Paths.get(tableDir).resolve(f.rel))
+          require(st.rows == f.rows,
+            s"parquet footer row count ${st.rows} != rows written ${f.rows} in ${f.rel}")
+          LakeFileInfo(f.rel, f.rows, st.stats, st.nulls, f.tuple)
+        }.toSeq
+        open.clear()
+        LakeFileMessage(infos)
+      }
 
       override def abort(): Unit = {
-        if (out != null) out.close()
-        Files.deleteIfExists(Paths.get(tableDir).resolve(rel))
+        open.values.foreach { f =>
+          f.out.close()
+          Files.deleteIfExists(Paths.get(tableDir).resolve(f.rel))
+        }
+        open.clear()
       }
       override def close(): Unit = ()
     }
@@ -1550,13 +1719,14 @@ object LakeProcedures {
     val cols = snap.schema.fieldNames
     val written = rows
       .mapPartitionsWithIndex { (pid, it) =>
-        val w = LakeWriterFactory(dirStr, writeSchema, cols).createWriter(pid, 0L)
+        val w = LakeWriterFactory(dirStr, writeSchema, cols,
+          LakePartitioning.decode(snap.props)).createWriter(pid, 0L)
         it.foreach(w.write)
         Iterator(w.commit())
       }.collect().toSeq
-      .collect { case m: LakeFileMessage if m.path.nonEmpty =>
-        LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
-          cols = LakeColIds.cols(snap.schema, snap.props)) }
+      .flatMap { case m: LakeFileMessage => m.files }
+      .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
+        cols = LakeColIds.cols(snap.schema, snap.props), part = i.part))
     val replaced = snap.files.map(_.path).toSet
     var done = false
     while (!done) {
@@ -1808,14 +1978,16 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
         override def description(): String = "graftlake-staged"
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-            LakeWriterFactory(dir.toString, info.schema(), stagedSchema.fieldNames)
+            LakeWriterFactory(dir.toString, info.schema(), stagedSchema.fieldNames,
+              LakePartitioning.decode(propsWithIds))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             // staged: record only — the LOG moves in commitStagedChanges
             stagedMessages = messages
             stagedFiles = messages.map(_.asInstanceOf[LakeFileMessage])
-              .filter(_.path.nonEmpty)
-              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
-                cols = LakeColIds.cols(stagedSchema, propsWithIds))).toSeq
+              .flatMap(_.files)
+              .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
+                cols = LakeColIds.cols(stagedSchema, propsWithIds),
+                part = i.part)).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -1961,12 +2133,13 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
         override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DeltaWriterFactory =
             LakeDeltaWriterFactory(dir.toString, info.schema(),
-              snapshot.schema.fieldNames)
+              snapshot.schema.fieldNames, LakePartitioning.decode(snapshot.props))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ms = messages.map(_.asInstanceOf[LakeDeltaMessage])
-            val inserts = ms.flatMap(_.inserts).filter(_.path.nonEmpty)
-              .map(m => LakeFile(m.path, m.rows, m.stats, nulls = m.nulls,
-              cols = LakeColIds.cols(snapshot.schema, snapshot.props))).toSeq
+            val inserts = ms.flatMap(_.inserts).flatMap(_.files)
+              .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
+                cols = LakeColIds.cols(snapshot.schema, snapshot.props),
+                part = i.part)).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false
@@ -1997,10 +2170,8 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             messages.foreach {
-              case m: LakeDeltaMessage => m.inserts.foreach { i =>
-                if (i.path.nonEmpty)
-                  Files.deleteIfExists(Paths.get(dir.toString).resolve(i.path))
-              }
+              case m: LakeDeltaMessage => m.inserts.flatMap(_.files).foreach(i =>
+                Files.deleteIfExists(Paths.get(dir.toString).resolve(i.path)))
               case _ => ()
             }
         }
@@ -2015,7 +2186,8 @@ case class LakeDeltaMessage(deletes: Map[String, Seq[Long]],
     inserts: Seq[LakeFileMessage]) extends WriterCommitMessage
 
 case class LakeDeltaWriterFactory(tableDir: String, writeSchema: StructType,
-    keep: Array[String]) extends DeltaWriterFactory {
+    keep: Array[String],
+    partSpec: Seq[LakePartitioning.Field] = Seq.empty) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -2024,7 +2196,7 @@ case class LakeDeltaWriterFactory(tableDir: String, writeSchema: StructType,
       private var inner: DataWriter[InternalRow] = _
       private def insertWriter(): DataWriter[InternalRow] = {
         if (inner == null)
-          inner = LakeWriterFactory(tableDir, writeSchema, keep)
+          inner = LakeWriterFactory(tableDir, writeSchema, keep, partSpec)
             .createWriter(partitionId, taskId)
         inner
       }

@@ -274,10 +274,10 @@ class GraftLakeSpec extends AnyFunSuite {
       .commit(e0, Array(replayMsg))
     val after = LakeLog.currentSnapshot(dir).get.files
     assert(after.filter(f => f.epoch.contains(e0) && f.query.contains(realQueryId))
-      .map(_.path) == Seq(replayMsg.path))
+      .map(_.path) == Seq(replayMsg.files.head.path))
     assert(e0Files.forall(p => !after.map(_.path).contains(p)),
       "the superseded attempt's files must leave the snapshot")
-    assert(after.map(_.path).contains(otherMsg.path),
+    assert(after.map(_.path).contains(otherMsg.files.head.path),
       "the other query's epoch-e0 file stays")
     assert(vBefore >= 4L)
   }
@@ -865,6 +865,78 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(quadrant.count() == 1024L)
     // single-dim ranges prune too (each quadrant file is x- AND y-narrow)
     assert(plannedFiles(spark.table("lake.db.t_zorder").filter($"x" >= 48)) == 2)
+  }
+
+  test("partitioned tables: file-per-tuple writes, string pruning, partition overwrite") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_part (k BIGINT, seg STRING, v BIGINT)
+        |PARTITIONED BY (seg)""".stripMargin)
+    spark.range(0, 200)
+      .select($"id".as("k"), concat(lit("s"), $"id" % 5).as("seg"), ($"id" * 2L).as("v"))
+      .repartition(7) // adversarial: round-robin input; distribution re-clusters
+      .writeTo("lake.db.t_part").append()
+    val snap = LakeLog.currentSnapshot(tableDir("t_part")).get
+    // one file per partition value; tuples recorded in the log
+    assert(snap.files.size == 5,
+      s"five segments → five files, got ${snap.files.map(f => f.path -> f.part)}")
+    assert(snap.files.flatMap(_.part.flatten).sorted ==
+      (0 until 5).map(i => s"s$i"))
+    // STRING partition equality prunes files (min/max stats can't —
+    // they only cover integral columns; this is the tuple deciding)
+    val one = spark.table("lake.db.t_part").filter($"seg" === "s3")
+    assert(one.queryExecution.executedPlan.toString.contains("files=1/5"),
+      s"identity-partition equality must prune:\n${one.queryExecution.executedPlan}")
+    assert(one.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 200L).filter(_ % 5 == 3))
+    // IN over partition values prunes to the named tuples
+    val two = spark.table("lake.db.t_part").filter($"seg".isin("s0", "s4"))
+    assert(two.queryExecution.executedPlan.toString.contains("files=2/5"))
+    // whole-partition DELETE is metadata-only: no rewrite, files drop
+    val dataFiles = Files.list(tableDir("t_part").resolve("data")).count()
+    spark.sql("DELETE FROM lake.db.t_part WHERE seg = 's1'")
+    assert(Files.list(tableDir("t_part").resolve("data")).count() == dataFiles,
+      "partition-aligned delete must drop files from the log, not rewrite")
+    assert(spark.table("lake.db.t_part").count() == 160L)
+    // STATIC overwrite: replace exactly the predicate's partition
+    spark.range(0, 10)
+      .select($"id".as("k"), lit("s2").as("seg"), lit(-1L).as("v"))
+      .writeTo("lake.db.t_part").overwrite($"seg" === "s2")
+    assert(spark.table("lake.db.t_part").filter($"seg" === "s2").count() == 10L)
+    assert(spark.table("lake.db.t_part").count() == 130L)
+    // a misaligned overwrite boundary must abort, not split files
+    intercept[Exception] {
+      spark.range(0, 5).select($"id".as("k"), lit("s0").as("seg"), lit(0L).as("v"))
+        .writeTo("lake.db.t_part").overwrite($"seg" === "s0" && $"k" < 3)
+    }
+    // DYNAMIC overwrite: exactly the partitions the new data touches
+    spark.range(100, 104)
+      .select($"id".as("k"), concat(lit("s"), $"id" % 2).as("seg"), lit(9L).as("v"))
+      .writeTo("lake.db.t_part").overwritePartitions()
+    val after = spark.table("lake.db.t_part")
+    assert(after.filter($"seg" === "s0").count() == 2L, "s0 replaced by its 2 new rows")
+    assert(after.filter($"seg" === "s2").count() == 10L, "untouched partitions survive")
+    assert(after.filter($"seg" === "s3").count() == 40L)
+  }
+
+  test("bucket(n, col) partitioning: per-bucket files, equality pruning via the bucket function") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_bucketed (id BIGINT, payload STRING)
+        |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    spark.range(0, 100)
+      .select($"id", concat(lit("p"), $"id").as("payload"))
+      .coalesce(1)
+      .writeTo("lake.db.t_bucketed").append()
+    val snap = LakeLog.currentSnapshot(tableDir("t_bucketed")).get
+    assert(snap.files.size == 4 &&
+      snap.files.flatMap(_.part.flatten).sorted == Seq("0", "1", "2", "3"))
+    // id = 10 lives in bucket 2 only: the scan re-evaluates the bucket
+    // function against the literal and prunes the other three files
+    val hit = spark.table("lake.db.t_bucketed").filter($"id" === 10L)
+    assert(hit.queryExecution.executedPlan.toString.contains("files=1/4"),
+      s"bucket pruning must bite:\n${hit.queryExecution.executedPlan}")
+    assert(hit.collect().map(_.getString(1)).toSeq == Seq("p10"))
   }
 
   test("DDL surface: list/drop; unsupported column types rejected at create") {
