@@ -1157,8 +1157,8 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
         LakeStats.decide(f, skips,
           LakeColIds.physicalName(cols, f, _),
           LakePartitioning.resolver(snapshot.props, f)) != LakeStats.None_)
-      new LakeScan(dir, snapshot.schema, cols, live, snapshot.files.size,
-        required, onPlanned)
+      new LakeScan(dir, snapshot.schema, snapshot.props, cols, live,
+        snapshot.files.size, required, onPlanned)
     }
 }
 
@@ -1172,11 +1172,37 @@ class LakeCountScan(snapshot: LakeSnapshot) extends org.apache.spark.sql.connect
     s"graftlake metadata-count files=0/${snapshot.files.size}"
 }
 
-class LakeScan(dir: Path, tableSchema: StructType, curCols: Seq[(String, Long)],
+class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
+    curCols: Seq[(String, Long)],
     files: Seq[LakeFile], totalFiles: Int, required: StructType,
     onPlanned: Option[Seq[String] => Unit])
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeV2Filtering {
+  with SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** KEY-GROUPED exposure for storage-partitioned joins: when the
+    * table is identity-partitioned, the partition columns survive
+    * pruning, every file carries its tuple, and the session opted into
+    * v2 bucketing, the scan plans ONE partition per partition tuple
+    * (all its files concatenated) and reports
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * — two lake tables partitioned the same way equi-join on the
+    * partition columns with NO shuffle. The trade is explicit: task
+    * parallelism becomes the tuple count, so grouping only engages
+    * under the conf that makes Spark exploit it. Mutation scans
+    * (runtime group filtering) stay per-file.
+    */
+  private def keyGroupedFields: Seq[LakePartitioning.Field] = {
+    val fields = LakePartitioning.decode(props)
+    val ok = onPlanned.isEmpty &&
+      fields.nonEmpty &&
+      fields.forall(_.isInstanceOf[LakePartitioning.Identity]) &&
+      fields.forall(f => required.fieldNames.contains(f.col)) &&
+      files.forall(_.part.nonEmpty) &&
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (ok) fields else Seq.empty
+  }
 
   /** Required DATA columns resolved to their per-file physical names —
     * a current column absent from the map predates the file (NULL).
@@ -1238,9 +1264,30 @@ class LakeScan(dir: Path, tableSchema: StructType, curCols: Seq[(String, Long)],
   override def planInputPartitions(): Array[InputPartition] = {
     val ps = planned
     onPlanned.foreach(_(ps.map(_.path)))
-    ps.map(f =>
-      LakeInputFile(dir.toString, f.path, f.rows, f.dv, renameFor(f)): InputPartition)
-      .toArray
+    val fields = keyGroupedFields
+    if (fields.isEmpty)
+      ps.map(f =>
+        LakeInputFile(dir.toString, f.path, f.rows, f.dv, renameFor(f)): InputPartition)
+        .toArray
+    else
+      ps.groupBy(_.part).toSeq.sortBy(_._1.toString).map { case (tuple, fs) =>
+        LakeGroupedInput(
+          LakePartitioning.keyValues(fields, tuple, tableSchema).toSeq,
+          fs.map(f => LakeInputFile(dir.toString, f.path, f.rows, f.dv, renameFor(f))))
+          : InputPartition
+      }.toArray
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val fields = keyGroupedFields
+    if (fields.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planned.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        LakePartitioning.toTransforms(fields)
+          .map(t => t: org.apache.spark.sql.connector.expressions.Expression),
+        planned.map(_.part).distinct.size)
   }
 
   /** COLUMNAR whenever every file is dv-free, no per-row ordinal is
@@ -1276,6 +1323,15 @@ case class LakeInputFile(tableDir: String, path: String, rows: Long,
     dv: Option[String] = None,
     rename: Map[String, String] = Map.empty) extends InputPartition
 
+/** One partition TUPLE's files, concatenated — the key-grouped unit
+  * behind storage-partitioned joins ([[LakeScan.outputPartitioning]]).
+  */
+case class LakeGroupedInput(key: Seq[Any], files: Seq[LakeInputFile])
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(key.toArray)
+}
+
 /** Both read paths over one parquet data file.
   *
   *   - **Columnar** ([[createColumnarReader]]): the vectorized decoder's
@@ -1301,7 +1357,33 @@ case class LakeReaderFactory(tableSchema: StructType,
     required.filter { case (n, _) =>
       n != LakeTable.FileColumn && n != LakeTable.PosColumn }
 
+  /** Key-grouped partitions concatenate their files' readers. */
+  private def concat[T](parts: Seq[InputPartition],
+      open: InputPartition => PartitionReader[T]): PartitionReader[T] =
+    new PartitionReader[T] {
+      private val it = parts.iterator
+      private var cur: PartitionReader[T] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!it.hasNext) return false
+            cur = open(it.next())
+          }
+          if (cur.next()) return true
+          cur.close()
+          cur = null
+        }
+        false
+      }
+      override def get(): T = cur.get()
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case g: LakeGroupedInput => return concat(g.files, createReader)
+      case _ => ()
+    }
     val p = partition.asInstanceOf[LakeInputFile]
     val dv: Array[Long] = p.dv
       .map(LakeDv.read(Paths.get(p.tableDir), _))
@@ -1369,6 +1451,10 @@ case class LakeReaderFactory(tableSchema: StructType,
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    partition match {
+      case g: LakeGroupedInput => return concat(g.files, createColumnarReader)
+      case _ => ()
+    }
     val p = partition.asInstanceOf[LakeInputFile]
     require(p.dv.isEmpty, "columnar read path never sees delete-vectored files")
     // decoded columns = required data columns present in the file;

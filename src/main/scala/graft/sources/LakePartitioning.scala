@@ -134,6 +134,24 @@ object LakePartitioning {
 
   val NoResolver = new Resolver(Seq.empty, Seq.empty)
 
+  /** The TYPED partition-key values of a file's tuple, in spec order —
+    * what [[org.apache.spark.sql.connector.read.HasPartitionKey]]
+    * exposes for storage-partitioned joins. Identity components parse
+    * back to the column's type; bucket components are their ordinal.
+    */
+  def keyValues(fields: Seq[Field], tuple: Seq[Option[String]],
+      schema: StructType): Array[Any] =
+    fields.zip(tuple).map {
+      case (_, None) => null
+      case (Identity(c), Some(v)) => schema(schema.fieldIndex(c)).dataType match {
+        case LongType => v.toLong
+        case IntegerType => v.toInt
+        case BooleanType => v.toBoolean
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      }
+      case (Bucket(_, _), Some(v)) => v.toInt
+    }.toArray
+
   def resolver(props: Map[String, String], f: LakeFile): Resolver = {
     val fields = decode(props)
     if (fields.isEmpty || f.part.isEmpty) NoResolver

@@ -939,6 +939,47 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(hit.collect().map(_.getString(1)).toSeq == Seq("p10"))
   }
 
+  test("storage-partitioned join: co-partitioned lake tables join with no shuffle") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_spj_fact (k BIGINT, seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg)")
+    spark.sql("CREATE TABLE lake.db.t_spj_dim (seg STRING, factor BIGINT) " +
+      "PARTITIONED BY (seg)")
+    spark.range(0, 300)
+      .select($"id".as("k"), concat(lit("g"), $"id" % 6).as("seg"), ($"id" * 3L).as("v"))
+      .repartition(5)
+      .writeTo("lake.db.t_spj_fact").append()
+    spark.range(0, 6)
+      .select(concat(lit("g"), $"id").as("seg"), ($"id" + 100L).as("factor"))
+      .coalesce(1)
+      .writeTo("lake.db.t_spj_dim").append()
+    def joined() = spark.table("lake.db.t_spj_fact")
+      .join(spark.table("lake.db.t_spj_dim"), "seg")
+      .groupBy($"seg").agg(sum($"v" * $"factor").as("weighted"))
+      .orderBy($"seg")
+    val expected = joined().collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = joined()
+      val joinPlan = df.queryExecution.sparkPlan.toString
+      // the equi-join on the partition column aligns the reported key
+      // groups — NO exchange anywhere under the join
+      val joinIdx = joinPlan.indexOf("Join")
+      assert(joinIdx >= 0 && !joinPlan.substring(joinIdx).contains("Exchange"),
+        s"a co-partitioned join must not shuffle either side:\n$joinPlan")
+      assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == expected,
+        "key-grouped execution must produce the shuffled plan's rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
