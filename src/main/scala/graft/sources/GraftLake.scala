@@ -101,16 +101,23 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
-    // `<table>__changes` resolves to the CHANGE FEED companion of the
-    // base table (batch + streaming CDC over log versions) when no
-    // real table of that name exists
-    if (ident.name().endsWith(LakeChanges.Suffix)) {
-      val base = ident.name().stripSuffix(LakeChanges.Suffix)
-      val baseDir = tableDir(Identifier.of(ident.namespace(), base))
-      if (!Files.isDirectory(tableDir(ident).resolve("_log")) &&
-          LakeLog.currentSnapshot(baseDir).isDefined)
-        return new LakeChangesTable(baseDir, base)
-    }
+    // companion tables — resolved by suffix when no real table of that
+    // name exists: `__changes` (CDC feed over log versions),
+    // `__files` (live file census), `__history` (version log)
+    def companion(suffix: String)(make: (Path, String) => Table): Option[Table] =
+      if (!ident.name().endsWith(suffix)) None
+      else {
+        val base = ident.name().stripSuffix(suffix)
+        val baseDir = tableDir(Identifier.of(ident.namespace(), base))
+        if (!Files.isDirectory(tableDir(ident).resolve("_log")) &&
+            LakeLog.currentSnapshot(baseDir).isDefined)
+          Some(make(baseDir, base))
+        else None
+      }
+    companion(LakeChanges.Suffix)(new LakeChangesTable(_, _))
+      .orElse(companion(LakeMetaTables.FilesSuffix)(LakeMetaTables.filesTable))
+      .orElse(companion(LakeMetaTables.HistorySuffix)(LakeMetaTables.historyTable))
+      .foreach(t => return t)
     val dir = tableDir(ident)
     LakeLog.currentSnapshot(dir).map(new LakeTable(dir, _, None)).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))

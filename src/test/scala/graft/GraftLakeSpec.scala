@@ -980,6 +980,34 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata companion tables: __files census and __history answer from the log") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_meta (k BIGINT, seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')")
+    spark.range(0, 90)
+      .select($"id".as("k"), concat(lit("g"), $"id" % 3).as("seg"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_meta").append() // v1: 3 files
+    spark.sql("DELETE FROM lake.db.t_meta WHERE k % 9 = 0 AND seg = 'g0'") // v2: dv
+    val files = spark.table("lake.db.t_meta__files")
+    // a census must come from the LOG, not a distributed scan
+    assert(files.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val rows0 = files.collect()
+    assert(rows0.length == 3)
+    assert(rows0.map(_.getAs[String]("partition")).sorted.toSeq ==
+      Seq("seg=g0", "seg=g1", "seg=g2"))
+    assert(rows0.map(_.getAs[Long]("rows")).sum == 90L)
+    val g0 = rows0.find(_.getAs[String]("partition") == "seg=g0").get
+    assert(g0.getAs[Long]("dv_rows") == 10L && g0.getAs[Long]("live_rows") == 20L)
+    // history: every version with its commit instant and live census
+    val hist = spark.table("lake.db.t_meta__history")
+      .orderBy($"version").collect()
+    assert(hist.map(_.getAs[Long]("version")).toSeq == Seq(0L, 1L, 2L))
+    assert(hist.map(_.getAs[Long]("n_live_rows")).toSeq == Seq(0L, 90L, 80L))
+    assert(hist.forall(r => r.getAs[java.sql.Timestamp]("committed_at") != null))
+    val ts = hist.map(_.getAs[java.sql.Timestamp]("committed_at").getTime)
+    assert(ts.sorted.toSeq == ts.toSeq, "commit instants are monotone")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
