@@ -538,6 +538,75 @@ object IngestQueries {
       .orderBy($"commit_v", $"change_type", $"seg")
   }
 
+  /** q88 — INCREMENTAL MATERIALIZED-VIEW maintenance off the change
+    * feed: a per-segment aggregate lake table is kept current by
+    * streaming `<src>__changes` and MERGE-ing each micro-batch's
+    * SIGNED deltas (+row/+bal for inserts, −row/−bal for pre-image
+    * deletes) into the MV — the 100 TB pattern where the aggregate is
+    * never recomputed from the fact table, only adjusted by what
+    * changed. Checkpointed offsets make the maintenance RESUMABLE: the
+    * fourth commit lands after the first drain and the second drain
+    * applies exactly it — a replayed version would double its deltas
+    * and break the oracle hash, so exactly-once application across
+    * restarts is what the hash equality proves. (Within a micro-batch,
+    * foreachBatch MERGE application is transactional via the lake's
+    * optimistic commit; a mid-batch crash replays the batch — the
+    * at-least-once caveat every foreachBatch sink documents.)
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q88").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$cat.db.balances"
+    val mv = s"$cat.db.seg_totals"
+    spark.sql(s"CREATE TABLE $src (k BIGINT, seg STRING, bal BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $mv (seg STRING, n_rows BIGINT, sum_bal BIGINT)")
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+      .repartition(4)
+      .writeTo(src).append() // v1
+    spark.sql(s"UPDATE $src SET bal = bal * 2 WHERE seg = 'BUILDING'") // v2
+    spark.sql(s"DELETE FROM $src WHERE k % 7 = 0") // v3
+    val ckpt = java.nio.file.Files.createTempDirectory("q88-ckpt").toString
+    val deltaView = s"q88_delta_${cat.takeRight(8)}"
+    def maintain(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table(s"${src}__changes")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+            batch.groupBy(col("seg"))
+              .agg(sum(sign).as("d_n"), sum(sign * col("bal")).as("d_bal"))
+              .createOrReplaceTempView(deltaView)
+            batch.sparkSession.sql(
+              s"""MERGE INTO $mv t USING $deltaView d ON t.seg = d.seg
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  t.n_rows = t.n_rows + d.d_n, t.sum_bal = t.sum_bal + d.d_bal
+                 |WHEN NOT MATCHED THEN INSERT (seg, n_rows, sum_bal)
+                 |  VALUES (d.seg, d.d_n, d.d_bal)""".stripMargin)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    maintain() // v1..v3, one version per micro-batch
+    spark.sql(s"UPDATE $src SET bal = bal + 5 WHERE k % 10 = 1") // v4, post-drain
+    maintain() // resume: exactly v4's deltas
+    spark.table(mv).filter($"n_rows" > 0L)
+      .select($"seg", $"n_rows", $"sum_bal")
+      .orderBy($"seg")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -665,6 +734,7 @@ object IngestQueries {
     "q84_lake_feed" -> q84,
     "q85_lake_evolution" -> q85,
     "q86_lake_zorder" -> q86,
+    "q88_incremental_mv" -> q88,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -686,6 +756,25 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q88_incremental_mv" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |s2 AS (
+        |  SELECT k, seg,
+        |    CASE WHEN seg = 'BUILDING' THEN bal * 2 ELSE bal END AS bal
+        |  FROM base),
+        |s3 AS (SELECT * FROM s2 WHERE k % 7 <> 0),
+        |s4 AS (
+        |  SELECT k, seg,
+        |    CASE WHEN k % 10 = 1 THEN bal + 5 ELSE bal END AS bal
+        |  FROM s3)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM s4
+        |GROUP BY seg
+        |ORDER BY seg""".stripMargin,
     "q87_lake_partitioned" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS seg,
