@@ -1220,51 +1220,84 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
       .flatMap(n => LakeColIds.physicalName(curCols, f, n).map(n -> _))
       .toMap
 
-  /** Runtime group filtering for row-level ops: Spark first finds which
-    * `_file`s contain matching rows, then hands them back as an IN
-    * predicate — only those files are re-read and rewritten.
+  /** Runtime V2 filtering, two flavors:
+    *
+    *   - row-level ops (`onPlanned` set): Spark first finds which
+    *     `_file`s contain matching rows, then hands them back as an IN
+    *     predicate — only those files are re-read and rewritten;
+    *   - plain scans of a PARTITIONED table: the identity partition
+    *     source columns are filterable, so a selective dimension join
+    *     prunes whole partitions at RUNTIME (the dynamic-partition-
+    *     pruning shape) — the dim executes, its join-key values come
+    *     back as an IN predicate, and files whose tuple is outside the
+    *     set never plan as tasks.
     */
   @volatile private var runtimeFiles: Option[Set[String]] = None
+  @volatile private var runtimeParts: Map[String, Set[String]] = Map.empty
+
+  private def identityPartCols: Seq[String] =
+    LakePartitioning.decode(props).collect {
+      case LakePartitioning.Identity(c) => c }
 
   override def filterAttributes(): Array[NamedReference] =
     if (onPlanned.isDefined) Array(Expressions.column(LakeTable.FileColumn))
-    else Array.empty
+    else identityPartCols.map(Expressions.column).toArray
 
   override def filter(predicates: Array[VPredicate]): Unit = {
-    def isFileCol(e: VExpression): Boolean = e match {
-      case f: NamedReference => f.fieldNames.sameElements(Array(LakeTable.FileColumn))
-      case _ => false
-    }
-    def litStr(e: VExpression): Option[String] = e match {
-      case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value() match {
-        case s: UTF8String => Some(s.toString)
-        case s: String => Some(s)
-        case _ => None
-      }
+    def colOf(e: VExpression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
       case _ => None
     }
-    val parsed = predicates.toSeq.flatMap { p =>
+    def litStr(e: VExpression): Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Option(l.value()).map(String.valueOf)
+      case _ => None
+    }
+    val partCols = identityPartCols.toSet
+    predicates.foreach { p =>
       val kids = p.children()
-      p.name() match {
-        case "IN" if kids.nonEmpty && isFileCol(kids.head) =>
-          val vals = kids.tail.map(litStr)
-          if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
-        case "=" if kids.length == 2 && isFileCol(kids.head) =>
-          litStr(kids(1)).map(Set(_))
+      val parsed: Option[(String, Set[String])] = p.name() match {
+        case "IN" if kids.nonEmpty =>
+          colOf(kids.head).flatMap { c =>
+            val vals = kids.tail.map(litStr)
+            if (vals.forall(_.isDefined)) Some(c -> vals.flatten.toSet) else None
+          }
+        case "=" if kids.length == 2 =>
+          for (c <- colOf(kids(0)); v <- litStr(kids(1))) yield c -> Set(v)
         case _ => None
       }
+      parsed.foreach { case (c, vs) =>
+        if (c == LakeTable.FileColumn)
+          runtimeFiles = Some(runtimeFiles.fold(vs)(_ intersect vs))
+        else if (partCols(c))
+          runtimeParts = runtimeParts.updated(c,
+            runtimeParts.get(c).fold(vs)(_ intersect vs))
+      }
     }
-    if (parsed.nonEmpty) runtimeFiles = Some(parsed.reduce(_ intersect _))
   }
 
-  private def planned: Seq[LakeFile] =
-    files.filter(f => runtimeFiles.forall(_.contains(f.path)))
+  private def planned: Seq[LakeFile] = {
+    val fields = LakePartitioning.decode(props)
+    def partOk(f: LakeFile): Boolean =
+      runtimeParts.isEmpty || f.part.isEmpty || runtimeParts.forall {
+        case (c, allowed) =>
+          fields.indexWhere(_.col == c) match {
+            case -1 => true
+            case i => f.part(i).exists(allowed.contains)
+          }
+      }
+    files.filter(f => runtimeFiles.forall(_.contains(f.path)) && partOk(f))
+  }
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graftlake files=${planned.size}/$totalFiles cols=[${required.fieldNames.mkString(",")}]" +
-      runtimeFiles.map(fs => s" runtimeFiles=${fs.size}").getOrElse("")
+      runtimeFiles.map(fs => s" runtimeFiles=${fs.size}").getOrElse("") +
+      (if (runtimeParts.isEmpty) ""
+       else " runtimeParts=" + runtimeParts.toSeq.sortBy(_._1).map {
+         case (c, vs) => s"$c∈{${vs.toSeq.sorted.mkString(",")}}"
+       }.mkString(","))
 
   override def toBatch: Batch = this
 

@@ -1008,6 +1008,33 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(ts.sorted.toSeq == ts.toSeq, "commit instants are monotone")
   }
 
+  test("runtime partition pruning: a selective dim join prunes lake partitions dynamically") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_dpp (k BIGINT, seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg)")
+    spark.range(0, 400)
+      .select($"id".as("k"), concat(lit("p"), $"id" % 8).as("seg"), ($"id" * 2L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_dpp").append()
+    // the selective predicate sits on a NON-join-key column: a static
+    // filter on seg itself would be inferred onto the fact side and
+    // leave nothing to prune at runtime (the graftgen DPP lesson)
+    val dim = spark.range(0, 80)
+      .select(concat(lit("p"), $"id" % 8).as("seg"), $"id".as("code"))
+      .filter($"code" === 3L || $"code" === 14L) // -> p3, p6
+    val joined = spark.table("lake.db.t_dpp").join(dim, Seq("seg"))
+      .groupBy($"seg").agg(count(lit(1)).as("n"))
+      .orderBy($"seg")
+    val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("p3", 50L), ("p6", 50L)))
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("runtimeParts=seg∈{p3,p6}") && plan.contains("files=2/8"),
+      s"the dim's executed values must prune partitions at runtime:\n$plan")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
