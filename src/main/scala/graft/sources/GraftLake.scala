@@ -311,6 +311,19 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           require(schema.length > 1, "graftlake: cannot drop the last column")
           schema = StructType(schema.fields.patch(i, Nil, 1))
           ids = ids.patch(i, Nil, 1)
+        case upd: TableChange.UpdateColumnType =>
+          require(upd.fieldNames.length == 1,
+            "graftlake: nested columns not supported")
+          val name = upd.fieldNames.head
+          val i = schema.fieldIndex(name)
+          val from = schema.fields(i).dataType
+          require(from == IntegerType && upd.newDataType == LongType,
+            s"graftlake: only INT -> BIGINT widening supported, got " +
+              s"${from.simpleString} -> ${upd.newDataType.simpleString}")
+          // ids unchanged; files written before keep their recorded
+          // INT type and upcast at read
+          schema = StructType(
+            schema.fields.updated(i, schema.fields(i).copy(dataType = LongType)))
         case other => throw new UnsupportedOperationException(
           s"graftlake: unsupported ALTER TABLE change $other")
       }
@@ -475,7 +488,8 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     epoch: Option[Long] = None, dv: Option[String] = None, dvRows: Long = 0L,
     nulls: Map[String, Long] = Map.empty, query: Option[String] = None,
     cols: Seq[(String, Long)] = Seq.empty,
-    part: Seq[Option[String]] = Seq.empty) {
+    part: Seq[Option[String]] = Seq.empty,
+    colTypes: Seq[String] = Seq.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -519,6 +533,31 @@ object LakeColIds {
   def freshProps(schema: StructType): Map[String, String] = Map(
     "colids" -> (1 to schema.length).mkString(","),
     "maxcolid" -> schema.length.toString)
+
+  /** Write-time column types (simpleString), parallel to the schema —
+    * recorded per file so a later TYPE WIDENING knows which files need
+    * an upcast at read.
+    */
+  def types(schema: StructType): Seq[String] =
+    schema.fields.toSeq.map(_.dataType.simpleString)
+
+  /** For each wanted CURRENT column present in file `f` with a
+    * DIFFERENT recorded write-time type: current name -> file type.
+    * Files without recorded types (pre-widening era never happened,
+    * or log-level tests) report no mismatches.
+    */
+  def fileTypes(current: Seq[(String, Long)], f: LakeFile,
+      wanted: Seq[StructField]): Map[String, String] =
+    if (f.colTypes.isEmpty) Map.empty
+    else wanted.iterator.flatMap { fd =>
+      physicalName(current, f, fd.name).flatMap { pn =>
+        val i = f.cols.indexWhere(_._1 == pn)
+        if (i >= 0 && i < f.colTypes.length &&
+            f.colTypes(i) != fd.dataType.simpleString)
+          Some(fd.name -> f.colTypes(i))
+        else None
+      }
+    }.toMap
 }
 
 /** One committed table version: the schema + the COMPLETE live file
@@ -596,6 +635,10 @@ object LakeLog {
         val pair = co.addArray(); pair.add(n); pair.add(id)
       }
     }
+    if (f.colTypes.nonEmpty) {
+      val ct = fn.putArray("ctypes")
+      f.colTypes.foreach(ct.add)
+    }
     if (f.part.nonEmpty) {
       val pa = fn.putArray("part")
       f.part.foreach {
@@ -618,6 +661,8 @@ object LakeLog {
       val part = Option(fn.get("part")).map(_.elements().asScala
         .map(v => if (v.isNull) None else Some(v.asText())).toSeq)
         .getOrElse(Seq.empty[Option[String]])
+      val ctypes = Option(fn.get("ctypes")).map(_.elements().asScala
+        .map(_.asText()).toSeq).getOrElse(Seq.empty[String])
       LakeFile(fn.get("path").asText(), fn.get("rows").asLong, stats,
         Option(fn.get("epoch")).map(_.asLong),
         Option(fn.get("dv")).map(_.asText()),
@@ -625,7 +670,8 @@ object LakeLog {
         nulls,
         Option(fn.get("query")).map(_.asText()),
         cols,
-        part)
+        part,
+        ctypes)
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -934,7 +980,7 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
               .flatMap(_.files)
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
-                part = i.part)).toSeq
+                part = i.part, colTypes = LakeColIds.types(snapshot.schema))).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -1220,6 +1266,14 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
       .flatMap(n => LakeColIds.physicalName(curCols, f, n).map(n -> _))
       .toMap
 
+  /** Required columns whose WRITE-TIME type differs from the current
+    * schema (a later widening): the reader upcasts these per row.
+    */
+  private def typesFor(f: LakeFile): Map[String, String] =
+    LakeColIds.fileTypes(curCols, f,
+      required.fields.toSeq.filter(fd =>
+        fd.name != LakeTable.FileColumn && fd.name != LakeTable.PosColumn))
+
   /** Runtime V2 filtering, two flavors:
     *
     *   - row-level ops (`onPlanned` set): Spark first finds which
@@ -1307,13 +1361,15 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     val fields = keyGroupedFields
     if (fields.isEmpty)
       ps.map(f =>
-        LakeInputFile(dir.toString, f.path, f.rows, f.dv, renameFor(f)): InputPartition)
+        LakeInputFile(dir.toString, f.path, f.rows, f.dv, renameFor(f),
+          typesFor(f)): InputPartition)
         .toArray
     else
       ps.groupBy(_.part).toSeq.sortBy(_._1.toString).map { case (tuple, fs) =>
         LakeGroupedInput(
           LakePartitioning.keyValues(fields, tuple, tableSchema).toSeq,
-          fs.map(f => LakeInputFile(dir.toString, f.path, f.rows, f.dv, renameFor(f))))
+          fs.map(f => LakeInputFile(dir.toString, f.path, f.rows, f.dv,
+            renameFor(f), typesFor(f))))
           : InputPartition
       }.toArray
   }
@@ -1345,7 +1401,8 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     files.forall(_.dv.isEmpty) &&
       required.fieldNames.forall(_ != LakeTable.PosColumn) &&
       required.fieldNames.exists(n => n != LakeTable.FileColumn) &&
-      files.forall(f => renameFor(f).nonEmpty)
+      files.forall(f => renameFor(f).nonEmpty) &&
+      files.forall(f => typesFor(f).isEmpty) // widened files upcast row-wise
 
   override def createReaderFactory(): PartitionReaderFactory =
     LakeReaderFactory(tableSchema,
@@ -1361,7 +1418,8 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
 
 case class LakeInputFile(tableDir: String, path: String, rows: Long,
     dv: Option[String] = None,
-    rename: Map[String, String] = Map.empty) extends InputPartition
+    rename: Map[String, String] = Map.empty,
+    fileTypes: Map[String, String] = Map.empty) extends InputPartition
 
 /** One partition TUPLE's files, concatenated — the key-grouped unit
   * behind storage-partitioned joins ([[LakeScan.outputPartitioning]]).
@@ -1439,6 +1497,10 @@ case class LakeReaderFactory(tableSchema: StructType,
         else { val i = pi; pi += 1; i }
       }
     }
+    // the type each decoded column has IN THE FILE (differs from the
+    // table type for columns widened after the file was written)
+    val fileDts: Array[DataType] = required.map { case (n, dt) =>
+      p.fileTypes.get(n).map(LakeParquet.typeOf).getOrElse(dt) }
     val physical = required.collect {
       case (n, _) if p.rename.contains(n) => p.rename(n) }
     val reader =
@@ -1480,7 +1542,8 @@ case class LakeReaderFactory(tableSchema: StructType,
             else if (code == -2) pos
             else if (code == -3) null
             else if (src.isNullAt(code)) null
-            else src.get(code, required(c)._2)
+            else LakeParquet.upcast(
+              src.get(code, fileDts(c)), fileDts(c), required(c)._2)
           c += 1
         }
         new GenericInternalRow(vals)
@@ -1609,7 +1672,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           .flatMap(_.files)
           .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
             cols = LakeColIds.cols(tableSchema, props),
-            part = i.part)).toSeq
+            part = i.part, colTypes = LakeColIds.types(tableSchema))).toSeq
         var done = false
         while (!done) {
           val cur = LakeLog.currentSnapshot(dir).get
@@ -1667,7 +1730,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             .map(i => LakeFile(i.path, i.rows, i.stats, epoch = Some(epochId),
               nulls = i.nulls, query = Some(queryId),
               cols = LakeColIds.cols(tableSchema, props),
-              part = i.part)).toSeq
+              part = i.part, colTypes = LakeColIds.types(tableSchema))).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -1852,7 +1915,8 @@ object LakeProcedures {
       }.collect().toSeq
       .flatMap { case m: LakeFileMessage => m.files }
       .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
-        cols = LakeColIds.cols(snap.schema, snap.props), part = i.part))
+        cols = LakeColIds.cols(snap.schema, snap.props), part = i.part,
+        colTypes = LakeColIds.types(snap.schema)))
     val replaced = snap.files.map(_.path).toSet
     var done = false
     while (!done) {
@@ -2113,7 +2177,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
               .flatMap(_.files)
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(stagedSchema, propsWithIds),
-                part = i.part)).toSeq
+                part = i.part, colTypes = LakeColIds.types(stagedSchema))).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -2265,7 +2329,7 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
             val inserts = ms.flatMap(_.inserts).flatMap(_.files)
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
-                part = i.part)).toSeq
+                part = i.part, colTypes = LakeColIds.types(snapshot.schema))).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false

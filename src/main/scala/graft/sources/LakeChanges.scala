@@ -96,24 +96,29 @@ object LakeChanges {
         .filter(n => n != TypeColumn && n != VersionColumn)
         .flatMap(n => LakeColIds.physicalName(feedCols, f, n).map(n -> _))
         .toMap
+    def fileTypes(f: LakeFile): Map[String, String] =
+      LakeColIds.fileTypes(feedCols, f,
+        required.fields.toSeq.filter(fd =>
+          fd.name != TypeColumn && fd.name != VersionColumn))
     def dvOf(f: LakeFile): Array[Long] =
       f.dv.map(LakeDv.read(dir, _)).getOrElse(Array.emptyLongArray)
     val inserts = added.map(f => LakeChangePartition(
       dir.toString, f.path, f.rows, rename(f), "insert", v,
-      include = None, exclude = dvOf(f)))
+      include = None, exclude = dvOf(f), fileTypes = fileTypes(f)))
     val dvDeletes = cur.files.flatMap { f =>
       prevByPath.get(f.path) match {
         case Some(pf) if pf.dv != f.dv =>
           val newPos = LakeDv.diff(dvOf(f), dvOf(pf))
           if (newPos.isEmpty) None
           else Some(LakeChangePartition(dir.toString, f.path, f.rows,
-            rename(f), "delete", v, include = Some(newPos), exclude = Array.emptyLongArray))
+            rename(f), "delete", v, include = Some(newPos),
+            exclude = Array.emptyLongArray, fileTypes = fileTypes(f)))
         case _ => None
       }
     }
     val dropDeletes = removed.map(f => LakeChangePartition(
       dir.toString, f.path, f.rows, rename(f), "delete", v,
-      include = None, exclude = dvOf(f)))
+      include = None, exclude = dvOf(f), fileTypes = fileTypes(f)))
     inserts ++ dvDeletes ++ dropDeletes
   }
 }
@@ -223,7 +228,8 @@ object LakeVersionOffset {
   */
 case class LakeChangePartition(tableDir: String, path: String, rows: Long,
     rename: Map[String, String], changeType: String, version: Long,
-    include: Option[Array[Long]], exclude: Array[Long]) extends InputPartition
+    include: Option[Array[Long]], exclude: Array[Long],
+    fileTypes: Map[String, String] = Map.empty) extends InputPartition
 
 case class LakeChangesReaderFactory(
     required: Array[(String, DataType)]) extends PartitionReaderFactory {
@@ -239,6 +245,8 @@ case class LakeChangesReaderFactory(
         else { val i = pi; pi += 1; i }
       }
     }
+    val fileDts: Array[DataType] = required.map { case (n, dt) =>
+      p.fileTypes.get(n).map(LakeParquet.typeOf).getOrElse(dt) }
     val physical = required.collect {
       case (n, _) if p.rename.contains(n) => p.rename(n) }
     val reader =
@@ -285,7 +293,8 @@ case class LakeChangesReaderFactory(
             else if (code == -2) p.version
             else if (code == -3) null
             else if (src.isNullAt(code)) null
-            else src.get(code, required(c)._2)
+            else LakeParquet.upcast(
+              src.get(code, fileDts(c)), fileDts(c), required(c)._2)
           c += 1
         }
         new GenericInternalRow(vals)

@@ -109,4 +109,23 @@ object LakeParquet {
     r.initialize(file.toString, columns.asJava)
     r
   }
+
+  /** Parse a recorded write-time type (DataType.simpleString form). */
+  def typeOf(simple: String): DataType = simple match {
+    case "bigint" => LongType
+    case "int" => IntegerType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "boolean" => BooleanType
+    case other => throw new IllegalArgumentException(s"unknown lake column type $other")
+  }
+
+  /** The one supported type-evolution upcast (INT -> BIGINT). */
+  def upcast(v: Any, from: DataType, to: DataType): Any =
+    if (from == to) v
+    else (from, to) match {
+      case (IntegerType, LongType) => v.asInstanceOf[Int].toLong
+      case _ => throw new IllegalStateException(
+        s"unsupported lake type evolution ${from.simpleString} -> ${to.simpleString}")
+    }
 }

@@ -1035,6 +1035,41 @@ class GraftLakeSpec extends AnyFunSuite {
       s"the dim's executed values must prune partitions at runtime:\n$plan")
   }
 
+  test("type widening: ALTER COLUMN INT -> BIGINT upcasts pre-widening files at read") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_widen (id BIGINT, n INT)")
+    spark.range(0, 50)
+      .select($"id", ($"id" % 100).cast("int").as("n"))
+      .coalesce(1).writeTo("lake.db.t_widen").append() // INT-era file
+    spark.sql("ALTER TABLE lake.db.t_widen ALTER COLUMN n TYPE BIGINT")
+    assert(spark.table("lake.db.t_widen").schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // post-widening writes store BIGINT, beyond INT range
+    spark.range(50, 60)
+      .select($"id", ($"id" + 4000000000L).as("n"))
+      .coalesce(1).writeTo("lake.db.t_widen").append()
+    val got = spark.table("lake.db.t_widen").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == (0L until 50L).map(i => (i, i % 100)) ++
+      (50L until 60L).map(i => (i, i + 4000000000L)),
+      "INT-era files must upcast exactly; BIGINT-era files read native")
+    // stats skipping still decides across the widened column
+    val skipped = spark.table("lake.db.t_widen").filter($"n" >= 4000000000L)
+    assert(skipped.queryExecution.executedPlan.toString.contains("files=1/2"))
+    assert(skipped.count() == 10L)
+    // aggregation pushes through (sum over mixed-era files)
+    assert(spark.table("lake.db.t_widen").agg(sum($"n")).head().getLong(0) ==
+      (0L until 50L).map(_ % 100).sum + (50L until 60L).map(_ + 4000000000L).sum)
+    // narrowing and unrelated conversions refuse
+    intercept[Exception](
+      spark.sql("ALTER TABLE lake.db.t_widen ALTER COLUMN n TYPE INT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE lake.db.t_widen ALTER COLUMN n TYPE STRING"))
+    // time travel reads the pre-widening version under its own schema
+    assert(spark.sql("SELECT * FROM lake.db.t_widen VERSION AS OF 1")
+      .schema("n").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
