@@ -1673,9 +1673,26 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
             cols = LakeColIds.cols(tableSchema, props),
             part = i.part, colTypes = LakeColIds.types(tableSchema))).toSeq
+        // IDEMPOTENT writes: with txnAppId/txnVersion options, a commit
+        // whose version the table has already recorded for that app is
+        // a REPLAY (a foreachBatch retry, a restarted driver) — its
+        // files are dropped and nothing commits, so at-least-once
+        // callers get exactly-once table state (Delta's txn options)
+        val txn: Option[(String, Long)] = for {
+          a <- Option(info.options().get("txnAppId"))
+          v <- Option(info.options().get("txnVersion"))
+        } yield (a, v.toLong)
         var done = false
         while (!done) {
           val cur = LakeLog.currentSnapshot(dir).get
+          txn match {
+            case Some((app, v)) if cur.props.get(s"txn.$app").exists(_.toLong >= v) =>
+              LakeWriterFactory.deleteAll(dir.toString, messages)
+              return
+            case _ => ()
+          }
+          val txnProps = txn.fold(cur.props) { case (a, v) =>
+            cur.props + (s"txn.$a" -> v.toString) }
           val base = mode match {
             case Append => cur.files
             case Truncate => Seq.empty
@@ -1696,7 +1713,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               val replaced = written.map(_.part).toSet
               cur.files.filterNot(f => replaced.contains(f.part))
           }
-          done = LakeLog.commit(dir, cur.version, cur.next(base ++ written))
+          done = LakeLog.commit(dir, cur.version,
+            LakeSnapshot(cur.version + 1, cur.schema, base ++ written, txnProps))
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -1070,6 +1070,38 @@ class GraftLakeSpec extends AnyFunSuite {
       .schema("n").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
+  test("idempotent writes: txnAppId/txnVersion make replayed appends no-ops") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_txn (id BIGINT, v BIGINT, s STRING)")
+    def append(lo: Long, hi: Long, txnV: Long): Unit =
+      spark.range(lo, hi).select($"id", $"id".as("v"), lit("t").as("s"))
+        .coalesce(1)
+        .writeTo("lake.db.t_txn")
+        .option("txnAppId", "loader").option("txnVersion", txnV.toString)
+        .append()
+    append(0, 50, 1L)
+    val v1 = LakeLog.currentSnapshot(tableDir("t_txn")).get.version
+    val dataFiles = Files.list(tableDir("t_txn").resolve("data")).count()
+    // the SAME transaction replayed: no rows, no version, no orphans
+    append(0, 50, 1L)
+    assert(spark.table("lake.db.t_txn").count() == 50L, "replay must not duplicate")
+    assert(LakeLog.currentSnapshot(tableDir("t_txn")).get.version == v1,
+      "a skipped replay must not advance the version")
+    assert(Files.list(tableDir("t_txn").resolve("data")).count() == dataFiles,
+      "the replay's files must be cleaned up")
+    // the NEXT transaction lands normally
+    append(50, 80, 2L)
+    assert(spark.table("lake.db.t_txn").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 80L))
+    // an OLDER version is also a replay (watermark, not equality)
+    append(0, 50, 1L)
+    assert(spark.table("lake.db.t_txn").count() == 80L)
+    // untagged writes never consult the watermark
+    spark.range(100, 110).select($"id", $"id".as("v"), lit("u").as("s"))
+      .coalesce(1).writeTo("lake.db.t_txn").append()
+    assert(spark.table("lake.db.t_txn").count() == 90L)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
