@@ -856,6 +856,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     LakePartitioning.toTransforms(LakePartitioning.decode(snapshot.props))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
 
@@ -874,7 +875,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(dir, snapshot, onPlanned = None)
+    new LakeScanBuilder(dir, snapshot, onPlanned = None, options = options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, "cannot write to a time-travel snapshot")
@@ -1161,7 +1162,8 @@ object LakeStats {
 }
 
 class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
-    onPlanned: Option[Seq[String] => Unit])
+    onPlanned: Option[Seq[String] => Unit],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownV2Filters with SupportsPushDownAggregates {
 
@@ -1211,7 +1213,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
           LakeColIds.physicalName(cols, f, _),
           LakePartitioning.resolver(snapshot.props, f)) != LakeStats.None_)
       new LakeScan(dir, snapshot.schema, snapshot.props, cols, live,
-        snapshot.files.size, required, onPlanned)
+        snapshot.files.size, required, onPlanned, options)
     }
 }
 
@@ -1228,10 +1230,30 @@ class LakeCountScan(snapshot: LakeSnapshot) extends org.apache.spark.sql.connect
 class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     curCols: Seq[(String, Long)],
     files: Seq[LakeFile], totalFiles: Int, required: StructType,
-    onPlanned: Option[Seq[String] => Unit])
+    onPlanned: Option[Seq[String] => Unit],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** APPEND-ONLY streaming of the base table
+    * (`spark.readStream.table(...)`): log versions as offsets, each
+    * batch the rows of that version's appended files. Any commit that
+    * deletes or updates rows fails the stream (or skips under
+    * `skipChangeCommits`) — the Delta contract; `<t>__changes` is the
+    * mutation-observing alternative.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    def opt(k: String, dflt: Long): Long =
+      Option(options.get(k)).map(_.toLong).getOrElse(dflt)
+    new LakeChangesStream(dir, curCols, required,
+      startingVersion = opt("startingVersion", 1L),
+      maxVersionsPerTrigger = opt("maxVersionsPerTrigger", Long.MaxValue),
+      skipChangeCommits =
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      appendOnly = true)
+  }
 
   /** KEY-GROUPED exposure for storage-partitioned joins: when the
     * table is identity-partitioned, the partition columns survive

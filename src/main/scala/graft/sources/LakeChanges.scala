@@ -71,9 +71,16 @@ object LakeChanges {
   /** Table-name suffix that routes `loadTable` to the feed. */
   val Suffix = "__changes"
 
-  /** Change partitions for ONE version transition `v-1 -> v`. */
+  /** Change partitions for ONE version transition `v-1 -> v`.
+    * `appendOnly` is the BASE-table streaming contract: only appended
+    * files may emit; any delete-vector growth or file removal is a
+    * data CHANGE the stream cannot represent and fails (or skips,
+    * under `skipChangeCommits`) — stream `<t>__changes` to observe
+    * mutations as rows.
+    */
   def partitionsFor(dir: Path, feedCols: Seq[(String, Long)],
-      required: StructType, v: Long, skipChangeCommits: Boolean): Seq[LakeChangePartition] = {
+      required: StructType, v: Long, skipChangeCommits: Boolean,
+      appendOnly: Boolean = false): Seq[LakeChangePartition] = {
     val prev =
       if (v == 0L) LakeSnapshot(-1L, StructType(Nil), Seq.empty)
       else LakeLog.snapshotAt(dir, v - 1).getOrElse(throw new IllegalStateException(
@@ -105,6 +112,18 @@ object LakeChanges {
     val inserts = added.map(f => LakeChangePartition(
       dir.toString, f.path, f.rows, rename(f), "insert", v,
       include = None, exclude = dvOf(f), fileTypes = fileTypes(f)))
+    if (appendOnly) {
+      val changed = removed.nonEmpty ||
+        cur.files.exists(f => prevByPath.get(f.path).exists(_.dv != f.dv))
+      if (changed) {
+        if (skipChangeCommits) return Seq.empty
+        throw new UnsupportedOperationException(
+          s"graftlake: version $v deletes or updates rows — streaming the " +
+            "base table is append-only; stream <table>__changes to observe " +
+            "mutations, or set skipChangeCommits=true to skip them")
+      }
+      return inserts
+    }
     val dvDeletes = cur.files.flatMap { f =>
       prevByPath.get(f.path) match {
         case Some(pf) if pf.dv != f.dv =>
@@ -125,7 +144,8 @@ object LakeChanges {
 
 /** Batch half: all changes in `[startingVersion, endingVersion]`. */
 class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
-    required: StructType, options: CaseInsensitiveStringMap)
+    required: StructType, options: CaseInsensitiveStringMap,
+    appendOnly: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics {
 
   private def opt(k: String, dflt: Long): Long =
@@ -142,7 +162,8 @@ class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
     val from = opt("startingVersion", 1L)
     val to = math.min(opt("endingVersion", head), head)
     (from to to).flatMap(v =>
-      LakeChanges.partitionsFor(dir, feedCols, required, v, skipChangeCommits))
+      LakeChanges.partitionsFor(dir, feedCols, required, v, skipChangeCommits,
+        appendOnly))
       .map(p => p: InputPartition).toArray
   }
 
@@ -158,7 +179,8 @@ class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
     new LakeChangesStream(dir, feedCols, required,
       startingVersion = opt("startingVersion", 1L),
       maxVersionsPerTrigger = opt("maxVersionsPerTrigger", Long.MaxValue),
-      skipChangeCommits = skipChangeCommits)
+      skipChangeCommits = skipChangeCommits,
+      appendOnly = appendOnly)
 }
 
 /** Streaming half: offsets are LOG VERSIONS; a batch (start, end]
@@ -166,7 +188,7 @@ class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
   */
 class LakeChangesStream(dir: Path, feedCols: Seq[(String, Long)],
     required: StructType, startingVersion: Long, maxVersionsPerTrigger: Long,
-    skipChangeCommits: Boolean)
+    skipChangeCommits: Boolean, appendOnly: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   @volatile private var preparedHead: Option[Long] = None
@@ -186,7 +208,10 @@ class LakeChangesStream(dir: Path, feedCols: Seq[(String, Long)],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val bound = preparedHead.getOrElse(head)
     val s = start.asInstanceOf[LakeVersionOffset].version
-    LakeVersionOffset(math.min(bound, s + maxVersionsPerTrigger))
+    // overflow-safe admission: advance by at most maxVersionsPerTrigger
+    // but never past (or below) the bound — `s + Long.MaxValue` wraps
+    val step = math.min(maxVersionsPerTrigger, math.max(0L, bound - s))
+    LakeVersionOffset(s + step)
   }
 
   override def reportLatestOffset(): Offset = LakeVersionOffset(head)
@@ -195,7 +220,8 @@ class LakeChangesStream(dir: Path, feedCols: Seq[(String, Long)],
     val s = start.asInstanceOf[LakeVersionOffset].version
     val e = end.asInstanceOf[LakeVersionOffset].version
     ((s + 1) to e).flatMap(v =>
-      LakeChanges.partitionsFor(dir, feedCols, required, v, skipChangeCommits))
+      LakeChanges.partitionsFor(dir, feedCols, required, v, skipChangeCommits,
+        appendOnly))
       .map(p => p: InputPartition).toArray
   }
 

@@ -1102,6 +1102,61 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(spark.table("lake.db.t_txn").count() == 90L)
   }
 
+  test("streaming READ of the base table: append-only tail, data changes fail the stream") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_tail (id BIGINT, v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    for (b <- 0 until 3)
+      spark.range(b * 10L, (b + 1) * 10L)
+        .select($"id", $"id".as("v"), lit(s"b$b").as("s"))
+        .coalesce(1).writeTo("lake.db.t_tail").append()
+    val out = Files.createTempDirectory("tail-out").toString
+    val ckpt = Files.createTempDirectory("tail-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("lake.db.t_tail")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 30L), "the tail must replay every appended row once")
+    // appends after the drain resume from the checkpointed version
+    spark.range(30, 35).select($"id", $"id".as("v"), lit("b3").as("s"))
+      .coalesce(1).writeTo("lake.db.t_tail").append()
+    drain()
+    assert(spark.read.parquet(out).count() == 35L)
+    // a data CHANGE (MOR delete) breaks the append-only contract
+    spark.sql("DELETE FROM lake.db.t_tail WHERE id = 7")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(err.getMessage.contains("append-only") ||
+      Option(err.getCause).exists(_.getMessage.contains("append-only")),
+      s"the failure must name the contract: ${err.getMessage}")
+    // skipChangeCommits tails past the mutation
+    val q2 = spark.readStream.option("skipChangeCommits", "true")
+      .table("lake.db.t_tail")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    spark.range(35, 40).select($"id", $"id".as("v"), lit("b4").as("s"))
+      .coalesce(1).writeTo("lake.db.t_tail").append()
+    val q3 = spark.readStream.option("skipChangeCommits", "true")
+      .table("lake.db.t_tail")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    assert(spark.read.parquet(out).count() == 40L,
+      "skipped mutation commits emit nothing; later appends still tail")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
