@@ -602,11 +602,13 @@ object LakeLog {
   private def listLog(dir: Path, prefix: String): Seq[Long] = {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) Seq.empty
-    else Files.list(ld).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith(prefix) && s.endsWith(".json") =>
-        s.stripPrefix(prefix).stripSuffix(".json").toLong }
-      .toSeq
+    else scala.util.Using.resource(Files.list(ld)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith(prefix) && s.endsWith(".json") =>
+          s.stripPrefix(prefix).stripSuffix(".json").toLong }
+        .toSeq
+    }
   }
 
   def currentVersion(dir: Path): Option[Long] = listLog(dir, "v").maxOption
@@ -1248,7 +1250,8 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     def opt(k: String, dflt: Long): Long =
       Option(options.get(k)).map(_.toLong).getOrElse(dflt)
     new LakeChangesStream(dir, curCols, required,
-      startingVersion = opt("startingVersion", 1L),
+      // default 0, not 1: CTAS/RTAS commit their data files AT v0
+      startingVersion = opt("startingVersion", 0L),
       maxVersionsPerTrigger = opt("maxVersionsPerTrigger", Long.MaxValue),
       skipChangeCommits =
         Option(options.get("skipChangeCommits")).exists(_.toBoolean),
@@ -2129,10 +2132,12 @@ object LakeProcedures {
             val headMtime = Files.getLastModifiedTime(
               dir.resolve("_log").resolve(f"v$head%08d.json")).toMillis
             val dataDir = dir.resolve("data")
-            val deletable = Files.list(dataDir).iterator().asScala
-              .filter(p => !referenced.contains("data/" + p.getFileName.toString))
-              .filter(p => Files.getLastModifiedTime(p).toMillis < headMtime)
-              .toSeq
+            val deletable = scala.util.Using.resource(Files.list(dataDir)) {
+              _.iterator().asScala
+                .filter(p => !referenced.contains("data/" + p.getFileName.toString))
+                .filter(p => Files.getLastModifiedTime(p).toMillis < headMtime)
+                .toSeq
+            }
             deletable.foreach(Files.delete)
             val prunedVersions = LakeLog.pruneBelow(dir, floor)
             out(StructType(Seq(

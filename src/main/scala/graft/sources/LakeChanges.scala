@@ -159,7 +159,8 @@ class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val head = LakeLog.currentVersion(dir).getOrElse(-1L)
-    val from = opt("startingVersion", 1L)
+    // default 0, not 1: CTAS/RTAS commit their data files AT v0
+    val from = opt("startingVersion", 0L)
     val to = math.min(opt("endingVersion", head), head)
     (from to to).flatMap(v =>
       LakeChanges.partitionsFor(dir, feedCols, required, v, skipChangeCommits,
@@ -177,7 +178,7 @@ class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeChangesStream(dir, feedCols, required,
-      startingVersion = opt("startingVersion", 1L),
+      startingVersion = opt("startingVersion", 0L),
       maxVersionsPerTrigger = opt("maxVersionsPerTrigger", Long.MaxValue),
       skipChangeCommits = skipChangeCommits,
       appendOnly = appendOnly)

@@ -42,6 +42,11 @@ object LakePartitioning {
     def bucketOf(v: Any): Int = v match {
       case l: Long => Math.floorMod(l, n.toLong).toInt
       case i: Int => Math.floorMod(i.toLong, n.toLong).toInt
+      // V2 filter literals arrive as UTF8String while the write path
+      // buckets on java String — hash the SAME representation or
+      // pruning drops the file that actually holds the value.
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        Math.floorMod(s.toString.hashCode.toLong, n.toLong).toInt
       case other => Math.floorMod(other.hashCode.toLong, n.toLong).toInt
     }
     override def eval(v: Any): Option[String] =

@@ -782,6 +782,30 @@ class GraftLakeSpec extends AnyFunSuite {
       "with skipChangeCommits the appends still stream, rewrites skip")
   }
 
+  test("change feed includes CTAS's version-0 data under the default startingVersion") {
+    import spark.implicits._
+    // CTAS commits its data files AT version 0 — a default that starts
+    // the feed at version 1 silently omits the initial data
+    spark.sql("CREATE TABLE lake.db.t_ctas_feed AS " +
+      "SELECT id, id * 2 AS v FROM range(20)")
+    val got = spark.read.table("lake.db.t_ctas_feed__changes")
+      .select($"id", col("_change_type"), col("_commit_version")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == (0L until 20L).map(i => (i, "insert", 0L)),
+      s"the feed must replay the CTAS rows at version 0, got $got")
+    // streaming the base table likewise tails from version 0
+    val out = Files.createTempDirectory("ctas-tail-out").toString
+    val ckpt = Files.createTempDirectory("ctas-tail-ckpt").toString
+    val q = spark.readStream.table("lake.db.t_ctas_feed")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 20L), "the base-table tail must include the CTAS data")
+  }
+
   test("compaction preserves the declared clusterBy/sortBy layout") {
     import spark.implicits._
     spark.sql(
@@ -937,6 +961,36 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(hit.queryExecution.executedPlan.toString.contains("files=1/4"),
       s"bucket pruning must bite:\n${hit.queryExecution.executedPlan}")
     assert(hit.collect().map(_.getString(1)).toSeq == Seq("p10"))
+  }
+
+  test("bucket(n, stringCol) pruning: filter literal buckets like the write path") {
+    import spark.implicits._
+    // the V2 filter literal arrives as UTF8String while the writer
+    // bucketed on java String — a representation-dependent hash would
+    // prune the file that actually holds the value (silent data loss)
+    spark.sql(
+      """CREATE TABLE lake.db.t_bucketed_s (name STRING, v BIGINT)
+        |PARTITIONED BY (bucket(4, name))""".stripMargin)
+    val names = (0 until 40).map(i => s"user-$i")
+    names.zipWithIndex.toDF("name", "v")
+      .select($"name", $"v".cast("bigint").as("v"))
+      .coalesce(1)
+      .writeTo("lake.db.t_bucketed_s").append()
+    val snap = LakeLog.currentSnapshot(tableDir("t_bucketed_s")).get
+    assert(snap.files.size > 1, "40 names must spread over several buckets")
+    for (probe <- Seq("user-0", "user-17", "user-39")) {
+      val hit = spark.table("lake.db.t_bucketed_s").filter($"name" === probe)
+      assert(hit.collect().map(_.getLong(1)).toSeq ==
+        Seq(names.indexOf(probe).toLong),
+        s"equality on $probe must return its row (bucket hash mismatch?)")
+      val plan = hit.queryExecution.executedPlan.toString
+      assert(plan.contains(s"files=1/${snap.files.size}"),
+        s"equality on $probe must prune to the one matching bucket:\n$plan")
+    }
+    // IN-list over string buckets prunes to the union of their buckets
+    val in2 = spark.table("lake.db.t_bucketed_s")
+      .filter($"name".isin("user-3", "user-21"))
+    assert(in2.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 21L))
   }
 
   test("storage-partitioned join: co-partitioned lake tables join with no shuffle") {
