@@ -324,6 +324,16 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           // INT type and upcast at read
           schema = StructType(
             schema.fields.updated(i, schema.fields(i).copy(dataType = LongType)))
+        case set: TableChange.SetProperty =>
+          require(!LakeTable.ReservedProps(set.property) &&
+            !set.property.startsWith("txn."),
+            s"graftlake: property ${set.property} is format-internal")
+          props = props + (set.property -> set.value)
+        case rm: TableChange.RemoveProperty =>
+          require(!LakeTable.ReservedProps(rm.property) &&
+            !rm.property.startsWith("txn."),
+            s"graftlake: property ${rm.property} is format-internal")
+          props = props - rm.property
         case other => throw new UnsupportedOperationException(
           s"graftlake: unsupported ALTER TABLE change $other")
       }
@@ -844,6 +854,11 @@ object LakeTable {
     * stable under delete vectors, which SKIP positions, never renumber).
     */
   val PosColumn = "_pos"
+  /** Format-internal table properties ALTER TABLE may not touch
+    * (`txn.*` idempotence watermarks are likewise reserved).
+    */
+  val ReservedProps: Set[String] =
+    Set("colids", "maxcolid", LakePartitioning.PropKey)
 }
 
 class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
@@ -1411,23 +1426,31 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
         planned.map(_.part).distinct.size)
   }
 
-  /** COLUMNAR whenever every file is dv-free, no per-row ordinal is
-    * requested, and every file physically holds at least one required
-    * data column (the batch needs a decoded column for row counts;
-    * added columns null-fill as constant vectors): batches flow
-    * straight from the vectorized parquet decoder (with `_file` as a
-    * constant appended vector) into Spark's ColumnarToRow.
-    * Delete-vectored files and `_pos` projections take the row path,
-    * where position tracking and dv skipping live. The answer must be
-    * uniform across partitions (Spark plans one exec for the scan), so
-    * one dv'd file de-vectorizes the scan.
+  /** COLUMNAR whenever no per-row ordinal is requested and every file
+    * physically holds at least one required data column (the batch
+    * needs a decoded column for row counts; added columns null-fill as
+    * constant vectors): batches flow straight from the vectorized
+    * parquet decoder (with `_file` as a constant appended vector) into
+    * Spark's ColumnarToRow. Delete-vectored files stay columnar — the
+    * reader applies the vector INSIDE the batch via a live-row
+    * selection view ([[LakeSelectVector]]), so a MOR table under
+    * continuous deletes keeps the vectorized path; likewise files
+    * written before an INT→BIGINT widening upcast vector-wise. Only
+    * `_pos` projections take the row path (per-row ordinal tracking),
+    * and the answer stays uniform across partitions (Spark plans one
+    * exec for the scan).
     */
   private def columnarPossible: Boolean =
-    files.forall(_.dv.isEmpty) &&
-      required.fieldNames.forall(_ != LakeTable.PosColumn) &&
+    required.fieldNames.forall(_ != LakeTable.PosColumn) &&
       required.fieldNames.exists(n => n != LakeTable.FileColumn) &&
       files.forall(f => renameFor(f).nonEmpty) &&
-      files.forall(f => typesFor(f).isEmpty) // widened files upcast row-wise
+      files.forall(f => typesFor(f).forall { case (c, t) =>
+        // defensive: the selection view widens INT→BIGINT only (the one
+        // evolution ALTER admits); anything else drops to the row path
+        LakeParquet.typeOf(t) == org.apache.spark.sql.types.IntegerType &&
+          required.fields.find(_.name == c).forall(_.dataType ==
+            org.apache.spark.sql.types.LongType)
+      })
 
   override def createReaderFactory(): PartitionReaderFactory =
     LakeReaderFactory(tableSchema,
@@ -1461,7 +1484,11 @@ case class LakeGroupedInput(key: Seq[Any], files: Seq[LakeInputFile])
   *     batches are re-exposed in the scan's column order, with `_file`
   *     appended as a constant vector via the reader's own
   *     partition-column mechanism — zero copies, straight into
-  *     whole-stage codegen through ColumnarToRow.
+  *     whole-stage codegen through ColumnarToRow. Delete vectors are
+  *     read task-side and applied per batch as a live-row index
+  *     selection ([[LakeSelectVector]]); INT→BIGINT-widened files
+  *     upcast through the same view — MOR tables and evolved schemas
+  *     stay on the vectorized path.
   *   - **Row** ([[createReader]]): same vectorized decoder iterated
   *     row-wise, tracking the physical ordinal for `_pos` and skipping
   *     delete-vector positions with a single merge cursor over the
@@ -1584,7 +1611,12 @@ case class LakeReaderFactory(tableSchema: StructType,
       case _ => ()
     }
     val p = partition.asInstanceOf[LakeInputFile]
-    require(p.dv.isEmpty, "columnar read path never sees delete-vectored files")
+    // the delete vector (if any) is read TASK-side and applied inside
+    // the batch as a live-row selection — the scan stays columnar on a
+    // MOR table under continuous deletes
+    val dv: Array[Long] = p.dv
+      .map(LakeDv.read(Paths.get(p.tableDir), _))
+      .getOrElse(Array.emptyLongArray)
     // decoded columns = required data columns present in the file;
     // everything else (_file, columns added after this file was
     // written) becomes a CONSTANT vector via the reader's own
@@ -1612,11 +1644,53 @@ case class LakeReaderFactory(tableSchema: StructType,
         else { val i = present.length + ci; ci += 1; i }
       }
     }
-    val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(perm.map(inner.column))
+    // wrap decoded columns that need the dv selection and/or the
+    // INT→BIGINT widening view; constants are index-independent and
+    // widened files' post-evolution columns pass through untouched
+    val sel = new LakeSelection
+    val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+      perm.zipWithIndex.map { case (innerIdx, c) =>
+        val v = inner.column(innerIdx)
+        val isData = innerIdx < present.length
+        val widen = isData && p.fileTypes.get(required(c)._1)
+          .exists(t => LakeParquet.typeOf(t) != required(c)._2)
+        if (isData && (dv.nonEmpty || widen))
+          new LakeSelectVector(v, required(c)._2, sel)
+        else v
+      }
+    val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(cols)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      override def next(): Boolean = reader.nextBatch()
+      private var fileOffset = 0L // file-absolute position of batch start
+      private var dvIdx = 0
+      private var outRows = 0
+      override def next(): Boolean = {
+        val more = reader.nextBatch()
+        if (more) {
+          val n = inner.numRows
+          if (dv.isEmpty) outRows = n
+          else {
+            // compact this batch's live rows into a selection map:
+            // one merge pass over the SORTED vector, O(n + dv-in-range)
+            while (dvIdx < dv.length && dv(dvIdx) < fileOffset) dvIdx += 1
+            val live = new Array[Int](n)
+            var w = 0
+            var i = 0
+            var di = dvIdx
+            while (i < n) {
+              if (di < dv.length && dv(di) == fileOffset + i) di += 1
+              else { live(w) = i; w += 1 }
+              i += 1
+            }
+            dvIdx = di
+            outRows = w
+            sel.map = if (w == n) null else live
+          }
+          fileOffset += n
+        }
+        more
+      }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
-        batch.setNumRows(inner.numRows)
+        batch.setNumRows(outRows)
         batch
       }
       override def close(): Unit = reader.close()

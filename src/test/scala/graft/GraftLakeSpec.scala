@@ -504,7 +504,7 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(cat2.listViews("db").isEmpty)
   }
 
-  test("vectorized read: plain scans are columnar (ColumnarToRow), _pos and dv'd scans row-based") {
+  test("vectorized read: plain scans are columnar (ColumnarToRow), _pos scans row-based") {
     import spark.implicits._
     val t = seeded("t_columnar")
     val plain = spark.table(s"lake.db.$t").filter($"id" >= 30L)
@@ -521,16 +521,74 @@ class GraftLakeSpec extends AnyFunSuite {
       "_pos projections must take the row path")
     assert(withPos.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
       (0L until 100L).map(i => (i, i % 25)))
-    // a delete-vectored file de-vectorizes the scan but reads exact
+  }
+
+  test("MOR deletes stay columnar: dv applied inside the batch, exec shape unchanged by DELETE") {
+    import spark.implicits._
+    // a 100-TB MOR table under continuous deletes must NOT fall off the
+    // vectorized path the moment one file carries a delete vector
     spark.sql("CREATE TABLE lake.db.t_colmor (id BIGINT, v BIGINT, s STRING) " +
       "TBLPROPERTIES ('mode' = 'mor')")
     spark.range(0, 50).select($"id", ($"id" * 2L).as("v"), lit("x").as("s"))
       .coalesce(1).writeTo("lake.db.t_colmor").append()
+    def planOf() = spark.table("lake.db.t_colmor")
+      .queryExecution.executedPlan.toString
+    val before = planOf()
+    assert(before.contains("ColumnarToRow"))
     spark.sql("DELETE FROM lake.db.t_colmor WHERE id % 5 = 0")
-    val morScan = spark.table("lake.db.t_colmor")
-    assert(!morScan.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
-    assert(morScan.collect().map(_.getLong(0)).sorted.toSeq ==
-      (0L until 50L).filter(_ % 5 != 0))
+    val after = planOf()
+    assert(after.contains("ColumnarToRow"),
+      s"a delete-vectored file must stay on the columnar path:\n$after")
+    assert(spark.table("lake.db.t_colmor").collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until 50L).filter(_ % 5 != 0))
+    // a second delete grows the vector; batch-edge positions included
+    spark.sql("DELETE FROM lake.db.t_colmor WHERE id >= 45 OR id = 1")
+    val live = (0L until 50L).filter(i => i % 5 != 0 && i != 1 && i < 45)
+    assert(spark.table("lake.db.t_colmor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      live.map(i => (i, i * 2L)))
+    // aggregates over the selection view stay exact
+    assert(spark.table("lake.db.t_colmor").agg(sum($"v")).head().getLong(0) ==
+      live.map(_ * 2L).sum)
+    assert(spark.table("lake.db.t_colmor").count() == live.size.toLong)
+    // _pos over a dv'd file still takes the row path and skips deletes
+    val withPos = spark.table("lake.db.t_colmor").select($"id", col("_pos"))
+    assert(!withPos.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(withPos.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      live.map(i => (i, i)))
+    // delete EVERY remaining row via the dv path (string predicate is
+    // not stats-decidable, so the file survives with a full vector):
+    // the selection empties each batch rather than dropping the file
+    spark.sql("DELETE FROM lake.db.t_colmor WHERE s = 'x'")
+    assert(filePaths("t_colmor").nonEmpty, "dv delete must keep the file")
+    assert(spark.table("lake.db.t_colmor").count() == 0L)
+    assert(spark.table("lake.db.t_colmor").collect().isEmpty)
+  }
+
+  test("type-widened files stay columnar: INT-era vectors upcast through the view") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_widecol (id BIGINT, n INT)")
+    spark.range(0, 40)
+      .select($"id", ($"id" % 7).cast("int").as("n"))
+      .coalesce(1).writeTo("lake.db.t_widecol").append() // INT-era file
+    spark.sql("ALTER TABLE lake.db.t_widecol ALTER COLUMN n TYPE BIGINT")
+    spark.range(40, 50)
+      .select($"id", ($"id" + 5000000000L).as("n"))
+      .coalesce(1).writeTo("lake.db.t_widecol").append() // BIGINT-era file
+    val df = spark.table("lake.db.t_widecol")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"mixed-era files must stay vectorized:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      (0L until 40L).map(i => (i, i % 7)) ++
+        (40L until 50L).map(i => (i, i + 5000000000L)))
+    // widening + MOR delete composes: selection AND upcast in one view
+    spark.sql("ALTER TABLE lake.db.t_widecol SET TBLPROPERTIES ('mode' = 'mor')")
+    spark.sql("DELETE FROM lake.db.t_widecol WHERE id % 2 = 0")
+    val df2 = spark.table("lake.db.t_widecol")
+    assert(df2.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df2.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      (0L until 40L).filter(_ % 2 == 1).map(i => (i, i % 7)) ++
+        (40L until 50L).filter(_ % 2 == 1).map(i => (i, i + 5000000000L)))
   }
 
   test("metadata delete refuses files whose predicate column holds NULLs") {
