@@ -107,11 +107,13 @@ object LakeChanges {
       LakeColIds.fileTypes(feedCols, f,
         required.fields.toSeq.filter(fd =>
           fd.name != TypeColumn && fd.name != VersionColumn))
-    def dvOf(f: LakeFile): Array[Long] =
-      f.dv.map(LakeDv.read(dir, _)).getOrElse(Array.emptyLongArray)
+    // dv SIDECAR PATHS only — the vectors themselves are read in the
+    // TASK ([[LakeChangesReaderFactory]]), so planning stays O(files)
+    // driver memory and a million-row DELETE ships bytes-constant
+    // partition payloads instead of embedded position arrays
     val inserts = added.map(f => LakeChangePartition(
       dir.toString, f.path, f.rows, rename(f), "insert", v,
-      include = None, exclude = dvOf(f), fileTypes = fileTypes(f)))
+      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypes(f)))
     if (appendOnly) {
       val changed = removed.nonEmpty ||
         cur.files.exists(f => prevByPath.get(f.path).exists(_.dv != f.dv))
@@ -127,17 +129,18 @@ object LakeChanges {
     val dvDeletes = cur.files.flatMap { f =>
       prevByPath.get(f.path) match {
         case Some(pf) if pf.dv != f.dv =>
-          val newPos = LakeDv.diff(dvOf(f), dvOf(pf))
-          if (newPos.isEmpty) None
-          else Some(LakeChangePartition(dir.toString, f.path, f.rows,
-            rename(f), "delete", v, include = Some(newPos),
-            exclude = Array.emptyLongArray, fileTypes = fileTypes(f)))
+          // the task reads both sidecars and sorted-merge-diffs them;
+          // dv growth is monotone outside rewrite commits, so a
+          // changed reference always carries new positions
+          Some(LakeChangePartition(dir.toString, f.path, f.rows,
+            rename(f), "delete", v, dv = f.dv, prevDv = pf.dv,
+            emitDiff = true, fileTypes = fileTypes(f)))
         case _ => None
       }
     }
     val dropDeletes = removed.map(f => LakeChangePartition(
       dir.toString, f.path, f.rows, rename(f), "delete", v,
-      include = None, exclude = dvOf(f), fileTypes = fileTypes(f)))
+      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypes(f)))
     inserts ++ dvDeletes ++ dropDeletes
   }
 }
@@ -249,13 +252,16 @@ object LakeVersionOffset {
 }
 
 /** One change partition: the rows of ONE data file contributing to ONE
-  * version's change set. `include` = exact positions to emit (dv-growth
-  * deletes); otherwise every position except `exclude` (inserts, and
-  * whole-file deletes minus the pre-existing vector).
+  * version's change set. Carries only the dv sidecar PATHS — O(1)
+  * payload regardless of delete size; the reader loads them task-side.
+  * `emitDiff = true` emits exactly the positions of `dv` absent from
+  * `prevDv` (dv-growth deletes); otherwise every position except those
+  * in `dv` (inserts, and whole-file deletes minus the pre-existing
+  * vector).
   */
 case class LakeChangePartition(tableDir: String, path: String, rows: Long,
     rename: Map[String, String], changeType: String, version: Long,
-    include: Option[Array[Long]], exclude: Array[Long],
+    dv: Option[String], prevDv: Option[String], emitDiff: Boolean,
     fileTypes: Map[String, String] = Map.empty) extends InputPartition
 
 case class LakeChangesReaderFactory(
@@ -263,6 +269,14 @@ case class LakeChangesReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeChangePartition]
+    val tdir = Paths.get(p.tableDir)
+    def readDv(rel: Option[String]): Array[Long] =
+      rel.map(LakeDv.read(tdir, _)).getOrElse(Array.emptyLongArray)
+    // task-side dv materialization: planning shipped only the paths
+    val dvCur = readDv(p.dv)
+    val include: Option[Array[Long]] =
+      if (p.emitDiff) Some(LakeDv.diff(dvCur, readDv(p.prevDv))) else None
+    val exclude: Array[Long] = if (p.emitDiff) Array.emptyLongArray else dvCur
     val codes = {
       var pi = 0
       required.map { case (n, _) =>
@@ -281,7 +295,6 @@ case class LakeChangesReaderFactory(
       else LakeParquet.openVectorized(
         Paths.get(p.tableDir).resolve(p.path), physical.toSeq)
     val typeValue = UTF8String.fromString(p.changeType)
-    val include = p.include.map { a => java.util.Arrays.sort(a); a }
     new PartitionReader[InternalRow] {
       private var pos = -1L
       private var cursor = 0
@@ -290,8 +303,8 @@ case class LakeChangesReaderFactory(
           while (cursor < inc.length && inc(cursor) < i) cursor += 1
           cursor < inc.length && inc(cursor) == i
         case None =>
-          while (cursor < p.exclude.length && p.exclude(cursor) < i) cursor += 1
-          !(cursor < p.exclude.length && p.exclude(cursor) == i)
+          while (cursor < exclude.length && exclude(cursor) < i) cursor += 1
+          !(cursor < exclude.length && exclude(cursor) == i)
       }
       override def next(): Boolean =
         if (reader == null) {

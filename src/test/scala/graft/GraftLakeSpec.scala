@@ -661,6 +661,37 @@ class GraftLakeSpec extends AnyFunSuite {
       (0L until 30000L).filter(_ % 3 == 2))
   }
 
+  test("change feed planning ships dv paths, not positions: payload O(1) at 100k deletes") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_feedpayload (id BIGINT, v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    spark.range(0, 300000).select($"id", ($"id" * 2L).as("v"), lit("z").as("s"))
+      .coalesce(1).writeTo("lake.db.t_feedpayload").append() // v1
+    spark.sql("DELETE FROM lake.db.t_feedpayload WHERE id % 3 != 0") // v2: 200k dv
+    val dir = tableDir("t_feedpayload")
+    val snap = LakeLog.currentSnapshot(dir).get
+    val cols = graft.sources.LakeColIds.cols(snap.schema, snap.props)
+    val parts = graft.sources.LakeChanges.partitionsFor(
+      dir, cols, spark.table("lake.db.t_feedpayload__changes").schema,
+      v = 2L, skipChangeCommits = false)
+    assert(parts.nonEmpty)
+    // a 200k-row delete must not embed its positions in the partition:
+    // planning stays O(files) driver memory, tasks read the sidecars
+    for (p <- parts) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(p); oos.close()
+      assert(bos.size() < 8192,
+        s"partition payload must be O(1), got ${bos.size()} bytes for $p")
+    }
+    // and the task-side diff still yields the exact change rows
+    val changes = spark.read.table("lake.db.t_feedpayload__changes")
+      .where(col("_commit_version") === 2L)
+    assert(changes.count() == 200000L)
+    assert(changes.agg(sum($"id")).head().getLong(0) ==
+      (0L until 300000L).filter(_ % 3 != 0).sum)
+  }
+
   test("MOR commit rejects a concurrently moved delete vector (lost-update guard)") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_dvrace (id BIGINT, v BIGINT, s STRING) " +
