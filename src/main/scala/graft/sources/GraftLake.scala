@@ -75,7 +75,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     rewrites one file, not the table.
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog with StagingTableCatalog with ViewCatalog {
+  with ProcedureCatalog with StagingTableCatalog with ViewCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = "graftlake"
   private var warehouse: Path = _
@@ -357,6 +358,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graftlake: RENAME TABLE not supported")
+
+  // -- FunctionCatalog face: Spark resolves a reported bucket(n, col)
+  // partitioning by loading "bucket" (empty namespace) from the
+  // TABLE's catalog; exposing it here is what lets bucket-partitioned
+  // tables storage-partition-join shuffle-free --
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") LakeBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // -- minimal namespace support (directories under the warehouse) --
   override def listNamespaces(): Array[Array[String]] =
@@ -1274,9 +1287,10 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
   }
 
   /** KEY-GROUPED exposure for storage-partitioned joins: when the
-    * table is identity-partitioned, the partition columns survive
-    * pruning, every file carries its tuple, and the session opted into
-    * v2 bucketing, the scan plans ONE partition per partition tuple
+    * table is partitioned (identity or bucket), the partition source
+    * columns survive pruning, every file carries its tuple, and the
+    * session opted into v2 bucketing, the scan plans ONE partition per
+    * partition tuple
     * (all its files concatenated) and reports
     * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
     * — two lake tables partitioned the same way equi-join on the
@@ -1287,9 +1301,10 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     */
   private def keyGroupedFields: Seq[LakePartitioning.Field] = {
     val fields = LakePartitioning.decode(props)
+    // bucket transforms are reportable too: they resolve through the
+    // catalog's FunctionCatalog face ([[LakeBucketUnbound]])
     val ok = onPlanned.isEmpty &&
       fields.nonEmpty &&
-      fields.forall(_.isInstanceOf[LakePartitioning.Identity]) &&
       fields.forall(f => required.fieldNames.contains(f.col)) &&
       files.forall(_.part.nonEmpty) &&
       org.apache.spark.sql.internal.SQLConf.get

@@ -163,3 +163,51 @@ object LakePartitioning {
     else new Resolver(fields, f.part)
   }
 }
+
+/** The `bucket` V2 FUNCTION of the lake format, exposed through
+  * [[GraftLakeCatalog]]'s FunctionCatalog face. Spark resolves a
+  * reported `bucket(n, col)` partitioning into a `TransformExpression`
+  * by loading THIS function from the table's own catalog — without it
+  * the transform silently drops and storage-partitioned joins between
+  * bucket-partitioned tables never engage. Join-side compatibility is
+  * decided by `canonicalName` + bucket count equality, and the math
+  * here is byte-identical to [[LakePartitioning.Bucket.bucketOf]] (the
+  * write path), so the reported key groups are exactly the stored
+  * file tuples.
+  */
+object LakeBucketUnbound extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n INT, col) -> INT: the lake partition transform " +
+      "(floorMod of the long value / String.hashCode, matching the write path)"
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket takes (numBuckets INT, col), got ${inputType.simpleString}")
+    val ok = inputType(0).dataType == IntegerType && (inputType(1).dataType match {
+      case LongType | IntegerType | StringType => true
+      case _ => false
+    })
+    require(ok, s"bucket supports BIGINT/INT/STRING columns, " +
+      s"got ${inputType.simpleString}")
+    LakeBucketFunction(inputType(1).dataType)
+  }
+}
+
+case class LakeBucketFunction(colType: DataType)
+  extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graftlake.bucket"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
+  override def resultType(): DataType = IntegerType
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(1)) return null
+    val n = input.getInt(0)
+    val h = colType match {
+      case LongType => input.getLong(1)
+      case IntegerType => input.getInt(1).toLong
+      case StringType => input.getUTF8String(1).toString.hashCode.toLong
+    }
+    Math.floorMod(h, n.toLong).toInt
+  }
+}

@@ -1123,6 +1123,45 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned join over bucket(n, col): FunctionCatalog resolves the transform, no shuffle") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_spjb_fact (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE lake.db.t_spjb_dim (k BIGINT, factor BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.range(0, 500)
+      .select(($"id" % 40L).as("k"), ($"id" * 3L).as("v"))
+      .repartition(4)
+      .writeTo("lake.db.t_spjb_fact").append()
+    spark.range(0, 40)
+      .select($"id".as("k"), ($"id" + 100L).as("factor"))
+      .coalesce(1)
+      .writeTo("lake.db.t_spjb_dim").append()
+    def joined() = spark.table("lake.db.t_spjb_fact")
+      .join(spark.table("lake.db.t_spjb_dim"), "k")
+      .groupBy($"k").agg(sum($"v" * $"factor").as("weighted"))
+      .orderBy($"k")
+    val expected = joined().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = joined()
+      val joinPlan = df.queryExecution.sparkPlan.toString
+      val joinIdx = joinPlan.indexOf("Join")
+      assert(joinIdx >= 0 && !joinPlan.substring(joinIdx).contains("Exchange"),
+        s"bucket-co-partitioned tables must join with no shuffle:\n$joinPlan")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expected,
+        "key-grouped execution must produce the shuffled plan's rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("metadata companion tables: __files census and __history answer from the log") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_meta (k BIGINT, seg STRING, v BIGINT) " +
