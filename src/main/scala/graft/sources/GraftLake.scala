@@ -711,6 +711,7 @@ object LakeLog {
     val f = versionFile(dir, v)
     if (!Files.isRegularFile(f)) None
     else {
+      deltaReads.incrementAndGet()
       val root = mapper.readTree(Files.readAllBytes(f))
       val removes = Option(root.get("remove"))
         .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
@@ -801,6 +802,56 @@ object LakeLog {
     snapshot.files.foreach(writeEntry(arr, _))
     publish(dir, checkpointFile(dir, snapshot.version), root)
     ()
+  }
+
+  /** Delta files opened since process start — spec instrumentation for
+    * the incremental history fold (each retained delta read ONCE).
+    */
+  private[graft] val deltaReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-version census for `__history`, folded FORWARD from commit
+    * deltas: one pass, each retained delta read once —
+    * O(versions + changed files), where reconstructing a snapshot per
+    * version is O(versions × files). Starts from the checkpoint below
+    * the oldest retained delta when vacuum pruned the chain's prefix
+    * (that version's row keeps a null commit instant once its delta is
+    * gone, same as snapshot-based reconstruction produced). Returns
+    * `(version, commitTimeMs, nFiles, nRows, nLiveRows)` ascending.
+    */
+  def historyCensus(dir: Path): Seq[(Long, Option[Long], Int, Long, Long)] = {
+    val deltas = listLog(dir, "v").sorted
+    if (deltas.isEmpty) return Seq.empty
+    // pruned-prefix base: the SMALLEST checkpoint from which the
+    // retained delta chain folds forward (vacuum checkpoints AT its
+    // retention floor, the same version as the oldest retained delta)
+    val base: Option[LakeSnapshot] =
+      if (deltas.head == 0L) None
+      else listLog(dir, "c").filter(_ >= deltas.head - 1).minOption
+        .flatMap(readCheckpoint(dir, _))
+    if (deltas.head > 0L && base.isEmpty) return Seq.empty // chain unanchored
+    var files = Map.empty[String, LakeFile]
+    var nRows = 0L
+    var nLive = 0L
+    def remove(p: String): Unit = files.get(p).foreach { f =>
+      nRows -= f.rows; nLive -= f.liveRows; files -= p
+    }
+    def add(f: LakeFile): Unit = {
+      remove(f.path) // a changed entry may ride as a bare re-add
+      nRows += f.rows; nLive += f.liveRows; files += f.path -> f
+    }
+    val out = Seq.newBuilder[(Long, Option[Long], Int, Long, Long)]
+    base.foreach { s =>
+      s.files.foreach(add)
+      out += ((s.version, commitTimeMs(dir, s.version), files.size, nRows, nLive))
+    }
+    for (v <- deltas if base.forall(_.version < v)) {
+      deltaAt(dir, v).foreach { case (_, _, adds, removes) =>
+        removes.foreach(remove)
+        adds.foreach(add)
+        out += ((v, commitTimeMs(dir, v), files.size, nRows, nLive))
+      }
+    }
+    out.result()
   }
 
   /** Wall-clock commit time of version `v` (None once pruned). */
@@ -2251,10 +2302,9 @@ object LakeProcedures {
             ProcedureParameter.in("table", StringType).build())
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val dir = resolve(warehouse, input.getUTF8String(0).toString)
-            val head = LakeLog.currentVersion(dir).get
-            val rows0 = (0L to head).flatMap(LakeLog.snapshotAt(dir, _)).map { s =>
-              new GenericInternalRow(Array[Any](
-                s.version, s.files.size, s.files.map(_.rows).sum)): InternalRow
+            val rows0 = LakeLog.historyCensus(dir).map {
+              case (v, _, nFiles, nRows, _) =>
+                new GenericInternalRow(Array[Any](v, nFiles, nRows)): InternalRow
             }
             out(StructType(Seq(
               StructField("version", LongType, nullable = false),

@@ -68,7 +68,11 @@ object LakeMetaTables {
     }, s"graftlake.$baseName:files")
   }
 
-  /** One row per retained log version: commit time, file/row census. */
+  /** One row per retained log version: commit time, file/row census —
+    * folded forward from commit deltas ([[LakeLog.historyCensus]]),
+    * each delta read once, instead of reconstructing a full snapshot
+    * per version (O(versions × files) on a long-lived table).
+    */
   def historyTable(dir: Path, baseName: String): Table = {
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -77,17 +81,11 @@ object LakeMetaTables {
       StructField("n_rows", LongType, nullable = false),
       StructField("n_live_rows", LongType, nullable = false)))
     scanOnly(schema, {
-      val head = LakeLog.currentVersion(dir).getOrElse(
-        throw new IllegalStateException(s"graftlake: $baseName has no committed version"))
-      (0L to head).flatMap { v =>
-        LakeLog.snapshotAt(dir, v).map { s =>
-          new GenericInternalRow(Array[Any](
-            v,
-            LakeLog.commitTimeMs(dir, v).map(ms => Long.box(ms * 1000L)).orNull,
-            s.files.size,
-            s.files.map(_.rows).sum,
-            s.files.map(_.liveRows).sum)): InternalRow
-        }
+      LakeLog.historyCensus(dir).map { case (v, tsMs, nFiles, nRows, nLive) =>
+        new GenericInternalRow(Array[Any](
+          v,
+          tsMs.map(ms => Long.box(ms * 1000L)).orNull,
+          nFiles, nRows, nLive)): InternalRow
       }
     }, s"graftlake.$baseName:history")
   }

@@ -1190,6 +1190,47 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(ts.sorted.toSeq == ts.toSeq, "commit instants are monotone")
   }
 
+  test("__history folds the census from deltas: 30 commits, each delta read once") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_hist30 (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    for (b <- 0 until 20)
+      spark.range(b * 10L, (b + 1) * 10L).select($"id", ($"id" * 2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_hist30").append()
+    for (k <- 0 until 10)
+      spark.sql(s"DELETE FROM lake.db.t_hist30 WHERE id = ${k * 7}") // dv commits
+    val dir = tableDir("t_hist30")
+    assert(LakeLog.currentVersion(dir).contains(30L))
+    val before = LakeLog.deltaReads.get()
+    val hist = spark.table("lake.db.t_hist30__history")
+      .orderBy($"version").collect()
+    val reads = LakeLog.deltaReads.get() - before
+    // snapshot-per-version reconstruction would re-read the delta chain
+    // from each version's checkpoint 31 times; the fold reads each
+    // retained delta once (plus the commit-instant lookups)
+    assert(reads <= 2L * 31L + 4L,
+      s"history over 31 versions must not reconstruct per version: $reads delta reads")
+    assert(hist.map(_.getAs[Long]("version")).toSeq == (0L to 30L))
+    // census matches snapshot reconstruction exactly at every version
+    for (r <- hist) {
+      val snap = LakeLog.snapshotAt(dir, r.getAs[Long]("version")).get
+      assert(r.getAs[Int]("n_files") == snap.files.size &&
+        r.getAs[Long]("n_rows") == snap.files.map(_.rows).sum &&
+        r.getAs[Long]("n_live_rows") == snap.files.map(_.liveRows).sum,
+        s"census mismatch at version ${r.getAs[Long]("version")}")
+    }
+    // after a vacuum prunes the prefix, the fold anchors on the
+    // retention-floor checkpoint and history contracts consistently
+    spark.sql("CALL lake.system.vacuum('db.t_hist30', 5)")
+    val hist2 = spark.table("lake.db.t_hist30__history")
+      .orderBy($"version").collect()
+    assert(hist2.nonEmpty && hist2.last.getAs[Long]("version") == 30L)
+    for (r <- hist2) {
+      val snap = LakeLog.snapshotAt(dir, r.getAs[Long]("version")).get
+      assert(r.getAs[Long]("n_live_rows") == snap.files.map(_.liveRows).sum)
+    }
+  }
+
   test("runtime partition pruning: a selective dim join prunes lake partitions dynamically") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_dpp (k BIGINT, seg STRING, v BIGINT) " +
