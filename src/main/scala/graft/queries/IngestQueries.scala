@@ -728,9 +728,51 @@ object IngestQueries {
       .orderBy($"seg")
   }
 
+  /** q89 — PARTITION EVOLUTION on a live lake table
+    * (`CALL system.evolve_partitioning`,
+    * [[graft.sources.LakePartitioning]]): era 0 lands identity(seg)
+    * files, the spec evolves to bucket(4, k) as a pure metadata
+    * commit, era 1 lands bucket files over the SAME logical table, and
+    * a DELETE then crosses both eras — the identity files drop
+    * metadata-only (their tuple decides the string predicate), the
+    * bucket files rewrite copy-on-write. Each file prunes under its
+    * own era's transforms (spec ids in the log); the DuckDB oracle
+    * replays the whole lifecycle relationally and the final
+    * per-segment aggregate hashes the union of both eras minus the
+    * deleted segment.
+    */
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q89").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.ledger"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT) PARTITIONED BY (seg)")
+    def base = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+    // era 0: identity(seg) files
+    base.filter($"k" % 2 === 0L).repartition(4).writeTo(t).append()
+    // evolve: future files bucket on k; existing files keep their spec
+    spark.sql(s"CALL $cat.system.evolve_partitioning('db.ledger', 'bucket(4, k)')")
+    // era 1: bucket(4, k) files
+    base.filter($"k" % 2 === 1L)
+      .select($"k", $"seg", ($"bal" + 7L).as("bal"))
+      .repartition(4).writeTo(t).append()
+    // a delete crossing both eras: identity files drop metadata-only,
+    // bucket files rewrite COW
+    spark.sql(s"DELETE FROM $t WHERE seg = 'AUTOMOBILE'")
+    spark.table(t).groupBy($"seg")
+      .agg(count(lit(1)).as("n_rows"), sum($"bal").as("sum_bal"))
+      .orderBy($"seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_csv_ingest" -> q40,
     "q87_lake_partitioned" -> q87,
+    "q89_partition_evolution" -> q89,
     "q84_lake_feed" -> q84,
     "q85_lake_evolution" -> q85,
     "q86_lake_zorder" -> q86,
@@ -756,6 +798,21 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q89_partition_evolution" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |era0 AS (SELECT k, seg, bal FROM base WHERE k % 2 = 0),
+        |era1 AS (SELECT k, seg, bal + 7 AS bal FROM base WHERE k % 2 = 1),
+        |final AS (
+        |  SELECT * FROM era0 UNION ALL SELECT * FROM era1)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM final
+        |WHERE seg <> 'AUTOMOBILE'
+        |GROUP BY seg
+        |ORDER BY seg""".stripMargin,
     "q88_incremental_mv" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS seg,

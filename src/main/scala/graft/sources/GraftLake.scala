@@ -285,18 +285,24 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             s"graftlake: column ${ren.newName} already exists")
           schema = StructType(
             schema.fields.updated(i, schema.fields(i).copy(name = ren.newName)))
+          def renameSpec(spec: String): String = LakePartitioning.encode(
+            LakePartitioning.decode(Map(LakePartitioning.PropKey -> spec)).map {
+              case LakePartitioning.Identity(`from`) =>
+                LakePartitioning.Identity(ren.newName)
+              case LakePartitioning.Bucket(`from`, n) =>
+                LakePartitioning.Bucket(ren.newName, n)
+              case other => other
+            })
           props = props.map {
             case (k, v) if (k == "clusterBy" || k == "sortBy") && v == from =>
               k -> ren.newName
             case (LakePartitioning.PropKey, spec) =>
-              LakePartitioning.PropKey -> LakePartitioning.encode(
-                LakePartitioning.decode(Map(LakePartitioning.PropKey -> spec)).map {
-                  case LakePartitioning.Identity(`from`) =>
-                    LakePartitioning.Identity(ren.newName)
-                  case LakePartitioning.Bucket(`from`, n) =>
-                    LakePartitioning.Bucket(ren.newName, n)
-                  case other => other
-                })
+              LakePartitioning.PropKey -> renameSpec(spec)
+            case (LakePartitioning.SpecsKey, specs) =>
+              // historical specs track renames too — old files' tuples
+              // must keep answering predicates spelled with the new name
+              LakePartitioning.SpecsKey ->
+                specs.split(";", -1).map(renameSpec).mkString(";")
             case kv => kv
           }
         case del: TableChange.DeleteColumn =>
@@ -512,7 +518,8 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     nulls: Map[String, Long] = Map.empty, query: Option[String] = None,
     cols: Seq[(String, Long)] = Seq.empty,
     part: Seq[Option[String]] = Seq.empty,
-    colTypes: Seq[String] = Seq.empty) {
+    colTypes: Seq[String] = Seq.empty,
+    specId: Int = 0) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -671,6 +678,7 @@ object LakeLog {
         case None => pa.addNull()
       }
     }
+    if (f.specId != 0) fn.put("pspec", f.specId)
   }
 
   private def readEntries(root: JsonNode, field: String): Seq[LakeFile] =
@@ -696,7 +704,8 @@ object LakeLog {
         Option(fn.get("query")).map(_.asText()),
         cols,
         part,
-        ctypes)
+        ctypes,
+        Option(fn.get("pspec")).map(_.asInt).getOrElse(0))
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -922,7 +931,7 @@ object LakeTable {
     * (`txn.*` idempotence watermarks are likewise reserved).
     */
   val ReservedProps: Set[String] =
-    Set("colids", "maxcolid", LakePartitioning.PropKey)
+    Set("colids", "maxcolid", LakePartitioning.PropKey, LakePartitioning.SpecsKey)
 }
 
 class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
@@ -1062,7 +1071,8 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
               .flatMap(_.files)
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
-                part = i.part, colTypes = LakeColIds.types(snapshot.schema))).toSeq
+                part = i.part, colTypes = LakeColIds.types(snapshot.schema),
+                specId = LakePartitioning.currentSpecId(snapshot.props))).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -1358,6 +1368,9 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
       fields.nonEmpty &&
       fields.forall(f => required.fieldNames.contains(f.col)) &&
       files.forall(_.part.nonEmpty) &&
+      // tuples are only comparable within ONE spec era: a file written
+      // before a partition evolution cannot join a current key group
+      files.forall(_.specId == LakePartitioning.currentSpecId(props)) &&
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
     if (ok) fields else Seq.empty
@@ -1437,14 +1450,17 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
   }
 
   private def planned: Seq[LakeFile] = {
-    val fields = LakePartitioning.decode(props)
     def partOk(f: LakeFile): Boolean =
-      runtimeParts.isEmpty || f.part.isEmpty || runtimeParts.forall {
-        case (c, allowed) =>
+      runtimeParts.isEmpty || f.part.isEmpty || {
+        // interpret the tuple under the FILE's own era's spec — after
+        // partition evolution an old file prunes on its own transforms
+        val fields = LakePartitioning.specOf(props, f.specId)
+        runtimeParts.forall { case (c, allowed) =>
           fields.indexWhere(_.col == c) match {
             case -1 => true
-            case i => f.part(i).exists(allowed.contains)
+            case i => f.part.lift(i).flatten.exists(allowed.contains)
           }
+        }
       }
     files.filter(f => runtimeFiles.forall(_.contains(f.path)) && partOk(f))
   }
@@ -1837,7 +1853,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           .flatMap(_.files)
           .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
             cols = LakeColIds.cols(tableSchema, props),
-            part = i.part, colTypes = LakeColIds.types(tableSchema))).toSeq
+            part = i.part, colTypes = LakeColIds.types(tableSchema),
+            specId = LakePartitioning.currentSpecId(props))).toSeq
         // IDEMPOTENT writes: with txnAppId/txnVersion options, a commit
         // whose version the table has already recorded for that app is
         // a REPLAY (a foreachBatch retry, a restarted driver) — its
@@ -1875,6 +1892,16 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
                 }
               }
             case DynamicParts =>
+              // tuple equality across spec eras is meaningless — an
+              // old-era file logically overlapping a replaced partition
+              // would silently survive; refuse until a compact/zorder
+              // rewrite brings every file onto the current spec
+              val curId = LakePartitioning.currentSpecId(cur.props)
+              require(cur.files.forall(_.specId == curId),
+                "graftlake: dynamic partition overwrite on a table with " +
+                  "files from an older partition spec is ambiguous — run " +
+                  "CALL system.compact to rewrite them under the current " +
+                  "spec first")
               val replaced = written.map(_.part).toSet
               cur.files.filterNot(f => replaced.contains(f.part))
           }
@@ -1913,7 +1940,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             .map(i => LakeFile(i.path, i.rows, i.stats, epoch = Some(epochId),
               nulls = i.nulls, query = Some(queryId),
               cols = LakeColIds.cols(tableSchema, props),
-              part = i.part, colTypes = LakeColIds.types(tableSchema))).toSeq
+              part = i.part, colTypes = LakeColIds.types(tableSchema),
+              specId = LakePartitioning.currentSpecId(props))).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -2065,7 +2093,8 @@ object LakeProcedures {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
   import org.apache.spark.sql.connector.read.LocalScan
 
-  val Names: Array[String] = Array("compact", "zorder", "vacuum", "history")
+  val Names: Array[String] =
+    Array("compact", "zorder", "vacuum", "history", "evolve_partitioning")
 
   private def out(schema0: StructType, rows0: Seq[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
@@ -2099,7 +2128,8 @@ object LakeProcedures {
       .flatMap { case m: LakeFileMessage => m.files }
       .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
         cols = LakeColIds.cols(snap.schema, snap.props), part = i.part,
-        colTypes = LakeColIds.types(snap.schema)))
+        colTypes = LakeColIds.types(snap.schema),
+        specId = LakePartitioning.currentSpecId(snap.props)))
     val replaced = snap.files.map(_.path).toSet
     var done = false
     while (!done) {
@@ -2290,6 +2320,59 @@ object LakeProcedures {
         }
       }
 
+      /** PARTITION EVOLUTION (Iceberg's headline advantage over Hive
+        * layouts): re-declare how FUTURE files partition without
+        * touching a byte of data. A pure metadata commit appends the
+        * new spec to the table's spec history; every existing file
+        * keeps its write-time spec id, so pruning keeps deciding each
+        * file's tuple under the transforms it was written with, across
+        * eras. SPJ and dynamic partition overwrite require a single
+        * era (compact to converge).
+        */
+      case "evolve_partitioning" => new UnboundProcedure {
+        override def name(): String = "evolve_partitioning"
+        override def description(): String =
+          "evolve_partitioning(table STRING, spec STRING): make spec " +
+            "('col', 'bucket(n, col)', comma-separated; '' = unpartitioned) " +
+            "the current partition spec — metadata-only, existing files " +
+            "keep their write-time spec"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "evolve_partitioning"
+          override def description(): String = "graftlake partition evolution"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("spec", StringType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val specStr = input.getUTF8String(1).toString
+            var specId = -1
+            var done = false
+            while (!done) {
+              val cur = LakeLog.currentSnapshot(dir).getOrElse(
+                throw new IllegalStateException(
+                  s"graftlake: ${input.getUTF8String(0)} has no committed version"))
+              val next = LakePartitioning.parseSpecSyntax(specStr, cur.schema)
+              if (LakePartitioning.encode(next) ==
+                  cur.props.getOrElse(LakePartitioning.PropKey, "")) {
+                specId = LakePartitioning.currentSpecId(cur.props)
+                done = true // already current: no-op, no version burned
+              } else {
+                val props2 = LakePartitioning.evolve(cur.props, next)
+                specId = LakePartitioning.currentSpecId(props2)
+                done = LakeLog.commit(dir, cur.version,
+                  LakeSnapshot(cur.version + 1, cur.schema, cur.files, props2))
+              }
+            }
+            out(StructType(Seq(
+              StructField("spec_id", IntegerType, nullable = false),
+              StructField("spec", StringType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](
+                specId, UTF8String.fromString(specStr)))))
+          }
+        }
+      }
+
       case "history" => new UnboundProcedure {
         override def name(): String = "history"
         override def description(): String =
@@ -2361,7 +2444,8 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
               .flatMap(_.files)
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(stagedSchema, propsWithIds),
-                part = i.part, colTypes = LakeColIds.types(stagedSchema))).toSeq
+                part = i.part, colTypes = LakeColIds.types(stagedSchema),
+                specId = LakePartitioning.currentSpecId(propsWithIds))).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -2513,7 +2597,8 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
             val inserts = ms.flatMap(_.inserts).flatMap(_.files)
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
-                part = i.part, colTypes = LakeColIds.types(snapshot.schema))).toSeq
+                part = i.part, colTypes = LakeColIds.types(snapshot.schema),
+                specId = LakePartitioning.currentSpecId(snapshot.props))).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false

@@ -52,8 +52,9 @@ object LakeMetaTables {
     scanOnly(schema, {
       val snap = LakeLog.currentSnapshot(dir).getOrElse(
         throw new IllegalStateException(s"graftlake: $baseName has no committed version"))
-      val fields = LakePartitioning.decode(snap.props)
       snap.files.map { f =>
+        // label the tuple under the FILE's own era's spec
+        val fields = LakePartitioning.specOf(snap.props, f.specId)
         val part =
           if (f.part.isEmpty) null
           else UTF8String.fromString(

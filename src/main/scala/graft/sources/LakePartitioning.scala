@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   * ahead of the min/max stats which only cover integral columns.
   *
   * The spec is persisted in the table properties
-  * (`partition=id:seg,b8:id`) per version, like `colids` — evolution
-  * of the partition spec would version the same way (not implemented;
-  * the spec is fixed at create).
+  * (`partition=id:seg,b8:id`) per version, like `colids`. PARTITION
+  * EVOLUTION (`CALL system.evolve_partitioning`) appends to a spec
+  * history (`partspecs`): each file records the spec id it was written
+  * under, and pruning decides every file's tuple under its OWN era's
+  * transforms — Iceberg's design re-derived.
   */
 object LakePartitioning {
 
@@ -54,6 +56,10 @@ object LakePartitioning {
   }
 
   val PropKey = "partition"
+  /** All historical specs, `;`-joined in evolution order; a file's
+    * `specId` indexes into this list (absent = only the create spec).
+    */
+  val SpecsKey = "partspecs"
 
   def fromTransforms(schema: StructType, partitions: Array[Transform]): Seq[Field] =
     partitions.toSeq.map { t =>
@@ -84,12 +90,44 @@ object LakePartitioning {
     case Bucket(c, n) => s"b$n:$c"
   }.mkString(",")
 
-  def decode(props: Map[String, String]): Seq[Field] =
-    props.get(PropKey).filter(_.nonEmpty).map(_.split(',').toSeq.map { s =>
+  private def decodeSpec(spec: String): Seq[Field] =
+    if (spec.isEmpty) Seq.empty
+    else spec.split(',').toSeq.map { s =>
       val Array(kind, col) = s.split(":", 2)
       if (kind == "id") Identity(col)
       else Bucket(col, kind.stripPrefix("b").toInt)
-    }).getOrElse(Seq.empty)
+    }
+
+  /** The CURRENT spec (what writers evaluate and SPJ reports). */
+  def decode(props: Map[String, String]): Seq[Field] =
+    props.get(PropKey).filter(_.nonEmpty).map(decodeSpec).getOrElse(Seq.empty)
+
+  /** Every historical spec in evolution order (index = spec id, last =
+    * current). A table that never evolved has exactly its create spec.
+    */
+  def specs(props: Map[String, String]): Seq[Seq[Field]] =
+    props.get(SpecsKey) match {
+      case Some(s) => s.split(";", -1).toSeq.map(decodeSpec)
+      case None => Seq(decode(props))
+    }
+
+  def currentSpecId(props: Map[String, String]): Int = specs(props).length - 1
+
+  /** The spec a file of era `specId` was written under — what ITS
+    * tuple means. Ids beyond the list clamp to current (defensive).
+    */
+  def specOf(props: Map[String, String], specId: Int): Seq[Field] = {
+    val ss = specs(props)
+    ss(math.min(math.max(specId, 0), ss.length - 1))
+  }
+
+  /** Evolved props: `next` becomes the current spec, the history grows
+    * by one entry — a pure METADATA change; existing files keep their
+    * write-time spec id and prune under their own era's transforms.
+    */
+  def evolve(props: Map[String, String], next: Seq[Field]): Map[String, String] =
+    props + (SpecsKey -> (specs(props) :+ next).map(encode).mkString(";")) +
+      (PropKey -> encode(next))
 
   def toTransforms(fields: Seq[Field]): Array[Transform] = fields.map {
     case Identity(c) => Expressions.identity(c)
@@ -158,9 +196,47 @@ object LakePartitioning {
     }.toArray
 
   def resolver(props: Map[String, String], f: LakeFile): Resolver = {
-    val fields = decode(props)
+    // the file's OWN era's spec: after partition evolution an old
+    // file's tuple still means what it meant when written
+    val fields = specOf(props, f.specId)
     if (fields.isEmpty || f.part.isEmpty) NoResolver
     else new Resolver(fields, f.part)
+  }
+
+  /** Parse the user-facing spec syntax of `system.evolve_partitioning`:
+    * comma-separated `col` / `bucket(n, col)` ('' = unpartitioned).
+    */
+  def parseSpecSyntax(s: String, schema: StructType): Seq[Field] = {
+    val BucketRe = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
+    val IdentRe = """^([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // split on commas OUTSIDE parentheses (bucket(n, col) keeps its own)
+    val parts = {
+      val out = Seq.newBuilder[String]
+      val sb = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1; sb += '('
+        case ')' => depth -= 1; sb += ')'
+        case ',' if depth == 0 => out += sb.result(); sb.clear()
+        case c => sb += c
+      }
+      if (sb.nonEmpty) out += sb.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    parts.map {
+      case BucketRe(n, col) =>
+        require(schema.fieldNames.contains(col),
+          s"graftlake: partition column $col not in schema")
+        require(n.toInt > 0, s"graftlake: bucket width must be positive, got $n")
+        Bucket(col, n.toInt)
+      case IdentRe(col) =>
+        require(schema.fieldNames.contains(col),
+          s"graftlake: partition column $col not in schema")
+        Identity(col)
+      case other => throw new IllegalArgumentException(
+        s"graftlake: cannot parse partition term '$other' " +
+          "(expected col or bucket(n, col))")
+    }
   }
 }
 

@@ -1293,6 +1293,80 @@ class GraftLakeSpec extends AnyFunSuite {
       .schema("n").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
+  test("partition evolution: identity -> bucket mid-history, pruning correct across both eras") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_pevolve (k BIGINT, seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg)")
+    // era 0: identity(seg) — one file per seg, k spans [0,99] in each
+    spark.range(0, 99)
+      .select($"id".as("k"), concat(lit("g"), $"id" % 3).as("seg"), ($"id" * 2L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_pevolve").append()
+    // evolve: future files bucket on k; a pure metadata commit
+    val res = spark.sql(
+      "CALL lake.system.evolve_partitioning('db.t_pevolve', 'bucket(4, k)')").head()
+    assert(res.getInt(0) == 1 && res.getString(1) == "bucket(4, k)")
+    val vAfterEvolve = LakeLog.currentSnapshot(tableDir("t_pevolve")).get.version
+    // era 1: four bucket files over the SAME key domain (so era-0
+    // min/max stats cannot decide era-1 probes and the assertion below
+    // isolates tuple-based pruning); era-0 files untouched on disk
+    spark.range(0, 99)
+      .select($"id".as("k"), concat(lit("g"), $"id" % 3).as("seg"), ($"id" * 3L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_pevolve").append()
+    val snap = LakeLog.currentSnapshot(tableDir("t_pevolve")).get
+    assert(snap.files.size == 7, s"3 seg files + 4 bucket files, got ${snap.files.size}")
+    assert(snap.files.count(_.specId == 0) == 3 && snap.files.count(_.specId == 1) == 4)
+    // full read is era-blind
+    assert(spark.table("lake.db.t_pevolve").count() == 198L)
+    // predicate on the ERA-0 partition column: the 3 old files prune to
+    // 1; the 4 bucket files can't decide seg from their tuple and scan
+    val bySeg = spark.table("lake.db.t_pevolve").filter($"seg" === "g1")
+    assert(bySeg.queryExecution.executedPlan.toString.contains("files=5/7"),
+      s"seg=g1 must keep 1 era-0 + all 4 era-1 files:\n${bySeg.queryExecution.executedPlan}")
+    assert(bySeg.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 99L).filter(_ % 3 == 1).flatMap(i => Seq(i, i)))
+    // predicate on the ERA-1 bucket column: the 4 new files prune to 1;
+    // the 3 old files each span k=[0,98] so neither tuple nor stats decide
+    val byK = spark.table("lake.db.t_pevolve").filter($"k" === 50L)
+    assert(byK.queryExecution.executedPlan.toString.contains("files=4/7"),
+      s"k=50 must keep 3 era-0 + 1 era-1 files:\n${byK.queryExecution.executedPlan}")
+    assert(byK.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._3).toSeq == Seq((50L, "g2", 100L), (50L, "g2", 150L)))
+    // __files labels each tuple under its own era's spec
+    val labels = spark.table("lake.db.t_pevolve__files")
+      .collect().map(_.getAs[String]("partition")).toSeq
+    assert(labels.count(_.startsWith("seg=")) == 3 &&
+      labels.count(_.startsWith("k=")) == 4, s"got $labels")
+    // dynamic partition overwrite across eras is ambiguous: refuse
+    val err = intercept[Exception] {
+      spark.range(0, 4).select($"id".as("k"), lit("g0").as("seg"), lit(0L).as("v"))
+        .writeTo("lake.db.t_pevolve").overwritePartitions()
+    }
+    assert(err.getMessage.contains("older partition spec") ||
+      Option(err.getCause).exists(_.getMessage.contains("older partition spec")))
+    // compact converges every file onto the current spec; overwrite works
+    spark.sql("CALL lake.system.compact('db.t_pevolve', 2)")
+    val conv = LakeLog.currentSnapshot(tableDir("t_pevolve")).get
+    assert(conv.files.forall(_.specId == 1), "compact rewrites under the current spec")
+    assert(spark.table("lake.db.t_pevolve").count() == 198L)
+    // time travel before the evolution still prunes under the old spec
+    val old = spark.sql(
+      s"SELECT k FROM lake.db.t_pevolve VERSION AS OF ${vAfterEvolve - 1} WHERE seg = 'g2'")
+    assert(old.queryExecution.executedPlan.toString.contains("files=1/3"))
+    assert(old.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 99L).filter(_ % 3 == 2))
+    // evolving an unpartitioned table works too (empty spec 0)
+    spark.sql("CREATE TABLE lake.db.t_pevolve2 (k BIGINT, v BIGINT)")
+    spark.range(0, 20).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_pevolve2").append()
+    spark.sql("CALL lake.system.evolve_partitioning('db.t_pevolve2', 'bucket(2, k)')")
+    spark.range(20, 40).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_pevolve2").append()
+    assert(spark.table("lake.db.t_pevolve2").count() == 40L)
+    val snap2 = LakeLog.currentSnapshot(tableDir("t_pevolve2")).get
+    assert(snap2.files.count(_.part.isEmpty) == 1 &&
+      snap2.files.count(_.part.nonEmpty) == 2)
+  }
+
   test("idempotent writes: txnAppId/txnVersion make replayed appends no-ops") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_txn (id BIGINT, v BIGINT, s STRING)")
