@@ -519,7 +519,8 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     cols: Seq[(String, Long)] = Seq.empty,
     part: Seq[Option[String]] = Seq.empty,
     colTypes: Seq[String] = Seq.empty,
-    specId: Int = 0) {
+    specId: Int = 0,
+    bytes: Long = 0L) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -679,6 +680,7 @@ object LakeLog {
       }
     }
     if (f.specId != 0) fn.put("pspec", f.specId)
+    if (f.bytes != 0L) fn.put("bytes", f.bytes)
   }
 
   private def readEntries(root: JsonNode, field: String): Seq[LakeFile] =
@@ -705,7 +707,8 @@ object LakeLog {
         cols,
         part,
         ctypes,
-        Option(fn.get("pspec")).map(_.asInt).getOrElse(0))
+        Option(fn.get("pspec")).map(_.asInt).getOrElse(0),
+        Option(fn.get("bytes")).map(_.asLong).getOrElse(0L))
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -1072,7 +1075,7 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
-                specId = LakePartitioning.currentSpecId(snapshot.props))).toSeq
+                specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes)).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -1184,6 +1187,10 @@ object LakeStats {
           decideOne(f, kids(1).asInstanceOf[VPredicate], resolve, part))
       case "=" if kids.length == 2 =>
         (colName(kids(0)), litAny(kids(1))) match {
+          // every row of a file has _file = its path: exact decision —
+          // what lets a partial rewrite scan ONLY its candidate files
+          case (Some(LakeTable.FileColumn), Some(raw)) =>
+            if (String.valueOf(raw) == f.path) All else None_
           case (Some(c), Some(raw)) =>
             part.eq(c, raw) match {
               case Some(true) => All // identity file: every row IS this value
@@ -1213,6 +1220,8 @@ object LakeStats {
         }
       case "IN" if kids.nonEmpty =>
         (colName(kids.head), kids.tail.toSeq.map(litAny)) match {
+          case (Some(LakeTable.FileColumn), rawVals) if rawVals.forall(_.isDefined) =>
+            if (rawVals.flatten.map(String.valueOf).contains(f.path)) All else None_
           case (Some(c), rawVals) if rawVals.forall(_.isDefined) =>
             val partDecisions = rawVals.flatten.map(part.eq(c, _))
             if (partDecisions.exists(_.contains(true))) All // identity: single-valued file
@@ -1854,7 +1863,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
             cols = LakeColIds.cols(tableSchema, props),
             part = i.part, colTypes = LakeColIds.types(tableSchema),
-            specId = LakePartitioning.currentSpecId(props))).toSeq
+            specId = LakePartitioning.currentSpecId(props), bytes = i.bytes)).toSeq
         // IDEMPOTENT writes: with txnAppId/txnVersion options, a commit
         // whose version the table has already recorded for that app is
         // a REPLAY (a foreachBatch retry, a restarted driver) — its
@@ -1941,7 +1950,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               nulls = i.nulls, query = Some(queryId),
               cols = LakeColIds.cols(tableSchema, props),
               part = i.part, colTypes = LakeColIds.types(tableSchema),
-              specId = LakePartitioning.currentSpecId(props))).toSeq
+              specId = LakePartitioning.currentSpecId(props), bytes = i.bytes)).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -1970,7 +1979,8 @@ case class LakeStreamingWriterFactory(inner: LakeWriterFactory)
 /** One written data file as reported by a task. */
 case class LakeFileInfo(path: String, rows: Long,
     stats: Map[String, (Long, Long)], nulls: Map[String, Long],
-    part: Seq[Option[String]] = Seq.empty)
+    part: Seq[Option[String]] = Seq.empty,
+    bytes: Long = 0L)
 
 case class LakeFileMessage(files: Seq[LakeFileInfo]) extends WriterCommitMessage
 
@@ -2039,10 +2049,12 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
       override def commit(): WriterCommitMessage = {
         val infos = open.values.map { f =>
           f.out.close()
-          val st = LakeParquet.footerStats(Paths.get(tableDir).resolve(f.rel))
+          val abs = Paths.get(tableDir).resolve(f.rel)
+          val st = LakeParquet.footerStats(abs)
           require(st.rows == f.rows,
             s"parquet footer row count ${st.rows} != rows written ${f.rows} in ${f.rel}")
-          LakeFileInfo(f.rel, f.rows, st.stats, st.nulls, f.tuple)
+          LakeFileInfo(f.rel, f.rows, st.stats, st.nulls, f.tuple,
+            bytes = Files.size(abs))
         }.toSeq
         open.clear()
         LakeFileMessage(infos)
@@ -2071,6 +2083,48 @@ case class LakeBucketPartitioner(parts: Int) extends org.apache.spark.Partitione
   }
 }
 
+/** Per-bin in-memory sort restoring a declared `sortBy` under
+  * `system.compact_size` — safe because a bin is ≤ target_bytes by
+  * construction. Nulls first, matching the write path's ASC ordering.
+  * Top-level case class: ships to executors with no procedure outers.
+  */
+case class LakeBinSorter(i: Int, dt: DataType)
+  extends (Iterator[InternalRow] => Iterator[InternalRow]) {
+  override def apply(it: Iterator[InternalRow]): Iterator[InternalRow] = {
+    val buf = it.toArray
+    val valueOrd: Ordering[InternalRow] = dt match {
+      case LongType => Ordering.by(_.getLong(i))
+      case IntegerType => Ordering.by(_.getInt(i))
+      case DoubleType =>
+        Ordering.by[InternalRow, Double](_.getDouble(i))(
+          Ordering.Double.TotalOrdering)
+      case BooleanType => Ordering.by(_.getBoolean(i))
+      case _ => Ordering.by(_.getUTF8String(i).toString)
+    }
+    val ord: Ordering[InternalRow] = (a, b) =>
+      (a.isNullAt(i), b.isNullAt(i)) match {
+        case (true, true) => 0
+        case (true, false) => -1
+        case (false, true) => 1
+        case _ => valueOrd.compare(a, b)
+      }
+    java.util.Arrays.sort(buf, ord)
+    buf.iterator
+  }
+}
+
+/** Routes a row to exactly its driver-assigned output bin — the
+  * deterministic bin-pack split under `system.compact_size` (hash
+  * partitioning would merge distinct bins on collision).
+  */
+case class LakeBinPartitioner(parts: Int) extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = parts
+  override def getPartition(key: Any): Int = key match {
+    case b: Int => math.min(parts - 1, math.max(0, b))
+    case other => throw new IllegalArgumentException(s"unexpected key $other")
+  }
+}
+
 /** Maintenance STORED PROCEDURES (`CALL <cat>.system.<proc>(...)`) —
   * the ops surface a table format needs beside queries, on Spark 4's
   * DSv2 procedure API:
@@ -2094,7 +2148,8 @@ object LakeProcedures {
   import org.apache.spark.sql.connector.read.LocalScan
 
   val Names: Array[String] =
-    Array("compact", "zorder", "vacuum", "history", "evolve_partitioning")
+    Array("compact", "compact_size", "zorder", "vacuum", "history",
+      "evolve_partitioning")
 
   private def out(schema0: StructType, rows0: Seq[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
@@ -2115,7 +2170,8 @@ object LakeProcedures {
     */
   private def swapRewrite(dir: Path, snap: LakeSnapshot,
       rows: org.apache.spark.rdd.RDD[InternalRow],
-      writeSchema: StructType): Seq[LakeFile] = {
+      writeSchema: StructType,
+      replacedFiles: Option[Set[String]] = None): Seq[LakeFile] = {
     val dirStr = dir.toString
     val cols = snap.schema.fieldNames
     val written = rows
@@ -2129,8 +2185,10 @@ object LakeProcedures {
       .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
         cols = LakeColIds.cols(snap.schema, snap.props), part = i.part,
         colTypes = LakeColIds.types(snap.schema),
-        specId = LakePartitioning.currentSpecId(snap.props)))
-    val replaced = snap.files.map(_.path).toSet
+        specId = LakePartitioning.currentSpecId(snap.props), bytes = i.bytes))
+    // a PARTIAL rewrite (compact_size) swaps only its candidates;
+    // conforming files keep their paths, stats, and layout
+    val replaced = replacedFiles.getOrElse(snap.files.map(_.path).toSet)
     var done = false
     while (!done) {
       val cur = LakeLog.currentSnapshot(dir).get
@@ -2189,6 +2247,105 @@ object LakeProcedures {
             out(rewriteResultSchema,
               Seq(new GenericInternalRow(Array[Any](
                 snap.files.size, written.size, written.map(_.rows).sum))))
+          }
+        }
+      }
+
+      /** SIZE-targeted INCREMENTAL compaction — the small-file problem's
+        * real fix. `compact(n)` rewrites the whole snapshot; this one
+        * bin-packs ONLY files below `target_bytes` (first-fit
+        * decreasing on the log's recorded file sizes), per partition
+        * tuple and spec era, and swaps just those — already-conforming
+        * files keep their paths, stats, and layout untouched. The read
+        * side scans ONLY the candidates: the `_file` IN predicate is
+        * file-exact in [[LakeStats.decide]], so planning prunes every
+        * conforming file before a single task launches. Bins route
+        * through an explicit partitioner (hash would merge bins on
+        * collision), and a declared `sortBy` is restored per bin with
+        * an in-memory sort — safe because a bin is ≤ target_bytes by
+        * construction.
+        */
+      case "compact_size" => new UnboundProcedure {
+        override def name(): String = "compact_size"
+        override def description(): String =
+          "compact_size(table STRING, target_bytes BIGINT): bin-pack files " +
+            "smaller than target_bytes into ~target_bytes files per " +
+            "partition; conforming files are not rewritten"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "compact_size"
+          override def description(): String = "graftlake incremental compaction"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("target_bytes", LongType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val target = math.max(1L, input.getLong(1))
+            val spark = org.apache.spark.sql.SparkSession.active
+            val snap = LakeLog.currentSnapshot(dir).get
+            def sizeOf(f: LakeFile): Long =
+              if (f.bytes > 0L) f.bytes
+              else Files.size(dir.resolve(f.path)) // pre-feature log entry
+            val resultSchema = StructType(Seq(
+              StructField("candidate_files", IntegerType, nullable = false),
+              StructField("skipped_files", IntegerType, nullable = false),
+              StructField("new_files", IntegerType, nullable = false),
+              StructField("rows_rewritten", LongType, nullable = false)))
+            // candidates: per (era, tuple) groups holding ≥2 sub-target
+            // files (one small file alone has nothing to merge with)
+            val groups = snap.files.groupBy(f => (f.specId, f.part)).values.toSeq
+            val plan = groups
+              .map(_.filter(f => sizeOf(f) < target))
+              .filter(_.size >= 2)
+              .sortBy(_.head.path) // deterministic bin numbering
+            if (plan.isEmpty)
+              return out(resultSchema, Seq(new GenericInternalRow(
+                Array[Any](0, snap.files.size, 0, 0L))))
+            // first-fit decreasing bin pack within each group
+            val fileBin = Seq.newBuilder[(String, Int)]
+            var nBins = 0
+            plan.foreach { group =>
+              val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+              group.sortBy(f => (-sizeOf(f), f.path)).foreach { f =>
+                val sz = sizeOf(f)
+                bins.indexWhere(_._2 + sz <= target) match {
+                  case -1 =>
+                    bins += ((nBins, sz)); fileBin += f.path -> nBins; nBins += 1
+                  case i =>
+                    fileBin += f.path -> bins(i)._1
+                    bins(i) = (bins(i)._1, bins(i)._2 + sz)
+                }
+              }
+            }
+            val binByPath = fileBin.result()
+            val candidates = binByPath.map(_._1)
+            val fqn = s"$catName.${input.getUTF8String(0)}"
+            import org.apache.spark.sql.functions.{broadcast, col => fcol}
+            // scan ONLY the candidates (static _file IN pruning), route
+            // each row to its file's bin via a broadcast map join
+            val binDf = spark.createDataFrame(binByPath).toDF("__f", "__bin")
+            val projected = spark.table(fqn)
+              .where(fcol(LakeTable.FileColumn).isin(candidates: _*))
+              .join(broadcast(binDf), fcol(LakeTable.FileColumn) === fcol("__f"))
+              .select((Seq(fcol("__bin")) ++
+                snap.schema.fieldNames.toSeq.map(fcol(_))): _*)
+            val writeSchema = projected.schema
+            val sortIdx = snap.props.get("sortBy")
+              .map(c => (snap.schema.fieldIndex(c) + 1, snap.schema(c).dataType))
+            val routed = projected.queryExecution.toRdd
+              .mapPartitions(_.map(r => (r.getInt(0), r.copy())))
+              .partitionBy(LakeBinPartitioner(math.max(1, nBins)))
+              .map(_._2)
+            val arranged = sortIdx.fold(routed) { case (i, dt) =>
+              // top-level sorter: a closure here would drag the
+              // procedure's anon class into the task (not serializable)
+              routed.mapPartitions(LakeBinSorter(i, dt))
+            }
+            val written = swapRewrite(dir, snap, arranged, writeSchema,
+              replacedFiles = Some(candidates.toSet))
+            out(resultSchema, Seq(new GenericInternalRow(Array[Any](
+              candidates.size, snap.files.size - candidates.size,
+              written.size, written.map(_.rows).sum))))
           }
         }
       }
@@ -2445,7 +2602,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(stagedSchema, propsWithIds),
                 part = i.part, colTypes = LakeColIds.types(stagedSchema),
-                specId = LakePartitioning.currentSpecId(propsWithIds))).toSeq
+                specId = LakePartitioning.currentSpecId(propsWithIds), bytes = i.bytes)).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -2598,7 +2755,7 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
-                specId = LakePartitioning.currentSpecId(snapshot.props))).toSeq
+                specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes)).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false

@@ -814,6 +814,73 @@ class GraftLakeSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"ALTER TABLE lake.db.$t RENAME COLUMN v TO w"))
   }
 
+  test("compact_size: bin-packs only sub-target files, conforming files and partitions untouched") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_sizecomp (k BIGINT, seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('sortBy' = 'k')")
+    // seg=a: one BIG file (50000 rows) + four small ones (50 each);
+    // seg=b: one lone small file (nothing to merge with)
+    spark.range(0, 50000)
+      .select($"id".as("k"), lit("a").as("seg"), ($"id" * 2L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_sizecomp").append()
+    for (b <- 0 until 4)
+      spark.range(50000 + b * 50L, 50000 + (b + 1) * 50L)
+        .select($"id".as("k"), lit("a").as("seg"), ($"id" * 2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_sizecomp").append()
+    spark.range(90000, 90050)
+      .select($"id".as("k"), lit("b").as("seg"), ($"id" * 2L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_sizecomp").append()
+    val dir = tableDir("t_sizecomp")
+    val before = LakeLog.currentSnapshot(dir).get
+    assert(before.files.size == 6 && before.files.forall(_.bytes > 0L),
+      "the log records every file's byte size")
+    val bigPath = before.files.maxBy(_.bytes).path
+    val lonePath = before.files.find(f =>
+      f.part == Seq(Some("b"))).get.path
+    // target above the SUM of the small files (they pack into one bin)
+    // but below the big one (which must be skipped as conforming)
+    val smallSum = before.files.map(_.bytes).sorted.take(5).sum
+    val target = smallSum + 4096L
+    assert(target < before.files.map(_.bytes).max,
+      "test setup: the big file must exceed the target")
+    val res = spark.sql(
+      s"CALL lake.system.compact_size('db.t_sizecomp', ${target}L)").head()
+    assert(res.getInt(0) == 4 && res.getInt(1) == 2,
+      s"4 candidates, 2 skipped (big + lone), got $res")
+    assert(res.getInt(2) == 1, s"the four smalls pack into ONE bin, got $res")
+    val after = LakeLog.currentSnapshot(dir).get
+    assert(after.files.map(_.path).contains(bigPath),
+      "the conforming big file must keep its path (not rewritten)")
+    assert(after.files.map(_.path).contains(lonePath),
+      "a lone small file has nothing to merge with — untouched")
+    assert(after.files.size < before.files.size)
+    // merged output preserved the declared sortBy ordering per file
+    val merged = after.files.filterNot(f =>
+      before.files.map(_.path).contains(f.path))
+    assert(merged.nonEmpty && merged.forall(_.part == Seq(Some("a"))))
+    for (f <- merged) {
+      val ids = spark.read.parquet(dir.resolve(f.path).toString)
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"merged file ${f.path} must be sorted by k")
+    }
+    // content exact
+    assert(spark.table("lake.db.t_sizecomp").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 50200L) ++ (90000L until 90050L)))
+    // the rewrite read ONLY its candidates: a second call is a no-op
+    val res2 = spark.sql(
+      s"CALL lake.system.compact_size('db.t_sizecomp', ${target}L)").head()
+    assert(res2.getInt(0) == 0 && res2.getInt(2) == 0,
+      s"already-compacted table must be a planning no-op, got $res2")
+    // static _file pruning underlies the partial read: a _file filter
+    // plans exactly one file
+    val probe = spark.table("lake.db.t_sizecomp")
+      .where(col("_file") === bigPath)
+    assert(probe.queryExecution.executedPlan.toString.contains("files=1/"),
+      s"_file equality must prune statically:\n${probe.queryExecution.executedPlan}")
+    assert(probe.count() == 50000L)
+  }
+
   test("change feed: __changes derives per-version CDC; stream resumes from the committed version") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_feed (id BIGINT, v BIGINT, s STRING) " +
