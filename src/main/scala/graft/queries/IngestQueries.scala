@@ -607,6 +607,79 @@ object IngestQueries {
       .orderBy($"seg")
   }
 
+  /** q90 — stream-STATIC join ON the lake change feed: the reference's
+    * consumer1 shape (enrich a stream against a broadcast dimension,
+    * `consumer1.py`) re-expressed over lake CDC instead of Kafka. Each
+    * micro-batch of `<src>__changes` joins a STATIC customer dimension
+    * on the customer key, aggregates SIGNED per-segment deltas
+    * (insert = +, pre-image delete = −), and MERGEs them into an
+    * enriched MV — so the MV tracks a JOIN the fact table alone cannot
+    * answer, maintained incrementally and resumably (the fourth commit
+    * lands after the first drain; its deltas apply exactly once from
+    * the checkpoint). The DuckDB oracle replays the full mutation
+    * history relationally and joins at the END — equal hashes prove
+    * per-batch join + signed-delta accumulation commutes with joining
+    * the final state, which only holds when every change row enriched
+    * exactly once.
+    */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q90").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$cat.db.orders_live"
+    val mv = s"$cat.db.seg_rev"
+    spark.sql(s"CREATE TABLE $src (ok BIGINT, ck BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $mv (seg STRING, n_rows BIGINT, sum_cents BIGINT)")
+    val dim = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("ck"), $"c_mktsegment".as("seg"))
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .repartition(4)
+      .writeTo(src).append() // v1
+    spark.sql(s"UPDATE $src SET cents = cents + 11 WHERE ok % 5 = 0") // v2
+    spark.sql(s"DELETE FROM $src WHERE ok % 13 = 0") // v3
+    val ckpt = java.nio.file.Files.createTempDirectory("q90-ckpt").toString
+    val deltaView = s"q90_delta_${cat.takeRight(8)}"
+    def maintain(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table(s"${src}__changes")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+            batch
+              .join(broadcast(dim), "ck") // stream-static enrichment
+              .groupBy(col("seg"))
+              .agg(sum(sign).as("d_n"), sum(sign * col("cents")).as("d_cents"))
+              .createOrReplaceTempView(deltaView)
+            batch.sparkSession.sql(
+              s"""MERGE INTO $mv t USING $deltaView d ON t.seg = d.seg
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  t.n_rows = t.n_rows + d.d_n, t.sum_cents = t.sum_cents + d.d_cents
+                 |WHEN NOT MATCHED THEN INSERT (seg, n_rows, sum_cents)
+                 |  VALUES (d.seg, d.d_n, d.d_cents)""".stripMargin)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    maintain() // v1..v3
+    spark.sql(s"UPDATE $src SET cents = cents * 2 WHERE ok % 11 = 3") // v4, post-drain
+    maintain() // resume: exactly v4's deltas
+    spark.table(mv).filter($"n_rows" > 0L)
+      .select($"seg", $"n_rows", $"sum_cents")
+      .orderBy($"seg")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -777,6 +850,7 @@ object IngestQueries {
     "q85_lake_evolution" -> q85,
     "q86_lake_zorder" -> q86,
     "q88_incremental_mv" -> q88,
+    "q90_enriched_mv" -> q90,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -798,6 +872,28 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q90_enriched_mv" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |s2 AS (
+        |  SELECT ok, ck,
+        |    CASE WHEN ok % 5 = 0 THEN cents + 11 ELSE cents END AS cents
+        |  FROM o),
+        |s3 AS (SELECT * FROM s2 WHERE ok % 13 <> 0),
+        |s4 AS (
+        |  SELECT ok, ck,
+        |    CASE WHEN ok % 11 = 3 THEN cents * 2 ELSE cents END AS cents
+        |  FROM s3),
+        |j AS (
+        |  SELECT c.c_mktsegment AS seg, s4.cents
+        |  FROM s4 JOIN customer c ON s4.ck = c.c_custkey)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM j
+        |GROUP BY seg
+        |ORDER BY seg""".stripMargin,
     "q89_partition_evolution" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS seg,
