@@ -9,6 +9,21 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
 
 import graft.model.Schemas.Event
 
+/** State blob for [[OrdinalStream.InactivityProcessor]].
+  *
+  * TOP-LEVEL by necessity, not style: Spark's generated state encoder
+  * Janino-compiles accessor calls against the state class, and a
+  * `private` case class nested in the enclosing object makes that
+  * compilation fail ("No applicable constructor/method found ...
+  * OrdinalStream$Acc.n()") — Spark silently falls back to an
+  * INTERPRETED projection per state (de)serialization, a per-row tax
+  * on the hot transformWithState path. Same rule as the V2 connector
+  * classes: anything Spark reflects over ships as a public top-level
+  * case class with multi-character field names.
+  */
+case class InactivityAcc(nEvents: Long, firstUs: Long, lastUs: Long,
+                         timerMs: Long)
+
 /** Per-user event ordinals on the NEW arbitrary-state API
   * (`transformWithState`, Spark 4) — the successor of
   * `flatMapGroupsWithState` that [[FunnelStream]] uses: state lives in
@@ -110,8 +125,6 @@ object OrdinalStream {
   case class UserSummary(user_id: Long, n_events: Long,
                          first_us: Long, last_us: Long)
 
-  private case class Acc(n: Long, firstUs: Long, lastUs: Long, timerMs: Long)
-
   /** The EVENT-TIME-TIMER side of the new API (`handleExpiredTimer`,
     * which [[OrdinalProcessor]] never reaches under `TimeMode.None`):
     * per-user activity summaries finalized by INACTIVITY — each batch
@@ -126,10 +139,11 @@ object OrdinalStream {
     */
   class InactivityProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Event, UserSummary] {
-    @transient private var acc: org.apache.spark.sql.streaming.ValueState[Acc] = _
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[InactivityAcc] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      acc = getHandle.getValueState[Acc]("acc", Encoders.product[Acc], TTLConfig.NONE)
+      acc = getHandle.getValueState[InactivityAcc]("acc",
+        Encoders.product[InactivityAcc], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[UserSummary] = {
@@ -139,9 +153,9 @@ object OrdinalStream {
       val prev = if (acc.exists()) Option(acc.get()) else None
       prev.foreach(a => getHandle.deleteTimer(a.timerMs))
       val merged = prev match {
-        case Some(a) => Acc(a.n + evs.size, math.min(a.firstUs, lo),
+        case Some(a) => InactivityAcc(a.nEvents + evs.size, math.min(a.firstUs, lo),
           math.max(a.lastUs, hi), 0L)
-        case None => Acc(evs.size.toLong, lo, hi, 0L)
+        case None => InactivityAcc(evs.size.toLong, lo, hi, 0L)
       }
       val timerMs = (math.max(merged.lastUs, hi) + 999L) / 1000L + gapMs
       getHandle.registerTimer(timerMs)
@@ -154,7 +168,7 @@ object OrdinalStream {
       val out =
         if (acc.exists()) {
           val a = acc.get()
-          Iterator.single(UserSummary(key, a.n, a.firstUs, a.lastUs))
+          Iterator.single(UserSummary(key, a.nEvents, a.firstUs, a.lastUs))
         } else Iterator.empty
       acc.clear()
       out

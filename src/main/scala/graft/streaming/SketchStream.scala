@@ -4,6 +4,16 @@ import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
+/** Per-day KMV accumulator for [[SketchStream.KmvWindowProcessor]]:
+  * order count + the ≤ k smallest distinct customer hashes. TOP-LEVEL
+  * public case class with multi-character fields — the generated state
+  * encoder Janino-compiles against this class, and a restricted-
+  * visibility nested case class makes that compilation fail and fall
+  * back to interpreted projection per map entry (the
+  * [[InactivityAcc]] lesson).
+  */
+case class DayAgg(nOrders: Long, sketch: Array[Long])
+
 /** STREAMING KMV windowed-distinct sketches (`transformWithState`) —
   * the live counterpart of the batch q68: per key (order priority), a
   * bounded bottom-k sketch of the distinct-customer hashes accumulates
@@ -46,8 +56,6 @@ object SketchStream {
   case class KmvWindowEmit(prio: String, day: Int, n_orders_90d: Long,
                            mg_size: Long, uh_k: Long)
 
-  private[streaming] case class DayAgg(n: Long, sk: Array[Long])
-
   /** Epoch day of 1992-01-01, the `day` index origin (22 years of
     * 365 days + 5 leap days over 1972/76/80/84/88).
     */
@@ -79,9 +87,9 @@ object SketchStream {
           if (prev.isEmpty) getHandle.registerTimer(dayEndMs(day))
           val hashes = evs.map(e =>
             graft.functions.NativeExprs.mix64(e.cust) ^ Long.MinValue)
-          val sk = (prev.map(_.sk.toVector).getOrElse(Vector.empty) ++ hashes)
+          val sk = (prev.map(_.sketch.toVector).getOrElse(Vector.empty) ++ hashes)
             .distinct.sorted.take(k).toArray
-          days.updateValue(day, DayAgg(prev.map(_.n).getOrElse(0L) + evs.size, sk))
+          days.updateValue(day, DayAgg(prev.map(_.nOrders).getOrElse(0L) + evs.size, sk))
         }
       }
       // bounded state: a day trailing the emission frontier by more
@@ -108,11 +116,11 @@ object SketchStream {
         // primitive-array merge: only the distinct-hash COUNT and the
         // k-th smallest are needed — one unboxed sort + one dedup pass
         // over ≤ (windowDays+1)·k longs, no per-element boxing
-        val merged = new Array[Long](window.iterator.map(_.sk.length).sum)
+        val merged = new Array[Long](window.iterator.map(_.sketch.length).sum)
         var off = 0
         window.foreach { w =>
-          System.arraycopy(w.sk, 0, merged, off, w.sk.length)
-          off += w.sk.length
+          System.arraycopy(w.sketch, 0, merged, off, w.sketch.length)
+          off += w.sketch.length
         }
         java.util.Arrays.sort(merged)
         var mgSize = 0L
@@ -126,7 +134,7 @@ object SketchStream {
           i += 1
         }
         if (day > frontier) emittedThrough.update(day)
-        Iterator.single(KmvWindowEmit(key, day, window.iterator.map(_.n).sum,
+        Iterator.single(KmvWindowEmit(key, day, window.iterator.map(_.nOrders).sum,
           mgSize, if (mgSize >= k) uhK else 0L))
       }
     }
