@@ -840,7 +840,21 @@ object LakeLog {
       if (deltas.head == 0L) None
       else listLog(dir, "c").filter(_ >= deltas.head - 1).minOption
         .flatMap(readCheckpoint(dir, _))
-    if (deltas.head > 0L && base.isEmpty) return Seq.empty // chain unanchored
+    // a broken log must be DISTINGUISHABLE from an empty table: an
+    // unanchored chain (retained deltas with no checkpoint at or below
+    // their floor) silently returning zero history rows would make
+    // __history / CALL system.history look like a fresh table
+    if (deltas.head > 0L && base.isEmpty)
+      throw new IllegalStateException(
+        s"graftlake log at $dir is unanchored: oldest retained delta is " +
+          s"v${deltas.head} but no checkpoint >= v${deltas.head - 1} exists")
+    base.filter(_.version > deltas.head).foreach { s =>
+      throw new IllegalStateException(
+        s"graftlake log at $dir has retained deltas below its minimum " +
+          s"checkpoint: deltas start at v${deltas.head} but the smallest " +
+          s"anchoring checkpoint is v${s.version} — census rows for the " +
+          "gap cannot be reconstructed")
+    }
     var files = Map.empty[String, LakeFile]
     var nRows = 0L
     var nLive = 0L
@@ -2099,7 +2113,13 @@ case class LakeBinSorter(i: Int, dt: DataType)
         Ordering.by[InternalRow, Double](_.getDouble(i))(
           Ordering.Double.TotalOrdering)
       case BooleanType => Ordering.by(_.getBoolean(i))
-      case _ => Ordering.by(_.getUTF8String(i).toString)
+      // UTF8String.compareTo is unsigned-BYTE order — the SAME order
+      // the append/compact write path sorts by. Converting to java
+      // String would compare UTF-16 code units, which disagrees for
+      // supplementary characters and would leave compacted files in a
+      // different order than the declared layout produces elsewhere.
+      case _ => Ordering.by[InternalRow, org.apache.spark.unsafe.types.UTF8String](
+        _.getUTF8String(i))(Ordering.fromLessThan(_.compareTo(_) < 0))
     }
     val ord: Ordering[InternalRow] = (a, b) =>
       (a.isNullAt(i), b.isNullAt(i)) match {
@@ -2168,7 +2188,7 @@ object LakeProcedures {
     * mid-rewrite survive (only the files the rewrite READ are
     * swapped; a concurrent change to them aborts).
     */
-  private def swapRewrite(dir: Path, snap: LakeSnapshot,
+  private[graft] def swapRewrite(dir: Path, snap: LakeSnapshot,
       rows: org.apache.spark.rdd.RDD[InternalRow],
       writeSchema: StructType,
       replacedFiles: Option[Set[String]] = None): Seq[LakeFile] = {
@@ -2189,11 +2209,24 @@ object LakeProcedures {
     // a PARTIAL rewrite (compact_size) swaps only its candidates;
     // conforming files keep their paths, stats, and layout
     val replaced = replacedFiles.getOrElse(snap.files.map(_.path).toSet)
+    // row-level snapshot isolation (the LakeDeltaOperation.scanDv rule):
+    // path existence alone is NOT enough — a concurrent MOR DELETE adds
+    // a delete vector to a candidate WITHOUT removing its path, and
+    // swapping in files rebuilt from the pre-delete rows would silently
+    // resurrect the deleted rows. Every replaced file's dv reference
+    // must still be exactly what this rewrite scanned.
+    val scanDv = snap.files.filter(f => replaced(f.path))
+      .map(f => f.path -> f.dv).toMap
     var done = false
     while (!done) {
       val cur = LakeLog.currentSnapshot(dir).get
-      require(replaced.subsetOf(cur.files.map(_.path).toSet),
+      val live = cur.files.map(f => f.path -> f).toMap
+      require(replaced.subsetOf(live.keySet),
         "concurrent rewrite invalidated this rewrite's snapshot")
+      replaced.foreach { p =>
+        require(live(p).dv == scanDv(p),
+          s"concurrent row-level change: delete vector of $p moved since this rewrite's scan")
+      }
       done = LakeLog.commit(dir, cur.version,
         cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written))
     }

@@ -1521,6 +1521,76 @@ class GraftLakeSpec extends AnyFunSuite {
       "skipped mutation commits emit nothing; later appends still tail")
   }
 
+  test("swapRewrite aborts when a concurrent MOR delete moves a candidate's delete vector") {
+    import spark.implicits._
+    // a rewrite (compact/zorder) scans a snapshot, rebuilds its live
+    // rows, and swaps files; a MOR DELETE landing in between adds a dv
+    // to a candidate WITHOUT removing its path — a path-only commit
+    // guard would accept the swap and resurrect the deleted rows
+    spark.sql(
+      """CREATE TABLE lake.db.t_swapguard (id BIGINT, v BIGINT, s STRING)
+        |TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    for (b <- 0 until 2)
+      spark.range(b * 25L, (b + 1) * 25L)
+        .select($"id", ($"id" * 10L).as("v"), lit(s"f$b").as("s"))
+        .coalesce(1).writeTo("lake.db.t_swapguard").append()
+    val dir = tableDir("t_swapguard")
+    val snap = LakeLog.currentSnapshot(dir).get // the rewrite's scan snapshot
+    val rebuilt = spark.table("lake.db.t_swapguard")
+      .repartition(1).queryExecution.toRdd
+    rebuilt.count() // materialize the scan BEFORE the concurrent delete
+    // concurrent row-level commit: dv lands on f0's file, path unchanged
+    spark.sql("DELETE FROM lake.db.t_swapguard WHERE id = 3")
+    assert(LakeLog.currentSnapshot(dir).get.files.map(_.path).toSet ==
+      snap.files.map(_.path).toSet, "MOR delete must keep every path")
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.LakeProcedures.swapRewrite(dir, snap, rebuilt, snap.schema)
+    }
+    assert(err.getMessage.contains("delete vector"),
+      s"guard must name the dv move: ${err.getMessage}")
+    // the delete survived — no resurrection
+    assert(!rows("t_swapguard").exists(_._1 == 3L))
+    // and a rewrite scanned AFTER the delete still goes through
+    val snap2 = LakeLog.currentSnapshot(dir).get
+    val rebuilt2 = spark.table("lake.db.t_swapguard")
+      .repartition(1).queryExecution.toRdd
+    graft.sources.LakeProcedures.swapRewrite(dir, snap2, rebuilt2, snap2.schema)
+    assert(rows("t_swapguard").map(_._1) == ((0L until 50L).filterNot(_ == 3L)))
+  }
+
+  test("LakeBinSorter restores string sortBy in UTF8 BYTE order, matching the write path") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    // U+FFFD (UTF-16 code unit 0xFFFD) vs U+1F600 (surrogate pair
+    // starting 0xD83D): java String order puts the emoji FIRST, but
+    // Spark's write path sorts UTF8String bytes (EF BF BD < F0 9F 98
+    // 80) putting U+FFFD first — the sorter must agree with the writer
+    def row(s: String): InternalRow =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(s)))
+    val in = Seq(row("😀"), row("�"), row("a"), row(null))
+    val sorted = graft.sources.LakeBinSorter(0, org.apache.spark.sql.types.StringType)
+      .apply(in.iterator).toSeq
+    val got = sorted.map(r => if (r.isNullAt(0)) null else r.getUTF8String(0).toString)
+    assert(got == Seq(null, "a", "�", "😀"),
+      s"nulls first then unsigned-byte order, got $got")
+    assert("�".compareTo("😀") > 0,
+      "sanity: java String order disagrees, so the test discriminates")
+  }
+
+  test("historyCensus throws on an unanchored delta chain instead of reporting an empty table") {
+    seeded("t_unanchored")
+    val dir = tableDir("t_unanchored")
+    assert(LakeLog.historyCensus(dir).size == 5) // v0..v4 intact
+    // break the log: prune v0/v1 deltas with NO anchoring checkpoint —
+    // a silent Seq.empty here made __history indistinguishable from a
+    // fresh table
+    Files.delete(dir.resolve("_log").resolve("v00000000.json"))
+    Files.delete(dir.resolve("_log").resolve("v00000001.json"))
+    val err = intercept[IllegalStateException](LakeLog.historyCensus(dir))
+    assert(err.getMessage.contains("unanchored"))
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
