@@ -1561,10 +1561,24 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     LakeReaderFactory(tableSchema,
       required.fields.map(f => f.name -> f.dataType), columnarPossible)
 
+  /** FOOTER-TRUE statistics: `sizeInBytes` sums the log's recorded
+    * per-file byte sizes (written at commit from the actual parquet
+    * footers), scaled by each file's live-row fraction under its
+    * delete vector — so AQE and the broadcast threshold see reality.
+    * A width guess (`rows × 16 × ncols`) under-reports wide string
+    * tables badly enough to wrongly broadcast them at scale; it
+    * survives only as the fallback for files from logs that predate
+    * the `bytes` field. `numRows` is exact (dv-adjusted).
+    */
   override def estimateStatistics(): Statistics = new Statistics {
     private val n = planned.map(_.liveRows).sum
+    private val bytes = planned.iterator.map { f =>
+      if (f.bytes > 0L && f.rows > 0L)
+        math.max(1L, (f.bytes.toDouble * f.liveRows / f.rows).toLong)
+      else f.liveRows * (tableSchema.length * 16L)
+    }.sum
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(n * (tableSchema.length * 16L))
+      java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
   }
 }

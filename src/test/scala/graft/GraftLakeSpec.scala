@@ -1521,6 +1521,55 @@ class GraftLakeSpec extends AnyFunSuite {
       "skipped mutation commits emit nothing; later appends still tail")
   }
 
+  test("footer-true scan statistics drive the broadcast decision by ACTUAL bytes, dv-scaled") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    // ~1 KB of incompressible payload per row: a width GUESS
+    // (rows × 16 × ncols = 48 B/row here) under-reports 20×, wrongly
+    // broadcasting wide string tables — the stats must come from the
+    // parquet footers the log records
+    val payload = concat((0 until 16).map(i =>
+      sha2(concat($"id".cast("string"), lit(s"#$i")), 256)): _*)
+    spark.sql("CREATE TABLE lake.db.t_statwide (id BIGINT, s STRING)")
+    spark.range(0, 500).select($"id", payload.as("s"))
+      .coalesce(1).writeTo("lake.db.t_statwide").append()
+    spark.sql("CREATE TABLE lake.db.t_statnarrow (id BIGINT, s STRING)")
+    spark.range(0, 40).select($"id", payload.as("s"))
+      .coalesce(1).writeTo("lake.db.t_statnarrow").append()
+    val wideBytes = LakeLog.currentSnapshot(tableDir("t_statwide")).get.files.map(_.bytes).sum
+    val narrowBytes = LakeLog.currentSnapshot(tableDir("t_statnarrow")).get.files.map(_.bytes).sum
+    assert(wideBytes > 400 * 1024 && narrowBytes < 100 * 1024,
+      s"payload sizing drifted: wide=$wideBytes narrow=$narrowBytes")
+    val threshold = 256 * 1024
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      val big = spark.range(0, 1000000).toDF("id") // 8 MB: never the broadcast side
+      def joinPlan(t: String) =
+        big.join(spark.table(s"lake.db.$t"), "id").queryExecution.sparkPlan
+      assert(joinPlan("t_statwide").collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        "500 KB of actual bytes must NOT broadcast under a 256 KB threshold " +
+          s"(a 48 B/row width guess would have): ${joinPlan("t_statwide")}")
+      assert(joinPlan("t_statnarrow").collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"a genuinely small table must still broadcast: ${joinPlan("t_statnarrow")}")
+      // live-fraction scaling: a MOR delete of 95% of the rows shrinks
+      // reported size below the threshold WITHOUT rewriting any file
+      spark.sql("""CREATE TABLE lake.db.t_statmor (id BIGINT, s STRING)
+        |TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+      spark.range(0, 500).select($"id", payload.as("s"))
+        .coalesce(1).writeTo("lake.db.t_statmor").append()
+      assert(joinPlan("t_statmor").collect { case j: SortMergeJoinExec => j }.nonEmpty)
+      val pathsBefore = filePaths("t_statmor")
+      spark.sql("DELETE FROM lake.db.t_statmor WHERE id >= 25")
+      val snap = LakeLog.currentSnapshot(tableDir("t_statmor")).get
+      assert(filePaths("t_statmor") == pathsBefore,
+        "MOR delete must not rewrite any file — only the dv shrinks the stats")
+      assert(snap.files.forall(_.dvRows > 0), "delete must ride as a dv")
+      assert(joinPlan("t_statmor").collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "5% live fraction of 500 KB is ~25 KB — the dv-scaled size must broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("swapRewrite aborts when a concurrent MOR delete moves a candidate's delete vector") {
     import spark.implicits._
     // a rewrite (compact/zorder) scans a snapshot, rebuilds its live
