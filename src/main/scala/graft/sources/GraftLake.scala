@@ -110,8 +110,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       else {
         val base = ident.name().stripSuffix(suffix)
         val baseDir = tableDir(Identifier.of(ident.namespace(), base))
+        // existence check by VERSION LISTING only — reconstructing the
+        // snapshot here would parse the O(files) checkpoint on the
+        // driver for every companion-table resolution
         if (!Files.isDirectory(tableDir(ident).resolve("_log")) &&
-            LakeLog.currentSnapshot(baseDir).isDefined)
+            LakeLog.currentVersion(baseDir).isDefined)
           Some(make(baseDir, base))
         else None
       }
@@ -731,13 +734,53 @@ object LakeLog {
     }
   }
 
+  /** Checkpoint files parsed since process start — spec
+    * instrumentation proving distributed-census PLANNING never parses
+    * the O(files) checkpoint on the driver.
+    */
+  private[graft] val checkpointReads = new java.util.concurrent.atomic.AtomicLong
+
   private def readCheckpoint(dir: Path, v: Long): Option[LakeSnapshot] = {
     val f = checkpointFile(dir, v)
     if (!Files.isRegularFile(f)) None
     else {
+      checkpointReads.incrementAndGet()
       val root = mapper.readTree(Files.readAllBytes(f))
       Some(LakeSnapshot(v, readSchemaOf(root), readEntries(root, "files"), readProps(root)))
     }
+  }
+
+  // ---- chunked log access for the DISTRIBUTED `__files` census ----
+  // The planning contract ([[LakeMetaTables.filesTable]]): the driver
+  // touches only the DELTA files (O(changes since checkpoint)) to
+  // compute per-chunk kill sets; the checkpoint — the O(files) part —
+  // is read exclusively inside tasks.
+
+  /** Largest checkpoint at or below `v` — the fold base
+    * [[snapshotAt]] itself uses.
+    */
+  private[sources] def checkpointBelow(dir: Path, v: Long): Option[Long] =
+    listLog(dir, "c").filter(_ <= v).maxOption
+
+  /** All file entries of checkpoint `c` (task-side read). */
+  private[sources] def checkpointFiles(dir: Path, c: Long): Seq[LakeFile] =
+    readCheckpoint(dir, c).map(_.files).getOrElse(Seq.empty)
+
+  /** Delta `v`'s (adds, removed paths); empty when pruned. */
+  private[sources] def deltaChanges(dir: Path, v: Long): (Seq[LakeFile], Set[String]) =
+    deltaAt(dir, v).map { case (_, _, a, r) => (a, r) }
+      .getOrElse((Seq.empty, Set.empty))
+
+  /** Table props as of delta `v` (the head delta carries the current
+    * spec history — a small read, unlike the checkpoint).
+    */
+  private[sources] def deltaProps(dir: Path, v: Long): Map[String, String] =
+    deltaAt(dir, v).map(_._2).getOrElse(Map.empty)
+
+  /** On-disk size of one log chunk (threshold + sharding input). */
+  private[sources] def chunkBytes(dir: Path, kind: String, v: Long): Long = {
+    val f = if (kind == "c") checkpointFile(dir, v) else versionFile(dir, v)
+    if (Files.isRegularFile(f)) Files.size(f) else 0L
   }
 
   /** Reconstruct version `v`: nearest checkpoint at or below, then the

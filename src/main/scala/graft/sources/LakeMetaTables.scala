@@ -1,11 +1,12 @@
 package graft.sources
 
-import java.nio.file.Path
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,14 +15,58 @@ import org.apache.spark.unsafe.types.UTF8String
   * `table$history` surface, spelled `<table>__files` /
   * `<table>__history` here): the table-format internals as ordinary
   * queryable rows, resolved by [[GraftLakeCatalog.loadTable]] the same
-  * way as the `__changes` feed. Both answer from the LOG alone
-  * ([[LocalScan]] — no data file opens, no tasks), which is exactly
-  * what an operator debugging a 100 TB table wants: census first,
-  * scans only when pointed at something.
+  * way as the `__changes` feed. Both answer from the LOG alone — no
+  * data file opens — which is exactly what an operator debugging a
+  * 100 TB table wants: census first, scans only when pointed at
+  * something.
+  *
+  * `__history` is O(versions) rows and stays a [[LocalScan]]. `__files`
+  * is O(files) rows — a million-entry census on the driver would make
+  * the compaction planner's own input single-threaded — so above a log
+  * size threshold it plans a DISTRIBUTED scan with one
+  * [[InputPartition]] per LOG CHUNK (the anchoring checkpoint, sharded
+  * by byte size, plus each later delta). The driver reads only the
+  * deltas (O(changes since checkpoint)) to compute per-chunk kill
+  * sets; the checkpoint — the O(files) part — is parsed exclusively
+  * inside tasks. An entry from chunk `i` is live at the head iff no
+  * later chunk removes OR re-adds its path, which is exactly the
+  * snapshot fold's survivor rule.
   */
 object LakeMetaTables {
   val FilesSuffix = "__files"
   val HistorySuffix = "__history"
+
+  /** Log bytes under which `__files` stays a driver-local scan. */
+  val LocalMaxBytesDefault: Long = 8L * 1024 * 1024
+  /** Target checkpoint bytes per shard of the distributed census. */
+  val ShardBytesDefault: Long = 32L * 1024 * 1024
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("dv_rows", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = false),
+    StructField("partition", StringType, nullable = true),
+    StructField("epoch", LongType, nullable = true),
+    StructField("query", StringType, nullable = true)))
+
+  /** One census row — shared by the local and distributed paths so
+    * they cannot drift.
+    */
+  private[sources] def fileRow(f: LakeFile, props: Map[String, String]): InternalRow = {
+    // label the tuple under the FILE's own era's spec
+    val fields = LakePartitioning.specOf(props, f.specId)
+    val part =
+      if (f.part.isEmpty) null
+      else UTF8String.fromString(
+        fields.map(_.col).zip(f.part)
+          .map { case (c, v) => s"$c=${v.getOrElse("null")}" }.mkString("/"))
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(f.path), f.rows, f.dvRows, f.liveRows,
+      part,
+      f.epoch.map(Long.box).orNull,
+      f.query.map(UTF8String.fromString).orNull))
+  }
 
   private def scanOnly(schema0: StructType, rows0: => Seq[InternalRow],
       name0: String): Table = new Table with SupportsRead {
@@ -40,33 +85,73 @@ object LakeMetaTables {
   /** One row per LIVE data file of the head snapshot: path, row
     * counts, delete-vector size, partition tuple, streaming origin.
     */
-  def filesTable(dir: Path, baseName: String): Table = {
-    val schema = StructType(Seq(
-      StructField("path", StringType, nullable = false),
-      StructField("rows", LongType, nullable = false),
-      StructField("dv_rows", LongType, nullable = false),
-      StructField("live_rows", LongType, nullable = false),
-      StructField("partition", StringType, nullable = true),
-      StructField("epoch", LongType, nullable = true),
-      StructField("query", StringType, nullable = true)))
-    scanOnly(schema, {
-      val snap = LakeLog.currentSnapshot(dir).getOrElse(
-        throw new IllegalStateException(s"graftlake: $baseName has no committed version"))
-      snap.files.map { f =>
-        // label the tuple under the FILE's own era's spec
-        val fields = LakePartitioning.specOf(snap.props, f.specId)
-        val part =
-          if (f.part.isEmpty) null
-          else UTF8String.fromString(
-            fields.map(_.col).zip(f.part)
-              .map { case (c, v) => s"$c=${v.getOrElse("null")}" }.mkString("/"))
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(f.path), f.rows, f.dvRows, f.liveRows,
-          part,
-          f.epoch.map(Long.box).orNull,
-          f.query.map(UTF8String.fromString).orNull)): InternalRow
+  def filesTable(dir: Path, baseName: String): Table = new Table with SupportsRead {
+    override def name(): String = s"graftlake.$baseName:files"
+    override def schema(): StructType = FilesSchema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = () => {
+      val head = LakeLog.currentVersion(dir).getOrElse(
+        throw new IllegalStateException(
+          s"graftlake: $baseName has no committed version"))
+      val cp = LakeLog.checkpointBelow(dir, head)
+      val deltaVs = (cp.map(_ + 1L).getOrElse(0L) to head).toSeq
+      val cpBytes = cp.map(LakeLog.chunkBytes(dir, "c", _)).getOrElse(0L)
+      val logBytes = cpBytes + deltaVs.map(LakeLog.chunkBytes(dir, "v", _)).sum
+      def opt(k: String, dflt: Long): Long =
+        Option(options.get(k)).map(_.toLong).getOrElse(dflt)
+      val localMax = opt("census_local_max_bytes", LocalMaxBytesDefault)
+      // a pruned delta inside the fold window means the chunked rule
+      // cannot reconstruct the head — fall back to the local path,
+      // whose snapshot fold reports the broken chain properly
+      val chunked = deltaVs.forall(v => LakeLog.chunkBytes(dir, "v", v) > 0L)
+      if (logBytes <= localMax || !chunked) new LocalScan {
+        override def readSchema(): StructType = FilesSchema
+        override def rows(): Array[InternalRow] = {
+          val snap = LakeLog.currentSnapshot(dir).getOrElse(
+            throw new IllegalStateException(
+              s"graftlake: $baseName has no committed version"))
+          snap.files.map(f => fileRow(f, snap.props)).toArray
+        }
+        override def description(): String = s"graftlake.$baseName:files"
+      }: Scan
+      else {
+        // driver-side: ONLY delta reads. Suffix-union kill sets — an
+        // entry is killed by any LATER chunk touching its path
+        // (remove = gone; re-add = superseded by the later entry).
+        val touched: Seq[(Long, Set[String])] = deltaVs.map { v =>
+          val (adds, removes) = LakeLog.deltaChanges(dir, v)
+          v -> (removes ++ adds.iterator.map(_.path))
+        }
+        val killAfter = scala.collection.mutable.Map.empty[Long, Set[String]]
+        var acc = Set.empty[String]
+        touched.reverse.foreach { case (v, t) =>
+          killAfter(v) = acc // later chunks only
+          acc ++= t
+        }
+        val killAll = acc // kills checkpoint entries
+        val props = LakeLog.deltaProps(dir, head)
+        val shardBytes = math.max(1L, opt("census_shard_bytes", ShardBytesDefault))
+        val nShards = math.max(1L, (cpBytes + shardBytes - 1L) / shardBytes).toInt
+        val cpParts: Seq[InputPartition] = cp.toSeq.flatMap(c =>
+          (0 until nShards).map(s => LakeFilesChunk(dir.toString, "c", c,
+            s, nShards, killAll.toSeq.sorted, props)))
+        val deltaParts: Seq[InputPartition] = deltaVs.map(v =>
+          LakeFilesChunk(dir.toString, "v", v, 0, 1,
+            killAfter(v).toSeq.sorted, props))
+        new Scan with Batch {
+          override def readSchema(): StructType = FilesSchema
+          override def description(): String =
+            s"graftlake.$baseName:files distributed chunks=${cpParts.size + deltaParts.size}"
+          override def toBatch: Batch = this
+          override def planInputPartitions(): Array[InputPartition] =
+            (cpParts ++ deltaParts).toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            LakeFilesCensusReaderFactory()
+        }: Scan
       }
-    }, s"graftlake.$baseName:files")
+    }
   }
 
   /** One row per retained log version: commit time, file/row census —
@@ -89,5 +174,40 @@ object LakeMetaTables {
           nFiles, nRows, nLive)): InternalRow
       }
     }, s"graftlake.$baseName:history")
+  }
+}
+
+/** One distributed-census chunk: the anchoring checkpoint (sharded
+  * `shard`/`nShards` by entry index) or one delta's adds, plus the
+  * paths KILLED by later chunks. Top-level case class: ships to
+  * executors with no table/catalog outers.
+  */
+case class LakeFilesChunk(dir: String, kind: String, version: Long,
+    shard: Int, nShards: Int, kill: Seq[String],
+    props: Map[String, String]) extends InputPartition
+
+/** Task-side census reader: parses its own log chunk (the checkpoint
+  * never crosses the driver) and emits the surviving entries' rows.
+  */
+case class LakeFilesCensusReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val c = p.asInstanceOf[LakeFilesChunk]
+    val dir = Paths.get(c.dir)
+    val entries = c.kind match {
+      case "c" => LakeLog.checkpointFiles(dir, c.version)
+      case _ => LakeLog.deltaChanges(dir, c.version)._1
+    }
+    val kill = c.kill.toSet
+    val it = entries.iterator.zipWithIndex
+      .filter { case (_, i) => i % c.nShards == c.shard }
+      .collect { case (f, _) if !kill(f.path) =>
+        LakeMetaTables.fileRow(f, c.props) }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
   }
 }

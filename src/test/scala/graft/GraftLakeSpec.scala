@@ -1521,6 +1521,42 @@ class GraftLakeSpec extends AnyFunSuite {
       "skipped mutation commits emit nothing; later appends still tail")
   }
 
+  test("__files census distributes above the log threshold: multi-partition plan, rows identical, checkpoint never parsed on the driver") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_census (id BIGINT, v BIGINT, s STRING)")
+    for (b <- 0 until 12) // v1..v12 — crosses CheckpointInterval, checkpoint lands at v10
+      spark.range(b * 10L, (b + 1) * 10L)
+        .select($"id", ($"id" * 2L).as("v"), lit(s"f$b").as("s"))
+        .coalesce(2).writeTo("lake.db.t_census").append()
+    // make the kill sets non-trivial: a metadata delete REMOVES two
+    // checkpointed files (v13), a COW update REMOVE+RE-ADDS one (v14)
+    spark.sql("DELETE FROM lake.db.t_census WHERE id < 10")
+    spark.sql("UPDATE lake.db.t_census SET v = -1 WHERE id = 55")
+    val local = spark.table("lake.db.t_census__files").collect()
+      .map(_.toSeq).sortBy(_.head.toString)
+    assert(local.length == LakeLog.currentSnapshot(tableDir("t_census")).get.files.size)
+    val planned0 = graft.sources.LakeLog.checkpointReads.get()
+    val dist = spark.read
+      .option("census_local_max_bytes", "0") // force the distributed path
+      .option("census_shard_bytes", "1024")  // force checkpoint sharding
+      .table("lake.db.t_census__files")
+    assert(dist.queryExecution.sparkPlan.toString.contains("distributed chunks="),
+      s"expected the chunked census scan: ${dist.queryExecution.sparkPlan}")
+    assert(graft.sources.LakeLog.checkpointReads.get() == planned0,
+      "driver-side planning must read ONLY deltas — the O(files) checkpoint is task-side")
+    assert(dist.rdd.getNumPartitions > 4,
+      s"checkpoint shards + per-delta chunks: got ${dist.rdd.getNumPartitions}")
+    val got = dist.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got.toSeq == local.toSeq,
+      "distributed census rows must be identical to the local path")
+    // survivor rule sanity: removed files gone, the COW rewrite's new
+    // file present exactly once
+    assert(got.map(_.head.toString).distinct.length == got.length)
+    // and the default read on a small log stays driver-local (no tasks)
+    assert(!spark.table("lake.db.t_census__files")
+      .queryExecution.sparkPlan.toString.contains("distributed chunks="))
+  }
+
   test("footer-true scan statistics drive the broadcast decision by ACTUAL bytes, dv-scaled") {
     import spark.implicits._
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
