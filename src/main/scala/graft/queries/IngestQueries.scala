@@ -680,6 +680,61 @@ object IngestQueries {
       .orderBy($"seg")
   }
 
+  /** q91 — streaming write INTO the lake (`writeStream.toTable`): the
+    * reference's ingest direction (producer → topic → consumer →
+    * store, `producer.py` / `consumer1.py:93-103`) re-expressed as a
+    * checkpointed stream landing in a transactional lake table. A
+    * source table's append-only stream (one source version per
+    * micro-batch) is written into a SECOND lake table through the
+    * connector's real [[org.apache.spark.sql.connector.write.streaming.StreamingWrite]]
+    * — every epoch is its own atomic lake commit, idempotently keyed
+    * by (queryId, epochId). The drain is RESTARTED mid-stream: the
+    * third source slice lands only after the first drain finishes, and
+    * the second drain resumes from the checkpoint to pick up exactly
+    * that slice. The DuckDB oracle computes the same aggregate from
+    * the raw parquet — hash equality proves every slice landed exactly
+    * once across the restart (a replayed epoch doubles a bucket's
+    * count; a lost one empties it).
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q91").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$cat.db.orders_in"
+    val dst = s"$cat.db.orders_sink"
+    spark.sql(s"CREATE TABLE $src (ok BIGINT, ck BIGINT, cents BIGINT)")
+    spark.sql(s"CREATE TABLE $dst (ok BIGINT, ck BIGINT, cents BIGINT)")
+    // three deterministic slices; the +m shift makes mis-attributed
+    // replays break the sum, not just the count
+    def slice(m: Int) = Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 3 === m.toLong)
+      .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
+        (graft.functions.gf.fixed($"o_totalprice", 100.0) + m.toLong).as("cents"))
+    slice(0).repartition(2).writeTo(src).append() // v1
+    slice(1).repartition(2).writeTo(src).append() // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("q91-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1") // one source version per epoch
+        .table(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+    }
+    drain() // epochs for v1, v2 — each an atomic lake commit into dst
+    slice(2).repartition(2).writeTo(src).append() // v3, post-drain
+    drain() // restart from the checkpoint: exactly v3's rows
+    spark.table(dst)
+      .groupBy(($"ok" % 10L).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      .orderBy($"bucket")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -851,6 +906,7 @@ object IngestQueries {
     "q86_lake_zorder" -> q86,
     "q88_incremental_mv" -> q88,
     "q90_enriched_mv" -> q90,
+    "q91_stream_into_lake" -> q91,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -872,6 +928,17 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q91_stream_into_lake" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |      + o_orderkey % 3 AS cents
+        |  FROM orders)
+        |SELECT ok % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q90_enriched_mv" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok, o_custkey AS ck,
