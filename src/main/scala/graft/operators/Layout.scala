@@ -121,6 +121,29 @@ object Layout {
     * per row; LayoutSpec pins it value-for-value against the native
     * expression so the planner and the data path can never disagree.
     */
+  /** Driver-side Morton interleave of two 16-bit values — the scalar
+    * twin of [[zValue]] (same spread masks), for PLANNING arithmetic
+    * over file-stat corners: Morton codes are monotone under
+    * coordinate-wise dominance, so a file whose rectangle is
+    * [xlo,xhi]×[ylo,yhi] has all its z-values inside
+    * [zLong(xlo,ylo), zLong(xhi,yhi)] — the interval the incremental
+    * `system.zorder` overlap test runs on.
+    */
+  def zLong(x: Long, y: Long): Long = {
+    def spread(c0: Long): Long = {
+      var c = c0 & 0xFFFFL
+      c = (c | (c << 8)) & 0x00FF00FFL
+      c = (c | (c << 4)) & 0x0F0F0F0FL
+      c = (c | (c << 2)) & 0x33333333L
+      (c | (c << 1)) & 0x55555555L
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
+  /** Scalar twin of [[quantize16]] (same exact-integer affine map). */
+  def quantize16Long(v: Long, lo: Long, hi: Long): Long =
+    if (hi == lo) 0L else (v - lo) * 65535L / (hi - lo)
+
   def hilbertD2(xIn: Long, yIn: Long): Long = {
     var x = xIn & 0xFFFFL
     var y = yIn & 0xFFFFL

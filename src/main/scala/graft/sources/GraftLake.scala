@@ -2477,42 +2477,119 @@ object LakeProcedures {
                 s"zorder column $c must be integral, got ${f.dataType.simpleString}")
             }
             val fqn = s"$catName.${input.getUTF8String(0)}"
-            import org.apache.spark.sql.functions.{broadcast, col => fcol, max => fmax, min => fmin}
-            val base = spark.table(fqn)
-            // observed per-dim domain as a 1-row broadcast (no collect),
-            // exact-integer quantization onto 16 bits, interleave, then
-            // range-partition + in-task sort by the z value; the helper
-            // column is projected away before the writers see rows
-            val dom = base.agg(
-              fmin(fcol(cx)).cast("long").as("__xlo"), fmax(fcol(cx)).cast("long").as("__xhi"),
-              fmin(fcol(cy)).cast("long").as("__ylo"), fmax(fcol(cy)).cast("long").as("__yhi"))
-            val z = graft.operators.Layout.zValue(
-              graft.operators.Layout.quantize16(
-                fcol(cx).cast("long"), fcol("__xlo"), fcol("__xhi")),
-              graft.operators.Layout.quantize16(
-                fcol(cy).cast("long"), fcol("__ylo"), fcol("__yhi")))
-            // fixed z-space splits, routed by an EXPLICIT partitioner:
-            // file f holds exactly curve range [f, f+1)·2^32/target —
-            // deterministic boundaries (repartitionByRange's sampler
-            // would wobble them run-to-run, splitting or merging
-            // buckets), with an in-partition sort by the full z value.
-            // The helper columns ride ahead of the table columns and
-            // the writers' `keep` projection drops them.
-            import org.apache.spark.sql.functions.{expr => fexpr}
-            val projected = base.crossJoin(broadcast(dom))
+            import org.apache.spark.sql.functions.{broadcast, col => fcol}
+            import graft.operators.Layout
+            // INCREMENTAL clustering, planned from FOOTER STATS alone
+            // (no data scan): a file's rectangle [xlo,xhi]×[ylo,yhi]
+            // bounds all its z-values in [z(xlo,ylo), z(xhi,yhi)]
+            // (Morton codes are monotone under coordinate-wise
+            // dominance). Files whose intervals overlap interleave on
+            // the curve and re-cluster together; a file disjoint from
+            // every other already owns its curve range and keeps its
+            // path, stats, and bytes. First call on an unclustered
+            // table: every interval spans the hull → one component →
+            // the full rewrite this procedure always did.
+            val curCols = LakeColIds.cols(snap.schema, snap.props)
+            def rectOf(f: LakeFile): (Long, Long, Long, Long) = {
+              val r = for {
+                px <- LakeColIds.physicalName(curCols, f, cx)
+                py <- LakeColIds.physicalName(curCols, f, cy)
+                x <- f.stats.get(px)
+                y <- f.stats.get(py)
+              } yield (x._1, x._2, y._1, y._2)
+              r.getOrElse(throw new IllegalArgumentException(
+                s"zorder: ${f.path} carries no stats for $cx/$cy " +
+                  "(column added after the file was written?)"))
+            }
+            if (snap.files.isEmpty)
+              return out(rewriteResultSchema,
+                Seq(new GenericInternalRow(Array[Any](0, 0, 0L))))
+            val rects = snap.files.map(f => f -> rectOf(f))
+            // quantization domain = global stat extremes (exact data
+            // min/max — footer stats are exact), so planning and the
+            // row-side z expression use ONE affine map
+            val xlo = rects.map(_._2._1).min; val xhi = rects.map(_._2._2).max
+            val ylo = rects.map(_._2._3).min; val yhi = rects.map(_._2._4).max
+            def zIv(r: (Long, Long, Long, Long)): (Long, Long) = (
+              Layout.zLong(Layout.quantize16Long(r._1, xlo, xhi),
+                Layout.quantize16Long(r._3, ylo, yhi)),
+              Layout.zLong(Layout.quantize16Long(r._2, xlo, xhi),
+                Layout.quantize16Long(r._4, ylo, yhi)))
+            // interval sweep per (era, tuple) group: transitive-overlap
+            // components; a component's hull is contiguous, so hulls
+            // are pairwise disjoint and bucket routing is per-file
+            val comps = Seq.newBuilder[Seq[(LakeFile, (Long, Long))]]
+            rects.groupBy { case (f, _) => (f.specId, f.part) }.toSeq
+              .sortBy(_._2.head._1.path).foreach { case (_, group) =>
+                var cur = Vector.empty[(LakeFile, (Long, Long))]
+                var curHi = Long.MinValue
+                group.map { case (f, r) => (f, zIv(r)) }
+                  .sortBy { case (f, (lo, _)) => (lo, f.path) }.foreach {
+                    case e @ (_, (lo, hi)) =>
+                      if (cur.nonEmpty && lo > curHi) {
+                        comps += cur; cur = Vector.empty; curHi = Long.MinValue
+                      }
+                      cur :+= e; curHi = math.max(curHi, hi)
+                  }
+                if (cur.nonEmpty) comps += cur
+              }
+            // singleton components are CONFORMING — nothing interleaves
+            val dirty = comps.result().filter(_.size >= 2)
+            if (dirty.isEmpty)
+              return out(rewriteResultSchema,
+                Seq(new GenericInternalRow(Array[Any](0, 0, 0L))))
+            val totalLive = math.max(1L, snap.files.map(_.liveRows).sum)
+            // per-component buckets: curve share ∝ live-row share of
+            // the table, never fewer than one file per component
+            var nextBucket = 0L
+            val fileMeta = dirty.flatMap { comp =>
+              val rows = comp.map(_._1.liveRows).sum
+              val n = math.max(1L,
+                (target.toLong * rows + totalLive - 1L) / totalLive)
+              val lo = comp.map(_._2._1).min
+              val hi = comp.map(_._2._2).max
+              val span = math.max(1L, hi - lo + 1L)
+              val base0 = nextBucket
+              nextBucket += n
+              comp.map { case (f, _) => (f.path, base0, n, lo, span) }
+            }
+            val candidates = fileMeta.map(_._1)
+            val metaDf = spark.createDataFrame(fileMeta)
+              .toDF("__f", "__b0", "__n", "__czlo", "__cspan")
+            val z = Layout.zValue(
+              Layout.quantize16(fcol(cx).cast("long"),
+                fcol("__xlo"), fcol("__xhi")),
+              Layout.quantize16(fcol(cy).cast("long"),
+                fcol("__ylo"), fcol("__yhi")))
+            // scan ONLY the dirty files (static _file IN pruning);
+            // deterministic fixed z-space splits inside each
+            // component's hull, routed by an EXPLICIT partitioner
+            // (repartitionByRange's sampler would wobble boundaries),
+            // with an in-partition sort by the full z value. Helper
+            // columns ride ahead of the table columns; the writers'
+            // `keep` projection drops them.
+            import org.apache.spark.sql.functions.{expr => fexpr, lit => flit}
+            val projected = spark.table(fqn)
+              .where(fcol(LakeTable.FileColumn).isin(candidates: _*))
+              .join(broadcast(metaDf), fcol(LakeTable.FileColumn) === fcol("__f"))
+              .withColumn("__xlo", flit(xlo)).withColumn("__xhi", flit(xhi))
+              .withColumn("__ylo", flit(ylo)).withColumn("__yhi", flit(yhi))
               .withColumn("__z", z)
-              .withColumn("__zb", fexpr(s"__z * $target div ${1L << 32}"))
+              .withColumn("__zb",
+                fexpr("__b0 + (__z - __czlo) * __n div __cspan"))
               .select((Seq("__zb", "__z") ++ snap.schema.fieldNames)
                 .map(fcol(_)).toIndexedSeq: _*)
             val writeSchema = projected.schema
             val rdd = projected.queryExecution.toRdd
               .mapPartitions(_.map(r => ((r.getLong(0), r.getLong(1)), r.copy())))
-              .repartitionAndSortWithinPartitions(new LakeBucketPartitioner(target))
+              .repartitionAndSortWithinPartitions(
+                new LakeBucketPartitioner(nextBucket.toInt))
               .map(_._2: InternalRow)
-            val written = swapRewrite(dir, snap, rdd, writeSchema)
+            val written = swapRewrite(dir, snap, rdd, writeSchema,
+              replacedFiles = Some(candidates.toSet))
             out(rewriteResultSchema,
               Seq(new GenericInternalRow(Array[Any](
-                snap.files.size, written.size, written.map(_.rows).sum))))
+                candidates.size, written.size, written.map(_.rows).sum))))
           }
         }
       }

@@ -1047,6 +1047,53 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(plannedFiles(spark.table("lake.db.t_zorder").filter($"x" >= 48)) == 2)
   }
 
+  test("incremental zorder: second call after a narrow append rewrites only the interleaving files") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_incz (x BIGINT, y BIGINT, v BIGINT)")
+    spark.range(0, 4096)
+      .select(($"id" % 64).as("x"), ($"id" / 64).as("y"), $"id".as("v"))
+      .coalesce(4)
+      .writeTo("lake.db.t_incz").append()
+    val res1 = spark.sql("CALL lake.system.zorder('db.t_incz', 'x', 'y', 4)")
+      .collect().head
+    assert(res1.getInt(0) == 4 && res1.getInt(1) == 4 && res1.getLong(2) == 4096L)
+    val clustered = filePaths("t_incz")
+    // idempotence: with every file owning a disjoint curve range, a
+    // re-call is a metadata-only no-op — zero candidates, zero writes
+    val res2 = spark.sql("CALL lake.system.zorder('db.t_incz', 'x', 'y', 4)")
+      .collect().head
+    assert(res2.getInt(0) == 0 && res2.getInt(1) == 0 && res2.getLong(2) == 0L,
+      s"a clustered table must not rewrite: $res2")
+    assert(filePaths("t_incz") == clustered)
+    // a NARROW append (one quadrant's corner) interleaves with exactly
+    // one clustered file — the rewrite must touch that file + the new
+    // one and leave the other three quadrants' paths alone
+    spark.range(0, 16)
+      .select(($"id" % 4).as("x"), ($"id" / 4).as("y"), ($"id" + 10000L).as("v"))
+      .coalesce(1)
+      .writeTo("lake.db.t_incz").append()
+    val before = spark.table("lake.db.t_incz").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val withAppend = filePaths("t_incz")
+    val res3 = spark.sql("CALL lake.system.zorder('db.t_incz', 'x', 'y', 4)")
+      .collect().head
+    assert(res3.getInt(0) == 2,
+      s"exactly the dirty quadrant + the append are candidates: $res3")
+    val after = filePaths("t_incz")
+    val untouched = clustered.filter(after.contains)
+    assert(untouched.size == 3,
+      s"three conforming quadrants keep their paths: clustered=$clustered after=$after")
+    assert(!after.exists(withAppend.diff(clustered).contains),
+      "the appended file must be consumed by the rewrite")
+    // content-neutral, and the table stays fully clustered (a further
+    // call is again a no-op)
+    assert(spark.table("lake.db.t_incz").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq == before)
+    val res4 = spark.sql("CALL lake.system.zorder('db.t_incz', 'x', 'y', 4)")
+      .collect().head
+    assert(res4.getInt(0) == 0, s"re-clustered table must be conforming: $res4")
+  }
+
   test("partitioned tables: file-per-tuple writes, string pruning, partition overwrite") {
     import spark.implicits._
     spark.sql(
