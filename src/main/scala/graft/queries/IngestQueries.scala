@@ -735,6 +735,57 @@ object IngestQueries {
       .orderBy($"bucket")
   }
 
+  /** q92 — WRITE-AUDIT-PUBLISH over named refs: the curation gate a
+    * production lake runs before exposing new data (the reference
+    * publishes each transform layer wholesale to HDFS paths,
+    * `README.md` batch flow; refs make that promotion transactional).
+    * A customer table is tagged at its audited state, a staging branch
+    * opens (pinning the default view), a second slice lands on the
+    * branch, and the AUDIT reads three views at once: plain reads
+    * (pinned — must still see only slice 1), `VERSION AS OF 'wap'`
+    * (the branch head — both slices), `VERSION AS OF 'v1'` (the tag).
+    * After `publish` the default view flips to the branch head in one
+    * atomic ref unlink. The returned aggregate reads the PUBLISHED
+    * table crossed with 1-row pinned/audit counts captured BEFORE the
+    * publish — the DuckDB oracle recomputes all three from raw
+    * parquet, so a leaked staged row into the pinned view, a missed
+    * row in the audit view, or a lost slice after publish each break
+    * the hash.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q92").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.custgate"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT)")
+    def slice(m: Int) = Tables.load(spark, dir, "customer")
+      .filter($"c_custkey" % 2 === m.toLong)
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+    slice(0).repartition(2).writeTo(t).append() // v1: the audited state
+    spark.sql(s"CALL $cat.system.tag('db.custgate', 'v1', -1)")
+    spark.sql(s"CALL $cat.system.branch('db.custgate', 'wap')")
+    slice(1).repartition(2).writeTo(t).append() // v2: staged on the branch
+    // three views, captured as 1-row broadcast frames BEFORE publish
+    // (analysis pins each frame's snapshot; execution later still
+    // reads exactly those files)
+    val pinned = broadcast(spark.table(t)
+      .agg(count(lit(1)).as("pinned_rows")))
+    val audit = broadcast(spark.sql(
+      s"SELECT CAST(count(*) AS BIGINT) AS audit_rows FROM $t VERSION AS OF 'wap'"))
+    val tagged = broadcast(spark.sql(
+      s"SELECT CAST(count(*) AS BIGINT) AS tag_rows FROM $t VERSION AS OF 'v1'"))
+    spark.sql(s"CALL $cat.system.publish('db.custgate', 'wap')")
+    spark.table(t) // re-resolved post-publish: the branch head
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_rows"), sum($"bal").as("sum_bal"))
+      .crossJoin(pinned).crossJoin(audit).crossJoin(tagged)
+      .orderBy($"seg")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -907,6 +958,7 @@ object IngestQueries {
     "q88_incremental_mv" -> q88,
     "q90_enriched_mv" -> q90,
     "q91_stream_into_lake" -> q91,
+    "q92_wap_refs" -> q92,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -928,6 +980,23 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q92_wap_refs" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |counts AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pinned_rows,
+        |    CAST(count(*) AS BIGINT) AS audit_rows,
+        |    CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tag_rows
+        |  FROM base)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal,
+        |  counts.pinned_rows, counts.audit_rows, counts.tag_rows
+        |FROM base CROSS JOIN counts
+        |GROUP BY seg, counts.pinned_rows, counts.audit_rows, counts.tag_rows
+        |ORDER BY seg""".stripMargin,
     "q91_stream_into_lake" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok,

@@ -121,9 +121,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     companion(LakeChanges.Suffix)(new LakeChangesTable(_, _))
       .orElse(companion(LakeMetaTables.FilesSuffix)(LakeMetaTables.filesTable))
       .orElse(companion(LakeMetaTables.HistorySuffix)(LakeMetaTables.historyTable))
+      .orElse(companion(LakeMetaTables.RefsSuffix)(LakeMetaTables.refsTable))
       .foreach(t => return t)
     val dir = tableDir(ident)
-    LakeLog.currentSnapshot(dir).map(new LakeTable(dir, _, None)).getOrElse(
+    // write-audit-publish: a pinned `main` ref freezes the DEFAULT
+    // view at its recorded version while a staging branch absorbs the
+    // commits landing after it. Writes are NOT pinned (third arg None)
+    // — appends commit against the true head, i.e. onto the branch.
+    val snap = LakeLog.readRef(dir, "main") match {
+      case Some((v, _)) => LakeLog.snapshotAt(dir, v)
+      case None => LakeLog.currentSnapshot(dir)
+    }
+    snap.map(new LakeTable(dir, _, None)).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
   }
 
@@ -132,7 +141,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
-    val v = version.toLong
+    // `VERSION AS OF` takes a version number OR a ref name: tags (and
+    // the pinned main) resolve to their recorded version, a staging
+    // branch resolves to the CURRENT head — the audit read of WAP
+    val v = version.toLongOption.getOrElse {
+      val (rv, kind) = LakeLog.readRef(dir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftlake: '$version' is neither a version nor a ref of ${ident.name()}"))
+      if (kind == "branch") LakeLog.currentVersion(dir).get else rv
+    }
     LakeLog.snapshotAt(dir, v).map(new LakeTable(dir, _, Some(v))).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
   }
@@ -950,6 +967,75 @@ object LakeLog {
     listLog(dir, "c").filter(_ < floor)
       .foreach(v => Files.deleteIfExists(checkpointFile(dir, v)))
     deltas.size
+  }
+
+  // ---- named REFS: tags + the staging branch (write-audit-publish) ----
+  // A ref is a small `_log/ref-<name>.json` {name, version, kind}.
+  //   - kind "tag": immutable pin of one version (create-if-absent);
+  //     resolvable via `VERSION AS OF '<name>'`; vacuum keeps every
+  //     tagged version reconstructible.
+  //   - kind "main": the pinned DEFAULT view while a staging branch is
+  //     active — plain reads resolve through it; its creation is the
+  //     create-if-absent lock that makes the staging branch exclusive.
+  //   - kind "branch": the staging marker; resolves to the CURRENT
+  //     head (the branch absorbs every commit while main is pinned).
+  // Publish = unlink the main ref (one atomic unlink — readers see the
+  // pinned view or the head, never between), then the marker.
+
+  private def refFile(dir: Path, name: String): Path =
+    logDir(dir).resolve(s"ref-$name.json")
+
+  def validRefName(name: String): Boolean =
+    name.matches("[A-Za-z][A-Za-z0-9_-]*")
+
+  /** (version, kind) of ref `name` — the raw record; branch refs
+    * resolve to the head at READ time, not this recorded base.
+    */
+  def readRef(dir: Path, name: String): Option[(Long, String)] = {
+    val f = refFile(dir, name)
+    if (!Files.isRegularFile(f)) None
+    else {
+      val root = mapper.readTree(Files.readAllBytes(f))
+      Some((root.get("version").asLong, root.get("kind").asText))
+    }
+  }
+
+  /** Write ref `name`; `replace = false` is atomic create-if-absent
+    * (returns false when the ref exists — the tag/lock contract),
+    * `replace = true` atomically swaps the record.
+    */
+  def writeRef(dir: Path, name: String, version: Long, kind: String,
+      replace: Boolean): Boolean = {
+    require(validRefName(name), s"invalid ref name '$name'")
+    val root = mapper.createObjectNode()
+    root.put("name", name)
+    root.put("version", version)
+    root.put("kind", kind)
+    if (!replace) publish(dir, refFile(dir, name), root)
+    else {
+      val tmp = Files.createTempFile(logDir(dir), ".ref", ".tmp")
+      Files.write(tmp, mapper.writeValueAsBytes(root))
+      Files.move(tmp, refFile(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    }
+  }
+
+  def dropRef(dir: Path, name: String): Boolean =
+    Files.deleteIfExists(refFile(dir, name))
+
+  /** All refs, name-sorted: (name, recorded version, kind). */
+  def listRefs(dir: Path): Seq[(String, Long, String)] = {
+    val ld = logDir(dir)
+    val names =
+      if (!Files.isDirectory(ld)) Seq.empty[String]
+      else scala.util.Using.resource(Files.list(ld)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.startsWith("ref-") && n.endsWith(".json") =>
+            n.stripPrefix("ref-").stripSuffix(".json") }
+          .toSeq
+      }
+    names.sorted.flatMap(n => readRef(dir, n).map { case (v, k) => (n, v, k) })
   }
 
   private def publish(dir: Path, target: Path, root: ObjectNode): Boolean = {
@@ -2226,7 +2312,7 @@ object LakeProcedures {
 
   val Names: Array[String] =
     Array("compact", "compact_size", "zorder", "vacuum", "history",
-      "evolve_partitioning")
+      "evolve_partitioning", "tag", "branch", "publish", "drop_ref")
 
   private def out(schema0: StructType, rows0: Seq[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
@@ -2594,6 +2680,139 @@ object LakeProcedures {
         }
       }
 
+      /** Named REFS over log versions — the write-audit-publish
+        * pattern on machinery (time travel, snapshot pinning) that
+        * already exists:
+        *
+        *   - `tag(table, name, version)` — immutable pin; `-1` tags
+        *     the head. Readable as `VERSION AS OF '<name>'`; vacuum
+        *     keeps tagged versions reconstructible.
+        *   - `branch(table, name)` — open the staging branch: pins the
+        *     DEFAULT view (`main` ref, atomic create-if-absent — the
+        *     exclusivity lock) at the head; commits landing after land
+        *     "on the branch": plain reads keep seeing the pinned view,
+        *     `VERSION AS OF '<name>'` audits the branch head.
+        *   - `publish(table, name)` — fast-forward: one atomic unlink
+        *     of the main ref flips every reader to the head; the
+        *     branch marker is then dropped.
+        *   - `drop_ref(table, name)` — remove a tag; dropping `main`
+        *     is the manual fast-forward (abandoning the audit).
+        *
+        * Documented limitation: while a branch is active, row-level
+        * ops (DELETE/UPDATE/MERGE) scan the PINNED view — the
+        * supported pattern is append-audit-publish, mutate after.
+        */
+      case "tag" => new UnboundProcedure {
+        override def name(): String = "tag"
+        override def description(): String =
+          "tag(table STRING, name STRING, version BIGINT): immutable named ref (-1 = head)"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "tag"
+          override def description(): String = "graftlake tag"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build(),
+            ProcedureParameter.in("version", LongType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val refName = input.getUTF8String(1).toString
+            val head = LakeLog.currentVersion(dir).get
+            val v = if (input.getLong(2) < 0L) head else input.getLong(2)
+            require(LakeLog.snapshotAt(dir, v).isDefined,
+              s"version $v is not reconstructible (pruned or future)")
+            require(LakeLog.writeRef(dir, refName, v, "tag", replace = false),
+              s"ref '$refName' already exists")
+            out(StructType(Seq(
+              StructField("tag", StringType, nullable = false),
+              StructField("version", LongType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString(refName), v))))
+          }
+        }
+      }
+
+      case "branch" => new UnboundProcedure {
+        override def name(): String = "branch"
+        override def description(): String =
+          "branch(table STRING, name STRING): open the staging branch (pins the default view)"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "branch"
+          override def description(): String = "graftlake staging branch"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val refName = input.getUTF8String(1).toString
+            require(refName != "main", "'main' is the reserved pin ref")
+            require(LakeLog.readRef(dir, refName).forall(_._2 == "branch"),
+              s"ref '$refName' already exists as a tag")
+            val head = LakeLog.currentVersion(dir).get
+            // the main pin is the exclusivity lock: create-if-absent
+            require(LakeLog.writeRef(dir, "main", head, "main", replace = false),
+              "a staging branch is already active (main is pinned)")
+            // replace = true clears a stale marker left by a crashed
+            // publish (marker without a pin is inert)
+            LakeLog.writeRef(dir, refName, head, "branch", replace = true)
+            out(StructType(Seq(
+              StructField("branch", StringType, nullable = false),
+              StructField("base_version", LongType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString(refName), head))))
+          }
+        }
+      }
+
+      case "publish" => new UnboundProcedure {
+        override def name(): String = "publish"
+        override def description(): String =
+          "publish(table STRING, name STRING): fast-forward the default view to the branch head"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "publish"
+          override def description(): String = "graftlake publish"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val refName = input.getUTF8String(1).toString
+            require(LakeLog.readRef(dir, refName).exists(_._2 == "branch"),
+              s"'$refName' is not the active staging branch")
+            val head = LakeLog.currentVersion(dir).get
+            LakeLog.dropRef(dir, "main") // THE atomic publish point
+            LakeLog.dropRef(dir, refName)
+            out(StructType(Seq(
+              StructField("published_version", LongType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](head))))
+          }
+        }
+      }
+
+      case "drop_ref" => new UnboundProcedure {
+        override def name(): String = "drop_ref"
+        override def description(): String =
+          "drop_ref(table STRING, name STRING): remove a named ref"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "drop_ref"
+          override def description(): String = "graftlake ref removal"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val refName = input.getUTF8String(1).toString
+            val dropped = LakeLog.dropRef(dir, refName)
+            out(StructType(Seq(
+              StructField("dropped", BooleanType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](dropped))))
+          }
+        }
+      }
+
       case "vacuum" => new UnboundProcedure {
         override def name(): String = "vacuum"
         override def description(): String =
@@ -2609,7 +2828,15 @@ object LakeProcedures {
             val dir = resolve(warehouse, input.getUTF8String(0).toString)
             val retain = math.max(1, input.getInt(1))
             val head = LakeLog.currentVersion(dir).get
-            val floor = math.max(0L, head - retain + 1)
+            // refs pin history: every tagged (or main-pinned) version
+            // must stay reconstructible after the prune — the floor
+            // never rises past the oldest pinned ref. Branch refs
+            // resolve to the head and add no constraint.
+            val refFloor = LakeLog.listRefs(dir).collect {
+              case (_, v, kind) if kind != "branch" => v
+            }.minOption
+            val floor = refFloor.foldLeft(
+              math.max(0L, head - retain + 1))(math.min)
             val retained = (floor to head).flatMap(LakeLog.snapshotAt(dir, _))
             val referenced = retained
               .flatMap(_.files.flatMap(f => f.path +: f.dv.toSeq)).toSet

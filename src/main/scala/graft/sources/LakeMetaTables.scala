@@ -35,6 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeMetaTables {
   val FilesSuffix = "__files"
   val HistorySuffix = "__history"
+  val RefsSuffix = "__refs"
 
   /** Log bytes under which `__files` stays a driver-local scan. */
   val LocalMaxBytesDefault: Long = 8L * 1024 * 1024
@@ -152,6 +153,26 @@ object LakeMetaTables {
         }: Scan
       }
     }
+  }
+
+  /** One row per named ref: kind, the recorded version, and what a
+    * read through the ref resolves to right now (tags/main → the
+    * record; the staging branch → the current head).
+    */
+  def refsTable(dir: Path, baseName: String): Table = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("resolved_version", LongType, nullable = false)))
+    scanOnly(schema, {
+      val head = LakeLog.currentVersion(dir).getOrElse(0L)
+      LakeLog.listRefs(dir).map { case (n, v, kind) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(n), UTF8String.fromString(kind), v,
+          if (kind == "branch") head else v)): InternalRow
+      }
+    }, s"graftlake.$baseName:refs")
   }
 
   /** One row per retained log version: commit time, file/row census —

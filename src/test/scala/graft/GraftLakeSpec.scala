@@ -1094,6 +1094,60 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(res4.getInt(0) == 0, s"re-clustered table must be conforming: $res4")
   }
 
+  test("write-audit-publish: branch pins main, audit reads the branch head, publish flips atomically; tags pin vacuum") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_wap (id BIGINT, v BIGINT, s STRING)")
+    spark.range(0, 50).select($"id", ($"id" * 10L).as("v"), lit("base").as("s"))
+      .coalesce(1).writeTo("lake.db.t_wap").append() // v1
+    // tag the audited-good state
+    val tagRow = spark.sql("CALL lake.system.tag('db.t_wap', 'audited-v1', -1)")
+      .collect().head
+    assert(tagRow.getString(0) == "audited-v1" && tagRow.getLong(1) == 1L)
+    // open the staging branch and land two commits "on" it
+    val br = spark.sql("CALL lake.system.branch('db.t_wap', 'wap')").collect().head
+    assert(br.getString(0) == "wap" && br.getLong(1) == 1L)
+    spark.range(50, 80).select($"id", ($"id" * 10L).as("v"), lit("staged").as("s"))
+      .coalesce(1).writeTo("lake.db.t_wap").append() // v2
+    spark.range(80, 100).select($"id", ($"id" * 10L).as("v"), lit("staged").as("s"))
+      .coalesce(1).writeTo("lake.db.t_wap").append() // v3
+    // main (the default read) is UNCHANGED by branch commits
+    assert(spark.table("lake.db.t_wap").count() == 50L,
+      "plain reads must stay pinned while the branch is active")
+    // a second branch is rejected while one is active
+    val err = intercept[Exception](
+      spark.sql("CALL lake.system.branch('db.t_wap', 'wap2')").collect())
+    assert(err.getMessage.contains("already active"))
+    // the AUDIT read: the branch resolves to the branch head
+    assert(spark.sql("SELECT count(*) FROM lake.db.t_wap VERSION AS OF 'wap'")
+      .head().getLong(0) == 100L)
+    // the tag resolves to its pinned version
+    assert(spark.sql("SELECT count(*) FROM lake.db.t_wap VERSION AS OF 'audited-v1'")
+      .head().getLong(0) == 50L)
+    // __refs census
+    val refs = spark.table("lake.db.t_wap__refs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(refs == Seq(("audited-v1", "tag", 1L, 1L), ("main", "main", 1L, 1L),
+      ("wap", "branch", 1L, 3L)), s"got $refs")
+    // PUBLISH: one atomic flip — everything staged becomes the default
+    val pub = spark.sql("CALL lake.system.publish('db.t_wap', 'wap')").collect().head
+    assert(pub.getLong(0) == 3L)
+    assert(spark.table("lake.db.t_wap").count() == 100L)
+    assert(spark.table("lake.db.t_wap__refs").count() == 1L, "only the tag remains")
+    // vacuum keeps the TAGGED version reconstructible even when the
+    // retention window alone would prune it
+    spark.range(100, 110).select($"id", $"id".as("v"), lit("tail").as("s"))
+      .coalesce(1).writeTo("lake.db.t_wap").append() // v4
+    spark.sql("CALL lake.system.vacuum('db.t_wap', 1)").collect()
+    assert(spark.sql("SELECT count(*) FROM lake.db.t_wap VERSION AS OF 'audited-v1'")
+      .head().getLong(0) == 50L,
+      "a tagged version must survive vacuum")
+    // dropping the tag releases the pin; the next vacuum prunes past it
+    spark.sql("CALL lake.system.drop_ref('db.t_wap', 'audited-v1')").collect()
+    spark.sql("CALL lake.system.vacuum('db.t_wap', 1)").collect()
+    intercept[Exception](
+      spark.sql("SELECT count(*) FROM lake.db.t_wap VERSION AS OF 1").collect())
+  }
+
   test("partitioned tables: file-per-tuple writes, string pruning, partition overwrite") {
     import spark.implicits._
     spark.sql(
