@@ -3,6 +3,10 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional name filter for local A/B profiling (the driver passes
+    // no args — full suite); substring match, e.g. `runMain graft.Bench q69`
+    def selected(name: String): Boolean =
+      args.isEmpty || args.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder("graft-bench")
       .master(s"local[$cpus]")
@@ -17,9 +21,10 @@ object Bench {
       val d = new java.io.File("/root/testdata/sf0.001")
       if (d.isDirectory) d.getPath else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
     // clearCache releases persisted DataFrames but NOT localCheckpoint
     // RDD blocks (clusterPairs / k-means iterations) — drop those too or
     // they accumulate storage memory across the 48-query run.
@@ -50,7 +55,8 @@ object Bench {
     // could still reward one lucky fully-cached pass — so round-over-
     // round deltas are attributable to code, not load. Each rep still
     // pays its own persists (dropCached between reps).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).map { case (name, fn) =>
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
