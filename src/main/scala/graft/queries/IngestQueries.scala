@@ -786,6 +786,50 @@ object IngestQueries {
       .orderBy($"seg")
   }
 
+  /** q93 — METADATA-ONLY aggregates as a correctness row: COUNT(*),
+    * COUNT(col), MIN/MAX answered from the lake log's footer stats
+    * (zero data-file opens — the `SELECT count(*)` on a 100 TB table
+    * that must not launch a job). The pre-delete frame is captured
+    * with the pure-metadata plan; a MOR DELETE then lands a delete
+    * vector, after which COUNT stays metadata (liveRows is exact) but
+    * MIN must FALL BACK to scanning — the deleted row was the old
+    * extremum, so a stats-served answer would be stale. The DuckDB
+    * oracle recomputes both frames relationally: hash equality proves
+    * the stats path and the fallback path agree with the data.
+    */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q93").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.ordermeta"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        when($"o_orderkey" % 7 =!= 0L,
+          graft.functions.gf.fixed($"o_totalprice", 100.0)).as("cents"))
+      .repartition(3)
+      .writeTo(t).append()
+    // pre-delete frame: analysis pins the snapshot, so these answer
+    // from the PRE-delete log even though execution happens later —
+    // and they plan as the metadata LocalScan (GraftLakeSpec pins it)
+    val pre = broadcast(spark.sql(
+      s"""SELECT count(*) AS pre_rows, count(cents) AS pre_cents,
+         |  min(ok) AS pre_min_ok, max(ok) AS pre_max_ok FROM $t""".stripMargin))
+    spark.sql(s"DELETE FROM $t WHERE ok = (SELECT min(ok) FROM $t)")
+    // post-delete: counts stay metadata (dv-exact); min falls back to
+    // the scan because the dv'd file's stats could hide the extremum
+    spark.sql(
+      s"""SELECT count(*) AS post_rows, count(cents) AS post_cents,
+         |  min(ok) AS post_min_ok FROM $t""".stripMargin)
+      .crossJoin(pre)
+      .select($"pre_rows", $"pre_cents", $"pre_min_ok", $"pre_max_ok",
+        $"post_rows", $"post_cents", $"post_min_ok")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -959,6 +1003,7 @@ object IngestQueries {
     "q90_enriched_mv" -> q90,
     "q91_stream_into_lake" -> q91,
     "q92_wap_refs" -> q92,
+    "q93_metadata_agg" -> q93,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -980,6 +1025,25 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q93_metadata_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok,
+        |    CASE WHEN o_orderkey % 7 <> 0
+        |      THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END AS cents
+        |  FROM orders),
+        |pre AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS pre_rows,
+        |    CAST(count(cents) AS BIGINT) AS pre_cents,
+        |    min(ok) AS pre_min_ok, max(ok) AS pre_max_ok
+        |  FROM o),
+        |post AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS post_rows,
+        |    CAST(count(cents) AS BIGINT) AS post_cents,
+        |    min(ok) AS post_min_ok
+        |  FROM o WHERE ok <> (SELECT min(ok) FROM o))
+        |SELECT pre_rows, pre_cents, pre_min_ok, pre_max_ok,
+        |  post_rows, post_cents, post_min_ok
+        |FROM post CROSS JOIN pre""".stripMargin,
     "q92_wap_refs" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS seg,

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -1412,7 +1412,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
 
   private var required: StructType = snapshot.schema
   private var skips: Array[VPredicate] = Array.empty
-  private var metadataCount = false
+  private var pushedAggRow: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1427,29 +1427,116 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
   }
   override def pushedPredicates(): Array[VPredicate] = Array.empty
 
-  /** METADATA-ONLY `count(*)`: the log already knows every file's row
-    * count, so an unfiltered ungrouped count answers from the snapshot
-    * without opening a single data file. COMPLETE pushdown — the scan
-    * returns the final count row. (Spark only attempts this when no
-    * Filter sits above the scan, so the residual-predicate design
-    * can't corrupt it; anything but a bare CountStar is declined.)
+  /** METADATA-ONLY aggregates: the log already knows every file's row
+    * count, per-column null counts, and integral min/max — so an
+    * unfiltered, ungrouped COUNT(*) / COUNT(col) / MIN(col) / MAX(col)
+    * answers from the snapshot without opening a single data file.
+    * COMPLETE pushdown — the scan returns the final one-row answer.
+    * (Spark only attempts this when no Filter sits above the scan, so
+    * the residual-predicate design can't corrupt it.)
+    *
+    * Delete vectors are the correctness cliff, decided per aggregate:
+    *   - COUNT(*) is always exact (`liveRows` subtracts `dvRows`).
+    *   - COUNT(col) needs the file's null count AND either no dv (then
+    *     `rows − nulls`) or a zero null count (then `liveRows` — every
+    *     deleted row was non-null too). A dv'd file with nulls could
+    *     have deleted either kind → refuse, fall back to the scan.
+    *   - MIN/MAX refuse any dv'd file outright: the deleted row may BE
+    *     the extremum. Files from an era before the column contribute
+    *     all-NULL (ignored by MIN/MAX, zero to COUNT(col)); all-null
+    *     files carry no stats and are skipped when `nulls == rows`
+    *     proves they are truly all-null.
     */
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      // EXACTLY one CountStar: under an outer count() the optimizer can
-      // prune the inner aggregate to ZERO expressions, and a vacuous
-      // forall would accept it while the scan still returns one column
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
-      skips.isEmpty && onPlanned.isEmpty
+  private def metadataAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (agg.groupByExpressions.nonEmpty || skips.nonEmpty || onPlanned.nonEmpty)
+      return None
+    // EXACTLY the pushed list, never empty: under an outer count() the
+    // optimizer can prune the inner aggregate to ZERO expressions, and
+    // a vacuous forall would accept it while the scan still returns a
+    // column Spark does not expect
+    if (agg.aggregateExpressions.isEmpty) return None
+    val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
+    def fieldOf(e: VExpression): Option[StructField] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        snapshot.schema.fields.find(_.name == f.fieldNames.head)
+      case _ => None
+    }
+    def phys(f: LakeFile, name: String): Option[String] =
+      LakeColIds.physicalName(cols, f, name)
+    def countCol(fd: StructField): Option[Long] = {
+      var total = 0L
+      snapshot.files.foreach { f =>
+        phys(f, fd.name).foreach { p =>
+          (f.nulls.get(p), f.dvRows) match {
+            case (Some(n), 0L) => total += f.rows - n
+            case (Some(0L), _) => total += f.liveRows
+            case _ => return None
+          }
+        }
+      }
+      Some(total)
+    }
+    def minMax(fd: StructField, isMin: Boolean): Option[Option[Long]] = {
+      if (fd.dataType != LongType && fd.dataType != IntegerType) return None
+      var acc: Option[Long] = None
+      snapshot.files.foreach { f =>
+        phys(f, fd.name).foreach { p =>
+          if (f.dvRows != 0L) return None
+          f.stats.get(p) match {
+            case Some((lo, hi)) =>
+              val v = if (isMin) lo else hi
+              acc = Some(acc.fold(v)(a => if (isMin) math.min(a, v) else math.max(a, v)))
+            case None =>
+              if (!f.nulls.get(p).contains(f.rows)) return None
+          }
+        }
+      }
+      Some(acc)
+    }
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += snapshot.files.map(_.liveRows).sum
+      case c: Count if !c.isDistinct =>
+        val fd = fieldOf(c.column).getOrElse(return None)
+        val n = countCol(fd).getOrElse(return None)
+        fields += StructField(s"count(${fd.name})", LongType, nullable = false)
+        values += n
+      case m: Min =>
+        val fd = fieldOf(m.column).getOrElse(return None)
+        val v = minMax(fd, isMin = true).getOrElse(return None)
+        fields += StructField(s"min(${fd.name})", fd.dataType, nullable = true)
+        values += v.map(x =>
+          if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull
+      case m: Max =>
+        val fd = fieldOf(m.column).getOrElse(return None)
+        val v = minMax(fd, isMin = false).getOrElse(return None)
+        fields += StructField(s"max(${fd.name})", fd.dataType, nullable = true)
+        values += v.map(x =>
+          if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull
+      case _ => return None
+    }
+    Some((StructType(fields.result()),
+      new GenericInternalRow(values.result().toArray)))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    pushedAggRow = metadataAgg(agg)
+    pushedAggRow.isDefined
+  }
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (!supportCompletePushDown(agg)) false
-    else { metadataCount = true; true }
+    // partial (per-task) pushdown is declined: the metadata answer is
+    // complete or the plain scan is the right plan
+    pushedAggRow.isDefined || { pushedAggRow = metadataAgg(agg); pushedAggRow.isDefined }
 
   override def build(): Scan =
-    if (metadataCount) new LakeCountScan(snapshot)
-    else {
+    if (pushedAggRow.isDefined) {
+      val (schema0, row) = pushedAggRow.get
+      new LakeAggScan(schema0, row, snapshot.files.size)
+    } else {
       val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
       val live = snapshot.files.filter(f =>
         LakeStats.decide(f, skips,
@@ -1460,14 +1547,15 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     }
 }
 
-/** The one-row result of a metadata-only count. */
-class LakeCountScan(snapshot: LakeSnapshot) extends org.apache.spark.sql.connector.read.LocalScan {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-  override def rows(): Array[InternalRow] =
-    Array(new GenericInternalRow(Array[Any](snapshot.files.map(_.liveRows).sum)))
+/** The one-row result of a metadata-only aggregate (COUNT/MIN/MAX
+  * answered from the log — zero data-file opens, zero tasks).
+  */
+class LakeAggScan(schema0: StructType, row: InternalRow, nFiles: Int)
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema0
+  override def rows(): Array[InternalRow] = Array(row)
   override def description(): String =
-    s"graftlake metadata-count files=0/${snapshot.files.size}"
+    s"graftlake metadata-agg files=0/$nFiles"
 }
 
 class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],

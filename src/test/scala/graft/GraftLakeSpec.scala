@@ -351,6 +351,58 @@ class GraftLakeSpec extends AnyFunSuite {
       .head().getLong(0) == 50L)
   }
 
+  test("metadata-only MIN/MAX/COUNT(col): answered from footer stats; delete vectors force the fallback") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_metaagg (id BIGINT, v BIGINT, s STRING)
+      |TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    // two files; v carries nulls in the second
+    spark.range(0, 50).select($"id", ($"id" * 3L).as("v"), lit("a").as("s"))
+      .coalesce(1).writeTo("lake.db.t_metaagg").append()
+    spark.range(50, 100)
+      .select($"id", when($"id" % 2 === 0, $"id" * 3L).as("v"), lit("b").as("s"))
+      .coalesce(1).writeTo("lake.db.t_metaagg").append()
+    def planOf(sql: String) = spark.sql(sql).queryExecution.executedPlan.toString
+    val q = "SELECT min(id) AS lo, max(id) AS hi, count(v) AS nv, count(*) AS n " +
+      "FROM lake.db.t_metaagg"
+    val r = spark.sql(q).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 99L, 75L, 100L)))
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("BatchScan"),
+      s"stats-answerable aggregates must not read data:\n${planOf(q)}")
+    // era-mixing: a column added later — old files contribute all-NULL
+    spark.sql("ALTER TABLE lake.db.t_metaagg ADD COLUMNS (w BIGINT)")
+    spark.range(100, 110).select($"id", ($"id" * 3L).as("v"), lit("c").as("s"),
+      ($"id" + 1000L).as("w")).coalesce(1).writeTo("lake.db.t_metaagg").append()
+    val q2 = "SELECT count(w) AS nw, min(w) AS wlo, max(w) AS whi FROM lake.db.t_metaagg"
+    val r2 = spark.sql(q2).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((10L, 1100L, 1109L)))
+    assert(planOf(q2).contains("LocalTableScan"), s"era null-fill is stats-decidable:\n${planOf(q2)}")
+    // a MOR delete puts a dv on file 1: MIN/MAX must FALL BACK (the
+    // deleted row could be the extremum) while COUNT(*) stays metadata
+    spark.sql("DELETE FROM lake.db.t_metaagg WHERE id = 0")
+    val qmm = "SELECT min(id) AS lo FROM lake.db.t_metaagg"
+    assert(spark.sql(qmm).head().getLong(0) == 1L,
+      "post-delete min must be exact (the old extremum is gone)")
+    assert(planOf(qmm).contains("BatchScan"),
+      s"a dv'd file forbids stats min/max:\n${planOf(qmm)}")
+    val qc = "SELECT count(*) AS n FROM lake.db.t_metaagg"
+    assert(spark.sql(qc).head().getLong(0) == 109L)
+    assert(planOf(qc).contains("LocalTableScan"),
+      "count(*) stays metadata under dvs (liveRows is exact)")
+    // count(v): file 1 has no nulls -> liveRows arm; file 2 has nulls
+    // but no dv -> rows - nulls arm; still metadata-only
+    val qcv = "SELECT count(v) AS nv FROM lake.db.t_metaagg"
+    assert(spark.sql(qcv).head().getLong(0) == 84L)
+    assert(planOf(qcv).contains("LocalTableScan"),
+      s"mixed dv/null files stay decidable per file:\n${planOf(qcv)}")
+    // grouped / filtered aggregates always read data
+    assert(planOf("SELECT s, count(*) FROM lake.db.t_metaagg GROUP BY s")
+      .contains("BatchScan"))
+    assert(planOf("SELECT min(id) FROM lake.db.t_metaagg WHERE s = 'b'")
+      .contains("BatchScan"))
+    // string min/max is not stats-decidable (stats are integral only)
+    assert(planOf("SELECT min(s) FROM lake.db.t_metaagg").contains("BatchScan"))
+  }
+
   test("concurrent appends: 8 racing writers all land, no version lost, rows exact") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_race8 (id BIGINT, v BIGINT, s STRING)")

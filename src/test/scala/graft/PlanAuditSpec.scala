@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q82_lake_lifecycle", // four 1-row time-travel count(*) frames crossed onto the 4-segment aggregate
     "q85_lake_evolution", // one 1-row pre-evolution count(*) frame crossed onto the 5-bucket aggregate
     "q86_lake_zorder", // 1-row domain-half bounds frame crossed onto the clustered scan
-    "q92_wap_refs" // three 1-row pinned/audit/tag count(*) frames crossed onto the segment aggregate
+    "q92_wap_refs", // three 1-row pinned/audit/tag count(*) frames crossed onto the segment aggregate
+    "q93_metadata_agg" // 1-row pre-delete metadata-aggregate frame crossed onto the 1-row post frame
   )
 
   test("no query plans a cartesian product; nested-loop only for 1-row scalars") {
