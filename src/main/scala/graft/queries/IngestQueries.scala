@@ -830,6 +830,50 @@ object IngestQueries {
         $"post_rows", $"post_cents", $"post_min_ok")
   }
 
+  /** q94 — PARTITION-FILTERED metadata aggregates: a predicate every
+    * file decides exactly (an identity partition value) is CONSUMED at
+    * the scan — file pruning applies it in full, no residual Filter —
+    * so `count(*) / min / max WHERE seg = x` stays a zero-task metadata
+    * plan (GraftLakeSpec pins the plan shapes). A MOR DELETE then dvs
+    * one partition: its count stays metadata (liveRows is exact), its
+    * min falls back to the scan, the untouched partition keeps the full
+    * metadata path, and a predicate matching NO partition answers zero
+    * from planning alone. The oracle replays every frame relationally.
+    */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q94").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.orderseg"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, seg STRING, cents BIGINT) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        substring($"o_orderpriority", 1, 1).as("seg"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .writeTo(t).append()
+    // pre-delete frame over ONE partition: consumed predicate → the
+    // whole aggregate answers from the log, zero tasks
+    val pre = broadcast(spark.sql(
+      s"""SELECT count(*) AS n3, min(ok) AS lo3, max(ok) AS hi3
+         |FROM $t WHERE seg = '3'""".stripMargin))
+    spark.sql(s"DELETE FROM $t WHERE ok = (SELECT min(ok) FROM $t WHERE seg = '3')")
+    // post-delete: count stays metadata (liveRows), min must rescan;
+    // an untouched partition keeps its metadata min; seg '9' matches
+    // no file — planning alone answers zero
+    spark.sql(
+      s"""SELECT
+         |  (SELECT count(*) FROM $t WHERE seg = '3') AS pn3,
+         |  (SELECT min(ok) FROM $t WHERE seg = '3') AS plo3,
+         |  (SELECT min(ok) FROM $t WHERE seg = '5') AS lo5,
+         |  (SELECT count(*) FROM $t WHERE seg = '9') AS zn""".stripMargin)
+      .crossJoin(pre)
+      .select($"n3", $"lo3", $"hi3", $"pn3", $"plo3", $"lo5", $"zn")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -1004,6 +1048,7 @@ object IngestQueries {
     "q91_stream_into_lake" -> q91,
     "q92_wap_refs" -> q92,
     "q93_metadata_agg" -> q93,
+    "q94_filtered_meta" -> q94,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -1025,6 +1070,22 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q94_filtered_meta" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg
+        |  FROM orders),
+        |pre AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n3, min(ok) AS lo3, max(ok) AS hi3
+        |  FROM o WHERE seg = '3'),
+        |post AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS pn3, min(ok) AS plo3
+        |  FROM o WHERE seg = '3'
+        |    AND ok <> (SELECT min(ok) FROM o WHERE seg = '3')),
+        |others AS (
+        |  SELECT (SELECT min(ok) FROM o WHERE seg = '5') AS lo5,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM o WHERE seg = '9') AS zn)
+        |SELECT n3, lo3, hi3, pn3, plo3, lo5, zn
+        |FROM pre CROSS JOIN post CROSS JOIN others""".stripMargin,
     "q93_metadata_agg" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok,

@@ -540,7 +540,12 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     part: Seq[Option[String]] = Seq.empty,
     colTypes: Seq[String] = Seq.empty,
     specId: Int = 0,
-    bytes: Long = 0L) {
+    bytes: Long = 0L,
+    // the sort layout the WRITE enforced (empty when none was — MOR
+    // delta inserts, curve rewrites, pre-field logs): what lets the
+    // scan report a per-partition output ordering only for files that
+    // provably carry it
+    sorted: Seq[String] = Seq.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -701,6 +706,10 @@ object LakeLog {
     }
     if (f.specId != 0) fn.put("pspec", f.specId)
     if (f.bytes != 0L) fn.put("bytes", f.bytes)
+    if (f.sorted.nonEmpty) {
+      val so = fn.putArray("sorted")
+      f.sorted.foreach(so.add)
+    }
   }
 
   private def readEntries(root: JsonNode, field: String): Seq[LakeFile] =
@@ -728,7 +737,9 @@ object LakeLog {
         part,
         ctypes,
         Option(fn.get("pspec")).map(_.asInt).getOrElse(0),
-        Option(fn.get("bytes")).map(_.asLong).getOrElse(0L))
+        Option(fn.get("bytes")).map(_.asLong).getOrElse(0L),
+        Option(fn.get("sorted")).map(_.elements().asScala
+          .map(_.asText()).toSeq).getOrElse(Seq.empty[String]))
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -1218,7 +1229,8 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
-                specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes)).toSeq
+                specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
+                sorted = snapshot.props.get("sortBy").toSeq)).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -1402,6 +1414,13 @@ object LakeStats {
       resolve: String => Option[String],
       part: LakePartitioning.Resolver = LakePartitioning.NoResolver): Decision =
     predicates.map(decideOne(f, _, resolve, part)).foldLeft(All: Decision)(combine)
+
+  /** True when `p` ALONE is exactly decided (All or None_) for `f` —
+    * file pruning then applies it in full, leaving no per-row residual.
+    */
+  def exact(f: LakeFile, p: VPredicate, resolve: String => Option[String],
+      part: LakePartitioning.Resolver): Boolean =
+    decideOne(f, p, resolve, part) != Mixed
 }
 
 class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
@@ -1412,28 +1431,52 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
 
   private var required: StructType = snapshot.schema
   private var skips: Array[VPredicate] = Array.empty
+  private var consumed: Array[VPredicate] = Array.empty
   private var pushedAggRow: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Predicates are used ONLY to skip whole files on stats — every one
-    * is returned as residual, so Spark still evaluates them row-by-row
-    * (stats skipping is a pruning optimization, not an answer).
+  /** Predicates skip whole files on stats/partition tuples. A predicate
+    * that EVERY live file decides exactly (All or None_ — an identity
+    * partition value, a `_file` key, a range fully outside/inside a
+    * file's [lo,hi] with zero nulls) is CONSUMED: pruning applies it in
+    * full, so it is not returned as residual and Spark stops
+    * re-evaluating it on every row of the surviving files — and a
+    * fully-consumed filter set keeps the metadata-aggregate path open
+    * (`count(*) WHERE part = x` stays a zero-task plan). A predicate
+    * any file decides Mixed stays residual: there, stats skipping is a
+    * pruning optimization, never an answer.
     */
   override def pushPredicates(predicates: Array[VPredicate]): Array[VPredicate] = {
     skips = predicates
-    predicates
+    val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
+    // floating-point columns never consume: partition tuples and stats
+    // compare by value image, which disagrees with SQL on NaN / -0.0
+    def floatFree(p: VPredicate): Boolean = p.references.forall { r =>
+      r.fieldNames.length != 1 ||
+        !snapshot.schema.fields.exists(fd => fd.name == r.fieldNames.head &&
+          (fd.dataType == DoubleType || fd.dataType == FloatType))
+    }
+    val (exact, residual) = predicates.partition { p =>
+      floatFree(p) && snapshot.files.forall { f =>
+        LakeStats.exact(f, p, LakeColIds.physicalName(cols, f, _),
+          LakePartitioning.resolver(snapshot.props, f))
+      }
+    }
+    consumed = exact
+    residual
   }
-  override def pushedPredicates(): Array[VPredicate] = Array.empty
+  override def pushedPredicates(): Array[VPredicate] = consumed
 
   /** METADATA-ONLY aggregates: the log already knows every file's row
     * count, per-column null counts, and integral min/max — so an
     * unfiltered, ungrouped COUNT(*) / COUNT(col) / MIN(col) / MAX(col)
     * answers from the snapshot without opening a single data file.
     * COMPLETE pushdown — the scan returns the final one-row answer.
-    * (Spark only attempts this when no Filter sits above the scan, so
-    * the residual-predicate design can't corrupt it.)
+    * (Spark only attempts this when no Filter sits above the scan —
+    * which, after predicate consumption, includes filters every file
+    * decides exactly: `count(*) WHERE part = x` is metadata too.)
     *
     * Delete vectors are the correctness cliff, decided per aggregate:
     *   - COUNT(*) is always exact (`liveRows` subtracts `dvRows`).
@@ -1448,7 +1491,10 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     *     proves they are truly all-null.
     */
   private def metadataAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
-    if (agg.groupByExpressions.nonEmpty || skips.nonEmpty || onPlanned.nonEmpty)
+    // filters are fine ONLY when every one was consumed (file pruning
+    // applies them exactly); any residual means rows must be read
+    if (agg.groupByExpressions.nonEmpty || skips.length != consumed.length ||
+      onPlanned.nonEmpty)
       return None
     // EXACTLY the pushed list, never empty: under an outer count() the
     // optimizer can prune the inner aggregate to ZERO expressions, and
@@ -1456,6 +1502,13 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     // column Spark does not expect
     if (agg.aggregateExpressions.isEmpty) return None
     val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
+    // with all predicates consumed, every file decides All or None_:
+    // the aggregate ranges over exactly the All files
+    val statFiles =
+      if (skips.isEmpty) snapshot.files
+      else snapshot.files.filter(f =>
+        LakeStats.decide(f, skips, LakeColIds.physicalName(cols, f, _),
+          LakePartitioning.resolver(snapshot.props, f)) == LakeStats.All)
     def fieldOf(e: VExpression): Option[StructField] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
         snapshot.schema.fields.find(_.name == f.fieldNames.head)
@@ -1465,7 +1518,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       LakeColIds.physicalName(cols, f, name)
     def countCol(fd: StructField): Option[Long] = {
       var total = 0L
-      snapshot.files.foreach { f =>
+      statFiles.foreach { f =>
         phys(f, fd.name).foreach { p =>
           (f.nulls.get(p), f.dvRows) match {
             case (Some(n), 0L) => total += f.rows - n
@@ -1479,7 +1532,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     def minMax(fd: StructField, isMin: Boolean): Option[Option[Long]] = {
       if (fd.dataType != LongType && fd.dataType != IntegerType) return None
       var acc: Option[Long] = None
-      snapshot.files.foreach { f =>
+      statFiles.foreach { f =>
         phys(f, fd.name).foreach { p =>
           if (f.dvRows != 0L) return None
           f.stats.get(p) match {
@@ -1498,7 +1551,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     agg.aggregateExpressions.foreach {
       case _: CountStar =>
         fields += StructField("count(*)", LongType, nullable = false)
-        values += snapshot.files.map(_.liveRows).sum
+        values += statFiles.map(_.liveRows).sum
       case c: Count if !c.isDistinct =>
         val fd = fieldOf(c.column).getOrElse(return None)
         val n = countCol(fd).getOrElse(return None)
@@ -1565,7 +1618,8 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** APPEND-ONLY streaming of the base table
     * (`spark.readStream.table(...)`): log versions as offsets, each
@@ -1748,6 +1802,32 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
         planned.map(_.part).distinct.size)
   }
 
+  /** PER-PARTITION output ordering: each non-grouped scan partition is
+    * ONE data file read front-to-back (dv skipping and INT→BIGINT
+    * upcasts preserve row order), so a declared `sortBy` holds within
+    * every partition PROVIDED every file records it was written under
+    * that layout — appends, COW rewrites, streaming epochs, and
+    * compaction all enforce it ([[RequiresDistributionAndOrdering]] /
+    * [[LakeBinSorter]]), while MOR delta inserts and curve rewrites do
+    * not and drop the claim until the next compact. Spark's
+    * RemoveRedundantSorts/EnsureRequirements then elide local sorts on
+    * the sort key. Key-grouped mode concatenates files per tuple, which
+    * breaks the order — no claim there unless each group is one file.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val sb = props.get("sortBy").toSeq
+    val ok = sb.nonEmpty &&
+      sb.forall(required.fieldNames.contains) &&
+      files.nonEmpty && files.forall(_.sorted == sb) &&
+      (keyGroupedFields.isEmpty ||
+        files.groupBy(_.part).values.forall(_.sizeIs <= 1))
+    if (ok)
+      sb.map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+    else Array.empty
+  }
+
   /** COLUMNAR whenever no per-row ordinal is requested and every file
     * physically holds at least one required data column (the batch
     * needs a decoded column for row counts; added columns null-fill as
@@ -1797,6 +1877,63 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+
+    /** CBO-grade per-column statistics from the same footer stats that
+      * drive file skipping: integral min/max folded across files and
+      * summed null counts, resolved through each file's physical names
+      * (era-missing columns contribute `rows` nulls). Dv'd files make
+      * these slight over-approximations (a deleted row may carry the
+      * extremum / a null) — fine for an estimator, never for results;
+      * the metadata-aggregate path has its own exactness rules. A
+      * column is reported only when EVERY planned file either records
+      * the stat or provably predates the column.
+      */
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val ps = planned
+      val out = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      required.fields.foreach { fd =>
+        val integral = fd.dataType == LongType || fd.dataType == IntegerType
+        if (fd.name != LakeTable.FileColumn && fd.name != LakeTable.PosColumn) {
+          var lo = Long.MaxValue; var hi = Long.MinValue
+          var nulls = 0L; var haveMm = integral; var haveNulls = true
+          ps.foreach { f =>
+            LakeColIds.physicalName(curCols, f, fd.name) match {
+              case None => nulls += f.rows // predates the column
+              case Some(p) =>
+                f.nulls.get(p) match {
+                  case Some(nn) => nulls += nn
+                  case None => haveNulls = false
+                }
+                f.stats.get(p) match {
+                  case Some((l, h)) => lo = math.min(lo, l); hi = math.max(hi, h)
+                  case None =>
+                    // all-null files legitimately carry no stats
+                    if (!f.nulls.get(p).contains(f.rows)) haveMm = false
+                }
+            }
+          }
+          if (haveMm || haveNulls) {
+            val mm = haveMm && lo <= hi
+            def box(v: Long): Object =
+              if (fd.dataType == IntegerType) Int.box(v.toInt) else Long.box(v)
+            val nc = nulls
+            out.put(Expressions.column(fd.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  if (mm) java.util.Optional.of(box(lo)) else java.util.Optional.empty()
+                override def max(): java.util.Optional[Object] =
+                  if (mm) java.util.Optional.of(box(hi)) else java.util.Optional.empty()
+                override def nullCount(): java.util.OptionalLong =
+                  if (haveNulls) java.util.OptionalLong.of(nc)
+                  else java.util.OptionalLong.empty()
+              })
+          }
+        }
+      }
+      out
+    }
   }
 }
 
@@ -2108,7 +2245,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
             cols = LakeColIds.cols(tableSchema, props),
             part = i.part, colTypes = LakeColIds.types(tableSchema),
-            specId = LakePartitioning.currentSpecId(props), bytes = i.bytes)).toSeq
+            specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
+            sorted = props.get("sortBy").toSeq)).toSeq
         // IDEMPOTENT writes: with txnAppId/txnVersion options, a commit
         // whose version the table has already recorded for that app is
         // a REPLAY (a foreachBatch retry, a restarted driver) — its
@@ -2195,7 +2333,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               nulls = i.nulls, query = Some(queryId),
               cols = LakeColIds.cols(tableSchema, props),
               part = i.part, colTypes = LakeColIds.types(tableSchema),
-              specId = LakePartitioning.currentSpecId(props), bytes = i.bytes)).toSeq
+              specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
+              sorted = props.get("sortBy").toSeq)).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -2422,7 +2561,11 @@ object LakeProcedures {
   private[graft] def swapRewrite(dir: Path, snap: LakeSnapshot,
       rows: org.apache.spark.rdd.RDD[InternalRow],
       writeSchema: StructType,
-      replacedFiles: Option[Set[String]] = None): Seq[LakeFile] = {
+      replacedFiles: Option[Set[String]] = None,
+      // the sort layout the CALLER's arrangement enforced on `rows` —
+      // compact passes the declared sortBy, zorder's curve order is
+      // not a column order and passes nothing
+      sortedBy: Seq[String] = Seq.empty): Seq[LakeFile] = {
     val dirStr = dir.toString
     val cols = snap.schema.fieldNames
     val written = rows
@@ -2436,7 +2579,8 @@ object LakeProcedures {
       .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
         cols = LakeColIds.cols(snap.schema, snap.props), part = i.part,
         colTypes = LakeColIds.types(snap.schema),
-        specId = LakePartitioning.currentSpecId(snap.props), bytes = i.bytes))
+        specId = LakePartitioning.currentSpecId(snap.props), bytes = i.bytes,
+        sorted = sortedBy))
     // a PARTIAL rewrite (compact_size) swaps only its candidates;
     // conforming files keep their paths, stats, and layout
     val replaced = replacedFiles.getOrElse(snap.files.map(_.path).toSet)
@@ -2507,7 +2651,8 @@ object LakeProcedures {
               case _ => base.repartition(target)
             }
             val written = swapRewrite(dir, snap,
-              arranged.queryExecution.toRdd, snap.schema)
+              arranged.queryExecution.toRdd, snap.schema,
+              sortedBy = snap.props.get("sortBy").toSeq)
             out(rewriteResultSchema,
               Seq(new GenericInternalRow(Array[Any](
                 snap.files.size, written.size, written.map(_.rows).sum))))
@@ -2606,7 +2751,8 @@ object LakeProcedures {
               routed.mapPartitions(LakeBinSorter(i, dt))
             }
             val written = swapRewrite(dir, snap, arranged, writeSchema,
-              replacedFiles = Some(candidates.toSet))
+              replacedFiles = Some(candidates.toSet),
+              sortedBy = snap.props.get("sortBy").toSeq)
             out(resultSchema, Seq(new GenericInternalRow(Array[Any](
               candidates.size, snap.files.size - candidates.size,
               written.size, written.map(_.rows).sum))))
@@ -3070,7 +3216,23 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       override def truncate(): WriteBuilder = this // replace staging IS a truncate
-      override def build(): Write = new Write {
+      // a CTAS/RTAS with a declared layout must come out laid out like
+      // any other write — staged files skipped the demand before this,
+      // leaving a sortBy table unsorted until its first compact
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+        override def requiredDistribution(): Distribution = {
+          val partCols = LakePartitioning.decode(propsWithIds).map(_.col)
+          val cluster = (partCols ++ propsWithIds.get("clusterBy")).distinct
+          if (cluster.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(
+            cluster.map(c => Expressions.identity(c): VExpression).toArray)
+        }
+        override def requiredOrdering(): Array[SortOrder] =
+          propsWithIds.get("sortBy")
+            .map(c => Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+            .getOrElse(Array.empty)
         override def description(): String = "graftlake-staged"
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
@@ -3084,7 +3246,8 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(stagedSchema, propsWithIds),
                 part = i.part, colTypes = LakeColIds.types(stagedSchema),
-                specId = LakePartitioning.currentSpecId(propsWithIds), bytes = i.bytes)).toSeq
+                specId = LakePartitioning.currentSpecId(propsWithIds), bytes = i.bytes,
+                sorted = propsWithIds.get("sortBy").toSeq)).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)

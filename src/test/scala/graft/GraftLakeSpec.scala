@@ -403,6 +403,132 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(planOf("SELECT min(s) FROM lake.db.t_metaagg").contains("BatchScan"))
   }
 
+  test("exact predicates are consumed at the scan: no residual Filter, filtered aggregates stay metadata") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_consume (k BIGINT, seg STRING, v BIGINT)
+        |PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    spark.range(0, 200)
+      .select($"id".as("k"), concat(lit("s"), $"id" % 5).as("seg"), ($"id" * 2L).as("v"))
+      .writeTo("lake.db.t_consume").append()
+    def filters(sql: String): Int = spark.sql(sql).queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }.size
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // an identity-partition predicate is exact on every file: pruning
+    // applies it in full and NO per-row Filter remains
+    val sel = "SELECT * FROM lake.db.t_consume WHERE seg = 's3'"
+    assert(spark.sql(sel).count() == 40L)
+    assert(filters(sel) == 0,
+      s"consumed partition predicate must delete the Filter node:\n${planOf(sel)}")
+    // ...which keeps the metadata-aggregate path open under the filter
+    val qc = "SELECT count(*) AS n, min(k) AS lo, max(k) AS hi " +
+      "FROM lake.db.t_consume WHERE seg = 's3'"
+    val r = spark.sql(qc).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((40L, 3L, 198L)))
+    assert(planOf(qc).contains("LocalTableScan") && !planOf(qc).contains("BatchScan"),
+      s"partition-filtered aggregate must be zero-task:\n${planOf(qc)}")
+    // a predicate some file decides Mixed stays residual
+    val qm = "SELECT count(*) AS n FROM lake.db.t_consume WHERE seg = 's3' AND v > 100"
+    assert(spark.sql(qm).head().getLong(0) == 30L)
+    assert(filters(qm) == 1, s"Mixed value predicate keeps its Filter:\n${planOf(qm)}")
+    assert(planOf(qm).contains("BatchScan"))
+    // a MOR delete dvs the s1 file: counts there stay metadata
+    // (liveRows), min falls back to the scan; OTHER partitions are
+    // untouched and keep the full metadata path
+    spark.sql("DELETE FROM lake.db.t_consume WHERE k = 11")
+    val qs1 = "SELECT count(*) AS n FROM lake.db.t_consume WHERE seg = 's1'"
+    assert(spark.sql(qs1).head().getLong(0) == 39L)
+    assert(planOf(qs1).contains("LocalTableScan"),
+      "count(*) under a dv stays metadata (liveRows is exact)")
+    val qs1min = "SELECT min(k) AS lo FROM lake.db.t_consume WHERE seg = 's1'"
+    assert(spark.sql(qs1min).head().getLong(0) == 1L)
+    assert(planOf(qs1min).contains("BatchScan"),
+      "a dv'd file forbids stats min under the filter")
+    val qs3 = "SELECT min(k) AS lo FROM lake.db.t_consume WHERE seg = 's3'"
+    assert(spark.sql(qs3).head().getLong(0) == 3L)
+    assert(planOf(qs3).contains("LocalTableScan"),
+      "a dv elsewhere must not break the pruned partitions' metadata path")
+    // a predicate matching NO partition: every file None_, zero-task zero
+    val q0 = "SELECT count(*) AS n FROM lake.db.t_consume WHERE seg = 'zzz'"
+    assert(spark.sql(q0).head().getLong(0) == 0L)
+    assert(planOf(q0).contains("LocalTableScan"))
+    assert(spark.sql("SELECT * FROM lake.db.t_consume WHERE seg = 'zzz'").count() == 0L)
+  }
+
+  test("reported output ordering: sortBy scans elide local sorts; MOR inserts drop the claim until compact") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_ordered (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('sortBy' = 'k', 'mode' = 'mor')""".stripMargin)
+    // adversarial input order: the WRITE path must enforce the sort
+    spark.range(0, 100).select((($"id" * 37L) % 100L).as("k"), $"id".as("v"))
+      .repartition(3).writeTo("lake.db.t_ordered").append()
+    def localSorts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if !s.global => s
+      }.size
+    val sorted = spark.table("lake.db.t_ordered").sortWithinPartitions($"k")
+    assert(localSorts(sorted) == 0,
+      s"scan reports sortBy ordering — the local sort is redundant:\n${sorted.queryExecution.executedPlan}")
+    // per-partition ordering is REAL: rows within every partition ascend
+    val perPart = spark.table("lake.db.t_ordered")
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect()
+    assert(perPart.forall(ks => ks == ks.sorted), "files must actually be sorted")
+    // a MOR UPDATE writes an UNSORTED delta-insert file: the claim drops
+    spark.sql("UPDATE lake.db.t_ordered SET v = v + 1000 WHERE k = 5")
+    val afterUpd = spark.table("lake.db.t_ordered").sortWithinPartitions($"k")
+    assert(localSorts(afterUpd) == 1,
+      "an unsorted MOR insert file must drop the ordering claim")
+    // compaction restores the declared layout — and the claim
+    spark.sql("CALL lake.system.compact('db.t_ordered', 2)").collect()
+    val afterCompact = spark.table("lake.db.t_ordered").sortWithinPartitions($"k")
+    assert(localSorts(afterCompact) == 0,
+      "compact re-sorts; the scan reports ordering again")
+    assert(spark.table("lake.db.t_ordered").where($"k" === 5L).head().getLong(1) >= 1000L)
+    assert(spark.table("lake.db.t_ordered").count() == 100L)
+  }
+
+  test("CTAS honors the declared layout: staged files land sorted, ordering reported from v0") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_ctas_sorted TBLPROPERTIES ('sortBy' = 'k')
+        |AS SELECT (id * 37) % 100 AS k, id AS v FROM range(100)""".stripMargin)
+    val perPart = spark.table("lake.db.t_ctas_sorted")
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect()
+    assert(perPart.forall(ks => ks == ks.sorted),
+      "the staged CTAS write must enforce sortBy like any other write")
+    val df = spark.table("lake.db.t_ctas_sorted").sortWithinPartitions($"k")
+    val sorts = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if !s.global => s
+    }.size
+    assert(sorts == 0, s"CTAS files carry the layout claim:\n${df.queryExecution.executedPlan}")
+    assert(spark.table("lake.db.t_ctas_sorted").count() == 100L)
+  }
+
+  test("CBO column statistics: min/max/nullCount from footer stats reach the optimizer") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_colstats (id BIGINT, v BIGINT, s STRING)")
+    spark.range(0, 60).select($"id", when($"id" % 3 === 0, $"id" * 7L).as("v"),
+      lit("x").as("s")).coalesce(1).writeTo("lake.db.t_colstats").append()
+    spark.range(60, 100).select($"id", ($"id" * 7L).as("v"), lit("y").as("s"))
+      .coalesce(1).writeTo("lake.db.t_colstats").append()
+    val stats = spark.table("lake.db.t_colstats").queryExecution.optimizedPlan.stats
+    def statOf(c: String) = stats.attributeStats.toSeq
+      .find(_._1.name == c).map(_._2)
+      .getOrElse(fail(s"no column stats for $c in ${stats.attributeStats}"))
+    val id = statOf("id")
+    assert(id.min.contains(0L) && id.max.contains(99L) && id.nullCount.contains(BigInt(0)))
+    val v = statOf("v")
+    // file 1: ids 0..59, non-null at multiples of 3 → 20 non-null, 40 null
+    assert(v.nullCount.contains(BigInt(40)) && v.min.contains(0L) && v.max.contains(693L))
+    // strings carry null counts but no integral min/max
+    val s = statOf("s")
+    assert(s.nullCount.contains(BigInt(0)) && s.min.isEmpty && s.max.isEmpty)
+  }
+
   test("concurrent appends: 8 racing writers all land, no version lost, rows exact") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_race8 (id BIGINT, v BIGINT, s STRING)")
