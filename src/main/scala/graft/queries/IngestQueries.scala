@@ -874,6 +874,73 @@ object IngestQueries {
       .select($"n3", $"lo3", $"hi3", $"pn3", $"plo3", $"lo5", $"zn")
   }
 
+  /** q95 — BLOOM-INDEXED point lookups as a correctness row: a
+    * `bloomBy` table written in overlapping-range files (random
+    * distribution — min/max stats cannot tell files apart), probed
+    * with literal equality/IN on the key. Planning consults the
+    * parquet-native bloom filters and drops definitely-absent files
+    * (GraftLakeSpec pins the files=k/n plan shapes); blooms have no
+    * false negatives, so results are exact — which is what the oracle
+    * replays relationally. The probe keys are data-derived (global
+    * min/max via the metadata-aggregate path) so the row is stable
+    * across scale factors; the miss probe (min−1) answers zero.
+    */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q95").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.orderbloom"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, seg STRING, cents BIGINT) " +
+      "TBLPROPERTIES ('bloomBy' = 'ok')")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        substring($"o_orderpriority", 1, 1).as("seg"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .repartition(4)
+      .writeTo(t).append()
+    // data-derived literal probes (bounded 1-row collect, like the
+    // replay witnesses): the min/max themselves answer from metadata
+    val mm = spark.sql(s"SELECT min(ok) AS lo, max(ok) AS hi FROM $t").head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    spark.sql(
+      s"""SELECT ok, seg, cents,
+         |  (SELECT count(*) FROM $t WHERE ok = ${lo - 1}) AS miss
+         |FROM $t WHERE ok IN ($lo, $hi) ORDER BY ok""".stripMargin)
+  }
+
+  /** q96 — GROUPED metadata aggregates: `GROUP BY` an identity
+    * partition column makes every group a set of whole files, so
+    * per-group COUNT/MIN/MAX answer from the log — |groups| lookups,
+    * zero tasks (GraftLakeSpec pins the plan). After a MOR DELETE the
+    * per-group counts stay metadata (liveRows); the oracle replays
+    * both frames relationally and the join proves them against data.
+    */
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q96").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.ordergroup"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        substring($"o_orderpriority", 1, 1).as("seg"))
+      .writeTo(t).append()
+    // pre-delete frame: analysis pins the snapshot; plans as the
+    // grouped metadata LocalScan
+    val pre = spark.sql(
+      s"SELECT seg, count(*) AS n, min(ok) AS lo, max(ok) AS hi FROM $t GROUP BY seg")
+    spark.sql(s"DELETE FROM $t WHERE ok = (SELECT min(ok) FROM $t WHERE seg = '3')")
+    val post = spark.sql(s"SELECT seg, count(*) AS n2 FROM $t GROUP BY seg")
+    pre.join(post, "seg").orderBy($"seg")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -1049,6 +1116,8 @@ object IngestQueries {
     "q92_wap_refs" -> q92,
     "q93_metadata_agg" -> q93,
     "q94_filtered_meta" -> q94,
+    "q95_bloom_lookup" -> q95,
+    "q96_grouped_meta" -> q96,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -1070,6 +1139,32 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q96_grouped_meta" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg
+        |  FROM orders),
+        |pre AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n, min(ok) AS lo,
+        |    max(ok) AS hi
+        |  FROM o GROUP BY seg),
+        |post AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n2 FROM o
+        |  WHERE ok <> (SELECT min(ok) FROM o WHERE seg = '3')
+        |  GROUP BY seg)
+        |SELECT pre.seg, n, lo, hi, n2
+        |FROM pre JOIN post ON pre.seg = post.seg
+        |ORDER BY pre.seg""".stripMargin,
+    "q95_bloom_lookup" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |mm AS (SELECT min(ok) AS lo, max(ok) AS hi FROM o)
+        |SELECT ok, seg, cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o
+        |   WHERE ok = (SELECT lo - 1 FROM mm)) AS miss
+        |FROM o WHERE ok IN ((SELECT lo FROM mm), (SELECT hi FROM mm))
+        |ORDER BY ok""".stripMargin,
     "q94_filtered_meta" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg

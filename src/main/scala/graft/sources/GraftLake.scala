@@ -177,10 +177,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
     val keep = properties.asScala.view
-      .filterKeys(Set("clusterBy", "sortBy", "mode")).toMap
-    Seq("clusterBy", "sortBy").flatMap(keep.get).foreach(c =>
+      .filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode")).toMap
+    Seq("clusterBy", "sortBy", "bloomBy").flatMap(keep.get).foreach(c =>
       require(schema.fieldNames.contains(c),
-        s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
+        s"graftlake clusterBy/sortBy/bloomBy must name a table column, got '$c'"))
     keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
       s"graftlake mode must be 'cow' or 'mor', got '$m'"))
     val partProps = partitionProps(schema, partitions)
@@ -249,10 +249,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
-    val keep = properties.asScala.view.filterKeys(Set("clusterBy", "sortBy", "mode")).toMap
-    Seq("clusterBy", "sortBy").flatMap(keep.get).foreach(c =>
+    val keep = properties.asScala.view.filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode")).toMap
+    Seq("clusterBy", "sortBy", "bloomBy").flatMap(keep.get).foreach(c =>
       require(schema.fieldNames.contains(c),
-        s"graftlake clusterBy/sortBy must name a table column, got '$c'"))
+        s"graftlake clusterBy/sortBy/bloomBy must name a table column, got '$c'"))
     keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
       s"graftlake mode must be 'cow' or 'mor', got '$m'"))
     new GraftStagedTable(tableDir(ident), ident, schema,
@@ -314,7 +314,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
               case other => other
             })
           props = props.map {
-            case (k, v) if (k == "clusterBy" || k == "sortBy") && v == from =>
+            case (k, v) if (k == "clusterBy" || k == "sortBy" || k == "bloomBy") && v == from =>
               k -> ren.newName
             case (LakePartitioning.PropKey, spec) =>
               LakePartitioning.PropKey -> renameSpec(spec)
@@ -333,6 +333,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           require(!props.get("clusterBy").contains(name) &&
             !props.get("sortBy").contains(name),
             s"graftlake: cannot drop layout column $name")
+          // a bloom index on a dropped column is just dead bytes in the
+          // files — drop the property with the column
+          if (props.get("bloomBy").contains(name)) props -= "bloomBy"
           require(!LakePartitioning.decode(props).exists(_.col == name),
             s"graftlake: cannot drop partition column $name")
           require(schema.length > 1, "graftlake: cannot drop the last column")
@@ -1222,7 +1225,8 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
             LakeWriterFactory(dir.toString, info.schema(), snapshot.schema.fieldNames,
-              LakePartitioning.decode(snapshot.props))
+              LakePartitioning.decode(snapshot.props),
+              bloomBy = snapshot.props.get("bloomBy").toSeq)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val written = messages.map(_.asInstanceOf[LakeFileMessage])
               .flatMap(_.files)
@@ -1340,6 +1344,35 @@ object LakeStats {
       case "AND" if kids.length == 2 =>
         combine(decideOne(f, kids(0).asInstanceOf[VPredicate], resolve, part),
           decideOne(f, kids(1).asInstanceOf[VPredicate], resolve, part))
+      case "OR" if kids.length == 2 =>
+        (decideOne(f, kids(0).asInstanceOf[VPredicate], resolve, part),
+          decideOne(f, kids(1).asInstanceOf[VPredicate], resolve, part)) match {
+          case (All, _) | (_, All) => All // one disjunct matches every row
+          case (None_, None_) => None_
+          case _ => Mixed
+        }
+      case "NOT" if kids.length == 1 =>
+        // three-valued logic: NOT(p) matches rows where p is FALSE, not
+        // where p is NULL. An inner All is null-gated (every row TRUE)
+        // → negation matches nothing. An inner None_ means FALSE-or-
+        // NULL everywhere → All only when p provably never evaluates
+        // NULL on this file (null-free operands, or IS [NOT] NULL which
+        // never returns NULL).
+        decideOne(f, kids(0).asInstanceOf[VPredicate], resolve, part) match {
+          case All => None_
+          case None_ if neverNullOn(f, kids(0).asInstanceOf[VPredicate],
+            resolve, part) => All
+          case _ => Mixed
+        }
+      case "<>" if kids.length == 2 =>
+        (colName(kids(0)), litLong(kids(1))) match {
+          case (Some(c), Some(v)) => withStats(c) { (lo, hi) =>
+            if (v < lo || v > hi) All // no row equals v (nulls gated by withStats)
+            else if (lo == v && hi == v) None_
+            else Mixed
+          }
+          case _ => Mixed
+        }
       case "=" if kids.length == 2 =>
         (colName(kids(0)), litAny(kids(1))) match {
           // every row of a file has _file = its path: exact decision —
@@ -1399,6 +1432,29 @@ object LakeStats {
     }
   }
 
+  /** True when `p` provably never evaluates to NULL on any row of `f`:
+    * IS [NOT] NULL never does; a null-intolerant value predicate never
+    * does when every referenced column is null-free in this file
+    * (`_file` is never null, an identity partition value is known
+    * non-null, a data column has a recorded zero null count).
+    * Compositions (AND/OR/NOT) are declined — FALSE OR NULL is NULL.
+    */
+  private def neverNullOn(f: LakeFile, p: VPredicate,
+      resolve: String => Option[String],
+      part: LakePartitioning.Resolver): Boolean = p.name() match {
+    case "IS_NULL" | "IS_NOT_NULL" => true
+    case "=" | "<" | "<=" | ">" | ">=" | "<>" | "IN" =>
+      p.references.forall { r =>
+        r.fieldNames.length == 1 && {
+          val c = r.fieldNames.head
+          c == LakeTable.FileColumn ||
+            part.isNull(c).contains(false) ||
+            resolve(c).exists(pc => f.nulls.get(pc).contains(0L))
+        }
+      }
+    case _ => false
+  }
+
   private def combine(a: Decision, b: Decision): Decision = (a, b) match {
     case (None_, _) | (_, None_) => None_ // one conjunct excludes the file
     case (All, All) => All
@@ -1432,7 +1488,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
   private var required: StructType = snapshot.schema
   private var skips: Array[VPredicate] = Array.empty
   private var consumed: Array[VPredicate] = Array.empty
-  private var pushedAggRow: Option[(StructType, InternalRow)] = None
+  private var pushedAggRow: Option[(StructType, Seq[InternalRow])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1490,11 +1546,10 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     *     files carry no stats and are skipped when `nulls == rows`
     *     proves they are truly all-null.
     */
-  private def metadataAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
+  private def metadataAgg(agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
     // filters are fine ONLY when every one was consumed (file pruning
     // applies them exactly); any residual means rows must be read
-    if (agg.groupByExpressions.nonEmpty || skips.length != consumed.length ||
-      onPlanned.nonEmpty)
+    if (skips.length != consumed.length || onPlanned.nonEmpty)
       return None
     // EXACTLY the pushed list, never empty: under an outer count() the
     // optimizer can prune the inner aggregate to ZERO expressions, and
@@ -1509,6 +1564,36 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       else snapshot.files.filter(f =>
         LakeStats.decide(f, skips, LakeColIds.physicalName(cols, f, _),
           LakePartitioning.resolver(snapshot.props, f)) == LakeStats.All)
+    // GROUPED metadata aggregates: group columns must be IDENTITY
+    // partition columns of the CURRENT spec with every contributing
+    // file on that spec — then a group is a set of whole files and the
+    // per-group aggregates follow the same per-file rules. The
+    // date-partitioned `GROUP BY day, count(*)` on a 100 TB table is
+    // |days| log lookups, zero tasks.
+    val spec = LakePartitioning.decode(snapshot.props)
+    val gcols: Seq[StructField] = agg.groupByExpressions.toSeq.map {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        snapshot.schema.fields.find(_.name == f.fieldNames.head)
+          .getOrElse(return None)
+      case _ => return None
+    }
+    val gidx: Seq[Int] = gcols.map { fd =>
+      val i = spec.indexWhere {
+        case LakePartitioning.Identity(c) => c == fd.name
+        case _ => false
+      }
+      if (i < 0) return None
+      i
+    }
+    if (gcols.nonEmpty) {
+      val curId = LakePartitioning.currentSpecId(snapshot.props)
+      val typed = gcols.forall(fd => fd.dataType == LongType ||
+        fd.dataType == IntegerType || fd.dataType == BooleanType ||
+        fd.dataType == StringType)
+      if (!typed) return None
+      if (!statFiles.forall(f => f.specId == curId && f.part.nonEmpty))
+        return None
+    }
     def fieldOf(e: VExpression): Option[StructField] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
         snapshot.schema.fields.find(_.name == f.fieldNames.head)
@@ -1516,9 +1601,9 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     }
     def phys(f: LakeFile, name: String): Option[String] =
       LakeColIds.physicalName(cols, f, name)
-    def countCol(fd: StructField): Option[Long] = {
+    def countCol(fs: Seq[LakeFile], fd: StructField): Option[Long] = {
       var total = 0L
-      statFiles.foreach { f =>
+      fs.foreach { f =>
         phys(f, fd.name).foreach { p =>
           (f.nulls.get(p), f.dvRows) match {
             case (Some(n), 0L) => total += f.rows - n
@@ -1529,10 +1614,11 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       }
       Some(total)
     }
-    def minMax(fd: StructField, isMin: Boolean): Option[Option[Long]] = {
+    def minMax(fs: Seq[LakeFile], fd: StructField,
+        isMin: Boolean): Option[Option[Long]] = {
       if (fd.dataType != LongType && fd.dataType != IntegerType) return None
       var acc: Option[Long] = None
-      statFiles.foreach { f =>
+      fs.foreach { f =>
         phys(f, fd.name).foreach { p =>
           if (f.dvRows != 0L) return None
           f.stats.get(p) match {
@@ -1546,33 +1632,65 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       }
       Some(acc)
     }
-    val fields = Seq.newBuilder[StructField]
-    val values = Seq.newBuilder[Any]
-    agg.aggregateExpressions.foreach {
-      case _: CountStar =>
-        fields += StructField("count(*)", LongType, nullable = false)
-        values += statFiles.map(_.liveRows).sum
-      case c: Count if !c.isDistinct =>
-        val fd = fieldOf(c.column).getOrElse(return None)
-        val n = countCol(fd).getOrElse(return None)
-        fields += StructField(s"count(${fd.name})", LongType, nullable = false)
-        values += n
-      case m: Min =>
-        val fd = fieldOf(m.column).getOrElse(return None)
-        val v = minMax(fd, isMin = true).getOrElse(return None)
-        fields += StructField(s"min(${fd.name})", fd.dataType, nullable = true)
-        values += v.map(x =>
-          if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull
-      case m: Max =>
-        val fd = fieldOf(m.column).getOrElse(return None)
-        val v = minMax(fd, isMin = false).getOrElse(return None)
-        fields += StructField(s"max(${fd.name})", fd.dataType, nullable = true)
-        values += v.map(x =>
-          if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull
-      case _ => return None
+    def aggValues(fs: Seq[LakeFile], collect: Option[Seq[StructField] => Unit]): Option[Seq[Any]] = {
+      val fields = Seq.newBuilder[StructField]
+      val values = Seq.newBuilder[Any]
+      agg.aggregateExpressions.foreach {
+        case _: CountStar =>
+          fields += StructField("count(*)", LongType, nullable = false)
+          values += fs.map(_.liveRows).sum
+        case c: Count if !c.isDistinct =>
+          val fd = fieldOf(c.column).getOrElse(return None)
+          val n = countCol(fs, fd).getOrElse(return None)
+          fields += StructField(s"count(${fd.name})", LongType, nullable = false)
+          values += n
+        case m: Min =>
+          val fd = fieldOf(m.column).getOrElse(return None)
+          val v = minMax(fs, fd, isMin = true).getOrElse(return None)
+          fields += StructField(s"min(${fd.name})", fd.dataType, nullable = true)
+          values += v.map(x =>
+            if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull
+        case m: Max =>
+          val fd = fieldOf(m.column).getOrElse(return None)
+          val v = minMax(fs, fd, isMin = false).getOrElse(return None)
+          fields += StructField(s"max(${fd.name})", fd.dataType, nullable = true)
+          values += v.map(x =>
+            if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull
+        case _ => return None
+      }
+      collect.foreach(_(fields.result()))
+      Some(values.result())
     }
-    Some((StructType(fields.result()),
-      new GenericInternalRow(values.result().toArray)))
+    def gval(s: Option[String], dt: DataType): Any = s match {
+      case None => null
+      case Some(v) => dt match {
+        case LongType => Long.box(v.toLong)
+        case IntegerType => Int.box(v.toInt)
+        case BooleanType => Boolean.box(v.toBoolean)
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      }
+    }
+    var aggFields: Seq[StructField] = Seq.empty
+    // the schema dry-run over NO files also validates every aggregate
+    // is a pushable shape — an empty group list must still produce the
+    // agg columns Spark expects
+    aggValues(Seq.empty, Some(aggFields = _)).getOrElse(return None)
+    if (gcols.isEmpty) {
+      val vs = aggValues(statFiles, None).getOrElse(return None)
+      Some((StructType(aggFields),
+        Seq(new GenericInternalRow(vs.toArray))))
+    } else {
+      val rows = statFiles.groupBy(f => gidx.map(i => f.part.lift(i).flatten))
+        .toSeq.sortBy(_._1.toString)
+        .map { case (key, fs) =>
+          val vs = aggValues(fs, None).getOrElse(return None)
+          new GenericInternalRow(
+            (key.zip(gcols).map { case (s, fd) => gval(s, fd.dataType) } ++ vs).toArray)
+            : InternalRow
+        }
+      val gFields = gcols.map(fd => StructField(fd.name, fd.dataType, nullable = true))
+      Some((StructType(gFields ++ aggFields), rows))
+    }
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
@@ -1587,28 +1705,80 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
 
   override def build(): Scan =
     if (pushedAggRow.isDefined) {
-      val (schema0, row) = pushedAggRow.get
-      new LakeAggScan(schema0, row, snapshot.files.size)
+      val (schema0, rows) = pushedAggRow.get
+      new LakeAggScan(schema0, rows, snapshot.files.size)
     } else {
       val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
       val live = snapshot.files.filter(f =>
         LakeStats.decide(f, skips,
           LakeColIds.physicalName(cols, f, _),
           LakePartitioning.resolver(snapshot.props, f)) != LakeStats.None_)
-      new LakeScan(dir, snapshot.schema, snapshot.props, cols, live,
+      new LakeScan(dir, snapshot.schema, snapshot.props, cols,
+        bloomPrune(live, cols),
         snapshot.files.size, required, onPlanned, options)
     }
+
+  /** Point-lookup BLOOM pruning (table property `bloomBy`): after
+    * stats skipping, an equality/IN predicate on the bloom column
+    * drops the files whose parquet-native bloom filters definitely
+    * exclude every probed value — the scattered-high-cardinality
+    * lookup stats ranges cannot prune (every file spans the whole key
+    * domain; a clustered key would already be stats-pruned). Same
+    * contract as stats skipping: may keep a non-matching file, never
+    * drops a matching one (blooms have no false negatives). Planning
+    * reads candidates' footers + bloom pages only, and only below a
+    * candidate-count cap — above it the point lookup is not selective
+    * enough for per-file planning IO to pay.
+    */
+  private def bloomPrune(live: Seq[LakeFile],
+      cols: Seq[(String, Long)]): Seq[LakeFile] = {
+    val bcol = snapshot.props.get("bloomBy")
+    if (bcol.isEmpty || live.isEmpty || skips.isEmpty || live.size > 1024)
+      return live
+    def colOf(e: VExpression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+    def litOf(e: VExpression): Option[Any] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => Option(l.value())
+      case _ => None
+    }
+    // one probe set per predicate: a file survives only if, for EVERY
+    // probed predicate, some value might be present (AND semantics)
+    val probes: Seq[Seq[Any]] = skips.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "=" if kids.length == 2 =>
+          for { c <- colOf(kids(0)) if bcol.contains(c); v <- litOf(kids(1)) }
+            yield Seq(v)
+        case "IN" if kids.nonEmpty =>
+          colOf(kids.head).filter(bcol.contains).flatMap { _ =>
+            val vs = kids.tail.toSeq.map(litOf)
+            if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+          }
+        case _ => None
+      }
+    }
+    if (probes.isEmpty) live
+    else live.filter { f =>
+      LakeColIds.physicalName(cols, f, bcol.get).forall { pc =>
+        probes.forall(vs =>
+          LakeParquet.bloomMightContain(dir.resolve(f.path), pc, vs))
+      }
+    }
+  }
 }
 
-/** The one-row result of a metadata-only aggregate (COUNT/MIN/MAX
-  * answered from the log — zero data-file opens, zero tasks).
+/** The result of a metadata-only aggregate (COUNT/MIN/MAX answered
+  * from the log — zero data-file opens, zero tasks): one row
+  * ungrouped, one row per identity-partition group otherwise.
   */
-class LakeAggScan(schema0: StructType, row: InternalRow, nFiles: Int)
+class LakeAggScan(schema0: StructType, rows0: Seq[InternalRow], nFiles: Int)
   extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = schema0
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = rows0.toArray
   override def description(): String =
-    s"graftlake metadata-agg files=0/$nFiles"
+    s"graftlake metadata-agg rows=${rows0.size} files=0/$nFiles"
 }
 
 class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
@@ -2238,7 +2408,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
         LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
-          LakePartitioning.decode(props))
+          LakePartitioning.decode(props),
+          bloomBy = props.get("bloomBy").toSeq)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
           .flatMap(_.files)
@@ -2320,7 +2491,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         private val factory =
           LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
-            LakePartitioning.decode(props))
+            LakePartitioning.decode(props),
+            bloomBy = props.get("bloomBy").toSeq)
         private val queryId = info.queryId()
         override def createStreamingWriterFactory(
             pi: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -2397,7 +2569,8 @@ object LakeWriterFactory {
   */
 case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
     keep: Array[String],
-    partSpec: Seq[LakePartitioning.Field] = Seq.empty) extends DataWriterFactory {
+    partSpec: Seq[LakePartitioning.Field] = Seq.empty,
+    bloomBy: Seq[String] = Seq.empty) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -2411,7 +2584,8 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
 
       private final class OpenFile(val tuple: Seq[Option[String]]) {
         val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
-        val out = LakeParquet.createWriter(Paths.get(tableDir).resolve(rel), storedSchema)
+        val out = LakeParquet.createWriter(Paths.get(tableDir).resolve(rel),
+          storedSchema, bloomBy)
         var rows = 0L
       }
       private val open = scala.collection.mutable.LinkedHashMap[Seq[Option[String]], OpenFile]()
@@ -2571,7 +2745,8 @@ object LakeProcedures {
     val written = rows
       .mapPartitionsWithIndex { (pid, it) =>
         val w = LakeWriterFactory(dirStr, writeSchema, cols,
-          LakePartitioning.decode(snap.props)).createWriter(pid, 0L)
+          LakePartitioning.decode(snap.props),
+          bloomBy = snap.props.get("bloomBy").toSeq).createWriter(pid, 0L)
         it.foreach(w.write)
         Iterator(w.commit())
       }.collect().toSeq
@@ -3237,7 +3412,8 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
             LakeWriterFactory(dir.toString, info.schema(), stagedSchema.fieldNames,
-              LakePartitioning.decode(propsWithIds))
+              LakePartitioning.decode(propsWithIds),
+              bloomBy = propsWithIds.get("bloomBy").toSeq)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             // staged: record only — the LOG moves in commitStagedChanges
             stagedMessages = messages
@@ -3393,7 +3569,8 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
         override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DeltaWriterFactory =
             LakeDeltaWriterFactory(dir.toString, info.schema(),
-              snapshot.schema.fieldNames, LakePartitioning.decode(snapshot.props))
+              snapshot.schema.fieldNames, LakePartitioning.decode(snapshot.props),
+              bloomBy = snapshot.props.get("bloomBy").toSeq)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ms = messages.map(_.asInstanceOf[LakeDeltaMessage])
             val inserts = ms.flatMap(_.inserts).flatMap(_.files)
@@ -3448,7 +3625,8 @@ case class LakeDeltaMessage(deletes: Map[String, Seq[Long]],
 
 case class LakeDeltaWriterFactory(tableDir: String, writeSchema: StructType,
     keep: Array[String],
-    partSpec: Seq[LakePartitioning.Field] = Seq.empty) extends DeltaWriterFactory {
+    partSpec: Seq[LakePartitioning.Field] = Seq.empty,
+    bloomBy: Seq[String] = Seq.empty) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -3457,7 +3635,7 @@ case class LakeDeltaWriterFactory(tableDir: String, writeSchema: StructType,
       private var inner: DataWriter[InternalRow] = _
       private def insertWriter(): DataWriter[InternalRow] = {
         if (inner == null)
-          inner = LakeWriterFactory(tableDir, writeSchema, keep, partSpec)
+          inner = LakeWriterFactory(tableDir, writeSchema, keep, partSpec, bloomBy)
             .createWriter(partitionId, taskId)
         inner
       }

@@ -57,10 +57,65 @@ object LakeParquet {
     }
   }
 
-  def createWriter(file: NioPath, schema: StructType): ParquetWriter[InternalRow] =
-    new RowWriteBuilder(new LocalOutputFile(file), schema)
+  def createWriter(file: NioPath, schema: StructType,
+      bloomCols: Seq[String] = Seq.empty): ParquetWriter[InternalRow] = {
+    var b = new RowWriteBuilder(new LocalOutputFile(file), schema)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
+    // parquet-native bloom filters (table property `bloomBy`): written
+    // into the file itself — no log bloat, no sidecar lifecycle, and
+    // any parquet reader sees them. Adaptive sizing tracks the actual
+    // distinct count; the cap bounds the worst case per column chunk.
+    bloomCols.filter(schema.fieldNames.contains).foreach { c =>
+      b = b.withBloomFilterEnabled(c, true)
+    }
+    if (bloomCols.nonEmpty)
+      b = b.withAdaptiveBloomFilterEnabled(true)
+        .withMaxBloomFilterBytes(128 * 1024)
+    b.build()
+  }
+
+  /** Point-lookup file pruning off the parquet-native bloom filters:
+    * false ONLY when every row group's bloom for `col` definitely
+    * excludes EVERY value in `values` — a missing bloom or an
+    * unhashable value keeps the file. Exactly the stats-skipping
+    * contract: may keep a non-matching file, never drops a matching
+    * one.
+    */
+  def bloomMightContain(file: NioPath, col: String, values: Seq[Any]): Boolean = {
+    val reader = ParquetFileReader.open(new LocalInputFile(file))
+    try {
+      reader.getFooter.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == col) match {
+          case None => true
+          case Some(cc) =>
+            val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+            if (bf == null) true
+            else values.exists { v =>
+              hashFor(bf, cc.getPrimitiveType.getPrimitiveTypeName, v) match {
+                case Some(h) => bf.findHash(h)
+                case None => true
+              }
+            }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Hash `v` the way parquet hashed the COLUMN's physical type — a
+    * Long literal probed against an INT32 column must hash as int, or
+    * the lookup false-negatives and pruning drops a matching file.
+    */
+  private def hashFor(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      tpe: PrimitiveTypeName, v: Any): Option[Long] = (tpe, v) match {
+    case (PrimitiveTypeName.INT64, n: java.lang.Number) => Some(bf.hash(n.longValue))
+    case (PrimitiveTypeName.INT32, n: java.lang.Number) => Some(bf.hash(n.intValue))
+    case (PrimitiveTypeName.BINARY, s: String) =>
+      Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+    case (PrimitiveTypeName.BINARY, u: org.apache.spark.unsafe.types.UTF8String) =>
+      // parquet hashes strings as their UTF-8 bytes — identical
+      Some(bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(u.getBytes)))
+    case _ => None
+  }
 
   /** Footer-derived file statistics: row count, per-column [min,max]
     * for integral columns (the only stats [[LakeStats]] decides on),

@@ -454,6 +454,19 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(spark.sql(q0).head().getLong(0) == 0L)
     assert(planOf(q0).contains("LocalTableScan"))
     assert(spark.sql("SELECT * FROM lake.db.t_consume WHERE seg = 'zzz'").count() == 0L)
+    // OR of two identity values: per file each disjunct is All or
+    // None_, so the disjunction is exact — consumed, count metadata
+    val qor = "SELECT count(*) AS n FROM lake.db.t_consume " +
+      "WHERE seg = 's1' OR seg = 's4'"
+    assert(spark.sql(qor).head().getLong(0) == 79L) // 39 (dv'd) + 40
+    assert(planOf(qor).contains("LocalTableScan"),
+      s"exact OR must stay metadata:\n${planOf(qor)}")
+    // <> with the value outside every file's range: All everywhere
+    // (null-gated), consumed
+    val qne = "SELECT count(*) AS n FROM lake.db.t_consume WHERE v <> 500"
+    assert(spark.sql(qne).head().getLong(0) == 199L)
+    assert(planOf(qne).contains("LocalTableScan"),
+      s"out-of-range <> is exact on every file:\n${planOf(qne)}")
   }
 
   test("reported output ordering: sortBy scans elide local sorts; MOR inserts drop the claim until compact") {
@@ -506,6 +519,101 @@ class GraftLakeSpec extends AnyFunSuite {
     }.size
     assert(sorts == 0, s"CTAS files carry the layout claim:\n${df.queryExecution.executedPlan}")
     assert(spark.table("lake.db.t_ctas_sorted").count() == 100L)
+  }
+
+  test("grouped metadata aggregates: GROUP BY identity partition answers from the log") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_gmeta (k BIGINT, seg STRING, v BIGINT)
+        |PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    spark.range(0, 200)
+      .select($"id".as("k"), concat(lit("s"), $"id" % 5).as("seg"), ($"id" * 2L).as("v"))
+      .writeTo("lake.db.t_gmeta").append()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    val q = "SELECT seg, count(*) AS n, min(k) AS lo, max(k) AS hi " +
+      "FROM lake.db.t_gmeta GROUP BY seg ORDER BY seg"
+    val rows = spark.sql(q).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      (0 until 5).map(i => (s"s$i", 40L, i.toLong, (195 + i).toLong)))
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("BatchScan"),
+      s"per-partition aggregates are |groups| log lookups, zero tasks:\n${planOf(q)}")
+    // consumed filter + grouping compose
+    val qf = "SELECT seg, count(*) AS n FROM lake.db.t_gmeta " +
+      "WHERE seg IN ('s1', 's2') GROUP BY seg ORDER BY seg"
+    assert(spark.sql(qf).collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("s1", 40L), ("s2", 40L)))
+    assert(planOf(qf).contains("LocalTableScan"))
+    // a dv in one group: counts stay metadata, min falls back
+    spark.sql("DELETE FROM lake.db.t_gmeta WHERE k = 11")
+    val qc = "SELECT seg, count(*) AS n FROM lake.db.t_gmeta GROUP BY seg ORDER BY seg"
+    assert(spark.sql(qc).collect().map(_.getLong(1)).toSeq == Seq(40L, 39L, 40L, 40L, 40L))
+    assert(planOf(qc).contains("LocalTableScan"))
+    val qm = "SELECT seg, min(k) AS lo FROM lake.db.t_gmeta GROUP BY seg ORDER BY seg"
+    assert(spark.sql(qm).collect().map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(planOf(qm).contains("BatchScan"),
+      "a dv'd group forbids stats min — the whole aggregate reads data")
+    // grouping by a non-partition column always reads data
+    assert(planOf("SELECT v, count(*) FROM lake.db.t_gmeta GROUP BY v")
+      .contains("BatchScan"))
+  }
+
+  test("bloomBy point lookups prune files stats ranges cannot") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_bloom (k BIGINT, s STRING, v BIGINT)
+        |TBLPROPERTIES ('bloomBy' = 'k')""".stripMargin)
+    // four files with fully-OVERLAPPING key ranges (k ≡ i mod 8 per
+    // file, i < 4 — residues 4..7 exist nowhere): min/max stats prune
+    // nothing in-range, only the bloom can
+    for (i <- 0 until 4)
+      spark.range(0, 250)
+        .select(($"id" * 8L + i).as("k"), concat(lit("s"), $"id" * 8L + i).as("s"),
+          ($"id" + i).as("v"))
+        .coalesce(1).writeTo("lake.db.t_bloom").append()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // k = 17 ≡ 1 mod 8 → lives in file 1 only; stats keep 4/4
+    val q1 = "SELECT s FROM lake.db.t_bloom WHERE k = 17"
+    assert(spark.sql(q1).collect().map(_.getString(0)).toSeq == Seq("s17"))
+    assert(planOf(q1).contains("files=1/4"),
+      s"bloom must prune to the one containing file:\n${planOf(q1)}")
+    // IN across two residues → exactly two files; v = (k - k%8)/8 + k%8
+    val q2 = "SELECT sum(v) AS sv FROM lake.db.t_bloom WHERE k IN (2, 11)"
+    assert(spark.sql(q2).head().getLong(0) == 6L) // v(2)=2, v(11)=4
+    assert(planOf(q2).contains("files=2/4"), s"two residues → two files:\n${planOf(q2)}")
+    // an IN-RANGE key nobody holds (residue 5): stats keep every file,
+    // every bloom excludes it → zero files planned
+    val q3 = "SELECT count(*) AS n FROM lake.db.t_bloom WHERE k = 5"
+    assert(spark.sql(q3).head().getLong(0) == 0L)
+    assert(planOf(q3).contains("files=0/4"), s"absent key → no files:\n${planOf(q3)}")
+    // predicates off the bloom column prune nothing
+    assert(planOf("SELECT * FROM lake.db.t_bloom WHERE v = 3").contains("files=4/4"))
+    // files written BEFORE a bloomBy change carry no bloom for the new
+    // column — no bloom means MAYBE, never a wrong prune
+    spark.sql("ALTER TABLE lake.db.t_bloom SET TBLPROPERTIES ('bloomBy' = 'v')")
+    val q5 = "SELECT count(*) AS n FROM lake.db.t_bloom WHERE v = 3"
+    assert(spark.sql(q5).head().getLong(0) == 4L) // v=3 ← (id,i) ∈ {(0,3),(1,2),(2,1),(3,0)}
+    assert(planOf(q5).contains("files=4/4"), s"bloom-less files must stay:\n${planOf(q5)}")
+  }
+
+  test("bloomBy on a STRING column probes the parquet BINARY hash") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_bloom_s (s STRING, v BIGINT)
+        |TBLPROPERTIES ('bloomBy' = 's')""".stripMargin)
+    for (i <- 0 until 3)
+      spark.range(0, 200)
+        .select(concat(lit("user-"), $"id" * 3L + i).as("s"), ($"id" + i).as("v"))
+        .coalesce(1).writeTo("lake.db.t_bloom_s").append()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    val q = "SELECT v FROM lake.db.t_bloom_s WHERE s = 'user-301'" // 301 ≡ 1 mod 3
+    assert(spark.sql(q).head().getLong(0) == 101L) // id=100, i=1
+    assert(planOf(q).contains("files=1/3"),
+      s"string bloom must prune to the containing file:\n${planOf(q)}")
+    assert(planOf("SELECT * FROM lake.db.t_bloom_s WHERE s = 'nobody'")
+      .contains("files=0/3"))
   }
 
   test("CBO column statistics: min/max/nullCount from footer stats reach the optimizer") {
