@@ -1483,12 +1483,30 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     onPlanned: Option[Seq[String] => Unit],
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownV2Filters with SupportsPushDownAggregates {
+  with SupportsPushDownV2Filters with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   private var required: StructType = snapshot.schema
   private var skips: Array[VPredicate] = Array.empty
   private var consumed: Array[VPredicate] = Array.empty
   private var pushedAggRow: Option[(StructType, Seq[InternalRow])] = None
+  private var limitN: Option[Int] = None
+
+  /** A bare LIMIT plans a file PREFIX: the log knows each file's live
+    * row count, so planning stops adding files once the limit is
+    * covered — `SELECT * FROM t LIMIT 10` on a million-file table
+    * schedules one task, not a million. PARTIAL push (Spark keeps its
+    * own limit operator): the scan merely bounds what gets planned.
+    * Spark only pushes a limit when no filter remains post-scan, so
+    * the prefix never under-delivers rows the limit could have taken —
+    * consumed predicates compose (the prefix is of the already-pruned
+    * file list).
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limitN = Some(n)
+    true // partial: Spark keeps its limit; we only bound planning
+  }
+  override def isPartiallyPushed(): Boolean = limitN.isDefined
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1713,8 +1731,23 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
         LakeStats.decide(f, skips,
           LakeColIds.physicalName(cols, f, _),
           LakePartitioning.resolver(snapshot.props, f)) != LakeStats.None_)
+      val pruned = bloomPrune(live, cols)
+      // pushed-limit file prefix: stop planning once the limit is
+      // covered by live row counts. Spark only pushes a limit when no
+      // filter remains post-scan, so every planned live row is a
+      // deliverable row; row-level op scans (onPlanned) never see a
+      // pushed limit and are excluded defensively.
+      val capped = limitN match {
+        case Some(n) if onPlanned.isEmpty =>
+          var acc = 0L
+          val it = pruned.iterator.takeWhile { f =>
+            val need = acc < n; acc += f.liveRows; need
+          }
+          it.toSeq
+        case _ => pruned
+      }
       new LakeScan(dir, snapshot.schema, snapshot.props, cols,
-        bloomPrune(live, cols),
+        capped,
         snapshot.files.size, required, onPlanned, options)
     }
 

@@ -558,6 +558,47 @@ class GraftLakeSpec extends AnyFunSuite {
       .contains("BatchScan"))
   }
 
+  test("pushed LIMIT plans a file prefix covered by live row counts") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_limit (k BIGINT, s STRING)
+        |TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    for (i <- 0 until 4)
+      spark.range(i * 50L, (i + 1) * 50L)
+        .select($"id".as("k"), concat(lit("f"), lit(i)).as("s"))
+        .coalesce(1).writeTo("lake.db.t_limit").append()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    val q1 = "SELECT * FROM lake.db.t_limit LIMIT 10"
+    assert(spark.sql(q1).count() == 10L)
+    assert(planOf(q1).contains("files=1/4"),
+      s"LIMIT 10 needs one 50-row file:\n${planOf(q1)}")
+    val q2 = "SELECT * FROM lake.db.t_limit LIMIT 120"
+    assert(spark.sql(q2).count() == 120L)
+    assert(planOf(q2).contains("files=3/4"),
+      s"LIMIT 120 needs three files:\n${planOf(q2)}")
+    // a residual filter blocks the limit push — all files stay planned
+    val q3 = "SELECT * FROM lake.db.t_limit WHERE k >= 25 LIMIT 10"
+    assert(spark.sql(q3).count() == 10L)
+    assert(planOf(q3).contains("files=4/4") || planOf(q3).contains("files=3/4"),
+      s"residual filter: no limit prefix (stats may still prune):\n${planOf(q3)}")
+    // a dv shrinks a file's contribution: the prefix must cover with
+    // LIVE rows, not raw rows. The dv'd entry re-appends in the log,
+    // so append one more file after it — the dv'd file sits mid-prefix
+    // and raw-row accounting would under-deliver by one row
+    spark.sql("DELETE FROM lake.db.t_limit WHERE k = 3")
+    spark.range(200, 250).select($"id".as("k"), lit("f4").as("s"))
+      .coalesce(1).writeTo("lake.db.t_limit").append()
+    val q4 = "SELECT * FROM lake.db.t_limit LIMIT 200" // live total 249
+    assert(spark.sql(q4).count() == 200L,
+      "raw-row prefix accounting would deliver only 199")
+    assert(planOf(q4).contains("files=5/5"),
+      s"199 live rows in the first four entries — the prefix needs all five:\n${planOf(q4)}")
+    val q5 = "SELECT * FROM lake.db.t_limit LIMIT 150"
+    assert(spark.sql(q5).count() == 150L)
+    assert(planOf(q5).contains("files=3/5"), s"3×50 live rows suffice:\n${planOf(q5)}")
+  }
+
   test("bloomBy point lookups prune files stats ranges cannot") {
     import spark.implicits._
     spark.sql(
