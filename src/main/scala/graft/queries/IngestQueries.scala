@@ -941,6 +941,63 @@ object IngestQueries {
     pre.join(post, "seg").orderBy($"seg")
   }
 
+  /** q97 — `__partitions` metadata census as a correctness row: the
+    * per-partition (tuple, raw rows, dv rows, live rows) census folds
+    * from the log alone — the SHOW-PARTITIONS surface an operator
+    * reads before scanning anything. A MOR DELETE moves one row from
+    * live to dv'd in exactly one partition; the oracle recomputes both
+    * columns relationally per segment, proving the census against the
+    * data it describes.
+    */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q97").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.orderparts"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        substring($"o_orderpriority", 1, 1).as("seg"))
+      .writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE ok = (SELECT min(ok) FROM $t WHERE seg = '2')")
+    spark.sql(
+      s"""SELECT `partition` AS p, `rows` AS rows_total, dv_rows, live_rows
+         |FROM ${t}__partitions ORDER BY p""".stripMargin)
+  }
+
+  /** q98 — PARTITION DDL lifecycle as a correctness row: `ALTER TABLE
+    * DROP PARTITION` and `TRUNCATE TABLE … PARTITION` remove whole
+    * partitions as single metadata commits (zero rows read — the
+    * instant partition-retention drop at 100 TB). The pre-drop total
+    * rides the metadata count; the post state reads back through the
+    * grouped metadata aggregate; the oracle replays both relationally.
+    */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q98").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.orderdrop"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        substring($"o_orderpriority", 1, 1).as("seg"))
+      .writeTo(t).append()
+    val pre = broadcast(spark.sql(s"SELECT count(*) AS pre_rows FROM $t"))
+    spark.sql(s"ALTER TABLE $t DROP PARTITION (seg = '1')")
+    spark.sql(s"TRUNCATE TABLE $t PARTITION (seg = '2')")
+    spark.sql(s"SELECT seg, count(*) AS n FROM $t GROUP BY seg")
+      .crossJoin(pre)
+      .orderBy($"seg")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -1118,6 +1175,8 @@ object IngestQueries {
     "q94_filtered_meta" -> q94,
     "q95_bloom_lookup" -> q95,
     "q96_grouped_meta" -> q96,
+    "q97_partition_census" -> q97,
+    "q98_partition_ddl" -> q98,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -1139,6 +1198,26 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q98_partition_ddl" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg
+        |  FROM orders),
+        |pre AS (SELECT CAST(count(*) AS BIGINT) AS pre_rows FROM o)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n, pre_rows
+        |FROM o CROSS JOIN pre WHERE seg NOT IN ('1', '2')
+        |GROUP BY seg, pre_rows ORDER BY seg""".stripMargin,
+    "q97_partition_census" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg
+        |  FROM orders),
+        |d AS (SELECT min(ok) AS dk FROM o WHERE seg = '2')
+        |SELECT 'seg=' || seg AS p,
+        |  CAST(count(*) AS BIGINT) AS rows_total,
+        |  CAST(count(*) FILTER (WHERE ok = (SELECT dk FROM d)) AS BIGINT)
+        |    AS dv_rows,
+        |  CAST(count(*) FILTER (WHERE ok <> (SELECT dk FROM d)) AS BIGINT)
+        |    AS live_rows
+        |FROM o GROUP BY seg ORDER BY p""".stripMargin,
     "q96_grouped_meta" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg

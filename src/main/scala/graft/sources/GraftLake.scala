@@ -122,6 +122,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       .orElse(companion(LakeMetaTables.FilesSuffix)(LakeMetaTables.filesTable))
       .orElse(companion(LakeMetaTables.HistorySuffix)(LakeMetaTables.historyTable))
       .orElse(companion(LakeMetaTables.RefsSuffix)(LakeMetaTables.refsTable))
+      .orElse(companion(LakeMetaTables.PartitionsSuffix)(LakeMetaTables.partitionsTable))
       .foreach(t => return t)
     val dir = tableDir(ident)
     // write-audit-publish: a pinned `main` ref freezes the DEFAULT
@@ -1096,7 +1097,8 @@ object LakeTable {
 
 class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
   extends Table with SupportsRead with SupportsWrite
-  with SupportsRowLevelOperations with SupportsDeleteV2 with SupportsMetadataColumns {
+  with SupportsRowLevelOperations with SupportsDeleteV2 with SupportsMetadataColumns
+  with SupportsPartitionManagement {
 
   override def name(): String =
     s"graftlake.${dir.getFileName}" + pinnedVersion.map(v => s"@v$v").getOrElse("")
@@ -1131,6 +1133,98 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     require(pinnedVersion.isEmpty, "cannot write to a time-travel snapshot")
     new LakeWriteBuilder(dir, snapshot.schema, info, snapshot.props)
   }
+
+  // ---- partition management (SHOW PARTITIONS / DROP PARTITION) ---------
+
+  /** Identity partition source columns of the current spec. Partition
+    * VALUES only exist for identity transforms — bucket ordinals are
+    * not user-addressable partitions.
+    */
+  private def identitySpec: Seq[String] = {
+    val fields = LakePartitioning.decode(snapshot.props)
+    if (fields.isEmpty)
+      throw new UnsupportedOperationException(
+        s"graftlake: ${dir.getFileName} is not partitioned")
+    fields.map {
+      case LakePartitioning.Identity(c) => c
+      case other => throw new UnsupportedOperationException(
+        s"graftlake: partition management needs identity transforms, got $other")
+    }
+  }
+
+  override def partitionSchema(): StructType =
+    StructType(identitySpec.map(c => snapshot.schema(snapshot.schema.fieldIndex(c))))
+
+  /** The DISTINCT current-spec tuples of the head snapshot, optionally
+    * filtered by a partial identifier — partitions are data-derived,
+    * so listing is a log fold, zero file opens.
+    */
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val cols = identitySpec
+    val fields = LakePartitioning.decode(snapshot.props)
+    val curId = LakePartitioning.currentSpecId(snapshot.props)
+    val schema0 = partitionSchema()
+    val idx = names.map(cols.indexOf)
+    require(idx.forall(_ >= 0),
+      s"unknown partition columns ${names.mkString(",")}")
+    snapshot.files.filter(f => f.specId == curId && f.part.nonEmpty)
+      .map(_.part).distinct.sortBy(_.toString)
+      .map(t => new GenericInternalRow(
+        LakePartitioning.keyValues(fields, t, snapshot.schema)): InternalRow)
+      .filter { r =>
+        idx.zipWithIndex.forall { case (ci, vi) =>
+          val dt = schema0(ci).dataType
+          val a = if (r.isNullAt(ci)) null else r.get(ci, dt)
+          val b = if (ident.isNullAt(vi)) null else ident.get(vi, dt)
+          a == b
+        }
+      }.toArray
+  }
+
+  override def createPartition(ident: InternalRow,
+      props: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graftlake partitions are data-derived; write rows to create one")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      props: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graftlake partitions carry no metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
+  /** `ALTER TABLE … DROP PARTITION` / `TRUNCATE TABLE … PARTITION`: a
+    * metadata-only commit removing every current-spec file of the
+    * tuple — instant at any table size, zero rows read; the data files
+    * become unreferenced and `system.vacuum` reclaims them. Files from
+    * an older partition spec make tuple identity ambiguous — refuse,
+    * exactly like dynamic partition overwrite.
+    */
+  override def dropPartition(ident: InternalRow): Boolean = {
+    require(pinnedVersion.isEmpty, "cannot mutate a time-travel snapshot")
+    val schema0 = partitionSchema()
+    val key: Seq[Option[String]] = (0 until schema0.length).map { i =>
+      if (ident.isNullAt(i)) None
+      else Some(String.valueOf(ident.get(i, schema0(i).dataType)))
+    }
+    var dropped = false
+    var done = false
+    while (!done) {
+      val cur = LakeLog.currentSnapshot(dir).get
+      val curId = LakePartitioning.currentSpecId(cur.props)
+      require(cur.files.forall(_.specId == curId),
+        "graftlake: drop partition with files from an older partition " +
+          "spec is ambiguous — run CALL system.compact first")
+      val (hit, keep) = cur.files.partition(_.part == key)
+      dropped = hit.nonEmpty
+      done = hit.isEmpty || LakeLog.commit(dir, cur.version, cur.next(keep))
+    }
+    dropped
+  }
+
+  override def truncatePartition(ident: InternalRow): Boolean = dropPartition(ident)
 
   // ---- metadata-only DELETE --------------------------------------------
 

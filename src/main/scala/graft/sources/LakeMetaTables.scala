@@ -36,6 +36,7 @@ object LakeMetaTables {
   val FilesSuffix = "__files"
   val HistorySuffix = "__history"
   val RefsSuffix = "__refs"
+  val PartitionsSuffix = "__partitions"
 
   /** Log bytes under which `__files` stays a driver-local scan. */
   val LocalMaxBytesDefault: Long = 8L * 1024 * 1024
@@ -82,6 +83,43 @@ object LakeMetaTables {
         override def description(): String = name0
       }: Scan
   }
+
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("dv_rows", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  /** `<table>__partitions` — one row per partition TUPLE of the head
+    * snapshot, labeled under each file's own spec era (tuples only
+    * compare within one spec): the SHOW-PARTITIONS census an operator
+    * reads before pointing anything at data, and the compaction
+    * planner's per-partition size input. O(partitions) output rows
+    * from the log alone; an unpartitioned table reports a single
+    * null-partition row.
+    */
+  def partitionsTable(dir: Path, baseName: String): Table =
+    scanOnly(PartitionsSchema, {
+      val snap = LakeLog.currentSnapshot(dir).getOrElse(
+        throw new IllegalStateException(
+          s"graftlake: $baseName has no committed version"))
+      snap.files.groupBy(f => (f.specId, f.part))
+        .toSeq.sortBy(_._1.toString)
+        .map { case ((specId, tuple), fs) =>
+          val fields = LakePartitioning.specOf(snap.props, specId)
+          val label =
+            if (tuple.isEmpty) null
+            else UTF8String.fromString(fields.map(_.col).zip(tuple)
+              .map { case (c, v) => s"$c=${v.getOrElse("null")}" }.mkString("/"))
+          new GenericInternalRow(Array[Any](
+            label, specId, fs.size,
+            fs.map(_.rows).sum, fs.map(_.dvRows).sum, fs.map(_.liveRows).sum,
+            fs.map(_.bytes).sum)): InternalRow
+        }
+    }, s"graftlake.$baseName:partitions")
 
   /** One row per LIVE data file of the head snapshot: path, row
     * counts, delete-vector size, partition tuple, streaming origin.

@@ -558,6 +558,68 @@ class GraftLakeSpec extends AnyFunSuite {
       .contains("BatchScan"))
   }
 
+  test("__partitions census: per-tuple rows/dv/live/bytes from the log") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_parts_census (k BIGINT, seg STRING)
+        |PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    spark.range(0, 200)
+      .select($"id".as("k"), concat(lit("s"), $"id" % 5).as("seg"))
+      .writeTo("lake.db.t_parts_census").append()
+    spark.sql("DELETE FROM lake.db.t_parts_census WHERE k = 7") // seg s2
+    val rows = spark.sql(
+      """SELECT `partition`, n_files, `rows`, dv_rows, live_rows, bytes
+        |FROM lake.db.t_parts_census__partitions ORDER BY `partition`""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ==
+      (0 until 5).map(i => (s"seg=s$i", 1, 40L, if (i == 2) 1L else 0L,
+        if (i == 2) 39L else 40L)))
+    assert(rows.forall(_.getLong(5) > 0L), "recorded file bytes ride the census")
+    // unpartitioned: one null-partition row with the table totals
+    spark.sql("CREATE TABLE lake.db.t_noparts (k BIGINT)")
+    spark.range(0, 30).select($"id".as("k")).coalesce(2)
+      .writeTo("lake.db.t_noparts").append()
+    val np = spark.sql(
+      "SELECT `partition`, n_files, live_rows FROM lake.db.t_noparts__partitions")
+      .collect()
+    assert(np.length == 1 && np(0).isNullAt(0) && np(0).getInt(1) == 2 &&
+      np(0).getLong(2) == 30L)
+  }
+
+  test("SHOW PARTITIONS / DROP PARTITION / TRUNCATE PARTITION: data-derived, metadata-only") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_pmgmt (k BIGINT, seg STRING)
+        |PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    spark.range(0, 200)
+      .select($"id".as("k"), concat(lit("s"), $"id" % 5).as("seg"))
+      .writeTo("lake.db.t_pmgmt").append()
+    assert(spark.sql("SHOW PARTITIONS lake.db.t_pmgmt")
+      .collect().map(_.getString(0)).toSeq == (0 until 5).map(i => s"seg=s$i"))
+    // DROP PARTITION: one metadata commit, zero rows read, other
+    // partitions' files keep their paths
+    val pathsBefore = LakeLog.currentSnapshot(tableDir("t_pmgmt")).get
+      .files.filterNot(_.part.contains(Some("s2"))).map(_.path).toSet
+    spark.sql("ALTER TABLE lake.db.t_pmgmt DROP PARTITION (seg = 's2')")
+    assert(spark.table("lake.db.t_pmgmt").count() == 160L)
+    assert(spark.sql("SHOW PARTITIONS lake.db.t_pmgmt").count() == 4L)
+    assert(LakeLog.currentSnapshot(tableDir("t_pmgmt")).get
+      .files.map(_.path).toSet == pathsBefore, "survivors keep their paths")
+    // a dv'd partition drops whole (dv'd entry included)
+    spark.sql("DELETE FROM lake.db.t_pmgmt WHERE k = 11") // seg s1
+    spark.sql("TRUNCATE TABLE lake.db.t_pmgmt PARTITION (seg = 's1')")
+    assert(spark.table("lake.db.t_pmgmt").count() == 120L)
+    assert(spark.sql("SHOW PARTITIONS lake.db.t_pmgmt").count() == 3L)
+    // partial SHOW with a value filter
+    assert(spark.sql("SHOW PARTITIONS lake.db.t_pmgmt PARTITION (seg = 's3')")
+      .collect().map(_.getString(0)).toSeq == Seq("seg=s3"))
+    // dropping a partition that does not exist raises
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lake.db.t_pmgmt DROP PARTITION (seg = 'zzz')")
+    }
+  }
+
   test("pushed LIMIT plans a file prefix covered by live row counts") {
     import spark.implicits._
     spark.sql(
