@@ -998,6 +998,46 @@ object IngestQueries {
       .orderBy($"seg")
   }
 
+  /** q99 — METADATA SUM as a correctness row: the write path records
+    * per-file integral column sums in the log (wrapping adds —
+    * bit-identical to Spark's non-ANSI scan-side sum), so ungrouped
+    * SUM answers from planning alone, composing with null columns,
+    * consumed partition filters, and the grouped path. A MOR DELETE
+    * then dvs one partition: its sum falls back to the scan (the
+    * deleted row's contribution is unknowable to metadata) while the
+    * oracle replays everything relationally.
+    */
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q99").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.ordersum"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, seg STRING, cents BIGINT) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        substring($"o_orderpriority", 1, 1).as("seg"),
+        when($"o_orderkey" % 7 =!= 0L,
+          graft.functions.gf.fixed($"o_totalprice", 100.0)).as("cents"))
+      .writeTo(t).append()
+    // all three shapes plan as metadata: global, consumed-filter, null column
+    val pre = broadcast(spark.sql(
+      s"""SELECT sum(ok) AS s_ok, sum(cents) AS s_cents,
+         |  (SELECT sum(cents) FROM $t WHERE seg = '3') AS s3
+         |FROM $t""".stripMargin))
+    spark.sql(s"DELETE FROM $t WHERE ok = (SELECT min(ok) FROM $t WHERE seg = '3')")
+    // the dv'd partition falls back to the scan; untouched ones stay metadata
+    spark.sql(
+      s"""SELECT
+         |  (SELECT sum(cents) FROM $t WHERE seg = '3') AS s3_post,
+         |  (SELECT sum(cents) FROM $t WHERE seg = '5') AS s5_post""".stripMargin)
+      .crossJoin(pre)
+      .select($"s_ok", $"s_cents", $"s3", $"s3_post", $"s5_post")
+  }
+
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
     * two eras (a column added mid-history via `ALTER TABLE ADD
     * COLUMNS`), then a RENAME and a DROP — all pure metadata commits
@@ -1177,6 +1217,7 @@ object IngestQueries {
     "q96_grouped_meta" -> q96,
     "q97_partition_census" -> q97,
     "q98_partition_ddl" -> q98,
+    "q99_metadata_sum" -> q99,
     "q75_dsv2_stream" -> q75,
     "q78_spj_join" -> q78,
     "q80_agg_pushdown" -> q80,
@@ -1198,6 +1239,20 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q99_metadata_sum" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg,
+        |    CASE WHEN o_orderkey % 7 <> 0
+        |      THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END AS cents
+        |  FROM orders),
+        |d AS (SELECT min(ok) AS dk FROM o WHERE seg = '3')
+        |SELECT CAST(sum(ok) AS BIGINT) AS s_ok,
+        |  CAST(sum(cents) AS BIGINT) AS s_cents,
+        |  CAST((SELECT sum(cents) FROM o WHERE seg = '3') AS BIGINT) AS s3,
+        |  CAST((SELECT sum(cents) FROM o WHERE seg = '3'
+        |        AND ok <> (SELECT dk FROM d)) AS BIGINT) AS s3_post,
+        |  CAST((SELECT sum(cents) FROM o WHERE seg = '5') AS BIGINT) AS s5_post
+        |FROM o""".stripMargin,
     "q98_partition_ddl" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -549,7 +549,11 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     // delta inserts, curve rewrites, pre-field logs): what lets the
     // scan report a per-partition output ordering only for files that
     // provably carry it
-    sorted: Seq[String] = Seq.empty) {
+    sorted: Seq[String] = Seq.empty,
+    // per-integral-column SUMS accumulated by the writer (wrapping
+    // Long adds — bit-identical to Spark's non-ANSI sum), keyed by
+    // write-time physical name like `stats`/`nulls`
+    sums: Map[String, Long] = Map.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -714,6 +718,10 @@ object LakeLog {
       val so = fn.putArray("sorted")
       f.sorted.foreach(so.add)
     }
+    if (f.sums.nonEmpty) {
+      val su = fn.putObject("sums")
+      f.sums.foreach { case (c, v) => su.put(c, v) }
+    }
   }
 
   private def readEntries(root: JsonNode, field: String): Seq[LakeFile] =
@@ -743,7 +751,10 @@ object LakeLog {
         Option(fn.get("pspec")).map(_.asInt).getOrElse(0),
         Option(fn.get("bytes")).map(_.asLong).getOrElse(0L),
         Option(fn.get("sorted")).map(_.elements().asScala
-          .map(_.asText()).toSeq).getOrElse(Seq.empty[String]))
+          .map(_.asText()).toSeq).getOrElse(Seq.empty[String]),
+        Option(fn.get("sums")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong).toMap)
+          .getOrElse(Map.empty[String, Long]))
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -1328,7 +1339,7 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
                 specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
-                sorted = snapshot.props.get("sortBy").toSeq)).toSeq
+                sorted = snapshot.props.get("sortBy").toSeq, sums = i.sums)).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -1768,6 +1779,31 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
           fields += StructField(s"max(${fd.name})", fd.dataType, nullable = true)
           values += v.map(x =>
             if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull
+        case su: Sum if !su.isDistinct =>
+          // the writer's recorded per-file sums (wrapping adds — the
+          // same arithmetic a non-ANSI scan-side sum performs). A dv'd
+          // file refuses (deleted rows' contribution is unknowable);
+          // era-missing columns contribute nothing; pre-field log
+          // entries pass only when provably all-null. SQL SUM over
+          // zero non-null values is NULL, so non-null counts ride along.
+          val fd = fieldOf(su.column).getOrElse(return None)
+          if (fd.dataType != LongType && fd.dataType != IntegerType) return None
+          var total = 0L
+          var nonNull = 0L
+          fs.foreach { f =>
+            phys(f, fd.name).foreach { p =>
+              if (f.dvRows != 0L) return None
+              f.sums.get(p) match {
+                case Some(sv) =>
+                  total += sv
+                  nonNull += f.rows - f.nulls.getOrElse(p, return None)
+                case None =>
+                  if (!f.nulls.get(p).contains(f.rows)) return None
+              }
+            }
+          }
+          fields += StructField(s"sum(${fd.name})", LongType, nullable = true)
+          values += (if (nonNull == 0L) null else Long.box(total))
         case _ => return None
       }
       collect.foreach(_(fields.result()))
@@ -2544,7 +2580,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             cols = LakeColIds.cols(tableSchema, props),
             part = i.part, colTypes = LakeColIds.types(tableSchema),
             specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
-            sorted = props.get("sortBy").toSeq)).toSeq
+            sorted = props.get("sortBy").toSeq, sums = i.sums)).toSeq
         // IDEMPOTENT writes: with txnAppId/txnVersion options, a commit
         // whose version the table has already recorded for that app is
         // a REPLAY (a foreachBatch retry, a restarted driver) — its
@@ -2633,7 +2669,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               cols = LakeColIds.cols(tableSchema, props),
               part = i.part, colTypes = LakeColIds.types(tableSchema),
               specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
-              sorted = props.get("sortBy").toSeq)).toSeq
+              sorted = props.get("sortBy").toSeq, sums = i.sums)).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -2663,7 +2699,8 @@ case class LakeStreamingWriterFactory(inner: LakeWriterFactory)
 case class LakeFileInfo(path: String, rows: Long,
     stats: Map[String, (Long, Long)], nulls: Map[String, Long],
     part: Seq[Option[String]] = Seq.empty,
-    bytes: Long = 0L)
+    bytes: Long = 0L,
+    sums: Map[String, Long] = Map.empty)
 
 case class LakeFileMessage(files: Seq[LakeFileInfo]) extends WriterCommitMessage
 
@@ -2708,12 +2745,19 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         if (partSpec.isEmpty) null
         else LakePartitioning.evaluator(partSpec, writeSchema)
       private val noTuple: Seq[Option[String]] = Seq.empty
+      // integral columns accumulate per-file SUMS into the log (a few
+      // wrapping adds per row — and wrapping Long.+ is bit-identical to
+      // Spark's non-ANSI sum, so the metadata answer IS the scan answer)
+      private val integralIdx: Array[Int] = storedSchema.fields.zipWithIndex
+        .filter(fi => fi._1.dataType == LongType || fi._1.dataType == IntegerType)
+        .map(_._2)
 
       private final class OpenFile(val tuple: Seq[Option[String]]) {
         val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
         val out = LakeParquet.createWriter(Paths.get(tableDir).resolve(rel),
           storedSchema, bloomBy)
         var rows = 0L
+        val sums = new Array[Long](cols.length)
       }
       private val open = scala.collection.mutable.LinkedHashMap[Seq[Option[String]], OpenFile]()
 
@@ -2727,6 +2771,15 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
             else row.get(cols(c), storedSchema(c).dataType))
           c += 1
         }
+        var s = 0
+        while (s < integralIdx.length) {
+          val ci = integralIdx(s)
+          if (!proj.isNullAt(ci)) {
+            if (storedSchema(ci).dataType == LongType) f.sums(ci) += proj.getLong(ci)
+            else f.sums(ci) += proj.getInt(ci).toLong
+          }
+          s += 1
+        }
         f.out.write(proj)
         f.rows += 1L
       }
@@ -2739,7 +2792,8 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
           require(st.rows == f.rows,
             s"parquet footer row count ${st.rows} != rows written ${f.rows} in ${f.rel}")
           LakeFileInfo(f.rel, f.rows, st.stats, st.nulls, f.tuple,
-            bytes = Files.size(abs))
+            bytes = Files.size(abs),
+            sums = integralIdx.map(ci => storedSchema(ci).name -> f.sums(ci)).toMap)
         }.toSeq
         open.clear()
         LakeFileMessage(infos)
@@ -2882,7 +2936,7 @@ object LakeProcedures {
         cols = LakeColIds.cols(snap.schema, snap.props), part = i.part,
         colTypes = LakeColIds.types(snap.schema),
         specId = LakePartitioning.currentSpecId(snap.props), bytes = i.bytes,
-        sorted = sortedBy))
+        sorted = sortedBy, sums = i.sums))
     // a PARTIAL rewrite (compact_size) swaps only its candidates;
     // conforming files keep their paths, stats, and layout
     val replaced = replacedFiles.getOrElse(snap.files.map(_.path).toSet)
@@ -3550,7 +3604,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
                 cols = LakeColIds.cols(stagedSchema, propsWithIds),
                 part = i.part, colTypes = LakeColIds.types(stagedSchema),
                 specId = LakePartitioning.currentSpecId(propsWithIds), bytes = i.bytes,
-                sorted = propsWithIds.get("sortBy").toSeq)).toSeq
+                sorted = propsWithIds.get("sortBy").toSeq, sums = i.sums)).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -3704,7 +3758,8 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
               .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
-                specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes)).toSeq
+                specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
+                sums = i.sums)).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false

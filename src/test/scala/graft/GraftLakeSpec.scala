@@ -376,6 +376,12 @@ class GraftLakeSpec extends AnyFunSuite {
     val r2 = spark.sql(q2).head()
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((10L, 1100L, 1109L)))
     assert(planOf(q2).contains("LocalTableScan"), s"era null-fill is stats-decidable:\n${planOf(q2)}")
+    // SUM from the writer-recorded per-file sums: null-skipping and
+    // era-missing columns compose; still zero tasks
+    val qs = "SELECT sum(id) AS si, sum(v) AS sv, sum(w) AS sw FROM lake.db.t_metaagg"
+    val rs = spark.sql(qs).head()
+    assert((rs.getLong(0), rs.getLong(1), rs.getLong(2)) == ((5995L, 12360L, 11045L)))
+    assert(planOf(qs).contains("LocalTableScan"), s"sum is metadata too:\n${planOf(qs)}")
     // a MOR delete puts a dv on file 1: MIN/MAX must FALL BACK (the
     // deleted row could be the extremum) while COUNT(*) stays metadata
     spark.sql("DELETE FROM lake.db.t_metaagg WHERE id = 0")
@@ -394,6 +400,11 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(spark.sql(qcv).head().getLong(0) == 84L)
     assert(planOf(qcv).contains("LocalTableScan"),
       s"mixed dv/null files stay decidable per file:\n${planOf(qcv)}")
+    // a dv'd file's deleted contribution is unknowable to a sum
+    val qsd = "SELECT sum(id) AS si FROM lake.db.t_metaagg"
+    assert(spark.sql(qsd).head().getLong(0) == 5995L) // deleted id was 0
+    assert(planOf(qsd).contains("BatchScan"),
+      s"a dv'd file forbids the metadata sum:\n${planOf(qsd)}")
     // grouped / filtered aggregates always read data
     assert(planOf("SELECT s, count(*) FROM lake.db.t_metaagg GROUP BY s")
       .contains("BatchScan"))

@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q92_wap_refs", // three 1-row pinned/audit/tag count(*) frames crossed onto the segment aggregate
     "q93_metadata_agg", // 1-row pre-delete metadata-aggregate frame crossed onto the 1-row post frame
     "q94_filtered_meta", // 1-row partition-filtered metadata frames crossed (scalar subqueries)
-    "q98_partition_ddl" // 1-row pre-drop metadata count crossed onto the grouped census
+    "q98_partition_ddl", // 1-row pre-drop metadata count crossed onto the grouped census
+    "q99_metadata_sum" // 1-row pre-delete metadata-sum frame crossed onto the 1-row post frame
   )
 
   test("no query plans a cartesian product; nested-loop only for 1-row scalars") {
