@@ -179,7 +179,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     }
     val keep = properties.asScala.view
       .filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode")).toMap
-    Seq("clusterBy", "sortBy", "bloomBy").flatMap(keep.get).foreach(c =>
+    (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
+      LakeTable.bloomCols(keep)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"graftlake clusterBy/sortBy/bloomBy must name a table column, got '$c'"))
     keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
@@ -251,7 +252,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
     val keep = properties.asScala.view.filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode")).toMap
-    Seq("clusterBy", "sortBy", "bloomBy").flatMap(keep.get).foreach(c =>
+    (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
+      LakeTable.bloomCols(keep)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"graftlake clusterBy/sortBy/bloomBy must name a table column, got '$c'"))
     keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
@@ -315,8 +317,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
               case other => other
             })
           props = props.map {
-            case (k, v) if (k == "clusterBy" || k == "sortBy" || k == "bloomBy") && v == from =>
+            case (k, v) if (k == "clusterBy" || k == "sortBy") && v == from =>
               k -> ren.newName
+            case ("bloomBy", v) =>
+              "bloomBy" -> v.split(',').map(_.trim)
+                .map(c => if (c == from) ren.newName else c).mkString(",")
             case (LakePartitioning.PropKey, spec) =>
               LakePartitioning.PropKey -> renameSpec(spec)
             case (LakePartitioning.SpecsKey, specs) =>
@@ -335,8 +340,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             !props.get("sortBy").contains(name),
             s"graftlake: cannot drop layout column $name")
           // a bloom index on a dropped column is just dead bytes in the
-          // files — drop the property with the column
-          if (props.get("bloomBy").contains(name)) props -= "bloomBy"
+          // files — drop the column from the property
+          props.get("bloomBy").foreach { v =>
+            val left = v.split(',').map(_.trim).filter(c => c.nonEmpty && c != name)
+            if (left.isEmpty) props -= "bloomBy"
+            else props += ("bloomBy" -> left.mkString(","))
+          }
           require(!LakePartitioning.decode(props).exists(_.col == name),
             s"graftlake: cannot drop partition column $name")
           require(schema.length > 1, "graftlake: cannot drop the last column")
@@ -1104,6 +1113,11 @@ object LakeTable {
     */
   val ReservedProps: Set[String] =
     Set("colids", "maxcolid", LakePartitioning.PropKey, LakePartitioning.SpecsKey)
+
+  /** `bloomBy` accepts a comma-separated column list. */
+  def bloomCols(props: Map[String, String]): Seq[String] =
+    props.get("bloomBy").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 }
 
 class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
@@ -1331,7 +1345,7 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
             LakeWriterFactory(dir.toString, info.schema(), snapshot.schema.fieldNames,
               LakePartitioning.decode(snapshot.props),
-              bloomBy = snapshot.props.get("bloomBy").toSeq)
+              bloomBy = LakeTable.bloomCols(snapshot.props))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val written = messages.map(_.asInstanceOf[LakeFileMessage])
               .flatMap(_.files)
@@ -1895,8 +1909,8 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     */
   private def bloomPrune(live: Seq[LakeFile],
       cols: Seq[(String, Long)]): Seq[LakeFile] = {
-    val bcol = snapshot.props.get("bloomBy")
-    if (bcol.isEmpty || live.isEmpty || skips.isEmpty || live.size > 1024)
+    val bcols = LakeTable.bloomCols(snapshot.props).toSet
+    if (bcols.isEmpty || live.isEmpty || skips.isEmpty || live.size > 1024)
       return live
     def colOf(e: VExpression): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
@@ -1906,26 +1920,27 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       case l: org.apache.spark.sql.connector.expressions.Literal[_] => Option(l.value())
       case _ => None
     }
-    // one probe set per predicate: a file survives only if, for EVERY
-    // probed predicate, some value might be present (AND semantics)
-    val probes: Seq[Seq[Any]] = skips.toSeq.flatMap { p =>
+    // one (column, probe set) per predicate: a file survives only if,
+    // for EVERY probed predicate, some value might be present in that
+    // predicate's column (AND semantics)
+    val probes: Seq[(String, Seq[Any])] = skips.toSeq.flatMap { p =>
       val kids = p.children()
       p.name() match {
         case "=" if kids.length == 2 =>
-          for { c <- colOf(kids(0)) if bcol.contains(c); v <- litOf(kids(1)) }
-            yield Seq(v)
+          for { c <- colOf(kids(0)) if bcols(c); v <- litOf(kids(1)) }
+            yield c -> Seq(v)
         case "IN" if kids.nonEmpty =>
-          colOf(kids.head).filter(bcol.contains).flatMap { _ =>
+          colOf(kids.head).filter(bcols).flatMap { c =>
             val vs = kids.tail.toSeq.map(litOf)
-            if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+            if (vs.forall(_.isDefined)) Some(c -> vs.flatten) else None
           }
         case _ => None
       }
     }
     if (probes.isEmpty) live
     else live.filter { f =>
-      LakeColIds.physicalName(cols, f, bcol.get).forall { pc =>
-        probes.forall(vs =>
+      probes.forall { case (c, vs) =>
+        LakeColIds.physicalName(cols, f, c).forall(pc =>
           LakeParquet.bloomMightContain(dir.resolve(f.path), pc, vs))
       }
     }
@@ -2572,7 +2587,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
       override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
         LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
           LakePartitioning.decode(props),
-          bloomBy = props.get("bloomBy").toSeq)
+          bloomBy = LakeTable.bloomCols(props))
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
           .flatMap(_.files)
@@ -2655,7 +2670,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
         private val factory =
           LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
             LakePartitioning.decode(props),
-            bloomBy = props.get("bloomBy").toSeq)
+            bloomBy = LakeTable.bloomCols(props))
         private val queryId = info.queryId()
         override def createStreamingWriterFactory(
             pi: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -2927,7 +2942,7 @@ object LakeProcedures {
       .mapPartitionsWithIndex { (pid, it) =>
         val w = LakeWriterFactory(dirStr, writeSchema, cols,
           LakePartitioning.decode(snap.props),
-          bloomBy = snap.props.get("bloomBy").toSeq).createWriter(pid, 0L)
+          bloomBy = LakeTable.bloomCols(snap.props)).createWriter(pid, 0L)
         it.foreach(w.write)
         Iterator(w.commit())
       }.collect().toSeq
@@ -3594,7 +3609,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
             LakeWriterFactory(dir.toString, info.schema(), stagedSchema.fieldNames,
               LakePartitioning.decode(propsWithIds),
-              bloomBy = propsWithIds.get("bloomBy").toSeq)
+              bloomBy = LakeTable.bloomCols(propsWithIds))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             // staged: record only — the LOG moves in commitStagedChanges
             stagedMessages = messages
@@ -3751,7 +3766,7 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DeltaWriterFactory =
             LakeDeltaWriterFactory(dir.toString, info.schema(),
               snapshot.schema.fieldNames, LakePartitioning.decode(snapshot.props),
-              bloomBy = snapshot.props.get("bloomBy").toSeq)
+              bloomBy = LakeTable.bloomCols(snapshot.props))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ms = messages.map(_.asInstanceOf[LakeDeltaMessage])
             val inserts = ms.flatMap(_.inserts).flatMap(_.files)

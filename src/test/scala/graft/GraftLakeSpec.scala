@@ -730,6 +730,31 @@ class GraftLakeSpec extends AnyFunSuite {
       .contains("files=0/3"))
   }
 
+  test("bloomBy accepts a column LIST: each column probes its own blooms, conjunctions intersect") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_bloom2 (a BIGINT, b STRING, v BIGINT)
+        |TBLPROPERTIES ('bloomBy' = 'a, b')""".stripMargin)
+    // a ≡ i mod 3 per file; b cycles over 3 labels SHIFTED per file so
+    // (a-residue, b-label) pairs separate files a alone cannot
+    for (i <- 0 until 3)
+      spark.range(0, 100)
+        .select(($"id" * 3L + i).as("a"),
+          concat(lit("w"), ($"id" + i) % 3).as("b"), $"id".as("v"))
+        .coalesce(1).writeTo("lake.db.t_bloom2").append()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // each column prunes alone
+    assert(planOf("SELECT * FROM lake.db.t_bloom2 WHERE a = 7").contains("files=1/3"))
+    assert(spark.sql("SELECT v FROM lake.db.t_bloom2 WHERE a = 7").head().getLong(0) == 2L)
+    // b's values appear in every file — b alone keeps all, but the
+    // conjunction with a still narrows through a's bloom
+    assert(planOf("SELECT * FROM lake.db.t_bloom2 WHERE b = 'w0'").contains("files=3/3"))
+    val qc = "SELECT count(*) AS n FROM lake.db.t_bloom2 WHERE a = 7 AND b = 'w0'"
+    assert(spark.sql(qc).head().getLong(0) == 1L) // a=7 → id=2,i=1 → b=w0
+    assert(planOf(qc).contains("files=1/3"), s"conjunction intersects:\n${planOf(qc)}")
+  }
+
   test("CBO column statistics: min/max/nullCount from footer stats reach the optimizer") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_colstats (id BIGINT, v BIGINT, s STRING)")
