@@ -2909,7 +2909,8 @@ object LakeProcedures {
 
   val Names: Array[String] =
     Array("compact", "compact_size", "zorder", "vacuum", "history",
-      "evolve_partitioning", "tag", "branch", "publish", "drop_ref")
+      "evolve_partitioning", "tag", "branch", "publish", "drop_ref",
+      "rollback")
 
   private def out(schema0: StructType, rows0: Seq[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
@@ -3414,6 +3415,71 @@ object LakeProcedures {
             out(StructType(Seq(
               StructField("dropped", BooleanType, nullable = false))),
               Seq(new GenericInternalRow(Array[Any](dropped))))
+          }
+        }
+      }
+
+      /** RESTORE — the bad-write undo button. A rollback is ONE
+        * metadata commit whose successor snapshot is the target
+        * version's state (file list + schema + table props): zero
+        * rows read or written, instant at any table size, and the
+        * reverted-away versions stay time-travelable (nothing is
+        * deleted — vacuum reclaims them later under its own
+        * retention rules, and reconstructibility of the target
+        * implies its files are still referenced, so a restored
+        * snapshot never dangles). Two properties do NOT restore:
+        * the field-id counter (`maxcolid`) and the partition-spec
+        * history — both are append-only along the version chain, and
+        * winding them back would let post-rollback DDL recycle a
+        * column id / spec era still referenced by files alive in
+        * history. The change feed sees the rollback as a normal
+        * commit: remove-only over an append-only history (clean
+        * delete semantics), remove+add when it reverts row-level
+        * mutations (the documented rewrite contract applies).
+        */
+      case "rollback" => new UnboundProcedure {
+        override def name(): String = "rollback"
+        override def description(): String =
+          "rollback(table STRING, version BIGINT): commit a new version restoring the table to `version`"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "rollback"
+          override def description(): String = "graftlake restore"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("version", LongType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val v = input.getLong(1)
+            val target = LakeLog.snapshotAt(dir, v).getOrElse(
+              throw new IllegalArgumentException(
+                s"version $v is not reconstructible (pruned or future)"))
+            var committed: Long = -1L
+            while (committed < 0L) {
+              val cur = LakeLog.currentSnapshot(dir).get
+              require(v <= cur.version,
+                s"cannot roll back to v$v: head is v${cur.version}")
+              val props = {
+                val maxid = (target.props.get("maxcolid") ++
+                  cur.props.get("maxcolid")).map(_.toInt).maxOption
+                // cur's spec history ⊇ target's: append-only chain
+                val specs = cur.props.get(LakePartitioning.SpecsKey)
+                  .orElse(target.props.get(LakePartitioning.SpecsKey))
+                target.props ++ maxid.map("maxcolid" -> _.toString) ++
+                  specs.map(LakePartitioning.SpecsKey -> _)
+              }
+              val restored =
+                LakeSnapshot(cur.version + 1, target.schema, target.files, props)
+              if (LakeLog.commit(dir, cur.version, restored))
+                committed = restored.version
+            }
+            out(StructType(Seq(
+              StructField("restored_version", LongType, nullable = false),
+              StructField("new_version", LongType, nullable = false),
+              StructField("files", IntegerType, nullable = false),
+              StructField("live_rows", LongType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](
+                v, committed, target.files.size, target.files.map(_.liveRows).sum))))
           }
         }
       }

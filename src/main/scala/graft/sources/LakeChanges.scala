@@ -128,12 +128,21 @@ object LakeChanges {
     }
     val dvDeletes = cur.files.flatMap { f =>
       prevByPath.get(f.path) match {
-        case Some(pf) if pf.dv != f.dv =>
+        case Some(pf) if pf.dv != f.dv && f.dvRows >= pf.dvRows =>
           // the task reads both sidecars and sorted-merge-diffs them;
-          // dv growth is monotone outside rewrite commits, so a
-          // changed reference always carries new positions
+          // dv growth is monotone outside rewrite/rollback commits,
+          // so a grown reference always carries new positions
           Some(LakeChangePartition(dir.toString, f.path, f.rows,
             rename(f), "delete", v, dv = f.dv, prevDv = pf.dv,
+            emitDiff = true, fileTypes = fileTypes(f)))
+        case Some(pf) if pf.dv != f.dv =>
+          // dv SHRINK: a rollback restored an ancestor's (strictly
+          // smaller) vector — rows came back to life. Same diff
+          // kernel with the sidecar roles SWAPPED: positions in the
+          // old vector absent from the new one are the resurrected
+          // rows, emitted as inserts
+          Some(LakeChangePartition(dir.toString, f.path, f.rows,
+            rename(f), "insert", v, dv = pf.dv, prevDv = f.dv,
             emitDiff = true, fileTypes = fileTypes(f)))
         case _ => None
       }
@@ -255,7 +264,9 @@ object LakeVersionOffset {
   * version's change set. Carries only the dv sidecar PATHS — O(1)
   * payload regardless of delete size; the reader loads them task-side.
   * `emitDiff = true` emits exactly the positions of `dv` absent from
-  * `prevDv` (dv-growth deletes); otherwise every position except those
+  * `prevDv` (dv-growth deletes — or, with the roles swapped by the
+  * planner, rollback-resurrected inserts); otherwise every position
+  * except those
   * in `dv` (inserts, and whole-file deletes minus the pre-existing
   * vector).
   */

@@ -2202,6 +2202,73 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unanchored"))
   }
 
+  test("rollback: one metadata commit restores an old version; reverted history stays time-travelable") {
+    val t = seeded("t_restore")
+    val v4Files = filePaths(t)
+    spark.sql(s"DELETE FROM lake.db.$t WHERE s = 'f1'") // v5: metadata drop
+    assert(spark.table(s"lake.db.$t").count() == 75L)
+    val res = spark.sql(s"CALL lake.system.rollback('db.$t', 4)").collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq == Seq((4L, 6L, 4, 100L)))
+    assert(spark.table(s"lake.db.$t").count() == 100L)
+    assert(filePaths(t) == v4Files, "restore re-references, never rewrites")
+    // the bad state is still history, not erased
+    assert(spark.sql(s"SELECT count(*) FROM lake.db.$t VERSION AS OF 5")
+      .head().getLong(0) == 75L)
+    // life goes on: the next append lands on the restored state
+    import spark.implicits._
+    spark.range(100L, 110L).select($"id", lit(0L).as("v"), lit("f4").as("s"))
+      .coalesce(1).writeTo(s"lake.db.$t").append()
+    assert(spark.table(s"lake.db.$t").count() == 110L)
+    intercept[Exception](
+      spark.sql(s"CALL lake.system.rollback('db.$t', 99)").collect())
+  }
+
+  test("rollback reverts schema evolution without recycling field ids") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_restore_ddl (id BIGINT, v BIGINT)")
+    spark.range(0, 10).select($"id", ($"id" * 2L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_restore_ddl").append() // v1
+    spark.sql("ALTER TABLE lake.db.t_restore_ddl ADD COLUMN c BIGINT") // v2
+    spark.range(10, 20).select($"id", lit(0L).as("v"), ($"id" + 100L).as("c"))
+      .coalesce(1).writeTo("lake.db.t_restore_ddl").append() // v3
+    spark.sql("CALL lake.system.rollback('db.t_restore_ddl', 1)").collect() // v4
+    assert(spark.table("lake.db.t_restore_ddl").schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // re-adding the SAME NAME binds a FRESH field id: the dropped
+    // era's c values must not bleed into the reborn column...
+    spark.sql("ALTER TABLE lake.db.t_restore_ddl ADD COLUMN c BIGINT") // v5
+    assert(spark.table("lake.db.t_restore_ddl")
+      .filter(col("c").isNotNull).count() == 0L)
+    // ...while time travel into that era still reads them, under the
+    // era's own schema
+    assert(spark.sql(
+      "SELECT sum(c) FROM lake.db.t_restore_ddl VERSION AS OF 3")
+      .head().getLong(0) == (10L until 20L).map(_ + 100L).sum)
+  }
+
+  test("change feed across a rollback: dropped files emit deletes, dv shrinks emit resurrect-inserts") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_restore_feed (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor')")
+    spark.range(0, 25).select($"id", ($"id" * 10L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_restore_feed").append() // v1: file A
+    spark.range(25, 50).select($"id", ($"id" * 10L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_restore_feed").append() // v2: file B
+    spark.sql("DELETE FROM lake.db.t_restore_feed WHERE id IN (3, 7)") // v3: dv on A
+    spark.sql("CALL lake.system.rollback('db.t_restore_feed', 1)").collect()
+    // v4 = rollback: B dropped (25 deletes), A's dv shrinks 2 -> 0
+    // (ids 3 and 7 come back to life as inserts)
+    assert(spark.table("lake.db.t_restore_feed").count() == 25L)
+    val v4 = spark.read.table("lake.db.t_restore_feed__changes")
+      .filter(col("_commit_version") === 4L)
+      .select($"id", col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val expected = ((25L until 50L).map(_ -> "delete") ++
+      Seq(3L -> "insert", 7L -> "insert")).sorted
+    assert(v4 == expected, s"rollback change set:\n$v4")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
