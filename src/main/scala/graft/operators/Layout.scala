@@ -47,9 +47,19 @@ object Layout {
     * boundaries — reproducible at any parallelism, unlike
     * `repartitionByRange`'s sampler).
     */
-  def quantize16(x: Column, lo: Column, hi: Column): Column =
+  def quantize16(x: Column, lo: Column, hi: Column): Column = {
+    // exact DECIMAL(38,0) arithmetic, not LONG: (x−lo)·65535 overflows
+    // Long once the column span exceeds ~1.4e14 (nano/micro-timestamp
+    // keys), and a wrapped product breaks Morton MONOTONICITY — curve
+    // pruning would then skip files that contain matching rows. The
+    // widest case (1.8e19 span × 65535 ≈ 1.2e24) fits 25 digits;
+    // IntegralDivide on decimals still returns BIGINT, and values are
+    // bit-identical to the long path wherever the long path was exact.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     when(hi === lo, lit(0L))
-      .otherwise(call_function("div", (x - lo) * lit(65535L), hi - lo))
+      .otherwise(call_function("div",
+        (x.cast(dec) - lo.cast(dec)) * lit(65535L), hi.cast(dec) - lo.cast(dec)))
+  }
 
   /** Locality audit: bucket rows by the TOP `bucketBits` bits of their
     * z-value (fixed z-space splits — the deterministic analog of the
@@ -140,9 +150,15 @@ object Layout {
     spread(x) | (spread(y) << 1)
   }
 
-  /** Scalar twin of [[quantize16]] (same exact-integer affine map). */
+  /** Scalar twin of [[quantize16]] (same exact-integer affine map).
+    * BigInt, matching the row side's DECIMAL(38,0): both survive
+    * column spans past Long.MaxValue/65535 without wrapping, so the
+    * planner's per-file z-intervals always bound the rows' z-values.
+    * Planner-side only (file-stat corners), so cost is irrelevant.
+    */
   def quantize16Long(v: Long, lo: Long, hi: Long): Long =
-    if (hi == lo) 0L else (v - lo) * 65535L / (hi - lo)
+    if (hi == lo) 0L
+    else ((BigInt(v) - BigInt(lo)) * 65535 / (BigInt(hi) - BigInt(lo))).toLong
 
   def hilbertD2(xIn: Long, yIn: Long): Long = {
     var x = xIn & 0xFFFFL

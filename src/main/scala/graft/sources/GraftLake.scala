@@ -130,8 +130,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     // commits landing after it. Writes are NOT pinned (third arg None)
     // — appends commit against the true head, i.e. onto the branch.
     val snap = LakeLog.readRef(dir, "main") match {
-      case Some((v, _)) => LakeLog.snapshotAt(dir, v)
-      case None => LakeLog.currentSnapshot(dir)
+      // only branch()'s own pin (kind "main") freezes the default
+      // view — a ref merely NAMED main of another kind must not
+      case Some((v, "main")) => LakeLog.snapshotAt(dir, v)
+      case _ => LakeLog.currentSnapshot(dir)
     }
     snap.map(new LakeTable(dir, _, None)).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
@@ -178,7 +180,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
     val keep = properties.asScala.view
-      .filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode")).toMap
+      .filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode", "checkpoint_part_bytes")).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
       LakeTable.bloomCols(keep)).foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -251,7 +253,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
-    val keep = properties.asScala.view.filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode")).toMap
+    val keep = properties.asScala.view.filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode", "checkpoint_part_bytes")).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
       LakeTable.bloomCols(keep)).foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -652,13 +654,24 @@ case class LakeSnapshot(version: Long, schema: StructType, files: Seq[LakeFile],
   * paths) — so commit payload is O(changed files), not O(table files):
   * at millions of live files an append writes a few hundred bytes, not
   * a multi-megabyte snapshot. Every [[CheckpointInterval]]-th commit
-  * also lands a CHECKPOINT (`c%08d.json`, the full reconstructed
-  * snapshot), bounding any read to one checkpoint + at most
-  * `CheckpointInterval` deltas — the Delta/Iceberg log shape. The
+  * also lands a CHECKPOINT, bounding any read to one checkpoint + at
+  * most `CheckpointInterval` deltas — the Delta/Iceberg log shape. The
   * atomic create-if-absent publish (link(2)) is unchanged: exactly one
   * writer lands `v{N+1}`, losers re-read, revalidate, retry.
   * Checkpoints are pure read optimization (recomputable from deltas),
   * so their write is best-effort and idempotent.
+  *
+  * A checkpoint is MULTI-PART (manifest-style): byte-bounded part
+  * files `c%08d.p%04d.json` each carrying a slice of the file entries,
+  * plus an O(1) MANIFEST `c%08d.json` {version, schema, props, parts}
+  * published LAST (the atomic commit point — parts without a manifest
+  * are invisible). The part bound caps both a distributed-census
+  * task's parse work (one shard reads exactly one part) and driver
+  * snapshot-load latency (parts parse in parallel); at 10M files a
+  * census task touches one ~16 MB part, never the whole GB-scale
+  * checkpoint. Part split is deterministic from the snapshot, so a
+  * losing concurrent checkpointer republishes identical content and
+  * the create-if-absent publish stays idempotent.
   */
 object LakeLog {
   private val mapper = new ObjectMapper()
@@ -666,11 +679,19 @@ object LakeLog {
   /** One checkpoint per this many commits. */
   val CheckpointInterval = 10
 
+  /** Byte bound per checkpoint PART file (override per table with the
+    * `checkpoint_part_bytes` property — specs use a small bound to
+    * force multi-part splits at test scale).
+    */
+  val CheckpointPartBytesDefault: Long = 16L * 1024 * 1024
+
   private def logDir(dir: Path): Path = dir.resolve("_log")
   private def versionFile(dir: Path, v: Long): Path =
     logDir(dir).resolve(f"v$v%08d.json")
   private def checkpointFile(dir: Path, v: Long): Path =
     logDir(dir).resolve(f"c$v%08d.json")
+  private def checkpointPartFile(dir: Path, v: Long, part: Int): Path =
+    logDir(dir).resolve(f"c$v%08d.p$part%04d.json")
 
   private def listLog(dir: Path, prefix: String): Seq[Long] = {
     val ld = logDir(dir)
@@ -679,7 +700,10 @@ object LakeLog {
       stream.iterator().asScala
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith(prefix) && s.endsWith(".json") =>
-          s.stripPrefix(prefix).stripSuffix(".json").toLong }
+          s.stripPrefix(prefix).stripSuffix(".json") }
+        // checkpoint PART files (c%08d.p%04d.json) share the prefix but
+        // are not log versions — only all-digit names are
+        .collect { case s if s.nonEmpty && s.forall(_.isDigit) => s.toLong }
         .toSeq
     }
   }
@@ -691,8 +715,11 @@ object LakeLog {
 
   // ---- file-entry (de)serialization, shared by deltas + checkpoints ----
 
-  private def writeEntry(arr: ArrayNode, f: LakeFile): Unit = {
-    val fn = arr.addObject()
+  private def writeEntry(arr: ArrayNode, f: LakeFile): Unit =
+    arr.add(entryNode(f))
+
+  private def entryNode(f: LakeFile): ObjectNode = {
+    val fn = mapper.createObjectNode()
     fn.put("path", f.path)
     fn.put("rows", f.rows)
     f.epoch.foreach(fn.put("epoch", _))
@@ -731,6 +758,7 @@ object LakeLog {
       val su = fn.putObject("sums")
       f.sums.foreach { case (c, v) => su.put(c, v) }
     }
+    fn
   }
 
   private def readEntries(root: JsonNode, field: String): Seq[LakeFile] =
@@ -786,19 +814,68 @@ object LakeLog {
     }
   }
 
-  /** Checkpoint files parsed since process start — spec
+  /** O(files) checkpoint PAYLOAD parses since process start (one per
+    * part file; legacy inline checkpoints count once) — spec
     * instrumentation proving distributed-census PLANNING never parses
-    * the O(files) checkpoint on the driver.
+    * checkpoint payload on the driver, and that each census task
+    * parses exactly ONE part. Manifest reads are O(1) and uncounted.
     */
   private[graft] val checkpointReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Bytes of checkpoint payload parsed since process start — spec
+    * instrumentation bounding AGGREGATE census parse work at
+    * O(checkpoint bytes), not O(bytes × shards).
+    */
+  private[graft] val checkpointParseBytes = new java.util.concurrent.atomic.AtomicLong
 
   private def readCheckpoint(dir: Path, v: Long): Option[LakeSnapshot] = {
     val f = checkpointFile(dir, v)
     if (!Files.isRegularFile(f)) None
     else {
-      checkpointReads.incrementAndGet()
       val root = mapper.readTree(Files.readAllBytes(f))
-      Some(LakeSnapshot(v, readSchemaOf(root), readEntries(root, "files"), readProps(root)))
+      val files =
+        if (root.has("files")) { // legacy inline single-document form
+          checkpointReads.incrementAndGet()
+          checkpointParseBytes.addAndGet(Files.size(f))
+          readEntries(root, "files")
+        } else {
+          val n = root.get("parts").asInt
+          // parts parse in PARALLEL — snapshot-load latency is bounded
+          // by one part, not the whole checkpoint; .seq keeps order
+          import scala.collection.parallel.CollectionConverters._
+          (0 until n).par.map(p => checkpointPartEntries(dir, v, p)).seq
+            .flatten.toSeq
+        }
+      Some(LakeSnapshot(v, readSchemaOf(root), files, readProps(root)))
+    }
+  }
+
+  /** File entries of ONE checkpoint part — the distributed census's
+    * task-side unit: a shard parses exactly this, never the whole
+    * checkpoint. `part == -1` = a legacy inline checkpoint (whole
+    * document, one shard).
+    */
+  private[sources] def checkpointPartEntries(dir: Path, v: Long, part: Int): Seq[LakeFile] = {
+    if (part < 0) return checkpointFiles(dir, v)
+    val f = checkpointPartFile(dir, v, part)
+    if (!Files.isRegularFile(f)) Seq.empty
+    else {
+      checkpointReads.incrementAndGet()
+      checkpointParseBytes.addAndGet(Files.size(f))
+      readEntries(mapper.readTree(Files.readAllBytes(f)), "files")
+    }
+  }
+
+  /** Part count of checkpoint `v` from its O(1) manifest — the
+    * distributed census's shard plan. -1 = legacy inline (plan one
+    * whole-checkpoint shard); 0 = no checkpoint at `v`.
+    */
+  private[graft] def checkpointParts(dir: Path, v: Long): Int = {
+    val f = checkpointFile(dir, v)
+    if (!Files.isRegularFile(f)) 0
+    else {
+      val root = mapper.readTree(Files.readAllBytes(f))
+      if (root.has("files")) -1 else root.get("parts").asInt
     }
   }
 
@@ -829,10 +906,20 @@ object LakeLog {
   private[sources] def deltaProps(dir: Path, v: Long): Map[String, String] =
     deltaAt(dir, v).map(_._2).getOrElse(Map.empty)
 
-  /** On-disk size of one log chunk (threshold + sharding input). */
-  private[sources] def chunkBytes(dir: Path, kind: String, v: Long): Long = {
+  /** On-disk size of one log chunk (threshold + sharding input); a
+    * checkpoint's size includes its manifest AND all part files.
+    */
+  private[graft] def chunkBytes(dir: Path, kind: String, v: Long): Long = {
     val f = if (kind == "c") checkpointFile(dir, v) else versionFile(dir, v)
-    if (Files.isRegularFile(f)) Files.size(f) else 0L
+    if (!Files.isRegularFile(f)) return 0L
+    var total = Files.size(f)
+    if (kind == "c") {
+      var p = 0
+      while (Files.isRegularFile(checkpointPartFile(dir, v, p))) {
+        total += Files.size(checkpointPartFile(dir, v, p)); p += 1
+      }
+    }
+    total
   }
 
   /** Reconstruct version `v`: nearest checkpoint at or below, then the
@@ -897,16 +984,43 @@ object LakeLog {
 
   /** Land a full-snapshot checkpoint for `snapshot` (idempotent;
     * vacuum also calls this at its retention floor so pruned history
-    * below stays unneeded).
+    * below stays unneeded). Entries split into byte-bounded PART files
+    * published first; the O(1) manifest lands LAST as the atomic
+    * commit point — readers never observe a partial checkpoint.
     */
   def checkpoint(dir: Path, snapshot: LakeSnapshot): Unit = {
+    val bound = math.max(1L,
+      snapshot.props.get("checkpoint_part_bytes").map(_.toLong)
+        .getOrElse(CheckpointPartBytesDefault))
+    // cut by MEASURED serialized entry size, not entry count —
+    // stats-heavy entries pack fewer per part, keeping task parse
+    // work truly byte-bounded
+    val parts = scala.collection.mutable.ArrayBuffer.empty[ArrayNode]
+    var cur = mapper.createArrayNode()
+    var curBytes = 0L
+    snapshot.files.foreach { f =>
+      val n = entryNode(f)
+      val b = mapper.writeValueAsBytes(n).length.toLong
+      if (curBytes > 0L && curBytes + b > bound) {
+        parts += cur; cur = mapper.createArrayNode(); curBytes = 0L
+      }
+      cur.add(n); curBytes += b
+    }
+    if (cur.size() > 0) parts += cur
+    Files.createDirectories(logDir(dir))
+    parts.zipWithIndex.foreach { case (arr, i) =>
+      val pn = mapper.createObjectNode()
+      pn.put("version", snapshot.version)
+      pn.put("part", i)
+      pn.set[JsonNode]("files", arr)
+      publish(dir, checkpointPartFile(dir, snapshot.version, i), pn)
+    }
     val root = mapper.createObjectNode()
     root.put("version", snapshot.version)
     root.put("schema", snapshot.schema.json)
+    root.put("parts", parts.size)
     val pr = root.putObject("props")
     snapshot.props.foreach { case (k, v) => pr.put(k, v) }
-    val arr = root.putArray("files")
-    snapshot.files.foreach(writeEntry(arr, _))
     publish(dir, checkpointFile(dir, snapshot.version), root)
     ()
   }
@@ -999,8 +1113,12 @@ object LakeLog {
   def pruneBelow(dir: Path, floor: Long): Int = {
     val deltas = listLog(dir, "v").filter(_ < floor)
     deltas.foreach(v => Files.deleteIfExists(versionFile(dir, v)))
-    listLog(dir, "c").filter(_ < floor)
-      .foreach(v => Files.deleteIfExists(checkpointFile(dir, v)))
+    listLog(dir, "c").filter(_ < floor).foreach { v =>
+      // manifest FIRST (the discovery point), then its parts
+      Files.deleteIfExists(checkpointFile(dir, v))
+      var p = 0
+      while (Files.deleteIfExists(checkpointPartFile(dir, v, p))) p += 1
+    }
     deltas.size
   }
 
@@ -3323,6 +3441,11 @@ object LakeProcedures {
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val dir = resolve(warehouse, input.getUTF8String(0).toString)
             val refName = input.getUTF8String(1).toString
+            // 'main' is the write-audit-publish pin: a TAG named main
+            // would freeze every default read at its version forever
+            // (loadTable honors the main ref), with no publish to clear
+            // it — reserved for branch()'s pin alone
+            require(refName != "main", "'main' is the reserved pin ref")
             val head = LakeLog.currentVersion(dir).get
             val v = if (input.getLong(2) < 0L) head else input.getLong(2)
             require(LakeLog.snapshotAt(dir, v).isDefined,
@@ -3387,9 +3510,12 @@ object LakeProcedures {
             val refName = input.getUTF8String(1).toString
             require(LakeLog.readRef(dir, refName).exists(_._2 == "branch"),
               s"'$refName' is not the active staging branch")
-            val head = LakeLog.currentVersion(dir).get
             LakeLog.dropRef(dir, "main") // THE atomic publish point
             LakeLog.dropRef(dir, refName)
+            // head read AFTER the pin drop: a branch commit landing
+            // between a pre-drop read and the drop would make the
+            // returned version under-report what readers now see
+            val head = LakeLog.currentVersion(dir).get
             out(StructType(Seq(
               StructField("published_version", LongType, nullable = false))),
               Seq(new GenericInternalRow(Array[Any](head))))

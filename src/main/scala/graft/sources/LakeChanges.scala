@@ -206,7 +206,21 @@ class LakeChangesStream(dir: Path, feedCols: Seq[(String, Long)],
 
   @volatile private var preparedHead: Option[Long] = None
 
-  private def head: Long = LakeLog.currentVersion(dir).getOrElse(-1L)
+  /** The newest version a STREAM may admit. While a write-audit-publish
+    * pin is active (branch() wrote the `main` ref), unaudited staged
+    * commits must not flow to streaming consumers any more than to
+    * batch readers of the same table — the stream's head is capped at
+    * the pin and fast-forwards when publish drops it. (Auditors stream
+    * staged commits only after publish; `VERSION AS OF '<branch>'`
+    * remains the batch audit read.)
+    */
+  private def head: Long = {
+    val h = LakeLog.currentVersion(dir).getOrElse(-1L)
+    LakeLog.readRef(dir, "main") match {
+      case Some((v, "main")) => math.min(h, v)
+      case _ => h
+    }
+  }
 
   override def initialOffset(): Offset = LakeVersionOffset(startingVersion - 1)
 

@@ -24,13 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * is O(files) rows — a million-entry census on the driver would make
   * the compaction planner's own input single-threaded — so above a log
   * size threshold it plans a DISTRIBUTED scan with one
-  * [[InputPartition]] per LOG CHUNK (the anchoring checkpoint, sharded
-  * by byte size, plus each later delta). The driver reads only the
-  * deltas (O(changes since checkpoint)) to compute per-chunk kill
-  * sets; the checkpoint — the O(files) part — is parsed exclusively
-  * inside tasks. An entry from chunk `i` is live at the head iff no
-  * later chunk removes OR re-adds its path, which is exactly the
-  * snapshot fold's survivor rule.
+  * [[InputPartition]] per LOG CHUNK: one per byte-bounded checkpoint
+  * PART (the write-time split — a task parses exactly its own part,
+  * so aggregate census parse work is O(checkpoint bytes)) plus one per
+  * later delta. The driver reads only the O(1) checkpoint manifest and
+  * the deltas (O(changes since checkpoint)) to plan; checkpoint
+  * payload is parsed exclusively inside tasks. The checkpoint-wide
+  * kill set rides ONCE in the reader factory (Spark broadcasts the
+  * factory with the task binary), not per shard. An entry from chunk
+  * `i` is live at the head iff no later chunk removes OR re-adds its
+  * path, which is exactly the snapshot fold's survivor rule.
   */
 object LakeMetaTables {
   val FilesSuffix = "__files"
@@ -40,8 +43,6 @@ object LakeMetaTables {
 
   /** Log bytes under which `__files` stays a driver-local scan. */
   val LocalMaxBytesDefault: Long = 8L * 1024 * 1024
-  /** Target checkpoint bytes per shard of the distributed census. */
-  val ShardBytesDefault: Long = 32L * 1024 * 1024
 
   val FilesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -171,13 +172,17 @@ object LakeMetaTables {
         }
         val killAll = acc // kills checkpoint entries
         val props = LakeLog.deltaProps(dir, head)
-        val shardBytes = math.max(1L, opt("census_shard_bytes", ShardBytesDefault))
-        val nShards = math.max(1L, (cpBytes + shardBytes - 1L) / shardBytes).toInt
-        val cpParts: Seq[InputPartition] = cp.toSeq.flatMap(c =>
-          (0 until nShards).map(s => LakeFilesChunk(dir.toString, "c", c,
-            s, nShards, killAll.toSeq.sorted, props)))
+        // one chunk per write-time checkpoint PART (byte-bounded at
+        // checkpoint time): each task parses exactly one part. -1 =
+        // legacy inline checkpoint, one whole-document chunk.
+        val cpParts: Seq[InputPartition] = cp.toSeq.flatMap { c =>
+          val n = LakeLog.checkpointParts(dir, c) // O(1) manifest read
+          if (n < 0) Seq(LakeFilesChunk(dir.toString, "c", c, -1, Nil, props))
+          else (0 until n).map(p =>
+            LakeFilesChunk(dir.toString, "c", c, p, Nil, props))
+        }
         val deltaParts: Seq[InputPartition] = deltaVs.map(v =>
-          LakeFilesChunk(dir.toString, "v", v, 0, 1,
+          LakeFilesChunk(dir.toString, "v", v, 0,
             killAfter(v).toSeq.sorted, props))
         new Scan with Batch {
           override def readSchema(): StructType = FilesSchema
@@ -186,8 +191,11 @@ object LakeMetaTables {
           override def toBatch: Batch = this
           override def planInputPartitions(): Array[InputPartition] =
             (cpParts ++ deltaParts).toArray
+          // the checkpoint-wide kill set rides in the FACTORY —
+          // serialized once into the (broadcast) task binary, not
+          // O(changes) bytes per checkpoint shard
           override def createReaderFactory(): PartitionReaderFactory =
-            LakeFilesCensusReaderFactory()
+            LakeFilesCensusReaderFactory(killAll.toSeq.sorted)
         }: Scan
       }
     }
@@ -236,30 +244,33 @@ object LakeMetaTables {
   }
 }
 
-/** One distributed-census chunk: the anchoring checkpoint (sharded
-  * `shard`/`nShards` by entry index) or one delta's adds, plus the
-  * paths KILLED by later chunks. Top-level case class: ships to
-  * executors with no table/catalog outers.
+/** One distributed-census chunk: ONE checkpoint part (`part` >= 0; -1
+  * = a legacy inline checkpoint, whole document) or one delta's adds.
+  * Delta chunks carry their own (small, O(changes)) kill set; the
+  * checkpoint-wide kill set lives in the factory. Top-level case
+  * class: ships to executors with no table/catalog outers.
   */
 case class LakeFilesChunk(dir: String, kind: String, version: Long,
-    shard: Int, nShards: Int, kill: Seq[String],
+    part: Int, kill: Seq[String],
     props: Map[String, String]) extends InputPartition
 
-/** Task-side census reader: parses its own log chunk (the checkpoint
-  * never crosses the driver) and emits the surviving entries' rows.
+/** Task-side census reader: parses exactly its own log chunk — one
+  * checkpoint PART or one delta; checkpoint payload never crosses the
+  * driver and no task parses more than one part. `cpKill` (paths any
+  * delta after the checkpoint touched) is serialized once with the
+  * factory, which Spark ships via the broadcast task binary.
   */
-case class LakeFilesCensusReaderFactory() extends PartitionReaderFactory {
+case class LakeFilesCensusReaderFactory(cpKill: Seq[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val c = p.asInstanceOf[LakeFilesChunk]
     val dir = Paths.get(c.dir)
     val entries = c.kind match {
-      case "c" => LakeLog.checkpointFiles(dir, c.version)
+      case "c" => LakeLog.checkpointPartEntries(dir, c.version, c.part)
       case _ => LakeLog.deltaChanges(dir, c.version)._1
     }
-    val kill = c.kill.toSet
-    val it = entries.iterator.zipWithIndex
-      .filter { case (_, i) => i % c.nShards == c.shard }
-      .collect { case (f, _) if !kill(f.path) =>
+    val kill = (if (c.kind == "c") cpKill else c.kill).toSet
+    val it = entries.iterator
+      .collect { case f if !kill(f.path) =>
         LakeMetaTables.fileRow(f, c.props) }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _

@@ -1573,6 +1573,44 @@ class GraftLakeSpec extends AnyFunSuite {
       spark.sql("SELECT count(*) FROM lake.db.t_wap VERSION AS OF 1").collect())
   }
 
+  test("write-audit-publish guards: tag cannot claim 'main'; STREAMING reads honor the pin") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_wapstream (id BIGINT, v BIGINT, s STRING)")
+    spark.range(0, 30).select($"id", $"id".as("v"), lit("base").as("s"))
+      .coalesce(1).writeTo("lake.db.t_wapstream").append() // v1
+    // a TAG named 'main' would freeze the default view forever with no
+    // publish to clear it — reserved
+    val err = intercept[Exception](
+      spark.sql("CALL lake.system.tag('db.t_wapstream', 'main', -1)").collect())
+    assert(err.getMessage.contains("reserved"))
+    assert(spark.table("lake.db.t_wapstream").count() == 30L)
+    // open the staging branch; land an unaudited commit on it
+    spark.sql("CALL lake.system.branch('db.t_wapstream', 'wap')").collect()
+    spark.range(30, 50).select($"id", $"id".as("v"), lit("staged").as("s"))
+      .coalesce(1).writeTo("lake.db.t_wapstream").append() // v2, staged
+    val out = Files.createTempDirectory("wapstream-out").toString
+    val ckpt = Files.createTempDirectory("wapstream-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("lake.db.t_wapstream")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // the stream must NOT see the unaudited staged commit — the same
+    // exposure batch pinning prevents (WAP's whole point)
+    drain()
+    assert(spark.read.parquet(out).count() == 30L,
+      "a streaming read must stay pinned at main while the branch is active")
+    // publish releases the pin; the SAME checkpoint fast-forwards to
+    // the now-audited commits, exactly once
+    spark.sql("CALL lake.system.publish('db.t_wapstream', 'wap')").collect()
+    drain()
+    assert(spark.read.parquet(out).count() == 50L,
+      "publish must release the stream to the published head")
+  }
+
   test("partitioned tables: file-per-tuple writes, string pruning, partition overwrite") {
     import spark.implicits._
     spark.sql(
@@ -2047,9 +2085,12 @@ class GraftLakeSpec extends AnyFunSuite {
       "skipped mutation commits emit nothing; later appends still tail")
   }
 
-  test("__files census distributes above the log threshold: multi-partition plan, rows identical, checkpoint never parsed on the driver") {
+  test("__files census distributes above the log threshold: one task per checkpoint PART, rows identical, checkpoint payload never parsed on the driver") {
     import spark.implicits._
-    spark.sql("CREATE TABLE lake.db.t_census (id BIGINT, v BIGINT, s STRING)")
+    // a small part bound forces the v10 checkpoint to split into
+    // multiple byte-bounded parts — the census's task-side unit
+    spark.sql("""CREATE TABLE lake.db.t_census (id BIGINT, v BIGINT, s STRING)
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '1024')""".stripMargin)
     for (b <- 0 until 12) // v1..v12 — crosses CheckpointInterval, checkpoint lands at v10
       spark.range(b * 10L, (b + 1) * 10L)
         .select($"id", ($"id" * 2L).as("v"), lit(s"f$b").as("s"))
@@ -2058,21 +2099,35 @@ class GraftLakeSpec extends AnyFunSuite {
     // checkpointed files (v13), a COW update REMOVE+RE-ADDS one (v14)
     spark.sql("DELETE FROM lake.db.t_census WHERE id < 10")
     spark.sql("UPDATE lake.db.t_census SET v = -1 WHERE id = 55")
+    val dir = tableDir("t_census")
+    val nParts = LakeLog.checkpointParts(dir, 10L)
+    assert(nParts > 1, s"1 KB part bound must split the checkpoint: $nParts")
     val local = spark.table("lake.db.t_census__files").collect()
       .map(_.toSeq).sortBy(_.head.toString)
-    assert(local.length == LakeLog.currentSnapshot(tableDir("t_census")).get.files.size)
+    assert(local.length == LakeLog.currentSnapshot(dir).get.files.size)
     val planned0 = graft.sources.LakeLog.checkpointReads.get()
     val dist = spark.read
       .option("census_local_max_bytes", "0") // force the distributed path
-      .option("census_shard_bytes", "1024")  // force checkpoint sharding
       .table("lake.db.t_census__files")
     assert(dist.queryExecution.sparkPlan.toString.contains("distributed chunks="),
       s"expected the chunked census scan: ${dist.queryExecution.sparkPlan}")
     assert(graft.sources.LakeLog.checkpointReads.get() == planned0,
-      "driver-side planning must read ONLY deltas — the O(files) checkpoint is task-side")
-    assert(dist.rdd.getNumPartitions > 4,
-      s"checkpoint shards + per-delta chunks: got ${dist.rdd.getNumPartitions}")
+      "driver-side planning reads ONLY deltas + the O(1) manifest — " +
+        "checkpoint payload is task-side")
+    assert(dist.rdd.getNumPartitions == nParts + 4,
+      s"one chunk per checkpoint part + one per delta (v11..v14): " +
+        s"got ${dist.rdd.getNumPartitions}, expected ${nParts + 4}")
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val bytes0 = graft.sources.LakeLog.checkpointParseBytes.get()
     val got = dist.collect().map(_.toSeq).sortBy(_.head.toString)
+    // each census task parses exactly ITS OWN part — nParts payload
+    // parses total, and aggregate parse bytes = the checkpoint's own
+    // size, not O(cpBytes × shards)
+    assert(graft.sources.LakeLog.checkpointReads.get() - reads0 == nParts,
+      "the census must parse each checkpoint part exactly once across all tasks")
+    assert(graft.sources.LakeLog.checkpointParseBytes.get() - bytes0 <=
+      LakeLog.chunkBytes(dir, "c", 10L),
+      "aggregate census parse work must be bounded by the checkpoint's bytes")
     assert(got.toSeq == local.toSeq,
       "distributed census rows must be identical to the local path")
     // survivor rule sanity: removed files gone, the COW rewrite's new

@@ -30,6 +30,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(pairs.distinct.size == pairs.map { case (x, y) => mortonRef(x, y) }.distinct.size)
   }
 
+  test("quantize16 survives spans past Long.MaxValue/65535: row and planner sides agree, monotone") {
+    import spark.implicits._
+    // micro/nano-timestamp-scale keys: (v−lo)·65535 wraps Long here; a
+    // wrapped product breaks Morton monotonicity, so the planner's
+    // per-file z-intervals would stop bounding row z-values and curve
+    // pruning could skip matching files
+    val lo = -4000000000000000000L
+    val hi = 4100000000000000003L // span > Long.MaxValue: even (v−lo) wraps
+    val rnd = new scala.util.Random(11)
+    val vs = (Seq(lo, lo + 1, -1L, 0L, 1L, hi - 1, hi) ++
+      Seq.fill(200)(lo + (rnd.nextDouble() * 8.1e18).toLong)).distinct.sorted
+    val scalar = vs.map(Layout.quantize16Long(_, lo, hi))
+    assert(scalar.head == 0L && scalar.last == 65535L)
+    assert(scalar.forall(q => q >= 0L && q <= 65535L), "wrapped products go negative")
+    assert(scalar == scalar.sorted, "quantization must stay monotone on wide spans")
+    val rows = vs.toDF("v")
+      .select(Layout.quantize16($"v", lit(lo), lit(hi)).as("q"))
+      .as[Long].collect().toSeq
+    assert(rows == scalar,
+      "row-side DECIMAL math and planner-side BigInt math must agree value-for-value")
+    // and the narrow-span fast path is unchanged vs the exact formula
+    val narrow = Seq(0L, 1L, 500L, 999L, 1000L)
+    assert(narrow.map(Layout.quantize16Long(_, 0L, 1000L)) ==
+      narrow.map(v => v * 65535L / 1000L))
+  }
+
   test("zorderStats buckets tile the space with bounded rectangles") {
     import spark.implicits._
     val df = (0 until 8000).map(i => (i.toLong % 197, (i * 31L) % 83)).toDF("a", "b")
