@@ -564,7 +564,15 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     // per-integral-column SUMS accumulated by the writer (wrapping
     // Long adds — bit-identical to Spark's non-ANSI sum), keyed by
     // write-time physical name like `stats`/`nulls`
-    sums: Map[String, Long] = Map.empty) {
+    sums: Map[String, Long] = Map.empty,
+    // per-`bloomBy`-column bloom BITSETS (base64 of a fixed-size
+    // block-split bloom the writer fed row-by-row), keyed by
+    // write-time physical name: point-lookup pruning probes these at
+    // PLAN time with zero data-file opens — on object storage the
+    // footer-probe alternative is a sequential round-trip per
+    // candidate. Base64 string, not Array[Byte]: LakeFile equality
+    // drives commit delta diffing, and array equality is by reference
+    blooms: Map[String, String] = Map.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -758,6 +766,10 @@ object LakeLog {
       val su = fn.putObject("sums")
       f.sums.foreach { case (c, v) => su.put(c, v) }
     }
+    if (f.blooms.nonEmpty) {
+      val bl = fn.putObject("blooms")
+      f.blooms.foreach { case (c, b64) => bl.put(c, b64) }
+    }
     fn
   }
 
@@ -791,7 +803,10 @@ object LakeLog {
           .map(_.asText()).toSeq).getOrElse(Seq.empty[String]),
         Option(fn.get("sums")).map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asLong).toMap)
-          .getOrElse(Map.empty[String, Long]))
+          .getOrElse(Map.empty[String, Long]),
+        Option(fn.get("blooms")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap)
+          .getOrElse(Map.empty[String, String]))
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -1471,7 +1486,7 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
                 specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
-                sorted = snapshot.props.get("sortBy").toSeq, sums = i.sums)).toSeq
+                sorted = snapshot.props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms)).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -2020,16 +2035,19 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     * lookup stats ranges cannot prune (every file spans the whole key
     * domain; a clustered key would already be stats-pruned). Same
     * contract as stats skipping: may keep a non-matching file, never
-    * drops a matching one (blooms have no false negatives). Planning
-    * reads candidates' footers + bloom pages only, and only below a
-    * candidate-count cap — above it the point lookup is not selective
-    * enough for per-file planning IO to pay.
+    * drops a matching one (blooms have no false negatives). Files
+    * written with LOG-recorded blooms probe straight off the snapshot
+    * — zero data-file opens at plan time, so the candidate bound is
+    * generous (pure driver CPU); legacy entries without a log bloom
+    * fall back to a footer probe, which costs a round-trip per file
+    * on object storage and so only runs below a tight cap.
     */
   private def bloomPrune(live: Seq[LakeFile],
       cols: Seq[(String, Long)]): Seq[LakeFile] = {
     val bcols = LakeTable.bloomCols(snapshot.props).toSet
-    if (bcols.isEmpty || live.isEmpty || skips.isEmpty || live.size > 1024)
+    if (bcols.isEmpty || live.isEmpty || skips.isEmpty || live.size > 65536)
       return live
+    val footerProbesOk = live.size <= 1024
     def colOf(e: VExpression): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
       case _ => None
@@ -2058,8 +2076,25 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     if (probes.isEmpty) live
     else live.filter { f =>
       probes.forall { case (c, vs) =>
-        LakeColIds.physicalName(cols, f, c).forall(pc =>
-          LakeParquet.bloomMightContain(dir.resolve(f.path), pc, vs))
+        LakeColIds.physicalName(cols, f, c).forall { pc =>
+          f.blooms.get(pc) match {
+            case Some(b64) =>
+              // log-recorded bloom: hash under the FILE's write-time
+              // type (widened columns were hashed in their old type);
+              // an unhashable value keeps the file, like stats skipping
+              val bf = LakeParquet.bloomFromB64(b64)
+              val i = f.cols.indexWhere(_._1 == pc)
+              val t =
+                if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
+                else snapshot.schema.find(_.name == c)
+                  .map(_.dataType.simpleString).getOrElse("")
+              vs.exists(v =>
+                LakeParquet.logBloomHash(bf, t, v).forall(bf.findHash))
+            case None =>
+              !footerProbesOk ||
+                LakeParquet.bloomMightContain(dir.resolve(f.path), pc, vs)
+          }
+        }
       }
     }
   }
@@ -2713,7 +2748,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             cols = LakeColIds.cols(tableSchema, props),
             part = i.part, colTypes = LakeColIds.types(tableSchema),
             specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
-            sorted = props.get("sortBy").toSeq, sums = i.sums)).toSeq
+            sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms)).toSeq
         // IDEMPOTENT writes: with txnAppId/txnVersion options, a commit
         // whose version the table has already recorded for that app is
         // a REPLAY (a foreachBatch retry, a restarted driver) — its
@@ -2802,7 +2837,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               cols = LakeColIds.cols(tableSchema, props),
               part = i.part, colTypes = LakeColIds.types(tableSchema),
               specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
-              sorted = props.get("sortBy").toSeq, sums = i.sums)).toSeq
+              sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms)).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -2833,7 +2868,8 @@ case class LakeFileInfo(path: String, rows: Long,
     stats: Map[String, (Long, Long)], nulls: Map[String, Long],
     part: Seq[Option[String]] = Seq.empty,
     bytes: Long = 0L,
-    sums: Map[String, Long] = Map.empty)
+    sums: Map[String, Long] = Map.empty,
+    blooms: Map[String, String] = Map.empty)
 
 case class LakeFileMessage(files: Seq[LakeFileInfo]) extends WriterCommitMessage
 
@@ -2884,6 +2920,14 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
       private val integralIdx: Array[Int] = storedSchema.fields.zipWithIndex
         .filter(fi => fi._1.dataType == LongType || fi._1.dataType == IntegerType)
         .map(_._2)
+      // bloomBy columns in the stored schema, with their write-time
+      // type: fed row-by-row into fixed-size LOG blooms so point
+      // lookups prune at plan time with zero data-file opens
+      private val bloomIdx: Array[(Int, String)] = storedSchema.fields.zipWithIndex
+        .filter { fi => bloomBy.contains(fi._1.name) &&
+          (fi._1.dataType == LongType || fi._1.dataType == IntegerType ||
+            fi._1.dataType == StringType) }
+        .map(fi => (fi._2, fi._1.dataType.simpleString))
 
       private final class OpenFile(val tuple: Seq[Option[String]]) {
         val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
@@ -2891,6 +2935,7 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
           storedSchema, bloomBy)
         var rows = 0L
         val sums = new Array[Long](cols.length)
+        val blooms = bloomIdx.map(_ => LakeParquet.newLogBloom())
       }
       private val open = scala.collection.mutable.LinkedHashMap[Seq[Option[String]], OpenFile]()
 
@@ -2913,6 +2958,18 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
           }
           s += 1
         }
+        var bi = 0
+        while (bi < bloomIdx.length) {
+          val (ci, t) = bloomIdx(bi)
+          if (!proj.isNullAt(ci)) {
+            val bf = f.blooms(bi)
+            // hash immediately — a UTF8String here may point into a
+            // reused row buffer
+            LakeParquet.logBloomHash(bf, t, proj.get(ci, storedSchema(ci).dataType))
+              .foreach(bf.insertHash)
+          }
+          bi += 1
+        }
         f.out.write(proj)
         f.rows += 1L
       }
@@ -2926,7 +2983,9 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
             s"parquet footer row count ${st.rows} != rows written ${f.rows} in ${f.rel}")
           LakeFileInfo(f.rel, f.rows, st.stats, st.nulls, f.tuple,
             bytes = Files.size(abs),
-            sums = integralIdx.map(ci => storedSchema(ci).name -> f.sums(ci)).toMap)
+            sums = integralIdx.map(ci => storedSchema(ci).name -> f.sums(ci)).toMap,
+            blooms = bloomIdx.zipWithIndex.map { case ((ci, _), bi) =>
+              storedSchema(ci).name -> LakeParquet.bloomToB64(f.blooms(bi)) }.toMap)
         }.toSeq
         open.clear()
         LakeFileMessage(infos)
@@ -3070,7 +3129,7 @@ object LakeProcedures {
         cols = LakeColIds.cols(snap.schema, snap.props), part = i.part,
         colTypes = LakeColIds.types(snap.schema),
         specId = LakePartitioning.currentSpecId(snap.props), bytes = i.bytes,
-        sorted = sortedBy, sums = i.sums))
+        sorted = sortedBy, sums = i.sums, blooms = i.blooms))
     // a PARTIAL rewrite (compact_size) swaps only its candidates;
     // conforming files keep their paths, stats, and layout
     val replaced = replacedFiles.getOrElse(snap.files.map(_.path).toSet)
@@ -3811,7 +3870,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
                 cols = LakeColIds.cols(stagedSchema, propsWithIds),
                 part = i.part, colTypes = LakeColIds.types(stagedSchema),
                 specId = LakePartitioning.currentSpecId(propsWithIds), bytes = i.bytes,
-                sorted = propsWithIds.get("sortBy").toSeq, sums = i.sums)).toSeq
+                sorted = propsWithIds.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms)).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -3966,7 +4025,7 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
                 specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
-                sums = i.sums)).toSeq
+                sums = i.sums, blooms = i.blooms)).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false

@@ -74,6 +74,54 @@ object LakeParquet {
     b.build()
   }
 
+  // ---- LOG-recorded blooms: plan-time pruning with zero file opens ----
+
+  /** Fixed bitset size of a log-recorded bloom (2^16 bits): ~11 KB of
+    * base64 per bloomBy column per file in the log, probed at PLAN
+    * time straight off the (already-loaded) snapshot — on object
+    * storage the footer-probe alternative costs a round-trip per
+    * candidate file. Block-split blooms cannot be resized after the
+    * fact, so the size is fixed at write time; at very high per-file
+    * NDV the filter saturates and pruning degrades to keep-the-file
+    * (the stats-skipping contract — never drops a matching file).
+    */
+  val BloomLogBytes = 8192
+
+  import org.apache.parquet.column.values.bloomfilter.{BlockSplitBloomFilter, BloomFilter}
+
+  def newLogBloom(): BlockSplitBloomFilter = new BlockSplitBloomFilter(BloomLogBytes)
+
+  def bloomToB64(bf: BlockSplitBloomFilter): String = {
+    val bos = new java.io.ByteArrayOutputStream(BloomLogBytes)
+    bf.writeTo(bos) // bitset bytes only — header-free, reconstructible
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  def bloomFromB64(b64: String): BlockSplitBloomFilter =
+    new BlockSplitBloomFilter(java.util.Base64.getDecoder.decode(b64))
+
+  /** Hash `v` for a log bloom under the column's WRITE-TIME type
+    * (simpleString) — probe and insert must use one rule or lookups
+    * false-negative and pruning drops matching files. None = not
+    * hashable (type mismatch / unsupported) → caller keeps the file.
+    */
+  def logBloomHash(bf: BloomFilter, typeSimple: String, v: Any): Option[Long] =
+    (typeSimple, v) match {
+      case ("bigint", n: java.lang.Number) => Some(bf.hash(n.longValue))
+      case ("int", n: java.lang.Number) => Some(bf.hash(n.intValue))
+      case ("string", s: String) =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+      case ("string", u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(u.getBytes)))
+      case _ => None
+    }
+
+  /** Data-file footer opens made by PLAN-time bloom probing — spec
+    * instrumentation proving log-recorded blooms keep planning at
+    * zero file IO (footer probes remain only as the legacy fallback).
+    */
+  private[graft] val bloomFooterProbes = new java.util.concurrent.atomic.AtomicLong
+
   /** Point-lookup file pruning off the parquet-native bloom filters:
     * false ONLY when every row group's bloom for `col` definitely
     * excludes EVERY value in `values` — a missing bloom or an
@@ -82,6 +130,7 @@ object LakeParquet {
     * one.
     */
   def bloomMightContain(file: NioPath, col: String, values: Seq[Any]): Boolean = {
+    bloomFooterProbes.incrementAndGet()
     val reader = ParquetFileReader.open(new LocalInputFile(file))
     try {
       reader.getFooter.getBlocks.asScala.exists { block =>

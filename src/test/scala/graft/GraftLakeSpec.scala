@@ -269,6 +269,7 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(e0Files.forall(afterOther.map(_.path).contains),
       "another query's colliding epoch must not replace committed files")
     // the SAME query replaying the epoch replaces exactly its own files
+    val preReplayV = LakeLog.currentSnapshot(dir).get.version
     val replayMsg = oneRowFile()
     table.newWriteBuilder(infoFor(realQueryId)).build().toStreaming
       .commit(e0, Array(replayMsg))
@@ -280,6 +281,101 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(after.map(_.path).contains(otherMsg.files.head.path),
       "the other query's epoch-e0 file stays")
     assert(vBefore >= 4L)
+    // the replaced attempt's files are now unreferenced at the head but
+    // still on disk — a TAG of the pre-replay version pins them through
+    // vacuum; dropping it lets the next vacuum reclaim them
+    assert(e0Files.forall(p => Files.exists(dir.resolve(p))))
+    spark.sql(s"CALL lake.system.tag('db.t_stream', 'pre-replay', $preReplayV)").collect()
+    val nRows = spark.table("lake.db.t_stream").count()
+    spark.sql("CALL lake.system.vacuum('db.t_stream', 1)").collect()
+    assert(e0Files.forall(p => Files.exists(dir.resolve(p))),
+      "a tag referencing the superseded epoch must pin its files through vacuum")
+    spark.sql("CALL lake.system.drop_ref('db.t_stream', 'pre-replay')").collect()
+    spark.sql("CALL lake.system.vacuum('db.t_stream', 1)").collect()
+    assert(e0Files.forall(p => !Files.exists(dir.resolve(p))),
+      "vacuum must reclaim a replayed epoch's superseded files once unpinned")
+    assert(Files.exists(dir.resolve(replayMsg.files.head.path)) &&
+      Files.exists(dir.resolve(otherMsg.files.head.path)),
+      "live epoch files stay")
+    assert(spark.table("lake.db.t_stream").count() == nRows,
+      "vacuum is content-neutral at the head")
+  }
+
+  test("streaming write into a PARTITIONED + sorted table: per-epoch per-tuple sorted files; replay replaces across partitions") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_streampart (id BIGINT, category INT, value BIGINT)
+        |PARTITIONED BY (category) TBLPROPERTIES ('sortBy' = 'id')""".stripMargin)
+    val ckpt = Files.createTempDirectory("lake-streampart-ckpt").toString
+    val q = spark.readStream.format("graftgen")
+      .option("rows", "900").option("rowsPerBatch", "300").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("lake.db.t_streampart")
+    q.awaitTermination()
+    val dir = tableDir("t_streampart")
+    val snap = LakeLog.currentSnapshot(dir).get
+    // every epoch file landed under an identity-partition tuple with
+    // the declared sort enforced by the streaming write
+    assert(snap.files.nonEmpty && snap.files.forall(f =>
+      f.epoch.isDefined && f.part.size == 1 && f.sorted == Seq("id")),
+      s"epoch files must carry tuple + sort: ${snap.files.map(f => (f.part, f.sorted, f.epoch))}")
+    // RequiresDistributionAndOrdering on the STREAMING path: each
+    // epoch's rows cluster per tuple — exactly one file per
+    // (epoch, partition) that the epoch touched
+    val perEpochTuple = snap.files.groupBy(f => (f.epoch.get, f.part))
+    assert(perEpochTuple.forall(_._2.size == 1),
+      s"one file per (epoch, tuple): ${perEpochTuple.view.mapValues(_.size).toMap}")
+    // and the in-file ordering is REAL: per file, ids ascend
+    val byFile = spark.table("lake.db.t_streampart")
+      .select(col("_file"), $"id").collect()
+      .groupBy(_.getString(0)).values
+    assert(byFile.forall(rs => rs.map(_.getLong(1)).toSeq ==
+      rs.map(_.getLong(1)).sortBy(identity).toSeq),
+      "file content must be sorted by the declared sortBy")
+    assert(spark.table("lake.db.t_streampart").count() == 900L)
+    // __partitions census agrees with the data mid-lifecycle
+    val census = spark.table("lake.db.t_streampart__partitions")
+      .select($"partition", $"live_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = spark.table("lake.db.t_streampart").groupBy($"category").count()
+      .collect().map(r => s"category=${r.getInt(0)}" -> r.getLong(1)).toMap
+    assert(census == truth, s"census $census != data $truth")
+    // epoch REPLAY replaces that epoch's files across EVERY partition
+    val e0 = snap.files.flatMap(_.epoch).min
+    val e0Files = snap.files.filter(_.epoch.contains(e0)).map(_.path)
+    assert(e0Files.size > 1, "an epoch must span several partitions here")
+    val qid = snap.files.find(_.epoch.contains(e0)).get.query.get
+    import graft.sources.{LakeFileMessage, LakeTable, LakeWriterFactory}
+    val table = new graft.sources.GraftLakeCatalog {
+      initialize("lake", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", warehouse.toString)))
+    }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "t_streampart")).asInstanceOf[LakeTable]
+    val w = LakeWriterFactory(dir.toString, table.schema(), table.schema().fieldNames,
+      graft.sources.LakePartitioning.decode(snap.props))
+      .createWriter(0, 0L)
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](999999L, 0, 0L)))
+    val replayMsg = w.commit().asInstanceOf[LakeFileMessage]
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = qid
+      override def schema(): org.apache.spark.sql.types.StructType = table.schema()
+      override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())
+    }
+    table.newWriteBuilder(info).build().toStreaming.commit(e0, Array(replayMsg))
+    val after = LakeLog.currentSnapshot(dir).get.files
+    assert(e0Files.forall(p => !after.map(_.path).contains(p)),
+      "replay must evict the epoch's files in EVERY partition")
+    assert(after.count(f => f.epoch.contains(e0) && f.query.contains(qid)) == 1)
+    // census stays consistent after the replacement
+    val census2 = spark.table("lake.db.t_streampart__partitions")
+      .select($"partition", $"live_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth2 = spark.table("lake.db.t_streampart").groupBy($"category").count()
+      .collect().map(r => s"category=${r.getInt(0)}" -> r.getLong(1)).toMap
+    assert(census2 == truth2, s"post-replay census $census2 != data $truth2")
   }
 
   test("clusterBy/sortBy table properties: writes arrive clustered + sorted, stats tighten") {
@@ -346,9 +442,21 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(filtered.head().getLong(0) == 60L)
     assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"),
       "a filtered count must read data")
-    // count on a time-travel snapshot is metadata too
-    assert(spark.sql(s"SELECT count(*) FROM lake.db.$t VERSION AS OF 2")
-      .head().getLong(0) == 50L)
+    // count on a time-travel snapshot is metadata too — an operator
+    // auditing history gets the zero-task plan at every pinned version
+    val tt = spark.sql(s"SELECT count(*) AS n FROM lake.db.$t VERSION AS OF 2")
+    assert(tt.head().getLong(0) == 50L)
+    val ttPlan = tt.queryExecution.executedPlan.toString
+    assert(ttPlan.contains("LocalTableScan") && !ttPlan.contains("BatchScan"),
+      s"a pinned snapshot must keep the metadata-aggregate path:\n$ttPlan")
+    // and through a named TAG ref (VERSION AS OF '<tag>')
+    spark.sql(s"CALL lake.system.tag('db.$t', 'meta-audit', 2)").collect()
+    val tg = spark.sql(s"SELECT count(*) AS n, max(v) AS mx FROM lake.db.$t " +
+      "VERSION AS OF 'meta-audit'")
+    assert(tg.head() == org.apache.spark.sql.Row(50L, 490L))
+    val tgPlan = tg.queryExecution.executedPlan.toString
+    assert(tgPlan.contains("LocalTableScan") && !tgPlan.contains("BatchScan"),
+      s"a tag read must keep the metadata-aggregate path:\n$tgPlan")
   }
 
   test("metadata-only MIN/MAX/COUNT(col): answered from footer stats; delete vectors force the fallback") {
@@ -728,6 +836,33 @@ class GraftLakeSpec extends AnyFunSuite {
       s"string bloom must prune to the containing file:\n${planOf(q)}")
     assert(planOf("SELECT * FROM lake.db.t_bloom_s WHERE s = 'nobody'")
       .contains("files=0/3"))
+  }
+
+  test("log-recorded blooms prune at plan time with ZERO data-file opens") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_bloomlog (k BIGINT, s STRING)
+        |TBLPROPERTIES ('bloomBy' = 'k')""".stripMargin)
+    for (i <- 0 until 4)
+      spark.range(0, 300)
+        .select(($"id" * 8L + i).as("k"), concat(lit("x"), $"id" * 8L + i).as("s"))
+        .coalesce(1).writeTo("lake.db.t_bloomlog").append()
+    // the writer recorded a bloom bitset per file in the LOG
+    val snap = LakeLog.currentSnapshot(tableDir("t_bloomlog")).get
+    assert(snap.files.size == 4 && snap.files.forall(_.blooms.contains("k")),
+      "every writer-produced file carries a log bloom for the bloomBy column")
+    // plan + execute point lookups: pruning decisions identical to the
+    // footer path, but with zero plan-time data-file opens — on object
+    // storage a footer probe is a round-trip per candidate file
+    val probes0 = graft.sources.LakeParquet.bloomFooterProbes.get()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    val q1 = "SELECT s FROM lake.db.t_bloomlog WHERE k = 17"
+    assert(spark.sql(q1).collect().map(_.getString(0)).toSeq == Seq("x17"))
+    assert(planOf(q1).contains("files=1/4"), s"log bloom must prune:\n${planOf(q1)}")
+    assert(planOf("SELECT * FROM lake.db.t_bloomlog WHERE k = 5").contains("files=0/4"))
+    assert(graft.sources.LakeParquet.bloomFooterProbes.get() == probes0,
+      "log-recorded blooms must answer planning without opening any data file")
   }
 
   test("bloomBy accepts a column LIST: each column probes its own blooms, conjunctions intersect") {
