@@ -572,7 +572,12 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     // footer-probe alternative is a sequential round-trip per
     // candidate. Base64 string, not Array[Byte]: LakeFile equality
     // drives commit delta diffing, and array equality is by reference
-    blooms: Map[String, String] = Map.empty) {
+    blooms: Map[String, String] = Map.empty,
+    // per-integral-column KMV sketch (k smallest distinct xxHash64
+    // values, unsigned ascending), keyed by write-time physical name:
+    // merged at PLAN time into a table-level distinctCount for the
+    // CBO — join-size estimation min/max alone cannot give
+    kmv: Map[String, Seq[Long]] = Map.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -770,6 +775,12 @@ object LakeLog {
       val bl = fn.putObject("blooms")
       f.blooms.foreach { case (c, b64) => bl.put(c, b64) }
     }
+    if (f.kmv.nonEmpty) {
+      val km = fn.putObject("kmv")
+      f.kmv.foreach { case (c, hs) =>
+        val a = km.putArray(c); hs.foreach(a.add)
+      }
+    }
     fn
   }
 
@@ -806,7 +817,11 @@ object LakeLog {
           .getOrElse(Map.empty[String, Long]),
         Option(fn.get("blooms")).map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asText).toMap)
-          .getOrElse(Map.empty[String, String]))
+          .getOrElse(Map.empty[String, String]),
+        Option(fn.get("kmv")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.elements().asScala
+            .map(_.asLong).toSeq).toMap)
+          .getOrElse(Map.empty[String, Seq[Long]]))
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -1486,7 +1501,7 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
                 specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
-                sorted = snapshot.props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms)).toSeq
+                sorted = snapshot.props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -2399,6 +2414,12 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
         if (fd.name != LakeTable.FileColumn && fd.name != LakeTable.PosColumn) {
           var lo = Long.MaxValue; var hi = Long.MinValue
           var nulls = 0L; var haveMm = integral; var haveNulls = true
+          // NDV: merge per-file KMV sketches; report only when EVERY
+          // planned file records one (or provably predates the column
+          // — zero distinct values). Dv'd files over-approximate, like
+          // min/max — estimator-grade, never result-grade.
+          var haveKmv = integral
+          val kmvIn = Seq.newBuilder[Seq[Long]]
           ps.foreach { f =>
             LakeColIds.physicalName(curCols, f, fd.name) match {
               case None => nulls += f.rows // predates the column
@@ -2413,9 +2434,15 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
                     // all-null files legitimately carry no stats
                     if (!f.nulls.get(p).contains(f.rows)) haveMm = false
                 }
+                f.kmv.get(p) match {
+                  case Some(hs) => kmvIn += hs
+                  case None => haveKmv = false
+                }
             }
           }
-          if (haveMm || haveNulls) {
+          val ndv: Option[Long] =
+            if (haveKmv) LakeParquet.kmvEstimate(kmvIn.result()) else None
+          if (haveMm || haveNulls || ndv.isDefined) {
             val mm = haveMm && lo <= hi
             def box(v: Long): Object =
               if (fd.dataType == IntegerType) Int.box(v.toInt) else Long.box(v)
@@ -2429,6 +2456,9 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
                 override def nullCount(): java.util.OptionalLong =
                   if (haveNulls) java.util.OptionalLong.of(nc)
                   else java.util.OptionalLong.empty()
+                override def distinctCount(): java.util.OptionalLong =
+                  ndv.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
               })
           }
         }
@@ -2748,7 +2778,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             cols = LakeColIds.cols(tableSchema, props),
             part = i.part, colTypes = LakeColIds.types(tableSchema),
             specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
-            sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms)).toSeq
+            sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
         // IDEMPOTENT writes: with txnAppId/txnVersion options, a commit
         // whose version the table has already recorded for that app is
         // a REPLAY (a foreachBatch retry, a restarted driver) — its
@@ -2837,7 +2867,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               cols = LakeColIds.cols(tableSchema, props),
               part = i.part, colTypes = LakeColIds.types(tableSchema),
               specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
-              sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms)).toSeq
+              sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -2869,7 +2899,8 @@ case class LakeFileInfo(path: String, rows: Long,
     part: Seq[Option[String]] = Seq.empty,
     bytes: Long = 0L,
     sums: Map[String, Long] = Map.empty,
-    blooms: Map[String, String] = Map.empty)
+    blooms: Map[String, String] = Map.empty,
+    kmv: Map[String, Seq[Long]] = Map.empty)
 
 case class LakeFileMessage(files: Seq[LakeFileInfo]) extends WriterCommitMessage
 
@@ -2936,6 +2967,9 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         var rows = 0L
         val sums = new Array[Long](cols.length)
         val blooms = bloomIdx.map(_ => LakeParquet.newLogBloom())
+        // KMV NDV sketch per integral column — one xxHash + (mostly)
+        // one unsigned compare per row once the sketch warms
+        val kmvs = integralIdx.map(_ => new LakeParquet.KmvAcc())
       }
       private val open = scala.collection.mutable.LinkedHashMap[Seq[Option[String]], OpenFile]()
 
@@ -2953,8 +2987,11 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         while (s < integralIdx.length) {
           val ci = integralIdx(s)
           if (!proj.isNullAt(ci)) {
-            if (storedSchema(ci).dataType == LongType) f.sums(ci) += proj.getLong(ci)
-            else f.sums(ci) += proj.getInt(ci).toLong
+            val v =
+              if (storedSchema(ci).dataType == LongType) proj.getLong(ci)
+              else proj.getInt(ci).toLong
+            f.sums(ci) += v
+            f.kmvs(s).insert(LakeParquet.kmvHashLong(v))
           }
           s += 1
         }
@@ -2985,7 +3022,12 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
             bytes = Files.size(abs),
             sums = integralIdx.map(ci => storedSchema(ci).name -> f.sums(ci)).toMap,
             blooms = bloomIdx.zipWithIndex.map { case ((ci, _), bi) =>
-              storedSchema(ci).name -> LakeParquet.bloomToB64(f.blooms(bi)) }.toMap)
+              storedSchema(ci).name -> LakeParquet.bloomToB64(f.blooms(bi)) }.toMap,
+            // an all-null column records an EMPTY sketch on purpose —
+            // the planner needs the key present to know coverage is
+            // complete (nulls contribute no distinct values)
+            kmv = integralIdx.zipWithIndex.map { case (ci, s) =>
+              storedSchema(ci).name -> f.kmvs(s).result }.toMap)
         }.toSeq
         open.clear()
         LakeFileMessage(infos)
@@ -3129,7 +3171,7 @@ object LakeProcedures {
         cols = LakeColIds.cols(snap.schema, snap.props), part = i.part,
         colTypes = LakeColIds.types(snap.schema),
         specId = LakePartitioning.currentSpecId(snap.props), bytes = i.bytes,
-        sorted = sortedBy, sums = i.sums, blooms = i.blooms))
+        sorted = sortedBy, sums = i.sums, blooms = i.blooms, kmv = i.kmv))
     // a PARTIAL rewrite (compact_size) swaps only its candidates;
     // conforming files keep their paths, stats, and layout
     val replaced = replacedFiles.getOrElse(snap.files.map(_.path).toSet)
@@ -3870,7 +3912,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
                 cols = LakeColIds.cols(stagedSchema, propsWithIds),
                 part = i.part, colTypes = LakeColIds.types(stagedSchema),
                 specId = LakePartitioning.currentSpecId(propsWithIds), bytes = i.bytes,
-                sorted = propsWithIds.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms)).toSeq
+                sorted = propsWithIds.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -4025,7 +4067,7 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
                 specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
-                sums = i.sums, blooms = i.blooms)).toSeq
+                sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false

@@ -2273,6 +2273,49 @@ class GraftLakeSpec extends AnyFunSuite {
       .queryExecution.sparkPlan.toString.contains("distributed chunks="))
   }
 
+  test("KMV NDV sketches drive the CBO: low-NDV aggregate broadcasts where min/max alone cannot tell") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import graft.sources.LakeParquet
+    // two tables, identical row count and near-identical k min/max
+    // span — ONLY the distinct count differs. min/max-based estimation
+    // cannot tell them apart; the per-file KMV sketches can.
+    spark.sql("CREATE TABLE lake.db.t_ndvlow (k BIGINT, v BIGINT)")
+    spark.range(0, 100000).select(($"id" % 8L * 12345677L).as("k"), $"id".as("v"))
+      .coalesce(2).writeTo("lake.db.t_ndvlow").append()
+    spark.sql("CREATE TABLE lake.db.t_ndvhigh (k BIGINT, v BIGINT)")
+    spark.range(0, 100000).select(($"id" * 864L + 3L).as("k"), $"id".as("v"))
+      .coalesce(2).writeTo("lake.db.t_ndvhigh").append()
+    // NDV straight off the log: sub-k sketches merge EXACTLY; at-k
+    // sketches estimate within the 1/sqrt(k) band (deterministic here)
+    def ndvOf(t: String): Long = {
+      val snap = LakeLog.currentSnapshot(tableDir(t)).get
+      LakeParquet.kmvEstimate(snap.files.map(_.kmv("k"))).get
+    }
+    assert(ndvOf("t_ndvlow") == 8L, s"8 scattered keys merge exactly: ${ndvOf("t_ndvlow")}")
+    val hi = ndvOf("t_ndvhigh")
+    assert(hi > 20000L && hi < 500000L, s"100k distinct keys estimate in-band: $hi")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      val big = spark.range(0, 2000000).toDF("k") // 16 MB: never the broadcast side
+      def joinPlan(t: String) = big.join(
+        spark.table(s"lake.db.$t").groupBy($"k").agg(sum($"v").as("sv")), "k")
+        .queryExecution.sparkPlan
+      assert(joinPlan("t_ndvlow").collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "an 8-group aggregate must broadcast — only the NDV sketch can see that:" +
+          s"\n${joinPlan("t_ndvlow")}")
+      assert(joinPlan("t_ndvhigh").collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        "a 100k-group aggregate over the SAME span must NOT broadcast:" +
+          s"\n${joinPlan("t_ndvhigh")}")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+  }
+
   test("footer-true scan statistics drive the broadcast decision by ACTUAL bytes, dv-scaled") {
     import spark.implicits._
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
