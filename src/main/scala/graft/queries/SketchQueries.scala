@@ -305,9 +305,19 @@ object SketchQueries {
     val beforeProvider = spark.conf.get(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val beforeChangelog = spark.conf.get(changelogKey, "false")
+    // r12 A/B (medians of 3): 8 parts + snapshot ckpt 6.6 s → 4 parts
+    // + CHANGELOG checkpointing 5.4 s. The cost is per-batch per-store
+    // fixed work (RocksDB open/commit + snapshot upload), so fewer
+    // stores than keys-ish (5 priorities → 4) and changelog (commit
+    // ships the delta, not the full store) both bite; 2 parts REGRESSES
+    // (6.8 s) — the timer-expiry loops then serialize on 2 cores.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
     val q =
       try out.writeStream.format("memory").queryName(sink)
         .outputMode("append").option("checkpointLocation", ckpt)
@@ -316,6 +326,7 @@ object SketchQueries {
         spark.conf.set("spark.sql.shuffle.partitions", beforeParts)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           beforeProvider)
+        spark.conf.set(changelogKey, beforeChangelog)
       }
     q.awaitTermination()
     q69Batches = q.recentProgress.length
