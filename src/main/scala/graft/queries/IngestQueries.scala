@@ -735,6 +735,76 @@ object IngestQueries {
       .orderBy($"bucket")
   }
 
+  /** q100 — q91's checkpointed streaming ingest, but the sink is a
+    * PARTITIONED (identity on `seg`) + SORTED (`sortBy ok`) lake
+    * table: [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+    * shapes every streaming epoch (cluster per tuple + in-task sort),
+    * so each epoch commit lands one sorted file per touched partition
+    * — the layout a 100 TB ingest pipeline needs its files born with,
+    * not compacted into. The returned frame fuses three witnesses per
+    * partition: the DATA aggregate (count + shifted checksum — a
+    * replayed or lost epoch breaks it), the `__partitions` census
+    * `live_rows` (log metadata must equal the data), and an in-file
+    * ORDER witness — adjacent inversions of the sort key over the
+    * `_pos` metadata column, summed per partition (any unsorted epoch
+    * file makes it non-zero; the oracle pins 0). Restarting the drain
+    * mid-stream exercises checkpoint resume across partitions.
+    */
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q100").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$cat.db.orders_pin"
+    val dst = s"$cat.db.orders_psink"
+    spark.sql(s"CREATE TABLE $src (ok BIGINT, seg STRING, cents BIGINT)")
+    spark.sql(
+      s"""CREATE TABLE $dst (ok BIGINT, seg STRING, cents BIGINT)
+         |PARTITIONED BY (seg) TBLPROPERTIES ('sortBy' = 'ok')""".stripMargin)
+    // the +m shift makes a mis-attributed replay break the sum, not
+    // just the count (q91's witness shape)
+    def slice(m: Int) = Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 3 === m.toLong)
+      .select($"o_orderkey".as("ok"), $"o_orderpriority".as("seg"),
+        (graft.functions.gf.fixed($"o_totalprice", 100.0) + m.toLong).as("cents"))
+    slice(0).repartition(2).writeTo(src).append() // v1
+    slice(1).repartition(2).writeTo(src).append() // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("q100-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1") // one source version per epoch
+        .table(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+    }
+    drain() // epochs for v1, v2 — sorted file per touched partition each
+    slice(2).repartition(2).writeTo(src).append() // v3, post-drain
+    drain() // checkpoint resume: exactly v3's rows
+    val data = spark.table(dst).groupBy($"seg")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+    // log census: live_rows per partition tuple ("seg=<value>")
+    val census = spark.table(s"${dst}__partitions")
+      .select(expr("substring(partition, 5)").as("seg"),
+        $"live_rows".as("census_rows"))
+    // physical order witness: _pos walks each file in storage order,
+    // so any adjacent sort-key inversion inside a file counts here
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_file")).orderBy(col("_pos"))
+    val inv = spark.table(dst)
+      .select($"seg", $"ok", col("_file"), col("_pos"))
+      .withColumn("prev", lag($"ok", 1).over(w))
+      .groupBy($"seg")
+      .agg(sum(when($"prev" > $"ok", 1L).otherwise(0L)).as("inversions"))
+    data.join(census, Seq("seg")).join(inv, Seq("seg"))
+      .select($"seg", $"n_rows", $"sum_cents", $"census_rows", $"inversions")
+      .orderBy($"seg")
+  }
+
   /** q92 — WRITE-AUDIT-PUBLISH over named refs: the curation gate a
     * production lake runs before exposing new data (the reference
     * publishes each transform layer wholesale to HDFS paths,
@@ -1210,6 +1280,7 @@ object IngestQueries {
     "q88_incremental_mv" -> q88,
     "q90_enriched_mv" -> q90,
     "q91_stream_into_lake" -> q91,
+    "q100_stream_partitioned" -> q100,
     "q92_wap_refs" -> q92,
     "q93_metadata_agg" -> q93,
     "q94_filtered_meta" -> q94,
@@ -1359,6 +1430,19 @@ object IngestQueries {
         |  FROM orders)
         |SELECT ok % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q100_stream_partitioned" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS seg,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |      + o_orderkey % 3 AS cents
+        |  FROM orders)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS census_rows,
+        |  CAST(0 AS BIGINT) AS inversions
         |FROM o
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,

@@ -123,6 +123,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       .orElse(companion(LakeMetaTables.HistorySuffix)(LakeMetaTables.historyTable))
       .orElse(companion(LakeMetaTables.RefsSuffix)(LakeMetaTables.refsTable))
       .orElse(companion(LakeMetaTables.PartitionsSuffix)(LakeMetaTables.partitionsTable))
+      .orElse(companion(LakeMetaTables.StatsSuffix)(LakeMetaTables.statsTable))
       .foreach(t => return t)
     val dir = tableDir(ident)
     // write-audit-publish: a pinned `main` ref freezes the DEFAULT
@@ -3129,7 +3130,7 @@ object LakeProcedures {
   val Names: Array[String] =
     Array("compact", "compact_size", "zorder", "vacuum", "history",
       "evolve_partitioning", "tag", "branch", "publish", "drop_ref",
-      "rollback")
+      "rollback", "clone")
 
   private def out(schema0: StructType, rows0: Seq[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
@@ -3664,6 +3665,66 @@ object LakeProcedures {
         * delete semantics), remove+add when it reverts row-level
         * mutations (the documented rewrite contract applies).
         */
+      case "clone" => new UnboundProcedure {
+        override def name(): String = "clone"
+        override def description(): String =
+          "clone(source STRING, target STRING, version BIGINT): zero-copy shallow clone (-1 = head)"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "clone"
+          override def description(): String = "graftlake shallow clone"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("source", StringType).build(),
+            ProcedureParameter.in("target", StringType).build(),
+            ProcedureParameter.in("version", LongType).build())
+          /** SHALLOW clone: one metadata commit whose v0 snapshot
+            * references the source's live data files by ABSOLUTE path
+            * (`Path.resolve` passes absolute entries through
+            * unchanged, so every reader works as-is). Zero bytes copy
+            * at any table size; the clone then evolves independently —
+            * its own writes/dvs land relative under its own dir, and
+            * compaction converges it to self-contained. The standard
+            * shallow-clone hazard applies and is the operator's
+            * contract: `system.vacuum` ON THE SOURCE can reclaim files
+            * the clone still references (the clone's own vacuum never
+            * touches them — it only scans its own data dir). Deep-copy
+            * by running CALL system.compact on the clone.
+            */
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val srcDir = resolve(warehouse, input.getUTF8String(0).toString)
+            val dstDir = resolve(warehouse, input.getUTF8String(1).toString)
+            val v0 = input.getLong(2)
+            val head = LakeLog.currentVersion(srcDir).getOrElse(
+              throw new IllegalArgumentException(
+                s"clone source ${input.getUTF8String(0)} does not exist"))
+            val v = if (v0 < 0L) head else v0
+            val src = LakeLog.snapshotAt(srcDir, v).getOrElse(
+              throw new IllegalArgumentException(
+                s"version $v is not reconstructible (pruned or future)"))
+            if (LakeLog.currentVersion(dstDir).isDefined)
+              throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+                org.apache.spark.sql.connector.catalog.Identifier.of(
+                  Array.empty, input.getUTF8String(1).toString))
+            val absolute = src.files.map { f =>
+              f.copy(
+                path = srcDir.resolve(f.path).toAbsolutePath.toString,
+                dv = f.dv.map(d => srcDir.resolve(d).toAbsolutePath.toString))
+            }
+            Files.createDirectories(dstDir.resolve("data"))
+            // strip txn watermarks: the clone is a new idempotence scope
+            val props = src.props.filterNot(_._1.startsWith("txn."))
+            LakeLog.commit(dstDir, expectedVersion = -1L,
+              LakeSnapshot(0L, src.schema, absolute, props))
+            out(StructType(Seq(
+              StructField("cloned_version", LongType, nullable = false),
+              StructField("n_files", IntegerType, nullable = false),
+              StructField("n_rows", LongType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](
+                v, absolute.size, absolute.map(_.liveRows).sum))))
+          }
+        }
+      }
+
       case "rollback" => new UnboundProcedure {
         override def name(): String = "rollback"
         override def description(): String =

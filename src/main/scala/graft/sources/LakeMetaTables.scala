@@ -40,6 +40,7 @@ object LakeMetaTables {
   val HistorySuffix = "__history"
   val RefsSuffix = "__refs"
   val PartitionsSuffix = "__partitions"
+  val StatsSuffix = "__stats"
 
   /** Log bytes under which `__files` stays a driver-local scan. */
   val LocalMaxBytesDefault: Long = 8L * 1024 * 1024
@@ -121,6 +122,68 @@ object LakeMetaTables {
             fs.map(_.bytes).sum)): InternalRow
         }
     }, s"graftlake.$baseName:partitions")
+
+  val StatsSchema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("min", LongType, nullable = true),
+    StructField("max", LongType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("ndv", LongType, nullable = true),
+    StructField("n_files", IntegerType, nullable = false)))
+
+  /** `<table>__stats` — the table-level column statistics the
+    * ESTIMATOR sees (exactly [[graft.sources.LakeScan]]'s
+    * `columnStats` fold: integral min/max across files, summed null
+    * counts, KMV-merged NDV), as ordinary queryable rows from the log
+    * alone. An operator sanity-checks join-size estimates and decides
+    * ANALYZE-or-not by reading this census, not by scanning 100 TB.
+    * A stat is NULL when coverage is incomplete (a file without the
+    * recorded stat) — absence must be visible, not guessed.
+    */
+  def statsTable(dir: Path, baseName: String): Table =
+    scanOnly(StatsSchema, {
+      val snap = LakeLog.currentSnapshot(dir).getOrElse(
+        throw new IllegalStateException(
+          s"graftlake: $baseName has no committed version"))
+      val cols = LakeColIds.cols(snap.schema, snap.props)
+      snap.schema.fields.toSeq.map { fd =>
+        val integral = fd.dataType == LongType || fd.dataType == IntegerType
+        var lo = Long.MaxValue; var hi = Long.MinValue
+        var nulls = 0L; var haveMm = integral; var haveNulls = true
+        var haveKmv = integral
+        val kmvIn = Seq.newBuilder[Seq[Long]]
+        snap.files.foreach { f =>
+          LakeColIds.physicalName(cols, f, fd.name) match {
+            case None => nulls += f.rows // predates the column
+            case Some(p) =>
+              f.nulls.get(p) match {
+                case Some(nn) => nulls += nn
+                case None => haveNulls = false
+              }
+              f.stats.get(p) match {
+                case Some((l, h)) => lo = math.min(lo, l); hi = math.max(hi, h)
+                case None =>
+                  if (!f.nulls.get(p).contains(f.rows)) haveMm = false
+              }
+              f.kmv.get(p) match {
+                case Some(hs) => kmvIn += hs
+                case None => haveKmv = false
+              }
+          }
+        }
+        val mm = haveMm && lo <= hi
+        val ndv = if (haveKmv) LakeParquet.kmvEstimate(kmvIn.result()) else None
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(fd.name),
+          UTF8String.fromString(fd.dataType.simpleString),
+          if (mm) Long.box(lo) else null,
+          if (mm) Long.box(hi) else null,
+          if (haveNulls) Long.box(nulls) else null,
+          ndv.map(Long.box).orNull,
+          snap.files.size)): InternalRow
+      }
+    }, s"graftlake.$baseName:stats")
 
   /** One row per LIVE data file of the head snapshot: path, row
     * counts, delete-vector size, partition tuple, streaming origin.

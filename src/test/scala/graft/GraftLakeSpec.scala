@@ -459,6 +459,69 @@ class GraftLakeSpec extends AnyFunSuite {
       s"a tag read must keep the metadata-aggregate path:\n$tgPlan")
   }
 
+  test("__stats census: estimator-grade column statistics from the log alone") {
+    val t = seeded("t_statcensus")
+    val rows = spark.table(s"lake.db.${t}__stats")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("id", "v", "s"))
+    val id = rows("id")
+    assert(id.getString(1) == "bigint" && id.getLong(2) == 0L && id.getLong(3) == 99L &&
+      id.getLong(4) == 0L && id.getInt(6) == 4)
+    // 100 distinct ids through a k=64 KMV: deterministic estimate
+    // inside the 1/sqrt(k) band
+    val ndv = id.getLong(5)
+    assert(ndv > 70L && ndv < 140L, s"NDV estimate out of band: $ndv")
+    val v = rows("v")
+    assert(v.getLong(2) == 0L && v.getLong(3) == 990L)
+    // strings: no integral stats, no sketch — but null counts are real,
+    // and ABSENCE is reported as NULL, never guessed
+    val s = rows("s")
+    assert(s.isNullAt(2) && s.isNullAt(3) && s.getLong(4) == 0L && s.isNullAt(5))
+  }
+
+  test("system.clone: zero-copy shallow clone, independent evolution, compact makes it self-contained") {
+    import spark.implicits._
+    val t = seeded("t_cl_src")
+    val srcFiles = filePaths("t_cl_src")
+    val res = spark.sql(s"CALL lake.system.clone('db.$t', 'db.t_cl_dst', -1)")
+      .collect().head
+    assert(res.getLong(0) == 4L && res.getInt(1) == 4 && res.getLong(2) == 100L)
+    // zero bytes copied: the clone's data dir is empty, entries are
+    // absolute references into the source
+    assert(scala.util.Using.resource(Files.list(tableDir("t_cl_dst").resolve("data")))(
+      _.count()) == 0L)
+    assert(LakeLog.currentSnapshot(tableDir("t_cl_dst")).get.files
+      .forall(f => Paths.get(f.path).isAbsolute))
+    assert(spark.table("lake.db.t_cl_dst").count() == 100L)
+    assert(spark.sql("SELECT sum(v) FROM lake.db.t_cl_dst").head().getLong(0) ==
+      spark.sql(s"SELECT sum(v) FROM lake.db.$t").head().getLong(0))
+    // independent evolution: a write to the clone lands RELATIVE under
+    // its own dir and never touches the source
+    spark.range(100, 110).select($"id", ($"id" * 10L).as("v"), lit("x").as("s"))
+      .coalesce(1).writeTo("lake.db.t_cl_dst").append()
+    assert(spark.table("lake.db.t_cl_dst").count() == 110L)
+    assert(spark.table(s"lake.db.$t").count() == 100L)
+    assert(filePaths("t_cl_src") == srcFiles, "the source is untouched")
+    // a DELETE on the source (COW rewrite) does not reach the clone —
+    // it still reads the superseded files it references
+    spark.sql(s"DELETE FROM lake.db.$t WHERE id < 50")
+    assert(spark.table(s"lake.db.$t").count() == 50L)
+    assert(spark.table("lake.db.t_cl_dst").count() == 110L,
+      "the clone pins the snapshot it was taken from")
+    // compact converges the clone to SELF-CONTAINED: after it, even
+    // vacuuming the source (the documented shallow-clone hazard)
+    // cannot break the clone
+    spark.sql("CALL lake.system.compact('db.t_cl_dst', 1)").collect()
+    assert(LakeLog.currentSnapshot(tableDir("t_cl_dst")).get.files
+      .forall(f => !Paths.get(f.path).isAbsolute))
+    spark.sql(s"CALL lake.system.vacuum('db.$t', 1)").collect()
+    assert(spark.table("lake.db.t_cl_dst").count() == 110L,
+      "a compacted clone survives source vacuum")
+    // cloning over an existing table refuses
+    intercept[Exception](
+      spark.sql(s"CALL lake.system.clone('db.$t', 'db.t_cl_dst', -1)").collect())
+  }
+
   test("metadata-only MIN/MAX/COUNT(col): answered from footer stats; delete vectors force the fallback") {
     import spark.implicits._
     spark.sql("""CREATE TABLE lake.db.t_metaagg (id BIGINT, v BIGINT, s STRING)
