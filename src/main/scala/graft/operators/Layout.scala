@@ -48,17 +48,28 @@ object Layout {
     * `repartitionByRange`'s sampler).
     */
   def quantize16(x: Column, lo: Column, hi: Column): Column = {
-    // exact DECIMAL(38,0) arithmetic, not LONG: (x−lo)·65535 overflows
-    // Long once the column span exceeds ~1.4e14 (nano/micro-timestamp
-    // keys), and a wrapped product breaks Morton MONOTONICITY — curve
-    // pruning would then skip files that contain matching rows. The
-    // widest case (1.8e19 span × 65535 ≈ 1.2e24) fits 25 digits;
-    // IntegralDivide on decimals still returns BIGINT, and values are
-    // bit-identical to the long path wherever the long path was exact.
+    // (x−lo)·65535 overflows Long once the column span exceeds ~1.4e14
+    // (nano/micro-timestamp keys), and a wrapped product breaks Morton
+    // MONOTONICITY — curve pruning would then skip files that contain
+    // matching rows. Wide spans therefore take exact DECIMAL(38,0)
+    // arithmetic (the widest case, 1.8e19 span × 65535 ≈ 1.2e24, fits
+    // 25 digits; IntegralDivide on decimals still returns BIGINT). But
+    // decimal at this precision is BigDecimal-backed and ~2.5× slower
+    // per row (z01/z02 bench), so the common narrow-span case keeps
+    // the pure-long path behind a runtime guard: span ≥ 0 rejects a
+    // WRAPPED hi−lo (true span past Long.MaxValue), span ≤ MaxValue/
+    // 65535 keeps the product in range, and x ∈ [lo,hi] (lo/hi are
+    // x's observed extremes) bounds x−lo by the span. Both branches
+    // are value-identical wherever the long path is exact.
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val span = hi - lo
+    val safeSpan = span >= lit(0L) && span <= lit(Long.MaxValue / 65535L)
     when(hi === lo, lit(0L))
-      .otherwise(call_function("div",
-        (x.cast(dec) - lo.cast(dec)) * lit(65535L), hi.cast(dec) - lo.cast(dec)))
+      .otherwise(when(safeSpan,
+        call_function("div", (x - lo) * lit(65535L), span))
+        .otherwise(call_function("div",
+          (x.cast(dec) - lo.cast(dec)) * lit(65535L),
+          hi.cast(dec) - lo.cast(dec))))
   }
 
   /** Locality audit: bucket rows by the TOP `bucketBits` bits of their
