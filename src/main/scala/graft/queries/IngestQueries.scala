@@ -805,6 +805,74 @@ object IngestQueries {
       .orderBy($"seg")
   }
 
+  /** q101 — the `__stats` census END-TO-END: a lake table lands with
+    * injected NULLs, and the returned frame is the companion table's
+    * own rows (column, write-time type, integral min/max, null count)
+    * — every value derived from the LOG alone (writer-recorded footer
+    * stats + null counts), zero data-file reads at answer time. The
+    * DuckDB oracle recomputes the same statistics from the raw
+    * parquet, so a drifted min, a miscounted null, or a missing
+    * column row breaks the hash. NDV is excluded here (it is a
+    * sketch estimate, pinned in-band by spec instead).
+    */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q101").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.cust_stats"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, nat BIGINT, bal BIGINT, seg STRING)")
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_nationkey".cast("long").as("nat"),
+        when($"c_custkey" % 7L === 0L, lit(null))
+          .otherwise(graft.functions.gf.fixed($"c_acctbal", 100.0)).as("bal"),
+        $"c_mktsegment".as("seg"))
+      .repartition(3).writeTo(t).append()
+    spark.table(s"${t}__stats")
+      .select($"column", $"type", $"min", $"max", $"null_count")
+      .orderBy($"column")
+  }
+
+  /** q102 — `CALL system.clone` snapshot isolation END-TO-END: a
+    * source table is shallow-cloned (one metadata commit, zero bytes
+    * copied), then the source takes an append AND a copy-on-write
+    * DELETE. The returned frame reads BOTH tables — the clone must
+    * still serve exactly the cloned snapshot (through the source's
+    * superseded files it references absolutely), the source exactly
+    * its mutated state. The oracle recomputes both views from raw
+    * parquet: a clone leaking post-clone rows, losing pinned ones, or
+    * a source mutation bleeding across breaks the hash.
+    */
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q102").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$cat.db.orders_cl"
+    spark.sql(s"CREATE TABLE $src (ok BIGINT, cents BIGINT)")
+    def slice(m: Int) = Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 2 === m.toLong)
+      .select($"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    slice(0).repartition(2).writeTo(src).append() // v1: the cloned state
+    spark.sql(s"CALL $cat.system.clone('db.orders_cl', 'db.orders_snap', -1)")
+    slice(1).repartition(2).writeTo(src).append() // post-clone append
+    spark.sql(s"DELETE FROM $src WHERE ok % 5 = 0") // post-clone COW rewrite
+    val clone = spark.table(s"$cat.db.orders_snap")
+      .groupBy(($"ok" % 10L).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      .select(lit("clone").as("vw"), $"bucket", $"n_rows", $"sum_cents")
+    val source = spark.table(src)
+      .groupBy(($"ok" % 10L).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      .select(lit("source").as("vw"), $"bucket", $"n_rows", $"sum_cents")
+    clone.unionAll(source).orderBy($"vw", $"bucket")
+  }
+
   /** q92 — WRITE-AUDIT-PUBLISH over named refs: the curation gate a
     * production lake runs before exposing new data (the reference
     * publishes each transform layer wholesale to HDFS paths,
@@ -1281,6 +1349,8 @@ object IngestQueries {
     "q90_enriched_mv" -> q90,
     "q91_stream_into_lake" -> q91,
     "q100_stream_partitioned" -> q100,
+    "q101_stats_census" -> q101,
+    "q102_clone_isolation" -> q102,
     "q92_wap_refs" -> q92,
     "q93_metadata_agg" -> q93,
     "q94_filtered_meta" -> q94,
@@ -1433,6 +1503,42 @@ object IngestQueries {
         |FROM o
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    "q101_stats_census" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |         ELSE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) END AS bal,
+        |    c_mktsegment AS seg
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'bal' AS "column", 'bigint' AS "type",
+        |    min(bal) AS "min", max(bal) AS "max",
+        |    CAST(count(*) - count(bal) AS BIGINT) AS null_count FROM base
+        |  UNION ALL
+        |  SELECT 'k', 'bigint', min(k), max(k), CAST(0 AS BIGINT) FROM base
+        |  UNION ALL
+        |  SELECT 'nat', 'bigint', min(nat), max(nat), CAST(0 AS BIGINT) FROM base
+        |  UNION ALL
+        |  SELECT 'seg', 'string', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(0 AS BIGINT))
+        |ORDER BY "column"""".stripMargin,
+    "q102_clone_isolation" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |clone_v AS (SELECT * FROM o WHERE ok % 2 = 0),
+        |src_v AS (SELECT * FROM o WHERE ok % 5 <> 0)
+        |SELECT * FROM (
+        |  SELECT 'clone' AS vw, ok % 10 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM clone_v GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'source', ok % 10, CAST(count(*) AS BIGINT),
+        |    CAST(sum(cents) AS BIGINT)
+        |  FROM src_v GROUP BY 2)
+        |ORDER BY vw, bucket""".stripMargin,
     "q100_stream_partitioned" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS seg,

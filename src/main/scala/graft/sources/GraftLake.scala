@@ -119,11 +119,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         else None
       }
     companion(LakeChanges.Suffix)(new LakeChangesTable(_, _))
-      .orElse(companion(LakeMetaTables.FilesSuffix)(LakeMetaTables.filesTable))
-      .orElse(companion(LakeMetaTables.HistorySuffix)(LakeMetaTables.historyTable))
+      .orElse(companion(LakeMetaTables.FilesSuffix)(LakeMetaTables.filesTable(_, _)))
+      .orElse(companion(LakeMetaTables.HistorySuffix)(LakeMetaTables.historyTable(_, _)))
       .orElse(companion(LakeMetaTables.RefsSuffix)(LakeMetaTables.refsTable))
-      .orElse(companion(LakeMetaTables.PartitionsSuffix)(LakeMetaTables.partitionsTable))
-      .orElse(companion(LakeMetaTables.StatsSuffix)(LakeMetaTables.statsTable))
+      .orElse(companion(LakeMetaTables.PartitionsSuffix)(LakeMetaTables.partitionsTable(_, _)))
+      .orElse(companion(LakeMetaTables.StatsSuffix)(LakeMetaTables.statsTable(_, _)))
       .foreach(t => return t)
     val dir = tableDir(ident)
     // write-audit-publish: a pinned `main` ref freezes the DEFAULT
@@ -144,27 +144,67 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     * is read-only history (writes still go through the head).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // metadata companions time-travel too: `t__files VERSION AS OF v`
+    // is the audit read an operator does before trusting a vacuum or
+    // diagnosing a historical plan — the version (or ref) resolves
+    // against the BASE table's log
+    def pinnedCompanion(suffix: String)(
+        make: (Path, String, Option[Long]) => Table): Option[Table] =
+      if (!ident.name().endsWith(suffix)) None
+      else {
+        val base = ident.name().stripSuffix(suffix)
+        val baseDir = tableDir(Identifier.of(ident.namespace(), base))
+        if (!Files.isDirectory(tableDir(ident).resolve("_log")) &&
+            LakeLog.currentVersion(baseDir).isDefined)
+          Some(make(baseDir, base, Some(resolveVersion(baseDir, base, version))))
+        else None
+      }
+    pinnedCompanion(LakeMetaTables.FilesSuffix)(LakeMetaTables.filesTable)
+      .orElse(pinnedCompanion(LakeMetaTables.HistorySuffix)(LakeMetaTables.historyTable))
+      .orElse(pinnedCompanion(LakeMetaTables.PartitionsSuffix)(LakeMetaTables.partitionsTable))
+      .orElse(pinnedCompanion(LakeMetaTables.StatsSuffix)(LakeMetaTables.statsTable))
+      .foreach(t => return t)
     val dir = tableDir(ident)
-    // `VERSION AS OF` takes a version number OR a ref name: tags (and
-    // the pinned main) resolve to their recorded version, a staging
-    // branch resolves to the CURRENT head — the audit read of WAP
-    val v = version.toLongOption.getOrElse {
-      val (rv, kind) = LakeLog.readRef(dir, version).getOrElse(
-        throw new IllegalArgumentException(
-          s"graftlake: '$version' is neither a version nor a ref of ${ident.name()}"))
-      if (kind == "branch") LakeLog.currentVersion(dir).get else rv
-    }
+    val v = resolveVersion(dir, ident.name(), version)
     LakeLog.snapshotAt(dir, v).map(new LakeTable(dir, _, Some(v))).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
   }
+
+  /** `VERSION AS OF` takes a version number OR a ref name: tags (and
+    * the pinned main) resolve to their recorded version, a staging
+    * branch resolves to the CURRENT head — the audit read of WAP.
+    */
+  private def resolveVersion(dir: Path, name: String, version: String): Long =
+    version.toLongOption.getOrElse {
+      val (rv, kind) = LakeLog.readRef(dir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftlake: '$version' is neither a version nor a ref of $name"))
+      if (kind == "branch") LakeLog.currentVersion(dir).get else rv
+    }
 
   /** TIME TRAVEL by wall clock: `TIMESTAMP AS OF t` (micros per the
     * TableCatalog contract) resolves to the newest version committed
     * at or before `t` — each delta records its commit time.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val dir = tableDir(ident)
     val tsMs = Math.floorDiv(timestamp, 1000L)
+    // metadata companions resolve TIMESTAMP AS OF against the base log
+    Seq(LakeMetaTables.FilesSuffix -> (LakeMetaTables.filesTable _),
+      LakeMetaTables.HistorySuffix -> (LakeMetaTables.historyTable _),
+      LakeMetaTables.PartitionsSuffix -> (LakeMetaTables.partitionsTable _),
+      LakeMetaTables.StatsSuffix -> (LakeMetaTables.statsTable _))
+      .foreach { case (suffix, make) =>
+        if (ident.name().endsWith(suffix)) {
+          val base = ident.name().stripSuffix(suffix)
+          val baseDir = tableDir(Identifier.of(ident.namespace(), base))
+          if (!Files.isDirectory(tableDir(ident).resolve("_log")) &&
+              LakeLog.currentVersion(baseDir).isDefined)
+            return make(baseDir, base,
+              Some(LakeLog.versionAtTime(baseDir, tsMs).getOrElse(
+                throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))))
+        }
+      }
+    val dir = tableDir(ident)
     LakeLog.versionAtTime(dir, tsMs)
       .flatMap(v => LakeLog.snapshotAt(dir, v).map(new LakeTable(dir, _, Some(v))))
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))

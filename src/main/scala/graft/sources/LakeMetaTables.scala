@@ -103,11 +103,20 @@ object LakeMetaTables {
     * from the log alone; an unpartitioned table reports a single
     * null-partition row.
     */
-  def partitionsTable(dir: Path, baseName: String): Table =
+  /** Resolve the snapshot a companion serves: the head, or a
+    * time-travel pin (`t__partitions VERSION AS OF v`).
+    */
+  private def snapFor(dir: Path, baseName: String, pin: Option[Long]): LakeSnapshot =
+    pin.map(v => LakeLog.snapshotAt(dir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftlake: $baseName version $v is not reconstructible")))
+      .orElse(LakeLog.currentSnapshot(dir))
+      .getOrElse(throw new IllegalStateException(
+        s"graftlake: $baseName has no committed version"))
+
+  def partitionsTable(dir: Path, baseName: String, pin: Option[Long] = None): Table =
     scanOnly(PartitionsSchema, {
-      val snap = LakeLog.currentSnapshot(dir).getOrElse(
-        throw new IllegalStateException(
-          s"graftlake: $baseName has no committed version"))
+      val snap = snapFor(dir, baseName, pin)
       snap.files.groupBy(f => (f.specId, f.part))
         .toSeq.sortBy(_._1.toString)
         .map { case ((specId, tuple), fs) =>
@@ -141,11 +150,9 @@ object LakeMetaTables {
     * A stat is NULL when coverage is incomplete (a file without the
     * recorded stat) — absence must be visible, not guessed.
     */
-  def statsTable(dir: Path, baseName: String): Table =
+  def statsTable(dir: Path, baseName: String, pin: Option[Long] = None): Table =
     scanOnly(StatsSchema, {
-      val snap = LakeLog.currentSnapshot(dir).getOrElse(
-        throw new IllegalStateException(
-          s"graftlake: $baseName has no committed version"))
+      val snap = snapFor(dir, baseName, pin)
       val cols = LakeColIds.cols(snap.schema, snap.props)
       snap.schema.fields.toSeq.map { fd =>
         val integral = fd.dataType == LongType || fd.dataType == IntegerType
@@ -188,14 +195,17 @@ object LakeMetaTables {
   /** One row per LIVE data file of the head snapshot: path, row
     * counts, delete-vector size, partition tuple, streaming origin.
     */
-  def filesTable(dir: Path, baseName: String): Table = new Table with SupportsRead {
-    override def name(): String = s"graftlake.$baseName:files"
+  def filesTable(dir: Path, baseName: String, pin: Option[Long] = None): Table = new Table with SupportsRead {
+    override def name(): String =
+      s"graftlake.$baseName:files" + pin.map(v => s"@v$v").getOrElse("")
     override def schema(): StructType = FilesSchema
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ)
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = () => {
-      val head = LakeLog.currentVersion(dir).getOrElse(
+      // a pinned census folds the survivor rule up to the PIN — the
+      // chunked plan shape is identical, only the fold ceiling moves
+      val head = pin.orElse(LakeLog.currentVersion(dir)).getOrElse(
         throw new IllegalStateException(
           s"graftlake: $baseName has no committed version"))
       val cp = LakeLog.checkpointBelow(dir, head)
@@ -212,9 +222,7 @@ object LakeMetaTables {
       if (logBytes <= localMax || !chunked) new LocalScan {
         override def readSchema(): StructType = FilesSchema
         override def rows(): Array[InternalRow] = {
-          val snap = LakeLog.currentSnapshot(dir).getOrElse(
-            throw new IllegalStateException(
-              s"graftlake: $baseName has no committed version"))
+          val snap = snapFor(dir, baseName, Some(head))
           snap.files.map(f => fileRow(f, snap.props)).toArray
         }
         override def description(): String = s"graftlake.$baseName:files"
@@ -289,7 +297,7 @@ object LakeMetaTables {
     * each delta read once, instead of reconstructing a full snapshot
     * per version (O(versions × files) on a long-lived table).
     */
-  def historyTable(dir: Path, baseName: String): Table = {
+  def historyTable(dir: Path, baseName: String, pin: Option[Long] = None): Table = {
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("committed_at", TimestampType, nullable = true),
@@ -297,7 +305,9 @@ object LakeMetaTables {
       StructField("n_rows", LongType, nullable = false),
       StructField("n_live_rows", LongType, nullable = false)))
     scanOnly(schema, {
-      LakeLog.historyCensus(dir).map { case (v, tsMs, nFiles, nRows, nLive) =>
+      LakeLog.historyCensus(dir)
+        .filter { case (v, _, _, _, _) => pin.forall(v <= _) }
+        .map { case (v, tsMs, nFiles, nRows, nLive) =>
         new GenericInternalRow(Array[Any](
           v,
           tsMs.map(ms => Long.box(ms * 1000L)).orNull,

@@ -459,6 +459,39 @@ class GraftLakeSpec extends AnyFunSuite {
       s"a tag read must keep the metadata-aggregate path:\n$tgPlan")
   }
 
+  test("metadata companions time-travel: VERSION AS OF version/tag and TIMESTAMP AS OF resolve against the base log") {
+    val t = seeded("t_metatt") // v1..v4, 4 files of 25 rows
+    spark.sql(s"DELETE FROM lake.db.$t WHERE id < 25") // v5: metadata-drops file 1
+    assert(spark.table(s"lake.db.${t}__files").count() == 3L)
+    // pinned census: the dropped file is back at v4
+    assert(spark.sql(s"SELECT count(*) FROM lake.db.${t}__files VERSION AS OF 4")
+      .head().getLong(0) == 4L)
+    // a TAG resolves for companions exactly like for the base table
+    spark.sql(s"CALL lake.system.tag('db.$t', 'pre-del', 4)").collect()
+    assert(spark.sql(
+      s"SELECT count(*) FROM lake.db.${t}__files VERSION AS OF 'pre-del'")
+      .head().getLong(0) == 4L)
+    // __stats at the pin sees the deleted rows' extremes
+    assert(spark.sql(
+      s"SELECT min FROM lake.db.${t}__stats VERSION AS OF 'pre-del' WHERE column = 'id'")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(
+      s"SELECT min FROM lake.db.${t}__stats WHERE column = 'id'")
+      .head().getLong(0) == 25L)
+    // __partitions at the pin counts the pre-delete live rows
+    assert(spark.sql(
+      s"SELECT live_rows FROM lake.db.${t}__partitions VERSION AS OF 4")
+      .head().getLong(0) == 100L)
+    // __history truncates at the pin
+    assert(spark.sql(
+      s"SELECT max(version) FROM lake.db.${t}__history VERSION AS OF 4")
+      .head().getLong(0) == 4L)
+    // TIMESTAMP AS OF routes through versionAtTime on the base log
+    assert(spark.sql(
+      s"SELECT count(*) FROM lake.db.${t}__files TIMESTAMP AS OF '2100-01-01'")
+      .head().getLong(0) == 3L)
+  }
+
   test("__stats census: estimator-grade column statistics from the log alone") {
     val t = seeded("t_statcensus")
     val rows = spark.table(s"lake.db.${t}__stats")
