@@ -108,6 +108,87 @@ object DataOps {
       .orderBy(col("lang"))
   }
 
+  /** d06 — d02's MinHash+LSH near-dup pass LIVE: documents stream in
+    * two micro-batches (all originals, then all mutants — so every
+    * recovered-mutant pair must cross a batch boundary through
+    * [[graft.streaming.DedupStream]] bucket state), signatures and
+    * band keys compute statelessly per batch with the same fused
+    * native MinHash, and per-bucket ListState emits each candidate
+    * pair the moment its second member arrives — dedup AT INGEST,
+    * checking each incoming document against the full accumulated
+    * corpus instead of a later corpus-wide self-join. The emitted
+    * candidate SET is provably identical to the batch LSH self-join
+    * (one emission per shared bucket, same dropDuplicates), so the
+    * oracle is d02's DuckDB signature-math port VERBATIM — the
+    * stream/batch estimates share one IEEE chain.
+    */
+  def d06(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{DedupStream, Replay}
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val base = docs(spark, dir).withColumn("norm", norm(col("text")))
+    val origs = base.select(col("doc_id"), col("lang"), col("norm"))
+    val mutants = base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+      col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm"))
+    val replay = s"/root/repo/target/d06_replay-${new java.io.File(dir).getName}"
+    Replay.writeSlices(replay, Seq(origs, mutants))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("norm",
+        org.apache.spark.sql.types.StringType)))
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(replay)
+      .withColumn("sig", call_function("graft_minhash32_w3",
+        TextOps.tokens(col("norm"))))
+      .withColumn("bandKey", explode(Dedup.lshBandKeys(col("sig"), 8, 4)))
+      .select(col("bandKey"), col("doc_id").as("id"), col("sig"))
+      .as[DedupStream.BandArrival]
+    val out = DedupStream.candidatePairs(stream)
+    val sink = s"d06_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-d06").toString
+    val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val beforeChangelog = spark.conf.get(changelogKey, "false")
+    // q69's tuned shape: per-batch cost is store lifecycles, not rows
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    val q =
+      try out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeParts)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          beforeProvider)
+        spark.conf.set(changelogKey, beforeChangelog)
+      }
+    q.awaitTermination()
+    // batch tail identical to d02's: cross-bucket dedup, language join,
+    // estimate from the carried signatures
+    val pairs = spark.table(sink).dropDuplicates("id_a", "id_b")
+    val langOf = origs.unionByName(mutants)
+      .select(col("doc_id").as("id_a"), col("lang"))
+    val est = pairs.join(langOf, Seq("id_a"))
+      .withColumn("est_jaccard", Dedup.minHashEstimate(col("sig_a"), col("sig_b")))
+    est.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("id_b") === col("id_a") + 1000000, 1).otherwise(0))
+          .as("n_recovered_mutants"),
+        gf.dround(sum(gf.fixed(col("est_jaccard"), 10000.0)).cast("double") /
+          count(lit(1)) / 10000.0, 4).as("avg_est_jaccard"))
+      .orderBy(col("lang"))
+  }
+
   /** d03 — SimHash(64) + 16-bit-chunk blocking near-dup discovery;
     * hash-checked against [[DuckSketchSql.d03]], semantics in DedupSpec.
     */
@@ -936,6 +1017,7 @@ object DataOps {
     "e01_embedding_dedup" -> e01,
     "e02_semantic_dedup" -> e02,
     "d02_minhash_lsh" -> d02,
+    "d06_stream_lsh_dedup" -> d06,
     "d03_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
     "d05_winnow_dedup" -> d05,
@@ -968,6 +1050,9 @@ object DataOps {
 
   private val baseOracles: Map[String, String] = Map(
     "d02_minhash_lsh" -> DuckSketchSql.d02,
+    // d06 is d02 LIVE: the candidate-pair SET is provably identical, so
+    // the oracle is the same DuckDB signature-math port verbatim
+    "d06_stream_lsh_dedup" -> DuckSketchSql.d02,
     "d03_simhash" -> DuckSketchSql.d03,
     "d05_winnow_dedup" -> DuckSketchSql.d05,
     "s02_lsh_ann" -> DuckSketchSql.s02,

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.streaming.{DedupStream, Replay}
+
+/** Streaming LSH dedup ([[DedupStream]]): the candidate-pair SET must
+  * equal the batch LSH self-join's on the same corpus, independent of
+  * micro-batch boundaries — and the interesting pairs must actually
+  * CROSS batches through bucket state (the replay is split so no
+  * original shares a batch with its mutant).
+  */
+class DedupStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("dedup-stream-spec")
+
+  test("streaming candidate set == batch LSH; recovered pairs cross micro-batches") {
+    import spark.implicits._
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    // 8 docs + 8 tail-truncated mutants: enough shared shingles that
+    // every (doc, mutant) pair shares at least one band
+    val words = (0 until 40).map(i => s"w$i")
+    val base = (0 until 8).map { d =>
+      (d.toLong, (0 until 25).map(i => words((d * 3 + i * 2) % 40)).mkString(" "))
+    }.toDF("doc_id", "norm")
+    val mutants = base.select(($"doc_id" + 100L).as("doc_id"),
+      $"norm".substr(lit(1), length($"norm") - 12).as("norm"))
+    def withBands(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("sig", call_function("graft_minhash32_w3",
+        graft.operators.TextOps.tokens($"norm")))
+    // batch truth
+    val batchPairs = Dedup.lshCandidatePairs(
+      withBands(base.unionByName(mutants)), $"doc_id", $"sig", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture must produce candidates")
+    // stream: originals then mutants — every recovered pair crosses
+    val replay = Files.createTempDirectory("d06-spec-replay").toString
+    Replay.writeSlices(replay, Seq(base, mutants))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("norm",
+        org.apache.spark.sql.types.StringType)))
+    val stream = withBands(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(replay))
+      .withColumn("bandKey", explode(Dedup.lshBandKeys($"sig", 8, 4)))
+      .select($"bandKey", $"doc_id".as("id"), $"sig")
+      .as[DedupStream.BandArrival]
+    val ckpt = Files.createTempDirectory("d06-spec-ckpt").toString
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try DedupStream.candidatePairs(stream)
+        .writeStream.format("memory").queryName("d06spec")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", beforeProvider)
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the replay must execute as at least two non-empty micro-batches")
+    val emitted = spark.table("d06spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(emitted.toSet == batchPairs,
+      s"stream candidates must equal batch LSH: ${emitted.toSet} vs $batchPairs")
+    // every original→mutant pair is CROSS-BATCH by construction: id_a
+    // arrived in batch 1, id_b (=id_a+100) in batch 2 — state, not a
+    // within-batch join, produced it
+    assert(batchPairs.exists { case (a, b) => b == a + 100L },
+      "fixture must recover at least one mutant pair")
+    // per shared bucket exactly one emission; multi-bucket pairs emit
+    // once per bucket — never more than the band count
+    val counts = emitted.groupBy(identity).view.mapValues(_.length)
+    assert(counts.values.forall(_ <= 8), s"over-emission: ${counts.toMap}")
+  }
+}
