@@ -74,12 +74,71 @@ import org.apache.spark.unsafe.types.UTF8String
   *     rewrite touches only those — at 100 TB an UPDATE of one key
   *     rewrites one file, not the table.
   */
+/** CHECK-constraint persistence: one `constraint.<name>` table property
+  * per constraint, JSON {sql, enforced, rely, validated}. Spark 4.1's
+  * DSv2 constraints surface does the heavy lifting — the analyzer
+  * injects per-row enforcement into every write plan of a table whose
+  * [[org.apache.spark.sql.connector.catalog.Table#constraints]]
+  * reports an ENFORCED check — so the format only stores, reports, and
+  * validates-on-ADD. PRIMARY KEY / UNIQUE / FOREIGN KEY are refused:
+  * nothing in this engine enforces them, and an unenforced constraint
+  * the optimizer may `rely` on is a wrong-results trap, not metadata.
+  */
+object LakeConstraints {
+  import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
+  val Prefix = "constraint."
+  private val mapper = new ObjectMapper()
+
+  def prop(name: String): String = Prefix + name
+
+  def encode(c: Constraint): (String, String) = c match {
+    case ck: Check =>
+      val n = mapper.createObjectNode()
+      n.put("sql", ck.predicateSql())
+      n.put("enforced", ck.enforced())
+      n.put("rely", ck.rely())
+      n.put("validated", ck.validationStatus().name())
+      prop(ck.name()) -> n.toString
+    case other => throw new UnsupportedOperationException(
+      s"graftlake supports CHECK constraints only; nothing enforces a " +
+        s"${other.getClass.getSimpleName.toUpperCase} and unenforced " +
+        s"constraints the optimizer may rely on are a correctness trap")
+  }
+
+  def decode(props: Map[String, String]): Array[Constraint] =
+    props.iterator.collect { case (k, v) if k.startsWith(Prefix) =>
+      val root = mapper.readTree(v)
+      Constraint.check(k.stripPrefix(Prefix))
+        .predicateSql(root.get("sql").asText())
+        .enforced(root.get("enforced").asBoolean())
+        .rely(root.get("rely").asBoolean())
+        .validationStatus(Constraint.ValidationStatus.valueOf(
+          root.get("validated").asText()))
+        .build(): Constraint
+    }.toArray.sortBy(_.name())
+}
+
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   with ProcedureCatalog with StagingTableCatalog with ViewCatalog
   with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = "graftlake"
   private var warehouse: Path = _
+
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** `CREATE TABLE … (…, CONSTRAINT c CHECK (…))` arrives through the
+    * [[TableInfo]] overload; constraints ride as properties.
+    */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val cProps = info.constraints().map(LakeConstraints.encode).toMap
+    val props = new java.util.HashMap[String, String](info.properties())
+    cProps.foreach { case (k, v) => props.put(k, v) }
+    createTable(ident, info.schema(), info.partitions(), props)
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
@@ -221,7 +280,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
     val keep = properties.asScala.view
-      .filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode", "checkpoint_part_bytes")).toMap
+      .filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "mode",
+        "checkpoint_part_bytes").contains(k) ||
+        k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
       LakeTable.bloomCols(keep)).foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -294,7 +355,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
-    val keep = properties.asScala.view.filterKeys(Set("clusterBy", "sortBy", "bloomBy", "mode", "checkpoint_part_bytes")).toMap
+    val keep = properties.asScala.view.filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "mode",
+        "checkpoint_part_bytes").contains(k) ||
+        k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
       LakeTable.bloomCols(keep)).foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -409,14 +472,42 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             schema.fields.updated(i, schema.fields(i).copy(dataType = LongType)))
         case set: TableChange.SetProperty =>
           require(!LakeTable.ReservedProps(set.property) &&
-            !set.property.startsWith("txn."),
+            !set.property.startsWith("txn.") &&
+            !set.property.startsWith(LakeConstraints.Prefix),
             s"graftlake: property ${set.property} is format-internal")
           props = props + (set.property -> set.value)
         case rm: TableChange.RemoveProperty =>
           require(!LakeTable.ReservedProps(rm.property) &&
-            !rm.property.startsWith("txn."),
+            !rm.property.startsWith("txn.") &&
+            !rm.property.startsWith(LakeConstraints.Prefix),
             s"graftlake: property ${rm.property} is format-internal")
           props = props - rm.property
+        case add: TableChange.AddConstraint =>
+          val (k, v) = LakeConstraints.encode(add.constraint())
+          require(!props.contains(k),
+            s"graftlake: constraint ${add.constraint().name()} already exists")
+          // an ENFORCED check added over EXISTING rows must hold for
+          // them too — writes only guard rows from here on (Spark's
+          // analyzer enforces via Table.constraints on every write)
+          add.constraint() match {
+            case c: org.apache.spark.sql.connector.catalog.constraints.Check
+                if c.enforced() =>
+              val spark = org.apache.spark.sql.SparkSession.active
+              val fqn = s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}"
+              val violating = spark.table(fqn)
+                .where(s"NOT ((${c.predicateSql()}) <=> true)").limit(1).count()
+              require(violating == 0L,
+                s"graftlake: cannot add enforced constraint ${c.name()}: " +
+                  s"existing rows violate CHECK (${c.predicateSql()})")
+            case _ => ()
+          }
+          props = props + (k -> v)
+        case drop: TableChange.DropConstraint =>
+          val k = LakeConstraints.prop(drop.name())
+          if (!props.contains(k) && !drop.ifExists())
+            throw new IllegalArgumentException(
+              s"graftlake: no constraint named ${drop.name()}")
+          props = props - k
         case other => throw new UnsupportedOperationException(
           s"graftlake: unsupported ALTER TABLE change $other")
       }
@@ -1317,6 +1408,11 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
   override def name(): String =
     s"graftlake.${dir.getFileName}" + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = snapshot.schema
+  // ENFORCED checks reported here are injected into every write plan
+  // by Spark's own analyzer (ResolveTableConstraints) — the format
+  // stores and reports; the engine enforces
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    LakeConstraints.decode(snapshot.props)
   override def properties(): java.util.Map[String, String] = snapshot.props.asJava
   override def partitioning(): Array[Transform] =
     LakePartitioning.toTransforms(LakePartitioning.decode(snapshot.props))

@@ -459,6 +459,50 @@ class GraftLakeSpec extends AnyFunSuite {
       s"a tag read must keep the metadata-aggregate path:\n$tgPlan")
   }
 
+  test("CHECK constraints: write-enforced, ADD validates existing rows, DROP releases, PK refused") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_check (k BIGINT, v BIGINT,
+        |CONSTRAINT v_nonneg CHECK (v >= 0))""".stripMargin)
+    spark.range(0, 5).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_check").append()
+    assert(spark.table("lake.db.t_check").count() == 5L)
+    // Spark's analyzer injects per-row enforcement from
+    // Table.constraints into the write plan — a violating INSERT fails
+    // and the aborted write lands NOTHING
+    val err = intercept[Exception](
+      spark.range(0, 1).select(lit(9L).as("k"), lit(-1L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_check").append())
+    assert(err.getMessage.contains("v_nonneg") ||
+      Option(err.getCause).exists(_.getMessage.contains("v_nonneg")),
+      s"violation must name the constraint: ${err.getMessage}")
+    assert(spark.table("lake.db.t_check").count() == 5L,
+      "a failed write must be invisible")
+    // DROP releases; a violating row can land; re-ADD then refuses
+    // because EXISTING rows must satisfy an enforced check too
+    spark.sql("ALTER TABLE lake.db.t_check DROP CONSTRAINT v_nonneg")
+    spark.range(0, 1).select(lit(9L).as("k"), lit(-1L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_check").append()
+    val addErr = intercept[Exception](spark.sql(
+      "ALTER TABLE lake.db.t_check ADD CONSTRAINT v_nonneg CHECK (v >= 0)"))
+    assert(addErr.getMessage.contains("violate") ||
+      Option(addErr.getCause).exists(_.getMessage.contains("violate")),
+      s"got: ${addErr.getMessage}")
+    spark.sql("DELETE FROM lake.db.t_check WHERE v < 0")
+    spark.sql("ALTER TABLE lake.db.t_check ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+    intercept[Exception](
+      spark.range(0, 1).select(lit(9L).as("k"), lit(-2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_check").append())
+    assert(spark.table("lake.db.t_check").count() == 5L)
+    // nothing enforces PRIMARY KEY here — storing it would be a
+    // correctness trap, so it refuses loudly
+    val pkErr = intercept[Exception](spark.sql(
+      """CREATE TABLE lake.db.t_pk (k BIGINT, v BIGINT,
+        |CONSTRAINT pk PRIMARY KEY (k))""".stripMargin))
+    assert(pkErr.getMessage.contains("CHECK constraints only") ||
+      Option(pkErr.getCause).exists(_.getMessage.contains("CHECK constraints only")))
+  }
+
   test("metadata companions time-travel: VERSION AS OF version/tag and TIMESTAMP AS OF resolve against the base log") {
     val t = seeded("t_metatt") // v1..v4, 4 files of 25 rows
     spark.sql(s"DELETE FROM lake.db.$t WHERE id < 25") // v5: metadata-drops file 1
