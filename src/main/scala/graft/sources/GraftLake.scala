@@ -127,7 +127,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // column DEFAULTs ride in the schema's field metadata
+      // (CURRENT_DEFAULT/EXISTS_DEFAULT), which the log's schema JSON
+      // already round-trips; Spark's analyzer fills them on INSERT
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `CREATE TABLE … (…, CONSTRAINT c CHECK (…))` arrives through the
     * [[TableInfo]] overload; constraints ride as properties.
@@ -402,6 +406,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           require(add.isNullable,
             s"graftlake: added column $name must be nullable " +
               "(pre-evolution files read it as NULL)")
+          // the scan null-fills pre-evolution files; honoring an ADDed
+          // DEFAULT would need an existence default served by the scan
+          // — refuse rather than silently read NULL where 'DEFAULT x'
+          // was promised
+          require(add.defaultValue() == null,
+            s"graftlake: ADD COLUMN $name with DEFAULT is not supported — " +
+              "rows written before the column would read NULL, not the default")
           schema = schema.add(StructField(name, add.dataType, nullable = true))
           maxId += 1
           ids = ids :+ maxId
@@ -482,6 +493,24 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             !rm.property.startsWith(LakeConstraints.Prefix),
             s"graftlake: property ${rm.property} is format-internal")
           props = props - rm.property
+        case upd: TableChange.UpdateColumnDefaultValue =>
+          require(upd.fieldNames.length == 1,
+            "graftlake: nested columns not supported")
+          val name = upd.fieldNames.head
+          val i = schema.fieldIndex(name)
+          val f = schema.fields(i)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          // CURRENT_DEFAULT governs future INSERTs only; EXISTS_DEFAULT
+          // (pre-existing rows) is untouched — SET DEFAULT never
+          // rewrites history
+          val sql = Option(upd.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+          sql match {
+            case Some(s) => mb.putString("CURRENT_DEFAULT", s)
+            case None => mb.remove("CURRENT_DEFAULT")
+          }
+          schema = StructType(schema.fields.updated(i,
+            f.copy(metadata = mb.build())))
         case add: TableChange.AddConstraint =>
           val (k, v) = LakeConstraints.encode(add.constraint())
           require(!props.contains(k),

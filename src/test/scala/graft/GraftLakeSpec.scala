@@ -503,6 +503,31 @@ class GraftLakeSpec extends AnyFunSuite {
       Option(pkErr.getCause).exists(_.getMessage.contains("CHECK constraints only")))
   }
 
+  test("column DEFAULT values: filled on INSERT, SET/DROP DEFAULT, ADD COLUMN with DEFAULT refused") {
+    spark.sql("CREATE TABLE lake.db.t_def (k BIGINT, v BIGINT DEFAULT 7)")
+    spark.sql("INSERT INTO lake.db.t_def (k) VALUES (1)")
+    spark.sql("INSERT INTO lake.db.t_def VALUES (2, DEFAULT)")
+    spark.sql("INSERT INTO lake.db.t_def VALUES (3, 30)")
+    assert(spark.table("lake.db.t_def").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 7L), (2L, 7L), (3L, 30L)))
+    // SET DEFAULT governs future INSERTs only
+    spark.sql("ALTER TABLE lake.db.t_def ALTER COLUMN v SET DEFAULT 9")
+    spark.sql("INSERT INTO lake.db.t_def (k) VALUES (4)")
+    assert(spark.sql("SELECT v FROM lake.db.t_def WHERE k = 4").head().getLong(0) == 9L)
+    assert(spark.sql("SELECT v FROM lake.db.t_def WHERE k = 1").head().getLong(0) == 7L,
+      "SET DEFAULT must not rewrite history")
+    spark.sql("ALTER TABLE lake.db.t_def ALTER COLUMN v DROP DEFAULT")
+    spark.sql("INSERT INTO lake.db.t_def VALUES (5, 50)")
+    assert(spark.table("lake.db.t_def").count() == 5L)
+    // ADD COLUMN with DEFAULT would read NULL for pre-evolution rows —
+    // refuse rather than silently break the promise
+    val err = intercept[Exception](spark.sql(
+      "ALTER TABLE lake.db.t_def ADD COLUMN w BIGINT DEFAULT 5"))
+    assert(err.getMessage.contains("DEFAULT is not supported") ||
+      Option(err.getCause).exists(_.getMessage.contains("DEFAULT is not supported")))
+  }
+
   test("metadata companions time-travel: VERSION AS OF version/tag and TIMESTAMP AS OF resolve against the base log") {
     val t = seeded("t_metatt") // v1..v4, 4 files of 25 rows
     spark.sql(s"DELETE FROM lake.db.$t WHERE id < 25") // v5: metadata-drops file 1
