@@ -3021,9 +3021,32 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             LakePartitioning.decode(props),
             bloomBy = LakeTable.bloomCols(props))
         private val queryId = info.queryId()
+        // enforced CHECKs, parsed + analyzed + bound against the write
+        // schema on the DRIVER (tasks just eval): the micro-batch write
+        // plan bypasses Spark's batch-side constraint injection
+        private val boundChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+          import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
+          import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+          import org.apache.spark.sql.connector.catalog.constraints.Check
+          val enforced = LakeConstraints.decode(props).collect {
+            case c: Check if c.enforced() => c }
+          if (enforced.isEmpty) Seq.empty
+          else {
+            val spark = org.apache.spark.sql.SparkSession.active
+            val attrs = info.schema().fields.toSeq.map(f =>
+              AttributeReference(f.name, f.dataType, f.nullable)())
+            enforced.toSeq.map { c =>
+              val parsed = spark.sessionState.sqlParser.parseExpression(c.predicateSql())
+              val resolved = spark.sessionState.analyzer
+                .execute(Filter(parsed, LocalRelation(attrs)))
+                .asInstanceOf[Filter].condition
+              c.name() -> BindReferences.bindReference(resolved, attrs)
+            }
+          }
+        }
         override def createStreamingWriterFactory(
             pi: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-          LakeStreamingWriterFactory(factory)
+          LakeStreamingWriterFactory(factory, boundChecks)
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit = {
           val written = messages.map(_.asInstanceOf[LakeFileMessage])
@@ -3052,11 +3075,38 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
 /** Streaming adapter over the batch writer factory (top-level so the
   * serialized closure carries no table/plan outers).
   */
-case class LakeStreamingWriterFactory(inner: LakeWriterFactory)
+/** Streaming writer wrapper. Spark's analyzer injects CHECK
+  * enforcement into BATCH write plans from `Table.constraints`, but
+  * the micro-batch write plan bypasses that rule — so the connector
+  * enforces here: `checks` are the enforced CHECK predicates, parsed
+  * and bound against the write schema on the DRIVER, evaluated per row
+  * in the task. SQL CHECK semantics: only FALSE violates (NULL
+  * passes). Without this, a stream quietly lands rows every batch
+  * INSERT would reject — the same split-brain the WAP pin closes for
+  * reads.
+  */
+case class LakeStreamingWriterFactory(inner: LakeWriterFactory,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    inner.createWriter(partitionId, taskId)
+      epochId: Long): DataWriter[InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    if (checks.isEmpty) w
+    else new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        checks.foreach { case (name, pred) =>
+          if (pred.eval(row) == false)
+            throw new IllegalStateException(
+              s"[CHECK_CONSTRAINT_VIOLATION] CHECK constraint $name " +
+                "violated by a streamed row")
+        }
+        w.write(row)
+      }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
 }
 
 /** One written data file as reported by a task. */

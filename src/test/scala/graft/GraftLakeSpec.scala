@@ -503,6 +503,40 @@ class GraftLakeSpec extends AnyFunSuite {
       Option(pkErr.getCause).exists(_.getMessage.contains("CHECK constraints only")))
   }
 
+  test("CHECK constraints ride clones and guard STREAMING writes") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_checksrc (k BIGINT, v BIGINT,
+        |CONSTRAINT v_pos CHECK (v > 0))""".stripMargin)
+    spark.range(1, 4).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_checksrc").append()
+    // a shallow clone copies the table properties — the constraint
+    // keeps enforcing on the clone's own writes
+    spark.sql("CALL lake.system.clone('db.t_checksrc', 'db.t_checkclone', -1)").collect()
+    intercept[Exception](
+      spark.range(0, 1).select(lit(9L).as("k"), lit(0L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_checkclone").append())
+    assert(spark.table("lake.db.t_checkclone").count() == 3L)
+    // STREAMING writes enforce too: a violating micro-batch fails the
+    // stream and its epoch never commits
+    spark.sql("CREATE TABLE lake.db.t_checkfeed (k BIGINT, v BIGINT)")
+    spark.range(0, 3).select($"id".as("k"), ($"id" - 1L).as("v")) // v=-1 violates
+      .coalesce(1).writeTo("lake.db.t_checkfeed").append()
+    val ckpt = Files.createTempDirectory("check-stream-ckpt").toString
+    val q = spark.readStream.table("lake.db.t_checkfeed")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("lake.db.t_checksrc")
+    val err = intercept[Exception](q.awaitTermination())
+    assert(err.getMessage.contains("v_pos") ||
+      Option(err.getCause).exists(c => c.getMessage != null &&
+        c.getMessage.contains("v_pos")) ||
+      err.toString.contains("CHECK_CONSTRAINT_VIOLATION"),
+      s"streaming violation must surface the constraint: $err")
+    assert(spark.table("lake.db.t_checksrc").count() == 3L,
+      "the failed epoch must land nothing")
+  }
+
   test("column DEFAULT values: filled on INSERT, SET/DROP DEFAULT, ADD COLUMN with DEFAULT refused") {
     spark.sql("CREATE TABLE lake.db.t_def (k BIGINT, v BIGINT DEFAULT 7)")
     spark.sql("INSERT INTO lake.db.t_def (k) VALUES (1)")
