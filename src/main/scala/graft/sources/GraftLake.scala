@@ -293,6 +293,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake clusterBy/sortBy/bloomBy must name a table column, got '$c'"))
     keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
       s"graftlake mode must be 'cow' or 'mor', got '$m'"))
+    keep.get("checkpoint_part_bytes").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: checkpoint_part_bytes must be a positive integer, got '$v'"))
     val partProps = partitionProps(schema, partitions)
     val dir = tableDir(ident)
     if (LakeLog.currentSnapshot(dir).isDefined)
@@ -368,6 +371,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake clusterBy/sortBy/bloomBy must name a table column, got '$c'"))
     keep.get("mode").foreach(m => require(m == "cow" || m == "mor",
       s"graftlake mode must be 'cow' or 'mor', got '$m'"))
+    keep.get("checkpoint_part_bytes").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: checkpoint_part_bytes must be a positive integer, got '$v'"))
     new GraftStagedTable(tableDir(ident), ident, schema,
       keep ++ partitionProps(schema, partitions), replace, orCreate)
   }
@@ -486,6 +492,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             !set.property.startsWith("txn.") &&
             !set.property.startsWith(LakeConstraints.Prefix),
             s"graftlake: property ${set.property} is format-internal")
+          // reject a non-numeric bound HERE — the checkpoint writer
+          // reads it long after this commit reported success
+          if (set.property == "checkpoint_part_bytes")
+            require(set.value.toLongOption.exists(_ > 0L),
+              s"graftlake: checkpoint_part_bytes must be a positive " +
+                s"integer, got '${set.value}'")
           props = props + (set.property -> set.value)
         case rm: TableChange.RemoveProperty =>
           require(!LakeTable.ReservedProps(rm.property) &&
@@ -523,8 +535,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
                 if c.enforced() =>
               val spark = org.apache.spark.sql.SparkSession.active
               val fqn = s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}"
-              val violating = spark.table(fqn)
-                .where(s"NOT ((${c.predicateSql()}) <=> true)").limit(1).count()
+              // validate against the TRUE head (the version this commit
+              // builds on), not the default view: an active WAP 'main'
+              // pin freezes spark.table(fqn) at the pinned version, and
+              // staged-but-unpublished rows would dodge validation —
+              // publish would then expose rows violating a constraint
+              // reported as enforced
+              val violating = spark.sql(
+                s"SELECT 1 FROM $fqn VERSION AS OF ${cur.version} " +
+                  s"WHERE NOT ((${c.predicateSql()}) <=> true) LIMIT 1").count()
               require(violating == 0L,
                 s"graftlake: cannot add enforced constraint ${c.name()}: " +
                   s"existing rows violate CHECK (${c.predicateSql()})")
@@ -1049,7 +1068,13 @@ object LakeLog {
   private[sources] def checkpointPartEntries(dir: Path, v: Long, part: Int): Seq[LakeFile] = {
     if (part < 0) return checkpointFiles(dir, v)
     val f = checkpointPartFile(dir, v, part)
-    if (!Files.isRegularFile(f)) Seq.empty
+    // the manifest PROMISED this part — a missing file (damage, or a
+    // racing prune) must fail loudly, not silently reconstruct a
+    // truncated snapshot (the legacy single-file checkpoint failed
+    // atomically; multi-part must too)
+    if (!Files.isRegularFile(f))
+      throw new IllegalStateException(
+        s"graftlake: checkpoint v$v references missing part file $f")
     else {
       checkpointReads.incrementAndGet()
       checkpointParseBytes.addAndGet(Files.size(f))
@@ -1167,8 +1192,19 @@ object LakeLog {
 
     Files.createDirectories(logDir(dir))
     if (publish(dir, versionFile(dir, snapshot.version), root)) {
-      if (snapshot.version > 0L && snapshot.version % CheckpointInterval == 0L)
-        checkpoint(dir, snapshot)
+      if (snapshot.version > 0L && snapshot.version % CheckpointInterval == 0L) {
+        // best-effort: the version file above IS the commit — a
+        // checkpoint is a pure read optimization (recomputable from
+        // deltas), so a failure here must never report a COMMITTED
+        // write as failed (a retry would then duplicate it)
+        try checkpoint(dir, snapshot)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"graftlake: checkpoint at v${snapshot.version} failed " +
+                s"(commit unaffected): $e")
+        }
+      }
       true
     } else false
   }
@@ -1204,7 +1240,7 @@ object LakeLog {
       pn.put("version", snapshot.version)
       pn.put("part", i)
       pn.set[JsonNode]("files", arr)
-      publish(dir, checkpointPartFile(dir, snapshot.version, i), pn)
+      publish(dir, checkpointPartFile(dir, snapshot.version, i), pn, pretty = false)
     }
     val root = mapper.createObjectNode()
     root.put("version", snapshot.version)
@@ -1382,9 +1418,16 @@ object LakeLog {
     names.sorted.flatMap(n => readRef(dir, n).map { case (v, k) => (n, v, k) })
   }
 
-  private def publish(dir: Path, target: Path, root: ObjectNode): Boolean = {
+  private def publish(dir: Path, target: Path, root: ObjectNode,
+      pretty: Boolean = true): Boolean = {
     val tmp = Files.createTempFile(logDir(dir), ".commit", ".tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    // checkpoint PARTS publish compactly: the split is cut by measured
+    // COMPACT entry size, so the on-disk part must serialize the same
+    // way or parts systematically exceed the configured byte bound
+    // (pretty-print overhead), loosening the per-task parse guarantee
+    Files.write(tmp,
+      if (pretty) mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+      else mapper.writeValueAsBytes(root))
     try {
       // hard-link the finished tmp into place: link(2) is atomic AND
       // fails if the target exists — exactly one writer can publish
@@ -3898,12 +3941,17 @@ object LakeProcedures {
             * unchanged, so every reader works as-is). Zero bytes copy
             * at any table size; the clone then evolves independently —
             * its own writes/dvs land relative under its own dir, and
-            * compaction converges it to self-contained. The standard
-            * shallow-clone hazard applies and is the operator's
-            * contract: `system.vacuum` ON THE SOURCE can reclaim files
-            * the clone still references (the clone's own vacuum never
-            * touches them — it only scans its own data dir). Deep-copy
-            * by running CALL system.compact on the clone.
+            * compaction converges it to self-contained.
+            *
+            * The standard shallow-clone hazard — source vacuum
+            * reclaiming files the clone still references — is closed
+            * by CONTRACT: the clone drops a TAG ref
+            * (`clone-<target>`) on the SOURCE at the cloned version.
+            * Vacuum already keeps every tagged version reconstructible
+            * and its files referenced, so a source vacuum can never
+            * dangle the clone. Release the pin explicitly with
+            * `CALL system.drop_ref` after deep-copying the clone
+            * (CALL system.compact makes it self-contained).
             */
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val srcDir = resolve(warehouse, input.getUTF8String(0).toString)
@@ -3930,6 +3978,18 @@ object LakeProcedures {
             val props = src.props.filterNot(_._1.startsWith("txn."))
             LakeLog.commit(dstDir, expectedVersion = -1L,
               LakeSnapshot(0L, src.schema, absolute, props))
+            // pin the cloned version on the SOURCE with a tag: vacuum
+            // keeps tagged versions reconstructible and their files
+            // referenced, so the source can never reclaim data the
+            // clone points at (drop_ref releases after a deep copy)
+            val tagBase = ("clone-" + input.getUTF8String(1).toString)
+              .map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '-')
+            var tag = tagBase
+            var k = 1
+            while (!LakeLog.readRef(srcDir, tag).contains((v, "tag")) &&
+                !LakeLog.writeRef(srcDir, tag, v, "tag", replace = false)) {
+              k += 1; tag = s"$tagBase-$k"
+            }
             out(StructType(Seq(
               StructField("cloned_version", LongType, nullable = false),
               StructField("n_files", IntegerType, nullable = false),

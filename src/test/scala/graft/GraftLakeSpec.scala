@@ -2701,6 +2701,157 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(v4 == expected, s"rollback change set:\n$v4")
   }
 
+  test("ADD CONSTRAINT validates the TRUE head, not the WAP-pinned view") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_wapcon (k BIGINT, v BIGINT)")
+    spark.range(1, 4).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_wapcon").append()
+    // open a staging branch: the DEFAULT view pins at v1 while new
+    // commits land on the branch (the true head)
+    spark.sql("CALL lake.system.branch('db.t_wapcon', 'wap')").collect()
+    spark.range(0, 1).select(lit(9L).as("k"), lit(-1L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_wapcon").append()
+    assert(spark.table("lake.db.t_wapcon").count() == 3L,
+      "the staged (violating) row must be invisible to the pinned view")
+    // the enforced CHECK must validate against the TRUE head — the
+    // staged row violates it, so the ADD refuses even though the
+    // pinned default view is clean (otherwise publish would expose
+    // violating rows under a constraint reported as enforced)
+    val err = intercept[Exception](spark.sql(
+      "ALTER TABLE lake.db.t_wapcon ADD CONSTRAINT v_pos CHECK (v > 0)"))
+    assert(err.getMessage.contains("violate") ||
+      Option(err.getCause).exists(_.getMessage.contains("violate")),
+      s"got: ${err.getMessage}")
+    // after publish + repair of the head, the same ADD succeeds
+    spark.sql("CALL lake.system.publish('db.t_wapcon', 'wap')").collect()
+    spark.sql("DELETE FROM lake.db.t_wapcon WHERE v <= 0")
+    spark.sql("ALTER TABLE lake.db.t_wapcon ADD CONSTRAINT v_pos CHECK (v > 0)")
+    intercept[Exception](
+      spark.range(0, 1).select(lit(8L).as("k"), lit(0L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_wapcon").append())
+    assert(spark.table("lake.db.t_wapcon").count() == 3L)
+  }
+
+  test("checkpoint integrity: parts stay byte-bounded on disk; a manifest-referenced missing part fails loudly; bad bound rejected at DDL") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_cpint (id BIGINT, v BIGINT, s STRING)
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '8192')""".stripMargin)
+    for (b <- 0 until 12) // checkpoint lands at v10
+      spark.range(b * 10L, (b + 1) * 10L)
+        .select($"id", ($"id" * 2L).as("v"), lit(s"f$b").as("s"))
+        .coalesce(2).writeTo("lake.db.t_cpint").append()
+    val dir = tableDir("t_cpint")
+    val nParts = LakeLog.checkpointParts(dir, 10L)
+    assert(nParts > 1, s"8 KB bound must split 24 sketched entries: $nParts")
+    // parts publish COMPACTLY with the same serialization the split
+    // measured — a multi-entry part never exceeds the configured bound
+    // by more than the JSON wrapper (pretty-printing would blow this)
+    val logDir = dir.resolve("_log")
+    val partFiles = (0 until nParts)
+      .map(p => logDir.resolve(f"c${10L}%08d.p$p%04d.json"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    partFiles.foreach { p =>
+      val entries = mapper.readTree(Files.readAllBytes(p)).get("files").size()
+      if (entries >= 2)
+        assert(Files.size(p) <= 8192L + 128L,
+          s"part $p: ${Files.size(p)} bytes for $entries entries " +
+            "exceeds the configured bound")
+    }
+    // a non-numeric bound is rejected where it is SET, not at the
+    // checkpoint write long after the DDL reported success
+    val createErr = intercept[Exception](spark.sql(
+      """CREATE TABLE lake.db.t_cpbad (id BIGINT)
+        |TBLPROPERTIES ('checkpoint_part_bytes' = 'lots')""".stripMargin))
+    assert(createErr.getMessage.contains("positive integer"))
+    val alterErr = intercept[Exception](spark.sql(
+      "ALTER TABLE lake.db.t_cpint SET TBLPROPERTIES ('checkpoint_part_bytes' = '-4')"))
+    assert(alterErr.getMessage.contains("positive integer") ||
+      Option(alterErr.getCause).exists(_.getMessage.contains("positive integer")))
+    // a part the manifest references going missing must fail the read
+    // LOUDLY — silently reconstructing a truncated snapshot would
+    // serve wrong answers (the legacy inline checkpoint failed
+    // atomically; multi-part must too)
+    Files.delete(partFiles.head)
+    val err = intercept[Throwable](spark.table("lake.db.t_cpint").count())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(err).exists(t => t.getMessage != null &&
+      t.getMessage.contains("missing part")), s"got: $err")
+  }
+
+  test("CHECK constraints re-validate rewritten rows: violating UPDATE / MERGE aborts with nothing landed") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.db.t_checkrw (k BIGINT, v BIGINT,
+        |CONSTRAINT v_pos CHECK (v > 0))""".stripMargin)
+    spark.range(1, 6).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_checkrw").append()
+    def state(): Seq[(Long, Long)] = spark.table("lake.db.t_checkrw")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val before = state()
+    // a COW UPDATE rewrites whole files — the rewritten rows go back
+    // through the write path, so a violating SET aborts the rewrite
+    val upErr = intercept[Exception](
+      spark.sql("UPDATE lake.db.t_checkrw SET v = -1 WHERE k = 3"))
+    assert(upErr.toString.contains("v_pos") ||
+      chainMsg(upErr).contains("v_pos"), s"got: $upErr")
+    assert(state() == before, "the aborted UPDATE must land nothing")
+    // MERGE: both the matched-update and not-matched-insert arms are
+    // guarded; one violating arm aborts the whole MERGE
+    spark.range(0, 2).select(($"id" + 5L).as("k"), lit(-7L).as("v"))
+      .createOrReplaceTempView("t_checkrw_src")
+    val mErr = intercept[Exception](spark.sql(
+      """MERGE INTO lake.db.t_checkrw t USING t_checkrw_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin))
+    assert(mErr.toString.contains("v_pos") || chainMsg(mErr).contains("v_pos"),
+      s"got: $mErr")
+    assert(state() == before, "the aborted MERGE must land nothing")
+    // a compliant UPDATE and MERGE still pass
+    spark.sql("UPDATE lake.db.t_checkrw SET v = 30 WHERE k = 3")
+    spark.sql(
+      """MERGE INTO lake.db.t_checkrw t USING t_checkrw_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = 50
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 60)""".stripMargin)
+    assert(state() == Seq(1L -> 1L, 2L -> 2L, 3L -> 30L, 4L -> 4L,
+      5L -> 50L, 6L -> 60L), s"got ${state()}")
+  }
+
+  private def chainMsg(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur = t
+    while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
+  test("shallow clone pins its source version with a tag: source vacuum cannot dangle the clone; drop_ref releases") {
+    import spark.implicits._
+    val t = seeded("t_cl_pin")
+    spark.sql(s"CALL lake.system.clone('db.$t', 'db.t_cl_pin2', -1)").collect()
+    // the pin is an ordinary tag on the SOURCE at the cloned version —
+    // visible, auditable, droppable
+    assert(LakeLog.listRefs(tableDir(t)).contains(("clone-db-t_cl_pin2", 4L, "tag")),
+      s"got ${LakeLog.listRefs(tableDir(t))}")
+    // the source supersedes every cloned file (COW delete + compact),
+    // then vacuums with the tightest retention — WITHOUT the pin this
+    // reclaims the files the un-compacted clone still references
+    spark.sql(s"DELETE FROM lake.db.$t WHERE id < 50")
+    spark.sql(s"CALL lake.system.compact('db.$t', 1)").collect()
+    spark.sql(s"CALL lake.system.vacuum('db.$t', 1)").collect()
+    assert(spark.table("lake.db.t_cl_pin2").count() == 100L,
+      "the tag keeps the cloned snapshot's files referenced through vacuum")
+    assert(spark.table(s"lake.db.$t").count() == 50L)
+    // release protocol: deep-copy the clone, drop the pin, vacuum —
+    // NOW the superseded files reclaim and both tables stay whole
+    spark.sql("CALL lake.system.compact('db.t_cl_pin2', 1)").collect()
+    spark.sql(s"CALL lake.system.drop_ref('db.$t', 'clone-db-t_cl_pin2')").collect()
+    val reclaimed = spark.sql(s"CALL lake.system.vacuum('db.$t', 1)")
+      .collect().head.getInt(0)
+    assert(reclaimed > 0, "dropping the pin must free the superseded files")
+    assert(spark.table("lake.db.t_cl_pin2").count() == 100L &&
+      spark.table(s"lake.db.$t").count() == 50L)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
