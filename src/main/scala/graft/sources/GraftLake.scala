@@ -753,10 +753,11 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     // candidate. Base64 string, not Array[Byte]: LakeFile equality
     // drives commit delta diffing, and array equality is by reference
     blooms: Map[String, String] = Map.empty,
-    // per-integral-column KMV sketch (k smallest distinct xxHash64
-    // values, unsigned ascending), keyed by write-time physical name:
-    // merged at PLAN time into a table-level distinctCount for the
-    // CBO — join-size estimation min/max alone cannot give
+    // per integral/string column KMV sketch (k smallest distinct
+    // xxHash64 values, unsigned ascending; strings hash their UTF-8
+    // bytes), keyed by write-time physical name: merged at PLAN time
+    // into a table-level distinctCount for the CBO — join-size
+    // estimation min/max alone cannot give
     kmv: Map[String, Seq[Long]] = Map.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
@@ -2626,8 +2627,10 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
           // NDV: merge per-file KMV sketches; report only when EVERY
           // planned file records one (or provably predates the column
           // — zero distinct values). Dv'd files over-approximate, like
-          // min/max — estimator-grade, never result-grade.
-          var haveKmv = integral
+          // min/max — estimator-grade, never result-grade. Strings
+          // sketch too (their UTF-8 bytes): distinctCount is wanted
+          // most exactly where min/max stats cannot exist.
+          var haveKmv = integral || fd.dataType == StringType
           val kmvIn = Seq.newBuilder[Seq[Long]]
           ps.foreach { f =>
             LakeColIds.physicalName(curCols, f, fd.name) match {
@@ -3218,6 +3221,13 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
           (fi._1.dataType == LongType || fi._1.dataType == IntegerType ||
             fi._1.dataType == StringType) }
         .map(fi => (fi._2, fi._1.dataType.simpleString))
+      // KMV NDV sketches cover integral AND string columns — the CBO
+      // needs distinctCount most where min/max stats don't exist
+      // (string join keys, segments, categories)
+      private val kmvIdx: Array[Int] = storedSchema.fields.zipWithIndex
+        .filter(fi => fi._1.dataType == LongType || fi._1.dataType == IntegerType ||
+          fi._1.dataType == StringType)
+        .map(_._2)
 
       private final class OpenFile(val tuple: Seq[Option[String]]) {
         val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
@@ -3226,9 +3236,9 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         var rows = 0L
         val sums = new Array[Long](cols.length)
         val blooms = bloomIdx.map(_ => LakeParquet.newLogBloom())
-        // KMV NDV sketch per integral column — one xxHash + (mostly)
-        // one unsigned compare per row once the sketch warms
-        val kmvs = integralIdx.map(_ => new LakeParquet.KmvAcc())
+        // KMV NDV sketch per integral/string column — one xxHash +
+        // (mostly) one unsigned compare per row once the sketch warms
+        val kmvs = kmvIdx.map(_ => new LakeParquet.KmvAcc())
       }
       private val open = scala.collection.mutable.LinkedHashMap[Seq[Option[String]], OpenFile]()
 
@@ -3246,13 +3256,23 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         while (s < integralIdx.length) {
           val ci = integralIdx(s)
           if (!proj.isNullAt(ci)) {
-            val v =
-              if (storedSchema(ci).dataType == LongType) proj.getLong(ci)
-              else proj.getInt(ci).toLong
-            f.sums(ci) += v
-            f.kmvs(s).insert(LakeParquet.kmvHashLong(v))
+            f.sums(ci) +=
+              (if (storedSchema(ci).dataType == LongType) proj.getLong(ci)
+               else proj.getInt(ci).toLong)
           }
           s += 1
+        }
+        var ki = 0
+        while (ki < kmvIdx.length) {
+          val ci = kmvIdx(ki)
+          if (!proj.isNullAt(ci)) {
+            val dt = storedSchema(ci).dataType
+            f.kmvs(ki).insert(
+              if (dt == StringType) LakeParquet.kmvHashString(proj.getUTF8String(ci))
+              else LakeParquet.kmvHashLong(
+                if (dt == LongType) proj.getLong(ci) else proj.getInt(ci).toLong))
+          }
+          ki += 1
         }
         var bi = 0
         while (bi < bloomIdx.length) {
@@ -3285,8 +3305,8 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
             // an all-null column records an EMPTY sketch on purpose —
             // the planner needs the key present to know coverage is
             // complete (nulls contribute no distinct values)
-            kmv = integralIdx.zipWithIndex.map { case (ci, s) =>
-              storedSchema(ci).name -> f.kmvs(s).result }.toMap)
+            kmv = kmvIdx.zipWithIndex.map { case (ci, k) =>
+              storedSchema(ci).name -> f.kmvs(k).result }.toMap)
         }.toSeq
         open.clear()
         LakeFileMessage(infos)

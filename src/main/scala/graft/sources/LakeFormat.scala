@@ -131,6 +131,15 @@ object LakeParquet {
   def kmvHashLong(v: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
 
+  /** String KMV hash over the value's UTF-8 bytes — join-size
+    * estimation is hardest exactly where min/max stats are absent
+    * (string join keys, segments, categories). Hash at once: the
+    * UTF8String may point into a reused row buffer.
+    */
+  def kmvHashString(u: org.apache.spark.unsafe.types.UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+
   // ---- LOG-recorded blooms: plan-time pruning with zero file opens ----
 
   /** Fixed bitset size of a log-recorded bloom (2^16 bits): ~11 KB of

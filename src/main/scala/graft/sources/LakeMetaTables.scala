@@ -158,7 +158,7 @@ object LakeMetaTables {
         val integral = fd.dataType == LongType || fd.dataType == IntegerType
         var lo = Long.MaxValue; var hi = Long.MinValue
         var nulls = 0L; var haveMm = integral; var haveNulls = true
-        var haveKmv = integral
+        var haveKmv = integral || fd.dataType == StringType
         val kmvIn = Seq.newBuilder[Seq[Long]]
         snap.files.foreach { f =>
           LakeColIds.physicalName(cols, f, fd.name) match {

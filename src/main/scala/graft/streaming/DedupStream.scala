@@ -38,10 +38,24 @@ case class BucketMember(id: Long, sig: Array[Long])
   * to LSH candidate generation (the batch band self-join has the same
   * product) and governed by the band/row parameters, not the stream.
   * State per bucket is members × (8 B + signature), bounded by the
-  * corpus itself; a production cap would stop pairing (and alert) on a
-  * pathological hot bucket rather than grow O(n²) output.
+  * corpus itself — UP TO the hot-bucket cap: a bucket reaching
+  * [[DedupStream.DefaultBucketCap]] members is POISONED. Pairing (and
+  * state growth) stops for it, and every refused arrival emits a
+  * poisoned-bucket record instead — a LOUD, countable signal (also
+  * surfaced as the `poisoned_arrivals` observed metric), never a
+  * silent drop. Pairs emitted while the bucket was below the cap all
+  * stand. A poisoned bucket means the banding parameters are wrong
+  * for the corpus (or a degenerate key swallowed it) — the operator's
+  * fix is re-banding, not unbounded O(n²) output.
   */
 object DedupStream {
+
+  /** Per-bucket member cap before the bucket poisons. Quadratic pair
+    * output at the cap (~8M pairs) is the alarm threshold, not a
+    * normal operating point — real LSH buckets at sane band/row
+    * parameters hold a handful of near-duplicates.
+    */
+  val DefaultBucketCap = 4096
 
   /** One exploded (band, doc) arrival. */
   case class BandArrival(bandKey: Long, id: Long, sig: Array[Long])
@@ -52,8 +66,15 @@ object DedupStream {
   case class CandidatePair(id_a: Long, id_b: Long,
                            sig_a: Array[Long], sig_b: Array[Long])
 
-  class LshDedupProcessor
-      extends StatefulProcessor[Long, BandArrival, CandidatePair] {
+  /** Processor output: a candidate pair (`poisoned_band` empty), or a
+    * poisoned-bucket record — `poisoned_band` = the hot bucket's key,
+    * `id_a` = the refused arrival, `id_b` = the frozen bucket size.
+    */
+  case class LshEvent(id_a: Long, id_b: Long,
+      sig_a: Array[Long], sig_b: Array[Long], poisoned_band: Option[Long])
+
+  class LshDedupProcessor(maxBucketMembers: Int)
+      extends StatefulProcessor[Long, BandArrival, LshEvent] {
     @transient private var members: ListState[BucketMember] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -61,36 +82,60 @@ object DedupStream {
         Encoders.product[BucketMember], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[BandArrival],
-        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[CandidatePair] = {
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[LshEvent] = {
       // in-batch arrival order is shuffle-nondeterministic — sort by id
       // so the emitted pair set never depends on task scheduling
       val arrived = rows.toArray.sortBy(_.id)
       val existing = scala.collection.mutable.ArrayBuffer.empty[BucketMember]
       members.get().foreach(existing += _)
-      val out = Seq.newBuilder[CandidatePair]
+      val out = Seq.newBuilder[LshEvent]
       arrived.foreach { a =>
-        existing.foreach { m =>
-          if (m.id != a.id) {
-            if (m.id < a.id) out += CandidatePair(m.id, a.id, m.sig, a.sig)
-            else out += CandidatePair(a.id, m.id, a.sig, m.sig)
+        if (existing.size >= maxBucketMembers) {
+          // POISONED: capped work, loud signal — one record per
+          // refused arrival; state stays frozen at the cap
+          out += LshEvent(a.id, existing.size.toLong, null, null, Some(key))
+        } else {
+          existing.foreach { m =>
+            if (m.id != a.id) {
+              if (m.id < a.id) out += LshEvent(m.id, a.id, m.sig, a.sig, None)
+              else out += LshEvent(a.id, m.id, a.sig, m.sig, None)
+            }
           }
+          val nm = BucketMember(a.id, a.sig)
+          existing += nm
+          members.appendValue(nm)
         }
-        val nm = BucketMember(a.id, a.sig)
-        existing += nm
-        members.appendValue(nm)
       }
       out.result().iterator
     }
   }
 
+  /** The raw event stream: candidate pairs + poisoned-bucket records
+    * (the side channel a production ingest monitors and alerts on).
+    */
+  def events(bands: Dataset[BandArrival],
+      maxBucketMembers: Int = DefaultBucketCap): Dataset[LshEvent] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(_.bandKey)
+      .transformWithState(new LshDedupProcessor(maxBucketMembers),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Candidate near-dup pairs over a stream of exploded band arrivals;
     * pairs sharing several buckets emit once per bucket — apply the
     * same `dropDuplicates(id_a, id_b)` as the batch path downstream.
+    * Hot-bucket refusals surface per micro-batch as the
+    * `poisoned_arrivals` observed metric (StreamingQueryProgress
+    * `observedMetrics("lsh_dedup")`) — never a silent drop.
     */
-  def candidatePairs(bands: Dataset[BandArrival]): Dataset[CandidatePair] = {
+  def candidatePairs(bands: Dataset[BandArrival],
+      maxBucketMembers: Int = DefaultBucketCap): Dataset[CandidatePair] = {
     import bands.sparkSession.implicits._
-    bands.groupByKey(_.bandKey)
-      .transformWithState(new LshDedupProcessor,
-        TimeMode.None(), OutputMode.Append())
+    import org.apache.spark.sql.functions.{count, when, col}
+    events(bands, maxBucketMembers)
+      .observe("lsh_dedup",
+        count(when(col("poisoned_band").isNotNull, 1)).as("poisoned_arrivals"))
+      .filter(_.poisoned_band.isEmpty)
+      .map(e => CandidatePair(e.id_a, e.id_b, e.sig_a, e.sig_b))
   }
 }

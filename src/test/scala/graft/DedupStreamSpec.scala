@@ -80,4 +80,70 @@ class DedupStreamSpec extends AnyFunSuite {
     val counts = emitted.groupBy(identity).view.mapValues(_.length)
     assert(counts.values.forall(_ <= 8), s"over-emission: ${counts.toMap}")
   }
+
+  test("hot-bucket cap: pairing stops at the cap with a loud poisoned signal; below-cap pairs all stand") {
+    import spark.implicits._
+    // a PLANTED hot bucket: every doc lands in band key 77 — uncapped
+    // this is C(11,2) = 55 pairs of O(n²) output
+    def arr(ids: Seq[Long]) =
+      ids.map(i => (77L, i, Array(i))).toDF("bandKey", "id", "sig")
+    val replay = Files.createTempDirectory("d06-cap-replay").toString
+    // batch 2 carries id 0 — SMALLER than every admitted member, so a
+    // refusal there proves poisoning is a bucket state, not an id order
+    Replay.writeSlices(replay, Seq(arr(1L to 6L), arr(Seq(0L, 7L, 8L, 9L, 10L))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bandKey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(replay)
+      .as[DedupStream.BandArrival]
+    val beforeProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // record-level: the full event stream, cap = 4
+      val ckpt1 = Files.createTempDirectory("d06-cap-ckpt1").toString
+      DedupStream.events(stream, maxBucketMembers = 4)
+        .writeStream.format("memory").queryName("d06cap")
+        .outputMode("append").option("checkpointLocation", ckpt1)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      val ev = spark.table("d06cap").collect()
+      val pairs = ev.filter(_.isNullAt(4)).map(r => (r.getLong(0), r.getLong(1)))
+      // batch 1 arrivals sort to 1..6: ids 1–4 fill the bucket and pair
+      // completely (never silently dropped); 5, 6 and all of batch 2
+      // are refused — capped work: 6 pairs, not 55
+      assert(pairs.toSet ==
+        (for (a <- 1L to 4L; b <- (a + 1L) to 4L) yield (a, b)).toSet,
+        s"got ${pairs.toSeq.sorted}")
+      val poison = ev.filter(!_.isNullAt(4))
+      assert(poison.length == 7, s"7 refused arrivals: ${poison.length}")
+      assert(poison.forall(r => r.getLong(4) == 77L && r.getLong(1) == 4L),
+        "each poisoned record names the bucket and its frozen size")
+      assert(poison.map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 5L, 6L, 7L, 8L, 9L, 10L))
+      // the production surface: candidatePairs filters poison records
+      // but counts them per micro-batch as an OBSERVED metric
+      val ckpt2 = Files.createTempDirectory("d06-cap-ckpt2").toString
+      val q = DedupStream.candidatePairs(stream, maxBucketMembers = 4)
+        .writeStream.format("memory").queryName("d06capm")
+        .outputMode("append").option("checkpointLocation", ckpt2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val observed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("lsh_dedup")))
+        .map(_.getLong(0)).sum
+      assert(observed == 7L,
+        s"poisoned_arrivals must count every refusal loudly: $observed")
+      assert(spark.table("d06capm").count() == 6L)
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", beforeProvider)
+  }
 }

@@ -609,10 +609,12 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(ndv > 70L && ndv < 140L, s"NDV estimate out of band: $ndv")
     val v = rows("v")
     assert(v.getLong(2) == 0L && v.getLong(3) == 990L)
-    // strings: no integral stats, no sketch — but null counts are real,
-    // and ABSENCE is reported as NULL, never guessed
+    // strings: no integral min/max (reported NULL, never guessed) —
+    // but null counts are real and the NDV sketches their UTF-8 bytes
+    // (4 distinct labels f0..f3, sub-k so the merge is exact)
     val s = rows("s")
-    assert(s.isNullAt(2) && s.isNullAt(3) && s.getLong(4) == 0L && s.isNullAt(5))
+    assert(s.isNullAt(2) && s.isNullAt(3) && s.getLong(4) == 0L)
+    assert(s.getLong(5) == 4L, s"4 distinct labels merge exactly: ${s.getLong(5)}")
   }
 
   test("system.clone: zero-copy shallow clone, independent evolution, compact makes it self-contained") {
@@ -2509,6 +2511,38 @@ class GraftLakeSpec extends AnyFunSuite {
       assert(joinPlan("t_ndvhigh").collect { case j: SortMergeJoinExec => j }.nonEmpty,
         "a 100k-group aggregate over the SAME span must NOT broadcast:" +
           s"\n${joinPlan("t_ndvhigh")}")
+      // STRING join keys: the case NDV matters most — string columns
+      // carry no min/max stats at all, so without the sketch the
+      // estimator has nothing. 8 segment labels vs 100k distinct ids
+      // rendered as strings, same row count, same byte shape.
+      spark.sql("CREATE TABLE lake.db.t_ndvseg (seg STRING, v BIGINT)")
+      spark.range(0, 100000)
+        .select(concat(lit("segment_"), ($"id" % 8L).cast("string")).as("seg"),
+          $"id".as("v"))
+        .coalesce(2).writeTo("lake.db.t_ndvseg").append()
+      spark.sql("CREATE TABLE lake.db.t_ndvuid (seg STRING, v BIGINT)")
+      spark.range(0, 100000)
+        .select(concat(lit("segment_"), $"id".cast("string")).as("seg"),
+          $"id".as("v"))
+        .coalesce(2).writeTo("lake.db.t_ndvuid").append()
+      def strNdv(t: String): Long = {
+        val snap = LakeLog.currentSnapshot(tableDir(t)).get
+        LakeParquet.kmvEstimate(snap.files.map(_.kmv("seg"))).get
+      }
+      assert(strNdv("t_ndvseg") == 8L, s"8 labels merge exactly: ${strNdv("t_ndvseg")}")
+      val shi = strNdv("t_ndvuid")
+      assert(shi > 20000L && shi < 500000L, s"100k strings estimate in-band: $shi")
+      val bigS = spark.range(0, 2000000)
+        .select(concat(lit("segment_"), $"id".cast("string")).as("seg"))
+      def segPlan(t: String) = bigS.join(
+        spark.table(s"lake.db.$t").groupBy($"seg").agg(sum($"v").as("sv")), "seg")
+        .queryExecution.sparkPlan
+      assert(segPlan("t_ndvseg").collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "an 8-segment string aggregate must broadcast off the string sketch:" +
+          s"\n${segPlan("t_ndvseg")}")
+      assert(segPlan("t_ndvuid").collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        "a 100k-key string aggregate must NOT broadcast:" +
+          s"\n${segPlan("t_ndvuid")}")
     } finally {
       spark.conf.set("spark.sql.cbo.enabled", prevCbo)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
