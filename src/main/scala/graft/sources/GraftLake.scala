@@ -1123,6 +1123,17 @@ object LakeLog {
   private[sources] def deltaProps(dir: Path, v: Long): Map[String, String] =
     deltaAt(dir, v).map(_._2).getOrElse(Map.empty)
 
+  /** Data-file bytes ADDED by delta `v` — the streaming admission
+    * weight for `maxBytesPerTrigger` (the log records each file's
+    * size, so pacing a 100 TB backfill costs one small delta read per
+    * pending version, zero data-file opens). Pure-remove versions
+    * (metadata deletes) weigh 0: their change rows read superseded
+    * files, but byte pacing exists for append backfills and a
+    * delete-heavy feed is bounded by `maxVersionsPerTrigger`.
+    */
+  private[sources] def versionAddedBytes(dir: Path, v: Long): Long =
+    deltaChanges(dir, v)._1.map(_.bytes).sum
+
   /** On-disk size of one log chunk (threshold + sharding input); a
     * checkpoint's size includes its manifest AND all part files.
     */
@@ -2362,6 +2373,7 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
       // default 0, not 1: CTAS/RTAS commit their data files AT v0
       startingVersion = opt("startingVersion", 0L),
       maxVersionsPerTrigger = opt("maxVersionsPerTrigger", Long.MaxValue),
+      maxBytesPerTrigger = opt("maxBytesPerTrigger", Long.MaxValue),
       skipChangeCommits =
         Option(options.get("skipChangeCommits")).exists(_.toBoolean),
       appendOnly = true)

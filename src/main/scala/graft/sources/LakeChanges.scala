@@ -36,8 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Batch reads take `startingVersion`/`endingVersion` options.
   * Streaming ([[LakeChangesStream]]) treats LOG VERSIONS as offsets:
   * resume picks up from the committed version, `maxVersionsPerTrigger`
-  * bounds admission per micro-batch, and Trigger.AvailableNow pins the
-  * head at start ([[SupportsTriggerAvailableNow]]).
+  * and `maxBytesPerTrigger` bound admission per micro-batch (byte
+  * pacing admits whole versions off the log's recorded file sizes —
+  * a commit never splits across triggers), and Trigger.AvailableNow
+  * pins the head at start ([[SupportsTriggerAvailableNow]]).
   */
 class LakeChangesTable(dir: Path, baseName: String) extends Table with SupportsRead {
 
@@ -192,6 +194,7 @@ class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
     new LakeChangesStream(dir, feedCols, required,
       startingVersion = opt("startingVersion", 0L),
       maxVersionsPerTrigger = opt("maxVersionsPerTrigger", Long.MaxValue),
+      maxBytesPerTrigger = opt("maxBytesPerTrigger", Long.MaxValue),
       skipChangeCommits = skipChangeCommits,
       appendOnly = appendOnly)
 }
@@ -201,7 +204,8 @@ class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
   */
 class LakeChangesStream(dir: Path, feedCols: Seq[(String, Long)],
     required: StructType, startingVersion: Long, maxVersionsPerTrigger: Long,
-    skipChangeCommits: Boolean, appendOnly: Boolean = false)
+    skipChangeCommits: Boolean, appendOnly: Boolean = false,
+    maxBytesPerTrigger: Long = Long.MaxValue)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   @volatile private var preparedHead: Option[Long] = None
@@ -238,7 +242,26 @@ class LakeChangesStream(dir: Path, feedCols: Seq[(String, Long)],
     // overflow-safe admission: advance by at most maxVersionsPerTrigger
     // but never past (or below) the bound — `s + Long.MaxValue` wraps
     val step = math.min(maxVersionsPerTrigger, math.max(0L, bound - s))
-    LakeVersionOffset(s + step)
+    if (step == 0L || maxBytesPerTrigger == Long.MaxValue)
+      return LakeVersionOffset(s + step)
+    // BYTE-paced admission (the 100 TB backfill knob): admit whole
+    // versions while their cumulative ADDED data-file bytes stay under
+    // the budget — the log already records every file's size, so the
+    // weights are O(1) driver reads of the pending deltas, no file
+    // opens. Version boundaries are respected absolutely (a commit
+    // never splits across triggers), so a single commit larger than
+    // the budget still admits ALONE rather than stalling the stream —
+    // the same always-make-progress rule as Delta's maxBytesPerTrigger.
+    var v = s
+    var admitted = 0L
+    var budget = maxBytesPerTrigger
+    while (admitted < step) {
+      val b = LakeLog.versionAddedBytes(dir, v + 1)
+      if (admitted > 0L && b > budget) return LakeVersionOffset(v)
+      v += 1; admitted += 1; budget -= b
+      if (budget <= 0L) return LakeVersionOffset(v)
+    }
+    LakeVersionOffset(v)
   }
 
   override def reportLatestOffset(): Offset = LakeVersionOffset(head)

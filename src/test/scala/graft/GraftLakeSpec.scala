@@ -2735,6 +2735,41 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(v4 == expected, s"rollback change set:\n$v4")
   }
 
+  test("maxBytesPerTrigger paces streaming admission off the log's file sizes; a commit never splits") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_bytepace (id BIGINT, v BIGINT, s STRING)")
+    for (b <- 0 until 6) // 6 one-file append commits of near-equal size
+      spark.range(b * 100L, (b + 1) * 100L)
+        .select($"id", ($"id" * 2L).as("v"), lit(s"slice$b").as("s"))
+        .coalesce(1).writeTo("lake.db.t_bytepace").append()
+    val files = LakeLog.currentSnapshot(tableDir("t_bytepace")).get.files
+    assert(files.size == 6 && files.forall(_.bytes > 0L))
+    val b = files.map(_.bytes).max
+    def drain(budget: Long): Seq[Long] = {
+      val ckpt = Files.createTempDirectory("bytepace-ckpt").toString
+      val name = s"bytepace${budget}"
+      val q = spark.readStream
+        .option("maxBytesPerTrigger", budget.toString)
+        .table("lake.db.t_bytepace")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(spark.table(name).count() == 600L, "pacing must never lose rows")
+      q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0L)
+    }
+    // ~2.2 file-sizes of budget: two whole versions per micro-batch
+    val twoPer = drain(b * 2L + b / 5L)
+    assert(twoPer == Seq(200L, 200L, 200L),
+      s"a 2.2-file budget must admit exactly two commits per batch: $twoPer")
+    // a budget SMALLER than any single commit still admits one whole
+    // version per batch — version boundaries hold, the stream never
+    // stalls, and a commit is never split
+    val onePer = drain(b / 2L)
+    assert(onePer == Seq.fill(6)(100L),
+      s"an undersized budget must admit one whole commit per batch: $onePer")
+  }
+
   test("ADD CONSTRAINT validates the TRUE head, not the WAP-pinned view") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_wapcon (k BIGINT, v BIGINT)")
