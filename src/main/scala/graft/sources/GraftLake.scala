@@ -284,7 +284,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
     val keep = properties.asScala.view
-      .filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "mode",
+      .filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
         "checkpoint_part_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -362,7 +362,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"graftlake supports BIGINT/INT/DOUBLE/STRING/BOOLEAN columns; " +
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
-    val keep = properties.asScala.view.filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "mode",
+    val keep = properties.asScala.view.filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
         "checkpoint_part_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -745,20 +745,27 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     // Long adds — bit-identical to Spark's non-ANSI sum), keyed by
     // write-time physical name like `stats`/`nulls`
     sums: Map[String, Long] = Map.empty,
-    // per-`bloomBy`-column bloom BITSETS (base64 of a fixed-size
-    // block-split bloom the writer fed row-by-row), keyed by
-    // write-time physical name: point-lookup pruning probes these at
-    // PLAN time with zero data-file opens — on object storage the
-    // footer-probe alternative is a sequential round-trip per
-    // candidate. Base64 string, not Array[Byte]: LakeFile equality
-    // drives commit delta diffing, and array equality is by reference
+    // INLINE bloom bitsets (base64 of a fixed-size block-split bloom
+    // the writer fed row-by-row), keyed by write-time physical name —
+    // the `bloom_inline` small-table path (and pre-sidecar entries):
+    // point lookups probe at PLAN time with zero IO, at ~11 KB of log
+    // per column per file. Base64 string, not Array[Byte]: LakeFile
+    // equality drives commit delta diffing, and array equality is by
+    // reference
     blooms: Map[String, String] = Map.empty,
     // per integral/string column KMV sketch (k smallest distinct
     // xxHash64 values, unsigned ascending; strings hash their UTF-8
     // bytes), keyed by write-time physical name: merged at PLAN time
     // into a table-level distinctCount for the CBO — join-size
     // estimation min/max alone cannot give
-    kmv: Map[String, Seq[Long]] = Map.empty) {
+    kmv: Map[String, Seq[Long]] = Map.empty,
+    // bloom SIDECAR column order (write-time physical names): the
+    // file's bitsets live in `<path>.bloom` at fixed 8 KB slots in
+    // this order, loaded LAZILY at probe time and only for candidates
+    // that survive stats skipping — a bloomBy log entry stays ~30
+    // bytes instead of ~11 KB of base64 per column (the inline
+    // `blooms` path remains for small tables via `bloom_inline`)
+    bloomSc: Seq[String] = Seq.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -962,6 +969,10 @@ object LakeLog {
         val a = km.putArray(c); hs.foreach(a.add)
       }
     }
+    if (f.bloomSc.nonEmpty) {
+      val bs = fn.putArray("bsc")
+      f.bloomSc.foreach(bs.add)
+    }
     fn
   }
 
@@ -1002,7 +1013,9 @@ object LakeLog {
         Option(fn.get("kmv")).map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.elements().asScala
             .map(_.asLong).toSeq).toMap)
-          .getOrElse(Map.empty[String, Seq[Long]]))
+          .getOrElse(Map.empty[String, Seq[Long]]),
+        Option(fn.get("bsc")).map(_.elements().asScala
+          .map(_.asText()).toSeq).getOrElse(Seq.empty[String]))
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -1482,6 +1495,14 @@ object LakeTable {
   def bloomCols(props: Map[String, String]): Seq[String] =
     props.get("bloomBy").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** `bloom_inline=true` keeps bloom bitsets base64-INSIDE log entries
+    * (zero probe-time IO — right for small tables); the default is a
+    * binary SIDECAR per data file, loaded lazily at probe time, so a
+    * million-file bloomBy table's log does not inflate ~50× per entry.
+    */
+  def bloomInline(props: Map[String, String]): Boolean =
+    props.get("bloom_inline").exists(_.toBoolean)
 }
 
 class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
@@ -1714,7 +1735,8 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
             LakeWriterFactory(dir.toString, info.schema(), snapshot.schema.fieldNames,
               LakePartitioning.decode(snapshot.props),
-              bloomBy = LakeTable.bloomCols(snapshot.props))
+              bloomBy = LakeTable.bloomCols(snapshot.props),
+              bloomInline = LakeTable.bloomInline(snapshot.props))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val written = messages.map(_.asInstanceOf[LakeFileMessage])
               .flatMap(_.files)
@@ -1722,7 +1744,8 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
                 specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
-                sorted = snapshot.props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
+                sorted = snapshot.props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
+                bloomSc = i.bloomSc)).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -2271,12 +2294,15 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     * lookup stats ranges cannot prune (every file spans the whole key
     * domain; a clustered key would already be stats-pruned). Same
     * contract as stats skipping: may keep a non-matching file, never
-    * drops a matching one (blooms have no false negatives). Files
-    * written with LOG-recorded blooms probe straight off the snapshot
-    * — zero data-file opens at plan time, so the candidate bound is
-    * generous (pure driver CPU); legacy entries without a log bloom
-    * fall back to a footer probe, which costs a round-trip per file
-    * on object storage and so only runs below a tight cap.
+    * drops a matching one (blooms have no false negatives). Probe
+    * sources, per file: an INLINE log bloom (`bloom_inline` tables +
+    * pre-sidecar entries) answers with zero IO; a bloom SIDECAR
+    * answers with one lazy positioned 8 KB read of exactly the probed
+    * column's slot — paid only for candidates that already survived
+    * stats skipping, which is what lets bloomBy log entries stay ~30
+    * bytes at any table size; legacy entries with neither fall back
+    * to a footer probe, which re-reads the whole footer and so only
+    * runs below a tight cap.
     */
   private def bloomPrune(live: Seq[LakeFile],
       cols: Seq[(String, Long)]): Seq[LakeFile] = {
@@ -2313,22 +2339,34 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     else live.filter { f =>
       probes.forall { case (c, vs) =>
         LakeColIds.physicalName(cols, f, c).forall { pc =>
+          // writer-recorded blooms hash under the FILE's write-time
+          // type (widened columns were hashed in their old type); an
+          // unhashable value keeps the file, like stats skipping
+          def probe(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter): Boolean = {
+            val i = f.cols.indexWhere(_._1 == pc)
+            val t =
+              if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
+              else snapshot.schema.find(_.name == c)
+                .map(_.dataType.simpleString).getOrElse("")
+            vs.exists(v =>
+              LakeParquet.logBloomHash(bf, t, v).forall(bf.findHash))
+          }
           f.blooms.get(pc) match {
             case Some(b64) =>
-              // log-recorded bloom: hash under the FILE's write-time
-              // type (widened columns were hashed in their old type);
-              // an unhashable value keeps the file, like stats skipping
-              val bf = LakeParquet.bloomFromB64(b64)
-              val i = f.cols.indexWhere(_._1 == pc)
-              val t =
-                if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
-                else snapshot.schema.find(_.name == c)
-                  .map(_.dataType.simpleString).getOrElse("")
-              vs.exists(v =>
-                LakeParquet.logBloomHash(bf, t, v).forall(bf.findHash))
+              // inline (`bloom_inline` tables + pre-sidecar entries):
+              // the bitset rides in the log — zero probe IO
+              probe(LakeParquet.bloomFromB64(b64))
             case None =>
-              !footerProbesOk ||
-                LakeParquet.bloomMightContain(dir.resolve(f.path), pc, vs)
+              val slot = f.bloomSc.indexOf(pc)
+              if (slot >= 0)
+                // SIDECAR: loaded lazily, only for candidates that
+                // survived stats skipping — one positioned 8 KB read
+                // of exactly the probed column's slot
+                probe(LakeParquet.readSidecarBloom(
+                  dir.resolve(f.path + ".bloom"), slot))
+              else
+                !footerProbesOk ||
+                  LakeParquet.bloomMightContain(dir.resolve(f.path), pc, vs)
           }
         }
       }
@@ -2994,7 +3032,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
       override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
         LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
           LakePartitioning.decode(props),
-          bloomBy = LakeTable.bloomCols(props))
+          bloomBy = LakeTable.bloomCols(props),
+          bloomInline = LakeTable.bloomInline(props))
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
           .flatMap(_.files)
@@ -3002,7 +3041,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             cols = LakeColIds.cols(tableSchema, props),
             part = i.part, colTypes = LakeColIds.types(tableSchema),
             specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
-            sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
+            sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
+                bloomSc = i.bloomSc)).toSeq
         // IDEMPOTENT writes: with txnAppId/txnVersion options, a commit
         // whose version the table has already recorded for that app is
         // a REPLAY (a foreachBatch retry, a restarted driver) — its
@@ -3077,7 +3117,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
         private val factory =
           LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
             LakePartitioning.decode(props),
-            bloomBy = LakeTable.bloomCols(props))
+            bloomBy = LakeTable.bloomCols(props),
+            bloomInline = LakeTable.bloomInline(props))
         private val queryId = info.queryId()
         // enforced CHECKs, parsed + analyzed + bound against the write
         // schema on the DRIVER (tasks just eval): the micro-batch write
@@ -3114,7 +3155,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               cols = LakeColIds.cols(tableSchema, props),
               part = i.part, colTypes = LakeColIds.types(tableSchema),
               specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
-              sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
+              sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
+                bloomSc = i.bloomSc)).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -3174,15 +3216,19 @@ case class LakeFileInfo(path: String, rows: Long,
     bytes: Long = 0L,
     sums: Map[String, Long] = Map.empty,
     blooms: Map[String, String] = Map.empty,
-    kmv: Map[String, Seq[Long]] = Map.empty)
+    kmv: Map[String, Seq[Long]] = Map.empty,
+    bloomSc: Seq[String] = Seq.empty)
 
 case class LakeFileMessage(files: Seq[LakeFileInfo]) extends WriterCommitMessage
 
 object LakeWriterFactory {
   def deleteAll(tableDir: String, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LakeFileMessage(fs) => fs.foreach(i =>
-        Files.deleteIfExists(Paths.get(tableDir).resolve(i.path)))
+      case LakeFileMessage(fs) => fs.foreach { i =>
+        Files.deleteIfExists(Paths.get(tableDir).resolve(i.path))
+        if (i.bloomSc.nonEmpty)
+          Files.deleteIfExists(Paths.get(tableDir).resolve(i.path + ".bloom"))
+      }
       case _ => ()
     }
 }
@@ -3208,7 +3254,8 @@ object LakeWriterFactory {
 case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
     keep: Array[String],
     partSpec: Seq[LakePartitioning.Field] = Seq.empty,
-    bloomBy: Seq[String] = Seq.empty) extends DataWriterFactory {
+    bloomBy: Seq[String] = Seq.empty,
+    bloomInline: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -3309,16 +3356,35 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
           val st = LakeParquet.footerStats(abs)
           require(st.rows == f.rows,
             s"parquet footer row count ${st.rows} != rows written ${f.rows} in ${f.rel}")
+          // bloom bitsets: SIDECAR by default (one binary file per
+          // data file, fixed 8 KB slot per column — the log entry
+          // records only the column order and probing preads one
+          // slot); inline base64 only under `bloom_inline` — at 1M
+          // files × 1 column the inline form is ~11 GB of checkpoint
+          val (inlineBlooms, sidecarCols) =
+            if (bloomIdx.isEmpty) (Map.empty[String, String], Seq.empty[String])
+            else if (bloomInline)
+              (bloomIdx.zipWithIndex.map { case ((ci, _), bi) =>
+                storedSchema(ci).name -> LakeParquet.bloomToB64(f.blooms(bi)) }.toMap,
+                Seq.empty[String])
+            else {
+              val sc = Paths.get(tableDir).resolve(f.rel + ".bloom")
+              val out = Files.newOutputStream(sc)
+              try f.blooms.foreach(bf => out.write(LakeParquet.bloomBytes(bf)))
+              finally out.close()
+              (Map.empty[String, String],
+                bloomIdx.map { case (ci, _) => storedSchema(ci).name }.toSeq)
+            }
           LakeFileInfo(f.rel, f.rows, st.stats, st.nulls, f.tuple,
             bytes = Files.size(abs),
             sums = integralIdx.map(ci => storedSchema(ci).name -> f.sums(ci)).toMap,
-            blooms = bloomIdx.zipWithIndex.map { case ((ci, _), bi) =>
-              storedSchema(ci).name -> LakeParquet.bloomToB64(f.blooms(bi)) }.toMap,
+            blooms = inlineBlooms,
             // an all-null column records an EMPTY sketch on purpose —
             // the planner needs the key present to know coverage is
             // complete (nulls contribute no distinct values)
             kmv = kmvIdx.zipWithIndex.map { case (ci, k) =>
-              storedSchema(ci).name -> f.kmvs(k).result }.toMap)
+              storedSchema(ci).name -> f.kmvs(k).result }.toMap,
+            bloomSc = sidecarCols)
         }.toSeq
         open.clear()
         LakeFileMessage(infos)
@@ -3328,6 +3394,7 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         open.values.foreach { f =>
           f.out.close()
           Files.deleteIfExists(Paths.get(tableDir).resolve(f.rel))
+          Files.deleteIfExists(Paths.get(tableDir).resolve(f.rel + ".bloom"))
         }
         open.clear()
       }
@@ -3453,7 +3520,8 @@ object LakeProcedures {
       .mapPartitionsWithIndex { (pid, it) =>
         val w = LakeWriterFactory(dirStr, writeSchema, cols,
           LakePartitioning.decode(snap.props),
-          bloomBy = LakeTable.bloomCols(snap.props)).createWriter(pid, 0L)
+          bloomBy = LakeTable.bloomCols(snap.props),
+          bloomInline = LakeTable.bloomInline(snap.props)).createWriter(pid, 0L)
         it.foreach(w.write)
         Iterator(w.commit())
       }.collect().toSeq
@@ -3462,7 +3530,8 @@ object LakeProcedures {
         cols = LakeColIds.cols(snap.schema, snap.props), part = i.part,
         colTypes = LakeColIds.types(snap.schema),
         specId = LakePartitioning.currentSpecId(snap.props), bytes = i.bytes,
-        sorted = sortedBy, sums = i.sums, blooms = i.blooms, kmv = i.kmv))
+        sorted = sortedBy, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
+                bloomSc = i.bloomSc))
     // a PARTIAL rewrite (compact_size) swaps only its candidates;
     // conforming files keep their paths, stats, and layout
     val replaced = replacedFiles.getOrElse(snap.files.map(_.path).toSet)
@@ -4104,8 +4173,10 @@ object LakeProcedures {
             val floor = refFloor.foldLeft(
               math.max(0L, head - retain + 1))(math.min)
             val retained = (floor to head).flatMap(LakeLog.snapshotAt(dir, _))
+            // a file's bloom SIDECAR lives and dies with the file
             val referenced = retained
-              .flatMap(_.files.flatMap(f => f.path +: f.dv.toSeq)).toSet
+              .flatMap(_.files.flatMap(f => f.path +: (f.dv.toSeq ++
+                (if (f.bloomSc.nonEmpty) Seq(f.path + ".bloom") else Nil)))).toSet
             // checkpoint the retention floor BEFORE pruning the delta
             // chain below it — every retained version must stay
             // reconstructible from (checkpoint, deltas) afterwards
@@ -4270,7 +4341,8 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
             LakeWriterFactory(dir.toString, info.schema(), stagedSchema.fieldNames,
               LakePartitioning.decode(propsWithIds),
-              bloomBy = LakeTable.bloomCols(propsWithIds))
+              bloomBy = LakeTable.bloomCols(propsWithIds),
+              bloomInline = LakeTable.bloomInline(propsWithIds))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             // staged: record only — the LOG moves in commitStagedChanges
             stagedMessages = messages
@@ -4280,7 +4352,8 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
                 cols = LakeColIds.cols(stagedSchema, propsWithIds),
                 part = i.part, colTypes = LakeColIds.types(stagedSchema),
                 specId = LakePartitioning.currentSpecId(propsWithIds), bytes = i.bytes,
-                sorted = propsWithIds.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
+                sorted = propsWithIds.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
+                bloomSc = i.bloomSc)).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -4427,7 +4500,8 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DeltaWriterFactory =
             LakeDeltaWriterFactory(dir.toString, info.schema(),
               snapshot.schema.fieldNames, LakePartitioning.decode(snapshot.props),
-              bloomBy = LakeTable.bloomCols(snapshot.props))
+              bloomBy = LakeTable.bloomCols(snapshot.props),
+              bloomInline = LakeTable.bloomInline(snapshot.props))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ms = messages.map(_.asInstanceOf[LakeDeltaMessage])
             val inserts = ms.flatMap(_.inserts).flatMap(_.files)
@@ -4435,7 +4509,8 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
                 cols = LakeColIds.cols(snapshot.schema, snapshot.props),
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
                 specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
-                sums = i.sums, blooms = i.blooms, kmv = i.kmv)).toSeq
+                sums = i.sums, blooms = i.blooms, kmv = i.kmv,
+                bloomSc = i.bloomSc)).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false
@@ -4484,7 +4559,8 @@ case class LakeDeltaMessage(deletes: Map[String, Seq[Long]],
 case class LakeDeltaWriterFactory(tableDir: String, writeSchema: StructType,
     keep: Array[String],
     partSpec: Seq[LakePartitioning.Field] = Seq.empty,
-    bloomBy: Seq[String] = Seq.empty) extends DeltaWriterFactory {
+    bloomBy: Seq[String] = Seq.empty,
+    bloomInline: Boolean = false) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -4493,7 +4569,8 @@ case class LakeDeltaWriterFactory(tableDir: String, writeSchema: StructType,
       private var inner: DataWriter[InternalRow] = _
       private def insertWriter(): DataWriter[InternalRow] = {
         if (inner == null)
-          inner = LakeWriterFactory(tableDir, writeSchema, keep, partSpec, bloomBy)
+          inner = LakeWriterFactory(tableDir, writeSchema, keep, partSpec, bloomBy,
+            bloomInline)
             .createWriter(partitionId, taskId)
         inner
       }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Path => NioPath}
+import java.nio.file.{Files, Path => NioPath}
 
 import scala.jdk.CollectionConverters._
 
@@ -165,6 +165,39 @@ object LakeParquet {
 
   def bloomFromB64(b64: String): BlockSplitBloomFilter =
     new BlockSplitBloomFilter(java.util.Base64.getDecoder.decode(b64))
+
+  /** Raw bitset bytes of a log/sidecar bloom — exactly
+    * [[BloomLogBytes]] long (block-split blooms serialize header-free).
+    */
+  def bloomBytes(bf: BlockSplitBloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(BloomLogBytes)
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Sidecar bloom slices READ at probe time — spec instrumentation
+    * proving pruning decodes only the candidates that survived stats
+    * skipping (one pread per probed file×column), never the table.
+    */
+  private[graft] val bloomSidecarLoads = new java.util.concurrent.atomic.AtomicLong
+
+  /** One column's bitset out of a bloom SIDECAR file: fixed
+    * [[BloomLogBytes]] slots in the entry's recorded column order, so
+    * slot `i` is a single positioned 8 KB read — the lazy path that
+    * keeps bloomBy log entries ~30 bytes instead of ~11 KB per column.
+    */
+  def readSidecarBloom(file: NioPath, slot: Int): BlockSplitBloomFilter = {
+    bloomSidecarLoads.incrementAndGet()
+    val buf = java.nio.ByteBuffer.allocate(BloomLogBytes)
+    val ch = Files.newByteChannel(file)
+    try {
+      ch.position(slot.toLong * BloomLogBytes)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      require(!buf.hasRemaining,
+        s"graftlake: bloom sidecar $file truncated at slot $slot")
+    } finally ch.close()
+    new BlockSplitBloomFilter(buf.array())
+  }
 
   /** Hash `v` for a log bloom under the column's WRITE-TIME type
     * (simpleString) — probe and insert must use one rule or lookups

@@ -1039,7 +1039,7 @@ class GraftLakeSpec extends AnyFunSuite {
       .contains("files=0/3"))
   }
 
-  test("log-recorded blooms prune at plan time with ZERO data-file opens") {
+  test("writer-recorded blooms prune at plan time with ZERO data-file opens") {
     import spark.implicits._
     spark.sql(
       """CREATE TABLE lake.db.t_bloomlog (k BIGINT, s STRING)
@@ -1048,13 +1048,17 @@ class GraftLakeSpec extends AnyFunSuite {
       spark.range(0, 300)
         .select(($"id" * 8L + i).as("k"), concat(lit("x"), $"id" * 8L + i).as("s"))
         .coalesce(1).writeTo("lake.db.t_bloomlog").append()
-    // the writer recorded a bloom bitset per file in the LOG
+    // the writer recorded a bloom SIDECAR per file: the log entry
+    // carries only the column order, the bitsets live in <path>.bloom
     val snap = LakeLog.currentSnapshot(tableDir("t_bloomlog")).get
-    assert(snap.files.size == 4 && snap.files.forall(_.blooms.contains("k")),
-      "every writer-produced file carries a log bloom for the bloomBy column")
+    assert(snap.files.size == 4 && snap.files.forall(_.bloomSc.contains("k")),
+      "every writer-produced file records its bloom sidecar columns")
+    assert(snap.files.forall(f =>
+      Files.size(tableDir("t_bloomlog").resolve(f.path + ".bloom")) == 8192L),
+      "one fixed 8 KB slot per bloom column")
     // plan + execute point lookups: pruning decisions identical to the
-    // footer path, but with zero plan-time data-file opens — on object
-    // storage a footer probe is a round-trip per candidate file
+    // footer path, with zero plan-time data-file (footer) opens — the
+    // sidecar pread touches 8 KB, never the data file
     val probes0 = graft.sources.LakeParquet.bloomFooterProbes.get()
     def planOf(sql: String): String =
       spark.sql(sql).queryExecution.executedPlan.toString
@@ -2733,6 +2737,77 @@ class GraftLakeSpec extends AnyFunSuite {
     val expected = ((25L until 50L).map(_ -> "delete") ++
       Seq(3L -> "insert", 7L -> "insert")).sorted
     assert(v4 == expected, s"rollback change set:\n$v4")
+  }
+
+  test("bloom sidecars bound the log: entries stay small, probes decode only stats-surviving candidates, vacuum reclaims sidecars") {
+    import spark.implicits._
+    import graft.sources.LakeParquet
+    // same data three times: sidecar (default) vs bloom_inline vs NO
+    // blooms — the third isolates the BLOOM bytes inside the log from
+    // the base entry cost (stats + KMV sketches)
+    for ((t, props) <- Seq(("t_bsc", "'bloomBy' = 'k'"),
+        ("t_binl", "'bloomBy' = 'k', 'bloom_inline' = 'true'"),
+        ("t_bnone", "'mode' = 'cow'")))
+      spark.sql(s"""CREATE TABLE lake.db.$t (id BIGINT, k BIGINT, v BIGINT)
+        |TBLPROPERTIES ($props)""".stripMargin)
+    // k sprays the full [0, 100003) domain inside EVERY file (sentinel
+    // rows pin each file's range to [0, 100002]) — min/max stats can
+    // never prune on k, only the blooms can; kv below is unique to
+    // file 2 (48271 invertible mod the prime 100003)
+    val kCol = when($"id" % 100L === 0L, 0L)
+      .when($"id" % 100L === 99L, 100002L)
+      .otherwise(($"id" * 48271L) % 100003L)
+    val kv = 251L * 48271L % 100003L // id=251 → file 2
+    for (t <- Seq("t_bsc", "t_binl", "t_bnone"); i <- 0 until 10) // checkpoint at v10
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select($"id", kCol.as("k"), $"id".as("v"))
+        .coalesce(1).writeTo(s"lake.db.$t").append()
+    // the log-size claim, measured on the BLOOM bytes themselves
+    // (identical base entries cancel): inline carries ~11 KB of base64
+    // per file, the sidecar ~30 bytes of column names — a ≥50× drop
+    val cpSidecar = LakeLog.chunkBytes(tableDir("t_bsc"), "c", 10L)
+    val cpInline = LakeLog.chunkBytes(tableDir("t_binl"), "c", 10L)
+    val cpNone = LakeLog.chunkBytes(tableDir("t_bnone"), "c", 10L)
+    val bloomInlineBytes = cpInline - cpNone
+    val bloomSidecarBytes = math.max(1L, cpSidecar - cpNone)
+    assert(bloomInlineBytes > 10L * 10000L,
+      s"inline blooms must cost ~11 KB per file in the log: $bloomInlineBytes")
+    assert(bloomInlineBytes > 50L * bloomSidecarBytes,
+      s"sidecars must shrink the log's bloom bytes ≥50×: " +
+        s"inline=$bloomInlineBytes sidecar=$bloomSidecarBytes")
+    // both placements prune identically
+    for (t <- Seq("t_bsc", "t_binl")) {
+      val df = spark.sql(s"SELECT v FROM lake.db.$t WHERE k = $kv") // file 2
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("files=1/10"), s"$t:\n$plan")
+      assert(df.head().getLong(0) == 251L)
+    }
+    // LAZY decode: only candidates that survive stats skipping pay a
+    // sidecar read — a v-range that stats-prunes to 3 files probes 3
+    // slots, not 10
+    val loads0 = LakeParquet.bloomSidecarLoads.get()
+    val dfc = spark.sql(s"SELECT count(*) AS n FROM lake.db.t_bsc " +
+      s"WHERE v >= 700 AND k = $kv") // file 2 is stats-pruned on v
+    val planC = dfc.queryExecution.executedPlan.toString
+    assert(planC.contains("files=0/10"), planC)
+    // collect() executes THIS queryExecution — head() would wrap a new
+    // limit(1) plan and re-probe, double-counting the loads
+    assert(dfc.collect().head.getLong(0) == 0L)
+    assert(LakeParquet.bloomSidecarLoads.get() - loads0 == 3L,
+      s"only the 3 stats survivors may decode: ${LakeParquet.bloomSidecarLoads.get() - loads0}")
+    // sidecars live and die with their data files: a COW rewrite
+    // supersedes every file, vacuum reclaims old sidecars with them
+    spark.sql("DELETE FROM lake.db.t_bsc WHERE id % 2 = 0")
+    spark.sql("CALL lake.system.vacuum('db.t_bsc', 1)").collect()
+    val live = LakeLog.currentSnapshot(tableDir("t_bsc")).get.files.map(_.path).toSet
+    import scala.jdk.CollectionConverters._
+    val onDisk = scala.util.Using.resource(
+      Files.list(tableDir("t_bsc").resolve("data")))(
+      _.iterator().asScala.map(p => "data/" + p.getFileName.toString).toSet)
+    assert(onDisk.filter(_.endsWith(".bloom")) ==
+      live.map(_ + ".bloom"), "exactly the live files' sidecars remain")
+    assert(spark.sql(s"SELECT v FROM lake.db.t_bsc WHERE k = $kv")
+      .head().getLong(0) == 251L, "rewritten files' sidecars still probe")
   }
 
   test("maxBytesPerTrigger paces streaming admission off the log's file sizes; a commit never splits") {
