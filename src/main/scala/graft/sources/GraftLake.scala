@@ -839,13 +839,140 @@ object LakeColIds {
 /** One committed table version: the schema + the COMPLETE live file
   * list, reconstructed by [[LakeLog]] from the delta log. File order is
   * append-order for unchanged entries; entries MODIFIED by a commit
-  * (dv moves) re-append — order carries no semantics.
+  * (dv moves) re-append — order carries no semantics. `files` may be a
+  * [[LakePartedFiles]] — a LAZY view over a multi-part checkpoint that
+  * scan planning prunes by the manifest's per-part ranges; any plain
+  * Seq access materializes it in full.
   */
 case class LakeSnapshot(version: Long, schema: StructType, files: Seq[LakeFile],
     props: Map[String, String] = Map.empty) {
   /** The successor snapshot: version+1, same schema/properties, new files. */
   def next(newFiles: Seq[LakeFile]): LakeSnapshot =
     LakeSnapshot(version + 1, schema, newFiles, props)
+}
+
+/** Manifest-recorded index of ONE checkpoint part: entry count,
+  * per-identity-partition-column distinct VALUE sets (by stable column
+  * id; present only when every entry in the part carries the value,
+  * capped — sound membership pruning for `=`/`IN`), lexicographic
+  * [min,max] of those values (the over-cap fallback), and integral
+  * stats ranges folded across the part's entries (present only when
+  * every entry records stats for the column). Checkpoint entries are
+  * SORTED by partition tuple, so the per-part ranges are tight.
+  */
+case class LakeCpPart(part: Int, n: Int,
+    pv: Map[Long, Seq[String]],
+    pr: Map[Long, (String, String)],
+    cr: Map[Long, (Long, Long)])
+
+/** The LAZY file list of a multi-part checkpoint (+ the delta chain
+  * folded on top as in-memory `adds` and a `kills` path set): scan
+  * planning calls [[matching]] with the pushed predicates and parses
+  * ONLY the checkpoint parts whose manifest ranges intersect — driver
+  * work O(relevant parts), not O(files). Every plain Seq access
+  * (writes, vacuum, metadata censuses) materializes the whole list,
+  * exactly what those paths need anyway.
+  */
+final class LakePartedFiles(dir: Path, version: Long,
+    parts: Seq[LakeCpPart], adds: Seq[LakeFile], kills: Set[String])
+  extends scala.collection.immutable.AbstractSeq[LakeFile] {
+
+  private def loadPart(p: Int): Seq[LakeFile] =
+    LakeLog.checkpointPartEntries(dir, version, p)
+      .filterNot(f => kills(f.path))
+
+  /** The full list — parts parse in parallel, once, on first use. */
+  lazy val all: Seq[LakeFile] = {
+    import scala.collection.parallel.CollectionConverters._
+    parts.map(_.part).par.map(loadPart).seq.flatten ++ adds
+  }
+
+  override def iterator: Iterator[LakeFile] = all.iterator
+  override def apply(i: Int): LakeFile = all(i)
+  override def length: Int = all.length
+
+  /** Same checkpoint, the delta fold applied on top. */
+  def withDeltas(adds2: Seq[LakeFile], kills2: Set[String]): LakePartedFiles =
+    new LakePartedFiles(dir, version, parts, adds2, kills2)
+
+  /** Display-grade total (exact except for files both added AND
+    * removed since the checkpoint): never forces materialization.
+    */
+  def totalApprox: Int = parts.map(_.n).sum + adds.size - kills.size
+
+  /** Entries that could match the pushed predicate set, parsing only
+    * the checkpoint parts some predicate cannot rule out. Exactly the
+    * stats-skipping contract at part granularity: may load a
+    * non-matching part, never skips one holding a possible match.
+    * Post-checkpoint `adds` ride along unpruned (they are already in
+    * memory — per-file skipping handles them downstream).
+    */
+  def matching(preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      schema: StructType, props: Map[String, String]): Seq[LakeFile] = {
+    if (preds.isEmpty || parts.isEmpty) return all
+    val ids: Map[String, Long] = LakeColIds.cols(schema, props).toMap
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Long] =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames.length == 1 => ids.get(f.fieldNames.head)
+        case _ => None
+      }
+    def litOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] => Option(l.value())
+        case _ => None
+      }
+    def asLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Long => Some(n.longValue)
+      case _ => None
+    }
+    // may the part contain a row matching p? unknown shapes keep it
+    def mayMatch(pm: LakeCpPart, p: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+      val kids = p.children()
+      def values(): Option[(Long, Seq[Any])] = p.name() match {
+        case "=" if kids.length == 2 =>
+          for (c <- colOf(kids(0)); v <- litOf(kids(1))) yield c -> Seq(v)
+        case "IN" if kids.nonEmpty =>
+          colOf(kids.head).flatMap { c =>
+            val vs = kids.tail.toSeq.map(litOf)
+            if (vs.forall(_.isDefined)) Some(c -> vs.flatten) else None
+          }
+        case _ => None
+      }
+      values() match {
+        case Some((id, vs)) =>
+          val strs = vs.map(String.valueOf)
+          // identity-partition membership: the recorded distinct set
+          // decides exactly; over the cap the lexicographic range of
+          // the SORTED tuples still bounds membership
+          val pvOk = pm.pv.get(id).forall(set => strs.exists(set.contains))
+          val prOk = pm.pr.get(id).forall { case (lo, hi) =>
+            strs.exists(s => s.compareTo(lo) >= 0 && s.compareTo(hi) <= 0) }
+          // integral stats range (data columns too, not just layout)
+          val crOk = pm.cr.get(id).forall { case (lo, hi) =>
+            vs.flatMap(asLong).isEmpty || vs.flatMap(asLong).exists(v => v >= lo && v <= hi) }
+          pvOk && prOk && crOk
+        case None => p.name() match {
+          case "<" | "<=" | ">" | ">=" if kids.length == 2 =>
+            (for (c <- colOf(kids(0)); v <- litOf(kids(1)).flatMap(asLong);
+                 (lo, hi) <- pm.cr.get(c)) yield p.name() match {
+              case "<" => lo < v
+              case "<=" => lo <= v
+              case ">" => hi > v
+              case ">=" => hi >= v
+            }).getOrElse(true)
+          case _ => true
+        }
+      }
+    }
+    val keep = parts.filter(pm => preds.forall(p => mayMatch(pm, p)))
+    if (keep.size == parts.size) all
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      keep.map(_.part).par.map(loadPart).seq.flatten ++ adds
+    }
+  }
 }
 
 /** Log IO + the optimistic commit protocol.
@@ -1057,18 +1184,24 @@ object LakeLog {
     if (!Files.isRegularFile(f)) None
     else {
       val root = mapper.readTree(Files.readAllBytes(f))
-      val files =
+      val files: Seq[LakeFile] =
         if (root.has("files")) { // legacy inline single-document form
           checkpointReads.incrementAndGet()
           checkpointParseBytes.addAndGet(Files.size(f))
           readEntries(root, "files")
-        } else {
-          val n = root.get("parts").asInt
-          // parts parse in PARALLEL — snapshot-load latency is bounded
-          // by one part, not the whole checkpoint; .seq keeps order
-          import scala.collection.parallel.CollectionConverters._
-          (0 until n).par.map(p => checkpointPartEntries(dir, v, p)).seq
-            .flatten.toSeq
+        } else readPartMeta(root) match {
+          case Some(pm) =>
+            // LAZY: snapshot load parses the O(1) manifest only; scan
+            // planning prunes parts by the recorded ranges, any plain
+            // Seq access materializes (parts parse in parallel)
+            new LakePartedFiles(dir, v, pm, Seq.empty, Set.empty)
+          case None =>
+            val n = root.get("parts").asInt
+            // pre-partmeta manifests: parse eagerly, in PARALLEL —
+            // snapshot-load latency bounded by one part; .seq keeps order
+            import scala.collection.parallel.CollectionConverters._
+            (0 until n).par.map(p => checkpointPartEntries(dir, v, p)).seq
+              .flatten.toSeq
         }
       Some(LakeSnapshot(v, readSchemaOf(root), files, readProps(root)))
     }
@@ -1165,25 +1298,39 @@ object LakeLog {
 
   /** Reconstruct version `v`: nearest checkpoint at or below, then the
     * delta chain up to `v`. None when the chain is broken (a vacuum
-    * pruned history past its retention window).
+    * pruned history past its retention window). The delta chain folds
+    * into (adds, kill set) WITHOUT touching the checkpoint's entries,
+    * so a parted checkpoint stays lazy through reconstruction — the
+    * fold is algebraically identical to applying each delta in turn:
+    * base.filterNot(r1)++a1 then .filterNot(r2)++a2 …
+    * = base.filterNot(r1∪r2) ++ a1.filterNot(r2) ++ a2.
     */
   def snapshotAt(dir: Path, v: Long): Option[LakeSnapshot] = {
     val cp = listLog(dir, "c").filter(_ <= v).maxOption
       .flatMap(readCheckpoint(dir, _))
     if (cp.exists(_.version == v)) return cp
-    var snap: Option[LakeSnapshot] = cp
+    var schema = cp.map(_.schema)
+    var props = cp.map(_.props)
+    var adds = Vector.empty[LakeFile]
+    var kills = Set.empty[String]
     var i = cp.map(_.version + 1L).getOrElse(0L)
     while (i <= v) {
       deltaAt(dir, i) match {
         case None => return None
-        case Some((schema, props, add, remove)) =>
-          val base = snap.map(_.files).getOrElse(Seq.empty)
-          snap = Some(LakeSnapshot(i, schema,
-            base.filterNot(f => remove(f.path)) ++ add, props))
+        case Some((sch, pr, add, remove)) =>
+          kills ++= remove
+          adds = adds.filterNot(f => remove(f.path)) ++ add
+          schema = Some(sch); props = Some(pr)
       }
       i += 1
     }
-    snap
+    val files: Seq[LakeFile] = cp.map(_.files) match {
+      case Some(pf: LakePartedFiles) => pf.withDeltas(adds, kills)
+      case Some(fs) => fs.filterNot(f => kills(f.path)) ++ adds
+      case None => adds
+    }
+    Some(LakeSnapshot(v, schema.getOrElse(return None),
+      files, props.getOrElse(Map.empty)))
   }
 
   /** Publish `snapshot` as the successor of `expectedVersion` with an
@@ -1242,40 +1389,139 @@ object LakeLog {
     */
   def checkpoint(dir: Path, snapshot: LakeSnapshot): Unit = {
     val bound = math.max(1L,
-      snapshot.props.get("checkpoint_part_bytes").map(_.toLong)
+      snapshot.props.get("checkpoint_part_bytes").flatMap(_.toLongOption)
         .getOrElse(CheckpointPartBytesDefault))
+    // entries SORT by partition tuple before splitting (file order
+    // carries no semantics): each part then covers a contiguous tuple
+    // range, which is what makes the manifest's per-part value sets
+    // selective — scan planning on a pruned predicate parses only the
+    // intersecting parts. Stable sort, deterministic split: a losing
+    // concurrent checkpointer republishes identical content.
+    val ordered = snapshot.files
+      .sortBy(_.part.map(_.getOrElse("\u0000")).mkString("\u0001"))
     // cut by MEASURED serialized entry size, not entry count —
     // stats-heavy entries pack fewer per part, keeping task parse
     // work truly byte-bounded
-    val parts = scala.collection.mutable.ArrayBuffer.empty[ArrayNode]
-    var cur = mapper.createArrayNode()
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[LakeFile]]
+    var cur = Seq.newBuilder[LakeFile]
+    var curN = 0
     var curBytes = 0L
-    snapshot.files.foreach { f =>
-      val n = entryNode(f)
-      val b = mapper.writeValueAsBytes(n).length.toLong
-      if (curBytes > 0L && curBytes + b > bound) {
-        parts += cur; cur = mapper.createArrayNode(); curBytes = 0L
+    ordered.foreach { f =>
+      val b = mapper.writeValueAsBytes(entryNode(f)).length.toLong
+      if (curN > 0 && curBytes + b > bound) {
+        parts += cur.result(); cur = Seq.newBuilder[LakeFile]
+        curN = 0; curBytes = 0L
       }
-      cur.add(n); curBytes += b
+      cur += f; curN += 1; curBytes += b
     }
-    if (cur.size() > 0) parts += cur
+    if (curN > 0) parts += cur.result()
     Files.createDirectories(logDir(dir))
-    parts.zipWithIndex.foreach { case (arr, i) =>
+    parts.zipWithIndex.foreach { case (fs, i) =>
       val pn = mapper.createObjectNode()
       pn.put("version", snapshot.version)
       pn.put("part", i)
-      pn.set[JsonNode]("files", arr)
+      val arr = pn.putArray("files")
+      fs.foreach(writeEntry(arr, _))
       publish(dir, checkpointPartFile(dir, snapshot.version, i), pn, pretty = false)
     }
     val root = mapper.createObjectNode()
     root.put("version", snapshot.version)
     root.put("schema", snapshot.schema.json)
     root.put("parts", parts.size)
+    val pm = root.putArray("partmeta")
+    parts.zipWithIndex.foreach { case (fs, i) =>
+      pm.add(partMetaNode(partMeta(i, fs, snapshot.schema, snapshot.props)))
+    }
     val pr = root.putObject("props")
     snapshot.props.foreach { case (k, v) => pr.put(k, v) }
     publish(dir, checkpointFile(dir, snapshot.version), root)
     ()
   }
+
+  /** Per-part value cap for the manifest's identity-partition distinct
+    * sets — over it, only the lexicographic range prunes.
+    */
+  val PartValueCap = 64
+
+  /** Fold one part's entries into its manifest index ([[LakeCpPart]]):
+    * a column (by stable id) reports only when EVERY entry in the part
+    * carries the value — partial coverage cannot rule a part out.
+    */
+  private def partMeta(i: Int, fs: Seq[LakeFile], schema: StructType,
+      props: Map[String, String]): LakeCpPart = {
+    val cols = LakeColIds.cols(schema, props)
+    // identity-partition values per entry, under the ENTRY's own spec
+    def partVals(f: LakeFile): Map[Long, String] =
+      LakePartitioning.specOf(props, f.specId).zipWithIndex.collect {
+        case (LakePartitioning.Identity(c), pi)
+          if f.part.lift(pi).flatten.isDefined && cols.exists(_._1 == c) =>
+          cols.find(_._1 == c).get._2 -> f.part(pi).get
+      }.toMap
+    val perEntry = fs.map(partVals)
+    val covered = perEntry.map(_.keySet).reduceOption(_ intersect _)
+      .getOrElse(Set.empty[Long])
+    val pv = Map.newBuilder[Long, Seq[String]]
+    val pr = Map.newBuilder[Long, (String, String)]
+    covered.foreach { id =>
+      val vs = perEntry.map(_(id))
+      pr += id -> ((vs.min, vs.max))
+      val distinct = vs.distinct
+      if (distinct.size <= PartValueCap) pv += id -> distinct.sorted
+    }
+    // integral stats ranges: only when every entry records the stat
+    val cr = Map.newBuilder[Long, (Long, Long)]
+    cols.foreach { case (name, id) =>
+      val ranges = fs.map(f =>
+        LakeColIds.physicalName(cols, f, name).flatMap(f.stats.get))
+      if (ranges.nonEmpty && ranges.forall(_.isDefined)) {
+        val rs = ranges.flatten
+        cr += id -> ((rs.map(_._1).min, rs.map(_._2).max))
+      }
+    }
+    LakeCpPart(i, fs.size, pv.result(), pr.result(), cr.result())
+  }
+
+  private def partMetaNode(pm: LakeCpPart): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("p", pm.part)
+    n.put("n", pm.n)
+    if (pm.pv.nonEmpty) {
+      val o = n.putObject("pv")
+      pm.pv.foreach { case (id, vs) =>
+        val a = o.putArray(id.toString); vs.foreach(a.add)
+      }
+    }
+    if (pm.pr.nonEmpty) {
+      val o = n.putObject("pr")
+      pm.pr.foreach { case (id, (lo, hi)) =>
+        val a = o.putArray(id.toString); a.add(lo); a.add(hi)
+      }
+    }
+    if (pm.cr.nonEmpty) {
+      val o = n.putObject("cr")
+      pm.cr.foreach { case (id, (lo, hi)) =>
+        val a = o.putArray(id.toString); a.add(lo); a.add(hi)
+      }
+    }
+    n
+  }
+
+  private def readPartMeta(root: JsonNode): Option[Seq[LakeCpPart]] =
+    Option(root.get("partmeta")).map(_.elements().asScala.map { n =>
+      def strPairs(field: String): Map[Long, (String, String)] =
+        Option(n.get(field)).map(_.properties().asScala.map(e =>
+          e.getKey.toLong -> ((e.getValue.get(0).asText, e.getValue.get(1).asText)))
+          .toMap).getOrElse(Map.empty)
+      def longPairs(field: String): Map[Long, (Long, Long)] =
+        Option(n.get(field)).map(_.properties().asScala.map(e =>
+          e.getKey.toLong -> ((e.getValue.get(0).asLong, e.getValue.get(1).asLong)))
+          .toMap).getOrElse(Map.empty)
+      LakeCpPart(n.get("p").asInt, n.get("n").asInt,
+        Option(n.get("pv")).map(_.properties().asScala.map(e =>
+          e.getKey.toLong -> e.getValue.elements().asScala.map(_.asText()).toSeq)
+          .toMap).getOrElse(Map.empty),
+        strPairs("pr"), longPairs("cr"))
+    }.toSeq)
 
   /** Delta files opened since process start — spec instrumentation for
     * the incremental history fold (each retained delta read ONCE).
@@ -2003,6 +2249,26 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
   private var pushedAggRow: Option[(StructType, Seq[InternalRow])] = None
   private var limitN: Option[Int] = None
 
+  /** The entries this scan considers: on a PARTED (lazy multi-part
+    * checkpoint) snapshot, only the parts the pushed predicates cannot
+    * rule out are parsed — driver planning work O(relevant parts), not
+    * O(files). Sound to decide everything downstream (consumption,
+    * skipping, metadata aggregates) on this subset: a part-pruned file
+    * provably matches no pushed predicate, so it contributes no rows
+    * and would decide None_ anyway. Without pushed predicates (or on
+    * an eager snapshot) this is the full list.
+    */
+  private lazy val candidates: Seq[LakeFile] = snapshot.files match {
+    case pf: LakePartedFiles => pf.matching(skips, snapshot.schema, snapshot.props)
+    case fs => fs
+  }
+
+  /** Display-grade file total that never forces a lazy snapshot. */
+  private def totalForDisplay: Int = snapshot.files match {
+    case pf: LakePartedFiles => pf.totalApprox
+    case fs => fs.size
+  }
+
   /** A bare LIMIT plans a file PREFIX: the log knows each file's live
     * row count, so planning stops adding files once the limit is
     * covered — `SELECT * FROM t LIMIT 10` on a million-file table
@@ -2044,7 +2310,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
           (fd.dataType == DoubleType || fd.dataType == FloatType))
     }
     val (exact, residual) = predicates.partition { p =>
-      floatFree(p) && snapshot.files.forall { f =>
+      floatFree(p) && candidates.forall { f =>
         LakeStats.exact(f, p, LakeColIds.physicalName(cols, f, _),
           LakePartitioning.resolver(snapshot.props, f))
       }
@@ -2087,10 +2353,11 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     if (agg.aggregateExpressions.isEmpty) return None
     val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
     // with all predicates consumed, every file decides All or None_:
-    // the aggregate ranges over exactly the All files
+    // the aggregate ranges over exactly the All files (part-pruned
+    // entries are None_ by construction, so candidates suffice)
     val statFiles =
-      if (skips.isEmpty) snapshot.files
-      else snapshot.files.filter(f =>
+      if (skips.isEmpty) candidates
+      else candidates.filter(f =>
         LakeStats.decide(f, skips, LakeColIds.physicalName(cols, f, _),
           LakePartitioning.resolver(snapshot.props, f)) == LakeStats.All)
     // GROUPED metadata aggregates: group columns must be IDENTITY
@@ -2260,10 +2527,10 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
   override def build(): Scan =
     if (pushedAggRow.isDefined) {
       val (schema0, rows) = pushedAggRow.get
-      new LakeAggScan(schema0, rows, snapshot.files.size)
+      new LakeAggScan(schema0, rows, totalForDisplay)
     } else {
       val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
-      val live = snapshot.files.filter(f =>
+      val live = candidates.filter(f =>
         LakeStats.decide(f, skips,
           LakeColIds.physicalName(cols, f, _),
           LakePartitioning.resolver(snapshot.props, f)) != LakeStats.None_)
@@ -2284,7 +2551,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       }
       new LakeScan(dir, snapshot.schema, snapshot.props, cols,
         capped,
-        snapshot.files.size, required, onPlanned, options)
+        totalForDisplay, required, onPlanned, options)
     }
 
   /** Point-lookup BLOOM pruning (table property `bloomBy`): after

@@ -2739,6 +2739,56 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(v4 == expected, s"rollback change set:\n$v4")
   }
 
+  test("partition-range-indexed planning: a pruned query parses only the matching checkpoint parts") {
+    import spark.implicits._
+    // small part bound → the v10 checkpoint splits per-partition;
+    // entries sort by tuple at checkpoint time, so the manifest's
+    // per-part value sets are disjoint
+    spark.sql("""CREATE TABLE lake.db.t_partidx (id BIGINT, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '3000')""".stripMargin)
+    for (i <- 0 until 12) // p = i per commit; cp at v10 covers p=0..9
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select($"id", lit(i.toLong).as("p"), $"id".as("v"))
+        .coalesce(1).writeTo("lake.db.t_partidx").append()
+    val dir = tableDir("t_partidx")
+    val nParts = LakeLog.checkpointParts(dir, 10L)
+    assert(nParts >= 5, s"3 KB bound must split the checkpoint: $nParts")
+    // point query on the partition column: planning parses ONLY the
+    // parts whose manifest range holds p=3 — snapshot load itself
+    // touches just the O(1) manifest + the two post-cp deltas
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val bytes0 = graft.sources.LakeLog.checkpointParseBytes.get()
+    val df = spark.sql("SELECT sum(v) AS sv FROM lake.db.t_partidx WHERE p = 3")
+    assert(df.collect().head.getLong(0) == (300L until 400L).sum)
+    val partReads = graft.sources.LakeLog.checkpointReads.get() - reads0
+    assert(partReads == 1L,
+      s"p=3 must parse exactly its own checkpoint part, got $partReads of $nParts")
+    assert(graft.sources.LakeLog.checkpointParseBytes.get() - bytes0 <
+      LakeLog.chunkBytes(dir, "c", 10L) / 2,
+      "parse bytes must stay a fraction of the checkpoint")
+    // a post-checkpoint partition (delta add, never checkpointed)
+    // answers with ZERO part parses
+    val reads1 = graft.sources.LakeLog.checkpointReads.get()
+    assert(spark.sql("SELECT count(*) AS n FROM lake.db.t_partidx WHERE p = 11")
+      .collect().head.getLong(0) == 100L)
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads1,
+      "post-checkpoint adds ride the deltas — no checkpoint IO at all")
+    // an unpruned full scan still materializes everything exactly once
+    val reads2 = graft.sources.LakeLog.checkpointReads.get()
+    assert(spark.table("lake.db.t_partidx").count() == 1200L)
+    assert(graft.sources.LakeLog.checkpointReads.get() - reads2 == nParts.toLong,
+      "a full scan parses each part exactly once")
+    // stats ranges index too: v is NOT a partition column, but the
+    // sorted layout gives disjoint per-part [lo,hi] — a v range that
+    // lives in one partition parses one part
+    val reads3 = graft.sources.LakeLog.checkpointReads.get()
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM lake.db.t_partidx WHERE v >= 520 AND v <= 530")
+      .collect().head.getLong(0) == 11L)
+    assert(graft.sources.LakeLog.checkpointReads.get() - reads3 == 1L,
+      "integral stats ranges in the manifest prune non-partition predicates")
+  }
+
   test("bloom sidecars bound the log: entries stay small, probes decode only stats-surviving candidates, vacuum reclaims sidecars") {
     import spark.implicits._
     import graft.sources.LakeParquet
