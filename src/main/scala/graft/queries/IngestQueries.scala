@@ -873,6 +873,58 @@ object IngestQueries {
     clone.unionAll(source).orderBy($"vw", $"bucket")
   }
 
+  /** q103 — the ROUND-13 scale surfaces END-TO-END: a byte-paced
+    * streaming backfill (an undersized `maxBytesPerTrigger` admits
+    * exactly one whole commit per epoch — the never-stall,
+    * never-split rule) drains 12 source commits into a PARTITIONED
+    * destination with bloom sidecars and a small checkpoint part
+    * bound, so the destination crosses the checkpoint interval and
+    * lands a multi-part PARTITION-RANGE-INDEXED checkpoint whose
+    * planning parses only matching parts. The returned frame is a
+    * partition-pruned aggregate (part-indexed planning) crossed with
+    * a bloom-sidecar point lookup. The DuckDB oracle recomputes both
+    * from raw parquet — a lost/duplicated epoch, a part wrongly
+    * pruned, or a bloom false-negative each break the hash.
+    */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q103").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$cat.db.cust_backlog"
+    val dst = s"$cat.db.cust_indexed"
+    spark.sql(s"CREATE TABLE $src (k BIGINT, nat BIGINT, bal BIGINT)")
+    spark.sql(
+      s"""CREATE TABLE $dst (k BIGINT, nat BIGINT, bal BIGINT)
+         |PARTITIONED BY (nat)
+         |TBLPROPERTIES ('bloomBy' = 'k', 'checkpoint_part_bytes' = '6000')""".stripMargin)
+    val base = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_nationkey".cast("long").as("nat"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+    for (m <- 0 until 12) // 12 one-file commits: the backlog to drain
+      base.filter($"k" % 12L === m.toLong).coalesce(1).writeTo(src).append()
+    val ckpt = java.nio.file.Files.createTempDirectory("q103-ckpt").toString
+    // byte budget of 1: every epoch admits ONE whole commit (version
+    // boundaries absolute; an over-budget commit admits alone) — 12
+    // epochs → the destination crosses CheckpointInterval and lands a
+    // multi-part indexed checkpoint
+    spark.readStream.option("maxBytesPerTrigger", "1").table(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(dst).awaitTermination()
+    // partition-pruned aggregate: planning parses only the checkpoint
+    // parts whose recorded ranges hold nat ∈ {3, 7}
+    val pruned = spark.table(dst).where($"nat".isin(3L, 7L))
+      .groupBy($"nat")
+      .agg(count(lit(1)).as("n_rows"), sum($"bal").as("sum_bal"))
+    // bloom-sidecar point lookup (k scattered across every partition)
+    val point = broadcast(spark.table(dst).where($"k" === 97L)
+      .select($"bal".as("point_bal")))
+    pruned.crossJoin(point).orderBy($"nat")
+  }
+
   /** q92 — WRITE-AUDIT-PUBLISH over named refs: the curation gate a
     * production lake runs before exposing new data (the reference
     * publishes each transform layer wholesale to HDFS paths,
@@ -1351,6 +1403,7 @@ object IngestQueries {
     "q100_stream_partitioned" -> q100,
     "q101_stats_census" -> q101,
     "q102_clone_isolation" -> q102,
+    "q103_indexed_backfill" -> q103,
     "q92_wap_refs" -> q92,
     "q93_metadata_agg" -> q93,
     "q94_filtered_meta" -> q94,
@@ -1539,6 +1592,18 @@ object IngestQueries {
         |    CAST(sum(cents) AS BIGINT)
         |  FROM src_v GROUP BY 2)
         |ORDER BY vw, bucket""".stripMargin,
+    "q103_indexed_backfill" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer)
+        |SELECT nat, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal,
+        |  (SELECT bal FROM c WHERE k = 97) AS point_bal
+        |FROM c
+        |WHERE nat IN (3, 7)
+        |GROUP BY nat
+        |ORDER BY nat""".stripMargin,
     "q100_stream_partitioned" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS seg,

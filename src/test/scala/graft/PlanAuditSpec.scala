@@ -49,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q85_lake_evolution", // one 1-row pre-evolution count(*) frame crossed onto the 5-bucket aggregate
     "q86_lake_zorder", // 1-row domain-half bounds frame crossed onto the clustered scan
     "q92_wap_refs", // three 1-row pinned/audit/tag count(*) frames crossed onto the segment aggregate
+    "q103_indexed_backfill", // 1-row bloom point-lookup frame crossed onto the 2-partition aggregate
     "q93_metadata_agg", // 1-row pre-delete metadata-aggregate frame crossed onto the 1-row post frame
     "q94_filtered_meta", // 1-row partition-filtered metadata frames crossed (scalar subqueries)
     "q98_partition_ddl", // 1-row pre-drop metadata count crossed onto the grouped census
