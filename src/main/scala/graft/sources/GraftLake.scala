@@ -757,7 +757,9 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     // xxHash64 values, unsigned ascending; strings hash their UTF-8
     // bytes), keyed by write-time physical name: merged at PLAN time
     // into a table-level distinctCount for the CBO — join-size
-    // estimation min/max alone cannot give
+    // estimation min/max alone cannot give. Serialized PACKED
+    // ("kmvb": base64 big-endian longs, ~684 B at k=64; legacy
+    // decimal arrays still parse)
     kmv: Map[String, Seq[Long]] = Map.empty,
     // bloom SIDECAR column order (write-time physical names): the
     // file's bitsets live in `<path>.bloom` at fixed 8 KB slots in
@@ -1091,9 +1093,16 @@ object LakeLog {
       f.blooms.foreach { case (c, b64) => bl.put(c, b64) }
     }
     if (f.kmv.nonEmpty) {
-      val km = fn.putObject("kmv")
+      // PACKED (base64 of big-endian longs): a k=64 sketch is 512
+      // bytes → ~684 b64 chars vs ~1.3 KB as a JSON decimal array —
+      // with blooms in sidecars, sketches were the next-largest log
+      // cost per entry. An EMPTY sketch stays a present key with an
+      // empty string (coverage-complete, zero distinct values).
+      val km = fn.putObject("kmvb")
       f.kmv.foreach { case (c, hs) =>
-        val a = km.putArray(c); hs.foreach(a.add)
+        val bb = java.nio.ByteBuffer.allocate(hs.length * 8)
+        hs.foreach(bb.putLong)
+        km.put(c, java.util.Base64.getEncoder.encodeToString(bb.array()))
       }
     }
     if (f.bloomSc.nonEmpty) {
@@ -1137,9 +1146,14 @@ object LakeLog {
         Option(fn.get("blooms")).map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asText).toMap)
           .getOrElse(Map.empty[String, String]),
-        Option(fn.get("kmv")).map(_.properties().asScala
-          .map(e => e.getKey -> e.getValue.elements().asScala
-            .map(_.asLong).toSeq).toMap)
+        Option(fn.get("kmvb")).map(_.properties().asScala.map { e =>
+          val bytes = java.util.Base64.getDecoder.decode(e.getValue.asText)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          e.getKey -> Seq.fill(bytes.length / 8)(bb.getLong)
+        }.toMap).orElse( // legacy decimal-array form
+          Option(fn.get("kmv")).map(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.elements().asScala
+              .map(_.asLong).toSeq).toMap))
           .getOrElse(Map.empty[String, Seq[Long]]),
         Option(fn.get("bsc")).map(_.elements().asScala
           .map(_.asText()).toSeq).getOrElse(Seq.empty[String]))

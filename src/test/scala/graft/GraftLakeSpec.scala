@@ -2500,6 +2500,13 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(ndvOf("t_ndvlow") == 8L, s"8 scattered keys merge exactly: ${ndvOf("t_ndvlow")}")
     val hi = ndvOf("t_ndvhigh")
     assert(hi > 20000L && hi < 500000L, s"100k distinct keys estimate in-band: $hi")
+    // sketches land PACKED (base64 longs, ~684 chars at k=64), not as
+    // ~1.3 KB decimal arrays — the dominant per-entry log cost now
+    // that blooms live in sidecars
+    val v1 = new String(Files.readAllBytes(
+      tableDir("t_ndvlow").resolve("_log").resolve(f"v${1L}%08d.json")))
+    assert(v1.contains("\"kmvb\"") && !v1.contains("\"kmv\" :"),
+      "delta entries must carry the packed sketch form")
     val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
     val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -2789,6 +2796,48 @@ class GraftLakeSpec extends AnyFunSuite {
       "integral stats ranges in the manifest prune non-partition predicates")
   }
 
+  test("part-indexed planning stays sound across partition evolution and renames") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_evoidx (id BIGINT, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '3000')""".stripMargin)
+    // era 0: identity(p), one file per value — fully indexable
+    for (i <- 0 until 6)
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select($"id", lit(i.toLong).as("p"), $"id".as("v"))
+        .coalesce(1).writeTo("lake.db.t_evoidx").append()
+    spark.sql("CALL lake.system.evolve_partitioning('db.t_evoidx', 'bucket(4, id)')")
+    // era 1: p becomes a plain DATA column spanning 0..5 in EVERY file
+    // — the checkpoint (v10 = 6 era-0 commits + evolve + 3 era-1
+    // commits) mixes eras, and any part holding an era-1 entry must
+    // NOT be prunable on p (its pv only records columns every entry
+    // covers; its cr range spans 0..5)
+    for (i <- 0 until 5)
+      spark.range(600L + i * 120L, 600L + (i + 1) * 120L)
+        .select($"id", ($"id" % 6L).as("p"), $"id".as("v"))
+        .coalesce(1).writeTo("lake.db.t_evoidx").append()
+    val dir = tableDir("t_evoidx")
+    assert(LakeLog.checkpointParts(dir, 10L) > 1)
+    // WHERE p = 3 must return era-0 partition 3 (ids 300..399) AND the
+    // era-1 rows with p=3 (ids ≡ 3 mod 6) — a wrongly pruned mixed-era
+    // part silently loses the latter
+    val expect = (300L until 400L) ++ (600L until 1200L).filter(_ % 6L == 3L)
+    val got = spark.sql("SELECT id FROM lake.db.t_evoidx WHERE p = 3")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expect.sorted.toSeq,
+      s"evolution-era rows must survive part pruning: ${got.size} vs ${expect.size}")
+    // RENAME after the checkpoint: the index is keyed by stable column
+    // ids, so predicates spelled with the NEW name keep pruning the
+    // era-0 parts and keep every era-1 row
+    spark.sql("ALTER TABLE lake.db.t_evoidx RENAME COLUMN p TO pcat")
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val df = spark.sql("SELECT id FROM lake.db.t_evoidx WHERE pcat = 3")
+    val got2 = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == expect.sorted.toSeq)
+    val parsed = graft.sources.LakeLog.checkpointReads.get() - reads0
+    assert(parsed < LakeLog.checkpointParts(dir, 10L).toLong,
+      s"id-keyed index must still prune era-0 parts under the new name: $parsed")
+  }
+
   test("bloom sidecars bound the log: entries stay small, probes decode only stats-surviving candidates, vacuum reclaims sidecars") {
     import spark.implicits._
     import graft.sources.LakeParquet
@@ -2929,14 +2978,14 @@ class GraftLakeSpec extends AnyFunSuite {
   test("checkpoint integrity: parts stay byte-bounded on disk; a manifest-referenced missing part fails loudly; bad bound rejected at DDL") {
     import spark.implicits._
     spark.sql("""CREATE TABLE lake.db.t_cpint (id BIGINT, v BIGINT, s STRING)
-      |TBLPROPERTIES ('checkpoint_part_bytes' = '8192')""".stripMargin)
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '2048')""".stripMargin)
     for (b <- 0 until 12) // checkpoint lands at v10
       spark.range(b * 10L, (b + 1) * 10L)
         .select($"id", ($"id" * 2L).as("v"), lit(s"f$b").as("s"))
         .coalesce(2).writeTo("lake.db.t_cpint").append()
     val dir = tableDir("t_cpint")
     val nParts = LakeLog.checkpointParts(dir, 10L)
-    assert(nParts > 1, s"8 KB bound must split 24 sketched entries: $nParts")
+    assert(nParts > 1, s"2 KB bound must split 24 entries: $nParts")
     // parts publish COMPACTLY with the same serialization the split
     // measured — a multi-entry part never exceeds the configured bound
     // by more than the JSON wrapper (pretty-printing would blow this)
@@ -2947,7 +2996,7 @@ class GraftLakeSpec extends AnyFunSuite {
     partFiles.foreach { p =>
       val entries = mapper.readTree(Files.readAllBytes(p)).get("files").size()
       if (entries >= 2)
-        assert(Files.size(p) <= 8192L + 128L,
+        assert(Files.size(p) <= 2048L + 128L,
           s"part $p: ${Files.size(p)} bytes for $entries entries " +
             "exceeds the configured bound")
     }
