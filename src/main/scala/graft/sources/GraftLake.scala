@@ -1283,6 +1283,15 @@ object LakeLog {
   private[sources] def deltaProps(dir: Path, v: Long): Map[String, String] =
     deltaAt(dir, v).map(_._2).getOrElse(Map.empty)
 
+  /** The FIRST version committed at or after `tsMs` — the
+    * `startingTimestamp` streaming anchor ("changes from this instant
+    * on"). None when every retained commit predates it (the stream
+    * then starts at the head's successor: only future commits flow).
+    */
+  def versionAfterTime(dir: Path, tsMs: Long): Option[Long] =
+    listLog(dir, "v").sorted
+      .find(v => commitTimeMs(dir, v).exists(_ >= tsMs))
+
   /** Data-file bytes ADDED by delta `v` — the streaming admission
     * weight for `maxBytesPerTrigger` (the log records each file's
     * size, so pacing a 100 TB backfill costs one small delta read per
@@ -2690,7 +2699,8 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
       Option(options.get(k)).map(_.toLong).getOrElse(dflt)
     new LakeChangesStream(dir, curCols, required,
       // default 0, not 1: CTAS/RTAS commit their data files AT v0
-      startingVersion = opt("startingVersion", 0L),
+      startingVersion = LakeChanges.resolveStartingVersion(dir, options)
+        .getOrElse(opt("startingVersion", 0L)),
       maxVersionsPerTrigger = opt("maxVersionsPerTrigger", Long.MaxValue),
       maxBytesPerTrigger = opt("maxBytesPerTrigger", Long.MaxValue),
       skipChangeCommits =
@@ -3766,9 +3776,9 @@ object LakeProcedures {
   import org.apache.spark.sql.connector.read.LocalScan
 
   val Names: Array[String] =
-    Array("compact", "compact_size", "zorder", "vacuum", "history",
-      "evolve_partitioning", "tag", "branch", "publish", "drop_ref",
-      "rollback", "clone")
+    Array("compact", "compact_size", "compact_where", "zorder", "vacuum",
+      "history", "evolve_partitioning", "tag", "branch", "publish",
+      "drop_ref", "rollback", "clone")
 
   private def out(schema0: StructType, rows0: Seq[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
@@ -3988,6 +3998,105 @@ object LakeProcedures {
             out(resultSchema, Seq(new GenericInternalRow(Array[Any](
               candidates.size, snap.files.size - candidates.size,
               written.size, written.map(_.rows).sum))))
+          }
+        }
+      }
+
+      /** PARTITION-SCOPED compaction — the 100 TB maintenance shape:
+        * `OPTIMIZE ... WHERE` compacts yesterday's partition, never
+        * the table. The predicate evaluates over the table's identity
+        * PARTITION TUPLES (read from the log — zero data IO to plan),
+        * selected tuples' current-era files rewrite into ≤ 1 file per
+        * tuple (the task-side writer splits by tuple; `sortBy` is
+        * restored by the arrangement), and the swap commit replaces
+        * exactly those files — untouched partitions keep their paths,
+        * stats, and layout byte-identical. A predicate naming a
+        * non-partition column fails analysis loudly; old-era files
+        * (pre partition-evolution) don't participate — their tuples
+        * aren't comparable under the current spec.
+        */
+      case "compact_where" => new UnboundProcedure {
+        override def name(): String = "compact_where"
+        override def description(): String =
+          "compact_where(table STRING, where STRING, target_files INT): " +
+            "compact only the identity partitions matching the predicate"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "compact_where"
+          override def description(): String = "graftlake partition-scoped compaction"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("where", StringType).build(),
+            ProcedureParameter.in("target_files", IntegerType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val where = input.getUTF8String(1).toString
+            val target = math.max(1, input.getInt(2))
+            val spark = org.apache.spark.sql.SparkSession.active
+            val snap = LakeLog.currentSnapshot(dir).get
+            val spec = LakePartitioning.decode(snap.props)
+            val idCols: Seq[String] = spec.collect {
+              case LakePartitioning.Identity(c) => c }
+            require(idCols.nonEmpty,
+              "compact_where needs identity partition columns")
+            val curId = LakePartitioning.currentSpecId(snap.props)
+            val curEra = snap.files.filter(f =>
+              f.specId == curId && f.part.nonEmpty)
+            val resultSchema = StructType(Seq(
+              StructField("partitions_selected", IntegerType, nullable = false),
+              StructField("files_before", IntegerType, nullable = false),
+              StructField("files_after", IntegerType, nullable = false),
+              StructField("rows_rewritten", LongType, nullable = false)))
+            // the predicate runs over the DISTINCT partition tuples,
+            // typed like the source columns — log-only planning
+            val idIdx = spec.zipWithIndex.collect {
+              case (LakePartitioning.Identity(c), i) => c -> i }
+            val tuples = curEra.map(_.part).distinct
+            def typed(c: String, s: Option[String]): Any = s match {
+              case None => null
+              case Some(v) => snap.schema(snap.schema.fieldIndex(c)).dataType match {
+                case LongType => java.lang.Long.valueOf(v)
+                case IntegerType => java.lang.Integer.valueOf(v)
+                case BooleanType => java.lang.Boolean.valueOf(v)
+                case _ => v
+              }
+            }
+            val tupleRows = tuples.map(t => org.apache.spark.sql.Row.fromSeq(
+              idIdx.map { case (c, i) => typed(c, t.lift(i).flatten) }))
+            val tupleSchema = StructType(idIdx.map { case (c, _) =>
+              StructField(c, snap.schema(snap.schema.fieldIndex(c)).dataType,
+                nullable = true) })
+            import scala.jdk.CollectionConverters._
+            val selected = spark.createDataFrame(tupleRows.asJava, tupleSchema)
+              .where(where)
+              .collect().map(r => idIdx.map { case (c, _) =>
+                Option(r.getAs[Any](c)).map(String.valueOf) }).toSet
+            val byTuple = curEra.groupBy(f =>
+              idIdx.map { case (_, i) => f.part.lift(i).flatten })
+            val candidates = byTuple.view.filterKeys(selected.contains)
+              .values.flatten.map(_.path).toSeq.sorted
+            if (candidates.isEmpty)
+              return out(resultSchema, Seq(new GenericInternalRow(
+                Array[Any](selected.size, 0, 0, 0L))))
+            val fqn = s"$catName.${input.getUTF8String(0)}"
+            import org.apache.spark.sql.functions.{col => fcol}
+            // scan ONLY the candidates (file-exact _file IN pruning);
+            // the writer splits per tuple, so repartitioning on the
+            // partition sources yields one file per selected tuple
+            // per task that sees it
+            val base = spark.table(fqn)
+              .where(fcol(LakeTable.FileColumn).isin(candidates: _*))
+              .repartition(target, idCols.map(fcol): _*)
+            val arranged = snap.props.get("sortBy")
+              .map(s => base.sortWithinPartitions(fcol(s))).getOrElse(base)
+              .select(snap.schema.fieldNames.toSeq.map(fcol(_)): _*)
+            val written = swapRewrite(dir, snap,
+              arranged.queryExecution.toRdd, snap.schema,
+              replacedFiles = Some(candidates.toSet),
+              sortedBy = snap.props.get("sortBy").toSeq)
+            out(resultSchema, Seq(new GenericInternalRow(Array[Any](
+              selected.size, candidates.size, written.size,
+              written.map(_.rows).sum))))
           }
         }
       }

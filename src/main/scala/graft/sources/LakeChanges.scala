@@ -73,6 +73,23 @@ object LakeChanges {
   /** Table-name suffix that routes `loadTable` to the feed. */
   val Suffix = "__changes"
 
+  /** `startingTimestamp` → the first version committed at or after the
+    * instant (epoch millis, or a `Timestamp.valueOf` literal). Every
+    * retained commit older → start past the head (future commits
+    * only). Mutually exclusive with `startingVersion`.
+    */
+  def resolveStartingVersion(dir: Path,
+      options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("startingTimestamp")).map { s =>
+      require(options.get("startingVersion") == null,
+        "graftlake: startingTimestamp and startingVersion are mutually exclusive")
+      val tsMs =
+        if (s.forall(_.isDigit)) s.toLong
+        else java.sql.Timestamp.valueOf(s).getTime
+      LakeLog.versionAfterTime(dir, tsMs)
+        .getOrElse(LakeLog.currentVersion(dir).getOrElse(-1L) + 1L)
+    }
+
   /** Change partitions for ONE version transition `v-1 -> v`.
     * `appendOnly` is the BASE-table streaming contract: only appended
     * files may emit; any delete-vector growth or file removal is a
@@ -192,7 +209,8 @@ class LakeChangesScan(dir: Path, feedCols: Seq[(String, Long)],
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeChangesStream(dir, feedCols, required,
-      startingVersion = opt("startingVersion", 0L),
+      startingVersion = LakeChanges.resolveStartingVersion(dir, options)
+        .getOrElse(opt("startingVersion", 0L)),
       maxVersionsPerTrigger = opt("maxVersionsPerTrigger", Long.MaxValue),
       maxBytesPerTrigger = opt("maxBytesPerTrigger", Long.MaxValue),
       skipChangeCommits = skipChangeCommits,

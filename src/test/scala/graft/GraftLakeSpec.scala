@@ -3095,6 +3095,104 @@ class GraftLakeSpec extends AnyFunSuite {
       spark.table(s"lake.db.$t").count() == 50L)
   }
 
+  test("compact_where: only the matching partitions rewrite; the rest keep their paths") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_cw (id BIGINT, seg STRING, v BIGINT)
+      |PARTITIONED BY (seg) TBLPROPERTIES ('sortBy' = 'id')""".stripMargin)
+    for (b <- 0 until 3) // 3 commits × 3 segs → 3 small files per seg
+      spark.range(b * 90L, (b + 1) * 90L)
+        .select($"id", concat(lit("g"), $"id" % 3).as("seg"), ($"id" * 2L).as("v"))
+        .repartition(1).writeTo("lake.db.t_cw").append()
+    def files(): Map[Option[String], Seq[String]] =
+      LakeLog.currentSnapshot(tableDir("t_cw")).get.files
+        .groupBy(_.part.head).view.mapValues(_.map(_.path).sorted).toMap
+    val before = files()
+    assert(before.values.forall(_.size == 3))
+    val sums = spark.sql(
+      "SELECT seg, count(*) AS n, sum(v) AS sv FROM lake.db.t_cw GROUP BY seg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val res = spark.sql(
+      "CALL lake.system.compact_where('db.t_cw', \"seg = 'g1'\", 1)").head()
+    assert(res.getInt(0) == 1 && res.getInt(1) == 3 && res.getInt(2) == 1,
+      s"one partition, 3 files -> 1: $res")
+    val after = files()
+    assert(after(Some("g1")).size == 1 &&
+      before(Some("g1")).intersect(after(Some("g1"))).isEmpty)
+    assert(after(Some("g0")) == before(Some("g0")) &&
+      after(Some("g2")) == before(Some("g2")),
+      "untouched partitions keep their exact files")
+    assert(spark.sql(
+      "SELECT seg, count(*) AS n, sum(v) AS sv FROM lake.db.t_cw GROUP BY seg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == sums, "content identical")
+    // no-match predicate: a clean no-op, no commit
+    val v0 = LakeLog.currentSnapshot(tableDir("t_cw")).get.version
+    val none = spark.sql(
+      "CALL lake.system.compact_where('db.t_cw', \"seg = 'nope'\", 1)").head()
+    assert(none.getInt(1) == 0 && none.getInt(2) == 0)
+    assert(LakeLog.currentSnapshot(tableDir("t_cw")).get.version == v0)
+    // a predicate on a NON-partition column fails loudly — silently
+    // compacting the wrong scope would be worse than refusing
+    intercept[Exception](spark.sql(
+      "CALL lake.system.compact_where('db.t_cw', 'v > 100', 1)").collect())
+  }
+
+  test("startingTimestamp anchors a stream at the first commit at-or-after the instant") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_startts (id BIGINT, s STRING)")
+    def append(b: Int): Unit =
+      spark.range(b * 10L, (b + 1) * 10L)
+        .select($"id", lit(s"b$b").as("s"))
+        .coalesce(1).writeTo("lake.db.t_startts").append()
+    append(0); append(1)
+    Thread.sleep(20) // commit instants are epoch-ms; separate them
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    append(2); append(3)
+    val ckpt = Files.createTempDirectory("startts-ckpt").toString
+    spark.readStream.option("startingTimestamp", cut.toString)
+      .table("lake.db.t_startts")
+      .writeStream.format("memory").queryName("startts")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(spark.table("startts").collect().map(_.getLong(0)).sorted.toSeq ==
+      (20L until 40L), "only the commits at-or-after the instant flow")
+    // both anchors at once is ambiguous — refuse loudly
+    intercept[Exception](spark.readStream
+      .option("startingTimestamp", cut.toString)
+      .option("startingVersion", "1")
+      .table("lake.db.t_startts")
+      .writeStream.format("memory").queryName("starttsdup")
+      .option("checkpointLocation",
+        Files.createTempDirectory("startts-ckpt2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination())
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the full three-arm merge, COW and MOR") {
+    import spark.implicits._
+    for ((t, props) <- Seq(("t_merge3cow", ""),
+        ("t_merge3mor", " TBLPROPERTIES ('mode' = 'mor')"))) {
+      spark.sql(s"CREATE TABLE lake.db.$t (k BIGINT, v BIGINT)$props")
+      spark.range(1, 7).select($"id".as("k"), $"id".as("v"))
+        .coalesce(1).writeTo(s"lake.db.$t").append()
+      spark.range(4, 9).select($"id".as("k"), ($"id" * 10L).as("v"))
+        .createOrReplaceTempView(s"${t}_src")
+      spark.sql(
+        s"""MERGE INTO lake.db.$t t USING ${t}_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+           |WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND t.k = 2 THEN UPDATE SET v = -99
+           |""".stripMargin)
+      val got = spark.table(s"lake.db.$t").as[(Long, Long)]
+        .collect().sorted.toSeq
+      assert(got == Seq(2L -> -99L, 3L -> 3L, 4L -> 40L, 5L -> 50L,
+        6L -> 60L, 7L -> 70L, 8L -> 80L), s"$t: $got")
+    }
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
