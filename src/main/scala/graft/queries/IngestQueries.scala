@@ -925,6 +925,40 @@ object IngestQueries {
     pruned.crossJoin(point).orderBy($"nat")
   }
 
+  /** q104 — `trunc(n, col)` TIME-BUCKET partitioning END-TO-END: the
+    * events stream lands in a lake table partitioned by DAY over
+    * epoch-micros (`trunc(86400000000, ts_us)`) in two commits, so a
+    * thousand distinct timestamps produce one file per (commit, day)
+    * instead of a partition per value — the only layout a time column
+    * can take at 100 TB. The returned frame is the per-day census
+    * (rows + fixed-point value sum) computed with the SAME floor
+    * division the partition transform uses; the DuckDB oracle
+    * recomputes it from raw parquet. A row routed to the wrong
+    * bucket, lost in the split, or double-written breaks the hash.
+    */
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q104").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.events_daily"
+    spark.sql(
+      s"""CREATE TABLE $t (ts_us BIGINT, user_id BIGINT, mv BIGINT)
+         |PARTITIONED BY (trunc(86400000000, ts_us))""".stripMargin)
+    def slice(m: Int) = Tables.load(spark, dir, "events")
+      .filter($"user_id" % 2 === m.toLong)
+      .select(unix_micros($"ts").as("ts_us"), $"user_id",
+        graft.functions.gf.fixed($"value", 1000.0).as("mv"))
+    slice(0).repartition(2).writeTo(t).append()
+    slice(1).repartition(2).writeTo(t).append()
+    spark.table(t)
+      .groupBy(expr("ts_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_rows"), sum($"mv").as("sum_mv"))
+      .orderBy($"day")
+  }
+
   /** q92 — WRITE-AUDIT-PUBLISH over named refs: the curation gate a
     * production lake runs before exposing new data (the reference
     * publishes each transform layer wholesale to HDFS paths,
@@ -1404,6 +1438,7 @@ object IngestQueries {
     "q101_stats_census" -> q101,
     "q102_clone_isolation" -> q102,
     "q103_indexed_backfill" -> q103,
+    "q104_daily_buckets" -> q104,
     "q92_wap_refs" -> q92,
     "q93_metadata_agg" -> q93,
     "q94_filtered_meta" -> q94,
@@ -1592,6 +1627,17 @@ object IngestQueries {
         |    CAST(sum(cents) AS BIGINT)
         |  FROM src_v GROUP BY 2)
         |ORDER BY vw, bucket""".stripMargin,
+    "q104_daily_buckets" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+        |  FROM events)
+        |SELECT us // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(mv) AS BIGINT) AS sum_mv
+        |FROM e
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q103_indexed_backfill" ->
       """WITH c AS (
         |  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,

@@ -437,6 +437,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
                 LakePartitioning.Identity(ren.newName)
               case LakePartitioning.Bucket(`from`, n) =>
                 LakePartitioning.Bucket(ren.newName, n)
+              case LakePartitioning.Trunc(`from`, n) =>
+                LakePartitioning.Trunc(ren.newName, n)
               case other => other
             })
           props = props.map {
@@ -585,11 +587,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   // TABLE's catalog; exposing it here is what lets bucket-partitioned
   // tables storage-partition-join shuffle-free --
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"),
+      Identifier.of(Array.empty, "trunc"))
     else Array.empty
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace.isEmpty && ident.name == "bucket") LakeBucketUnbound
+    else if (ident.namespace.isEmpty && ident.name == "trunc") LakeTruncUnbound
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // -- minimal namespace support (directories under the warehouse) --

@@ -36,6 +36,26 @@ object LakePartitioning {
       Option(v).map(_.toString)
   }
 
+  /** trunc(n, col): tuple component = floorDiv(long value, n) — the
+    * TIME-BUCKET transform (Iceberg's truncate): `trunc(86400000000,
+    * ts_us)` is day partitioning over epoch micros. Identity on a
+    * timestamp makes one partition per distinct value (a file-count
+    * disaster); trunc bounds partitions to the covered range while
+    * range predicates on the SOURCE column keep pruning through file
+    * stats AND the per-part manifest ranges. Integral columns only —
+    * the function is part of the format contract.
+    */
+  case class Trunc(col: String, n: Long) extends Field {
+    def truncOf(v: Any): Long = v match {
+      case l: Long => Math.floorDiv(l, n)
+      case i: Int => Math.floorDiv(i.toLong, n)
+      case other => throw new IllegalArgumentException(
+        s"graftlake: trunc partitions integral columns only, got $other")
+    }
+    override def eval(v: Any): Option[String] =
+      Option(v).map(x => truncOf(x).toString)
+  }
+
   /** bucket(n, col): tuple component = floorMod(long value | hashCode, n).
     * The function is part of the FORMAT contract (pruning re-evaluates
     * it against literals), so keep it dead simple and documented.
@@ -80,14 +100,27 @@ object LakePartitioning {
             s"graftlake: bucket transform needs a literal width: $t"))
           require(n > 0, s"graftlake: bucket width must be positive, got $n")
           Bucket(ref, n)
+        case "trunc" | "truncate" =>
+          val n = t.arguments().collectFirst {
+            case l: VLiteral[_] if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].longValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graftlake: trunc transform needs a literal width: $t"))
+          require(n > 0L, s"graftlake: trunc width must be positive, got $n")
+          require(schema(schema.fieldIndex(ref)).dataType == LongType ||
+            schema(schema.fieldIndex(ref)).dataType == IntegerType,
+            s"graftlake: trunc partitions integral columns only, got $ref")
+          Trunc(ref, n)
         case other => throw new UnsupportedOperationException(
-          s"graftlake: unsupported partition transform $other (identity and bucket only)")
+          s"graftlake: unsupported partition transform $other " +
+            "(identity, bucket, trunc only)")
       }
     }
 
   def encode(fields: Seq[Field]): String = fields.map {
     case Identity(c) => s"id:$c"
     case Bucket(c, n) => s"b$n:$c"
+    case Trunc(c, n) => s"t$n:$c"
   }.mkString(",")
 
   private def decodeSpec(spec: String): Seq[Field] =
@@ -95,6 +128,7 @@ object LakePartitioning {
     else spec.split(',').toSeq.map { s =>
       val Array(kind, col) = s.split(":", 2)
       if (kind == "id") Identity(col)
+      else if (kind.startsWith("t")) Trunc(col, kind.stripPrefix("t").toLong)
       else Bucket(col, kind.stripPrefix("b").toInt)
     }
 
@@ -132,6 +166,8 @@ object LakePartitioning {
   def toTransforms(fields: Seq[Field]): Array[Transform] = fields.map {
     case Identity(c) => Expressions.identity(c)
     case Bucket(c, n) => Expressions.bucket(n, c)
+    case Trunc(c, n) => Expressions.apply("trunc",
+      Expressions.literal(n), Expressions.column(c))
   }.toArray
 
   /** Row-level tuple evaluator bound to a write schema. */
@@ -166,12 +202,25 @@ object LakePartitioning {
       case (b @ Bucket(_, _), Some(fv)) =>
         if (b.bucketOf(value).toString != fv) Some(false) else None
       case (Bucket(_, _), None) => Some(false)
+      case (t @ Trunc(_, _), Some(fv)) =>
+        // a different bucket definitely excludes the value; the same
+        // bucket holds a RANGE — stats decide further
+        value match {
+          case n: java.lang.Number =>
+            if (t.truncOf(n.longValue).toString != fv) Some(false) else None
+          case _ => None
+        }
+      case (Trunc(_, _), None) => Some(false)
     }
 
     /** Some(true) = every row null in col; Some(false) = none null. */
     def isNull(col: String): Option[Boolean] = byCol.get(col).flatMap {
+      // a file's tuple component is None exactly when EVERY row's
+      // source value was null (null rows land in their own files) —
+      // identity and trunc decide; bucket stays conservative (legacy)
       case (Identity(_), v) => Some(v.isEmpty)
-      case _ => None // a bucket file mixes many values; stats decide
+      case (Trunc(_, _), v) => Some(v.isEmpty)
+      case _ => None
     }
   }
 
@@ -193,6 +242,7 @@ object LakePartitioning {
         case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
       }
       case (Bucket(_, _), Some(v)) => v.toInt
+      case (Trunc(_, _), Some(v)) => v.toLong
     }.toArray
 
   def resolver(props: Map[String, String], f: LakeFile): Resolver = {
@@ -208,6 +258,7 @@ object LakePartitioning {
     */
   def parseSpecSyntax(s: String, schema: StructType): Seq[Field] = {
     val BucketRe = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
+    val TruncRe = """(?i)^trunc(?:ate)?\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
     val IdentRe = """^([A-Za-z_][A-Za-z0-9_]*)$""".r
     // split on commas OUTSIDE parentheses (bucket(n, col) keeps its own)
     val parts = {
@@ -229,13 +280,21 @@ object LakePartitioning {
           s"graftlake: partition column $col not in schema")
         require(n.toInt > 0, s"graftlake: bucket width must be positive, got $n")
         Bucket(col, n.toInt)
+      case TruncRe(n, col) =>
+        require(schema.fieldNames.contains(col),
+          s"graftlake: partition column $col not in schema")
+        require(n.toLong > 0L, s"graftlake: trunc width must be positive, got $n")
+        require(schema(schema.fieldIndex(col)).dataType == LongType ||
+          schema(schema.fieldIndex(col)).dataType == IntegerType,
+          s"graftlake: trunc partitions integral columns only, got $col")
+        Trunc(col, n.toLong)
       case IdentRe(col) =>
         require(schema.fieldNames.contains(col),
           s"graftlake: partition column $col not in schema")
         Identity(col)
       case other => throw new IllegalArgumentException(
         s"graftlake: cannot parse partition term '$other' " +
-          "(expected col or bucket(n, col))")
+          "(expected col, bucket(n, col), or trunc(n, col))")
     }
   }
 }
@@ -285,5 +344,46 @@ case class LakeBucketFunction(colType: DataType)
       case StringType => input.getUTF8String(1).toString.hashCode.toLong
     }
     Math.floorMod(h, n.toLong).toInt
+  }
+}
+
+/** The `trunc` V2 FUNCTION of the lake format — what lets Spark
+  * resolve a reported `trunc(n, col)` partitioning (time buckets) for
+  * storage-partitioned joins: two tables day-partitioned with the
+  * same width equi-join on the source column with no shuffle. Math is
+  * byte-identical to [[LakePartitioning.Trunc.truncOf]].
+  */
+object LakeTruncUnbound extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "trunc"
+  override def description(): String =
+    "trunc(n BIGINT, col) -> BIGINT: the lake time-bucket partition " +
+      "transform (floorDiv of the long value, matching the write path)"
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.length == 2,
+      s"trunc takes (width, col), got ${inputType.simpleString}")
+    val widthOk = inputType(0).dataType == LongType ||
+      inputType(0).dataType == IntegerType
+    val colOk = inputType(1).dataType == LongType ||
+      inputType(1).dataType == IntegerType
+    require(widthOk && colOk,
+      s"trunc supports integral widths and columns, got ${inputType.simpleString}")
+    LakeTruncFunction(inputType(0).dataType, inputType(1).dataType)
+  }
+}
+
+case class LakeTruncFunction(widthType: DataType, colType: DataType)
+  extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+  override def name(): String = "trunc"
+  override def canonicalName(): String = "graftlake.trunc"
+  override def inputTypes(): Array[DataType] = Array(widthType, colType)
+  override def resultType(): DataType = LongType
+  override def produceResult(input: InternalRow): java.lang.Long = {
+    if (input.isNullAt(1)) return null
+    val n =
+      if (widthType == LongType) input.getLong(0) else input.getInt(0).toLong
+    val v =
+      if (colType == LongType) input.getLong(1) else input.getInt(1).toLong
+    Math.floorDiv(v, n)
   }
 }

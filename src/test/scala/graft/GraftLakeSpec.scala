@@ -2133,6 +2133,75 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("trunc(n, col) time buckets: bounded files, tuple pruning, dynamic overwrite, shuffle-free SPJ") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_trunc (ts BIGINT, v BIGINT) " +
+      "PARTITIONED BY (trunc(100, ts))")
+    // 1000 distinct timestamps land as 10 bucket files, not 1000
+    // identity partitions — THE reason a time column takes trunc
+    spark.range(0, 1000).select($"id".as("ts"), ($"id" * 2L).as("v"))
+      .repartition(1).writeTo("lake.db.t_trunc").append()
+    val snap0 = LakeLog.currentSnapshot(tableDir("t_trunc")).get
+    assert(snap0.files.size == 10 &&
+      snap0.files.map(_.part.head).toSet == (0 until 10).map(i => Some(i.toString)).toSet)
+    // negative timestamps: floorDiv semantics (-50 -> bucket -1)
+    spark.range(0, 100).select(($"id" - 100L).as("ts"), lit(-1L).as("v"))
+      .repartition(1).writeTo("lake.db.t_trunc").append()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    val qe = "SELECT v FROM lake.db.t_trunc WHERE ts = 250"
+    assert(spark.sql(qe).head().getLong(0) == 500L)
+    assert(planOf(qe).contains("files=1/11"), s"tuple eq pruning:\n${planOf(qe)}")
+    val qn = "SELECT v FROM lake.db.t_trunc WHERE ts = -50"
+    assert(spark.sql(qn).head().getLong(0) == -1L)
+    assert(planOf(qn).contains("files=1/11"), s"negative bucket:\n${planOf(qn)}")
+    // a source-column RANGE prunes to its covered buckets
+    val qr = "SELECT count(*) AS n FROM lake.db.t_trunc WHERE ts >= 150 AND ts < 350"
+    assert(spark.sql(qr).head().getLong(0) == 200L)
+    assert(planOf(qr).contains("files=3/11"), s"range:\n${planOf(qr)}")
+    // dynamic partition overwrite replaces exactly the touched buckets
+    val before = LakeLog.currentSnapshot(tableDir("t_trunc")).get.files
+      .map(f => f.part.head -> f.path).toMap
+    spark.range(200, 300).select($"id".as("ts"), lit(7L).as("v"))
+      .repartition(1).writeTo("lake.db.t_trunc").overwritePartitions()
+    val after = LakeLog.currentSnapshot(tableDir("t_trunc")).get.files
+      .map(f => f.part.head -> f.path).toMap
+    assert(after(Some("2")) != before(Some("2")))
+    assert((before - Some("2")).forall { case (t, p) => after(t) == p },
+      "only the written bucket's file changed")
+    assert(spark.sql("SELECT sum(v) FROM lake.db.t_trunc WHERE ts BETWEEN 200 AND 299")
+      .head().getLong(0) == 700L)
+    // SPJ: same-width trunc tables equi-join on the SOURCE column with
+    // no shuffle — the catalog's `trunc` function resolves the
+    // reported transform exactly like `bucket`
+    spark.sql("CREATE TABLE lake.db.t_trunc_dim (ts BIGINT, factor BIGINT) " +
+      "PARTITIONED BY (trunc(100, ts))")
+    spark.range(0, 1000).select($"id".as("ts"), ($"id" % 9L).as("factor"))
+      .repartition(1).writeTo("lake.db.t_trunc_dim").append()
+    def joined() = spark.table("lake.db.t_trunc")
+      .join(spark.table("lake.db.t_trunc_dim"), "ts")
+      .groupBy(($"ts" % 10L).as("m")).agg(sum($"v" * $"factor").as("w"))
+      .orderBy($"m")
+    val expected = joined().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = joined()
+      val joinPlan = df.queryExecution.sparkPlan.toString
+      val joinIdx = joinPlan.indexOf("Join")
+      assert(joinIdx >= 0 && !joinPlan.substring(joinIdx).contains("Exchange"),
+        s"trunc-co-partitioned tables must join with no shuffle:\n$joinPlan")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("metadata companion tables: __files census and __history answer from the log") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_meta (k BIGINT, seg STRING, v BIGINT) " +
