@@ -2285,9 +2285,17 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     * and would decide None_ anyway. Without pushed predicates (or on
     * an eager snapshot) this is the full list.
     */
-  private lazy val candidates: Seq[LakeFile] = snapshot.files match {
-    case pf: LakePartedFiles => pf.matching(skips, snapshot.schema, snapshot.props)
-    case fs => fs
+  private var candCache: (Array[VPredicate], Seq[LakeFile]) = null
+  private def candidates: Seq[LakeFile] = {
+    // keyed by the CURRENT pushed set (reference): a re-push with a
+    // different predicate set must never reuse a stale pruning
+    if (candCache == null || !(candCache._1 eq skips))
+      candCache = (skips, snapshot.files match {
+        case pf: LakePartedFiles =>
+          pf.matching(skips, snapshot.schema, snapshot.props)
+        case fs => fs
+      })
+    candCache._2
   }
 
   /** Display-grade file total that never forces a lazy snapshot. */

@@ -2202,6 +2202,27 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("time-bucket retention: DELETE below a bucket boundary is metadata-only") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_trret (ts BIGINT, v BIGINT) " +
+      "PARTITIONED BY (trunc(100, ts))")
+    spark.range(0, 1000).select($"id".as("ts"), ($"id" * 2L).as("v"))
+      .repartition(1).writeTo("lake.db.t_trret").append()
+    val before = LakeLog.currentSnapshot(tableDir("t_trret")).get.files
+    assert(before.size == 10)
+    // the 100 TB retention sweep: every file lives wholly inside one
+    // time bucket, so a boundary-aligned DELETE decides every file
+    // All-or-None from stats — zero rewrites, a pure log commit
+    spark.sql("DELETE FROM lake.db.t_trret WHERE ts < 300")
+    val after = LakeLog.currentSnapshot(tableDir("t_trret")).get.files
+    assert(after.map(_.path).toSet ==
+      before.filter(_.part.head.exists(_.toLong >= 3L)).map(_.path).toSet,
+      "expired buckets drop whole; survivors keep their exact files")
+    assert(after.forall(_.dv.isEmpty), "no delete vectors — whole files only")
+    assert(spark.table("lake.db.t_trret").count() == 700L)
+    assert(spark.sql("SELECT min(ts) FROM lake.db.t_trret").head().getLong(0) == 300L)
+  }
+
   test("metadata companion tables: __files census and __history answer from the log") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_meta (k BIGINT, seg STRING, v BIGINT) " +
