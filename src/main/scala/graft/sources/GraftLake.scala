@@ -869,7 +869,11 @@ case class LakeSnapshot(version: Long, schema: StructType, files: Seq[LakeFile],
 case class LakeCpPart(part: Int, n: Int,
     pv: Map[Long, Seq[String]],
     pr: Map[Long, (String, String)],
-    cr: Map[Long, (Long, Long)])
+    cr: Map[Long, (Long, Long)],
+    // LIVE rows (dv-subtracted at checkpoint time) across the part's
+    // entries: an unfiltered COUNT(*) answers from the manifest alone
+    // when no post-checkpoint commit removed or changed entries
+    liveRows: Long = -1L)
 
 /** The LAZY file list of a multi-part checkpoint (+ the delta chain
   * folded on top as in-memory `adds` and a `kills` path set): scan
@@ -905,6 +909,16 @@ final class LakePartedFiles(dir: Path, version: Long,
     * removed since the checkpoint): never forces materialization.
     */
   def totalApprox: Int = parts.map(_.n).sum + adds.size - kills.size
+
+  /** EXACT live row count with zero part parses, when knowable: the
+    * manifest's per-part live totals + the in-memory adds — valid
+    * only while NO post-checkpoint commit removed or superseded a
+    * checkpointed entry (the kill set would subtract unknown counts).
+    * None = a part predates the field, or kills exist: parse instead.
+    */
+  def manifestLiveRows: Option[Long] =
+    if (kills.nonEmpty || parts.exists(_.liveRows < 0L)) None
+    else Some(parts.map(_.liveRows).sum + adds.map(_.liveRows).sum)
 
   /** Entries that could match the pushed predicate set, parsing only
     * the checkpoint parts some predicate cannot rule out. Exactly the
@@ -1505,13 +1519,15 @@ object LakeLog {
         cr += id -> ((rs.map(_._1).min, rs.map(_._2).max))
       }
     }
-    LakeCpPart(i, fs.size, pv.result(), pr.result(), cr.result())
+    LakeCpPart(i, fs.size, pv.result(), pr.result(), cr.result(),
+      liveRows = fs.map(_.liveRows).sum)
   }
 
   private def partMetaNode(pm: LakeCpPart): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("p", pm.part)
     n.put("n", pm.n)
+    if (pm.liveRows >= 0L) n.put("lr", pm.liveRows)
     if (pm.pv.nonEmpty) {
       val o = n.putObject("pv")
       pm.pv.foreach { case (id, vs) =>
@@ -1547,7 +1563,8 @@ object LakeLog {
         Option(n.get("pv")).map(_.properties().asScala.map(e =>
           e.getKey.toLong -> e.getValue.elements().asScala.map(_.asText()).toSeq)
           .toMap).getOrElse(Map.empty),
-        strPairs("pr"), longPairs("cr"))
+        strPairs("pr"), longPairs("cr"),
+        liveRows = Option(n.get("lr")).map(_.asLong).getOrElse(-1L))
     }.toSeq)
 
   /** Delta files opened since process start — spec instrumentation for
@@ -2386,6 +2403,23 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     // a vacuous forall would accept it while the scan still returns a
     // column Spark does not expect
     if (agg.aggregateExpressions.isEmpty) return None
+    // MANIFEST-ONLY count(*): unfiltered, ungrouped, single CountStar
+    // on a parted snapshot with no post-checkpoint removals — the
+    // answer folds from the O(1) manifest's per-part live totals plus
+    // the in-memory adds. On a 10^8-file table not even the
+    // checkpoint parts parse.
+    if (skips.isEmpty && agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.length == 1 &&
+        agg.aggregateExpressions.head.isInstanceOf[CountStar])
+      snapshot.files match {
+        case pf: LakePartedFiles =>
+          pf.manifestLiveRows.foreach { n =>
+            return Some((StructType(Seq(
+              StructField("count(*)", LongType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](n)))))
+          }
+        case _ => ()
+      }
     val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
     // with all predicates consumed, every file decides All or None_:
     // the aggregate ranges over exactly the All files (part-pruned

@@ -2871,8 +2871,9 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(graft.sources.LakeLog.checkpointReads.get() == reads1,
       "post-checkpoint adds ride the deltas — no checkpoint IO at all")
     // an unpruned full scan still materializes everything exactly once
+    // (collect, not count — count(*) now answers from the manifest)
     val reads2 = graft.sources.LakeLog.checkpointReads.get()
-    assert(spark.table("lake.db.t_partidx").count() == 1200L)
+    assert(spark.table("lake.db.t_partidx").collect().length == 1200)
     assert(graft.sources.LakeLog.checkpointReads.get() - reads2 == nParts.toLong,
       "a full scan parses each part exactly once")
     // stats ranges index too: v is NOT a partition column, but the
@@ -2926,6 +2927,28 @@ class GraftLakeSpec extends AnyFunSuite {
     val parsed = graft.sources.LakeLog.checkpointReads.get() - reads0
     assert(parsed < LakeLog.checkpointParts(dir, 10L).toLong,
       s"id-keyed index must still prune era-0 parts under the new name: $parsed")
+  }
+
+  test("manifest-only count(*): zero part parses while no removal touched the checkpoint") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_mfcount (id BIGINT, v BIGINT)
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '2048')""".stripMargin)
+    for (b <- 0 until 12) // checkpoint at v10, two append deltas on top
+      spark.range(b * 50L, (b + 1) * 50L).select($"id", ($"id" * 2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_mfcount").append()
+    assert(LakeLog.checkpointParts(tableDir("t_mfcount"), 10L) > 1)
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val dfc = spark.sql("SELECT count(*) FROM lake.db.t_mfcount")
+    assert(dfc.collect().head.getLong(0) == 600L)
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads0,
+      "the count folds from the O(1) manifest + delta adds — no part parses")
+    // a removal invalidates the shortcut: the kill set would subtract
+    // unknown counts — the parsed path takes over, still exact
+    spark.sql("DELETE FROM lake.db.t_mfcount WHERE id < 50")
+    val dfc2 = spark.sql("SELECT count(*) FROM lake.db.t_mfcount")
+    assert(dfc2.collect().head.getLong(0) == 550L)
+    assert(graft.sources.LakeLog.checkpointReads.get() > reads0,
+      "with kills the parts must parse")
   }
 
   test("bloom sidecars bound the log: entries stay small, probes decode only stats-surviving candidates, vacuum reclaims sidecars") {
@@ -3105,7 +3128,9 @@ class GraftLakeSpec extends AnyFunSuite {
     // serve wrong answers (the legacy inline checkpoint failed
     // atomically; multi-part must too)
     Files.delete(partFiles.head)
-    val err = intercept[Throwable](spark.table("lake.db.t_cpint").count())
+    // collect, not count — a manifest-answered count(*) legitimately
+    // never touches the parts; a ROW read must fail loudly
+    val err = intercept[Throwable](spark.table("lake.db.t_cpint").collect())
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)
     assert(chain(err).exists(t => t.getMessage != null &&
