@@ -771,7 +771,13 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     // that survive stats skipping — a bloomBy log entry stays ~30
     // bytes instead of ~11 KB of base64 per column (the inline
     // `blooms` path remains for small tables via `bloom_inline`)
-    bloomSc: Seq[String] = Seq.empty) {
+    bloomSc: Seq[String] = Seq.empty,
+    // per-STRING-column [min,max] off the parquet footer, unsigned
+    // UTF-8 byte order (parquet's stats comparator = UTF8String
+    // .compareTo): what lets seg/category predicates skip files the
+    // way integral ranges always could — most real predicates at
+    // 100 TB are on strings
+    sstats: Map[String, (String, String)] = Map.empty) {
   /** Rows the file contributes after its delete vector. */
   def liveRows: Long = rows - dvRows
 }
@@ -873,7 +879,10 @@ case class LakeCpPart(part: Int, n: Int,
     // LIVE rows (dv-subtracted at checkpoint time) across the part's
     // entries: an unfiltered COUNT(*) answers from the manifest alone
     // when no post-checkpoint commit removed or changed entries
-    liveRows: Long = -1L)
+    liveRows: Long = -1L,
+    // STRING stats ranges (UTF-8 byte order) folded across the part's
+    // entries — the string twin of `cr`
+    sr: Map[Long, (String, String)] = Map.empty)
 
 /** The LAZY file list of a multi-part checkpoint (+ the delta chain
   * folded on top as in-memory `adds` and a `kills` path set): scan
@@ -947,6 +956,12 @@ final class LakePartedFiles(dir: Path, version: Long,
       case n: java.lang.Long => Some(n.longValue)
       case _ => None
     }
+    def asUtf8(v: Any): Option[org.apache.spark.unsafe.types.UTF8String] = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u)
+      case s: String => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => None
+    }
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     // may the part contain a row matching p? unknown shapes keep it
     def mayMatch(pm: LakeCpPart, p: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
       val kids = p.children()
@@ -969,19 +984,32 @@ final class LakePartedFiles(dir: Path, version: Long,
           val pvOk = pm.pv.get(id).forall(set => strs.exists(set.contains))
           val prOk = pm.pr.get(id).forall { case (lo, hi) =>
             strs.exists(s => s.compareTo(lo) >= 0 && s.compareTo(hi) <= 0) }
-          // integral stats range (data columns too, not just layout)
+          // stats ranges (integral AND string, data columns too)
           val crOk = pm.cr.get(id).forall { case (lo, hi) =>
             vs.flatMap(asLong).isEmpty || vs.flatMap(asLong).exists(v => v >= lo && v <= hi) }
-          pvOk && prOk && crOk
+          val srOk = pm.sr.get(id).forall { case (lo, hi) =>
+            vs.flatMap(asUtf8).isEmpty || vs.flatMap(asUtf8).exists(v =>
+              v.compareTo(u(lo)) >= 0 && v.compareTo(u(hi)) <= 0) }
+          pvOk && prOk && crOk && srOk
         case None => p.name() match {
           case "<" | "<=" | ">" | ">=" if kids.length == 2 =>
-            (for (c <- colOf(kids(0)); v <- litOf(kids(1)).flatMap(asLong);
+            val intOk = (for (c <- colOf(kids(0));
+                 v <- litOf(kids(1)).flatMap(asLong);
                  (lo, hi) <- pm.cr.get(c)) yield p.name() match {
               case "<" => lo < v
               case "<=" => lo <= v
               case ">" => hi > v
               case ">=" => hi >= v
             }).getOrElse(true)
+            val strOk = (for (c <- colOf(kids(0));
+                 v <- litOf(kids(1)).flatMap(asUtf8);
+                 (lo, hi) <- pm.sr.get(c)) yield p.name() match {
+              case "<" => u(lo).compareTo(v) < 0
+              case "<=" => u(lo).compareTo(v) <= 0
+              case ">" => u(hi).compareTo(v) > 0
+              case ">=" => u(hi).compareTo(v) >= 0
+            }).getOrElse(true)
+            intOk && strOk
           case _ => true
         }
       }
@@ -1127,6 +1155,12 @@ object LakeLog {
       val bs = fn.putArray("bsc")
       f.bloomSc.foreach(bs.add)
     }
+    if (f.sstats.nonEmpty) {
+      val ss = fn.putObject("sstats")
+      f.sstats.foreach { case (c, (lo, hi)) =>
+        val a = ss.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
     fn
   }
 
@@ -1174,7 +1208,10 @@ object LakeLog {
               .map(_.asLong).toSeq).toMap))
           .getOrElse(Map.empty[String, Seq[Long]]),
         Option(fn.get("bsc")).map(_.elements().asScala
-          .map(_.asText()).toSeq).getOrElse(Seq.empty[String]))
+          .map(_.asText()).toSeq).getOrElse(Seq.empty[String]),
+        Option(fn.get("sstats")).map(_.properties().asScala
+          .map(e => e.getKey -> ((e.getValue.get(0).asText, e.getValue.get(1).asText)))
+          .toMap).getOrElse(Map.empty[String, (String, String)]))
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -1509,8 +1546,11 @@ object LakeLog {
       val distinct = vs.distinct
       if (distinct.size <= PartValueCap) pv += id -> distinct.sorted
     }
-    // integral stats ranges: only when every entry records the stat
+    // stats ranges (integral + string): only when every entry records
+    // the stat — partial coverage cannot rule a part out
     val cr = Map.newBuilder[Long, (Long, Long)]
+    val sr = Map.newBuilder[Long, (String, String)]
+    val uord = Ordering.by(org.apache.spark.unsafe.types.UTF8String.fromString)
     cols.foreach { case (name, id) =>
       val ranges = fs.map(f =>
         LakeColIds.physicalName(cols, f, name).flatMap(f.stats.get))
@@ -1518,9 +1558,15 @@ object LakeLog {
         val rs = ranges.flatten
         cr += id -> ((rs.map(_._1).min, rs.map(_._2).max))
       }
+      val sranges = fs.map(f =>
+        LakeColIds.physicalName(cols, f, name).flatMap(f.sstats.get))
+      if (sranges.nonEmpty && sranges.forall(_.isDefined)) {
+        val rs = sranges.flatten
+        sr += id -> ((rs.map(_._1).min(uord), rs.map(_._2).max(uord)))
+      }
     }
     LakeCpPart(i, fs.size, pv.result(), pr.result(), cr.result(),
-      liveRows = fs.map(_.liveRows).sum)
+      liveRows = fs.map(_.liveRows).sum, sr = sr.result())
   }
 
   private def partMetaNode(pm: LakeCpPart): ObjectNode = {
@@ -1546,6 +1592,12 @@ object LakeLog {
         val a = o.putArray(id.toString); a.add(lo); a.add(hi)
       }
     }
+    if (pm.sr.nonEmpty) {
+      val o = n.putObject("sr")
+      pm.sr.foreach { case (id, (lo, hi)) =>
+        val a = o.putArray(id.toString); a.add(lo); a.add(hi)
+      }
+    }
     n
   }
 
@@ -1564,7 +1616,8 @@ object LakeLog {
           e.getKey.toLong -> e.getValue.elements().asScala.map(_.asText()).toSeq)
           .toMap).getOrElse(Map.empty),
         strPairs("pr"), longPairs("cr"),
-        liveRows = Option(n.get("lr")).map(_.asLong).getOrElse(-1L))
+        liveRows = Option(n.get("lr")).map(_.asLong).getOrElse(-1L),
+        sr = strPairs("sr"))
     }.toSeq)
 
   /** Delta files opened since process start — spec instrumentation for
@@ -2035,7 +2088,7 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
                 specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
                 sorted = snapshot.props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
-                bloomSc = i.bloomSc)).toSeq
+                bloomSc = i.bloomSc, sstats = i.sstats)).toSeq
             val replaced = scannedFiles.toSet
             var done = false
             while (!done) {
@@ -2080,6 +2133,15 @@ object LakeStats {
       Option(l.value())
     case _ => None
   }
+  private def litStr(e: VExpression): Option[org.apache.spark.unsafe.types.UTF8String] =
+    e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u)
+        case s: String => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case _ => None
+      }
+      case _ => None
+    }
 
   /** Decide ONE predicate against a file's [lo,hi] stats. Min/max are
     * computed over NON-NULL values only, so an all-match verdict from
@@ -2106,6 +2168,23 @@ object LakeStats {
         case Some(pc) =>
           f.stats.get(pc).map { case (lo, hi) =>
             eval(lo, hi) match {
+              case All if !f.nulls.get(pc).contains(0L) => Mixed
+              case d => d
+            }
+          }.getOrElse(Mixed)
+      }
+    // the STRING twin: [lo,hi] in unsigned UTF-8 byte order
+    // (UTF8String.compareTo — the order parquet's stats comparator
+    // used), same null-count gate on All
+    def withSStats(c: String)(
+        eval: (org.apache.spark.unsafe.types.UTF8String,
+               org.apache.spark.unsafe.types.UTF8String) => Decision): Decision =
+      resolve(c) match {
+        case None => None_
+        case Some(pc) =>
+          f.sstats.get(pc).map { case (lo, hi) =>
+            eval(org.apache.spark.unsafe.types.UTF8String.fromString(lo),
+              org.apache.spark.unsafe.types.UTF8String.fromString(hi)) match {
               case All if !f.nulls.get(pc).contains(0L) => Mixed
               case d => d
             }
@@ -2166,10 +2245,15 @@ object LakeStats {
           case _ => Mixed
         }
       case "<>" if kids.length == 2 =>
-        (colName(kids(0)), litLong(kids(1))) match {
-          case (Some(c), Some(v)) => withStats(c) { (lo, hi) =>
+        (colName(kids(0)), litLong(kids(1)), litStr(kids(1))) match {
+          case (Some(c), Some(v), _) => withStats(c) { (lo, hi) =>
             if (v < lo || v > hi) All // no row equals v (nulls gated by withStats)
             else if (lo == v && hi == v) None_
+            else Mixed
+          }
+          case (Some(c), None, Some(v)) => withSStats(c) { (lo, hi) =>
+            if (v.compareTo(lo) < 0 || v.compareTo(hi) > 0) All
+            else if (lo == hi && v == lo) None_
             else Mixed
           }
           case _ => Mixed
@@ -2184,25 +2268,46 @@ object LakeStats {
             part.eq(c, raw) match {
               case Some(true) => All // identity file: every row IS this value
               case Some(false) => None_
-              case None => litLong(kids(1)) match {
-                case Some(v) => withStats(c) { (lo, hi) =>
+              case None => (litLong(kids(1)), litStr(kids(1))) match {
+                case (Some(v), _) => withStats(c) { (lo, hi) =>
                   if (v < lo || v > hi) None_
                   else if (lo == v && hi == v) All
                   else Mixed
                 }
-                case None => Mixed
+                case (None, Some(v)) => withSStats(c) { (lo, hi) =>
+                  if (v.compareTo(lo) < 0 || v.compareTo(hi) > 0) None_
+                  else if (lo == hi && v == lo) All
+                  else Mixed
+                }
+                case _ => Mixed
               }
             }
           case _ => Mixed
         }
       case "<" | "<=" | ">" | ">=" if kids.length == 2 =>
-        (colName(kids(0)), litLong(kids(1))) match {
-          case (Some(c), Some(v)) => withStats(c) { (lo, hi) =>
+        (colName(kids(0)), litLong(kids(1)), litStr(kids(1))) match {
+          case (Some(c), Some(v), _) => withStats(c) { (lo, hi) =>
             p.name() match {
               case "<" => if (hi < v) All else if (lo >= v) None_ else Mixed
               case "<=" => if (hi <= v) All else if (lo > v) None_ else Mixed
               case ">" => if (lo > v) All else if (hi <= v) None_ else Mixed
               case ">=" => if (lo >= v) All else if (hi < v) None_ else Mixed
+            }
+          }
+          case (Some(c), None, Some(v)) => withSStats(c) { (lo, hi) =>
+            p.name() match {
+              case "<" =>
+                if (hi.compareTo(v) < 0) All
+                else if (lo.compareTo(v) >= 0) None_ else Mixed
+              case "<=" =>
+                if (hi.compareTo(v) <= 0) All
+                else if (lo.compareTo(v) > 0) None_ else Mixed
+              case ">" =>
+                if (lo.compareTo(v) > 0) All
+                else if (hi.compareTo(v) <= 0) None_ else Mixed
+              case ">=" =>
+                if (lo.compareTo(v) >= 0) All
+                else if (hi.compareTo(v) < 0) None_ else Mixed
             }
           }
           case _ => Mixed
@@ -2217,15 +2322,22 @@ object LakeStats {
             else if (partDecisions.nonEmpty && partDecisions.forall(_.contains(false))) None_
             else {
               val vals = kids.tail.toSeq.map(litLong)
-              if (!vals.forall(_.isDefined)) Mixed
-              else {
+              val svals = kids.tail.toSeq.map(litStr)
+              if (vals.forall(_.isDefined)) {
                 val set = vals.flatten.toSet
                 withStats(c) { (lo, hi) =>
                   if (set.forall(v => v < lo || v > hi)) None_
                   else if (hi - lo < 4096 && (lo to hi).forall(set.contains)) All
                   else Mixed
                 }
-              }
+              } else if (svals.forall(_.isDefined)) {
+                val set = svals.flatten.toSet
+                withSStats(c) { (lo, hi) =>
+                  if (set.forall(v => v.compareTo(lo) < 0 || v.compareTo(hi) > 0)) None_
+                  else if (lo == hi && set.contains(lo)) All
+                  else Mixed
+                }
+              } else Mixed
             }
           case _ => Mixed
         }
@@ -3379,7 +3491,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             part = i.part, colTypes = LakeColIds.types(tableSchema),
             specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
             sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
-                bloomSc = i.bloomSc)).toSeq
+                bloomSc = i.bloomSc, sstats = i.sstats)).toSeq
         // IDEMPOTENT writes: with txnAppId/txnVersion options, a commit
         // whose version the table has already recorded for that app is
         // a REPLAY (a foreachBatch retry, a restarted driver) — its
@@ -3493,7 +3605,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               part = i.part, colTypes = LakeColIds.types(tableSchema),
               specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
               sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
-                bloomSc = i.bloomSc)).toSeq
+                bloomSc = i.bloomSc, sstats = i.sstats)).toSeq
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
@@ -3554,7 +3666,8 @@ case class LakeFileInfo(path: String, rows: Long,
     sums: Map[String, Long] = Map.empty,
     blooms: Map[String, String] = Map.empty,
     kmv: Map[String, Seq[Long]] = Map.empty,
-    bloomSc: Seq[String] = Seq.empty)
+    bloomSc: Seq[String] = Seq.empty,
+    sstats: Map[String, (String, String)] = Map.empty)
 
 case class LakeFileMessage(files: Seq[LakeFileInfo]) extends WriterCommitMessage
 
@@ -3714,6 +3827,7 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
             }
           LakeFileInfo(f.rel, f.rows, st.stats, st.nulls, f.tuple,
             bytes = Files.size(abs),
+            sstats = st.sstats,
             sums = integralIdx.map(ci => storedSchema(ci).name -> f.sums(ci)).toMap,
             blooms = inlineBlooms,
             // an all-null column records an EMPTY sketch on purpose —
@@ -3868,7 +3982,7 @@ object LakeProcedures {
         colTypes = LakeColIds.types(snap.schema),
         specId = LakePartitioning.currentSpecId(snap.props), bytes = i.bytes,
         sorted = sortedBy, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
-                bloomSc = i.bloomSc))
+                bloomSc = i.bloomSc, sstats = i.sstats))
     // a PARTIAL rewrite (compact_size) swaps only its candidates;
     // conforming files keep their paths, stats, and layout
     val replaced = replacedFiles.getOrElse(snap.files.map(_.path).toSet)
@@ -4789,7 +4903,7 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
                 part = i.part, colTypes = LakeColIds.types(stagedSchema),
                 specId = LakePartitioning.currentSpecId(propsWithIds), bytes = i.bytes,
                 sorted = propsWithIds.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
-                bloomSc = i.bloomSc)).toSeq
+                bloomSc = i.bloomSc, sstats = i.sstats)).toSeq
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             LakeWriterFactory.deleteAll(dir.toString, messages)
@@ -4946,7 +5060,7 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
                 part = i.part, colTypes = LakeColIds.types(snapshot.schema),
                 specId = LakePartitioning.currentSpecId(snapshot.props), bytes = i.bytes,
                 sums = i.sums, blooms = i.blooms, kmv = i.kmv,
-                bloomSc = i.bloomSc)).toSeq
+                bloomSc = i.bloomSc, sstats = i.sstats)).toSeq
             val deletes = ms.flatMap(_.deletes.toSeq)
               .groupBy(_._1).map { case (f, ps) => f -> ps.flatMap(_._2).toSet }
             var done = false

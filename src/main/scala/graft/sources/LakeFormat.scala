@@ -266,13 +266,17 @@ object LakeParquet {
   }
 
   /** Footer-derived file statistics: row count, per-column [min,max]
-    * for integral columns (the only stats [[LakeStats]] decides on),
-    * and per-column null counts for EVERY column whose chunks report
-    * them. A column absent from `nulls` has UNKNOWN null count and
-    * metadata deletes must treat its all-match decisions as Mixed.
+    * for integral columns, per-column [min,max] for STRING (UTF-8
+    * BINARY) columns in unsigned byte order — the order parquet's
+    * stats comparator, UTF8String.compareTo, and the lake's own sort
+    * paths all share — and per-column null counts for EVERY column
+    * whose chunks report them. A column absent from `nulls` has
+    * UNKNOWN null count and metadata deletes must treat its all-match
+    * decisions as Mixed.
     */
   case class FileStats(rows: Long, stats: Map[String, (Long, Long)],
-      nulls: Map[String, Long])
+      nulls: Map[String, Long],
+      sstats: Map[String, (String, String)] = Map.empty)
 
   def footerStats(file: NioPath): FileStats = {
     val reader = ParquetFileReader.open(new LocalInputFile(file))
@@ -283,6 +287,7 @@ object LakeParquet {
       val byCol = blocks.flatMap(_.getColumns.asScala)
         .groupBy(_.getPath.toDotString)
       val mins = Map.newBuilder[String, (Long, Long)]
+      val smins = Map.newBuilder[String, (String, String)]
       val nulls = Map.newBuilder[String, Long]
       byCol.foreach { case (name, chunks) =>
         val stats = chunks.map(_.getStatistics)
@@ -299,8 +304,33 @@ object LakeParquet {
           val hi = stats.map(s => asLong(s.genericGetMax: Any)).max
           mins += name -> ((lo, hi))
         }
+        if (tpe == PrimitiveTypeName.BINARY &&
+            chunks.head.getPrimitiveType.getLogicalTypeAnnotation ==
+              org.apache.parquet.schema.LogicalTypeAnnotation.stringType() &&
+            stats.forall(s => s != null && s.hasNonNullValue)) {
+          // unsigned byte order across chunks; store only when the
+          // bytes decode as STRICT UTF-8 (a truncated-and-incremented
+          // bound could be malformed — then skip, never guess)
+          def utf8(b: Array[Byte]): Option[String] =
+            try Some(java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+              .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+              .decode(java.nio.ByteBuffer.wrap(b)).toString)
+            catch { case _: java.nio.charset.CharacterCodingException => None }
+          val los = stats.map(s =>
+            s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+            .map(utf8)
+          val his = stats.map(s =>
+            s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+            .map(utf8)
+          // every chunk's bound must decode, or the fold is unbounded
+          if (los.forall(_.isDefined) && his.forall(_.isDefined)) {
+            val ord = Ordering.by(org.apache.spark.unsafe.types.UTF8String.fromString)
+            smins += name -> ((los.flatten.min(ord), his.flatten.max(ord)))
+          }
+        }
       }
-      FileStats(rows, mins.result(), nulls.result())
+      FileStats(rows, mins.result(), nulls.result(), smins.result())
     } finally reader.close()
   }
 

@@ -714,12 +714,21 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(spark.sql(qsd).head().getLong(0) == 5995L) // deleted id was 0
     assert(planOf(qsd).contains("BatchScan"),
       s"a dv'd file forbids the metadata sum:\n${planOf(qsd)}")
-    // grouped / filtered aggregates always read data
+    // grouping by a non-partition column always reads data
     assert(planOf("SELECT s, count(*) FROM lake.db.t_metaagg GROUP BY s")
       .contains("BatchScan"))
-    assert(planOf("SELECT min(id) FROM lake.db.t_metaagg WHERE s = 'b'")
+    // a string-equality filter each file decides EXACTLY (single-valued
+    // s per file, string stats) is consumed — the filtered min answers
+    // from the dv-free matching file's stats, zero tasks
+    val qf = "SELECT min(id) AS lo FROM lake.db.t_metaagg WHERE s = 'b'"
+    assert(spark.sql(qf).head().getLong(0) == 50L)
+    assert(planOf(qf).contains("LocalTableScan") && !planOf(qf).contains("BatchScan"),
+      s"an exactly-decided string filter keeps the metadata path:\n${planOf(qf)}")
+    // an UNDECIDABLE filter shape still reads data
+    assert(planOf("SELECT min(id) FROM lake.db.t_metaagg WHERE s LIKE 'b%'")
       .contains("BatchScan"))
-    // string min/max is not stats-decidable (stats are integral only)
+    // MIN/MAX of a string column is not metadata-answerable (the
+    // metadata aggregate serves integral extrema only)
     assert(planOf("SELECT min(s) FROM lake.db.t_metaagg").contains("BatchScan"))
   }
 
@@ -1321,10 +1330,11 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(!withPos.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
     assert(withPos.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
       live.map(i => (i, i)))
-    // delete EVERY remaining row via the dv path (string predicate is
-    // not stats-decidable, so the file survives with a full vector):
-    // the selection empties each batch rather than dropping the file
-    spark.sql("DELETE FROM lake.db.t_colmor WHERE s = 'x'")
+    // delete EVERY remaining row via the dv path (LIKE is not
+    // stats-decidable — a plain string equality now IS, and would
+    // metadata-drop the file whole): the selection empties each batch
+    // rather than dropping the file
+    spark.sql("DELETE FROM lake.db.t_colmor WHERE s LIKE 'x%'")
     assert(filePaths("t_colmor").nonEmpty, "dv delete must keep the file")
     assert(spark.table("lake.db.t_colmor").count() == 0L)
     assert(spark.table("lake.db.t_colmor").collect().isEmpty)
@@ -2927,6 +2937,65 @@ class GraftLakeSpec extends AnyFunSuite {
     val parsed = graft.sources.LakeLog.checkpointReads.get() - reads0
     assert(parsed < LakeLog.checkpointParts(dir, 10L).toLong,
       s"id-keyed index must still prune era-0 parts under the new name: $parsed")
+  }
+
+  test("string min/max file stats: seg predicates skip files like integral ranges") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_sstats (id BIGINT, seg STRING, v BIGINT)")
+    // three files with DISJOINT seg ranges (a*, g*, t*)
+    for ((p, b) <- Seq(("a", 0), ("g", 1), ("t", 2)))
+      spark.range(b * 100L, (b + 1) * 100L)
+        .select($"id", concat(lit(p), $"id" % 10L).as("seg"), ($"id" * 2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_sstats").append()
+    val snap = LakeLog.currentSnapshot(tableDir("t_sstats")).get
+    assert(snap.files.forall(_.sstats.contains("seg")),
+      "every file records string [min,max] off its footer")
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // equality, range, and IN all prune on the string ranges
+    val qe = "SELECT count(*) AS n FROM lake.db.t_sstats WHERE seg = 'g5'"
+    assert(spark.sql(qe).head().getLong(0) == 10L)
+    assert(planOf(qe).contains("files=1/3"), s"eq:\n${planOf(qe)}")
+    val qr = "SELECT count(*) AS n FROM lake.db.t_sstats WHERE seg > 'm'"
+    assert(spark.sql(qr).head().getLong(0) == 100L)
+    val qrScan = "SELECT id FROM lake.db.t_sstats WHERE seg > 'm'"
+    assert(spark.sql(qrScan).count() == 100L)
+    assert(planOf(qrScan).contains("files=1/3"), s"range:\n${planOf(qrScan)}")
+    val qi = "SELECT count(*) AS n FROM lake.db.t_sstats WHERE seg IN ('a1', 'zz')"
+    assert(spark.sql(qi).head().getLong(0) == 10L)
+    assert(planOf(qi).contains("files=1/3"), s"IN:\n${planOf(qi)}")
+    // CONSUMPTION: a range every file decides exactly keeps the
+    // metadata-aggregate path open — the filtered count answers as a
+    // LocalTableScan row, no data scan at all
+    assert(planOf(qr).contains("LocalTableScan") && !planOf(qr).contains("BatchScan"),
+      s"an exactly-decided string range must stay metadata:\n${planOf(qr)}")
+    // NULL gating: a file holding matching values AND nulls decides
+    // Mixed — it must be read, and the answer stays exact
+    spark.range(300, 400)
+      .select($"id", when($"id" % 2 === 0, concat(lit("g"), $"id" % 10L)).as("seg"),
+        ($"id" * 2L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_sstats").append()
+    val qn = "SELECT count(*) AS n FROM lake.db.t_sstats WHERE seg = 'g4'"
+    assert(spark.sql(qn).head().getLong(0) == 20L,
+      "10 from the g-file + 10 even ids ending in 4 from the nulled file")
+    assert(!planOf(qn).contains("metadata-agg"),
+      "a null-bearing file cannot be consumed — the scan must read it")
+    // and the string ranges index CHECKPOINT PARTS too: 12 seg-ordered
+    // commits, small parts — a point probe parses a strict subset
+    spark.sql("""CREATE TABLE lake.db.t_sspart (id BIGINT, seg STRING)
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '700')""".stripMargin)
+    for (b <- 0 until 12)
+      spark.range(b * 40L, (b + 1) * 40L)
+        .select($"id", concat(lit(f"w$b%02d_"), $"id" % 7L).as("seg"))
+        .coalesce(1).writeTo("lake.db.t_sspart").append()
+    val nParts = LakeLog.checkpointParts(tableDir("t_sspart"), 10L)
+    assert(nParts > 2, s"got $nParts")
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val dfp = spark.sql("SELECT count(*) AS n FROM lake.db.t_sspart WHERE seg = 'w03_5'")
+    assert(dfp.collect().head.getLong(0) == 6L) // ids 120..159 with id%7==5
+    val parsed = graft.sources.LakeLog.checkpointReads.get() - reads0
+    assert(parsed < nParts.toLong,
+      s"string part ranges must prune manifest parts: $parsed of $nParts")
   }
 
   test("manifest-only count(*): zero part parses while no removal touched the checkpoint") {
