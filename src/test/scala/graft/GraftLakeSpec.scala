@@ -2998,6 +2998,27 @@ class GraftLakeSpec extends AnyFunSuite {
       s"string part ranges must prune manifest parts: $parsed of $nParts")
   }
 
+  test("lazy parted snapshots serve time travel exactly: below, at, and above the checkpoint") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_ttparted (id BIGINT, v BIGINT)
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '2048')""".stripMargin)
+    for (b <- 0 until 14) // checkpoint at v10, deltas to v14
+      spark.range(b * 20L, (b + 1) * 20L).select($"id", ($"id" * 3L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_ttparted").append()
+    assert(LakeLog.checkpointParts(tableDir("t_ttparted"), 10L) > 1)
+    def ids(version: Long): Seq[Long] = spark.sql(
+      s"SELECT id FROM lake.db.t_ttparted VERSION AS OF $version")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(7L) == (0L until 140L), "below the checkpoint: delta fold from v0")
+    assert(ids(10L) == (0L until 200L), "at the checkpoint: the parted snapshot")
+    assert(ids(13L) == (0L until 260L), "above: parted base + delta adds")
+    // a mutation after the checkpoint: the kill set applies lazily
+    spark.sql("DELETE FROM lake.db.t_ttparted WHERE id < 20") // drops v1's file
+    assert(spark.table("lake.db.t_ttparted").collect()
+      .map(_.getLong(0)).sorted.toSeq == (20L until 280L))
+    assert(ids(10L) == (0L until 200L), "history is untouched by the delete")
+  }
+
   test("manifest-only count(*): zero part parses while no removal touched the checkpoint") {
     import spark.implicits._
     spark.sql("""CREATE TABLE lake.db.t_mfcount (id BIGINT, v BIGINT)
