@@ -935,9 +935,13 @@ object IngestQueries {
     * instead of a partition per value — the only layout a time column
     * can take at 100 TB. The returned frame is the per-day census
     * (rows + fixed-point value sum) computed with the SAME floor
-    * division the partition transform uses; the DuckDB oracle
-    * recomputes it from raw parquet. A row routed to the wrong
-    * bucket, lost in the split, or double-written breaks the hash.
+    * division the partition transform uses, joined against the
+    * `__partitions` metadata census on its Iceberg-style
+    * `trunc(86400000000,ts_us)=<day>` label (log-only rows — zero
+    * data IO); the DuckDB oracle recomputes both from raw parquet. A
+    * row routed to the wrong bucket, lost in the split,
+    * double-written, or a mislabeled/miscounted census row each
+    * break the hash.
     */
   def q104(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -956,9 +960,17 @@ object IngestQueries {
         graft.functions.gf.fixed($"value", 1000.0).as("mv"))
     slice(0).repartition(2).writeTo(t).append()
     slice(1).repartition(2).writeTo(t).append()
+    // the metadata census: one row per day bucket, labeled with the
+    // transform itself (`trunc(86400000000,ts_us)=<day>`) — the shape
+    // an operator reads before `CALL system.compact_where`
+    val census = broadcast(spark.table(s"${t}__partitions")
+      .select($"partition".as("bucket_label"), $"live_rows".as("census_rows")))
     spark.table(t)
       .groupBy(expr("ts_us DIV 86400000000").as("day"))
       .agg(count(lit(1)).as("n_rows"), sum($"mv").as("sum_mv"))
+      .join(census,
+        concat(lit("trunc(86400000000,ts_us)="), $"day") === $"bucket_label")
+      .select($"day", $"n_rows", $"sum_mv", $"bucket_label", $"census_rows")
       .orderBy($"day")
   }
 
@@ -1634,13 +1646,17 @@ object IngestQueries {
       """WITH e AS (
         |  SELECT epoch_us(ts) AS us,
         |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
-        |  FROM events)
-        |SELECT us // 86400000000 AS day,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(mv) AS BIGINT) AS sum_mv
-        |FROM e
-        |GROUP BY 1
-        |ORDER BY 1""".stripMargin,
+        |  FROM events),
+        |agg AS (
+        |  SELECT us // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(mv) AS BIGINT) AS sum_mv
+        |  FROM e GROUP BY 1)
+        |SELECT day, n_rows, sum_mv,
+        |  'trunc(86400000000,ts_us)=' || CAST(day AS VARCHAR) AS bucket_label,
+        |  n_rows AS census_rows
+        |FROM agg
+        |ORDER BY day""".stripMargin,
     "q103_indexed_backfill" ->
       """WITH c AS (
         |  SELECT c_custkey AS k, CAST(c_nationkey % 5 AS BIGINT) AS nat5,

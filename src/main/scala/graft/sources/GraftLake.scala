@@ -892,27 +892,58 @@ case class LakeCpPart(part: Int, n: Int,
   * (writes, vacuum, metadata censuses) materializes the whole list,
   * exactly what those paths need anyway.
   */
-final class LakePartedFiles(dir: Path, version: Long,
-    parts: Seq[LakeCpPart], adds: Seq[LakeFile], kills: Set[String])
+final class LakePartedFiles(dir: Path, private[sources] val version: Long,
+    parts: Seq[LakeCpPart], adds: Seq[LakeFile], kills: Set[String],
+    snapVersion: Long = -1L)
   extends scala.collection.immutable.AbstractSeq[LakeFile] {
+
+  /** The snapshot version this list serves (checkpoint + delta fold). */
+  private val snapV: Long = if (snapVersion < 0L) version else snapVersion
 
   private def loadPart(p: Int): Seq[LakeFile] =
     LakeLog.checkpointPartEntries(dir, version, p)
       .filterNot(f => kills(f.path))
 
+  /** Lazy part parsing opens a window a racing vacuum can fall into: it
+    * prunes this checkpoint's part files AFTER we loaded the manifest
+    * but BEFORE a scan materialized the parts. The snapshot version is
+    * still reconstructible — vacuum wrote a NEWER floor checkpoint
+    * before pruning — so refold ONCE from a fresh log listing; only a
+    * genuinely broken chain (version below the new floor) still throws.
+    */
+  private def missingPart(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case ise: IllegalStateException =>
+        Option(ise.getMessage).exists(_.contains("missing part"))
+      case _ => false
+    }
+
+  private def refoldOrRethrow(e: Throwable): Seq[LakeFile] =
+    LakeLog.snapshotAt(dir, snapV).map(_.files) match {
+      case Some(pf: LakePartedFiles) if pf.version != version =>
+        pf.all // strict: a second miss means real damage — throw there
+      case Some(fs) if !fs.isInstanceOf[LakePartedFiles] => fs
+      case _ => throw e
+    }
+
   /** The full list — parts parse in parallel, once, on first use. */
   lazy val all: Seq[LakeFile] = {
     import scala.collection.parallel.CollectionConverters._
-    parts.map(_.part).par.map(loadPart).seq.flatten ++ adds
+    try parts.map(_.part).par.map(loadPart).seq.flatten ++ adds
+    catch {
+      case scala.util.control.NonFatal(e) if missingPart(e) =>
+        refoldOrRethrow(e)
+    }
   }
 
   override def iterator: Iterator[LakeFile] = all.iterator
   override def apply(i: Int): LakeFile = all(i)
   override def length: Int = all.length
 
-  /** Same checkpoint, the delta fold applied on top. */
-  def withDeltas(adds2: Seq[LakeFile], kills2: Set[String]): LakePartedFiles =
-    new LakePartedFiles(dir, version, parts, adds2, kills2)
+  /** Same checkpoint, the delta fold applied on top (serving `snapV2`). */
+  def withDeltas(adds2: Seq[LakeFile], kills2: Set[String],
+      snapV2: Long): LakePartedFiles =
+    new LakePartedFiles(dir, version, parts, adds2, kills2, snapV2)
 
   /** Display-grade total (exact except for files both added AND
     * removed since the checkpoint): never forces materialization.
@@ -1018,7 +1049,13 @@ final class LakePartedFiles(dir: Path, version: Long,
     if (keep.size == parts.size) all
     else {
       import scala.collection.parallel.CollectionConverters._
-      keep.map(_.part).par.map(loadPart).seq.flatten ++ adds
+      try keep.map(_.part).par.map(loadPart).seq.flatten ++ adds
+      catch {
+        // recovery path is rare — serve the full refolded list and let
+        // downstream per-file skipping re-prune
+        case scala.util.control.NonFatal(e) if missingPart(e) =>
+          refoldOrRethrow(e)
+      }
     }
   }
 }
@@ -1248,6 +1285,38 @@ object LakeLog {
     */
   private[graft] val checkpointParseBytes = new java.util.concurrent.atomic.AtomicLong
 
+  /** Checkpoint publish FAILURES since process start. The commit each
+    * one rode is still good (a checkpoint is a pure read optimization),
+    * but a PERSISTENT failure degrades every later snapshot load to the
+    * full delta-chain fold — paired with the durable
+    * [[lastCheckpointFailure]] marker so operators notice.
+    */
+  private[graft] val checkpointFailures = new java.util.concurrent.atomic.AtomicLong
+
+  private def checkpointFailureMarker(dir: Path): Path =
+    logDir(dir).resolve("_checkpoint_failed")
+
+  /** Durable record that the most recent ATTEMPTED checkpoint failed
+    * (cleared by the next successful one). None = healthy.
+    */
+  def lastCheckpointFailure(dir: Path): Option[String] = {
+    val f = checkpointFailureMarker(dir)
+    if (Files.isRegularFile(f))
+      Some(new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else None
+  }
+
+  private def recordCheckpointFailure(dir: Path, v: Long, e: Throwable): Unit = {
+    checkpointFailures.incrementAndGet()
+    // the marker write is best-effort too (the likely cause — a full
+    // log dir — may refuse it); the counter still moves
+    try Files.write(checkpointFailureMarker(dir),
+      s"v=$v ts=${System.currentTimeMillis()} err=$e"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   private def readCheckpoint(dir: Path, v: Long): Option[LakeSnapshot] = {
     val f = checkpointFile(dir, v)
     if (!Files.isRegularFile(f)) None
@@ -1403,7 +1472,7 @@ object LakeLog {
       i += 1
     }
     val files: Seq[LakeFile] = cp.map(_.files) match {
-      case Some(pf: LakePartedFiles) => pf.withDeltas(adds, kills)
+      case Some(pf: LakePartedFiles) => pf.withDeltas(adds, kills, v)
       case Some(fs) => fs.filterNot(f => kills(f.path)) ++ adds
       case None => adds
     }
@@ -1450,6 +1519,7 @@ object LakeLog {
         try checkpoint(dir, snapshot)
         catch {
           case scala.util.control.NonFatal(e) =>
+            recordCheckpointFailure(dir, snapshot.version, e)
             System.err.println(
               s"graftlake: checkpoint at v${snapshot.version} failed " +
                 s"(commit unaffected): $e")
@@ -1465,7 +1535,18 @@ object LakeLog {
     * published first; the O(1) manifest lands LAST as the atomic
     * commit point — readers never observe a partial checkpoint.
     */
+  /** Test-only fault injection simulating checkpoint IO failure (a full
+    * log dir) that the COMMIT itself survived — exercises the durable
+    * failure marker without breaking the version file's own writes.
+    * Keyed by a table-dir substring so a concurrently-running suite's
+    * checkpoints are unaffected.
+    */
+  @volatile private[graft] var checkpointFault: Option[(String, String)] = None
+
   def checkpoint(dir: Path, snapshot: LakeSnapshot): Unit = {
+    checkpointFault.foreach { case (dirKey, msg) =>
+      if (dir.toString.contains(dirKey)) throw new java.io.IOException(msg)
+    }
     val bound = math.max(1L,
       snapshot.props.get("checkpoint_part_bytes").flatMap(_.toLongOption)
         .getOrElse(CheckpointPartBytesDefault))
@@ -1513,6 +1594,8 @@ object LakeLog {
     val pr = root.putObject("props")
     snapshot.props.foreach { case (k, v) => pr.put(k, v) }
     publish(dir, checkpointFile(dir, snapshot.version), root)
+    // checkpointing works again — clear the durable failure marker
+    Files.deleteIfExists(checkpointFailureMarker(dir))
     ()
   }
 
@@ -1894,24 +1977,29 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
 
   // ---- partition management (SHOW PARTITIONS / DROP PARTITION) ---------
 
-  /** Identity partition source columns of the current spec. Partition
-    * VALUES only exist for identity transforms — bucket ordinals are
-    * not user-addressable partitions.
+  /** SHOW-PARTITIONS columns of the current spec: identity fields keep
+    * their source column (name + type); transform fields synthesize an
+    * Iceberg-style `trunc(n,col)` / `bucket(n,col)` column typed as
+    * the tuple ORDINAL — `SHOW PARTITIONS` then reports
+    * `trunc(86400000000,ts_us)=19723`-shaped rows, so an operator sees
+    * bucket population before calling `system.compact_where`.
     */
-  private def identitySpec: Seq[String] = {
+  private def partitionCols: Seq[StructField] = {
     val fields = LakePartitioning.decode(snapshot.props)
     if (fields.isEmpty)
       throw new UnsupportedOperationException(
         s"graftlake: ${dir.getFileName} is not partitioned")
     fields.map {
-      case LakePartitioning.Identity(c) => c
-      case other => throw new UnsupportedOperationException(
-        s"graftlake: partition management needs identity transforms, got $other")
+      case LakePartitioning.Identity(c) =>
+        snapshot.schema(snapshot.schema.fieldIndex(c))
+      case LakePartitioning.Trunc(c, n) =>
+        StructField(s"trunc($n,$c)", LongType, nullable = true)
+      case LakePartitioning.Bucket(c, n) =>
+        StructField(s"bucket($n,$c)", IntegerType, nullable = true)
     }
   }
 
-  override def partitionSchema(): StructType =
-    StructType(identitySpec.map(c => snapshot.schema(snapshot.schema.fieldIndex(c))))
+  override def partitionSchema(): StructType = StructType(partitionCols)
 
   /** The DISTINCT current-spec tuples of the head snapshot, optionally
     * filtered by a partial identifier — partitions are data-derived,
@@ -1919,7 +2007,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     */
   override def listPartitionIdentifiers(names: Array[String],
       ident: InternalRow): Array[InternalRow] = {
-    val cols = identitySpec
+    val cols = partitionCols.map(_.name)
     val fields = LakePartitioning.decode(snapshot.props)
     val curId = LakePartitioning.currentSpecId(snapshot.props)
     val schema0 = partitionSchema()
@@ -4164,16 +4252,28 @@ object LakeProcedures {
 
       /** PARTITION-SCOPED compaction — the 100 TB maintenance shape:
         * `OPTIMIZE ... WHERE` compacts yesterday's partition, never
-        * the table. The predicate evaluates over the table's identity
-        * PARTITION TUPLES (read from the log — zero data IO to plan),
-        * selected tuples' current-era files rewrite into ≤ 1 file per
-        * tuple (the task-side writer splits by tuple; `sortBy` is
-        * restored by the arrangement), and the swap commit replaces
-        * exactly those files — untouched partitions keep their paths,
-        * stats, and layout byte-identical. A predicate naming a
-        * non-partition column fails analysis loudly; old-era files
-        * (pre partition-evolution) don't participate — their tuples
-        * aren't comparable under the current spec.
+        * the table. The predicate evaluates over the table's PARTITION
+        * TUPLES (read from the log — zero data IO to plan), selected
+        * tuples' current-era files rewrite into ≤ 1 file per tuple
+        * (the task-side writer splits by tuple; `sortBy` is restored
+        * by the arrangement), and the swap commit replaces exactly
+        * those files — untouched partitions keep their paths, stats,
+        * and layout byte-identical.
+        *
+        * Identity columns take ANY SQL predicate (evaluated over the
+        * distinct tuples, source-typed). A `trunc(n, col)` TIME-BUCKET
+        * column takes conjunctions of simple comparisons on the SOURCE
+        * column (`col < X`, `col >= X`, `col = X`, `BETWEEN`, `IN`) —
+        * converted to bucket-ordinal ranges with the transform's own
+        * floorDiv math. Semantics: a bucket is selected when its value
+        * range INTERSECTS the predicate — partial buckets compact
+        * WHOLE (compaction is content-neutral, so rewriting the
+        * enclosing bucket of a mid-bucket bound is safe; refusing
+        * would make scripted "OPTIMIZE yesterday" brittle). Anything
+        * else on a trunc/bucket column, or a predicate naming a
+        * non-partition column, fails loudly; old-era files (pre
+        * partition-evolution) don't participate — their tuples aren't
+        * comparable under the current spec.
         */
       case "compact_where" => new UnboundProcedure {
         override def name(): String = "compact_where"
@@ -4189,6 +4289,11 @@ object LakeProcedures {
             ProcedureParameter.in("where", StringType).build(),
             ProcedureParameter.in("target_files", IntegerType).build())
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+              EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGe,
+              In => CIn, LessThan => CLt, LessThanOrEqual => CLe,
+              Expression => CExpr, Literal => CLit}
+            import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             val dir = resolve(warehouse, input.getUTF8String(0).toString)
             val where = input.getUTF8String(1).toString
             val target = math.max(1, input.getInt(2))
@@ -4197,8 +4302,12 @@ object LakeProcedures {
             val spec = LakePartitioning.decode(snap.props)
             val idCols: Seq[String] = spec.collect {
               case LakePartitioning.Identity(c) => c }
-            require(idCols.nonEmpty,
-              "compact_where needs identity partition columns")
+            val truncByCol: Map[String, (LakePartitioning.Trunc, Int)] =
+              spec.zipWithIndex.collect {
+                case (t @ LakePartitioning.Trunc(_, _), i) => t.col -> ((t, i))
+              }.toMap
+            require(idCols.nonEmpty || truncByCol.nonEmpty,
+              "compact_where needs identity or trunc partition columns")
             val curId = LakePartitioning.currentSpecId(snap.props)
             val curEra = snap.files.filter(f =>
               f.specId == curId && f.part.nonEmpty)
@@ -4207,8 +4316,89 @@ object LakeProcedures {
               StructField("files_before", IntegerType, nullable = false),
               StructField("files_after", IntegerType, nullable = false),
               StructField("rows_rewritten", LongType, nullable = false)))
-            // the predicate runs over the DISTINCT partition tuples,
-            // typed like the source columns — log-only planning
+            // split the predicate into conjuncts; route each to the
+            // identity path (arbitrary SQL over typed tuple values) or
+            // the trunc path (source-column comparisons → bucket
+            // ordinal ranges, the transform's own floorDiv math)
+            def conjunctsOf(e: CExpr): Seq[CExpr] = e match {
+              case CAnd(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+              // BETWEEN parses as UnresolvedFunction('between, in, lo, hi)
+              // — split it into its two comparisons so the trunc path
+              // sees plain shapes
+              case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                  if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+                    f.arguments.length == 3 =>
+                Seq(CGe(f.arguments(0), f.arguments(1)),
+                  CLe(f.arguments(0), f.arguments(2)))
+              case other => Seq(other)
+            }
+            def refsOf(e: CExpr): Set[String] =
+              e.collect { case a: UnresolvedAttribute => a.name }.toSet
+            val allConjs = conjunctsOf(
+              spark.sessionState.sqlParser.parseExpression(where))
+            val (truncConjs, idConjs) = allConjs.partition(c =>
+              refsOf(c).exists(truncByCol.contains))
+            def asLong(v: Any): Long = v match {
+              case n: java.lang.Number => n.longValue
+              case other => throw new IllegalArgumentException(
+                s"compact_where: trunc-column comparisons take integral " +
+                  s"literals, got $other")
+            }
+            // bucket b covers [b·n, (b+1)·n): INTERSECT semantics per
+            // comparison — partial buckets compact whole (documented)
+            def bucketTest(c: CExpr): (Int, Long => Boolean) = {
+              def field(col: String) = truncByCol(col)
+              def ge(col: String, v: Long) = {
+                val (t, pi) = field(col); val b0 = Math.floorDiv(v, t.n)
+                (pi, (b: Long) => b >= b0)
+              }
+              def gt(col: String, v: Long) =
+                if (v == Long.MaxValue) (field(col)._2, (_: Long) => false)
+                else ge(col, v + 1L)
+              def le(col: String, v: Long) = {
+                val (t, pi) = field(col); val b0 = Math.floorDiv(v, t.n)
+                (pi, (b: Long) => b <= b0)
+              }
+              def lt(col: String, v: Long) =
+                if (v == Long.MinValue) (field(col)._2, (_: Long) => false)
+                else le(col, v - 1L)
+              def eq(col: String, v: Long) = {
+                val (t, pi) = field(col); val b0 = Math.floorDiv(v, t.n)
+                (pi, (b: Long) => b == b0)
+              }
+              c match {
+                case CGe(a: UnresolvedAttribute, CLit(v, _)) => ge(a.name, asLong(v))
+                case CGt(a: UnresolvedAttribute, CLit(v, _)) => gt(a.name, asLong(v))
+                case CLe(a: UnresolvedAttribute, CLit(v, _)) => le(a.name, asLong(v))
+                case CLt(a: UnresolvedAttribute, CLit(v, _)) => lt(a.name, asLong(v))
+                case CEq(a: UnresolvedAttribute, CLit(v, _)) => eq(a.name, asLong(v))
+                // literal-first spellings flip the comparison
+                case CGe(CLit(v, _), a: UnresolvedAttribute) => le(a.name, asLong(v))
+                case CGt(CLit(v, _), a: UnresolvedAttribute) => lt(a.name, asLong(v))
+                case CLe(CLit(v, _), a: UnresolvedAttribute) => ge(a.name, asLong(v))
+                case CLt(CLit(v, _), a: UnresolvedAttribute) => gt(a.name, asLong(v))
+                case CEq(CLit(v, _), a: UnresolvedAttribute) => eq(a.name, asLong(v))
+                case CIn(a: UnresolvedAttribute, vs)
+                    if vs.forall(_.isInstanceOf[CLit]) =>
+                  val n = truncByCol(a.name)._1.n
+                  val set = vs.map(l =>
+                    Math.floorDiv(asLong(l.asInstanceOf[CLit].value), n)).toSet
+                  (truncByCol(a.name)._2, set.contains _)
+                case other => throw new IllegalArgumentException(
+                  "compact_where: a trunc time-bucket column takes " +
+                    "conjunctions of simple comparisons on its source " +
+                    s"column (<, <=, >, >=, =, BETWEEN, IN), got: ${other.sql}")
+              }
+            }
+            val bucketTests: Seq[(Int, Long => Boolean)] =
+              truncConjs.map { c =>
+                require(refsOf(c).forall(truncByCol.contains),
+                  "compact_where: a conjunct may not mix trunc and other " +
+                    s"columns: ${c.sql}")
+                bucketTest(c)
+              }
+            // the identity side runs over the DISTINCT partition
+            // tuples, typed like the source columns — log-only planning
             val idIdx = spec.zipWithIndex.collect {
               case (LakePartitioning.Identity(c), i) => c -> i }
             val tuples = curEra.map(_.part).distinct
@@ -4221,32 +4411,50 @@ object LakeProcedures {
                 case _ => v
               }
             }
-            val tupleRows = tuples.map(t => org.apache.spark.sql.Row.fromSeq(
-              idIdx.map { case (c, i) => typed(c, t.lift(i).flatten) }))
-            val tupleSchema = StructType(idIdx.map { case (c, _) =>
-              StructField(c, snap.schema(snap.schema.fieldIndex(c)).dataType,
-                nullable = true) })
-            import scala.jdk.CollectionConverters._
-            val selected = spark.createDataFrame(tupleRows.asJava, tupleSchema)
-              .where(where)
-              .collect().map(r => idIdx.map { case (c, _) =>
-                Option(r.getAs[Any](c)).map(String.valueOf) }).toSet
-            val byTuple = curEra.groupBy(f =>
-              idIdx.map { case (_, i) => f.part.lift(i).flatten })
-            val candidates = byTuple.view.filterKeys(selected.contains)
+            def truncOk(t: Seq[Option[String]]): Boolean =
+              bucketTests.forall { case (pi, test) =>
+                t.lift(pi).flatten.exists(v => test(v.toLong)) }
+            val idSelected: Set[Seq[Option[String]]] =
+              if (idConjs.isEmpty) tuples.map(t => idIdx.map {
+                case (_, i) => t.lift(i).flatten }).toSet
+              else {
+                val tupleRows = tuples.map(t => org.apache.spark.sql.Row.fromSeq(
+                  idIdx.map { case (c, i) => typed(c, t.lift(i).flatten) }))
+                val tupleSchema = StructType(idIdx.map { case (c, _) =>
+                  StructField(c, snap.schema(snap.schema.fieldIndex(c)).dataType,
+                    nullable = true) })
+                import scala.jdk.CollectionConverters._
+                spark.createDataFrame(tupleRows.asJava, tupleSchema)
+                  .where(idConjs.map(_.sql).mkString(" AND "))
+                  .collect().map(r => idIdx.map { case (c, _) =>
+                    Option(r.getAs[Any](c)).map(String.valueOf) }).toSet
+              }
+            val selectedTuples = tuples.filter(t =>
+              idSelected.contains(idIdx.map { case (_, i) => t.lift(i).flatten }) &&
+                truncOk(t)).toSet
+            val byTuple = curEra.groupBy(_.part)
+            val candidates = byTuple.view.filterKeys(selectedTuples.contains)
               .values.flatten.map(_.path).toSeq.sorted
             if (candidates.isEmpty)
               return out(resultSchema, Seq(new GenericInternalRow(
-                Array[Any](selected.size, 0, 0, 0L))))
+                Array[Any](selectedTuples.size, 0, 0, 0L))))
             val fqn = s"$catName.${input.getUTF8String(0)}"
-            import org.apache.spark.sql.functions.{col => fcol}
+            import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
             // scan ONLY the candidates (file-exact _file IN pruning);
             // the writer splits per tuple, so repartitioning on the
-            // partition sources yields one file per selected tuple
-            // per task that sees it
+            // tuple sources yields one file per selected tuple per
+            // task that sees it. Trunc fields shuffle on the bucket
+            // ORDINAL (exact integer floorDiv spelling — `div` on an
+            // exact multiple), co-locating each whole time bucket.
+            val shuffleKeys = spec.map {
+              case LakePartitioning.Identity(c) => fcol(c)
+              case LakePartitioning.Trunc(c, n) =>
+                fexpr(s"($c - ((($c % $n) + $n) % $n)) div $n")
+              case LakePartitioning.Bucket(c, _) => fcol(c)
+            }
             val base = spark.table(fqn)
               .where(fcol(LakeTable.FileColumn).isin(candidates: _*))
-              .repartition(target, idCols.map(fcol): _*)
+              .repartition(target, shuffleKeys: _*)
             val arranged = snap.props.get("sortBy")
               .map(s => base.sortWithinPartitions(fcol(s))).getOrElse(base)
               .select(snap.schema.fieldNames.toSeq.map(fcol(_)): _*)
@@ -4255,7 +4463,7 @@ object LakeProcedures {
               replacedFiles = Some(candidates.toSet),
               sortedBy = snap.props.get("sortBy").toSeq)
             out(resultSchema, Seq(new GenericInternalRow(Array[Any](
-              selected.size, candidates.size, written.size,
+              selectedTuples.size, candidates.size, written.size,
               written.map(_.rows).sum))))
           }
         }
@@ -4632,21 +4840,25 @@ object LakeProcedures {
             // pin the cloned version on the SOURCE with a tag: vacuum
             // keeps tagged versions reconstructible and their files
             // referenced, so the source can never reclaim data the
-            // clone points at (drop_ref releases after a deep copy)
+            // clone points at (drop_ref releases after a deep copy).
+            // Each clone gets a FRESH tag — reusing an existing tag
+            // that happens to sit at (v, "tag") would let one drop_ref
+            // silently unpin every other clone of the same name/version.
             val tagBase = ("clone-" + input.getUTF8String(1).toString)
               .map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '-')
             var tag = tagBase
             var k = 1
-            while (!LakeLog.readRef(srcDir, tag).contains((v, "tag")) &&
-                !LakeLog.writeRef(srcDir, tag, v, "tag", replace = false)) {
+            while (!LakeLog.writeRef(srcDir, tag, v, "tag", replace = false)) {
               k += 1; tag = s"$tagBase-$k"
             }
             out(StructType(Seq(
               StructField("cloned_version", LongType, nullable = false),
               StructField("n_files", IntegerType, nullable = false),
-              StructField("n_rows", LongType, nullable = false))),
+              StructField("n_rows", LongType, nullable = false),
+              StructField("pin_tag", StringType, nullable = false))),
               Seq(new GenericInternalRow(Array[Any](
-                v, absolute.size, absolute.map(_.liveRows).sum))))
+                v, absolute.size, absolute.map(_.liveRows).sum,
+                org.apache.spark.unsafe.types.UTF8String.fromString(tag)))))
           }
         }
       }

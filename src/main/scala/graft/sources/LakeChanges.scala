@@ -74,9 +74,11 @@ object LakeChanges {
   val Suffix = "__changes"
 
   /** `startingTimestamp` → the first version committed at or after the
-    * instant (epoch millis, or a `Timestamp.valueOf` literal). Every
-    * retained commit older → start past the head (future commits
-    * only). Mutually exclusive with `startingVersion`.
+    * instant (epoch millis, or any SQL timestamp/date literal parsed in
+    * the SESSION timezone — `2024-01-02`, `2024-01-02 03:04:05`, and
+    * ISO-8601 `T` forms all accepted). Every retained commit older →
+    * start past the head (future commits only). Mutually exclusive with
+    * `startingVersion`.
     */
   def resolveStartingVersion(dir: Path,
       options: CaseInsensitiveStringMap): Option[Long] =
@@ -84,8 +86,20 @@ object LakeChanges {
       require(options.get("startingVersion") == null,
         "graftlake: startingTimestamp and startingVersion are mutually exclusive")
       val tsMs =
-        if (s.forall(_.isDigit)) s.toLong
-        else java.sql.Timestamp.valueOf(s).getTime
+        if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+        else {
+          // Session-timezone parse, same literal grammar as CAST(s AS
+          // TIMESTAMP) — not Timestamp.valueOf, which is JVM-default-TZ
+          // and rejects date-only / 'T' forms.
+          val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .getZoneId(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestamp(org.apache.spark.unsafe.types.UTF8String.fromString(s), zone)
+            .getOrElse(throw new IllegalArgumentException(
+              s"graftlake: cannot parse option startingTimestamp='$s' — " +
+                "expected epoch millis or a timestamp/date literal"))
+          Math.floorDiv(micros, 1000L)
+        }
       LakeLog.versionAfterTime(dir, tsMs)
         .getOrElse(LakeLog.currentVersion(dir).getOrElse(-1L) + 1L)
     }

@@ -121,9 +121,17 @@ object LakeMetaTables {
         .toSeq.sortBy(_._1.toString)
         .map { case ((specId, tuple), fs) =>
           val fields = LakePartitioning.specOf(snap.props, specId)
+          // transform components label Iceberg-style — the ordinal is
+          // NOT a source value, so `trunc(86400000000,ts_us)=19723`,
+          // never a misleading bare `ts_us=19723`
+          def nameOf(f: LakePartitioning.Field): String = f match {
+            case LakePartitioning.Identity(c) => c
+            case LakePartitioning.Trunc(c, n) => s"trunc($n,$c)"
+            case LakePartitioning.Bucket(c, n) => s"bucket($n,$c)"
+          }
           val label =
             if (tuple.isEmpty) null
-            else UTF8String.fromString(fields.map(_.col).zip(tuple)
+            else UTF8String.fromString(fields.map(nameOf).zip(tuple)
               .map { case (c, v) => s"$c=${v.getOrElse("null")}" }.mkString("/"))
           new GenericInternalRow(Array[Any](
             label, specId, fs.size,
