@@ -41,6 +41,8 @@ object Bench {
       // memoized BPE trainings would turn c20/c21's later reps into
       // cache reads — every timed rep must retrain
       graft.queries.CorpusOps.clearBpeCache()
+      // checkpoint-part LRU: same rule — reps re-parse, not cache-read
+      graft.sources.LakeLog.clearPartCache()
     }
     dropCached() // drop warmup persists before timing
     try graft.sources.Tables.names.foreach { n =>

@@ -146,7 +146,10 @@ object DataOps {
       .withColumn("bandKey", explode(Dedup.lshBandKeys(col("sig"), 8, 4)))
       .select(col("bandKey"), col("doc_id").as("id"), col("sig"))
       .as[DedupStream.BandArrival]
-    val out = DedupStream.candidatePairs(stream)
+    // cap threads through the session conf (graft.dedup.bucket_cap) —
+    // per-query banding parameters want per-query alarm thresholds
+    val out = DedupStream.candidatePairs(stream,
+      DedupStream.configuredCap(spark))
     val sink = s"d06_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt-d06").toString
     val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1113,6 +1113,43 @@ object IngestQueries {
       .select($"n3", $"lo3", $"hi3", $"pn3", $"plo3", $"lo5", $"zn")
   }
 
+  /** q105 — PREFIX predicates in the string decision algebra: a lake
+    * table written one file per market segment (disjoint string
+    * domains — the segments' first letters differ), probed with
+    * `LIKE 'v%'` shapes. A prefix is the byte range [v, v⊕1) in the
+    * same UTF-8 order the string stats record, so every file decides
+    * EXACTLY: the filtered count/min/max/sum answer as zero-task
+    * metadata plans, and a no-match prefix answers from planning
+    * alone (GraftLakeSpec pins the plan shapes; this row pins the
+    * VALUES against DuckDB's own LIKE). Real 100-TB predicates are
+    * disproportionately string prefixes — this is the row that proves
+    * they prune.
+    */
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q105").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.custpfx"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, seg STRING, cents BIGINT)")
+    val base = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("ok"), $"c_mktsegment".as("seg"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("cents"))
+    // one commit per segment: each file's string [min,max] is a single
+    // value, so prefix ranges decide every file All-or-None
+    for (s <- Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+      base.filter($"seg" === s).coalesce(1).writeTo(t).append()
+    spark.sql(
+      s"""SELECT
+         |  (SELECT count(*) FROM $t WHERE seg LIKE 'B%') AS nb,
+         |  (SELECT min(ok) FROM $t WHERE seg LIKE 'H%') AS loh,
+         |  (SELECT max(ok) FROM $t WHERE seg LIKE 'H%') AS hih,
+         |  (SELECT sum(cents) FROM $t WHERE seg LIKE 'MACH%') AS sm,
+         |  (SELECT count(*) FROM $t WHERE seg LIKE 'Z%') AS zn""".stripMargin)
+  }
+
   /** q95 — BLOOM-INDEXED point lookups as a correctness row: a
     * `bloomBy` table written in overlapping-range files (random
     * distribution — min/max stats cannot tell files apart), probed
@@ -1458,6 +1495,7 @@ object IngestQueries {
     "q93_metadata_agg" -> q93,
     "q94_filtered_meta" -> q94,
     "q95_bloom_lookup" -> q95,
+    "q105_prefix_meta" -> q105,
     "q96_grouped_meta" -> q96,
     "q97_partition_census" -> q97,
     "q98_partition_ddl" -> q98,
@@ -1543,6 +1581,17 @@ object IngestQueries {
         |   WHERE ok = (SELECT lo - 1 FROM mm)) AS miss
         |FROM o WHERE ok IN ((SELECT lo FROM mm), (SELECT hi FROM mm))
         |ORDER BY ok""".stripMargin,
+    "q105_prefix_meta" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS ok, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c WHERE seg LIKE 'B%') AS nb,
+        |  (SELECT min(ok) FROM c WHERE seg LIKE 'H%') AS loh,
+        |  (SELECT max(ok) FROM c WHERE seg LIKE 'H%') AS hih,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM c WHERE seg LIKE 'MACH%') AS sm,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c WHERE seg LIKE 'Z%') AS zn""".stripMargin,
     "q94_filtered_meta" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg

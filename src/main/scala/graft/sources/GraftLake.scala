@@ -960,6 +960,36 @@ final class LakePartedFiles(dir: Path, private[sources] val version: Long,
     if (kills.nonEmpty || parts.exists(_.liveRows < 0L)) None
     else Some(parts.map(_.liveRows).sum + adds.map(_.liveRows).sum)
 
+  /** EXACT grouped live-row counts with zero part parses, when
+    * knowable: every part must be TUPLE-PURE for each grouping column
+    * (its manifest value set `pv` holds exactly ONE value — the
+    * tuple-sorted split makes this the common case), carry a live
+    * total, and the kill set must be empty. `ids` are the group
+    * columns' stable ids; `addKey` extracts the in-memory adds' group
+    * keys (None = underivable → the caller parses instead). The
+    * date-partitioned `GROUP BY day` census on a 10^8-file table is
+    * then |parts| manifest lookups, zero parses, zero tasks.
+    */
+  def manifestGroupedCounts(ids: Seq[Long],
+      addKey: LakeFile => Option[Seq[Option[String]]]):
+      Option[Seq[(Seq[Option[String]], Long)]] = {
+    if (kills.nonEmpty || parts.exists(_.liveRows < 0L)) return None
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], Long]
+    parts.foreach { pm =>
+      val key: Seq[Option[String]] = ids.map(id => pm.pv.get(id) match {
+        case Some(Seq(v)) => Some(v) // pure: one value across every entry
+        case _ => return None // absent, over-cap, or mixed — parse instead
+      })
+      acc(key) = acc.getOrElse(key, 0L) + pm.liveRows
+    }
+    adds.foreach { f =>
+      val key = addKey(f).getOrElse(return None)
+      acc(key) = acc.getOrElse(key, 0L) + f.liveRows
+    }
+    Some(acc.toSeq)
+  }
+
   /** Entries that could match the pushed predicate set, parsing only
     * the checkpoint parts some predicate cannot rule out. Exactly the
     * stats-skipping contract at part granularity: may load a
@@ -1041,6 +1071,21 @@ final class LakePartedFiles(dir: Path, private[sources] val version: Long,
               case ">=" => u(hi).compareTo(v) >= 0
             }).getOrElse(true)
             intOk && strOk
+          case "STARTS_WITH" if kids.length == 2 =>
+            // the prefix set is the byte range [v, succ(v)): the part
+            // may hold a match only when its recorded ranges intersect
+            (for (c <- colOf(kids(0));
+                 v <- litOf(kids(1)).flatMap(asUtf8)) yield {
+              val next = LakeStats.prefixSuccessor(v)
+              // identity value set decides membership exactly
+              val pvOk = pm.pv.get(c).forall(_.exists(s =>
+                u(s).startsWith(v)))
+              val srOk = pm.sr.get(c).forall { case (lo, hi) =>
+                u(hi).compareTo(v) >= 0 &&
+                  next.forall(n => u(lo).compareTo(n) < 0)
+              }
+              pvOk && srOk
+            }).getOrElse(true)
           case _ => true
         }
       }
@@ -1357,13 +1402,21 @@ object LakeLog {
     // racing prune) must fail loudly, not silently reconstruct a
     // truncated snapshot (the legacy single-file checkpoint failed
     // atomically; multi-part must too)
-    if (!Files.isRegularFile(f))
-      throw new IllegalStateException(
-        s"graftlake: checkpoint v$v references missing part file $f")
-    else {
-      checkpointReads.incrementAndGet()
-      checkpointParseBytes.addAndGet(Files.size(f))
-      readEntries(mapper.readTree(Files.readAllBytes(f)), "files")
+    val key = s"$dir#$v#$part"
+    PartCache.get(key) match {
+      case Some(cached) =>
+        checkpointCacheHits.incrementAndGet()
+        cached
+      case None =>
+        if (!Files.isRegularFile(f))
+          throw new IllegalStateException(
+            s"graftlake: checkpoint v$v references missing part file $f")
+        checkpointReads.incrementAndGet()
+        val bytes = Files.size(f)
+        checkpointParseBytes.addAndGet(bytes)
+        val entries = readEntries(mapper.readTree(Files.readAllBytes(f)), "files")
+        PartCache.put(key, entries, bytes)
+        entries
     }
   }
 
@@ -1542,6 +1595,50 @@ object LakeLog {
     * checkpoints are unaffected.
     */
   @volatile private[graft] var checkpointFault: Option[(String, String)] = None
+
+  /** Cache HITS of [[checkpointPartEntries]] since process start — the
+    * twin of [[checkpointReads]] (cold parses). Counter specs assert
+    * the two separately: parses prove O(relevant parts) planning,
+    * parses+hits prove the part-serve count, and a repeated point
+    * query parses its part ONCE.
+    */
+  private[graft] val checkpointCacheHits = new java.util.concurrent.atomic.AtomicLong
+
+  /** Byte-bounded LRU over PARSED checkpoint parts. A part file is
+    * immutable once published (create-if-absent link) and its key
+    * carries (dir, checkpoint version, part), so entries never go
+    * stale — a new checkpoint is a new version, a vacuumed part's
+    * cached content still serves its retained snapshot correctly. On
+    * local disk this saves a JSON parse; on object storage it saves
+    * the hot table's per-query part re-FETCH — the difference between
+    * O(relevant parts) and O(relevant parts × queries) round-trips.
+    */
+  private object PartCache {
+    private val cap: Long =
+      java.lang.Long.getLong("graft.lake.partCacheBytes", 64L << 20)
+    // accessOrder=true: iteration order = LRU; get() mutates, so every
+    // access synchronizes
+    private val map =
+      new java.util.LinkedHashMap[String, (Seq[LakeFile], Long)](128, 0.75f, true)
+    private var total = 0L
+    def get(k: String): Option[Seq[LakeFile]] =
+      synchronized(Option(map.get(k)).map(_._1))
+    def put(k: String, v: Seq[LakeFile], bytes: Long): Unit = synchronized {
+      if (bytes > cap) return
+      Option(map.remove(k)).foreach(total -= _._2)
+      map.put(k, (v, bytes)); total += bytes
+      val it = map.entrySet().iterator()
+      while (total > cap && it.hasNext) {
+        total -= it.next().getValue._2; it.remove()
+      }
+    }
+    def clear(): Unit = synchronized { map.clear(); total = 0L }
+  }
+
+  /** Drop every cached checkpoint part (bench hygiene: timed reps must
+    * re-parse, or repetitions measure cache reads).
+    */
+  private[graft] def clearPartCache(): Unit = PartCache.clear()
 
   def checkpoint(dir: Path, snapshot: LakeSnapshot): Unit = {
     checkpointFault.foreach { case (dirKey, msg) =>
@@ -2231,6 +2328,29 @@ object LakeStats {
       case _ => None
     }
 
+  /** The EXCLUSIVE upper bound of the prefix set: every string starting
+    * with `v` sits in `[v, prefixSuccessor(v))` in unsigned UTF-8 byte
+    * order — increment v's last non-0xFF byte and drop the tail; None =
+    * all-0xFF (the prefix set is unbounded above). The result may not
+    * be valid UTF-8 — UTF8String.compareTo is pure byte order, which is
+    * exactly the order sstats/sr record, so that's fine. This is what
+    * lets `LIKE 'v%'` / STARTS_WITH join the string decision algebra
+    * as an ordinary range.
+    */
+  private[sources] def prefixSuccessor(
+      v: org.apache.spark.unsafe.types.UTF8String):
+      Option[org.apache.spark.unsafe.types.UTF8String] = {
+    val b = v.getBytes.clone()
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      b(i) = (b(i) + 1).toByte
+      Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        java.util.Arrays.copyOf(b, i + 1)))
+    }
+  }
+
   /** Decide ONE predicate against a file's [lo,hi] stats. Min/max are
     * computed over NON-NULL values only, so an all-match verdict from
     * the range alone would silently sweep up NULL rows the predicate
@@ -2400,6 +2520,29 @@ object LakeStats {
           }
           case _ => Mixed
         }
+      case "STARTS_WITH" if kids.length == 2 =>
+        (colName(kids(0)), litStr(kids(1))) match {
+          case (Some(c), Some(v)) =>
+            // identity string partition: the single tuple value decides
+            // exactly (an identity tuple Some(fv) means every row holds
+            // fv, never null — same contract part.eq relies on)
+            part.startsWith(c, v) match {
+              case Some(true) => All
+              case Some(false) => None_
+              case None =>
+                // the prefix set is the byte range [v, succ(v)) — the
+                // string range rules apply verbatim
+                val next = prefixSuccessor(v)
+                withSStats(c) { (lo, hi) =>
+                  if (hi.compareTo(v) < 0 ||
+                      next.exists(n => lo.compareTo(n) >= 0)) None_
+                  else if (lo.compareTo(v) >= 0 &&
+                      next.forall(n => hi.compareTo(n) < 0)) All
+                  else Mixed
+                }
+            }
+          case _ => Mixed
+        }
       case "IN" if kids.nonEmpty =>
         (colName(kids.head), kids.tail.toSeq.map(litAny)) match {
           case (Some(LakeTable.FileColumn), rawVals) if rawVals.forall(_.isDefined) =>
@@ -2444,7 +2587,7 @@ object LakeStats {
       resolve: String => Option[String],
       part: LakePartitioning.Resolver): Boolean = p.name() match {
     case "IS_NULL" | "IS_NOT_NULL" => true
-    case "=" | "<" | "<=" | ">" | ">=" | "<>" | "IN" =>
+    case "=" | "<" | "<=" | ">" | ">=" | "<>" | "IN" | "STARTS_WITH" =>
       p.references.forall { r =>
         r.fieldNames.length == 1 && {
           val c = r.fieldNames.head
@@ -2620,15 +2763,6 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
           }
         case _ => ()
       }
-    val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
-    // with all predicates consumed, every file decides All or None_:
-    // the aggregate ranges over exactly the All files (part-pruned
-    // entries are None_ by construction, so candidates suffice)
-    val statFiles =
-      if (skips.isEmpty) candidates
-      else candidates.filter(f =>
-        LakeStats.decide(f, skips, LakeColIds.physicalName(cols, f, _),
-          LakePartitioning.resolver(snapshot.props, f)) == LakeStats.All)
     // GROUPED metadata aggregates: group columns must be IDENTITY
     // partition columns of the CURRENT spec with every contributing
     // file on that spec — then a group is a set of whole files and the
@@ -2650,12 +2784,63 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       if (i < 0) return None
       i
     }
+    val gTyped = gcols.forall(fd => fd.dataType == LongType ||
+      fd.dataType == IntegerType || fd.dataType == BooleanType ||
+      fd.dataType == StringType)
+    if (gcols.nonEmpty && !gTyped) return None
+    def gval(s: Option[String], dt: DataType): Any = s match {
+      case None => null
+      case Some(v) => dt match {
+        case LongType => Long.box(v.toLong)
+        case IntegerType => Int.box(v.toInt)
+        case BooleanType => Boolean.box(v.toBoolean)
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      }
+    }
+    // MANIFEST-ONLY grouped count(*): unfiltered, single CountStar,
+    // every checkpoint part TUPLE-PURE for each group column (its
+    // recorded value set holds one value — the tuple-sorted split
+    // makes this the norm) — the census folds from |parts| manifest
+    // lookups + the in-memory adds: ZERO part parses, zero tasks.
+    // Mixed parts, kills, or over-cap value sets fall through to the
+    // parsed path below.
+    if (gcols.nonEmpty && skips.isEmpty &&
+        agg.aggregateExpressions.length == 1 &&
+        agg.aggregateExpressions.head.isInstanceOf[CountStar])
+      snapshot.files match {
+        case pf: LakePartedFiles =>
+          val idsByName = LakeColIds.cols(snapshot.schema, snapshot.props).toMap
+          val gIds = gcols.map(fd => idsByName.getOrElse(fd.name, -1L))
+          if (gIds.forall(_ >= 0L)) {
+            val curId = LakePartitioning.currentSpecId(snapshot.props)
+            def addKey(f: LakeFile): Option[Seq[Option[String]]] =
+              if (f.specId == curId && f.part.nonEmpty)
+                Some(gidx.map(i => f.part.lift(i).flatten))
+              else None
+            pf.manifestGroupedCounts(gIds, addKey).foreach { groups =>
+              val rows = groups.sortBy(_._1.toString).map { case (key, n) =>
+                new GenericInternalRow((key.zip(gcols).map { case (s, fd) =>
+                  gval(s, fd.dataType) } :+ Long.box(n)).toArray): InternalRow
+              }
+              val gFields = gcols.map(fd =>
+                StructField(fd.name, fd.dataType, nullable = true))
+              return Some((StructType(gFields :+
+                StructField("count(*)", LongType, nullable = false)), rows))
+            }
+          }
+        case _ => ()
+      }
+    val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
+    // with all predicates consumed, every file decides All or None_:
+    // the aggregate ranges over exactly the All files (part-pruned
+    // entries are None_ by construction, so candidates suffice)
+    val statFiles =
+      if (skips.isEmpty) candidates
+      else candidates.filter(f =>
+        LakeStats.decide(f, skips, LakeColIds.physicalName(cols, f, _),
+          LakePartitioning.resolver(snapshot.props, f)) == LakeStats.All)
     if (gcols.nonEmpty) {
       val curId = LakePartitioning.currentSpecId(snapshot.props)
-      val typed = gcols.forall(fd => fd.dataType == LongType ||
-        fd.dataType == IntegerType || fd.dataType == BooleanType ||
-        fd.dataType == StringType)
-      if (!typed) return None
       if (!statFiles.forall(f => f.specId == curId && f.part.nonEmpty))
         return None
     }
@@ -2750,15 +2935,6 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       }
       collect.foreach(_(fields.result()))
       Some(values.result())
-    }
-    def gval(s: Option[String], dt: DataType): Any = s match {
-      case None => null
-      case Some(v) => dt match {
-        case LongType => Long.box(v.toLong)
-        case IntegerType => Int.box(v.toInt)
-        case BooleanType => Boolean.box(v.toBoolean)
-        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
-      }
     }
     var aggFields: Seq[StructField] = Seq.empty
     // the schema dry-run over NO files also validates every aggregate
@@ -4103,6 +4279,157 @@ object LakeProcedures {
     StructField("files_after", IntegerType, nullable = false),
     StructField("rows_rewritten", LongType, nullable = false)))
 
+  /** The shared LOG-ONLY partition planner of `compact_where` /
+    * `zorder_where`: distinct current-era partition tuples of `snap`
+    * matching `where`, plus their files (path-sorted). Identity
+    * columns take ANY SQL predicate (evaluated over the distinct
+    * tuples, source-typed); a `trunc(n, col)` time-bucket column takes
+    * conjunctions of simple comparisons on the SOURCE column,
+    * converted to bucket-ordinal ranges with the transform's own
+    * floorDiv math — INTERSECT semantics, partial buckets select
+    * whole (maintenance rewrites are content-neutral). Anything else
+    * on a trunc/bucket column, or a predicate naming a non-partition
+    * column, fails loudly. Old-era files don't participate — their
+    * tuples aren't comparable under the current spec.
+    */
+  private def selectPartitions(spark: org.apache.spark.sql.SparkSession,
+      snap: LakeSnapshot, where: String):
+      (Set[Seq[Option[String]]], Seq[LakeFile]) = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGe,
+      In => CIn, LessThan => CLt, LessThanOrEqual => CLe,
+      Expression => CExpr, Literal => CLit}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val spec = LakePartitioning.decode(snap.props)
+    val idCols: Seq[String] = spec.collect {
+      case LakePartitioning.Identity(c) => c }
+    val truncByCol: Map[String, (LakePartitioning.Trunc, Int)] =
+      spec.zipWithIndex.collect {
+        case (t @ LakePartitioning.Trunc(_, _), i) => t.col -> ((t, i))
+      }.toMap
+    require(idCols.nonEmpty || truncByCol.nonEmpty,
+      "partition-scoped rewrites need identity or trunc partition columns")
+    val curId = LakePartitioning.currentSpecId(snap.props)
+    val curEra = snap.files.filter(f =>
+      f.specId == curId && f.part.nonEmpty)
+    def conjunctsOf(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      // BETWEEN parses as UnresolvedFunction('between, in, lo, hi) —
+      // split it into its two comparisons so the trunc path sees
+      // plain shapes
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.length == 3 =>
+        Seq(CGe(f.arguments(0), f.arguments(1)),
+          CLe(f.arguments(0), f.arguments(2)))
+      case other => Seq(other)
+    }
+    def refsOf(e: CExpr): Set[String] =
+      e.collect { case a: UnresolvedAttribute => a.name }.toSet
+    val allConjs = conjunctsOf(
+      spark.sessionState.sqlParser.parseExpression(where))
+    val (truncConjs, idConjs) = allConjs.partition(c =>
+      refsOf(c).exists(truncByCol.contains))
+    def asLong(v: Any): Long = v match {
+      case n: java.lang.Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"partition-scoped rewrite: trunc-column comparisons take " +
+          s"integral literals, got $other")
+    }
+    // bucket b covers [b·n, (b+1)·n): INTERSECT semantics per
+    // comparison — partial buckets rewrite whole (documented)
+    def bucketTest(c: CExpr): (Int, Long => Boolean) = {
+      def field(col: String) = truncByCol(col)
+      def ge(col: String, v: Long) = {
+        val (t, pi) = field(col); val b0 = Math.floorDiv(v, t.n)
+        (pi, (b: Long) => b >= b0)
+      }
+      def gt(col: String, v: Long) =
+        if (v == Long.MaxValue) (field(col)._2, (_: Long) => false)
+        else ge(col, v + 1L)
+      def le(col: String, v: Long) = {
+        val (t, pi) = field(col); val b0 = Math.floorDiv(v, t.n)
+        (pi, (b: Long) => b <= b0)
+      }
+      def lt(col: String, v: Long) =
+        if (v == Long.MinValue) (field(col)._2, (_: Long) => false)
+        else le(col, v - 1L)
+      def eq(col: String, v: Long) = {
+        val (t, pi) = field(col); val b0 = Math.floorDiv(v, t.n)
+        (pi, (b: Long) => b == b0)
+      }
+      c match {
+        case CGe(a: UnresolvedAttribute, CLit(v, _)) => ge(a.name, asLong(v))
+        case CGt(a: UnresolvedAttribute, CLit(v, _)) => gt(a.name, asLong(v))
+        case CLe(a: UnresolvedAttribute, CLit(v, _)) => le(a.name, asLong(v))
+        case CLt(a: UnresolvedAttribute, CLit(v, _)) => lt(a.name, asLong(v))
+        case CEq(a: UnresolvedAttribute, CLit(v, _)) => eq(a.name, asLong(v))
+        // literal-first spellings flip the comparison
+        case CGe(CLit(v, _), a: UnresolvedAttribute) => le(a.name, asLong(v))
+        case CGt(CLit(v, _), a: UnresolvedAttribute) => lt(a.name, asLong(v))
+        case CLe(CLit(v, _), a: UnresolvedAttribute) => ge(a.name, asLong(v))
+        case CLt(CLit(v, _), a: UnresolvedAttribute) => gt(a.name, asLong(v))
+        case CEq(CLit(v, _), a: UnresolvedAttribute) => eq(a.name, asLong(v))
+        case CIn(a: UnresolvedAttribute, vs)
+            if vs.forall(_.isInstanceOf[CLit]) =>
+          val n = truncByCol(a.name)._1.n
+          val set = vs.map(l =>
+            Math.floorDiv(asLong(l.asInstanceOf[CLit].value), n)).toSet
+          (truncByCol(a.name)._2, set.contains _)
+        case other => throw new IllegalArgumentException(
+          "partition-scoped rewrite: a trunc time-bucket column takes " +
+            "conjunctions of simple comparisons on its source " +
+            s"column (<, <=, >, >=, =, BETWEEN, IN), got: ${other.sql}")
+      }
+    }
+    val bucketTests: Seq[(Int, Long => Boolean)] =
+      truncConjs.map { c =>
+        require(refsOf(c).forall(truncByCol.contains),
+          "partition-scoped rewrite: a conjunct may not mix trunc and " +
+            s"other columns: ${c.sql}")
+        bucketTest(c)
+      }
+    // the identity side runs over the DISTINCT partition tuples,
+    // typed like the source columns
+    val idIdx = spec.zipWithIndex.collect {
+      case (LakePartitioning.Identity(c), i) => c -> i }
+    val tuples = curEra.map(_.part).distinct
+    def typed(c: String, s: Option[String]): Any = s match {
+      case None => null
+      case Some(v) => snap.schema(snap.schema.fieldIndex(c)).dataType match {
+        case LongType => java.lang.Long.valueOf(v)
+        case IntegerType => java.lang.Integer.valueOf(v)
+        case BooleanType => java.lang.Boolean.valueOf(v)
+        case _ => v
+      }
+    }
+    def truncOk(t: Seq[Option[String]]): Boolean =
+      bucketTests.forall { case (pi, test) =>
+        t.lift(pi).flatten.exists(v => test(v.toLong)) }
+    val idSelected: Set[Seq[Option[String]]] =
+      if (idConjs.isEmpty) tuples.map(t => idIdx.map {
+        case (_, i) => t.lift(i).flatten }).toSet
+      else {
+        val tupleRows = tuples.map(t => org.apache.spark.sql.Row.fromSeq(
+          idIdx.map { case (c, i) => typed(c, t.lift(i).flatten) }))
+        val tupleSchema = StructType(idIdx.map { case (c, _) =>
+          StructField(c, snap.schema(snap.schema.fieldIndex(c)).dataType,
+            nullable = true) })
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(tupleRows.asJava, tupleSchema)
+          .where(idConjs.map(_.sql).mkString(" AND "))
+          .collect().map(r => idIdx.map { case (c, _) =>
+            Option(r.getAs[Any](c)).map(String.valueOf) }).toSet
+      }
+    val selectedTuples = tuples.filter(t =>
+      idSelected.contains(idIdx.map { case (_, i) => t.lift(i).flatten }) &&
+        truncOk(t)).toSet
+    val byTuple = curEra.groupBy(_.part)
+    val candidates = byTuple.view.filterKeys(selectedTuples.contains)
+      .values.flatten.toSeq.sortBy(_.path)
+    (selectedTuples, candidates)
+  }
+
   def load(name: String, catName: String, warehouse: Path): UnboundProcedure =
     name match {
       case "compact" => new UnboundProcedure {
@@ -4289,152 +4616,20 @@ object LakeProcedures {
             ProcedureParameter.in("where", StringType).build(),
             ProcedureParameter.in("target_files", IntegerType).build())
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
-            import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
-              EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGe,
-              In => CIn, LessThan => CLt, LessThanOrEqual => CLe,
-              Expression => CExpr, Literal => CLit}
-            import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             val dir = resolve(warehouse, input.getUTF8String(0).toString)
             val where = input.getUTF8String(1).toString
             val target = math.max(1, input.getInt(2))
             val spark = org.apache.spark.sql.SparkSession.active
             val snap = LakeLog.currentSnapshot(dir).get
             val spec = LakePartitioning.decode(snap.props)
-            val idCols: Seq[String] = spec.collect {
-              case LakePartitioning.Identity(c) => c }
-            val truncByCol: Map[String, (LakePartitioning.Trunc, Int)] =
-              spec.zipWithIndex.collect {
-                case (t @ LakePartitioning.Trunc(_, _), i) => t.col -> ((t, i))
-              }.toMap
-            require(idCols.nonEmpty || truncByCol.nonEmpty,
-              "compact_where needs identity or trunc partition columns")
-            val curId = LakePartitioning.currentSpecId(snap.props)
-            val curEra = snap.files.filter(f =>
-              f.specId == curId && f.part.nonEmpty)
             val resultSchema = StructType(Seq(
               StructField("partitions_selected", IntegerType, nullable = false),
               StructField("files_before", IntegerType, nullable = false),
               StructField("files_after", IntegerType, nullable = false),
               StructField("rows_rewritten", LongType, nullable = false)))
-            // split the predicate into conjuncts; route each to the
-            // identity path (arbitrary SQL over typed tuple values) or
-            // the trunc path (source-column comparisons → bucket
-            // ordinal ranges, the transform's own floorDiv math)
-            def conjunctsOf(e: CExpr): Seq[CExpr] = e match {
-              case CAnd(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
-              // BETWEEN parses as UnresolvedFunction('between, in, lo, hi)
-              // — split it into its two comparisons so the trunc path
-              // sees plain shapes
-              case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-                  if f.nameParts.map(_.toLowerCase) == Seq("between") &&
-                    f.arguments.length == 3 =>
-                Seq(CGe(f.arguments(0), f.arguments(1)),
-                  CLe(f.arguments(0), f.arguments(2)))
-              case other => Seq(other)
-            }
-            def refsOf(e: CExpr): Set[String] =
-              e.collect { case a: UnresolvedAttribute => a.name }.toSet
-            val allConjs = conjunctsOf(
-              spark.sessionState.sqlParser.parseExpression(where))
-            val (truncConjs, idConjs) = allConjs.partition(c =>
-              refsOf(c).exists(truncByCol.contains))
-            def asLong(v: Any): Long = v match {
-              case n: java.lang.Number => n.longValue
-              case other => throw new IllegalArgumentException(
-                s"compact_where: trunc-column comparisons take integral " +
-                  s"literals, got $other")
-            }
-            // bucket b covers [b·n, (b+1)·n): INTERSECT semantics per
-            // comparison — partial buckets compact whole (documented)
-            def bucketTest(c: CExpr): (Int, Long => Boolean) = {
-              def field(col: String) = truncByCol(col)
-              def ge(col: String, v: Long) = {
-                val (t, pi) = field(col); val b0 = Math.floorDiv(v, t.n)
-                (pi, (b: Long) => b >= b0)
-              }
-              def gt(col: String, v: Long) =
-                if (v == Long.MaxValue) (field(col)._2, (_: Long) => false)
-                else ge(col, v + 1L)
-              def le(col: String, v: Long) = {
-                val (t, pi) = field(col); val b0 = Math.floorDiv(v, t.n)
-                (pi, (b: Long) => b <= b0)
-              }
-              def lt(col: String, v: Long) =
-                if (v == Long.MinValue) (field(col)._2, (_: Long) => false)
-                else le(col, v - 1L)
-              def eq(col: String, v: Long) = {
-                val (t, pi) = field(col); val b0 = Math.floorDiv(v, t.n)
-                (pi, (b: Long) => b == b0)
-              }
-              c match {
-                case CGe(a: UnresolvedAttribute, CLit(v, _)) => ge(a.name, asLong(v))
-                case CGt(a: UnresolvedAttribute, CLit(v, _)) => gt(a.name, asLong(v))
-                case CLe(a: UnresolvedAttribute, CLit(v, _)) => le(a.name, asLong(v))
-                case CLt(a: UnresolvedAttribute, CLit(v, _)) => lt(a.name, asLong(v))
-                case CEq(a: UnresolvedAttribute, CLit(v, _)) => eq(a.name, asLong(v))
-                // literal-first spellings flip the comparison
-                case CGe(CLit(v, _), a: UnresolvedAttribute) => le(a.name, asLong(v))
-                case CGt(CLit(v, _), a: UnresolvedAttribute) => lt(a.name, asLong(v))
-                case CLe(CLit(v, _), a: UnresolvedAttribute) => ge(a.name, asLong(v))
-                case CLt(CLit(v, _), a: UnresolvedAttribute) => gt(a.name, asLong(v))
-                case CEq(CLit(v, _), a: UnresolvedAttribute) => eq(a.name, asLong(v))
-                case CIn(a: UnresolvedAttribute, vs)
-                    if vs.forall(_.isInstanceOf[CLit]) =>
-                  val n = truncByCol(a.name)._1.n
-                  val set = vs.map(l =>
-                    Math.floorDiv(asLong(l.asInstanceOf[CLit].value), n)).toSet
-                  (truncByCol(a.name)._2, set.contains _)
-                case other => throw new IllegalArgumentException(
-                  "compact_where: a trunc time-bucket column takes " +
-                    "conjunctions of simple comparisons on its source " +
-                    s"column (<, <=, >, >=, =, BETWEEN, IN), got: ${other.sql}")
-              }
-            }
-            val bucketTests: Seq[(Int, Long => Boolean)] =
-              truncConjs.map { c =>
-                require(refsOf(c).forall(truncByCol.contains),
-                  "compact_where: a conjunct may not mix trunc and other " +
-                    s"columns: ${c.sql}")
-                bucketTest(c)
-              }
-            // the identity side runs over the DISTINCT partition
-            // tuples, typed like the source columns — log-only planning
-            val idIdx = spec.zipWithIndex.collect {
-              case (LakePartitioning.Identity(c), i) => c -> i }
-            val tuples = curEra.map(_.part).distinct
-            def typed(c: String, s: Option[String]): Any = s match {
-              case None => null
-              case Some(v) => snap.schema(snap.schema.fieldIndex(c)).dataType match {
-                case LongType => java.lang.Long.valueOf(v)
-                case IntegerType => java.lang.Integer.valueOf(v)
-                case BooleanType => java.lang.Boolean.valueOf(v)
-                case _ => v
-              }
-            }
-            def truncOk(t: Seq[Option[String]]): Boolean =
-              bucketTests.forall { case (pi, test) =>
-                t.lift(pi).flatten.exists(v => test(v.toLong)) }
-            val idSelected: Set[Seq[Option[String]]] =
-              if (idConjs.isEmpty) tuples.map(t => idIdx.map {
-                case (_, i) => t.lift(i).flatten }).toSet
-              else {
-                val tupleRows = tuples.map(t => org.apache.spark.sql.Row.fromSeq(
-                  idIdx.map { case (c, i) => typed(c, t.lift(i).flatten) }))
-                val tupleSchema = StructType(idIdx.map { case (c, _) =>
-                  StructField(c, snap.schema(snap.schema.fieldIndex(c)).dataType,
-                    nullable = true) })
-                import scala.jdk.CollectionConverters._
-                spark.createDataFrame(tupleRows.asJava, tupleSchema)
-                  .where(idConjs.map(_.sql).mkString(" AND "))
-                  .collect().map(r => idIdx.map { case (c, _) =>
-                    Option(r.getAs[Any](c)).map(String.valueOf) }).toSet
-              }
-            val selectedTuples = tuples.filter(t =>
-              idSelected.contains(idIdx.map { case (_, i) => t.lift(i).flatten }) &&
-                truncOk(t)).toSet
-            val byTuple = curEra.groupBy(_.part)
-            val candidates = byTuple.view.filterKeys(selectedTuples.contains)
-              .values.flatten.map(_.path).toSeq.sorted
+            val (selectedTuples, candidateFiles) =
+              selectPartitions(spark, snap, where)
+            val candidates = candidateFiles.map(_.path)
             if (candidates.isEmpty)
               return out(resultSchema, Seq(new GenericInternalRow(
                 Array[Any](selectedTuples.size, 0, 0, 0L))))

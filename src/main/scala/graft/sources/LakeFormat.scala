@@ -278,7 +278,18 @@ object LakeParquet {
       nulls: Map[String, Long],
       sstats: Map[String, (String, String)] = Map.empty)
 
+  /** [[footerStats]] invocations since process start — spec
+    * instrumentation pinning the write path's contract: a data file's
+    * footer is opened for stats exactly ONCE, by the write task that
+    * just produced it (stats then ride LakeFileMessage / the log). A
+    * paced streaming drain must stay FLAT here — a sink re-opening
+    * accumulated files per epoch commit would be O(files × epochs)
+    * round-trips at 100 TB.
+    */
+  private[graft] val footerStatOpens = new java.util.concurrent.atomic.AtomicLong
+
   def footerStats(file: NioPath): FileStats = {
+    footerStatOpens.incrementAndGet()
     val reader = ParquetFileReader.open(new LocalInputFile(file))
     try {
       val footer = reader.getFooter

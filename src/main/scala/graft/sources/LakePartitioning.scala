@@ -213,6 +213,21 @@ object LakePartitioning {
       case (Trunc(_, _), None) => Some(false)
     }
 
+    /** Some(true) = every row's col starts with `prefix`; Some(false)
+      * = none does. Identity tuples decide exactly (the component IS
+      * the single value; UTF8String.startsWith is byte-prefix, the
+      * same order the string stats algebra uses); transforms cannot.
+      */
+    def startsWith(col: String,
+        prefix: org.apache.spark.unsafe.types.UTF8String): Option[Boolean] =
+      byCol.get(col).flatMap {
+        case (Identity(_), Some(fv)) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(fv)
+            .startsWith(prefix))
+        case (Identity(_), None) => Some(false) // all-null: never matches
+        case _ => None
+      }
+
     /** Some(true) = every row null in col; Some(false) = none null. */
     def isNull(col: String): Option[Boolean] = byCol.get(col).flatMap {
       // a file's tuple component is None exactly when EVERY row's

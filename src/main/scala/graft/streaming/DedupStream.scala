@@ -57,6 +57,24 @@ object DedupStream {
     */
   val DefaultBucketCap = 4096
 
+  /** Session-conf key for the cap — the per-QUERY surface (banding
+    * parameters vary per corpus, so the right cap does too; a global
+    * constant would force one alarm threshold on every stream). Read
+    * once at stream construction; the `poisoned_arrivals` metric name
+    * is stable regardless of the cap's origin.
+    */
+  val BucketCapConf = "graft.dedup.bucket_cap"
+
+  /** The cap for this session: `graft.dedup.bucket_cap` if set (must
+    * be positive), else [[DefaultBucketCap]].
+    */
+  def configuredCap(spark: org.apache.spark.sql.SparkSession): Int = {
+    val cap = spark.conf.getOption(BucketCapConf)
+      .map(_.toInt).getOrElse(DefaultBucketCap)
+    require(cap > 0, s"$BucketCapConf must be positive, got $cap")
+    cap
+  }
+
   /** One exploded (band, doc) arrival. */
   case class BandArrival(bandKey: Long, id: Long, sig: Array[Long])
 

@@ -143,6 +143,30 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(observed == 7L,
         s"poisoned_arrivals must count every refusal loudly: $observed")
       assert(spark.table("d06capm").count() == 6L)
+      // TWO CAPS on the SAME corpus through the session-conf surface
+      // (what d06 reads): cap 8 admits 1..6 then 0 and 7, so 15 + 6 + 7
+      // = 28 pairs with 3 refusals — the cap is a per-query dial, the
+      // metric name never moves
+      spark.conf.set(DedupStream.BucketCapConf, "8")
+      try {
+        assert(DedupStream.configuredCap(spark) == 8)
+        val ckpt3 = Files.createTempDirectory("d06-cap-ckpt3").toString
+        val q8 = DedupStream.candidatePairs(stream,
+            DedupStream.configuredCap(spark))
+          .writeStream.format("memory").queryName("d06cap8")
+          .outputMode("append").option("checkpointLocation", ckpt3)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q8.awaitTermination()
+        assert(spark.table("d06cap8").count() == 28L,
+          "a wider cap admits more members before poisoning")
+        val observed8 = q8.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get("lsh_dedup")))
+          .map(_.getLong(0)).sum
+        assert(observed8 == 3L, s"8, 9, 10 refused: $observed8")
+      } finally spark.conf.unset(DedupStream.BucketCapConf)
+      // unset -> the default cap again
+      assert(DedupStream.configuredCap(spark) == DedupStream.DefaultBucketCap)
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", beforeProvider)
   }

@@ -724,8 +724,9 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(spark.sql(qf).head().getLong(0) == 50L)
     assert(planOf(qf).contains("LocalTableScan") && !planOf(qf).contains("BatchScan"),
       s"an exactly-decided string filter keeps the metadata path:\n${planOf(qf)}")
-    // an UNDECIDABLE filter shape still reads data
-    assert(planOf("SELECT min(id) FROM lake.db.t_metaagg WHERE s LIKE 'b%'")
+    // an UNDECIDABLE filter shape still reads data (mid-string LIKE —
+    // a PREFIX LIKE is now part of the decision algebra)
+    assert(planOf("SELECT min(id) FROM lake.db.t_metaagg WHERE s LIKE '%b%'")
       .contains("BatchScan"))
     // MIN/MAX of a string column is not metadata-answerable (the
     // metadata aggregate serves integral extrema only)
@@ -1364,11 +1365,11 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(!withPos.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
     assert(withPos.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
       live.map(i => (i, i)))
-    // delete EVERY remaining row via the dv path (LIKE is not
-    // stats-decidable — a plain string equality now IS, and would
-    // metadata-drop the file whole): the selection empties each batch
-    // rather than dropping the file
-    spark.sql("DELETE FROM lake.db.t_colmor WHERE s LIKE 'x%'")
+    // delete EVERY remaining row via the dv path (mid-string LIKE is
+    // not stats-decidable — equality and prefix LIKE now ARE, and
+    // would metadata-drop the file whole): the selection empties each
+    // batch rather than dropping the file
+    spark.sql("DELETE FROM lake.db.t_colmor WHERE s LIKE '%x%'")
     assert(filePaths("t_colmor").nonEmpty, "dv delete must keep the file")
     assert(spark.table("lake.db.t_colmor").count() == 0L)
     assert(spark.table("lake.db.t_colmor").collect().isEmpty)
@@ -2591,6 +2592,10 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(dist.rdd.getNumPartitions == nParts + 4,
       s"one chunk per checkpoint part + one per delta (v11..v14): " +
         s"got ${dist.rdd.getNumPartitions}, expected ${nParts + 4}")
+    // the post-checkpoint DELETE/UPDATE commits materialized (and so
+    // CACHED) the parts — drop them so the census's parse accounting
+    // stays exact
+    graft.sources.LakeLog.clearPartCache()
     val reads0 = graft.sources.LakeLog.checkpointReads.get()
     val bytes0 = graft.sources.LakeLog.checkpointParseBytes.get()
     val got = dist.collect().map(_.toSeq).sortBy(_.head.toString)
@@ -2896,7 +2901,10 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(nParts >= 5, s"3 KB bound must split the checkpoint: $nParts")
     // point query on the partition column: planning parses ONLY the
     // parts whose manifest range holds p=3 — snapshot load itself
-    // touches just the O(1) manifest + the two post-cp deltas
+    // touches just the O(1) manifest + the two post-cp deltas. (The
+    // post-cp commits cached the parts they materialized — clear, so
+    // the parse accounting below is exactly the COLD planning cost.)
+    graft.sources.LakeLog.clearPartCache()
     val reads0 = graft.sources.LakeLog.checkpointReads.get()
     val bytes0 = graft.sources.LakeLog.checkpointParseBytes.get()
     val df = spark.sql("SELECT sum(v) AS sv FROM lake.db.t_partidx WHERE p = 3")
@@ -2909,6 +2917,7 @@ class GraftLakeSpec extends AnyFunSuite {
       "parse bytes must stay a fraction of the checkpoint")
     // a post-checkpoint partition (delta add, never checkpointed)
     // answers with ZERO part parses
+    graft.sources.LakeLog.clearPartCache()
     val reads1 = graft.sources.LakeLog.checkpointReads.get()
     assert(spark.sql("SELECT count(*) AS n FROM lake.db.t_partidx WHERE p = 11")
       .collect().head.getLong(0) == 100L)
@@ -2916,6 +2925,7 @@ class GraftLakeSpec extends AnyFunSuite {
       "post-checkpoint adds ride the deltas — no checkpoint IO at all")
     // an unpruned full scan still materializes everything exactly once
     // (collect, not count — count(*) now answers from the manifest)
+    graft.sources.LakeLog.clearPartCache()
     val reads2 = graft.sources.LakeLog.checkpointReads.get()
     assert(spark.table("lake.db.t_partidx").collect().length == 1200)
     assert(graft.sources.LakeLog.checkpointReads.get() - reads2 == nParts.toLong,
@@ -2923,6 +2933,7 @@ class GraftLakeSpec extends AnyFunSuite {
     // stats ranges index too: v is NOT a partition column, but the
     // sorted layout gives disjoint per-part [lo,hi] — a v range that
     // lives in one partition parses one part
+    graft.sources.LakeLog.clearPartCache()
     val reads3 = graft.sources.LakeLog.checkpointReads.get()
     assert(spark.sql(
       "SELECT count(*) AS n FROM lake.db.t_partidx WHERE v >= 520 AND v <= 530")
@@ -2964,6 +2975,7 @@ class GraftLakeSpec extends AnyFunSuite {
     // ids, so predicates spelled with the NEW name keep pruning the
     // era-0 parts and keep every era-1 row
     spark.sql("ALTER TABLE lake.db.t_evoidx RENAME COLUMN p TO pcat")
+    graft.sources.LakeLog.clearPartCache()
     val reads0 = graft.sources.LakeLog.checkpointReads.get()
     val df = spark.sql("SELECT id FROM lake.db.t_evoidx WHERE pcat = 3")
     val got2 = df.collect().map(_.getLong(0)).sorted.toSeq
@@ -3024,12 +3036,85 @@ class GraftLakeSpec extends AnyFunSuite {
         .coalesce(1).writeTo("lake.db.t_sspart").append()
     val nParts = LakeLog.checkpointParts(tableDir("t_sspart"), 10L)
     assert(nParts > 2, s"got $nParts")
+    graft.sources.LakeLog.clearPartCache()
     val reads0 = graft.sources.LakeLog.checkpointReads.get()
     val dfp = spark.sql("SELECT count(*) AS n FROM lake.db.t_sspart WHERE seg = 'w03_5'")
     assert(dfp.collect().head.getLong(0) == 6L) // ids 120..159 with id%7==5
     val parsed = graft.sources.LakeLog.checkpointReads.get() - reads0
     assert(parsed < nParts.toLong,
       s"string part ranges must prune manifest parts: $parsed of $nParts")
+  }
+
+  test("prefix predicates join the string algebra: LIKE 'v%' skips files, prunes parts, keeps metadata aggregates") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_pfx (id BIGINT, seg STRING, v BIGINT)")
+    // three files with DISJOINT seg prefix domains (a*, g*, t*)
+    for ((p, b) <- Seq(("a", 0), ("g", 1), ("t", 2)))
+      spark.range(b * 100L, (b + 1) * 100L)
+        .select($"id", concat(lit(p), $"id" % 10L).as("seg"), ($"id" * 2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_pfx").append()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // a prefix LIKE is the byte range [v, succ(v)): the g-file alone
+    // survives skipping, and since every file decides EXACTLY, the
+    // filtered aggregate stays metadata-only (zero tasks)
+    val qs = "SELECT id FROM lake.db.t_pfx WHERE seg LIKE 'g%'"
+    assert(spark.sql(qs).count() == 100L)
+    assert(planOf(qs).contains("files=1/3"), s"prefix skip:\n${planOf(qs)}")
+    val qc = "SELECT count(*) AS n FROM lake.db.t_pfx WHERE seg LIKE 'g%'"
+    assert(spark.sql(qc).head().getLong(0) == 100L)
+    assert(planOf(qc).contains("LocalTableScan") && !planOf(qc).contains("BatchScan"),
+      s"an exactly-decided prefix keeps the metadata path:\n${planOf(qc)}")
+    // a prefix SPLITTING a file decides Mixed — read, exact answer
+    val qm = "SELECT count(*) AS n FROM lake.db.t_pfx WHERE seg LIKE 'g5%'"
+    assert(spark.sql(qm).head().getLong(0) == 10L)
+    assert(planOf(qm).contains("BatchScan"), s"split prefix reads:\n${planOf(qm)}")
+    // no match: every file skips, zero-split scan
+    assert(spark.sql("SELECT id FROM lake.db.t_pfx WHERE seg LIKE 'zz%'")
+      .count() == 0L)
+    // identity STRING partitions decide prefixes from the tuple alone
+    spark.sql("""CREATE TABLE lake.db.t_pfxpart (id BIGINT, seg STRING)
+      |PARTITIONED BY (seg)""".stripMargin)
+    spark.range(0, 120)
+      .select($"id", concat(lit("s"), $"id" % 12).as("seg"))
+      .writeTo("lake.db.t_pfxpart").append()
+    val qp = "SELECT id FROM lake.db.t_pfxpart WHERE seg LIKE 's1%'"
+    assert(spark.sql(qp).count() == 30L, "s1, s10, s11")
+    assert(planOf(qp).contains("files=3/12"), s"tuple prefix:\n${planOf(qp)}")
+    assert(spark.sql(qp).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty,
+      "an exactly-decided prefix leaves no residual filter")
+    // and prefixes prune CHECKPOINT PARTS: 12 seg-ordered commits,
+    // small parts — a prefix probe parses a strict subset
+    spark.sql("""CREATE TABLE lake.db.t_pfxcp (id BIGINT, seg STRING)
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '700')""".stripMargin)
+    for (b <- 0 until 12)
+      spark.range(b * 40L, (b + 1) * 40L)
+        .select($"id", concat(lit(f"w$b%02d_"), $"id" % 7L).as("seg"))
+        .coalesce(1).writeTo("lake.db.t_pfxcp").append()
+    val nParts = LakeLog.checkpointParts(tableDir("t_pfxcp"), 10L)
+    assert(nParts > 2, s"got $nParts")
+    graft.sources.LakeLog.clearPartCache()
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val dfp = spark.sql("SELECT count(*) AS n FROM lake.db.t_pfxcp WHERE seg LIKE 'w03%'")
+    assert(dfp.collect().head.getLong(0) == 40L)
+    val parsed = graft.sources.LakeLog.checkpointReads.get() - reads0
+    assert(parsed < nParts.toLong,
+      s"prefix part ranges must prune manifest parts: $parsed of $nParts")
+    // a decided prefix DELETE on MOR is a metadata-only whole-file drop
+    spark.sql("""CREATE TABLE lake.db.t_pfxdel (id BIGINT, seg STRING)
+      |TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    for ((p, b) <- Seq(("a", 0), ("g", 1)))
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id", concat(lit(p), $"id" % 5L).as("seg"))
+        .coalesce(1).writeTo("lake.db.t_pfxdel").append()
+    val keep = LakeLog.currentSnapshot(tableDir("t_pfxdel")).get.files
+      .filter(_.sstats("seg")._1.startsWith("a")).map(_.path)
+    spark.sql("DELETE FROM lake.db.t_pfxdel WHERE seg LIKE 'g%'")
+    val after = LakeLog.currentSnapshot(tableDir("t_pfxdel")).get.files
+    assert(after.map(_.path) == keep && after.forall(_.dv.isEmpty),
+      "prefix delete drops the decided file from the log, no dv, no rewrite")
+    assert(spark.table("lake.db.t_pfxdel").count() == 50L)
   }
 
   test("lazy parted snapshots serve time travel exactly: below, at, and above the checkpoint") {
@@ -3053,6 +3138,92 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(ids(10L) == (0L until 200L), "history is untouched by the delete")
   }
 
+  test("checkpoint-part LRU: a repeated point query parses its part once; the second serve is a hit") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_cplru (id BIGINT, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '3000')""".stripMargin)
+    for (i <- 0 until 12)
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select($"id", lit(i.toLong).as("p"), $"id".as("v"))
+        .coalesce(1).writeTo("lake.db.t_cplru").append()
+    assert(LakeLog.checkpointParts(tableDir("t_cplru"), 10L) >= 5)
+    graft.sources.LakeLog.clearPartCache()
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val hits0 = graft.sources.LakeLog.checkpointCacheHits.get()
+    def point(): Long = spark.sql(
+      "SELECT sum(v) AS sv FROM lake.db.t_cplru WHERE p = 3")
+      .collect().head.getLong(0)
+    // cold: the ONE matching part parses; nothing hits
+    assert(point() == (300L until 400L).sum)
+    assert(graft.sources.LakeLog.checkpointReads.get() - reads0 == 1L &&
+      graft.sources.LakeLog.checkpointCacheHits.get() - hits0 == 0L,
+      "cold point query: one parse, zero hits")
+    // hot: the identical query PARSES NOTHING — on object storage this
+    // is the hot table's per-query part re-fetch, gone
+    assert(point() == (300L until 400L).sum)
+    assert(graft.sources.LakeLog.checkpointReads.get() - reads0 == 1L,
+      "the part must parse exactly ONCE across both queries")
+    assert(graft.sources.LakeLog.checkpointCacheHits.get() - hits0 == 1L,
+      "the second serve is a cache hit")
+    // a NEW commit = a new snapshot fold, but the same immutable part
+    // still serves from cache (keys carry the checkpoint version)
+    spark.range(1200, 1300).select($"id", lit(12L).as("p"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_cplru").append()
+    val readsBefore = graft.sources.LakeLog.checkpointReads.get()
+    assert(point() == (300L until 400L).sum)
+    assert(graft.sources.LakeLog.checkpointReads.get() == readsBefore,
+      "the append must not invalidate the untouched part")
+  }
+
+  test("grouped manifest count: GROUP BY a tuple-pure partition column answers with zero part IO; mixed parts parse") {
+    import spark.implicits._
+    // TWO partition values × 6 files each; a 1-byte part bound makes
+    // every checkpoint part a single entry — trivially tuple-PURE
+    // (any value-aligned split works; single-entry keeps the fixture
+    // independent of serialized entry size)
+    spark.sql("""CREATE TABLE lake.db.t_gmc (id BIGINT, p BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '1')""".stripMargin)
+    for (b <- 0 until 12)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id", lit(b % 2L).as("p"))
+        .coalesce(1).writeTo("lake.db.t_gmc").append()
+    assert(LakeLog.checkpointParts(tableDir("t_gmc"), 10L) > 1)
+    graft.sources.LakeLog.clearPartCache()
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val hits0 = graft.sources.LakeLog.checkpointCacheHits.get()
+    val df = spark.sql(
+      "SELECT p, count(*) AS n FROM lake.db.t_gmc GROUP BY p ORDER BY p")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq(0L -> 300L, 1L -> 300L))
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"grouped census must be metadata-only:\n${df.queryExecution.executedPlan}")
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads0 &&
+      graft.sources.LakeLog.checkpointCacheHits.get() == hits0,
+      "tuple-pure parts answer the grouped census from the manifest: zero part IO")
+    // MIXED parts (one value per commit, several values per part) fall
+    // back to the parsed path — still exact, parts pay their parse
+    spark.sql("""CREATE TABLE lake.db.t_gmcmix (id BIGINT, p BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '3000')""".stripMargin)
+    for (b <- 0 until 12)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id", lit(b.toLong).as("p"))
+        .coalesce(1).writeTo("lake.db.t_gmcmix").append()
+    graft.sources.LakeLog.clearPartCache()
+    val reads1 = graft.sources.LakeLog.checkpointReads.get()
+    val dfm = spark.sql(
+      "SELECT p, count(*) AS n FROM lake.db.t_gmcmix GROUP BY p")
+    assert(dfm.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      (0L until 12L).map(_ -> 50L))
+    assert(graft.sources.LakeLog.checkpointReads.get() > reads1,
+      "mixed parts must parse — purity is the gate, never a guess")
+    // a removal invalidates the shortcut on the pure table too
+    spark.sql("DELETE FROM lake.db.t_gmc WHERE id < 50")
+    assert(spark.sql(
+      "SELECT p, count(*) AS n FROM lake.db.t_gmc GROUP BY p ORDER BY p")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq(0L -> 250L, 1L -> 300L), "kills force the parsed path, still exact")
+  }
+
   test("manifest-only count(*): zero part parses while no removal touched the checkpoint") {
     import spark.implicits._
     spark.sql("""CREATE TABLE lake.db.t_mfcount (id BIGINT, v BIGINT)
@@ -3069,6 +3240,7 @@ class GraftLakeSpec extends AnyFunSuite {
     // a removal invalidates the shortcut: the kill set would subtract
     // unknown counts — the parsed path takes over, still exact
     spark.sql("DELETE FROM lake.db.t_mfcount WHERE id < 50")
+    graft.sources.LakeLog.clearPartCache() // the DELETE's commit cached them
     val dfc2 = spark.sql("SELECT count(*) FROM lake.db.t_mfcount")
     assert(dfc2.collect().head.getLong(0) == 550L)
     assert(graft.sources.LakeLog.checkpointReads.get() > reads0,
@@ -3181,6 +3353,36 @@ class GraftLakeSpec extends AnyFunSuite {
       s"an undersized budget must admit one whole commit per batch: $onePer")
   }
 
+  test("a paced streaming drain opens each footer once: epoch commits reuse write-task stats, never re-open accumulated files") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_ftbudget (id BIGINT, p BIGINT)")
+    for (b <- 0 until 6) // 6 one-file commits to drain epoch-by-epoch
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id", ($"id" % 3L).as("p"))
+        .coalesce(1).writeTo("lake.db.t_ftbudget").append()
+    spark.sql("""CREATE TABLE lake.db.t_ftdst (id BIGINT, p BIGINT)
+      |PARTITIONED BY (p)""".stripMargin)
+    val opens0 = graft.sources.LakeParquet.footerStatOpens.get()
+    val ckpt = Files.createTempDirectory("ftbudget-ckpt").toString
+    // budget 1 byte → every epoch admits exactly ONE whole source
+    // commit: 6 epoch commits against an accumulating destination
+    spark.readStream.option("maxBytesPerTrigger", "1")
+      .table("lake.db.t_ftbudget")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("lake.db.t_ftdst").awaitTermination()
+    assert(spark.table("lake.db.t_ftdst").count() == 300L)
+    val dstFiles = LakeLog.currentSnapshot(tableDir("t_ftdst")).get.files.size
+    assert(dstFiles >= 12, s"6 epochs × 3 partitions should split: $dstFiles")
+    // the footer-trip budget: stats are computed ONCE per file by the
+    // write task and ride LakeFileMessage into every later epoch's
+    // commit — a sink re-opening accumulated files would show here as
+    // O(files × epochs)
+    val opens = graft.sources.LakeParquet.footerStatOpens.get() - opens0
+    assert(opens == dstFiles.toLong,
+      s"each destination file's footer opens exactly once: $opens opens for $dstFiles files")
+  }
+
   test("ADD CONSTRAINT validates the TRUE head, not the WAP-pinned view") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_wapcon (k BIGINT, v BIGINT)")
@@ -3252,6 +3454,9 @@ class GraftLakeSpec extends AnyFunSuite {
     // serve wrong answers (the legacy inline checkpoint failed
     // atomically; multi-part must too)
     Files.delete(partFiles.head)
+    // cached copies of the part legitimately serve (immutable content);
+    // the MISSING-file path needs a cold cache
+    graft.sources.LakeLog.clearPartCache()
     // collect, not count — a manifest-answered count(*) legitimately
     // never touches the parts; a ROW read must fail loudly
     val err = intercept[Throwable](spark.table("lake.db.t_cpint").collect())
@@ -3578,6 +3783,10 @@ class GraftLakeSpec extends AnyFunSuite {
     // older delta AND checkpoint (manifest first, parts after) pruned
     LakeLog.checkpoint(dir, LakeLog.snapshotAt(dir, 12L).get)
     LakeLog.pruneBelow(dir, 12L)
+    // the floor-checkpoint write above materialized (and cached) v10's
+    // parts — drop them so the held snapshot really hits the missing
+    // files, exercising the refold instead of the LRU
+    LakeLog.clearPartCache()
     assert(!Files.isRegularFile(dir.resolve("_log").resolve("c00000010.json")))
     // materializing the held snapshot now hits v10's missing parts —
     // ONE refold from a fresh log listing serves the same version via
