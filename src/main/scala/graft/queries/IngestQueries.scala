@@ -1274,14 +1274,17 @@ object IngestQueries {
       .orderBy($"seg")
   }
 
-  /** q99 — METADATA SUM as a correctness row: the write path records
-    * per-file integral column sums in the log (wrapping adds —
+  /** q99 — METADATA SUM (and AVG) as a correctness row: the write path
+    * records per-file integral column sums in the log (wrapping adds —
     * bit-identical to Spark's non-ANSI scan-side sum), so ungrouped
     * SUM answers from planning alone, composing with null columns,
-    * consumed partition filters, and the grouped path. A MOR DELETE
-    * then dvs one partition: its sum falls back to the scan (the
-    * deleted row's contribution is unknowable to metadata) while the
-    * oracle replays everything relationally.
+    * consumed partition filters, and the grouped path; AVG divides the
+    * exact metadata sum by the non-null count ONCE in double (both
+    * sides of the oracle compute sum/count the same way, so the
+    * rounded values match bit-for-bit). A MOR DELETE then dvs one
+    * partition: its sum falls back to the scan (the deleted row's
+    * contribution is unknowable to metadata) while the oracle replays
+    * everything relationally.
     */
   def q99(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1299,10 +1302,12 @@ object IngestQueries {
         when($"o_orderkey" % 7 =!= 0L,
           graft.functions.gf.fixed($"o_totalprice", 100.0)).as("cents"))
       .writeTo(t).append()
-    // all three shapes plan as metadata: global, consumed-filter, null column
+    // all four shapes plan as metadata: global, consumed-filter, null
+    // column, and AVG (exact sum ÷ non-null count)
     val pre = broadcast(spark.sql(
       s"""SELECT sum(ok) AS s_ok, sum(cents) AS s_cents,
-         |  (SELECT sum(cents) FROM $t WHERE seg = '3') AS s3
+         |  (SELECT sum(cents) FROM $t WHERE seg = '3') AS s3,
+         |  (SELECT avg(cents) FROM $t WHERE seg = '5') AS raw_a5
          |FROM $t""".stripMargin))
     spark.sql(s"DELETE FROM $t WHERE ok = (SELECT min(ok) FROM $t WHERE seg = '3')")
     // the dv'd partition falls back to the scan; untouched ones stay metadata
@@ -1311,7 +1316,9 @@ object IngestQueries {
          |  (SELECT sum(cents) FROM $t WHERE seg = '3') AS s3_post,
          |  (SELECT sum(cents) FROM $t WHERE seg = '5') AS s5_post""".stripMargin)
       .crossJoin(pre)
-      .select($"s_ok", $"s_cents", $"s3", $"s3_post", $"s5_post")
+      .select($"s_ok", $"s_cents", $"s3",
+        graft.functions.gf.dround($"raw_a5", 4).as("a5"),
+        $"s3_post", $"s5_post")
   }
 
   /** q85 — lake SCHEMA EVOLUTION as a correctness row: a table built in
@@ -1531,6 +1538,9 @@ object IngestQueries {
         |SELECT CAST(sum(ok) AS BIGINT) AS s_ok,
         |  CAST(sum(cents) AS BIGINT) AS s_cents,
         |  CAST((SELECT sum(cents) FROM o WHERE seg = '3') AS BIGINT) AS s3,
+        |  (SELECT sign(a) * floor(abs(a) * 10000 + 0.5) / 10000 FROM (
+        |     SELECT CAST(sum(cents) AS DOUBLE) / count(cents) AS a
+        |     FROM o WHERE seg = '5')) AS a5,
         |  CAST((SELECT sum(cents) FROM o WHERE seg = '3'
         |        AND ok <> (SELECT dk FROM d)) AS BIGINT) AS s3_post,
         |  CAST((SELECT sum(cents) FROM o WHERE seg = '5') AS BIGINT) AS s5_post

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, GeneralAggregateFunc, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -187,6 +187,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       .orElse(companion(LakeMetaTables.RefsSuffix)(LakeMetaTables.refsTable))
       .orElse(companion(LakeMetaTables.PartitionsSuffix)(LakeMetaTables.partitionsTable(_, _)))
       .orElse(companion(LakeMetaTables.StatsSuffix)(LakeMetaTables.statsTable(_, _)))
+      .orElse(companion(LakeMetaTables.PartsSuffix)(LakeMetaTables.partsTable(_, _)))
       .foreach(t => return t)
     val dir = tableDir(ident)
     // write-audit-publish: a pinned `main` ref freezes the DEFAULT
@@ -226,6 +227,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       .orElse(pinnedCompanion(LakeMetaTables.HistorySuffix)(LakeMetaTables.historyTable))
       .orElse(pinnedCompanion(LakeMetaTables.PartitionsSuffix)(LakeMetaTables.partitionsTable))
       .orElse(pinnedCompanion(LakeMetaTables.StatsSuffix)(LakeMetaTables.statsTable))
+      .orElse(pinnedCompanion(LakeMetaTables.PartsSuffix)(LakeMetaTables.partsTable))
       .foreach(t => return t)
     val dir = tableDir(ident)
     val v = resolveVersion(dir, ident.name(), version)
@@ -255,7 +257,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     Seq(LakeMetaTables.FilesSuffix -> (LakeMetaTables.filesTable _),
       LakeMetaTables.HistorySuffix -> (LakeMetaTables.historyTable _),
       LakeMetaTables.PartitionsSuffix -> (LakeMetaTables.partitionsTable _),
-      LakeMetaTables.StatsSuffix -> (LakeMetaTables.statsTable _))
+      LakeMetaTables.StatsSuffix -> (LakeMetaTables.statsTable _),
+      LakeMetaTables.PartsSuffix -> (LakeMetaTables.partsTable _))
       .foreach { case (suffix, make) =>
         if (ident.name().endsWith(suffix)) {
           val base = ident.name().stripSuffix(suffix)
@@ -1800,6 +1803,16 @@ object LakeLog {
         sr = strPairs("sr"))
     }.toSeq)
 
+  /** The manifest's per-part index of checkpoint `v` (empty when the
+    * checkpoint is absent or pre-partmeta) — an O(1) manifest read,
+    * ZERO part parses: the `__parts` companion table's source.
+    */
+  private[sources] def checkpointPartIndex(dir: Path, v: Long): Seq[LakeCpPart] = {
+    val f = checkpointFile(dir, v)
+    if (!Files.isRegularFile(f)) Seq.empty
+    else readPartMeta(mapper.readTree(Files.readAllBytes(f))).getOrElse(Seq.empty)
+  }
+
   /** Delta files opened since process start — spec instrumentation for
     * the incremental history fold (each retained delta read ONCE).
     */
@@ -2931,6 +2944,33 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
           }
           fields += StructField(s"sum(${fd.name})", LongType, nullable = true)
           values += (if (nonNull == 0L) null else Long.box(total))
+        case g: GeneralAggregateFunc
+            if g.name() == "AVG" && !g.isDistinct && g.children().length == 1 =>
+          // avg = exact metadata sum ÷ non-null count, divided ONCE in
+          // double — at least as accurate as the scan's incremental
+          // double accumulation. Refused when the exact sum exceeds
+          // 2^53 (no longer exactly representable — the scan decides)
+          // or any file carries a dv / unknown nulls, same as SUM.
+          val fd = fieldOf(g.children()(0)).getOrElse(return None)
+          if (fd.dataType != LongType && fd.dataType != IntegerType) return None
+          var total = 0L
+          var nonNull = 0L
+          fs.foreach { f =>
+            phys(f, fd.name).foreach { p =>
+              if (f.dvRows != 0L) return None
+              f.sums.get(p) match {
+                case Some(sv) =>
+                  total += sv
+                  nonNull += f.rows - f.nulls.getOrElse(p, return None)
+                case None =>
+                  if (!f.nulls.get(p).contains(f.rows)) return None
+              }
+            }
+          }
+          if (math.abs(total) > (1L << 53)) return None
+          fields += StructField(s"avg(${fd.name})", DoubleType, nullable = true)
+          values += (if (nonNull == 0L) null
+            else Double.box(total.toDouble / nonNull))
         case _ => return None
       }
       collect.foreach(_(fields.result()))
@@ -4200,7 +4240,8 @@ object LakeProcedures {
   import org.apache.spark.sql.connector.read.LocalScan
 
   val Names: Array[String] =
-    Array("compact", "compact_size", "compact_where", "zorder", "vacuum",
+    Array("compact", "compact_size", "compact_where", "zorder",
+      "zorder_where", "vacuum",
       "history", "evolve_partitioning", "tag", "branch", "publish",
       "drop_ref", "rollback", "clone")
 
@@ -4695,12 +4736,83 @@ object LakeProcedures {
             val target = math.max(1, input.getInt(3))
             val spark = org.apache.spark.sql.SparkSession.active
             val snap = LakeLog.currentSnapshot(dir).get
+            val fqn = s"$catName.${input.getUTF8String(0)}"
+            val (nb, na, rows) = zorderRewrite(spark, fqn, dir, snap,
+              snap.files, cx, cy, target)
+            out(rewriteResultSchema,
+              Seq(new GenericInternalRow(Array[Any](nb, na, rows))))
+          }
+        }
+      }
+
+      /** Partition-scoped z-order — the time-bucket layout's OTHER
+        * maintenance op: `zorder_where('t', 'ts >= a AND ts < b', x,
+        * y, n)` clusters exactly yesterday's bucket. Selection is
+        * [[selectPartitions]] (identity SQL + trunc source-column
+        * ranges, log-only); the rewrite is the same incremental
+        * interval sweep as `zorder`, scoped to the selected tuples'
+        * files — untouched buckets keep their paths, and already-
+        * conforming files inside the scope keep theirs too.
+        */
+      case "zorder_where" => new UnboundProcedure {
+        override def name(): String = "zorder_where"
+        override def description(): String =
+          "zorder_where(table STRING, where STRING, col_x STRING, " +
+            "col_y STRING, target_files INT): z-order only the " +
+            "partitions matching the predicate"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "zorder_where"
+          override def description(): String =
+            "graftlake partition-scoped z-order clustering"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("where", StringType).build(),
+            ProcedureParameter.in("col_x", StringType).build(),
+            ProcedureParameter.in("col_y", StringType).build(),
+            ProcedureParameter.in("target_files", IntegerType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val where = input.getUTF8String(1).toString
+            val cx = input.getUTF8String(2).toString
+            val cy = input.getUTF8String(3).toString
+            val target = math.max(1, input.getInt(4))
+            val spark = org.apache.spark.sql.SparkSession.active
+            val snap = LakeLog.currentSnapshot(dir).get
+            val resultSchema = StructType(
+              StructField("partitions_selected", IntegerType, nullable = false)
+                +: rewriteResultSchema.fields.toSeq)
+            val (selected, scope) = selectPartitions(spark, snap, where)
+            val fqn = s"$catName.${input.getUTF8String(0)}"
+            val (nb, na, rows) =
+              zorderRewrite(spark, fqn, dir, snap, scope, cx, cy, target)
+            out(resultSchema, Seq(new GenericInternalRow(
+              Array[Any](selected.size, nb, na, rows))))
+          }
+        }
+      }
+
+      // refs + lifecycle procedures continue in [[loadRefs]] — the
+      // split keeps this match readable around the shared rewrite
+      // helpers
+      case other => loadRefs(other, catName, warehouse)
+    }
+
+  /** The incremental z-order rewrite over `scope` (a subset of the
+    * snapshot's live files): planned from FOOTER STATS alone — see the
+    * `zorder` procedure doc. Returns (files_before, files_after,
+    * rows_rewritten). Quantization domain = the SCOPE's stat extremes
+    * (planning and the row-side z expression share one affine map;
+    * a scoped call clusters within its own partitions' domain).
+    */
+  private def zorderRewrite(spark: org.apache.spark.sql.SparkSession,
+      fqn: String, dir: Path, snap: LakeSnapshot, scope: Seq[LakeFile],
+      cx: String, cy: String, target: Int): (Int, Int, Long) = {
             Seq(cx, cy).foreach { c =>
               val f = snap.schema(snap.schema.fieldIndex(c))
               require(f.dataType == LongType || f.dataType == IntegerType,
                 s"zorder column $c must be integral, got ${f.dataType.simpleString}")
             }
-            val fqn = s"$catName.${input.getUTF8String(0)}"
             import org.apache.spark.sql.functions.{broadcast, col => fcol}
             import graft.operators.Layout
             // INCREMENTAL clustering, planned from FOOTER STATS alone
@@ -4725,10 +4837,8 @@ object LakeProcedures {
                 s"zorder: ${f.path} carries no stats for $cx/$cy " +
                   "(column added after the file was written?)"))
             }
-            if (snap.files.isEmpty)
-              return out(rewriteResultSchema,
-                Seq(new GenericInternalRow(Array[Any](0, 0, 0L))))
-            val rects = snap.files.map(f => f -> rectOf(f))
+            if (scope.isEmpty) return (0, 0, 0L)
+            val rects = scope.map(f => f -> rectOf(f))
             // quantization domain = global stat extremes (exact data
             // min/max — footer stats are exact), so planning and the
             // row-side z expression use ONE affine map
@@ -4759,12 +4869,10 @@ object LakeProcedures {
               }
             // singleton components are CONFORMING — nothing interleaves
             val dirty = comps.result().filter(_.size >= 2)
-            if (dirty.isEmpty)
-              return out(rewriteResultSchema,
-                Seq(new GenericInternalRow(Array[Any](0, 0, 0L))))
-            val totalLive = math.max(1L, snap.files.map(_.liveRows).sum)
+            if (dirty.isEmpty) return (0, 0, 0L)
+            val totalLive = math.max(1L, scope.map(_.liveRows).sum)
             // per-component buckets: curve share ∝ live-row share of
-            // the table, never fewer than one file per component
+            // the scope, never fewer than one file per component
             var nextBucket = 0L
             val fileMeta = dirty.flatMap { comp =>
               val rows = comp.map(_._1.liveRows).sum
@@ -4811,12 +4919,12 @@ object LakeProcedures {
               .map(_._2: InternalRow)
             val written = swapRewrite(dir, snap, rdd, writeSchema,
               replacedFiles = Some(candidates.toSet))
-            out(rewriteResultSchema,
-              Seq(new GenericInternalRow(Array[Any](
-                candidates.size, written.size, written.map(_.rows).sum))))
-          }
-        }
-      }
+            (candidates.size, written.size, written.map(_.rows).sum)
+  }
+
+  private def loadRefs(name: String, catName: String,
+      warehouse: Path): UnboundProcedure =
+    name match {
 
       /** Named REFS over log versions — the write-audit-publish
         * pattern on machinery (time travel, snapshot pinning) that

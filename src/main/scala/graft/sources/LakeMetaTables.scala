@@ -41,6 +41,18 @@ object LakeMetaTables {
   val RefsSuffix = "__refs"
   val PartitionsSuffix = "__partitions"
   val StatsSuffix = "__stats"
+  val PartsSuffix = "__parts"
+
+  /** A partition field's LABEL name: identity fields are their column;
+    * transform fields are Iceberg-style `trunc(n,col)` / `bucket(n,col)`
+    * — a tuple ordinal is NOT a source value and must never render as
+    * one.
+    */
+  private[sources] def fieldLabel(f: LakePartitioning.Field): String = f match {
+    case LakePartitioning.Identity(c) => c
+    case LakePartitioning.Trunc(c, n) => s"trunc($n,$c)"
+    case LakePartitioning.Bucket(c, n) => s"bucket($n,$c)"
+  }
 
   /** Log bytes under which `__files` stays a driver-local scan. */
   val LocalMaxBytesDefault: Long = 8L * 1024 * 1024
@@ -63,7 +75,7 @@ object LakeMetaTables {
     val part =
       if (f.part.isEmpty) null
       else UTF8String.fromString(
-        fields.map(_.col).zip(f.part)
+        fields.map(fieldLabel).zip(f.part)
           .map { case (c, v) => s"$c=${v.getOrElse("null")}" }.mkString("/"))
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(f.path), f.rows, f.dvRows, f.liveRows,
@@ -124,14 +136,9 @@ object LakeMetaTables {
           // transform components label Iceberg-style — the ordinal is
           // NOT a source value, so `trunc(86400000000,ts_us)=19723`,
           // never a misleading bare `ts_us=19723`
-          def nameOf(f: LakePartitioning.Field): String = f match {
-            case LakePartitioning.Identity(c) => c
-            case LakePartitioning.Trunc(c, n) => s"trunc($n,$c)"
-            case LakePartitioning.Bucket(c, n) => s"bucket($n,$c)"
-          }
           val label =
             if (tuple.isEmpty) null
-            else UTF8String.fromString(fields.map(nameOf).zip(tuple)
+            else UTF8String.fromString(fields.map(fieldLabel).zip(tuple)
               .map { case (c, v) => s"$c=${v.getOrElse("null")}" }.mkString("/"))
           new GenericInternalRow(Array[Any](
             label, specId, fs.size,
@@ -199,6 +206,49 @@ object LakeMetaTables {
           snap.files.size)): InternalRow
       }
     }, s"graftlake.$baseName:stats")
+
+  val PartsSchema: StructType = StructType(Seq(
+    StructField("checkpoint_version", LongType, nullable = false),
+    StructField("part", IntegerType, nullable = false),
+    StructField("entries", IntegerType, nullable = false),
+    StructField("live_rows", LongType, nullable = true),
+    StructField("partition_values", StringType, nullable = true),
+    StructField("int_ranges", StringType, nullable = true),
+    StructField("string_ranges", StringType, nullable = true)))
+
+  /** `<table>__parts` — the checkpoint manifest's per-part INDEX as
+    * queryable rows: entry count, live totals, identity value sets,
+    * and the folded integral/string ranges, keyed by the CURRENT
+    * column names (the index itself is id-keyed — rename-safe). This
+    * is what an operator reads to see WHY a query parsed the parts it
+    * did (or to check split purity before trusting a grouped manifest
+    * census). One O(1) manifest read, zero part parses — the census
+    * never costs what it measures.
+    */
+  def partsTable(dir: Path, baseName: String, pin: Option[Long] = None): Table =
+    scanOnly(PartsSchema, {
+      val head = pin.orElse(LakeLog.currentVersion(dir)).getOrElse(
+        throw new IllegalStateException(
+          s"graftlake: $baseName has no committed version"))
+      LakeLog.checkpointBelow(dir, head).toSeq.flatMap { v =>
+        val snap = snapFor(dir, baseName, pin)
+        val names: Map[Long, String] =
+          LakeColIds.cols(snap.schema, snap.props).map(_.swap).toMap
+        def render[T](m: Map[Long, T])(f: T => String): Any =
+          if (m.isEmpty) null
+          else UTF8String.fromString(m.toSeq.sortBy(_._1)
+            .map { case (id, t) => s"${names.getOrElse(id, s"#$id")}=${f(t)}" }
+            .mkString("; "))
+        LakeLog.checkpointPartIndex(dir, v).map { pm =>
+          new GenericInternalRow(Array[Any](
+            v, pm.part, pm.n,
+            if (pm.liveRows >= 0L) Long.box(pm.liveRows) else null,
+            render(pm.pv)(_.mkString(",")),
+            render(pm.cr) { case (lo, hi) => s"[$lo,$hi]" },
+            render(pm.sr) { case (lo, hi) => s"[$lo,$hi]" })): InternalRow
+        }
+      }
+    }, s"graftlake.$baseName:parts")
 
   /** One row per LIVE data file of the head snapshot: path, row
     * counts, delete-vector size, partition tuple, streaming origin.

@@ -733,6 +733,39 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(planOf("SELECT min(s) FROM lake.db.t_metaagg").contains("BatchScan"))
   }
 
+  test("metadata AVG: exact log sum ÷ non-null count, zero tasks; a dv forces the scan fallback") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_metaavg (id BIGINT, v BIGINT, seg STRING)
+      |PARTITIONED BY (seg) TBLPROPERTIES ('mode' = 'mor')""".stripMargin)
+    // nulls in v where id % 7 == 0 — avg must divide by the NON-NULL count
+    spark.range(0, 200)
+      .select($"id", when($"id" % 7 =!= 0, $"id" * 3L).as("v"),
+        concat(lit("s"), $"id" % 2).as("seg"))
+      .writeTo("lake.db.t_metaavg").append()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    val vals = (0L until 200L).filter(_ % 7 != 0).map(_ * 3L)
+    val qa = "SELECT avg(v) AS a FROM lake.db.t_metaavg"
+    assert(spark.sql(qa).head().getDouble(0) == vals.sum.toDouble / vals.size)
+    assert(planOf(qa).contains("LocalTableScan") && !planOf(qa).contains("BatchScan"),
+      s"ungrouped avg answers from the log:\n${planOf(qa)}")
+    // consumed partition filter composes; so does the grouped path
+    val qf = "SELECT avg(v) AS a FROM lake.db.t_metaavg WHERE seg = 's1'"
+    val odd = (0L until 200L).filter(i => i % 2 == 1 && i % 7 != 0).map(_ * 3L)
+    assert(spark.sql(qf).head().getDouble(0) == odd.sum.toDouble / odd.size)
+    assert(planOf(qf).contains("LocalTableScan"), s"filtered:\n${planOf(qf)}")
+    val qg = "SELECT seg, avg(v) AS a FROM lake.db.t_metaavg GROUP BY seg"
+    assert(planOf(qg).contains("LocalTableScan"), s"grouped:\n${planOf(qg)}")
+    assert(spark.sql(qg).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .apply("s1") == odd.sum.toDouble / odd.size)
+    // a dv makes the deleted contribution unknowable — scan fallback
+    spark.sql("DELETE FROM lake.db.t_metaavg WHERE id = 3")
+    val post = (0L until 200L).filter(i => i != 3 && i % 7 != 0).map(_ * 3L)
+    assert(spark.sql(qa).head().getDouble(0) == post.sum.toDouble / post.size)
+    assert(planOf(qa).contains("BatchScan"),
+      s"a dv'd file forbids the metadata avg:\n${planOf(qa)}")
+  }
+
   test("exact predicates are consumed at the scan: no residual Filter, filtered aggregates stay metadata") {
     import spark.implicits._
     spark.sql(
@@ -2437,11 +2470,12 @@ class GraftLakeSpec extends AnyFunSuite {
       s"k=50 must keep 3 era-0 + 1 era-1 files:\n${byK.queryExecution.executedPlan}")
     assert(byK.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .sortBy(_._3).toSeq == Seq((50L, "g2", 100L), (50L, "g2", 150L)))
-    // __files labels each tuple under its own era's spec
+    // __files labels each tuple under its own era's spec — transform
+    // ordinals Iceberg-style, never as a bare (wrong) source value
     val labels = spark.table("lake.db.t_pevolve__files")
       .collect().map(_.getAs[String]("partition")).toSeq
     assert(labels.count(_.startsWith("seg=")) == 3 &&
-      labels.count(_.startsWith("k=")) == 4, s"got $labels")
+      labels.count(_.startsWith("bucket(4,k)=")) == 4, s"got $labels")
     // dynamic partition overwrite across eras is ambiguous: refuse
     val err = intercept[Exception] {
       spark.range(0, 4).select($"id".as("k"), lit("g0").as("seg"), lit(0L).as("v"))
@@ -3224,6 +3258,39 @@ class GraftLakeSpec extends AnyFunSuite {
       Seq(0L -> 250L, 1L -> 300L), "kills force the parsed path, still exact")
   }
 
+  test("__parts census: the manifest's per-part index as rows, zero part parses") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_ptscensus (id BIGINT, p BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '1')""".stripMargin)
+    for (b <- 0 until 12)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id", lit(b % 2L).as("p"))
+        .coalesce(1).writeTo("lake.db.t_ptscensus").append()
+    graft.sources.LakeLog.clearPartCache()
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val rows = spark.table("lake.db.t_ptscensus__parts")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+      .sortBy(_._2).toSeq
+    // one row per part of the v10 checkpoint: single-entry parts, live
+    // totals, identity value sets, folded id ranges — current names
+    assert(rows.size == 10 && rows.forall(_._1 == 10L))
+    assert(rows.map(_._2) == (0 until 10) && rows.forall(_._3 == 1))
+    assert(rows.forall(_._4 == 50L))
+    assert(rows.count(_._5 == "p=0") == 5 && rows.count(_._5 == "p=1") == 5,
+      s"got ${rows.map(_._5)}")
+    assert(rows.forall(r => r._6.contains("id=[") && r._6.contains("p=[")),
+      s"got ${rows.head._6}")
+    // the census reads the O(1) manifest only — it never costs what
+    // it measures
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads0,
+      "__parts must not parse checkpoint parts")
+    // a pre-checkpoint table has no parts — empty census, not an error
+    spark.sql("CREATE TABLE lake.db.t_ptsnone (id BIGINT)")
+    spark.range(0, 5).coalesce(1).writeTo("lake.db.t_ptsnone").append()
+    assert(spark.table("lake.db.t_ptsnone__parts").count() == 0L)
+  }
+
   test("manifest-only count(*): zero part parses while no removal touched the checkpoint") {
     import spark.implicits._
     spark.sql("""CREATE TABLE lake.db.t_mfcount (id BIGINT, v BIGINT)
@@ -3655,6 +3722,48 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(t(Seq(Some("g0"), Some("1"))) == 1, "selected tuple compacted")
     assert(t(Seq(Some("g1"), Some("1"))) == 2 && t(Seq(Some("g0"), Some("0"))) == 2,
       "same-seg other-bucket and same-bucket other-seg untouched")
+  }
+
+  test("zorder_where: only the selected time bucket re-clusters; untouched buckets and conforming files keep their paths") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_zw (ts BIGINT, x BIGINT, y BIGINT)
+      |PARTITIONED BY (trunc(100, ts))""".stripMargin)
+    for (_ <- 0 until 2) // 2 commits × 2 buckets → 2 interleaving files each
+      spark.range(0, 200)
+        .select($"id".as("ts"), ($"id" * 7 % 100).as("x"), ($"id" * 13 % 100).as("y"))
+        .repartition(1).writeTo("lake.db.t_zw").append()
+    def files(): Map[Option[String], Seq[String]] =
+      LakeLog.currentSnapshot(tableDir("t_zw")).get.files
+        .groupBy(_.part.head).view.mapValues(_.map(_.path).sorted).toMap
+    val before = files()
+    assert(before.keySet == Set(Some("0"), Some("1")) &&
+      before.values.forall(_.size == 2), s"got $before")
+    val content = spark.sql(
+      "SELECT ts, count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM lake.db.t_zw GROUP BY ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    // cluster ONLY bucket 1 ("yesterday"): its 2 interleaving files
+    // rewrite; bucket 0's files keep their exact paths
+    val res = spark.sql(
+      "CALL lake.system.zorder_where('db.t_zw', 'ts >= 100 AND ts < 200', 'x', 'y', 2)")
+      .head()
+    assert(res.getInt(0) == 1 && res.getInt(1) == 2 && res.getInt(2) >= 1,
+      s"one bucket, 2 files re-cluster: $res")
+    val after = files()
+    assert(after(Some("0")) == before(Some("0")), "bucket 0 untouched")
+    assert(before(Some("1")).intersect(after(Some("1"))).isEmpty,
+      "bucket 1's files all rewrote")
+    // content byte-identical; the re-clustered bucket is now CONFORMING
+    // — an identical second call rewrites nothing
+    assert(spark.sql(
+      "SELECT ts, count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM lake.db.t_zw GROUP BY ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq == content, "content identical")
+    val res2 = spark.sql(
+      "CALL lake.system.zorder_where('db.t_zw', 'ts >= 100 AND ts < 200', 'x', 'y', 2)")
+      .head()
+    assert(res2.getInt(1) == 0 && res2.getInt(2) == 0,
+      s"a conforming bucket re-clusters nothing: $res2")
   }
 
   test("startingTimestamp anchors a stream at the first commit at-or-after the instant") {
