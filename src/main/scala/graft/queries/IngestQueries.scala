@@ -1147,6 +1147,7 @@ object IngestQueries {
          |  (SELECT min(ok) FROM $t WHERE seg LIKE 'H%') AS loh,
          |  (SELECT max(ok) FROM $t WHERE seg LIKE 'H%') AS hih,
          |  (SELECT sum(cents) FROM $t WHERE seg LIKE 'MACH%') AS sm,
+         |  (SELECT max(seg) FROM $t WHERE seg LIKE 'F%') AS mf,
          |  (SELECT count(*) FROM $t WHERE seg LIKE 'Z%') AS zn""".stripMargin)
   }
 
@@ -1601,6 +1602,7 @@ object IngestQueries {
         |  (SELECT min(ok) FROM c WHERE seg LIKE 'H%') AS loh,
         |  (SELECT max(ok) FROM c WHERE seg LIKE 'H%') AS hih,
         |  (SELECT CAST(sum(cents) AS BIGINT) FROM c WHERE seg LIKE 'MACH%') AS sm,
+        |  (SELECT max(seg) FROM c WHERE seg LIKE 'F%') AS mf,
         |  (SELECT CAST(count(*) AS BIGINT) FROM c WHERE seg LIKE 'Z%') AS zn""".stripMargin,
     "q94_filtered_meta" ->
       """WITH o AS (

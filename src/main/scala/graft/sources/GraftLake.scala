@@ -885,7 +885,16 @@ case class LakeCpPart(part: Int, n: Int,
     liveRows: Long = -1L,
     // STRING stats ranges (UTF-8 byte order) folded across the part's
     // entries — the string twin of `cr`
-    sr: Map[Long, (String, String)] = Map.empty)
+    sr: Map[Long, (String, String)] = Map.empty,
+    // MANIFEST AGGREGATE CENSUS: per-column folded SUMS (wrapping adds,
+    // same arithmetic as the parsed path) and NULL COUNTS, recorded
+    // only when the part is DV-FREE (`df`) and every entry covers the
+    // column — an unfiltered SUM/COUNT(col)/AVG/MIN/MAX (grouped by a
+    // tuple-pure column or global) then answers from the manifest
+    // alone: zero part parses on a 10^8-file table
+    sm: Map[Long, Long] = Map.empty,
+    nc: Map[Long, Long] = Map.empty,
+    df: Boolean = false)
 
 /** The LAZY file list of a multi-part checkpoint (+ the delta chain
   * folded on top as in-memory `adds` and a `kills` path set): scan
@@ -963,34 +972,48 @@ final class LakePartedFiles(dir: Path, private[sources] val version: Long,
     if (kills.nonEmpty || parts.exists(_.liveRows < 0L)) None
     else Some(parts.map(_.liveRows).sum + adds.map(_.liveRows).sum)
 
-  /** EXACT grouped live-row counts with zero part parses, when
-    * knowable: every part must be TUPLE-PURE for each grouping column
-    * (its manifest value set `pv` holds exactly ONE value — the
-    * tuple-sorted split makes this the common case), carry a live
-    * total, and the kill set must be empty. `ids` are the group
-    * columns' stable ids; `addKey` extracts the in-memory adds' group
-    * keys (None = underivable → the caller parses instead). The
-    * date-partitioned `GROUP BY day` census on a 10^8-file table is
-    * then |parts| manifest lookups, zero parses, zero tasks.
+  /** SYNTHETIC per-part files for the metadata-aggregate evaluator:
+    * each checkpoint part collapses to ONE LakeFile carrying the
+    * manifest's folded census (cr/sr as stats/sstats, `sm` as sums,
+    * `nc` as null counts — re-keyed to CURRENT column names via
+    * `cols`), so the SAME per-file aggregate rules answer from
+    * |parts| manifest rows with ZERO part parses: the date-partitioned
+    * daily revenue census on a 10^8-file table reads the manifest.
+    * Requirements: empty kill set, live totals recorded, and every
+    * part TUPLE-PURE at the grouped spec positions `gidx` (pv holds
+    * one value) — else None, the parsed path serves. A non-dv-free
+    * part carries a SENTINEL dv row so extrema/sums/avg refuse on it
+    * exactly like a dv'd file (its count(*) stays exact — liveRows
+    * was dv-subtracted at checkpoint time). In-memory adds ride along
+    * as themselves.
     */
-  def manifestGroupedCounts(ids: Seq[Long],
-      addKey: LakeFile => Option[Seq[Option[String]]]):
-      Option[Seq[(Seq[Option[String]], Long)]] = {
+  def synthetic(cols: Seq[(String, Long)], posIds: Seq[Option[Long]],
+      gidx: Seq[Int], curId: Int): Option[Seq[LakeFile]] = {
     if (kills.nonEmpty || parts.exists(_.liveRows < 0L)) return None
-    val acc = scala.collection.mutable.LinkedHashMap
-      .empty[Seq[Option[String]], Long]
-    parts.foreach { pm =>
-      val key: Seq[Option[String]] = ids.map(id => pm.pv.get(id) match {
-        case Some(Seq(v)) => Some(v) // pure: one value across every entry
-        case _ => return None // absent, over-cap, or mixed — parse instead
-      })
-      acc(key) = acc.getOrElse(key, 0L) + pm.liveRows
+    val names: Map[Long, String] = cols.map(_.swap).toMap
+    def named[T](m: Map[Long, T]): Map[String, T] =
+      m.flatMap { case (id, v) => names.get(id).map(_ -> v) }
+    val partFiles = parts.map { pm =>
+      val tuple: Seq[Option[String]] = posIds.map(_.flatMap(id =>
+        pm.pv.get(id) match {
+          case Some(Seq(v)) => Some(v) // pure across every entry
+          case _ => None
+        }))
+      if (!gidx.forall(i => tuple.lift(i).flatten.isDefined))
+        return None // impure at a grouped position — parse instead
+      LakeFile(
+        path = s"__part${pm.part}",
+        rows = if (pm.df) pm.liveRows else pm.liveRows + 1L,
+        stats = named(pm.cr),
+        dvRows = if (pm.df) 0L else 1L, // sentinel: refuse extrema/sums
+        nulls = named(pm.nc),
+        cols = cols,
+        part = tuple,
+        specId = curId,
+        sums = named(pm.sm),
+        sstats = named(pm.sr))
     }
-    adds.foreach { f =>
-      val key = addKey(f).getOrElse(return None)
-      acc(key) = acc.getOrElse(key, 0L) + f.liveRows
-    }
-    Some(acc.toSeq)
+    Some(partFiles ++ adds)
   }
 
   /** Entries that could match the pushed predicate set, parsing only
@@ -1733,6 +1756,12 @@ object LakeLog {
     // the stat — partial coverage cannot rule a part out
     val cr = Map.newBuilder[Long, (Long, Long)]
     val sr = Map.newBuilder[Long, (String, String)]
+    // aggregate census folds (sums + null counts): only on a DV-FREE
+    // part with full column coverage — a dv'd entry's live
+    // contribution is unknowable to metadata
+    val df = fs.forall(f => f.dvRows == 0L && f.dv.isEmpty)
+    val sm = Map.newBuilder[Long, Long]
+    val nc = Map.newBuilder[Long, Long]
     val uord = Ordering.by(org.apache.spark.unsafe.types.UTF8String.fromString)
     cols.foreach { case (name, id) =>
       val ranges = fs.map(f =>
@@ -1747,9 +1776,20 @@ object LakeLog {
         val rs = sranges.flatten
         sr += id -> ((rs.map(_._1).min(uord), rs.map(_._2).max(uord)))
       }
+      if (df) {
+        val sums = fs.map(f =>
+          LakeColIds.physicalName(cols, f, name).flatMap(f.sums.get))
+        if (sums.nonEmpty && sums.forall(_.isDefined))
+          sm += id -> sums.flatten.sum // wrapping, like the parsed path
+        val nulls = fs.map(f =>
+          LakeColIds.physicalName(cols, f, name).flatMap(f.nulls.get))
+        if (nulls.nonEmpty && nulls.forall(_.isDefined))
+          nc += id -> nulls.flatten.sum
+      }
     }
     LakeCpPart(i, fs.size, pv.result(), pr.result(), cr.result(),
-      liveRows = fs.map(_.liveRows).sum, sr = sr.result())
+      liveRows = fs.map(_.liveRows).sum, sr = sr.result(),
+      sm = sm.result(), nc = nc.result(), df = df)
   }
 
   private def partMetaNode(pm: LakeCpPart): ObjectNode = {
@@ -1781,6 +1821,15 @@ object LakeLog {
         val a = o.putArray(id.toString); a.add(lo); a.add(hi)
       }
     }
+    if (pm.sm.nonEmpty) {
+      val o = n.putObject("sm")
+      pm.sm.foreach { case (id, v) => o.put(id.toString, v) }
+    }
+    if (pm.nc.nonEmpty) {
+      val o = n.putObject("nc")
+      pm.nc.foreach { case (id, v) => o.put(id.toString, v) }
+    }
+    if (pm.df) n.put("df", true)
     n
   }
 
@@ -1800,7 +1849,12 @@ object LakeLog {
           .toMap).getOrElse(Map.empty),
         strPairs("pr"), longPairs("cr"),
         liveRows = Option(n.get("lr")).map(_.asLong).getOrElse(-1L),
-        sr = strPairs("sr"))
+        sr = strPairs("sr"),
+        sm = Option(n.get("sm")).map(_.properties().asScala.map(e =>
+          e.getKey.toLong -> e.getValue.asLong).toMap).getOrElse(Map.empty),
+        nc = Option(n.get("nc")).map(_.properties().asScala.map(e =>
+          e.getKey.toLong -> e.getValue.asLong).toMap).getOrElse(Map.empty),
+        df = Option(n.get("df")).exists(_.asBoolean))
     }.toSeq)
 
   /** The manifest's per-part index of checkpoint `v` (empty when the
@@ -2717,8 +2771,17 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
         !snapshot.schema.fields.exists(fd => fd.name == r.fieldNames.head &&
           (fd.dataType == DoubleType || fd.dataType == FloatType))
     }
+    // exactness is required only on files SURVIVING the whole
+    // conjunction: a file some other predicate already excludes
+    // (None_) contributes no rows, so p need not re-evaluate there —
+    // e.g. the optimizer-implied `IS NOT NULL` rides along with a
+    // prefix predicate even when a null-bearing file exists, as long
+    // as that file is excluded by the prefix itself
+    val survivors = candidates.filter(f =>
+      LakeStats.decide(f, predicates, LakeColIds.physicalName(cols, f, _),
+        LakePartitioning.resolver(snapshot.props, f)) != LakeStats.None_)
     val (exact, residual) = predicates.partition { p =>
-      floatFree(p) && candidates.forall { f =>
+      floatFree(p) && survivors.forall { f =>
         LakeStats.exact(f, p, LakeColIds.physicalName(cols, f, _),
           LakePartitioning.resolver(snapshot.props, f))
       }
@@ -2810,53 +2873,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
         case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
       }
     }
-    // MANIFEST-ONLY grouped count(*): unfiltered, single CountStar,
-    // every checkpoint part TUPLE-PURE for each group column (its
-    // recorded value set holds one value — the tuple-sorted split
-    // makes this the norm) — the census folds from |parts| manifest
-    // lookups + the in-memory adds: ZERO part parses, zero tasks.
-    // Mixed parts, kills, or over-cap value sets fall through to the
-    // parsed path below.
-    if (gcols.nonEmpty && skips.isEmpty &&
-        agg.aggregateExpressions.length == 1 &&
-        agg.aggregateExpressions.head.isInstanceOf[CountStar])
-      snapshot.files match {
-        case pf: LakePartedFiles =>
-          val idsByName = LakeColIds.cols(snapshot.schema, snapshot.props).toMap
-          val gIds = gcols.map(fd => idsByName.getOrElse(fd.name, -1L))
-          if (gIds.forall(_ >= 0L)) {
-            val curId = LakePartitioning.currentSpecId(snapshot.props)
-            def addKey(f: LakeFile): Option[Seq[Option[String]]] =
-              if (f.specId == curId && f.part.nonEmpty)
-                Some(gidx.map(i => f.part.lift(i).flatten))
-              else None
-            pf.manifestGroupedCounts(gIds, addKey).foreach { groups =>
-              val rows = groups.sortBy(_._1.toString).map { case (key, n) =>
-                new GenericInternalRow((key.zip(gcols).map { case (s, fd) =>
-                  gval(s, fd.dataType) } :+ Long.box(n)).toArray): InternalRow
-              }
-              val gFields = gcols.map(fd =>
-                StructField(fd.name, fd.dataType, nullable = true))
-              return Some((StructType(gFields :+
-                StructField("count(*)", LongType, nullable = false)), rows))
-            }
-          }
-        case _ => ()
-      }
     val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
-    // with all predicates consumed, every file decides All or None_:
-    // the aggregate ranges over exactly the All files (part-pruned
-    // entries are None_ by construction, so candidates suffice)
-    val statFiles =
-      if (skips.isEmpty) candidates
-      else candidates.filter(f =>
-        LakeStats.decide(f, skips, LakeColIds.physicalName(cols, f, _),
-          LakePartitioning.resolver(snapshot.props, f)) == LakeStats.All)
-    if (gcols.nonEmpty) {
-      val curId = LakePartitioning.currentSpecId(snapshot.props)
-      if (!statFiles.forall(f => f.specId == curId && f.part.nonEmpty))
-        return None
-    }
     def fieldOf(e: VExpression): Option[StructField] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
         snapshot.schema.fields.find(_.name == f.fieldNames.head)
@@ -2895,6 +2912,38 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       }
       Some(acc)
     }
+    // the STRING twin: extrema fold over the per-file sstats (UTF-8
+    // byte order — exactly how parquet's comparator ordered the data,
+    // and how Spark's own string min/max compares). Chunk-level binary
+    // stats in our write path are exact values (parquet-mr DROPS
+    // oversized binary stats rather than truncating them — absent
+    // sstats already refuse here), so the answered extremum is a real
+    // row value, never a truncated bound.
+    def minMaxStr(fs: Seq[LakeFile], fd: StructField,
+        isMin: Boolean): Option[Option[String]] = {
+      val uord = Ordering.by(org.apache.spark.unsafe.types.UTF8String.fromString)
+      var acc: Option[String] = None
+      fs.foreach { f =>
+        phys(f, fd.name).foreach { p =>
+          if (f.dvRows != 0L) return None
+          f.sstats.get(p) match {
+            case Some((lo, hi)) =>
+              val v = if (isMin) lo else hi
+              acc = Some(acc.fold(v)(a =>
+                if (isMin) uord.min(a, v) else uord.max(a, v)))
+            case None =>
+              if (!f.nulls.get(p).contains(f.rows)) return None
+          }
+        }
+      }
+      Some(acc)
+    }
+    def extremum(fs: Seq[LakeFile], fd: StructField, isMin: Boolean): Option[Any] =
+      if (fd.dataType == StringType)
+        minMaxStr(fs, fd, isMin).map(_.map(
+          org.apache.spark.unsafe.types.UTF8String.fromString).orNull)
+      else minMax(fs, fd, isMin).map(_.map(x =>
+        if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull)
     def aggValues(fs: Seq[LakeFile], collect: Option[Seq[StructField] => Unit]): Option[Seq[Any]] = {
       val fields = Seq.newBuilder[StructField]
       val values = Seq.newBuilder[Any]
@@ -2909,16 +2958,14 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
           values += n
         case m: Min =>
           val fd = fieldOf(m.column).getOrElse(return None)
-          val v = minMax(fs, fd, isMin = true).getOrElse(return None)
+          val v = extremum(fs, fd, isMin = true).getOrElse(return None)
           fields += StructField(s"min(${fd.name})", fd.dataType, nullable = true)
-          values += v.map(x =>
-            if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull
+          values += v
         case m: Max =>
           val fd = fieldOf(m.column).getOrElse(return None)
-          val v = minMax(fs, fd, isMin = false).getOrElse(return None)
+          val v = extremum(fs, fd, isMin = false).getOrElse(return None)
           fields += StructField(s"max(${fd.name})", fd.dataType, nullable = true)
-          values += v.map(x =>
-            if (fd.dataType == IntegerType) Int.box(x.toInt) else Long.box(x)).orNull
+          values += v
         case su: Sum if !su.isDistinct =>
           // the writer's recorded per-file sums (wrapping adds — the
           // same arithmetic a non-ANSI scan-side sum performs). A dv'd
@@ -2981,22 +3028,60 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     // is a pushable shape — an empty group list must still produce the
     // agg columns Spark expects
     aggValues(Seq.empty, Some(aggFields = _)).getOrElse(return None)
-    if (gcols.isEmpty) {
-      val vs = aggValues(statFiles, None).getOrElse(return None)
-      Some((StructType(aggFields),
-        Seq(new GenericInternalRow(vs.toArray))))
-    } else {
-      val rows = statFiles.groupBy(f => gidx.map(i => f.part.lift(i).flatten))
-        .toSeq.sortBy(_._1.toString)
-        .map { case (key, fs) =>
-          val vs = aggValues(fs, None).getOrElse(return None)
-          new GenericInternalRow(
-            (key.zip(gcols).map { case (s, fd) => gval(s, fd.dataType) } ++ vs).toArray)
-            : InternalRow
-        }
-      val gFields = gcols.map(fd => StructField(fd.name, fd.dataType, nullable = true))
-      Some((StructType(gFields ++ aggFields), rows))
+    // one evaluator serves BOTH the synthetic manifest path and the
+    // parsed per-file path — the per-aggregate rules cannot drift
+    def answer(files: Seq[LakeFile]): Option[(StructType, Seq[InternalRow])] = {
+      if (gcols.nonEmpty) {
+        val curId = LakePartitioning.currentSpecId(snapshot.props)
+        if (!files.forall(f => f.specId == curId && f.part.nonEmpty))
+          return None
+      }
+      if (gcols.isEmpty) {
+        val vs = aggValues(files, None).getOrElse(return None)
+        Some((StructType(aggFields),
+          Seq(new GenericInternalRow(vs.toArray))))
+      } else {
+        val rows = files.groupBy(f => gidx.map(i => f.part.lift(i).flatten))
+          .toSeq.sortBy(_._1.toString)
+          .map { case (key, fs) =>
+            val vs = aggValues(fs, None).getOrElse(return None)
+            new GenericInternalRow(
+              (key.zip(gcols).map { case (s, fd) => gval(s, fd.dataType) } ++ vs).toArray)
+              : InternalRow
+          }
+        val gFields = gcols.map(fd => StructField(fd.name, fd.dataType, nullable = true))
+        Some((StructType(gFields ++ aggFields), rows))
+      }
     }
+    // MANIFEST-FIRST: an unfiltered aggregate over a parted snapshot
+    // tries the per-part census (cr/sr/sm/nc folds as synthetic files)
+    // before parsing anything — the grouped daily SUM/COUNT/AVG/MIN/MAX
+    // on a 10^8-file table answers from |parts| manifest rows. Any
+    // aggregate the folds cannot serve (dv'd part, missing coverage,
+    // impure group position) falls through to the parsed path.
+    if (skips.isEmpty)
+      snapshot.files match {
+        case pf: LakePartedFiles =>
+          val idsByName = cols.toMap
+          val posIds = spec.map {
+            case LakePartitioning.Identity(c) => idsByName.get(c)
+            case _ => None
+          }
+          val curId = LakePartitioning.currentSpecId(snapshot.props)
+          pf.synthetic(cols, posIds, gidx, curId).foreach { sf =>
+            answer(sf).foreach(r => return Some(r))
+          }
+        case _ => ()
+      }
+    // with all predicates consumed, every file decides All or None_:
+    // the aggregate ranges over exactly the All files (part-pruned
+    // entries are None_ by construction, so candidates suffice)
+    val statFiles =
+      if (skips.isEmpty) candidates
+      else candidates.filter(f =>
+        LakeStats.decide(f, skips, LakeColIds.physicalName(cols, f, _),
+          LakePartitioning.resolver(snapshot.props, f)) == LakeStats.All)
+    answer(statFiles)
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
@@ -4243,7 +4328,7 @@ object LakeProcedures {
     Array("compact", "compact_size", "compact_where", "zorder",
       "zorder_where", "vacuum",
       "history", "evolve_partitioning", "tag", "branch", "publish",
-      "drop_ref", "rollback", "clone")
+      "drop_ref", "rollback", "clone", "health")
 
   private def out(schema0: StructType, rows0: Seq[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
@@ -4925,6 +5010,96 @@ object LakeProcedures {
   private def loadRefs(name: String, catName: String,
       warehouse: Path): UnboundProcedure =
     name match {
+
+      /** Operational INTEGRITY probe — what a fleet health-check calls
+        * before trusting a table (or after an incident). SHALLOW
+        * (deep=false) reads only the log: the durable
+        * checkpoint-failure marker, ORPHANED checkpoint part files
+        * (manifest vacuumed first, parts left — reclaimed only below
+        * the next vacuum floor), and refs pointing at versions no
+        * longer reconstructible (vacuum is supposed to keep every
+        * tagged version alive — nonzero means damage). DEEP also
+        * verifies the HEAD snapshot's physical closure: every live
+        * entry's data file exists with the recorded size, its delete
+        * vector exists, its bloom sidecar exists — O(files) stat
+        * calls, opt-in by design.
+        */
+      case "health" => new UnboundProcedure {
+        override def name(): String = "health"
+        override def description(): String =
+          "health(table STRING, deep BOOLEAN): log integrity probe; " +
+            "deep also stats every live file"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "health"
+          override def description(): String = "graftlake integrity probe"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("deep", BooleanType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val deep = input.getBoolean(1)
+            val head = LakeLog.currentVersion(dir).getOrElse(
+              throw new IllegalArgumentException(
+                s"health: ${input.getUTF8String(0)} does not exist"))
+            val marker = LakeLog.lastCheckpointFailure(dir)
+            // orphaned parts: a part file whose version has no manifest
+            val logDir = dir.resolve("_log")
+            val PartName = """c(\d{8})\.p\d{4}\.json""".r
+            import scala.jdk.CollectionConverters._
+            val orphanParts = scala.util.Using.resource(Files.list(logDir)) {
+              _.iterator().asScala.map(_.getFileName.toString).count {
+                case PartName(v) =>
+                  LakeLog.checkpointParts(dir, v.toLong) == 0
+                case _ => false
+              }
+            }
+            // refs must stay reconstructible (branches resolve to the
+            // head, which trivially is)
+            val staleRefs = LakeLog.listRefs(dir).count {
+              case (_, _, "branch") => false
+              case (_, v, _) => LakeLog.snapshotAt(dir, v).isEmpty
+            }
+            var missingData = 0
+            var sizeMismatch = 0
+            var missingDv = 0
+            var missingBloom = 0
+            if (deep) {
+              val snap = LakeLog.currentSnapshot(dir).get
+              snap.files.foreach { f =>
+                val p = dir.resolve(f.path)
+                if (!Files.isRegularFile(p)) missingData += 1
+                else if (f.bytes > 0L && Files.size(p) != f.bytes)
+                  sizeMismatch += 1
+                f.dv.foreach { d =>
+                  if (!Files.isRegularFile(dir.resolve(d))) missingDv += 1
+                }
+                if (f.bloomSc.nonEmpty &&
+                    !Files.isRegularFile(dir.resolve(f.path + ".bloom")))
+                  missingBloom += 1
+              }
+            }
+            val ok = marker.isEmpty && orphanParts == 0 && staleRefs == 0 &&
+              missingData == 0 && sizeMismatch == 0 && missingDv == 0 &&
+              missingBloom == 0
+            out(StructType(Seq(
+              StructField("ok", BooleanType, nullable = false),
+              StructField("head_version", LongType, nullable = false),
+              StructField("checkpoint_failure", StringType, nullable = true),
+              StructField("orphan_part_files", IntegerType, nullable = false),
+              StructField("stale_refs", IntegerType, nullable = false),
+              StructField("missing_data_files", IntegerType, nullable = false),
+              StructField("size_mismatches", IntegerType, nullable = false),
+              StructField("missing_delete_vectors", IntegerType, nullable = false),
+              StructField("missing_bloom_sidecars", IntegerType, nullable = false))),
+              Seq(new GenericInternalRow(Array[Any](
+                ok, head,
+                marker.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+                orphanParts, staleRefs, missingData, sizeMismatch,
+                missingDv, missingBloom))))
+          }
+        }
+      }
 
       /** Named REFS over log versions — the write-audit-publish
         * pattern on machinery (time travel, snapshot pinning) that

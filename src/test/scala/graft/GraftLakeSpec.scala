@@ -728,8 +728,8 @@ class GraftLakeSpec extends AnyFunSuite {
     // a PREFIX LIKE is now part of the decision algebra)
     assert(planOf("SELECT min(id) FROM lake.db.t_metaagg WHERE s LIKE '%b%'")
       .contains("BatchScan"))
-    // MIN/MAX of a string column is not metadata-answerable (the
-    // metadata aggregate serves integral extrema only)
+    // string MIN/MAX is metadata-answerable too (sstats), but a dv'd
+    // file refuses — the deleted row may BE the extremum
     assert(planOf("SELECT min(s) FROM lake.db.t_metaagg").contains("BatchScan"))
   }
 
@@ -3060,6 +3060,18 @@ class GraftLakeSpec extends AnyFunSuite {
       "10 from the g-file + 10 even ids ending in 4 from the nulled file")
     assert(!planOf(qn).contains("metadata-agg"),
       "a null-bearing file cannot be consumed — the scan must read it")
+    // STRING MIN/MAX answers from the sstats fold — zero tasks (nulls
+    // ignored, same as the integral extrema; chunk binary stats are
+    // exact values, parquet drops oversized ones rather than truncate)
+    val qsm = "SELECT min(seg) AS lo, max(seg) AS hi FROM lake.db.t_sstats"
+    assert(spark.sql(qsm).head() match {
+      case r => r.getString(0) == "a0" && r.getString(1) == "t9" })
+    assert(planOf(qsm).contains("LocalTableScan") && !planOf(qsm).contains("BatchScan"),
+      s"string extrema must answer from metadata:\n${planOf(qsm)}")
+    // filtered by a consumed prefix: extrema over the decided files only
+    val qsf = "SELECT max(seg) AS hi FROM lake.db.t_sstats WHERE seg LIKE 'a%'"
+    assert(spark.sql(qsf).head().getString(0) == "a9")
+    assert(planOf(qsf).contains("LocalTableScan"), s"prefix+max:\n${planOf(qsf)}")
     // and the string ranges index CHECKPOINT PARTS too: 12 seg-ordered
     // commits, small parts — a point probe parses a strict subset
     spark.sql("""CREATE TABLE lake.db.t_sspart (id BIGINT, seg STRING)
@@ -3289,6 +3301,74 @@ class GraftLakeSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE lake.db.t_ptsnone (id BIGINT)")
     spark.range(0, 5).coalesce(1).writeTo("lake.db.t_ptsnone").append()
     assert(spark.table("lake.db.t_ptsnone__parts").count() == 0L)
+  }
+
+  test("manifest aggregate census: grouped SUM/COUNT/AVG/MIN/MAX answer from the per-part folds, zero part IO") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_mac (id BIGINT, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '1')""".stripMargin)
+    for (b <- 0 until 12)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id", lit(b % 2L).as("p"),
+          when($"id" % 7 =!= 0, $"id" * 3L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_mac").append()
+    assert(LakeLog.checkpointParts(tableDir("t_mac"), 10L) == 10)
+    def truth(p: Long): Seq[Long] = (0 until 12).filter(_ % 2 == p)
+      .flatMap(b => (b * 50L) until ((b + 1) * 50L))
+      .filter(_ % 7 != 0).map(_ * 3L)
+    graft.sources.LakeLog.clearPartCache()
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val hits0 = graft.sources.LakeLog.checkpointCacheHits.get()
+    val df = spark.sql(
+      """SELECT p, count(*) AS n, count(v) AS nv, sum(v) AS sv,
+        |  min(v) AS lo, max(v) AS hi, avg(v) AS av
+        |FROM lake.db.t_mac GROUP BY p ORDER BY p""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == Seq(0L, 1L).map { p =>
+      val t = truth(p)
+      (p, 300L, t.size.toLong, t.sum, t.min, t.max, t.sum.toDouble / t.size)
+    }, s"got $got")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"the grouped census must be metadata:\n${df.queryExecution.executedPlan}")
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads0 &&
+      graft.sources.LakeLog.checkpointCacheHits.get() == hits0,
+      "the per-part folds answer every aggregate: ZERO part IO")
+    // ungrouped rides the same folds
+    val reads1 = graft.sources.LakeLog.checkpointReads.get()
+    val one = spark.sql(
+      "SELECT sum(v) AS sv, avg(v) AS av, min(id) AS lo FROM lake.db.t_mac")
+      .head()
+    val all = truth(0) ++ truth(1)
+    assert(one.getLong(0) == all.sum && one.getLong(2) == 0L)
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads1,
+      "ungrouped census: zero parses too")
+    // a CHECKPOINTED dv poisons only ITS part's extrema/sums — count(*)
+    // still folds; the other aggregates take the parsed path, exact
+    spark.sql("""CREATE TABLE lake.db.t_macdv (id BIGINT, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p)
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '1', 'mode' = 'mor')""".stripMargin)
+    for (b <- 0 until 6)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id", lit(b % 2L).as("p"), ($"id" * 3L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_macdv").append()
+    spark.sql("DELETE FROM lake.db.t_macdv WHERE id = 10") // dv, pre-checkpoint
+    for (b <- 6 until 12)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id", lit(b % 2L).as("p"), ($"id" * 3L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_macdv").append()
+    graft.sources.LakeLog.clearPartCache()
+    val reads2 = graft.sources.LakeLog.checkpointReads.get()
+    val cnt = spark.sql(
+      "SELECT p, count(*) AS n FROM lake.db.t_macdv GROUP BY p ORDER BY p")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cnt == Seq(0L -> 299L, 1L -> 300L), s"got $cnt")
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads2,
+      "count(*) folds from liveRows even across a dv'd part")
+    val mn = spark.sql("SELECT min(v) AS lo FROM lake.db.t_macdv")
+    assert(mn.collect().head.getLong(0) == 0L)
+    assert(graft.sources.LakeLog.checkpointReads.get() > reads2,
+      "extrema across a dv'd part refuse the fold (sentinel dv) and parse")
   }
 
   test("manifest-only count(*): zero part parses while no removal touched the checkpoint") {
@@ -3531,6 +3611,48 @@ class GraftLakeSpec extends AnyFunSuite {
       if (t == null) Seq.empty else t +: chain(t.getCause)
     assert(chain(err).exists(t => t.getMessage != null &&
       t.getMessage.contains("missing part")), s"got: $err")
+  }
+
+  test("system.health: clean table all-ok; marker, orphan parts, and deep physical damage each surface") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_health (id BIGINT, k BIGINT)
+      |TBLPROPERTIES ('bloomBy' = 'k', 'mode' = 'mor')""".stripMargin)
+    for (b <- 0 until 12) // past the checkpoint; bloom sidecars + a dv
+      spark.range(b * 10L, (b + 1) * 10L).select($"id", ($"id" * 17L).as("k"))
+        .coalesce(1).writeTo("lake.db.t_health").append()
+    spark.sql("DELETE FROM lake.db.t_health WHERE id = 5") // dv on file 1
+    def probe(deep: Boolean) = spark.sql(
+      s"CALL lake.system.health('db.t_health', $deep)").head()
+    val clean = probe(deep = true)
+    assert(clean.getBoolean(0) && clean.isNullAt(2),
+      s"a healthy table probes ok: $clean")
+    assert((3 to 8).forall(i => clean.getInt(i) == 0), s"got $clean")
+    val dir = tableDir("t_health")
+    // an ORPHANED checkpoint part (manifest vacuumed first, part left)
+    Files.write(dir.resolve("_log").resolve("c00000099.p0000.json"),
+      "{}".getBytes)
+    // a failed checkpoint leaves the durable marker (checkpoints fire
+    // at version multiples of 10 — appends run v14..v20 under the
+    // injected fault, so v20's attempt fails and records)
+    graft.sources.LakeLog.checkpointFault = Some(("t_health", "injected"))
+    try for (b <- 13 until 20)
+      spark.range(b * 10L, (b + 1) * 10L).select($"id", ($"id" * 17L).as("k"))
+        .coalesce(1).writeTo("lake.db.t_health").append()
+    finally graft.sources.LakeLog.checkpointFault = None
+    val shallow = probe(deep = false)
+    assert(!shallow.getBoolean(0), s"got $shallow")
+    assert(shallow.getString(2).contains("injected"), "marker surfaces")
+    assert(shallow.getInt(3) == 1, s"orphan part counted: $shallow")
+    assert(shallow.getInt(5) == 0, "shallow never stats data files")
+    // DEEP: physical damage — a data file and a sidecar go missing
+    val victim = LakeLog.currentSnapshot(dir).get.files.head
+    Files.delete(dir.resolve(victim.path))
+    Files.deleteIfExists(dir.resolve(victim.path + ".bloom"))
+    graft.sources.LakeLog.clearPartCache()
+    val deepRow = probe(deep = true)
+    assert(!deepRow.getBoolean(0) && deepRow.getInt(5) == 1,
+      s"missing data file surfaces: $deepRow")
+    assert(deepRow.getInt(8) >= 1, s"missing sidecar surfaces: $deepRow")
   }
 
   test("CHECK constraints re-validate rewritten rows: violating UPDATE / MERGE aborts with nothing landed") {
