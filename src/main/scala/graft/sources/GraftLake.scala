@@ -2771,13 +2771,40 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
         !snapshot.schema.fields.exists(fd => fd.name == r.fieldNames.head &&
           (fd.dataType == DoubleType || fd.dataType == FloatType))
     }
+    // decision BASIS: on a parted snapshot with fully tuple-pure parts
+    // (all-identity spec), per-part SYNTHETIC summaries serve the
+    // consumption decisions with ZERO part parses — a summary-level
+    // All/None_ implies the same verdict for every member file (tuple
+    // values are shared, ranges contain member ranges, null counts sum
+    // from member counts), so consumption soundness carries over.
+    // Anything else (impure parts, transforms, kills, `_file`
+    // predicates — synthetic paths are not real paths) decides over
+    // the real candidate files.
+    val basis: Seq[LakeFile] = snapshot.files match {
+      case pf: LakePartedFiles
+          if !predicates.flatMap(_.references).exists(r =>
+            r.fieldNames.length == 1 &&
+              r.fieldNames.head == LakeTable.FileColumn) =>
+        val spec = LakePartitioning.decode(snapshot.props)
+        val idsByName = cols.toMap
+        val posIds = spec.map {
+          case LakePartitioning.Identity(c) => idsByName.get(c)
+          case _ => None
+        }
+        if (posIds.nonEmpty && posIds.forall(_.isDefined))
+          pf.synthetic(cols, posIds, spec.indices,
+            LakePartitioning.currentSpecId(snapshot.props))
+            .getOrElse(candidates)
+        else candidates
+      case _ => candidates
+    }
     // exactness is required only on files SURVIVING the whole
     // conjunction: a file some other predicate already excludes
     // (None_) contributes no rows, so p need not re-evaluate there —
     // e.g. the optimizer-implied `IS NOT NULL` rides along with a
     // prefix predicate even when a null-bearing file exists, as long
     // as that file is excluded by the prefix itself
-    val survivors = candidates.filter(f =>
+    val survivors = basis.filter(f =>
       LakeStats.decide(f, predicates, LakeColIds.physicalName(cols, f, _),
         LakePartitioning.resolver(snapshot.props, f)) != LakeStats.None_)
     val (exact, residual) = predicates.partition { p =>
@@ -3053,26 +3080,46 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
         Some((StructType(gFields ++ aggFields), rows))
       }
     }
-    // MANIFEST-FIRST: an unfiltered aggregate over a parted snapshot
-    // tries the per-part census (cr/sr/sm/nc folds as synthetic files)
-    // before parsing anything — the grouped daily SUM/COUNT/AVG/MIN/MAX
-    // on a 10^8-file table answers from |parts| manifest rows. Any
-    // aggregate the folds cannot serve (dv'd part, missing coverage,
-    // impure group position) falls through to the parsed path.
-    if (skips.isEmpty)
-      snapshot.files match {
-        case pf: LakePartedFiles =>
-          val idsByName = cols.toMap
-          val posIds = spec.map {
-            case LakePartitioning.Identity(c) => idsByName.get(c)
-            case _ => None
-          }
-          val curId = LakePartitioning.currentSpecId(snapshot.props)
+    // MANIFEST-FIRST: an aggregate over a parted snapshot tries the
+    // per-part census (cr/sr/sm/nc folds as synthetic files) before
+    // parsing anything — the grouped daily SUM/COUNT/AVG/MIN/MAX on a
+    // 10^8-file table answers from |parts| manifest rows. Unfiltered:
+    // purity needed only at grouped positions. FILTERED (every
+    // predicate already consumed — the guard above): all-identity
+    // specs with fully-pure parts let the same decision algebra run
+    // over the synthetic files — a part the predicates decide All
+    // keeps its folds, None_ drops, any Mixed falls through to the
+    // parsed path. `count(*)/sum WHERE day = yesterday` is then zero
+    // part IO end to end. Any aggregate the folds cannot serve (dv'd
+    // part, missing coverage) falls through too.
+    snapshot.files match {
+      case pf: LakePartedFiles =>
+        val idsByName = cols.toMap
+        val posIds = spec.map {
+          case LakePartitioning.Identity(c) => idsByName.get(c)
+          case _ => None
+        }
+        val curId = LakePartitioning.currentSpecId(snapshot.props)
+        if (skips.isEmpty)
           pf.synthetic(cols, posIds, gidx, curId).foreach { sf =>
             answer(sf).foreach(r => return Some(r))
           }
-        case _ => ()
-      }
+        else if (posIds.nonEmpty && posIds.forall(_.isDefined))
+          // strict purity at EVERY position: a tuple component the
+          // part is impure for would read as NULL to the resolver and
+          // mis-decide — full purity makes the synthetic tuple exact
+          pf.synthetic(cols, posIds, spec.indices, curId).foreach { sf =>
+            val decisions = sf.map(f => LakeStats.decide(f, skips,
+              LakeColIds.physicalName(cols, f, _),
+              LakePartitioning.resolver(snapshot.props, f)))
+            if (!decisions.contains(LakeStats.Mixed)) {
+              val kept = sf.zip(decisions)
+                .collect { case (f, LakeStats.All) => f }
+              answer(kept).foreach(r => return Some(r))
+            }
+          }
+      case _ => ()
+    }
     // with all predicates consumed, every file decides All or None_:
     // the aggregate ranges over exactly the All files (part-pruned
     // entries are None_ by construction, so candidates suffice)

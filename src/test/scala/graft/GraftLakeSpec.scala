@@ -2941,8 +2941,10 @@ class GraftLakeSpec extends AnyFunSuite {
     graft.sources.LakeLog.clearPartCache()
     val reads0 = graft.sources.LakeLog.checkpointReads.get()
     val bytes0 = graft.sources.LakeLog.checkpointParseBytes.get()
-    val df = spark.sql("SELECT sum(v) AS sv FROM lake.db.t_partidx WHERE p = 3")
-    assert(df.collect().head.getLong(0) == (300L until 400L).sum)
+    // a ROW query — an aggregate here would answer from the manifest
+    // census with ZERO parses and prove nothing about part pruning
+    val df = spark.sql("SELECT v FROM lake.db.t_partidx WHERE p = 3")
+    assert(df.collect().map(_.getLong(0)).sum == (300L until 400L).sum)
     val partReads = graft.sources.LakeLog.checkpointReads.get() - reads0
     assert(partReads == 1L,
       s"p=3 must parse exactly its own checkpoint part, got $partReads of $nParts")
@@ -3196,9 +3198,11 @@ class GraftLakeSpec extends AnyFunSuite {
     graft.sources.LakeLog.clearPartCache()
     val reads0 = graft.sources.LakeLog.checkpointReads.get()
     val hits0 = graft.sources.LakeLog.checkpointCacheHits.get()
+    // a ROW query — an aggregate would answer from the manifest census
+    // without touching parts, leaving the LRU unexercised
     def point(): Long = spark.sql(
-      "SELECT sum(v) AS sv FROM lake.db.t_cplru WHERE p = 3")
-      .collect().head.getLong(0)
+      "SELECT v FROM lake.db.t_cplru WHERE p = 3")
+      .collect().map(_.getLong(0)).sum
     // cold: the ONE matching part parses; nothing hits
     assert(point() == (300L until 400L).sum)
     assert(graft.sources.LakeLog.checkpointReads.get() - reads0 == 1L &&
@@ -3369,6 +3373,49 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(mn.collect().head.getLong(0) == 0L)
     assert(graft.sources.LakeLog.checkpointReads.get() > reads2,
       "extrema across a dv'd part refuse the fold (sentinel dv) and parse")
+  }
+
+  test("filtered manifest census: a consumed partition predicate decides whole parts — zero part IO end to end") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_fmc (id BIGINT, seg BIGINT, v BIGINT)
+      |PARTITIONED BY (seg) TBLPROPERTIES ('checkpoint_part_bytes' = '1')""".stripMargin)
+    for (b <- 0 until 12)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id", lit(b % 3L).as("seg"), ($"id" * 2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_fmc").append()
+    assert(LakeLog.checkpointParts(tableDir("t_fmc"), 10L) == 10)
+    def truth(s: Long): Seq[Long] = (0 until 12).filter(_ % 3 == s)
+      .flatMap(b => (b * 50L) until ((b + 1) * 50L)).map(_ * 2L)
+    graft.sources.LakeLog.clearPartCache()
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val hits0 = graft.sources.LakeLog.checkpointCacheHits.get()
+    val df = spark.sql(
+      """SELECT count(*) AS n, sum(v) AS sv, min(v) AS lo, max(v) AS hi
+        |FROM lake.db.t_fmc WHERE seg = 1""".stripMargin)
+    val r = df.collect().head
+    val t1 = truth(1L)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (t1.size.toLong, t1.sum, t1.min, t1.max), s"got $r")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"filtered census must be metadata:\n${df.queryExecution.executedPlan}")
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads0 &&
+      graft.sources.LakeLog.checkpointCacheHits.get() == hits0,
+      "whole-part predicate decisions answer the filtered census: zero part IO")
+    // a predicate no partition matches: zero-row/empty answers from
+    // the manifest alone
+    val zero = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv FROM lake.db.t_fmc WHERE seg = 9")
+      .collect().head
+    assert(zero.getLong(0) == 0L && zero.isNullAt(1))
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads0,
+      "a no-match predicate still needs no part IO")
+    // a MID-PART range (Mixed on some part) falls through and parses —
+    // exactness over metadata is the gate, never a guess
+    val mixed = spark.sql(
+      "SELECT count(*) AS n FROM lake.db.t_fmc WHERE v >= 100 AND v <= 111")
+    assert(mixed.collect().head.getLong(0) == 6L)
+    assert(graft.sources.LakeLog.checkpointReads.get() > reads0,
+      "a part-splitting predicate must parse")
   }
 
   test("manifest-only count(*): zero part parses while no removal touched the checkpoint") {
