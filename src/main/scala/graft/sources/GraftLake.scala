@@ -894,7 +894,12 @@ case class LakeCpPart(part: Int, n: Int,
     // alone: zero part parses on a 10^8-file table
     sm: Map[Long, Long] = Map.empty,
     nc: Map[Long, Long] = Map.empty,
-    df: Boolean = false)
+    df: Boolean = false,
+    // pure TRANSFORM tuple components (trunc/bucket ordinals, by the
+    // SOURCE column's stable id; present only when every entry shares
+    // one value) — what lets a time-bucket table's synthetic tuples
+    // stay exact, extending the census to the streaming-ingest layout
+    tv: Map[Long, String] = Map.empty)
 
 /** The LAZY file list of a multi-part checkpoint (+ the delta chain
   * folded on top as in-memory `adds` and a `kills` path set): scan
@@ -988,17 +993,23 @@ final class LakePartedFiles(dir: Path, private[sources] val version: Long,
     * as themselves.
     */
   def synthetic(cols: Seq[(String, Long)], posIds: Seq[Option[Long]],
-      gidx: Seq[Int], curId: Int): Option[Seq[LakeFile]] = {
+      gidx: Seq[Int], curId: Int,
+      tvIds: Seq[Option[Long]] = Seq.empty): Option[Seq[LakeFile]] = {
     if (kills.nonEmpty || parts.exists(_.liveRows < 0L)) return None
     val names: Map[Long, String] = cols.map(_.swap).toMap
     def named[T](m: Map[Long, T]): Map[String, T] =
       m.flatMap { case (id, v) => names.get(id).map(_ -> v) }
     val partFiles = parts.map { pm =>
-      val tuple: Seq[Option[String]] = posIds.map(_.flatMap(id =>
-        pm.pv.get(id) match {
-          case Some(Seq(v)) => Some(v) // pure across every entry
-          case _ => None
-        }))
+      val tuple: Seq[Option[String]] = posIds.zipWithIndex.map {
+        case (idOpt, i) =>
+          idOpt.flatMap(id => pm.pv.get(id) match {
+            case Some(Seq(v)) => Some(v) // pure across every entry
+            case _ => None
+          }).orElse(
+            // transform positions: the manifest's pure ordinal (only
+            // recorded under the CURRENT spec's exact transform)
+            tvIds.lift(i).flatten.flatMap(pm.tv.get))
+      }
       if (!gidx.forall(i => tuple.lift(i).flatten.isDefined))
         return None // impure at a grouped position — parse instead
       LakeFile(
@@ -1752,6 +1763,33 @@ object LakeLog {
       val distinct = vs.distinct
       if (distinct.size <= PartValueCap) pv += id -> distinct.sorted
     }
+    // transform components (trunc/bucket ordinals), recorded only when
+    // PURE across the part AND written under the CURRENT spec's exact
+    // transform (an ordinal from another era's parameters means
+    // something else — equality of the Field value is the gate; a
+    // source column carrying two transforms is skipped, its ordinals
+    // are ambiguous by id). Enough for exact synthetic tuples; never
+    // used for value membership.
+    val curTrans = LakePartitioning.decode(props)
+      .filterNot(_.isInstanceOf[LakePartitioning.Identity])
+    val dupTrans = curTrans.groupBy(_.col)
+      .collect { case (c, s) if s.size > 1 => c }.toSet
+    val curByCol = curTrans.filterNot(f => dupTrans(f.col))
+      .map(f => f.col -> f).toMap
+    def transVals(f: LakeFile): Map[Long, String] =
+      LakePartitioning.specOf(props, f.specId).zipWithIndex.collect {
+        case (t, pi) if curByCol.get(t.col).contains(t) &&
+          f.part.lift(pi).flatten.isDefined && cols.exists(_._1 == t.col) =>
+          cols.find(_._1 == t.col).get._2 -> f.part(pi).get
+      }.toMap
+    val perEntryT = fs.map(transVals)
+    val coveredT = perEntryT.map(_.keySet).reduceOption(_ intersect _)
+      .getOrElse(Set.empty[Long])
+    val tv = Map.newBuilder[Long, String]
+    coveredT.foreach { id =>
+      val vs = perEntryT.map(_(id)).distinct
+      if (vs.size == 1) tv += id -> vs.head
+    }
     // stats ranges (integral + string): only when every entry records
     // the stat — partial coverage cannot rule a part out
     val cr = Map.newBuilder[Long, (Long, Long)]
@@ -1789,7 +1827,7 @@ object LakeLog {
     }
     LakeCpPart(i, fs.size, pv.result(), pr.result(), cr.result(),
       liveRows = fs.map(_.liveRows).sum, sr = sr.result(),
-      sm = sm.result(), nc = nc.result(), df = df)
+      sm = sm.result(), nc = nc.result(), df = df, tv = tv.result())
   }
 
   private def partMetaNode(pm: LakeCpPart): ObjectNode = {
@@ -1830,6 +1868,10 @@ object LakeLog {
       pm.nc.foreach { case (id, v) => o.put(id.toString, v) }
     }
     if (pm.df) n.put("df", true)
+    if (pm.tv.nonEmpty) {
+      val o = n.putObject("tv")
+      pm.tv.foreach { case (id, v) => o.put(id.toString, v) }
+    }
     n
   }
 
@@ -1854,7 +1896,9 @@ object LakeLog {
           e.getKey.toLong -> e.getValue.asLong).toMap).getOrElse(Map.empty),
         nc = Option(n.get("nc")).map(_.properties().asScala.map(e =>
           e.getKey.toLong -> e.getValue.asLong).toMap).getOrElse(Map.empty),
-        df = Option(n.get("df")).exists(_.asBoolean))
+        df = Option(n.get("df")).exists(_.asBoolean),
+        tv = Option(n.get("tv")).map(_.properties().asScala.map(e =>
+          e.getKey.toLong -> e.getValue.asText).toMap).getOrElse(Map.empty))
     }.toSeq)
 
   /** The manifest's per-part index of checkpoint `v` (empty when the
@@ -2761,6 +2805,27 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     * any file decides Mixed stays residual: there, stats skipping is a
     * pruning optimization, never an answer.
     */
+  /** Per-spec-position stable ids for SYNTHETIC tuples: an identity
+    * position resolves through the manifest's pure value sets (`pv`),
+    * a transform position through the pure ordinals (`tv`) — None
+    * where neither can serve (a source column carrying two transforms
+    * has ambiguous ordinals and is skipped).
+    */
+  private def posKeyIds(spec: Seq[LakePartitioning.Field],
+      cols: Seq[(String, Long)]): (Seq[Option[Long]], Seq[Option[Long]]) = {
+    val ids = cols.toMap
+    val dup = spec.filterNot(_.isInstanceOf[LakePartitioning.Identity])
+      .groupBy(_.col).collect { case (c, s) if s.size > 1 => c }.toSet
+    (spec.map {
+      case LakePartitioning.Identity(c) => ids.get(c)
+      case _ => None
+    }, spec.map {
+      case LakePartitioning.Identity(_) => None
+      case f if !dup(f.col) => ids.get(f.col)
+      case _ => None
+    })
+  }
+
   override def pushPredicates(predicates: Array[VPredicate]): Array[VPredicate] = {
     skips = predicates
     val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
@@ -2771,29 +2836,25 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
         !snapshot.schema.fields.exists(fd => fd.name == r.fieldNames.head &&
           (fd.dataType == DoubleType || fd.dataType == FloatType))
     }
-    // decision BASIS: on a parted snapshot with fully tuple-pure parts
-    // (all-identity spec), per-part SYNTHETIC summaries serve the
-    // consumption decisions with ZERO part parses — a summary-level
-    // All/None_ implies the same verdict for every member file (tuple
-    // values are shared, ranges contain member ranges, null counts sum
-    // from member counts), so consumption soundness carries over.
-    // Anything else (impure parts, transforms, kills, `_file`
-    // predicates — synthetic paths are not real paths) decides over
-    // the real candidate files.
+    // decision BASIS: on a parted snapshot with fully tuple-pure parts,
+    // per-part SYNTHETIC summaries serve the consumption decisions
+    // with ZERO part parses — a summary-level All/None_ implies the
+    // same verdict for every member file (tuple values are shared,
+    // ranges contain member ranges, null counts sum from member
+    // counts), so consumption soundness carries over. Anything else
+    // (impure parts, kills, `_file` predicates — synthetic paths are
+    // not real paths) decides over the real candidate files.
     val basis: Seq[LakeFile] = snapshot.files match {
       case pf: LakePartedFiles
           if !predicates.flatMap(_.references).exists(r =>
             r.fieldNames.length == 1 &&
               r.fieldNames.head == LakeTable.FileColumn) =>
         val spec = LakePartitioning.decode(snapshot.props)
-        val idsByName = cols.toMap
-        val posIds = spec.map {
-          case LakePartitioning.Identity(c) => idsByName.get(c)
-          case _ => None
-        }
-        if (posIds.nonEmpty && posIds.forall(_.isDefined))
+        val (posIds, tvIds) = posKeyIds(spec, cols)
+        if (posIds.nonEmpty &&
+            posIds.zip(tvIds).forall(p => p._1.isDefined || p._2.isDefined))
           pf.synthetic(cols, posIds, spec.indices,
-            LakePartitioning.currentSpecId(snapshot.props))
+            LakePartitioning.currentSpecId(snapshot.props), tvIds)
             .getOrElse(candidates)
         else candidates
       case _ => candidates
@@ -3094,21 +3155,19 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     // part, missing coverage) falls through too.
     snapshot.files match {
       case pf: LakePartedFiles =>
-        val idsByName = cols.toMap
-        val posIds = spec.map {
-          case LakePartitioning.Identity(c) => idsByName.get(c)
-          case _ => None
-        }
+        val (posIds, tvIds) = posKeyIds(spec, cols)
         val curId = LakePartitioning.currentSpecId(snapshot.props)
         if (skips.isEmpty)
-          pf.synthetic(cols, posIds, gidx, curId).foreach { sf =>
+          pf.synthetic(cols, posIds, gidx, curId, tvIds).foreach { sf =>
             answer(sf).foreach(r => return Some(r))
           }
-        else if (posIds.nonEmpty && posIds.forall(_.isDefined))
+        else if (posIds.nonEmpty &&
+            posIds.zip(tvIds).forall(p => p._1.isDefined || p._2.isDefined))
           // strict purity at EVERY position: a tuple component the
           // part is impure for would read as NULL to the resolver and
           // mis-decide — full purity makes the synthetic tuple exact
-          pf.synthetic(cols, posIds, spec.indices, curId).foreach { sf =>
+          // (identity values from pv, transform ordinals from tv)
+          pf.synthetic(cols, posIds, spec.indices, curId, tvIds).foreach { sf =>
             val decisions = sf.map(f => LakeStats.decide(f, skips,
               LakeColIds.physicalName(cols, f, _),
               LakePartitioning.resolver(snapshot.props, f)))

@@ -3418,6 +3418,48 @@ class GraftLakeSpec extends AnyFunSuite {
       "a part-splitting predicate must parse")
   }
 
+  test("time-bucket filtered census: bucket-aligned predicates answer from the manifest on a trunc table") {
+    import spark.implicits._
+    // the q103/q104 ingest layout: one day-bucket per commit — parts
+    // are pure per bucket, and the manifest records the pure ordinals
+    spark.sql("""CREATE TABLE lake.db.t_tvc (ts BIGINT, v BIGINT)
+      |PARTITIONED BY (trunc(100, ts))
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '1')""".stripMargin)
+    for (b <- 0 until 12)
+      spark.range(b * 100L, b * 100L + 100L)
+        .select($"id".as("ts"), ($"id" * 2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_tvc").append()
+    assert(LakeLog.checkpointParts(tableDir("t_tvc"), 10L) == 10)
+    graft.sources.LakeLog.clearPartCache()
+    val reads0 = graft.sources.LakeLog.checkpointReads.get()
+    val hits0 = graft.sources.LakeLog.checkpointCacheHits.get()
+    // "yesterday's" bucket, bound-aligned: every part decides whole
+    val df = spark.sql(
+      """SELECT count(*) AS n, sum(v) AS sv, min(v) AS lo, max(v) AS hi
+        |FROM lake.db.t_tvc WHERE ts >= 100 AND ts < 200""".stripMargin)
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (100L, (100L until 200L).map(_ * 2L).sum, 200L, 398L), s"got $r")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"bucket-aligned census must be metadata:\n${df.queryExecution.executedPlan}")
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads0 &&
+      graft.sources.LakeLog.checkpointCacheHits.get() == hits0,
+      "the manifest's pure ordinals + ranges answer with zero part IO")
+    // a retention-style tail predicate spanning checkpointed buckets
+    // AND the post-checkpoint adds still folds with no part IO
+    val tail = spark.sql(
+      "SELECT count(*) AS n FROM lake.db.t_tvc WHERE ts >= 900").collect().head
+    assert(tail.getLong(0) == 300L)
+    assert(graft.sources.LakeLog.checkpointReads.get() == reads0,
+      "checkpointed buckets decide from cr; adds fold in memory")
+    // a MID-BUCKET bound splits parts — falls through and parses, exact
+    val mid = spark.sql(
+      "SELECT count(*) AS n FROM lake.db.t_tvc WHERE ts >= 150 AND ts < 250")
+    assert(mid.collect().head.getLong(0) == 100L)
+    assert(graft.sources.LakeLog.checkpointReads.get() > reads0,
+      "a bucket-splitting predicate must parse")
+  }
+
   test("manifest-only count(*): zero part parses while no removal touched the checkpoint") {
     import spark.implicits._
     spark.sql("""CREATE TABLE lake.db.t_mfcount (id BIGINT, v BIGINT)
