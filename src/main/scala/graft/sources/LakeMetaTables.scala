@@ -213,8 +213,10 @@ object LakeMetaTables {
     StructField("entries", IntegerType, nullable = false),
     StructField("live_rows", LongType, nullable = true),
     StructField("partition_values", StringType, nullable = true),
+    StructField("transform_values", StringType, nullable = true),
     StructField("int_ranges", StringType, nullable = true),
-    StructField("string_ranges", StringType, nullable = true)))
+    StructField("string_ranges", StringType, nullable = true),
+    StructField("dv_free", BooleanType, nullable = false)))
 
   /** `<table>__parts` — the checkpoint manifest's per-part INDEX as
     * queryable rows: entry count, live totals, identity value sets,
@@ -244,8 +246,10 @@ object LakeMetaTables {
             v, pm.part, pm.n,
             if (pm.liveRows >= 0L) Long.box(pm.liveRows) else null,
             render(pm.pv)(_.mkString(",")),
+            render(pm.tv)(identity),
             render(pm.cr) { case (lo, hi) => s"[$lo,$hi]" },
-            render(pm.sr) { case (lo, hi) => s"[$lo,$hi]" })): InternalRow
+            render(pm.sr) { case (lo, hi) => s"[$lo,$hi]" },
+            pm.df)): InternalRow
         }
       }
     }, s"graftlake.$baseName:parts")

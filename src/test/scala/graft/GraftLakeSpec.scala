@@ -3286,7 +3286,7 @@ class GraftLakeSpec extends AnyFunSuite {
     val reads0 = graft.sources.LakeLog.checkpointReads.get()
     val rows = spark.table("lake.db.t_ptscensus__parts")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
-        r.getLong(3), r.getString(4), r.getString(5)))
+        r.getLong(3), r.getString(4), r.getString(6), r.getBoolean(8)))
       .sortBy(_._2).toSeq
     // one row per part of the v10 checkpoint: single-entry parts, live
     // totals, identity value sets, folded id ranges — current names
@@ -3297,6 +3297,7 @@ class GraftLakeSpec extends AnyFunSuite {
       s"got ${rows.map(_._5)}")
     assert(rows.forall(r => r._6.contains("id=[") && r._6.contains("p=[")),
       s"got ${rows.head._6}")
+    assert(rows.forall(_._7), "dv-free parts report so — the census gate")
     // the census reads the O(1) manifest only — it never costs what
     // it measures
     assert(graft.sources.LakeLog.checkpointReads.get() == reads0,
@@ -3458,6 +3459,10 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(mid.collect().head.getLong(0) == 100L)
     assert(graft.sources.LakeLog.checkpointReads.get() > reads0,
       "a bucket-splitting predicate must parse")
+    // __parts surfaces the pure ordinals operators rely on
+    val tvs = spark.table("lake.db.t_tvc__parts")
+      .collect().map(_.getString(5)).sorted.toSeq
+    assert(tvs == (0 until 10).map(b => s"ts=$b").sorted, s"got $tvs")
   }
 
   test("manifest-only count(*): zero part parses while no removal touched the checkpoint") {
