@@ -1151,6 +1151,74 @@ object IngestQueries {
          |  (SELECT count(*) FROM $t WHERE seg LIKE 'Z%') AS zn""".stripMargin)
   }
 
+  /** q106 — PARTITION-SCOPED MAINTENANCE on the streaming-ingest
+    * layout, end to end: events land in a `trunc(day, ts_us)` bucketed
+    * table over three commits (several files per bucket — the shape a
+    * paced ingest produces), then `CALL system.compact_where` OPTIMIZEs
+    * exactly the first half of the days (`ts_us < cut`, bucket-aligned
+    * via the transform's own floorDiv math; cut is data-derived from
+    * the metadata min/max so the row is scale-stable). The frame joins
+    * the post-compaction per-day content census against (a) the
+    * PRE-compaction `__partitions` census (pinned at analysis — proves
+    * zero rows were lost or duplicated by the rewrite), (b) the post
+    * `__partitions` file counts for compacted buckets (must be 1), and
+    * (c) a pre/post `__files` PATH-SET diff for untouched buckets
+    * (must be empty — compaction scoped to the predicate touches
+    * nothing else). The DuckDB oracle states all three invariants
+    * relationally; a lost row, an over-eager rewrite, or a
+    * non-compacted selected bucket each break the hash.
+    */
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q106").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.events_opt"
+    spark.sql(
+      s"""CREATE TABLE $t (ts_us BIGINT, user_id BIGINT, mv BIGINT)
+         |PARTITIONED BY (trunc(86400000000, ts_us))""".stripMargin)
+    def slice(m: Int) = Tables.load(spark, dir, "events")
+      .filter($"user_id" % 3 === m.toLong)
+      .select(unix_micros($"ts").as("ts_us"), $"user_id",
+        graft.functions.gf.fixed($"value", 1000.0).as("mv"))
+    for (m <- 0 until 3) slice(m).writeTo(t).append()
+    // pinned PRE-compaction frames (analysis snapshots the log)
+    val preParts = broadcast(spark.table(s"${t}__partitions")
+      .select($"partition".as("bl"), $"live_rows".as("census_rows")))
+    val preFiles = spark.table(s"${t}__files")
+      .select($"path", $"partition".as("bl")).withColumn("inpre", lit(1))
+    // data-derived cutoff day: metadata-only min/max, one bounded row
+    val mm = spark.sql(s"SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM $t").head()
+    val day = 86400000000L
+    val (lo, hi) = (Math.floorDiv(mm.getLong(0), day), Math.floorDiv(mm.getLong(1), day))
+    val cut = lo + math.max(1L, (hi - lo + 1L) / 2L)
+    spark.sql(s"CALL $cat.system.compact_where('db.events_opt', " +
+      s"'ts_us < ${cut * day}', 1)")
+    val postParts = spark.table(s"${t}__partitions")
+      .select($"partition".as("bl"), $"n_files".as("files_post"))
+    val postFiles = spark.table(s"${t}__files")
+      .select($"path", $"partition".as("bl")).withColumn("inpost", lit(1))
+    // per-bucket path-set symmetric difference: empty ⟺ untouched
+    val diff = preFiles.join(postFiles, Seq("path", "bl"), "full_outer")
+      .groupBy($"bl")
+      .agg(sum(when($"inpost".isNull, 1L).otherwise(0L)).as("only_pre"),
+        sum(when($"inpre".isNull, 1L).otherwise(0L)).as("only_post"))
+    val label = concat(lit("trunc(86400000000,ts_us)="), $"day")
+    spark.table(t)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_rows"), sum($"mv").as("sum_mv"))
+      .join(preParts, label === preParts("bl"))
+      .join(postParts, label === postParts("bl"))
+      .join(diff, label === diff("bl"))
+      .select($"day", $"n_rows", $"sum_mv", $"census_rows",
+        when($"day" < cut, $"files_post".cast("long")).as("files_compacted"),
+        when($"day" >= cut, $"only_pre" === 0L && $"only_post" === 0L)
+          .as("untouched_unchanged"))
+      .orderBy($"day")
+  }
+
   /** q95 — BLOOM-INDEXED point lookups as a correctness row: a
     * `bloomBy` table written in overlapping-range files (random
     * distribution — min/max stats cannot tell files apart), probed
@@ -1499,6 +1567,7 @@ object IngestQueries {
     "q102_clone_isolation" -> q102,
     "q103_indexed_backfill" -> q103,
     "q104_daily_buckets" -> q104,
+    "q106_bucket_optimize" -> q106,
     "q92_wap_refs" -> q92,
     "q93_metadata_agg" -> q93,
     "q94_filtered_meta" -> q94,
@@ -1529,6 +1598,25 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q106_bucket_optimize" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+        |  FROM events),
+        |b AS (
+        |  SELECT min(day) + greatest(1, (max(day) - min(day) + 1) // 2) AS cut
+        |  FROM e),
+        |agg AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(mv) AS BIGINT) AS sum_mv
+        |  FROM e GROUP BY 1)
+        |SELECT day, n_rows, sum_mv, n_rows AS census_rows,
+        |  CASE WHEN day < (SELECT cut FROM b)
+        |    THEN CAST(1 AS BIGINT) END AS files_compacted,
+        |  CASE WHEN day >= (SELECT cut FROM b)
+        |    THEN TRUE END AS untouched_unchanged
+        |FROM agg
+        |ORDER BY day""".stripMargin,
     "q99_metadata_sum" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok, substr(o_orderpriority, 1, 1) AS seg,
