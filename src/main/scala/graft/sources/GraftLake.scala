@@ -188,6 +188,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       .orElse(companion(LakeMetaTables.PartitionsSuffix)(LakeMetaTables.partitionsTable(_, _)))
       .orElse(companion(LakeMetaTables.StatsSuffix)(LakeMetaTables.statsTable(_, _)))
       .orElse(companion(LakeMetaTables.PartsSuffix)(LakeMetaTables.partsTable(_, _)))
+      .orElse(companion(LakeMetaTables.RowGroupsSuffix)(LakeMetaTables.rowGroupsTable(_, _)))
       .foreach(t => return t)
     val dir = tableDir(ident)
     // write-audit-publish: a pinned `main` ref freezes the DEFAULT
@@ -228,6 +229,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       .orElse(pinnedCompanion(LakeMetaTables.PartitionsSuffix)(LakeMetaTables.partitionsTable))
       .orElse(pinnedCompanion(LakeMetaTables.StatsSuffix)(LakeMetaTables.statsTable))
       .orElse(pinnedCompanion(LakeMetaTables.PartsSuffix)(LakeMetaTables.partsTable))
+      .orElse(pinnedCompanion(LakeMetaTables.RowGroupsSuffix)(LakeMetaTables.rowGroupsTable))
       .foreach(t => return t)
     val dir = tableDir(ident)
     val v = resolveVersion(dir, ident.name(), version)
@@ -258,7 +260,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       LakeMetaTables.HistorySuffix -> (LakeMetaTables.historyTable _),
       LakeMetaTables.PartitionsSuffix -> (LakeMetaTables.partitionsTable _),
       LakeMetaTables.StatsSuffix -> (LakeMetaTables.statsTable _),
-      LakeMetaTables.PartsSuffix -> (LakeMetaTables.partsTable _))
+      LakeMetaTables.PartsSuffix -> (LakeMetaTables.partsTable _),
+      LakeMetaTables.RowGroupsSuffix -> (LakeMetaTables.rowGroupsTable _))
       .foreach { case (suffix, make) =>
         if (ident.name().endsWith(suffix)) {
           val base = ident.name().stripSuffix(suffix)
@@ -288,7 +291,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     }
     val keep = properties.asScala.view
       .filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
-        "checkpoint_part_bytes").contains(k) ||
+        "checkpoint_part_bytes", "runtime_filter_cols", "target_file_bytes",
+        "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
       LakeTable.bloomCols(keep)).foreach(c =>
@@ -299,6 +303,20 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("checkpoint_part_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: checkpoint_part_bytes must be a positive integer, got '$v'"))
+    keep.get("target_file_bytes").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
+    keep.get("runtime_filter_cols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"graftlake runtime_filter_cols must name table columns, got '$c'"))
+    keep.get("compression").foreach(v =>
+      require(LakeParquet.Codecs.contains(v.toLowerCase),
+        s"graftlake: unsupported compression '$v' " +
+          s"(supported: ${LakeParquet.Codecs.keys.toSeq.sorted.mkString(", ")})"))
+    keep.get("row_group_bytes").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: row_group_bytes must be a positive integer, got '$v'"))
     val partProps = partitionProps(schema, partitions)
     val dir = tableDir(ident)
     if (LakeLog.currentSnapshot(dir).isDefined)
@@ -366,7 +384,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
     val keep = properties.asScala.view.filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
-        "checkpoint_part_bytes").contains(k) ||
+        "checkpoint_part_bytes", "runtime_filter_cols", "target_file_bytes",
+        "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
       LakeTable.bloomCols(keep)).foreach(c =>
@@ -377,6 +396,20 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("checkpoint_part_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: checkpoint_part_bytes must be a positive integer, got '$v'"))
+    keep.get("target_file_bytes").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
+    keep.get("runtime_filter_cols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"graftlake runtime_filter_cols must name table columns, got '$c'"))
+    keep.get("compression").foreach(v =>
+      require(LakeParquet.Codecs.contains(v.toLowerCase),
+        s"graftlake: unsupported compression '$v' " +
+          s"(supported: ${LakeParquet.Codecs.keys.toSeq.sorted.mkString(", ")})"))
+    keep.get("row_group_bytes").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: row_group_bytes must be a positive integer, got '$v'"))
     new GraftStagedTable(tableDir(ident), ident, schema,
       keep ++ partitionProps(schema, partitions), replace, orCreate)
   }
@@ -503,6 +536,24 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             require(set.value.toLongOption.exists(_ > 0L),
               s"graftlake: checkpoint_part_bytes must be a positive " +
                 s"integer, got '${set.value}'")
+          if (set.property == "target_file_bytes")
+            require(set.value.toLongOption.exists(_ > 0L),
+              s"graftlake: target_file_bytes must be a positive " +
+                s"integer, got '${set.value}'")
+          if (set.property == "row_group_bytes")
+            require(set.value.toLongOption.exists(_ > 0L),
+              s"graftlake: row_group_bytes must be a positive " +
+                s"integer, got '${set.value}'")
+          if (set.property == "runtime_filter_cols")
+            set.value.split(',').map(_.trim).filter(_.nonEmpty).foreach(c =>
+              require(schema.fieldNames.contains(c),
+                s"graftlake runtime_filter_cols must name table columns, got '$c'"))
+          // reject an unknown codec HERE — the writer reads it inside a
+          // task long after this commit reported success
+          if (set.property == "compression")
+            require(LakeParquet.Codecs.contains(set.value.toLowerCase),
+              s"graftlake: unsupported compression '${set.value}' " +
+                s"(supported: ${LakeParquet.Codecs.keys.toSeq.sorted.mkString(", ")})")
           props = props + (set.property -> set.value)
         case rm: TableChange.RemoveProperty =>
           require(!LakeTable.ReservedProps(rm.property) &&
@@ -2137,6 +2188,53 @@ object LakeTable {
     */
   def bloomInline(props: Map[String, String]): Boolean =
     props.get("bloom_inline").exists(_.toBoolean)
+
+  /** DATA columns eligible for RUNTIME file pruning (dynamic file
+    * pruning, the Delta/Photon shape): a selective dimension join's
+    * executed key values come back as an IN predicate and files whose
+    * stats/blooms exclude every value never plan as tasks. Reported
+    * columns are the ones whose per-file metadata is actually tight —
+    * declared layout columns (partition transform SOURCES incl.
+    * trunc/bucket, `sortBy`, `clusterBy`), `bloomBy` point-lookup
+    * columns, and explicit `runtime_filter_cols` opt-ins (e.g. the
+    * curve columns of a zorder-maintained table, which the procedure
+    * call names but no property records).
+    */
+  def runtimeFilterCols(props: Map[String, String],
+      schema: StructType): Seq[String] = {
+    val declared =
+      LakePartitioning.decode(props).map(_.col) ++
+        props.get("sortBy") ++ props.get("clusterBy") ++
+        bloomCols(props) ++
+        props.get("runtime_filter_cols").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    declared.distinct.filter(schema.fieldNames.contains)
+  }
+
+  /** `target_file_bytes`: the write-side ADVISORY shuffle-partition
+    * size ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering#advisoryPartitionSizeInBytes]])
+    * — AQE sizes the layout shuffle's partitions toward this many
+    * bytes, so output files land near the target instead of
+    * one-tiny-file-per-task (the Iceberg `write.target-file-size`
+    * knob). 0 (unset) defers to the session's advisory size.
+    */
+  def targetFileBytes(props: Map[String, String]): Long =
+    props.get("target_file_bytes").flatMap(_.toLongOption).getOrElse(0L)
+
+  /** `compression`: the parquet codec for data files (snappy default;
+    * validated at DDL against [[LakeParquet.Codecs]]). Reads need no
+    * property — the codec is per-page in the file, so tables mix
+    * codecs freely across commits (an ALTER re-encodes nothing).
+    */
+  def codecOf(props: Map[String, String]): String =
+    props.getOrElse("compression", "snappy")
+
+  /** `row_group_bytes`: intra-file skipping granularity (0 = parquet's
+    * 128 MB default). Smaller groups make row-group pruning finer
+    * under point predicates at the cost of footer metadata.
+    */
+  def rowGroupBytes(props: Map[String, String]): Long =
+    props.get("row_group_bytes").flatMap(_.toLongOption).getOrElse(0L)
 }
 
 class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
@@ -2369,13 +2467,17 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
           snapshot.props.get("sortBy")
             .map(c => Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
             .getOrElse(Array.empty)
+        override def advisoryPartitionSizeInBytes(): Long =
+          LakeTable.targetFileBytes(snapshot.props)
         override def description(): String = s"graftlake-replace-$cmd"
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
             LakeWriterFactory(dir.toString, info.schema(), snapshot.schema.fieldNames,
               LakePartitioning.decode(snapshot.props),
               bloomBy = LakeTable.bloomCols(snapshot.props),
-              bloomInline = LakeTable.bloomInline(snapshot.props))
+              bloomInline = LakeTable.bloomInline(snapshot.props),
+              codec = LakeTable.codecOf(snapshot.props),
+              rowGroupBytes = LakeTable.rowGroupBytes(snapshot.props))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val written = messages.map(_.asInstanceOf[LakeFileMessage])
               .flatMap(_.files)
@@ -3227,7 +3329,11 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       }
       new LakeScan(dir, snapshot.schema, snapshot.props, cols,
         capped,
-        totalForDisplay, required, onPlanned, options)
+        totalForDisplay, required, onPlanned, options,
+        // row-group pruning gets the RESIDUAL predicates: a consumed
+        // predicate decided All on every kept file, so every row group
+        // in them matches too — nothing to skip
+        rgPreds = skips.filterNot(p => consumed.exists(_ eq p)))
     }
 
   /** Point-lookup BLOOM pruning (table property `bloomBy`): after
@@ -3253,6 +3359,26 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     if (bcols.isEmpty || live.isEmpty || skips.isEmpty || live.size > 65536)
       return live
     val footerProbesOk = live.size <= 1024
+    val probes = LakeBloomProbe.probesOf(skips, bcols)
+    if (probes.isEmpty) live
+    else live.filter(f => LakeBloomProbe.survives(
+      dir, snapshot.schema, cols, f, probes, footerProbesOk))
+  }
+}
+
+/** Bloom point-probe evaluation shared by plan-time pruning
+  * ([[LakeScanBuilder]]'s pushed predicates) and RUNTIME file pruning
+  * ([[LakeScan]]'s dynamic IN sets from an executed dimension join) —
+  * one decision procedure, two predicate sources.
+  */
+private[graft] object LakeBloomProbe {
+  /** One (column, probe set) per `=`/`IN` predicate on a bloomBy
+    * column: a file survives only if, for EVERY probed predicate,
+    * some value might be present in that predicate's column (AND
+    * semantics).
+    */
+  def probesOf(preds: Seq[VPredicate],
+      bcols: Set[String]): Seq[(String, Seq[Any])] = {
     def colOf(e: VExpression): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
       case _ => None
@@ -3261,10 +3387,7 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       case l: org.apache.spark.sql.connector.expressions.Literal[_] => Option(l.value())
       case _ => None
     }
-    // one (column, probe set) per predicate: a file survives only if,
-    // for EVERY probed predicate, some value might be present in that
-    // predicate's column (AND semantics)
-    val probes: Seq[(String, Seq[Any])] = skips.toSeq.flatMap { p =>
+    preds.flatMap { p =>
       val kids = p.children()
       p.name() match {
         case "=" if kids.length == 2 =>
@@ -3278,43 +3401,47 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
         case _ => None
       }
     }
-    if (probes.isEmpty) live
-    else live.filter { f =>
-      probes.forall { case (c, vs) =>
-        LakeColIds.physicalName(cols, f, c).forall { pc =>
-          // writer-recorded blooms hash under the FILE's write-time
-          // type (widened columns were hashed in their old type); an
-          // unhashable value keeps the file, like stats skipping
-          def probe(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter): Boolean = {
-            val i = f.cols.indexWhere(_._1 == pc)
-            val t =
-              if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
-              else snapshot.schema.find(_.name == c)
-                .map(_.dataType.simpleString).getOrElse("")
-            vs.exists(v =>
-              LakeParquet.logBloomHash(bf, t, v).forall(bf.findHash))
-          }
-          f.blooms.get(pc) match {
-            case Some(b64) =>
-              // inline (`bloom_inline` tables + pre-sidecar entries):
-              // the bitset rides in the log — zero probe IO
-              probe(LakeParquet.bloomFromB64(b64))
-            case None =>
-              val slot = f.bloomSc.indexOf(pc)
-              if (slot >= 0)
-                // SIDECAR: loaded lazily, only for candidates that
-                // survived stats skipping — one positioned 8 KB read
-                // of exactly the probed column's slot
-                probe(LakeParquet.readSidecarBloom(
-                  dir.resolve(f.path + ".bloom"), slot))
-              else
-                !footerProbesOk ||
-                  LakeParquet.bloomMightContain(dir.resolve(f.path), pc, vs)
-          }
+  }
+
+  /** False only when the file's blooms PROVE no probe value present
+    * (no false negatives — a drop is always sound).
+    */
+  def survives(dir: Path, schema: StructType, cols: Seq[(String, Long)],
+      f: LakeFile, probes: Seq[(String, Seq[Any])],
+      footerProbesOk: Boolean): Boolean =
+    probes.forall { case (c, vs) =>
+      LakeColIds.physicalName(cols, f, c).forall { pc =>
+        // writer-recorded blooms hash under the FILE's write-time
+        // type (widened columns were hashed in their old type); an
+        // unhashable value keeps the file, like stats skipping
+        def probe(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter): Boolean = {
+          val i = f.cols.indexWhere(_._1 == pc)
+          val t =
+            if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
+            else schema.find(_.name == c)
+              .map(_.dataType.simpleString).getOrElse("")
+          vs.exists(v =>
+            LakeParquet.logBloomHash(bf, t, v).forall(bf.findHash))
+        }
+        f.blooms.get(pc) match {
+          case Some(b64) =>
+            // inline (`bloom_inline` tables + pre-sidecar entries):
+            // the bitset rides in the log — zero probe IO
+            probe(LakeParquet.bloomFromB64(b64))
+          case None =>
+            val slot = f.bloomSc.indexOf(pc)
+            if (slot >= 0)
+              // SIDECAR: loaded lazily, only for candidates that
+              // survived stats skipping — one positioned 8 KB read
+              // of exactly the probed column's slot
+              probe(LakeParquet.readSidecarBloom(
+                dir.resolve(f.path + ".bloom"), slot))
+            else
+              !footerProbesOk ||
+                LakeParquet.bloomMightContain(dir.resolve(f.path), pc, vs)
         }
       }
     }
-  }
 }
 
 /** The result of a metadata-only aggregate (COUNT/MIN/MAX answered
@@ -3333,7 +3460,8 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     curCols: Seq[(String, Long)],
     files: Seq[LakeFile], totalFiles: Int, required: StructType,
     onPlanned: Option[Seq[String] => Unit],
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    rgPreds: Array[VPredicate] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -3407,7 +3535,7 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
       required.fields.toSeq.filter(fd =>
         fd.name != LakeTable.FileColumn && fd.name != LakeTable.PosColumn))
 
-  /** Runtime V2 filtering, two flavors:
+  /** Runtime V2 filtering, three flavors:
     *
     *   - row-level ops (`onPlanned` set): Spark first finds which
     *     `_file`s contain matching rows, then hands them back as an IN
@@ -3417,10 +3545,21 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     *     prunes whole partitions at RUNTIME (the dynamic-partition-
     *     pruning shape) — the dim executes, its join-key values come
     *     back as an IN predicate, and files whose tuple is outside the
-    *     set never plan as tasks.
+    *     set never plan as tasks;
+    *   - DYNAMIC FILE PRUNING on declared-layout DATA columns
+    *     ([[LakeTable.runtimeFilterCols]]): the same runtime IN set,
+    *     decided per FILE through the full stats algebra
+    *     ([[LakeStats.decide]] — int/string ranges, null counts,
+    *     trunc/bucket transform tuples) plus bloom point probes — a
+    *     point-lookup join on a sorted/bloomed 100-TB fact plans only
+    *     the files that can hold the keys. Pruning-only (a kept Mixed
+    *     file still re-filters through the join), so supersets are
+    *     always sound.
     */
   @volatile private var runtimeFiles: Option[Set[String]] = None
   @volatile private var runtimeParts: Map[String, Set[String]] = Map.empty
+  @volatile private var runtimePreds: Array[VPredicate] = Array.empty
+  @volatile private var plannedCache: Seq[LakeFile] = null
 
   private def identityPartCols: Seq[String] =
     LakePartitioning.decode(props).collect {
@@ -3428,7 +3567,12 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
 
   override def filterAttributes(): Array[NamedReference] =
     if (onPlanned.isDefined) Array(Expressions.column(LakeTable.FileColumn))
-    else identityPartCols.map(Expressions.column).toArray
+    // only columns the scan OUTPUTS: Spark's PartitionPruning resolves
+    // every reported attribute against the scan's output — one pruned-
+    // away layout column would fail ANALYSIS of any join on the table
+    else (identityPartCols ++ LakeTable.runtimeFilterCols(props, tableSchema))
+      .distinct.filter(required.fieldNames.contains)
+      .map(Expressions.column).toArray
 
   override def filter(predicates: Array[VPredicate]): Unit = {
     def colOf(e: VExpression): Option[String] = e match {
@@ -3461,6 +3605,41 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
             runtimeParts.get(c).fold(vs)(_ intersect vs))
       }
     }
+    // DATA-column runtime predicates feed the per-file stats algebra
+    // (row-level `_file` sets never do: `decide` would read an unknown
+    // column name as NULL-only and wrongly exclude)
+    if (onPlanned.isEmpty) runtimePreds = predicates
+    plannedCache = null
+  }
+
+  /** Dynamic file pruning: decide the runtime predicate conjunction
+    * per file (stats ranges + transform tuples), then bloom-probe the
+    * survivors. Only predicates wholly over reported data columns
+    * participate — `decide` treats unknown names as NULL-only, which
+    * is a skip verdict, and a runtime filter must never drop a file
+    * it cannot prove empty.
+    */
+  private def runtimeStatsKept(base: Seq[LakeFile]): Seq[LakeFile] = {
+    if (runtimePreds.isEmpty || base.isEmpty) return base
+    val reportable =
+      (identityPartCols ++ LakeTable.runtimeFilterCols(props, tableSchema)).toSet
+    val preds = runtimePreds.filter(_.references().forall(r =>
+      r.fieldNames.length == 1 && reportable(r.fieldNames.head)))
+    if (preds.isEmpty) return base
+    val statsKept = base.filter { f =>
+      LakeStats.decide(f, preds,
+        LakeColIds.physicalName(curCols, f, _),
+        LakePartitioning.resolver(props, f)) != LakeStats.None_
+    }
+    val probes = LakeBloomProbe.probesOf(preds, LakeTable.bloomCols(props).toSet)
+    if (probes.isEmpty || statsKept.isEmpty || statsKept.size > 65536) statsKept
+    else {
+      // sidecar preads paid only for stats survivors, same caps as
+      // the plan-time path
+      val footerOk = statsKept.size <= 1024
+      statsKept.filter(f => LakeBloomProbe.survives(
+        dir, tableSchema, curCols, f, probes, footerOk))
+    }
   }
 
   private def planned: Seq[LakeFile] = {
@@ -3476,7 +3655,16 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
           }
         }
       }
-    files.filter(f => runtimeFiles.forall(_.contains(f.path)) && partOk(f))
+    // memoized between filter() calls: description/planInputPartitions/
+    // outputPartitioning all consult it, and the bloom pass does IO
+    val cached = plannedCache
+    if (cached != null) cached
+    else {
+      val kept = runtimeStatsKept(
+        files.filter(f => runtimeFiles.forall(_.contains(f.path)) && partOk(f)))
+      plannedCache = kept
+      kept
+    }
   }
 
   override def readSchema(): StructType = required
@@ -3491,21 +3679,37 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
 
   override def toBatch: Batch = this
 
+  /** Predicates this FILE's reader may prune row groups with: only on
+    * plain scans (a row-level op or `_pos` projection numbers physical
+    * ordinals, and a delete vector indexes them — skipping groups would
+    * shift both), and only predicates whose every referenced column
+    * resolves in this file (the executor-side decide reads an
+    * unresolvable name as NULL-only, which must never drop a group it
+    * cannot judge). Residual pushed predicates AND runtime IN sets both
+    * qualify — the same algebra that skipped files skips groups.
+    */
+  private def rgPredsFor(f: LakeFile, renames: Map[String, String]): Seq[VPredicate] =
+    if (onPlanned.isDefined || f.dv.nonEmpty ||
+        required.fieldNames.contains(LakeTable.PosColumn)) Seq.empty
+    else (rgPreds ++ runtimePreds).filter(_.references().forall(r =>
+      r.fieldNames.length == 1 && renames.contains(r.fieldNames.head))).toSeq
+
   override def planInputPartitions(): Array[InputPartition] = {
     val ps = planned
     onPlanned.foreach(_(ps.map(_.path)))
     val fields = keyGroupedFields
+    def input(f: LakeFile): LakeInputFile = {
+      val renames = renameFor(f)
+      LakeInputFile(dir.toString, f.path, f.rows, f.dv, renames,
+        typesFor(f), rgPredsFor(f, renames))
+    }
     if (fields.isEmpty)
-      ps.map(f =>
-        LakeInputFile(dir.toString, f.path, f.rows, f.dv, renameFor(f),
-          typesFor(f)): InputPartition)
-        .toArray
+      ps.map(input(_): InputPartition).toArray
     else
       ps.groupBy(_.part).toSeq.sortBy(_._1.toString).map { case (tuple, fs) =>
         LakeGroupedInput(
           LakePartitioning.keyValues(fields, tuple, tableSchema).toSeq,
-          fs.map(f => LakeInputFile(dir.toString, f.path, f.rows, f.dv,
-            renameFor(f), typesFor(f))))
+          fs.map(input))
           : InputPartition
       }.toArray
   }
@@ -3677,7 +3881,11 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
 case class LakeInputFile(tableDir: String, path: String, rows: Long,
     dv: Option[String] = None,
     rename: Map[String, String] = Map.empty,
-    fileTypes: Map[String, String] = Map.empty) extends InputPartition
+    fileTypes: Map[String, String] = Map.empty,
+    // serializable V2 predicates (ExpressionWithToString is
+    // java.io.Serializable) the reader decides row groups with —
+    // pre-filtered by [[LakeScan.rgPredsFor]] to resolvable columns
+    rgPreds: Seq[VPredicate] = Seq.empty) extends InputPartition
 
 /** One partition TUPLE's files, concatenated — the key-grouped unit
   * behind storage-partitioned joins ([[LakeScan.outputPartitioning]]).
@@ -3765,8 +3973,19 @@ case class LakeReaderFactory(tableSchema: StructType,
       p.fileTypes.get(n).map(LakeParquet.typeOf).getOrElse(dt) }
     val physical = required.collect {
       case (n, _) if p.rename.contains(n) => p.rename(n) }
+    // row-group-pruned open: every group the predicates prove matchless
+    // is skipped before page IO. None = nothing survives — emit no rows
+    // (NEVER the reader==null metadata synthesis below, which means
+    // "no data column requested", a different thing entirely)
+    var allPruned = false
     val reader =
       if (physical.isEmpty) null
+      else if (p.rgPreds.nonEmpty)
+        LakeParquet.openVectorizedPruned(
+          Paths.get(p.tableDir).resolve(p.path), physical.toSeq,
+          blk => LakeStats.decide(blk, p.rgPreds.toArray,
+            n => p.rename.get(n), LakePartitioning.NoResolver) != LakeStats.None_)
+          .getOrElse { allPruned = true; null }
       else LakeParquet.openVectorized(
         Paths.get(p.tableDir).resolve(p.path), physical.toSeq)
     val filePathValue = UTF8String.fromString(p.path)
@@ -3778,7 +3997,8 @@ case class LakeReaderFactory(tableSchema: StructType,
         dvIdx < dv.length && dv(dvIdx) == i
       }
       override def next(): Boolean =
-        if (reader == null) {
+        if (allPruned) false
+        else if (reader == null) {
           pos += 1
           while (pos < p.rows && deleted(pos)) pos += 1
           pos < p.rows
@@ -3834,9 +4054,25 @@ case class LakeReaderFactory(tableSchema: StructType,
     val present = dataCols.filter { case (n, _) => p.rename.contains(n) }
     val consts = required.filter { case (n, _) =>
       n == LakeTable.FileColumn || (n != LakeTable.PosColumn && !p.rename.contains(n)) }
-    val reader = LakeParquet.openVectorized(
-      Paths.get(p.tableDir).resolve(p.path),
-      present.map(t => p.rename(t._1)).toSeq)
+    val readerOpt =
+      if (p.rgPreds.nonEmpty)
+        LakeParquet.openVectorizedPruned(
+          Paths.get(p.tableDir).resolve(p.path),
+          present.map(t => p.rename(t._1)).toSeq,
+          blk => LakeStats.decide(blk, p.rgPreds.toArray,
+            n => p.rename.get(n), LakePartitioning.NoResolver) != LakeStats.None_)
+      else Some(LakeParquet.openVectorized(
+        Paths.get(p.tableDir).resolve(p.path),
+        present.map(t => p.rename(t._1)).toSeq))
+    if (readerOpt.isEmpty)
+      // every row group provably matchless: an empty batch stream
+      return new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        override def next(): Boolean = false
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+          throw new IllegalStateException("empty reader")
+        override def close(): Unit = ()
+      }
+    val reader = readerOpt.get
     reader.initBatch(
       StructType(consts.map { case (n, dt) =>
         StructField(n, dt, nullable = n != LakeTable.FileColumn) }),
@@ -3971,13 +4207,17 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
       props.get("sortBy")
         .map(c => Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
         .getOrElse(Array.empty)
+    override def advisoryPartitionSizeInBytes(): Long =
+      LakeTable.targetFileBytes(props)
     override def description(): String = s"graftlake-$mode"
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
         LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
           LakePartitioning.decode(props),
           bloomBy = LakeTable.bloomCols(props),
-          bloomInline = LakeTable.bloomInline(props))
+          bloomInline = LakeTable.bloomInline(props),
+          codec = LakeTable.codecOf(props),
+          rowGroupBytes = LakeTable.rowGroupBytes(props))
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
           .flatMap(_.files)
@@ -4062,7 +4302,9 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           LakeWriterFactory(dir.toString, info.schema(), tableSchema.fieldNames,
             LakePartitioning.decode(props),
             bloomBy = LakeTable.bloomCols(props),
-            bloomInline = LakeTable.bloomInline(props))
+            bloomInline = LakeTable.bloomInline(props),
+            codec = LakeTable.codecOf(props),
+            rowGroupBytes = LakeTable.rowGroupBytes(props))
         private val queryId = info.queryId()
         // enforced CHECKs, parsed + analyzed + bound against the write
         // schema on the DRIVER (tasks just eval): the micro-batch write
@@ -4200,7 +4442,9 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
     keep: Array[String],
     partSpec: Seq[LakePartitioning.Field] = Seq.empty,
     bloomBy: Seq[String] = Seq.empty,
-    bloomInline: Boolean = false) extends DataWriterFactory {
+    bloomInline: Boolean = false,
+    codec: String = "snappy",
+    rowGroupBytes: Long = 0L) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -4236,7 +4480,7 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
       private final class OpenFile(val tuple: Seq[Option[String]]) {
         val rel = s"data/${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
         val out = LakeParquet.createWriter(Paths.get(tableDir).resolve(rel),
-          storedSchema, bloomBy)
+          storedSchema, bloomBy, codec, rowGroupBytes)
         var rows = 0L
         val sums = new Array[Long](cols.length)
         val blooms = bloomIdx.map(_ => LakeParquet.newLogBloom())
@@ -4468,7 +4712,9 @@ object LakeProcedures {
         val w = LakeWriterFactory(dirStr, writeSchema, cols,
           LakePartitioning.decode(snap.props),
           bloomBy = LakeTable.bloomCols(snap.props),
-          bloomInline = LakeTable.bloomInline(snap.props)).createWriter(pid, 0L)
+          bloomInline = LakeTable.bloomInline(snap.props),
+          codec = LakeTable.codecOf(snap.props),
+          rowGroupBytes = LakeTable.rowGroupBytes(snap.props)).createWriter(pid, 0L)
         it.foreach(w.write)
         Iterator(w.commit())
       }.collect().toSeq
@@ -5682,13 +5928,17 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
           propsWithIds.get("sortBy")
             .map(c => Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
             .getOrElse(Array.empty)
+        override def advisoryPartitionSizeInBytes(): Long =
+          LakeTable.targetFileBytes(propsWithIds)
         override def description(): String = "graftlake-staged"
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
             LakeWriterFactory(dir.toString, info.schema(), stagedSchema.fieldNames,
               LakePartitioning.decode(propsWithIds),
               bloomBy = LakeTable.bloomCols(propsWithIds),
-              bloomInline = LakeTable.bloomInline(propsWithIds))
+              bloomInline = LakeTable.bloomInline(propsWithIds),
+              codec = LakeTable.codecOf(propsWithIds),
+              rowGroupBytes = LakeTable.rowGroupBytes(propsWithIds))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             // staged: record only — the LOG moves in commitStagedChanges
             stagedMessages = messages
@@ -5847,7 +6097,9 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
             LakeDeltaWriterFactory(dir.toString, info.schema(),
               snapshot.schema.fieldNames, LakePartitioning.decode(snapshot.props),
               bloomBy = LakeTable.bloomCols(snapshot.props),
-              bloomInline = LakeTable.bloomInline(snapshot.props))
+              bloomInline = LakeTable.bloomInline(snapshot.props),
+              codec = LakeTable.codecOf(snapshot.props),
+              rowGroupBytes = LakeTable.rowGroupBytes(snapshot.props))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ms = messages.map(_.asInstanceOf[LakeDeltaMessage])
             val inserts = ms.flatMap(_.inserts).flatMap(_.files)
@@ -5906,7 +6158,9 @@ case class LakeDeltaWriterFactory(tableDir: String, writeSchema: StructType,
     keep: Array[String],
     partSpec: Seq[LakePartitioning.Field] = Seq.empty,
     bloomBy: Seq[String] = Seq.empty,
-    bloomInline: Boolean = false) extends DeltaWriterFactory {
+    bloomInline: Boolean = false,
+    codec: String = "snappy",
+    rowGroupBytes: Long = 0L) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -5916,7 +6170,7 @@ case class LakeDeltaWriterFactory(tableDir: String, writeSchema: StructType,
       private def insertWriter(): DataWriter[InternalRow] = {
         if (inner == null)
           inner = LakeWriterFactory(tableDir, writeSchema, keep, partSpec, bloomBy,
-            bloomInline)
+            bloomInline, codec, rowGroupBytes)
             .createWriter(partitionId, taskId)
         inner
       }

@@ -57,10 +57,33 @@ object LakeParquet {
     }
   }
 
+  /** Codec strings the `compression` table property accepts, mapped to
+    * parquet's names. zstd trades ~15-30% smaller files for slightly
+    * more write CPU — at 100 TB that is tens of TB of storage and scan
+    * IO; snappy stays the default (Spark's own).
+    */
+  val Codecs: Map[String, CompressionCodecName] = Map(
+    "snappy" -> CompressionCodecName.SNAPPY,
+    "zstd" -> CompressionCodecName.ZSTD,
+    "gzip" -> CompressionCodecName.GZIP,
+    "lz4" -> CompressionCodecName.LZ4_RAW,
+    "uncompressed" -> CompressionCodecName.UNCOMPRESSED)
+
   def createWriter(file: NioPath, schema: StructType,
-      bloomCols: Seq[String] = Seq.empty): ParquetWriter[InternalRow] = {
+      bloomCols: Seq[String] = Seq.empty,
+      codec: String = "snappy",
+      rowGroupBytes: Long = 0L): ParquetWriter[InternalRow] = {
     var b = new RowWriteBuilder(new LocalOutputFile(file), schema)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withCompressionCodec(Codecs.getOrElse(codec.toLowerCase,
+        throw new IllegalArgumentException(
+          s"graftlake: unsupported compression '$codec' " +
+            s"(supported: ${Codecs.keys.toSeq.sorted.mkString(", ")})")))
+    // `row_group_bytes`: the intra-file skipping granularity — smaller
+    // groups mean finer row-group pruning under point predicates at
+    // the cost of more footer metadata (0 = parquet's default 128 MB).
+    // The writer flushes on its size check cadence, so tiny bounds are
+    // approximate (test-scale fixtures get multi-group files this way)
+    if (rowGroupBytes > 0L) b = b.withRowGroupSize(rowGroupBytes)
     // parquet-native bloom filters (table property `bloomBy`): written
     // into the file itself — no log bloat, no sidecar lifecycle, and
     // any parquet reader sees them. Adaptive sizing tracks the actual
@@ -352,6 +375,91 @@ object LakeParquet {
     val r = new VectorizedParquetRecordReader(/* useOffHeap = */ false, /* capacity = */ 4096)
     r.initialize(file.toString, columns.asJava)
     r
+  }
+
+  /** Row groups decoded / skipped by [[openVectorizedPruned]] —
+    * task-side increments, readable in specs because tests run
+    * local-mode (same JVM), like the other diagnostic counters.
+    */
+  private[graft] val rowGroupsRead = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val rowGroupsPruned = new java.util.concurrent.atomic.AtomicLong
+
+  /** One row group's footer stats as a SYNTHETIC [[LakeFile]] — the
+    * same shape file-level skipping decides on, so [[LakeStats.decide]]
+    * applies verbatim at row-group granularity. Extraction mirrors
+    * [[footerStats]] (INT32/INT64 ranges, STRICT-UTF-8 string bounds,
+    * null counts), per block instead of folded across blocks; a
+    * stat the block lacks simply stays undecidable (kept).
+    */
+  private[graft] def blockAsFile(
+      b: org.apache.parquet.hadoop.metadata.BlockMetaData): LakeFile = {
+    val mins = Map.newBuilder[String, (Long, Long)]
+    val smins = Map.newBuilder[String, (String, String)]
+    val nulls = Map.newBuilder[String, Long]
+    b.getColumns.asScala.foreach { chunk =>
+      val name = chunk.getPath.toDotString
+      val s = chunk.getStatistics
+      if (s != null && s.isNumNullsSet) nulls += name -> s.getNumNulls
+      val tpe = chunk.getPrimitiveType.getPrimitiveTypeName
+      if ((tpe == PrimitiveTypeName.INT64 || tpe == PrimitiveTypeName.INT32) &&
+          s != null && s.hasNonNullValue) {
+        def asLong(v: Any): Long = v match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long => l.longValue
+        }
+        mins += name -> ((asLong(s.genericGetMin: Any), asLong(s.genericGetMax: Any)))
+      }
+      if (tpe == PrimitiveTypeName.BINARY &&
+          chunk.getPrimitiveType.getLogicalTypeAnnotation ==
+            org.apache.parquet.schema.LogicalTypeAnnotation.stringType() &&
+          s != null && s.hasNonNullValue) {
+        def utf8(bs: Array[Byte]): Option[String] =
+          try Some(java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+            .decode(java.nio.ByteBuffer.wrap(bs)).toString)
+          catch { case _: java.nio.charset.CharacterCodingException => None }
+        val lo = utf8(s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        val hi = utf8(s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        for (l <- lo; h <- hi) smins += name -> ((l, h))
+      }
+    }
+    LakeFile("", b.getRowCount, mins.result(), nulls = nulls.result(),
+      bytes = b.getCompressedSize, sstats = smins.result())
+  }
+
+  /** The vectorized reader over ONLY the row groups `keepBlock`
+    * accepts (decided on each block's own footer stats) — predicate
+    * skipping INSIDE a surviving file: a 1 GB sorted file serves a
+    * point lookup from one 128 MB row group's pages instead of all of
+    * them. None = every group provably matchless (the caller emits no
+    * rows; it must NOT fall back to a metadata row count). The footer
+    * is read once and drives both the decision and the read.
+    */
+  def openVectorizedPruned(file: NioPath, columns: Seq[String],
+      keepBlock: LakeFile => Boolean): Option[VectorizedParquetRecordReader] = {
+    val reader = ParquetFileReader.open(new LocalInputFile(file))
+    try {
+      val footer = reader.getFooter
+      val fileSchema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      val keep = blocks.map(b => keepBlock(blockAsFile(b))).toArray
+      rowGroupsRead.addAndGet(keep.count(identity))
+      rowGroupsPruned.addAndGet(keep.length - keep.count(identity))
+      if (!keep.exists(identity)) { reader.close(); return None }
+      val requested = org.apache.parquet.schema.Types.buildMessage()
+        .addFields(columns.map(c =>
+          (fileSchema: org.apache.parquet.schema.GroupType).getType(c)): _*)
+        .named("spark_schema")
+      // the FILE reader's requested schema is what bounds page IO to
+      // the projected columns; the decoder's copy rides initPruned
+      reader.setRequestedSchema(requested)
+      val totalRows = blocks.zip(keep).collect { case (b, true) => b.getRowCount }.sum
+      val r = new VectorizedParquetRecordReader(false, 4096)
+      org.apache.spark.sql.execution.datasources.parquet.GraftParquetBridge
+        .initPruned(r, fileSchema, requested, reader, keep, totalRows)
+      Some(r)
+    } catch { case e: Throwable => reader.close(); throw e }
   }
 
   /** Parse a recorded write-time type (DataType.simpleString form). */

@@ -42,6 +42,7 @@ object LakeMetaTables {
   val PartitionsSuffix = "__partitions"
   val StatsSuffix = "__stats"
   val PartsSuffix = "__parts"
+  val RowGroupsSuffix = "__row_groups"
 
   /** A partition field's LABEL name: identity fields are their column;
     * transform fields are Iceberg-style `trunc(n,col)` / `bucket(n,col)`
@@ -334,6 +335,54 @@ object LakeMetaTables {
     }
   }
 
+  val RowGroupsSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("ordinal", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("column", StringType, nullable = false),
+    StructField("min", LongType, nullable = true),
+    StructField("max", LongType, nullable = true),
+    StructField("smin", StringType, nullable = true),
+    StructField("smax", StringType, nullable = true),
+    StructField("null_count", LongType, nullable = true)))
+
+  /** `<table>__row_groups` — the INTRA-file skipping census: one row
+    * per (live file, row group, current column) with the group's own
+    * footer stats, exactly what [[LakeScan]]'s row-group pruning
+    * decides on. An operator reads this to judge whether a layout's
+    * groups actually separate the predicate columns (and to size
+    * `row_group_bytes`) before trusting point-lookup latency at scale.
+    * DISTRIBUTED: one task per file — footer reads never serialize
+    * through the driver; columns render under their CURRENT names.
+    */
+  def rowGroupsTable(dir: Path, baseName: String, pin: Option[Long] = None): Table =
+    new Table with SupportsRead {
+      override def name(): String =
+        s"graftlake.$baseName:row_groups" + pin.map(v => s"@v$v").getOrElse("")
+      override def schema(): StructType = RowGroupsSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = () =>
+        new Scan with Batch {
+          override def readSchema(): StructType = RowGroupsSchema
+          override def description(): String = s"graftlake.$baseName:row_groups"
+          override def toBatch: Batch = this
+          override def planInputPartitions(): Array[InputPartition] = {
+            val snap = snapFor(dir, baseName, pin)
+            val cols = LakeColIds.cols(snap.schema, snap.props)
+            snap.files.map { f =>
+              // physical→current name map for THIS file's era
+              val names = snap.schema.fieldNames.toSeq
+                .flatMap(n => LakeColIds.physicalName(cols, f, n).map(_ -> n))
+              LakeRowGroupsChunk(dir.toString, f.path, names): InputPartition
+            }.toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            LakeRowGroupsReaderFactory()
+        }: Scan
+    }
+
   /** One row per named ref: kind, the recorded version, and what a
     * read through the ref resolves to right now (tags/main → the
     * record; the staging branch → the current head).
@@ -395,6 +444,53 @@ case class LakeFilesChunk(dir: String, kind: String, version: Long,
   * delta after the checkpoint touched) is serialized once with the
   * factory, which Spark ships via the broadcast task binary.
   */
+/** One file of the `__row_groups` census — top-level case class (no
+  * outers in the closure); `names` maps this file's PHYSICAL column
+  * names to their CURRENT ones.
+  */
+case class LakeRowGroupsChunk(dir: String, path: String,
+    names: Seq[(String, String)]) extends InputPartition
+
+/** Task-side `__row_groups` reader: one footer open per file, rows
+  * straight off the block metadata via the SAME per-block extraction
+  * row-group pruning decides with ([[LakeParquet.blockAsFile]]).
+  */
+case class LakeRowGroupsReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val c = p.asInstanceOf[LakeRowGroupsChunk]
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      new org.apache.parquet.io.LocalInputFile(
+        Paths.get(c.dir).resolve(c.path)))
+    val blocks =
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.toSeq.map(LakeParquet.blockAsFile)
+      } finally reader.close()
+    val pathVal = UTF8String.fromString(c.path)
+    val it = blocks.iterator.zipWithIndex.flatMap { case (b, ord) =>
+      c.names.iterator.map { case (phys, cur) =>
+        val mm = b.stats.get(phys)
+        val smm = b.sstats.get(phys)
+        new GenericInternalRow(Array[Any](
+          pathVal, ord, b.rows, b.bytes,
+          UTF8String.fromString(cur),
+          mm.map(v => Long.box(v._1)).orNull,
+          mm.map(v => Long.box(v._2)).orNull,
+          smm.map(v => UTF8String.fromString(v._1)).orNull,
+          smm.map(v => UTF8String.fromString(v._2)).orNull,
+          b.nulls.get(phys).map(Long.box).orNull)): InternalRow
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
 case class LakeFilesCensusReaderFactory(cpKill: Seq[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val c = p.asInstanceOf[LakeFilesChunk]

@@ -2397,6 +2397,215 @@ class GraftLakeSpec extends AnyFunSuite {
       s"the dim's executed values must prune partitions at runtime:\n$plan")
   }
 
+  private def executedPlanString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+
+  test("dynamic file pruning: a point-lookup join prunes files on the sortBy column at runtime") {
+    import spark.implicits._
+    // UNPARTITIONED — the pruning key is a plain data column whose
+    // per-file ranges are tight because the layout declares it
+    spark.sql("CREATE TABLE lake.db.t_dfp_sorted (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('sortBy' = 'k')")
+    for (b <- 0 until 8)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select($"id".as("k"), ($"id" * 3L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_dfp_sorted").append()
+    // selective predicate on a NON-join-key column (a static filter on
+    // k itself would be inferred onto the fact side — nothing left to
+    // prune at runtime); built from range, not LocalRelation (which
+    // constant-folds away the Filter node DPP needs to see)
+    val dim = spark.range(0, 80)
+      .select(($"id" * 5L).as("k"), $"id".as("code"))
+      .filter($"code" === 7L || $"code" === 61L) // -> k=35 (file 0), k=305 (file 6)
+    val joined = spark.table("lake.db.t_dfp_sorted").join(dim, Seq("k"))
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    val row = joined.collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((35L + 305L) * 3L, 2L))
+    val plan = executedPlanString(joined)
+    assert(plan.contains("files=2/8"),
+      s"the dim's executed key values must prune files through the stats algebra:\n$plan")
+  }
+
+  test("dynamic file pruning: runtime bloom probes drop files whose ranges overlap") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_dfp_bloom (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('bloomBy' = 'k')")
+    // scatter keys so every file's [lo,hi] spans ~the full domain —
+    // stats keep all 8, only the per-file blooms can separate them
+    def keyOf(id: Long): Long = (id * 999983L) % 100003L
+    for (b <- 0 until 8)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .select(expr("(id * 999983) % 100003").as("k"), $"id".as("v"))
+        .coalesce(1).writeTo("lake.db.t_dfp_bloom").append()
+    val target = keyOf(157L) // written by id=157 -> file 3 only
+    val dim = spark.range(0, 400)
+      .select(expr("(id * 999983) % 100003").as("k"), $"id".as("code"))
+      .filter($"code" === 157L)
+    val joined = spark.table("lake.db.t_dfp_bloom").join(dim, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val row = joined.collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((1L, 157L)))
+    assert(target == keyOf(157L))
+    val plan = executedPlanString(joined)
+    assert(plan.contains("files=1/8"),
+      s"runtime bloom probes must isolate the one file holding the key:\n$plan")
+  }
+
+  test("row-group pruning: residual predicates skip row groups inside a surviving file") {
+    import spark.implicits._
+    import graft.sources.LakeParquet
+    spark.sql("CREATE TABLE lake.db.t_rg (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('sortBy' = 'k', 'row_group_bytes' = '8192')")
+    spark.range(0, 40000)
+      .select($"id".as("k"), ($"id" * 3L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_rg").append()
+    val file = filePaths("t_rg").head
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      new org.apache.parquet.io.LocalInputFile(tableDir("t_rg").resolve(file)))
+    val nGroups = try fr.getFooter.getBlocks.size finally fr.close()
+    assert(nGroups >= 4, s"fixture must produce multiple row groups, got $nGroups")
+    def counters = (LakeParquet.rowGroupsRead.get, LakeParquet.rowGroupsPruned.get)
+    // point lookup on the sorted column: the FILE survives (Mixed), but
+    // only the one row group whose [lo,hi] holds the key decodes
+    val (r0, p0) = counters
+    val got = spark.table("lake.db.t_rg").where($"k" === 31337L)
+      .select($"v").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(31337L * 3L))
+    val (r1, p1) = counters
+    assert(r1 - r0 >= 1 && r1 - r0 <= 2,
+      s"a point lookup must decode ~one group, read ${r1 - r0} of $nGroups")
+    assert((r1 - r0) + (p1 - p0) == nGroups, "every group either read or pruned")
+    // a `_pos` projection numbers PHYSICAL ordinals — pruning must stand down
+    val (r2, p2) = counters
+    val withPos = spark.table("lake.db.t_rg").where($"k" === 31337L)
+      .select(col("_pos")).collect().map(_.getLong(0)).toSeq
+    assert(withPos == Seq(31337L))
+    val (r3, p3) = counters
+    assert(r3 == r2 && p3 == p2, "a _pos scan must not enter the pruned path")
+    // the __row_groups census shows exactly what pruning decides over:
+    // per-group footer stats under CURRENT column names, one task/file
+    val k = spark.table("lake.db.t_rg__row_groups").where($"column" === "k")
+      .selectExpr("sum(rows)", "count(*)", "min(min)", "max(max)",
+        "sum(null_count)").head
+    assert((k.getLong(0), k.getLong(1), k.getLong(2), k.getLong(3), k.getLong(4)) ==
+      ((40000L, nGroups.toLong, 0L, 39999L, 0L)))
+  }
+
+  test("row-group pruning stands down under delete vectors (dv positions index physical ordinals)") {
+    import spark.implicits._
+    import graft.sources.LakeParquet
+    spark.sql("CREATE TABLE lake.db.t_rg_mor (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('sortBy' = 'k', 'row_group_bytes' = '8192', 'mode' = 'mor')")
+    spark.range(0, 40000)
+      .select($"id".as("k"), ($"id" * 3L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_rg_mor").append()
+    // before the dv lands, the same point lookup prunes
+    val r0 = LakeParquet.rowGroupsRead.get
+    assert(spark.table("lake.db.t_rg_mor").where($"k" === 100L).count() == 1L)
+    assert(LakeParquet.rowGroupsRead.get > r0, "pre-dv scans prune row groups")
+    spark.sql("DELETE FROM lake.db.t_rg_mor WHERE k = 7")
+    val (r1, p1) = (LakeParquet.rowGroupsRead.get, LakeParquet.rowGroupsPruned.get)
+    val got = spark.table("lake.db.t_rg_mor").where($"k" === 31337L)
+      .select($"v").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(31337L * 3L))
+    assert(LakeParquet.rowGroupsRead.get == r1 &&
+      LakeParquet.rowGroupsPruned.get == p1,
+      "a dv'd file reads whole — skipping groups would shift dv positions")
+    assert(spark.table("lake.db.t_rg_mor").count() == 39999L)
+  }
+
+  test("compression property: zstd files are smaller, read identically, and bad codecs are refused at DDL") {
+    import spark.implicits._
+    def mk(name: String, codec: String): (Seq[(Long, String)], Long) = {
+      spark.sql(s"CREATE TABLE lake.db.$name (id BIGINT, s STRING) " +
+        s"TBLPROPERTIES ('compression' = '$codec')")
+      spark.range(0, 5000)
+        .select($"id", concat(lit("payload-"), $"id" % 7).as("s"))
+        .coalesce(1).writeTo(s"lake.db.$name").append()
+      val rows = spark.table(s"lake.db.$name").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      val bytes = LakeLog.currentSnapshot(tableDir(name)).get.files.map(_.bytes).sum
+      (rows, bytes)
+    }
+    val (snappyRows, snappyBytes) = mk("t_codec_snappy", "snappy")
+    val (zstdRows, zstdBytes) = mk("t_codec_zstd", "zstd")
+    assert(zstdRows == snappyRows, "codec must not change content")
+    assert(zstdBytes < snappyBytes,
+      s"zstd must compress the repetitive payload tighter: zstd=$zstdBytes snappy=$snappyBytes")
+    // the codec is per-file: an ALTER re-encodes nothing, later commits
+    // just write the new codec — both eras read in one scan
+    spark.sql("ALTER TABLE lake.db.t_codec_snappy SET TBLPROPERTIES ('compression' = 'zstd')")
+    spark.range(5000, 5100)
+      .select($"id", lit("tail").as("s"))
+      .coalesce(1).writeTo("lake.db.t_codec_snappy").append()
+    assert(spark.table("lake.db.t_codec_snappy").count() == 5100L)
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE lake.db.t_codec_bad (id BIGINT) " +
+        "TBLPROPERTIES ('compression' = 'brotli9000')")
+    }
+    assert(bad.getMessage.contains("unsupported compression"))
+  }
+
+  test("dynamic file pruning: trunc time buckets prune on the SOURCE column at runtime") {
+    import spark.implicits._
+    // the transform source is reportable: a runtime IN set of raw
+    // timestamps decides per file through the tuple's floorDiv math
+    spark.sql("CREATE TABLE lake.db.t_dfp_trunc (ts BIGINT, v BIGINT) " +
+      "PARTITIONED BY (trunc(100, ts))")
+    spark.range(0, 800)
+      .select($"id".as("ts"), ($"id" * 7L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_dfp_trunc").append() // 8 buckets, 1 file each
+    val dim = spark.range(0, 80)
+      .select(($"id" * 10L).as("ts"), $"id".as("code"))
+      .filter($"code" === 25L || $"code" === 66L) // ts=250 (bucket 2), 660 (bucket 6)
+    val joined = spark.table("lake.db.t_dfp_trunc").join(dim, Seq("ts"))
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    val row = joined.collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((250L + 660L) * 7L, 2L))
+    val plan = executedPlanString(joined)
+    assert(plan.contains("files=2/8"),
+      s"runtime timestamps must prune whole time buckets:\n$plan")
+  }
+
+  test("target_file_bytes: the advisory shuffle size controls output file granularity") {
+    import spark.implicits._
+    // ~8 MB of INCOMPRESSIBLE payload (coalescing measures compressed
+    // shuffle bytes; repeated literals would vanish under lz4 and every
+    // case would collapse to AQE's minPartitionSize floor)
+    def write(name: String, extraProps: String): Int = {
+      spark.sql(s"CREATE TABLE lake.db.$name (k BIGINT, v STRING) " +
+        s"TBLPROPERTIES ('clusterBy' = 'k'$extraProps)")
+      spark.range(0, 4000)
+        .select(($"id" % 256L).as("k"),
+          expr("array_join(transform(sequence(1, 32), " +
+            "i -> sha2(cast(id * 100 + i AS STRING), 256)), '')").as("v"))
+        .writeTo(s"lake.db.$name").append()
+      filePaths(name).size
+    }
+    // AQE's coalesced target is min(total/parallelism, advisory)
+    // .max(minPartitionSize): at REAL scale total/parallelism ≫
+    // advisory and the table's target decides; at test bytes the
+    // parallelism cap (7 MB / 32 ≈ 220 KB) would mask it, so disable
+    // parallelismFirst to observe the advisory itself
+    val pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val was = spark.conf.get(pf)
+    spark.conf.set(pf, "false")
+    try {
+      // default: the session's 64 MB advisory swallows the whole
+      // write — one coalesced partition, one file
+      val dflt = write("t_tfb_dflt", "")
+      // a 2 MB target splits the same ~7 MB shuffle into ~4 tasks
+      val small = write("t_tfb_small", ", 'target_file_bytes' = '2097152'")
+      assert(dflt <= 2, s"default advisory must coalesce the write to one file, got $dflt")
+      assert(small >= 3 && small > dflt,
+        s"a 2 MB target_file_bytes must fan the same write out, got $small (default $dflt)")
+    } finally spark.conf.set(pf, was)
+  }
+
   test("type widening: ALTER COLUMN INT -> BIGINT upcasts pre-widening files at read") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_widen (id BIGINT, n INT)")
