@@ -3983,8 +3983,7 @@ case class LakeReaderFactory(tableSchema: StructType,
       else if (p.rgPreds.nonEmpty)
         LakeParquet.openVectorizedPruned(
           Paths.get(p.tableDir).resolve(p.path), physical.toSeq,
-          blk => LakeStats.decide(blk, p.rgPreds.toArray,
-            n => p.rename.get(n), LakePartitioning.NoResolver) != LakeStats.None_)
+          p.rgPreds.toArray, n => p.rename.get(n))
           .getOrElse { allPruned = true; null }
       else LakeParquet.openVectorized(
         Paths.get(p.tableDir).resolve(p.path), physical.toSeq)
@@ -4059,8 +4058,7 @@ case class LakeReaderFactory(tableSchema: StructType,
         LakeParquet.openVectorizedPruned(
           Paths.get(p.tableDir).resolve(p.path),
           present.map(t => p.rename(t._1)).toSeq,
-          blk => LakeStats.decide(blk, p.rgPreds.toArray,
-            n => p.rename.get(n), LakePartitioning.NoResolver) != LakeStats.None_)
+          p.rgPreds.toArray, n => p.rename.get(n))
       else Some(LakeParquet.openVectorized(
         Paths.get(p.tableDir).resolve(p.path),
         present.map(t => p.rename(t._1)).toSeq))

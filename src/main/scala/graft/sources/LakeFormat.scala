@@ -428,22 +428,53 @@ object LakeParquet {
       bytes = b.getCompressedSize, sstats = smins.result())
   }
 
-  /** The vectorized reader over ONLY the row groups `keepBlock`
-    * accepts (decided on each block's own footer stats) — predicate
-    * skipping INSIDE a surviving file: a 1 GB sorted file serves a
-    * point lookup from one 128 MB row group's pages instead of all of
-    * them. None = every group provably matchless (the caller emits no
-    * rows; it must NOT fall back to a metadata row count). The footer
-    * is read once and drives both the decision and the read.
+  /** The vectorized reader over ONLY the row groups the predicates
+    * cannot rule out — predicate skipping INSIDE a surviving file: a
+    * 1 GB sorted file serves a point lookup from one 128 MB row
+    * group's pages instead of all of them. Two layers per block, both
+    * sound (drop only on a proof of no match):
+    *
+    *   1. the block's own footer stats through the SAME
+    *      [[LakeStats.decide]] algebra file skipping uses;
+    *   2. for stats-Mixed blocks, the parquet-NATIVE per-row-group
+    *      bloom filters (written under `bloomBy`): an `=`/`IN` probe
+    *      whose every value the block's bloom excludes drops it — the
+    *      scattered-key point lookup stats can never separate.
+    *      Columns without a bloom answer null with no IO.
+    *
+    * None = every group provably matchless (the caller emits no rows;
+    * it must NOT fall back to a metadata row count). The footer is
+    * read once and drives the decisions and the read.
     */
   def openVectorizedPruned(file: NioPath, columns: Seq[String],
-      keepBlock: LakeFile => Boolean): Option[VectorizedParquetRecordReader] = {
+      preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      resolve: String => Option[String]): Option[VectorizedParquetRecordReader] = {
     val reader = ParquetFileReader.open(new LocalInputFile(file))
     try {
       val footer = reader.getFooter
       val fileSchema = footer.getFileMetaData.getSchema
       val blocks = footer.getBlocks.asScala.toSeq
-      val keep = blocks.map(b => keepBlock(blockAsFile(b))).toArray
+      val probeCols: Set[String] = preds.iterator
+        .flatMap(_.references().iterator.map(_.fieldNames.head)).toSet
+      val pointProbes = LakeBloomProbe.probesOf(preds, probeCols)
+      val keep = blocks.map { b =>
+        LakeStats.decide(blockAsFile(b), preds, resolve,
+          LakePartitioning.NoResolver) match {
+          case LakeStats.None_ => false
+          case LakeStats.All => true // every row matches; blooms can't improve
+          case LakeStats.Mixed =>
+            pointProbes.forall { case (c, vs) =>
+              resolve(c).forall { pc =>
+                b.getColumns.asScala.find(_.getPath.toDotString == pc).forall { cc =>
+                  val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+                  bf == null || vs.exists(v =>
+                    hashFor(bf, cc.getPrimitiveType.getPrimitiveTypeName, v)
+                      .forall(bf.findHash))
+                }
+              }
+            }
+        }
+      }.toArray
       rowGroupsRead.addAndGet(keep.count(identity))
       rowGroupsPruned.addAndGet(keep.length - keep.count(identity))
       if (!keep.exists(identity)) { reader.close(); return None }

@@ -2495,6 +2495,31 @@ class GraftLakeSpec extends AnyFunSuite {
       ((40000L, nGroups.toLong, 0L, 39999L, 0L)))
   }
 
+  test("row-group pruning: native per-group blooms drop stats-Mixed groups on scattered keys") {
+    import spark.implicits._
+    import graft.sources.LakeParquet
+    // keys scattered so every GROUP's [lo,hi] spans ~the whole domain —
+    // stats can't separate groups; only the parquet-native per-row-group
+    // bloom filters (bloomBy) can
+    spark.sql("CREATE TABLE lake.db.t_rg_bloom (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('bloomBy' = 'k', 'row_group_bytes' = '8192')")
+    spark.range(0, 40000)
+      .select(expr("(id * 999983) % 1000003").as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_rg_bloom").append()
+    val nGroups = spark.table("lake.db.t_rg_bloom__row_groups")
+      .where($"column" === "k").count()
+    assert(nGroups >= 4, s"fixture must produce multiple row groups, got $nGroups")
+    val target = (157L * 999983L) % 1000003L // written by v=157
+    val (r0, p0) = (LakeParquet.rowGroupsRead.get, LakeParquet.rowGroupsPruned.get)
+    val got = spark.table("lake.db.t_rg_bloom").where($"k" === target)
+      .select($"v").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(157L))
+    val (r1, p1) = (LakeParquet.rowGroupsRead.get, LakeParquet.rowGroupsPruned.get)
+    assert(r1 - r0 <= 2,
+      s"native blooms must isolate the key's group(s): read ${r1 - r0} of $nGroups")
+    assert((r1 - r0) + (p1 - p0) == nGroups, "every group either read or pruned")
+  }
+
   test("row-group pruning stands down under delete vectors (dv positions index physical ordinals)") {
     import spark.implicits._
     import graft.sources.LakeParquet
