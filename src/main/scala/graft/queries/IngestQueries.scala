@@ -1219,6 +1219,62 @@ object IngestQueries {
       .orderBy($"day")
   }
 
+  /** q107 — the ROUND-14 READ STACK as a correctness row: orders land
+    * in a `sortBy` table as four disjoint-range zstd files with 16 KB
+    * row groups and native `bloomBy` blooms, then are read back
+    * through every new pruning layer at once — a selective dim JOIN
+    * (runtime dynamic file pruning on the sort key), point-sum and
+    * band-census scalar subqueries (residual predicates skipping row
+    * groups inside the surviving file, blooms separating what stats
+    * cannot), and a guaranteed miss. All probe keys are data-derived
+    * (metadata min/max), so the row is scale-stable; the DuckDB
+    * oracle replays everything relationally — a pruning layer that
+    * drops a matching row group, a codec round-trip error, or a
+    * runtime filter that over-prunes each break the hash.
+    */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q107").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.orders_rg"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, cents BIGINT) TBLPROPERTIES (" +
+      "'sortBy' = 'ok', 'row_group_bytes' = '16384', " +
+      "'compression' = 'zstd', 'bloomBy' = 'ok')")
+    val base = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val Seq(lo, hi) = {
+      val r = base.agg(min($"ok"), max($"ok")).head
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    // four disjoint-range commits: sorted zstd files whose stats
+    // separate — what dynamic file pruning prunes BETWEEN files and
+    // row-group pruning prunes WITHIN them
+    val span = hi - lo + 1L
+    for (i <- 0 until 4)
+      base.filter($"ok" >= lo + span * i / 4 && $"ok" < lo + span * (i + 1) / 4)
+        .coalesce(1).writeTo(t).append()
+    // the dim carries the two extreme keys behind a NON-join-key
+    // selective filter — the runtime-pruning shape (a static IN would
+    // be consumed at plan time instead)
+    val dim = spark.range(0, 100)
+      .select(when($"id" === 3L, lo).when($"id" === 57L, hi)
+        .otherwise(-$"id" - 1L).as("ok"), $"id".as("code"))
+      .filter($"code" === 3L || $"code" === 57L)
+    val joined = spark.table(t).join(dim, Seq("ok"))
+      .agg(count(lit(1)).as("join_rows"), sum($"cents").as("join_cents"))
+    joined.crossJoin(spark.sql(
+      s"""SELECT
+         |  (SELECT sum(cents) FROM $t WHERE ok = $lo) AS point_cents,
+         |  (SELECT sum(cents) FROM $t
+         |     WHERE ok BETWEEN $lo AND ${lo + span / 100L}) AS band_cents,
+         |  (SELECT count(*) FROM $t WHERE ok = ${lo - 1L}) AS miss""".stripMargin))
+      .select($"join_rows", $"join_cents", $"point_cents", $"band_cents", $"miss")
+  }
+
   /** q95 — BLOOM-INDEXED point lookups as a correctness row: a
     * `bloomBy` table written in overlapping-range files (random
     * distribution — min/max stats cannot tell files apart), probed
@@ -1568,6 +1624,7 @@ object IngestQueries {
     "q103_indexed_backfill" -> q103,
     "q104_daily_buckets" -> q104,
     "q106_bucket_optimize" -> q106,
+    "q107_rowgroup_stack" -> q107,
     "q92_wap_refs" -> q92,
     "q93_metadata_agg" -> q93,
     "q94_filtered_meta" -> q94,
@@ -1598,6 +1655,24 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q107_rowgroup_stack" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT min(ok) AS lo, max(ok) AS hi,
+        |             max(ok) - min(ok) + 1 AS span FROM o)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o, b
+        |     WHERE ok = lo OR ok = hi) AS join_rows,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o, b
+        |     WHERE ok = lo OR ok = hi) AS join_cents,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o, b
+        |     WHERE ok = lo) AS point_cents,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o, b
+        |     WHERE ok BETWEEN lo AND lo + span // 100) AS band_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o, b
+        |     WHERE ok = lo - 1) AS miss""".stripMargin,
     "q106_bucket_optimize" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

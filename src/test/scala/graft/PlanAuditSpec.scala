@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "g06_kcore", // planted-graph build: 24-row rank frame self-joined on rank arithmetic
     "c18_negative_pairs", // 1-row corpus count crossed onto the rank ring
     "q82_lake_lifecycle", // four 1-row time-travel count(*) frames crossed onto the 4-segment aggregate
+    "q107_rowgroup_stack", // 1-row join aggregate crossed onto the 1-row scalar-subquery frame
     "q85_lake_evolution", // one 1-row pre-evolution count(*) frame crossed onto the 5-bucket aggregate
     "q86_lake_zorder", // 1-row domain-half bounds frame crossed onto the clustered scan
     "q92_wap_refs", // three 1-row pinned/audit/tag count(*) frames crossed onto the segment aggregate
