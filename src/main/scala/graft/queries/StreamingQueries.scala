@@ -205,6 +205,57 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("stage"))
   }
 
+  /** q108 — the LIVE stream-stream LEFT OUTER interval join,
+    * driver-oracled (q41 is its batch twin; this row runs the real
+    * watermarked two-sided join state machine). The replay FORCES
+    * every match across micro-batches: slice 1 carries everything but
+    * the error events, slice 2 only the errors — so each click is
+    * BUFFERED in join state for at least one batch before its error
+    * can arrive, and unmatched clicks emit their outer nulls only
+    * when the error-side watermark finally passes (slice 3's
+    * far-future sentinels — one CLICK and one ERROR, because each
+    * side's watermark node only sees rows surviving its own filter —
+    * plus the AvailableNow no-data batch). The DuckDB oracle is q41's
+    * verbatim: matching hashes prove no pair was dropped at a batch
+    * boundary, no outer row emitted early or lost, none duplicated.
+    */
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KafkaSource
+    val ev = events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    val replay = s"/root/repo/target/q108_replay-${new java.io.File(dir).getName}"
+    def sentinel(tpe: String) = ev.agg(max(col("ts")).as("mx"))
+      .select((col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
+        lit(tpe).as("event_type"), lit(-1L).as("user_id"), lit(0.0).as("value"))
+    graft.streaming.Replay.writeSlices(replay, Seq(
+      ev.filter(col("event_type") =!= "error"),
+      ev.filter(col("event_type") === "error"),
+      sentinel("click").unionByName(sentinel("error"))))
+    val stream = spark.readStream.schema(KafkaSource.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(replay)
+    val sink = s"q108_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-q108").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try StreamJobs.sq7ClickErrorLeftOuter(stream, stream).writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    q.awaitTermination()
+    spark.table(sink)
+      .filter(col("user_id") =!= -1L)
+      .select(
+        col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("click_value"),
+        unix_micros(col("error_ts")).as("error_us"),
+        col("error_value"))
+      .orderBy(col("user_id"), col("click_us"), col("click_value"),
+        asc_nulls_first("error_us"), asc_nulls_first("error_value"))
+  }
+
   /** q49 — streaming dedup driver-oracled: events plus planted
     * VERBATIM duplicate rows (every user_id % 7 == 0 event repeated)
     * replay through the real `dropDuplicatesWithinWatermark` (all
@@ -517,9 +568,31 @@ object StreamingQueries {
     "q19_demux_window_join" -> q19,
     "q20_rank_anomaly" -> q20,
     "q41_stream_interval_join" -> q41,
+    "q108_stream_join_replay" -> q108,
     "q48_funnel_stream" -> q48,
     "q49_stream_dedup" -> q49,
     "q42_json_decode" -> q42)
+
+  /** The interval-join oracle, shared by q41 (batch twin) and q108
+    * (live replayed stream-stream join).
+    */
+  private val intervalJoinSql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts AS click_ts, value AS click_value
+      |  FROM events WHERE event_type = 'click'),
+      |e AS (
+      |  SELECT user_id AS e_user, ts AS error_ts, value AS error_value
+      |  FROM events WHERE event_type = 'error')
+      |SELECT c.user_id,
+      |  epoch_us(click_ts) AS click_us,
+      |  click_value,
+      |  epoch_us(error_ts) AS error_us,
+      |  error_value
+      |FROM c LEFT JOIN e ON c.user_id = e.e_user
+      |  AND error_ts >= click_ts
+      |  AND error_ts <= click_ts + INTERVAL 1 HOUR
+      |ORDER BY user_id, click_us, click_value,
+      |  error_us NULLS FIRST, error_value NULLS FIRST""".stripMargin
 
   private val vCents = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
 
@@ -717,23 +790,10 @@ object StreamingQueries {
          |  AND CAST(hour(w) AS INT) = hist.hour
          |  AND (dayofweek(CAST(w AS DATE)) IN (0, 6)) = hist.is_weekend
          |ORDER BY cur.entity, window_start""".stripMargin,
-    "q41_stream_interval_join" ->
-      """WITH c AS (
-        |  SELECT user_id, ts AS click_ts, value AS click_value
-        |  FROM events WHERE event_type = 'click'),
-        |e AS (
-        |  SELECT user_id AS e_user, ts AS error_ts, value AS error_value
-        |  FROM events WHERE event_type = 'error')
-        |SELECT c.user_id,
-        |  epoch_us(click_ts) AS click_us,
-        |  click_value,
-        |  epoch_us(error_ts) AS error_us,
-        |  error_value
-        |FROM c LEFT JOIN e ON c.user_id = e.e_user
-        |  AND error_ts >= click_ts
-        |  AND error_ts <= click_ts + INTERVAL 1 HOUR
-        |ORDER BY user_id, click_us, click_value,
-        |  error_us NULLS FIRST, error_value NULLS FIRST""".stripMargin,
+    "q41_stream_interval_join" -> intervalJoinSql,
+    // the replayed live join must converge to the batch twin's rows —
+    // one oracle serves both, which IS the check
+    "q108_stream_join_replay" -> intervalJoinSql,
     "q42_json_decode" ->
       """SELECT concat('events-', CAST(event_id % 2 AS VARCHAR)) AS topic,
         |  event_id,
