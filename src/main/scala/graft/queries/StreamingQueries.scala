@@ -227,8 +227,11 @@ object StreamingQueries {
     def sentinel(tpe: String) = ev.agg(max(col("ts")).as("mx"))
       .select((col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
         lit(tpe).as("event_type"), lit(-1L).as("user_id"), lit(0.0).as("value"))
+    // only the two joined types ride the replay — every other event
+    // would just be scanned and filtered by both branches (the q103
+    // fan-out-trim lesson: harness rows cost real bench time)
     graft.streaming.Replay.writeSlices(replay, Seq(
-      ev.filter(col("event_type") =!= "error"),
+      ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "error"),
       sentinel("click").unionByName(sentinel("error"))))
     val stream = spark.readStream.schema(KafkaSource.eventSchema)
