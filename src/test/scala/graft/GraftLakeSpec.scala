@@ -2172,6 +2172,46 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ under runtime pruning: a broadcast dim filtering one side must not break key-grouped execution") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_spjr_fact (k BIGINT, seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg)")
+    spark.sql("CREATE TABLE lake.db.t_spjr_dim (seg STRING, factor BIGINT) " +
+      "PARTITIONED BY (seg)")
+    spark.range(0, 300)
+      .select($"id".as("k"), concat(lit("g"), $"id" % 6).as("seg"), ($"id" * 3L).as("v"))
+      .repartition(5)
+      .writeTo("lake.db.t_spjr_fact").append()
+    spark.range(0, 6)
+      .select(concat(lit("g"), $"id").as("seg"), ($"id" + 100L).as("factor"))
+      .coalesce(1)
+      .writeTo("lake.db.t_spjr_dim").append()
+    // a HINTED broadcast dim whose selective filter sits on a
+    // non-join-key column: runtime pruning may drop whole key groups
+    // from the scans mid-SPJ — rows must come out right regardless
+    val dim2 = broadcast(spark.range(0, 60)
+      .select(concat(lit("g"), $"id" % 6).as("seg"), $"id".as("code"))
+      .filter($"code" === 3L || $"code" === 10L)) // -> g3, g4
+    def joined() = spark.table("lake.db.t_spjr_fact")
+      .join(spark.table("lake.db.t_spjr_dim"), "seg")
+      .join(dim2, "seg")
+      .groupBy($"seg").agg(sum($"v" * $"factor").as("weighted"))
+      .orderBy($"seg")
+    val expected = joined().collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(expected.map(_._1) == Seq("g3", "g4"))
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(joined().collect().map(r => (r.getString(0), r.getLong(1))).toSeq == expected,
+        "key-grouped execution under runtime filters must produce the plain plan's rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("storage-partitioned join over bucket(n, col): FunctionCatalog resolves the transform, no shuffle") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_spjb_fact (k BIGINT, v BIGINT) " +
