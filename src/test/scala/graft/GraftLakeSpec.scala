@@ -2560,6 +2560,53 @@ class GraftLakeSpec extends AnyFunSuite {
     assert((r1 - r0) + (p1 - p0) == nGroups, "every group either read or pruned")
   }
 
+  test("row-group pruning soundness: randomized predicates match Spark's own evaluation") {
+    import spark.implicits._
+    // nulls, strings, and a sorted long column — every decision shape
+    // the per-block algebra touches; ground truth is SPARK ITSELF over
+    // the identical rows read outside the lake (no 3VL re-implementation
+    // in the harness to get subtly wrong)
+    spark.sql("CREATE TABLE lake.db.t_rg_prop (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('sortBy' = 'k', 'row_group_bytes' = '8192')")
+    val data = spark.range(0, 20000)
+      .select($"id".as("k"),
+        when($"id" % 97 =!= 0, concat(lit("w"), ($"id" % 50).cast("string"))).as("s"),
+        ($"id" * 7L % 1000L).as("v"))
+    data.coalesce(1).writeTo("lake.db.t_rg_prop").append()
+    val plainPath = java.nio.file.Files.createTempDirectory("rgprop").toString
+    data.coalesce(1).write.mode("overwrite").parquet(plainPath)
+    val plain = spark.read.parquet(plainPath)
+    val rnd = new scala.util.Random(421)
+    def leaf(): String = rnd.nextInt(8) match {
+      case 0 => s"k ${Seq("<", "<=", ">", ">=")(rnd.nextInt(4))} ${rnd.nextInt(24000) - 2000}"
+      case 1 => s"k = ${rnd.nextInt(22000) - 1000}"
+      case 2 => s"k <> ${rnd.nextInt(22000) - 1000}"
+      case 3 => s"k IN (${Seq.fill(3)(rnd.nextInt(22000) - 1000).mkString(", ")})"
+      case 4 => s"s = 'w${rnd.nextInt(60)}'"
+      case 5 => s"s LIKE 'w${rnd.nextInt(6)}%'"
+      case 6 => if (rnd.nextBoolean()) "s IS NULL" else "s IS NOT NULL"
+      case 7 => s"s ${Seq("<", ">=")(rnd.nextInt(2))} 'w${rnd.nextInt(60)}'"
+    }
+    def pred(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => s"(${pred(depth - 1)}) AND (${pred(depth - 1)})"
+        case 1 => s"(${pred(depth - 1)}) OR (${pred(depth - 1)})"
+        case 2 => s"NOT (${pred(depth - 1)})"
+      }
+    def rows(df: org.apache.spark.sql.DataFrame, p: String): Seq[(Long, String, Long)] =
+      df.where(p).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, String.valueOf(t._2), t._3)).toSeq
+    for (i <- 0 until 40) {
+      val p = pred(2)
+      val got = rows(spark.table("lake.db.t_rg_prop"), p)
+      val want = rows(plain, p)
+      assert(got == want,
+        s"predicate #$i '$p': lake returned ${got.size} rows, ground truth ${want.size}")
+    }
+  }
+
   test("row-group pruning stands down under delete vectors (dv positions index physical ordinals)") {
     import spark.implicits._
     import graft.sources.LakeParquet
