@@ -2683,6 +2683,47 @@ class GraftLakeSpec extends AnyFunSuite {
       s"runtime timestamps must prune whole time buckets:\n$plan")
   }
 
+  test("dynamic file pruning soundness: randomized dim joins match Spark's own evaluation") {
+    import spark.implicits._
+    // identity partitions + sortBy + native blooms on ONE table: every
+    // runtime decision source (tuple, range stats, bloom probe) under
+    // random join-key sets; ground truth is Spark joining the identical
+    // rows read outside the lake
+    spark.sql("CREATE TABLE lake.db.t_dfp_prop (k BIGINT, seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('sortBy' = 'k', 'bloomBy' = 'k')")
+    val data = spark.range(0, 6000)
+      .select($"id".as("k"), concat(lit("g"), $"id" % 5).as("seg"), ($"id" * 11L).as("v"))
+    for (b <- 0 until 3)
+      data.filter($"k" >= b * 2000L && $"k" < (b + 1) * 2000L)
+        .writeTo("lake.db.t_dfp_prop").append()
+    val plainPath = java.nio.file.Files.createTempDirectory("dfpprop").toString
+    data.write.mode("overwrite").parquet(plainPath)
+    val plain = spark.read.parquet(plainPath)
+    val rnd = new scala.util.Random(1123)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long)] =
+      df.select($"k", $"seg", $"v", $"code").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+    for (i <- 0 until 12) {
+      // the DPP shape: selective filter on the dim's NON-join-key column
+      val wanted = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(200)).distinct
+      val (dim, key) =
+        if (rnd.nextBoolean()) {
+          val m = 1 + rnd.nextInt(40)
+          (spark.range(0, 200)
+            .select(($"id" * m).as("k"), $"id".as("code"))
+            .filter($"id".isin(wanted.map(_.toLong): _*)), "k")
+        } else
+          (spark.range(0, 200)
+            .select(concat(lit("g"), $"id" % 7).as("seg"), $"id".as("code"))
+            .filter($"id".isin(wanted.map(_.toLong): _*)), "seg")
+      val got = rows(spark.table("lake.db.t_dfp_prop").join(dim, Seq(key)))
+      val want = rows(plain.join(dim, Seq(key)))
+      assert(got == want,
+        s"join #$i on $key (codes $wanted): lake ${got.size} rows, ground truth ${want.size}")
+    }
+  }
+
   test("target_file_bytes: the advisory shuffle size controls output file granularity") {
     import spark.implicits._
     // ~8 MB of INCOMPRESSIBLE payload (coalescing measures compressed
