@@ -1275,6 +1275,42 @@ object IngestQueries {
       .select($"join_rows", $"join_cents", $"point_cents", $"band_cents", $"miss")
   }
 
+  /** q109 — the `__row_groups` census proven DATA-TRUE: orders land
+    * as one sorted multi-row-group file (16 KB groups), and the
+    * census's per-group footer stats are folded back into global
+    * facts — summed group row counts, min-of-mins / max-of-maxes on
+    * the sort key, summed null counts on a planted-null column — that
+    * the DuckDB oracle recomputes straight from the raw rows. Group
+    * BOUNDARIES are writer-cadence implementation detail (not
+    * asserted); the fold over them must still equal the data exactly,
+    * or the stats row-group pruning trusts are lies.
+    */
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q109").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = s"$cat.db.orders_rgc"
+    spark.sql(s"CREATE TABLE $t (ok BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('sortBy' = 'ok', 'row_group_bytes' = '16384')")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        when($"o_orderkey" % 7 =!= 0L,
+          graft.functions.gf.fixed($"o_totalprice", 100.0)).as("cents"))
+      .coalesce(1).writeTo(t).append()
+    val rg = spark.table(s"${t}__row_groups")
+    val okF = rg.where($"column" === "ok")
+      .agg(sum($"rows").as("n_rows"), min($"min").as("min_ok"),
+        max($"max").as("max_ok"), sum($"null_count").as("ok_nulls"))
+    val centsF = rg.where($"column" === "cents")
+      .agg(sum($"null_count").as("cents_nulls"), max($"max").as("max_cents"))
+    okF.crossJoin(centsF)
+      .select($"n_rows", $"min_ok", $"max_ok", $"ok_nulls",
+        $"cents_nulls", $"max_cents")
+  }
+
   /** q95 — BLOOM-INDEXED point lookups as a correctness row: a
     * `bloomBy` table written in overlapping-range files (random
     * distribution — min/max stats cannot tell files apart), probed
@@ -1625,6 +1661,7 @@ object IngestQueries {
     "q104_daily_buckets" -> q104,
     "q106_bucket_optimize" -> q106,
     "q107_rowgroup_stack" -> q107,
+    "q109_rowgroup_census" -> q109,
     "q92_wap_refs" -> q92,
     "q93_metadata_agg" -> q93,
     "q94_filtered_meta" -> q94,
@@ -1655,6 +1692,18 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q109_rowgroup_census" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok,
+        |    CASE WHEN o_orderkey % 7 <> 0
+        |      THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END AS cents
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(ok) AS min_ok, max(ok) AS max_ok,
+        |  CAST(0 AS BIGINT) AS ok_nulls,
+        |  CAST(count(*) - count(cents) AS BIGINT) AS cents_nulls,
+        |  max(cents) AS max_cents
+        |FROM o""".stripMargin,
     "q107_rowgroup_stack" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok,

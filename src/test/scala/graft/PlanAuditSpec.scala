@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "c18_negative_pairs", // 1-row corpus count crossed onto the rank ring
     "q82_lake_lifecycle", // four 1-row time-travel count(*) frames crossed onto the 4-segment aggregate
     "q107_rowgroup_stack", // 1-row join aggregate crossed onto the 1-row scalar-subquery frame
+    "q109_rowgroup_census", // two 1-row census-fold aggregates crossed into the summary row
     "q85_lake_evolution", // one 1-row pre-evolution count(*) frame crossed onto the 5-bucket aggregate
     "q86_lake_zorder", // 1-row domain-half bounds frame crossed onto the clustered scan
     "q92_wap_refs", // three 1-row pinned/audit/tag count(*) frames crossed onto the segment aggregate
