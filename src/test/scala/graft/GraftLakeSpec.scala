@@ -2607,6 +2607,58 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("read-algebra soundness: randomized predicates over a partitioned multi-file table match Spark") {
+    import spark.implicits._
+    // the WHOLE plan-time decision surface under one randomized sweep:
+    // identity-tuple decisions, consumption (exact predicates with no
+    // residual), int/string range skipping, prefix ranges, null gates,
+    // and the row-group layer beneath — ground truth is Spark itself
+    spark.sql("CREATE TABLE lake.db.t_alg_prop (k BIGINT, seg STRING, s STRING, v BIGINT) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('sortBy' = 'k', 'row_group_bytes' = '8192')")
+    val data = spark.range(0, 12000)
+      .select($"id".as("k"), concat(lit("p"), $"id" % 4).as("seg"),
+        when($"id" % 89 =!= 0, concat(lit("w"), ($"id" % 40).cast("string"))).as("s"),
+        ($"id" * 13L % 997L).as("v"))
+    for (b <- 0 until 3)
+      data.filter($"k" >= b * 4000L && $"k" < (b + 1) * 4000L)
+        .writeTo("lake.db.t_alg_prop").append()
+    val plainPath = java.nio.file.Files.createTempDirectory("algprop").toString
+    data.write.mode("overwrite").parquet(plainPath)
+    val plain = spark.read.parquet(plainPath)
+    val rnd = new scala.util.Random(777)
+    def leaf(): String = rnd.nextInt(10) match {
+      case 0 => s"k ${Seq("<", "<=", ">", ">=")(rnd.nextInt(4))} ${rnd.nextInt(14000) - 1000}"
+      case 1 => s"k = ${rnd.nextInt(13000) - 500}"
+      case 2 => s"k IN (${Seq.fill(3)(rnd.nextInt(13000) - 500).mkString(", ")})"
+      case 3 => s"seg = 'p${rnd.nextInt(6)}'"
+      case 4 => s"seg IN ('p${rnd.nextInt(6)}', 'p${rnd.nextInt(6)}')"
+      case 5 => s"seg LIKE 'p%'"
+      case 6 => s"s = 'w${rnd.nextInt(50)}'"
+      case 7 => s"s LIKE 'w${rnd.nextInt(5)}%'"
+      case 8 => if (rnd.nextBoolean()) "s IS NULL" else "s IS NOT NULL"
+      case 9 => s"s ${Seq("<", ">=")(rnd.nextInt(2))} 'w${rnd.nextInt(50)}'"
+    }
+    def pred(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => s"(${pred(depth - 1)}) AND (${pred(depth - 1)})"
+        case 1 => s"(${pred(depth - 1)}) OR (${pred(depth - 1)})"
+        case 2 => s"NOT (${pred(depth - 1)})"
+      }
+    def rows(df: org.apache.spark.sql.DataFrame, p: String): Seq[(Long, String, String, Long)] =
+      df.where(p).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, String.valueOf(t._3), t._4)).toSeq
+    for (i <- 0 until 40) {
+      val p = pred(2)
+      val got = rows(spark.table("lake.db.t_alg_prop"), p)
+      val want = rows(plain, p)
+      assert(got == want,
+        s"predicate #$i '$p': lake returned ${got.size} rows, ground truth ${want.size}")
+    }
+  }
+
   test("row-group pruning stands down under delete vectors (dv positions index physical ordinals)") {
     import spark.implicits._
     import graft.sources.LakeParquet
