@@ -2682,6 +2682,27 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(spark.table("lake.db.t_rg_mor").count() == 39999L)
   }
 
+  test("__row_groups time-travels with the base log") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_rgtt (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('row_group_bytes' = '8192')")
+    spark.range(0, 3000).select($"id".as("k"), ($"id" * 2L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_rgtt").append() // v1
+    spark.range(3000, 9000).select($"id".as("k"), ($"id" * 2L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_rgtt").append() // v2
+    def census(sql: String): (Long, Long) = {
+      val r = spark.sql(sql).agg(
+        countDistinct(col("path")), sum(col("rows"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val cur = census("SELECT * FROM lake.db.t_rgtt__row_groups WHERE column = 'k'")
+    val pinned = census(
+      "SELECT * FROM lake.db.t_rgtt__row_groups VERSION AS OF 1 WHERE column = 'k'")
+    assert(cur == ((2L, 9000L)), s"head census sees both files' groups: $cur")
+    assert(pinned == ((1L, 3000L)),
+      s"the pinned census folds only v1's file: $pinned")
+  }
+
   test("compression property: zstd files are smaller, read identically, and bad codecs are refused at DDL") {
     import spark.implicits._
     def mk(name: String, codec: String): (Seq[(Long, String)], Long) = {
