@@ -1159,8 +1159,10 @@ object IngestQueries {
     * via the transform's own floorDiv math; cut is data-derived from
     * the metadata min/max so the row is scale-stable). The frame joins
     * the post-compaction per-day content census against (a) the
-    * PRE-compaction `__partitions` census (pinned at analysis — proves
-    * zero rows were lost or duplicated by the rewrite), (b) the post
+    * PRE-compaction `__partitions` census (pinned by VERSION AS OF at
+    * the captured pre-CALL head — meta tables evaluate at physical
+    * planning, so an unpinned read would see the post-compaction log;
+    * proves zero rows were lost or duplicated by the rewrite), (b) the post
     * `__partitions` file counts for compacted buckets (must be 1), and
     * (c) a pre/post `__files` PATH-SET diff for untouched buckets
     * (must be empty — compaction scoped to the predicate touches
@@ -1184,10 +1186,16 @@ object IngestQueries {
       .select(unix_micros($"ts").as("ts_us"), $"user_id",
         graft.functions.gf.fixed($"value", 1000.0).as("mv"))
     for (m <- 0 until 3) slice(m).writeTo(t).append()
-    // pinned PRE-compaction frames (analysis snapshots the log)
-    val preParts = broadcast(spark.table(s"${t}__partitions")
-      .select($"partition".as("bl"), $"live_rows".as("census_rows")))
-    val preFiles = spark.table(s"${t}__files")
+    // PRE-compaction frames pinned by TIME TRAVEL: meta tables are
+    // scanOnly — their row block evaluates at PHYSICAL planning, after
+    // the eager CALL below — so a plain `spark.table(__partitions)`
+    // here would silently read the post-compaction log. Capture the
+    // head version and pin both frames with VERSION AS OF instead.
+    val preV = spark.table(s"${t}__history").agg(max($"version")).head.getLong(0)
+    val preParts = broadcast(
+      spark.sql(s"SELECT * FROM ${t}__partitions VERSION AS OF $preV")
+        .select($"partition".as("bl"), $"live_rows".as("census_rows")))
+    val preFiles = spark.sql(s"SELECT * FROM ${t}__files VERSION AS OF $preV")
       .select($"path", $"partition".as("bl")).withColumn("inpre", lit(1))
     // data-derived cutoff day: metadata-only min/max, one bounded row
     val mm = spark.sql(s"SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM $t").head()

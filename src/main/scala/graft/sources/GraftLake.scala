@@ -291,7 +291,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     }
     val keep = properties.asScala.view
       .filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
-        "checkpoint_part_bytes", "runtime_filter_cols", "target_file_bytes",
+        "checkpoint_part_bytes", "checkpoint_interval", "runtime_filter_cols",
+        "target_file_bytes",
         "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -303,6 +304,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("checkpoint_part_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: checkpoint_part_bytes must be a positive integer, got '$v'"))
+    keep.get("checkpoint_interval").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: checkpoint_interval must be a positive integer, got '$v'"))
     keep.get("target_file_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
@@ -384,7 +388,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"got ${f.name}: ${f.dataType.simpleString}")
     }
     val keep = properties.asScala.view.filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
-        "checkpoint_part_bytes", "runtime_filter_cols", "target_file_bytes",
+        "checkpoint_part_bytes", "checkpoint_interval", "runtime_filter_cols",
+        "target_file_bytes",
         "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -396,6 +401,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("checkpoint_part_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: checkpoint_part_bytes must be a positive integer, got '$v'"))
+    keep.get("checkpoint_interval").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: checkpoint_interval must be a positive integer, got '$v'"))
     keep.get("target_file_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
@@ -535,6 +543,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           if (set.property == "checkpoint_part_bytes")
             require(set.value.toLongOption.exists(_ > 0L),
               s"graftlake: checkpoint_part_bytes must be a positive " +
+                s"integer, got '${set.value}'")
+          if (set.property == "checkpoint_interval")
+            require(set.value.toLongOption.exists(_ > 0L),
+              s"graftlake: checkpoint_interval must be a positive " +
                 s"integer, got '${set.value}'")
           if (set.property == "target_file_bytes")
             require(set.value.toLongOption.exists(_ > 0L),
@@ -950,7 +962,23 @@ case class LakeCpPart(part: Int, n: Int,
     // SOURCE column's stable id; present only when every entry shares
     // one value) — what lets a time-bucket table's synthetic tuples
     // stay exact, extending the census to the streaming-ingest layout
-    tv: Map[Long, String] = Map.empty)
+    tv: Map[Long, String] = Map.empty,
+    // INCREMENTAL-CHECKPOINT reuse index: the part's partition-tuple
+    // SORT-KEY range (entries sort by tuple before splitting, so this
+    // bounds where a post-checkpoint add can land) and a bloom over the
+    // part's entry PATHS (a kill that probes negative provably left the
+    // part untouched; a false positive merely rewrites it). None/empty
+    // on pre-reuse manifests — those checkpoints never reuse.
+    kr: Option[(String, String)] = None,
+    pb: Seq[Long] = Seq.empty,
+    // per-part folded KMV sketches (k-smallest of the entries' union —
+    // k-smallest is associative, so folding parts is lattice-equal to
+    // folding files): `__stats` NDV / CBO distinctCount answer from the
+    // manifest with zero part parses. Recorded per column only when
+    // every entry either carries a sketch or provably predates the
+    // column (contributing zero distinct values), mirroring the
+    // per-file fold's coverage rule exactly.
+    kv: Map[Long, Seq[Long]] = Map.empty)
 
 /** The LAZY file list of a multi-part checkpoint (+ the delta chain
   * folded on top as in-memory `adds` and a `kills` path set): scan
@@ -1076,6 +1104,73 @@ final class LakePartedFiles(dir: Path, private[sources] val version: Long,
         sstats = named(pm.sr))
     }
     Some(partFiles ++ adds)
+  }
+
+  /** EXACT live file count with zero part parses — only while nothing
+    * was killed (a kill would subtract an unknowable member count).
+    */
+  def exactTotal: Option[Int] =
+    if (kills.isEmpty) Some(parts.map(_.n).sum + adds.size) else None
+
+  /** The `__stats` ESTIMATOR fold served from the MANIFEST + in-memory
+    * adds with ZERO part parses: per schema field, (min/max, summed
+    * null count, KMV NDV). Serves only when every part fully covers
+    * every column's folds (cr for integral min/max, nc for nulls, kv
+    * for sketchable NDV) — full coverage means the per-file path would
+    * have had IDENTICAL inputs (the part folds are lattice-equal:
+    * k-smallest of a union is associative, ranges and sums fold), so
+    * the two paths can never disagree; anything weaker returns None
+    * and coverage degrades to parsing, never to a different answer.
+    * Post-checkpoint adds fold with the per-file consumer's exact
+    * (more lenient) rules — they are already in memory.
+    */
+  def estimatorStats(schema: StructType, cols: Seq[(String, Long)])
+      : Option[Seq[(String, Option[(Long, Long)], Option[Long], Option[Long])]] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    if (kills.nonEmpty || parts.isEmpty) return None
+    val ids = cols.toMap
+    val out = schema.fields.toSeq.map { fd =>
+      val integral = fd.dataType == LongType || fd.dataType == IntegerType
+      val sketchable = integral || fd.dataType == StringType
+      val id = ids.getOrElse(fd.name, return None)
+      if (integral && !parts.forall(_.cr.contains(id))) return None
+      if (!parts.forall(_.nc.contains(id))) return None
+      if (sketchable && !parts.forall(_.kv.contains(id))) return None
+      var lo = Long.MaxValue; var hi = Long.MinValue
+      var nulls = 0L; var haveMm = integral; var haveNulls = true
+      var haveKmv = sketchable
+      val kmvIn = Seq.newBuilder[Seq[Long]]
+      parts.foreach { pm =>
+        pm.cr.get(id).foreach { case (l, h) =>
+          lo = math.min(lo, l); hi = math.max(hi, h) }
+        nulls += pm.nc(id)
+        pm.kv.get(id).foreach(kmvIn += _)
+      }
+      adds.foreach { f =>
+        LakeColIds.physicalName(cols, f, fd.name) match {
+          case None => nulls += f.rows // predates the column
+          case Some(p) =>
+            f.nulls.get(p) match {
+              case Some(nn) => nulls += nn
+              case None => haveNulls = false
+            }
+            f.stats.get(p) match {
+              case Some((l, h)) => lo = math.min(lo, l); hi = math.max(hi, h)
+              case None =>
+                if (!f.nulls.get(p).contains(f.rows)) haveMm = false
+            }
+            f.kmv.get(p) match {
+              case Some(hs) => kmvIn += hs
+              case None => haveKmv = false
+            }
+        }
+      }
+      (fd.name,
+        if (haveMm && lo <= hi) Some((lo, hi)) else None,
+        if (haveNulls) Some(nulls) else None,
+        if (haveKmv) LakeParquet.kmvEstimate(kmvIn.result()) else None)
+    }
+    Some(out)
   }
 
   /** Entries that could match the pushed predicate set, parsing only
@@ -1652,7 +1747,12 @@ object LakeLog {
 
     Files.createDirectories(logDir(dir))
     if (publish(dir, versionFile(dir, snapshot.version), root)) {
-      if (snapshot.version > 0L && snapshot.version % CheckpointInterval == 0L) {
+      // cadence is a TABLE property: a streaming table committing every
+      // few seconds wants tight delta chains (cheap with part reuse), a
+      // bulk-load table fewer checkpoints; default = CheckpointInterval
+      val interval = snapshot.props.get("checkpoint_interval")
+        .flatMap(_.toLongOption).filter(_ > 0L).getOrElse(CheckpointInterval.toLong)
+      if (snapshot.version > 0L && snapshot.version % interval == 0L) {
         // best-effort: the version file above IS the commit — a
         // checkpoint is a pure read optimization (recomputable from
         // deltas), so a failure here must never report a COMMITTED
@@ -1728,6 +1828,146 @@ object LakeLog {
     */
   private[graft] def clearPartCache(): Unit = PartCache.clear()
 
+  /** The partition-tuple key checkpoint entries SORT by before
+    * splitting: each part then covers a contiguous tuple range, which
+    * is both what makes the manifest's per-part value sets selective
+    * AND what bounds where a post-checkpoint add can land (the
+    * incremental planner's range test).
+    */
+  private[sources] def entrySortKey(f: LakeFile): String =
+    f.part.map(_.getOrElse("\u0000")).mkString("\u0001")
+
+  // ---- checkpoint-part PATH blooms (incremental reuse) ----
+  // ~10 bits per entry, 6 probes (FP ~1%). A kill that probes NEGATIVE
+  // provably never touched the part (no false negatives); a false
+  // positive merely rewrites a reusable part — sound, just less reuse.
+  // xxHash64 over the path's UTF-8 bytes, double-hashed probes.
+
+  private def pathHash(path: String): Long = {
+    val b = path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 2026L)
+  }
+
+  private def pathBloomProbe(h1: Long, m: Long)(set: Long => Unit): Unit = {
+    val h2 = (h1 * 0x9E3779B97F4A7C15L) | 1L
+    var i = 0
+    while (i < 6) {
+      set(java.lang.Math.floorMod(h1 + i.toLong * h2, m))
+      i += 1
+    }
+  }
+
+  private[sources] def pathBloomBuild(paths: Seq[String]): Seq[Long] = {
+    val words = math.max(1, (paths.size * 10 + 63) / 64)
+    val bits = new Array[Long](words)
+    val m = words.toLong * 64L
+    paths.foreach(p => pathBloomProbe(pathHash(p), m) { pos =>
+      bits((pos >> 6).toInt) |= 1L << (pos & 63L)
+    })
+    bits.toVector
+  }
+
+  private[sources] def pathBloomContains(bloom: Seq[Long], path: String): Boolean = {
+    if (bloom.isEmpty) return true // absent bloom cannot rule out
+    val bits = bloom.toIndexedSeq
+    val m = bits.length.toLong * 64L
+    var hit = true
+    pathBloomProbe(pathHash(path), m) { pos =>
+      if ((bits((pos >> 6).toInt) & (1L << (pos & 63L))) == 0L) hit = false
+    }
+    hit
+  }
+
+  /** Checkpoint parts SERIALIZED vs REUSED (hard-linked from the
+    * previous checkpoint's payload) since process start — the counter
+    * pair proving a small commit's checkpoint costs O(changed parts)
+    * serialization, not O(table).
+    */
+  private[graft] val checkpointPartsWritten = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val checkpointPartsReused = new java.util.concurrent.atomic.AtomicLong
+
+  private sealed trait CpSeg
+  private case class CpReuse(srcV: Long, meta: LakeCpPart) extends CpSeg
+  private case class CpWrite(entries: Seq[LakeFile]) extends CpSeg
+
+  /** Plan checkpoint `snapshot.version` INCREMENTALLY against the
+    * previous checkpoint: a part is REUSED — payload hard-linked, its
+    * manifest partmeta copied verbatim — when no kill probes its path
+    * bloom and no add's sort key falls inside its tuple range; the
+    * rest (killed/changed entries, in-range adds, adds between ranges)
+    * merge, re-sort, and byte-split exactly like the full path. link(2)
+    * means vacuum unlinking the OLD checkpoint's names leaves shared
+    * inodes alive, so reuse is retention-safe by construction. None →
+    * full rewrite: no prior parted checkpoint, a pre-reuse manifest
+    * (no kr/pb), a pruned delta in the gap, or any schema/props change
+    * (partition spec, column ids, and the split bound all derive from
+    * them — and a reused partmeta must stay valid verbatim).
+    */
+  private def incrementalSegments(dir: Path, snapshot: LakeSnapshot,
+      splitRun: Seq[LakeFile] => Seq[CpSeg]): Option[Seq[CpSeg]] = {
+    val v = snapshot.version
+    val pcv = listLog(dir, "c").filter(_ < v).maxOption.getOrElse(return None)
+    val mf = checkpointFile(dir, pcv)
+    if (!Files.isRegularFile(mf)) return None
+    val root = mapper.readTree(Files.readAllBytes(mf))
+    if (root.has("files")) return None // legacy inline checkpoint
+    val oldParts = readPartMeta(root).getOrElse(return None)
+    if (oldParts.exists(p => p.kr.isEmpty || p.pb.isEmpty)) return None
+    if (readSchemaOf(root).json != snapshot.schema.json) return None
+    // gate only on the props partMeta DERIVES FROM — column ids, the
+    // partition-spec history (tuple/tv validity), the split bound.
+    // Volatile props (txn. idempotence watermarks) must not disable
+    // reuse on exactly the streaming tables that benefit most.
+    val oldProps = readProps(root)
+    if (Seq("colids", LakePartitioning.PropKey, LakePartitioning.SpecsKey,
+        "checkpoint_part_bytes")
+      .exists(k => oldProps.get(k) != snapshot.props.get(k))) return None
+    // fold the delta gap — the same survivor algebra snapshotAt uses
+    var adds = Vector.empty[LakeFile]
+    var kills = Set.empty[String]
+    var i = pcv + 1L
+    while (i <= v) {
+      deltaAt(dir, i) match {
+        case None => return None // pruned gap: cannot prove the fold
+        case Some((_, _, a, r)) =>
+          kills ++= r
+          adds = adds.filterNot(f => r(f.path)) ++ a
+      }
+      i += 1L
+    }
+    // assign each add to the first part whose range can hold it, or to
+    // the gap before that part (equal keys carry no order semantics)
+    val addsFor = Array.fill(oldParts.size)(Vector.empty[LakeFile])
+    val gapBefore = Array.fill(oldParts.size + 1)(Vector.empty[LakeFile])
+    adds.foreach { a =>
+      val k = entrySortKey(a)
+      val j = oldParts.indexWhere(p => p.kr.get._2 >= k)
+      if (j < 0) gapBefore(oldParts.size) :+= a
+      else if (oldParts(j).kr.get._1 <= k) addsFor(j) :+= a
+      else gapBefore(j) :+= a
+    }
+    val segs = Vector.newBuilder[CpSeg]
+    var pending = Vector.empty[LakeFile]
+    def flush(): Unit = if (pending.nonEmpty) {
+      segs ++= splitRun(pending.sortBy(entrySortKey)); pending = Vector.empty
+    }
+    oldParts.indices.foreach { j =>
+      pending ++= gapBefore(j)
+      val pm = oldParts(j)
+      val dirty = addsFor(j).nonEmpty ||
+        kills.exists(p => pathBloomContains(pm.pb, p))
+      if (dirty)
+        pending = pending ++
+          checkpointPartEntries(dir, pcv, pm.part).filterNot(f => kills(f.path)) ++
+          addsFor(j)
+      else { flush(); segs += CpReuse(pcv, pm) }
+    }
+    pending ++= gapBefore(oldParts.size)
+    flush()
+    Some(segs.result())
+  }
+
   def checkpoint(dir: Path, snapshot: LakeSnapshot): Unit = {
     checkpointFault.foreach { case (dirKey, msg) =>
       if (dir.toString.contains(dirKey)) throw new java.io.IOException(msg)
@@ -1735,47 +1975,58 @@ object LakeLog {
     val bound = math.max(1L,
       snapshot.props.get("checkpoint_part_bytes").flatMap(_.toLongOption)
         .getOrElse(CheckpointPartBytesDefault))
-    // entries SORT by partition tuple before splitting (file order
-    // carries no semantics): each part then covers a contiguous tuple
-    // range, which is what makes the manifest's per-part value sets
-    // selective — scan planning on a pruned predicate parses only the
-    // intersecting parts. Stable sort, deterministic split: a losing
-    // concurrent checkpointer republishes identical content.
-    val ordered = snapshot.files
-      .sortBy(_.part.map(_.getOrElse("\u0000")).mkString("\u0001"))
-    // cut by MEASURED serialized entry size, not entry count —
-    // stats-heavy entries pack fewer per part, keeping task parse
-    // work truly byte-bounded
-    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[LakeFile]]
-    var cur = Seq.newBuilder[LakeFile]
-    var curN = 0
-    var curBytes = 0L
-    ordered.foreach { f =>
-      val b = mapper.writeValueAsBytes(entryNode(f)).length.toLong
-      if (curN > 0 && curBytes + b > bound) {
-        parts += cur.result(); cur = Seq.newBuilder[LakeFile]
-        curN = 0; curBytes = 0L
+    // cut a SORTED run by MEASURED serialized entry size, not entry
+    // count — stats-heavy entries pack fewer per part, keeping task
+    // parse work truly byte-bounded
+    def splitRun(run: Seq[LakeFile]): Seq[CpSeg] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[LakeFile]]
+      var cur = Seq.newBuilder[LakeFile]
+      var curN = 0
+      var curBytes = 0L
+      run.foreach { f =>
+        val b = mapper.writeValueAsBytes(entryNode(f)).length.toLong
+        if (curN > 0 && curBytes + b > bound) {
+          parts += cur.result(); cur = Seq.newBuilder[LakeFile]
+          curN = 0; curBytes = 0L
+        }
+        cur += f; curN += 1; curBytes += b
       }
-      cur += f; curN += 1; curBytes += b
+      if (curN > 0) parts += cur.result()
+      parts.toSeq.map(CpWrite.apply)
     }
-    if (curN > 0) parts += cur.result()
+    // INCREMENTAL first — O(changed parts) serialization, and a lazy
+    // parted snapshot is never materialized; the full path sorts every
+    // entry by partition tuple and splits from scratch. Both are
+    // deterministic from the log state: a losing concurrent
+    // checkpointer republishes identical content and the
+    // create-if-absent publish stays idempotent.
+    val segs: Seq[CpSeg] = incrementalSegments(dir, snapshot, splitRun)
+      .getOrElse(splitRun(snapshot.files.sortBy(entrySortKey)))
     Files.createDirectories(logDir(dir))
-    parts.zipWithIndex.foreach { case (fs, i) =>
-      val pn = mapper.createObjectNode()
-      pn.put("version", snapshot.version)
-      pn.put("part", i)
-      val arr = pn.putArray("files")
-      fs.foreach(writeEntry(arr, _))
-      publish(dir, checkpointPartFile(dir, snapshot.version, i), pn, pretty = false)
+    val metas = segs.zipWithIndex.map {
+      case (CpReuse(srcV, meta), i) =>
+        val target = checkpointPartFile(dir, snapshot.version, i)
+        if (!Files.isRegularFile(target))
+          try { Files.createLink(target, checkpointPartFile(dir, srcV, meta.part)); () }
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        checkpointPartsReused.incrementAndGet()
+        meta.copy(part = i)
+      case (CpWrite(fs), i) =>
+        val pn = mapper.createObjectNode()
+        pn.put("version", snapshot.version)
+        pn.put("part", i)
+        val arr = pn.putArray("files")
+        fs.foreach(writeEntry(arr, _))
+        publish(dir, checkpointPartFile(dir, snapshot.version, i), pn, pretty = false)
+        checkpointPartsWritten.incrementAndGet()
+        partMeta(i, fs, snapshot.schema, snapshot.props)
     }
     val root = mapper.createObjectNode()
     root.put("version", snapshot.version)
     root.put("schema", snapshot.schema.json)
-    root.put("parts", parts.size)
+    root.put("parts", segs.size)
     val pm = root.putArray("partmeta")
-    parts.zipWithIndex.foreach { case (fs, i) =>
-      pm.add(partMetaNode(partMeta(i, fs, snapshot.schema, snapshot.props)))
-    }
+    metas.foreach(m => pm.add(partMetaNode(m)))
     val pr = root.putObject("props")
     snapshot.props.foreach { case (k, v) => pr.put(k, v) }
     publish(dir, checkpointFile(dir, snapshot.version), root)
@@ -1851,6 +2102,7 @@ object LakeLog {
     val df = fs.forall(f => f.dvRows == 0L && f.dv.isEmpty)
     val sm = Map.newBuilder[Long, Long]
     val nc = Map.newBuilder[Long, Long]
+    val kv = Map.newBuilder[Long, Seq[Long]]
     val uord = Ordering.by(org.apache.spark.unsafe.types.UTF8String.fromString)
     cols.foreach { case (name, id) =>
       val ranges = fs.map(f =>
@@ -1875,10 +2127,29 @@ object LakeLog {
         if (nulls.nonEmpty && nulls.forall(_.isDefined))
           nc += id -> nulls.flatten.sum
       }
+      // per-part KMV fold: k-smallest of the entries' union (unsigned),
+      // recorded only when EVERY entry carries a sketch — the same
+      // coverage rule as sums, so a manifest-served NDV can only exist
+      // where the per-file fold would have had identical inputs
+      val kms = fs.map(f =>
+        LakeColIds.physicalName(cols, f, name).flatMap(f.kmv.get))
+      if (kms.nonEmpty && kms.forall(_.isDefined)) {
+        val set = new java.util.TreeSet[java.lang.Long]()
+        kms.flatten.flatten.foreach { h =>
+          set.add(h ^ Long.MinValue)
+          if (set.size > LakeParquet.KmvK) { set.pollLast(); () }
+        }
+        kv += id -> set.iterator().asScala.map(_.longValue ^ Long.MinValue).toVector
+      }
     }
     LakeCpPart(i, fs.size, pv.result(), pr.result(), cr.result(),
       liveRows = fs.map(_.liveRows).sum, sr = sr.result(),
-      sm = sm.result(), nc = nc.result(), df = df, tv = tv.result())
+      sm = sm.result(), nc = nc.result(), df = df, tv = tv.result(),
+      // fs arrives sorted by entrySortKey (both split paths sort), so
+      // head/last bound the part's tuple range exactly
+      kr = Some((entrySortKey(fs.head), entrySortKey(fs.last))),
+      pb = pathBloomBuild(fs.map(_.path)),
+      kv = kv.result())
   }
 
   private def partMetaNode(pm: LakeCpPart): ObjectNode = {
@@ -1923,7 +2194,30 @@ object LakeLog {
       val o = n.putObject("tv")
       pm.tv.foreach { case (id, v) => o.put(id.toString, v) }
     }
+    pm.kr.foreach { case (lo, hi) =>
+      val a = n.putArray("kr"); a.add(lo); a.add(hi); ()
+    }
+    if (pm.pb.nonEmpty) n.put("pb", b64Longs(pm.pb))
+    if (pm.kv.nonEmpty) {
+      val o = n.putObject("kv")
+      pm.kv.foreach { case (id, hs) => o.put(id.toString, b64Longs(hs)) }
+    }
     n
+  }
+
+  /** Packed base64 of big-endian longs — the `kmvb` wire form, shared
+    * by part blooms and part-folded sketches.
+    */
+  private def b64Longs(hs: Seq[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(hs.length * 8)
+    hs.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def longsB64(b64: String): Seq[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Vector.fill(bytes.length / 8)(bb.getLong)
   }
 
   private def readPartMeta(root: JsonNode): Option[Seq[LakeCpPart]] =
@@ -1949,7 +2243,12 @@ object LakeLog {
           e.getKey.toLong -> e.getValue.asLong).toMap).getOrElse(Map.empty),
         df = Option(n.get("df")).exists(_.asBoolean),
         tv = Option(n.get("tv")).map(_.properties().asScala.map(e =>
-          e.getKey.toLong -> e.getValue.asText).toMap).getOrElse(Map.empty))
+          e.getKey.toLong -> e.getValue.asText).toMap).getOrElse(Map.empty),
+        kr = Option(n.get("kr")).map(a => (a.get(0).asText, a.get(1).asText)),
+        pb = Option(n.get("pb")).map(x => longsB64(x.asText)).getOrElse(Seq.empty),
+        kv = Option(n.get("kv")).map(_.properties().asScala.map(e =>
+          e.getKey.toLong -> longsB64(e.getValue.asText)).toMap)
+          .getOrElse(Map.empty))
     }.toSeq)
 
   /** The manifest's per-part index of checkpoint `v` (empty when the
@@ -3607,8 +3906,16 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     }
     // DATA-column runtime predicates feed the per-file stats algebra
     // (row-level `_file` sets never do: `decide` would read an unknown
-    // column name as NULL-only and wrongly exclude)
-    if (onPlanned.isEmpty) runtimePreds = predicates
+    // column name as NULL-only and wrongly exclude). ACCUMULATE across
+    // filter() calls — runtimeFiles/runtimeParts intersect above, and
+    // if Spark applies two runtime filters to one scan, both must
+    // participate in stats/bloom and row-group pruning (the conjunction
+    // only ever narrows, so dedup by string form is sound)
+    if (onPlanned.isEmpty) {
+      val seen = runtimePreds.map(_.toString).toSet
+      runtimePreds = runtimePreds ++
+        predicates.filterNot(p => seen(p.toString))
+    }
     plannedCache = null
   }
 

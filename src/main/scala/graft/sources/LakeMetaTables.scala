@@ -170,7 +170,31 @@ object LakeMetaTables {
     scanOnly(StatsSchema, {
       val snap = snapFor(dir, baseName, pin)
       val cols = LakeColIds.cols(snap.schema, snap.props)
-      snap.schema.fields.toSeq.map { fd =>
+      // MANIFEST-served fold: on a parted checkpoint whose per-part
+      // folds fully cover every column (cr/nc/kv), the census answers
+      // with ZERO part parses — the 10^8-file table's stats read is
+      // |parts| manifest rows. estimatorStats guarantees value equality
+      // with the parsed fold (or declines), so the two paths can never
+      // disagree.
+      val manifest = snap.files match {
+        case pf: LakePartedFiles =>
+          pf.estimatorStats(snap.schema, cols).zip(pf.exactTotal)
+        case _ => None
+      }
+      manifest match {
+        case Some((stats, n)) =>
+          stats.map { case (name, mm, nulls, ndv) =>
+            val fd = snap.schema(name)
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(name),
+              UTF8String.fromString(fd.dataType.simpleString),
+              mm.map(v => Long.box(v._1)).orNull,
+              mm.map(v => Long.box(v._2)).orNull,
+              nulls.map(Long.box).orNull,
+              ndv.map(Long.box).orNull,
+              n)): InternalRow
+          }
+        case None => snap.schema.fields.toSeq.map { fd =>
         val integral = fd.dataType == LongType || fd.dataType == IntegerType
         var lo = Long.MaxValue; var hi = Long.MinValue
         var nulls = 0L; var haveMm = integral; var haveNulls = true
@@ -205,6 +229,7 @@ object LakeMetaTables {
           if (haveNulls) Long.box(nulls) else null,
           ndv.map(Long.box).orNull,
           snap.files.size)): InternalRow
+        }
       }
     }, s"graftlake.$baseName:stats")
 
@@ -345,12 +370,19 @@ object LakeMetaTables {
     StructField("max", LongType, nullable = true),
     StructField("smin", StringType, nullable = true),
     StructField("smax", StringType, nullable = true),
-    StructField("null_count", LongType, nullable = true)))
+    StructField("null_count", LongType, nullable = true),
+    StructField("dv_rows", LongType, nullable = false)))
 
   /** `<table>__row_groups` — the INTRA-file skipping census: one row
     * per (live file, row group, current column) with the group's own
     * footer stats, exactly what [[LakeScan]]'s row-group pruning
-    * decides on. An operator reads this to judge whether a layout's
+    * decides on. `rows` is the PHYSICAL footer row count of the group —
+    * on a dv'd (MOR) file it includes deleted rows, because the footer
+    * cannot know them; `dv_rows` carries the FILE's delete-vector row
+    * count (constant across the file's groups) so a census consumer can
+    * reconcile `sum(rows over one column) - any(dv_rows) per file`
+    * against `__partitions.live_rows`. An operator reads this to judge
+    * whether a layout's
     * groups actually separate the predicate columns (and to size
     * `row_group_bytes`) before trusting point-lookup latency at scale.
     * DISTRIBUTED: one task per file — footer reads never serialize
@@ -375,7 +407,8 @@ object LakeMetaTables {
               // physical→current name map for THIS file's era
               val names = snap.schema.fieldNames.toSeq
                 .flatMap(n => LakeColIds.physicalName(cols, f, n).map(_ -> n))
-              LakeRowGroupsChunk(dir.toString, f.path, names): InputPartition
+              LakeRowGroupsChunk(dir.toString, f.path, names,
+                f.dvRows): InputPartition
             }.toArray
           }
           override def createReaderFactory(): PartitionReaderFactory =
@@ -449,7 +482,7 @@ case class LakeFilesChunk(dir: String, kind: String, version: Long,
   * names to their CURRENT ones.
   */
 case class LakeRowGroupsChunk(dir: String, path: String,
-    names: Seq[(String, String)]) extends InputPartition
+    names: Seq[(String, String)], dvRows: Long = 0L) extends InputPartition
 
 /** Task-side `__row_groups` reader: one footer open per file, rows
   * straight off the block metadata via the SAME per-block extraction
@@ -478,7 +511,8 @@ case class LakeRowGroupsReaderFactory() extends PartitionReaderFactory {
           mm.map(v => Long.box(v._2)).orNull,
           smm.map(v => UTF8String.fromString(v._1)).orNull,
           smm.map(v => UTF8String.fromString(v._2)).orNull,
-          b.nulls.get(phys).map(Long.box).orNull)): InternalRow
+          b.nulls.get(phys).map(Long.box).orNull,
+          c.dvRows)): InternalRow
       }
     }
     new PartitionReader[InternalRow] {

@@ -4579,6 +4579,146 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental checkpoints: a small commit hard-links untouched parts, rewrites only its bucket's; vacuum keeps reused payloads alive") {
+    import spark.implicits._
+    // one entry per part (checkpoint_part_bytes='1' — tuple-pure split)
+    spark.sql("""CREATE TABLE lake.db.t_incp (id BIGINT, b BIGINT)
+      |PARTITIONED BY (b) TBLPROPERTIES ('checkpoint_part_bytes' = '1')""".stripMargin)
+    // v1..v10: three NEW buckets per commit -> checkpoint v10, 30 parts
+    for (c <- 0 until 10)
+      spark.range(c * 30L, c * 30L + 30L)
+        .select($"id", ($"id" % 3L + c * 3L).as("b"))
+        .coalesce(1).writeTo("lake.db.t_incp").append()
+    val dir = tableDir("t_incp")
+    assert(LakeLog.checkpointParts(dir, 10L) == 30)
+    // v11..v20: ten commits ALL into bucket 0 — at the v20 checkpoint
+    // bucket 0's part is dirty (10 in-range adds), the other 29 reuse
+    val w0 = LakeLog.checkpointPartsWritten.get()
+    val r0 = LakeLog.checkpointPartsReused.get()
+    for (c <- 0 until 10)
+      spark.range(1000L + c * 5L, 1000L + c * 5L + 5L)
+        .select($"id", lit(0L).as("b"))
+        .coalesce(1).writeTo("lake.db.t_incp").append()
+    val written = LakeLog.checkpointPartsWritten.get() - w0
+    val reused = LakeLog.checkpointPartsReused.get() - r0
+    // 11 single-entry rewritten parts (bound=1): the old bucket-0 entry
+    // + ten adds; everything else rides by hard link, zero serialization
+    assert(reused == 29L, s"expected 29 reused parts, got $reused")
+    assert(written == 11L, s"expected 11 rewritten parts, got $written")
+    assert(LakeLog.checkpointParts(dir, 20L) == 40)
+    // a reused part is the SAME inode under both checkpoints' names
+    val linked = (0 until 30).exists { j =>
+      (0 until 40).exists { i =>
+        val a = dir.resolve("_log").resolve(f"c${10L}%08d.p$j%04d.json")
+        val b = dir.resolve("_log").resolve(f"c${20L}%08d.p$i%04d.json")
+        Files.isRegularFile(a) && Files.isRegularFile(b) && Files.isSameFile(a, b)
+      }
+    }
+    assert(linked, "at least one v20 part must be a hard link of a v10 part")
+    // vacuum prunes the v10 checkpoint NAMES; shared inodes stay alive,
+    // so the head still reads exactly — retention-safe by construction
+    spark.sql("CALL lake.system.vacuum('db.t_incp', 1)").collect()
+    assert(!Files.isRegularFile(
+      dir.resolve("_log").resolve(f"c${10L}%08d.json")))
+    LakeLog.clearPartCache()
+    assert(spark.table("lake.db.t_incp").count() == 350L)
+    // bucket 7 rows: commit c=2, ids 61,64,...,88 (id%3==1) -> sum 745
+    assert(spark.sql(
+      "SELECT count(*), sum(id) FROM lake.db.t_incp WHERE b = 7")
+      .as[(Long, Long)].head() == ((10L, 745L)))
+  }
+
+  test("checkpoint_interval is a table property: per-table cadence, bad values rejected") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    def nCheckpoints(name: String): Int = {
+      val ld = tableDir(name).resolve("_log")
+      scala.util.Using.resource(Files.list(ld)) { st =>
+        st.iterator().asScala.map(_.getFileName.toString).count(n =>
+          n.startsWith("c") && n.endsWith(".json") &&
+            n.stripPrefix("c").stripSuffix(".json").forall(_.isDigit))
+      }
+    }
+    for ((t, iv) <- Seq("t_cad2" -> 2, "t_cad5" -> 5)) {
+      spark.sql(s"CREATE TABLE lake.db.$t (id BIGINT) " +
+        s"TBLPROPERTIES ('checkpoint_interval' = '$iv')")
+      for (c <- 0 until 5)
+        spark.range(c * 10L, c * 10L + 10L).coalesce(1)
+          .writeTo(s"lake.db.$t").append()
+    }
+    assert(nCheckpoints("t_cad2") == 2, "interval 2 over v1..v5: c2, c4")
+    assert(nCheckpoints("t_cad5") == 1, "interval 5 over v1..v5: c5 only")
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE lake.db.t_cadbad (id BIGINT) " +
+        "TBLPROPERTIES ('checkpoint_interval' = '0')"))
+    assert(e1.getMessage.contains("checkpoint_interval"))
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE lake.db.t_cad2 SET TBLPROPERTIES ('checkpoint_interval' = 'x')"))
+    assert(e2.getMessage.contains("checkpoint_interval"))
+  }
+
+  test("__stats answers from the manifest with zero part parses; values identical to the parsed fold") {
+    import spark.implicits._
+    // every column fully covered (stats + nulls + sketches per file),
+    // head exactly at a checkpoint -> the manifest serves alone
+    spark.sql("""CREATE TABLE lake.db.t_mfstats (id BIGINT, s STRING)
+      |TBLPROPERTIES ('checkpoint_part_bytes' = '2048')""".stripMargin)
+    def slice(c: Int) = spark.range(c * 40L, c * 40L + 40L)
+      .select($"id", concat(lit("v"), ($"id" % 17L).cast("string")).as("s"))
+    for (c <- 0 until 10)
+      slice(c).coalesce(1).writeTo("lake.db.t_mfstats").append()
+    LakeLog.clearPartCache()
+    val reads0 = LakeLog.checkpointReads.get()
+    val got = spark.table("lake.db.t_mfstats__stats")
+      .select($"column", $"min", $"max", $"null_count", $"ndv")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(LakeLog.checkpointReads.get() == reads0,
+      "a covered checkpointed census must not parse any part")
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) == Seq(
+      ("id", Some(0L), Some(399L), 0L),
+      ("s", None, None, 0L)))
+    // KMV fold is lattice-equal: the same DATA in a pre-checkpoint
+    // table (9 commits, different file splits) estimates identically —
+    // the k-smallest of a union is split-independent
+    spark.sql("CREATE TABLE lake.db.t_mfstats0 (id BIGINT, s STRING)")
+    for (c <- 0 until 9)
+      slice(c).coalesce(1).writeTo("lake.db.t_mfstats0").append()
+    slice(9).coalesce(1).writeTo("lake.db.t_mfstats0").append()
+    val parsed = spark.table("lake.db.t_mfstats0__stats")
+      .select($"column", $"ndv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map(g => g._1 -> g._5).toMap == parsed,
+      "manifest-served NDV must equal the per-file fold exactly")
+    // a kill (COW delete) closes the shortcut: the parsed path serves,
+    // still exact — coverage degrades to parsing, never to a lie
+    spark.sql("DELETE FROM lake.db.t_mfstats WHERE id < 40")
+    LakeLog.clearPartCache()
+    val reads1 = LakeLog.checkpointReads.get()
+    val afterDel = spark.table("lake.db.t_mfstats__stats")
+      .where($"column" === "id").select($"min").head.getLong(0)
+    assert(afterDel == 40L)
+    assert(LakeLog.checkpointReads.get() > reads1, "with kills the parts must parse")
+  }
+
+  test("__row_groups dv_rows reconciles the physical census with live_rows on a MOR file") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_rgdv (id BIGINT, v BIGINT)
+      |TBLPROPERTIES ('mode' = 'mor', 'row_group_bytes' = '8192')""".stripMargin)
+    spark.range(0, 3000).select($"id", ($"id" * 2L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_rgdv").append()
+    spark.sql("DELETE FROM lake.db.t_rgdv WHERE id % 3 = 0") // Mixed -> dv
+    val rg = spark.table("lake.db.t_rgdv__row_groups").where($"column" === "id")
+      .groupBy($"path").agg(sum($"rows").as("phys"), max($"dv_rows").as("dv"))
+    val files = spark.table("lake.db.t_rgdv__files")
+      .select($"path", $"live_rows")
+    val bad = rg.join(files, "path")
+      .where($"phys" - $"dv" =!= $"live_rows").count()
+    assert(bad == 0L,
+      "sum(group rows) - dv_rows must equal the file's live_rows")
+    assert(rg.agg(sum($"dv")).head.getLong(0) > 0L, "the dv must be real")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
