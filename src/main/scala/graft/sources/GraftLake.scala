@@ -3996,7 +3996,7 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     * qualify — the same algebra that skipped files skips groups.
     */
   private def rgPredsFor(f: LakeFile, renames: Map[String, String]): Seq[VPredicate] =
-    if (onPlanned.isDefined || f.dv.nonEmpty ||
+    if (onPlanned.isDefined ||
         required.fieldNames.contains(LakeTable.PosColumn)) Seq.empty
     else (rgPreds ++ runtimePreds).filter(_.references().forall(r =>
       r.fieldNames.length == 1 && renames.contains(r.fieldNames.head))).toSeq
@@ -4260,7 +4260,7 @@ case class LakeReaderFactory(tableSchema: StructType,
       case _ => ()
     }
     val p = partition.asInstanceOf[LakeInputFile]
-    val dv: Array[Long] = p.dv
+    val dvPhysical: Array[Long] = p.dv
       .map(LakeDv.read(Paths.get(p.tableDir), _))
       .getOrElse(Array.emptyLongArray)
     // per-required-column codes: -1 = _file, -2 = _pos, -3 = column not
@@ -4285,13 +4285,22 @@ case class LakeReaderFactory(tableSchema: StructType,
     // (NEVER the reader==null metadata synthesis below, which means
     // "no data column requested", a different thing entirely)
     var allPruned = false
+    // group skipping shifts physical ordinals: the dv (keyed by
+    // PHYSICAL position) is remapped into the kept-groups' emitted
+    // space, so MOR files keep skipping instead of standing down
+    // (_pos projections and row-level-op scans still exclude rgPreds
+    // upstream — THEIR consumers need true physical ordinals)
+    var dv: Array[Long] = dvPhysical
     val reader =
       if (physical.isEmpty) null
       else if (p.rgPreds.nonEmpty)
         LakeParquet.openVectorizedPruned(
           Paths.get(p.tableDir).resolve(p.path), physical.toSeq,
-          p.rgPreds.toArray, n => p.rename.get(n))
-          .getOrElse { allPruned = true; null }
+          p.rgPreds.toArray, n => p.rename.get(n)) match {
+          case Some((r, spans)) =>
+            dv = LakeParquet.remapDv(dvPhysical, spans); r
+          case None => allPruned = true; null
+        }
       else LakeParquet.openVectorized(
         Paths.get(p.tableDir).resolve(p.path), physical.toSeq)
     val filePathValue = UTF8String.fromString(p.path)
@@ -4350,7 +4359,7 @@ case class LakeReaderFactory(tableSchema: StructType,
     // the delete vector (if any) is read TASK-side and applied inside
     // the batch as a live-row selection — the scan stays columnar on a
     // MOR table under continuous deletes
-    val dv: Array[Long] = p.dv
+    val dvPhysical: Array[Long] = p.dv
       .map(LakeDv.read(Paths.get(p.tableDir), _))
       .getOrElse(Array.emptyLongArray)
     // decoded columns = required data columns present in the file;
@@ -4366,9 +4375,12 @@ case class LakeReaderFactory(tableSchema: StructType,
           Paths.get(p.tableDir).resolve(p.path),
           present.map(t => p.rename(t._1)).toSeq,
           p.rgPreds.toArray, n => p.rename.get(n))
-      else Some(LakeParquet.openVectorized(
+          // remap the dv into the kept-groups' emitted coordinates
+          .map { case (r, spans) =>
+            (r, LakeParquet.remapDv(dvPhysical, spans)) }
+      else Some((LakeParquet.openVectorized(
         Paths.get(p.tableDir).resolve(p.path),
-        present.map(t => p.rename(t._1)).toSeq))
+        present.map(t => p.rename(t._1)).toSeq), dvPhysical))
     if (readerOpt.isEmpty)
       // every row group provably matchless: an empty batch stream
       return new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -4377,7 +4389,7 @@ case class LakeReaderFactory(tableSchema: StructType,
           throw new IllegalStateException("empty reader")
         override def close(): Unit = ()
       }
-    val reader = readerOpt.get
+    val (reader, dv) = readerOpt.get
     reader.initBatch(
       StructType(consts.map { case (n, dt) =>
         StructField(n, dt, nullable = n != LakeTable.FileColumn) }),

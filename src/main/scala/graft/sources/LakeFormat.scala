@@ -445,10 +445,17 @@ object LakeParquet {
     * None = every group provably matchless (the caller emits no rows;
     * it must NOT fall back to a metadata row count). The footer is
     * read once and drives the decisions and the read.
+    *
+    * Returns the reader PLUS the kept groups' physical row spans
+    * (start, rows) in file order — what lets a delete vector (keyed by
+    * PHYSICAL position) be remapped into the kept-groups' emitted
+    * coordinate space ([[remapDv]]), so MOR files keep group skipping
+    * instead of standing down.
     */
   def openVectorizedPruned(file: NioPath, columns: Seq[String],
       preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
-      resolve: String => Option[String]): Option[VectorizedParquetRecordReader] = {
+      resolve: String => Option[String])
+      : Option[(VectorizedParquetRecordReader, Seq[(Long, Long)])] = {
     val reader = ParquetFileReader.open(new LocalInputFile(file))
     try {
       val footer = reader.getFooter
@@ -489,8 +496,39 @@ object LakeParquet {
       val r = new VectorizedParquetRecordReader(false, 4096)
       org.apache.spark.sql.execution.datasources.parquet.GraftParquetBridge
         .initPruned(r, fileSchema, requested, reader, keep, totalRows)
-      Some(r)
+      val spans = Seq.newBuilder[(Long, Long)]
+      var off = 0L
+      blocks.zip(keep).foreach { case (b, k) =>
+        if (k) spans += ((off, b.getRowCount))
+        off += b.getRowCount
+      }
+      Some((r, spans.result()))
     } catch { case e: Throwable => reader.close(); throw e }
+  }
+
+  /** Remap PHYSICAL delete-vector positions into the kept-groups'
+    * EMITTED coordinate space: a deleted position inside a skipped
+    * group vanishes (its row is never decoded), one inside a kept
+    * group shifts down by the skipped rows before it. Input sorted
+    * ascending (the dv's invariant) -> output sorted ascending, so the
+    * readers' merge cursors work unchanged. Identity when nothing was
+    * skipped.
+    */
+  def remapDv(dv: Array[Long], spans: Seq[(Long, Long)]): Array[Long] = {
+    if (dv.isEmpty) return dv
+    if (spans.size == 1 && spans.head._1 == 0L) return dv // nothing skipped before
+    val out = Array.newBuilder[Long]
+    var i = 0
+    var emitted = 0L
+    spans.foreach { case (start, rows) =>
+      while (i < dv.length && dv(i) < start) i += 1 // skipped-group dv rows drop
+      while (i < dv.length && dv(i) < start + rows) {
+        out += emitted + (dv(i) - start)
+        i += 1
+      }
+      emitted += rows
+    }
+    out.result()
   }
 
   /** Parse a recorded write-time type (DataType.simpleString form). */

@@ -2659,7 +2659,7 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
-  test("row-group pruning stands down under delete vectors (dv positions index physical ordinals)") {
+  test("row-group pruning under delete vectors: groups still skip, dv positions remap into the kept-group space") {
     import spark.implicits._
     import graft.sources.LakeParquet
     spark.sql("CREATE TABLE lake.db.t_rg_mor (k BIGINT, v BIGINT) " +
@@ -2667,19 +2667,69 @@ class GraftLakeSpec extends AnyFunSuite {
     spark.range(0, 40000)
       .select($"id".as("k"), ($"id" * 3L).as("v"))
       .coalesce(1).writeTo("lake.db.t_rg_mor").append()
-    // before the dv lands, the same point lookup prunes
-    val r0 = LakeParquet.rowGroupsRead.get
-    assert(spark.table("lake.db.t_rg_mor").where($"k" === 100L).count() == 1L)
-    assert(LakeParquet.rowGroupsRead.get > r0, "pre-dv scans prune row groups")
-    spark.sql("DELETE FROM lake.db.t_rg_mor WHERE k = 7")
+    // two dv'd positions: one in the FIRST group (remap identity) and
+    // one DEEP in the file (its kept group starts at a large physical
+    // offset — an unremapped dv would point at the wrong row there)
+    spark.sql("DELETE FROM lake.db.t_rg_mor WHERE k = 7 OR k = 31338")
     val (r1, p1) = (LakeParquet.rowGroupsRead.get, LakeParquet.rowGroupsPruned.get)
-    val got = spark.table("lake.db.t_rg_mor").where($"k" === 31337L)
-      .select($"v").collect().map(_.getLong(0)).toSeq
-    assert(got == Seq(31337L * 3L))
-    assert(LakeParquet.rowGroupsRead.get == r1 &&
-      LakeParquet.rowGroupsPruned.get == p1,
-      "a dv'd file reads whole — skipping groups would shift dv positions")
-    assert(spark.table("lake.db.t_rg_mor").count() == 39999L)
+    val got = spark.table("lake.db.t_rg_mor")
+      .where($"k".isin(31337L, 31338L, 31339L))
+      .select($"k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(31337L, 31339L),
+      s"the deleted neighbor must vanish, its neighbors survive: $got")
+    val read = LakeParquet.rowGroupsRead.get - r1
+    val pruned = LakeParquet.rowGroupsPruned.get - p1
+    assert(pruned > 0L, "the dv'd file must still skip groups")
+    assert(read <= 2L, s"a point band decodes ~one group, read $read")
+    assert(spark.table("lake.db.t_rg_mor").where($"k" === 7L).count() == 0L)
+    assert(spark.table("lake.db.t_rg_mor").count() == 39998L)
+  }
+
+  test("row-group pruning soundness under delete vectors: randomized predicates match Spark minus the deleted rows") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_rgdv_prop (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('sortBy' = 'k', 'row_group_bytes' = '8192', 'mode' = 'mor')")
+    val data = spark.range(0, 20000)
+      .select($"id".as("k"),
+        when($"id" % 97 =!= 0, concat(lit("w"), ($"id" % 50).cast("string"))).as("s"),
+        ($"id" * 7L % 1000L).as("v"))
+    data.coalesce(1).writeTo("lake.db.t_rgdv_prop").append()
+    // scattered dv (Mixed on the file's stats -> merge-on-read vector);
+    // ground truth = Spark over the identical rows MINUS the deleted
+    // positions, evaluated outside the lake
+    spark.sql("DELETE FROM lake.db.t_rgdv_prop WHERE k % 131 = 0")
+    val plainPath = java.nio.file.Files.createTempDirectory("rgdvprop").toString
+    data.coalesce(1).write.mode("overwrite").parquet(plainPath)
+    val plain = spark.read.parquet(plainPath).where("k % 131 <> 0")
+    val rnd = new scala.util.Random(1559)
+    def leaf(): String = rnd.nextInt(8) match {
+      case 0 => s"k ${Seq("<", "<=", ">", ">=")(rnd.nextInt(4))} ${rnd.nextInt(24000) - 2000}"
+      case 1 => s"k = ${rnd.nextInt(22000) - 1000}"
+      case 2 => s"k <> ${rnd.nextInt(22000) - 1000}"
+      case 3 => s"k IN (${Seq.fill(3)(rnd.nextInt(22000) - 1000).mkString(", ")})"
+      case 4 => s"s = 'w${rnd.nextInt(60)}'"
+      case 5 => s"s LIKE 'w${rnd.nextInt(6)}%'"
+      case 6 => if (rnd.nextBoolean()) "s IS NULL" else "s IS NOT NULL"
+      case 7 => s"s ${Seq("<", ">=")(rnd.nextInt(2))} 'w${rnd.nextInt(60)}'"
+    }
+    def pred(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => s"(${pred(depth - 1)}) AND (${pred(depth - 1)})"
+        case 1 => s"(${pred(depth - 1)}) OR (${pred(depth - 1)})"
+        case 2 => s"NOT (${pred(depth - 1)})"
+      }
+    def rows(df: org.apache.spark.sql.DataFrame, p: String): Seq[(Long, String, Long)] =
+      df.where(p).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, String.valueOf(t._2), t._3)).toSeq
+    for (i <- 0 until 40) {
+      val p = pred(2)
+      val got = rows(spark.table("lake.db.t_rgdv_prop"), p)
+      val want = rows(plain, p)
+      assert(got == want,
+        s"predicate #$i '$p': lake returned ${got.size} rows, ground truth ${want.size}")
+    }
   }
 
   test("__row_groups time-travels with the base log") {
