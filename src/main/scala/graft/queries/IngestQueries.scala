@@ -1652,7 +1652,61 @@ object IngestQueries {
       .orderBy($"seg")
   }
 
+  /** q110 — EQUALITY-DELETE CDC upserts END-TO-END (merge-on-read
+    * half two): a keyed changelog (orders keyed by `o_orderkey % 1000`,
+    * three arrival slices by `o_orderkey % 3`, each slice pre-deduped
+    * last-wins within itself — an upsert batch carries one row per
+    * key) is staged as three backlog commits and STREAMED into an
+    * `upsert_key` MOR table one commit per epoch. Each epoch commits
+    * its insert files plus ONE equality-delete record over the batch's
+    * keys and never reads, rewrites, or dv's the target (the scan-free
+    * ingest-rate upsert; file-census-pinned in GraftLakeSpec). The
+    * frame joins the post-`CALL system.compact` table against a
+    * VERSION AS OF pin taken before the compact — compaction must
+    * apply the records (rewrites come out clean and the record set
+    * auto-drops) while time travel keeps applying them to the pinned
+    * view. Oracle = relational last-wins replay (newest slice wins,
+    * highest orderkey within a slice). A dropped upsert, a resurrected
+    * or mis-scoped row, or a compaction that loses/duplicates rows
+    * each break the hash (the join would fan out or values differ).
+    */
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q110").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$cat.db.cdc_backlog"
+    val dst = s"$cat.db.cdc_state"
+    spark.sql(s"CREATE TABLE $src (k BIGINT, cents BIGINT)")
+    spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    val chg = Tables.load(spark, dir, "orders")
+      .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
+        $"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ok".desc)
+    for (sl <- 0 until 3)
+      chg.filter($"s" === sl.toLong)
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"k", $"cents").coalesce(1).writeTo(src).append()
+    val ckpt = java.nio.file.Files.createTempDirectory("q110-ckpt").toString
+    spark.readStream.option("maxBytesPerTrigger", "1").table(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("upsert", "true")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(dst).awaitTermination()
+    val preV = spark.table(s"${dst}__history").agg(max($"version")).head.getLong(0)
+    spark.sql(s"CALL $cat.system.compact('db.cdc_state', 2)")
+    val post = spark.table(dst).select($"k", $"cents".as("v_final"))
+    val pre = spark.sql(s"SELECT k, cents AS v_pre FROM $dst VERSION AS OF $preV")
+    post.join(pre, Seq("k")).select($"k", $"v_final", $"v_pre").orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_cdc_upsert" -> q110,
     "q40_csv_ingest" -> q40,
     "q87_lake_partitioned" -> q87,
     "q89_partition_evolution" -> q89,
@@ -1700,6 +1754,18 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q110_cdc_upsert" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,
+        |    o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, cents,
+        |    row_number() OVER (PARTITION BY k ORDER BY s DESC, ok DESC) AS rn
+        |  FROM chg)
+        |SELECT k, cents AS v_final, cents AS v_pre
+        |FROM fin WHERE rn = 1 ORDER BY k""".stripMargin,
     "q109_rowgroup_census" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok,

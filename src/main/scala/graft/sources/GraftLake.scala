@@ -292,7 +292,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val keep = properties.asScala.view
       .filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
         "checkpoint_part_bytes", "checkpoint_interval", "runtime_filter_cols",
-        "target_file_bytes",
+        "target_file_bytes", "upsert_key",
         "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -307,6 +307,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("checkpoint_interval").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: checkpoint_interval must be a positive integer, got '$v'"))
+    keep.get("upsert_key").foreach(c => require(
+      schema.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == StringType)),
+      s"graftlake: upsert_key must name an integral or string table column, got '$c'"))
     keep.get("target_file_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
@@ -389,7 +394,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     }
     val keep = properties.asScala.view.filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
         "checkpoint_part_bytes", "checkpoint_interval", "runtime_filter_cols",
-        "target_file_bytes",
+        "target_file_bytes", "upsert_key",
         "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -404,6 +409,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("checkpoint_interval").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: checkpoint_interval must be a positive integer, got '$v'"))
+    keep.get("upsert_key").foreach(c => require(
+      schema.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == StringType)),
+      s"graftlake: upsert_key must name an integral or string table column, got '$c'"))
     keep.get("target_file_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
@@ -548,6 +558,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             require(set.value.toLongOption.exists(_ > 0L),
               s"graftlake: checkpoint_interval must be a positive " +
                 s"integer, got '${set.value}'")
+          if (set.property == "upsert_key")
+            require(schema.fields.exists(f => f.name == set.value &&
+              (f.dataType == LongType || f.dataType == IntegerType ||
+                f.dataType == StringType)),
+              s"graftlake: upsert_key must name an integral or string " +
+                s"table column, got '${set.value}'")
           if (set.property == "target_file_bytes")
             require(set.value.toLongOption.exists(_ > 0L),
               s"graftlake: target_file_bytes must be a positive " +
@@ -843,9 +859,77 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
     // .compareTo): what lets seg/category predicates skip files the
     // way integral ranges always could — most real predicates at
     // 100 TB are on strings
-    sstats: Map[String, (String, String)] = Map.empty) {
-  /** Rows the file contributes after its delete vector. */
+    sstats: Map[String, (String, String)] = Map.empty,
+    // DATA-BIRTH commit version, stamped by [[LakeLog.commit]] on first
+    // publication and preserved verbatim when an entry is re-added with
+    // a moved delete vector: what scopes EQUALITY deletes ("applies to
+    // files strictly older than me"). 0 = legacy entry (older than any
+    // equality delete by definition, so it stays in scope — sound)
+    seq: Long = 0L) {
+  /** Rows the file contributes after its delete vector (EQUALITY
+    * deletes are NOT subtracted — their per-file hit count is
+    * unknowable without reading; every census consumer gates on the
+    * snapshot's live equality-delete set instead).
+    */
   def liveRows: Long = rows - dvRows
+}
+
+/** One EQUALITY-DELETE record: rows whose key column (by STABLE id,
+  * rename-proof) holds a value in the sidecar's set are deleted from
+  * every data file whose `seq` is strictly below this record's. The
+  * WRITE never reads or touches data files — a keyed CDC upsert
+  * commits its insert files plus one of these in a single version —
+  * and readers anti-join at decode time: merge-on-read half two
+  * (positional dvs serve scanned mutations, equality records serve
+  * scan-free ones). Values live in a dv-style sidecar (`ref`; `n`
+  * values of `kind` long|string); compaction rewrites files clean and
+  * [[LakeLog.commit]] auto-drops every record no remaining live file
+  * predates. Iceberg's equality-delete design re-derived at
+  * single-column scope.
+  */
+case class LakeEqDelete(seq: Long, colId: Long, ref: String, n: Long,
+    kind: String)
+
+/** Equality-delete sidecar IO (dv-style binary files under data/). */
+object LakeEq {
+  def writeLongs(tableDir: Path, vals: Array[Long]): String = {
+    val rel = s"data/eq-${java.util.UUID.randomUUID().toString.replace("-", "")}.bin"
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * vals.length)
+    bb.putInt(vals.length)
+    vals.foreach(bb.putLong)
+    Files.write(tableDir.resolve(rel), bb.array())
+    rel
+  }
+
+  def readLongs(tableDir: Path, rel: String): Array[Long] = {
+    val bytes = Files.readAllBytes(tableDir.resolve(rel))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    require(bytes.length == 4 + 8 * n, s"corrupt equality-delete sidecar $rel")
+    Array.fill(n)(bb.getLong)
+  }
+
+  def writeStrs(tableDir: Path, vals: Array[String]): String = {
+    val rel = s"data/eq-${java.util.UUID.randomUUID().toString.replace("-", "")}.bin"
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(vals.length)
+    vals.foreach { v =>
+      val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      d.writeInt(b.length); d.write(b)
+    }
+    Files.write(tableDir.resolve(rel), out.toByteArray)
+    rel
+  }
+
+  def readStrs(tableDir: Path, rel: String): Array[String] = {
+    val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+      Files.readAllBytes(tableDir.resolve(rel))))
+    Array.fill(d.readInt()) {
+      val b = new Array[Byte](d.readInt()); d.readFully(b)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
 }
 
 /** Stable FIELD IDS — the column-mapping layer under `ALTER TABLE`.
@@ -923,10 +1007,17 @@ object LakeColIds {
   * Seq access materializes it in full.
   */
 case class LakeSnapshot(version: Long, schema: StructType, files: Seq[LakeFile],
-    props: Map[String, String] = Map.empty) {
+    props: Map[String, String] = Map.empty,
+    // live EQUALITY-DELETE records as of this version. READ-side only:
+    // [[LakeLog.commit]] derives the persisted set from the PARENT
+    // version (plus its explicit eqAdd/eqBase channel) and auto-prunes,
+    // so no snapshot-construction site can accidentally drop records —
+    // an ALTER or ref operation that rebuilt a snapshot by hand would
+    // otherwise silently resurrect deleted rows.
+    eqdels: Seq[LakeEqDelete] = Seq.empty) {
   /** The successor snapshot: version+1, same schema/properties, new files. */
   def next(newFiles: Seq[LakeFile]): LakeSnapshot =
-    LakeSnapshot(version + 1, schema, newFiles, props)
+    LakeSnapshot(version + 1, schema, newFiles, props, eqdels)
 }
 
 /** Manifest-recorded index of ONE checkpoint part: entry count,
@@ -1426,6 +1517,7 @@ object LakeLog {
         val a = ss.putArray(c); a.add(lo); a.add(hi)
       }
     }
+    if (f.seq != 0L) fn.put("seq", f.seq)
     fn
   }
 
@@ -1476,7 +1568,8 @@ object LakeLog {
           .map(_.asText()).toSeq).getOrElse(Seq.empty[String]),
         Option(fn.get("sstats")).map(_.properties().asScala
           .map(e => e.getKey -> ((e.getValue.get(0).asText, e.getValue.get(1).asText)))
-          .toMap).getOrElse(Map.empty[String, (String, String)]))
+          .toMap).getOrElse(Map.empty[String, (String, String)]),
+        seq = Option(fn.get("seq")).map(_.asLong).getOrElse(0L))
     }.toSeq).getOrElse(Seq.empty)
 
   private def readProps(root: JsonNode): Map[String, String] =
@@ -1486,8 +1579,26 @@ object LakeLog {
   private def readSchemaOf(root: JsonNode): StructType =
     DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
 
+  /** One committed version's full delta record. */
+  private[sources] case class LakeDelta(schema: StructType,
+      props: Map[String, String], adds: Seq[LakeFile], removes: Set[String],
+      eqAdds: Seq[LakeEqDelete] = Seq.empty, eqDrops: Set[Long] = Set.empty)
+
+  private def eqNode(e: LakeEqDelete): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("s", e.seq); n.put("c", e.colId); n.put("r", e.ref)
+    n.put("n", e.n); n.put("k", e.kind)
+    n
+  }
+
+  private def readEqDels(root: JsonNode, field: String): Seq[LakeEqDelete] =
+    Option(root.get(field)).map(_.elements().asScala.map { n =>
+      LakeEqDelete(n.get("s").asLong, n.get("c").asLong, n.get("r").asText,
+        n.get("n").asLong, n.get("k").asText)
+    }.toSeq).getOrElse(Seq.empty)
+
   /** The delta record of ONE committed version (None when pruned). */
-  private def deltaAt(dir: Path, v: Long): Option[(StructType, Map[String, String], Seq[LakeFile], Set[String])] = {
+  private def deltaAt(dir: Path, v: Long): Option[LakeDelta] = {
     val f = versionFile(dir, v)
     if (!Files.isRegularFile(f)) None
     else {
@@ -1495,7 +1606,10 @@ object LakeLog {
       val root = mapper.readTree(Files.readAllBytes(f))
       val removes = Option(root.get("remove"))
         .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
-      Some((readSchemaOf(root), readProps(root), readEntries(root, "add"), removes))
+      val eqDrops = Option(root.get("eqdrop"))
+        .map(_.elements().asScala.map(_.asLong()).toSet).getOrElse(Set.empty[Long])
+      Some(LakeDelta(readSchemaOf(root), readProps(root),
+        readEntries(root, "add"), removes, readEqDels(root, "eqadd"), eqDrops))
     }
   }
 
@@ -1569,7 +1683,8 @@ object LakeLog {
             (0 until n).par.map(p => checkpointPartEntries(dir, v, p)).seq
               .flatten.toSeq
         }
-      Some(LakeSnapshot(v, readSchemaOf(root), files, readProps(root)))
+      Some(LakeSnapshot(v, readSchemaOf(root), files, readProps(root),
+        readEqDels(root, "eqdels")))
     }
   }
 
@@ -1634,14 +1749,20 @@ object LakeLog {
 
   /** Delta `v`'s (adds, removed paths); empty when pruned. */
   private[sources] def deltaChanges(dir: Path, v: Long): (Seq[LakeFile], Set[String]) =
-    deltaAt(dir, v).map { case (_, _, a, r) => (a, r) }
+    deltaAt(dir, v).map(d => (d.adds, d.removes))
       .getOrElse((Seq.empty, Set.empty))
+
+  /** Delta `v`'s equality-delete records ADDED (empty when pruned or
+    * none) — the change feed's rewrite-detection input.
+    */
+  private[sources] def deltaEqAdds(dir: Path, v: Long): Seq[LakeEqDelete] =
+    deltaAt(dir, v).map(_.eqAdds).getOrElse(Seq.empty)
 
   /** Table props as of delta `v` (the head delta carries the current
     * spec history — a small read, unlike the checkpoint).
     */
   private[sources] def deltaProps(dir: Path, v: Long): Map[String, String] =
-    deltaAt(dir, v).map(_._2).getOrElse(Map.empty)
+    deltaAt(dir, v).map(_.props).getOrElse(Map.empty)
 
   /** The FIRST version committed at or after `tsMs` — the
     * `startingTimestamp` streaming anchor ("changes from this instant
@@ -1694,16 +1815,18 @@ object LakeLog {
     if (cp.exists(_.version == v)) return cp
     var schema = cp.map(_.schema)
     var props = cp.map(_.props)
+    var eqdels = cp.map(_.eqdels).getOrElse(Seq.empty)
     var adds = Vector.empty[LakeFile]
     var kills = Set.empty[String]
     var i = cp.map(_.version + 1L).getOrElse(0L)
     while (i <= v) {
       deltaAt(dir, i) match {
         case None => return None
-        case Some((sch, pr, add, remove)) =>
-          kills ++= remove
-          adds = adds.filterNot(f => remove(f.path)) ++ add
-          schema = Some(sch); props = Some(pr)
+        case Some(d) =>
+          kills ++= d.removes
+          adds = adds.filterNot(f => d.removes(f.path)) ++ d.adds
+          eqdels = eqdels.filterNot(e => d.eqDrops(e.seq)) ++ d.eqAdds
+          schema = Some(d.schema); props = Some(d.props)
       }
       i += 1
     }
@@ -1713,7 +1836,7 @@ object LakeLog {
       case None => adds
     }
     Some(LakeSnapshot(v, schema.getOrElse(return None),
-      files, props.getOrElse(Map.empty)))
+      files, props.getOrElse(Map.empty), eqdels))
   }
 
   /** Publish `snapshot` as the successor of `expectedVersion` with an
@@ -1722,17 +1845,41 @@ object LakeLog {
     * revalidates, retries). Changed entries (a moved delete vector)
     * ride as remove+add of that entry alone.
     */
-  def commit(dir: Path, expectedVersion: Long, snapshot: LakeSnapshot): Boolean = {
+  def commit(dir: Path, expectedVersion: Long, snapshot: LakeSnapshot,
+      eqAdd: Seq[LakeEqDelete] = Seq.empty,
+      eqBase: Option[Seq[LakeEqDelete]] = None): Boolean = {
     require(snapshot.version == expectedVersion + 1,
       s"commit must advance the version by one: $expectedVersion -> ${snapshot.version}")
-    val prevFiles =
-      if (expectedVersion < 0L) Seq.empty
-      else snapshotAt(dir, expectedVersion).getOrElse(throw new IllegalStateException(
-        s"cannot commit v${snapshot.version}: parent v$expectedVersion unreadable")).files
+    val parent =
+      if (expectedVersion < 0L) None
+      else Some(snapshotAt(dir, expectedVersion).getOrElse(throw new IllegalStateException(
+        s"cannot commit v${snapshot.version}: parent v$expectedVersion unreadable")))
+    val prevFiles = parent.map(_.files).getOrElse(Seq.empty)
     val prevByPath = prevFiles.map(f => f.path -> f).toMap
-    val nextByPath = snapshot.files.map(f => f.path -> f).toMap
-    val added = snapshot.files.filter(f => !prevByPath.get(f.path).contains(f))
+    // stamp DATA-BIRTH versions: a freshly written entry (seq 0) is
+    // born at this commit; entries carried from the parent (or re-added
+    // with a moved dv) keep their original birth — equality deletes
+    // scope by it
+    val stamped = snapshot.files.map(f =>
+      if (f.seq == 0L) f.copy(seq = snapshot.version) else f)
+    val nextByPath = stamped.map(f => f.path -> f).toMap
+    val added = stamped.filter(f => !prevByPath.get(f.path).contains(f))
     val removed = prevFiles.filter(f => !nextByPath.get(f.path).contains(f)).map(_.path)
+    // the persisted equality-delete set derives from the PARENT (never
+    // from snapshot.eqdels — see LakeSnapshot), plus this commit's adds,
+    // minus every record no remaining live file predates (after a full
+    // compaction that prunes the whole set — "the rewrite erased them")
+    val parentEq = parent.map(_.eqdels).getOrElse(Seq.empty)
+    val baseEq = eqBase.getOrElse(parentEq)
+    val stampedEq = (baseEq ++ eqAdd).map(e =>
+      if (e.seq == 0L) e.copy(seq = snapshot.version) else e)
+    val minSeq = if (stamped.isEmpty) Long.MaxValue else stamped.map(_.seq).min
+    val liveEq = stampedEq.filter(e => minSeq < e.seq)
+    // the DELTA always encodes the transition from the PARENT's set —
+    // snapshotAt folds it on top of the parent, whatever eqBase said
+    // (rollback passes the restore target's set as the new state)
+    val eqDropped = parentEq.map(_.seq).toSet -- liveEq.map(_.seq).toSet
+    val eqAdded = liveEq.filterNot(e => parentEq.exists(_.seq == e.seq))
 
     val root = mapper.createObjectNode()
     root.put("version", snapshot.version)
@@ -1744,6 +1891,14 @@ object LakeLog {
     added.foreach(writeEntry(arr, _))
     val rm = root.putArray("remove")
     removed.foreach(rm.add)
+    if (eqAdded.nonEmpty) {
+      val ea = root.putArray("eqadd")
+      eqAdded.foreach(e => ea.add(eqNode(e)))
+    }
+    if (eqDropped.nonEmpty) {
+      val ed = root.putArray("eqdrop")
+      eqDropped.toSeq.sorted.foreach(ed.add(_: Long))
+    }
 
     Files.createDirectories(logDir(dir))
     if (publish(dir, versionFile(dir, snapshot.version), root)) {
@@ -1756,8 +1911,11 @@ object LakeLog {
         // best-effort: the version file above IS the commit — a
         // checkpoint is a pure read optimization (recomputable from
         // deltas), so a failure here must never report a COMMITTED
-        // write as failed (a retry would then duplicate it)
-        try checkpoint(dir, snapshot)
+        // write as failed (a retry would then duplicate it). The
+        // STAMPED view checkpoints (birth seqs + derived eqdels), not
+        // the caller's in-memory snapshot
+        try checkpoint(dir, LakeSnapshot(snapshot.version, snapshot.schema,
+          stamped, snapshot.props, liveEq))
         catch {
           case scala.util.control.NonFatal(e) =>
             recordCheckpointFailure(dir, snapshot.version, e)
@@ -1930,9 +2088,11 @@ object LakeLog {
     while (i <= v) {
       deltaAt(dir, i) match {
         case None => return None // pruned gap: cannot prove the fold
-        case Some((_, _, a, r)) =>
-          kills ++= r
-          adds = adds.filterNot(f => r(f.path)) ++ a
+        case Some(d) =>
+          // equality-delete records ride the MANIFEST (rewritten fresh
+          // every checkpoint), never the parts — nothing to fold here
+          kills ++= d.removes
+          adds = adds.filterNot(f => d.removes(f.path)) ++ d.adds
       }
       i += 1L
     }
@@ -2027,6 +2187,10 @@ object LakeLog {
     root.put("parts", segs.size)
     val pm = root.putArray("partmeta")
     metas.foreach(m => pm.add(partMetaNode(m)))
+    if (snapshot.eqdels.nonEmpty) {
+      val eq = root.putArray("eqdels")
+      snapshot.eqdels.foreach(e => eq.add(eqNode(e)))
+    }
     val pr = root.putObject("props")
     snapshot.props.foreach { case (k, v) => pr.put(k, v) }
     publish(dir, checkpointFile(dir, snapshot.version), root)
@@ -2316,9 +2480,9 @@ object LakeLog {
       out += ((s.version, commitTimeMs(dir, s.version), files.size, nRows, nLive))
     }
     for (v <- deltas if base.forall(_.version < v)) {
-      deltaAt(dir, v).foreach { case (_, _, adds, removes) =>
-        removes.foreach(remove)
-        adds.foreach(add)
+      deltaAt(dir, v).foreach { d =>
+        d.removes.foreach(remove)
+        d.adds.foreach(add)
         out += ((v, commitTimeMs(dir, v), files.size, nRows, nLive))
       }
     }
@@ -2684,7 +2848,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     * predicates return false and Spark falls back to the copy-on-write
     * rewrite below — correctness never depends on stats.
     */
-  override def canDeleteWhere(predicates: Array[VPredicate]): Boolean = {
+  private def metadataDeletable(predicates: Array[VPredicate]): Boolean = {
     val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
     snapshot.files.forall(f =>
       LakeStats.decide(f, predicates,
@@ -2692,7 +2856,77 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
         LakePartitioning.resolver(snapshot.props, f)) != LakeStats.Mixed)
   }
 
+  /** An EQUALITY-deletable predicate: exactly one `=`/`IN` over the
+    * declared `upsert_key` column with all-literal values of the key's
+    * type. Such a DELETE commits ONE equality-delete record and never
+    * opens a data file — every live file predates the new commit, so
+    * the scope is total and the semantics exact (rows inserted later
+    * are untouched, like any DELETE).
+    */
+  private def eqDeletable(predicates: Array[VPredicate])
+      : Option[(Long, String, Seq[Long], Seq[String])] = {
+    val key = snapshot.props.get("upsert_key").getOrElse(return None)
+    if (predicates.length != 1) return None
+    val p = predicates.head
+    val kids = p.children()
+    def colOk(e: VExpression): Boolean = e match {
+      case f: NamedReference => f.fieldNames.sameElements(Array(key))
+      case _ => false
+    }
+    def lit(e: VExpression): Option[Any] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => Option(l.value())
+      case _ => None
+    }
+    val vals: Seq[Any] = p.name() match {
+      case "=" if kids.length == 2 && colOk(kids(0)) =>
+        lit(kids(1)).toSeq match { case s if s.nonEmpty => s; case _ => return None }
+      case "IN" if kids.nonEmpty && colOk(kids.head) =>
+        val vs = kids.tail.toSeq.map(lit)
+        if (vs.forall(_.isDefined)) vs.flatten else return None
+      case _ => return None
+    }
+    val id = LakeColIds.cols(snapshot.schema, snapshot.props)
+      .find(_._1 == key).map(_._2).getOrElse(return None)
+    snapshot.schema(key).dataType match {
+      case LongType | IntegerType =>
+        val ls = vals.map {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long => l.longValue
+          case _ => return None
+        }
+        Some((id, "long", ls.distinct.sorted, Seq.empty))
+      case StringType =>
+        val ss = vals.map {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case st: String => st
+          case _ => return None
+        }
+        Some((id, "string", Seq.empty, ss.distinct.sorted))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(predicates: Array[VPredicate]): Boolean =
+    metadataDeletable(predicates) || eqDeletable(predicates).isDefined
+
   override def deleteWhere(predicates: Array[VPredicate]): Unit = {
+    if (!metadataDeletable(predicates)) {
+      // EQUALITY path: one record, zero data-file opens or drops
+      val (id, kind, ls, ss) = eqDeletable(predicates).getOrElse(
+        throw new IllegalStateException(
+          "deleteWhere on an undecidable predicate (canDeleteWhere was false)"))
+      val ref =
+        if (kind == "long") LakeEq.writeLongs(dir, ls.toArray)
+        else LakeEq.writeStrs(dir, ss.toArray)
+      val eq = LakeEqDelete(0L, id, ref, (ls.length + ss.length).toLong, kind)
+      var done = false
+      while (!done) {
+        val cur = LakeLog.currentSnapshot(dir).get
+        done = LakeLog.commit(dir, cur.version, cur.next(cur.files),
+          eqAdd = Seq(eq))
+      }
+      return
+    }
     var done = false
     while (!done) {
       val cur = LakeLog.currentSnapshot(dir).get
@@ -2794,6 +3028,12 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
               // still be live, or a concurrent commit invalidated our read
               require(replaced.subsetOf(cur.files.map(_.path).toSet),
                 s"concurrent update: files $replaced no longer live at v${cur.version}")
+              // the rewritten files are born at the NEW version, ESCAPING
+              // any equality delete that landed after this op's scan —
+              // its deleted rows would resurrect in them; abort instead
+              require(cur.eqdels.map(_.seq).toSet ==
+                snapshot.eqdels.map(_.seq).toSet,
+                "concurrent equality delete invalidated this rewrite's scan")
               done = LakeLog.commit(dir, cur.version,
                 cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written))
             }
@@ -3306,6 +3546,11 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
     // applies them exactly); any residual means rows must be read
     if (skips.length != consumed.length || onPlanned.nonEmpty)
       return None
+    // LIVE equality deletes make every per-file count/extremum/sum an
+    // overstatement no metadata can correct (their per-file hit count
+    // is unknowable without reading) — the scan path serves, exact;
+    // commit auto-prunes dead records, so nonEmpty means "applies"
+    if (snapshot.eqdels.nonEmpty) return None
     // EXACTLY the pushed list, never empty: under an outer count() the
     // optimizer can prune the inner aggregate to ZERO expressions, and
     // a vacuous forall would accept it while the scan still returns a
@@ -3618,7 +3863,9 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
       // deliverable row; row-level op scans (onPlanned) never see a
       // pushed limit and are excluded defensively.
       val capped = limitN match {
-        case Some(n) if onPlanned.isEmpty =>
+        // eqdels gate: liveRows OVERCOUNTS under equality deletes, so a
+        // prefix sized by it could under-deliver the limit
+        case Some(n) if onPlanned.isEmpty && snapshot.eqdels.isEmpty =>
           var acc = 0L
           val it = pruned.iterator.takeWhile { f =>
             val need = acc < n; acc += f.liveRows; need
@@ -3632,7 +3879,8 @@ class LakeScanBuilder(dir: Path, snapshot: LakeSnapshot,
         // row-group pruning gets the RESIDUAL predicates: a consumed
         // predicate decided All on every kept file, so every row group
         // in them matches too — nothing to skip
-        rgPreds = skips.filterNot(p => consumed.exists(_ eq p)))
+        rgPreds = skips.filterNot(p => consumed.exists(_ eq p)),
+        eqdels = snapshot.eqdels)
     }
 
   /** Point-lookup BLOOM pruning (table property `bloomBy`): after
@@ -3760,7 +4008,10 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     files: Seq[LakeFile], totalFiles: Int, required: StructType,
     onPlanned: Option[Seq[String] => Unit],
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    rgPreds: Array[VPredicate] = Array.empty)
+    rgPreds: Array[VPredicate] = Array.empty,
+    // live EQUALITY-DELETE records of the scanned snapshot: readers
+    // anti-join each file against every record born after the file
+    eqdels: Seq[LakeEqDelete] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -3978,6 +4229,7 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
 
   override def description(): String =
     s"graftlake files=${planned.size}/$totalFiles cols=[${required.fieldNames.mkString(",")}]" +
+      (if (eqdels.isEmpty) "" else s" eqdels=${eqdels.size}") +
       runtimeFiles.map(fs => s" runtimeFiles=${fs.size}").getOrElse("") +
       (if (runtimeParts.isEmpty) ""
        else " runtimeParts=" + runtimeParts.toSeq.sortBy(_._1).map {
@@ -4001,6 +4253,30 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     else (rgPreds ++ runtimePreds).filter(_.references().forall(r =>
       r.fieldNames.length == 1 && renames.contains(r.fieldNames.head))).toSeq
 
+  /** Equality-key resolution for `f`: every record born after the
+    * file whose key column physically exists in it, with the column's
+    * file-local name and write-time type. A file that PREDATES the key
+    * column holds only nulls there — no row can match, no filter
+    * ships. Row-level-op scans see the records too: a positional MERGE
+    * over an eq-upserted table must locate rows among the LIVE ones.
+    */
+  private def eqColsFor(f: LakeFile): Seq[LakeEqCol] =
+    eqdels.filter(_.seq > f.seq).map(_.colId).distinct.flatMap { id =>
+      curCols.find(_._2 == id).map(_._1).flatMap { cur =>
+        LakeColIds.physicalName(curCols, f, cur).map { phys =>
+          val i = f.cols.indexWhere(_._1 == phys)
+          val ft =
+            if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
+            else tableSchema(cur).dataType.simpleString
+          LakeEqCol(id, phys, ft)
+        }
+      }
+    }
+
+  /** True when some planned file is in some live record's scope. */
+  private def eqAffected: Boolean =
+    eqdels.nonEmpty && planned.exists(f => eqColsFor(f).nonEmpty)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val ps = planned
     onPlanned.foreach(_(ps.map(_.path)))
@@ -4008,7 +4284,8 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     def input(f: LakeFile): LakeInputFile = {
       val renames = renameFor(f)
       LakeInputFile(dir.toString, f.path, f.rows, f.dv, renames,
-        typesFor(f), rgPredsFor(f, renames))
+        typesFor(f), rgPredsFor(f, renames),
+        seq = f.seq, eqCols = eqColsFor(f))
     }
     if (fields.isEmpty)
       ps.map(input(_): InputPartition).toArray
@@ -4076,6 +4353,11 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
   private def columnarPossible: Boolean =
     required.fieldNames.forall(_ != LakeTable.PosColumn) &&
       required.fieldNames.exists(n => n != LakeTable.FileColumn) &&
+      // equality-delete filtering evaluates the key VALUE per row —
+      // served by the row path; a CDC-fresh table trades vectorization
+      // until compaction rewrites it clean (uniform across partitions:
+      // decided over ALL planned files at the scan level)
+      !eqAffected &&
       files.forall(f => renameFor(f).nonEmpty) &&
       files.forall(f => typesFor(f).forall { case (c, t) =>
         // defensive: the selection view widens INT→BIGINT only (the one
@@ -4087,7 +4369,13 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     LakeReaderFactory(tableSchema,
-      required.fields.map(f => f.name -> f.dataType), columnarPossible)
+      required.fields.map(f => f.name -> f.dataType), columnarPossible,
+      // sidecar values load ONCE here (driver), ride the broadcast
+      // task binary with the factory — size bounded by the live
+      // equality-delete backlog, i.e. by compaction cadence
+      eqData = eqdels.map(e => LakeEqData(e.seq, e.colId,
+        if (e.kind == "long") LakeEq.readLongs(dir, e.ref).toSeq else Seq.empty,
+        if (e.kind == "string") LakeEq.readStrs(dir, e.ref).toSeq else Seq.empty)))
 
   /** FOOTER-TRUE statistics: `sizeInBytes` sums the log's recorded
     * per-file byte sizes (written at commit from the actual parquet
@@ -4185,6 +4473,11 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
   }
 }
 
+/** The equality-delete key column AS SEEN BY one file: stable id, the
+  * file's physical column name, and its write-time type (simpleString).
+  */
+case class LakeEqCol(colId: Long, phys: String, fileType: String)
+
 case class LakeInputFile(tableDir: String, path: String, rows: Long,
     dv: Option[String] = None,
     rename: Map[String, String] = Map.empty,
@@ -4192,7 +4485,12 @@ case class LakeInputFile(tableDir: String, path: String, rows: Long,
     // serializable V2 predicates (ExpressionWithToString is
     // java.io.Serializable) the reader decides row groups with —
     // pre-filtered by [[LakeScan.rgPredsFor]] to resolvable columns
-    rgPreds: Seq[VPredicate] = Seq.empty) extends InputPartition
+    rgPreds: Seq[VPredicate] = Seq.empty,
+    // data-birth version + the equality-key columns resolvable in this
+    // file: which of the factory's eq records apply, and how to read
+    // the key. MaxValue = no record can apply (legacy callers)
+    seq: Long = Long.MaxValue,
+    eqCols: Seq[LakeEqCol] = Seq.empty) extends InputPartition
 
 /** One partition TUPLE's files, concatenated — the key-grouped unit
   * behind storage-partitioned joins ([[LakeScan.outputPartitioning]]).
@@ -4222,8 +4520,14 @@ case class LakeGroupedInput(key: Seq[Any], files: Seq[LakeInputFile])
   *     ONLY metadata columns synthesizes rows from the log's row count
   *     without opening the file at all.
   */
+/** One equality-delete record's VALUES, loaded from its sidecar once
+  * per scan on the driver (rides the broadcast task binary).
+  */
+case class LakeEqData(seq: Long, colId: Long, longs: Seq[Long], strs: Seq[String])
+
 case class LakeReaderFactory(tableSchema: StructType,
-    required: Array[(String, DataType)], columnar: Boolean)
+    required: Array[(String, DataType)], columnar: Boolean,
+    eqData: Seq[LakeEqData] = Seq.empty)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
@@ -4280,6 +4584,43 @@ case class LakeReaderFactory(tableSchema: StructType,
       p.fileTypes.get(n).map(LakeParquet.typeOf).getOrElse(dt) }
     val physical = required.collect {
       case (n, _) if p.rename.contains(n) => p.rename(n) }
+    // EQUALITY-DELETE filters applying to this file (records born
+    // after it whose key column it physically holds): the key decodes
+    // even when the projection never asked for it — appended AFTER the
+    // projected columns so `codes` indices stay stable — and matching
+    // rows are skipped exactly like dv positions
+    val eqApplicable: Seq[(LakeEqCol, LakeEqData)] = p.eqCols.flatMap(c =>
+      eqData.filter(e => e.colId == c.colId && e.seq > p.seq).map(c -> _))
+    val eqKeyCols: Seq[LakeEqCol] = eqApplicable.map(_._1).distinct
+    val decodedPhys: Seq[String] = physical.toSeq ++
+      eqKeyCols.map(_.phys).filterNot(physical.contains)
+    val eqEvals: Array[(Int, DataType, Array[Long], java.util.HashSet[String])] =
+      eqKeyCols.map { c =>
+        val ds = eqApplicable.collect { case (cc, e) if cc == c => e }
+        val strs = new java.util.HashSet[String]()
+        ds.flatMap(_.strs).foreach(strs.add)
+        (decodedPhys.indexOf(c.phys), LakeParquet.typeOf(c.fileType),
+          ds.flatMap(_.longs).distinct.sorted.toArray, strs)
+      }.toArray
+    def eqDead(src: InternalRow): Boolean = {
+      var i = 0
+      while (i < eqEvals.length) {
+        val (idx, dt, longs, strs) = eqEvals(i)
+        if (!src.isNullAt(idx)) { // SQL IN: null never matches
+          val hit =
+            if (strs.isEmpty) {
+              val v = dt match {
+                case IntegerType => src.getInt(idx).toLong
+                case _ => src.getLong(idx)
+              }
+              java.util.Arrays.binarySearch(longs, v) >= 0
+            } else strs.contains(src.getUTF8String(idx).toString)
+          if (hit) return true
+        }
+        i += 1
+      }
+      false
+    }
     // row-group-pruned open: every group the predicates prove matchless
     // is skipped before page IO. None = nothing survives — emit no rows
     // (NEVER the reader==null metadata synthesis below, which means
@@ -4292,17 +4633,17 @@ case class LakeReaderFactory(tableSchema: StructType,
     // upstream — THEIR consumers need true physical ordinals)
     var dv: Array[Long] = dvPhysical
     val reader =
-      if (physical.isEmpty) null
+      if (decodedPhys.isEmpty) null
       else if (p.rgPreds.nonEmpty)
         LakeParquet.openVectorizedPruned(
-          Paths.get(p.tableDir).resolve(p.path), physical.toSeq,
+          Paths.get(p.tableDir).resolve(p.path), decodedPhys,
           p.rgPreds.toArray, n => p.rename.get(n)) match {
           case Some((r, spans)) =>
             dv = LakeParquet.remapDv(dvPhysical, spans); r
           case None => allPruned = true; null
         }
       else LakeParquet.openVectorized(
-        Paths.get(p.tableDir).resolve(p.path), physical.toSeq)
+        Paths.get(p.tableDir).resolve(p.path), decodedPhys)
     val filePathValue = UTF8String.fromString(p.path)
     new PartitionReader[InternalRow] {
       private var pos = -1L
@@ -4321,7 +4662,9 @@ case class LakeReaderFactory(tableSchema: StructType,
           var more = reader.nextKeyValue()
           while (more) {
             pos += 1
-            if (!deleted(pos)) return true
+            if (!deleted(pos) && (eqEvals.length == 0 ||
+                !eqDead(reader.getCurrentValue.asInstanceOf[InternalRow])))
+              return true
             more = reader.nextKeyValue()
           }
           false
@@ -4356,6 +4699,10 @@ case class LakeReaderFactory(tableSchema: StructType,
       case _ => ()
     }
     val p = partition.asInstanceOf[LakeInputFile]
+    // equality-delete filtering is row-path only — the scan-level
+    // columnarPossible gate already forces row mode on affected scans
+    require(!eqData.exists(e => e.seq > p.seq && p.eqCols.exists(_.colId == e.colId)),
+      "graftlake: columnar read planned over an equality-deleted file")
     // the delete vector (if any) is read TASK-side and applied inside
     // the batch as a live-row selection — the scan stays columnar on a
     // MOR table under continuous deletes
@@ -4477,6 +4824,54 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
 
   private var mode: Mode = Append
 
+  /** UPSERT write (`.option("upsert", "true")` on a table declaring
+    * `upsert_key`): every incoming row REPLACES any older row with the
+    * same key, implemented as the batch's insert files plus ONE
+    * equality-delete record over the batch's distinct keys — committed
+    * together, with ZERO reads of the table (the CDC-at-ingest-rate
+    * path; the positional MOR MERGE still serves ad-hoc mutations).
+    * Returns (column name, stable col id, long|string).
+    */
+  private def upsertCol: Option[(String, Long, String)] = {
+    val on = Option(info.options().get("upsert")).exists(_.equalsIgnoreCase("true"))
+    if (!on) None
+    else {
+      val key = props.getOrElse("upsert_key", throw new IllegalArgumentException(
+        "graftlake: an upsert write needs the table property upsert_key"))
+      val id = LakeColIds.cols(tableSchema, props).find(_._1 == key).map(_._2)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graftlake: upsert_key column '$key' not in the table schema"))
+      val kind = tableSchema(key).dataType match {
+        case LongType | IntegerType => "long"
+        case StringType => "string"
+        case dt => throw new IllegalArgumentException(
+          s"graftlake: upsert_key must be integral or string, got ${dt.simpleString}")
+      }
+      Some((key, id, kind))
+    }
+  }
+
+  /** The batch's equality-delete record (None on an empty batch), its
+    * sidecar written exactly once before the commit retry loop.
+    */
+  private def upsertRecord(messages: Array[WriterCommitMessage]): Seq[LakeEqDelete] =
+    upsertCol.toSeq.flatMap { case (_, id, kind) =>
+      require(mode == Append,
+        "graftlake: upsert writes must be plain appends")
+      val ms = messages.map(_.asInstanceOf[LakeFileMessage])
+      if (kind == "long") {
+        val vals = ms.flatMap(_.upLongs).distinct.sorted
+        if (vals.isEmpty) Seq.empty
+        else Seq(LakeEqDelete(0L, id,
+          LakeEq.writeLongs(dir, vals), vals.length.toLong, kind))
+      } else {
+        val vals = ms.flatMap(_.upStrs).distinct.sorted
+        if (vals.isEmpty) Seq.empty
+        else Seq(LakeEqDelete(0L, id,
+          LakeEq.writeStrs(dir, vals), vals.length.toLong, kind))
+      }
+    }
+
   override def truncate(): WriteBuilder = { mode = Truncate; this }
 
   /** `INSERT OVERWRITE` with a static predicate / `replaceWhere`:
@@ -4534,8 +4929,10 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           bloomBy = LakeTable.bloomCols(props),
           bloomInline = LakeTable.bloomInline(props),
           codec = LakeTable.codecOf(props),
-          rowGroupBytes = LakeTable.rowGroupBytes(props))
+          rowGroupBytes = LakeTable.rowGroupBytes(props),
+          collectKeys = upsertCol.map(c => (c._1, c._3)))
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val eqAdd = upsertRecord(messages)
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
           .flatMap(_.files)
           .map(i => LakeFile(i.path, i.rows, i.stats, nulls = i.nulls,
@@ -4595,7 +4992,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               cur.files.filterNot(f => replaced.contains(f.part))
           }
           done = LakeLog.commit(dir, cur.version,
-            LakeSnapshot(cur.version + 1, cur.schema, base ++ written, txnProps))
+            LakeSnapshot(cur.version + 1, cur.schema, base ++ written, txnProps),
+            eqAdd = eqAdd)
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -4621,7 +5019,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             bloomBy = LakeTable.bloomCols(props),
             bloomInline = LakeTable.bloomInline(props),
             codec = LakeTable.codecOf(props),
-            rowGroupBytes = LakeTable.rowGroupBytes(props))
+            rowGroupBytes = LakeTable.rowGroupBytes(props),
+            collectKeys = upsertCol.map(c => (c._1, c._3)))
         private val queryId = info.queryId()
         // enforced CHECKs, parsed + analyzed + bound against the write
         // schema on the DRIVER (tasks just eval): the micro-batch write
@@ -4660,12 +5059,19 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
               specId = LakePartitioning.currentSpecId(props), bytes = i.bytes,
               sorted = props.get("sortBy").toSeq, sums = i.sums, blooms = i.blooms, kmv = i.kmv,
                 bloomSc = i.bloomSc, sstats = i.sstats)).toSeq
+          // an epoch REPLAY accumulates a redundant equality-delete
+          // record (same key set, higher seq — semantically idempotent:
+          // strict birth-seq scoping excludes the replayed files
+          // themselves, and no later epoch can have committed, or this
+          // one's offsets would not replay); compaction clears it
+          val eqAdd = upsertRecord(messages)
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
             val keep = cur.files.filterNot(f =>
               f.epoch.contains(epochId) && f.query.contains(queryId))
-            done = LakeLog.commit(dir, cur.version, cur.next(keep ++ written))
+            done = LakeLog.commit(dir, cur.version, cur.next(keep ++ written),
+              eqAdd = eqAdd)
           }
         }
         override def abort(epochId: Long,
@@ -4723,12 +5129,17 @@ case class LakeFileInfo(path: String, rows: Long,
     bloomSc: Seq[String] = Seq.empty,
     sstats: Map[String, (String, String)] = Map.empty)
 
-case class LakeFileMessage(files: Seq[LakeFileInfo]) extends WriterCommitMessage
+case class LakeFileMessage(files: Seq[LakeFileInfo],
+    // distinct UPSERT key values this task wrote (collected only when
+    // the write carries `upsert`): the commit unions them into ONE
+    // equality-delete record scoped to every pre-existing file
+    upLongs: Seq[Long] = Seq.empty,
+    upStrs: Seq[String] = Seq.empty) extends WriterCommitMessage
 
 object LakeWriterFactory {
   def deleteAll(tableDir: String, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LakeFileMessage(fs) => fs.foreach { i =>
+      case LakeFileMessage(fs, _, _) => fs.foreach { i =>
         Files.deleteIfExists(Paths.get(tableDir).resolve(i.path))
         if (i.bloomSc.nonEmpty)
           Files.deleteIfExists(Paths.get(tableDir).resolve(i.path + ".bloom"))
@@ -4761,7 +5172,12 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
     bloomBy: Seq[String] = Seq.empty,
     bloomInline: Boolean = false,
     codec: String = "snappy",
-    rowGroupBytes: Long = 0L) extends DataWriterFactory {
+    rowGroupBytes: Long = 0L,
+    // (column name, long|string): collect the batch's distinct key
+    // values for an UPSERT write's equality-delete record — per-task
+    // memory bounded by the batch's distinct keys (a CDC micro-batch),
+    // never by the table
+    collectKeys: Option[(String, String)] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -4806,9 +5222,21 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         val kmvs = kmvIdx.map(_ => new LakeParquet.KmvAcc())
       }
       private val open = scala.collection.mutable.LinkedHashMap[Seq[Option[String]], OpenFile]()
+      private val upKeyIdx: Int =
+        collectKeys.map(c => writeSchema.fieldIndex(c._1)).getOrElse(-1)
+      private val upLongSet = scala.collection.mutable.Set.empty[Long]
+      private val upStrSet = scala.collection.mutable.Set.empty[String]
 
       override def write(row: InternalRow): Unit = {
         val tuple = if (evalTuple == null) noTuple else evalTuple(row)
+        if (upKeyIdx >= 0 && !row.isNullAt(upKeyIdx)) {
+          if (collectKeys.get._2 == "long")
+            upLongSet += (writeSchema(upKeyIdx).dataType match {
+              case IntegerType => row.getInt(upKeyIdx).toLong
+              case _ => row.getLong(upKeyIdx)
+            })
+          else upStrSet += row.getUTF8String(upKeyIdx).toString
+        }
         val f = open.getOrElseUpdate(tuple, new OpenFile(tuple))
         var c = 0
         while (c < cols.length) {
@@ -4894,7 +5322,8 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
             bloomSc = sidecarCols)
         }.toSeq
         open.clear()
-        LakeFileMessage(infos)
+        LakeFileMessage(infos, upLongs = upLongSet.toSeq.sorted,
+          upStrs = upStrSet.toSeq.sorted)
       }
 
       override def abort(): Unit = {
@@ -5059,6 +5488,11 @@ object LakeProcedures {
       val live = cur.files.map(f => f.path -> f).toMap
       require(replaced.subsetOf(live.keySet),
         "concurrent rewrite invalidated this rewrite's snapshot")
+      // same rule for EQUALITY deletes as for dvs below: rebuilt files
+      // are born at the new version and escape records that landed
+      // after this rewrite's scan — their rows would resurrect
+      require(cur.eqdels.map(_.seq).toSet == snap.eqdels.map(_.seq).toSet,
+        "concurrent equality delete invalidated this rewrite's snapshot")
       replaced.foreach { p =>
         require(live(p).dv == scanDv(p),
           s"concurrent row-level change: delete vector of $p moved since this rewrite's scan")
@@ -5974,6 +6408,13 @@ object LakeProcedures {
               throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
                 org.apache.spark.sql.connector.catalog.Identifier.of(
                   Array.empty, input.getUTF8String(1).toString))
+            // a clone restarts version numbering at 0, so the source's
+            // birth-seq scoping cannot transfer (a future clone commit
+            // would collide with source seqs and wrongly fall in/out of
+            // scope) — refuse; compaction resolves the records first
+            require(src.eqdels.isEmpty,
+              "graftlake: cannot clone a table with live equality " +
+                "deletes — run CALL system.compact on the source first")
             val absolute = src.files.map { f =>
               f.copy(
                 path = srcDir.resolve(f.path).toAbsolutePath.toString,
@@ -6043,7 +6484,10 @@ object LakeProcedures {
               }
               val restored =
                 LakeSnapshot(cur.version + 1, target.schema, target.files, props)
-              if (LakeLog.commit(dir, cur.version, restored))
+              // the restore must also carry the TARGET's equality-delete
+              // set (same log numbering, so scoping transfers verbatim)
+              if (LakeLog.commit(dir, cur.version, restored,
+                  eqBase = Some(target.eqdels)))
                 committed = restored.version
             }
             out(StructType(Seq(
@@ -6082,10 +6526,13 @@ object LakeProcedures {
             val floor = refFloor.foldLeft(
               math.max(0L, head - retain + 1))(math.min)
             val retained = (floor to head).flatMap(LakeLog.snapshotAt(dir, _))
-            // a file's bloom SIDECAR lives and dies with the file
+            // a file's bloom SIDECAR lives and dies with the file; an
+            // equality-delete sidecar lives while ANY retained version's
+            // record references it
             val referenced = retained
               .flatMap(_.files.flatMap(f => f.path +: (f.dv.toSeq ++
-                (if (f.bloomSc.nonEmpty) Seq(f.path + ".bloom") else Nil)))).toSet
+                (if (f.bloomSc.nonEmpty) Seq(f.path + ".bloom") else Nil)))).toSet ++
+              retained.flatMap(_.eqdels.map(_.ref))
             // checkpoint the retention floor BEFORE pruning the delta
             // chain below it — every retained version must stay
             // reconstructible from (checkpoint, deltas) afterwards

@@ -131,6 +131,16 @@ object LakeChanges {
           "its logical change set is not derivable from the log; " +
           "set skipChangeCommits=true to skip such commits")
     }
+    // an EQUALITY-DELETE commit deletes rows the log only names by KEY —
+    // expanding them to change rows would mean scanning every older
+    // file; fail loudly (or skip), like physical rewrites
+    if (LakeLog.deltaEqAdds(dir, v).nonEmpty) {
+      if (skipChangeCommits) return Seq.empty
+      throw new UnsupportedOperationException(
+        s"graftlake change feed: version $v carries equality deletes — " +
+          "their per-row change set is not derivable from the log; " +
+          "set skipChangeCommits=true to skip such commits")
+    }
     def rename(f: LakeFile): Map[String, String] =
       required.fieldNames.iterator
         .filter(n => n != TypeColumn && n != VersionColumn)

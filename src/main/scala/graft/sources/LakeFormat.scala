@@ -372,10 +372,17 @@ object LakeParquet {
     * in the file — the caller null-fills absent ones itself).
     */
   def openVectorized(file: NioPath, columns: Seq[String]): VectorizedParquetRecordReader = {
+    dataFileOpens.incrementAndGet()
     val r = new VectorizedParquetRecordReader(/* useOffHeap = */ false, /* capacity = */ 4096)
     r.initialize(file.toString, columns.asJava)
     r
   }
+
+  /** Data files opened for DECODE since process start (both vectorized
+    * open paths; local-mode tests share the JVM) — spec instrumentation:
+    * an equality-delete write's hot path must never open a target file.
+    */
+  private[graft] val dataFileOpens = new java.util.concurrent.atomic.AtomicLong
 
   /** Row groups decoded / skipped by [[openVectorizedPruned]] —
     * task-side increments, readable in specs because tests run
@@ -456,6 +463,7 @@ object LakeParquet {
       preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
       resolve: String => Option[String])
       : Option[(VectorizedParquetRecordReader, Seq[(Long, Long)])] = {
+    dataFileOpens.incrementAndGet()
     val reader = ParquetFileReader.open(new LocalInputFile(file))
     try {
       val footer = reader.getFooter

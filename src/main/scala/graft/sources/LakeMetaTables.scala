@@ -177,7 +177,12 @@ object LakeMetaTables {
       // with the parsed fold (or declines), so the two paths can never
       // disagree.
       val manifest = snap.files match {
-        case pf: LakePartedFiles =>
+        // live equality deletes make null counts and extrema possible
+        // overstatements — the parsed path is equally blind to them, so
+        // BOTH report the footer-true census (documented), but serving
+        // from the manifest must never diverge from parsing: keep one
+        // path while records are live
+        case pf: LakePartedFiles if snap.eqdels.isEmpty =>
           pf.estimatorStats(snap.schema, cols).zip(pf.exactTotal)
         case _ => None
       }

@@ -4769,6 +4769,99 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(rg.agg(sum($"dv")).head.getLong(0) > 0L, "the dv must be real")
   }
 
+  test("equality deletes: upserts and keyed DELETEs never touch data files; readers anti-join; compaction erases the records") {
+    import spark.implicits._
+    import graft.sources.{LakeParquet, LakeChanges}
+    spark.sql("CREATE TABLE lake.db.t_eq (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 100).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eq").append() // v1
+    // UPSERT batch: replace keys 10..19, add 100..104 — ONE commit of
+    // insert files + one equality-delete record, ZERO target file opens
+    val opens0 = LakeParquet.dataFileOpens.get()
+    spark.range(10, 20).select($"id".as("k"), ($"id" * 100L).as("v"))
+      .union(spark.range(100, 105).select($"id".as("k"), ($"id" * 100L).as("v")))
+      .coalesce(1).writeTo("lake.db.t_eq").option("upsert", "true").append() // v2
+    assert(LakeParquet.dataFileOpens.get() == opens0,
+      "an upsert write must never open a target data file")
+    val paths2 = filePaths("t_eq")
+    val snap2 = LakeLog.currentSnapshot(tableDir("t_eq")).get
+    assert(snap2.eqdels.size == 1 && snap2.files.forall(_.dv.isEmpty),
+      "one equality record, no dvs, no rewrites")
+    def content(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val expect2 = (0L until 100L).map(k =>
+      k -> (if (k >= 10 && k < 20) k * 100L else k)) ++
+      (100L until 105L).map(k => k -> k * 100L)
+    assert(content(spark.table("lake.db.t_eq")) == expect2)
+    // count(*) must NOT answer from metadata while records are live
+    assert(spark.table("lake.db.t_eq").count() == 105L)
+    // keyed DELETE: an equality record, zero data-file opens or drops
+    val opens1 = LakeParquet.dataFileOpens.get()
+    spark.sql("DELETE FROM lake.db.t_eq WHERE k IN (5, 100)") // v3
+    assert(LakeParquet.dataFileOpens.get() == opens1,
+      "a keyed DELETE must never open a data file")
+    assert(filePaths("t_eq") == paths2, "a keyed DELETE drops no files")
+    val expect3 = expect2.filterNot(t => t._1 == 5L || t._1 == 100L)
+    assert(content(spark.table("lake.db.t_eq")) == expect3)
+    // the change feed cannot expand keyed deletes to rows — loud
+    val feedCols = graft.sources.LakeColIds.cols(snap2.schema, snap2.props)
+    val err = intercept[UnsupportedOperationException](
+      LakeChanges.partitionsFor(tableDir("t_eq"), feedCols,
+        snap2.schema, 3L, skipChangeCommits = false))
+    assert(err.getMessage.contains("equality deletes"))
+    assert(LakeChanges.partitionsFor(tableDir("t_eq"), feedCols,
+      snap2.schema, 3L, skipChangeCommits = true).isEmpty)
+    // time travel applies the records as of each version
+    assert(content(spark.sql("SELECT * FROM lake.db.t_eq VERSION AS OF 2")) == expect2)
+    assert(content(spark.sql("SELECT * FROM lake.db.t_eq VERSION AS OF 1")) ==
+      (0L until 100L).map(k => k -> k))
+    // clone refuses while records are live
+    val cloneErr = intercept[Exception](spark.sql(
+      "CALL lake.system.clone('db.t_eq', 'db.t_eq_clone', -1)").collect())
+    assert(cloneErr.getMessage.contains("equality"))
+    // compaction applies the records (reads through the connector) and
+    // the commit auto-drops them: nothing predates the rewrite anymore
+    spark.sql("CALL lake.system.compact('db.t_eq', 1)").collect() // v4
+    val snap4 = LakeLog.currentSnapshot(tableDir("t_eq")).get
+    assert(snap4.eqdels.isEmpty, "compaction erases the equality set")
+    assert(content(spark.table("lake.db.t_eq")) == expect3)
+    // pre-compact time travel still applies them
+    assert(content(spark.sql("SELECT * FROM lake.db.t_eq VERSION AS OF 3")) == expect3)
+    // rollback to v1 restores the pre-upsert state AND its (empty) set
+    spark.sql("CALL lake.system.rollback('db.t_eq', 1)").collect()
+    assert(content(spark.table("lake.db.t_eq")) ==
+      (0L until 100L).map(k => k -> k))
+  }
+
+  test("equality deletes: records survive checkpoints and vacuum; string keys; projection-free key reads") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_eqs (name STRING, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'name', " +
+      "'checkpoint_part_bytes' = '2048')")
+    spark.range(0, 60).select(concat(lit("u"), $"id").as("name"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqs").append() // v1
+    spark.sql("DELETE FROM lake.db.t_eqs WHERE name = 'u7'") // v2: eq record
+    // 9 more commits -> checkpoint at v11 carries the record
+    for (c <- 1 until 10)
+      spark.range(c * 100L, c * 100L + 5L)
+        .select(concat(lit("u"), $"id").as("name"), $"id".as("v"))
+        .coalesce(1).writeTo("lake.db.t_eqs").append()
+    assert(LakeLog.checkpointParts(tableDir("t_eqs"), 10L) != 0)
+    spark.sql("CALL lake.system.vacuum('db.t_eqs', 1)").collect()
+    LakeLog.clearPartCache()
+    val snap = LakeLog.currentSnapshot(tableDir("t_eqs")).get
+    assert(snap.eqdels.size == 1, "the record must survive checkpoint + vacuum")
+    // a projection that never names the key still filters: the reader
+    // decodes the key column on its own
+    val vs = spark.table("lake.db.t_eqs").select($"v")
+      .as[Long].collect().sorted.toSeq
+    assert(!vs.contains(7L) && vs.contains(6L) && vs.contains(8L))
+    assert(vs.length == 104)
+    // and a count(*) (no data column projected) is still exact
+    assert(spark.table("lake.db.t_eqs").count() == 104L)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
