@@ -546,6 +546,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         case set: TableChange.SetProperty =>
           require(!LakeTable.ReservedProps(set.property) &&
             !set.property.startsWith("txn.") &&
+            !set.property.startsWith("qe.") &&
             !set.property.startsWith(LakeConstraints.Prefix),
             s"graftlake: property ${set.property} is format-internal")
           // reject a non-numeric bound HERE — the checkpoint writer
@@ -586,6 +587,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         case rm: TableChange.RemoveProperty =>
           require(!LakeTable.ReservedProps(rm.property) &&
             !rm.property.startsWith("txn.") &&
+            !rm.property.startsWith("qe.") &&
             !rm.property.startsWith(LakeConstraints.Prefix),
             s"graftlake: property ${rm.property} is format-internal")
           props = props - rm.property
@@ -1845,6 +1847,73 @@ object LakeLog {
     * revalidates, retries). Changed entries (a moved delete vector)
     * ride as remove+add of that entry alone.
     */
+  /** APPEND-ONLY commit fast path: publish `added` as the successor of
+    * `expectedVersion` WITHOUT materializing the parent's file census —
+    * the O(table)-per-commit driver cost the full diff pays. A lazy
+    * parted parent stays lazy end to end: schema/props and the
+    * equality-delete set come from the parent's O(1) header fold, a
+    * pure add changes no record's liveness (nothing is removed and the
+    * new files are the youngest), and the cadence checkpoint
+    * reconstructs the published version lazily so the INCREMENTAL
+    * part-reuse planner serializes only touched parts. The streaming
+    * ingest loop is O(changed) end to end: delta write, checkpoint,
+    * and planning all scale with the commit, never the table. Returns
+    * false on a lost race, like [[commit]].
+    */
+  def commitAppend(dir: Path, expectedVersion: Long, added: Seq[LakeFile],
+      schema: StructType, props: Map[String, String],
+      eqAdd: Seq[LakeEqDelete] = Seq.empty): Boolean = {
+    require(expectedVersion >= 0L, "commitAppend needs an existing parent")
+    val v = expectedVersion + 1L
+    val parent = snapshotAt(dir, expectedVersion).getOrElse(
+      throw new IllegalStateException(
+        s"cannot commit v$v: parent v$expectedVersion unreadable"))
+    val stamped = added.map(f => if (f.seq == 0L) f.copy(seq = v) else f)
+    // a NEW record is live iff anything at all predates it; liveness
+    // must be decided CONSERVATIVELY without materializing (a wrongly
+    // dropped record resurrects rows; a wrongly kept one is harmless
+    // garbage the next full commit prunes)
+    val parentNonEmpty = parent.files match {
+      case pf: LakePartedFiles => pf.exactTotal.map(_ > 0).getOrElse(true)
+      case fs => fs.nonEmpty
+    }
+    val eqAdded =
+      if (parentNonEmpty)
+        eqAdd.map(e => if (e.seq == 0L) e.copy(seq = v) else e)
+      else Seq.empty
+    val root = mapper.createObjectNode()
+    root.put("version", v)
+    root.put("ts", System.currentTimeMillis())
+    root.put("schema", schema.json)
+    val pr = root.putObject("props")
+    props.foreach { case (k, pv) => pr.put(k, pv) }
+    val arr = root.putArray("add")
+    stamped.foreach(writeEntry(arr, _))
+    root.putArray("remove")
+    if (eqAdded.nonEmpty) {
+      val ea = root.putArray("eqadd")
+      eqAdded.foreach(e => ea.add(eqNode(e)))
+    }
+    Files.createDirectories(logDir(dir))
+    if (publish(dir, versionFile(dir, v), root)) {
+      val interval = props.get("checkpoint_interval")
+        .flatMap(_.toLongOption).filter(_ > 0L).getOrElse(CheckpointInterval.toLong)
+      if (v > 0L && v % interval == 0L) {
+        // reconstruct the just-published version LAZILY from the log —
+        // the incremental checkpoint planner never parses untouched
+        // parts, so the cadence cost is O(changed parts) too
+        try snapshotAt(dir, v).foreach(checkpoint(dir, _))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            recordCheckpointFailure(dir, v, e)
+            System.err.println(
+              s"graftlake: checkpoint at v$v failed (commit unaffected): $e")
+        }
+      }
+      true
+    } else false
+  }
+
   def commit(dir: Path, expectedVersion: Long, snapshot: LakeSnapshot,
       eqAdd: Seq[LakeEqDelete] = Seq.empty,
       eqBase: Option[Seq[LakeEqDelete]] = None): Boolean = {
@@ -4961,6 +5030,12 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           }
           val txnProps = txn.fold(cur.props) { case (a, v) =>
             cur.props + (s"txn.$a" -> v.toString) }
+          if (mode == Append) {
+            // fast path: a pure append never needs the parent's file
+            // census — O(changed) driver work however large the table
+            done = LakeLog.commitAppend(dir, cur.version, written,
+              cur.schema, txnProps, eqAdd = eqAdd)
+          } else {
           val base = mode match {
             case Append => cur.files
             case Truncate => Seq.empty
@@ -4994,6 +5069,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           done = LakeLog.commit(dir, cur.version,
             LakeSnapshot(cur.version + 1, cur.schema, base ++ written, txnProps),
             eqAdd = eqAdd)
+          }
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -5068,10 +5144,27 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           var done = false
           while (!done) {
             val cur = LakeLog.currentSnapshot(dir).get
-            val keep = cur.files.filterNot(f =>
-              f.epoch.contains(epochId) && f.query.contains(queryId))
-            done = LakeLog.commit(dir, cur.version, cur.next(keep ++ written),
-              eqAdd = eqAdd)
+            // per-query epoch WATERMARK (`qe.<queryId>` prop, the txn.
+            // pattern): a first-time epoch provably replaces nothing,
+            // so the O(changed) append fast path serves — the
+            // steady-state ingest loop never materializes the table;
+            // only a REPLAY (epoch at/below the watermark) pays the
+            // full supersede-and-diff commit
+            val wmKey = s"qe.$queryId"
+            val wm = cur.props.get(wmKey).flatMap(_.toLongOption)
+            val props2 = cur.props +
+              (wmKey -> math.max(epochId, wm.getOrElse(-1L)).toString)
+            done =
+              if (wm.forall(epochId > _))
+                LakeLog.commitAppend(dir, cur.version, written,
+                  cur.schema, props2, eqAdd = eqAdd)
+              else {
+                val keep = cur.files.filterNot(f =>
+                  f.epoch.contains(epochId) && f.query.contains(queryId))
+                LakeLog.commit(dir, cur.version,
+                  LakeSnapshot(cur.version + 1, cur.schema, keep ++ written, props2),
+                  eqAdd = eqAdd)
+              }
           }
         }
         override def abort(epochId: Long,
@@ -6421,8 +6514,9 @@ object LakeProcedures {
                 dv = f.dv.map(d => srcDir.resolve(d).toAbsolutePath.toString))
             }
             Files.createDirectories(dstDir.resolve("data"))
-            // strip txn watermarks: the clone is a new idempotence scope
-            val props = src.props.filterNot(_._1.startsWith("txn."))
+            // strip txn/epoch watermarks: the clone is a new idempotence scope
+            val props = src.props.filterNot(p =>
+              p._1.startsWith("txn.") || p._1.startsWith("qe."))
             LakeLog.commit(dstDir, expectedVersion = -1L,
               LakeSnapshot(0L, src.schema, absolute, props))
             // pin the cloned version on the SOURCE with a tag: vacuum

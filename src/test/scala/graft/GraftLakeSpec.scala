@@ -4862,6 +4862,66 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(spark.table("lake.db.t_eqs").count() == 104L)
   }
 
+  test("append commits never materialize the parent census: zero part parses off-cadence, O(changed) at the checkpoint") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_appfast (id BIGINT, b BIGINT)
+      |PARTITIONED BY (b) TBLPROPERTIES ('checkpoint_part_bytes' = '1')""".stripMargin)
+    for (c <- 0 until 10) // -> checkpoint v10, one part per bucket
+      spark.range(c * 30L, c * 30L + 30L)
+        .select($"id", ($"id" % 3L + c * 3L).as("b"))
+        .coalesce(1).writeTo("lake.db.t_appfast").append()
+    LakeLog.clearPartCache()
+    val reads0 = LakeLog.checkpointReads.get()
+    // v11..v19: pure appends — the fast path reads NO checkpoint part
+    for (c <- 0 until 9)
+      spark.range(2000L + c * 5L, 2000L + c * 5L + 5L)
+        .select($"id", lit(1L).as("b"))
+        .coalesce(1).writeTo("lake.db.t_appfast").append()
+    assert(LakeLog.checkpointReads.get() == reads0,
+      "an append commit must not materialize the parent census")
+    // v20: the cadence checkpoint — the INCREMENTAL planner parses only
+    // bucket 1's part (where every new file landed), not the table
+    spark.range(9000L, 9005L).select($"id", lit(1L).as("b"))
+      .coalesce(1).writeTo("lake.db.t_appfast").append()
+    val parses = LakeLog.checkpointReads.get() - reads0
+    assert(parses <= 2L, s"cadence checkpoint parses O(changed parts), got $parses")
+    assert(spark.table("lake.db.t_appfast").count() == 350L)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.db.t_appfast WHERE b = 1").head.getLong(0) == 60L)
+  }
+
+  test("streaming epoch watermark: first-time epochs append without reading the table; a replayed epoch still supersedes its files") {
+    import spark.implicits._
+    val t = "lake.db.t_epwm"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('checkpoint_part_bytes' = '2048')")
+    // backlog + paced drain: every epoch is first-time -> fast path
+    spark.sql("CREATE TABLE lake.db.t_epwm_src (id BIGINT, v BIGINT)")
+    for (c <- 0 until 12)
+      spark.range(c * 10L, c * 10L + 10L).select($"id", ($"id" * 2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_epwm_src").append()
+    LakeLog.clearPartCache()
+    val reads0 = LakeLog.checkpointReads.get()
+    val ckpt = java.nio.file.Files.createTempDirectory("epwm-ckpt").toString
+    spark.readStream.option("maxBytesPerTrigger", "1").table("lake.db.t_epwm_src")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t).awaitTermination()
+    // the drain crossed the destination's own v10 checkpoint: only the
+    // INCREMENTAL planner's touched-part parses are allowed
+    assert(LakeLog.checkpointReads.get() - reads0 <= 3L,
+      "a paced drain must not materialize the destination per epoch")
+    assert(spark.table(t).count() == 120L)
+    val snap = LakeLog.currentSnapshot(tableDir("t_epwm")).get
+    assert(snap.props.keys.exists(_.startsWith("qe.")),
+      "the epoch watermark must ride the table props")
+    // watermark is format-internal: user SET/REMOVE refused
+    val wmKey = snap.props.keys.find(_.startsWith("qe.")).get
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES ('$wmKey' = '999')"))
+    assert(e.getMessage.contains("format-internal"))
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
