@@ -4342,10 +4342,6 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
       }
     }
 
-  /** True when some planned file is in some live record's scope. */
-  private def eqAffected: Boolean =
-    eqdels.nonEmpty && planned.exists(f => eqColsFor(f).nonEmpty)
-
   override def planInputPartitions(): Array[InputPartition] = {
     val ps = planned
     onPlanned.foreach(_(ps.map(_.path)))
@@ -4422,11 +4418,6 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
   private def columnarPossible: Boolean =
     required.fieldNames.forall(_ != LakeTable.PosColumn) &&
       required.fieldNames.exists(n => n != LakeTable.FileColumn) &&
-      // equality-delete filtering evaluates the key VALUE per row —
-      // served by the row path; a CDC-fresh table trades vectorization
-      // until compaction rewrites it clean (uniform across partitions:
-      // decided over ALL planned files at the scan level)
-      !eqAffected &&
       files.forall(f => renameFor(f).nonEmpty) &&
       files.forall(f => typesFor(f).forall { case (c, t) =>
         // defensive: the selection view widens INT→BIGINT only (the one
@@ -4768,10 +4759,6 @@ case class LakeReaderFactory(tableSchema: StructType,
       case _ => ()
     }
     val p = partition.asInstanceOf[LakeInputFile]
-    // equality-delete filtering is row-path only — the scan-level
-    // columnarPossible gate already forces row mode on affected scans
-    require(!eqData.exists(e => e.seq > p.seq && p.eqCols.exists(_.colId == e.colId)),
-      "graftlake: columnar read planned over an equality-deleted file")
     // the delete vector (if any) is read TASK-side and applied inside
     // the batch as a live-row selection — the scan stays columnar on a
     // MOR table under continuous deletes
@@ -4785,18 +4772,36 @@ case class LakeReaderFactory(tableSchema: StructType,
     val present = dataCols.filter { case (n, _) => p.rename.contains(n) }
     val consts = required.filter { case (n, _) =>
       n == LakeTable.FileColumn || (n != LakeTable.PosColumn && !p.rename.contains(n)) }
+    // EQUALITY-DELETE key columns decode as EXTRA vectors after the
+    // projected ones (consts shift past them; they are never exposed):
+    // matching rows join the dv rows in the same per-batch live-row
+    // selection, so a CDC-fresh MOR table KEEPS the vectorized path
+    val eqApplicable: Seq[(LakeEqCol, LakeEqData)] = p.eqCols.flatMap(c =>
+      eqData.filter(e => e.colId == c.colId && e.seq > p.seq).map(c -> _))
+    val eqKeyCols: Seq[LakeEqCol] = eqApplicable.map(_._1).distinct
+    val presentPhys = present.map(t => p.rename(t._1)).toSeq
+    val eqExtra = eqKeyCols.map(_.phys).filterNot(presentPhys.contains)
+    val decodedPhys = presentPhys ++ eqExtra
+    val eqEvals: Array[(Int, DataType, Array[Long], java.util.HashSet[String])] =
+      eqKeyCols.map { c =>
+        val ds = eqApplicable.collect { case (cc, e) if cc == c => e }
+        val strs = new java.util.HashSet[String]()
+        ds.flatMap(_.strs).foreach(strs.add)
+        (decodedPhys.indexOf(c.phys), LakeParquet.typeOf(c.fileType),
+          ds.flatMap(_.longs).distinct.sorted.toArray, strs)
+      }.toArray
     val readerOpt =
       if (p.rgPreds.nonEmpty)
         LakeParquet.openVectorizedPruned(
           Paths.get(p.tableDir).resolve(p.path),
-          present.map(t => p.rename(t._1)).toSeq,
+          decodedPhys,
           p.rgPreds.toArray, n => p.rename.get(n))
           // remap the dv into the kept-groups' emitted coordinates
           .map { case (r, spans) =>
             (r, LakeParquet.remapDv(dvPhysical, spans)) }
       else Some((LakeParquet.openVectorized(
         Paths.get(p.tableDir).resolve(p.path),
-        present.map(t => p.rename(t._1)).toSeq), dvPhysical))
+        decodedPhys), dvPhysical))
     if (readerOpt.isEmpty)
       // every row group provably matchless: an empty batch stream
       return new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -4814,17 +4819,18 @@ case class LakeReaderFactory(tableSchema: StructType,
       }))
     reader.enableReturningBatches()
     val inner = reader.resultBatch()
-    // inner columns are (present ++ consts); re-expose in `required` order
+    // inner columns are (present ++ eqExtra ++ consts); re-expose in
+    // `required` order — the eq key vectors are read but never exposed
     val perm: Array[Int] = {
       var pi = 0
       var ci = 0
       required.map { case (n, _) =>
         if (n != LakeTable.FileColumn && p.rename.contains(n)) { val i = pi; pi += 1; i }
-        else { val i = present.length + ci; ci += 1; i }
+        else { val i = decodedPhys.length + ci; ci += 1; i }
       }
     }
-    // wrap decoded columns that need the dv selection and/or the
-    // INT→BIGINT widening view; constants are index-independent and
+    // wrap decoded columns that need the dv/equality selection and/or
+    // the INT→BIGINT widening view; constants are index-independent and
     // widened files' post-evolution columns pass through untouched
     val sel = new LakeSelection
     val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
@@ -4833,7 +4839,7 @@ case class LakeReaderFactory(tableSchema: StructType,
         val isData = innerIdx < present.length
         val widen = isData && p.fileTypes.get(required(c)._1)
           .exists(t => LakeParquet.typeOf(t) != required(c)._2)
-        if (isData && (dv.nonEmpty || widen))
+        if (isData && (dv.nonEmpty || widen || eqEvals.nonEmpty))
           new LakeSelectVector(v, required(c)._2, sel)
         else v
       }
@@ -4842,22 +4848,46 @@ case class LakeReaderFactory(tableSchema: StructType,
       private var fileOffset = 0L // file-absolute position of batch start
       private var dvIdx = 0
       private var outRows = 0
+      private def eqDeadAt(i: Int): Boolean = {
+        var e = 0
+        while (e < eqEvals.length) {
+          val (idx, dt, longs, strs) = eqEvals(e)
+          val kv = inner.column(idx)
+          if (!kv.isNullAt(i)) { // SQL IN: null never matches
+            val hit =
+              if (strs.isEmpty) {
+                val v = dt match {
+                  case IntegerType => kv.getInt(i).toLong
+                  case _ => kv.getLong(i)
+                }
+                java.util.Arrays.binarySearch(longs, v) >= 0
+              } else strs.contains(kv.getUTF8String(i).toString)
+            if (hit) return true
+          }
+          e += 1
+        }
+        false
+      }
       override def next(): Boolean = {
         val more = reader.nextBatch()
         if (more) {
           val n = inner.numRows
-          if (dv.isEmpty) outRows = n
+          if (dv.isEmpty && eqEvals.isEmpty) outRows = n
           else {
-            // compact this batch's live rows into a selection map:
-            // one merge pass over the SORTED vector, O(n + dv-in-range)
+            // compact this batch's live rows into a selection map: one
+            // merge pass over the SORTED vector, O(n + dv-in-range),
+            // plus the equality anti-join per row
             while (dvIdx < dv.length && dv(dvIdx) < fileOffset) dvIdx += 1
             val live = new Array[Int](n)
             var w = 0
             var i = 0
             var di = dvIdx
             while (i < n) {
-              if (di < dv.length && dv(di) == fileOffset + i) di += 1
-              else { live(w) = i; w += 1 }
+              val dvDead = di < dv.length && dv(di) == fileOffset + i
+              if (dvDead) di += 1
+              if (!dvDead && (eqEvals.length == 0 || !eqDeadAt(i))) {
+                live(w) = i; w += 1
+              }
               i += 1
             }
             dvIdx = di

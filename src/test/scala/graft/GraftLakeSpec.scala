@@ -4794,6 +4794,11 @@ class GraftLakeSpec extends AnyFunSuite {
       k -> (if (k >= 10 && k < 20) k * 100L else k)) ++
       (100L until 105L).map(k => k -> k * 100L)
     assert(content(spark.table("lake.db.t_eq")) == expect2)
+    // the anti-join rides the per-batch live-row selection — an
+    // equality-affected scan KEEPS the vectorized path
+    val eqPlan = spark.table("lake.db.t_eq").queryExecution.executedPlan.toString
+    assert(eqPlan.contains("ColumnarToRow"),
+      s"an eq-affected scan must stay columnar: $eqPlan")
     // count(*) must NOT answer from metadata while records are live
     assert(spark.table("lake.db.t_eq").count() == 105L)
     // keyed DELETE: an equality record, zero data-file opens or drops
@@ -4860,6 +4865,12 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(vs.length == 104)
     // and a count(*) (no data column projected) is still exact
     assert(spark.table("lake.db.t_eqs").count() == 104L)
+    // a positional dv STACKS with the equality records on the same file
+    spark.sql("DELETE FROM lake.db.t_eqs WHERE v % 13 = 0 AND v < 60")
+    val vs2 = spark.table("lake.db.t_eqs").select($"v")
+      .as[Long].collect().sorted.toSeq
+    assert(!vs2.contains(7L) && !vs2.contains(13L) && !vs2.contains(26L) &&
+      vs2.contains(14L) && vs2.length == 104 - 5)
   }
 
   test("append commits never materialize the parent census: zero part parses off-cadence, O(changed) at the checkpoint") {
