@@ -5576,14 +5576,20 @@ object LakeProcedures {
       sortedBy: Seq[String] = Seq.empty): Seq[LakeFile] = {
     val dirStr = dir.toString
     val cols = snap.schema.fieldNames
+    // hoist everything the task needs OUT of the closure: capturing
+    // `snap` would drag a lazy LakePartedFiles into the serialized
+    // closure (unserializable by design — it must never ship), which
+    // is exactly what a rewrite of a CHECKPOINTED table would do
+    val partSpec = LakePartitioning.decode(snap.props)
+    val bloomBy = LakeTable.bloomCols(snap.props)
+    val bloomInline = LakeTable.bloomInline(snap.props)
+    val codec = LakeTable.codecOf(snap.props)
+    val rowGroupBytes = LakeTable.rowGroupBytes(snap.props)
     val written = rows
       .mapPartitionsWithIndex { (pid, it) =>
         val w = LakeWriterFactory(dirStr, writeSchema, cols,
-          LakePartitioning.decode(snap.props),
-          bloomBy = LakeTable.bloomCols(snap.props),
-          bloomInline = LakeTable.bloomInline(snap.props),
-          codec = LakeTable.codecOf(snap.props),
-          rowGroupBytes = LakeTable.rowGroupBytes(snap.props)).createWriter(pid, 0L)
+          partSpec, bloomBy = bloomBy, bloomInline = bloomInline,
+          codec = codec, rowGroupBytes = rowGroupBytes).createWriter(pid, 0L)
         it.foreach(w.write)
         Iterator(w.commit())
       }.collect().toSeq
@@ -6290,9 +6296,19 @@ object LakeProcedures {
             var sizeMismatch = 0
             var missingDv = 0
             var missingBloom = 0
+            var missingEq = 0
+            // equality-delete BACKLOG (not damage — every read pays the
+            // anti-join until compaction resolves it; the operator's
+            // when-to-compact signal): record count + total keys. O(1)
+            // from the lazy snapshot header.
+            val headSnap = LakeLog.currentSnapshot(dir).get
+            val eqRecords = headSnap.eqdels.size
+            val eqKeys = headSnap.eqdels.map(_.n).sum
+            headSnap.eqdels.foreach { e =>
+              if (!Files.isRegularFile(dir.resolve(e.ref))) missingEq += 1
+            }
             if (deep) {
-              val snap = LakeLog.currentSnapshot(dir).get
-              snap.files.foreach { f =>
+              headSnap.files.foreach { f =>
                 val p = dir.resolve(f.path)
                 if (!Files.isRegularFile(p)) missingData += 1
                 else if (f.bytes > 0L && Files.size(p) != f.bytes)
@@ -6307,7 +6323,7 @@ object LakeProcedures {
             }
             val ok = marker.isEmpty && orphanParts == 0 && staleRefs == 0 &&
               missingData == 0 && sizeMismatch == 0 && missingDv == 0 &&
-              missingBloom == 0
+              missingBloom == 0 && missingEq == 0
             out(StructType(Seq(
               StructField("ok", BooleanType, nullable = false),
               StructField("head_version", LongType, nullable = false),
@@ -6317,12 +6333,15 @@ object LakeProcedures {
               StructField("missing_data_files", IntegerType, nullable = false),
               StructField("size_mismatches", IntegerType, nullable = false),
               StructField("missing_delete_vectors", IntegerType, nullable = false),
-              StructField("missing_bloom_sidecars", IntegerType, nullable = false))),
+              StructField("missing_bloom_sidecars", IntegerType, nullable = false),
+              StructField("eq_delete_records", IntegerType, nullable = false),
+              StructField("eq_delete_keys", LongType, nullable = false),
+              StructField("missing_eq_sidecars", IntegerType, nullable = false))),
               Seq(new GenericInternalRow(Array[Any](
                 ok, head,
                 marker.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
                 orphanParts, staleRefs, missingData, sizeMismatch,
-                missingDv, missingBloom))))
+                missingDv, missingBloom, eqRecords, eqKeys, missingEq))))
           }
         }
       }

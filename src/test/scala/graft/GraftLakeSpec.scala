@@ -4933,6 +4933,84 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("format-internal"))
   }
 
+  test("equality-delete soundness: a randomized upsert/keyed-delete/compact sequence matches the last-wins fold at every step") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_eqprop (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    val rnd = new scala.util.Random(9151)
+    val truth = scala.collection.mutable.Map.empty[Long, Long]
+    for (step <- 0 until 12) {
+      if (rnd.nextInt(4) == 0 && truth.nonEmpty) {
+        // keyed DELETE of a random known subset plus a guaranteed miss
+        val ks = (rnd.shuffle(truth.keys.toSeq).take(1 + rnd.nextInt(5)) :+ 99999L).distinct
+        spark.sql(s"DELETE FROM lake.db.t_eqprop WHERE k IN (${ks.mkString(",")})")
+        ks.foreach(truth.remove)
+      } else {
+        // upsert batch over a SMALL key domain so replacements are the
+        // common case (one row per key per batch — the CDC contract)
+        val keys = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct
+        val batch = keys.map(k => (k, rnd.nextInt(1000000).toLong))
+        batch.toDF("k", "v").coalesce(1)
+          .writeTo("lake.db.t_eqprop").option("upsert", "true").append()
+        batch.foreach { case (k, v) => truth(k) = v }
+      }
+      // mid-sequence compactions must RESOLVE records exactly, and the
+      // stream of later upserts keeps working against the clean files
+      if (step == 5 || step == 9)
+        spark.sql("CALL lake.system.compact('db.t_eqprop', 2)").collect()
+      val got = spark.table("lake.db.t_eqprop")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == truth.toSeq.sortBy(_._1), s"step $step diverged: " +
+        s"got ${got.size} rows, expected ${truth.size}")
+    }
+  }
+
+  test("streaming upserts: a restarted drain resumes from its checkpoint with exact last-wins state") {
+    import spark.implicits._
+    val src = "lake.db.t_upres_src"
+    val dst = "lake.db.t_upres"
+    spark.sql(s"CREATE TABLE $src (k BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $dst (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    // slice s upserts keys [0,20) to value s*100 + k (pre-deduped)
+    def slice(sl: Int): Unit =
+      spark.range(0, 20).select($"id".as("k"), ($"id" + sl * 100L).as("v"))
+        .coalesce(1).writeTo(src).append()
+    def drain(ckpt: String): Unit =
+      spark.readStream.option("maxBytesPerTrigger", "1").table(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("upsert", "true")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst).awaitTermination()
+    def state(): Seq[(Long, Long)] = spark.table(dst)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("upres-ckpt").toString
+    for (sl <- 0 until 3) slice(sl)
+    drain(ckpt)
+    assert(state() == (0L until 20L).map(k => k -> (k + 200L)),
+      "after three slices the last one wins")
+    val vAfter = LakeLog.currentVersion(tableDir("t_upres")).get
+    // a no-new-data restart must neither duplicate nor delete anything
+    drain(ckpt)
+    assert(state() == (0L until 20L).map(k => k -> (k + 200L)))
+    // resume: two more slices arrive, the SAME checkpoint picks up
+    // exactly them (epochs restart per checkpoint run — the qe
+    // watermark + (query, epoch) replacement must still hold)
+    for (sl <- 3 until 5) slice(sl)
+    drain(ckpt)
+    assert(state() == (0L until 20L).map(k => k -> (k + 400L)),
+      "the resumed drain applies exactly the new slices")
+    assert(LakeLog.currentVersion(tableDir("t_upres")).get > vAfter)
+    // and compaction still resolves everything downstream of a resume
+    spark.sql("CALL lake.system.compact('db.t_upres', 1)").collect()
+    assert(LakeLog.currentSnapshot(tableDir("t_upres")).get.eqdels.isEmpty)
+    assert(state() == (0L until 20L).map(k => k -> (k + 400L)))
+    // the health probe reports the (now empty) backlog
+    val h = spark.sql("CALL lake.system.health('db.t_upres', false)").head()
+    assert(h.getBoolean(0) && h.getInt(9) == 0 && h.getLong(10) == 0L,
+      s"clean post-compact backlog: $h")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
