@@ -5011,6 +5011,45 @@ class GraftLakeSpec extends AnyFunSuite {
       s"clean post-compact backlog: $h")
   }
 
+  test("partial compaction under equality deletes: compacted buckets come out clean, untouched buckets stay filtered") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_eqpart (k BIGINT, b BIGINT, v BIGINT)
+      |PARTITIONED BY (b)
+      |TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')""".stripMargin)
+    spark.range(0, 100)
+      .select($"id".as("k"), ($"id" % 2L).as("b"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqpart").append()
+    spark.range(0, 10)
+      .select($"id".as("k"), ($"id" % 2L).as("b"), ($"id" * 10L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqpart").option("upsert", "true").append()
+    def state(): Seq[(Long, Long)] = spark.table("lake.db.t_eqpart")
+      .select($"k", $"v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val expect = (0L until 100L).map(k => k -> (if (k < 10) k * 10L else k))
+    assert(state() == expect)
+    // bucket-scoped OPTIMIZE: b=0 rewrites clean (its new files are
+    // younger than every record), b=1's OLD file still needs the
+    // anti-join — the record must survive the partial rewrite
+    spark.sql("CALL lake.system.compact_where('db.t_eqpart', 'b = 0', 1)").collect()
+    val dir = tableDir("t_eqpart")
+    val mid = LakeLog.currentSnapshot(dir).get
+    assert(mid.eqdels.nonEmpty, "untouched buckets still predate the record")
+    assert(state() == expect, "partial compaction loses nothing")
+    // compacting the rest resolves the record set entirely
+    spark.sql("CALL lake.system.compact_where('db.t_eqpart', 'b = 1', 1)").collect()
+    assert(LakeLog.currentSnapshot(dir).get.eqdels.isEmpty)
+    assert(state() == expect)
+    // TRUNCATE drops every record with the data (nothing predates)
+    spark.range(0, 5).select($"id".as("k"), ($"id" % 2L).as("b"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqpart").option("upsert", "true").append()
+    spark.range(5, 8).select($"id".as("k"), ($"id" % 2L).as("b"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqpart").option("upsert", "true").append()
+    assert(LakeLog.currentSnapshot(dir).get.eqdels.nonEmpty)
+    spark.sql("TRUNCATE TABLE lake.db.t_eqpart")
+    assert(LakeLog.currentSnapshot(dir).get.eqdels.isEmpty,
+      "truncate leaves no record behind")
+    assert(spark.table("lake.db.t_eqpart").count() == 0L)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
