@@ -496,7 +496,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
               case other => other
             })
           props = props.map {
-            case (k, v) if (k == "clusterBy" || k == "sortBy") && v == from =>
+            case (k, v) if (k == "clusterBy" || k == "sortBy" ||
+                k == "upsert_key") && v == from =>
               k -> ren.newName
             case ("bloomBy", v) =>
               "bloomBy" -> v.split(',').map(_.trim)
@@ -518,6 +519,17 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           require(!props.get("clusterBy").contains(name) &&
             !props.get("sortBy").contains(name),
             s"graftlake: cannot drop layout column $name")
+          require(!props.get("upsert_key").contains(name),
+            s"graftlake: cannot drop the upsert_key column $name — " +
+              "unset the property first")
+          // a LIVE equality-delete record resolves its key by this id:
+          // dropping the column would silently stop the record from
+          // applying (resurrecting replaced rows) — refuse loudly
+          LakeColIds.cols(schema, props).find(_._1 == name).foreach { case (_, id) =>
+            require(!LakeLog.currentSnapshot(dir).exists(_.eqdels.exists(_.colId == id)),
+              s"graftlake: cannot drop column $name — live equality-delete " +
+                "records key on it; run CALL system.compact first")
+          }
           // a bloom index on a dropped column is just dead bytes in the
           // files — drop the column from the property
           props.get("bloomBy").foreach { v =>
@@ -1755,10 +1767,17 @@ object LakeLog {
       .getOrElse((Seq.empty, Set.empty))
 
   /** Delta `v`'s equality-delete records ADDED (empty when pruned or
-    * none) — the change feed's rewrite-detection input.
+    * none).
     */
   private[sources] def deltaEqAdds(dir: Path, v: Long): Seq[LakeEqDelete] =
     deltaAt(dir, v).map(_.eqAdds).getOrElse(Seq.empty)
+
+  /** True when delta `v` adds OR drops equality-delete records — the
+    * change feed's gate (an add deletes rows it can only name by key;
+    * a files-intact drop RESURRECTS rows, rollback's signature).
+    */
+  private[sources] def deltaEqChanged(dir: Path, v: Long): Boolean =
+    deltaAt(dir, v).exists(d => d.eqAdds.nonEmpty || d.eqDrops.nonEmpty)
 
   /** Table props as of delta `v` (the head delta carries the current
     * spec history — a small read, unlike the checkpoint).
@@ -1925,12 +1944,18 @@ object LakeLog {
         s"cannot commit v${snapshot.version}: parent v$expectedVersion unreadable")))
     val prevFiles = parent.map(_.files).getOrElse(Seq.empty)
     val prevByPath = prevFiles.map(f => f.path -> f).toMap
-    // stamp DATA-BIRTH versions: a freshly written entry (seq 0) is
-    // born at this commit; entries carried from the parent (or re-added
-    // with a moved dv) keep their original birth — equality deletes
-    // scope by it
+    // stamp DATA-BIRTH versions: an entry is born at this commit ONLY
+    // if its path is NEW to the parent — a path the parent already
+    // tracks keeps its recorded seq even when 0 (legacy/cloned entries:
+    // 0 = "older than every record", and bumping it here would let
+    // equality deletes silently skip those files, resurrecting
+    // replaced rows on the next ALTER or rewrite). Data under a path
+    // never changes (UUID names; only dv refs move), so parent
+    // membership IS data identity.
     val stamped = snapshot.files.map(f =>
-      if (f.seq == 0L) f.copy(seq = snapshot.version) else f)
+      if (f.seq == 0L && !prevByPath.contains(f.path))
+        f.copy(seq = snapshot.version)
+      else f)
     val nextByPath = stamped.map(f => f.path -> f).toMap
     val added = stamped.filter(f => !prevByPath.get(f.path).contains(f))
     val removed = prevFiles.filter(f => !nextByPath.get(f.path).contains(f)).map(_.path)
@@ -2360,15 +2385,28 @@ object LakeLog {
         if (nulls.nonEmpty && nulls.forall(_.isDefined))
           nc += id -> nulls.flatten.sum
       }
-      // per-part KMV fold: k-smallest of the entries' union (unsigned),
-      // recorded only when EVERY entry carries a sketch — the same
-      // coverage rule as sums, so a manifest-served NDV can only exist
-      // where the per-file fold would have had identical inputs
-      val kms = fs.map(f =>
-        LakeColIds.physicalName(cols, f, name).flatMap(f.kmv.get))
-      if (kms.nonEmpty && kms.forall(_.isDefined)) {
+      // per-part KMV fold: k-smallest of the entries' union (unsigned).
+      // Recorded when every entry either carries a sketch or provably
+      // PREDATES the column (contributing zero distinct values, exactly
+      // like the per-file consumer fold) AND at least one entry really
+      // sketched — an all-predates part stays silent so the consumer
+      // falls back to parsing, where the per-file fold's "no sketch
+      // input" None verdict is reproduced rather than guessed at
+      var kvOk = true
+      var kvAny = false
+      val kms = Seq.newBuilder[Seq[Long]]
+      fs.foreach { f =>
+        LakeColIds.physicalName(cols, f, name) match {
+          case None => () // predates the column
+          case Some(pn) => f.kmv.get(pn) match {
+            case Some(hs) => kvAny = true; kms += hs
+            case None => kvOk = false
+          }
+        }
+      }
+      if (kvOk && kvAny) {
         val set = new java.util.TreeSet[java.lang.Long]()
-        kms.flatten.flatten.foreach { h =>
+        kms.result().flatten.foreach { h =>
           set.add(h ^ Long.MinValue)
           if (set.size > LakeParquet.KmvK) { set.pollLast(); () }
         }
@@ -2975,11 +3013,16 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     }
   }
 
+  // EQUALITY first: it is O(predicate) where the metadata decision
+  // walks (and on a parted snapshot MATERIALIZES) the whole census —
+  // the keyed-delete hot path must stay zero-read however large the
+  // table. A keyed delete takes the record path even when the key set
+  // happens to cover whole files; compaction reclaims those later.
   override def canDeleteWhere(predicates: Array[VPredicate]): Boolean =
-    metadataDeletable(predicates) || eqDeletable(predicates).isDefined
+    eqDeletable(predicates).isDefined || metadataDeletable(predicates)
 
   override def deleteWhere(predicates: Array[VPredicate]): Unit = {
-    if (!metadataDeletable(predicates)) {
+    if (eqDeletable(predicates).isDefined) {
       // EQUALITY path: one record, zero data-file opens or drops
       val (id, kind, ls, ss) = eqDeletable(predicates).getOrElse(
         throw new IllegalStateException(
@@ -6560,7 +6603,14 @@ object LakeProcedures {
             val absolute = src.files.map { f =>
               f.copy(
                 path = srcDir.resolve(f.path).toAbsolutePath.toString,
-                dv = f.dv.map(d => srcDir.resolve(d).toAbsolutePath.toString))
+                dv = f.dv.map(d => srcDir.resolve(d).toAbsolutePath.toString),
+                // REBASE birth seqs: the clone's log restarts at 0, so
+                // source seqs would collide with future clone versions
+                // and FUTURE equality deletes (stamped seq >= 1) would
+                // skip cloned files carrying larger source seqs — rows
+                // would silently escape replacement. 0 = "predates
+                // every record", exactly right for a v0 snapshot.
+                seq = 0L)
             }
             Files.createDirectories(dstDir.resolve("data"))
             // strip txn/epoch watermarks: the clone is a new idempotence scope

@@ -133,13 +133,16 @@ object LakeChanges {
     }
     // an EQUALITY-DELETE commit deletes rows the log only names by KEY —
     // expanding them to change rows would mean scanning every older
-    // file; fail loudly (or skip), like physical rewrites
-    if (LakeLog.deltaEqAdds(dir, v).nonEmpty) {
+    // file; fail loudly (or skip), like physical rewrites. The same for
+    // a commit that DROPS records with its files intact (a rollback
+    // restoring a pre-delete set): that resurrects rows the feed cannot
+    // name — dv-shrink resurrection's equality twin
+    if (LakeLog.deltaEqChanged(dir, v)) {
       if (skipChangeCommits) return Seq.empty
       throw new UnsupportedOperationException(
-        s"graftlake change feed: version $v carries equality deletes — " +
-          "their per-row change set is not derivable from the log; " +
-          "set skipChangeCommits=true to skip such commits")
+        s"graftlake change feed: version $v adds or drops equality-delete " +
+          "records — their per-row change set is not derivable from the " +
+          "log; set skipChangeCommits=true to skip such commits")
     }
     def rename(f: LakeFile): Map[String, String] =
       required.fieldNames.iterator

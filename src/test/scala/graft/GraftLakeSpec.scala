@@ -4814,7 +4814,7 @@ class GraftLakeSpec extends AnyFunSuite {
     val err = intercept[UnsupportedOperationException](
       LakeChanges.partitionsFor(tableDir("t_eq"), feedCols,
         snap2.schema, 3L, skipChangeCommits = false))
-    assert(err.getMessage.contains("equality deletes"))
+    assert(err.getMessage.contains("equality-delete"))
     assert(LakeChanges.partitionsFor(tableDir("t_eq"), feedCols,
       snap2.schema, 3L, skipChangeCommits = true).isEmpty)
     // time travel applies the records as of each version
@@ -5048,6 +5048,50 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(LakeLog.currentSnapshot(dir).get.eqdels.isEmpty,
       "truncate leaves no record behind")
     assert(spark.table("lake.db.t_eqpart").count() == 0L)
+  }
+
+  test("equality-delete hardening: clone rebases birth seqs, rename carries upsert_key, DROP of a live key refused, rollback gates the feed") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_eqh (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 30).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqh").append()
+    spark.range(0, 5).select($"id".as("k"), ($"id" * 7L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqh").option("upsert", "true").append()
+    // DROP of the live key column must refuse (records key on its id)
+    val dropErr = intercept[Exception](
+      spark.sql("ALTER TABLE lake.db.t_eqh DROP COLUMN k"))
+    assert(dropErr.getMessage.contains("upsert_key"))
+    // ROLLBACK to the pre-upsert version drops the record with files
+    // intact — the change feed must refuse to narrate that version
+    spark.sql("CALL lake.system.rollback('db.t_eqh', 1)").collect()
+    val dir = tableDir("t_eqh")
+    val rbV = LakeLog.currentVersion(dir).get
+    val snap = LakeLog.currentSnapshot(dir).get
+    val gateErr = intercept[UnsupportedOperationException](
+      graft.sources.LakeChanges.partitionsFor(dir,
+        graft.sources.LakeColIds.cols(snap.schema, snap.props),
+        snap.schema, rbV, skipChangeCommits = false))
+    assert(gateErr.getMessage.contains("equality-delete"))
+    // CLONE (records must be resolved first) then upsert the clone:
+    // cloned files' seqs are REBASED to 0, so the clone's very first
+    // record (seq 1+) applies to them — last-wins must actually win
+    spark.sql("CALL lake.system.clone('db.t_eqh', 'db.t_eqh_cl', -1)").collect()
+    spark.range(0, 5).select($"id".as("k"), ($"id" * 100L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqh_cl").option("upsert", "true").append()
+    def content(t: String): Seq[(Long, Long)] = spark.table(t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(content("lake.db.t_eqh_cl") == (0L until 30L).map(k =>
+      k -> (if (k < 5) k * 100L else k)),
+      "an unrebased clone seq would let the old rows escape replacement")
+    // RENAME of the key column carries upsert_key; upserts keep working
+    spark.sql("ALTER TABLE lake.db.t_eqh_cl RENAME COLUMN k TO kk")
+    spark.range(5, 8).select($"id".as("kk"), ($"id" * 1000L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqh_cl").option("upsert", "true").append()
+    val got = spark.table("lake.db.t_eqh_cl").select($"kk", $"v")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == (0L until 30L).map(k =>
+      k -> (if (k < 5) k * 100L else if (k < 8) k * 1000L else k)))
   }
 
   test("DDL surface: list/drop; unsupported column types rejected at create") {
