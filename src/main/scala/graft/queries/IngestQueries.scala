@@ -1705,8 +1705,136 @@ object IngestQueries {
     post.join(pre, Seq("k")).select($"k", $"v_final", $"v_pre").orderBy($"k")
   }
 
+  /** q111 — the change feed NARRATES equality-delete commits (CDC back
+    * OUT of an upsert table, closing q110's CDC-in loop): the same
+    * last-wins keyed changelog lands as three batch upsert commits plus
+    * one keyed `DELETE WHERE k IN (...)` — four versions whose delete
+    * half exists only as equality records. `<table>__changes` expands
+    * each record against the PREDATING files task-side: the matching
+    * rows that were still alive at v-1 emit as 'delete' pre-images (an
+    * already-replaced row must NOT re-emit at the next replacement —
+    * the guard set), inserts ride the added files. The frame replays
+    * the feed as a multiset net (+1 insert / −1 delete per full-row
+    * identity) and joins it against the table's final state: a single
+    * over-emitted, dropped, or resurrected change row breaks the net
+    * (net ≠ 1 rows vanish from the join; fan-out breaks the hash).
+    * Oracle = relational last-wins minus the deleted keys, the value
+    * twice.
+    */
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q111").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dst = s"$cat.db.cdc_mirror"
+    spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    val chg = Tables.load(spark, dir, "orders")
+      .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
+        $"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ok".desc)
+    for (sl <- 0 until 3)
+      chg.filter($"s" === sl.toLong)
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"k", $"cents").coalesce(1)
+        .writeTo(dst).option("upsert", "true").append()
+    // a scan-free keyed DELETE: one more equality record, no data reads
+    val dropKeys = (0 until 1000 by 97).mkString(", ")
+    spark.sql(s"DELETE FROM $dst WHERE k IN ($dropKeys)")
+    val feed = spark.table(s"${dst}__changes")
+    val replay = feed
+      .groupBy($"k", $"cents")
+      .agg(sum(when($"_change_type" === "insert", 1L).otherwise(-1L)).as("net"))
+      .where($"net" === 1L)
+      .select($"k", $"cents".as("v_replay"))
+    spark.table(dst).select($"k", $"cents".as("v_table"))
+      .join(replay, Seq("k"))
+      .select($"k", $"v_table", $"v_replay").orderBy($"k")
+  }
+
+  /** q112 — incremental MV maintained FROM an upsert table's feed:
+    * q88's signed-delta MERGE machinery pointed at a source whose
+    * mutations exist only as EQUALITY records (scan-free keyed upserts
+    * + a keyed DELETE — no dvs, no rewrites anywhere). Each streamed
+    * micro-batch of `<src>__changes` is one commit's expansion
+    * (pre-image deletes + post-image inserts); the MV folds them as
+    * ±1 / ±bal per segment, so neither the ingest NOR the MV
+    * maintenance ever re-scans the source's groups. The second
+    * `maintain()` resumes the feed checkpoint ACROSS equality commits
+    * (offsets are log versions regardless of commit type). Oracle =
+    * the last-wins state aggregated per segment: one over- or
+    * under-emitted expansion row and a segment's n_rows/sum_bal drift.
+    */
+  def q112(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q112").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$cat.db.acct_state"
+    val mv = s"$cat.db.acct_seg_totals"
+    spark.sql(s"CREATE TABLE $src (k BIGINT, seg STRING, bal BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.sql(s"CREATE TABLE $mv (seg STRING, n_rows BIGINT, sum_bal BIGINT)")
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+        graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+      .repartition(4).writeTo(src).append() // v1
+    // v2: a keyed upsert batch derived from current state (the WRITE
+    // itself stays scan-free — deriving the batch is the client's read)
+    spark.table(src).where($"k" % 10L === 3L)
+      .select($"k", $"seg", ($"bal" + 11L).as("bal"))
+      .coalesce(1).writeTo(src).option("upsert", "true").append()
+    // v3: a scan-free keyed DELETE (literal key set, data-independent)
+    val dropKeys = (0L to 20000L by 53L).mkString(", ")
+    spark.sql(s"DELETE FROM $src WHERE k IN ($dropKeys)")
+    val ckpt = java.nio.file.Files.createTempDirectory("q112-ckpt").toString
+    val deltaView = s"q112_delta_${cat.takeRight(8)}"
+    def maintain(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table(s"${src}__changes")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+            batch.groupBy(col("seg"))
+              .agg(sum(sign).as("d_n"), sum(sign * col("bal")).as("d_bal"))
+              .createOrReplaceTempView(deltaView)
+            batch.sparkSession.sql(
+              s"""MERGE INTO $mv t USING $deltaView d ON t.seg = d.seg
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  t.n_rows = t.n_rows + d.d_n, t.sum_bal = t.sum_bal + d.d_bal
+                 |WHEN NOT MATCHED THEN INSERT (seg, n_rows, sum_bal)
+                 |  VALUES (d.seg, d.d_n, d.d_bal)""".stripMargin)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    maintain() // v1..v3, one version per micro-batch
+    // v4, post-drain: another upsert — the resumed feed must replay
+    // exactly this equality commit's expansion
+    spark.table(src).where($"k" % 10L === 8L)
+      .select($"k", $"seg", ($"bal" + 7L).as("bal"))
+      .coalesce(1).writeTo(src).option("upsert", "true").append()
+    maintain()
+    spark.table(mv).filter($"n_rows" > 0L)
+      .select($"seg", $"n_rows", $"sum_bal").orderBy($"seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_cdc_upsert" -> q110,
+    "q111_cdc_feed" -> q111,
+    "q112_upsert_mv" -> q112,
     "q40_csv_ingest" -> q40,
     "q87_lake_partitioned" -> q87,
     "q89_partition_evolution" -> q89,
@@ -1754,6 +1882,31 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q112_upsert_mv" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |fin AS (
+        |  SELECT k, seg,
+        |    bal + CASE WHEN k % 10 = 3 THEN 11
+        |               WHEN k % 10 = 8 THEN 7 ELSE 0 END AS bal
+        |  FROM base WHERE k % 53 <> 0)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
+    "q111_cdc_feed" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,
+        |    o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, cents,
+        |    row_number() OVER (PARTITION BY k ORDER BY s DESC, ok DESC) AS rn
+        |  FROM chg)
+        |SELECT k, cents AS v_table, cents AS v_replay
+        |FROM fin WHERE rn = 1 AND k % 97 <> 0 ORDER BY k""".stripMargin,
     "q110_cdc_upsert" ->
       """WITH chg AS (
         |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,

@@ -1772,13 +1772,6 @@ object LakeLog {
   private[sources] def deltaEqAdds(dir: Path, v: Long): Seq[LakeEqDelete] =
     deltaAt(dir, v).map(_.eqAdds).getOrElse(Seq.empty)
 
-  /** True when delta `v` adds OR drops equality-delete records — the
-    * change feed's gate (an add deletes rows it can only name by key;
-    * a files-intact drop RESURRECTS rows, rollback's signature).
-    */
-  private[sources] def deltaEqChanged(dir: Path, v: Long): Boolean =
-    deltaAt(dir, v).exists(d => d.eqAdds.nonEmpty || d.eqDrops.nonEmpty)
-
   /** Table props as of delta `v` (the head delta carries the current
     * spec history — a small read, unlike the checkpoint).
     */
@@ -6546,7 +6539,9 @@ object LakeProcedures {
         * history. The change feed sees the rollback as a normal
         * commit: remove-only over an append-only history (clean
         * delete semantics), remove+add when it reverts row-level
-        * mutations (the documented rewrite contract applies).
+        * mutations (the documented rewrite contract applies); a
+        * dropped equality-delete record narrates as resurrection
+        * inserts over its still-live predating files.
         */
       case "clone" => new UnboundProcedure {
         override def name(): String = "clone"

@@ -27,6 +27,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     insert-of-post-image in one commit — CDC shape)
   *   - files REMOVED with nothing added (metadata-only DELETE,
   *     TRUNCATE) → their live rows as 'delete'
+  *   - EQUALITY-DELETE records ADDED (a keyed upsert's scan-free
+  *     delete half, or `DELETE WHERE k IN (...)`) → the matching rows
+  *     of every PREDATING live file, read back with the key set as a
+  *     task-side anti^-1-join, as 'delete' — so a CDC upsert narrates
+  *     as delete-of-pre-image + insert-of-post-image exactly like the
+  *     dv shape. Candidate files prune through the same stats + bloom
+  *     algebra the scan uses; rows already dead at `v-1` (older
+  *     records, dv positions) are never re-emitted.
+  *   - records DROPPED with their predating files intact (rollback of
+  *     an upsert) → the matching rows came back to life: emitted as
+  *     'insert', filtered by what is still dead at `v` — which makes
+  *     the commit-time auto-prune of fully-escaped records a natural
+  *     no-op in the feed.
   *   - a commit that both removes AND adds files (COW rewrite,
   *     compaction) is a PHYSICAL rewrite whose logical change set is
   *     not representable from the log alone: the scan fails unless
@@ -72,6 +85,13 @@ object LakeChanges {
   val VersionColumn = "_commit_version"
   /** Table-name suffix that routes `loadTable` to the feed. */
   val Suffix = "__changes"
+
+  /** Spec instrumentation for equality-record expansion planning:
+    * predating files that survived / were pruned by the stats + bloom
+    * candidate check (counted per (file, record) pair).
+    */
+  private[graft] val eqFilesPlanned = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val eqFilesPruned = new java.util.concurrent.atomic.AtomicLong
 
   /** `startingTimestamp` → the first version committed at or after the
     * instant (epoch millis, or any SQL timestamp/date literal parsed in
@@ -131,18 +151,21 @@ object LakeChanges {
           "its logical change set is not derivable from the log; " +
           "set skipChangeCommits=true to skip such commits")
     }
-    // an EQUALITY-DELETE commit deletes rows the log only names by KEY —
-    // expanding them to change rows would mean scanning every older
-    // file; fail loudly (or skip), like physical rewrites. The same for
-    // a commit that DROPS records with its files intact (a rollback
-    // restoring a pre-delete set): that resurrects rows the feed cannot
-    // name — dv-shrink resurrection's equality twin
-    if (LakeLog.deltaEqChanged(dir, v)) {
-      if (skipChangeCommits) return Seq.empty
-      throw new UnsupportedOperationException(
-        s"graftlake change feed: version $v adds or drops equality-delete " +
-          "records — their per-row change set is not derivable from the " +
-          "log; set skipChangeCommits=true to skip such commits")
+    // EQUALITY-DELETE record transitions expand to row-level changes:
+    // records ADDED at v delete the matching live rows of predating
+    // files; records DROPPED with files intact (rollback of an upsert)
+    // resurrect them. Records are value-immutable once committed, so
+    // case-class set diff IS the transition.
+    val eqPrev = prev.eqdels
+    val eqCur = cur.eqdels
+    val eqAdded = eqCur.filterNot(eqPrev.contains)
+    val eqDropped = eqPrev.filterNot(eqCur.contains)
+    (eqAdded ++ eqDropped).foreach { e =>
+      if (!feedCols.exists(_._2 == e.colId))
+        throw new IllegalStateException(
+          s"graftlake change feed: version $v transitions an equality-delete " +
+            s"record on column id ${e.colId}, which the current schema no " +
+            "longer carries — the change set cannot be resolved")
     }
     def rename(f: LakeFile): Map[String, String] =
       required.fieldNames.iterator
@@ -153,15 +176,63 @@ object LakeChanges {
       LakeColIds.fileTypes(feedCols, f,
         required.fields.toSeq.filter(fd =>
           fd.name != TypeColumn && fd.name != VersionColumn))
+    // Resolve records applicable to one file (born strictly after it)
+    // into task-shippable refs: the file's physical key-column name and
+    // write-time type travel; the VALUES stay in their sidecars, read
+    // task-side like dvs. A file that physically predates the key
+    // column resolves to None — no row there can match, no ref ships.
+    def eqRefsFor(f: LakeFile, records: Seq[LakeEqDelete]): Seq[LakeEqRef] =
+      records.filter(_.seq > f.seq).flatMap { e =>
+        feedCols.find(_._2 == e.colId).map(_._1).flatMap { cn =>
+          LakeColIds.physicalName(feedCols, f, cn).map { phys =>
+            val i = f.cols.indexWhere(_._1 == phys)
+            val ft =
+              if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
+              else cur.schema.find(_.name == cn).map(_.dataType.simpleString)
+                .getOrElse(if (e.kind == "long") "bigint" else "string")
+            LakeEqRef(e.seq, e.colId, e.ref, e.kind, phys, ft)
+          }
+        }
+      }
+    // Candidate pruning for record-driven partitions: a predating file
+    // plans only if the scan's own decision algebra (stats ranges, null
+    // counts, partition tuples) and its log/sidecar blooms admit SOME
+    // key — the feed of a sorted/bloomed 100-TB table expands a keyed
+    // upsert against O(files that can hold the keys), not O(table).
+    // Key sidecars are read ONCE per version on the driver (small: the
+    // batch's key set), never shipped — refs travel, tasks re-read.
+    val keyCache = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    def candidate(f: LakeFile, r: LakeEqRef): Boolean = {
+      val cn = feedCols.find(_._2 == r.colId).get._1
+      val keys = keyCache.getOrElseUpdate(r.ref,
+        if (r.kind == "long") LakeEq.readLongs(dir, r.ref).toSeq.map(Long.box)
+        else LakeEq.readStrs(dir, r.ref).toSeq)
+      val inPred = new org.apache.spark.sql.connector.expressions.filter.Predicate(
+        "IN", (org.apache.spark.sql.connector.expressions.Expressions.column(cn) +:
+          keys.map(k => org.apache.spark.sql.connector.expressions.Expressions
+            .literal(k): org.apache.spark.sql.connector.expressions.Expression)).toArray)
+      val ok = LakeStats.decide(f, Array(inPred),
+        LakeColIds.physicalName(feedCols, f, _),
+        LakePartitioning.resolver(cur.props, f)) != LakeStats.None_ &&
+        LakeBloomProbe.survives(dir, cur.schema, feedCols, f,
+          Seq(cn -> keys), footerProbesOk = false)
+      if (ok) LakeChanges.eqFilesPlanned.incrementAndGet()
+      else LakeChanges.eqFilesPruned.incrementAndGet()
+      ok
+    }
     // dv SIDECAR PATHS only — the vectors themselves are read in the
     // TASK ([[LakeChangesReaderFactory]]), so planning stays O(files)
     // driver memory and a million-row DELETE ships bytes-constant
-    // partition payloads instead of embedded position arrays
+    // partition payloads instead of embedded position arrays.
+    // Added files carry the CURRENT records as a guard: a rollback can
+    // RESTORE old files into a snapshot whose live records still kill
+    // some of their rows — those must not resurface as inserts.
     val inserts = added.map(f => LakeChangePartition(
       dir.toString, f.path, f.rows, rename(f), "insert", v,
-      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypes(f)))
+      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypes(f),
+      eqGuard = eqRefsFor(f, eqCur)))
     if (appendOnly) {
-      val changed = removed.nonEmpty ||
+      val changed = removed.nonEmpty || eqAdded.nonEmpty || eqDropped.nonEmpty ||
         cur.files.exists(f => prevByPath.get(f.path).exists(_.dv != f.dv))
       if (changed) {
         if (skipChangeCommits) return Seq.empty
@@ -172,31 +243,46 @@ object LakeChanges {
       }
       return inserts
     }
-    val dvDeletes = cur.files.flatMap { f =>
+    // One FLIP KERNEL for files present on both sides: a row's change
+    // is a liveness flip between dead(v-1) = dvPrev ∪ match(prev
+    // records) and dead(v) = dvCur ∪ match(cur records). Deletes =
+    // dead(v) \ dead(v-1): (pos ∈ dv-growth ∨ row matches an ADDED
+    // record) ∧ pos ∉ dvPrev ∧ row matches no PREV record. Inserts
+    // (resurrections) are the mirror with the roles swapped. dv growth
+    // is monotone outside rewrite/rollback commits; the guards make
+    // already-dead rows unnameable in every path.
+    val flips = cur.files.flatMap { f =>
       prevByPath.get(f.path) match {
-        case Some(pf) if pf.dv != f.dv && f.dvRows >= pf.dvRows =>
-          // the task reads both sidecars and sorted-merge-diffs them;
-          // dv growth is monotone outside rewrite/rollback commits,
-          // so a grown reference always carries new positions
-          Some(LakeChangePartition(dir.toString, f.path, f.rows,
-            rename(f), "delete", v, dv = f.dv, prevDv = pf.dv,
-            emitDiff = true, fileTypes = fileTypes(f)))
-        case Some(pf) if pf.dv != f.dv =>
-          // dv SHRINK: a rollback restored an ancestor's (strictly
-          // smaller) vector — rows came back to life. Same diff
-          // kernel with the sidecar roles SWAPPED: positions in the
-          // old vector absent from the new one are the resurrected
-          // rows, emitted as inserts
-          Some(LakeChangePartition(dir.toString, f.path, f.rows,
-            rename(f), "insert", v, dv = pf.dv, prevDv = f.dv,
-            emitDiff = true, fileTypes = fileTypes(f)))
-        case _ => None
+        case Some(pf) if pf.dv != f.dv || eqAdded.nonEmpty || eqDropped.nonEmpty =>
+          val dvGrow = pf.dv != f.dv && f.dvRows >= pf.dvRows
+          val dvShrink = pf.dv != f.dv && f.dvRows < pf.dvRows
+          val addedApp = eqRefsFor(pf, eqAdded).filter(candidate(pf, _))
+          val droppedApp = eqRefsFor(f, eqDropped).filter(candidate(f, _))
+          val del =
+            if (dvGrow || addedApp.nonEmpty)
+              Some(LakeChangePartition(dir.toString, f.path, f.rows,
+                rename(f), "delete", v, dv = f.dv, prevDv = pf.dv,
+                emitDiff = true, fileTypes = fileTypes(f),
+                eqEmit = addedApp, eqGuard = eqRefsFor(pf, eqPrev)))
+            else None
+          val ins =
+            if (dvShrink || droppedApp.nonEmpty)
+              Some(LakeChangePartition(dir.toString, f.path, f.rows,
+                rename(f), "insert", v, dv = pf.dv, prevDv = f.dv,
+                emitDiff = true, fileTypes = fileTypes(f),
+                eqEmit = droppedApp, eqGuard = eqRefsFor(f, eqCur)))
+            else None
+          del.toSeq ++ ins
+        case _ => Seq.empty
       }
     }
+    // whole-file deletes emit what was LIVE at v-1: minus the file's
+    // own dv AND minus rows older records had already killed
     val dropDeletes = removed.map(f => LakeChangePartition(
       dir.toString, f.path, f.rows, rename(f), "delete", v,
-      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypes(f)))
-    inserts ++ dvDeletes ++ dropDeletes
+      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypes(f),
+      eqGuard = eqRefsFor(f, eqPrev)))
+    inserts ++ flips ++ dropDeletes
   }
 }
 
@@ -355,7 +441,20 @@ object LakeVersionOffset {
 case class LakeChangePartition(tableDir: String, path: String, rows: Long,
     rename: Map[String, String], changeType: String, version: Long,
     dv: Option[String], prevDv: Option[String], emitDiff: Boolean,
-    fileTypes: Map[String, String] = Map.empty) extends InputPartition
+    fileTypes: Map[String, String] = Map.empty,
+    eqEmit: Seq[LakeEqRef] = Seq.empty,
+    eqGuard: Seq[LakeEqRef] = Seq.empty) extends InputPartition
+
+/** One equality-delete record resolved AGAINST one file: the file's
+  * physical key-column name and write-time type ride along; the key
+  * VALUES stay in the record's sidecar (`ref`, `kind` long|string) and
+  * are read task-side — partition payloads stay O(1) like dv paths.
+  * As `eqEmit`, matching rows EMIT (the record flipped their liveness
+  * this version); as `eqGuard`, matching rows are SUPPRESSED (they
+  * were already dead on the emitting side's base snapshot).
+  */
+case class LakeEqRef(seq: Long, colId: Long, ref: String, kind: String,
+    phys: String, fileType: String)
 
 case class LakeChangesReaderFactory(
     required: Array[(String, DataType)]) extends PartitionReaderFactory {
@@ -367,9 +466,13 @@ case class LakeChangesReaderFactory(
       rel.map(LakeDv.read(tdir, _)).getOrElse(Array.emptyLongArray)
     // task-side dv materialization: planning shipped only the paths
     val dvCur = readDv(p.dv)
+    val dvPrev = readDv(p.prevDv)
+    // flip mode: positions of `dv` absent from `prevDv` emit, `prevDv`
+    // itself suppresses (a record-matched row dead on the base side
+    // must not re-emit). Complement mode: everything outside `dv`.
     val include: Option[Array[Long]] =
-      if (p.emitDiff) Some(LakeDv.diff(dvCur, readDv(p.prevDv))) else None
-    val exclude: Array[Long] = if (p.emitDiff) Array.emptyLongArray else dvCur
+      if (p.emitDiff) Some(LakeDv.diff(dvCur, dvPrev)) else None
+    val exclude: Array[Long] = if (p.emitDiff) dvPrev else dvCur
     val codes = {
       var pi = 0
       required.map { case (n, _) =>
@@ -383,32 +486,88 @@ case class LakeChangesReaderFactory(
       p.fileTypes.get(n).map(LakeParquet.typeOf).getOrElse(dt) }
     val physical = required.collect {
       case (n, _) if p.rename.contains(n) => p.rename(n) }
+    // equality-record key columns decode even when unprojected —
+    // appended AFTER the projected columns so `codes` indices hold
+    val eqKeyPhys: Seq[String] =
+      (p.eqEmit ++ p.eqGuard).map(_.phys).distinct.filterNot(physical.contains)
+    val decodedPhys: Seq[String] = physical.toSeq ++ eqKeyPhys
     val reader =
-      if (physical.isEmpty) null
+      if (decodedPhys.isEmpty) null
       else LakeParquet.openVectorized(
-        Paths.get(p.tableDir).resolve(p.path), physical.toSeq)
+        Paths.get(p.tableDir).resolve(p.path), decodedPhys)
+    // one eval per distinct key column per role: sidecar values load
+    // task-side, longs sorted for binary search, strings hashed
+    def evalsOf(refs: Seq[LakeEqRef]): Array[(Int, DataType, Array[Long], java.util.HashSet[String])] =
+      refs.groupBy(_.phys).map { case (phys, rs) =>
+        val longs = rs.filter(_.kind == "long")
+          .flatMap(r => LakeEq.readLongs(tdir, r.ref))
+          .distinct.sorted.toArray
+        val strs = new java.util.HashSet[String]()
+        rs.filter(_.kind == "string")
+          .foreach(r => LakeEq.readStrs(tdir, r.ref).foreach(strs.add))
+        (decodedPhys.indexOf(phys), LakeParquet.typeOf(rs.head.fileType),
+          longs, strs)
+      }.toArray
+    val emitEvals = evalsOf(p.eqEmit)
+    val guardEvals = evalsOf(p.eqGuard)
+    def matches(row: InternalRow,
+        evals: Array[(Int, DataType, Array[Long], java.util.HashSet[String])]): Boolean = {
+      var i = 0
+      while (i < evals.length) {
+        val (idx, dt, longs, strs) = evals(i)
+        if (!row.isNullAt(idx)) { // SQL IN: null never matches
+          val hit =
+            if (strs.isEmpty) {
+              val v = dt match {
+                case IntegerType => row.getInt(idx).toLong
+                case _ => row.getLong(idx)
+              }
+              longs.nonEmpty && java.util.Arrays.binarySearch(longs, v) >= 0
+            } else strs.contains(row.getUTF8String(idx).toString)
+          if (hit) return true
+        }
+        i += 1
+      }
+      false
+    }
     val typeValue = UTF8String.fromString(p.changeType)
     new PartitionReader[InternalRow] {
       private var pos = -1L
-      private var cursor = 0
-      private def emit(i: Long): Boolean = include match {
+      private var ci = 0 // include cursor
+      private var ce = 0 // exclude cursor
+      private def inInclude(i: Long): Boolean = include match {
         case Some(inc) =>
-          while (cursor < inc.length && inc(cursor) < i) cursor += 1
-          cursor < inc.length && inc(cursor) == i
-        case None =>
-          while (cursor < exclude.length && exclude(cursor) < i) cursor += 1
-          !(cursor < exclude.length && exclude(cursor) == i)
+          while (ci < inc.length && inc(ci) < i) ci += 1
+          ci < inc.length && inc(ci) == i
+        case None => false
       }
+      private def inExclude(i: Long): Boolean = {
+        while (ce < exclude.length && exclude(ce) < i) ce += 1
+        ce < exclude.length && exclude(ce) == i
+      }
+      // the FLIP kernel: a row emits when this side flipped its
+      // liveness (dv-diff position, or a value the flipped records
+      // name) and the base side had it ALIVE (not in the base dv, not
+      // matching a base-side record)
+      private def ok(i: Long, row: InternalRow): Boolean =
+        if (p.emitDiff)
+          (inInclude(i) || matches(row, emitEvals)) &&
+            !inExclude(i) && !matches(row, guardEvals)
+        else !inExclude(i) && !matches(row, guardEvals)
+      // metadata-only projection with no eq records: position logic
+      private def posOnly(i: Long): Boolean =
+        if (p.emitDiff) inInclude(i) && !inExclude(i) else !inExclude(i)
       override def next(): Boolean =
         if (reader == null) {
           pos += 1
-          while (pos < p.rows && !emit(pos)) pos += 1
+          while (pos < p.rows && !posOnly(pos)) pos += 1
           pos < p.rows
         } else {
           var more = reader.nextKeyValue()
           while (more) {
             pos += 1
-            if (emit(pos)) return true
+            if (ok(pos, reader.getCurrentValue.asInstanceOf[InternalRow]))
+              return true
             more = reader.nextKeyValue()
           }
           false

@@ -4801,22 +4801,35 @@ class GraftLakeSpec extends AnyFunSuite {
       s"an eq-affected scan must stay columnar: $eqPlan")
     // count(*) must NOT answer from metadata while records are live
     assert(spark.table("lake.db.t_eq").count() == 105L)
-    // keyed DELETE: an equality record, zero data-file opens or drops
+    // keyed DELETE: an equality record, zero data-file opens or drops.
+    // Key 15 is already-replaced: its v1 pre-image is record-dead
     val opens1 = LakeParquet.dataFileOpens.get()
-    spark.sql("DELETE FROM lake.db.t_eq WHERE k IN (5, 100)") // v3
+    spark.sql("DELETE FROM lake.db.t_eq WHERE k IN (5, 15, 100)") // v3
     assert(LakeParquet.dataFileOpens.get() == opens1,
       "a keyed DELETE must never open a data file")
     assert(filePaths("t_eq") == paths2, "a keyed DELETE drops no files")
-    val expect3 = expect2.filterNot(t => t._1 == 5L || t._1 == 100L)
+    val expect3 = expect2.filterNot(t =>
+      t._1 == 5L || t._1 == 15L || t._1 == 100L)
     assert(content(spark.table("lake.db.t_eq")) == expect3)
-    // the change feed cannot expand keyed deletes to rows — loud
-    val feedCols = graft.sources.LakeColIds.cols(snap2.schema, snap2.props)
-    val err = intercept[UnsupportedOperationException](
-      LakeChanges.partitionsFor(tableDir("t_eq"), feedCols,
-        snap2.schema, 3L, skipChangeCommits = false))
-    assert(err.getMessage.contains("equality-delete"))
-    assert(LakeChanges.partitionsFor(tableDir("t_eq"), feedCols,
-      snap2.schema, 3L, skipChangeCommits = true).isEmpty)
+    // the change feed EXPANDS equality commits to row-level changes:
+    // the upsert version narrates as delete-of-pre-image (only rows
+    // alive at v1) + insert-of-post-image
+    def changesAt(ver: Long): Set[(String, Long, Long)] =
+      spark.read.table("lake.db.t_eq__changes")
+        .where(col(LakeChanges.VersionColumn) === ver)
+        .select(col(LakeChanges.TypeColumn), $"k", $"v")
+        .as[(String, Long, Long)].collect().toSet
+    val v2expect: Set[(String, Long, Long)] =
+      (10L until 20L).map(k => ("delete", k, k)).toSet ++
+        (10L until 20L).map(k => ("insert", k, k * 100L)) ++
+        (100L until 105L).map(k => ("insert", k, k * 100L))
+    assert(changesAt(2L) == v2expect,
+      "an upsert commit must narrate as CDC delete+insert pairs")
+    // the keyed DELETE narrates exactly the still-live pre-images: ONE
+    // row per key — k=15's replaced v1 row must NOT re-emit (guard),
+    // k=100 lives in the v2 file (record seq 3 > file seq 2)
+    assert(changesAt(3L) == Set(("delete", 5L, 5L),
+      ("delete", 15L, 1500L), ("delete", 100L, 10000L)))
     // time travel applies the records as of each version
     assert(content(spark.sql("SELECT * FROM lake.db.t_eq VERSION AS OF 2")) == expect2)
     assert(content(spark.sql("SELECT * FROM lake.db.t_eq VERSION AS OF 1")) ==
@@ -5062,17 +5075,20 @@ class GraftLakeSpec extends AnyFunSuite {
     val dropErr = intercept[Exception](
       spark.sql("ALTER TABLE lake.db.t_eqh DROP COLUMN k"))
     assert(dropErr.getMessage.contains("upsert_key"))
-    // ROLLBACK to the pre-upsert version drops the record with files
-    // intact — the change feed must refuse to narrate that version
+    // ROLLBACK to the pre-upsert version drops the record with the
+    // predating file intact — rows come back to life, and the change
+    // feed narrates that: the removed upsert file's post-images emit
+    // as deletes, the dropped record's matches as resurrection inserts
     spark.sql("CALL lake.system.rollback('db.t_eqh', 1)").collect()
     val dir = tableDir("t_eqh")
     val rbV = LakeLog.currentVersion(dir).get
-    val snap = LakeLog.currentSnapshot(dir).get
-    val gateErr = intercept[UnsupportedOperationException](
-      graft.sources.LakeChanges.partitionsFor(dir,
-        graft.sources.LakeColIds.cols(snap.schema, snap.props),
-        snap.schema, rbV, skipChangeCommits = false))
-    assert(gateErr.getMessage.contains("equality-delete"))
+    val rbChanges = spark.read.table("lake.db.t_eqh__changes")
+      .where(col(graft.sources.LakeChanges.VersionColumn) === rbV)
+      .select(col(graft.sources.LakeChanges.TypeColumn), $"k", $"v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(rbChanges == (0L until 5L).map(k => ("delete", k, k * 7L)).toSet ++
+      (0L until 5L).map(k => ("insert", k, k)),
+      "rollback of an upsert must narrate post-image deletes + resurrection inserts")
     // CLONE (records must be resolved first) then upsert the clone:
     // cloned files' seqs are REBASED to 0, so the clone's very first
     // record (seq 1+) applies to them — last-wins must actually win
@@ -5092,6 +5108,120 @@ class GraftLakeSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == (0L until 30L).map(k =>
       k -> (if (k < 5) k * 100L else if (k < 8) k * 1000L else k)))
+  }
+
+  test("change feed under equality deletes: candidate pruning is counter-pinned, TRUNCATE narrates only live rows, string keys, append-only gate") {
+    import spark.implicits._
+    import graft.sources.{LakeChanges, LakeColIds}
+    // two commits with DISJOINT key ranges -> per-file stats prune the
+    // expansion: an upsert over low keys must never plan the high file
+    spark.sql("CREATE TABLE lake.db.t_eqf (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 100).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqf").append() // v1: k in [0,100)
+    spark.range(1000, 1100).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqf").append() // v2: k in [1000,1100)
+    spark.range(5, 10).select($"id".as("k"), ($"id" * 9L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqf").option("upsert", "true").append() // v3
+    val dir = tableDir("t_eqf")
+    val snap = LakeLog.currentSnapshot(dir).get
+    val fcols = LakeColIds.cols(snap.schema, snap.props)
+    val planned0 = LakeChanges.eqFilesPlanned.get()
+    val pruned0 = LakeChanges.eqFilesPruned.get()
+    val parts3 = LakeChanges.partitionsFor(dir, fcols, snap.schema, 3L,
+      skipChangeCommits = false)
+    assert(LakeChanges.eqFilesPlanned.get() - planned0 == 1L &&
+      LakeChanges.eqFilesPruned.get() - pruned0 == 1L,
+      "the record's keys [5,10) must plan the low file and prune the high one")
+    assert(parts3.count(p => p.eqEmit.nonEmpty) == 1,
+      "exactly one record-driven partition")
+    def changes(t: String, ver: Long): Set[(String, Long, Long)] =
+      spark.read.table(s"lake.db.${t}__changes")
+        .where(col(LakeChanges.VersionColumn) === ver)
+        .select(col(LakeChanges.TypeColumn), $"k", $"v")
+        .as[(String, Long, Long)].collect().toSet
+    assert(changes("t_eqf", 3L) ==
+      (5L until 10L).map(k => ("delete", k, k)).toSet ++
+        (5L until 10L).map(k => ("insert", k, k * 9L)),
+      "upsert narration: pre-image deletes from the pruned-to file only")
+    // the base table's stream is append-only: an equality commit is a
+    // data change it must refuse (or skip) even with no dv/file delta
+    val aerr = intercept[UnsupportedOperationException](
+      LakeChanges.partitionsFor(dir, fcols, snap.schema, 3L,
+        skipChangeCommits = false, appendOnly = true))
+    assert(aerr.getMessage.contains("append-only"))
+    assert(LakeChanges.partitionsFor(dir, fcols, snap.schema, 3L,
+      skipChangeCommits = true, appendOnly = true).isEmpty)
+    // TRUNCATE drops every file AND the record set: the feed emits each
+    // file's rows ALIVE at v-1 — the replaced pre-images stay silent,
+    // and the auto-pruned record drop resurrects nothing (no live
+    // predating file remains)
+    spark.sql("TRUNCATE TABLE lake.db.t_eqf") // v4
+    val v4 = changes("t_eqf", 4L)
+    assert(v4.forall(_._1 == "delete") && v4.size == 200,
+      s"TRUNCATE must delete exactly the 200 live rows, got ${v4.size}")
+    assert(!v4.contains(("delete", 5L, 5L)) && v4.contains(("delete", 5L, 45L)),
+      "a record-dead pre-image must not re-emit at TRUNCATE")
+    // whole-history net replay (+insert/-delete per row identity)
+    // reconstructs the final state: an over- or under-emission breaks it
+    val net = spark.read.table("lake.db.t_eqf__changes")
+      .groupBy($"k", $"v")
+      .agg(sum(when(col(LakeChanges.TypeColumn) === "insert", 1L)
+        .otherwise(-1L)).as("net"))
+    assert(net.where($"net" =!= 0L).count() == 0L,
+      "a truncated table's feed must net to zero everywhere")
+    // STRING keys expand the same way
+    spark.sql("CREATE TABLE lake.db.t_eqfs (name STRING, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'name')")
+    spark.range(0, 10).select(concat(lit("u"), $"id").as("name"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqfs").append()
+    spark.sql("DELETE FROM lake.db.t_eqfs WHERE name IN ('u3', 'u7')")
+    val sChanges = spark.read.table("lake.db.t_eqfs__changes")
+      .where(col(LakeChanges.VersionColumn) === 2L)
+      .select(col(LakeChanges.TypeColumn), $"name", $"v")
+      .as[(String, String, Long)].collect().toSet
+    assert(sChanges == Set(("delete", "u3", 3L), ("delete", "u7", 7L)))
+  }
+
+  test("concurrent upsert writers: 8 racing equality-delete batches all land; records scope by landed seq; last-wins exact") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_equprace (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 400).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_equprace").append() // v1
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 8).map { i =>
+      scala.concurrent.Future {
+        spark.range(i * 50L, i * 50L + 50L)
+          .select($"id".as("k"), ($"id" * 1000L + i).as("v"))
+          .coalesce(1).writeTo("lake.db.t_equprace")
+          .option("upsert", "true").append()
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration("120s"))
+    pool.shutdown()
+    val snap = LakeLog.currentSnapshot(tableDir("t_equprace")).get
+    assert(snap.version == 9L, "8 racing upserts must land as v2..v9")
+    // one record per landed commit, seqs = the landed versions — the
+    // retry loop must re-derive the persisted set from the NEW parent
+    assert(snap.eqdels.map(_.seq).sorted == (2L to 9L),
+      s"records must scope by landed seq, got ${snap.eqdels.map(_.seq).sorted}")
+    val got = spark.table("lake.db.t_equprace")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == (0L until 400L).map(k => k -> (k * 1000L + k / 50L)),
+      "every key must carry its writer's value exactly once")
+    // and the feed narrates all eight expansions: net replay == state
+    val net = spark.read.table("lake.db.t_equprace__changes")
+      .groupBy($"k", $"v")
+      .agg(sum(when(col(graft.sources.LakeChanges.TypeColumn) === "insert", 1L)
+        .otherwise(-1L)).as("net"))
+      .where($"net" === 1L)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).sortBy(_._1).toSeq
+    assert(net == got, "whole-history net replay must equal the final state")
   }
 
   test("DDL surface: list/drop; unsupported column types rejected at create") {
