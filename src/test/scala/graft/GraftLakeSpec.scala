@@ -5224,6 +5224,75 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(net == got, "whole-history net replay must equal the final state")
   }
 
+  test("feed soundness: per-version expansion equals Spark's own snapshot diff under a randomized mutation sequence") {
+    import spark.implicits._
+    // ground truth is SPARK ITSELF: for every version, the feed's rows
+    // must equal the MULTISET diff of adjacent time-travel reads — no
+    // re-implemented CDC semantics in the harness. The op mix covers
+    // appends, eq upserts, keyed (equality) DELETEs, positional (dv)
+    // DELETEs, and mid-sequence compactions (logical no-ops the feed
+    // skips under skipChangeCommits).
+    spark.sql("CREATE TABLE lake.db.t_feedprop (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    val t = "lake.db.t_feedprop"
+    val rnd = new scala.util.Random(15151)
+    var known = Set.empty[Long]
+    for (step <- 0 until 14) {
+      rnd.nextInt(5) match {
+        case 0 if known.nonEmpty =>
+          val ks = (rnd.shuffle(known.toSeq).take(1 + rnd.nextInt(4)) :+ 99999L).distinct
+          spark.sql(s"DELETE FROM $t WHERE k IN (${ks.mkString(",")})")
+          known --= ks
+        case 1 if known.nonEmpty =>
+          // positional path: Mixed files take a dv, covered files drop
+          spark.sql(s"DELETE FROM $t WHERE v % 9 = ${rnd.nextInt(9)}")
+        case _ =>
+          val keys = Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(60).toLong).distinct
+          keys.map(k => (k, rnd.nextInt(1000000).toLong)).toDF("k", "v")
+            .coalesce(1).writeTo(t).option("upsert", "true").append()
+          known ++= keys
+      }
+      if (step == 6 || step == 11)
+        spark.sql("CALL lake.system.compact('db.t_feedprop', 2)").collect()
+    }
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.as[(Long, Long)].collect().groupBy(identity).map { case (r, a) => r -> a.length }
+    def diff(a: Map[(Long, Long), Int], b: Map[(Long, Long), Int]): Map[(Long, Long), Int] =
+      (a.keySet ++ b.keySet).flatMap { r =>
+        val d = a.getOrElse(r, 0) - b.getOrElse(r, 0)
+        if (d > 0) Some(r -> d) else None
+      }.toMap
+    val head = LakeLog.currentVersion(tableDir("t_feedprop")).get
+    var prev = Map.empty[(Long, Long), Int]
+    for (v <- 1L to head) {
+      val cur = multiset(spark.sql(s"SELECT k, v FROM $t VERSION AS OF $v"))
+      val feed = spark.read
+        .option("startingVersion", v).option("endingVersion", v)
+        .option("skipChangeCommits", "true")
+        .table(s"${t}__changes")
+        .select(col(graft.sources.LakeChanges.TypeColumn), $"k", $"v")
+        .as[(String, Long, Long)].collect()
+      val gotIns = feed.filter(_._1 == "insert").map(r => (r._2, r._3))
+        .groupBy(identity).map { case (r, a) => r -> a.length }
+      val gotDel = feed.filter(_._1 == "delete").map(r => (r._2, r._3))
+        .groupBy(identity).map { case (r, a) => r -> a.length }
+      assert(gotIns == diff(cur, prev) && gotDel == diff(prev, cur),
+        s"version $v: feed expansion must equal Spark's own snapshot diff " +
+          s"(ins ${gotIns.size} vs ${diff(cur, prev).size}, " +
+          s"del ${gotDel.size} vs ${diff(prev, cur).size})")
+      prev = cur
+    }
+    // and the whole-history net replay reconstructs the head state
+    val net = spark.read.option("skipChangeCommits", "true")
+      .table(s"${t}__changes")
+      .groupBy($"k", $"v")
+      .agg(sum(when(col(graft.sources.LakeChanges.TypeColumn) === "insert", 1L)
+        .otherwise(-1L)).as("net"))
+    assert(multiset(net.where($"net" === 1L).select($"k", $"v")) ==
+      multiset(spark.table(t).select($"k", $"v")),
+      "whole-history net replay must equal the final state")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
