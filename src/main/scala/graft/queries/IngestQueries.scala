@@ -1831,10 +1831,63 @@ object IngestQueries {
       .select($"seg", $"n_rows", $"sum_bal").orderBy($"seg")
   }
 
+  /** q113 — COMPOSITE upsert keys end-to-end: the changelog keys on
+    * the tuple (k1 = orderkey%50, k2 = 'p'||orderkey%20) — 1000
+    * composite identities whose components collide constantly, so any
+    * per-column shortcut (the single-key trap) corrupts neighbors that
+    * share one component. Three batch upsert commits (each one "tuple"
+    * equality record, zero target reads) + one scan-free tuple DELETE
+    * (`k1 IN (...) AND k2 IN (...)` = the cross product), then a
+    * compaction that must resolve the tuple records exactly. The frame
+    * joins the post-compact state against the feed's whole-history
+    * multiset net (skipChangeCommits hides only the logical-no-op
+    * rewrite), so a tuple mis-scope ANYWHERE — write, read anti-join,
+    * feed expansion, compaction — breaks the join or the hash. Oracle
+    * = relational last-wins per tuple minus the deleted cross product.
+    */
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q113").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dst = s"$cat.db.cdc_pairs"
+    spark.sql(s"CREATE TABLE $dst (k1 BIGINT, k2 STRING, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k1,k2')")
+    val chg = Tables.load(spark, dir, "orders")
+      .select(($"o_orderkey" % 50L).as("k1"),
+        concat(lit("p"), ($"o_orderkey" % 20L).cast("string")).as("k2"),
+        ($"o_orderkey" % 3L).as("s"), $"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k1", $"k2").orderBy($"ok".desc)
+    for (sl <- 0 until 3)
+      chg.filter($"s" === sl.toLong)
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"k1", $"k2", $"cents").coalesce(1)
+        .writeTo(dst).option("upsert", "true").append()
+    val k1s = (0 until 50 by 7).mkString(", ")
+    spark.sql(s"DELETE FROM $dst WHERE k1 IN ($k1s) " +
+      "AND k2 IN ('p3', 'p7', 'p11')")
+    spark.sql(s"CALL $cat.system.compact('db.cdc_pairs', 2)").collect()
+    val replay = spark.read.option("skipChangeCommits", "true")
+      .table(s"${dst}__changes")
+      .groupBy($"k1", $"k2", $"cents")
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("net"))
+      .where($"net" === 1L)
+      .select($"k1", $"k2", $"cents".as("v_replay"))
+    spark.table(dst).select($"k1", $"k2", $"cents".as("v_table"))
+      .join(replay, Seq("k1", "k2"))
+      .select($"k1", $"k2", $"v_table", $"v_replay")
+      .orderBy($"k1", $"k2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_cdc_upsert" -> q110,
     "q111_cdc_feed" -> q111,
     "q112_upsert_mv" -> q112,
+    "q113_composite_upsert" -> q113,
     "q40_csv_ingest" -> q40,
     "q87_lake_partitioned" -> q87,
     "q89_partition_evolution" -> q89,
@@ -1882,6 +1935,21 @@ object IngestQueries {
       .mkString("CASE \"State Name\" ", " ", " ELSE \"State Name\" END")
 
   def oracles: Map[String, String] = Map(
+    "q113_composite_upsert" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey % 50 AS k1,
+        |    'p' || CAST(o_orderkey % 20 AS VARCHAR) AS k2,
+        |    o_orderkey % 3 AS s, o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k1, k2, cents,
+        |    row_number() OVER (PARTITION BY k1, k2 ORDER BY s DESC, ok DESC) AS rn
+        |  FROM chg)
+        |SELECT k1, k2, cents AS v_table, cents AS v_replay
+        |FROM fin
+        |WHERE rn = 1 AND NOT (k1 % 7 = 0 AND k2 IN ('p3', 'p7', 'p11'))
+        |ORDER BY k1, k2""".stripMargin,
     "q112_upsert_mv" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS seg,

@@ -307,11 +307,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("checkpoint_interval").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: checkpoint_interval must be a positive integer, got '$v'"))
-    keep.get("upsert_key").foreach(c => require(
-      schema.fields.exists(f => f.name == c &&
-        (f.dataType == LongType || f.dataType == IntegerType ||
-          f.dataType == StringType)),
-      s"graftlake: upsert_key must name an integral or string table column, got '$c'"))
+    keep.get("upsert_key").foreach { c =>
+      val ks = LakeTable.upsertKeyCols(c)
+      require(ks.nonEmpty && ks.forall(k =>
+        schema.fields.exists(f => f.name == k &&
+          (f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == StringType))),
+        s"graftlake: upsert_key must name integral or string table columns, got '$c'")
+    }
     keep.get("target_file_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
@@ -409,11 +412,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("checkpoint_interval").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: checkpoint_interval must be a positive integer, got '$v'"))
-    keep.get("upsert_key").foreach(c => require(
-      schema.fields.exists(f => f.name == c &&
-        (f.dataType == LongType || f.dataType == IntegerType ||
-          f.dataType == StringType)),
-      s"graftlake: upsert_key must name an integral or string table column, got '$c'"))
+    keep.get("upsert_key").foreach { c =>
+      val ks = LakeTable.upsertKeyCols(c)
+      require(ks.nonEmpty && ks.forall(k =>
+        schema.fields.exists(f => f.name == k &&
+          (f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == StringType))),
+        s"graftlake: upsert_key must name integral or string table columns, got '$c'")
+    }
     keep.get("target_file_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
@@ -496,11 +502,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
               case other => other
             })
           props = props.map {
-            case (k, v) if (k == "clusterBy" || k == "sortBy" ||
-                k == "upsert_key") && v == from =>
+            case (k, v) if (k == "clusterBy" || k == "sortBy") && v == from =>
               k -> ren.newName
-            case ("bloomBy", v) =>
-              "bloomBy" -> v.split(',').map(_.trim)
+            case (k, v) if k == "upsert_key" || k == "bloomBy" =>
+              // comma-lists rename per component
+              k -> v.split(',').map(_.trim)
                 .map(c => if (c == from) ren.newName else c).mkString(",")
             case (LakePartitioning.PropKey, spec) =>
               LakePartitioning.PropKey -> renameSpec(spec)
@@ -519,14 +525,16 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           require(!props.get("clusterBy").contains(name) &&
             !props.get("sortBy").contains(name),
             s"graftlake: cannot drop layout column $name")
-          require(!props.get("upsert_key").contains(name),
+          require(!props.get("upsert_key")
+            .exists(v => LakeTable.upsertKeyCols(v).contains(name)),
             s"graftlake: cannot drop the upsert_key column $name — " +
               "unset the property first")
           // a LIVE equality-delete record resolves its key by this id:
           // dropping the column would silently stop the record from
           // applying (resurrecting replaced rows) — refuse loudly
           LakeColIds.cols(schema, props).find(_._1 == name).foreach { case (_, id) =>
-            require(!LakeLog.currentSnapshot(dir).exists(_.eqdels.exists(_.colId == id)),
+            require(!LakeLog.currentSnapshot(dir)
+              .exists(_.eqdels.exists(_.keyIds.contains(id))),
               s"graftlake: cannot drop column $name — live equality-delete " +
                 "records key on it; run CALL system.compact first")
           }
@@ -571,12 +579,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             require(set.value.toLongOption.exists(_ > 0L),
               s"graftlake: checkpoint_interval must be a positive " +
                 s"integer, got '${set.value}'")
-          if (set.property == "upsert_key")
-            require(schema.fields.exists(f => f.name == set.value &&
-              (f.dataType == LongType || f.dataType == IntegerType ||
-                f.dataType == StringType)),
-              s"graftlake: upsert_key must name an integral or string " +
-                s"table column, got '${set.value}'")
+          if (set.property == "upsert_key") {
+            val ks = LakeTable.upsertKeyCols(set.value)
+            require(ks.nonEmpty && ks.forall(k =>
+              schema.fields.exists(f => f.name == k &&
+                (f.dataType == LongType || f.dataType == IntegerType ||
+                  f.dataType == StringType))),
+              s"graftlake: upsert_key must name integral or string " +
+                s"table columns, got '${set.value}'")
+          }
           if (set.property == "target_file_bytes")
             require(set.value.toLongOption.exists(_ > 0L),
               s"graftlake: target_file_bytes must be a positive " +
@@ -902,7 +913,15 @@ case class LakeFile(path: String, rows: Long, stats: Map[String, (Long, Long)],
   * single-column scope.
   */
 case class LakeEqDelete(seq: Long, colId: Long, ref: String, n: Long,
-    kind: String)
+    kind: String,
+    // COMPOSITE key records (`upsert_key = 'k1,k2'`): the ordered
+    // (stable col id, long|string) components; `kind` is then "tuple"
+    // and the sidecar stores whole key tuples. Empty = single-column
+    // record keyed by `colId`/`kind` (the wire-compatible common case).
+    cols: Seq[(Long, String)] = Seq.empty) {
+  /** The record's key column ids, arity-agnostic. */
+  def keyIds: Seq[Long] = if (cols.nonEmpty) cols.map(_._1) else Seq(colId)
+}
 
 /** Equality-delete sidecar IO (dv-style binary files under data/). */
 object LakeEq {
@@ -943,6 +962,62 @@ object LakeEq {
       val b = new Array[Byte](d.readInt()); d.readFully(b)
       new String(b, java.nio.charset.StandardCharsets.UTF_8)
     }
+  }
+
+  /** COMPOSITE-key sidecars: whole key tuples, components typed by the
+    * record's ordered `kinds` (long|string). Layout: row count, then
+    * per row per component 8 raw bytes (long) or length-prefixed UTF-8
+    * (string).
+    */
+  def writeTuples(tableDir: Path, rows: Seq[Seq[Any]],
+      kinds: Seq[String]): String = {
+    val rel = s"data/eq-${java.util.UUID.randomUUID().toString.replace("-", "")}.bin"
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(rows.length)
+    rows.foreach { r =>
+      require(r.length == kinds.length, "tuple arity mismatch")
+      r.zip(kinds).foreach {
+        case (v: Long, "long") => d.writeLong(v)
+        case (v: String, "string") =>
+          val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.writeInt(b.length); d.write(b)
+        case (v, k) => throw new IllegalArgumentException(
+          s"graftlake: tuple component $v does not match kind $k")
+      }
+    }
+    Files.write(tableDir.resolve(rel), out.toByteArray)
+    rel
+  }
+
+  def readTuples(tableDir: Path, rel: String,
+      kinds: Seq[String]): Seq[Seq[Any]] = {
+    val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+      Files.readAllBytes(tableDir.resolve(rel))))
+    Seq.fill(d.readInt()) {
+      kinds.map {
+        case "long" => d.readLong(): Any
+        case _ =>
+          val b = new Array[Byte](d.readInt()); d.readFully(b)
+          new String(b, java.nio.charset.StandardCharsets.UTF_8): Any
+      }
+    }
+  }
+
+  /** Canonical self-delimiting tuple encoding shared by the sidecar
+    * side and the per-row decode side: `L<long>` / `S<len>:<str>`
+    * concatenated — a long never starts with 'L'/'S', a string always
+    * knows its length, so encodings collide iff tuples are equal.
+    */
+  def encodeTuple(parts: Seq[Any]): String = {
+    val sb = new java.lang.StringBuilder()
+    parts.foreach {
+      case l: Long => sb.append('L').append(l)
+      case s: String => sb.append('S').append(s.length).append(':').append(s)
+      case other => throw new IllegalArgumentException(
+        s"graftlake: unencodable tuple component $other")
+    }
+    sb.toString
   }
 }
 
@@ -1602,13 +1677,21 @@ object LakeLog {
     val n = mapper.createObjectNode()
     n.put("s", e.seq); n.put("c", e.colId); n.put("r", e.ref)
     n.put("n", e.n); n.put("k", e.kind)
+    if (e.cols.nonEmpty) {
+      val cs = n.putArray("cs")
+      e.cols.foreach { case (id, k) =>
+        val o = cs.addObject(); o.put("c", id); o.put("k", k)
+      }
+    }
     n
   }
 
   private def readEqDels(root: JsonNode, field: String): Seq[LakeEqDelete] =
     Option(root.get(field)).map(_.elements().asScala.map { n =>
       LakeEqDelete(n.get("s").asLong, n.get("c").asLong, n.get("r").asText,
-        n.get("n").asLong, n.get("k").asText)
+        n.get("n").asLong, n.get("k").asText,
+        cols = Option(n.get("cs")).map(_.elements().asScala.map(o =>
+          (o.get("c").asLong, o.get("k").asText)).toSeq).getOrElse(Seq.empty))
     }.toSeq).getOrElse(Seq.empty)
 
   /** The delta record of ONE committed version (None when pruned). */
@@ -2744,6 +2827,12 @@ object LakeTable {
     props.get("bloomBy").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
+  /** `upsert_key` parsed into its ordered column list — 'k' or the
+    * COMPOSITE 'k1,k2' (a CDC key like (tenant, id)).
+    */
+  def upsertKeyCols(prop: String): Seq[String] =
+    prop.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
   /** `bloom_inline=true` keeps bloom bitsets base64-INSIDE log entries
     * (zero probe-time IO — right for small tables); the default is a
     * binary SIDECAR per data file, loaded lazily at probe time, so a
@@ -2966,6 +3055,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
   private def eqDeletable(predicates: Array[VPredicate])
       : Option[(Long, String, Seq[Long], Seq[String])] = {
     val key = snapshot.props.get("upsert_key").getOrElse(return None)
+    if (LakeTable.upsertKeyCols(key).length != 1) return None
     if (predicates.length != 1) return None
     val p = predicates.head
     val kids = p.children()
@@ -3006,13 +3096,95 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     }
   }
 
+  /** COMPOSITE twin of [[eqDeletable]]: a conjunction that constrains
+    * EVERY `upsert_key` component with `=`/`IN` literals — and nothing
+    * else — deletes exactly the CROSS-PRODUCT tuple set (a conjunction
+    * of per-column INs IS a cross product), committed as one "tuple"
+    * record with zero data-file opens. Anything partial, repeated, or
+    * non-literal falls back to the scanning paths.
+    */
+  private def tupleDeletable(predicates: Array[VPredicate])
+      : Option[(Seq[(Long, String)], Seq[Seq[Any]])] = {
+    val keys = snapshot.props.get("upsert_key")
+      .map(LakeTable.upsertKeyCols).getOrElse(return None)
+    if (keys.length < 2) return None
+    def flat(p: VPredicate): Option[Seq[VPredicate]] =
+      if (p.name() == "AND") {
+        val kids = p.children().toSeq.map {
+          case q: VPredicate => flat(q)
+          case _ => None
+        }
+        if (kids.exists(_.isEmpty)) None else Some(kids.flatten.flatten)
+      } else Some(Seq(p))
+    val flats = predicates.toSeq.map(flat)
+    if (flats.exists(_.isEmpty)) return None
+    val conjuncts = flats.flatten.flatten
+    def colOf(e: VExpression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+    def lit(e: VExpression): Option[Any] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => Option(l.value())
+      case _ => None
+    }
+    val perCol = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    conjuncts.foreach { p =>
+      val kids = p.children()
+      val entry: Option[(String, Seq[Any])] = p.name() match {
+        case "=" if kids.length == 2 =>
+          for { c <- colOf(kids(0)); v <- lit(kids(1)) } yield c -> Seq(v)
+        case "IN" if kids.nonEmpty =>
+          colOf(kids.head).flatMap { c =>
+            val vs = kids.tail.toSeq.map(lit)
+            if (vs.forall(_.isDefined)) Some(c -> vs.flatten) else None
+          }
+        case _ => None
+      }
+      entry match {
+        case Some((c, vs)) if keys.contains(c) && !perCol.contains(c) =>
+          perCol(c) = vs
+        case _ => return None
+      }
+    }
+    if (keys.exists(k => !perCol.contains(k))) return None
+    val cols = LakeColIds.cols(snapshot.schema, snapshot.props)
+    val comps: Seq[(Long, String, Seq[Any])] = keys.map { k =>
+      val id = cols.find(_._1 == k).map(_._2).getOrElse(return None)
+      snapshot.schema(k).dataType match {
+        case LongType | IntegerType =>
+          val ls = perCol(k).map {
+            case i: java.lang.Integer => i.longValue: Any
+            case l: java.lang.Long => l.longValue: Any
+            case _ => return None
+          }
+          (id, "long", ls.distinct)
+        case StringType =>
+          val ss = perCol(k).map {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString: Any
+            case st: String => st: Any
+            case _ => return None
+          }
+          (id, "string", ss.distinct)
+        case _ => return None
+      }
+    }
+    // cap the cross product so a pathological DELETE falls back to scan
+    val size = comps.map(_._3.size.toLong).product
+    if (size == 0L || size > 100000L) return None
+    val tuples = comps.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
+      acc.flatMap(t => c._3.map(v => t :+ v))
+    }.sortBy(LakeEq.encodeTuple)
+    Some((comps.map(c => (c._1, c._2)), tuples))
+  }
+
   // EQUALITY first: it is O(predicate) where the metadata decision
   // walks (and on a parted snapshot MATERIALIZES) the whole census —
   // the keyed-delete hot path must stay zero-read however large the
   // table. A keyed delete takes the record path even when the key set
   // happens to cover whole files; compaction reclaims those later.
   override def canDeleteWhere(predicates: Array[VPredicate]): Boolean =
-    eqDeletable(predicates).isDefined || metadataDeletable(predicates)
+    eqDeletable(predicates).isDefined || tupleDeletable(predicates).isDefined ||
+      metadataDeletable(predicates)
 
   override def deleteWhere(predicates: Array[VPredicate]): Unit = {
     if (eqDeletable(predicates).isDefined) {
@@ -3031,6 +3203,21 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
           eqAdd = Seq(eq))
       }
       return
+    }
+    tupleDeletable(predicates) match {
+      case Some((cs, tuples)) =>
+        // COMPOSITE equality path: one tuple record, zero file opens
+        val ref = LakeEq.writeTuples(dir, tuples, cs.map(_._2))
+        val eq = LakeEqDelete(0L, cs.head._1, ref, tuples.length.toLong,
+          "tuple", cols = cs)
+        var done = false
+        while (!done) {
+          val cur = LakeLog.currentSnapshot(dir).get
+          done = LakeLog.commit(dir, cur.version, cur.next(cur.files),
+            eqAdd = Seq(eq))
+        }
+        return
+      case None => ()
     }
     var done = false
     while (!done) {
@@ -4366,7 +4553,7 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
     * over an eq-upserted table must locate rows among the LIVE ones.
     */
   private def eqColsFor(f: LakeFile): Seq[LakeEqCol] =
-    eqdels.filter(_.seq > f.seq).map(_.colId).distinct.flatMap { id =>
+    eqdels.filter(_.seq > f.seq).flatMap(_.keyIds).distinct.flatMap { id =>
       curCols.find(_._2 == id).map(_._1).flatMap { cur =>
         LakeColIds.physicalName(curCols, f, cur).map { phys =>
           val i = f.cols.indexWhere(_._1 == phys)
@@ -4471,7 +4658,10 @@ class LakeScan(dir: Path, tableSchema: StructType, props: Map[String, String],
       // equality-delete backlog, i.e. by compaction cadence
       eqData = eqdels.map(e => LakeEqData(e.seq, e.colId,
         if (e.kind == "long") LakeEq.readLongs(dir, e.ref).toSeq else Seq.empty,
-        if (e.kind == "string") LakeEq.readStrs(dir, e.ref).toSeq else Seq.empty)))
+        if (e.kind == "string") LakeEq.readStrs(dir, e.ref).toSeq else Seq.empty,
+        cols = e.cols,
+        tuples = if (e.kind == "tuple")
+          LakeEq.readTuples(dir, e.ref, e.cols.map(_._2)) else Seq.empty)))
 
   /** FOOTER-TRUE statistics: `sizeInBytes` sums the log's recorded
     * per-file byte sizes (written at commit from the actual parquet
@@ -4619,7 +4809,10 @@ case class LakeGroupedInput(key: Seq[Any], files: Seq[LakeInputFile])
 /** One equality-delete record's VALUES, loaded from its sidecar once
   * per scan on the driver (rides the broadcast task binary).
   */
-case class LakeEqData(seq: Long, colId: Long, longs: Seq[Long], strs: Seq[String])
+case class LakeEqData(seq: Long, colId: Long, longs: Seq[Long], strs: Seq[String],
+    // COMPOSITE records: ordered (col id, kind) components + key tuples
+    cols: Seq[(Long, String)] = Seq.empty,
+    tuples: Seq[Seq[Any]] = Seq.empty)
 
 case class LakeReaderFactory(tableSchema: StructType,
     required: Array[(String, DataType)], columnar: Boolean,
@@ -4686,18 +4879,36 @@ case class LakeReaderFactory(tableSchema: StructType,
     // projected columns so `codes` indices stay stable — and matching
     // rows are skipped exactly like dv positions
     val eqApplicable: Seq[(LakeEqCol, LakeEqData)] = p.eqCols.flatMap(c =>
-      eqData.filter(e => e.colId == c.colId && e.seq > p.seq).map(c -> _))
-    val eqKeyCols: Seq[LakeEqCol] = eqApplicable.map(_._1).distinct
+      eqData.filter(e => e.cols.isEmpty && e.colId == c.colId && e.seq > p.seq)
+        .map(c -> _))
+    // COMPOSITE records applying here: every component must resolve in
+    // this file (a file predating any component holds only nulls there
+    // — no row of it can match the tuple)
+    val eqTupleRecs: Seq[(Seq[LakeEqCol], LakeEqData)] =
+      eqData.filter(e => e.cols.nonEmpty && e.seq > p.seq).flatMap { e =>
+        val comps = e.cols.map { case (id, _) => p.eqCols.find(_.colId == id) }
+        if (comps.exists(_.isEmpty)) None else Some((comps.map(_.get), e))
+      }
+    val eqKeyCols: Seq[LakeEqCol] =
+      (eqApplicable.map(_._1) ++ eqTupleRecs.flatMap(_._1)).distinct
     val decodedPhys: Seq[String] = physical.toSeq ++
       eqKeyCols.map(_.phys).filterNot(physical.contains)
     val eqEvals: Array[(Int, DataType, Array[Long], java.util.HashSet[String])] =
-      eqKeyCols.map { c =>
+      eqKeyCols.filter(c => eqApplicable.exists(_._1 == c)).map { c =>
         val ds = eqApplicable.collect { case (cc, e) if cc == c => e }
         val strs = new java.util.HashSet[String]()
         ds.flatMap(_.strs).foreach(strs.add)
         (decodedPhys.indexOf(c.phys), LakeParquet.typeOf(c.fileType),
           ds.flatMap(_.longs).distinct.sorted.toArray, strs)
       }.toArray
+    val eqTupleEvals: Array[(Array[Int], Array[DataType], java.util.HashSet[String])] =
+      eqTupleRecs.map { case (cs, e) =>
+        val set = new java.util.HashSet[String]()
+        e.tuples.foreach(t => set.add(LakeEq.encodeTuple(t)))
+        (cs.map(c => decodedPhys.indexOf(c.phys)).toArray,
+          cs.map(c => LakeParquet.typeOf(c.fileType)).toArray, set)
+      }.toArray
+    val eqNone = eqEvals.isEmpty && eqTupleEvals.isEmpty
     def eqDead(src: InternalRow): Boolean = {
       var i = 0
       while (i < eqEvals.length) {
@@ -4714,6 +4925,26 @@ case class LakeReaderFactory(tableSchema: StructType,
           if (hit) return true
         }
         i += 1
+      }
+      var t = 0
+      while (t < eqTupleEvals.length) {
+        val (idxs, dts, set) = eqTupleEvals(t)
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        var ok = true
+        while (j < idxs.length && ok) {
+          if (src.isNullAt(idxs(j))) ok = false // null component: no match
+          else dts(j) match {
+            case IntegerType => sb.append('L').append(src.getInt(idxs(j)).toLong)
+            case LongType => sb.append('L').append(src.getLong(idxs(j)))
+            case _ =>
+              val s = src.getUTF8String(idxs(j)).toString
+              sb.append('S').append(s.length).append(':').append(s)
+          }
+          j += 1
+        }
+        if (ok && set.contains(sb.toString)) return true
+        t += 1
       }
       false
     }
@@ -4758,7 +4989,7 @@ case class LakeReaderFactory(tableSchema: StructType,
           var more = reader.nextKeyValue()
           while (more) {
             pos += 1
-            if (!deleted(pos) && (eqEvals.length == 0 ||
+            if (!deleted(pos) && (eqNone ||
                 !eqDead(reader.getCurrentValue.asInstanceOf[InternalRow])))
               return true
             more = reader.nextKeyValue()
@@ -4813,19 +5044,34 @@ case class LakeReaderFactory(tableSchema: StructType,
     // matching rows join the dv rows in the same per-batch live-row
     // selection, so a CDC-fresh MOR table KEEPS the vectorized path
     val eqApplicable: Seq[(LakeEqCol, LakeEqData)] = p.eqCols.flatMap(c =>
-      eqData.filter(e => e.colId == c.colId && e.seq > p.seq).map(c -> _))
-    val eqKeyCols: Seq[LakeEqCol] = eqApplicable.map(_._1).distinct
+      eqData.filter(e => e.cols.isEmpty && e.colId == c.colId && e.seq > p.seq)
+        .map(c -> _))
+    val eqTupleRecs: Seq[(Seq[LakeEqCol], LakeEqData)] =
+      eqData.filter(e => e.cols.nonEmpty && e.seq > p.seq).flatMap { e =>
+        val comps = e.cols.map { case (id, _) => p.eqCols.find(_.colId == id) }
+        if (comps.exists(_.isEmpty)) None else Some((comps.map(_.get), e))
+      }
+    val eqKeyCols: Seq[LakeEqCol] =
+      (eqApplicable.map(_._1) ++ eqTupleRecs.flatMap(_._1)).distinct
     val presentPhys = present.map(t => p.rename(t._1)).toSeq
     val eqExtra = eqKeyCols.map(_.phys).filterNot(presentPhys.contains)
     val decodedPhys = presentPhys ++ eqExtra
     val eqEvals: Array[(Int, DataType, Array[Long], java.util.HashSet[String])] =
-      eqKeyCols.map { c =>
+      eqKeyCols.filter(c => eqApplicable.exists(_._1 == c)).map { c =>
         val ds = eqApplicable.collect { case (cc, e) if cc == c => e }
         val strs = new java.util.HashSet[String]()
         ds.flatMap(_.strs).foreach(strs.add)
         (decodedPhys.indexOf(c.phys), LakeParquet.typeOf(c.fileType),
           ds.flatMap(_.longs).distinct.sorted.toArray, strs)
       }.toArray
+    val eqTupleEvals: Array[(Array[Int], Array[DataType], java.util.HashSet[String])] =
+      eqTupleRecs.map { case (cs, e) =>
+        val set = new java.util.HashSet[String]()
+        e.tuples.foreach(t => set.add(LakeEq.encodeTuple(t)))
+        (cs.map(c => decodedPhys.indexOf(c.phys)).toArray,
+          cs.map(c => LakeParquet.typeOf(c.fileType)).toArray, set)
+      }.toArray
+    val eqNone = eqEvals.isEmpty && eqTupleEvals.isEmpty
     val readerOpt =
       if (p.rgPreds.nonEmpty)
         LakeParquet.openVectorizedPruned(
@@ -4875,7 +5121,7 @@ case class LakeReaderFactory(tableSchema: StructType,
         val isData = innerIdx < present.length
         val widen = isData && p.fileTypes.get(required(c)._1)
           .exists(t => LakeParquet.typeOf(t) != required(c)._2)
-        if (isData && (dv.nonEmpty || widen || eqEvals.nonEmpty))
+        if (isData && (dv.nonEmpty || widen || !eqNone))
           new LakeSelectVector(v, required(c)._2, sel)
         else v
       }
@@ -4902,13 +5148,34 @@ case class LakeReaderFactory(tableSchema: StructType,
           }
           e += 1
         }
+        var t = 0
+        while (t < eqTupleEvals.length) {
+          val (idxs, dts, set) = eqTupleEvals(t)
+          val sb = new java.lang.StringBuilder()
+          var j = 0
+          var ok = true
+          while (j < idxs.length && ok) {
+            val kv = inner.column(idxs(j))
+            if (kv.isNullAt(i)) ok = false // null component: no match
+            else dts(j) match {
+              case IntegerType => sb.append('L').append(kv.getInt(i).toLong)
+              case LongType => sb.append('L').append(kv.getLong(i))
+              case _ =>
+                val s = kv.getUTF8String(i).toString
+                sb.append('S').append(s.length).append(':').append(s)
+            }
+            j += 1
+          }
+          if (ok && set.contains(sb.toString)) return true
+          t += 1
+        }
         false
       }
       override def next(): Boolean = {
         val more = reader.nextBatch()
         if (more) {
           val n = inner.numRows
-          if (dv.isEmpty && eqEvals.isEmpty) outRows = n
+          if (dv.isEmpty && eqNone) outRows = n
           else {
             // compact this batch's live rows into a selection map: one
             // merge pass over the SORTED vector, O(n + dv-in-range),
@@ -4921,7 +5188,7 @@ case class LakeReaderFactory(tableSchema: StructType,
             while (i < n) {
               val dvDead = di < dv.length && dv(di) == fileOffset + i
               if (dvDead) di += 1
-              if (!dvDead && (eqEvals.length == 0 || !eqDeadAt(i))) {
+              if (!dvDead && (eqNone || !eqDeadAt(i))) {
                 live(w) = i; w += 1
               }
               i += 1
@@ -4967,33 +5234,46 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
     * path; the positional MOR MERGE still serves ad-hoc mutations).
     * Returns (column name, stable col id, long|string).
     */
-  private def upsertCol: Option[(String, Long, String)] = {
+  private def upsertCols: Seq[(String, Long, String)] = {
     val on = Option(info.options().get("upsert")).exists(_.equalsIgnoreCase("true"))
-    if (!on) None
+    if (!on) Seq.empty
     else {
       val key = props.getOrElse("upsert_key", throw new IllegalArgumentException(
         "graftlake: an upsert write needs the table property upsert_key"))
-      val id = LakeColIds.cols(tableSchema, props).find(_._1 == key).map(_._2)
-        .getOrElse(throw new IllegalArgumentException(
-          s"graftlake: upsert_key column '$key' not in the table schema"))
-      val kind = tableSchema(key).dataType match {
-        case LongType | IntegerType => "long"
-        case StringType => "string"
-        case dt => throw new IllegalArgumentException(
-          s"graftlake: upsert_key must be integral or string, got ${dt.simpleString}")
+      LakeTable.upsertKeyCols(key).map { k =>
+        val id = LakeColIds.cols(tableSchema, props).find(_._1 == k).map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graftlake: upsert_key column '$k' not in the table schema"))
+        val kind = tableSchema(k).dataType match {
+          case LongType | IntegerType => "long"
+          case StringType => "string"
+          case dt => throw new IllegalArgumentException(
+            s"graftlake: upsert_key must be integral or string, got ${dt.simpleString}")
+        }
+        (k, id, kind)
       }
-      Some((key, id, kind))
     }
   }
 
   /** The batch's equality-delete record (None on an empty batch), its
-    * sidecar written exactly once before the commit retry loop.
+    * sidecar written exactly once before the commit retry loop. A
+    * COMPOSITE `upsert_key` commits one "tuple" record whose sidecar
+    * holds the batch's distinct key tuples.
     */
-  private def upsertRecord(messages: Array[WriterCommitMessage]): Seq[LakeEqDelete] =
-    upsertCol.toSeq.flatMap { case (_, id, kind) =>
-      require(mode == Append,
-        "graftlake: upsert writes must be plain appends")
-      val ms = messages.map(_.asInstanceOf[LakeFileMessage])
+  private def upsertRecord(messages: Array[WriterCommitMessage]): Seq[LakeEqDelete] = {
+    val ucs = upsertCols
+    if (ucs.isEmpty) return Seq.empty
+    require(mode == Append,
+      "graftlake: upsert writes must be plain appends")
+    val ms = messages.map(_.asInstanceOf[LakeFileMessage])
+    if (ucs.length > 1) {
+      val tuples = ms.flatMap(_.upTuples).distinct.sortBy(LakeEq.encodeTuple)
+      if (tuples.isEmpty) Seq.empty
+      else Seq(LakeEqDelete(0L, ucs.head._2,
+        LakeEq.writeTuples(dir, tuples, ucs.map(_._3)),
+        tuples.length.toLong, "tuple", cols = ucs.map(c => (c._2, c._3))))
+    } else {
+      val (_, id, kind) = ucs.head
       if (kind == "long") {
         val vals = ms.flatMap(_.upLongs).distinct.sorted
         if (vals.isEmpty) Seq.empty
@@ -5006,6 +5286,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           LakeEq.writeStrs(dir, vals), vals.length.toLong, kind))
       }
     }
+  }
 
   override def truncate(): WriteBuilder = { mode = Truncate; this }
 
@@ -5065,7 +5346,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           bloomInline = LakeTable.bloomInline(props),
           codec = LakeTable.codecOf(props),
           rowGroupBytes = LakeTable.rowGroupBytes(props),
-          collectKeys = upsertCol.map(c => (c._1, c._3)))
+          collectKeys = upsertCols.map(c => (c._1, c._3)))
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val eqAdd = upsertRecord(messages)
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
@@ -5162,7 +5443,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
             bloomInline = LakeTable.bloomInline(props),
             codec = LakeTable.codecOf(props),
             rowGroupBytes = LakeTable.rowGroupBytes(props),
-            collectKeys = upsertCol.map(c => (c._1, c._3)))
+            collectKeys = upsertCols.map(c => (c._1, c._3)))
         private val queryId = info.queryId()
         // enforced CHECKs, parsed + analyzed + bound against the write
         // schema on the DRIVER (tasks just eval): the micro-batch write
@@ -5293,12 +5574,15 @@ case class LakeFileMessage(files: Seq[LakeFileInfo],
     // the write carries `upsert`): the commit unions them into ONE
     // equality-delete record scoped to every pre-existing file
     upLongs: Seq[Long] = Seq.empty,
-    upStrs: Seq[String] = Seq.empty) extends WriterCommitMessage
+    upStrs: Seq[String] = Seq.empty,
+    // COMPOSITE-key form: distinct key TUPLES (Long/String components
+    // in upsert_key order) — serializable scalars only, never arrays
+    upTuples: Seq[Seq[Any]] = Seq.empty) extends WriterCommitMessage
 
 object LakeWriterFactory {
   def deleteAll(tableDir: String, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LakeFileMessage(fs, _, _) => fs.foreach { i =>
+      case m: LakeFileMessage => m.files.foreach { i =>
         Files.deleteIfExists(Paths.get(tableDir).resolve(i.path))
         if (i.bloomSc.nonEmpty)
           Files.deleteIfExists(Paths.get(tableDir).resolve(i.path + ".bloom"))
@@ -5332,11 +5616,11 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
     bloomInline: Boolean = false,
     codec: String = "snappy",
     rowGroupBytes: Long = 0L,
-    // (column name, long|string): collect the batch's distinct key
-    // values for an UPSERT write's equality-delete record — per-task
-    // memory bounded by the batch's distinct keys (a CDC micro-batch),
-    // never by the table
-    collectKeys: Option[(String, String)] = None) extends DataWriterFactory {
+    // (column name, long|string) per upsert_key component: collect the
+    // batch's distinct key values (tuples when composite) for an UPSERT
+    // write's equality-delete record — per-task memory bounded by the
+    // batch's distinct keys (a CDC micro-batch), never by the table
+    collectKeys: Seq[(String, String)] = Seq.empty) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -5381,20 +5665,31 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         val kmvs = kmvIdx.map(_ => new LakeParquet.KmvAcc())
       }
       private val open = scala.collection.mutable.LinkedHashMap[Seq[Option[String]], OpenFile]()
-      private val upKeyIdx: Int =
-        collectKeys.map(c => writeSchema.fieldIndex(c._1)).getOrElse(-1)
+      private val upKeyIdx: Array[Int] =
+        collectKeys.map(c => writeSchema.fieldIndex(c._1)).toArray
       private val upLongSet = scala.collection.mutable.Set.empty[Long]
       private val upStrSet = scala.collection.mutable.Set.empty[String]
+      private val upTupleSet = scala.collection.mutable.Set.empty[Seq[Any]]
+      private def upComponent(row: InternalRow, j: Int): Any = {
+        val idx = upKeyIdx(j)
+        if (collectKeys(j)._2 == "long") writeSchema(idx).dataType match {
+          case IntegerType => row.getInt(idx).toLong
+          case _ => row.getLong(idx)
+        }
+        else row.getUTF8String(idx).toString
+      }
 
       override def write(row: InternalRow): Unit = {
         val tuple = if (evalTuple == null) noTuple else evalTuple(row)
-        if (upKeyIdx >= 0 && !row.isNullAt(upKeyIdx)) {
-          if (collectKeys.get._2 == "long")
-            upLongSet += (writeSchema(upKeyIdx).dataType match {
-              case IntegerType => row.getInt(upKeyIdx).toLong
-              case _ => row.getLong(upKeyIdx)
-            })
-          else upStrSet += row.getUTF8String(upKeyIdx).toString
+        // a NULL key component never matches an IN/anti-join — the row
+        // still inserts, it just cannot replace anything (SQL IN rules)
+        if (upKeyIdx.length == 1 && !row.isNullAt(upKeyIdx(0))) {
+          upComponent(row, 0) match {
+            case l: Long => upLongSet += l
+            case s: String => upStrSet += s
+          }
+        } else if (upKeyIdx.length > 1 && upKeyIdx.forall(!row.isNullAt(_))) {
+          upTupleSet += upKeyIdx.indices.map(upComponent(row, _))
         }
         val f = open.getOrElseUpdate(tuple, new OpenFile(tuple))
         var c = 0
@@ -5482,7 +5777,8 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         }.toSeq
         open.clear()
         LakeFileMessage(infos, upLongs = upLongSet.toSeq.sorted,
-          upStrs = upStrSet.toSeq.sorted)
+          upStrs = upStrSet.toSeq.sorted,
+          upTuples = upTupleSet.toSeq.sortBy(LakeEq.encodeTuple))
       }
 
       override def abort(): Unit = {

@@ -160,11 +160,11 @@ object LakeChanges {
     val eqCur = cur.eqdels
     val eqAdded = eqCur.filterNot(eqPrev.contains)
     val eqDropped = eqPrev.filterNot(eqCur.contains)
-    (eqAdded ++ eqDropped).foreach { e =>
-      if (!feedCols.exists(_._2 == e.colId))
+    (eqAdded ++ eqDropped).flatMap(_.keyIds).foreach { id =>
+      if (!feedCols.exists(_._2 == id))
         throw new IllegalStateException(
           s"graftlake change feed: version $v transitions an equality-delete " +
-            s"record on column id ${e.colId}, which the current schema no " +
+            s"record on column id $id, which the current schema no " +
             "longer carries — the change set cannot be resolved")
     }
     def rename(f: LakeFile): Map[String, String] =
@@ -183,16 +183,23 @@ object LakeChanges {
     // column resolves to None — no row there can match, no ref ships.
     def eqRefsFor(f: LakeFile, records: Seq[LakeEqDelete]): Seq[LakeEqRef] =
       records.filter(_.seq > f.seq).flatMap { e =>
-        feedCols.find(_._2 == e.colId).map(_._1).flatMap { cn =>
-          LakeColIds.physicalName(feedCols, f, cn).map { phys =>
-            val i = f.cols.indexWhere(_._1 == phys)
-            val ft =
-              if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
-              else cur.schema.find(_.name == cn).map(_.dataType.simpleString)
-                .getOrElse(if (e.kind == "long") "bigint" else "string")
-            LakeEqRef(e.seq, e.colId, e.ref, e.kind, phys, ft)
+        val kinds = if (e.cols.nonEmpty) e.cols.map(_._2) else Seq(e.kind)
+        val comps = e.keyIds.zip(kinds).map { case (id, k) =>
+          feedCols.find(_._2 == id).map(_._1).flatMap { cn =>
+            LakeColIds.physicalName(feedCols, f, cn).map { phys =>
+              val i = f.cols.indexWhere(_._1 == phys)
+              val ft =
+                if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
+                else cur.schema.find(_.name == cn).map(_.dataType.simpleString)
+                  .getOrElse(if (k == "long") "bigint" else "string")
+              LakeEqRefCol(id, k, phys, ft)
+            }
           }
         }
+        // a file physically predating ANY component holds only nulls
+        // there — no row of it can match the record
+        if (comps.exists(_.isEmpty)) None
+        else Some(LakeEqRef(e.seq, e.ref, e.kind, comps.map(_.get)))
       }
     // Candidate pruning for record-driven partitions: a predating file
     // plans only if the scan's own decision algebra (stats ranges, null
@@ -201,21 +208,35 @@ object LakeChanges {
     // upsert against O(files that can hold the keys), not O(table).
     // Key sidecars are read ONCE per version on the driver (small: the
     // batch's key set), never shipped — refs travel, tasks re-read.
-    val keyCache = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    // key TUPLES per record (arity 1 for single-column records), read
+    // once per version on the driver
+    val keyCache = scala.collection.mutable.Map.empty[String, Seq[Seq[Any]]]
+    def keyTuples(r: LakeEqRef): Seq[Seq[Any]] =
+      keyCache.getOrElseUpdate(r.ref, r.kind match {
+        case "long" => LakeEq.readLongs(dir, r.ref).toSeq.map(v => Seq(v: Any))
+        case "string" => LakeEq.readStrs(dir, r.ref).toSeq.map(v => Seq(v: Any))
+        case _ => LakeEq.readTuples(dir, r.ref, r.comps.map(_.kind))
+      })
     def candidate(f: LakeFile, r: LakeEqRef): Boolean = {
-      val cn = feedCols.find(_._2 == r.colId).get._1
-      val keys = keyCache.getOrElseUpdate(r.ref,
-        if (r.kind == "long") LakeEq.readLongs(dir, r.ref).toSeq.map(Long.box)
-        else LakeEq.readStrs(dir, r.ref).toSeq)
-      val inPred = new org.apache.spark.sql.connector.expressions.filter.Predicate(
-        "IN", (org.apache.spark.sql.connector.expressions.Expressions.column(cn) +:
-          keys.map(k => org.apache.spark.sql.connector.expressions.Expressions
-            .literal(k): org.apache.spark.sql.connector.expressions.Expression)).toArray)
-      val ok = LakeStats.decide(f, Array(inPred),
+      val tuples = keyTuples(r)
+      // one IN per component, decided as a CONJUNCTION (sound superset
+      // of the tuple set) through the scan's own algebra + blooms
+      val probes: Seq[(String, Seq[Any])] = r.comps.zipWithIndex.map {
+        case (c, j) =>
+          val cn = feedCols.find(_._2 == c.colId).get._1
+          cn -> tuples.map(_(j)).distinct
+      }
+      val preds = probes.map { case (cn, vs) =>
+        new org.apache.spark.sql.connector.expressions.filter.Predicate(
+          "IN", (org.apache.spark.sql.connector.expressions.Expressions.column(cn) +:
+            vs.map(v => org.apache.spark.sql.connector.expressions.Expressions
+              .literal(v): org.apache.spark.sql.connector.expressions.Expression)).toArray)
+      }.toArray
+      val ok = LakeStats.decide(f, preds,
         LakeColIds.physicalName(feedCols, f, _),
         LakePartitioning.resolver(cur.props, f)) != LakeStats.None_ &&
         LakeBloomProbe.survives(dir, cur.schema, feedCols, f,
-          Seq(cn -> keys), footerProbesOk = false)
+          probes, footerProbesOk = false)
       if (ok) LakeChanges.eqFilesPlanned.incrementAndGet()
       else LakeChanges.eqFilesPruned.incrementAndGet()
       ok
@@ -445,16 +466,20 @@ case class LakeChangePartition(tableDir: String, path: String, rows: Long,
     eqEmit: Seq[LakeEqRef] = Seq.empty,
     eqGuard: Seq[LakeEqRef] = Seq.empty) extends InputPartition
 
-/** One equality-delete record resolved AGAINST one file: the file's
-  * physical key-column name and write-time type ride along; the key
-  * VALUES stay in the record's sidecar (`ref`, `kind` long|string) and
-  * are read task-side — partition payloads stay O(1) like dv paths.
-  * As `eqEmit`, matching rows EMIT (the record flipped their liveness
-  * this version); as `eqGuard`, matching rows are SUPPRESSED (they
-  * were already dead on the emitting side's base snapshot).
+/** One equality-delete record resolved AGAINST one file: per key
+  * component the file's physical column name and write-time type ride
+  * along; the key VALUES stay in the record's sidecar (`ref`, `kind`
+  * long|string|tuple) and are read task-side — partition payloads stay
+  * O(1) like dv paths. As `eqEmit`, matching rows EMIT (the record
+  * flipped their liveness this version); as `eqGuard`, matching rows
+  * are SUPPRESSED (they were already dead on the emitting side's base
+  * snapshot).
   */
-case class LakeEqRef(seq: Long, colId: Long, ref: String, kind: String,
-    phys: String, fileType: String)
+case class LakeEqRef(seq: Long, ref: String, kind: String,
+    comps: Seq[LakeEqRefCol])
+
+case class LakeEqRefCol(colId: Long, kind: String, phys: String,
+    fileType: String)
 
 case class LakeChangesReaderFactory(
     required: Array[(String, DataType)]) extends PartitionReaderFactory {
@@ -489,43 +514,51 @@ case class LakeChangesReaderFactory(
     // equality-record key columns decode even when unprojected —
     // appended AFTER the projected columns so `codes` indices hold
     val eqKeyPhys: Seq[String] =
-      (p.eqEmit ++ p.eqGuard).map(_.phys).distinct.filterNot(physical.contains)
+      (p.eqEmit ++ p.eqGuard).flatMap(_.comps.map(_.phys))
+        .distinct.filterNot(physical.contains)
     val decodedPhys: Seq[String] = physical.toSeq ++ eqKeyPhys
     val reader =
       if (decodedPhys.isEmpty) null
       else LakeParquet.openVectorized(
         Paths.get(p.tableDir).resolve(p.path), decodedPhys)
-    // one eval per distinct key column per role: sidecar values load
-    // task-side, longs sorted for binary search, strings hashed
-    def evalsOf(refs: Seq[LakeEqRef]): Array[(Int, DataType, Array[Long], java.util.HashSet[String])] =
-      refs.groupBy(_.phys).map { case (phys, rs) =>
-        val longs = rs.filter(_.kind == "long")
-          .flatMap(r => LakeEq.readLongs(tdir, r.ref))
-          .distinct.sorted.toArray
-        val strs = new java.util.HashSet[String]()
-        rs.filter(_.kind == "string")
-          .foreach(r => LakeEq.readStrs(tdir, r.ref).foreach(strs.add))
-        (decodedPhys.indexOf(phys), LakeParquet.typeOf(rs.head.fileType),
-          longs, strs)
+    // one eval per record, arity-agnostic: the sidecar's key tuples
+    // (arity 1 for single-column records) load task-side into a set of
+    // canonical encodings ([[LakeEq.encodeTuple]]), and each row
+    // encodes its key components the same way
+    def evalsOf(refs: Seq[LakeEqRef]): Array[(Array[Int], Array[DataType], java.util.HashSet[String])] =
+      refs.map { r =>
+        val tuples: Seq[Seq[Any]] = r.kind match {
+          case "long" => LakeEq.readLongs(tdir, r.ref).toSeq.map(v => Seq(v: Any))
+          case "string" => LakeEq.readStrs(tdir, r.ref).toSeq.map(v => Seq(v: Any))
+          case _ => LakeEq.readTuples(tdir, r.ref, r.comps.map(_.kind))
+        }
+        val set = new java.util.HashSet[String]()
+        tuples.foreach(t => set.add(LakeEq.encodeTuple(t)))
+        (r.comps.map(c => decodedPhys.indexOf(c.phys)).toArray,
+          r.comps.map(c => LakeParquet.typeOf(c.fileType)).toArray, set)
       }.toArray
     val emitEvals = evalsOf(p.eqEmit)
     val guardEvals = evalsOf(p.eqGuard)
     def matches(row: InternalRow,
-        evals: Array[(Int, DataType, Array[Long], java.util.HashSet[String])]): Boolean = {
+        evals: Array[(Array[Int], Array[DataType], java.util.HashSet[String])]): Boolean = {
       var i = 0
       while (i < evals.length) {
-        val (idx, dt, longs, strs) = evals(i)
-        if (!row.isNullAt(idx)) { // SQL IN: null never matches
-          val hit =
-            if (strs.isEmpty) {
-              val v = dt match {
-                case IntegerType => row.getInt(idx).toLong
-                case _ => row.getLong(idx)
-              }
-              longs.nonEmpty && java.util.Arrays.binarySearch(longs, v) >= 0
-            } else strs.contains(row.getUTF8String(idx).toString)
-          if (hit) return true
+        val (idxs, dts, set) = evals(i)
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        var ok = true
+        while (j < idxs.length && ok) {
+          if (row.isNullAt(idxs(j))) ok = false // SQL IN: null never matches
+          else dts(j) match {
+            case IntegerType => sb.append('L').append(row.getInt(idxs(j)).toLong)
+            case LongType => sb.append('L').append(row.getLong(idxs(j)))
+            case _ =>
+              val s = row.getUTF8String(idxs(j)).toString
+              sb.append('S').append(s.length).append(':').append(s)
+          }
+          j += 1
         }
+        if (ok && set.contains(sb.toString)) return true
         i += 1
       }
       false

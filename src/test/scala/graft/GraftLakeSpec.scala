@@ -5293,6 +5293,79 @@ class GraftLakeSpec extends AnyFunSuite {
       "whole-history net replay must equal the final state")
   }
 
+  test("composite upsert keys: tuple records replace per (t,id), keyed tuple DELETE is scan-free, the feed expands and guards per tuple") {
+    import spark.implicits._
+    import graft.sources.{LakeParquet, LakeChanges}
+    spark.sql("CREATE TABLE lake.db.t_eqc (t BIGINT, id STRING, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 't,id')")
+    val base = for { tt <- 0L to 1L; i <- 0 until 5 }
+      yield (tt, s"id$i", tt * 100L + i)
+    base.toDF("t", "id", "v").coalesce(1)
+      .writeTo("lake.db.t_eqc").append() // v1
+    // v2: replace exactly (0,id1) and (1,id3) — (1,id1)/(0,id3) share a
+    // component with the batch and must be UNTOUCHED (the tuple-vs-
+    // column witness), with zero target file opens
+    val opens0 = LakeParquet.dataFileOpens.get()
+    Seq((0L, "id1", 901L), (1L, "id3", 903L)).toDF("t", "id", "v")
+      .coalesce(1).writeTo("lake.db.t_eqc").option("upsert", "true").append()
+    assert(LakeParquet.dataFileOpens.get() == opens0,
+      "a composite upsert must never open a target data file")
+    def content(): Seq[(Long, String, Long)] = spark.table("lake.db.t_eqc")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def expect(over: Map[(Long, String), Long],
+        minus: Set[(Long, String)] = Set.empty): Seq[(Long, String, Long)] =
+      base.filterNot(r => minus((r._1, r._2)))
+        .map(r => (r._1, r._2, over.getOrElse((r._1, r._2), r._3)))
+        .sortBy(r => (r._1, r._2))
+    val over2 = Map((0L, "id1") -> 901L, (1L, "id3") -> 903L)
+    assert(content() == expect(over2))
+    // v3: a scan-free keyed TUPLE DELETE — conjunction of =/IN over the
+    // key components = the cross product {(0,id2),(0,id9)}; (1,id2)
+    // shares the id and must survive
+    val opens1 = LakeParquet.dataFileOpens.get()
+    spark.sql("DELETE FROM lake.db.t_eqc WHERE t = 0 AND id IN ('id2', 'id9')")
+    assert(LakeParquet.dataFileOpens.get() == opens1,
+      "a tuple DELETE must never open a data file")
+    val snap3 = LakeLog.currentSnapshot(tableDir("t_eqc")).get
+    assert(snap3.eqdels.size == 2 &&
+      snap3.eqdels.forall(e => e.cols.map(_._2) == Seq("long", "string")),
+      s"two composite records expected, got ${snap3.eqdels}")
+    assert(content() == expect(over2, minus = Set((0L, "id2"))))
+    // v4: replace (0,id1) AGAIN — the feed's guard must suppress the
+    // v1 pre-image (already dead) and emit only the v2 row
+    Seq((0L, "id1", 999L)).toDF("t", "id", "v")
+      .coalesce(1).writeTo("lake.db.t_eqc").option("upsert", "true").append()
+    def changesAt(ver: Long): Set[(String, Long, String, Long)] =
+      spark.read.table("lake.db.t_eqc__changes")
+        .where(col(LakeChanges.VersionColumn) === ver)
+        .select(col(LakeChanges.TypeColumn), $"t", $"id", $"v")
+        .as[(String, Long, String, Long)].collect().toSet
+    assert(changesAt(2L) == Set(
+      ("delete", 0L, "id1", 1L), ("delete", 1L, "id3", 103L),
+      ("insert", 0L, "id1", 901L), ("insert", 1L, "id3", 903L)),
+      "composite upsert narration: per-tuple pre-image deletes")
+    assert(changesAt(3L) == Set(("delete", 0L, "id2", 2L)),
+      "tuple DELETE narration: (1,id2) shares the id and must not emit")
+    assert(changesAt(4L) == Set(
+      ("delete", 0L, "id1", 901L), ("insert", 0L, "id1", 999L)),
+      "re-replacement must emit the v2 row, not the tuple-dead v1 row")
+    // compaction resolves the tuple records exactly
+    spark.sql("CALL lake.system.compact('db.t_eqc', 1)").collect()
+    assert(LakeLog.currentSnapshot(tableDir("t_eqc")).get.eqdels.isEmpty)
+    assert(content() ==
+      expect(over2 + ((0L, "id1") -> 999L), minus = Set((0L, "id2"))))
+    // DROP of a component is refused; RENAME carries the comma list
+    val dropErr = intercept[Exception](
+      spark.sql("ALTER TABLE lake.db.t_eqc DROP COLUMN id"))
+    assert(dropErr.getMessage.contains("upsert_key"))
+    spark.sql("ALTER TABLE lake.db.t_eqc RENAME COLUMN id TO did")
+    Seq((1L, "id0", 777L)).toDF("t", "did", "v")
+      .coalesce(1).writeTo("lake.db.t_eqc").option("upsert", "true").append()
+    assert(spark.table("lake.db.t_eqc").where($"did" === "id0" && $"t" === 1L)
+      .select($"v").as[Long].collect().toSeq == Seq(777L),
+      "upserts keep working across a component rename")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
