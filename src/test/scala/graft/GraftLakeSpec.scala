@@ -5366,6 +5366,35 @@ class GraftLakeSpec extends AnyFunSuite {
       "upserts keep working across a component rename")
   }
 
+  test("streaming composite upserts: each epoch commits one tuple record; last-wins per (t,id) across the drain") {
+    import spark.implicits._
+    val src = "lake.db.t_eqcs_src"
+    val dst = "lake.db.t_eqcs"
+    spark.sql(s"CREATE TABLE $src (t BIGINT, id STRING, v BIGINT)")
+    spark.sql(s"CREATE TABLE $dst (t BIGINT, id STRING, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 't,id')")
+    // slice s re-keys the SAME (t,id) domain to value s*1000 + t*10 + i
+    for (sl <- 0 until 3)
+      (for { tt <- 0L to 1L; i <- 0 until 4 }
+        yield (tt, s"id$i", sl * 1000L + tt * 10L + i))
+        .toDF("t", "id", "v").coalesce(1).writeTo(src).append()
+    val ckpt = java.nio.file.Files.createTempDirectory("eqcs-ckpt").toString
+    spark.readStream.option("maxBytesPerTrigger", "1").table(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("upsert", "true")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(dst).awaitTermination()
+    val snap = LakeLog.currentSnapshot(tableDir("t_eqcs")).get
+    assert(snap.eqdels.size == 2 &&
+      snap.eqdels.forall(_.kind == "tuple"),
+      s"each epoch after the first commits one tuple record: ${snap.eqdels}")
+    val got = spark.table(dst).as[(Long, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == (for { tt <- 0L to 1L; i <- 0 until 4 }
+      yield (tt, s"id$i", 2000L + tt * 10L + i)).sortBy(r => (r._1, r._2)),
+      "the last slice must win per composite key")
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
