@@ -5293,6 +5293,90 @@ class GraftLakeSpec extends AnyFunSuite {
       "whole-history net replay must equal the final state")
   }
 
+  test("feed soundness, COMPOSITE keys: per-version expansion equals Spark's own snapshot diff under a randomized tuple sequence") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_feedpropc (t BIGINT, id STRING, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 't,id')")
+    val tn = "lake.db.t_feedpropc"
+    val rnd = new scala.util.Random(31517)
+    def someIds(n: Int): Seq[String] =
+      Seq.fill(n)(s"id${rnd.nextInt(8)}").distinct
+    for (step <- 0 until 12) {
+      rnd.nextInt(5) match {
+        case 0 if step > 0 =>
+          // tuple DELETE: a cross product over both components
+          val ts = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(4).toLong).distinct
+          val ids = someIds(1 + rnd.nextInt(3))
+          spark.sql(s"DELETE FROM $tn WHERE t IN (${ts.mkString(",")}) " +
+            s"AND id IN (${ids.map(i => s"'$i'").mkString(",")})")
+        case 1 if step > 0 =>
+          spark.sql(s"DELETE FROM $tn WHERE v % 7 = ${rnd.nextInt(7)}")
+        case _ =>
+          val batch = (for {
+            tt <- Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(4).toLong).distinct
+            i <- someIds(1 + rnd.nextInt(4))
+          } yield (tt, i, rnd.nextInt(100000).toLong)).distinct
+          batch.toDF("t", "id", "v").coalesce(1)
+            .writeTo(tn).option("upsert", "true").append()
+      }
+      if (step == 7)
+        spark.sql("CALL lake.system.compact('db.t_feedpropc', 2)").collect()
+    }
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, String, Long), Int] =
+      df.as[(Long, String, Long)].collect()
+        .groupBy(identity).map { case (r, a) => r -> a.length }
+    def diff(a: Map[(Long, String, Long), Int],
+        b: Map[(Long, String, Long), Int]): Map[(Long, String, Long), Int] =
+      (a.keySet ++ b.keySet).flatMap { r =>
+        val d = a.getOrElse(r, 0) - b.getOrElse(r, 0)
+        if (d > 0) Some(r -> d) else None
+      }.toMap
+    val head = LakeLog.currentVersion(tableDir("t_feedpropc")).get
+    var prev = Map.empty[(Long, String, Long), Int]
+    for (ver <- 1L to head) {
+      val cur = multiset(spark.sql(s"SELECT t, id, v FROM $tn VERSION AS OF $ver"))
+      val feed = spark.read
+        .option("startingVersion", ver).option("endingVersion", ver)
+        .option("skipChangeCommits", "true")
+        .table(s"${tn}__changes")
+        .select(col(graft.sources.LakeChanges.TypeColumn), $"t", $"id", $"v")
+        .as[(String, Long, String, Long)].collect()
+      val gotIns = feed.filter(_._1 == "insert").map(r => (r._2, r._3, r._4))
+        .groupBy(identity).map { case (r, a) => r -> a.length }
+      val gotDel = feed.filter(_._1 == "delete").map(r => (r._2, r._3, r._4))
+        .groupBy(identity).map { case (r, a) => r -> a.length }
+      assert(gotIns == diff(cur, prev) && gotDel == diff(prev, cur),
+        s"version $ver: composite feed expansion must equal Spark's own diff")
+      prev = cur
+    }
+  }
+
+  test("upsert key WIDENING: an INT key column widened to BIGINT keeps replacing rows written under the old type") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_eqw (k INT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 20).select($"id".cast("int").as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqw").append() // v1: INT-typed file
+    spark.sql("ALTER TABLE lake.db.t_eqw ALTER COLUMN k TYPE BIGINT")
+    // post-widen upsert: the record hashes/matches under each FILE's
+    // write-time type — the INT-era file's rows must still replace
+    spark.range(5, 8).select($"id".as("k"), ($"id" * 100L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_eqw").option("upsert", "true").append()
+    val got = spark.table("lake.db.t_eqw").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == (0L until 20L).map(k =>
+      k -> (if (k >= 5 && k < 8) k * 100L else k)),
+      "a widened key must keep matching rows written under INT")
+    // and the feed expands across the type boundary the same way
+    val v = LakeLog.currentVersion(tableDir("t_eqw")).get
+    val chg = spark.read.table("lake.db.t_eqw__changes")
+      .where(col(graft.sources.LakeChanges.VersionColumn) === v &&
+        col(graft.sources.LakeChanges.TypeColumn) === "delete")
+      .select($"k", $"v").as[(Long, Long)].collect().toSet
+    assert(chg == (5L until 8L).map(k => k -> k).toSet,
+      "feed pre-images must decode the INT-era file under its own type")
+  }
+
   test("composite upsert keys: tuple records replace per (t,id), keyed tuple DELETE is scan-free, the feed expands and guards per tuple") {
     import spark.implicits._
     import graft.sources.{LakeParquet, LakeChanges}
