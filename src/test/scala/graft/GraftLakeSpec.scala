@@ -5170,6 +5170,14 @@ class GraftLakeSpec extends AnyFunSuite {
         .otherwise(-1L)).as("net"))
     assert(net.where($"net" =!= 0L).count() == 0L,
       "a truncated table's feed must net to zero everywhere")
+    // a projection that never names the key still expands exactly: the
+    // reader decodes the key column on its own (metadata-only shape)
+    val typeOnly = spark.read.table("lake.db.t_eqf__changes")
+      .where(col(LakeChanges.VersionColumn) === 3L)
+      .select(col(LakeChanges.TypeColumn))
+      .as[String].collect().sorted.toSeq
+    assert(typeOnly == Seq.fill(5)("delete") ++ Seq.fill(5)("insert"),
+      s"projection-free expansion must still match rows, got $typeOnly")
     // STRING keys expand the same way
     spark.sql("CREATE TABLE lake.db.t_eqfs (name STRING, v BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'name')")
