@@ -1855,6 +1855,15 @@ object LakeLog {
   private[sources] def deltaEqAdds(dir: Path, v: Long): Seq[LakeEqDelete] =
     deltaAt(dir, v).map(_.eqAdds).getOrElse(Seq.empty)
 
+  /** The change feed's view of delta `v`: (adds, removed paths, eq
+    * records added, eq record seqs dropped). None when the delta is
+    * pruned past retention — callers must then fail loudly, never
+    * treat it as an empty change set.
+    */
+  private[sources] def deltaFeedView(dir: Path, v: Long)
+      : Option[(Seq[LakeFile], Set[String], Seq[LakeEqDelete], Set[Long])] =
+    deltaAt(dir, v).map(d => (d.adds, d.removes, d.eqAdds, d.eqDrops))
+
   /** Table props as of delta `v` (the head delta carries the current
     * spec history — a small read, unlike the checkpoint).
     */

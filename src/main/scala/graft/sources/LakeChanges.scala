@@ -134,12 +134,60 @@ object LakeChanges {
   def partitionsFor(dir: Path, feedCols: Seq[(String, Long)],
       required: StructType, v: Long, skipChangeCommits: Boolean,
       appendOnly: Boolean = false): Seq[LakeChangePartition] = {
+    val cur = LakeLog.snapshotAt(dir, v).getOrElse(throw new IllegalStateException(
+      s"graftlake change feed: version $v pruned past retention"))
+    def renameOf(f: LakeFile): Map[String, String] =
+      required.fieldNames.iterator
+        .filter(n => n != TypeColumn && n != VersionColumn)
+        .flatMap(n => LakeColIds.physicalName(feedCols, f, n).map(n -> _))
+        .toMap
+    def fileTypesOf(f: LakeFile): Map[String, String] =
+      LakeColIds.fileTypes(feedCols, f,
+        required.fields.toSeq.filter(fd =>
+          fd.name != TypeColumn && fd.name != VersionColumn))
+    // Resolve records applicable to one file (born strictly after it)
+    // into task-shippable refs: per component the file's physical
+    // key-column name and write-time type travel; the VALUES stay in
+    // their sidecars, read task-side like dvs. A file that physically
+    // predates any component resolves to None — no row can match.
+    def eqRefsFor(f: LakeFile, records: Seq[LakeEqDelete]): Seq[LakeEqRef] =
+      records.filter(_.seq > f.seq).flatMap { e =>
+        val kinds = if (e.cols.nonEmpty) e.cols.map(_._2) else Seq(e.kind)
+        val comps = e.keyIds.zip(kinds).map { case (id, k) =>
+          feedCols.find(_._2 == id).map(_._1).flatMap { cn =>
+            LakeColIds.physicalName(feedCols, f, cn).map { phys =>
+              val i = f.cols.indexWhere(_._1 == phys)
+              val ft =
+                if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
+                else cur.schema.find(_.name == cn).map(_.dataType.simpleString)
+                  .getOrElse(if (k == "long") "bigint" else "string")
+              LakeEqRefCol(id, k, phys, ft)
+            }
+          }
+        }
+        if (comps.exists(_.isEmpty)) None
+        else Some(LakeEqRef(e.seq, e.ref, e.kind, comps.map(_.get)))
+      }
+    // PURE-APPEND FAST PATH: the delta alone proves the change set —
+    // no removed paths, no record transitions, so every add is a new
+    // (or restored) file whose rows simply appear. NEITHER census
+    // materializes: on a 10⁸-file checkpointed table, narrating a
+    // streaming append commit reads one delta, zero checkpoint parts.
+    // (A restored file under live records still ships its guard —
+    // resolvable from the header's record list alone.)
+    LakeLog.deltaFeedView(dir, v) match {
+      case Some((adds, removes, eqA, eqD))
+          if removes.isEmpty && eqA.isEmpty && eqD.isEmpty =>
+        return adds.map(f => LakeChangePartition(
+          dir.toString, f.path, f.rows, renameOf(f), "insert", v,
+          dv = f.dv, prevDv = None, emitDiff = false,
+          fileTypes = fileTypesOf(f), eqGuard = eqRefsFor(f, cur.eqdels)))
+      case _ => ()
+    }
     val prev =
       if (v == 0L) LakeSnapshot(-1L, StructType(Nil), Seq.empty)
       else LakeLog.snapshotAt(dir, v - 1).getOrElse(throw new IllegalStateException(
         s"graftlake change feed: version ${v - 1} pruned past retention"))
-    val cur = LakeLog.snapshotAt(dir, v).getOrElse(throw new IllegalStateException(
-      s"graftlake change feed: version $v pruned past retention"))
     val prevByPath = prev.files.map(f => f.path -> f).toMap
     val curByPath = cur.files.map(f => f.path -> f).toMap
     val added = cur.files.filter(f => !prevByPath.contains(f.path))
@@ -167,40 +215,6 @@ object LakeChanges {
             s"record on column id $id, which the current schema no " +
             "longer carries — the change set cannot be resolved")
     }
-    def rename(f: LakeFile): Map[String, String] =
-      required.fieldNames.iterator
-        .filter(n => n != TypeColumn && n != VersionColumn)
-        .flatMap(n => LakeColIds.physicalName(feedCols, f, n).map(n -> _))
-        .toMap
-    def fileTypes(f: LakeFile): Map[String, String] =
-      LakeColIds.fileTypes(feedCols, f,
-        required.fields.toSeq.filter(fd =>
-          fd.name != TypeColumn && fd.name != VersionColumn))
-    // Resolve records applicable to one file (born strictly after it)
-    // into task-shippable refs: the file's physical key-column name and
-    // write-time type travel; the VALUES stay in their sidecars, read
-    // task-side like dvs. A file that physically predates the key
-    // column resolves to None — no row there can match, no ref ships.
-    def eqRefsFor(f: LakeFile, records: Seq[LakeEqDelete]): Seq[LakeEqRef] =
-      records.filter(_.seq > f.seq).flatMap { e =>
-        val kinds = if (e.cols.nonEmpty) e.cols.map(_._2) else Seq(e.kind)
-        val comps = e.keyIds.zip(kinds).map { case (id, k) =>
-          feedCols.find(_._2 == id).map(_._1).flatMap { cn =>
-            LakeColIds.physicalName(feedCols, f, cn).map { phys =>
-              val i = f.cols.indexWhere(_._1 == phys)
-              val ft =
-                if (i >= 0 && i < f.colTypes.length) f.colTypes(i)
-                else cur.schema.find(_.name == cn).map(_.dataType.simpleString)
-                  .getOrElse(if (k == "long") "bigint" else "string")
-              LakeEqRefCol(id, k, phys, ft)
-            }
-          }
-        }
-        // a file physically predating ANY component holds only nulls
-        // there — no row of it can match the record
-        if (comps.exists(_.isEmpty)) None
-        else Some(LakeEqRef(e.seq, e.ref, e.kind, comps.map(_.get)))
-      }
     // Candidate pruning for record-driven partitions: a predating file
     // plans only if the scan's own decision algebra (stats ranges, null
     // counts, partition tuples) and its log/sidecar blooms admit SOME
@@ -249,8 +263,8 @@ object LakeChanges {
     // RESTORE old files into a snapshot whose live records still kill
     // some of their rows — those must not resurface as inserts.
     val inserts = added.map(f => LakeChangePartition(
-      dir.toString, f.path, f.rows, rename(f), "insert", v,
-      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypes(f),
+      dir.toString, f.path, f.rows, renameOf(f), "insert", v,
+      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypesOf(f),
       eqGuard = eqRefsFor(f, eqCur)))
     if (appendOnly) {
       val changed = removed.nonEmpty || eqAdded.nonEmpty || eqDropped.nonEmpty ||
@@ -282,15 +296,15 @@ object LakeChanges {
           val del =
             if (dvGrow || addedApp.nonEmpty)
               Some(LakeChangePartition(dir.toString, f.path, f.rows,
-                rename(f), "delete", v, dv = f.dv, prevDv = pf.dv,
-                emitDiff = true, fileTypes = fileTypes(f),
+                renameOf(f), "delete", v, dv = f.dv, prevDv = pf.dv,
+                emitDiff = true, fileTypes = fileTypesOf(f),
                 eqEmit = addedApp, eqGuard = eqRefsFor(pf, eqPrev)))
             else None
           val ins =
             if (dvShrink || droppedApp.nonEmpty)
               Some(LakeChangePartition(dir.toString, f.path, f.rows,
-                rename(f), "insert", v, dv = pf.dv, prevDv = f.dv,
-                emitDiff = true, fileTypes = fileTypes(f),
+                renameOf(f), "insert", v, dv = pf.dv, prevDv = f.dv,
+                emitDiff = true, fileTypes = fileTypesOf(f),
                 eqEmit = droppedApp, eqGuard = eqRefsFor(f, eqCur)))
             else None
           del.toSeq ++ ins
@@ -300,8 +314,8 @@ object LakeChanges {
     // whole-file deletes emit what was LIVE at v-1: minus the file's
     // own dv AND minus rows older records had already killed
     val dropDeletes = removed.map(f => LakeChangePartition(
-      dir.toString, f.path, f.rows, rename(f), "delete", v,
-      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypes(f),
+      dir.toString, f.path, f.rows, renameOf(f), "delete", v,
+      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypesOf(f),
       eqGuard = eqRefsFor(f, eqPrev)))
     inserts ++ flips ++ dropDeletes
   }

@@ -5487,6 +5487,35 @@ class GraftLakeSpec extends AnyFunSuite {
       "the last slice must win per composite key")
   }
 
+  test("feed fast path: narrating an append commit on a checkpointed table parses ZERO checkpoint parts") {
+    import spark.implicits._
+    import graft.sources.{LakeChanges, LakeColIds}
+    spark.sql("""CREATE TABLE lake.db.t_feedfast (id BIGINT, b BIGINT)
+      |PARTITIONED BY (b) TBLPROPERTIES ('checkpoint_part_bytes' = '1')""".stripMargin)
+    for (c <- 0 until 10) // -> checkpoint v10, one part per bucket
+      spark.range(c * 30L, c * 30L + 30L)
+        .select($"id", ($"id" % 3L + c * 3L).as("b"))
+        .coalesce(1).writeTo("lake.db.t_feedfast").append()
+    spark.range(5000L, 5004L).select($"id", lit(1L).as("b"))
+      .coalesce(1).writeTo("lake.db.t_feedfast").append() // v11: pure append
+    val dir = tableDir("t_feedfast")
+    val snap = LakeLog.currentSnapshot(dir).get
+    val fcols = LakeColIds.cols(snap.schema, snap.props)
+    LakeLog.clearPartCache()
+    val reads0 = LakeLog.checkpointReads.get()
+    val parts = LakeChanges.partitionsFor(dir, fcols, snap.schema, 11L,
+      skipChangeCommits = false)
+    assert(LakeLog.checkpointReads.get() == reads0,
+      "pure-append narration must come off the delta alone — zero part parses")
+    assert(parts.nonEmpty && parts.forall(_.changeType == "insert"),
+      s"an append version narrates as inserts only, got $parts")
+    // the narrated rows are the commit's rows exactly
+    val v11 = spark.read.table("lake.db.t_feedfast__changes")
+      .where(col(LakeChanges.VersionColumn) === 11L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(v11 == (5000L until 5004L).toSeq)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
