@@ -1790,8 +1790,14 @@ object IngestQueries {
     spark.table(src).where($"k" % 10L === 3L)
       .select($"k", $"seg", ($"bal" + 11L).as("bal"))
       .coalesce(1).writeTo(src).option("upsert", "true").append()
-    // v3: a scan-free keyed DELETE (literal key set, data-independent)
-    val dropKeys = (0L to 20000L by 53L).mkString(", ")
+    // v3: a scan-free keyed DELETE. The literal key set is the full
+    // k%53==0 grid up to the DATA's own max key — the oracle excludes
+    // every such key, so a fixed cap would diverge at scale factors
+    // where c_custkey outgrows it (the WRITE stays scan-free; deriving
+    // the bound is the client's read, like the v2 batch above)
+    val maxK = Tables.load(spark, dir, "customer")
+      .agg(max($"c_custkey".cast("long"))).head().getLong(0)
+    val dropKeys = (0L to maxK by 53L).mkString(", ")
     spark.sql(s"DELETE FROM $src WHERE k IN ($dropKeys)")
     val ckpt = java.nio.file.Files.createTempDirectory("q112-ckpt").toString
     val deltaView = s"q112_delta_${cat.takeRight(8)}"

@@ -671,7 +671,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       props = props + ("colids" -> ids.mkString(",")) +
         ("maxcolid" -> maxId.toString)
       result = LakeSnapshot(cur.version + 1, schema, cur.files, props)
-      done = LakeLog.commit(dir, cur.version, result)
+      done = LakeLog.commit(dir, cur.version, result, parentSnap = Some(cur))
     }
     new LakeTable(dir, result, None)
   }
@@ -1021,6 +1021,73 @@ object LakeEq {
   }
 }
 
+/** Compiled membership probe for ONE composite record's key-tuple set.
+  * ALL-LONG tuples (every component kind `long`) probe a
+  * lexicographically sorted row-major `Array[Long]` matrix via a
+  * stride-`arity` binary search — zero per-row allocation, so a
+  * composite-key MOR scan's hot batch loop pays primitive compares
+  * like the single-column path. Tuples with any string component keep
+  * the canonical [[LakeEq.encodeTuple]] HashSet (self-delimiting, so
+  * encodings collide iff tuples are equal). Built once per task
+  * reader; `buf` is the caller's reusable component buffer (readers
+  * are single-threaded by contract).
+  */
+final class LakeTupleProbe(tuples: Seq[Seq[Any]]) {
+  val arity: Int = if (tuples.isEmpty) 0 else tuples.head.size
+  val allLong: Boolean = tuples.forall(_.forall(_.isInstanceOf[Long]))
+  val buf: Array[Long] = if (allLong) new Array[Long](arity) else null
+  private val mat: Array[Long] =
+    if (!allLong) null
+    else {
+      val rows = tuples.map(_.map(_.asInstanceOf[Long]).toArray).toArray
+      java.util.Arrays.sort(rows, (a: Array[Long], b: Array[Long]) => {
+        var j = 0
+        var c = 0
+        while (j < a.length && c == 0) {
+          c = java.lang.Long.compare(a(j), b(j))
+          j += 1
+        }
+        c
+      })
+      val m = new Array[Long](rows.length * arity)
+      var i = 0
+      while (i < rows.length) {
+        System.arraycopy(rows(i), 0, m, i * arity, arity)
+        i += 1
+      }
+      m
+    }
+  private val set: java.util.HashSet[String] =
+    if (allLong) null
+    else {
+      val s = new java.util.HashSet[String]()
+      tuples.foreach(t => s.add(LakeEq.encodeTuple(t)))
+      s
+    }
+
+  /** All-long path: does the sorted matrix contain `buf`'s tuple? */
+  def containsLongs(): Boolean = {
+    var lo = 0
+    var hi = mat.length / arity - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      var j = 0
+      var c = 0
+      while (j < arity && c == 0) {
+        c = java.lang.Long.compare(mat(mid * arity + j), buf(j))
+        j += 1
+      }
+      if (c == 0) return true
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
+  /** String-bearing path: canonical-encoding membership. */
+  def containsEncoded(encoded: String): Boolean = set.contains(encoded)
+}
+
 /** Stable FIELD IDS — the column-mapping layer under `ALTER TABLE`.
   *
   * Every table column gets an id at creation (`colids` in the table
@@ -1351,6 +1418,36 @@ final class LakePartedFiles(dir: Path, private[sources] val version: Long,
         if (haveKmv) LakeParquet.kmvEstimate(kmvIn.result()) else None)
     }
     Some(out)
+  }
+
+  /** TARGETED lookup: the live entries for `paths`, parsing only the
+    * checkpoint parts whose PATH BLOOM (`pb`) admits one of them — a
+    * negative probe proves the part never held the path (no false
+    * negatives); an absent bloom (pre-reuse manifest) keeps the part.
+    * Feed planning calls this with a commit delta's changed paths, so
+    * narrating a dv transition on a 10⁸-file table parses O(changed ×
+    * admitting parts), never the census. The newest entry per path
+    * wins (post-checkpoint `adds` overlay the parts, mirroring the
+    * snapshot fold's survivor rule).
+    */
+  def entriesFor(paths: Set[String]): Map[String, LakeFile] = {
+    if (paths.isEmpty) return Map.empty
+    val fromAdds = adds.filter(f => paths(f.path))
+    val rest = paths -- fromAdds.iterator.map(_.path)
+    val fromParts: Seq[LakeFile] =
+      if (rest.isEmpty || parts.isEmpty) Seq.empty
+      else {
+        val cand = parts.filter(pm => pm.pb.isEmpty ||
+          rest.exists(p => LakeLog.pathBloomContains(pm.pb, p)))
+        import scala.collection.parallel.CollectionConverters._
+        try cand.map(_.part).par.map(loadPart).seq.flatten.filter(f => rest(f.path))
+        catch {
+          case scala.util.control.NonFatal(e) if missingPart(e) =>
+            refoldOrRethrow(e).filter(f => rest(f.path))
+        }
+      }
+    // adds overlay LAST: a re-added path's newest entry wins
+    (fromParts ++ fromAdds).map(f => f.path -> f).toMap
   }
 
   /** Entries that could match the pushed predicate set, parsing only
@@ -2020,13 +2117,75 @@ object LakeLog {
 
   def commit(dir: Path, expectedVersion: Long, snapshot: LakeSnapshot,
       eqAdd: Seq[LakeEqDelete] = Seq.empty,
-      eqBase: Option[Seq[LakeEqDelete]] = None): Boolean = {
+      eqBase: Option[Seq[LakeEqDelete]] = None,
+      parentSnap: Option[LakeSnapshot] = None): Boolean = {
     require(snapshot.version == expectedVersion + 1,
       s"commit must advance the version by one: $expectedVersion -> ${snapshot.version}")
+    // the caller usually HOLDS the parent it derived `snapshot` from
+    // (every retry loop just read it) — accept it instead of re-reading
+    // and re-folding the census per commit
+    parentSnap.foreach(p => require(p.version == expectedVersion,
+      s"commit: parentSnap v${p.version} is not the expected parent v$expectedVersion"))
     val parent =
       if (expectedVersion < 0L) None
-      else Some(snapshotAt(dir, expectedVersion).getOrElse(throw new IllegalStateException(
-        s"cannot commit v${snapshot.version}: parent v$expectedVersion unreadable")))
+      else parentSnap.orElse(
+        Some(snapshotAt(dir, expectedVersion).getOrElse(throw new IllegalStateException(
+          s"cannot commit v${snapshot.version}: parent v$expectedVersion unreadable"))))
+    // METADATA-ONLY fast path: the child carries the parent's OWN file
+    // object (props/DDL/eq-only commits pass `cur.files` through
+    // unchanged — reference identity is the caller's statement that no
+    // entry changed). No diff, no stamping, no census materialization:
+    // a props ALTER or a keyed DELETE on a 10⁸-file checkpointed table
+    // writes an O(1) delta without parsing a single checkpoint part.
+    // Excluded: eqBase rewrites (rollback restores a different record
+    // set whose liveness needs the general derivation).
+    parent match {
+      case Some(par) if eqBase.isEmpty && (snapshot.files.asInstanceOf[AnyRef] eq
+          par.files.asInstanceOf[AnyRef]) =>
+        // files unchanged ⇒ the parent's live records stay live verbatim
+        // (the prune rule keys off min live-file seq, which cannot move);
+        // new records are live iff ANY live file predates them — i.e.
+        // the table is nonempty (every live file's seq < this version)
+        val parentNonEmpty = par.files match {
+          case pf: LakePartedFiles => pf.exactTotal.map(_ > 0).getOrElse(true)
+          case fs => fs.nonEmpty
+        }
+        val eqAdded =
+          if (parentNonEmpty)
+            eqAdd.map(e => if (e.seq == 0L) e.copy(seq = snapshot.version) else e)
+          else Seq.empty
+        val root = mapper.createObjectNode()
+        root.put("version", snapshot.version)
+        root.put("ts", System.currentTimeMillis())
+        root.put("schema", snapshot.schema.json)
+        val pr = root.putObject("props")
+        snapshot.props.foreach { case (k, v) => pr.put(k, v) }
+        root.putArray("add")
+        root.putArray("remove")
+        if (eqAdded.nonEmpty) {
+          val ea = root.putArray("eqadd")
+          eqAdded.foreach(e => ea.add(eqNode(e)))
+        }
+        Files.createDirectories(logDir(dir))
+        return if (publish(dir, versionFile(dir, snapshot.version), root)) {
+          val interval = snapshot.props.get("checkpoint_interval")
+            .flatMap(_.toLongOption).filter(_ > 0L).getOrElse(CheckpointInterval.toLong)
+          if (snapshot.version > 0L && snapshot.version % interval == 0L) {
+            // reconstruct the published version LAZILY (commitAppend's
+            // cadence shape) — incremental part reuse stays O(changed)
+            try snapshotAt(dir, snapshot.version).foreach(checkpoint(dir, _))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                recordCheckpointFailure(dir, snapshot.version, e)
+                System.err.println(
+                  s"graftlake: checkpoint at v${snapshot.version} failed " +
+                    s"(commit unaffected): $e")
+            }
+          }
+          true
+        } else false
+      case _ => ()
+    }
     val prevFiles = parent.map(_.files).getOrElse(Seq.empty)
     val prevByPath = prevFiles.map(f => f.path -> f).toMap
     // stamp DATA-BIRTH versions: an entry is born at this commit ONLY
@@ -3032,7 +3191,8 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
           "spec is ambiguous — run CALL system.compact first")
       val (hit, keep) = cur.files.partition(_.part == key)
       dropped = hit.nonEmpty
-      done = hit.isEmpty || LakeLog.commit(dir, cur.version, cur.next(keep))
+      done = hit.isEmpty || LakeLog.commit(dir, cur.version, cur.next(keep),
+        parentSnap = Some(cur))
     }
     dropped
   }
@@ -3209,7 +3369,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
       while (!done) {
         val cur = LakeLog.currentSnapshot(dir).get
         done = LakeLog.commit(dir, cur.version, cur.next(cur.files),
-          eqAdd = Seq(eq))
+          eqAdd = Seq(eq), parentSnap = Some(cur))
       }
       return
     }
@@ -3223,7 +3383,7 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
         while (!done) {
           val cur = LakeLog.currentSnapshot(dir).get
           done = LakeLog.commit(dir, cur.version, cur.next(cur.files),
-            eqAdd = Seq(eq))
+            eqAdd = Seq(eq), parentSnap = Some(cur))
         }
         return
       case None => ()
@@ -3240,7 +3400,8 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
           case LakeStats.Mixed => throw new IllegalStateException(
             s"deleteWhere on undecidable file ${f.path} (canDeleteWhere was false)")
         })
-      done = LakeLog.commit(dir, cur.version, cur.next(keep))
+      done = LakeLog.commit(dir, cur.version, cur.next(keep),
+        parentSnap = Some(cur))
     }
   }
 
@@ -3248,7 +3409,8 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
     var done = false
     while (!done) {
       val cur = LakeLog.currentSnapshot(dir).get
-      done = LakeLog.commit(dir, cur.version, cur.next(Seq.empty))
+      done = LakeLog.commit(dir, cur.version, cur.next(Seq.empty),
+        parentSnap = Some(cur))
     }
     true
   }
@@ -3272,8 +3434,17 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
 class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
-  /** Files the operation's scan planned — the replacement group set. */
-  @volatile private[sources] var scannedFiles: Seq[String] = snapshot.files.map(_.path)
+  /** Files the operation's scan planned — the replacement group set.
+    * The all-files default resolves LAZILY: the operation is
+    * constructed during DELETE/UPDATE analysis even when the
+    * metadata-only rewrite wins, and the default must not charge that
+    * path a full census materialization.
+    */
+  @volatile private var plannedFiles: Option[Seq[String]] = None
+  private[sources] def scannedFiles: Seq[String] =
+    plannedFiles.getOrElse(snapshot.files.map(_.path))
+  private[sources] def scannedFiles_=(fs: Seq[String]): Unit =
+    plannedFiles = Some(fs)
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graftlake-cow-$cmd"
@@ -3336,7 +3507,8 @@ class LakeRowLevelOperation(dir: Path, snapshot: LakeSnapshot,
                 snapshot.eqdels.map(_.seq).toSet,
                 "concurrent equality delete invalidated this rewrite's scan")
               done = LakeLog.commit(dir, cur.version,
-                cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written))
+                cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written),
+                parentSnap = Some(cur))
             }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -4910,12 +5082,11 @@ case class LakeReaderFactory(tableSchema: StructType,
         (decodedPhys.indexOf(c.phys), LakeParquet.typeOf(c.fileType),
           ds.flatMap(_.longs).distinct.sorted.toArray, strs)
       }.toArray
-    val eqTupleEvals: Array[(Array[Int], Array[DataType], java.util.HashSet[String])] =
+    val eqTupleEvals: Array[(Array[Int], Array[DataType], LakeTupleProbe)] =
       eqTupleRecs.map { case (cs, e) =>
-        val set = new java.util.HashSet[String]()
-        e.tuples.foreach(t => set.add(LakeEq.encodeTuple(t)))
         (cs.map(c => decodedPhys.indexOf(c.phys)).toArray,
-          cs.map(c => LakeParquet.typeOf(c.fileType)).toArray, set)
+          cs.map(c => LakeParquet.typeOf(c.fileType)).toArray,
+          new LakeTupleProbe(e.tuples))
       }.toArray
     val eqNone = eqEvals.isEmpty && eqTupleEvals.isEmpty
     def eqDead(src: InternalRow): Boolean = {
@@ -4937,22 +5108,40 @@ case class LakeReaderFactory(tableSchema: StructType,
       }
       var t = 0
       while (t < eqTupleEvals.length) {
-        val (idxs, dts, set) = eqTupleEvals(t)
-        val sb = new java.lang.StringBuilder()
-        var j = 0
-        var ok = true
-        while (j < idxs.length && ok) {
-          if (src.isNullAt(idxs(j))) ok = false // null component: no match
-          else dts(j) match {
-            case IntegerType => sb.append('L').append(src.getInt(idxs(j)).toLong)
-            case LongType => sb.append('L').append(src.getLong(idxs(j)))
-            case _ =>
-              val s = src.getUTF8String(idxs(j)).toString
-              sb.append('S').append(s.length).append(':').append(s)
+        val (idxs, dts, probe) = eqTupleEvals(t)
+        if (probe.allLong) {
+          // primitive path: components land in the probe's reusable
+          // buffer, membership is a stride-k binary search — no boxing
+          var j = 0
+          var ok = true
+          while (j < idxs.length && ok) {
+            if (src.isNullAt(idxs(j))) ok = false // null component: no match
+            else {
+              probe.buf(j) = dts(j) match {
+                case IntegerType => src.getInt(idxs(j)).toLong
+                case _ => src.getLong(idxs(j))
+              }
+              j += 1
+            }
           }
-          j += 1
+          if (ok && probe.containsLongs()) return true
+        } else {
+          val sb = new java.lang.StringBuilder()
+          var j = 0
+          var ok = true
+          while (j < idxs.length && ok) {
+            if (src.isNullAt(idxs(j))) ok = false // null component: no match
+            else dts(j) match {
+              case IntegerType => sb.append('L').append(src.getInt(idxs(j)).toLong)
+              case LongType => sb.append('L').append(src.getLong(idxs(j)))
+              case _ =>
+                val s = src.getUTF8String(idxs(j)).toString
+                sb.append('S').append(s.length).append(':').append(s)
+            }
+            j += 1
+          }
+          if (ok && probe.containsEncoded(sb.toString)) return true
         }
-        if (ok && set.contains(sb.toString)) return true
         t += 1
       }
       false
@@ -5073,12 +5262,11 @@ case class LakeReaderFactory(tableSchema: StructType,
         (decodedPhys.indexOf(c.phys), LakeParquet.typeOf(c.fileType),
           ds.flatMap(_.longs).distinct.sorted.toArray, strs)
       }.toArray
-    val eqTupleEvals: Array[(Array[Int], Array[DataType], java.util.HashSet[String])] =
+    val eqTupleEvals: Array[(Array[Int], Array[DataType], LakeTupleProbe)] =
       eqTupleRecs.map { case (cs, e) =>
-        val set = new java.util.HashSet[String]()
-        e.tuples.foreach(t => set.add(LakeEq.encodeTuple(t)))
         (cs.map(c => decodedPhys.indexOf(c.phys)).toArray,
-          cs.map(c => LakeParquet.typeOf(c.fileType)).toArray, set)
+          cs.map(c => LakeParquet.typeOf(c.fileType)).toArray,
+          new LakeTupleProbe(e.tuples))
       }.toArray
     val eqNone = eqEvals.isEmpty && eqTupleEvals.isEmpty
     val readerOpt =
@@ -5159,23 +5347,42 @@ case class LakeReaderFactory(tableSchema: StructType,
         }
         var t = 0
         while (t < eqTupleEvals.length) {
-          val (idxs, dts, set) = eqTupleEvals(t)
-          val sb = new java.lang.StringBuilder()
-          var j = 0
-          var ok = true
-          while (j < idxs.length && ok) {
-            val kv = inner.column(idxs(j))
-            if (kv.isNullAt(i)) ok = false // null component: no match
-            else dts(j) match {
-              case IntegerType => sb.append('L').append(kv.getInt(i).toLong)
-              case LongType => sb.append('L').append(kv.getLong(i))
-              case _ =>
-                val s = kv.getUTF8String(i).toString
-                sb.append('S').append(s.length).append(':').append(s)
+          val (idxs, dts, probe) = eqTupleEvals(t)
+          if (probe.allLong) {
+            // primitive path for all-long composite keys: no
+            // StringBuilder/String per row in the hot batch loop
+            var j = 0
+            var ok = true
+            while (j < idxs.length && ok) {
+              val kv = inner.column(idxs(j))
+              if (kv.isNullAt(i)) ok = false // null component: no match
+              else {
+                probe.buf(j) = dts(j) match {
+                  case IntegerType => kv.getInt(i).toLong
+                  case _ => kv.getLong(i)
+                }
+                j += 1
+              }
             }
-            j += 1
+            if (ok && probe.containsLongs()) return true
+          } else {
+            val sb = new java.lang.StringBuilder()
+            var j = 0
+            var ok = true
+            while (j < idxs.length && ok) {
+              val kv = inner.column(idxs(j))
+              if (kv.isNullAt(i)) ok = false // null component: no match
+              else dts(j) match {
+                case IntegerType => sb.append('L').append(kv.getInt(i).toLong)
+                case LongType => sb.append('L').append(kv.getLong(i))
+                case _ =>
+                  val s = kv.getUTF8String(i).toString
+                  sb.append('S').append(s.length).append(':').append(s)
+              }
+              j += 1
+            }
+            if (ok && probe.containsEncoded(sb.toString)) return true
           }
-          if (ok && set.contains(sb.toString)) return true
           t += 1
         }
         false
@@ -5424,7 +5631,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           }
           done = LakeLog.commit(dir, cur.version,
             LakeSnapshot(cur.version + 1, cur.schema, base ++ written, txnProps),
-            eqAdd = eqAdd)
+            eqAdd = eqAdd, parentSnap = Some(cur))
           }
         }
       }
@@ -5519,7 +5726,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
                   f.epoch.contains(epochId) && f.query.contains(queryId))
                 LakeLog.commit(dir, cur.version,
                   LakeSnapshot(cur.version + 1, cur.schema, keep ++ written, props2),
-                  eqAdd = eqAdd)
+                  eqAdd = eqAdd, parentSnap = Some(cur))
               }
           }
         }
@@ -5968,7 +6175,8 @@ object LakeProcedures {
           s"concurrent row-level change: delete vector of $p moved since this rewrite's scan")
       }
       done = LakeLog.commit(dir, cur.version,
-        cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written))
+        cur.next(cur.files.filterNot(f => replaced(f.path)) ++ written),
+        parentSnap = Some(cur))
     }
     written
   }
@@ -6595,7 +6803,9 @@ object LakeProcedures {
         * verifies the HEAD snapshot's physical closure: every live
         * entry's data file exists with the recorded size, its delete
         * vector exists, its bloom sidecar exists — O(files) stat
-        * calls, opt-in by design.
+        * calls, opt-in by design, and DISTRIBUTED: one Spark task per
+        * census chunk (the `__files` fold), so a 10⁸-file table's
+        * walk is parallel tasks, not hours of driver syscalls.
         */
       case "health" => new UnboundProcedure {
         override def name(): String = "health"
@@ -6649,17 +6859,37 @@ object LakeProcedures {
               if (!Files.isRegularFile(dir.resolve(e.ref))) missingEq += 1
             }
             if (deep) {
-              headSnap.files.foreach { f =>
-                val p = dir.resolve(f.path)
-                if (!Files.isRegularFile(p)) missingData += 1
-                else if (f.bytes > 0L && Files.size(p) != f.bytes)
-                  sizeMismatch += 1
-                f.dv.foreach { d =>
-                  if (!Files.isRegularFile(dir.resolve(d))) missingDv += 1
-                }
-                if (f.bloomSc.nonEmpty &&
-                    !Files.isRegularFile(dir.resolve(f.path + ".bloom")))
-                  missingBloom += 1
+              // DISTRIBUTED physical-closure walk: one task per census
+              // chunk (checkpoint part / delta) via the same chunk +
+              // kill-set fold the `__files` census scans with. The
+              // driver plans from the O(1) manifest + O(changes)
+              // deltas and sums per-chunk counts — never a per-file
+              // syscall loop. Fallback (pruned delta broke the chunk
+              // fold): the snapshot-fold walk, as before.
+              LakeMetaTables.censusChunks(dir, head) match {
+                case Some((chunks, cpKill)) if chunks.nonEmpty =>
+                  val spark = org.apache.spark.sql.SparkSession.active
+                  val (md, sm, mdv, mb) = spark.sparkContext
+                    .parallelize(chunks, chunks.size)
+                    .map(c => LakeHealth.checkChunk(c, cpKill))
+                    .fold((0, 0, 0, 0)) { (a, b) =>
+                      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4)
+                    }
+                  missingData = md; sizeMismatch = sm
+                  missingDv = mdv; missingBloom = mb
+                case _ =>
+                  headSnap.files.foreach { f =>
+                    val p = dir.resolve(f.path)
+                    if (!Files.isRegularFile(p)) missingData += 1
+                    else if (f.bytes > 0L && Files.size(p) != f.bytes)
+                      sizeMismatch += 1
+                    f.dv.foreach { d =>
+                      if (!Files.isRegularFile(dir.resolve(d))) missingDv += 1
+                    }
+                    if (f.bloomSc.nonEmpty &&
+                        !Files.isRegularFile(dir.resolve(f.path + ".bloom")))
+                      missingBloom += 1
+                  }
               }
             }
             val ok = marker.isEmpty && orphanParts == 0 && staleRefs == 0 &&
@@ -6980,7 +7210,7 @@ object LakeProcedures {
               // the restore must also carry the TARGET's equality-delete
               // set (same log numbering, so scoping transfers verbatim)
               if (LakeLog.commit(dir, cur.version, restored,
-                  eqBase = Some(target.eqdels)))
+                  eqBase = Some(target.eqdels), parentSnap = Some(cur)))
                 committed = restored.version
             }
             out(StructType(Seq(
@@ -7098,7 +7328,8 @@ object LakeProcedures {
                 val props2 = LakePartitioning.evolve(cur.props, next)
                 specId = LakePartitioning.currentSpecId(props2)
                 done = LakeLog.commit(dir, cur.version,
-                  LakeSnapshot(cur.version + 1, cur.schema, cur.files, props2))
+                  LakeSnapshot(cur.version + 1, cur.schema, cur.files, props2),
+                  parentSnap = Some(cur))
               }
             }
             out(StructType(Seq(
@@ -7227,7 +7458,8 @@ class GraftStagedTable(dir: Path, ident: Identifier, stagedSchema: StructType,
         while (!done) {
           val cur = LakeLog.currentSnapshot(dir).get
           done = LakeLog.commit(dir, cur.version,
-            LakeSnapshot(cur.version + 1, stagedSchema, stagedFiles, propsWithIds))
+            LakeSnapshot(cur.version + 1, stagedSchema, stagedFiles, propsWithIds),
+            parentSnap = Some(cur))
         }
     }
   }
@@ -7323,7 +7555,14 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
     * inserts survive), a lost-update anomaly the COW path's
     * scanned-files check already rejects.
     */
-  private[sources] val scanDv: Map[String, Option[String]] =
+  // LAZY: Spark constructs the row-level operation during DELETE
+  // analysis even when OptimizeMetadataOnlyDeleteFromTable later picks
+  // the scan-free equality/metadata path — an eager census
+  // materialization here would charge every keyed DELETE O(table)
+  // checkpoint-part parses for a plan that never runs. Forced only by
+  // an actual MOR delta commit (and the snapshot is immutable, so the
+  // capture point is equivalent).
+  private[sources] lazy val scanDv: Map[String, Option[String]] =
     snapshot.files.map(f => f.path -> f.dv).toMap
 
   override def command(): RowLevelOperation.Command = cmd
@@ -7391,7 +7630,8 @@ class LakeDeltaOperation(dir: Path, snapshot: LakeSnapshot,
                     f.copy(dv = Some(LakeDv.write(dir, merged)), dvRows = merged.length.toLong)
                 }
               }
-              done = LakeLog.commit(dir, cur.version, cur.next(updated ++ inserts))
+              done = LakeLog.commit(dir, cur.version, cur.next(updated ++ inserts),
+                parentSnap = Some(cur))
             }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =

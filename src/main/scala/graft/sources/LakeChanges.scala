@@ -184,36 +184,67 @@ object LakeChanges {
           fileTypes = fileTypesOf(f), eqGuard = eqRefsFor(f, cur.eqdels)))
       case _ => ()
     }
+    // MUTATION versions plan from the DELTA + TARGETED parent lookups:
+    // the delta names every changed path (prev entries resolve through
+    // the checkpoint parts' path blooms), and record transitions
+    // enumerate candidates through `matching` — the same part-range
+    // algebra the scan prunes with. Neither adjacent census
+    // materializes on a parted table. Fallback (delta pruned but the
+    // version still reconstructible from a checkpoint AT v): the full
+    // adjacent-census diff, which derives the identical view — it is
+    // exactly what commit diffed when it wrote the delta.
     val prev =
       if (v == 0L) LakeSnapshot(-1L, StructType(Nil), Seq.empty)
       else LakeLog.snapshotAt(dir, v - 1).getOrElse(throw new IllegalStateException(
         s"graftlake change feed: version ${v - 1} pruned past retention"))
-    val prevByPath = prev.files.map(f => f.path -> f).toMap
-    val curByPath = cur.files.map(f => f.path -> f).toMap
-    val added = cur.files.filter(f => !prevByPath.contains(f.path))
-    val removed = prev.files.filter(f => !curByPath.contains(f.path))
-    if (added.nonEmpty && removed.nonEmpty) {
+    // EQUALITY-DELETE record transitions expand to row-level changes:
+    // records ADDED at v delete the matching live rows of predating
+    // files; records DROPPED with files intact (rollback of an upsert)
+    // resurrect them. Records are value-immutable once committed, so
+    // the delta's add/drop lists (or the case-class set diff) ARE the
+    // transition.
+    val eqPrev = prev.eqdels
+    val eqCur = cur.eqdels
+    val (dAdds, dRemoves, eqAdded, eqDropped) =
+      LakeLog.deltaFeedView(dir, v) match {
+        case Some((as, rs, ea, ed)) =>
+          (as, rs, ea, eqPrev.filter(e => ed.contains(e.seq)))
+        case None =>
+          val pbp = prev.files.map(f => f.path -> f).toMap
+          val cbp = cur.files.map(f => f.path -> f).toMap
+          (cur.files.filter(f => !pbp.get(f.path).contains(f)),
+            prev.files.iterator.filter(f => !cbp.get(f.path).contains(f))
+              .map(_.path).toSet,
+            eqCur.filterNot(eqPrev.contains),
+            eqPrev.filterNot(eqCur.contains))
+      }
+    // delta anatomy: an entry CHANGED in place (a moved delete vector)
+    // rides as remove+add of the same path — genuinely new paths and
+    // genuinely dropped paths are the set differences
+    val addPaths = dAdds.map(_.path).toSet
+    val newFiles = dAdds.filterNot(f => dRemoves.contains(f.path))
+    val changedCur = dAdds.filter(f => dRemoves.contains(f.path))
+    val droppedPaths = (dRemoves -- addPaths).toSeq.sorted
+    if (newFiles.nonEmpty && droppedPaths.nonEmpty) {
       if (skipChangeCommits) return Seq.empty
       throw new UnsupportedOperationException(
         s"graftlake change feed: version $v rewrites files (COW/compaction) — " +
           "its logical change set is not derivable from the log; " +
           "set skipChangeCommits=true to skip such commits")
     }
-    // EQUALITY-DELETE record transitions expand to row-level changes:
-    // records ADDED at v delete the matching live rows of predating
-    // files; records DROPPED with files intact (rollback of an upsert)
-    // resurrect them. Records are value-immutable once committed, so
-    // case-class set diff IS the transition.
-    val eqPrev = prev.eqdels
-    val eqCur = cur.eqdels
-    val eqAdded = eqCur.filterNot(eqPrev.contains)
-    val eqDropped = eqPrev.filterNot(eqCur.contains)
     (eqAdded ++ eqDropped).flatMap(_.keyIds).foreach { id =>
       if (!feedCols.exists(_._2 == id))
         throw new IllegalStateException(
           s"graftlake change feed: version $v transitions an equality-delete " +
             s"record on column id $id, which the current schema no " +
             "longer carries — the change set cannot be resolved")
+    }
+    // targeted prev entries: changed paths need their PREV dv, dropped
+    // paths their final entry — path blooms bound the part parses
+    val needPrev: Set[String] = changedCur.map(_.path).toSet ++ droppedPaths
+    val prevByPath: Map[String, LakeFile] = prev.files match {
+      case pf: LakePartedFiles => pf.entriesFor(needPrev)
+      case fs => fs.iterator.filter(f => needPrev(f.path)).map(f => f.path -> f).toMap
     }
     // Candidate pruning for record-driven partitions: a predating file
     // plans only if the scan's own decision algebra (stats ranges, null
@@ -224,28 +255,38 @@ object LakeChanges {
     // batch's key set), never shipped — refs travel, tasks re-read.
     // key TUPLES per record (arity 1 for single-column records), read
     // once per version on the driver
-    val keyCache = scala.collection.mutable.Map.empty[String, Seq[Seq[Any]]]
-    def keyTuples(r: LakeEqRef): Seq[Seq[Any]] =
-      keyCache.getOrElseUpdate(r.ref, r.kind match {
-        case "long" => LakeEq.readLongs(dir, r.ref).toSeq.map(v => Seq(v: Any))
-        case "string" => LakeEq.readStrs(dir, r.ref).toSeq.map(v => Seq(v: Any))
-        case _ => LakeEq.readTuples(dir, r.ref, r.comps.map(_.kind))
+    // probes + IN predicates are FILE-INDEPENDENT per record: build
+    // them once per (version, record) and reuse across every candidate
+    // file — narrating an equality commit over a large census costs
+    // O(records) constructions, not O(files × batch keys)
+    val keyCache = scala.collection.mutable.Map.empty[
+      String, (Seq[(String, Seq[Any])],
+        Array[org.apache.spark.sql.connector.expressions.filter.Predicate])]
+    def probesPredsOf(r: LakeEqRef): (Seq[(String, Seq[Any])],
+        Array[org.apache.spark.sql.connector.expressions.filter.Predicate]) =
+      keyCache.getOrElseUpdate(r.ref, {
+        val tuples: Seq[Seq[Any]] = r.kind match {
+          case "long" => LakeEq.readLongs(dir, r.ref).toSeq.map(v => Seq(v: Any))
+          case "string" => LakeEq.readStrs(dir, r.ref).toSeq.map(v => Seq(v: Any))
+          case _ => LakeEq.readTuples(dir, r.ref, r.comps.map(_.kind))
+        }
+        // one IN per component, decided as a CONJUNCTION (sound superset
+        // of the tuple set) through the scan's own algebra + blooms
+        val probes: Seq[(String, Seq[Any])] = r.comps.zipWithIndex.map {
+          case (c, j) =>
+            val cn = feedCols.find(_._2 == c.colId).get._1
+            cn -> tuples.map(_(j)).distinct
+        }
+        val preds = probes.map { case (cn, vs) =>
+          new org.apache.spark.sql.connector.expressions.filter.Predicate(
+            "IN", (org.apache.spark.sql.connector.expressions.Expressions.column(cn) +:
+              vs.map(v => org.apache.spark.sql.connector.expressions.Expressions
+                .literal(v): org.apache.spark.sql.connector.expressions.Expression)).toArray)
+        }.toArray
+        (probes, preds)
       })
     def candidate(f: LakeFile, r: LakeEqRef): Boolean = {
-      val tuples = keyTuples(r)
-      // one IN per component, decided as a CONJUNCTION (sound superset
-      // of the tuple set) through the scan's own algebra + blooms
-      val probes: Seq[(String, Seq[Any])] = r.comps.zipWithIndex.map {
-        case (c, j) =>
-          val cn = feedCols.find(_._2 == c.colId).get._1
-          cn -> tuples.map(_(j)).distinct
-      }
-      val preds = probes.map { case (cn, vs) =>
-        new org.apache.spark.sql.connector.expressions.filter.Predicate(
-          "IN", (org.apache.spark.sql.connector.expressions.Expressions.column(cn) +:
-            vs.map(v => org.apache.spark.sql.connector.expressions.Expressions
-              .literal(v): org.apache.spark.sql.connector.expressions.Expression)).toArray)
-      }.toArray
+      val (probes, preds) = probesPredsOf(r)
       val ok = LakeStats.decide(f, preds,
         LakeColIds.physicalName(feedCols, f, _),
         LakePartitioning.resolver(cur.props, f)) != LakeStats.None_ &&
@@ -255,6 +296,15 @@ object LakeChanges {
       else LakeChanges.eqFilesPruned.incrementAndGet()
       ok
     }
+    // part-level candidate PREDS for one RECORD (file-independent):
+    // reuses probesPredsOf's per-ref cache via a shim ref — the preds
+    // construction never reads the phys/fileType components
+    def recordPreds(e: LakeEqDelete)
+        : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+      val comps = (if (e.cols.nonEmpty) e.cols else Seq((e.colId, e.kind)))
+        .map { case (id, k) => LakeEqRefCol(id, k, "", "") }
+      probesPredsOf(LakeEqRef(e.seq, e.ref, e.kind, comps))._2
+    }
     // dv SIDECAR PATHS only — the vectors themselves are read in the
     // TASK ([[LakeChangesReaderFactory]]), so planning stays O(files)
     // driver memory and a million-row DELETE ships bytes-constant
@@ -262,13 +312,13 @@ object LakeChanges {
     // Added files carry the CURRENT records as a guard: a rollback can
     // RESTORE old files into a snapshot whose live records still kill
     // some of their rows — those must not resurface as inserts.
-    val inserts = added.map(f => LakeChangePartition(
+    val inserts = newFiles.map(f => LakeChangePartition(
       dir.toString, f.path, f.rows, renameOf(f), "insert", v,
       dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypesOf(f),
       eqGuard = eqRefsFor(f, eqCur)))
     if (appendOnly) {
-      val changed = removed.nonEmpty || eqAdded.nonEmpty || eqDropped.nonEmpty ||
-        cur.files.exists(f => prevByPath.get(f.path).exists(_.dv != f.dv))
+      val changed = droppedPaths.nonEmpty || eqAdded.nonEmpty || eqDropped.nonEmpty ||
+        changedCur.exists(f => prevByPath.get(f.path).exists(_.dv != f.dv))
       if (changed) {
         if (skipChangeCommits) return Seq.empty
         throw new UnsupportedOperationException(
@@ -278,6 +328,28 @@ object LakeChanges {
       }
       return inserts
     }
+    // Both-sides files a record transition can TOUCH: the records' own
+    // key sets, pushed through `matching`, bound the enumeration to
+    // range-intersecting checkpoint parts — an upsert's narration on a
+    // sorted 10⁸-file table walks O(admitting parts), not the census.
+    // (Per-file stats+bloom pruning still runs via candidate() below;
+    // part-level pruning is a sound superset of it, so the planned set
+    // is unchanged.) Changed paths are handled separately above.
+    val eqCandidates: Seq[LakeFile] =
+      if (eqAdded.isEmpty && eqDropped.isEmpty) Seq.empty
+      else {
+        val seen = scala.collection.mutable.LinkedHashMap.empty[String, LakeFile]
+        (eqAdded ++ eqDropped).foreach { e =>
+          val cand = cur.files match {
+            case pf: LakePartedFiles =>
+              pf.matching(recordPreds(e), cur.schema, cur.props)
+            case fs => fs
+          }
+          cand.foreach(f =>
+            if (!addPaths.contains(f.path)) seen.getOrElseUpdate(f.path, f))
+        }
+        seen.values.toSeq
+      }
     // One FLIP KERNEL for files present on both sides: a row's change
     // is a liveness flip between dead(v-1) = dvPrev ∪ match(prev
     // records) and dead(v) = dvCur ∪ match(cur records). Deletes =
@@ -285,38 +357,39 @@ object LakeChanges {
     // record) ∧ pos ∉ dvPrev ∧ row matches no PREV record. Inserts
     // (resurrections) are the mirror with the roles swapped. dv growth
     // is monotone outside rewrite/rollback commits; the guards make
-    // already-dead rows unnameable in every path.
-    val flips = cur.files.flatMap { f =>
-      prevByPath.get(f.path) match {
-        case Some(pf) if pf.dv != f.dv || eqAdded.nonEmpty || eqDropped.nonEmpty =>
-          val dvGrow = pf.dv != f.dv && f.dvRows >= pf.dvRows
-          val dvShrink = pf.dv != f.dv && f.dvRows < pf.dvRows
-          val addedApp = eqRefsFor(pf, eqAdded).filter(candidate(pf, _))
-          val droppedApp = eqRefsFor(f, eqDropped).filter(candidate(f, _))
-          val del =
-            if (dvGrow || addedApp.nonEmpty)
-              Some(LakeChangePartition(dir.toString, f.path, f.rows,
-                renameOf(f), "delete", v, dv = f.dv, prevDv = pf.dv,
-                emitDiff = true, fileTypes = fileTypesOf(f),
-                eqEmit = addedApp, eqGuard = eqRefsFor(pf, eqPrev)))
-            else None
-          val ins =
-            if (dvShrink || droppedApp.nonEmpty)
-              Some(LakeChangePartition(dir.toString, f.path, f.rows,
-                renameOf(f), "insert", v, dv = pf.dv, prevDv = f.dv,
-                emitDiff = true, fileTypes = fileTypesOf(f),
-                eqEmit = droppedApp, eqGuard = eqRefsFor(f, eqCur)))
-            else None
-          del.toSeq ++ ins
-        case _ => Seq.empty
-      }
+    // already-dead rows unnameable in every path. An UNCHANGED file's
+    // prev entry IS its cur entry — no lookup needed.
+    val flips = (changedCur.map(f => f -> prevByPath.get(f.path)) ++
+        eqCandidates.map(f => f -> Some(f))).flatMap {
+      case (f, Some(pf)) if pf.dv != f.dv || eqAdded.nonEmpty || eqDropped.nonEmpty =>
+        val dvGrow = pf.dv != f.dv && f.dvRows >= pf.dvRows
+        val dvShrink = pf.dv != f.dv && f.dvRows < pf.dvRows
+        val addedApp = eqRefsFor(pf, eqAdded).filter(candidate(pf, _))
+        val droppedApp = eqRefsFor(f, eqDropped).filter(candidate(f, _))
+        val del =
+          if (dvGrow || addedApp.nonEmpty)
+            Some(LakeChangePartition(dir.toString, f.path, f.rows,
+              renameOf(f), "delete", v, dv = f.dv, prevDv = pf.dv,
+              emitDiff = true, fileTypes = fileTypesOf(f),
+              eqEmit = addedApp, eqGuard = eqRefsFor(pf, eqPrev)))
+          else None
+        val ins =
+          if (dvShrink || droppedApp.nonEmpty)
+            Some(LakeChangePartition(dir.toString, f.path, f.rows,
+              renameOf(f), "insert", v, dv = pf.dv, prevDv = f.dv,
+              emitDiff = true, fileTypes = fileTypesOf(f),
+              eqEmit = droppedApp, eqGuard = eqRefsFor(f, eqCur)))
+          else None
+        del.toSeq ++ ins
+      case _ => Seq.empty
     }
     // whole-file deletes emit what was LIVE at v-1: minus the file's
     // own dv AND minus rows older records had already killed
-    val dropDeletes = removed.map(f => LakeChangePartition(
-      dir.toString, f.path, f.rows, renameOf(f), "delete", v,
-      dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypesOf(f),
-      eqGuard = eqRefsFor(f, eqPrev)))
+    val dropDeletes = droppedPaths.flatMap(prevByPath.get).map(f =>
+      LakeChangePartition(
+        dir.toString, f.path, f.rows, renameOf(f), "delete", v,
+        dv = f.dv, prevDv = None, emitDiff = false, fileTypes = fileTypesOf(f),
+        eqGuard = eqRefsFor(f, eqPrev)))
     inserts ++ flips ++ dropDeletes
   }
 }
@@ -539,40 +612,57 @@ case class LakeChangesReaderFactory(
     // (arity 1 for single-column records) load task-side into a set of
     // canonical encodings ([[LakeEq.encodeTuple]]), and each row
     // encodes its key components the same way
-    def evalsOf(refs: Seq[LakeEqRef]): Array[(Array[Int], Array[DataType], java.util.HashSet[String])] =
+    def evalsOf(refs: Seq[LakeEqRef]): Array[(Array[Int], Array[DataType], LakeTupleProbe)] =
       refs.map { r =>
         val tuples: Seq[Seq[Any]] = r.kind match {
           case "long" => LakeEq.readLongs(tdir, r.ref).toSeq.map(v => Seq(v: Any))
           case "string" => LakeEq.readStrs(tdir, r.ref).toSeq.map(v => Seq(v: Any))
           case _ => LakeEq.readTuples(tdir, r.ref, r.comps.map(_.kind))
         }
-        val set = new java.util.HashSet[String]()
-        tuples.foreach(t => set.add(LakeEq.encodeTuple(t)))
         (r.comps.map(c => decodedPhys.indexOf(c.phys)).toArray,
-          r.comps.map(c => LakeParquet.typeOf(c.fileType)).toArray, set)
+          r.comps.map(c => LakeParquet.typeOf(c.fileType)).toArray,
+          new LakeTupleProbe(tuples))
       }.toArray
     val emitEvals = evalsOf(p.eqEmit)
     val guardEvals = evalsOf(p.eqGuard)
     def matches(row: InternalRow,
-        evals: Array[(Array[Int], Array[DataType], java.util.HashSet[String])]): Boolean = {
+        evals: Array[(Array[Int], Array[DataType], LakeTupleProbe)]): Boolean = {
       var i = 0
       while (i < evals.length) {
-        val (idxs, dts, set) = evals(i)
-        val sb = new java.lang.StringBuilder()
-        var j = 0
-        var ok = true
-        while (j < idxs.length && ok) {
-          if (row.isNullAt(idxs(j))) ok = false // SQL IN: null never matches
-          else dts(j) match {
-            case IntegerType => sb.append('L').append(row.getInt(idxs(j)).toLong)
-            case LongType => sb.append('L').append(row.getLong(idxs(j)))
-            case _ =>
-              val s = row.getUTF8String(idxs(j)).toString
-              sb.append('S').append(s.length).append(':').append(s)
+        val (idxs, dts, probe) = evals(i)
+        if (probe.allLong) {
+          // primitive membership for all-long keys (single-column longs
+          // included) — no per-row String in the feed's row loop
+          var j = 0
+          var ok = true
+          while (j < idxs.length && ok) {
+            if (row.isNullAt(idxs(j))) ok = false // SQL IN: null never matches
+            else {
+              probe.buf(j) = dts(j) match {
+                case IntegerType => row.getInt(idxs(j)).toLong
+                case _ => row.getLong(idxs(j))
+              }
+              j += 1
+            }
           }
-          j += 1
+          if (ok && probe.containsLongs()) return true
+        } else {
+          val sb = new java.lang.StringBuilder()
+          var j = 0
+          var ok = true
+          while (j < idxs.length && ok) {
+            if (row.isNullAt(idxs(j))) ok = false // SQL IN: null never matches
+            else dts(j) match {
+              case IntegerType => sb.append('L').append(row.getInt(idxs(j)).toLong)
+              case LongType => sb.append('L').append(row.getLong(idxs(j)))
+              case _ =>
+                val s = row.getUTF8String(idxs(j)).toString
+                sb.append('S').append(s.length).append(':').append(s)
+            }
+            j += 1
+          }
+          if (ok && probe.containsEncoded(sb.toString)) return true
         }
-        if (ok && set.contains(sb.toString)) return true
         i += 1
       }
       false

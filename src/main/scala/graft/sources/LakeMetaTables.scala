@@ -285,6 +285,53 @@ object LakeMetaTables {
       }
     }, s"graftlake.$baseName:parts")
 
+  /** Plan version `head`'s census as distributed LOG CHUNKS — one per
+    * checkpoint PART plus one per later delta, each delta carrying its
+    * own (small) kill set and the checkpoint-wide kill set returned
+    * separately (it rides once in a reader factory / broadcast, never
+    * per chunk). This is the `__files` fold factored for ANY consumer
+    * that fans census work out as tasks (the distributed files scan,
+    * deep health). Driver cost: O(1) manifest + O(changes) delta
+    * reads; checkpoint payload is never parsed here. None when a
+    * pruned delta inside the fold window breaks the chunk rule —
+    * callers fall back to the snapshot fold, which reports the broken
+    * chain properly.
+    */
+  private[sources] def censusChunks(dir: Path,
+      head: Long): Option[(Seq[LakeFilesChunk], Seq[String])] = {
+    val cp = LakeLog.checkpointBelow(dir, head)
+    val deltaVs = (cp.map(_ + 1L).getOrElse(0L) to head).toSeq
+    if (!deltaVs.forall(v => LakeLog.chunkBytes(dir, "v", v) > 0L)) return None
+    // driver-side: ONLY delta reads. Suffix-union kill sets — an
+    // entry is killed by any LATER chunk touching its path
+    // (remove = gone; re-add = superseded by the later entry).
+    val touched: Seq[(Long, Set[String])] = deltaVs.map { v =>
+      val (adds, removes) = LakeLog.deltaChanges(dir, v)
+      v -> (removes ++ adds.iterator.map(_.path))
+    }
+    val killAfter = scala.collection.mutable.Map.empty[Long, Set[String]]
+    var acc = Set.empty[String]
+    touched.reverse.foreach { case (v, t) =>
+      killAfter(v) = acc // later chunks only
+      acc ++= t
+    }
+    val killAll = acc // kills checkpoint entries
+    val props = LakeLog.deltaProps(dir, head)
+    // one chunk per write-time checkpoint PART (byte-bounded at
+    // checkpoint time): each task parses exactly one part. -1 =
+    // legacy inline checkpoint, one whole-document chunk.
+    val cpParts: Seq[LakeFilesChunk] = cp.toSeq.flatMap { c =>
+      val n = LakeLog.checkpointParts(dir, c) // O(1) manifest read
+      if (n < 0) Seq(LakeFilesChunk(dir.toString, "c", c, -1, Nil, props))
+      else (0 until n).map(p =>
+        LakeFilesChunk(dir.toString, "c", c, p, Nil, props))
+    }
+    val deltaParts: Seq[LakeFilesChunk] = deltaVs.map(v =>
+      LakeFilesChunk(dir.toString, "v", v, 0,
+        killAfter(v).toSeq.sorted, props))
+    Some((cpParts ++ deltaParts, killAll.toSeq.sorted))
+  }
+
   /** One row per LIVE data file of the head snapshot: path, row
     * counts, delete-vector size, partition tuple, streaming origin.
     */
@@ -311,55 +358,29 @@ object LakeMetaTables {
       // a pruned delta inside the fold window means the chunked rule
       // cannot reconstruct the head — fall back to the local path,
       // whose snapshot fold reports the broken chain properly
-      val chunked = deltaVs.forall(v => LakeLog.chunkBytes(dir, "v", v) > 0L)
-      if (logBytes <= localMax || !chunked) new LocalScan {
-        override def readSchema(): StructType = FilesSchema
-        override def rows(): Array[InternalRow] = {
-          val snap = snapFor(dir, baseName, Some(head))
-          snap.files.map(f => fileRow(f, snap.props)).toArray
-        }
-        override def description(): String = s"graftlake.$baseName:files"
-      }: Scan
-      else {
-        // driver-side: ONLY delta reads. Suffix-union kill sets — an
-        // entry is killed by any LATER chunk touching its path
-        // (remove = gone; re-add = superseded by the later entry).
-        val touched: Seq[(Long, Set[String])] = deltaVs.map { v =>
-          val (adds, removes) = LakeLog.deltaChanges(dir, v)
-          v -> (removes ++ adds.iterator.map(_.path))
-        }
-        val killAfter = scala.collection.mutable.Map.empty[Long, Set[String]]
-        var acc = Set.empty[String]
-        touched.reverse.foreach { case (v, t) =>
-          killAfter(v) = acc // later chunks only
-          acc ++= t
-        }
-        val killAll = acc // kills checkpoint entries
-        val props = LakeLog.deltaProps(dir, head)
-        // one chunk per write-time checkpoint PART (byte-bounded at
-        // checkpoint time): each task parses exactly one part. -1 =
-        // legacy inline checkpoint, one whole-document chunk.
-        val cpParts: Seq[InputPartition] = cp.toSeq.flatMap { c =>
-          val n = LakeLog.checkpointParts(dir, c) // O(1) manifest read
-          if (n < 0) Seq(LakeFilesChunk(dir.toString, "c", c, -1, Nil, props))
-          else (0 until n).map(p =>
-            LakeFilesChunk(dir.toString, "c", c, p, Nil, props))
-        }
-        val deltaParts: Seq[InputPartition] = deltaVs.map(v =>
-          LakeFilesChunk(dir.toString, "v", v, 0,
-            killAfter(v).toSeq.sorted, props))
-        new Scan with Batch {
+      val chunks =
+        if (logBytes <= localMax) None else censusChunks(dir, head)
+      chunks match {
+        case None => new LocalScan {
+          override def readSchema(): StructType = FilesSchema
+          override def rows(): Array[InternalRow] = {
+            val snap = snapFor(dir, baseName, Some(head))
+            snap.files.map(f => fileRow(f, snap.props)).toArray
+          }
+          override def description(): String = s"graftlake.$baseName:files"
+        }: Scan
+        case Some((parts, killAll)) => new Scan with Batch {
           override def readSchema(): StructType = FilesSchema
           override def description(): String =
-            s"graftlake.$baseName:files distributed chunks=${cpParts.size + deltaParts.size}"
+            s"graftlake.$baseName:files distributed chunks=${parts.size}"
           override def toBatch: Batch = this
           override def planInputPartitions(): Array[InputPartition] =
-            (cpParts ++ deltaParts).toArray
+            parts.map(p => p: InputPartition).toArray
           // the checkpoint-wide kill set rides in the FACTORY —
           // serialized once into the (broadcast) task binary, not
           // O(changes) bytes per checkpoint shard
           override def createReaderFactory(): PartitionReaderFactory =
-            LakeFilesCensusReaderFactory(killAll.toSeq.sorted)
+            LakeFilesCensusReaderFactory(killAll)
         }: Scan
       }
     }
@@ -527,6 +548,56 @@ case class LakeRowGroupsReaderFactory() extends PartitionReaderFactory {
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
+  }
+}
+
+/** Task-side DEEP-HEALTH probe over the distributed census chunks
+  * ([[LakeMetaTables.censusChunks]]): each task parses exactly its own
+  * log chunk (one checkpoint part or one delta), applies the survivor
+  * kill rule, and stats every LIVE entry's physical closure — data
+  * file exists with the recorded size, its delete vector exists, its
+  * bloom sidecar exists. The driver reads only the manifest + deltas
+  * to plan and sums per-chunk counts: at 10⁸ files the existence walk
+  * is |parts| parallel tasks, never hours of driver-side syscalls.
+  */
+object LakeHealth {
+  /** Chunks probed INSIDE a Spark task since process start — the
+    * counter specs pin the fan-out actually happened (local-mode
+    * counters cannot tell driver from executor threads; TaskContext
+    * can).
+    */
+  private[graft] val chunkTasks = new java.util.concurrent.atomic.AtomicLong
+
+  /** (missing data files, size mismatches, missing dvs, missing bloom
+    * sidecars) for the LIVE entries of one chunk.
+    */
+  def checkChunk(c: LakeFilesChunk, cpKill: Seq[String]): (Int, Int, Int, Int) = {
+    if (org.apache.spark.TaskContext.get() != null) chunkTasks.incrementAndGet()
+    val dir = Paths.get(c.dir)
+    val entries = c.kind match {
+      case "c" => LakeLog.checkpointPartEntries(dir, c.version, c.part)
+      case _ => LakeLog.deltaChanges(dir, c.version)._1
+    }
+    val kill = (if (c.kind == "c") cpKill else c.kill).toSet
+    var missingData = 0
+    var sizeMismatch = 0
+    var missingDv = 0
+    var missingBloom = 0
+    entries.foreach { f =>
+      if (!kill(f.path)) {
+        val p = dir.resolve(f.path)
+        if (!java.nio.file.Files.isRegularFile(p)) missingData += 1
+        else if (f.bytes > 0L && java.nio.file.Files.size(p) != f.bytes)
+          sizeMismatch += 1
+        f.dv.foreach { d =>
+          if (!java.nio.file.Files.isRegularFile(dir.resolve(d))) missingDv += 1
+        }
+        if (f.bloomSc.nonEmpty &&
+            !java.nio.file.Files.isRegularFile(dir.resolve(f.path + ".bloom")))
+          missingBloom += 1
+      }
+    }
+    (missingData, sizeMismatch, missingDv, missingBloom)
   }
 }
 

@@ -5516,6 +5516,77 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(v11 == (5000L until 5004L).toSeq)
   }
 
+  test("deep health fans out: one task per census chunk, each part parsed once inside its task") {
+    import spark.implicits._
+    // one entry per part (byte-bound 1) → the v10 checkpoint has one
+    // chunk per partition tuple; two post-cp deltas add two more chunks
+    spark.sql("""CREATE TABLE lake.db.t_healthdist (id BIGINT, p BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '1')""".stripMargin)
+    for (i <- 0 until 12)
+      spark.range(i * 10L, (i + 1) * 10L).select($"id", lit(i.toLong).as("p"))
+        .coalesce(1).writeTo("lake.db.t_healthdist").append()
+    val dir = tableDir("t_healthdist")
+    val nParts = LakeLog.checkpointParts(dir, 10L)
+    assert(nParts >= 10, s"fixture must split per entry: $nParts")
+    LakeLog.clearPartCache()
+    val tasks0 = graft.sources.LakeHealth.chunkTasks.get()
+    val reads0 = LakeLog.checkpointReads.get()
+    val row = spark.sql("CALL lake.system.health('db.t_healthdist', true)").head()
+    assert(row.getBoolean(0), s"clean table probes ok: $row")
+    assert(graft.sources.LakeHealth.chunkTasks.get() - tasks0 == nParts + 2L,
+      "deep health must probe one Spark TASK per checkpoint part + one per delta")
+    assert(LakeLog.checkpointReads.get() - reads0 == nParts.toLong,
+      "each part parses exactly once — inside its own task, never as a driver census")
+    // physical damage in a CHECKPOINTED entry still surfaces through
+    // the chunk walk (survivor rule: the entry is live, its chunk sees it)
+    val victim = LakeLog.currentSnapshot(dir).get.files.head
+    Files.delete(dir.resolve(victim.path))
+    val row2 = spark.sql("CALL lake.system.health('db.t_healthdist', true)").head()
+    assert(!row2.getBoolean(0) && row2.getInt(5) == 1,
+      s"missing data file must surface via the distributed walk: $row2")
+  }
+
+  test("commit fast path: props-only ALTER and eq-only DELETE on a checkpointed table parse ZERO checkpoint parts") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_fastcommit (k BIGINT, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '3000',
+      |'mode' = 'mor', 'upsert_key' = 'k')""".stripMargin)
+    for (i <- 0 until 10) // cp at v10
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select($"id".as("k"), lit(i.toLong).as("p"), ($"id" * 2L).as("v"))
+        .coalesce(1).writeTo("lake.db.t_fastcommit").append()
+    val dir = tableDir("t_fastcommit")
+    val nParts = LakeLog.checkpointParts(dir, 10L)
+    assert(nParts > 1, s"fixture must split the checkpoint: $nParts")
+    // a props-only ALTER is an O(1) logical change: the commit must not
+    // re-read or materialize the parent census (zero part parses, zero
+    // part-cache hits — the LRU must not silently serve what the commit
+    // should never ask for)
+    LakeLog.clearPartCache()
+    val reads0 = LakeLog.checkpointReads.get()
+    val hits0 = LakeLog.checkpointCacheHits.get()
+    spark.sql("ALTER TABLE lake.db.t_fastcommit SET TBLPROPERTIES ('note' = 'x')")
+    assert(LakeLog.checkpointReads.get() == reads0 &&
+      LakeLog.checkpointCacheHits.get() == hits0,
+      "props-only ALTER must commit without touching a checkpoint part")
+    assert(LakeLog.currentVersion(dir).contains(11L))
+    // an eq-only keyed DELETE (one record, zero data reads) is the same
+    // shape: the commit derives record liveness from the parent HEADER
+    // alone — the census stays unparsed end to end
+    val reads1 = LakeLog.checkpointReads.get()
+    val hits1 = LakeLog.checkpointCacheHits.get()
+    spark.sql("DELETE FROM lake.db.t_fastcommit WHERE k IN (5, 17, 905)")
+    assert(LakeLog.checkpointReads.get() == reads1 &&
+      LakeLog.checkpointCacheHits.get() == hits1,
+      "eq-only DELETE must commit without touching a checkpoint part")
+    val snap = LakeLog.currentSnapshot(dir).get
+    assert(snap.version == 12L && snap.eqdels.size == 1 &&
+      snap.eqdels.head.seq == 12L, s"record mis-stamped: ${snap.eqdels}")
+    // correctness unchanged: the record kills exactly the named keys
+    assert(spark.table("lake.db.t_fastcommit").count() == 997L)
+    assert(spark.table("lake.db.t_fastcommit").where($"k" === 905L).count() == 0L)
+  }
+
   test("DDL surface: list/drop; unsupported column types rejected at create") {
     seeded("t_ddl")
     assert(spark.sql("SHOW TABLES IN lake.db").collect()
