@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.NativeExprs
-import graft.plans.{AsOfMergeStrategy, CosineFloatExpr, SimilarityJoinRewrite}
+import graft.plans.{AsOfMergeStrategy, CosineFloatExpr, SimilarityJoinRewrite, UpsertMergeRewrite}
 
 /** SparkSessionExtensions entry point: installs graft's native
   * functions into every session built with these extensions — the
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => SimilarityJoinRewrite())
     // Physical operator for AsOfJoin.asOfMerge's logical node.
     e.injectPlannerStrategy(_ => AsOfMergeStrategy())
+    // Canonical upsert-shaped MERGE on an upsert_key lake table →
+    // scan-free equality-delete append (post-hoc: runs on the analyzed
+    // WriteDelta the built-in MERGE rewrite produced).
+    e.injectPostHocResolutionRule(_ => UpsertMergeRewrite())
   }
 }

@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.RightOuter
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.LakeTable
+
+/** Routes the CANONICAL upsert-shaped SQL `MERGE INTO` on a graftlake
+  * `upsert_key` table through the scan-free EQUALITY-DELETE path.
+  *
+  * The canonical shape — `ON` equates every `upsert_key` component to
+  * a source expression, `WHEN MATCHED THEN UPDATE SET` writes the same
+  * full row the single `WHEN NOT MATCHED THEN INSERT` writes, no extra
+  * clause conditions, no `NOT MATCHED BY SOURCE` — is exactly a keyed
+  * upsert: every source row replaces-or-inserts by key. Spark's
+  * row-level rewrite plans it as a positional MOR delta (source JOIN
+  * target on the key: the 100 TB target is scanned to find match
+  * positions). This rule detects the shape on the ANALYZED plan (the
+  * analyzer's own `RewriteMergeIntoTable` output, so it composes with
+  * star expansion and assignment alignment) and replaces the whole
+  * `WriteDelta` with an APPEND of the projected source under the
+  * `upsert` write contract — one insert batch plus one equality-delete
+  * record, ZERO reads of the target. Anything non-canonical (clause
+  * conditions, partial-column updates, deletes, schema evolution)
+  * falls through to the positional plan unchanged.
+  *
+  * Semantics note: SQL MERGE raises a cardinality error only when one
+  * TARGET row matches several source rows. The scan-free route cannot
+  * see the target, so it is STRICTER: the write fails on ANY duplicate
+  * source key (enforced in the writer via the `merge_unique` write
+  * option) — a duplicate key in an upsert batch is a nondeterministic
+  * last-wins bug the positional plan would mask for unmatched keys.
+  * Deduplicate the source or use a non-canonical MERGE shape.
+  */
+case class UpsertMergeRewrite() extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // only the freshly analyzed command (write not yet built)
+    case wd: WriteDelta if wd.write.isEmpty => rewriteOf(wd).getOrElse(wd)
+    case _ => plan
+  }
+
+  /** Post-hoc runs BEFORE CleanupAliases — instruction expressions may
+    * still be alias-wrapped; match through them.
+    */
+  private def strip(e: Expression): Expression = e match {
+    case a: Alias => strip(a.child)
+    case other => other
+  }
+  private def isTrue(e: Expression): Boolean = strip(e) match {
+    case Literal(true, _) => true
+    case _ => false
+  }
+  private def isNullLit(e: Expression): Boolean = strip(e) match {
+    case Literal(null, _) => true
+    case _ => false
+  }
+
+  private def rewriteOf(wd: WriteDelta): Option[LogicalPlan] = {
+    val rel = wd.table match {
+      case r: DataSourceV2Relation => r
+      case _ => return None
+    }
+    // the row-level rewrite wraps the table in RowLevelOperationTable
+    // (private[sql] — unwrapped through the PlanBridge)
+    val lake = org.apache.spark.sql.graft.PlanBridge
+      .unwrapRowLevelTable(rel.table) match {
+      case t: LakeTable => t
+      case _ => return None
+    }
+    val props = lake.properties()
+    val keyProp = Option(props.get("upsert_key")).getOrElse(return None)
+    val keys = LakeTable.upsertKeyCols(keyProp)
+    val mr = wd.query match {
+      case m: MergeRows => m
+      case _ => return None
+    }
+    if (mr.notMatchedBySourceInstructions.nonEmpty) return None
+    val (left, right, cond) = mr.child match {
+      case Join(l, r, RightOuter, Some(c), _) => (l, r, c)
+      case _ => return None
+    }
+    // the left subtree must be THIS table's row-id scan (it is, by the
+    // analyzer's construction — verified cheaply by table name)
+    val leftIsTarget = left.collectFirst {
+      case r: DataSourceV2Relation if r.table.name() == lake.name() => true
+    }.isDefined
+    if (!leftIsTarget) return None
+    val n = rel.output.size
+    if (mr.output.size != n + 3) return None // [op, data..., _file, _pos]
+    // instruction row shapes: INSERT carries the new data row with a
+    // null row id; DELETE carries the row id with a null data row
+    def insertExprsOf(out: Seq[Expression]): Option[Seq[Expression]] =
+      if (out.size == n + 3 && strip(out.head).isInstanceOf[Literal] &&
+          isNullLit(out(n + 1)) && isNullLit(out(n + 2)))
+        Some(out.slice(1, n + 1).map(strip))
+      else None
+    def deleteShaped(out: Seq[Expression]): Boolean =
+      out.size == n + 3 && strip(out.head).isInstanceOf[Literal] &&
+        out.slice(1, n + 1).forall(isNullLit)
+    val (updVals, insVals) =
+      (mr.matchedInstructions, mr.notMatchedInstructions) match {
+        case (Seq(split), Seq(keep))
+            if isTrue(split.condition) && isTrue(keep.condition) &&
+              split.outputs.size == 2 && keep.outputs.size == 1 =>
+          // the matched UPDATE (as delete+reinsert): one delete-shaped
+          // output, one insert-shaped output, in either order
+          val outs = split.outputs
+          val insOut = outs.find(o => insertExprsOf(o).isDefined && !deleteShaped(o))
+            .getOrElse(return None)
+          if (!outs.filterNot(_ eq insOut).forall(deleteShaped)) return None
+          val u = insertExprsOf(insOut).getOrElse(return None)
+          val i = insertExprsOf(keep.outputs.head).getOrElse(return None)
+          (u, i)
+        case _ => return None
+      }
+    // matched-UPDATE and not-matched-INSERT must write the same row,
+    // deterministically, from the SOURCE side alone
+    if (updVals.size != n || insVals.size != n) return None
+    if (!updVals.zip(insVals).forall { case (a, b) => a.semanticEquals(b) })
+      return None
+    if (insVals.exists(e => !e.deterministic)) return None
+    if (!insVals.forall(_.references.subsetOf(right.outputSet))) return None
+    // ON is a conjunction equating EXACTLY the upsert keys to source
+    // expressions — each key once, nothing else
+    val conjuncts = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => split(a) ++ split(b)
+        case other => Seq(other)
+      }
+      split(cond)
+    }
+    if (conjuncts.size != keys.size) return None
+    val leftOut = left.outputSet
+    val keyToSrc: Map[String, Expression] = conjuncts.map {
+      case EqualTo(a: AttributeReference, b)
+          if leftOut.contains(a) && b.references.subsetOf(right.outputSet) =>
+        a.name -> b
+      case EqualTo(b, a: AttributeReference)
+          if leftOut.contains(a) && b.references.subsetOf(right.outputSet) =>
+        a.name -> b
+      case _ => return None
+    }.toMap
+    if (keyToSrc.size != keys.size || !keys.forall(keyToSrc.contains))
+      return None
+    // the key a source row MATCHES on must be the key it INSERTS —
+    // anything else is not replacement semantics
+    val colNames = rel.output.map(_.name)
+    keys.foreach { k =>
+      val i = colNames.indexOf(k)
+      if (i < 0) return None
+      if (!insVals(i).semanticEquals(keyToSrc(k))) return None
+    }
+    // append the source's projected rows under the upsert contract;
+    // align names/types here (post-hoc runs after output resolution)
+    val projected = Project(
+      rel.output.toSeq.zip(insVals).map { case (out, e) =>
+        val cast = if (e.dataType == out.dataType) e else Cast(e, out.dataType)
+        Alias(cast, out.name)()
+      }, right)
+    // write to the PLAIN table — the rewrite's relation wraps it in a
+    // RowLevelOperationTable whose write builder is the positional one
+    Some(AppendData(rel.copy(table = lake), projected,
+      Map("upsert" -> "true", "merge_unique" -> "true"), isByName = false))
+  }
+}

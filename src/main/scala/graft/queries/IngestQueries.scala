@@ -1889,7 +1889,62 @@ object IngestQueries {
       .orderBy($"k1", $"k2")
   }
 
+  /** q114 — canonical SQL `MERGE INTO` routed through the SCAN-FREE
+    * equality-delete path ([[graft.plans.UpsertMergeRewrite]]): the
+    * q110 last-wins changelog applied as three MERGE statements on an
+    * `upsert_key` table. The canonical matched-UPDATE-all-columns /
+    * not-matched-INSERT shape plans as append + one record per batch —
+    * the query PINS the scan-free route itself from the metadata
+    * tables (exactly 3 commits, zero delete-vector rows, file count
+    * monotone — a positional MERGE would dv or rewrite). Oracle =
+    * q110's relational last-wins replay (newest slice wins, highest
+    * orderkey within a slice).
+    */
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q114").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dst = s"$cat.db.merge_state"
+    spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    val chg = Tables.load(spark, dir, "orders")
+      .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
+        $"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ok".desc)
+    val view = s"q114_src_${cat.takeRight(8)}"
+    for (sl <- 0 until 3) {
+      // each slice pre-deduped last-wins within itself (MERGE requires
+      // unique source keys; so does the scan-free route)
+      chg.filter($"s" === sl.toLong)
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"k", $"cents").createOrReplaceTempView(view)
+      spark.sql(
+        s"""MERGE INTO $dst t USING $view s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.cents = s.cents
+           |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""".stripMargin)
+    }
+    // scan-free pin, from the LOG alone: three MERGE commits, no
+    // positional deletes anywhere, and every commit only ADDED files
+    val hist = spark.table(s"${dst}__history").orderBy($"version")
+      .select($"version", $"n_files").collect()
+    require(hist.last.getLong(0) == 3L,
+      s"q114: expected exactly 3 MERGE commits, got ${hist.last.getLong(0)}")
+    require(hist.map(_.getInt(1)).sliding(2).forall(p => p(0) <= p(1)),
+      "q114: a MERGE removed target files — the scan-free route did not plan")
+    val dvRows = spark.table(s"${dst}__files")
+      .agg(coalesce(sum($"dv_rows"), lit(0L))).head.getLong(0)
+    require(dvRows == 0L,
+      s"q114: $dvRows delete-vector rows — MERGE took the positional path")
+    spark.table(dst).select($"k", $"cents").orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_merge_upsert" -> q114,
     "q110_cdc_upsert" -> q110,
     "q111_cdc_feed" -> q111,
     "q112_upsert_mv" -> q112,
@@ -1981,6 +2036,18 @@ object IngestQueries {
         |  FROM chg)
         |SELECT k, cents AS v_table, cents AS v_replay
         |FROM fin WHERE rn = 1 AND k % 97 <> 0 ORDER BY k""".stripMargin,
+    "q114_merge_upsert" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,
+        |    o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, cents,
+        |    row_number() OVER (PARTITION BY k ORDER BY s DESC, ok DESC) AS rn
+        |  FROM chg)
+        |SELECT k, cents
+        |FROM fin WHERE rn = 1 ORDER BY k""".stripMargin,
     "q110_cdc_upsert" ->
       """WITH chg AS (
         |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,

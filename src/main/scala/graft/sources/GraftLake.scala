@@ -292,7 +292,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val keep = properties.asScala.view
       .filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
         "checkpoint_part_bytes", "checkpoint_interval", "runtime_filter_cols",
-        "target_file_bytes", "upsert_key",
+        "target_file_bytes", "upsert_key", "compact_when_eq_records",
         "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -318,6 +318,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("target_file_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
+    keep.get("compact_when_eq_records").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: compact_when_eq_records must be a positive integer, got '$v'"))
     keep.get("runtime_filter_cols").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).foreach(c =>
         require(schema.fieldNames.contains(c),
@@ -397,7 +400,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     }
     val keep = properties.asScala.view.filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
         "checkpoint_part_bytes", "checkpoint_interval", "runtime_filter_cols",
-        "target_file_bytes", "upsert_key",
+        "target_file_bytes", "upsert_key", "compact_when_eq_records",
         "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -423,6 +426,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("target_file_bytes").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: target_file_bytes must be a positive integer, got '$v'"))
+    keep.get("compact_when_eq_records").foreach(v =>
+      require(v.toLongOption.exists(_ > 0L),
+        s"graftlake: compact_when_eq_records must be a positive integer, got '$v'"))
     keep.get("runtime_filter_cols").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).foreach(c =>
         require(schema.fieldNames.contains(c),
@@ -591,6 +597,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           if (set.property == "target_file_bytes")
             require(set.value.toLongOption.exists(_ > 0L),
               s"graftlake: target_file_bytes must be a positive " +
+                s"integer, got '${set.value}'")
+          if (set.property == "compact_when_eq_records")
+            require(set.value.toLongOption.exists(_ > 0L),
+              s"graftlake: compact_when_eq_records must be a positive " +
                 s"integer, got '${set.value}'")
           if (set.property == "row_group_bytes")
             require(set.value.toLongOption.exists(_ > 0L),
@@ -5482,6 +5492,23 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
     require(mode == Append,
       "graftlake: upsert writes must be plain appends")
     val ms = messages.map(_.asInstanceOf[LakeFileMessage])
+    // `merge_unique` (set by the canonical-MERGE route): the scan-free
+    // plan cannot run SQL MERGE's target-side cardinality check, so it
+    // is STRICTER — any duplicate source key fails the write before
+    // the commit (nothing lands; abort reclaims the files)
+    if (Option(info.options().get("merge_unique")).exists(_.equalsIgnoreCase("true"))) {
+      val keyedRows = ms.map(_.upKeyRows).sum
+      val distinctKeys =
+        if (ucs.length > 1) ms.flatMap(_.upTuples).distinct.length.toLong
+        else ms.flatMap(_.upLongs).distinct.length.toLong +
+          ms.flatMap(_.upStrs).distinct.length.toLong
+      if (keyedRows != distinctKeys)
+        throw new IllegalStateException(
+          s"graftlake: MERGE routed as a keyed upsert found duplicate source " +
+            s"keys ($keyedRows keyed rows, $distinctKeys distinct keys) — " +
+            "deduplicate the source, or use a non-canonical MERGE shape to " +
+            "keep SQL MERGE's positional plan")
+    }
     if (ucs.length > 1) {
       val tuples = ms.flatMap(_.upTuples).distinct.sortBy(LakeEq.encodeTuple)
       if (tuples.isEmpty) Seq.empty
@@ -5793,7 +5820,10 @@ case class LakeFileMessage(files: Seq[LakeFileInfo],
     upStrs: Seq[String] = Seq.empty,
     // COMPOSITE-key form: distinct key TUPLES (Long/String components
     // in upsert_key order) — serializable scalars only, never arrays
-    upTuples: Seq[Seq[Any]] = Seq.empty) extends WriterCommitMessage
+    upTuples: Seq[Seq[Any]] = Seq.empty,
+    // rows written with a fully-non-null key (the `merge_unique`
+    // duplicate-source-key guard: sum(upKeyRows) == distinct keys)
+    upKeyRows: Long = 0L) extends WriterCommitMessage
 
 object LakeWriterFactory {
   def deleteAll(tableDir: String, messages: Array[WriterCommitMessage]): Unit =
@@ -5886,6 +5916,9 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
       private val upLongSet = scala.collection.mutable.Set.empty[Long]
       private val upStrSet = scala.collection.mutable.Set.empty[String]
       private val upTupleSet = scala.collection.mutable.Set.empty[Seq[Any]]
+      // rows with a fully-non-null key — the `merge_unique` guard
+      // compares the global sum against the record's distinct count
+      private var upKeyRows = 0L
       private def upComponent(row: InternalRow, j: Int): Any = {
         val idx = upKeyIdx(j)
         if (collectKeys(j)._2 == "long") writeSchema(idx).dataType match {
@@ -5904,8 +5937,10 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
             case l: Long => upLongSet += l
             case s: String => upStrSet += s
           }
+          upKeyRows += 1L
         } else if (upKeyIdx.length > 1 && upKeyIdx.forall(!row.isNullAt(_))) {
           upTupleSet += upKeyIdx.indices.map(upComponent(row, _))
+          upKeyRows += 1L
         }
         val f = open.getOrElseUpdate(tuple, new OpenFile(tuple))
         var c = 0
@@ -5994,7 +6029,8 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
         open.clear()
         LakeFileMessage(infos, upLongs = upLongSet.toSeq.sorted,
           upStrs = upStrSet.toSeq.sorted,
-          upTuples = upTupleSet.toSeq.sortBy(LakeEq.encodeTuple))
+          upTuples = upTupleSet.toSeq.sortBy(LakeEq.encodeTuple),
+          upKeyRows = upKeyRows)
       }
 
       override def abort(): Unit = {
@@ -6093,7 +6129,7 @@ object LakeProcedures {
 
   val Names: Array[String] =
     Array("compact", "compact_size", "compact_where", "zorder",
-      "zorder_where", "vacuum",
+      "zorder_where", "vacuum", "maintain",
       "history", "evolve_partitioning", "tag", "branch", "publish",
       "drop_ref", "rollback", "clone", "health")
 
@@ -6380,6 +6416,85 @@ object LakeProcedures {
             out(rewriteResultSchema,
               Seq(new GenericInternalRow(Array[Any](
                 snap.files.size, written.size, written.map(_.rows).sum))))
+          }
+        }
+      }
+
+      /** EQUALITY-BACKLOG maintenance policy. `maintain(table)` reads
+        * the `compact_when_eq_records` table property (the operator's
+        * threshold — validated at CREATE/ALTER) and, once the LIVE
+        * equality-delete record count reaches it, RESOLVES the backlog:
+        * it rewrites exactly the files any record predates (reading
+        * them applies dvs + the anti-join, so the rewrites come out
+        * clean and are born at the new version), and the commit's
+        * auto-prune then drops the whole record set — no live file
+        * predates any record anymore, and the next scan plans zero eq
+        * key columns. Below the threshold (or without the property)
+        * the call is a NO-OP, so operators script it after every
+        * ingest cycle and pay the rewrite only when the per-read
+        * anti-join tax would otherwise compound. Files born after
+        * every record keep their paths, stats, and layout untouched.
+        */
+      case "maintain" => new UnboundProcedure {
+        override def name(): String = "maintain"
+        override def description(): String =
+          "maintain(table STRING): resolve the equality-delete backlog once " +
+            "compact_when_eq_records is reached; no-op below the threshold"
+        override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "maintain"
+          override def description(): String = "graftlake equality-backlog maintenance"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = resolve(warehouse, input.getUTF8String(0).toString)
+            val spark = org.apache.spark.sql.SparkSession.active
+            val snap = LakeLog.currentSnapshot(dir).get
+            val resultSchema = StructType(Seq(
+              StructField("triggered", BooleanType, nullable = false),
+              StructField("eq_records", IntegerType, nullable = false),
+              StructField("threshold", LongType, nullable = true),
+              StructField("files_rewritten", IntegerType, nullable = false),
+              StructField("rows_rewritten", LongType, nullable = false)))
+            val threshold = snap.props.get("compact_when_eq_records")
+              .flatMap(_.toLongOption)
+            val records = snap.eqdels.size
+            def row(trig: Boolean, nf: Int, nr: Long) =
+              out(resultSchema, Seq(new GenericInternalRow(Array[Any](
+                trig, records, threshold.map(Long.box).orNull, nf, nr))))
+            if (threshold.isEmpty || records < threshold.get)
+              return row(trig = false, 0, 0L)
+            // every file ANY record predates must be reborn, or the
+            // commit's prune rule keeps the records alive (a live
+            // record implies at least one such file exists)
+            val maxSeq = snap.eqdels.map(_.seq).max
+            val candidateFiles = snap.files.filter(_.seq < maxSeq)
+            if (candidateFiles.isEmpty) return row(trig = true, 0, 0L)
+            val candidates = candidateFiles.map(_.path)
+            val candSet = candidates.toSet
+            val fqn = s"$catName.${input.getUTF8String(0)}"
+            import org.apache.spark.sql.functions.{col => fcol}
+            // scan ONLY the predating files (file-exact IN pruning);
+            // reading them resolves dv + record liveness task-side
+            val base = spark.table(fqn)
+              .where(fcol(LakeTable.FileColumn).isin(candidates: _*))
+            val perFile = math.max(1L, LakeTable.targetFileBytes(snap.props))
+            val bytes = candidateFiles.map(_.bytes).sum
+            val target = math.max(1, math.min(candidates.size,
+              math.ceil(bytes.toDouble / perFile).toInt))
+            val arranged = (snap.props.get("clusterBy"), snap.props.get("sortBy")) match {
+              case (Some(c), Some(s)) =>
+                base.repartition(target, fcol(c)).sortWithinPartitions(fcol(s))
+              case (Some(c), None) => base.repartition(target, fcol(c))
+              case (None, Some(s)) =>
+                base.repartition(target).sortWithinPartitions(fcol(s))
+              case _ => base.repartition(target)
+            }
+            val written = swapRewrite(dir, snap,
+              arranged.queryExecution.toRdd, snap.schema,
+              replacedFiles = Some(candSet),
+              sortedBy = snap.props.get("sortBy").toSeq)
+            row(trig = true, written.size, written.map(_.rows).sum)
           }
         }
       }

@@ -12,4 +12,15 @@ object PlanBridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Unwrap a row-level rewrite's `RowLevelOperationTable` to the
+    * underlying catalog table (the wrapper is `private[sql]` — same
+    * access-qualifier bridge as `ofRows`).
+    */
+  def unwrapRowLevelTable(
+      t: org.apache.spark.sql.connector.catalog.Table)
+      : org.apache.spark.sql.connector.catalog.Table = t match {
+    case r: org.apache.spark.sql.connector.write.RowLevelOperationTable => r.table
+    case other => other
+  }
 }

@@ -5546,6 +5546,196 @@ class GraftLakeSpec extends AnyFunSuite {
       s"missing data file must surface via the distributed walk: $row2")
   }
 
+  test("compact_when_eq_records: maintain() resolves the backlog at the threshold, no-ops below") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_maint (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k', " +
+      "'compact_when_eq_records' = '2')")
+    spark.range(0, 100).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_maint").append() // v1
+    spark.range(0, 10).select($"id".as("k"), ($"id" * 7L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_maint").option("upsert", "true").append() // v2
+    val dir = tableDir("t_maint")
+    // below threshold: a scripted maintain() is a no-op — record stays
+    val r1 = spark.sql("CALL lake.system.maintain('db.t_maint')").head()
+    assert(!r1.getBoolean(0) && r1.getInt(1) == 1 && r1.getLong(2) == 2L,
+      s"below threshold must no-op: $r1")
+    assert(LakeLog.currentSnapshot(dir).get.eqdels.size == 1)
+    spark.range(50, 60).select($"id".as("k"), ($"id" * 9L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_maint").option("upsert", "true").append() // v3
+    // at threshold: the predating files rewrite clean and the commit's
+    // auto-prune drops the WHOLE record set — the next scan plans zero
+    // eq key columns because no live record exists
+    val r2 = spark.sql("CALL lake.system.maintain('db.t_maint')").head()
+    assert(r2.getBoolean(0) && r2.getInt(1) == 2 && r2.getInt(3) >= 1,
+      s"threshold reached must trigger: $r2")
+    val snap = LakeLog.currentSnapshot(dir).get
+    assert(snap.eqdels.isEmpty, s"the backlog must resolve: ${snap.eqdels}")
+    val got = spark.table("lake.db.t_maint").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val want = (0L until 100L).map(k => k ->
+      (if (k < 10) k * 7L else if (k >= 50 && k < 60) k * 9L else k))
+    assert(got == want, s"resolved content:\n$got")
+    // resolved: the next maintain() is a no-op again
+    val r3 = spark.sql("CALL lake.system.maintain('db.t_maint')").head()
+    assert(!r3.getBoolean(0) && r3.getInt(1) == 0)
+    // the threshold property validates like every numeric knob
+    val err = intercept[Exception](spark.sql(
+      "ALTER TABLE lake.db.t_maint SET TBLPROPERTIES ('compact_when_eq_records' = 'x')"))
+    assert(chainMsg(err).contains("compact_when_eq_records"), s"got $err")
+  }
+
+  test("canonical MERGE routes through the equality-delete path: zero target reads, dup keys rejected, non-canonical stays positional") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_merge_up (k BIGINT, seg STRING, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 20).select($"id".as("k"), lit("a").as("seg"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_merge_up").append() // v1
+    spark.range(10, 30).select($"id".as("k"), lit("b").as("seg"), ($"id" * 2L).as("v"))
+      .createOrReplaceTempView("t_merge_src")
+    val dir = tableDir("t_merge_up")
+    val before = filePaths("t_merge_up")
+    // CANONICAL shape: matched-UPDATE writes the same full row the
+    // not-matched-INSERT writes, ON covers exactly the upsert key
+    spark.sql(
+      """MERGE INTO lake.db.t_merge_up t USING t_merge_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.seg = s.seg, t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (s.k, s.seg, s.v)""".stripMargin)
+    val snap = LakeLog.currentSnapshot(dir).get
+    // census-pinned scan-free route: every pre-existing file survives
+    // untouched (no rewrite, no dv), the mutation is ONE eq record
+    assert(snap.version == 2L, "one commit")
+    assert(before.toSet.subsetOf(snap.files.map(_.path).toSet),
+      "no target file replaced — the MERGE never read the target")
+    assert(snap.files.forall(_.dvRows == 0L), "no positional deletes")
+    assert(snap.eqdels.size == 1 && snap.eqdels.head.n == 20L,
+      s"one record over the 20 source keys: ${snap.eqdels}")
+    val got = spark.table("lake.db.t_merge_up").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val want = (0L until 10L).map(k => (k, "a", k)) ++
+      (10L until 30L).map(k => (k, "b", k * 2L))
+    assert(got == want, s"merged state:\n$got")
+    // DUPLICATE source keys: the scan-free route is stricter than SQL
+    // MERGE's cardinality check — it fails the write, nothing lands
+    spark.range(0, 4).select(($"id" % 2L).as("k"), lit("dup").as("seg"), $"id".as("v"))
+      .createOrReplaceTempView("t_merge_dup")
+    val dupErr = intercept[Exception](spark.sql(
+      """MERGE INTO lake.db.t_merge_up t USING t_merge_dup s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.seg = s.seg, t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (s.k, s.seg, s.v)""".stripMargin))
+    assert(chainMsg(dupErr).contains("duplicate source keys"), s"got $dupErr")
+    assert(LakeLog.currentSnapshot(dir).get.version == 2L, "nothing landed")
+    assert(spark.table("lake.db.t_merge_up").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq == want, "state unchanged after the abort")
+    // NON-CANONICAL (clause condition): stays on the positional MOR
+    // plan — correct result, and the commit touches the target (dv)
+    spark.sql(
+      """MERGE INTO lake.db.t_merge_up t USING t_merge_src s ON t.k = s.k
+        |WHEN MATCHED AND s.k < 12 THEN UPDATE SET t.k = s.k, t.seg = 'c', t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (s.k, s.seg, s.v)""".stripMargin)
+    val snap3 = LakeLog.currentSnapshot(dir).get
+    assert(snap3.files.exists(_.dvRows > 0L),
+      "the conditional MERGE must take the positional path (dv deletes)")
+    val got3 = spark.table("lake.db.t_merge_up").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val want3 = want.map { case (k, seg, v) =>
+      if (k >= 10 && k < 12) (k, "c", v) else (k, seg, v) }
+    assert(got3 == want3, s"conditional merge state:\n$got3")
+  }
+
+  test("canonical MERGE on a COMPOSITE upsert key routes scan-free") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_merge_comp (k1 BIGINT, k2 STRING, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k1,k2')")
+    // 12 distinct (id%4, g<id%3>) pairs, one row each
+    val init = (0L until 12L).map(i => (i % 4L, s"g${i % 3L}", i))
+    init.toDF("k1", "k2", "v")
+      .coalesce(1).writeTo("lake.db.t_merge_comp").append()
+    // 6 distinct (id%3, g<id%2>) pairs — all present in the target
+    val srcKeys = (0L until 6L).map(i => (i % 3L, s"g${i % 2L}")).distinct
+    srcKeys.map { case (a, b) => (a, b, 777L) }.toDF("k1", "k2", "v")
+      .createOrReplaceTempView("t_mc_src")
+    val dir = tableDir("t_merge_comp")
+    spark.sql(
+      """MERGE INTO lake.db.t_merge_comp t USING t_mc_src s
+        |ON t.k1 = s.k1 AND t.k2 = s.k2
+        |WHEN MATCHED THEN UPDATE SET t.k1 = s.k1, t.k2 = s.k2, t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k1, k2, v) VALUES (s.k1, s.k2, s.v)""".stripMargin)
+    val snap = LakeLog.currentSnapshot(dir).get
+    assert(snap.eqdels.size == 1 && snap.eqdels.head.kind == "tuple",
+      s"one tuple record: ${snap.eqdels}")
+    assert(snap.files.forall(_.dvRows == 0L), "scan-free: no positional deletes")
+    val got = spark.table("lake.db.t_merge_comp")
+      .as[(Long, String, Long)].collect().toSet
+    val want = init.map { case (k1, k2, v) =>
+      if (srcKeys.contains((k1, k2))) (k1, k2, 777L) else (k1, k2, v)
+    }.toSet
+    assert(got == want, s"composite merged state:\n$got\nvs\n$want")
+  }
+
+  test("feed mutation planning is O(delta): dv transitions and eq expansions parse only admitted checkpoint parts") {
+    import spark.implicits._
+    import graft.sources.{LakeChanges, LakeColIds}
+    // one entry per part, disjoint k ranges per part → path blooms and
+    // column ranges can each pin a mutation to its own part
+    spark.sql("""CREATE TABLE lake.db.t_feedmut (k BIGINT, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p) TBLPROPERTIES ('checkpoint_part_bytes' = '1',
+      |'mode' = 'mor', 'upsert_key' = 'k')""".stripMargin)
+    for (i <- 0 until 10) // cp v10
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select($"id".as("k"), lit(i.toLong).as("p"), $"id".as("v"))
+        .coalesce(1).writeTo("lake.db.t_feedmut").append()
+    val dir = tableDir("t_feedmut")
+    val nParts = LakeLog.checkpointParts(dir, 10L)
+    assert(nParts >= 10, s"fixture must split per entry: $nParts")
+    val snap = LakeLog.currentSnapshot(dir).get
+    val fcols = LakeColIds.cols(snap.schema, snap.props)
+    // v11: a dv transition on ONE file (non-keyed MOR DELETE) — the
+    // narration resolves the changed path's PREV entry through the
+    // parts' path blooms, never the census
+    spark.sql("DELETE FROM lake.db.t_feedmut WHERE v = 250")
+    LakeLog.clearPartCache()
+    val reads0 = LakeLog.checkpointReads.get()
+    val p11 = LakeChanges.partitionsFor(dir, fcols, snap.schema, 11L,
+      skipChangeCommits = false)
+    val parsed11 = LakeLog.checkpointReads.get() - reads0
+    assert(parsed11 <= 2L,
+      s"dv narration must parse only bloom-admitted parts, got $parsed11 of $nParts")
+    assert(p11.size == 1 && p11.head.changeType == "delete" && p11.head.emitDiff,
+      s"one dv-growth delete partition: $p11")
+    // v12: a keyed upsert whose keys live in ONE part's k range — the
+    // eq expansion enumerates candidates via `matching`, so only the
+    // range-intersecting part parses
+    spark.range(500, 505).select($"id".as("k"), lit(5L).as("p"), lit(0L).as("v"))
+      .coalesce(1).writeTo("lake.db.t_feedmut").option("upsert", "true").append()
+    LakeLog.clearPartCache()
+    val reads1 = LakeLog.checkpointReads.get()
+    val planned0 = LakeChanges.eqFilesPlanned.get()
+    val p12 = LakeChanges.partitionsFor(dir, fcols, snap.schema, 12L,
+      skipChangeCommits = false)
+    val parsed12 = LakeLog.checkpointReads.get() - reads1
+    assert(parsed12 <= 2L,
+      s"eq expansion must parse only range-intersecting parts, got $parsed12 of $nParts")
+    assert(LakeChanges.eqFilesPlanned.get() - planned0 == 1L,
+      "exactly the k∈[500,600) file plans the record expansion")
+    assert(p12.exists(q => q.changeType == "delete" && q.eqEmit.nonEmpty) &&
+      p12.exists(q => q.changeType == "insert" && !q.emitDiff),
+      s"upsert narrates pre-image deletes + post-image inserts: $p12")
+    // narrated rows stay exact under the targeted planning
+    val v12 = spark.read.table("lake.db.t_feedmut__changes")
+      .where(col(LakeChanges.VersionColumn) === 12L)
+      .select(col(LakeChanges.TypeColumn), $"k", $"v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(v12 == (500L until 505L).map(k => ("delete", k, k)).toSet ++
+      (500L until 505L).map(k => ("insert", k, 0L)),
+      s"v12 change set: $v12")
+    val v11 = spark.read.table("lake.db.t_feedmut__changes")
+      .where(col(LakeChanges.VersionColumn) === 11L)
+      .select(col(LakeChanges.TypeColumn), $"k", $"v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(v11 == Set(("delete", 250L, 250L)), s"v11 change set: $v11")
+  }
+
   test("commit fast path: props-only ALTER and eq-only DELETE on a checkpointed table parse ZERO checkpoint parts") {
     import spark.implicits._
     spark.sql("""CREATE TABLE lake.db.t_fastcommit (k BIGINT, p BIGINT, v BIGINT)
