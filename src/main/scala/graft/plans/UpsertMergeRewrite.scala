@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.RightOuter
+import org.apache.spark.sql.catalyst.plans.{Inner, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -74,13 +74,20 @@ case class UpsertMergeRewrite() extends Rule[LogicalPlan] {
     val props = lake.properties()
     val keyProp = Option(props.get("upsert_key")).getOrElse(return None)
     val keys = LakeTable.upsertKeyCols(keyProp)
+    // the scan-free routes build their write plans POST-HOC — after
+    // Spark's constraint-injection rules already ran — so an enforced
+    // constraint could never be validated on the appended rows; the
+    // positional plan got its enforcement during analysis, keep it
+    if (lake.constraints().exists(_.enforced())) return None
     val mr = wd.query match {
       case m: MergeRows => m
       case _ => return None
     }
     if (mr.notMatchedBySourceInstructions.nonEmpty) return None
-    val (left, right, cond) = mr.child match {
-      case Join(l, r, RightOuter, Some(c), _) => (l, r, c)
+    // upsert shape analyzes as a RIGHT OUTER join (unmatched source
+    // rows insert); the delete-only shape as an INNER join
+    val (left, right, cond, joinType) = mr.child match {
+      case Join(l, r, jt @ (RightOuter | Inner), Some(c), _) => (l, r, c, jt)
       case _ => return None
     }
     // the left subtree must be THIS table's row-id scan (it is, by the
@@ -101,29 +108,6 @@ case class UpsertMergeRewrite() extends Rule[LogicalPlan] {
     def deleteShaped(out: Seq[Expression]): Boolean =
       out.size == n + 3 && strip(out.head).isInstanceOf[Literal] &&
         out.slice(1, n + 1).forall(isNullLit)
-    val (updVals, insVals) =
-      (mr.matchedInstructions, mr.notMatchedInstructions) match {
-        case (Seq(split), Seq(keep))
-            if isTrue(split.condition) && isTrue(keep.condition) &&
-              split.outputs.size == 2 && keep.outputs.size == 1 =>
-          // the matched UPDATE (as delete+reinsert): one delete-shaped
-          // output, one insert-shaped output, in either order
-          val outs = split.outputs
-          val insOut = outs.find(o => insertExprsOf(o).isDefined && !deleteShaped(o))
-            .getOrElse(return None)
-          if (!outs.filterNot(_ eq insOut).forall(deleteShaped)) return None
-          val u = insertExprsOf(insOut).getOrElse(return None)
-          val i = insertExprsOf(keep.outputs.head).getOrElse(return None)
-          (u, i)
-        case _ => return None
-      }
-    // matched-UPDATE and not-matched-INSERT must write the same row,
-    // deterministically, from the SOURCE side alone
-    if (updVals.size != n || insVals.size != n) return None
-    if (!updVals.zip(insVals).forall { case (a, b) => a.semanticEquals(b) })
-      return None
-    if (insVals.exists(e => !e.deterministic)) return None
-    if (!insVals.forall(_.references.subsetOf(right.outputSet))) return None
     // ON is a conjunction equating EXACTLY the upsert keys to source
     // expressions — each key once, nothing else
     val conjuncts = {
@@ -146,24 +130,109 @@ case class UpsertMergeRewrite() extends Rule[LogicalPlan] {
     }.toMap
     if (keyToSrc.size != keys.size || !keys.forall(keyToSrc.contains))
       return None
-    // the key a source row MATCHES on must be the key it INSERTS —
-    // anything else is not replacement semantics
+    if (keyToSrc.values.exists(e => !e.deterministic)) return None
     val colNames = rel.output.map(_.name)
-    keys.foreach { k =>
-      val i = colNames.indexOf(k)
-      if (i < 0) return None
-      if (!insVals(i).semanticEquals(keyToSrc(k))) return None
-    }
-    // append the source's projected rows under the upsert contract;
-    // align names/types here (post-hoc runs after output resolution)
-    val projected = Project(
-      rel.output.toSeq.zip(insVals).map { case (out, e) =>
+
+    // shared by the upsert and CDC-apply routes: extract + validate
+    // the source-row projection from a matched-UPDATE split and a
+    // not-matched-INSERT keep (update must write the same row the
+    // insert writes, deterministically, from the source alone, with
+    // the matched key re-inserted verbatim), aliased to table columns
+    def sourceRowProjection(split: MergeRows.Instruction,
+        keep: MergeRows.Instruction): Option[Seq[NamedExpression]] = {
+      val outs = split.outputs
+      val insOut = outs.find(o => insertExprsOf(o).isDefined && !deleteShaped(o))
+        .getOrElse(return None)
+      if (!outs.filterNot(_ eq insOut).forall(deleteShaped)) return None
+      val updVals = insertExprsOf(insOut).getOrElse(return None)
+      val insVals = insertExprsOf(keep.outputs.head).getOrElse(return None)
+      if (updVals.size != n || insVals.size != n) return None
+      if (!updVals.zip(insVals).forall { case (a, b) => a.semanticEquals(b) })
+        return None
+      if (insVals.exists(e => !e.deterministic)) return None
+      if (!insVals.forall(_.references.subsetOf(right.outputSet))) return None
+      // the key a source row MATCHES on must be the key it INSERTS —
+      // anything else is not replacement semantics
+      keys.foreach { k =>
+        val i = colNames.indexOf(k)
+        if (i < 0) return None
+        if (!insVals(i).semanticEquals(keyToSrc(k))) return None
+      }
+      Some(rel.output.toSeq.zip(insVals).map { case (out, e) =>
         val cast = if (e.dataType == out.dataType) e else Cast(e, out.dataType)
         Alias(cast, out.name)()
-      }, right)
-    // write to the PLAIN table — the rewrite's relation wraps it in a
-    // RowLevelOperationTable whose write builder is the positional one
-    Some(AppendData(rel.copy(table = lake), projected,
-      Map("upsert" -> "true", "merge_unique" -> "true"), isByName = false))
+      })
+    }
+
+    (mr.matchedInstructions, mr.notMatchedInstructions) match {
+      // DELETE-ONLY (`WHEN MATCHED THEN DELETE`, nothing else): every
+      // target row carrying a source key dies — exactly one equality
+      // record over the source's distinct keys, ZERO target reads and
+      // ZERO data files (the keyed CDC tombstone shape; the literal-IN
+      // `DELETE WHERE` path serves ad-hoc key lists, this serves
+      // data-driven ones of any size)
+      case (Seq(del), Seq())
+          if joinType == Inner && isTrue(del.condition) &&
+            del.outputs.size == 1 && deleteShaped(del.outputs.head) =>
+        // rows reach the writer null-filled outside the key columns
+        // (never stored — the writer is keys-only); a non-nullable
+        // non-key column would still flunk downstream nullability
+        // contracts, so fall back to the positional plan there
+        if (rel.output.exists(a => !a.nullable && !keyToSrc.contains(a.name)))
+          return None
+        val projected = Project(
+          rel.output.toSeq.map { out =>
+            keyToSrc.get(out.name) match {
+              case Some(e) =>
+                val cast = if (e.dataType == out.dataType) e else Cast(e, out.dataType)
+                Alias(cast, out.name)()
+              case None => Alias(Literal(null, out.dataType), out.name)()
+            }
+          }, right)
+        Some(AppendData(rel.copy(table = lake), projected,
+          Map("upsert" -> "true", "merge_unique" -> "true",
+            "delete_only" -> "true"), isByName = false))
+
+      // UPSERT (matched-UPDATE ≡ not-matched-INSERT)
+      case (Seq(split), Seq(keep))
+          if joinType == RightOuter &&
+            isTrue(split.condition) && isTrue(keep.condition) &&
+            split.outputs.size == 2 && keep.outputs.size == 1 =>
+        // append the source's projected rows under the upsert contract;
+        // align names/types here (post-hoc runs after output resolution)
+        val aliases = sourceRowProjection(split, keep).getOrElse(return None)
+        // write to the PLAIN table — the rewrite's relation wraps it in
+        // a RowLevelOperationTable whose write builder is positional
+        Some(AppendData(rel.copy(table = lake), Project(aliases, right),
+          Map("upsert" -> "true", "merge_unique" -> "true"), isByName = false))
+
+      // CDC APPLY (the canonical changelog shape): conditioned
+      // matched-DELETE + unconditioned matched-UPDATE + the insert
+      // gated on the delete condition's NEGATION — every source key
+      // dies, non-tombstone rows re-insert. One atomic commit: data
+      // files for the non-tombstones + one record over ALL keys,
+      // zero target reads ([[o.a.s.sql.graft.LakeCdcApplyCommand]]).
+      case (Seq(del, split), Seq(keep))
+          if joinType == RightOuter &&
+            del.outputs.size == 1 && deleteShaped(del.outputs.head) &&
+            isTrue(split.condition) && split.outputs.size == 2 &&
+            keep.outputs.size == 1 =>
+        val opCond = strip(del.condition)
+        // the op condition must classify rows from the SOURCE alone
+        // (deterministically), and the INSERT gate must be exactly its
+        // negation — `WHEN NOT MATCHED AND NOT (<delete cond>)`
+        if (!opCond.deterministic) return None
+        if (!opCond.references.subsetOf(right.outputSet)) return None
+        if (!strip(keep.condition).semanticEquals(Not(opCond))) return None
+        val aliases = sourceRowProjection(split, keep).getOrElse(return None)
+        val flagged = Project(
+          aliases :+ Alias(opCond,
+            org.apache.spark.sql.graft.LakeCdcApplyCommand.TombstoneCol)(),
+          right)
+        Some(org.apache.spark.sql.graft.LakeCdcApplyCommand(
+          lake.location.toString, flagged))
+
+      case _ => None
+    }
   }
 }

@@ -1943,7 +1943,124 @@ object IngestQueries {
     spark.table(dst).select($"k", $"cents").orderBy($"k")
   }
 
+  /** q115 — delete-only SQL `MERGE INTO` (`WHEN MATCHED THEN DELETE`)
+    * routed SCAN-FREE ([[graft.plans.UpsertMergeRewrite]]'s tombstone
+    * shape): seed by append, upsert a second slice via canonical
+    * MERGE, then delete every key ≡ 0 (mod 7) from a data-driven
+    * source — the delete commit lands ONE equality record, zero data
+    * files, zero target reads (pinned from the log: the file census
+    * is IDENTICAL across the delete version, no dv rows anywhere).
+    * The literal-IN `DELETE WHERE` path serves ad-hoc key lists; this
+    * serves arbitrarily large data-driven tombstone batches. Oracle =
+    * slice-1-over-slice-0 last-wins minus the deleted keys.
+    */
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q115").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dst = s"$cat.db.tomb_state"
+    spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    val chg = Tables.load(spark, dir, "orders")
+      .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
+        $"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ok".desc)
+    def slice(sl: Long) = chg.filter($"s" === sl)
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"k", $"cents")
+    slice(0L).writeTo(dst).append() // v1: seed
+    val upView = s"q115_up_${cat.takeRight(8)}"
+    slice(1L).createOrReplaceTempView(upView)
+    spark.sql( // v2: canonical upsert MERGE
+      s"""MERGE INTO $dst t USING $upView s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.cents = s.cents
+         |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""".stripMargin)
+    val delView = s"q115_del_${cat.takeRight(8)}"
+    chg.filter($"k" % 7L === 0L).select($"k").distinct()
+      .createOrReplaceTempView(delView)
+    spark.sql( // v3: data-driven tombstones, scan-free
+      s"""MERGE INTO $dst t USING $delView s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    // the log pins the route: v3 changed NO data file (identical
+    // census before/after the delete) and nothing ever dv'd
+    val hist = spark.table(s"${dst}__history").orderBy($"version")
+      .select($"version", $"n_files").collect()
+    require(hist.last.getLong(0) == 3L,
+      s"q115: expected 3 commits, got ${hist.last.getLong(0)}")
+    val nFilesByVersion = hist.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    require(nFilesByVersion(3L) == nFilesByVersion(2L),
+      "q115: the delete-only MERGE touched data files — it did not route scan-free")
+    val dvRows = spark.table(s"${dst}__files")
+      .agg(coalesce(sum($"dv_rows"), lit(0L))).head.getLong(0)
+    require(dvRows == 0L,
+      s"q115: $dvRows delete-vector rows — a MERGE took the positional path")
+    spark.table(dst).select($"k", $"cents").orderBy($"k")
+  }
+
+  /** q116 — the canonical CDC-APPLY `MERGE` (conditioned DELETE +
+    * unconditioned UPDATE + negation-gated INSERT) as ONE atomic
+    * scan-free commit ([[org.apache.spark.sql.graft.LakeCdcApplyCommand]]):
+    * a Debezium-style changelog batch carrying both upserts and
+    * tombstones lands as data files for the non-tombstones plus a
+    * single equality record over every batch key — zero target reads,
+    * and readers never observe the deletes without their upserts
+    * (the two-statement split this replaces commits twice). Pinned
+    * from the log: exactly one commit for the batch, no pre-existing
+    * file removed, zero dv rows. Oracle: slice-1-over-slice-0
+    * last-wins where a slice-1 winner with key ≡ 0 (mod 5) is a
+    * tombstone.
+    */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q116").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dst = s"$cat.db.cdc_state"
+    spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    val chg = Tables.load(spark, dir, "orders")
+      .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
+        $"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ok".desc)
+    def slice(sl: Long) = chg.filter($"s" === sl)
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"k", $"cents")
+    slice(0L).writeTo(dst).append() // v1: seed
+    val cdcView = s"q116_cdc_${cat.takeRight(8)}"
+    slice(1L) // the CDC batch: every 5th key a tombstone, rest upserts
+      .withColumn("op", when($"k" % 5L === 0L, lit("D")).otherwise(lit("U")))
+      .createOrReplaceTempView(cdcView)
+    spark.sql( // v2: ONE atomic scan-free commit for the whole batch
+      s"""MERGE INTO $dst t USING $cdcView s ON t.k = s.k
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.cents = s.cents
+         |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN
+         |  INSERT (k, cents) VALUES (s.k, s.cents)""".stripMargin)
+    val hist = spark.table(s"${dst}__history").orderBy($"version")
+      .select($"version", $"n_files").collect()
+    require(hist.last.getLong(0) == 2L,
+      s"q116: the CDC batch must land in ONE commit, got ${hist.last.getLong(0)}")
+    require(hist.map(_.getInt(1)).sliding(2).forall(p => p(0) <= p(1)),
+      "q116: the CDC apply removed target files — it did not route scan-free")
+    val dvRows = spark.table(s"${dst}__files")
+      .agg(coalesce(sum($"dv_rows"), lit(0L))).head.getLong(0)
+    require(dvRows == 0L,
+      s"q116: $dvRows delete-vector rows — the MERGE took the positional path")
+    spark.table(dst).select($"k", $"cents").orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_cdc_apply" -> q116,
+    "q115_merge_tombstone" -> q115,
     "q114_merge_upsert" -> q114,
     "q110_cdc_upsert" -> q110,
     "q111_cdc_feed" -> q111,
@@ -2036,6 +2153,31 @@ object IngestQueries {
         |  FROM chg)
         |SELECT k, cents AS v_table, cents AS v_replay
         |FROM fin WHERE rn = 1 AND k % 97 <> 0 ORDER BY k""".stripMargin,
+    "q116_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,
+        |    o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, cents, s,
+        |    row_number() OVER (PARTITION BY k ORDER BY s DESC, ok DESC) AS rn
+        |  FROM chg WHERE s <= 1),
+        |sel AS (SELECT k, cents, s FROM fin WHERE rn = 1)
+        |SELECT k, cents
+        |FROM sel WHERE NOT (s = 1 AND k % 5 = 0) ORDER BY k""".stripMargin,
+    "q115_merge_tombstone" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,
+        |    o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, cents,
+        |    row_number() OVER (PARTITION BY k ORDER BY s DESC, ok DESC) AS rn
+        |  FROM chg WHERE s <= 1)
+        |SELECT k, cents
+        |FROM fin WHERE rn = 1 AND k % 7 <> 0 ORDER BY k""".stripMargin,
     "q114_merge_upsert" ->
       """WITH chg AS (
         |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,

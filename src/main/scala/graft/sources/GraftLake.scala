@@ -293,6 +293,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       .filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
         "checkpoint_part_bytes", "checkpoint_interval", "runtime_filter_cols",
         "target_file_bytes", "upsert_key", "compact_when_eq_records",
+        "compact_when_dv_pct",
         "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -321,6 +322,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("compact_when_eq_records").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: compact_when_eq_records must be a positive integer, got '$v'"))
+    keep.get("compact_when_dv_pct").foreach(v =>
+      require(v.toLongOption.exists(p => p >= 1L && p <= 100L),
+        s"graftlake: compact_when_dv_pct must be a percentage in 1..100, got '$v'"))
     keep.get("runtime_filter_cols").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).foreach(c =>
         require(schema.fieldNames.contains(c),
@@ -401,6 +405,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val keep = properties.asScala.view.filterKeys(k => Set("clusterBy", "sortBy", "bloomBy", "bloom_inline", "mode",
         "checkpoint_part_bytes", "checkpoint_interval", "runtime_filter_cols",
         "target_file_bytes", "upsert_key", "compact_when_eq_records",
+        "compact_when_dv_pct",
         "compression", "row_group_bytes").contains(k) ||
         k.startsWith(LakeConstraints.Prefix)).toMap
     (Seq("clusterBy", "sortBy").flatMap(keep.get) ++
@@ -429,6 +434,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     keep.get("compact_when_eq_records").foreach(v =>
       require(v.toLongOption.exists(_ > 0L),
         s"graftlake: compact_when_eq_records must be a positive integer, got '$v'"))
+    keep.get("compact_when_dv_pct").foreach(v =>
+      require(v.toLongOption.exists(p => p >= 1L && p <= 100L),
+        s"graftlake: compact_when_dv_pct must be a percentage in 1..100, got '$v'"))
     keep.get("runtime_filter_cols").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).foreach(c =>
         require(schema.fieldNames.contains(c),
@@ -602,6 +610,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             require(set.value.toLongOption.exists(_ > 0L),
               s"graftlake: compact_when_eq_records must be a positive " +
                 s"integer, got '${set.value}'")
+          if (set.property == "compact_when_dv_pct")
+            require(set.value.toLongOption.exists(p => p >= 1L && p <= 100L),
+              s"graftlake: compact_when_dv_pct must be a percentage " +
+                s"in 1..100, got '${set.value}'")
           if (set.property == "row_group_bytes")
             require(set.value.toLongOption.exists(_ > 0L),
               s"graftlake: row_group_bytes must be a positive " +
@@ -935,6 +947,52 @@ case class LakeEqDelete(seq: Long, colId: Long, ref: String, n: Long,
 
 /** Equality-delete sidecar IO (dv-style binary files under data/). */
 object LakeEq {
+
+  /** The equality-delete record of ONE keyed write batch: the distinct
+    * keys across the batch's [[LakeFileMessage]]s, sidecar written here
+    * (exactly once, before any commit retry loop). `ucs` = (name,
+    * stable col id, long|string) per `upsert_key` component. With
+    * `uniqueGuard` (the canonical-MERGE routes) any duplicate source
+    * key fails the write BEFORE the commit — the scan-free plan cannot
+    * run SQL MERGE's target-side cardinality check, so it is stricter.
+    */
+  def recordOf(tableDir: Path, ucs: Seq[(String, Long, String)],
+      ms: Array[LakeFileMessage], uniqueGuard: Boolean): Seq[LakeEqDelete] = {
+    if (uniqueGuard) {
+      val keyedRows = ms.map(_.upKeyRows).sum
+      val distinctKeys =
+        if (ucs.length > 1) ms.flatMap(_.upTuples).distinct.length.toLong
+        else ms.flatMap(_.upLongs).distinct.length.toLong +
+          ms.flatMap(_.upStrs).distinct.length.toLong
+      if (keyedRows != distinctKeys)
+        throw new IllegalStateException(
+          s"graftlake: MERGE routed as a keyed upsert found duplicate source " +
+            s"keys ($keyedRows keyed rows, $distinctKeys distinct keys) — " +
+            "deduplicate the source, or use a non-canonical MERGE shape to " +
+            "keep SQL MERGE's positional plan")
+    }
+    if (ucs.length > 1) {
+      val tuples = ms.flatMap(_.upTuples).distinct.sortBy(LakeEq.encodeTuple)
+      if (tuples.isEmpty) Seq.empty
+      else Seq(LakeEqDelete(0L, ucs.head._2,
+        LakeEq.writeTuples(tableDir, tuples, ucs.map(_._3)),
+        tuples.length.toLong, "tuple", cols = ucs.map(c => (c._2, c._3))))
+    } else {
+      val (_, id, kind) = ucs.head
+      if (kind == "long") {
+        val vals = ms.flatMap(_.upLongs).distinct.sorted
+        if (vals.isEmpty) Seq.empty
+        else Seq(LakeEqDelete(0L, id,
+          LakeEq.writeLongs(tableDir, vals), vals.length.toLong, kind))
+      } else {
+        val vals = ms.flatMap(_.upStrs).distinct.sorted
+        if (vals.isEmpty) Seq.empty
+        else Seq(LakeEqDelete(0L, id,
+          LakeEq.writeStrs(tableDir, vals), vals.length.toLong, kind))
+      }
+    }
+  }
+
   def writeLongs(tableDir: Path, vals: Array[Long]): String = {
     val rel = s"data/eq-${java.util.UUID.randomUUID().toString.replace("-", "")}.bin"
     val bb = java.nio.ByteBuffer.allocate(4 + 8 * vals.length)
@@ -3011,6 +3069,28 @@ object LakeTable {
   def upsertKeyCols(prop: String): Seq[String] =
     prop.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** The `upsert_key` components resolved against a schema:
+    * (column name, stable col id, long|string) per component — the
+    * shape every keyed write path (upsert option, canonical MERGE,
+    * CDC apply) feeds to key collection and record construction.
+    */
+  def keyedColumns(schema: StructType,
+      props: Map[String, String]): Seq[(String, Long, String)] =
+    props.get("upsert_key").map { key =>
+      upsertKeyCols(key).map { k =>
+        val id = LakeColIds.cols(schema, props).find(_._1 == k).map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graftlake: upsert_key column '$k' not in the table schema"))
+        val kind = schema(k).dataType match {
+          case LongType | IntegerType => "long"
+          case StringType => "string"
+          case dt => throw new IllegalArgumentException(
+            s"graftlake: upsert_key must be integral or string, got ${dt.simpleString}")
+        }
+        (k, id, kind)
+      }
+    }.getOrElse(Seq.empty)
+
   /** `bloom_inline=true` keeps bloom bitsets base64-INSIDE log entries
     * (zero probe-time IO — right for small tables); the default is a
     * binary SIDECAR per data file, loaded lazily at probe time, so a
@@ -3074,6 +3154,11 @@ class LakeTable(dir: Path, snapshot: LakeSnapshot, pinnedVersion: Option[Long])
 
   override def name(): String =
     s"graftlake.${dir.getFileName}" + pinnedVersion.map(v => s"@v$v").getOrElse("")
+  /** Table location on the lake filesystem (the CDC-apply command and
+    * other plan-level rewrites need it to run the connector's own
+    * task-side writers outside a V2 write plan).
+    */
+  def location: Path = dir
   override def schema(): StructType = snapshot.schema
   // ENFORCED checks reported here are injected into every write plan
   // by Spark's own analyzer (ResolveTableConstraints) — the format
@@ -5460,24 +5545,20 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
     * path; the positional MOR MERGE still serves ad-hoc mutations).
     * Returns (column name, stable col id, long|string).
     */
+  /** KEYS-ONLY write (the scan-free MERGE-delete route): the source's
+    * key values commit as ONE equality-delete record and the batch
+    * writes no data files at all.
+    */
+  private def deleteOnly: Boolean =
+    Option(info.options().get("delete_only")).exists(_.equalsIgnoreCase("true"))
+
   private def upsertCols: Seq[(String, Long, String)] = {
     val on = Option(info.options().get("upsert")).exists(_.equalsIgnoreCase("true"))
     if (!on) Seq.empty
     else {
-      val key = props.getOrElse("upsert_key", throw new IllegalArgumentException(
-        "graftlake: an upsert write needs the table property upsert_key"))
-      LakeTable.upsertKeyCols(key).map { k =>
-        val id = LakeColIds.cols(tableSchema, props).find(_._1 == k).map(_._2)
-          .getOrElse(throw new IllegalArgumentException(
-            s"graftlake: upsert_key column '$k' not in the table schema"))
-        val kind = tableSchema(k).dataType match {
-          case LongType | IntegerType => "long"
-          case StringType => "string"
-          case dt => throw new IllegalArgumentException(
-            s"graftlake: upsert_key must be integral or string, got ${dt.simpleString}")
-        }
-        (k, id, kind)
-      }
+      require(props.contains("upsert_key"),
+        "graftlake: an upsert write needs the table property upsert_key")
+      LakeTable.keyedColumns(tableSchema, props)
     }
   }
 
@@ -5491,44 +5572,9 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
     if (ucs.isEmpty) return Seq.empty
     require(mode == Append,
       "graftlake: upsert writes must be plain appends")
-    val ms = messages.map(_.asInstanceOf[LakeFileMessage])
-    // `merge_unique` (set by the canonical-MERGE route): the scan-free
-    // plan cannot run SQL MERGE's target-side cardinality check, so it
-    // is STRICTER — any duplicate source key fails the write before
-    // the commit (nothing lands; abort reclaims the files)
-    if (Option(info.options().get("merge_unique")).exists(_.equalsIgnoreCase("true"))) {
-      val keyedRows = ms.map(_.upKeyRows).sum
-      val distinctKeys =
-        if (ucs.length > 1) ms.flatMap(_.upTuples).distinct.length.toLong
-        else ms.flatMap(_.upLongs).distinct.length.toLong +
-          ms.flatMap(_.upStrs).distinct.length.toLong
-      if (keyedRows != distinctKeys)
-        throw new IllegalStateException(
-          s"graftlake: MERGE routed as a keyed upsert found duplicate source " +
-            s"keys ($keyedRows keyed rows, $distinctKeys distinct keys) — " +
-            "deduplicate the source, or use a non-canonical MERGE shape to " +
-            "keep SQL MERGE's positional plan")
-    }
-    if (ucs.length > 1) {
-      val tuples = ms.flatMap(_.upTuples).distinct.sortBy(LakeEq.encodeTuple)
-      if (tuples.isEmpty) Seq.empty
-      else Seq(LakeEqDelete(0L, ucs.head._2,
-        LakeEq.writeTuples(dir, tuples, ucs.map(_._3)),
-        tuples.length.toLong, "tuple", cols = ucs.map(c => (c._2, c._3))))
-    } else {
-      val (_, id, kind) = ucs.head
-      if (kind == "long") {
-        val vals = ms.flatMap(_.upLongs).distinct.sorted
-        if (vals.isEmpty) Seq.empty
-        else Seq(LakeEqDelete(0L, id,
-          LakeEq.writeLongs(dir, vals), vals.length.toLong, kind))
-      } else {
-        val vals = ms.flatMap(_.upStrs).distinct.sorted
-        if (vals.isEmpty) Seq.empty
-        else Seq(LakeEqDelete(0L, id,
-          LakeEq.writeStrs(dir, vals), vals.length.toLong, kind))
-      }
-    }
+    LakeEq.recordOf(dir, ucs, messages.map(_.asInstanceOf[LakeFileMessage]),
+      uniqueGuard =
+        Option(info.options().get("merge_unique")).exists(_.equalsIgnoreCase("true")))
   }
 
   override def truncate(): WriteBuilder = { mode = Truncate; this }
@@ -5568,6 +5614,7 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
     override def requiredDistribution(): Distribution = {
+      if (deleteOnly) return Distributions.unspecified() // no files: no layout
       val partCols = LakePartitioning.decode(props).map(_.col)
       val cluster = (partCols ++ props.get("clusterBy")).distinct
       if (cluster.isEmpty) Distributions.unspecified()
@@ -5575,7 +5622,8 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
         cluster.map(c => Expressions.identity(c): VExpression).toArray)
     }
     override def requiredOrdering(): Array[SortOrder] =
-      props.get("sortBy")
+      if (deleteOnly) Array.empty
+      else props.get("sortBy")
         .map(c => Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
         .getOrElse(Array.empty)
     override def advisoryPartitionSizeInBytes(): Long =
@@ -5589,8 +5637,15 @@ class LakeWriteBuilder(dir: Path, tableSchema: StructType, info: LogicalWriteInf
           bloomInline = LakeTable.bloomInline(props),
           codec = LakeTable.codecOf(props),
           rowGroupBytes = LakeTable.rowGroupBytes(props),
-          collectKeys = upsertCols.map(c => (c._1, c._3)))
+          collectKeys = upsertCols.map(c => (c._1, c._3)),
+          keysOnly = deleteOnly)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        if (deleteOnly) {
+          require(upsertCols.nonEmpty,
+            "graftlake: a delete_only write needs the upsert contract")
+          require(messages.forall(_.asInstanceOf[LakeFileMessage].files.isEmpty),
+            "graftlake: a delete_only write must produce no data files")
+        }
         val eqAdd = upsertRecord(messages)
         val written = messages.map(_.asInstanceOf[LakeFileMessage])
           .flatMap(_.files)
@@ -5866,7 +5921,16 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
     // batch's distinct key values (tuples when composite) for an UPSERT
     // write's equality-delete record — per-task memory bounded by the
     // batch's distinct keys (a CDC micro-batch), never by the table
-    collectKeys: Seq[(String, String)] = Seq.empty) extends DataWriterFactory {
+    collectKeys: Seq[(String, String)] = Seq.empty,
+    // KEYS-ONLY mode (the scan-free MERGE-delete route): collect the
+    // key sets exactly as above but write NO data files — the commit
+    // lands one equality-delete record and nothing else
+    keysOnly: Boolean = false,
+    // CDC-APPLY mode: name of a BOOLEAN column in writeSchema marking
+    // tombstone rows — their keys join the record (they must die) but
+    // the rows never reach a data file; a NULL mark fails the write
+    // (an op code the route's conditions cannot classify)
+    tombstoneCol: Option[String] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -5913,6 +5977,8 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
       private val open = scala.collection.mutable.LinkedHashMap[Seq[Option[String]], OpenFile]()
       private val upKeyIdx: Array[Int] =
         collectKeys.map(c => writeSchema.fieldIndex(c._1)).toArray
+      private val tombIdx: Int =
+        tombstoneCol.map(writeSchema.fieldIndex).getOrElse(-1)
       private val upLongSet = scala.collection.mutable.Set.empty[Long]
       private val upStrSet = scala.collection.mutable.Set.empty[String]
       private val upTupleSet = scala.collection.mutable.Set.empty[Seq[Any]]
@@ -5929,7 +5995,6 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
       }
 
       override def write(row: InternalRow): Unit = {
-        val tuple = if (evalTuple == null) noTuple else evalTuple(row)
         // a NULL key component never matches an IN/anti-join — the row
         // still inserts, it just cannot replace anything (SQL IN rules)
         if (upKeyIdx.length == 1 && !row.isNullAt(upKeyIdx(0))) {
@@ -5942,6 +6007,15 @@ case class LakeWriterFactory(tableDir: String, writeSchema: StructType,
           upTupleSet += upKeyIdx.indices.map(upComponent(row, _))
           upKeyRows += 1L
         }
+        if (keysOnly) return
+        if (tombIdx >= 0) {
+          if (row.isNullAt(tombIdx)) throw new IllegalStateException(
+            "graftlake: CDC-apply MERGE met a NULL op mark — the routed " +
+              "clause conditions cannot classify the row; clean the op " +
+              "column or use a non-canonical MERGE shape")
+          if (row.getBoolean(tombIdx)) return // tombstone: key only
+        }
+        val tuple = if (evalTuple == null) noTuple else evalTuple(row)
         val f = open.getOrElseUpdate(tuple, new OpenFile(tuple))
         var c = 0
         while (c < cols.length) {
@@ -6420,29 +6494,36 @@ object LakeProcedures {
         }
       }
 
-      /** EQUALITY-BACKLOG maintenance policy. `maintain(table)` reads
-        * the `compact_when_eq_records` table property (the operator's
-        * threshold — validated at CREATE/ALTER) and, once the LIVE
-        * equality-delete record count reaches it, RESOLVES the backlog:
-        * it rewrites exactly the files any record predates (reading
-        * them applies dvs + the anti-join, so the rewrites come out
-        * clean and are born at the new version), and the commit's
-        * auto-prune then drops the whole record set — no live file
-        * predates any record anymore, and the next scan plans zero eq
-        * key columns. Below the threshold (or without the property)
-        * the call is a NO-OP, so operators script it after every
-        * ingest cycle and pay the rewrite only when the per-read
-        * anti-join tax would otherwise compound. Files born after
-        * every record keep their paths, stats, and layout untouched.
+      /** MERGE-ON-READ backlog maintenance policy. `maintain(table)`
+        * reads two operator thresholds (validated at CREATE/ALTER) and
+        * resolves whichever backlog reached its line, in ONE rewrite:
+        *
+        *  - `compact_when_eq_records = N`: once the LIVE equality
+        *    record count reaches N, rewrites exactly the files any
+        *    record predates (reading them applies dvs + the anti-join,
+        *    so the rebirths come out clean at the new version); the
+        *    commit's auto-prune then drops the whole record set — the
+        *    next scan plans zero eq key columns.
+        *  - `compact_when_dv_pct = P`: any file whose delete vector
+        *    covers ≥ P% of its rows rewrites clean — the per-read
+        *    position-skip tax (and the dead bytes) are reclaimed file
+        *    by file, never table-wide.
+        *
+        * Below both lines (or without the properties) the call is a
+        * NO-OP, so operators script it after every ingest cycle and
+        * pay rewrites only when a read tax would otherwise compound.
+        * Files outside both candidate sets keep their paths, stats,
+        * and layout untouched.
         */
       case "maintain" => new UnboundProcedure {
         override def name(): String = "maintain"
         override def description(): String =
-          "maintain(table STRING): resolve the equality-delete backlog once " +
-            "compact_when_eq_records is reached; no-op below the threshold"
+          "maintain(table STRING): resolve the equality-record / delete-vector " +
+            "backlogs once compact_when_eq_records / compact_when_dv_pct are " +
+            "reached; no-op below the thresholds"
         override def bind(input: StructType): BoundProcedure = new BoundProcedure {
           override def name(): String = "maintain"
-          override def description(): String = "graftlake equality-backlog maintenance"
+          override def description(): String = "graftlake MOR-backlog maintenance"
           override def isDeterministic: Boolean = false
           override def parameters(): Array[ProcedureParameter] = Array(
             ProcedureParameter.in("table", StringType).build())
@@ -6455,21 +6536,34 @@ object LakeProcedures {
               StructField("eq_records", IntegerType, nullable = false),
               StructField("threshold", LongType, nullable = true),
               StructField("files_rewritten", IntegerType, nullable = false),
-              StructField("rows_rewritten", LongType, nullable = false)))
+              StructField("rows_rewritten", LongType, nullable = false),
+              StructField("dv_files", IntegerType, nullable = false)))
             val threshold = snap.props.get("compact_when_eq_records")
               .flatMap(_.toLongOption)
+            val dvPct = snap.props.get("compact_when_dv_pct")
+              .flatMap(_.toLongOption)
             val records = snap.eqdels.size
-            def row(trig: Boolean, nf: Int, nr: Long) =
+            def row(trig: Boolean, nf: Int, nr: Long, dvf: Int) =
               out(resultSchema, Seq(new GenericInternalRow(Array[Any](
-                trig, records, threshold.map(Long.box).orNull, nf, nr))))
-            if (threshold.isEmpty || records < threshold.get)
-              return row(trig = false, 0, 0L)
+                trig, records, threshold.map(Long.box).orNull, nf, nr, dvf))))
+            val eqFire = threshold.exists(records >= _)
             // every file ANY record predates must be reborn, or the
             // commit's prune rule keeps the records alive (a live
             // record implies at least one such file exists)
-            val maxSeq = snap.eqdels.map(_.seq).max
-            val candidateFiles = snap.files.filter(_.seq < maxSeq)
-            if (candidateFiles.isEmpty) return row(trig = true, 0, 0L)
+            val eqCands =
+              if (!eqFire) Seq.empty[LakeFile]
+              else {
+                val maxSeq = snap.eqdels.map(_.seq).max
+                snap.files.filter(_.seq < maxSeq)
+              }
+            val dvCands = dvPct.map(p => snap.files.filter(f =>
+              f.dvRows > 0L && f.dvRows * 100L >= p * f.rows))
+              .getOrElse(Seq.empty)
+            if (!eqFire && dvCands.isEmpty) return row(trig = false, 0, 0L, 0)
+            val eqPaths = eqCands.map(_.path).toSet
+            val candidateFiles =
+              eqCands ++ dvCands.filterNot(f => eqPaths(f.path))
+            if (candidateFiles.isEmpty) return row(trig = true, 0, 0L, 0)
             val candidates = candidateFiles.map(_.path)
             val candSet = candidates.toSet
             val fqn = s"$catName.${input.getUTF8String(0)}"
@@ -6494,7 +6588,8 @@ object LakeProcedures {
               arranged.queryExecution.toRdd, snap.schema,
               replacedFiles = Some(candSet),
               sortedBy = snap.props.get("sortBy").toSeq)
-            row(trig = true, written.size, written.map(_.rows).sum)
+            row(trig = true, written.size, written.map(_.rows).sum,
+              dvCands.size)
           }
         }
       }

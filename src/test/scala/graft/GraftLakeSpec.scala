@@ -5585,6 +5585,51 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(chainMsg(err).contains("compact_when_eq_records"), s"got $err")
   }
 
+  test("compact_when_dv_pct: maintain() rewrites only files past the dv ratio, leaves the rest untouched") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_dvmaint (k BIGINT, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p)
+      |TBLPROPERTIES ('mode' = 'mor', 'compact_when_dv_pct' = '40')""".stripMargin)
+    // two files (one per partition), 100 rows each
+    spark.range(0, 200).select($"id".as("k"), ($"id" % 2L).as("p"), $"id".as("v"))
+      .repartition(1).writeTo("lake.db.t_dvmaint").append()
+    val dir = tableDir("t_dvmaint")
+    // p=0: dv half the rows (50% ≥ 40% fires); p=1: dv 10 rows (10%)
+    spark.sql("DELETE FROM lake.db.t_dvmaint WHERE p = 0 AND v % 4 = 0")
+    spark.sql("DELETE FROM lake.db.t_dvmaint WHERE p = 1 AND v < 21")
+    val snapB = LakeLog.currentSnapshot(dir).get
+    val heavy = snapB.files.filter(f => f.dvRows * 100L >= 40L * f.rows)
+    val light = snapB.files.filterNot(f => heavy.exists(_.path == f.path))
+    assert(heavy.size == 1 && light.size == 1, s"fixture: ${snapB.files.map(f => (f.path, f.dvRows, f.rows))}")
+    val r = spark.sql("CALL lake.system.maintain('db.t_dvmaint')").head()
+    assert(r.getBoolean(0) && r.getInt(5) == 1,
+      s"one dv-heavy file must trigger the rewrite: $r")
+    val snapA = LakeLog.currentSnapshot(dir).get
+    assert(light.map(_.path).forall(p => snapA.files.exists(_.path == p)),
+      "the under-threshold file keeps its path (and its dv)")
+    assert(!snapA.files.exists(_.path == heavy.head.path),
+      "the dv-heavy file is reborn clean")
+    assert(snapA.files.filter(f =>
+      light.exists(_.path == f.path)).forall(_.dvRows > 0L),
+      "the light file's dv survives — maintenance is file-scoped")
+    assert(snapA.files.filterNot(f =>
+      light.exists(_.path == f.path)).forall(_.dvRows == 0L),
+      "reborn files carry no dv")
+    // content exact after the partial rewrite
+    val got = spark.table("lake.db.t_dvmaint").select($"v")
+      .as[Long].collect().sorted.toSeq
+    val want = (0L until 200L).filterNot(v =>
+      (v % 2L == 0L && v % 4L == 0L) || (v % 2L == 1L && v < 21L))
+    assert(got == want, s"content after dv maintenance: ${got.size} rows")
+    // below both lines now: no-op
+    val r2 = spark.sql("CALL lake.system.maintain('db.t_dvmaint')").head()
+    assert(!r2.getBoolean(0) && r2.getInt(5) == 0, s"clean table must no-op: $r2")
+    // the percentage validates 1..100
+    val err = intercept[Exception](spark.sql(
+      "ALTER TABLE lake.db.t_dvmaint SET TBLPROPERTIES ('compact_when_dv_pct' = '200')"))
+    assert(chainMsg(err).contains("compact_when_dv_pct"), s"got $err")
+  }
+
   test("canonical MERGE routes through the equality-delete path: zero target reads, dup keys rejected, non-canonical stays positional") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_merge_up (k BIGINT, seg STRING, v BIGINT) " +
@@ -5671,6 +5716,232 @@ class GraftLakeSpec extends AnyFunSuite {
       if (srcKeys.contains((k1, k2))) (k1, k2, 777L) else (k1, k2, v)
     }.toSet
     assert(got == want, s"composite merged state:\n$got\nvs\n$want")
+  }
+
+  test("delete-only MERGE routes scan-free: one eq record, zero data files, positional fallback for conditioned deletes") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_merge_del (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 30).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_merge_del").append() // v1
+    val dir = tableDir("t_merge_del")
+    val before = filePaths("t_merge_del")
+    // tombstone batch: keys 10..19, plus 40..44 that match NOTHING —
+    // unmatched tombstones are a no-op, exactly like SQL MERGE
+    spark.range(10, 20).union(spark.range(40, 45)).select($"id".as("k"))
+      .createOrReplaceTempView("t_md_src")
+    spark.sql(
+      """MERGE INTO lake.db.t_merge_del t USING t_md_src s ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val snap = LakeLog.currentSnapshot(dir).get
+    assert(snap.version == 2L, "one commit")
+    assert(snap.files.map(_.path) == before,
+      "the delete commit must change NO data file (no adds, no removes)")
+    assert(snap.files.forall(_.dvRows == 0L), "no positional deletes")
+    assert(snap.eqdels.size == 1 && snap.eqdels.head.n == 15L,
+      s"one record over the 15 distinct tombstones: ${snap.eqdels}")
+    assert(spark.table("lake.db.t_merge_del").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq ==
+      ((0L until 10L) ++ (20L until 30L)).map(k => k -> k),
+      "matched keys die, unmatched tombstones no-op")
+    // DUPLICATE tombstones: stricter than SQL MERGE — the write fails
+    spark.range(0, 4).select(($"id" % 2L).as("k"))
+      .createOrReplaceTempView("t_md_dup")
+    val dupErr = intercept[Exception](spark.sql(
+      """MERGE INTO lake.db.t_merge_del t USING t_md_dup s ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(chainMsg(dupErr).contains("duplicate source keys"), s"got $dupErr")
+    assert(LakeLog.currentSnapshot(dir).get.version == 2L, "nothing landed")
+    // CONDITIONED delete (`WHEN MATCHED AND ...`): positional plan
+    spark.range(20, 25).select($"id".as("k")).createOrReplaceTempView("t_md_c")
+    spark.sql(
+      """MERGE INTO lake.db.t_merge_del t USING t_md_c s ON t.k = s.k
+        |WHEN MATCHED AND t.v % 2 = 0 THEN DELETE""".stripMargin)
+    val snap3 = LakeLog.currentSnapshot(dir).get
+    assert(snap3.files.exists(_.dvRows > 0L),
+      "the conditioned delete must take the positional path (dv)")
+    assert(spark.table("lake.db.t_merge_del").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq ==
+      ((0L until 10L) ++ Seq(21L, 23L) ++ (25L until 30L)).map(k => k -> k),
+      "conditioned delete drops only even v in 20..24")
+  }
+
+  test("delete-only MERGE on a PARTITIONED composite-key table: tuple record, no partition write path") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_merge_delp (k1 BIGINT, k2 STRING, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p)
+      |TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k1,k2')""".stripMargin)
+    val init = (0L until 24L).map(i => (i % 6L, s"g${i % 4L}", i % 2L, i))
+    init.toDF("k1", "k2", "p", "v")
+      .repartition(2).writeTo("lake.db.t_merge_delp").append()
+    val dir = tableDir("t_merge_delp")
+    val before = filePaths("t_merge_delp").toSet
+    // tombstone TUPLES — the partition column is NOT part of the key,
+    // so the projected source rows carry a NULL partition value: the
+    // keys-only writer must never evaluate the partition tuple
+    val tombs = Seq((0L, "g0"), (1L, "g1"), (5L, "g3"))
+    tombs.toDF("k1", "k2").createOrReplaceTempView("t_mdp_src")
+    spark.sql(
+      """MERGE INTO lake.db.t_merge_delp t USING t_mdp_src s
+        |ON t.k1 = s.k1 AND t.k2 = s.k2
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val snap = LakeLog.currentSnapshot(dir).get
+    assert(snap.files.map(_.path).toSet == before, "census unchanged")
+    assert(snap.eqdels.size == 1 && snap.eqdels.head.kind == "tuple" &&
+      snap.eqdels.head.n == 3L, s"one 3-tuple record: ${snap.eqdels}")
+    val got = spark.table("lake.db.t_merge_delp")
+      .select($"k1", $"k2", $"v").as[(Long, String, Long)].collect().toSet
+    val want = init.collect {
+      case (k1, k2, _, v) if !tombs.contains((k1, k2)) => (k1, k2, v) }.toSet
+    assert(got == want, s"tuple tombstones applied:\n${got.toSeq.sorted}")
+  }
+
+  test("CDC-apply MERGE is ONE atomic scan-free commit: upserts + tombstones, null op fails whole batch, non-negated gate stays positional") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_cdc (k BIGINT, seg STRING, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 20).select($"id".as("k"), lit("a").as("seg"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_cdc").append() // v1
+    val dir = tableDir("t_cdc")
+    val before = filePaths("t_cdc")
+    // one Debezium-style batch: updates 5..9, tombstones 10..14 (and
+    // 40..41 matching nothing — no-ops), inserts 30..32
+    val batch =
+      (5L until 10L).map(k => (k, "b", k * 2L, "U")) ++
+      (10L until 15L).map(k => (k, null.asInstanceOf[String], 0L, "D")) ++
+      (40L until 42L).map(k => (k, null.asInstanceOf[String], 0L, "D")) ++
+      (30L until 33L).map(k => (k, "b", k * 2L, "U"))
+    batch.toDF("k", "seg", "v", "op").createOrReplaceTempView("t_cdc_src")
+    spark.sql(
+      """MERGE INTO lake.db.t_cdc t USING t_cdc_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.seg = s.seg, t.v = s.v
+        |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN
+        |  INSERT (k, seg, v) VALUES (s.k, s.seg, s.v)""".stripMargin)
+    val snap = LakeLog.currentSnapshot(dir).get
+    assert(snap.version == 2L, "the whole batch lands in ONE commit")
+    assert(before.toSet.subsetOf(snap.files.map(_.path).toSet),
+      "no pre-existing file replaced — the CDC apply never read the target")
+    assert(snap.files.forall(_.dvRows == 0L), "no positional deletes")
+    assert(snap.eqdels.size == 1 && snap.eqdels.head.n == 15L,
+      s"one record over ALL 15 batch keys (incl. tombstones): ${snap.eqdels}")
+    val got = spark.table("lake.db.t_cdc").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val want = (0L until 5L).map(k => (k, "a", k)) ++
+      (5L until 10L).map(k => (k, "b", k * 2L)) ++
+      (15L until 20L).map(k => (k, "a", k)) ++
+      (30L until 33L).map(k => (k, "b", k * 2L))
+    assert(got == want, s"applied state:\n$got")
+    // the change feed narrates the CDC commit from its files + record:
+    // pre-image deletes for every key that HAD a row (updates and
+    // matched tombstones alike), inserts for the non-tombstones
+    import graft.sources.LakeChanges
+    val chg = spark.read.table("lake.db.t_cdc__changes")
+      .where(col(LakeChanges.VersionColumn) === 2L)
+      .select(col(LakeChanges.TypeColumn), $"k", $"seg", $"v")
+      .as[(String, Long, String, Long)].collect().toSet
+    val wantChg =
+      (5L until 10L).map(k => ("delete", k, "a", k)).toSet ++
+      (10L until 15L).map(k => ("delete", k, "a", k)) ++
+      (5L until 10L).map(k => ("insert", k, "b", k * 2L)) ++
+      (30L until 33L).map(k => ("insert", k, "b", k * 2L))
+    assert(chg == wantChg, s"CDC commit narration:\n${chg.toSeq.sorted}")
+    // NULL op mark: the route cannot classify the row — the WHOLE
+    // batch fails, nothing lands (atomicity witness)
+    Seq((0L, "x", 1L, "U"), (1L, "x", 1L, null.asInstanceOf[String]))
+      .toDF("k", "seg", "v", "op").createOrReplaceTempView("t_cdc_null")
+    val nullErr = intercept[Exception](spark.sql(
+      """MERGE INTO lake.db.t_cdc t USING t_cdc_null s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.seg = s.seg, t.v = s.v
+        |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN
+        |  INSERT (k, seg, v) VALUES (s.k, s.seg, s.v)""".stripMargin))
+    assert(chainMsg(nullErr).contains("NULL op mark"), s"got $nullErr")
+    assert(LakeLog.currentSnapshot(dir).get.version == 2L, "nothing landed")
+    assert(spark.table("lake.db.t_cdc").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq == want, "state unchanged after the abort")
+    // an UNGATED insert clause is NOT the canonical shape (an unmatched
+    // tombstone would insert its nulls) — positional plan serves it
+    Seq((15L, "c", 99L, "U")).toDF("k", "seg", "v", "op")
+      .createOrReplaceTempView("t_cdc_ug")
+    spark.sql(
+      """MERGE INTO lake.db.t_cdc t USING t_cdc_ug s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.seg = s.seg, t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (s.k, s.seg, s.v)""".stripMargin)
+    val snap3 = LakeLog.currentSnapshot(dir).get
+    assert(snap3.files.exists(_.dvRows > 0L),
+      "the ungated-insert MERGE must take the positional path (dv)")
+    assert(spark.table("lake.db.t_cdc").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq ==
+      want.map { case (15L, _, _) => (15L, "c", 99L); case r => r },
+      "positional fallback stays correct")
+  }
+
+  test("CDC-apply MERGE on a partitioned composite-key table routes scan-free") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_cdc_comp (k1 BIGINT, k2 STRING, p BIGINT, v BIGINT)
+      |PARTITIONED BY (p)
+      |TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k1,k2')""".stripMargin)
+    val init = (0L until 24L).map(i => (i % 6L, s"g${i % 4L}", i % 2L, i))
+    init.toDF("k1", "k2", "p", "v")
+      .repartition(2).writeTo("lake.db.t_cdc_comp").append()
+    val dir = tableDir("t_cdc_comp")
+    val before = filePaths("t_cdc_comp").toSet
+    // tombstone two live tuples, upsert one live + one new tuple
+    val batch = Seq(
+      (0L, "g0", null.asInstanceOf[Object], null.asInstanceOf[Object], "D"),
+      (1L, "g1", null.asInstanceOf[Object], null.asInstanceOf[Object], "D"),
+      (2L, "g2", Long.box(1L), Long.box(777L), "U"),
+      (9L, "g9", Long.box(0L), Long.box(888L), "U"))
+    batch.map(t => (t._1, t._2, Option(t._3).map(_.asInstanceOf[Long]),
+        Option(t._4).map(_.asInstanceOf[Long]), t._5))
+      .toDF("k1", "k2", "p", "v", "op").createOrReplaceTempView("t_cdcc_src")
+    spark.sql(
+      """MERGE INTO lake.db.t_cdc_comp t USING t_cdcc_src s
+        |ON t.k1 = s.k1 AND t.k2 = s.k2
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.k1 = s.k1, t.k2 = s.k2, t.p = s.p, t.v = s.v
+        |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN
+        |  INSERT (k1, k2, p, v) VALUES (s.k1, s.k2, s.p, s.v)""".stripMargin)
+    val snap = LakeLog.currentSnapshot(dir).get
+    assert(before.subsetOf(snap.files.map(_.path).toSet), "census only grew")
+    assert(snap.files.forall(_.dvRows == 0L), "no positional deletes")
+    assert(snap.eqdels.size == 1 && snap.eqdels.head.kind == "tuple" &&
+      snap.eqdels.head.n == 4L, s"one 4-tuple record: ${snap.eqdels}")
+    val got = spark.table("lake.db.t_cdc_comp")
+      .select($"k1", $"k2", $"v").as[(Long, String, Long)].collect().toSet
+    val want = init.collect {
+      case (k1, k2, _, v) if (k1, k2) != ((0L, "g0")) && (k1, k2) != ((1L, "g1")) &&
+        (k1, k2) != ((2L, "g2")) => (k1, k2, v)
+    }.toSet + ((2L, "g2", 777L)) + ((9L, "g9", 888L))
+    assert(got == want, s"composite CDC state:\n${got.toSeq.sorted}")
+  }
+
+  test("scan-free MERGE routes stand down on tables with ENFORCED constraints (post-hoc plans skip constraint injection)") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE lake.db.t_merge_chk (k BIGINT, v BIGINT,
+      |CONSTRAINT v_nonneg CHECK (v >= 0))
+      |TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')""".stripMargin)
+    spark.range(0, 10).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_merge_chk").append()
+    val dir = tableDir("t_merge_chk")
+    spark.range(5, 8).select($"id".as("k"), (-$"id").as("v"))
+      .createOrReplaceTempView("t_chk_src")
+    // canonical upsert shape, but the table enforces CHECK(v >= 0):
+    // the positional plan (which got constraint injection during its
+    // analysis) must serve it and REJECT the violating rows
+    val err = intercept[Exception](spark.sql(
+      """MERGE INTO lake.db.t_merge_chk t USING t_chk_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin))
+    assert(chainMsg(err).toLowerCase.contains("check") ||
+      chainMsg(err).contains("v_nonneg"), s"got $err")
+    assert(LakeLog.currentSnapshot(dir).get.eqdels.isEmpty,
+      "no equality record — the scan-free route must not plan under constraints")
+    assert(spark.table("lake.db.t_merge_chk").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq == (0L until 10L).map(k => k -> k),
+      "constraint violation rejected the whole MERGE")
   }
 
   test("feed mutation planning is O(delta): dv transitions and eq expansions parse only admitted checkpoint parts") {
