@@ -74,13 +74,19 @@ case class UpsertMergeRewrite() extends Rule[LogicalPlan] {
     val props = lake.properties()
     val keyProp = Option(props.get("upsert_key")).getOrElse(return None)
     val keys = LakeTable.upsertKeyCols(keyProp)
-    // the scan-free routes build their write plans POST-HOC — after
-    // Spark's constraint-injection rules already ran — so an enforced
-    // constraint could never be validated on the appended rows; the
-    // positional plan got its enforcement during analysis, keep it
-    if (lake.constraints().exists(_.enforced())) return None
+    // ROW-WRITING routes (upsert, CDC apply) build their write plans
+    // POST-HOC — after Spark's constraint-injection rules already ran —
+    // so an enforced constraint could never be validated on the
+    // appended rows; the positional plan got its enforcement during
+    // analysis, keep it there. Pure-delete routes write no rows and
+    // cannot violate a CHECK — they stay eligible.
+    val constrained = lake.constraints().exists(_.enforced())
     val mr = wd.query match {
       case m: MergeRows => m
+      // DELETE FROM t WHERE <keys> IN (<subquery>) — the data-driven
+      // erasure shape ([[deleteInRoute]])
+      case Project(projList, Filter(in: InSubquery, child)) =>
+        return deleteInRoute(wd, rel, lake, keys, projList, in, child)
       case _ => return None
     }
     if (mr.notMatchedBySourceInstructions.nonEmpty) return None
@@ -198,6 +204,7 @@ case class UpsertMergeRewrite() extends Rule[LogicalPlan] {
           if joinType == RightOuter &&
             isTrue(split.condition) && isTrue(keep.condition) &&
             split.outputs.size == 2 && keep.outputs.size == 1 =>
+        if (constrained) return None
         // append the source's projected rows under the upsert contract;
         // align names/types here (post-hoc runs after output resolution)
         val aliases = sourceRowProjection(split, keep).getOrElse(return None)
@@ -217,6 +224,7 @@ case class UpsertMergeRewrite() extends Rule[LogicalPlan] {
             del.outputs.size == 1 && deleteShaped(del.outputs.head) &&
             isTrue(split.condition) && split.outputs.size == 2 &&
             keep.outputs.size == 1 =>
+        if (constrained) return None
         val opCond = strip(del.condition)
         // the op condition must classify rows from the SOURCE alone
         // (deterministically), and the INSERT gate must be exactly its
@@ -234,5 +242,67 @@ case class UpsertMergeRewrite() extends Rule[LogicalPlan] {
 
       case _ => None
     }
+  }
+
+  /** `DELETE FROM t WHERE <keys> IN (<subquery>)` — the data-driven
+    * ERASURE shape (a deletion-request table, a GDPR key list): when
+    * the predicate is EXACTLY an uncorrelated IN-subquery over the
+    * full `upsert_key`, the positional plan (scan the 100 TB target,
+    * semi-join, dv the match positions) collapses to ONE equality
+    * record over the subquery's result — zero target reads, zero data
+    * files (the keys-only writer). Duplicate and NULL subquery values
+    * keep SQL's own semantics (dups collapse, nulls match nothing), so
+    * unlike the MERGE routes no strictness contract is needed. A
+    * compound predicate, a correlated subquery, or a partial key falls
+    * through to the positional plan.
+    */
+  private def deleteInRoute(wd: WriteDelta, rel: DataSourceV2Relation,
+      lake: LakeTable, keys: Seq[String], projList: Seq[NamedExpression],
+      in: InSubquery, child: LogicalPlan): Option[LogicalPlan] = {
+    // the filter must sit directly on THIS table's row-id scan
+    val childIsTarget = child match {
+      case r: DataSourceV2Relation =>
+        org.apache.spark.sql.graft.PlanBridge
+          .unwrapRowLevelTable(r.table) match {
+          case t: LakeTable => t.name() == lake.name()
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!childIsTarget) return None
+    // a DELTA DELETE projects [op literal, row id] and nothing else —
+    // any other shape is not the plain delete command
+    if (projList.size != 3 || !strip(projList.head).isInstanceOf[Literal])
+      return None
+    // uncorrelated, un-hinted, full-width list
+    val lq = in.query
+    if (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty) return None
+    val subPlan = lq.plan
+    if (subPlan.output.size != in.values.size) return None
+    // the IN values must be exactly the upsert key columns, each once
+    val valNames = in.values.map {
+      case a: AttributeReference if child.outputSet.contains(a) => a.name
+      case _ => return None
+    }
+    if (valNames.distinct.size != valNames.size) return None
+    if (valNames.toSet != keys.toSet) return None
+    // the subquery output feeding key component valNames(i) is
+    // subPlan.output(i) — project it under that table column, null-fill
+    // the rest (never stored: the writer is keys-only)
+    val srcByKey: Map[String, Attribute] =
+      valNames.zip(subPlan.output).toMap
+    val projected = Project(
+      rel.output.toSeq.map { out =>
+        srcByKey.get(out.name) match {
+          case Some(a) =>
+            val cast = if (a.dataType == out.dataType) a else Cast(a, out.dataType)
+            Alias(cast, out.name)()
+          case None =>
+            if (!out.nullable) return None
+            Alias(Literal(null, out.dataType), out.name)()
+        }
+      }, subPlan)
+    Some(AppendData(rel.copy(table = lake), projected,
+      Map("upsert" -> "true", "delete_only" -> "true"), isByName = false))
   }
 }

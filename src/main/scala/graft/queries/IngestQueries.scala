@@ -2058,7 +2058,104 @@ object IngestQueries {
     spark.table(dst).select($"k", $"cents").orderBy($"k")
   }
 
+  /** q117 — the MOR maintenance LIFECYCLE as a correctness row: CDC
+    * upsert batches accumulate equality records, a positional DELETE
+    * grows delete vectors, and one scripted `CALL system.maintain`
+    * resolves the whole backlog at the declared thresholds
+    * (`compact_when_eq_records` + `compact_when_dv_pct`) — after it,
+    * ZERO live equality records (the next scan plans no eq columns)
+    * and the table's content is bit-identical to the relational
+    * replay. This grades the policy loop end-to-end: ingest tax
+    * accumulates → threshold fires → rewrite resolves → reads are
+    * clean, with the results unchanged across the transition.
+    */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q117").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dst = s"$cat.db.maint_state"
+    spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k', " +
+      "'compact_when_eq_records' = '2', 'compact_when_dv_pct' = '20')")
+    val chg = Tables.load(spark, dir, "orders")
+      .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
+        $"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ok".desc)
+    def slice(sl: Long) = chg.filter($"s" === sl)
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"k", $"cents")
+    slice(0L).writeTo(dst).append() // v1: seed
+    for (sl <- 1L to 2L) // v2, v3: scan-free upserts, one record each
+      slice(sl).writeTo(dst).option("upsert", "true").append()
+    // v4: positional non-key DELETE — delete vectors, ~33% per file
+    spark.sql(s"DELETE FROM $dst WHERE cents % 3 = 0")
+    val tblDir = java.nio.file.Paths.get(wh, "db", "maint_state")
+    val snapB = graft.sources.LakeLog.currentSnapshot(tblDir).get
+    require(snapB.eqdels.size == 2 && snapB.files.exists(_.dvRows > 0L),
+      s"q117 fixture: 2 records + dv expected, got ${snapB.eqdels.size} / " +
+        s"${snapB.files.map(_.dvRows).sum}")
+    val m = spark.sql(s"CALL $cat.system.maintain('db.maint_state')").head()
+    require(m.getBoolean(0) && m.getInt(1) == 2,
+      s"q117: maintain must fire at the eq threshold: $m")
+    val snapA = graft.sources.LakeLog.currentSnapshot(tblDir).get
+    require(snapA.eqdels.isEmpty,
+      s"q117: the record backlog must resolve: ${snapA.eqdels}")
+    spark.table(dst).select($"k", $"cents").orderBy($"k")
+  }
+
+  /** q118 — data-driven ERASURE: `DELETE FROM t WHERE k IN
+    * (<subquery>)` routed scan-free ([[graft.plans.UpsertMergeRewrite]]
+    * `deleteInRoute`): the deletion-request list (every key ≡ 0
+    * mod 11) commits as ONE equality record — the census is untouched,
+    * no delete vector is written, and the target is never read. The
+    * literal-IN metadata-delete path caps its key list; this shape
+    * carries a key list of any size straight from a query. Oracle =
+    * last-wins replay minus the erased keys.
+    */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = "lake" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = java.nio.file.Files.createTempDirectory("graftlake-q118").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dst = s"$cat.db.erasure_state"
+    spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    val chg = Tables.load(spark, dir, "orders")
+      .select(($"o_orderkey" % 1000L).as("k"), $"o_orderkey".as("ok"),
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ok".desc)
+    chg.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"k", $"cents").writeTo(dst).append() // v1: last-wins state
+    val view = s"q118_req_${cat.takeRight(8)}"
+    chg.select($"k").distinct().filter($"k" % 11L === 0L)
+      .createOrReplaceTempView(view)
+    spark.sql( // v2: the erasure request list, scan-free
+      s"DELETE FROM $dst WHERE k IN (SELECT k FROM $view)")
+    val hist = spark.table(s"${dst}__history").orderBy($"version")
+      .select($"version", $"n_files").collect()
+    require(hist.last.getLong(0) == 2L,
+      s"q118: expected 2 commits, got ${hist.last.getLong(0)}")
+    val nFilesByVersion = hist.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    require(nFilesByVersion(2L) == nFilesByVersion(1L),
+      "q118: the erasure touched data files — it did not route scan-free")
+    val dvRows = spark.table(s"${dst}__files")
+      .agg(coalesce(sum($"dv_rows"), lit(0L))).head.getLong(0)
+    require(dvRows == 0L,
+      s"q118: $dvRows delete-vector rows — the DELETE took the positional path")
+    spark.table(dst).select($"k", $"cents").orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_erasure" -> q118,
+    "q117_mor_maintenance" -> q117,
     "q116_cdc_apply" -> q116,
     "q115_merge_tombstone" -> q115,
     "q114_merge_upsert" -> q114,
@@ -2153,6 +2250,29 @@ object IngestQueries {
         |  FROM chg)
         |SELECT k, cents AS v_table, cents AS v_replay
         |FROM fin WHERE rn = 1 AND k % 97 <> 0 ORDER BY k""".stripMargin,
+    "q118_erasure" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey % 1000 AS k, o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, cents,
+        |    row_number() OVER (PARTITION BY k ORDER BY ok DESC) AS rn
+        |  FROM chg)
+        |SELECT k, cents
+        |FROM fin WHERE rn = 1 AND k % 11 <> 0 ORDER BY k""".stripMargin,
+    "q117_mor_maintenance" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,
+        |    o_orderkey AS ok,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, cents,
+        |    row_number() OVER (PARTITION BY k ORDER BY s DESC, ok DESC) AS rn
+        |  FROM chg)
+        |SELECT k, cents
+        |FROM fin WHERE rn = 1 AND cents % 3 <> 0 ORDER BY k""".stripMargin,
     "q116_cdc_apply" ->
       """WITH chg AS (
         |  SELECT o_orderkey % 1000 AS k, o_orderkey % 3 AS s,

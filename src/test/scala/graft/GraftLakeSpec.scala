@@ -5796,6 +5796,67 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(got == want, s"tuple tombstones applied:\n${got.toSeq.sorted}")
   }
 
+  test("DELETE WHERE key IN (subquery) routes scan-free: SQL IN semantics for dups/nulls, compound predicates stay positional") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_delin (k BIGINT, v BIGINT, " +
+      "CONSTRAINT v_ok CHECK (v >= 0)) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 30).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_delin").append() // v1
+    val dir = tableDir("t_delin")
+    val before = filePaths("t_delin")
+    // the erasure list: dups collapse, NULL matches nothing, 77 no-ops
+    // — exactly SQL IN semantics; and the enforced CHECK constraint
+    // does NOT block this route (pure deletes cannot violate it)
+    Seq(Some(3L), Some(3L), None, Some(7L), Some(77L))
+      .toDF("kk").createOrReplaceTempView("t_delin_src")
+    spark.sql("DELETE FROM lake.db.t_delin WHERE k IN (SELECT kk FROM t_delin_src)")
+    val snap = LakeLog.currentSnapshot(dir).get
+    assert(snap.version == 2L && snap.files.map(_.path) == before,
+      "the erasure commit changes NO data file")
+    assert(snap.files.forall(_.dvRows == 0L), "no positional deletes")
+    assert(snap.eqdels.size == 1 && snap.eqdels.head.n == 3L,
+      s"one record over the 3 distinct non-null keys: ${snap.eqdels}")
+    assert(spark.table("lake.db.t_delin").as[(Long, Long)]
+      .collect().sortBy(_._1).map(_._1).toSeq ==
+      (0L until 30L).filterNot(Set(3L, 7L)),
+      "distinct keys die, dups/nulls/no-matches are no-ops")
+    // a COMPOUND predicate cannot be a record — positional plan
+    spark.range(10, 15).select($"id".as("kk")).createOrReplaceTempView("t_delin_c")
+    spark.sql("DELETE FROM lake.db.t_delin " +
+      "WHERE k IN (SELECT kk FROM t_delin_c) AND v % 2 = 0")
+    val snap3 = LakeLog.currentSnapshot(dir).get
+    assert(snap3.files.exists(_.dvRows > 0L),
+      "compound-predicate DELETE must take the positional path")
+    assert(spark.table("lake.db.t_delin").as[(Long, Long)]
+      .collect().sortBy(_._1).map(_._1).toSeq ==
+      (0L until 30L).filterNot(Set(3L, 7L, 10L, 12L, 14L)),
+      "positional fallback stays correct")
+  }
+
+  test("DELETE WHERE (k1, k2) IN (subquery) commits one tuple record scan-free") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_delin2 (k1 BIGINT, k2 STRING, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k1,k2')")
+    val init = (0L until 24L).map(i => (i % 6L, s"g${i % 4L}", i))
+    init.toDF("k1", "k2", "v").coalesce(1).writeTo("lake.db.t_delin2").append()
+    val dir = tableDir("t_delin2")
+    val before = filePaths("t_delin2")
+    val tombs = Seq((0L, "g0"), (5L, "g3"))
+    tombs.toDF("a", "b").createOrReplaceTempView("t_delin2_src")
+    spark.sql("DELETE FROM lake.db.t_delin2 " +
+      "WHERE (k1, k2) IN (SELECT a, b FROM t_delin2_src)")
+    val snap = LakeLog.currentSnapshot(dir).get
+    assert(snap.files.map(_.path) == before && snap.files.forall(_.dvRows == 0L),
+      "scan-free: census unchanged, no dv")
+    assert(snap.eqdels.size == 1 && snap.eqdels.head.kind == "tuple" &&
+      snap.eqdels.head.n == 2L, s"one 2-tuple record: ${snap.eqdels}")
+    assert(spark.table("lake.db.t_delin2").select($"k1", $"k2", $"v")
+      .as[(Long, String, Long)].collect().toSet ==
+      init.filterNot(t => tombs.contains((t._1, t._2))).toSet,
+      "tuple erasure applied")
+  }
+
   test("CDC-apply MERGE is ONE atomic scan-free commit: upserts + tombstones, null op fails whole batch, non-negated gate stays positional") {
     import spark.implicits._
     spark.sql("CREATE TABLE lake.db.t_cdc (k BIGINT, seg STRING, v BIGINT) " +
@@ -5916,6 +5977,46 @@ class GraftLakeSpec extends AnyFunSuite {
         (k1, k2) != ((2L, "g2")) => (k1, k2, v)
     }.toSet + ((2L, "g2", 777L)) + ((9L, "g9", 888L))
     assert(got == want, s"composite CDC state:\n${got.toSeq.sorted}")
+  }
+
+  test("concurrent CDC-apply MERGEs: 8 racing batches all land atomically, content exact") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_cdcrace (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 800).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_cdcrace").append() // v1
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // disjoint key ranges: every batch tombstones k%4==0, upserts the
+    // rest to k*10 — each MERGE is one commit, losers retry internally
+    val futures = (0 until 8).map { w =>
+      scala.concurrent.Future {
+        spark.range(w * 100L, (w + 1) * 100L)
+          .select($"id".as("k"), ($"id" * 10L).as("v"),
+            when($"id" % 4L === 0L, lit("D")).otherwise(lit("U")).as("op"))
+          .createOrReplaceTempView(s"t_cdcrace_w$w")
+        spark.sql(
+          s"""MERGE INTO lake.db.t_cdcrace t USING t_cdcrace_w$w s ON t.k = s.k
+             |WHEN MATCHED AND s.op = 'D' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v
+             |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN
+             |  INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration("180s"))
+    pool.shutdown()
+    val snap = LakeLog.currentSnapshot(tableDir("t_cdcrace")).get
+    assert(snap.version == 9L, s"8 racing CDC applies must land as v2..v9, got ${snap.version}")
+    assert(snap.eqdels.size == 8 && snap.eqdels.map(_.n).sum == 800L,
+      s"one record per batch over its 100 keys: ${snap.eqdels.map(_.n)}")
+    assert(snap.files.forall(_.dvRows == 0L), "no positional deletes anywhere")
+    val got = spark.table("lake.db.t_cdcrace").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val want = (0L until 800L).filterNot(_ % 4L == 0L).map(k => k -> k * 10L)
+    assert(got == want, s"raced content: ${got.size} rows vs ${want.size}")
   }
 
   test("scan-free MERGE routes stand down on tables with ENFORCED constraints (post-hoc plans skip constraint injection)") {
