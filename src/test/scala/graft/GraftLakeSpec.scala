@@ -6019,6 +6019,95 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(got == want, s"raced content: ${got.size} rows vs ${want.size}")
   }
 
+  test("CDC-apply replay is content-idempotent: re-applying the identical batch changes nothing") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE lake.db.t_cdc_replay (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 20).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_cdc_replay").append()
+    spark.range(5, 15).select($"id".as("k"), ($"id" * 3L).as("v"),
+        when($"id" % 2L === 0L, lit("D")).otherwise(lit("U")).as("op"))
+      .createOrReplaceTempView("t_cdcr_src")
+    val merge =
+      """MERGE INTO lake.db.t_cdc_replay t USING t_cdcr_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v
+        |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN
+        |  INSERT (k, v) VALUES (s.k, s.v)""".stripMargin
+    spark.sql(merge)
+    val after1 = spark.table("lake.db.t_cdc_replay").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // an at-least-once consumer retries the SAME batch: the new record
+    // kills the first apply's rows by seq scoping, the new files carry
+    // identical rows — the content is a fixed point
+    spark.sql(merge)
+    val snap = LakeLog.currentSnapshot(tableDir("t_cdc_replay")).get
+    assert(snap.version == 3L && snap.eqdels.size == 2,
+      s"replay lands as its own version + record: ${snap.version}/${snap.eqdels.size}")
+    assert(spark.table("lake.db.t_cdc_replay").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq == after1,
+      "replaying the identical CDC batch must not change the content")
+  }
+
+  test("streaming CDC with tombstones: foreachBatch + CDC-apply MERGE, every epoch one scan-free commit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE lake.db.t_cdc_stream (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    spark.range(0, 30).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).writeTo("lake.db.t_cdc_stream").append() // v1
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-stream-ckpt").toString
+    val in = MemoryStream[(Long, Long, String)]
+    // epoch 1: upsert 0..9 to v*7, tombstone 10..14
+    in.addData((0L until 10L).map(k => (k, k * 7L, "U")) ++
+      (10L until 15L).map(k => (k, 0L, "D")): _*)
+    val q = in.toDF().toDF("k", "v", "op").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          batch.createOrReplaceTempView("t_cdcs_batch")
+          batch.sparkSession.sql(
+            """MERGE INTO lake.db.t_cdc_stream t USING t_cdcs_batch s ON t.k = s.k
+              |WHEN MATCHED AND s.op = 'D' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v
+              |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN
+              |  INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // epoch 2 in a fresh drain: resurrect 12, erase 3
+    in.addData((12L, 120L, "U"), (3L, 0L, "D"))
+    val q2 = in.toDF().toDF("k", "v", "op").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          batch.createOrReplaceTempView("t_cdcs_batch2")
+          batch.sparkSession.sql(
+            """MERGE INTO lake.db.t_cdc_stream t USING t_cdcs_batch2 s ON t.k = s.k
+              |WHEN MATCHED AND s.op = 'D' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v
+              |WHEN NOT MATCHED AND NOT (s.op = 'D') THEN
+              |  INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val snap = LakeLog.currentSnapshot(tableDir("t_cdc_stream")).get
+    assert(snap.version == 3L, s"one scan-free commit per epoch: ${snap.version}")
+    assert(snap.files.forall(_.dvRows == 0L), "no positional deletes")
+    assert(snap.eqdels.size == 2, s"one record per epoch: ${snap.eqdels.size}")
+    val got = spark.table("lake.db.t_cdc_stream").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val want = ((0L until 10L).filterNot(_ == 3L).map(k => k -> k * 7L) :+
+      (12L -> 120L)) ++ (15L until 30L).map(k => k -> k)
+    assert(got == want.sortBy(_._1), s"streamed CDC state:\n$got")
+  }
+
   test("scan-free MERGE routes stand down on tables with ENFORCED constraints (post-hoc plans skip constraint injection)") {
     import spark.implicits._
     spark.sql("""CREATE TABLE lake.db.t_merge_chk (k BIGINT, v BIGINT,
