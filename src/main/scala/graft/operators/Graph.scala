@@ -90,7 +90,15 @@ object Graph {
     //  - baseRanks: (id, r0, base), checkpointed flat.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgeDeg = e.join(deg, Seq("src")).persist()
-    val nodes = e.select(col("src").as("id")).distinct()
+    // node set = deg's keys exactly (every node appears as a src) — a
+    // projection of the aggregate already computed, instead of a second
+    // full shuffle of the edge set through distinct()
+    val nodes = deg.select(col("src").as("id"))
+    // (probed: repartitioning baseRanks by id before the checkpoint
+    // does NOT survive localCheckpoint under AQE — the left join
+    // re-exchanges the scan regardless — so no pre-partitioning here;
+    // the contrib side already reaches the join exchange-free via
+    // alias-aware propagation from its dst aggregation.)
     val baseRanks =
       mkBase(nodes, TotalMass * (dampDen - dampNum) / dampDen).localCheckpoint()
     var ranks = baseRanks.select(col("id"), col("r0").as("rank"))

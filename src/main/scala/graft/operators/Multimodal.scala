@@ -97,10 +97,23 @@ object Multimodal {
     */
   def pngFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    spreadIds(docs).map { id =>
       val (w, h) = (synthWidth(id), synthHeight(id))
       MediaRecord(id, PngKind, syntheticPng(id, w, h), w, h, 0)
     }
+  }
+
+  /** The id frame feeding every synth/codec map: hash-repartitioned so
+    * the CPU-heavy per-row codec work spreads across the cluster even
+    * when the id source is one small input split (a 1-task scan would
+    * serialize the whole encode/decode chain; the ids themselves are 8
+    * bytes/row, so the extra exchange is ~free). Deterministic: hash
+    * partitioning + per-row pure functions — output is a row set,
+    * order restored by each query's tail sort.
+    */
+  private[graft] def spreadIds(docs: DataFrame): Dataset[Long] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
   }
 
   /** documents → rawvideo rgb24 records: `2 + id % 3` frames of
@@ -110,7 +123,7 @@ object Multimodal {
   def rawVideoFromDocuments(spark: SparkSession, docs: DataFrame,
                             w: Int, h: Int): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    spreadIds(docs).map { id =>
       val nFrames = (2 + id % 3).toInt
       val buf = new Array[Byte](nFrames * w * h * 3)
       var f = 0
@@ -323,7 +336,7 @@ object Multimodal {
   /** documents → real WAV media records (`400 + id % 100` samples). */
   def wavFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    spreadIds(docs).map { id =>
       val n = (400 + id % 100).toInt
       MediaRecord(id, WavKind, syntheticWav(id, n), 0, 0, 8000)
     }

@@ -307,7 +307,10 @@ object Similarity {
     val q = queries.select(col("id").as("query_id"), fixedVec(col("vec")).as("qv"))
       .withColumn("qn", normSqFixed(col("qv")))
     val probes = nearestCentroids(q, "query_id", "qv", "qn", nprobe)
-    val scored = probes.join(lists, Seq("centroid_id"))
+    // the probe side is |Q|·nprobe rows (query batches are small by
+    // contract); broadcast it so the corpus-sized inverted lists are
+    // never shuffled — SortMergeJoin → BroadcastHashJoin(BuildLeft)
+    val scored = broadcast(probes).join(lists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
         cosineFromFixed(dotFixed(col("qv"), col("cv")), col("qn"), col("cn")))
@@ -380,7 +383,9 @@ object Similarity {
         .select(col(idCol), col("centroid_id"))
     val lists = nearest(cand, "cand_id", "cv", "cn", 1)
     val probes = nearest(q, "query_id", "qv", "qn", nprobe)
-    val pairs = probes.join(lists, Seq("centroid_id"))
+    // broadcast the |Q|·nprobe probe side; the corpus-sized list
+    // assignment is consumed without a shuffle
+    val pairs = broadcast(probes).join(lists, Seq("centroid_id"))
       .select(col("query_id"), col("cand_id"))
     val (codes, dts) = pqCodebooks(cand, q, dim, m, ksub, kmeansIters = 1)
     val approx = pairs.join(codes, Seq("cand_id"))
@@ -458,7 +463,7 @@ object Similarity {
       .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
       .select(col("query_id"), col("centroid_id"),
         dotFixed(col("qv"), col("centv")).as("qc"))
-    val pairs = probes.join(lists, Seq("centroid_id"))
+    val pairs = broadcast(probes).join(lists, Seq("centroid_id"))
     val approx = pairs.join(codes, Seq("cand_id"))
       .join(broadcast(dts), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("centroid_id"), col("cand_id"))
@@ -652,7 +657,7 @@ object Similarity {
         .orderBy(col("c_cos").desc, col("centroid_id"))))
       .filter(col("c_rnk") <= nprobe)
       .select(col("query_id"), col("centroid_id"))
-    val pairs = probes.join(idx.lists, Seq("centroid_id"))
+    val pairs = broadcast(probes).join(idx.lists, Seq("centroid_id"))
       .select(col("query_id"), col("cand_id"))
     val dts = pqDistanceTables(q, idx.codebooks, dim, m)
     val approx = pairs.join(idx.codes, Seq("cand_id"))
@@ -669,16 +674,23 @@ object Similarity {
   private def pqShortlistRerank(approx: DataFrame, q: DataFrame,
                                 cand: DataFrame, shortlist: Int,
                                 k: Int): DataFrame = {
+    // join-strategy notes (guide §3.1): the query-side norm frame is
+    // |Q| rows — always broadcast; the candidate-norm join keeps the
+    // shuffle (both sides scale with the corpus). After the shortlist
+    // cut the pair set is ≤ |Q|·shortlist rows — broadcast IT as the
+    // build side so the full candidate table is probed in place, never
+    // shuffled, on the exact re-rank.
     val short = approx
       .filter(col("query_id") =!= col("cand_id"))
-      .join(q.select(col("query_id"), col("qn")), Seq("query_id"))
+      .join(broadcast(q.select(col("query_id"), col("qn"))), Seq("query_id"))
       .join(cand.select(col("cand_id"), col("cn")), Seq("cand_id"))
       .withColumn("approx_cos", cosineFromFixed(col("ad"), col("qn"), col("cn")))
       .withColumn("srnk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("approx_cos").desc, col("cand_id"))))
       .filter(col("srnk") <= shortlist)
-    short.select(col("query_id"), col("cand_id"))
-      .join(q, Seq("query_id")).join(cand, Seq("cand_id"))
+    cand.join(broadcast(short.select(col("query_id"), col("cand_id"))),
+        Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine",
         cosineFromFixed(dotFixed(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))

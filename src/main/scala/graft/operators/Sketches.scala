@@ -136,10 +136,16 @@ object Hll {
                              measure: Column, bins: Int,
                              pcts: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.QueryCaches.CacheOps
     val g = df.select(groupCols :+ measure.as("_m"): _*)
+    // |groups| rows, but its subtree is a FULL scan+aggregate of the
+    // input — it feeds four broadcast sites below, so scope-cache it
+    // (one scan, not four; guide §2.4 — the recomputed subtree was the
+    // plan's dominant duplicated work)
     val dom = g.groupBy(groupCols: _*)
       .agg(min(col("_m")).as("_lo"), max(col("_m")).as("_hi"),
         count(lit(1)).as("n_items"))
+      .persistScoped()
     val groupNames = dom.columns.dropRight(3).toSeq
     def binOf(m: Column) = call_function("div",
       (m - col("_lo")) * lit(bins.toLong), col("_hi") - col("_lo") + lit(1L))
@@ -151,16 +157,21 @@ object Hll {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = binned.withColumn("_cum", sum(col("_c")).over(cumW))
       .join(broadcast(dom), groupNames)
-    // per (group, pct): target bin + how many rows precede it
-    val targets = pcts.map { p =>
-      val k = floor((col("n_items") * p + lit(99)) / lit(100)).cast("long")
-      cum.withColumn("_k", k)
-        .filter(col("_cum") >= col("_k"))
-        .groupBy(groupNames.map(col): _*)
-        .agg(lit(p).as("_p"), min(col("_bin")).as("_tbin"),
-          max(col("_k")).as("_k2"), // constant within group
-          min(col("_cum") - col("_c")).as("_before")) // cum before target bin
-    }.reduce(_.unionByName(_))
+    // per (group, pct): target bin + how many rows precede it. The
+    // percentile list rides as an exploded column so ONE pass over the
+    // cumulative-histogram frame serves every percentile — the previous
+    // per-pct union recomputed the whole cum subtree once per
+    // percentile (3 duplicated scan+window chains in q33's plan).
+    val targets = cum
+      .select(cum.columns.map(col) :+
+        explode(array(pcts.map(p => lit(p)): _*)).as("_p"): _*)
+      .withColumn("_k",
+        floor((col("n_items") * col("_p") + lit(99)) / lit(100)).cast("long"))
+      .filter(col("_cum") >= col("_k"))
+      .groupBy(groupNames.map(col) :+ col("_p"): _*)
+      .agg(min(col("_bin")).as("_tbin"),
+        max(col("_k")).as("_k2"), // constant within group
+        min(col("_cum") - col("_c")).as("_before")) // cum before target bin
     // pass 2: rank ONLY the rows inside each (group, pct) target bin —
     // ≈ n/bins rows per window partition, never the whole group
     val inBin = g.join(broadcast(dom), groupNames)

@@ -114,12 +114,18 @@ object Analytics {
     */
   def q05PeriodCompare(spark: SparkSession, dir: String): DataFrame = {
     val on = ordersWithNation(spark, dir).withColumn("y", year(col("o_orderdate")))
-    def period(yr: Int, s: String, n: String) =
-      on.filter(col("y") === yr).groupBy("n_name")
-        .agg(sum(cents(col("o_totalprice"))).as(s), count(lit(1)).as(n))
-    val p97 = period(1997, "s97", "n97")
-    val p98 = period(1998, "s98", "n98")
-    val j = p97.join(p98, "n_name")
+    // ONE conditionally-aggregated pass over the two periods instead of
+    // two filtered scans + an inner join (guide §2.4: the join and the
+    // second scan were pure overhead — the per-period sums are columns
+    // of one group). The inner join kept only nations present in BOTH
+    // years, so filter n97 > 0 AND n98 > 0 — identical rows out.
+    val j = on.filter(col("y").isin(1997, 1998)).groupBy("n_name")
+      .agg(
+        sum(when(col("y") === 1997, cents(col("o_totalprice")))).as("s97"),
+        count(when(col("y") === 1997, lit(1))).as("n97"),
+        sum(when(col("y") === 1998, cents(col("o_totalprice")))).as("s98"),
+        count(when(col("y") === 1998, lit(1))).as("n98"))
+      .filter(col("n97") > 0 && col("n98") > 0)
       .withColumn("avg_1997", gf.meanFromFixed(col("s97"), col("n97"), 100.0))
       .withColumn("avg_1998", gf.meanFromFixed(col("s98"), col("n98"), 100.0))
       .withColumn("pct_change",

@@ -437,8 +437,16 @@ object CorpusOps {
     val qterms = docs.filter($"doc_id" % 100 === 0)
       .select($"doc_id".as("query_id"), explode(slice($"toks", 1, 8)).as("term"))
       .distinct()
-    qterms.join(postings, Seq("term"))
-      .join(df, Seq("term"))
+    // qterms is |docs|/100 × ≤8 rows — broadcast it so the corpus-sized
+    // postings table is probed in place, never shuffled for this join;
+    // df likewise never shuffles: it is semi-filtered down to the query
+    // term set (bounded by |qterms|) via the same broadcast and then
+    // broadcast itself — the only remaining shuffle is the dl join on
+    // doc_id over the already-matched postings.
+    val dfq = df.join(broadcast(qterms.select($"term").distinct()),
+      Seq("term"), "left_semi")
+    broadcast(qterms).join(postings, Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(consts)
       .withColumn("contrib", expr(

@@ -243,9 +243,14 @@ object DataOps {
         explode(call_function("graft_winnow", col("norm"))).as("fp"))
       .persistScoped()
     val a = fps.select(col("doc_id").as("id_a"), col("lang"), col("fp"))
-    val b = fps.select(col("doc_id").as("id_b"), col("fp"))
-    a.join(b, Seq("fp"))
-      .filter(col("id_b") === col("id_a") + 1000000) // original↔mutant pairs
+    val b = fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    // original↔mutant pairing rides IN the equi-join keys ((fp, id+10^6)
+    // = (fp_b, id_b)) instead of as a post-join filter: a hot
+    // fingerprint shared by many docs would otherwise fan out
+    // quadratically inside its fp group before the filter drops the
+    // pairs (guide §2.5 hot keys) — same pair set, join groups of one.
+    a.join(b, col("fp") === col("fp_b") &&
+        col("id_a") + 1000000 === col("id_b"))
       .select(col("id_a"), col("id_b"), col("lang")).distinct()
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_recovered_mutants"))
@@ -537,7 +542,7 @@ object DataOps {
     */
   def m04(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = docs(spark, dir).select(col("doc_id")).as[Long].map { id =>
+    val media = Multimodal.spreadIds(docs(spark, dir)).map { id =>
       val e = id % 97
       val (w, h) = (Multimodal.synthWidth(e), Multimodal.synthHeight(e))
       Multimodal.MediaRecord(id, Multimodal.PngKind,

@@ -154,7 +154,9 @@ object Expressions {
       .agg(count(lit(1)).as("n_years"))
     val mf = freq.withColumn("freq_rank",
       WindowOps.rankBy(Seq(col("f_name")), Seq(col("n_years").desc, col("f_month"))))
-    peak.join(mf,
+    // mf is ≤ |nations|·12 rows at any scale — broadcast it so the
+    // peak side never shuffles for this join (SortMergeJoin → BHJ)
+    peak.join(broadcast(mf),
         peak("n_name") === mf("f_name") && mf("freq_rank") === 1, "inner")
       .select(
         col("n_name"), col("year"), col("month").as("peak_month"),
@@ -193,15 +195,19 @@ object Expressions {
     val o95 = Tables.load(spark, dir, "orders")
       .filter(year(col("o_orderdate")) === 1995)
       .select(col("o_custkey"))
-    val active = c.join(o95, c("c_custkey") === o95("o_custkey"), "left_semi")
-      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
-    val inactive = c.join(o95, c("c_custkey") === o95("o_custkey"), "left_anti")
-      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_inactive"))
-    active.join(inactive, Seq("c_mktsegment"), "full_outer")
-      .select(
-        col("c_mktsegment"),
-        coalesce(col("n_active"), lit(0L)).as("n_active"),
-        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+    // EXISTS / NOT EXISTS as ONE existence join instead of a semi plus
+    // an anti join (guide §2.4): the distinct-key left join marks each
+    // customer once, so customer and orders are each scanned and
+    // shuffled a single time and the semi/anti/full-outer trio
+    // collapses into one conditional aggregation. Row-identical to the
+    // two-join form: distinct keys guarantee no fan-out, a matched row
+    // is exactly the semi set, an unmatched row exactly the anti set.
+    val marked = c.join(o95.distinct(),
+      c("c_custkey") === o95("o_custkey"), "left")
+    marked.groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("o_custkey")).as("n_active"),
+        count(when(col("o_custkey").isNull, lit(1))).as("n_inactive"))
       .withColumn("n_total", col("n_active") + col("n_inactive"))
       .withColumn("active_pct",
         gf.dround(col("n_active") * 100.0 / col("n_total"), 3))
