@@ -28,10 +28,16 @@ object Funnel {
              names: Seq[String]): DataFrame = {
     require(names.nonEmpty, "need at least one funnel stage")
     def stageCol(s: String) = s"${s}_ts"
-    var acc = events.filter(col(kind) === names.head)
+    // one pass over the event source: every per-stage filter below
+    // reads this narrow materialized projection instead of re-scanning
+    // the full event table once per stage
+    import graft.QueryCaches.CacheOps
+    val ev = events.filter(col(kind).isin(names: _*))
+      .select(col(user), col(ts), col(kind)).persistScoped()
+    var acc = ev.filter(col(kind) === names.head)
       .groupBy(col(user)).agg(min(col(ts)).as(stageCol(names.head)))
     for ((prev, s) <- names.zip(names.tail)) {
-      val nxt = events.filter(col(kind) === s)
+      val nxt = ev.filter(col(kind) === s)
         .join(acc.select(col(user), col(stageCol(prev)).as("_prev"))
           .filter(col("_prev").isNotNull), Seq(user))
         .filter(col(ts) > col("_prev"))

@@ -389,20 +389,31 @@ object Graph {
     var open = 1L
     var round = 0
     while (open > 0) {
-      if (round > maxRounds) {
+      // +1: convergence is now detected one (pure no-op) round after
+      // the last move, so a legal maxRounds-hop chain runs maxRounds+1
+      // loop bodies — the thrown-at chain length is unchanged
+      if (round > maxRounds + 1) {
         labeled.unpersist()
         throw new IllegalStateException(
           s"ssspPaths: a parent chain exceeds $maxRounds hops")
       }
+      // `moved` records whether this row's chain advanced — the open
+      // check below then counts rows on the ALREADY-materialized frame
+      // instead of re-joining state⋈parents a second time per round
+      // (was: one extra node-sized equi-join + shuffle every round).
+      // A row is still open iff it moved this round: a row that didn't
+      // move has head == its parent's fixpoint (a seed) and never moves
+      // again, so `moved` and the old head-has-nonself-parent predicate
+      // decide identically at every round boundary.
       state = state.join(parents, col("head") === col("pid"))
         .select(col("id"), col("dist"), col("parent"),
           when(col("pp") === col("head"), col("head"))
             .otherwise(col("pp")).as("head"),
           when(col("pp") === col("head"), col("path"))
-            .otherwise(concat(array(col("pp")), col("path"))).as("path"))
+            .otherwise(concat(array(col("pp")), col("path"))).as("path"),
+          (col("pp") =!= col("head")).as("moved"))
         .localCheckpoint()
-      open = state.join(parents, col("head") === col("pid"))
-        .filter(col("pp") =!= col("head")).count()
+      open = state.filter(col("moved")).count()
       round += 1
     }
     labeled.unpersist()

@@ -125,9 +125,13 @@ object DataOps {
   def d06(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.{DedupStream, Replay}
     graft.functions.NativeExprs.ensureRegistered(spark)
-    val base = docs(spark, dir).withColumn("norm", norm(col("text")))
-    val origs = base.select(col("doc_id"), col("lang"), col("norm"))
-    val mutants = base.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+    // one normalization pass serves the original slice, the mutant
+    // slice's substr, and the language join below (was: writeSlices
+    // re-scanned docs and recomputed norm once per slice)
+    val origs = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), norm(col("text")).as("norm"))
+      .persistScoped()
+    val mutants = origs.select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
       col("norm").substr(lit(1), greatest(length(col("norm")) - 15, lit(1))).as("norm"))
     val replay = s"/root/repo/target/d06_replay-${new java.io.File(dir).getName}"
     Replay.writeSlices(replay, Seq(origs, mutants))
@@ -463,10 +467,15 @@ object DataOps {
         ($"tf" * call_function("div", lit(1000000L), $"df")).as("w"))
       .persistScoped() // feeds the norm agg + both posting-join sides
     val nsq = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("nsq"))
+    // persistScoped: BOTH directions of the symmetric union read the
+    // posting-list self-join + pair aggregation — without it the whole
+    // O(shared-term pairs) subtree runs twice (the union branches only
+    // reuse the exchange, not the join+agg above it)
     val dots = w.select($"doc_id".as("id_a"), $"gram", $"w".as("wa"))
       .join(w.select($"doc_id".as("id_b"), $"gram", $"w".as("wb")), Seq("gram"))
       .filter($"id_a" < $"id_b")
       .groupBy($"id_a", $"id_b").agg(sum($"wa" * $"wb").as("dot"))
+      .persistScoped()
     val sym = dots.unionByName(
       dots.select($"id_b".as("id_a"), $"id_a".as("id_b"), $"dot"))
     sym

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.QueryCaches.CacheOps
 import graft.sources.{MeasurementIngest, Tables}
 
 /** Driver-oracled CSV-ingest query (SURVEY.md §2 rows S1/P1/P2/P5).
@@ -634,8 +635,12 @@ object IngestQueries {
     spark.sql(s"CREATE TABLE $src (ok BIGINT, ck BIGINT, cents BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor')")
     spark.sql(s"CREATE TABLE $mv (seg STRING, n_rows BIGINT, sum_cents BIGINT)")
+    // every micro-batch broadcasts the dimension — cache it so the
+    // per-batch broadcast builds from memory instead of re-scanning
+    // the customer parquet once per drained version
     val dim = Tables.load(spark, dir, "customer")
       .select($"c_custkey".as("ck"), $"c_mktsegment".as("seg"))
+      .persistScoped()
     Tables.load(spark, dir, "orders")
       .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.QueryCaches.CacheOps
 import graft.operators.Quality
 import graft.sources.Tables
 
@@ -27,7 +28,10 @@ object QualityQueries {
     val planted = orders.filter($"o_orderkey" % 1000 === 0)
       .withColumn("o_custkey", -$"o_custkey")
       .withColumn("o_totalprice", -$"o_totalprice")
-    val o2 = orders.unionByName(planted)
+    // three check families consume o2 (row checks, uniqueness, FK) —
+    // one materialization instead of re-running the union + planted
+    // filter per family
+    val o2 = orders.unionByName(planted).persistScoped()
     Quality.report(Seq(
       Quality.rowChecks(o2, Seq(
         "orders_totalprice_positive" -> ($"o_totalprice" <= 0.0),

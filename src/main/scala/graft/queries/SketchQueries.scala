@@ -183,24 +183,32 @@ object SketchQueries {
       .select($"o_custkey".as("key")).distinct()
     val a = keys(1995).persistScoped() // sketch + membership + exact count
     val b = keys(1996).persistScoped()
-    val un = a.unionByName(b).distinct()
-    val skU = Kmv.sketch(un, "key", k).localCheckpoint() // ≤256 rows, 3 consumers
+    // Per-operand sketches materialized ONCE (they already fed
+    // uh_a/uh_b); the union sketch is [[Kmv.merge]] of the two ≤k-row
+    // sketches — bit-identical to re-sketching A∪B (mix64 is a
+    // bijection, so bottom-k(A∪B) ⊆ ska ∪ skb) without the base-data
+    // union+distinct pass the old shape ran.
+    val ska = Kmv.sketch(a, "key", k).localCheckpoint()
+    val skb = Kmv.sketch(b, "key", k).localCheckpoint()
+    val skU = Kmv.merge(ska, skb, k).localCheckpoint() // ≤256 rows, 3 consumers
     val nBoth = skU.join(a, Seq("key"), "left_semi")
       .join(b, Seq("key"), "left_semi")
       .agg(count(lit(1)).as("n_sample_both"))
     def sc(df: DataFrame) = broadcast(df) // 1-row scalar frames
-    val estU = Kmv.estimate($"uh_u", $"n_union", k)
+    // |A∪B| = |A| + |B| − |A∩B| exactly — the second full union+distinct
+    // pass the old n_union aggregate ran is pure arithmetic now
+    val nUnion = $"n_a" + $"n_b" - $"n_inter"
+    val estU = Kmv.estimate($"uh_u", nUnion, k)
     a.agg(count(lit(1)).as("n_a"))
       .crossJoin(sc(b.agg(count(lit(1)).as("n_b"))))
-      .crossJoin(sc(un.agg(count(lit(1)).as("n_union"))))
       .crossJoin(sc(a.join(b, Seq("key"), "left_semi")
         .agg(count(lit(1)).as("n_inter"))))
-      .crossJoin(sc(Kmv.sketch(a, "key", k).agg(max($"uh").as("uh_a"))))
-      .crossJoin(sc(Kmv.sketch(b, "key", k).agg(max($"uh").as("uh_b"))))
+      .crossJoin(sc(ska.agg(max($"uh").as("uh_a"))))
+      .crossJoin(sc(skb.agg(max($"uh").as("uh_b"))))
       .crossJoin(sc(skU.agg(max($"uh").as("uh_u"))))
       .crossJoin(sc(nBoth))
       .select(lit(k).as("k"),
-        $"n_a", $"n_b", $"n_union", $"n_inter", $"n_sample_both",
+        $"n_a", $"n_b", nUnion.as("n_union"), $"n_inter", $"n_sample_both",
         gf.dround(Kmv.estimate($"uh_a", $"n_a", k), 2).as("est_a"),
         gf.dround(Kmv.estimate($"uh_b", $"n_b", k), 2).as("est_b"),
         gf.dround(estU, 2).as("est_union"),
