@@ -418,11 +418,14 @@ object IngestQueries {
         graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
       .repartition(4)
       .writeTo(t).append() // v1
+    // both union branches (originals + shifted ghosts) read one
+    // materialization instead of re-running the orders scan + aggregate
     val delta = Tables.load(spark, dir, "orders")
       .filter(year($"o_orderdate") === 1995)
       .groupBy($"o_custkey")
       .agg(sum(graft.functions.gf.fixed($"o_totalprice", 100.0)).as("d"))
       .select($"o_custkey".as("k"), $"d")
+      .persistScoped()
     delta.unionByName(delta.select(($"k" + 10000000L).as("k"), $"d"))
       .createOrReplaceTempView("q82_src")
     spark.sql(
@@ -473,16 +476,17 @@ object IngestQueries {
     spark.sql(s"DELETE FROM $t WHERE k % 7 = 0") // v3 (COW: stats cannot decide a modulus)
     val old = spark.sql(s"SELECT k, seg, bal FROM $t VERSION AS OF 1")
     val cur = spark.table(t).select($"k", $"bal".as("bal_new"))
-    val deletes = old.join(cur, Seq("k"), "left_anti")
-      .groupBy($"seg")
-      .agg(count(lit(1)).as("n_rows"), sum(-$"bal").as("delta_cents"))
-      .select($"seg", lit("delete").as("change_type"), $"n_rows", $"delta_cents")
-    val updates = old.join(cur, Seq("k"))
-      .filter($"bal_new" =!= $"bal")
-      .groupBy($"seg")
-      .agg(count(lit(1)).as("n_rows"), sum($"bal_new" - $"bal").as("delta_cents"))
-      .select($"seg", lit("update").as("change_type"), $"n_rows", $"delta_cents")
-    deletes.unionByName(updates)
+    // ONE left join derives both change kinds (k is unique in both
+    // versions, so no fan-out): an unmatched old row is the anti-join's
+    // delete, a matched row with a changed balance is the inner join's
+    // update — was two separate joins, each reading both versions
+    old.join(cur, Seq("k"), "left")
+      .filter($"bal_new".isNull || $"bal_new" =!= $"bal")
+      .groupBy($"seg",
+        when($"bal_new".isNull, "delete").otherwise("update").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"bal_new".isNull, -$"bal").otherwise($"bal_new" - $"bal"))
+          .as("delta_cents"))
       .select($"seg", $"change_type", $"n_rows", $"delta_cents")
       .orderBy($"seg", $"change_type")
   }
@@ -714,10 +718,13 @@ object IngestQueries {
     spark.sql(s"CREATE TABLE $dst (ok BIGINT, ck BIGINT, cents BIGINT)")
     // three deterministic slices; the +m shift makes mis-attributed
     // replays break the sum, not just the count
-    def slice(m: Int) = Tables.load(spark, dir, "orders")
-      .filter($"o_orderkey" % 3 === m.toLong)
+    // one orders pass; each slice filters the materialized projection
+    val sliceBase = Tables.load(spark, dir, "orders")
       .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
-        (graft.functions.gf.fixed($"o_totalprice", 100.0) + m.toLong).as("cents"))
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("c0"))
+      .persistScoped()
+    def slice(m: Int) = sliceBase.filter($"ok" % 3 === m.toLong)
+      .select($"ok", $"ck", ($"c0" + m.toLong).as("cents"))
     slice(0).repartition(2).writeTo(src).append() // v1
     slice(1).repartition(2).writeTo(src).append() // v2
     val ckpt = java.nio.file.Files.createTempDirectory("q91-ckpt").toString
@@ -770,10 +777,13 @@ object IngestQueries {
          |PARTITIONED BY (seg) TBLPROPERTIES ('sortBy' = 'ok')""".stripMargin)
     // the +m shift makes a mis-attributed replay break the sum, not
     // just the count (q91's witness shape)
-    def slice(m: Int) = Tables.load(spark, dir, "orders")
-      .filter($"o_orderkey" % 3 === m.toLong)
+    // one orders pass; each slice filters the materialized projection
+    val sliceBase = Tables.load(spark, dir, "orders")
       .select($"o_orderkey".as("ok"), $"o_orderpriority".as("seg"),
-        (graft.functions.gf.fixed($"o_totalprice", 100.0) + m.toLong).as("cents"))
+        graft.functions.gf.fixed($"o_totalprice", 100.0).as("c0"))
+      .persistScoped()
+    def slice(m: Int) = sliceBase.filter($"ok" % 3 === m.toLong)
+      .select($"ok", $"seg", ($"c0" + m.toLong).as("cents"))
     slice(0).repartition(2).writeTo(src).append() // v1
     slice(1).repartition(2).writeTo(src).append() // v2
     val ckpt = java.nio.file.Files.createTempDirectory("q100-ckpt").toString
@@ -859,10 +869,12 @@ object IngestQueries {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val src = s"$cat.db.orders_cl"
     spark.sql(s"CREATE TABLE $src (ok BIGINT, cents BIGINT)")
-    def slice(m: Int) = Tables.load(spark, dir, "orders")
-      .filter($"o_orderkey" % 2 === m.toLong)
+    // one orders pass; both slices filter the materialized projection
+    val sliceBase = Tables.load(spark, dir, "orders")
       .select($"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped()
+    def slice(m: Int) = sliceBase.filter($"ok" % 2 === m.toLong)
     slice(0).repartition(2).writeTo(src).append() // v1: the cloned state
     spark.sql(s"CALL $cat.system.clone('db.orders_cl', 'db.orders_snap', -1)")
     slice(1).repartition(2).writeTo(src).append() // post-clone append
@@ -911,6 +923,7 @@ object IngestQueries {
     val base = Tables.load(spark, dir, "customer")
       .select($"c_custkey".as("k"), ($"c_nationkey" % 5).cast("long").as("nat5"),
         graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+      .persistScoped() // 12 commit slices filter one pass, not twelve
     for (m <- 0 until 12) // 12 one-file commits: the backlog to drain
       base.filter($"k" % 12L === m.toLong).coalesce(1).writeTo(src).append()
     val ckpt = java.nio.file.Files.createTempDirectory("q103-ckpt").toString
@@ -959,6 +972,9 @@ object IngestQueries {
     spark.sql(
       s"""CREATE TABLE $t (ts_us BIGINT, user_id BIGINT, mv BIGINT)
          |PARTITIONED BY (trunc(86400000000, ts_us))""".stripMargin)
+    // two slices = two pruned scans; A/B'd a shared materialization
+    // here and it measured WORSE (cache write ≈ one full pass, saving
+    // only one) — kept as scans, unlike the ≥3-consumer sites
     def slice(m: Int) = Tables.load(spark, dir, "events")
       .filter($"user_id" % 2 === m.toLong)
       .select(unix_micros($"ts").as("ts_us"), $"user_id",
@@ -1005,10 +1021,12 @@ object IngestQueries {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val t = s"$cat.db.custgate"
     spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT)")
-    def slice(m: Int) = Tables.load(spark, dir, "customer")
-      .filter($"c_custkey" % 2 === m.toLong)
+    // one customer pass; both slices filter the materialized projection
+    val sliceBase = Tables.load(spark, dir, "customer")
       .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
         graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+      .persistScoped()
+    def slice(m: Int) = sliceBase.filter($"k" % 2 === m.toLong)
     slice(0).repartition(2).writeTo(t).append() // v1: the audited state
     spark.sql(s"CALL $cat.system.tag('db.custgate', 'v1', -1)")
     spark.sql(s"CALL $cat.system.branch('db.custgate', 'wap')")
@@ -1142,6 +1160,7 @@ object IngestQueries {
     val base = Tables.load(spark, dir, "customer")
       .select($"c_custkey".as("ok"), $"c_mktsegment".as("seg"),
         graft.functions.gf.fixed($"c_acctbal", 100.0).as("cents"))
+      .persistScoped() // 5 per-segment commits filter one pass, not five
     // one commit per segment: each file's string [min,max] is a single
     // value, so prefix ranges decide every file All-or-None
     for (s <- Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
@@ -1186,10 +1205,12 @@ object IngestQueries {
     spark.sql(
       s"""CREATE TABLE $t (ts_us BIGINT, user_id BIGINT, mv BIGINT)
          |PARTITIONED BY (trunc(86400000000, ts_us))""".stripMargin)
-    def slice(m: Int) = Tables.load(spark, dir, "events")
-      .filter($"user_id" % 3 === m.toLong)
+    // one events pass; the three slices filter the materialized projection
+    val sliceBase = Tables.load(spark, dir, "events")
       .select(unix_micros($"ts").as("ts_us"), $"user_id",
         graft.functions.gf.fixed($"value", 1000.0).as("mv"))
+      .persistScoped()
+    def slice(m: Int) = sliceBase.filter($"user_id" % 3 === m.toLong)
     for (m <- 0 until 3) slice(m).writeTo(t).append()
     // PRE-compaction frames pinned by TIME TRAVEL: meta tables are
     // scanOnly — their row block evaluates at PHYSICAL planning, after
@@ -1259,6 +1280,7 @@ object IngestQueries {
     val base = Tables.load(spark, dir, "orders")
       .select($"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped() // min/max agg + 4 range commits: one pass, not five
     val Seq(lo, hi) = {
       val r = base.agg(min($"ok"), max($"ok")).head
       Seq(r.getLong(0), r.getLong(1))
@@ -1598,9 +1620,11 @@ object IngestQueries {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val t = s"$cat.db.accounts"
     spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT) PARTITIONED BY (seg)")
-    def base = Tables.load(spark, dir, "customer")
+    // three consumers (seed + two overwrites) — one customer pass
+    val base = Tables.load(spark, dir, "customer")
       .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
         graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+      .persistScoped()
     base.repartition(4).writeTo(t).append() // v1: one file per segment
     // v2: DYNAMIC overwrite — recompute ONE segment, doubled
     base.filter($"seg" === "BUILDING")
@@ -1638,9 +1662,11 @@ object IngestQueries {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val t = s"$cat.db.ledger"
     spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, bal BIGINT) PARTITIONED BY (seg)")
-    def base = Tables.load(spark, dir, "customer")
+    // both era writes filter this frame — one customer pass
+    val base = Tables.load(spark, dir, "customer")
       .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
         graft.functions.gf.fixed($"c_acctbal", 100.0).as("bal"))
+      .persistScoped()
     // era 0: identity(seg) files
     base.filter($"k" % 2 === 0L).repartition(4).writeTo(t).append()
     // evolve: future files bucket on k; existing files keep their spec
@@ -1687,10 +1713,13 @@ object IngestQueries {
     spark.sql(s"CREATE TABLE $src (k BIGINT, cents BIGINT)")
     spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    // every commit slice below filters this frame — one orders pass,
+    // not one per slice
     val chg = Tables.load(spark, dir, "orders")
       .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
         $"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"k").orderBy($"ok".desc)
     for (sl <- 0 until 3)
@@ -1736,10 +1765,13 @@ object IngestQueries {
     val dst = s"$cat.db.cdc_mirror"
     spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    // every commit slice below filters this frame — one orders pass,
+    // not one per slice
     val chg = Tables.load(spark, dir, "orders")
       .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
         $"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"k").orderBy($"ok".desc)
     for (sl <- 0 until 3)
@@ -1866,11 +1898,13 @@ object IngestQueries {
     val dst = s"$cat.db.cdc_pairs"
     spark.sql(s"CREATE TABLE $dst (k1 BIGINT, k2 STRING, cents BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k1,k2')")
+    // three upsert slices filter this frame — one orders pass, not three
     val chg = Tables.load(spark, dir, "orders")
       .select(($"o_orderkey" % 50L).as("k1"),
         concat(lit("p"), ($"o_orderkey" % 20L).cast("string")).as("k2"),
         ($"o_orderkey" % 3L).as("s"), $"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"k1", $"k2").orderBy($"ok".desc)
     for (sl <- 0 until 3)
@@ -1915,10 +1949,13 @@ object IngestQueries {
     val dst = s"$cat.db.merge_state"
     spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    // every commit slice below filters this frame — one orders pass,
+    // not one per slice
     val chg = Tables.load(spark, dir, "orders")
       .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
         $"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"k").orderBy($"ok".desc)
     val view = s"q114_src_${cat.takeRight(8)}"
@@ -1969,10 +2006,13 @@ object IngestQueries {
     val dst = s"$cat.db.tomb_state"
     spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    // every commit slice below filters this frame — one orders pass,
+    // not one per slice
     val chg = Tables.load(spark, dir, "orders")
       .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
         $"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"k").orderBy($"ok".desc)
     def slice(sl: Long) = chg.filter($"s" === sl)
@@ -2030,10 +2070,13 @@ object IngestQueries {
     val dst = s"$cat.db.cdc_state"
     spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    // every commit slice below filters this frame — one orders pass,
+    // not one per slice
     val chg = Tables.load(spark, dir, "orders")
       .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
         $"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"k").orderBy($"ok".desc)
     def slice(sl: Long) = chg.filter($"s" === sl)
@@ -2085,10 +2128,13 @@ object IngestQueries {
     spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k', " +
       "'compact_when_eq_records' = '2', 'compact_when_dv_pct' = '20')")
+    // every commit slice below filters this frame — one orders pass,
+    // not one per slice
     val chg = Tables.load(spark, dir, "orders")
       .select(($"o_orderkey" % 1000L).as("k"), ($"o_orderkey" % 3L).as("s"),
         $"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"k").orderBy($"ok".desc)
     def slice(sl: Long) = chg.filter($"s" === sl)
@@ -2132,9 +2178,11 @@ object IngestQueries {
     val dst = s"$cat.db.erasure_state"
     spark.sql(s"CREATE TABLE $dst (k BIGINT, cents BIGINT) " +
       "TBLPROPERTIES ('mode' = 'mor', 'upsert_key' = 'k')")
+    // two consumers (seed write + erasure key list) — one orders pass
     val chg = Tables.load(spark, dir, "orders")
       .select(($"o_orderkey" % 1000L).as("k"), $"o_orderkey".as("ok"),
         graft.functions.gf.fixed($"o_totalprice", 100.0).as("cents"))
+      .persistScoped()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"k").orderBy($"ok".desc)
     chg.withColumn("rn", row_number().over(w)).where($"rn" === 1)

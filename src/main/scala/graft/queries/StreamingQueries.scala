@@ -282,8 +282,11 @@ object StreamingQueries {
     import spark.implicits._
     import graft.model.Schemas.Event
     import graft.sources.KafkaSource
+    import graft.QueryCaches.CacheOps
+    // both union branches read one materialization (was: two scans)
     val ev = events(spark, dir)
       .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .persistScoped()
     val replay = s"/root/repo/target/q49_replay-${new java.io.File(dir).getName}"
     ev.unionByName(ev.filter(col("user_id") % 7 === 0))
       .coalesce(1).write.mode("overwrite").parquet(replay)
